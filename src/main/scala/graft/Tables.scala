@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  *
+  * The reference engine's only source is a single local text file split into
+  * fixed 1024-byte chunks (reference: src/utils.rs:9-45, src/constants.rs:5).
+  * Here the source layer is Spark's columnar parquet scan: split planning,
+  * predicate pushdown and column pruning are handled by `FileSourceScanExec`,
+  * and partition sizing by `spark.sql.files.maxPartitionBytes` — lossless
+  * (the reference silently drops the final partial chunk) and scalable.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
+    // for. With spark.sql.legacy.parquet.nanosAsLong=true (set by
+    // Verify/Bench/test sessions) it surfaces as LongType nanos; convert to
+    // TimestampType by flooring to micros — the same ns→µs truncation
+    // DuckDB applies, so oracle comparisons stay exact.
+    // The result is TIMESTAMP_NTZ to match how Spark reads the other tables'
+    // naive parquet timestamps (and how the DuckDB oracle sees them).
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
+  }
+}
+
+/** One engine query: the Spark implementation plus (when SQL-expressible)
+  * the equivalent ANSI SQL the DuckDB oracle runs over the same parquet.
+  * Queries without an oracle get the driver's weaker rows-only check.
+  */
+final case class GraftQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, built from
+  * Spark's higher-order array functions (no UDFs — the lambdas stay inside
+  * Catalyst as expressions).
+  *
+  * Every fold is a strict left-to-right accumulation in double precision, so
+  * results are bitwise deterministic and bitwise-reproducible by any engine
+  * that folds the list in order (the DuckDB oracle does).
+  */
+object VectorOps {
+
+  /** Elementwise product then ordered sum: dot(a, b). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Sum of squares (ordered fold). */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** Cosine similarity: dot / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{TextHash, VectorOps}
+
+/** Deduplication operators over `documents` / `embeddings`:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup. All candidate generation is hash/band-bucketed (never a raw
+  * n² self-join on the full table), so each op survives a 100× scale-up:
+  * cost is O(n · sig) + O(Σ bucket²) with bucket sizes controlled by the
+  * banding parameters.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document (empty when < 3 tokens). */
+  private def shingleExpr = {
+    val t = split(col("text"), " ")
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------- dd25
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * (dropDuplicates keeps an arbitrary row — this form is deterministic.) */
+  private def dd25(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select("doc_id", "text")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .select("kept_doc_id", "n_copies")
+      .orderBy("kept_doc_id")
+
+  private val dd25Oracle =
+    """SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY kept_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- dd26
+  /** MinHash + LSH near-dup detection, entirely in native expressions
+    * (no UDFs): shingle → 64 minhashes via xxhash64(shingle_hash, perm) →
+    * 16 bands of 4 → bucket self-join for candidates → exact Jaccard
+    * verification. Shuffle cost is bounded by band-bucket sizes; the
+    * full shingle arrays are re-joined by id only for the (few)
+    * candidate pairs.
+    */
+  private def dd26(spark: SparkSession, dir: String): DataFrame = {
+    val K = 64 // minhash permutations
+    val R = 4  // rows per band
+    val B = K / R // 16 bands
+
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), shingleExpr.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val hashes = transform(col("shingles"), s => xxhash64(s))
+    val sig = transform(sequence(lit(0), lit(K - 1)), p => array_min(transform(hashes, h => xxhash64(h, p))))
+    val bands = transform(sequence(lit(0), lit(B - 1)), b => struct(b.as("band"), xxhash64(slice(col("sig"), b * R + 1, lit(R))).as("bkey")))
+
+    val banded = docs
+      .withColumn("sig", sig)
+      .select(col("doc_id"), explode(bands).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+
+    val sa = docs.select(col("doc_id").as("a_id"), col("shingles").as("sha"))
+    val sb = docs.select(col("doc_id").as("b_id"), col("shingles").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- dd27
+  /** SimHash near-dup: 64-bit signature over token hashes, 4 16-bit bands
+    * for candidates (any pair within Hamming distance 3 shares at least
+    * one intact band by pigeonhole... with 4 bands and ≤3 differing bits),
+    * verified with native bit_count. */
+  private def dd27(spark: SparkSession, dir: String): DataFrame = {
+    val simhashUdf = udf { toksArr: Seq[String] =>
+      TextHash.simhash64(toksArr.iterator.map(TextHash.fnv1a64))
+    }
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), simhashUdf(filter(split(col("text"), " "), t => t =!= "")).as("sh"))
+
+    val bandStructs = (0 until 4).map(bi =>
+      struct(lit(bi).as("band"), shiftrightunsigned(col("sh"), bi * 16).bitwiseAND(lit(0xffffL)).as("bkey")))
+    val banded = docs.select(
+      col("doc_id"), col("sh"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---------------------------------------------------------------- dd28
+  /** Exact n-gram Jaccard within `source` blocks (blocked all-pairs —
+    * the block key bounds the quadratic term; at 100 TB you'd block on a
+    * stronger key or fall back to dd26's LSH). SQL-expressible, so this
+    * one carries a full DuckDB oracle. */
+  private def dd28(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), shingleExpr.as("sh"))
+    val a = g.alias("a")
+    val b = g.alias("b")
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    val jac = inter / (size(col("a.sh")) + size(col("b.sh")) - inter)
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dd28Oracle =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [] END AS sh
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents) t)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.sh, b.sh))
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------- dd29
+  /** Embedding-cosine near-dup: all-pairs above a similarity threshold.
+    * Exact (ordered-fold double math, reproducible by the oracle); the
+    * approximate scale path is Similarity's LSH variant. */
+  private def dd29(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), VectorOps.cosine(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dd29Oracle =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
+    GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
+    GraftQuery("dd27_dedup_simhash", dd27, None),
+    GraftQuery("dd28_dedup_ngram_jaccard", dd28, Some(dd28Oracle)),
+    GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)))
+}

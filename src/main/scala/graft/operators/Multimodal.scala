@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextHash
+
+/** Multimodal-column plumbing: media payloads are opaque `binary` columns
+  * with typed metadata, processed batch-at-a-time with `mapPartitions`
+  * over a typed Dataset (the Scala analogue of a batched Pandas UDF —
+  * one decoder instance per partition, streaming rows through it).
+  *
+  * The container has no image/audio codecs, so `FakeCodec.decode` is a
+  * clearly-marked deterministic STUB; everything Spark-side — schema,
+  * partitioning, batch shape, feature extraction contract — is real and
+  * tested, and swapping a real decoder in changes only the stub body.
+  */
+object Multimodal {
+
+  /** Input row: media payload as an opaque binary column. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Output row: decoded metadata + extracted features. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_frames: Int,
+      mean_byte: Double,
+      resized_w: Int,
+      resized_h: Int)
+
+  /** STUB decoder: a real implementation would link an image/audio codec
+    * here. This fake is deterministic in the payload bytes only.
+    */
+  object FakeCodec {
+    def decode(r: MediaRow): MediaFeatures = {
+      val n = r.payload.length
+      val h = TextHash.fnv1a64(r.media_type) ^ n.toLong
+      val width = (n % 640) + 16
+      val height = ((h & 0x7fffffffL) % 480).toInt + 16
+      val channels = if (r.media_type == "image") 3 else 1
+      val nFrames = if (r.media_type == "video") (n / 1024) + 1 else 1
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (r.payload(i) & 0xff); i += 1 }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      // "resize" stub: target 224x224, metadata-only.
+      MediaFeatures(r.doc_id, r.media_type, width, height, channels, nFrames, mean, 224, 224)
+    }
+  }
+
+  /** Batched decode: one codec per partition, rows streamed through. */
+  def decodeFeatures(media: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition setup (a real codec would init native resources here)
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** mm36: derive a binary payload column from documents (stand-in for a
+    * real media column), run the batched decode, return the feature table. */
+  private def mm36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+    decodeFeatures(media).toDF().orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("mm36_multimodal_features", mm36, None))
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{TextHash, VectorOps}
+
+/** Similarity search over the `embeddings` table.
+  *
+  * ss30: exact brute-force cosine top-k — the correctness baseline. The
+  * query set is broadcast, so the big side streams once with no shuffle
+  * until the per-query top-k (a tiny windowed agg).
+  *
+  * ss31: LSH-bucketed ANN — the scale path. Random-hyperplane signatures
+  * shrink the candidate set to one bucket per query; at 1000 executors
+  * this is a bucket-partitioned join instead of a full scan per query.
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- ss30
+  private def ss30(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  private val ss30Oracle =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id % 100 = 0),
+      |s AS (
+      |  SELECT q_id, vec_id,
+      |    list_sum(list_transform(range(1, len(q_emb) + 1),
+      |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / (q_nrm * nrm) AS sim
+      |  FROM q JOIN n ON vec_id <> q_id)
+      |SELECT q_id, CAST(rn AS INTEGER) AS rn, vec_id, sim FROM (
+      |  SELECT q_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM s) t
+      |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- ss31
+  /** Deterministic ±1 random-hyperplane matrix: 6 planes × 64 dims,
+    * derived from SplitMix64 — stable across JVMs and runs. 6 planes = 64
+    * buckets keeps expected bucket occupancy high enough for useful recall
+    * at the test scales; at production scale you'd raise planes with the
+    * corpus size (buckets ∝ n / target-candidates). */
+  private val NPlanes = 6
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(NPlanes, 64) { (p, j) =>
+      if ((TextHash.mix64(p.toLong * 64L + j) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  private def ss31(spark: SparkSession, dir: String): DataFrame = {
+    val planesB = spark.sparkContext.broadcast(planes)
+    val bucketUdf = udf { emb: Seq[Float] =>
+      val pl = planesB.value
+      var bucket = 0
+      var p = 0
+      while (p < pl.length) {
+        var s = 0.0
+        var j = 0
+        val dim = math.min(emb.length, 64)
+        while (j < dim) { s += emb(j) * pl(p)(j); j += 1 }
+        if (s > 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
+    }
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .withColumn("bucket", bucketUdf(col("embedding")))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), VectorOps.cosine(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy("q_id", "rn")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
+    GraftQuery("ss31_ann_lsh_topk", ss31, None))
+}

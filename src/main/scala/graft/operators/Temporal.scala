@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import Exact._
+
+/** Time-oriented operators over the `events` table: as-of join,
+  * sessionization, and tumbling-window aggregation.
+  */
+object Temporal {
+
+  // ---------------------------------------------------------------- q19
+  /** As-of join: for every `error` event, the most recent `click` event of
+    * the same user at-or-before its timestamp.
+    *
+    * Spark has no native as-of join; a range-join + per-row max would
+    * explode quadratically on hot users at 100 TB. Instead: tag the two
+    * streams, union, and carry the last click forward with a running
+    * `last(_, ignoreNulls)` window — one shuffle by user, linear work.
+    * Tie rules (deterministic): equal timestamps count as "before"
+    * (tag sorts clicks first), and among equal-ts clicks the largest
+    * event_id wins.
+    */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select("event_id", "ts", "user_id", "event_type")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("click_event_id", last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_event_id"))
+      .orderBy("event_id")
+  }
+
+  private val q19Oracle =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  (SELECT c.event_id FROM events c
+      |   WHERE c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+      |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id
+      |FROM events e WHERE e.event_type = 'error'
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Sessionization: gap > 30 min starts a new session; one row per
+    * session with event count and duration. Classic lag + running-sum
+    * boundary detection — one shuffle by user.
+    */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select("user_id", "event_id", "ts")
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = unix_millis(col("ts").cast("timestamp")) - lag(unix_millis(col("ts").cast("timestamp")), 1).over(wOrd)
+    val newSession = when(gapMs.isNull || gapMs > lit(1800000L), 1).otherwise(0)
+    ev.withColumn("ns", newSession)
+      .withColumn("session_id", sum(col("ns")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(unix_millis(col("ts").cast("timestamp"))) - min(unix_millis(col("ts").cast("timestamp")))).as("duration_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q20Oracle =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM t)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  CAST(MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS BIGINT) AS duration_ms
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Tumbling 1-hour window aggregation (batch form of the streaming
+    * windowed agg; the Structured Streaming variant lives in
+    * graft.streaming). */
+  private def q21(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour", "event_type")
+
+  private val q21Oracle =
+    s"""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events,
+       |  ${oDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q19_asof_join", q19, Some(q19Oracle)),
+    GraftQuery("q20_sessionize", q20, Some(q20Oracle)),
+    GraftQuery("q21_event_window_agg", q21, Some(q21Oracle)))
+}

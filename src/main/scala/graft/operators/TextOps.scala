@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+
+/** Text-analysis operators over `documents`: word count (the reference's
+  * one and only job, both as a relational pipeline and through the
+  * generalized MapReducer API), language ID, quality scoring, token
+  * counting, and fingerprinting.
+  */
+object TextOps {
+
+  private def toks(c: String) = filter(split(col(c), " "), t => t =!= "")
+
+  // ---------------------------------------------------------------- q22
+  /** WordCount, relational form: explode → hash agg. Codegen'd end-to-end;
+    * this is the plan Spark picks naturally and the fastest at scale
+    * (map-side partial count before the shuffle). Reference behavior:
+    * src/implm/word_count.rs:5-25 with GLOBAL (not per-chunk) scope. */
+  private def q22(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select("text")
+      .select(explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  private val wordcountOracle =
+    """SELECT w AS word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
+      |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** WordCount through the MapReducer API (the reference's user surface,
+    * src/map_reduce.rs:4-7) — flatMap → shuffle → reduce with map-side
+    * combine. Same oracle as q22: the two paths must agree. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.{MapReduce, WordCount}
+    val input = Tables(spark, dir, "documents")
+      .select(col("doc_id").cast("string"), col("text"))
+      .as[(String, String)]
+    MapReduce.runAssociative(input, WordCount)
+      .toDF("word", "cnt")
+      .orderBy("word")
+  }
+
+  // ---------------------------------------------------------------- tx32
+  /** Language ID by marker-token scoring (n-gram/stopword heuristic shape;
+    * markers chosen from the synthetic vocabulary). Deterministic argmax
+    * with a fixed preference chain on ties. */
+  private def tx32(spark: SparkSession, dir: String): DataFrame = {
+    def score(marker: String) = size(filter(toks("text"), t => t === marker))
+    val sEn = score("the"); val sEs = score("value"); val sZh = score("join")
+    val sDe = score("hash"); val sFr = score("scan")
+    val pred = when(sEn >= sEs && sEn >= sZh && sEn >= sDe && sEn >= sFr, "en")
+      .when(sEs >= sZh && sEs >= sDe && sEs >= sFr, "es")
+      .when(sZh >= sDe && sZh >= sFr, "zh")
+      .when(sDe >= sFr, "de")
+      .otherwise("fr")
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      .select(col("doc_id"), pred.as("pred_lang"), col("lang"),
+        (pred === col("lang")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
+  private val tx32Oracle =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), t -> t = 'the'))   AS s_en,
+      |    len(list_filter(string_split(text, ' '), t -> t = 'value')) AS s_es,
+      |    len(list_filter(string_split(text, ' '), t -> t = 'join'))  AS s_zh,
+      |    len(list_filter(string_split(text, ' '), t -> t = 'hash'))  AS s_de,
+      |    len(list_filter(string_split(text, ' '), t -> t = 'scan'))  AS s_fr
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_zh AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_zh AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |         WHEN s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+      |         WHEN s_de >= s_fr THEN 'de'
+      |         ELSE 'fr' END AS pred_lang
+      |  FROM s)
+      |SELECT doc_id, pred_lang, lang, CAST(pred_lang = lang AS INTEGER) AS correct
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- tx33
+  /** Quality scoring: length / type-token ratio / stopword-ratio features
+    * composed into a deterministic score. */
+  private def tx33(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks("text")
+    val nWords = size(t)
+    val nUniq = size(array_distinct(t))
+    val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val nStop = size(filter(t, x => x === "the" || x === "a"))
+    val ttr = nUniq / nWords
+    val quality = ttr * least(nWords, lit(100)) / lit(100.0)
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nUniq.as("n_uniq"),
+        (sumLen.cast("double") / nWords).as("avg_word_len"),
+        ttr.as("ttr"),
+        (nStop / nWords).as("stop_ratio"),
+        quality.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val tx33Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(tk) AS INTEGER) AS n_words,
+      |  CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
+      |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS avg_word_len,
+      |  len(list_distinct(tk)) / len(tk) AS ttr,
+      |  len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk) AS stop_ratio,
+      |  len(list_distinct(tk)) / len(tk) * least(len(tk), 100) / CAST(100 AS DOUBLE) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- tx34
+  /** Token counting: whitespace tokens plus a BPE-ish regex tokenizer. */
+  private def tx34(spark: SparkSession, dir: String): DataFrame = {
+    val nWs = size(toks("text"))
+    val nAlpha = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      .select(
+        col("doc_id"),
+        nWs.as("n_ws_tokens"),
+        nAlpha.as("n_alpha_tokens"),
+        length(col("text")).as("text_len"),
+        (length(col("text")).cast("double") / nWs).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  private val tx34Oracle =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_tokens,
+      |  CAST(length(text) AS INTEGER) AS text_len,
+      |  CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), x -> x <> '')) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- tx35
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase text
+    * (the SQL-checkable fingerprint; a Karp–Rabin rolling hash lives in
+    * graft.functions.TextHash with its own unit tests). */
+  private def tx35(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .select(col("doc_id"), md5(encode(norm, "UTF-8")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private val tx35Oracle =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
+    GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
+    GraftQuery("tx32_langid", tx32, Some(tx32Oracle)),
+    GraftQuery("tx33_quality_score", tx33, Some(tx33Oracle)),
+    GraftQuery("tx34_token_count", tx34, Some(tx34Oracle)),
+    GraftQuery("tx35_fingerprint", tx35, Some(tx35Oracle)))
+}
