@@ -56,6 +56,47 @@ object TextHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Distinct word-3-gram shingles of a space-separated text. */
+  def shingles3(text: String): Array[String] = {
+    val w = text.split(" ").filter(_.nonEmpty)
+    if (w.length < 3) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var j = 0
+      while (j + 2 < w.length) {
+        seen.add(w(j) + " " + w(j + 1) + " " + w(j + 2))
+        j += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** MinHash signature over word-3-gram shingles: k permutations derived
+    * from SplitMix64 applied to the FNV-1a shingle hash. One tight pass —
+    * O(shingles × k) primitive ops, no per-element boxing (this replaced an
+    * interpreted higher-order-function formulation that was ~1000× slower).
+    * Returns null-free Array[Long]; all-MaxValue when < 3 tokens.
+    */
+  def minhashSig(text: String, k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val w = text.split(" ").filter(_.nonEmpty)
+    val seen = new java.util.HashSet[Long]()
+    var j = 0
+    while (j + 2 < w.length) {
+      val h0 = fnv1a64(w(j) + " " + w(j + 1) + " " + w(j + 2))
+      if (seen.add(h0)) {
+        var p = 0
+        while (p < k) {
+          val hp = mix64(h0 + p * 0x9e3779b97f4a7c15L)
+          if (hp < sig(p)) sig(p) = hp
+          p += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
   /** Karp–Rabin polynomial rolling fingerprint over the whole string
     * (base 257, mod 2^61-1). Used for document fingerprinting.
     */

@@ -12,21 +12,32 @@ import org.apache.spark.sql.functions._
   * that folds the list in order (the DuckDB oracle does).
   */
 object VectorOps {
+  import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+  import graft.plans.{DotProductF, NormSqF}
 
-  /** Elementwise product then ordered sum: dot(a, b). */
+  /** Elementwise product then ordered sum: dot(a, b). Native codegen'd
+    * expression over array<float> (see graft.plans.VectorExpressions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    ExpressionUtils.column(DotProductF(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Sum of squares (ordered fold). */
+  /** Sum of squares (ordered fold), codegen'd. */
   def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    ExpressionUtils.column(NormSqF(ExpressionUtils.expression(a)))
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(norm2(a))
 
   /** Cosine similarity: dot / (|a| * |b|). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Higher-order-function formulations (kept as the reference semantics the
+    * native expressions must reproduce bit-for-bit; used by the test suite). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm2Hof(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 }

@@ -52,16 +52,20 @@ object Dedup {
     val R = 4  // rows per band
     val B = K / R // 16 bands
 
-    val docs = Tables(spark, dir, "documents").select(col("doc_id"), shingleExpr.as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    // Signature in one tight-loop UDF per doc (O(shingles×K) primitive ops);
+    // banding stays in native expressions. The interpreted HOF formulation
+    // of the same signature was ~1000× slower per row.
+    val sigUdf = udf { text: String => TextHash.minhashSig(text, K) }
+    val shinglesUdf = udf { text: String => TextHash.shingles3(text) }
 
-    val hashes = transform(col("shingles"), s => xxhash64(s))
-    val sig = transform(sequence(lit(0), lit(K - 1)), p => array_min(transform(hashes, h => xxhash64(h, p))))
-    val bands = transform(sequence(lit(0), lit(B - 1)), b => struct(b.as("band"), xxhash64(slice(col("sig"), b * R + 1, lit(R))).as("bkey")))
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val sigd = docs
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue) // drop <3-token docs
 
-    val banded = docs
-      .withColumn("sig", sig)
-      .select(col("doc_id"), explode(bands).as("bk"))
+    val bands = transform(sequence(lit(0), lit(B - 1)),
+      b => struct(b.as("band"), xxhash64(slice(col("sig"), b * R + 1, lit(R))).as("bkey")))
+    val banded = sigd.select(col("doc_id"), explode(bands).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
     val a = banded.alias("a")
@@ -72,8 +76,9 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
 
-    val sa = docs.select(col("doc_id").as("a_id"), col("shingles").as("sha"))
-    val sb = docs.select(col("doc_id").as("b_id"), col("shingles").as("shb"))
+    // Exact-Jaccard verification only for the (few) candidate pairs.
+    val sa = docs.select(col("doc_id").as("a_id"), shinglesUdf(col("text")).as("sha"))
+    val sb = docs.select(col("doc_id").as("b_id"), shinglesUdf(col("text")).as("shb"))
     val inter = size(array_intersect(col("sha"), col("shb")))
     val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
     candidates.join(sa, "a_id").join(sb, "b_id")
@@ -150,11 +155,15 @@ object Dedup {
     * Exact (ordered-fold double math, reproducible by the oracle); the
     * approximate scale path is Similarity's LSH variant. */
   private def dd29(spark: SparkSession, dir: String): DataFrame = {
+    // Norms precomputed per vector (not per pair); per-pair work is a single
+    // codegen'd dot product + divide.
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), VectorOps.cosine(col("ea"), col("eb")).as("cos_sim"))
+      .select(col("a_id"), col("b_id"),
+        (VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("a_id", "b_id")
   }

@@ -21,12 +21,16 @@ object Similarity {
 
   // ---------------------------------------------------------------- ss30
   private def ss30(spark: SparkSession, dir: String): DataFrame = {
+    // Norms precomputed on both sides; the per-pair hot loop is one
+    // codegen'd dot product + divide.
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), VectorOps.cosine(col("q_emb"), col("embedding")).as("sim"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
@@ -80,12 +84,14 @@ object Similarity {
     }
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
       .withColumn("bucket", bucketUdf(col("embedding")))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), VectorOps.cosine(col("q_emb"), col("embedding")).as("sim"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))

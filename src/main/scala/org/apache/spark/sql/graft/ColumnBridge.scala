@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's private[sql] Column ↔ Expression conversions (the
+  * Spark 4 replacement for the removed `new Column(expr)` constructor).
+  * Lives under org.apache.spark.sql so the private[sql] API is visible —
+  * the standard pattern for Catalyst-extending libraries.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
