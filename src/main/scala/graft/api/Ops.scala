@@ -1,0 +1,143 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHash, VectorOps}
+
+/** User-facing generic operators — the library surface a caller composes
+  * with their own DataFrames (the canned SparkEntry queries are thin
+  * wrappers over these). Every operator is a declarative DataFrame
+  * transform: Catalyst sees the whole plan, so pushdown/pruning/AQE apply.
+  */
+object Ops {
+
+  /** As-of join: for each row of `left`, attach `payloadCol` from the
+    * latest `right` row with `right.tsCol <= left.tsCol` in the same
+    * `keys` group. Ties on ts prefer the right row (<=), then the largest
+    * `tieCol`.
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` — one shuffle
+    * by key, linear in rows; never the quadratic range-join + top-1.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      payloadCol: String,
+      outCol: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_tag", lit(1))
+      .withColumn("_payload", lit(null).cast(right.schema(payloadCol).dataType))
+    val r = right
+      .withColumn("_tag", lit(0))
+      .withColumn("_payload", col(payloadCol))
+      .select((keys :+ tsCol :+ tieCol).map(col) :+ col("_tag") :+ col("_payload"): _*)
+    // union with left columns null-padded on right rows
+    val padded = l.columns.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("_tag"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(padded)
+      .withColumn(outCol, last(when(col("_tag") === 0, col("_payload")), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(leftCols.map(col) :+ col(outCol): _*)
+  }
+
+  /** Sessionization: append a `session_id` column (1-based per key) where a
+    * gap > `gapMs` between consecutive `tsCol` values starts a new session. */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, tieCol: String, gapMs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tieCol))
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    val gap = ms - lag(ms, 1).over(wOrd)
+    df.withColumn("_ns", when(gap.isNull || gap > lit(gapMs), 1).otherwise(0))
+      .withColumn("session_id", sum(col("_ns")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_ns")
+  }
+
+  /** Top-k rows per group with a deterministic tie-break: appends `rn`. */
+  def topKPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** MinHash+LSH near-duplicate pairs over (id, text): candidates from
+    * band-bucket self-join, verified with exact shingle Jaccard.
+    * Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold. */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val b = k / rowsPerBand
+    val sigUdf = udf { text: String => TextHash.minhashSig(text, k) }
+    val shinglesUdf = udf { text: String => TextHash.shingles3(text) }
+
+    val docs = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+    val sigd = docs.select(col("_id"), sigUdf(col("_text")).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+
+    val bands = transform(sequence(lit(0), lit(b - 1)),
+      bi => struct(bi.as("band"), xxhash64(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand))).as("bkey")))
+    val banded = sigd.select(col("_id"), explode(bands).as("bk"))
+      .select(col("_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val ba = banded.alias("a")
+    val bb = banded.alias("b")
+    val candidates = ba.join(bb,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
+      .distinct()
+
+    val sa = docs.select(col("_id").as("a_id"), shinglesUdf(col("_text")).as("sha"))
+    val sb = docs.select(col("_id").as("b_id"), shinglesUdf(col("_text")).as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
+    * candidates, Hamming-verified with native bit_count. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val simhashUdf = udf { toksArr: Seq[String] =>
+      TextHash.simhash64(toksArr.iterator.map(TextHash.fnv1a64))
+    }
+    val docs = df.select(col(idCol).as("_id"),
+      simhashUdf(filter(split(col(textCol), " "), t => t =!= "")).as("sh"))
+    val bandStructs = (0 until 4).map(bi =>
+      struct(lit(bi).as("band"), shiftrightunsigned(col("sh"), bi * 16).bitwiseAND(lit(0xffffL)).as("bkey")))
+    val banded = docs.select(col("_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
+    * `corpus` by cosine similarity (self-matches excluded by id). The
+    * query side is broadcast; norms are precomputed per row; the per-pair
+    * work is one codegen'd dot product. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", VectorOps.norm(col("_v")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+      .withColumn("_qnrm", VectorOps.norm(col("_qv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("_qv"), col("_v")) / (col("_qnrm") * col("_nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+  }
+}

@@ -47,74 +47,21 @@ object Dedup {
     * full shingle arrays are re-joined by id only for the (few)
     * candidate pairs.
     */
-  private def dd26(spark: SparkSession, dir: String): DataFrame = {
-    val K = 64 // minhash permutations
-    val R = 4  // rows per band
-    val B = K / R // 16 bands
-
-    // Signature in one tight-loop UDF per doc (O(shingles×K) primitive ops);
-    // banding stays in native expressions. The interpreted HOF formulation
-    // of the same signature was ~1000× slower per row.
-    val sigUdf = udf { text: String => TextHash.minhashSig(text, K) }
-    val shinglesUdf = udf { text: String => TextHash.shingles3(text) }
-
-    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val sigd = docs
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue) // drop <3-token docs
-
-    val bands = transform(sequence(lit(0), lit(B - 1)),
-      b => struct(b.as("band"), xxhash64(slice(col("sig"), b * R + 1, lit(R))).as("bkey")))
-    val banded = sigd.select(col("doc_id"), explode(bands).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-
-    // Exact-Jaccard verification only for the (few) candidate pairs.
-    val sa = docs.select(col("doc_id").as("a_id"), shinglesUdf(col("text")).as("sha"))
-    val sb = docs.select(col("doc_id").as("b_id"), shinglesUdf(col("text")).as("shb"))
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
-    candidates.join(sa, "a_id").join(sb, "b_id")
-      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+  private def dd26(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Ops.minhashDupPairs(
+        Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
+        k = 64, rowsPerBand = 4, threshold = 0.5)
       .orderBy("a_id", "b_id")
-  }
 
   // ---------------------------------------------------------------- dd27
   /** SimHash near-dup: 64-bit signature over token hashes, 4 16-bit bands
     * for candidates (any pair within Hamming distance 3 shares at least
     * one intact band by pigeonhole... with 4 bands and ≤3 differing bits),
     * verified with native bit_count. */
-  private def dd27(spark: SparkSession, dir: String): DataFrame = {
-    val simhashUdf = udf { toksArr: Seq[String] =>
-      TextHash.simhash64(toksArr.iterator.map(TextHash.fnv1a64))
-    }
-    val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), simhashUdf(filter(split(col("text"), " "), t => t =!= "")).as("sh"))
-
-    val bandStructs = (0 until 4).map(bi =>
-      struct(lit(bi).as("band"), shiftrightunsigned(col("sh"), bi * 16).bitwiseAND(lit(0xffffL)).as("bkey")))
-    val banded = docs.select(
-      col("doc_id"), col("sh"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 3)
+  private def dd27(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Ops.simhashDupPairs(
+        Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text", maxHamming = 3)
       .orderBy("a_id", "b_id")
-  }
 
   // ---------------------------------------------------------------- dd28
   /** Exact n-gram Jaccard within `source` blocks (blocked all-pairs —

@@ -170,10 +170,10 @@ object Relational {
   private def q07(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     val cust = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
-    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    orders.join(cust, col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    graft.api.Ops.topKPerGroup(
+        orders.join(cust, col("o_custkey") === col("c_custkey")),
+        partCols = Seq("c_mktsegment"),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
       .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
       .orderBy("c_mktsegment", "rn")
   }

@@ -21,19 +21,10 @@ object Similarity {
 
   // ---------------------------------------------------------------- ss30
   private def ss30(spark: SparkSession, dir: String): DataFrame = {
-    // Norms precomputed on both sides; the per-pair hot loop is one
-    // codegen'd dot product + divide.
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
-      .withColumn("nrm", VectorOps.norm(col("embedding")))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
-      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+    graft.api.Ops.cosineTopK(
+        corpus = e, queries = e.filter(col("vec_id") % 100 === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 10)
       .orderBy("q_id", "rn")
   }
 

@@ -26,16 +26,11 @@ object Temporal {
     */
   private def q19(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events").select("event_id", "ts", "user_id", "event_type")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"))
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("tag"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(errors)
-      .withColumn("click_event_id", last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
+    val errors = ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
+    graft.api.Ops.asOfJoin(errors, clicks,
+        keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        payloadCol = "event_id", outCol = "click_event_id")
       .select(col("event_id"), col("user_id"), col("ts"), col("click_event_id"))
       .orderBy("event_id")
   }
@@ -55,11 +50,7 @@ object Temporal {
     */
   private def q20(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events").select("user_id", "event_id", "ts")
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val gapMs = unix_millis(col("ts").cast("timestamp")) - lag(unix_millis(col("ts").cast("timestamp")), 1).over(wOrd)
-    val newSession = when(gapMs.isNull || gapMs > lit(1800000L), 1).otherwise(0)
-    ev.withColumn("ns", newSession)
-      .withColumn("session_id", sum(col("ns")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.api.Ops.sessionize(ev, keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id", gapMs = 1800000L)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),

@@ -1,0 +1,95 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Exact-semantics tests of the generic operator API on literal data. */
+class OpsSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at-or-before, per key, with tie rules") {
+    import spark.implicits._
+    val errors = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")), // after clicks 10 and 11
+      (101L, 1L, ts("2024-01-01 08:59:59")), // before any click
+      (102L, 2L, ts("2024-01-01 10:00:00")), // exactly at click 20's ts (<= counts)
+      (103L, 3L, ts("2024-01-01 10:00:00"))  // user with no clicks
+    ).toDF("event_id", "user_id", "ts")
+    val clicks = Seq(
+      (10L, 1L, ts("2024-01-01 09:00:00")),
+      (11L, 1L, ts("2024-01-01 09:30:00")),
+      (20L, 2L, ts("2024-01-01 10:00:00")),
+      (21L, 2L, ts("2024-01-01 10:00:00")) // same ts: larger event_id wins
+    ).toDF("event_id", "user_id", "ts")
+
+    val got = Ops.asOfJoin(errors, clicks, Seq("user_id"), "ts", "event_id", "event_id", "click_id")
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(got == Map(100L -> 11L, 101L -> -1L, 102L -> 21L, 103L -> -1L))
+  }
+
+  test("sessionize: 30-min gaps split sessions; ids are 1-based and ordered") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:10:00")),
+      (3L, 7L, ts("2024-01-01 01:00:00")), // 50 min gap -> new session
+      (4L, 8L, ts("2024-01-01 00:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Ops.sessionize(ev, Seq("user_id"), "ts", "event_id", gapMs = 30L * 60 * 1000)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("topKPerGroup: k rows per group, deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 20.0), ("g1", 3L, 20.0), ("g1", 4L, 5.0),
+      ("g2", 5L, 1.0)).toDF("g", "id", "v")
+    val got = Ops.topKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id")), k = 2)
+      .select("g", "rn", "id").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // ties on v=20.0 broken by smaller id first
+    assert(got == Set(("g1", 1, 2L), ("g1", 2, 3L), ("g2", 1, 5L)))
+  }
+
+  test("minhashDupPairs finds a planted near-duplicate and skips unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " changed1 changed2"
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Ops.minhashDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhashDupPairs: identical docs collide at hamming 0") {
+    import spark.implicits._
+    val t = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, t), (2L, t), (3L, other)).toDF("doc_id", "text")
+    val got = Ops.simhashDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.contains((1L, 2L, 0)))
+    assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("cosineTopK ranks an exact duplicate vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.001f, 0.0f)), // nearly identical to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Ops.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rn").select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.head == 1L)
+    assert(got.size == 2)
+  }
+}

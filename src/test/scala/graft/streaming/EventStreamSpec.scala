@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class EventStreamSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a stream into 1-hour windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(df)
+      .writeStream.format("memory").queryName("wc_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:10:00"), "click", 1.0),
+        (ts("2024-01-01 00:20:00"), "click", 2.0),
+        (ts("2024-01-01 01:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc_out").collect()
+        .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize closes a session on gap and keeps the open one in state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Ev]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(
+        EventStream.Ev(1L, ts("2024-01-01 00:00:00"), 7L, "click"),
+        EventStream.Ev(2L, ts("2024-01-01 00:10:00"), 7L, "click"))
+      q.processAllAvailable()
+      // no closed session yet
+      assert(spark.table("sess_out").count() == 0)
+      mem.addData(EventStream.Ev(3L, ts("2024-01-01 02:00:00"), 7L, "click"))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms")))
+      assert(closed.toSeq == Seq((7L, 2L, 600000L)))
+    } finally q.stop()
+  }
+}
