@@ -74,7 +74,7 @@ object Ops {
       k: Int = 64, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val b = k / rowsPerBand
     val sigUdf = udf { text: String => TextHash.minhashSig(text, k) }
-    val shinglesUdf = udf { text: String => TextHash.shingles3(text) }
+    val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
 
     val docs = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
     val sigd = docs.select(col("_id"), sigUdf(col("_text")).as("sig"))
@@ -93,12 +93,14 @@ object Ops {
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
       .distinct()
 
-    val sa = docs.select(col("_id").as("a_id"), shinglesUdf(col("_text")).as("sha"))
-    val sb = docs.select(col("_id").as("b_id"), shinglesUdf(col("_text")).as("shb"))
-    val inter = size(array_intersect(col("sha"), col("shb")))
-    val jac = inter / (size(col("sha")) + size(col("shb")) - inter)
+    val sa = docs.select(col("_id").as("a_id"), hsUdf(col("_text")).as("sha"))
+    val sb = docs.select(col("_id").as("b_id"), hsUdf(col("_text")).as("shb"))
+    val inter = graft.functions.ArrayOps.intersectCardSorted(col("sha"), col("shb"))
     candidates.join(sa, "a_id").join(sb, "b_id")
-      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        size(col("sha")).as("sza"), size(col("shb")).as("szb"), inter.as("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

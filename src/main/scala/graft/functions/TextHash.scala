@@ -71,6 +71,27 @@ object TextHash {
     }
   }
 
+  /** Distinct word-3-gram shingle hashes, sorted ascending — the compact
+    * set representation for exact-Jaccard verification (64-bit FNV-1a;
+    * collision probability over a few hundred shingles is ~1e-13). */
+  def shingleHashesSorted(text: String): Array[Long] = {
+    val w = text.split(" ").filter(_.nonEmpty)
+    if (w.length < 3) Array.empty
+    else {
+      val seen = new java.util.TreeSet[java.lang.Long]()
+      var j = 0
+      while (j + 2 < w.length) {
+        seen.add(fnv1a64(w(j) + " " + w(j + 1) + " " + w(j + 2)))
+        j += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
+  }
+
   /** MinHash signature over word-3-gram shingles: k permutations derived
     * from SplitMix64 applied to the FNV-1a shingle hash. One tight pass —
     * O(shingles × k) primitive ops, no per-element boxing (this replaced an

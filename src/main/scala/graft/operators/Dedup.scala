@@ -69,14 +69,23 @@ object Dedup {
     * stronger key or fall back to dd26's LSH). SQL-expressible, so this
     * one carries a full DuckDB oracle. */
   private def dd28(spark: SparkSession, dir: String): DataFrame = {
+    // Shingle sets as sorted 64-bit hash arrays; per-pair work is one
+    // codegen'd merge-walk intersection. The size-ratio join predicate is
+    // exactness-preserving: jaccard >= 0.5 implies max(|A|,|B|) <= 2*min.
+    val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
     val g = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), shingleExpr.as("sh"))
+      .select(col("doc_id"), col("source"), hsUdf(col("text")).as("hs"))
+      .withColumn("sz", size(col("hs")))
     val a = g.alias("a")
     val b = g.alias("b")
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-    val jac = inter / (size(col("a.sh")) + size(col("b.sh")) - inter)
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), jac.as("jaccard"))
+    val inter = graft.functions.ArrayOps.intersectCardSorted(col("a.hs"), col("b.hs"))
+    a.join(b,
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"), inter.as("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("a_id", "b_id")
   }
