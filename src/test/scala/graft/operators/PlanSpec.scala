@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Physical-plan assertions: the optimizations we rely on at scale must
+  * actually appear in the plan (SURVEY.md §4). A query that silently loses
+  * its pushdown or broadcast would still be correct — and 100× slower at
+  * 100 TB — so these are regression-guarded here.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // pruned scan: the 11-column lineitem is read as only the 6 needed
+    assert(!p.contains("l_returnflag"), "unneeded column read")
+  }
+
+  test("q01: hash aggregate runs partial then final inside codegen") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("*("), "no whole-stage-codegen spans in plan") // *(n) marks codegen stages
+    assert(p.contains("partial_sum"), "expected partial (map-side) aggregation")
+  }
+
+  test("q03: small dimension join is a broadcast hash join") {
+    val p = plan("q03_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q05/q06: semi and anti joins planned as such") {
+    assert(plan("q05_join_semi").contains("LeftSemi"))
+    assert(plan("q06_join_anti").contains("LeftAnti"))
+  }
+
+  test("q18: 4-row banding dim is broadcast (no shuffle of the fact side)") {
+    val p = plan("q18_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ss30: query side is broadcast; corpus side streams") {
+    val p = plan("ss30_cosine_topk")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("graft_dot_f"), "native dot expression not in plan")
+  }
+
+  test("dd28: merge-walk intersect expression is in the plan") {
+    val p = plan("dd28_dedup_ngram_jaccard")
+    assert(p.contains("graft_intersect_card_sorted"), p.take(2000))
+  }
+
+  test("q22 wordcount: partial count before the shuffle (map-side combine)") {
+    val p = plan("q22_wordcount")
+    assert(p.contains("partial_count") || p.split("HashAggregate").length >= 3, p)
+  }
+}
