@@ -21,6 +21,15 @@ object Exact {
 
   /** Oracle-side rendering of [[dsum]]. */
   def oDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  /** Variant with explicit scale. Keep `value × 10^scale < 2^53` for every
+    * row AND for the group sum: beyond that, the decimal→double conversion
+    * double-rounds (int → double, then ÷10^scale) and engines can disagree
+    * by 1 ulp. Scale 6 is safe to ~9e9 per value / ~9e15 per sum; use
+    * scale 2 for squared terms (power sums). */
+  def dsumS(c: Column, scale: Int): Column = sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  def oDsumS(e: String, scale: Int): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE)"
 }
 
 /** Relational operator coverage (SURVEY.md §2.2): scans, filters, joins of

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{GraftQuery, Tables}
+import Exact.{dsum, dsumS, oDsum, oDsumS}
+
+/** Statistical / shaping operators: moment-based stats (exact via decimal
+  * power sums, so reproducible cross-engine in any aggregation order),
+  * percentile, ordered string aggregation, pivot, generator (posexplode),
+  * and seeded sampling.
+  */
+object Statistics {
+
+  // ---------------------------------------------------------------- q37
+  /** Variance / stddev / correlation computed from exact decimal power
+    * sums with the textbook formulas applied in double at the end —
+    * deterministic where the built-in streaming moments are
+    * summation-order-dependent. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsumS(x * x, 2).as("sxx"),
+        dsum(y).as("sy"), dsumS(y * y, 2).as("syy"),
+        dsumS(x * y, 2).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_qty"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) * sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q37Oracle =
+    s"""WITH s AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${oDsum("l_quantity")} AS sx, ${oDsumS("l_quantity * l_quantity", 2)} AS sxx,
+       |    ${oDsum("l_extendedprice")} AS sy, ${oDsumS("l_extendedprice * l_extendedprice", 2)} AS syy,
+       |    ${oDsumS("l_quantity * l_extendedprice", 2)} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       |  (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+       |FROM s ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Exact percentiles (sort + linear interpolation — same definition as
+    * DuckDB's quantile_cont). */
+  private def q38(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").select("l_returnflag", "l_quantity")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val q38Oracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Ordered string aggregation: nations per region as a sorted CSV. */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation").select("n_regionkey", "n_name")
+    val region = Tables(spark, dir, "region").select("r_regionkey", "r_name")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  private val q39Oracle =
+    """SELECT r_name,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Pivot: order counts per priority × status (fixed pivot columns). */
+  private def q41(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_orderpriority", "o_orderstatus")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  private val q41Oracle =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** posexplode generator over an array slice. */
+  private def q42(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 3)))
+      .select(col("vec_id"), col("pos"), col("col").cast("double").as("val"))
+      .orderBy("vec_id", "pos")
+
+  private val q42Oracle =
+    """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      |FROM embeddings, (SELECT unnest(range(1, 4)) AS i) r
+      |WHERE vec_id < 10
+      |ORDER BY vec_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Seeded Bernoulli sampling — engine-deterministic (fixed seed), but
+    * RNG streams differ across engines, so rows-only check. */
+  private def q43(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .orderBy("o_orderkey")
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q37_stats_agg", q37, Some(q37Oracle)),
+    GraftQuery("q38_percentile", q38, Some(q38Oracle)),
+    GraftQuery("q39_string_agg", q39, Some(q39Oracle)),
+    GraftQuery("q41_pivot", q41, Some(q41Oracle)),
+    GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
+    GraftQuery("q43_sample_seeded", q43, None))
+}
