@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Multiply, Sqrt}
+
+import graft.plans.{DotProductF, IntersectCardSortedLong, NormSqF}
+
+/** SQL registration of the engine's native expressions, so `spark.sql`
+  * users get the same codegen'd hot paths as the DataFrame API:
+  *
+  *   - graft_dot(a, b)            — dot product over array<float>
+  *   - graft_normsq(a)            — sum of squares
+  *   - graft_cosine(a, b)         — cosine similarity
+  *   - graft_intersect_card(a, b) — |a ∩ b| of sorted array<long>
+  *
+  * Two entry points: `withExtensions(new GraftExtensions)` at session build
+  * time, or `GraftFunctions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftFunctions {
+
+  private def cosine(exprs: Seq[Expression]): Expression = {
+    val dot = DotProductF(exprs(0), exprs(1))
+    Multiply(Sqrt(NormSqF(exprs(0))), Sqrt(NormSqF(exprs(1)))) match {
+      case denom => org.apache.spark.sql.catalyst.expressions.Divide(dot, denom)
+    }
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProductF(exprs(0), exprs(1))),
+    "graft_normsq" -> (exprs => NormSqF(exprs.head)),
+    "graft_cosine" -> (exprs => cosine(exprs)),
+    "graft_intersect_card" -> (exprs => IntersectCardSortedLong(exprs(0), exprs(1))))
+
+  /** Register on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => builder(exprs), "built-in")
+    }
+}

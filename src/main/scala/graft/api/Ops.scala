@@ -125,6 +125,17 @@ object Ops {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Skew-resistant equi-join: salt the skewed (left) side's key N ways and
+    * explode the right side across all salts, so one hot key spreads over N
+    * reducers instead of melting one. Use when AQE's skew handling isn't
+    * available/enough (e.g., a single pathological key at 100 TB).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    val l = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine similarity (self-matches excluded by id). The
     * query side is broadcast; norms are precomputed per row; the per-pair

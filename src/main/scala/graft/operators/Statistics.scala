@@ -124,6 +124,30 @@ object Statistics {
       |WHERE vec_id < 10
       |ORDER BY vec_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** SQL surface: the same engine through `spark.sql` with graft's native
+    * functions registered in the FunctionRegistry (codegen'd in SQL too). */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT vec_id,
+        |  graft_dot(embedding, embedding) AS self_dot,
+        |  sqrt(graft_normsq(embedding)) AS l2,
+        |  graft_cosine(embedding, embedding) AS self_cos
+        |FROM graft_embeddings
+        |ORDER BY vec_id""".stripMargin)
+  }
+
+  private val q44Oracle =
+    """SELECT vec_id,
+      |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS self_dot,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2,
+      |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS self_cos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q43
   /** Seeded Bernoulli sampling — engine-deterministic (fixed seed), but
     * RNG streams differ across engines, so rows-only check. */
@@ -138,5 +162,6 @@ object Statistics {
     GraftQuery("q39_string_agg", q39, Some(q39Oracle)),
     GraftQuery("q41_pivot", q41, Some(q41Oracle)),
     GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
-    GraftQuery("q43_sample_seeded", q43, None))
+    GraftQuery("q43_sample_seeded", q43, None),
+    GraftQuery("q44_sql_surface", q44, Some(q44Oracle)))
 }

@@ -80,6 +80,17 @@ class OpsSpec extends SparkTestBase {
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("saltedJoin equals a plain join (same multiset of rows)") {
+    import spark.implicits._
+    val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "lv")
+    val right = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val salted = Ops.saltedJoin(left, right, "k", salts = 4).select("k", "lv", "rv").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(plain == salted)
+  }
+
   test("cosineTopK ranks an exact duplicate vector first") {
     import spark.implicits._
     val vecs = Seq(
