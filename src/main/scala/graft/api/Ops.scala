@@ -71,14 +71,22 @@ object Ops {
     * band-bucket self-join, verified with exact shingle Jaccard.
     * Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      k: Int = 64, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      persistIntermediate: Boolean = false): DataFrame = {
     val b = k / rowsPerBand
     val sigUdf = udf { text: String => TextHash.minhashSig(text, k) }
     val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
 
+    // The signature/hash tables are referenced on both sides of the
+    // self-join. At cluster scale pass persistIntermediate=true to
+    // materialize them once (recompute of a corpus-wide UDF pass costs more
+    // than the write); at small scale the checkpoint overhead dominates.
+    def maybePersist(d: DataFrame): DataFrame =
+      if (persistIntermediate) d.localCheckpoint() else d
+
     val docs = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
-    val sigd = docs.select(col("_id"), sigUdf(col("_text")).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    val sigd = maybePersist(docs.select(col("_id"), sigUdf(col("_text")).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue))
 
     val bands = transform(sequence(lit(0), lit(b - 1)),
       bi => struct(bi.as("band"), xxhash64(slice(col("sig"), bi * rowsPerBand + 1, lit(rowsPerBand))).as("bkey")))
@@ -93,8 +101,9 @@ object Ops {
       .select(col("a._id").as("a_id"), col("b._id").as("b_id"))
       .distinct()
 
-    val sa = docs.select(col("_id").as("a_id"), hsUdf(col("_text")).as("sha"))
-    val sb = docs.select(col("_id").as("b_id"), hsUdf(col("_text")).as("shb"))
+    val hashed = maybePersist(docs.select(col("_id"), hsUdf(col("_text")).as("hs")))
+    val sa = hashed.select(col("_id").as("a_id"), col("hs").as("sha"))
+    val sb = hashed.select(col("_id").as("b_id"), col("hs").as("shb"))
     val inter = graft.functions.ArrayOps.intersectCardSorted(col("sha"), col("shb"))
     candidates.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),

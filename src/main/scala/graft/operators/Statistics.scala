@@ -156,6 +156,29 @@ object Statistics {
       .sample(withReplacement = false, fraction = 0.1, seed = 42L)
       .orderBy("o_orderkey")
 
+  // ---------------------------------------------------------------- q45
+  /** Explicit GROUPING SETS (finer than rollup/cube) via the SQL entry. */
+  private def q45(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  private val q45Oracle =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q37_stats_agg", q37, Some(q37Oracle)),
     GraftQuery("q38_percentile", q38, Some(q38Oracle)),
@@ -163,5 +186,6 @@ object Statistics {
     GraftQuery("q41_pivot", q41, Some(q41Oracle)),
     GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
     GraftQuery("q43_sample_seeded", q43, None),
-    GraftQuery("q44_sql_surface", q44, Some(q44Oracle)))
+    GraftQuery("q44_sql_surface", q44, Some(q44Oracle)),
+    GraftQuery("q45_grouping_sets", q45, Some(q45Oracle)))
 }
