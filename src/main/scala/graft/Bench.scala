@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS): surface as long, Tables converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter join pruning (no-op small, wins at scale)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/classloading/parquet-reader paths on the tiny sf so

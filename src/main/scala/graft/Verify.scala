@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS): surface as long, Tables converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter join pruning (no-op small, wins at scale)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // write timestamps as µs so result schemas line up with the DuckDB oracle
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()

@@ -89,7 +89,54 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  // ---------------------------------------------------------------- ss32
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (the index build),
+    * nprobe=2 nearest centroids per query, exact cosine re-rank within the
+    * probed cells. The classic FAISS-style scale path: search cost drops
+    * from O(N) to O(N·nprobe/k) per query, and the posting lists are just
+    * a `cluster` column — partition/bucket by it at warehouse scale.
+    * Engine-only (approximate; k-means centers aren't SQL-reproducible).
+    */
+  private def ss32(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5).fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cluster"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+
+    val centers = model.clusterCenters.map(_.toArray)
+    val centersB = spark.sparkContext.broadcast(centers)
+    val probesUdf = udf { emb: Seq[Float] =>
+      val cs = centersB.value
+      cs.indices.map { ci =>
+        val c = cs(ci)
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < emb.length) { val t = emb(j) - c(j); d += t * t; j += 1 }
+        (d, ci)
+      }.sortBy(p => (p._1, p._2)).take(2).map(_._2).toArray
+    }
+
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(probesUdf(col("embedding"))).as("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
-    GraftQuery("ss31_ann_lsh_topk", ss31, None))
+    GraftQuery("ss31_ann_lsh_topk", ss31, None),
+    GraftQuery("ss32_ann_ivf_topk", ss32, None))
 }

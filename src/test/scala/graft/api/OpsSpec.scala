@@ -80,6 +80,18 @@ class OpsSpec extends SparkTestBase {
     assert(!got.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("empty inputs flow through asOfJoin / sessionize / minhashDupPairs without error") {
+    import spark.implicits._
+    val emptyEv = Seq.empty[(Long, Long, Timestamp)].toDF("event_id", "user_id", "ts")
+    assert(Ops.asOfJoin(emptyEv, emptyEv, Seq("user_id"), "ts", "event_id", "event_id", "x").count() == 0)
+    assert(Ops.sessionize(emptyEv, Seq("user_id"), "ts", "event_id", 1000L).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Ops.minhashDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    // short texts (< 3 tokens) are skipped, not crashed on
+    val shorts = Seq((1L, "one two"), (2L, "x")).toDF("doc_id", "text")
+    assert(Ops.minhashDupPairs(shorts, "doc_id", "text").count() == 0)
+  }
+
   test("saltedJoin equals a plain join (same multiset of rows)") {
     import spark.implicits._
     val left = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "lv")
