@@ -39,9 +39,8 @@ object Multimodal {
   object FakeCodec {
     def decode(r: MediaRow): MediaFeatures = {
       val n = r.payload.length
-      val h = TextHash.fnv1a64(r.media_type) ^ n.toLong
       val width = (n % 640) + 16
-      val height = ((h & 0x7fffffffL) % 480).toInt + 16
+      val height = ((n.toLong * 7919L) % 480).toInt + 16
       val channels = if (r.media_type == "image") 3 else 1
       val nFrames = if (r.media_type == "video") (n / 1024) + 1 else 1
       var sum = 0L
@@ -77,6 +76,26 @@ object Multimodal {
     decodeFeatures(media).toDF().orderBy("doc_id")
   }
 
+  /** The stub codec is arithmetic in the payload bytes, so the whole
+    * decode pipeline — media-type routing, batched mapPartitions decode,
+    * feature schema — is oracle-checkable in SQL. A real codec would drop
+    * back to the rows-only check. */
+  private val mm36Oracle =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CAST(strlen(text) AS INTEGER) AS n, text
+      |  FROM documents)
+      |SELECT doc_id, media_type,
+      |  CAST(n % 640 + 16 AS INTEGER) AS width,
+      |  CAST((CAST(n AS BIGINT) * 7919) % 480 + 16 AS INTEGER) AS height,
+      |  CAST(CASE WHEN media_type = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN media_type = 'video' THEN n // 1024 + 1 ELSE 1 END AS INTEGER) AS n_frames,
+      |  CAST(list_sum(list_transform(range(1, n + 1), i -> ord(substr(text, i, 1)))) AS DOUBLE) / n AS mean_byte,
+      |  CAST(224 AS INTEGER) AS resized_w, CAST(224 AS INTEGER) AS resized_h
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("mm36_multimodal_features", mm36, None))
+    GraftQuery("mm36_multimodal_features", mm36, Some(mm36Oracle)))
 }

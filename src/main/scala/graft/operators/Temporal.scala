@@ -90,8 +90,48 @@ object Temporal {
        |  ${oDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Funnel analysis: signup → first subsequent purchase per user, with
+    * conversion rate and mean time-to-convert. A conditional range join on
+    * the (small) per-user firsts table — not a raw event×event join. */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select("user_id", "event_type", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val firsts = signups
+      .join(purchases, col("user_id") === col("p_user") && col("p_ts") >= col("signup_ts"), "left")
+      .groupBy("user_id", "signup_ts")
+      .agg(min(col("p_ts")).as("first_purchase_ts"))
+    val ms: String => org.apache.spark.sql.Column = c => unix_millis(col(c).cast("timestamp"))
+    firsts.agg(
+      count(lit(1)).as("n_signup_users"),
+      count(col("first_purchase_ts")).as("n_converted"),
+      (count(col("first_purchase_ts")).cast("double") / count(lit(1))).as("conversion_rate"),
+      (sum(ms("first_purchase_ts") - ms("signup_ts")).cast("double") / count(col("first_purchase_ts")))
+        .as("avg_ms_to_convert"))
+  }
+
+  private val q50Oracle =
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT s.user_id, s.signup_ts, MIN(e.ts) AS first_purchase_ts
+      |  FROM s LEFT JOIN events e
+      |    ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      |  GROUP BY s.user_id, s.signup_ts)
+      |SELECT COUNT(*) AS n_signup_users,
+      |  COUNT(first_purchase_ts) AS n_converted,
+      |  CAST(COUNT(first_purchase_ts) AS DOUBLE) / COUNT(*) AS conversion_rate,
+      |  CAST(SUM(epoch_ms(first_purchase_ts) - epoch_ms(signup_ts)) AS DOUBLE)
+      |    / COUNT(first_purchase_ts) AS avg_ms_to_convert
+      |FROM c""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q19_asof_join", q19, Some(q19Oracle)),
     GraftQuery("q20_sessionize", q20, Some(q20Oracle)),
-    GraftQuery("q21_event_window_agg", q21, Some(q21Oracle)))
+    GraftQuery("q21_event_window_agg", q21, Some(q21Oracle)),
+    GraftQuery("q50_funnel", q50, Some(q50Oracle)))
 }
