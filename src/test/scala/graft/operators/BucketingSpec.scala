@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkTestBase {
 
   test("co-bucketed tables join with zero Exchange operators") {
+    // The catalog is in-memory but table locations persist on disk across
+    // JVMs — drop both layers so overwrite can't hit LOCATION_ALREADY_EXISTS.
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
 
