@@ -179,6 +179,24 @@ object Statistics {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Correlated scalar subquery (Catalyst decorrelates to a join) —
+    * integer-only comparisons so cross-engine equality is exact. */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "part").createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT p_partkey, p_type, p_size
+        |FROM graft_part p
+        |WHERE p_size > (SELECT MIN(p2.p_size) + 3 FROM graft_part p2 WHERE p2.p_type = p.p_type)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  private val q51Oracle =
+    """SELECT p_partkey, p_type, p_size
+      |FROM part p
+      |WHERE p_size > (SELECT MIN(p2.p_size) + 3 FROM part p2 WHERE p2.p_type = p.p_type)
+      |ORDER BY p_partkey""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q37_stats_agg", q37, Some(q37Oracle)),
     GraftQuery("q38_percentile", q38, Some(q38Oracle)),
@@ -187,5 +205,6 @@ object Statistics {
     GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
     GraftQuery("q43_sample_seeded", q43, None),
     GraftQuery("q44_sql_surface", q44, Some(q44Oracle)),
-    GraftQuery("q45_grouping_sets", q45, Some(q45Oracle)))
+    GraftQuery("q45_grouping_sets", q45, Some(q45Oracle)),
+    GraftQuery("q51_correlated_subquery", q51, Some(q51Oracle)))
 }
