@@ -126,11 +126,13 @@ object TextOps {
   private def tx34(spark: SparkSession, dir: String): DataFrame = {
     val nWs = size(toks("text"))
     val nAlpha = size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+    val nBpe = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
     Tables(spark, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
       .select(
         col("doc_id"),
         nWs.as("n_ws_tokens"),
         nAlpha.as("n_alpha_tokens"),
+        nBpe.as("n_bpe_tokens"),
         length(col("text")).as("text_len"),
         (length(col("text")).cast("double") / nWs).as("chars_per_token"))
       .orderBy("doc_id")
@@ -140,6 +142,7 @@ object TextOps {
     """SELECT doc_id,
       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
       |  CAST(length(text) AS INTEGER) AS text_len,
       |  CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), x -> x <> '')) AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
