@@ -31,9 +31,10 @@ object GraftFunctions {
 
   private def cosine(exprs: Seq[Expression]): Expression = {
     val dot = DotProductF(exprs(0), exprs(1))
-    Multiply(Sqrt(NormSqF(exprs(0))), Sqrt(NormSqF(exprs(1)))) match {
-      case denom => org.apache.spark.sql.catalyst.expressions.Divide(dot, denom)
-    }
+    val denom = Multiply(Sqrt(NormSqF(exprs(0))), Sqrt(NormSqF(exprs(1))))
+    // TRY mode: zero-norm input yields null instead of an ANSI-mode throw.
+    org.apache.spark.sql.catalyst.expressions.Divide(dot, denom,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(

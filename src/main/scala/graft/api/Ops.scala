@@ -150,10 +150,14 @@ object Ops {
     * query side is broadcast; norms are precomputed per row; the per-pair
     * work is one codegen'd dot product. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Zero-norm vectors have no defined cosine: exclude them up front
+    // (also prevents an ANSI-mode DIVIDE_BY_ZERO on the sim projection).
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", VectorOps.norm(col("_v")))
+      .filter(col("_nrm") > 0)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
       .withColumn("_qnrm", VectorOps.norm(col("_qv")))
+      .filter(col("_qnrm") > 0)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     c.join(broadcast(q), col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),

@@ -27,8 +27,12 @@ object VectorOps {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(norm2(a))
 
-  /** Cosine similarity: dot / (|a| * |b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity: dot / (|a| * |b|); null (not a crash — Spark 4's
+    * ANSI mode throws on x/0) when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** Higher-order-function formulations (kept as the reference semantics the
     * native expressions must reproduce bit-for-bit; used by the test suite). */

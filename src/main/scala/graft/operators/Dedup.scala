@@ -15,16 +15,6 @@ import graft.functions.{TextHash, VectorOps}
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document (empty when < 3 tokens). */
-  private def shingleExpr = {
-    val t = split(col("text"), " ")
-    when(size(t) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   // ---------------------------------------------------------------- dd25
   /** Exact dedup: group identical texts, keep the smallest doc_id.
     * (dropDuplicates keeps an arbitrary row — this form is deterministic.) */
@@ -40,12 +30,11 @@ object Dedup {
       |FROM documents GROUP BY text ORDER BY kept_doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dd26
-  /** MinHash + LSH near-dup detection, entirely in native expressions
-    * (no UDFs): shingle → 64 minhashes via xxhash64(shingle_hash, perm) →
-    * 16 bands of 4 → bucket self-join for candidates → exact Jaccard
-    * verification. Shuffle cost is bounded by band-bucket sizes; the
-    * full shingle arrays are re-joined by id only for the (few)
-    * candidate pairs.
+  /** MinHash + LSH near-dup detection: tight-loop signature UDF per doc,
+    * native-expression banding, bucket self-join for candidates, exact
+    * Jaccard verification over sorted-hash shingle sets. Shuffle cost is
+    * bounded by band-bucket sizes; the shingle sets are re-joined by id
+    * only for the (few) candidate pairs. See [[graft.api.Ops.minhashDupPairs]].
     */
   private def dd26(spark: SparkSession, dir: String): DataFrame =
     graft.api.Ops.minhashDupPairs(
@@ -79,8 +68,11 @@ object Dedup {
     val a = g.alias("a")
     val b = g.alias("b")
     val inter = graft.functions.ArrayOps.intersectCardSorted(col("a.hs"), col("b.hs"))
+    // a.sz > 0 guards the 0/0 Jaccard of two <3-token docs (ANSI mode would
+    // throw DIVIDE_BY_ZERO); such pairs can never reach the 0.5 threshold.
     a.join(b,
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") > 0 &&
           col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.sz").as("sza"), col("b.sz").as("szb"), inter.as("inter"))
@@ -115,6 +107,7 @@ object Dedup {
     // codegen'd dot product + divide.
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
       .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))

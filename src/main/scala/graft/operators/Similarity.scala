@@ -76,6 +76,7 @@ object Similarity {
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
       .withColumn("bucket", bucketUdf(col("embedding")))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -107,6 +108,7 @@ object Similarity {
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cluster"))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
 
     val centers = model.clusterCenters.map(_.toArray)
     val centersB = spark.sparkContext.broadcast(centers)

@@ -94,6 +94,9 @@ object TextOps {
     val nUniq = size(array_distinct(t))
     val sumLen = aggregate(t, lit(0), (acc, x) => acc + length(x))
     val nStop = size(filter(t, x => x === "the" || x === "a"))
+    // Empty/whitespace-only docs have nWords = 0: guard every ratio (ANSI
+    // mode throws DIVIDE_BY_ZERO otherwise); such rows emit null metrics.
+    def safe(c: org.apache.spark.sql.Column) = when(nWords > 0, c)
     val ttr = nUniq / nWords
     val quality = ttr * least(nWords, lit(100)) / lit(100.0)
     Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -101,10 +104,10 @@ object TextOps {
         col("doc_id"),
         nWords.as("n_words"),
         nUniq.as("n_uniq"),
-        (sumLen.cast("double") / nWords).as("avg_word_len"),
-        ttr.as("ttr"),
-        (nStop / nWords).as("stop_ratio"),
-        quality.as("quality"))
+        safe(sumLen.cast("double") / nWords).as("avg_word_len"),
+        safe(ttr).as("ttr"),
+        safe(nStop / nWords).as("stop_ratio"),
+        safe(quality).as("quality"))
       .orderBy("doc_id")
   }
 
@@ -115,10 +118,10 @@ object TextOps {
       |SELECT doc_id,
       |  CAST(len(tk) AS INTEGER) AS n_words,
       |  CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
-      |  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS avg_word_len,
-      |  len(list_distinct(tk)) / len(tk) AS ttr,
-      |  len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk) AS stop_ratio,
-      |  len(list_distinct(tk)) / len(tk) * least(len(tk), 100) / CAST(100 AS DOUBLE) AS quality
+      |  CASE WHEN len(tk) > 0 THEN CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) END AS avg_word_len,
+      |  CASE WHEN len(tk) > 0 THEN len(list_distinct(tk)) / len(tk) END AS ttr,
+      |  CASE WHEN len(tk) > 0 THEN len(list_filter(tk, x -> x = 'the' OR x = 'a')) / len(tk) END AS stop_ratio,
+      |  CASE WHEN len(tk) > 0 THEN len(list_distinct(tk)) / len(tk) * least(len(tk), 100) / CAST(100 AS DOUBLE) END AS quality
       |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- tx34
@@ -134,7 +137,7 @@ object TextOps {
         nAlpha.as("n_alpha_tokens"),
         nBpe.as("n_bpe_tokens"),
         length(col("text")).as("text_len"),
-        (length(col("text")).cast("double") / nWs).as("chars_per_token"))
+        when(nWs > 0, length(col("text")).cast("double") / nWs).as("chars_per_token"))
       .orderBy("doc_id")
   }
 
@@ -144,7 +147,8 @@ object TextOps {
       |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_alpha_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
       |  CAST(length(text) AS INTEGER) AS text_len,
-      |  CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), x -> x <> '')) AS chars_per_token
+      |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+      |       THEN CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), x -> x <> '')) END AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- tx35

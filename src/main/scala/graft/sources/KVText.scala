@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object KVText {
 
-  /** Read `key value` lines into a (key, value) DataFrame. */
+  /** Read `key value` lines into a (key, value) DataFrame. Lines without a
+    * space (no parseable key/value split — split_once returns nothing in
+    * the reference) are skipped rather than surfaced as empty-string rows. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      .filter(length(col("value")) > 0)
+      .filter(col("value").rlike("^\\S+ "))
       .select(
         regexp_extract(col("value"), "^(\\S+) (.*)$", 1).as("key"),
         regexp_extract(col("value"), "^(\\S+) (.*)$", 2).as("value"))

@@ -28,38 +28,51 @@ object EventStream {
   final case class SessionState(sessionStartMs: Long, lastMs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)
 
-  /** Stateful sessionization with flatMapGroupsWithState: sessions close
-    * after 30 minutes of inactivity (event-time driven within the batch,
-    * processing-time timeout across batches). */
+  /** Stateful sessionization with flatMapGroupsWithState: a session closes
+    * either when a later event of the same user arrives past the 30-minute
+    * gap, or — for users who stop sending events — when the event-time
+    * watermark passes last-event + gap (the timeout also frees the user's
+    * state, so state size tracks *active* users, not all users ever seen).
+    * Event-time (not processing-time) timeout keeps the query quiescent
+    * between data batches and the semantics replay-deterministic. */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = 30L * 60L * 1000L
 
     def fn(userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var cur = state.getOption
-      val out = Seq.newBuilder[SessionOut]
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastMs <= gapMs =>
-            cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
-          case Some(s) =>
-            out += SessionOut(userId, s.sessionStartMs, s.nEvents, s.lastMs - s.sessionStartMs)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
+      if (state.hasTimedOut) {
+        // watermark passed lastMs + gap with no new events: close out.
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(userId, s.sessionStartMs, s.nEvents, s.lastMs - s.sessionStartMs))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val out = Seq.newBuilder[SessionOut]
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastMs <= gapMs =>
+              cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+            case Some(s) =>
+              out += SessionOut(userId, s.sessionStartMs, s.nEvents, s.lastMs - s.sessionStartMs)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
         }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        out.result().iterator
       }
-      cur match {
-        case Some(s) => state.update(s)
-        case None    => ()
-      }
-      out.result().iterator
     }
 
     events
+      .withWatermark("ts", "30 minutes")
+      .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

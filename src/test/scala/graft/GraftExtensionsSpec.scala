@@ -28,14 +28,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r == 3)
   }
 
-  test("session built withExtensions resolves graft functions") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    // getOrCreate may reuse the shared session; either way the function must resolve
-    GraftFunctions.register(s2)
-    assert(s2.sql("SELECT graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(4.0 AS FLOAT)))").head().getDouble(0) == 8.0)
+  test("GraftExtensions injects every builder (without relying on register())") {
+    // getOrCreate would reuse the shared test session and bypass
+    // withExtensions, so drive the extension object directly and verify the
+    // injected builders resolve and evaluate.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val injected = org.apache.spark.sql.graft.ColumnBridge.applyFunctionInjections(
+      ext, org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    GraftFunctions.builders.foreach { case (name, _) =>
+      assert(injected.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+        s"$name not injected")
+    }
+    val arr = Literal.create(Seq(2.0f, 3.0f), ArrayType(FloatType))
+    val dotExpr = injected.lookupFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"), Seq(arr, arr))
+    assert(dotExpr.eval(null) == (4.0 + 9.0))
   }
 }

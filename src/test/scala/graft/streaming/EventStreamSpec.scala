@@ -49,6 +49,17 @@ class EventStreamSpec extends SparkTestBase {
       val closed = spark.table("sess_out").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms")))
       assert(closed.toSeq == Seq((7L, 2L, 600000L)))
+
+      // a far-future event from ANOTHER user advances the watermark past
+      // user 7's last+gap: the event-time timeout closes 7's open session
+      // and frees its state, even though 7 sent nothing more.
+      mem.addData(EventStream.Ev(4L, ts("2024-01-01 10:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      mem.addData(EventStream.Ev(5L, ts("2024-01-01 10:00:01"), 9L, "click"))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms"))).toSet
+      assert(afterTimeout.contains((7L, 1L, 0L)), s"timed-out session missing: $afterTimeout")
     } finally q.stop()
   }
 }
