@@ -32,10 +32,14 @@ object Statistics {
       .select(
         col("l_returnflag"),
         col("n"),
-        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
-        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_qty"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
-          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) * sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+        // n > 1 guard: a single-row group would divide by zero (ANSI throw)
+        when(col("n") > 1,
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        when(col("n") > 1,
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))).as("stddev_qty"),
+        when(col("n") > 1,
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) * sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
           .as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -48,9 +52,9 @@ object Statistics {
        |    ${oDsumS("l_quantity * l_extendedprice", 2)} AS sxy
        |  FROM lineitem GROUP BY l_returnflag)
        |SELECT l_returnflag, n,
-       |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
-       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-       |  (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+       |  CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS var_qty,
+       |  CASE WHEN n > 1 THEN sqrt((sxx - sx * sx / n) / (n - 1)) END AS stddev_qty,
+       |  CASE WHEN n > 1 THEN (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) END AS corr_qty_price
        |FROM s ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q38

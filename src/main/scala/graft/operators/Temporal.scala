@@ -109,7 +109,9 @@ object Temporal {
       count(lit(1)).as("n_signup_users"),
       count(col("first_purchase_ts")).as("n_converted"),
       (count(col("first_purchase_ts")).cast("double") / count(lit(1))).as("conversion_rate"),
-      (sum(ms("first_purchase_ts") - ms("signup_ts")).cast("double") / count(col("first_purchase_ts")))
+      // zero conversions would divide by zero (ANSI throw)
+      when(count(col("first_purchase_ts")) > 0,
+        sum(ms("first_purchase_ts") - ms("signup_ts")).cast("double") / count(col("first_purchase_ts")))
         .as("avg_ms_to_convert"))
   }
 
@@ -125,8 +127,9 @@ object Temporal {
       |SELECT COUNT(*) AS n_signup_users,
       |  COUNT(first_purchase_ts) AS n_converted,
       |  CAST(COUNT(first_purchase_ts) AS DOUBLE) / COUNT(*) AS conversion_rate,
-      |  CAST(SUM(epoch_ms(first_purchase_ts) - epoch_ms(signup_ts)) AS DOUBLE)
-      |    / COUNT(first_purchase_ts) AS avg_ms_to_convert
+      |  CASE WHEN COUNT(first_purchase_ts) > 0
+      |       THEN CAST(SUM(epoch_ms(first_purchase_ts) - epoch_ms(signup_ts)) AS DOUBLE)
+      |            / COUNT(first_purchase_ts) END AS avg_ms_to_convert
       |FROM c""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
