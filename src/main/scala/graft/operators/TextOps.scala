@@ -167,11 +167,51 @@ object TextOps {
       |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Composed training-data cleaning pipeline: quality gate → exact dedup
+    * (keep smallest doc_id) → language distribution of the surviving docs.
+    * The capstone shape: every stage is declarative, so Catalyst plans the
+    * whole pipeline as one job with pushdown through all three stages. */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks("text")
+    val nWords = size(t)
+    val ttr = size(array_distinct(t)) / nWords
+    val kept = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .filter(nWords >= 20 && nWords <= 1000)
+      .withColumn("ttr", ttr)
+      .filter(col("ttr") >= 0.2)
+    val deduped = kept
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"), count(lit(1)).as("n_copies"))
+    deduped.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_docs_with_dups"))
+      .orderBy("lang")
+  }
+
+  private val q52Oracle =
+    """WITH f AS (
+      |  SELECT doc_id, text, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw,
+      |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+      |      / len(list_filter(string_split(text, ' '), x -> x <> '')) AS ttr
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 1000),
+      |k AS (SELECT * FROM f WHERE ttr >= 0.2),
+      |d AS (
+      |  SELECT text, MIN(doc_id) AS doc_id, MIN(lang) AS lang, COUNT(*) AS n_copies
+      |  FROM k GROUP BY text)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_copies) AS BIGINT) AS n_docs_with_dups
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
     GraftQuery("tx32_langid", tx32, Some(tx32Oracle)),
     GraftQuery("tx33_quality_score", tx33, Some(tx33Oracle)),
     GraftQuery("tx34_token_count", tx34, Some(tx34Oracle)),
-    GraftQuery("tx35_fingerprint", tx35, Some(tx35Oracle)))
+    GraftQuery("tx35_fingerprint", tx35, Some(tx35Oracle)),
+    GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

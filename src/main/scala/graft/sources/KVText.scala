@@ -25,10 +25,13 @@ object KVText {
         regexp_extract(col("value"), "^(\\S+) (.*)$", 1).as("key"),
         regexp_extract(col("value"), "^(\\S+) (.*)$", 2).as("value"))
 
-  /** Write a 2-column DataFrame as `key value` lines. */
+  /** Write a 2-column DataFrame as `key value` lines. Null values write as
+    * empty strings (round-tripping to ""); rows with null keys are dropped
+    * (the line format cannot represent them). */
   def write(df: DataFrame, path: String): Unit = {
     val Array(k, v) = df.columns
-    df.select(concat_ws(" ", col(k).cast("string"), col(v).cast("string")).as("value"))
+    df.filter(col(k).isNotNull)
+      .select(concat_ws(" ", col(k).cast("string"), coalesce(col(v).cast("string"), lit(""))).as("value"))
       .write.mode("overwrite").text(path)
   }
 }

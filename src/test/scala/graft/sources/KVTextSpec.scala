@@ -17,6 +17,15 @@ class KVTextSpec extends SparkTestBase {
     assert(back == data.toSet)
   }
 
+  test("null values round-trip as empty strings; null keys and junk lines are dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvtext3").toString + "/out"
+    val data = Seq((Some("k1"), Some("v1")), (Some("k2"), None), (None, Some("orphan")))
+    KVText.write(data.toDF("key", "value"), dir)
+    val back = KVText.read(spark, dir).collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(back == Set("k1" -> "v1", "k2" -> ""))
+  }
+
   test("wordcount over a KV sink matches direct counts (reference dataflow shape)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
