@@ -183,6 +183,28 @@ object Statistics {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Map-typed column functions: parse the JSON props into map<string,int>,
+    * then map_keys / element access. */
+  private def q53(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables(spark, dir, "events").select(col("event_id"), col("props"))
+      .select(
+        col("event_id"),
+        element_at(map_keys(m), 1).as("first_key"),
+        element_at(m, "k").as("k_val"),
+        size(m).as("n_keys"))
+      .orderBy("event_id")
+  }
+
+  private val q53Oracle =
+    """SELECT event_id,
+      |  json_keys(props)[1] AS first_key,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+      |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q51
   /** Correlated scalar subquery (Catalyst decorrelates to a join) —
     * integer-only comparisons so cross-engine equality is exact. */
@@ -210,5 +232,6 @@ object Statistics {
     GraftQuery("q43_sample_seeded", q43, None),
     GraftQuery("q44_sql_surface", q44, Some(q44Oracle)),
     GraftQuery("q45_grouping_sets", q45, Some(q45Oracle)),
-    GraftQuery("q51_correlated_subquery", q51, Some(q51Oracle)))
+    GraftQuery("q51_correlated_subquery", q51, Some(q51Oracle)),
+    GraftQuery("q53_map_funcs", q53, Some(q53Oracle)))
 }
