@@ -145,6 +145,41 @@ object Ops {
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Connected components over an undirected edge list (a, b) — the dedup
+    * clustering step: near-dup PAIRS become duplicate CLUSTERS, and the
+    * minimum member id is each cluster's canonical representative.
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are shallow — single
+    * digits). Each round is two shuffles on the edge key; maxIter bounds
+    * the worst case and the loop exits early on fixpoint.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("ncomp"))
+      val updated = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+      val changed = updated.filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = updated.select("id", "comp").localCheckpoint()
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine similarity (self-matches excluded by id). The
     * query side is broadcast; norms are precomputed per row; the per-pair

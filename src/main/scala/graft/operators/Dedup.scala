@@ -130,10 +130,26 @@ object Dedup {
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd30
+  /** Near-dup clusters: MinHash pairs → connected components → one
+    * canonical doc per duplicate cluster. The step that turns pairwise
+    * similarity into an actual training-set dedup decision. Engine-only
+    * (iterative fixpoint isn't single-statement SQL). */
+  private def dd30(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.api.Ops.minhashDupPairs(
+      Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
+      k = 64, rowsPerBand = 4, threshold = 0.5)
+    graft.api.Ops.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_rep")).cast("int"))
+      .orderBy("cluster_rep", "doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
     GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
     GraftQuery("dd27_dedup_simhash", dd27, None),
     GraftQuery("dd28_dedup_ngram_jaccard", dd28, Some(dd28Oracle)),
-    GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)))
+    GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)),
+    GraftQuery("dd30_dedup_clusters", dd30, None))
 }

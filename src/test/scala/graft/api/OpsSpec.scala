@@ -103,6 +103,19 @@ class OpsSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
+  test("connectedComponents labels chains, triangles, and singleton edges") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val comps = Ops.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("cosineTopK ranks an exact duplicate vector first") {
     import spark.implicits._
     val vecs = Seq(
