@@ -156,9 +156,14 @@ object Ops {
     * the worst case and the loop exits early on fixpoint.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list once — every iteration joins against it,
+    // and without the checkpoint the whole upstream pipeline (e.g. the
+    // MinHash candidate generation feeding dedup clustering) would be
+    // recomputed per round.
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var converged = false
@@ -168,12 +173,15 @@ object Ops {
         .join(labels, col("dst") === col("id"))
         .groupBy(col("src"))
         .agg(min(col("comp")).as("ncomp"))
+      // checkpoint BEFORE the change-count so the fixpoint test reads the
+      // materialized result instead of recomputing the round's joins.
       val updated = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
+        .localCheckpoint()
       val changed = updated.filter(col("comp") =!= col("prev")).limit(1).count()
-      labels = updated.select("id", "comp").localCheckpoint()
+      labels = updated.select("id", "comp")
       converged = changed == 0
       iter += 1
     }
