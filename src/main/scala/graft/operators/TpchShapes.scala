@@ -125,7 +125,9 @@ object TpchShapes {
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
       .orderBy("c_mktsegment", "o_totalprice", "o_orderkey")
   }
 
@@ -133,15 +135,67 @@ object TpchShapes {
     """SELECT c_mktsegment, o_orderkey, o_totalprice,
       |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |  percent_rank() OVER w AS pct_rank,
-      |  cume_dist() OVER w AS cume
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_orderkey) OVER w AS cheapest_key,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE o_totalprice > CAST(450000 AS DOUBLE)
-      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY c_mktsegment, o_totalprice, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Left outer join: every customer, with counts over a filtered order
+    * set — unmatched customers keep a 0 count (COUNT of a null column). */
+  private def q54(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val big = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > lit(480000.0)).select("o_custkey", "o_orderkey")
+    cust.join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(col("o_orderkey")).as("n_big_orders"),
+        countDistinct(when(col("o_orderkey").isNull, col("c_custkey"))).as("n_without_big"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val q54Oracle =
+    """SELECT c_mktsegment,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  COUNT(o_orderkey) AS n_big_orders,
+      |  COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN c_custkey END) AS n_without_big
+      |FROM customer LEFT OUTER JOIN
+      |  (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > CAST(480000 AS DOUBLE)) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** Full outer join: event-active users vs the customer base — matched,
+    * left-only and right-only cardinalities in one pass. */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir, "events").select(col("user_id")).distinct()
+    val cust = Tables(spark, dir, "customer").select("c_custkey")
+    users.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+      .agg(
+        count(when(col("user_id").isNotNull && col("c_custkey").isNotNull, 1)).as("n_matched"),
+        count(when(col("c_custkey").isNull, 1)).as("n_users_only"),
+        count(when(col("user_id").isNull, 1)).as("n_customers_only"))
+  }
+
+  private val q55Oracle =
+    """SELECT
+      |  COUNT(CASE WHEN user_id IS NOT NULL AND c_custkey IS NOT NULL THEN 1 END) AS n_matched,
+      |  COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_users_only,
+      |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_customers_only
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |FULL OUTER JOIN customer ON user_id = c_custkey""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q46_tpch_q3_shape", q46, Some(q46Oracle)),
     GraftQuery("q47_tpch_q5_shape", q47, Some(q47Oracle)),
     GraftQuery("q48_tpch_q10_shape", q48, Some(q48Oracle)),
-    GraftQuery("q49_window_ranks", q49, Some(q49Oracle)))
+    GraftQuery("q49_window_ranks", q49, Some(q49Oracle)),
+    GraftQuery("q54_left_outer_join", q54, Some(q54Oracle)),
+    GraftQuery("q55_full_outer_join", q55, Some(q55Oracle)))
 }
