@@ -37,11 +37,19 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)
   }
 
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name requires exactly $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (exprs => DotProductF(exprs(0), exprs(1))),
-    "graft_normsq" -> (exprs => NormSqF(exprs.head)),
-    "graft_cosine" -> (exprs => cosine(exprs)),
-    "graft_intersect_card" -> (exprs => IntersectCardSortedLong(exprs(0), exprs(1))))
+    "graft_dot" -> arity("graft_dot", 2)(exprs => DotProductF(exprs(0), exprs(1))),
+    "graft_normsq" -> arity("graft_normsq", 1)(exprs => NormSqF(exprs.head)),
+    "graft_cosine" -> arity("graft_cosine", 2)(cosine),
+    "graft_intersect_card" -> arity("graft_intersect_card", 2)(exprs => IntersectCardSortedLong(exprs(0), exprs(1))))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -44,9 +44,13 @@ object Ops {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("_tag"), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The payload rides inside a struct so a right row whose payload VALUE
+    // is null still counts as "the latest right row" (a bare last(...,
+    // ignoreNulls) would skip it and wrongly resurrect an older payload).
     l.unionByName(padded)
-      .withColumn(outCol, last(when(col("_tag") === 0, col("_payload")), ignoreNulls = true).over(w))
+      .withColumn("_m", last(when(col("_tag") === 0, struct(col("_payload"))), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
+      .withColumn(outCol, col("_m").getField("_payload"))
       .select(leftCols.map(col) :+ col(outCol): _*)
   }
 
@@ -185,6 +189,12 @@ object Ops {
       converged = changed == 0
       iter += 1
     }
+    // Unconverged labels are silently WRONG (non-minimal components →
+    // multiple "canonical" docs per true cluster); fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          s"component diameter exceeds maxIter; raise maxIter")
     labels
   }
 

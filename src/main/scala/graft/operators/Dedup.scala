@@ -89,7 +89,9 @@ object Dedup {
       |      THEN list_distinct(list_transform(range(1, len(ws) - 1),
       |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
       |      ELSE [] END AS sh
-      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents) t)
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents) t)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  len(list_intersect(a.sh, b.sh))
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
@@ -118,10 +120,11 @@ object Dedup {
   }
 
   private val dd29Oracle =
-    """WITH n AS (
+    """WITH n0 AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      |  FROM embeddings)
+      |  FROM embeddings),
+      |n AS (SELECT * FROM n0 WHERE nrm > 0)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos_sim

@@ -78,8 +78,10 @@ object Multimodal {
 
   /** The stub codec is arithmetic in the payload bytes, so the whole
     * decode pipeline — media-type routing, batched mapPartitions decode,
-    * feature schema — is oracle-checkable in SQL. A real codec would drop
-    * back to the rows-only check. */
+    * feature schema — is oracle-checkable in SQL. Oracle caveat: mean_byte
+    * is expressed over character codepoints, equal to the engine's
+    * byte-wise mean only for ASCII payloads (true of this corpus). A real
+    * codec would drop back to the rows-only check. */
   private val mm36Oracle =
     """WITH m AS (
       |  SELECT doc_id,
@@ -92,7 +94,9 @@ object Multimodal {
       |  CAST((CAST(n AS BIGINT) * 7919) % 480 + 16 AS INTEGER) AS height,
       |  CAST(CASE WHEN media_type = 'image' THEN 3 ELSE 1 END AS INTEGER) AS channels,
       |  CAST(CASE WHEN media_type = 'video' THEN n // 1024 + 1 ELSE 1 END AS INTEGER) AS n_frames,
-      |  CAST(list_sum(list_transform(range(1, n + 1), i -> ord(substr(text, i, 1)))) AS DOUBLE) / n AS mean_byte,
+      |  CASE WHEN n > 0
+      |       THEN CAST(list_sum(list_transform(range(1, n + 1), i -> ord(substr(text, i, 1)))) AS DOUBLE) / n
+      |       ELSE CAST(0 AS DOUBLE) END AS mean_byte,
       |  CAST(224 AS INTEGER) AS resized_w, CAST(224 AS INTEGER) AS resized_h
       |FROM m ORDER BY doc_id""".stripMargin
 

@@ -29,10 +29,11 @@ object Similarity {
   }
 
   private val ss30Oracle =
-    """WITH n AS (
+    """WITH n0 AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
+      |n AS (SELECT * FROM n0 WHERE nrm > 0),
       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id % 100 = 0),
       |s AS (
       |  SELECT q_id, vec_id,

@@ -189,11 +189,13 @@ object Statistics {
   private def q53(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
     val m = from_json(col("props"), MapType(StringType, IntegerType))
+    // try_element_at: absent key/index yields null (matching the oracle)
+    // instead of ANSI-mode MAP_KEY_DOES_NOT_EXIST / INVALID_ARRAY_INDEX.
     Tables(spark, dir, "events").select(col("event_id"), col("props"))
       .select(
         col("event_id"),
-        element_at(map_keys(m), 1).as("first_key"),
-        element_at(m, "k").as("k_val"),
+        try_element_at(map_keys(m), lit(1)).as("first_key"),
+        try_element_at(m, lit("k")).as("k_val"),
         size(m).as("n_keys"))
       .orderBy("event_id")
   }

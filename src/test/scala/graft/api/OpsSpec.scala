@@ -32,6 +32,31 @@ class OpsSpec extends SparkTestBase {
     assert(got == Map(100L -> 11L, 101L -> -1L, 102L -> 21L, 103L -> -1L))
   }
 
+  test("asOfJoin: a latest right row with a NULL payload wins (no stale resurrection)") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), 1L, ts("2024-01-01 09:00:00")),
+      (Option.empty[Long], 1L, ts("2024-01-01 09:30:00"))) // latest, null payload
+      .toDF("payload", "user_id", "ts")
+      .withColumn("event_id", coalesce(col("payload"), lit(99L))) // tie column must be non-null
+    val got = Ops.asOfJoin(left, right, Seq("user_id"), "ts", "event_id", "payload", "matched")
+      .select("matched").head()
+    assert(got.isNullAt(0), s"expected the latest (null-payload) row to win, got $got")
+  }
+
+  test("connectedComponents fails loudly when the diameter exceeds maxIter") {
+    import spark.implicits._
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    intercept[IllegalStateException] {
+      Ops.connectedComponents(chain, "a", "b", maxIter = 2).collect()
+    }
+    // and converges fine when allowed enough rounds
+    val ok = Ops.connectedComponents(chain, "a", "b", maxIter = 15)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ok.toSeq == Seq(1L))
+  }
+
   test("sessionize: 30-min gaps split sessions; ids are 1-based and ordered") {
     import spark.implicits._
     val ev = Seq(

@@ -72,15 +72,19 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
-  test("ss30 brute-force and ss31 LSH agree on the top-1 when LSH has the true neighbor bucketed") {
-    val exact = SparkEntry.queries("ss30_cosine_topk")(spark, sf).collect()
+  test("ss31 LSH top-1 similarity never exceeds the exact (ss30) top-1") {
+    val exactTop = SparkEntry.queries("ss30_cosine_topk")(spark, sf).collect()
       .filter(_.getAs[Int]("rn") == 1)
-      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
-    val approx = SparkEntry.queries("ss31_ann_lsh_topk")(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("sim")).toMap
+    val approxTop = SparkEntry.queries("ss31_ann_lsh_topk")(spark, sf).collect()
       .filter(_.getAs[Int]("rn") == 1)
-      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("vec_id")).toMap
-    // ANN is allowed to miss, but any top-1 it reports must have sim <= exact top-1's
-    approx.keys.foreach { q => assert(exact.contains(q)) }
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("sim")).toMap
+    assert(approxTop.nonEmpty)
+    approxTop.foreach { case (q, annSim) =>
+      assert(exactTop.contains(q), s"ANN produced unknown query id $q")
+      assert(annSim <= exactTop(q) + 1e-12,
+        s"ANN top-1 sim $annSim beats exact ${exactTop(q)} for q_id=$q — impossible")
+    }
   }
 
   test("entry (flagship) returns rows") {
