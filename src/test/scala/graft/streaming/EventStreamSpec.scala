@@ -31,6 +31,34 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedCounts over the real events parquet: streaming equals batch") {
+    import org.apache.spark.sql.functions._
+    // file-source stream over the driver-generated events table (ts arrives
+    // as nanos long under nanosAsLong; convert exactly as Tables does)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // watermark requires TIMESTAMP (LTZ) — keep LTZ here (session TZ is UTC)
+    val toTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = toTs(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf))
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wc_parquet").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc_parquet").collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = toTs(raw)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming (${streamed.size} rows) != batch (${batch.size} rows)")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes a session on gap and keeps the open one in state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
