@@ -2,7 +2,9 @@ package graft.core
 
 import org.apache.spark.sql.{Dataset, Encoder}
 
-/** The reference engine's entire user-facing API is one trait
+/** The reference engine's entire user-facing API is one trait — the
+  * map/reduce contract of Dean & Ghemawat, "MapReduce: Simplified Data
+  * Processing on Large Clusters" (OSDI 2004)
   * (reference: src/map_reduce.rs:4-7):
   *
   * {{{

@@ -30,7 +30,10 @@ object Dedup {
       |FROM documents GROUP BY text ORDER BY kept_doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dd26
-  /** MinHash + LSH near-dup detection: tight-loop signature UDF per doc,
+  /** MinHash + LSH near-dup detection (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997; banding analysis per
+    * Rajaraman & Ullman, Mining of Massive Datasets ch. 3): tight-loop
+    * signature UDF per doc,
     * native-expression banding, bucket self-join for candidates, exact
     * Jaccard verification over sorted-hash shingle sets. Shuffle cost is
     * bounded by band-bucket sizes; the shingle sets are re-joined by id
@@ -43,7 +46,9 @@ object Dedup {
       .orderBy("a_id", "b_id")
 
   // ---------------------------------------------------------------- dd27
-  /** SimHash near-dup: 64-bit signature over token hashes, 4 16-bit bands
+  /** SimHash near-dup (Charikar, "Similarity estimation techniques from
+    * rounding algorithms", STOC 2002): 64-bit signature over token hashes,
+    * 4 16-bit bands
     * for candidates (any pair within Hamming distance 3 shares at least
     * one intact band by pigeonhole... with 4 bands and ≤3 differing bits),
     * verified with native bit_count. */

@@ -47,7 +47,8 @@ object Similarity {
       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
   // ---------------------------------------------------------------- ss31
-  /** Deterministic ±1 random-hyperplane matrix: 6 planes × 64 dims,
+  /** Deterministic ±1 random-hyperplane matrix (Charikar's SimHash-LSH for
+    * cosine, STOC 2002): 6 planes × 64 dims,
     * derived from SplitMix64 — stable across JVMs and runs. 6 planes = 64
     * buckets keeps expected bucket occupancy high enough for useful recall
     * at the test scales; at production scale you'd raise planes with the
@@ -92,7 +93,9 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- ss32
-  /** IVF (inverted-file) ANN: k-means coarse quantizer (the index build),
+  /** IVF (inverted-file) ANN, the coarse-quantizer half of Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search" (TPAMI 2011), as
+    * popularized by FAISS: k-means coarse quantizer (the index build),
     * nprobe=2 nearest centroids per query, exact cosine re-rank within the
     * probed cells. The classic FAISS-style scale path: search cost drops
     * from O(N) to O(N·nprobe/k) per query, and the posting lists are just
