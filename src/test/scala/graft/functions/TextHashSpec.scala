@@ -34,6 +34,28 @@ class TextHashSpec extends AnyFunSuite {
     assert(agreeAC > 3 && agreeAC < 61, s"partial overlap agreement was $agreeAC/64")
   }
 
+  test("property: minhash band agreement tracks true Jaccard (seeded trials)") {
+    // For pairs with known shingle overlap, the fraction of agreeing
+    // minhashes is an unbiased Jaccard estimate (Broder 1997): check the
+    // estimate lands within ±0.2 of truth across seeded random pairs.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val common = (1 to 30 + rnd.nextInt(30)).map(i => s"c${rnd.nextInt(1000)}_$i")
+      val aOnly = (1 to rnd.nextInt(40)).map(i => s"a${rnd.nextInt(1000)}_$i")
+      val bOnly = (1 to rnd.nextInt(40)).map(i => s"b${rnd.nextInt(1000)}_$i")
+      val ta = (common ++ aOnly).mkString(" ")
+      val tb = (common ++ bOnly).mkString(" ")
+      val sa = TextHash.shingleHashesSorted(ta).toSet
+      val sb = TextHash.shingleHashesSorted(tb).toSet
+      val trueJac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val siga = TextHash.minhashSig(ta, 64)
+      val sigb = TextHash.minhashSig(tb, 64)
+      val est = siga.zip(sigb).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - trueJac) <= 0.2,
+        s"estimate $est vs true $trueJac (|common|=${common.size})")
+    }
+  }
+
   test("minhashSig on <3 tokens is the all-MaxValue sentinel") {
     assert(TextHash.minhashSig("one two", 8).forall(_ == Long.MaxValue))
   }
