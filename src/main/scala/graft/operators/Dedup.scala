@@ -153,11 +153,33 @@ object Dedup {
       .orderBy("cluster_rep", "doc_id")
   }
 
+  // ---------------------------------------------------------------- dd31
+  /** Normalization-keyed dedup: lowercase, strip punctuation, collapse
+    * whitespace, then exact-group on the md5 of the normal form — the
+    * "fuzzy-exact" tier between dd25 (byte-exact) and dd26 (MinHash).
+    * One hash agg on a 16-byte key; the cheapest near-dup pass at 100 TB. */
+  private def dd31(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .select(col("doc_id"), md5(encode(norm, "UTF-8")).as("norm_key"))
+      .groupBy("norm_key")
+      .agg(min(col("doc_id")).as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .select("kept_doc_id", "n_copies", "norm_key")
+      .orderBy("kept_doc_id")
+  }
+
+  private val dd31Oracle =
+    """SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_key
+      |FROM documents
+      |GROUP BY 3 ORDER BY kept_doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
     GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
     GraftQuery("dd27_dedup_simhash", dd27, None),
     GraftQuery("dd28_dedup_ngram_jaccard", dd28, Some(dd28Oracle)),
     GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)),
-    GraftQuery("dd30_dedup_clusters", dd30, None))
+    GraftQuery("dd30_dedup_clusters", dd30, None),
+    GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)))
 }

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.{GraftQuery, Tables}
+
+/** Round-2 operator widening: unpivot/melt, conditional aggregation,
+  * interval RANGE window frames, first/last/nth window values, skew-salted
+  * joins, higher-order array functions, regexp extraction, three-valued
+  * null logic, histogram bucketing, date-spine generators, and SQL LATERAL
+  * joins. The reference has none of these (SURVEY.md §2.2 — its only
+  * operators are scan/map/group/reduce over string KV pairs,
+  * src/map_reduce.rs:4-7); they complete the generalized analytics surface
+  * the north star mandates, each as a declarative plan Catalyst can
+  * optimize end-to-end.
+  */
+object Extended {
+  import Exact._
+
+  // ---------------------------------------------------------------- q56
+  /** Unpivot/melt: wide metric columns to long (id, metric, val) form —
+    * narrow projection feeds the scan, generator output is codegen'd. */
+  private def q56(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // `val` joins the sort key — rows that still tie are fully identical.
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+
+  private val q56Oracle =
+    """SELECT l_orderkey, l_linenumber, metric, val
+      |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      |               FROM lineitem WHERE l_orderkey < 100)
+      |      ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)
+      |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** Conditional aggregation: filtered counts/sums/maxima in one pass over
+    * the fact table (one scan, one shuffle — never one scan per condition). */
+  private def q57(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))).as("sum_price_finished"),
+        max(when(col("o_orderstatus") === "O", col("o_totalprice"))).as("max_open_price"))
+      .orderBy("o_orderpriority")
+
+  private val q57Oracle =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       |  ${oDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE CAST(0 AS DOUBLE) END")} AS sum_price_finished,
+       |  MAX(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS max_open_price
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** RANGE window frame over event time: trailing-30-day revenue per
+    * priority class. Interval-bounded RANGE frames are order-value based
+    * (peers share a frame), so the result is deterministic without a
+    * row-level tie-break inside the frame; the decimal-cast sum keeps the
+    * addition order-independent (Exact.dsum rationale). */
+  private def q58(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select("o_orderpriority", "o_orderkey", "o_orderdate", "o_totalprice")
+      .withColumn("trail30d_price",
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (" +
+          "PARTITION BY o_orderpriority ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+      .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+
+  private val q58Oracle =
+    """SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+      |    PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30d_price
+      |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |ORDER BY o_orderpriority, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** first_value / last_value / nth_value over the full-partition frame
+    * (explicit UNBOUNDED FOLLOWING — the default frame would make
+    * last_value degenerate to the current row). */
+  private def q59(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
+      .withColumn("top_bal", first(col("c_acctbal")).over(w))
+      .withColumn("bottom_bal", last(col("c_acctbal")).over(w))
+      .withColumn("second_bal", nth_value(col("c_acctbal"), 2).over(w))
+      .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  private val q59Oracle =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  first_value(c_acctbal) OVER w AS top_bal,
+      |  last_value(c_acctbal) OVER w AS bottom_bal,
+      |  nth_value(c_acctbal, 2) OVER w AS second_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Skew-salted equi-join, oracled against the plain join: salting must be
+    * invisible in the result. At 100 TB this is the fallback when one hot
+    * key overwhelms a reducer and AQE skew-split can't help (e.g. the dim
+    * side is already broadcast-ineligible); see [[graft.api.Ops.saltedJoin]]. */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    graft.api.Ops.saltedJoin(li, sup, "suppkey", salts = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_name")
+  }
+
+  private val q60Oracle =
+    s"""SELECT s_name, COUNT(*) AS n_items, ${oDsum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Higher-order array functions (filter / aggregate-fold / array_max)
+    * over the embedding vectors. The fold is a strict left-to-right double
+    * accumulation — the exact semantics DuckDB's list_sum reproduces
+    * (VectorOpsSpec pins this equivalence for the codegen'd twins). */
+  private def q61(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(
+      col("vec_id"),
+      size(filter(col("embedding"), x => x > lit(0f))).as("n_pos"),
+      aggregate(col("embedding"), lit(0.0), (acc, x) => acc + abs(x.cast("double"))).as("l1_norm"),
+      array_max(col("embedding")).cast("double").as("max_val"))
+      .orderBy("vec_id")
+
+  private val q61Oracle =
+    """SELECT vec_id,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+      |  list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm,
+      |  CAST(list_max(embedding) AS DOUBLE) AS max_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** regexp_extract_all as a generator-ish scalar: per-row match counts
+    * aggregated per event type (numeric literals mined from JSON props). */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    val nNums = size(regexp_extract_all(col("props"), lit("\\d+"), lit(0)))
+    Tables(spark, dir, "events").select(col("event_type"), nNums.as("nn"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("nn")).as("n_nums"),
+        max(col("nn")).as("max_nums"))
+      .orderBy("event_type")
+  }
+
+  private val q62Oracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(len(regexp_extract_all(props, '\d+'))) AS BIGINT) AS n_nums,
+      |  CAST(MAX(len(regexp_extract_all(props, '\d+'))) AS INTEGER) AS max_nums
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Three-valued null logic: NULLIF-derived nulls, null-safe equality
+    * (<=> / IS NOT DISTINCT FROM), COALESCE sentinels, and the
+    * COUNT(*) vs COUNT(col) distinction. */
+  private def q63(spark: SparkSession, dir: String): DataFrame = {
+    val rf = expr("nullif(l_returnflag, 'N')")
+    val ls = expr("nullif(l_linestatus, 'O')")
+    Tables(spark, dir, "lineitem").select(rf.as("rf"), ls.as("ls"))
+      .select(
+        coalesce(col("rf"), lit("<null>")).as("rf_coalesced"),
+        (col("rf") <=> col("ls")).as("ns_eq"),
+        col("rf"))
+      .groupBy("rf_coalesced", "ns_eq")
+      .agg(count(lit(1)).as("n_rows"), count(col("rf")).as("n_nonnull"))
+      .orderBy("rf_coalesced", "ns_eq")
+  }
+
+  private val q63Oracle =
+    """SELECT COALESCE(NULLIF(l_returnflag, 'N'), '<null>') AS rf_coalesced,
+      |  (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'O')) AS ns_eq,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(NULLIF(l_returnflag, 'N')) AS n_nonnull
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Fixed-width histogram bucketing: integer bucket keys from floor
+    * division — a single hash agg, no windowing, scales linearly. */
+  private def q64(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_totalprice")
+      .select(floor(col("o_totalprice") / 50000.0).as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("bucket")
+
+  private val q64Oracle =
+    s"""SELECT CAST(FLOOR(o_totalprice / CAST(50000 AS DOUBLE)) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_orders, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       |  ${oDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Date-spine generator: sequence() + explode turns each order into its
+    * 3-month activity window, then a calendar aggregation — the standard
+    * "expand to a time spine" ETL shape, fully codegen'd (no UDF). */
+  private def q65(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_orderdate")
+      // date_trunc yields instant-typed TIMESTAMP; results must stay NTZ
+      // (naive, like the parquet inputs) or the arrow schema diverges from
+      // the oracle's — session TZ is UTC so the cast is value-preserving.
+      .select(explode(expr(
+        "sequence(date_trunc('MONTH', o_orderdate), " +
+          "date_trunc('MONTH', o_orderdate) + interval '2' month, interval '1' month)")).as("mo0"))
+      .select(col("mo0").cast("timestamp_ntz").as("mo"))
+      .groupBy("mo")
+      .agg(count(lit(1)).as("n_active_orders"))
+      .orderBy("mo")
+
+  private val q65Oracle =
+    """SELECT mo, COUNT(*) AS n_active_orders FROM (
+      |  SELECT unnest(generate_series(date_trunc('month', o_orderdate),
+      |                                date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+      |                                INTERVAL 1 MONTH)) AS mo
+      |  FROM orders) t
+      |GROUP BY mo ORDER BY mo""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** SQL LATERAL (correlated table subquery): top-2 customers per nation.
+    * Catalyst decorrelates this into a ranked window join — same plan
+    * family as q07, but exercised through the SQL surface. */
+  private def q66(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("graft_nation")
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM graft_nation,
+        |  LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer
+        |           WHERE c_nationkey = n_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top_c
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  private val q66Oracle =
+    """SELECT n_name, c_custkey, c_acctbal
+      |FROM nation,
+      |  LATERAL (SELECT c_custkey, c_acctbal FROM customer
+      |           WHERE c_nationkey = n_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top_c
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
+    GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
+    GraftQuery("q58_window_range_interval", q58, Some(q58Oracle)),
+    GraftQuery("q59_first_last_nth", q59, Some(q59Oracle)),
+    GraftQuery("q60_salted_join", q60, Some(q60Oracle)),
+    GraftQuery("q61_hof_arrays", q61, Some(q61Oracle)),
+    GraftQuery("q62_regexp_extract_all", q62, Some(q62Oracle)),
+    GraftQuery("q63_null_semantics", q63, Some(q63Oracle)),
+    GraftQuery("q64_histogram", q64, Some(q64Oracle)),
+    GraftQuery("q65_date_spine", q65, Some(q65Oracle)),
+    GraftQuery("q66_lateral_topk", q66, Some(q66Oracle)))
+}

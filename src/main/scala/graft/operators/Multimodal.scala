@@ -100,6 +100,29 @@ object Multimodal {
       |  CAST(224 AS INTEGER) AS resized_w, CAST(224 AS INTEGER) AS resized_h
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- mm37
+  /** Binary-column plumbing without the decode step: payload byte length
+    * (octet_length, NOT character length — they diverge the moment a
+    * payload is non-ASCII) and content digests, aggregated per source.
+    * The partition-friendly shape for media manifests: metadata stats
+    * never deserialize the payload beyond the scan. */
+  private def mm37(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("payload"))).as("sum_bytes"),
+        min(md5(col("payload"))).as("min_md5"))
+      .orderBy("source")
+
+  private val mm37Oracle =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+      |  MIN(md5(text)) AS min_md5
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("mm36_multimodal_features", mm36, Some(mm36Oracle)))
+    GraftQuery("mm36_multimodal_features", mm36, Some(mm36Oracle)),
+    GraftQuery("mm37_binary_manifest", mm37, Some(mm37Oracle)))
 }

@@ -206,6 +206,36 @@ object TextOps {
       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_copies) AS BIGINT) AS n_docs_with_dups
       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- tx36
+  /** Word-bigram frequency: the n-gram language-model counting shape.
+    * Bigrams are built positionally with a codegen-friendly index
+    * transform (docs under 2 tokens are filtered BEFORE sequence() —
+    * sequence(1, 0) would count down, not return empty). Top-20 with a
+    * lexicographic tie-break so the LIMIT boundary is deterministic. */
+  private def tx36(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = transform(
+      sequence(lit(1), size(col("ws")) - 1),
+      i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1)))
+    Tables(spark, dir, "documents").select(col("text"))
+      .select(filter(split(lower(col("text")), " "), t => t =!= "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val tx36Oracle =
+    """WITH w AS (
+      |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM w WHERE len(ws) >= 2)
+      |SELECT bigram, COUNT(*) AS n FROM bg
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -213,5 +243,6 @@ object TextOps {
     GraftQuery("tx33_quality_score", tx33, Some(tx33Oracle)),
     GraftQuery("tx34_token_count", tx34, Some(tx34Oracle)),
     GraftQuery("tx35_fingerprint", tx35, Some(tx35Oracle)),
+    GraftQuery("tx36_bigram_freq", tx36, Some(tx36Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }
