@@ -208,22 +208,24 @@ object TextOps {
 
   // ---------------------------------------------------------------- tx36
   /** Word-bigram frequency: the n-gram language-model counting shape.
-    * Bigrams are built positionally with a codegen-friendly index
-    * transform (docs under 2 tokens are filtered BEFORE sequence() —
-    * sequence(1, 0) would count down, not return empty). Top-20 with a
-    * lexicographic tie-break so the LIMIT boundary is deterministic. */
-  private def tx36(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = transform(
-      sequence(lit(1), size(col("ws")) - 1),
-      i => concat(element_at(col("ws"), i), lit(" "), element_at(col("ws"), i + 1)))
+    * Bigram construction is a tight-loop UDF, not a positional
+    * transform/element_at HOF — Spark's higher-order array functions are
+    * CodegenFallback (interpreted, boxed) and measured ~4s slower on this
+    * query at sf0.1. Top-20 with a lexicographic tie-break so the LIMIT
+    * boundary is deterministic. */
+  private val bigramsUdf = udf { text: String =>
+    // same tokenization as toks(): split on single spaces, drop empties
+    val ts = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+    if (ts.length < 2) Array.empty[String]
+    else Array.tabulate(ts.length - 1)(i => ts(i) + " " + ts(i + 1))
+  }
+
+  private def tx36(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").select(col("text"))
-      .select(filter(split(lower(col("text")), " "), t => t =!= "").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(bigramsUdf(col("text"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
-  }
 
   private val tx36Oracle =
     """WITH w AS (

@@ -24,6 +24,33 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on event_id with BOUNDED state: duplicates are
+    * only tracked while they can still arrive (inside the watermark delay),
+    * so state size follows the dedup window, not the stream's lifetime —
+    * the property that makes streaming dedup viable at 100 TB/day. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: every "view" is attached to the same
+    * user's "click" at most 30 minutes earlier. Watermarks on BOTH inputs
+    * plus the two-sided time-range condition let Spark evict join state as
+    * event time advances (without them the join buffers both streams
+    * forever). */
+  def clickToView(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val v = views.select(
+      col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "30 minutes")
+    c.join(v, expr(
+      "c_user = v_user AND v_ts >= c_ts AND v_ts <= c_ts + interval 30 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
   final case class SessionState(sessionStartMs: Long, lastMs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)

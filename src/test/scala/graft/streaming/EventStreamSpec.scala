@@ -59,6 +59,50 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupEvents drops within-watermark duplicate event_ids across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStream.dedupEvents(df)
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:00"), "click"),
+        (1L, ts("2024-01-01 00:00:05"), "click"), // dup inside batch
+        (2L, ts("2024-01-01 00:01:00"), "view"))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 00:02:00"), "click")) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(1L, 2L), s"expected exactly one row per event_id, got $ids")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches views to preceding clicks only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("event_id", "ts", "user_id")
+    val vdf = views.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.clickToView(cdf, vdf)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        (10L, ts("2024-01-01 00:00:00"), 7L),
+        (11L, ts("2024-01-01 03:00:00"), 7L))
+      views.addData(
+        (20L, ts("2024-01-01 00:10:00"), 7L), // within 30 min of click 10 → match
+        (21L, ts("2024-01-01 00:50:00"), 7L), // > 30 min after click 10 → no match
+        (22L, ts("2024-01-01 02:59:00"), 7L)) // BEFORE click 11 → no match
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+      assert(pairs == Set((10L, 20L)), s"unexpected join pairs: $pairs")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes a session on gap and keeps the open one in state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
