@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-2 operator batch (the oracle gate
+  * checks values; these pin the properties that make the operators
+  * correct BY CONSTRUCTION, so a refactor can't silently change meaning). */
+class ExtendedSpec extends SparkTestBase {
+
+  test("q56 unpivot: 3 long rows per wide row, metrics complete per key") {
+    val wide = Tables(spark, sf, "lineitem").filter(col("l_orderkey") < 100).count()
+    val long = SparkEntry.queries("q56_unpivot")(spark, sf)
+    assert(long.count() == wide * 3)
+    val metricsPerKey = long.groupBy("l_orderkey", "l_linenumber")
+      .agg(countDistinct(col("metric")).as("m")).agg(min(col("m")), max(col("m"))).head()
+    assert(metricsPerKey.getLong(0) == 3 && metricsPerKey.getLong(1) == 3)
+  }
+
+  test("q60 salted join returns exactly the plain-join result") {
+    val salted = SparkEntry.queries("q60_salted_join")(spark, sf).collect().toSeq
+    val li = Tables(spark, sf, "lineitem").select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = Tables(spark, sf, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name"))
+    val plain = li.join(sup, "suppkey")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("s_name").collect().toSeq
+    assert(salted == plain, "salting must be invisible in the join result")
+  }
+
+  test("q63: group row counts cover the whole table; ns_eq true only when both sides null") {
+    val rows = SparkEntry.queries("q63_null_semantics")(spark, sf).collect()
+    val total = Tables(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      val coalesced = r.getAs[String]("rf_coalesced")
+      val nsEq = r.getAs[Boolean]("ns_eq")
+      val nNonnull = r.getAs[Long]("n_nonnull")
+      if (coalesced == "<null>") {
+        assert(nNonnull == 0, "null rf rows must not count in COUNT(col)")
+      } else {
+        assert(nNonnull == r.getAs[Long]("n_rows"))
+        // rf non-null and ls ∈ {F, null} can never be null-safe-equal:
+        // rf values are A/R, ls values are F/null.
+        assert(!nsEq, s"non-null rf '$coalesced' cannot ns-equal ls")
+      }
+    }
+  }
+
+  test("q65 date spine: exactly 3 spine rows per order, months contiguous") {
+    val spine = SparkEntry.queries("q65_date_spine")(spark, sf)
+    val nOrders = Tables(spark, sf, "orders").count()
+    assert(spine.agg(sum(col("n_active_orders"))).head().getLong(0) == nOrders * 3)
+  }
+
+  test("q58: trailing window sum is >= the row's own price and monotone per tie-group") {
+    val rows = SparkEntry.queries("q58_window_range_interval")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("trail30d_price") >= r.getAs[Double]("o_totalprice") - 1e-9)
+    }
+  }
+
+  test("q66 lateral: at most 2 customers per nation, ordered by acctbal desc") {
+    val rows = SparkEntry.queries("q66_lateral_topk")(spark, sf).collect()
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    byNation.foreach { case (_, rs) =>
+      assert(rs.length <= 2)
+      val bals = rs.map(_.getAs[Double]("c_acctbal"))
+      assert(bals.sameElements(bals.sorted.reverse))
+    }
+  }
+
+  test("tx36: at most 20 bigrams, counts non-increasing, each bigram has 2 tokens") {
+    val rows = SparkEntry.queries("tx36_bigram_freq")(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sorted.reverse))
+    rows.foreach(r => assert(r.getAs[String]("bigram").split(" ").length == 2))
+  }
+
+  test("dd31: normalized dedup groups at least as coarsely as exact dedup") {
+    val exact = SparkEntry.queries("dd25_dedup_exact")(spark, sf).count()
+    val normd = SparkEntry.queries("dd31_dedup_normalized")(spark, sf).count()
+    assert(normd <= exact, "a normalization key can only merge groups, never split them")
+  }
+}

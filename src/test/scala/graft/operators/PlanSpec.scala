@@ -60,4 +60,32 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q22_wordcount")
     assert(p.contains("partial_count") || p.split("HashAggregate").length >= 3, p)
   }
+
+  test("q56 unpivot: scan reads only the 5 projected columns") {
+    val p = plan("q56_unpivot")
+    assert(!p.contains("l_shipdate") && !p.contains("l_extendedprice"),
+      "unpivot should not widen the parquet scan beyond its inputs")
+    assert(p.contains("PushedFilters"), "orderkey predicate should reach the scan")
+  }
+
+  test("q60 salted join stays an equi hash join with partial aggregation") {
+    val p = plan("q60_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "salting must not degrade the join to a nested loop:\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "aggregation after the salted join should still combine map-side")
+  }
+
+  test("q64 histogram: single hash aggregate pass with map-side combine") {
+    val p = plan("q64_histogram")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p.take(1500))
+    assert(!p.contains("Window"), "histogram must not be planned through a window")
+  }
+
+  test("q65 date spine: generator feeds a partial aggregate (no pre-shuffle explode blowup)") {
+    val p = plan("q65_date_spine")
+    assert(p.contains("Generate"), "sequence+explode should plan as a Generate node")
+    assert(p.contains("partial_count"),
+      "spine rows must partially aggregate before the shuffle")
+  }
 }
