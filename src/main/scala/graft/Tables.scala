@@ -16,7 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Per-(session, path) DataFrame cache: repeated Tables() calls across the
+  // query registry would otherwise re-read parquet footers and re-plan the
+  // relation each time (~50 ms × hundreds of loads per Verify/Bench run).
+  // Keyed by sessionUUID so entries die with their session; the plan object
+  // is immutable, so sharing it across queries is safe.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
     // for. With spark.sql.legacy.parquet.nanosAsLong=true (set by

@@ -265,6 +265,154 @@ object Extended {
       |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top_c
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Linear-regression aggregates (the regr_slope / regr_intercept /
+    * regr_r2 family) from exact decimal power sums — same determinism
+    * rationale as q37: the built-in streaming moments are
+    * summation-order-dependent, the closed-form over exact sums is not.
+    * One hash aggregate; the formulas are post-agg projections. */
+  private def q67(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables(spark, dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsumS(x * x, 2).as("sxx"),
+        dsum(y).as("sy"), dsumS(y * y, 2).as("syy"),
+        dsumS(x * y, 2).as("sxy"))
+      .withColumn("dx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("dx") =!= 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("dx")))
+      .select(
+        col("l_returnflag"), col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        when(col("dx") =!= 0 && col("dy") =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) * (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("dx") * col("dy"))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q67Oracle =
+    s"""WITH s AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    ${oDsum("l_quantity")} AS sx, ${oDsumS("l_quantity * l_quantity", 2)} AS sxx,
+       |    ${oDsum("l_extendedprice")} AS sy, ${oDsumS("l_extendedprice * l_extendedprice", 2)} AS syy,
+       |    ${oDsumS("l_quantity * l_extendedprice", 2)} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT *, n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+       |    CASE WHEN n * sxx - sx * sx <> 0
+       |         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+       |  FROM s)
+       |SELECT l_returnflag, n, slope,
+       |  (sy - slope * sx) / n AS intercept,
+       |  CASE WHEN dx <> 0 AND dy <> 0
+       |       THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) / (dx * dy) END AS r2
+       |FROM d ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Boolean and bitwise aggregate family: bool_and/bool_or short-circuit
+    * predicates and bit_and/bit_or/bit_xor over the key domain. */
+  private def q68(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .groupBy("o_orderpriority")
+      .agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 500000.0).as("any_over_500k"),
+        bit_and(col("o_orderkey")).as("band"),
+        bit_or(col("o_orderkey")).as("bor"),
+        bit_xor(col("o_orderkey")).as("bxor"))
+      .orderBy("o_orderpriority")
+
+  private val q68Oracle =
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > CAST(1000 AS DOUBLE)) AS all_over_1k,
+      |  bool_or(o_totalprice > CAST(500000 AS DOUBLE)) AS any_over_500k,
+      |  bit_and(o_orderkey) AS band,
+      |  bit_or(o_orderkey) AS bor,
+      |  bit_xor(o_orderkey) AS bxor
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Date-part function family: quarter, ISO weekday, day-of-year,
+    * month-end, date arithmetic, day differences. (Spark's weekday() is
+    * Monday=0; DuckDB's isodow is Monday=1 — aligned by +1.) */
+  private def q69(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 50)
+      .select(
+        col("o_orderkey"), col("o_orderdate"),
+        quarter(col("o_orderdate")).as("qtr"),
+        (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy("o_orderkey")
+
+  private val q69Oracle =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+      |  CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER) AS doy,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+      |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98
+      |FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** String function breadth: padding, character translation, edit
+    * distance (levenshtein), left/right slices, repeat, reverse. */
+  private def q70(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(col("p_partkey") < 50)
+      .select(
+        col("p_partkey"), col("p_name"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        translate(col("p_brand"), "#", "-").as("translated"),
+        levenshtein(col("p_name"), lit("standard anodized tin")).as("lev"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        repeat(lit("ab"), 3).as("rep"),
+        reverse(col("p_brand")).as("rev"))
+      .orderBy("p_partkey")
+
+  private val q70Oracle =
+    """SELECT p_partkey, p_name,
+      |  lpad(p_brand, 12, '*') AS padded,
+      |  translate(p_brand, '#', '-') AS translated,
+      |  CAST(levenshtein(p_name, 'standard anodized tin') AS INTEGER) AS lev,
+      |  left(p_name, 4) AS l4, right(p_name, 4) AS r4,
+      |  repeat('ab', 3) AS rep, reverse(p_brand) AS rev
+      |FROM part WHERE p_partkey < 50 ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Array function breadth over embeddings: sort, slice, flatten,
+    * membership, argmax position, reverse. (Spark slice(col, start, len)
+    * vs DuckDB's inclusive [a:b] — lengths aligned on both sides.) */
+  private def q71(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .select(
+        col("vec_id"),
+        sort_array(slice(col("embedding"), 1, 5)).as("sorted5"),
+        size(flatten(array(slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2)))).as("flat_len"),
+        array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
+        expr("array_position(embedding, array_max(embedding))").as("argmax_pos"),
+        reverse(slice(col("embedding"), 1, 3)).as("rev3"))
+      .orderBy("vec_id")
+
+  private val q71Oracle =
+    """SELECT vec_id,
+      |  list_sort(embedding[1:5]) AS sorted5,
+      |  CAST(len(flatten([embedding[1:2], embedding[3:4]])) AS INTEGER) AS flat_len,
+      |  list_contains(embedding, 0.0) AS has_zero,
+      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+      |  list_reverse(embedding[1:3]) AS rev3
+      |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -276,5 +424,10 @@ object Extended {
     GraftQuery("q63_null_semantics", q63, Some(q63Oracle)),
     GraftQuery("q64_histogram", q64, Some(q64Oracle)),
     GraftQuery("q65_date_spine", q65, Some(q65Oracle)),
-    GraftQuery("q66_lateral_topk", q66, Some(q66Oracle)))
+    GraftQuery("q66_lateral_topk", q66, Some(q66Oracle)),
+    GraftQuery("q67_regr_agg", q67, Some(q67Oracle)),
+    GraftQuery("q68_bool_bit_agg", q68, Some(q68Oracle)),
+    GraftQuery("q69_date_parts", q69, Some(q69Oracle)),
+    GraftQuery("q70_string_breadth", q70, Some(q70Oracle)),
+    GraftQuery("q71_array_breadth", q71, Some(q71Oracle)))
 }
