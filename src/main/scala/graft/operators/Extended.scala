@@ -413,6 +413,68 @@ object Extended {
       |  list_reverse(embedding[1:3]) AS rev3
       |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Multiset set-operators: INTERSECT ALL / EXCEPT ALL (multiplicity
+    * semantics — a different plan family from q11's set-semantics ops). */
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val a = li.filter(col("l_quantity") > 45.0).select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_discount") > 0.08).select(col("l_suppkey").as("k"))
+    a.intersectAll(b).union(a.exceptAll(b))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  private val q72Oracle =
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45),
+      |     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > CAST(0.08 AS DOUBLE))
+      |SELECT k, COUNT(*) AS n FROM (
+      |  SELECT k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t1
+      |  UNION ALL
+      |  SELECT k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t2) u
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** NOT IN with a nullable subquery — the null-aware anti join. Unlike
+    * NOT EXISTS (q06), one NULL in the subquery legally empties the
+    * result, so Spark must plan a null-aware (not plain) anti join. */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM graft_orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM graft_customer WHERE c_acctbal < -900)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q73Oracle =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): iterative computation
+    * expressed in pure SQL — factorials as the closed, deterministic
+    * fixture. */
+  private def q74(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      """WITH RECURSIVE r(n, fact) AS (
+        |  SELECT 1, CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT n + 1, fact * (n + 1) FROM r WHERE n < 12
+        |)
+        |SELECT n, fact FROM r ORDER BY n""".stripMargin)
+
+  private val q74Oracle =
+    """WITH RECURSIVE r(n, fact) AS (
+      |  SELECT 1, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT n + 1, fact * (n + 1) FROM r WHERE n < 12
+      |)
+      |SELECT n, fact FROM r ORDER BY n""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -429,5 +491,8 @@ object Extended {
     GraftQuery("q68_bool_bit_agg", q68, Some(q68Oracle)),
     GraftQuery("q69_date_parts", q69, Some(q69Oracle)),
     GraftQuery("q70_string_breadth", q70, Some(q70Oracle)),
-    GraftQuery("q71_array_breadth", q71, Some(q71Oracle)))
+    GraftQuery("q71_array_breadth", q71, Some(q71Oracle)),
+    GraftQuery("q72_set_ops_all", q72, Some(q72Oracle)),
+    GraftQuery("q73_not_in_null_aware", q73, Some(q73Oracle)),
+    GraftQuery("q74_recursive_cte", q74, Some(q74Oracle)))
 }

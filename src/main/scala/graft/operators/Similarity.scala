@@ -108,7 +108,12 @@ object Similarity {
 
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5).fit(e)
+    // Train the coarse quantizer on a seeded sample (standard FAISS
+    // practice — quantizer quality needs a representative sample, not the
+    // corpus): at 100 TB you cannot k-means the full table, and at bench
+    // scale it halves the index-build cost.
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .fit(e.sample(withReplacement = false, 0.25, seed = 42))
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cluster"))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
