@@ -238,6 +238,50 @@ object TextOps {
       |SELECT bigram, COUNT(*) AS n FROM bg
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- tx37
+  /** Tokenize-to-ids: the text→model-input transform. A frequency-ranked
+    * top-100 vocabulary (count desc, word asc — fully deterministic) maps
+    * each token to its id, OOV to -1, preserving token order per document.
+    * Scale shape: the vocab is pre-truncated with orderBy+limit BEFORE the
+    * rank window, so the single-partition window only ever sees K rows (a
+    * global row_number over millions of distinct words would bottleneck);
+    * the tiny vocab then broadcasts to the token join. */
+  private def tx37(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), filter(split(lower(col("text")), " "), t => t =!= "").as("ws"))
+    val words = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(100)
+    val vocab = top.select(col("word"),
+      (row_number().over(Window.orderBy(col("cnt").desc, col("word"))) - 1).cast("int").as("id"))
+    val perDoc = words.join(broadcast(vocab), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(-1)).as("tid"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)").as("token_ids"))
+    // left join so zero-token docs still emit (with an empty id list)
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"),
+        size(col("ws")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val tx37Oracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      |  FROM documents),
+      |w AS (SELECT unnest(ws) AS word FROM toks),
+      |vocab AS (
+      |  SELECT word, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, word) - 1 AS INTEGER) AS id
+      |  FROM w GROUP BY word
+      |  QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, word) <= 100),
+      |m AS (SELECT map(list(word), list(id)) AS vm FROM vocab)
+      |SELECT doc_id,
+      |  list_transform(ws, t -> coalesce(map_extract(vm, t)[1], -1)) AS token_ids,
+      |  CAST(len(ws) AS INTEGER) AS n_tokens
+      |FROM toks, m ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -246,5 +290,6 @@ object TextOps {
     GraftQuery("tx34_token_count", tx34, Some(tx34Oracle)),
     GraftQuery("tx35_fingerprint", tx35, Some(tx35Oracle)),
     GraftQuery("tx36_bigram_freq", tx36, Some(tx36Oracle)),
+    GraftQuery("tx37_tokenize_ids", tx37, Some(tx37Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

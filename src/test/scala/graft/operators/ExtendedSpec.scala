@@ -78,6 +78,41 @@ class ExtendedSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getAs[String]("bigram").split(" ").length == 2))
   }
 
+  test("saltedJoin spreads a pathological hot key across all salt buckets") {
+    import spark.implicits._
+    // 90% of left rows share one key — the classic melted-reducer shape
+    val left = (1 to 10000).map(i => (if (i % 10 != 0) 1L else i.toLong, i)).toDF("k", "v")
+    val right = (1L to 1000L).map(k => (k, s"r$k")).toDF("k", "name")
+    val salts = 8
+    val joined = graft.api.Ops.saltedJoin(left, right, "k", salts)
+    // correctness: identical multiset as the plain join
+    assert(joined.count() == left.join(right, "k").count())
+    // skew relief: the hot key's rows actually occupy >1 salt bucket before
+    // the join (the whole point — one reducer no longer owns the hot key)
+    val l = left.withColumn("_salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.spark_partition_id() +
+          org.apache.spark.sql.functions.monotonically_increasing_id(),
+        org.apache.spark.sql.functions.lit(salts)).cast("int"))
+    val hotBuckets = l.filter($"k" === 1L).select("_salt").distinct().count()
+    assert(hotBuckets > 1, s"hot key landed in only $hotBuckets salt bucket(s)")
+  }
+
+  test("tx37: token ids decode back to the most frequent words, OOV is -1") {
+    val rows = SparkEntry.queries("tx37_tokenize_ids")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getAs[scala.collection.Seq[Int]]("token_ids")
+      assert(ids.length == r.getAs[Int]("n_tokens"))
+      ids.foreach(id => assert(id >= -1 && id < 100))
+    }
+    // id 0 must be the corpus-wide most frequent token: it appears more
+    // often than any other single id across all docs
+    val freq = rows.flatMap(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+      .filter(_ >= 0).groupBy(identity).view.mapValues(_.size)
+    if (freq.nonEmpty) assert(freq.maxBy(_._2)._1 == 0)
+  }
+
   test("dd31: normalized dedup groups at least as coarsely as exact dedup") {
     val exact = SparkEntry.queries("dd25_dedup_exact")(spark, sf).count()
     val normd = SparkEntry.queries("dd31_dedup_normalized")(spark, sf).count()
