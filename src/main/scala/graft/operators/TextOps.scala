@@ -282,6 +282,57 @@ object TextOps {
       |  CAST(len(ws) AS INTEGER) AS n_tokens
       |FROM toks, m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- tx38
+  /** Sequence packing (concat-and-chunk): documents flow token-contiguously
+    * in doc_id order; each doc gets its global token offset, and sequence
+    * boundaries fall every 2048 tokens — the standard "pack the corpus into
+    * fixed-length training sequences" step.
+    *
+    * The global running sum is computed with the scalable two-pass pattern,
+    * NOT one global window (which would serialize the whole corpus through
+    * a single partition): (1) per-bucket token totals, prefix-summed over
+    * the tiny bucket table; (2) a within-bucket cumulative window,
+    * partition-parallel; offset = bucket base + within-bucket cumsum. At
+    * 100 TB, pick the bucket width so the bucket TABLE (not the data) fits
+    * one partition — 1M docs/bucket ⇒ 100k bucket rows for 10^11 docs. */
+  private def tx38(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(toks("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / 64).cast("long"))
+    val base = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+      .withColumn("base", coalesce(
+        sum(col("btot")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bucket", "base")
+    val within = t.withColumn("cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    within.join(broadcast(base), "bucket")
+      .withColumn("off", col("base") + col("cum") - col("n_tokens"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("off"),
+        expr("off div 2048").as("seq_id"),
+        (col("off") % 2048).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  private val tx38Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+      |  FROM t)
+      |SELECT doc_id, n_tokens, off,
+      |  CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  CAST(off % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -291,5 +342,6 @@ object TextOps {
     GraftQuery("tx35_fingerprint", tx35, Some(tx35Oracle)),
     GraftQuery("tx36_bigram_freq", tx36, Some(tx36Oracle)),
     GraftQuery("tx37_tokenize_ids", tx37, Some(tx37Oracle)),
+    GraftQuery("tx38_pack_sequences", tx38, Some(tx38Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

@@ -113,6 +113,19 @@ class ExtendedSpec extends SparkTestBase {
     if (freq.nonEmpty) assert(freq.maxBy(_._2)._1 == 0)
   }
 
+  test("tx38: token offsets are contiguous — two-pass prefix sum equals a sequential scan") {
+    val rows = SparkEntry.queries("tx38_pack_sequences")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var expectedOff = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("off") == expectedOff,
+        s"doc ${r.getAs[Long]("doc_id")}: off ${r.getAs[Long]("off")} != $expectedOff")
+      assert(r.getAs[Long]("seq_offset") == expectedOff % 2048)
+      assert(r.getAs[Long]("seq_id") == expectedOff / 2048)
+      expectedOff += r.getAs[Long]("n_tokens")
+    }
+  }
+
   test("dd31: normalized dedup groups at least as coarsely as exact dedup") {
     val exact = SparkEntry.queries("dd25_dedup_exact")(spark, sf).count()
     val normd = SparkEntry.queries("dd31_dedup_normalized")(spark, sf).count()
