@@ -58,29 +58,44 @@ object Dedup {
       .orderBy("a_id", "b_id")
 
   // ---------------------------------------------------------------- dd28
-  /** Exact n-gram Jaccard within `source` blocks (blocked all-pairs —
-    * the block key bounds the quadratic term; at 100 TB you'd block on a
-    * stronger key or fall back to dd26's LSH). SQL-expressible, so this
-    * one carries a full DuckDB oracle. */
+  /** Exact n-gram Jaccard within `source` blocks, with PPJoin-style prefix
+    * filtering for candidate generation (Chaudhuri et al., "A primitive
+    * operator for similarity joins", ICDE 2006; Xiao et al., "Efficient
+    * similarity joins for near duplicate detection", WWW 2008):
+    * two sets with Jaccard >= 0.5 must share |A∩B| >= (|A|+|B|)/3 hashes,
+    * and with the size-ratio constraint |B| >= |A|/2 that overlap is at
+    * least ⌈|A|/2⌉ — so any qualifying pair shares a hash within the first
+    * ⌊|A|/2⌋+1 elements of each SORTED hash set. Candidates come from an
+    * equi-join on exploded prefix hashes (cost ∝ matching prefixes, not
+    * block²), then exact merge-walk verification. Exactness-preserving:
+    * the prefix theorem guarantees every qualifying pair survives
+    * candidate generation, and verification is exact — same results as the
+    * all-pairs form, same DuckDB oracle. */
   private def dd28(spark: SparkSession, dir: String): DataFrame = {
-    // Shingle sets as sorted 64-bit hash arrays; per-pair work is one
-    // codegen'd merge-walk intersection. The size-ratio join predicate is
-    // exactness-preserving: jaccard >= 0.5 implies max(|A|,|B|) <= 2*min.
     val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
     val g = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("source"), hsUdf(col("text")).as("hs"))
       .withColumn("sz", size(col("hs")))
-    val a = g.alias("a")
-    val b = g.alias("b")
-    val inter = graft.functions.ArrayOps.intersectCardSorted(col("a.hs"), col("b.hs"))
-    // a.sz > 0 guards the 0/0 Jaccard of two <3-token docs (ANSI mode would
-    // throw DIVIDE_BY_ZERO); such pairs can never reach the 0.5 threshold.
-    a.join(b,
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") > 0 &&
+      .filter(col("sz") > 0) // <3-token docs have no shingles, can't reach 0.5
+    // prefix of the sorted hash array: ⌊sz/2⌋+1 elements (safe for t=0.5)
+    val pref = g.select(col("doc_id"), col("source"), col("sz"),
+      explode(slice(col("hs"), lit(1), (col("sz") / 2).cast("int") + 1)).as("ph"))
+    val pa = pref.alias("a")
+    val pb = pref.alias("b")
+    val candidates = pa.join(pb,
+        col("a.ph") === col("b.ph") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"), inter.as("inter"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact verification: re-join the compact sorted hash sets by id; the
+    // per-pair work is one codegen'd merge-walk intersection
+    val ha = g.select(col("doc_id").as("a_id"), col("hs").as("hsa"), col("sz").as("sza"))
+    val hb = g.select(col("doc_id").as("b_id"), col("hs").as("hsb"), col("sz").as("szb"))
+    val inter = graft.functions.ArrayOps.intersectCardSorted(col("hsa"), col("hsb"))
+    candidates.join(ha, "a_id").join(hb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        col("sza"), col("szb"), inter.as("inter"))
       .select(col("a_id"), col("b_id"),
         (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
