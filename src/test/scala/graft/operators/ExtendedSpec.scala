@@ -126,6 +126,22 @@ class ExtendedSpec extends SparkTestBase {
     }
   }
 
+  test("built-in session_window agrees with Ops.sessionize on session counts per user") {
+    // cross-validation: Spark's native session_window generator and the
+    // lag+cumsum sessionize must carve identical session boundaries
+    val ev = Tables(spark, sf, "events").select("user_id", "ts", "event_id")
+    val native = ev
+      .groupBy(col("user_id"), expr("session_window(ts, '30 minutes')").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    val manual = graft.api.Ops.sessionize(
+        ev, keys = Seq("user_id"), tsCol = "ts", tieCol = "event_id", gapMs = 1800000L)
+      .groupBy("user_id").agg(countDistinct(col("session_id")).as("n_sessions"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(native.nonEmpty && native == manual)
+  }
+
   test("dd31: normalized dedup groups at least as coarsely as exact dedup") {
     val exact = SparkEntry.queries("dd25_dedup_exact")(spark, sf).count()
     val normd = SparkEntry.queries("dd31_dedup_normalized")(spark, sf).count()

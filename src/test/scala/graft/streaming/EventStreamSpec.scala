@@ -103,6 +103,36 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file source -> parquet sink with checkpoint: restart resumes exactly-once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (inDir, outDir, ckDir) = (s"$base/in", s"$base/out", s"$base/ck")
+    new java.io.File(inDir).mkdirs()
+
+    def addBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("event_id", "event_type").write.mode("overwrite").parquet(s"$inDir/$name")
+
+    def startQuery() = spark.readStream
+      .schema("event_id LONG, event_type STRING")
+      .option("recursiveFileLookup", "true").parquet(inDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .start()
+
+    addBatch("b1", Seq((1L, "click"), (2L, "view")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // new files land while the query is DOWN; the restarted query must pick
+    // up only the unprocessed ones (the checkpoint's file log has b1)
+    addBatch("b2", Seq((3L, "click")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir).collect().map(_.getAs[Long]("event_id")).sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L), s"expected exactly-once delivery, got ${out.toSeq}")
+  }
+
   test("stateful sessionize closes a session on gap and keeps the open one in state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
