@@ -475,6 +475,30 @@ object Extended {
       |)
       |SELECT n, fact FROM r ORDER BY n""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Error-safe function surface: try_divide / try_cast return NULL where
+    * ANSI mode would throw — the "quarantine bad rows, don't kill the
+    * 100 TB job" idiom. (The oracle expresses the same semantics with
+    * guards, since DuckDB divides doubles IEEE-style.) */
+  private def q75(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_orderkey, l_linenumber - 1)").as("per_prior_line"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        expr("try_cast(CAST(l_linenumber AS STRING) AS INT)").as("roundtrip_int"))
+      .orderBy("l_orderkey", "l_linenumber", "per_prior_line")
+
+  private val q75Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_linenumber - 1 = 0 THEN NULL
+      |       ELSE CAST(l_orderkey AS DOUBLE) / (l_linenumber - 1) END AS per_prior_line,
+      |  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+      |  TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS roundtrip_int
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, per_prior_line""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -494,5 +518,6 @@ object Extended {
     GraftQuery("q71_array_breadth", q71, Some(q71Oracle)),
     GraftQuery("q72_set_ops_all", q72, Some(q72Oracle)),
     GraftQuery("q73_not_in_null_aware", q73, Some(q73Oracle)),
-    GraftQuery("q74_recursive_cte", q74, Some(q74Oracle)))
+    GraftQuery("q74_recursive_cte", q74, Some(q74Oracle)),
+    GraftQuery("q75_try_funcs", q75, Some(q75Oracle)))
 }
