@@ -19,8 +19,12 @@ object Tables {
   // Per-(session, path) DataFrame cache: repeated Tables() calls across the
   // query registry would otherwise re-read parquet footers and re-plan the
   // relation each time (~50 ms × hundreds of loads per Verify/Bench run).
-  // Keyed by sessionUUID so entries die with their session; the plan object
-  // is immutable, so sharing it across queries is safe.
+  // The plan object is immutable, so sharing it across queries is safe.
+  // Tradeoffs, acceptable for this harness's process shapes (one or few
+  // sessions per JVM, read-only testdata): entries are never evicted, so a
+  // stopped session stays referenced for the JVM's lifetime, and a parquet
+  // directory rewritten in place mid-session would be served from the
+  // first-load file listing.
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

@@ -143,8 +143,13 @@ object Ops {
     * reducers instead of melting one. Use when AQE's skew handling isn't
     * available/enough (e.g., a single pathological key at 100 TB).
     */
+  /** The left-side salt assignment used by [[saltedJoin]] — exposed so
+    * tests assert the spread property of the REAL expression, not a copy. */
+  def saltColumn(salts: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int")
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
-    val l = left.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val l = left.withColumn("_salt", saltColumn(salts))
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }

@@ -214,10 +214,15 @@ object TextOps {
     * query at sf0.1. Top-20 with a lexicographic tie-break so the LIMIT
     * boundary is deterministic. */
   private val bigramsUdf = udf { text: String =>
-    // same tokenization as toks(): split on single spaces, drop empties
-    val ts = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
-    if (ts.length < 2) Array.empty[String]
-    else Array.tabulate(ts.length - 1)(i => ts(i) + " " + ts(i + 1))
+    // null-safe: a null text row yields no bigrams (the HOF form this
+    // replaced — and the oracle's lower(text) — propagate null harmlessly)
+    if (text == null) Array.empty[String]
+    else {
+      // same tokenization as toks(): split on single spaces, drop empties
+      val ts = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+      if (ts.length < 2) Array.empty[String]
+      else Array.tabulate(ts.length - 1)(i => ts(i) + " " + ts(i + 1))
+    }
   }
 
   private def tx36(spark: SparkSession, dir: String): DataFrame =

@@ -2,10 +2,8 @@ package graft.sources.kv
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -15,6 +13,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 implementation of the reference engine's wire format:
   * line-oriented `key value` text (reference: src/utils.rs:47-53 writes,
@@ -33,6 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Column pruning is pushed into the source (SupportsPushDownRequiredColumns):
   * a key-only projection never materializes values, and vice versa.
+  *
+  * All filesystem access goes through the session's Hadoop configuration
+  * (spark.hadoop.* settings apply), shipped to tasks via
+  * [[SerializableConfiguration]].
   */
 class KVTextSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-kv"
@@ -62,6 +65,11 @@ object KVTextSource {
     * KiB would swamp the scheduler; 32 MiB is a scan-friendly default and
     * the reference's constant remains reachable via `option("chunkSize", 1024)`. */
   val DefaultChunkSize: Long = 32L * 1024 * 1024
+
+  /** Driver-side session Hadoop conf (spark.hadoop.* applied), wrapped for
+    * shipping into tasks. */
+  private[kv] def hadoopConf(): SerializableConfiguration =
+    new SerializableConfiguration(SparkSession.active.sessionState.newHadoopConf())
 }
 
 class KVTable(path: String, chunk: Long) extends Table with SupportsRead with SupportsWrite {
@@ -102,11 +110,15 @@ class KVScan(path: String, chunk: Long, required: StructType) extends Scan with 
     s"graft-kv $path chunkSize=$chunk columns=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val conf = KVTextSource.hadoopConf()
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
+    // a missing path is an operator error, not an empty table — fail like
+    // every built-in file source does
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"graft-kv path does not exist: $path")
     val files =
-      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else if (fs.getFileStatus(p).isDirectory)
+      if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith("."))
       else Array(fs.getFileStatus(p))
@@ -120,15 +132,16 @@ class KVScan(path: String, chunk: Long, required: StructType) extends Scan with 
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KVReaderFactory(required.fieldNames)
+    KVReaderFactory(required.fieldNames, KVTextSource.hadoopConf())
 }
 
 case class KVInputPartition(file: String, start: Long, end: Long, fileLen: Long)
     extends InputPartition
 
-case class KVReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+case class KVReaderFactory(columns: Array[String], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KVPartitionReader(partition.asInstanceOf[KVInputPartition], columns)
+    new KVPartitionReader(partition.asInstanceOf[KVInputPartition], columns, conf)
 }
 
 /** Reads `key value` lines from one byte range of one file. Split protocol
@@ -139,25 +152,27 @@ case class KVReaderFactory(columns: Array[String]) extends PartitionReaderFactor
   * past `end` to finish the last one. Together the two rules give
   * exactly-once line delivery across splits.
   */
-class KVPartitionReader(p: KVInputPartition, columns: Array[String])
-    extends PartitionReader[InternalRow] {
+class KVPartitionReader(p: KVInputPartition, columns: Array[String],
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
 
   private val needKey = columns.contains("key")
   private val needValue = columns.contains("value")
 
-  private val fs = new Path(p.file).getFileSystem(new Configuration())
-  private val in = fs.open(new Path(p.file))
+  private val fsIn = new Path(p.file).getFileSystem(conf.value).open(new Path(p.file))
+  // byte-at-a-time parsing over a buffered wrapper — the raw checksum
+  // stream pays a full call stack per read(), catastrophic at MiB ranges.
+  // Safe because the range is consumed strictly sequentially after the seek.
+  private val in = { fsIn.seek(p.start); new java.io.BufferedInputStream(fsIn, 128 * 1024) }
   private var pos: Long = p.start
   private var current: InternalRow = _
   private val buf = new java.io.ByteArrayOutputStream(256)
 
   if (p.start > 0) {
-    in.seek(p.start)
     // skip the leading partial line (consumed by the previous split)
     var b = in.read()
     pos += (if (b >= 0) 1 else 0)
     while (b >= 0 && b != '\n') { b = in.read(); pos += 1 }
-  } else in.seek(0)
+  }
 
   /** Reads the next full line starting at `pos`; null at range/file end. */
   private def nextLine(): Array[Byte] = {
@@ -177,7 +192,8 @@ class KVPartitionReader(p: KVInputPartition, columns: Array[String])
     var line = nextLine()
     while (line != null) {
       // split_once(' ') semantics (reference src/utils.rs:86): lines with
-      // no space have no KV split and are skipped.
+      // no space have no KV split and are skipped; so are empty-key lines
+      // (the writer refuses to produce either shape).
       val sp = line.indexOf(' '.toByte)
       if (sp > 0) {
         val vals = columns.map {
@@ -210,52 +226,78 @@ class KVWrite(path: String, doTruncate: Boolean) extends Write {
   override def toBatch: BatchWrite = new KVBatchWrite(path, doTruncate)
 }
 
+/** NOTE: overwrite truncates the target up front (driver-side, before any
+  * task runs), so an aborted overwrite job leaves an empty/partial target
+  * rather than the old data — the same non-atomic overwrite contract as
+  * Spark's direct output committers. Failed TASKS, by contrast, are clean:
+  * each task abort deletes its own partial file, and retries write a fresh
+  * task-scoped filename. */
 class KVBatchWrite(path: String, doTruncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side, once, before any task writes
+    val conf = KVTextSource.hadoopConf()
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
     if (doTruncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    KVWriterFactory(path)
+    KVWriterFactory(path, conf)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KVCommitMessage(file) =>
       val p = new Path(file)
-      val fs = p.getFileSystem(new Configuration())
+      val fs = p.getFileSystem(KVTextSource.hadoopConf().value)
       if (fs.exists(p)) fs.delete(p, false)
     }
 }
 
 case class KVCommitMessage(file: String) extends WriterCommitMessage
 
-case class KVWriterFactory(path: String) extends DataWriterFactory {
+case class KVWriterFactory(path: String, conf: SerializableConfiguration)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KVDataWriter(s"$path/chunk-$partitionId-$taskId.txt")
+    new KVDataWriter(s"$path/chunk-$partitionId-$taskId.txt", conf)
 }
 
 /** Writes `key value\n` lines (reference src/utils.rs:47-53 — but with a
   * task-scoped deterministic filename instead of the reference's random
-  * u64, which could collide, src/utils.rs:64-77). Null keys cannot be
-  * represented in the line format and are dropped; null values write as
-  * empty strings. */
-class KVDataWriter(file: String) extends DataWriter[InternalRow] {
+  * u64, which could collide, src/utils.rs:64-77).
+  *
+  * Representability is enforced, not assumed: the line format cannot carry
+  * an empty key, a key containing a space, or a newline in either field —
+  * such rows would silently re-parse as DIFFERENT data (key splits shift,
+  * embedded newlines become extra records), so the writer throws instead.
+  * Null keys are dropped (documented format limitation); null values write
+  * as empty strings. */
+class KVDataWriter(file: String, conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
   private val p = new Path(file)
-  private val out = p.getFileSystem(new Configuration()).create(p, true)
+  private val fs = p.getFileSystem(conf.value)
+  private val out = fs.create(p, true)
 
   override def write(row: InternalRow): Unit = {
     if (!row.isNullAt(0)) {
-      val key = row.getUTF8String(0)
-      val value = if (row.isNullAt(1)) UTF8String.EMPTY_UTF8 else row.getUTF8String(1)
-      out.write(key.getBytes)
+      val key = row.getUTF8String(0).toString
+      val value = if (row.isNullAt(1)) "" else row.getUTF8String(1).toString
+      if (key.isEmpty || key.indexOf(' ') >= 0 || key.indexOf('\n') >= 0)
+        throw new IllegalArgumentException(
+          s"graft-kv cannot represent key ${key.take(40)}: keys must be non-empty " +
+            "with no spaces or newlines (split_once-parse format)")
+      if (value.indexOf('\n') >= 0)
+        throw new IllegalArgumentException(
+          "graft-kv cannot represent newlines in values (line-oriented format)")
+      out.write(key.getBytes("UTF-8"))
       out.write(' ')
-      out.write(value.getBytes)
+      out.write(value.getBytes("UTF-8"))
       out.write('\n')
     }
   }
 
   override def commit(): WriterCommitMessage = { out.close(); KVCommitMessage(file) }
-  override def abort(): Unit = { out.close() }
+  override def abort(): Unit = {
+    // delete this task's partial output — a retry writes a fresh
+    // task-scoped filename, so leftovers would double-count on read
+    try out.close() catch { case _: Throwable => () }
+    if (fs.exists(p)) fs.delete(p, false)
+  }
   override def close(): Unit = ()
 }

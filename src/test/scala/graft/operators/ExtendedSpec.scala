@@ -88,12 +88,9 @@ class ExtendedSpec extends SparkTestBase {
     // correctness: identical multiset as the plain join
     assert(joined.count() == left.join(right, "k").count())
     // skew relief: the hot key's rows actually occupy >1 salt bucket before
-    // the join (the whole point — one reducer no longer owns the hot key)
-    val l = left.withColumn("_salt",
-      org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.spark_partition_id() +
-          org.apache.spark.sql.functions.monotonically_increasing_id(),
-        org.apache.spark.sql.functions.lit(salts)).cast("int"))
+    // the join (the whole point — one reducer no longer owns the hot key);
+    // uses the production salt expression, not a copy
+    val l = left.withColumn("_salt", graft.api.Ops.saltColumn(salts))
     val hotBuckets = l.filter($"k" === 1L).select("_salt").distinct().count()
     assert(hotBuckets > 1, s"hot key landed in only $hotBuckets salt bucket(s)")
   }

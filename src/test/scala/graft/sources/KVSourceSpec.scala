@@ -64,6 +64,28 @@ class KVSourceSpec extends SparkTestBase {
     assert(after == Set("only" -> "row"))
   }
 
+  test("writer refuses unrepresentable rows instead of silently corrupting them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kvsrc6").toString + "/bad"
+    def attempt(rows: Seq[(String, String)]): Throwable =
+      intercept[Exception] {
+        rows.toDF("key", "value").write.format("graft-kv").mode("overwrite").save(dir)
+      }
+    // key with a space would re-parse as a different (key, value) split
+    assert(attempt(Seq(("a b", "v"))).getMessage.contains("graft-kv"))
+    // newline in a value would become a phantom extra record
+    assert(attempt(Seq(("k", "v1\nv2"))).getMessage.contains("graft-kv"))
+    // empty key produces a line the reader must skip — reject at write time
+    assert(attempt(Seq(("", "v"))).getMessage.contains("graft-kv"))
+  }
+
+  test("missing path fails loudly instead of returning an empty table") {
+    val err = intercept[Exception] {
+      spark.read.format("graft-kv").load("/tmp/graft-kv-no-such-path-xyz").collect()
+    }
+    assert(err.getMessage.contains("does not exist"), err.getMessage)
+  }
+
   test("reference dataflow end-to-end on the V2 source: chunked scan -> wordcount -> KV sink") {
     import spark.implicits._
     val dir = Files.createTempDirectory("kvsrc5").toString
