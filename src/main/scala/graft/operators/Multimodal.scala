@@ -122,7 +122,34 @@ object Multimodal {
       |  MIN(md5(text)) AS min_md5
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- mm38
+  /** Frame sampling: each video payload (n_frames = bytes/1024 + 1, the
+    * FakeCodec convention) expands to every-5th-frame rows via a
+    * sequence() generator — the decode-k-frames-per-clip shape. The
+    * generator is codegen'd and the expansion factor is bounded by the
+    * stride, so the op stays linear in sampled (not total) frames; a real
+    * decoder slots into a mapPartitions over these (doc_id, frame_idx)
+    * rows exactly like [[decodeFeatures]]. */
+  private def mm38(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2) // the video rows under mm36's routing
+      .select(
+        col("doc_id"),
+        (octet_length(col("text")).cast("int") / 1024 + 1).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val mm38Oracle =
+    """WITH v AS (
+      |  SELECT doc_id, CAST(strlen(text) // 1024 + 1 AS INTEGER) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT doc_id, n_frames,
+      |  CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
+      |FROM v ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("mm36_multimodal_features", mm36, Some(mm36Oracle)),
-    GraftQuery("mm37_binary_manifest", mm37, Some(mm37Oracle)))
+    GraftQuery("mm37_binary_manifest", mm37, Some(mm37Oracle)),
+    GraftQuery("mm38_frame_sample", mm38, Some(mm38Oracle)))
 }
