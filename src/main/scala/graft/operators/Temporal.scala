@@ -132,7 +132,52 @@ object Temporal {
       |            / COUNT(first_purchase_ts) END AS avg_ms_to_convert
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Time-series gap fill: a complete hourly spine per event type (types ×
+    * generated hour range), LEFT-joined to the sparse hourly revenue, with
+    * missing hours forward-filled from the last observed value (leading
+    * gaps fall back to 0). The spine side is a broadcast of one bounds row
+    * crossed with the tiny type dimension, so the heavy side — events —
+    * is aggregated once and never expanded. */
+  private def q76(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select("event_type", "ts", "value")
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("h"))
+      .agg(dsum(col("value")).as("rev"))
+    val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(
+        col("event_type"), col("h"),
+        col("rev").isNotNull.cast("int").as("observed"),
+        coalesce(col("rev"), last(col("rev"), ignoreNulls = true).over(w), lit(0.0)).as("rev_filled"))
+      .orderBy("event_type", "h")
+  }
+
+  private val q76Oracle =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, ${oDsum("value")} AS rev
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+       |types AS (SELECT DISTINCT event_type FROM events),
+       |spine AS (
+       |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+       |  FROM types, b),
+       |j AS (SELECT s.event_type, s.h, hourly.rev
+       |      FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h)
+       |SELECT event_type, h,
+       |  CAST(rev IS NOT NULL AS INTEGER) AS observed,
+       |  COALESCE(rev,
+       |    last_value(rev IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING),
+       |    CAST(0 AS DOUBLE)) AS rev_filled
+       |FROM j ORDER BY event_type, h""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
+    GraftQuery("q76_gap_fill", q76, Some(q76Oracle)),
     GraftQuery("q19_asof_join", q19, Some(q19Oracle)),
     GraftQuery("q20_sessionize", q20, Some(q20Oracle)),
     GraftQuery("q21_event_window_agg", q21, Some(q21Oracle)),
