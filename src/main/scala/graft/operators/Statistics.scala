@@ -76,6 +76,30 @@ object Statistics {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Approximate (GK-sketch) percentiles — the mergeable scale path next
+    * to q38's exact sort-based percentile, as q17 (HLL) is to q16. At
+    * accuracy >= group size the sketch degenerates to the exact discrete
+    * percentile, which DuckDB's quantile_disc reproduces — so unlike most
+    * sketches this one is oracle-checkable at test scale while remaining
+    * a genuine approx operator at 100 TB (drop the accuracy, keep the
+    * plan). */
+  private def q77(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").select("l_returnflag", "l_quantity")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000000)).as("median_qty"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(1000000)).as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val q77Oracle =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.5) AS median_qty,
+      |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Ordered string aggregation: nations per region as a sorted CSV. */
   private def q39(spark: SparkSession, dir: String): DataFrame = {
@@ -228,6 +252,7 @@ object Statistics {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q37_stats_agg", q37, Some(q37Oracle)),
     GraftQuery("q38_percentile", q38, Some(q38Oracle)),
+    GraftQuery("q77_approx_percentile", q77, Some(q77Oracle)),
     GraftQuery("q39_string_agg", q39, Some(q39Oracle)),
     GraftQuery("q41_pivot", q41, Some(q41Oracle)),
     GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
