@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration — the one
+  * entry point a user migrating off the reference needs (the reference's
+  * equivalent knobs: worker pool size, src/master.rs:27; input split size,
+  * src/constants.rs:5 — both replaced by Spark parallelism/partitioning
+  * settings here).
+  *
+  * Everything set here is a default, applied before `getOrCreate`, so
+  * callers can override any of it through their own builder calls or
+  * spark-submit --conf.
+  */
+object GraftSession {
+
+  /** `parallelism` sizes both the local master and the shuffle partition
+    * count; on a real cluster pass `master = None` and let the submitter
+    * choose, keeping shuffle partitions ≈ 2-3× total executor cores (AQE
+    * coalesces the excess at runtime). */
+  def builder(parallelism: Int = Runtime.getRuntime.availableProcessors(),
+      master: Option[String] = Some("local[*]")): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", parallelism)
+      // deterministic cross-engine timestamps (TESTDATA is UTC-naive)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS): surface as long, Tables converts
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter join pruning (no-op small, wins at scale)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // write µs timestamps so downstream engines (and the oracle) agree
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    master.fold(b)(b.master)
+  }
+}

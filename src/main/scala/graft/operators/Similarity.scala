@@ -79,8 +79,17 @@ object Similarity {
       .withColumn("bucket", bucketUdf(col("embedding")))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
+    // Multi-probe (Lv et al., "Multi-probe LSH", VLDB 2007): besides its
+    // own bucket, each query probes the NPlanes buckets one sign-flip away
+    // — near neighbors that landed just across one hyperplane are found at
+    // (planes+1)× probe cost instead of being silently missed. Without
+    // this, single-probe recall@5 measured ~0 at test scale (the quality
+    // floor in QueriesSpec guards it).
+    val probes = array(
+      col("bucket") +: (0 until NPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"), col("nrm").as("q_nrm"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        explode(probes).as("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))

@@ -87,6 +87,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("ANN recall@5 against exact top-5 stays above the quality floor") {
+    def top5(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .filter(_.getAs[Int]("rn") <= 5)
+        .groupBy(_.getAs[Long]("q_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exact = top5("ss30_cosine_topk")
+    for ((name, floor) <- Seq("ss31_ann_lsh_topk" -> 0.2, "ss32_ann_ivf_topk" -> 0.5)) {
+      val approx = top5(name)
+      // recall averaged over the queries the ANN answered at all
+      val recalls = approx.collect { case (q, got) if exact.contains(q) =>
+        (got intersect exact(q)).size.toDouble / exact(q).size.min(5)
+      }
+      assert(recalls.nonEmpty, s"$name returned no comparable queries")
+      val mean = recalls.sum / recalls.size
+      assert(mean >= floor,
+        f"$name mean recall@5 $mean%.2f fell below the $floor floor — " +
+          "approx quality regressed (bucketing/probing parameters?)")
+    }
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
