@@ -203,6 +203,39 @@ object Ops {
     labels
   }
 
+  /** PageRank over a directed edge list (src, dst) — the second iterative
+    * graph operator next to [[connectedComponents]] (Page et al., "The
+    * PageRank citation ranking", Stanford InfoLab 1999; the MapReduce
+    * formulation is the canonical iterative-join workload of the Google
+    * MapReduce lineage this engine generalizes).
+    *
+    * Each iteration: rank/out-degree flows along edges, ranks re-form as
+    * `(1-d)/N + d·Σ contributions` — two shuffles per round on the edge
+    * key. Dangling-node mass is dropped (documented simplification; ranks
+    * then sum to < N). The edge list and degrees are checkpointed once up
+    * front so iterations don't recompute the upstream pipeline.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(ranks, col("src") === col("id"))
+        .join(outDeg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping)) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint() // cut the lineage: plans grow linearly per round otherwise
+    }
+    ranks
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine similarity (self-matches excluded by id). The
     * query side is broadcast; norms are precomputed per row; the per-pair

@@ -499,6 +499,43 @@ object Extended {
       |FROM lineitem WHERE l_orderkey < 100
       |ORDER BY l_orderkey, l_linenumber, per_prior_line""".stripMargin
 
+  // ---------------------------------------------------------------- gr78
+  /** PageRank over the supplier→part fulfillment graph (high-quantity
+    * lineitems as edges): top-20 parts by rank. Engine-only — iterative
+    * double fixpoints aren't single-statement SQL, and partial-agg
+    * summation order makes the low ulps run-dependent; the spec checks
+    * the structural properties instead. */
+  private def gr78(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 48.0)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    // 6 iterations: top-20 ordering on this shallow bipartite graph is
+    // stable well before that; per-iteration cost is fixed shuffle +
+    // checkpoint overhead, so iterations are the direct bench dial
+    graft.api.Ops.pageRank(edges, "src", "dst", iterations = 6)
+      .orderBy(col("rank").desc, col("id")).limit(20)
+  }
+
+  // ---------------------------------------------------------------- q79
+  /** Bloom-filter membership: a distributed sketch build over lineitem's
+    * supplier keys (`df.stat.bloomFilter` — treeAggregate of per-partition
+    * blooms), shipped to executors as a broadcast variable and probed per
+    * row. The small-footprint semi-join prefilter shape: at 100 TB the
+    * sketch replaces shuffling the probe side against the full key set.
+    * Engine-only (sketch bits are Spark-internal), but deterministic: no
+    * false negatives by construction; the spec bounds the fp rate. */
+  private def q79(spark: SparkSession, dir: String): DataFrame = {
+    val bf = Tables(spark, dir, "lineitem").stat.bloomFilter("l_suppkey", 100000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf { k: Long => bfB.value.mightContainLong(k) }
+    val sup = Tables(spark, dir, "supplier").select(col("s_suppkey"))
+    sup.select(col("s_suppkey").as("probe_key"), lit(1).as("should_exist"))
+      .unionByName(sup.select((col("s_suppkey") + 10000000L).as("probe_key"), lit(0).as("should_exist")))
+      .select(col("probe_key"), col("should_exist"),
+        mightContain(col("probe_key")).cast("int").as("bloom_says"))
+      .orderBy("probe_key", "should_exist")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -519,5 +556,7 @@ object Extended {
     GraftQuery("q72_set_ops_all", q72, Some(q72Oracle)),
     GraftQuery("q73_not_in_null_aware", q73, Some(q73Oracle)),
     GraftQuery("q74_recursive_cte", q74, Some(q74Oracle)),
-    GraftQuery("q75_try_funcs", q75, Some(q75Oracle)))
+    GraftQuery("q75_try_funcs", q75, Some(q75Oracle)),
+    GraftQuery("gr78_pagerank", gr78, None),
+    GraftQuery("q79_bloom_membership", q79, None))
 }

@@ -139,6 +139,29 @@ class ExtendedSpec extends SparkTestBase {
     assert(native.nonEmpty && native == manual)
   }
 
+  test("gr78 pagerank: ranks positive, bounded by theory, and top node beats the baseline") {
+    val rows = SparkEntry.queries("gr78_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    // every rank >= the teleport baseline (1-d) = 0.15; sorted descending
+    ranks.foreach(r => assert(r >= 0.15 - 1e-9))
+    assert(ranks.sameElements(ranks.sorted.reverse))
+    // a part receiving edges must out-rank the no-inlink baseline
+    assert(ranks.head > 0.15)
+  }
+
+  test("q79 bloom: zero false negatives; false-positive rate within bound") {
+    val rows = SparkEntry.queries("q79_bloom_membership")(spark, sf).collect()
+    val (present, absent) = rows.partition(_.getAs[Int]("should_exist") == 1)
+    assert(present.nonEmpty && absent.nonEmpty)
+    // a bloom filter can NEVER miss an inserted key
+    present.foreach(r => assert(r.getAs[Int]("bloom_says") == 1,
+      s"false negative for key ${r.getAs[Long]("probe_key")}"))
+    // 800k bits / 100k capacity => fpp well under 5%; allow slack for tiny n
+    val fpr = absent.count(_.getAs[Int]("bloom_says") == 1).toDouble / absent.length
+    assert(fpr <= 0.10, f"false-positive rate $fpr%.3f exceeds bound")
+  }
+
   test("dd31: normalized dedup groups at least as coarsely as exact dedup") {
     val exact = SparkEntry.queries("dd25_dedup_exact")(spark, sf).count()
     val normd = SparkEntry.queries("dd31_dedup_normalized")(spark, sf).count()
