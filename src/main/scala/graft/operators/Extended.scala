@@ -536,6 +536,55 @@ object Extended {
       .orderBy("probe_key", "should_exist")
   }
 
+  // ---------------------------------------------------------------- q80
+  /** SCD-2 merge/upsert, declaratively: a dimension plus a deterministic
+    * update batch produce closed-out old versions, new current versions
+    * (updates + inserts), and untouched rows — the MERGE INTO pattern as a
+    * join/anti-join union that Catalyst plans as ordinary shuffles. At
+    * scale this is the same plan a Delta/Iceberg merge lowers to. */
+  private def q80(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+    val upd = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), (col("c_acctbal") + 100.0).as("bal"), col("c_mktsegment").as("seg"))
+      .unionByName(
+        Tables(spark, dir, "customer")
+          .filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), lit(50.0).as("bal"), lit("NEW").as("seg")))
+    val closed = dim.join(upd.select("k"), Seq("k"), "left_semi")
+      .select(col("k"), col("bal"), col("seg"), lit(0).as("is_current"), lit("closed").as("action"))
+    val fresh = upd.join(dim.select(col("k"), lit(1).as("_in_dim")), Seq("k"), "left")
+      .select(col("k"), col("bal"), col("seg"), lit(1).as("is_current"),
+        when(col("_in_dim").isNull, "inserted").otherwise("updated").as("action"))
+    val untouched = dim.join(upd.select("k"), Seq("k"), "left_anti")
+      .select(col("k"), col("bal"), col("seg"), lit(1).as("is_current"), lit("unchanged").as("action"))
+    closed.unionByName(fresh).unionByName(untouched)
+      .orderBy("k", "is_current", "action")
+  }
+
+  private val q80Oracle =
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer),
+      |upd AS (
+      |  SELECT c_custkey AS k, c_acctbal + 100 AS bal, c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS k, CAST(50 AS DOUBLE) AS bal, 'NEW' AS seg
+      |  FROM customer WHERE c_custkey % 11 = 0),
+      |merged AS (
+      |  SELECT d.k, d.bal, d.seg, 0 AS is_current, 'closed' AS action
+      |  FROM dim d JOIN upd u ON d.k = u.k
+      |  UNION ALL
+      |  SELECT u.k, u.bal, u.seg, 1 AS is_current,
+      |    CASE WHEN d.k IS NULL THEN 'inserted' ELSE 'updated' END AS action
+      |  FROM upd u LEFT JOIN dim d ON d.k = u.k
+      |  UNION ALL
+      |  SELECT d.k, d.bal, d.seg, 1 AS is_current, 'unchanged' AS action
+      |  FROM dim d WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = d.k))
+      |SELECT k, bal, seg, CAST(is_current AS INTEGER) AS is_current, action FROM merged
+      |ORDER BY k, is_current, action""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -558,5 +607,6 @@ object Extended {
     GraftQuery("q74_recursive_cte", q74, Some(q74Oracle)),
     GraftQuery("q75_try_funcs", q75, Some(q75Oracle)),
     GraftQuery("gr78_pagerank", gr78, None),
-    GraftQuery("q79_bloom_membership", q79, None))
+    GraftQuery("q79_bloom_membership", q79, None),
+    GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)))
 }
