@@ -223,7 +223,7 @@ object Ops {
       .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e.join(ranks, col("src") === col("id"))
         .join(outDeg, "src")
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
@@ -231,7 +231,11 @@ object Ops {
       ranks = nodes.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit((1.0 - damping)) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint() // cut the lineage: plans grow linearly per round otherwise
+      // Rank lineage is a CHAIN (each round's output is consumed exactly
+      // once by the next), so no per-round materialization is needed for
+      // correctness or recompute; checkpoint sparsely just to keep the
+      // analyzed-plan size bounded at high iteration counts.
+      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -585,6 +585,31 @@ object Extended {
       |SELECT k, bal, seg, CAST(is_current AS INTEGER) AS is_current, action FROM merged
       |ORDER BY k, is_current, action""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Argmin/argmax aggregates (min_by / max_by): which order carries the
+    * extreme quantity per flag. Raw min_by/max_by tie-breaking is
+    * engine-arbitrary, so the ordering key is a composite scalar
+    * (quantity·1e8 + orderkey — exact in double up to 2^53) that makes the
+    * winner unique. */
+  private def q81(spark: SparkSession, dir: String): DataFrame = {
+    val ordKey = col("l_quantity") * 100000000.0 + col("l_orderkey")
+    Tables(spark, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_quantity")
+      .groupBy("l_returnflag")
+      .agg(
+        max_by(col("l_orderkey"), ordKey).as("max_qty_order"),
+        min_by(col("l_orderkey"), ordKey).as("min_qty_order"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_quantity")).as("min_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q81Oracle =
+    """SELECT l_returnflag,
+      |  arg_max(l_orderkey, l_quantity * CAST(100000000 AS DOUBLE) + l_orderkey) AS max_qty_order,
+      |  arg_min(l_orderkey, l_quantity * CAST(100000000 AS DOUBLE) + l_orderkey) AS min_qty_order,
+      |  MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -608,5 +633,6 @@ object Extended {
     GraftQuery("q75_try_funcs", q75, Some(q75Oracle)),
     GraftQuery("gr78_pagerank", gr78, None),
     GraftQuery("q79_bloom_membership", q79, None),
-    GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)))
+    GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)),
+    GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)))
 }
