@@ -1,18 +1,13 @@
 package graft
-import org.apache.spark.sql.SparkSession
+/** Per-round benchmark main: times every registered query at the given
+  * scale factor and prints one JSON line. Session defaults come from
+  * GraftSession.builder (single source of truth). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.builder(cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet TIMESTAMP(NANOS): surface as long, Tables converts
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // runtime bloom-filter join pruning (no-op small, wins at scale)
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/classloading/parquet-reader paths on the tiny sf so

@@ -15,11 +15,17 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   /** `parallelism` sizes both the local master and the shuffle partition
-    * count; on a real cluster pass `master = None` and let the submitter
-    * choose, keeping shuffle partitions ≈ 2-3× total executor cores (AQE
+    * count. */
+  def builder(parallelism: Int): SparkSession.Builder =
+    builder(parallelism, Some(s"local[$parallelism]"))
+
+  def builder(): SparkSession.Builder =
+    builder(Runtime.getRuntime.availableProcessors())
+
+  /** `master = None` leaves the master to spark-submit (cluster use);
+    * keep shuffle partitions ≈ 2-3× total executor cores there (AQE
     * coalesces the excess at runtime). */
-  def builder(parallelism: Int = Runtime.getRuntime.availableProcessors(),
-      master: Option[String] = Some("local[*]")): SparkSession.Builder = {
+  def builder(parallelism: Int, master: Option[String]): SparkSession.Builder = {
     val b = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", parallelism)
       // deterministic cross-engine timestamps (TESTDATA is UTC-naive)

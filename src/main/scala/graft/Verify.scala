@@ -2,22 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Session defaults
+  * come from GraftSession.builder (single source of truth). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.builder(cpus)
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): surface as long, Tables converts
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // runtime bloom-filter join pruning (no-op small, wins at scale)
-      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // write timestamps as µs so result schemas line up with the DuckDB oracle
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -209,11 +209,14 @@ object Ops {
     * formulation is the canonical iterative-join workload of the Google
     * MapReduce lineage this engine generalizes).
     *
-    * Each iteration: rank/out-degree flows along edges, ranks re-form as
-    * `(1-d)/N + d·Σ contributions` — two shuffles per round on the edge
-    * key. Dangling-node mass is dropped (documented simplification; ranks
-    * then sum to < N). The edge list and degrees are checkpointed once up
-    * front so iterations don't recompute the upstream pipeline.
+    * UNNORMALIZED convention: ranks start at 1.0 and re-form as
+    * `(1-d) + d·Σ contributions` per node (divide by N for the
+    * probability-normalized variant). Node ids are a single namespace —
+    * callers joining two key domains (e.g. a bipartite graph) must make
+    * the ids disjoint first. Each iteration is one shuffle join plus one
+    * shuffle aggregate on the pre-weighted edge list (1/out-degree is
+    * folded into the edges once, up front, and checkpointed with them).
+    * Dangling-node mass is dropped (documented simplification).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
@@ -221,12 +224,16 @@ object Ops {
       .distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    // fold 1/out-degree into the edge list ONCE — a per-iteration
+    // groupBy+join over degrees would redo this work every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val weighted = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
-      val contribs = e.join(ranks, col("src") === col("id"))
-        .join(outDeg, "src")
-        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      val contribs = weighted.join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("rank") * col("w")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
       ranks = nodes.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),

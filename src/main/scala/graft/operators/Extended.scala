@@ -506,13 +506,19 @@ object Extended {
     * summation order makes the low ulps run-dependent; the spec checks
     * the structural properties instead. */
   private def gr78(spark: SparkSession, dir: String): DataFrame = {
+    // suppkey and partkey share the integer key space — offset the part
+    // side so the two node domains are disjoint (otherwise "part 7" and
+    // "supplier 7" alias into one node and rank flows along paths that
+    // don't exist in the fulfillment graph)
     val edges = Tables(spark, dir, "lineitem")
       .filter(col("l_quantity") >= 48.0)
-      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      .select(col("l_suppkey").as("src"), (col("l_partkey") + 10000000L).as("dst"))
     // 6 iterations: top-20 ordering on this shallow bipartite graph is
-    // stable well before that; per-iteration cost is fixed shuffle +
-    // checkpoint overhead, so iterations are the direct bench dial
+    // stable well before that; per-iteration cost is fixed shuffle
+    // overhead, so iterations are the direct bench dial
     graft.api.Ops.pageRank(edges, "src", "dst", iterations = 6)
+      .filter(col("id") >= 10000000L) // part nodes only
+      .select((col("id") - 10000000L).as("id"), col("rank"))
       .orderBy(col("rank").desc, col("id")).limit(20)
   }
 
@@ -528,8 +534,12 @@ object Extended {
     val bf = Tables(spark, dir, "lineitem").stat.bloomFilter("l_suppkey", 100000L, 0.01)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf { k: Long => bfB.value.mightContainLong(k) }
+    // ground truth is membership in the INSERTED set (lineitem suppliers),
+    // not "is a supplier" — a supplier with no lineitems was never added
+    val inserted = Tables(spark, dir, "lineitem").select(col("l_suppkey")).distinct()
     val sup = Tables(spark, dir, "supplier").select(col("s_suppkey"))
-    sup.select(col("s_suppkey").as("probe_key"), lit(1).as("should_exist"))
+    sup.join(inserted, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(col("s_suppkey").as("probe_key"), col("l_suppkey").isNotNull.cast("int").as("should_exist"))
       .unionByName(sup.select((col("s_suppkey") + 10000000L).as("probe_key"), lit(0).as("should_exist")))
       .select(col("probe_key"), col("should_exist"),
         mightContain(col("probe_key")).cast("int").as("bloom_says"))

@@ -14,8 +14,9 @@ import graft.functions.{TextHash, VectorOps}
   * until the per-query top-k (a tiny windowed agg).
   *
   * ss31: LSH-bucketed ANN — the scale path. Random-hyperplane signatures
-  * shrink the candidate set to one bucket per query; at 1000 executors
-  * this is a bucket-partitioned join instead of a full scan per query.
+  * shrink the candidate set to NPlanes+1 multi-probe buckets per query
+  * (own bucket + each single sign-flip); at 1000 executors this is a
+  * bucket-partitioned join instead of a full scan per query.
   */
 object Similarity {
 

@@ -96,9 +96,11 @@ class QueriesSpec extends SparkTestBase {
     val exact = top5("ss30_cosine_topk")
     for ((name, floor) <- Seq("ss31_ann_lsh_topk" -> 0.2, "ss32_ann_ivf_topk" -> 0.5)) {
       val approx = top5(name)
-      // recall averaged over the queries the ANN answered at all
-      val recalls = approx.collect { case (q, got) if exact.contains(q) =>
-        (got intersect exact(q)).size.toDouble / exact(q).size.min(5)
+      // recall averaged over ALL exact queries — an ANN that silently
+      // answers only a few queries scores 0 on the missing ones (else a
+      // degradation that drops most queries entirely would slip through)
+      val recalls = exact.map { case (q, want) =>
+        (approx.getOrElse(q, Set.empty[Long]) intersect want).size.toDouble / want.size.min(5)
       }
       assert(recalls.nonEmpty, s"$name returned no comparable queries")
       val mean = recalls.sum / recalls.size
