@@ -620,6 +620,20 @@ object Extended {
       |  MAX(l_quantity) AS max_qty, MIN(l_quantity) AS min_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Stratified sampling (df.stat.sampleBy): per-stratum Bernoulli
+    * fractions under one seed — the class-balancing downsample step of a
+    * training-data pipeline (e.g. cap the dominant language/source).
+    * Engine-only: RNG streams aren't portable across engines; the spec
+    * asserts per-stratum proportions and determinism instead. */
+  private def q82(spark: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("A" -> 0.1, "N" -> 0.5, "R" -> 0.9)
+    Tables(spark, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber")
+      .stat.sampleBy("l_returnflag", fractions, seed = 42L)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -644,5 +658,6 @@ object Extended {
     GraftQuery("gr78_pagerank", gr78, None),
     GraftQuery("q79_bloom_membership", q79, None),
     GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)),
-    GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)))
+    GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)),
+    GraftQuery("q82_stratified_sample", q82, None))
 }

@@ -162,6 +162,21 @@ class ExtendedSpec extends SparkTestBase {
     assert(fpr <= 0.10, f"false-positive rate $fpr%.3f exceeds bound")
   }
 
+  test("q82 stratified sample: per-stratum proportions near targets, deterministic under the seed") {
+    val a = SparkEntry.queries("q82_stratified_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    val b = SparkEntry.queries("q82_stratified_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    assert(a == b, "same seed must give identical samples")
+    val totals = Tables(spark, sf, "lineitem").groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    for ((flag, target) <- Map("A" -> 0.1, "N" -> 0.5, "R" -> 0.9)) {
+      val got = a.getOrElse(flag, 0L).toDouble / totals(flag)
+      assert(math.abs(got - target) < 0.1,
+        f"stratum $flag sampled at $got%.2f, target $target (n=${totals(flag)})")
+    }
+  }
+
   test("dd31: normalized dedup groups at least as coarsely as exact dedup") {
     val exact = SparkEntry.queries("dd25_dedup_exact")(spark, sf).count()
     val normd = SparkEntry.queries("dd31_dedup_normalized")(spark, sf).count()

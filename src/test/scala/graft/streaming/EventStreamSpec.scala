@@ -133,6 +133,47 @@ class EventStreamSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 2L, 3L), s"expected exactly-once delivery, got ${out.toSeq}")
   }
 
+  test("foreachBatch upsert sink: each micro-batch merges into the latest-state table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("fb").toString
+    val stateDir = s"$base/state"
+    // the production streaming-merge idiom: the sink is a keyed latest-state
+    // table, each micro-batch upserts (new keys insert, seen keys replace)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("user_id", "status", "ver")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = batch.groupBy("user_id")
+          .agg(max_by(struct(col("status"), col("ver")), col("ver")).as("s"))
+          .select(col("user_id"), col("s.status").as("status"), col("s.ver").as("ver"))
+        val merged =
+          if (new java.io.File(stateDir).exists()) {
+            val prev = batch.sparkSession.read.parquet(stateDir)
+            prev.join(latest.select("user_id"), Seq("user_id"), "left_anti")
+              .unionByName(latest)
+          } else latest
+        // persist to a temp dir then swap: reading + overwriting the same
+        // parquet path in one job would clobber its own input
+        val tmp = s"$base/swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        val st = batch.sparkSession.read.parquet(tmp)
+        st.write.mode("overwrite").parquet(stateDir)
+      }
+      .start()
+    try {
+      mem.addData((1L, "new", 1L), (2L, "new", 1L))
+      q.processAllAvailable()
+      mem.addData((1L, "active", 2L), (3L, "new", 1L))
+      q.processAllAvailable()
+      val state = spark.read.parquet(stateDir).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("status")).toMap
+      assert(state == Map(1L -> "active", 2L -> "new", 3L -> "new"),
+        s"merged state wrong: $state")
+    } finally q.stop()
+  }
+
   test("stateful sessionize closes a session on gap and keeps the open one in state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
