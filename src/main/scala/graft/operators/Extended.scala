@@ -20,6 +20,9 @@ import graft.{GraftQuery, Tables}
 object Extended {
   import Exact._
 
+  /** Identity on a string array, declared element-nullable (see q84). */
+  private[operators] val relaxArrayNulls = udf { xs: Seq[String] => xs }
+
   // ---------------------------------------------------------------- q56
   /** Unpivot/melt: wide metric columns to long (id, metric, val) form —
     * narrow projection feeds the scan, generator output is codegen'd. */
@@ -634,6 +637,60 @@ object Extended {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q83
+  /** CSV-string parsing (from_csv): schema-driven extraction from embedded
+    * delimited strings — the "semi-structured column" twin of q14's JSON
+    * path. The CSV line is built then re-parsed on each engine, so only
+    * the parsed (lossless round-trip) values are compared. */
+  private def q83(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("priority", org.apache.spark.sql.types.StringType)))
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        concat_ws(",", col("o_orderstatus"), col("o_totalprice").cast("string"), col("o_orderpriority")).as("line"))
+      .select(col("o_orderkey"), from_csv(col("line"), schema, Map.empty[String, String]).as("c"))
+      .select(col("o_orderkey"), col("c.status").as("status"), col("c.price").as("price"),
+        col("c.priority").as("priority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q83Oracle =
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    o_orderstatus || ',' || CAST(o_totalprice AS VARCHAR) || ',' || o_orderpriority AS line
+      |  FROM orders WHERE o_orderkey < 100)
+      |SELECT o_orderkey,
+      |  string_split(line, ',')[1] AS status,
+      |  CAST(string_split(line, ',')[2] AS DOUBLE) AS price,
+      |  string_split(line, ',')[3] AS priority
+      |FROM src ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Sorted-distinct collection aggregate: the deterministic form of
+    * collect_set (raw set order is engine/partition-arbitrary — the sort
+    * makes it comparable). */
+  private def q84(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select("o_orderpriority", "o_orderstatus")
+      .groupBy("o_orderpriority")
+      .agg(
+        // collect_set emits `element NOT NULL` but DuckDB lists are
+        // element-nullable, and Catalyst folds away nullability-only
+        // casts/conditions — an identity UDF (whose output schema is
+        // always element-nullable) is the one optimizer-proof way to make
+        // the arrow schemas agree; 5 group rows, so the UDF cost is nil
+        Extended.relaxArrayNulls(sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        countDistinct(col("o_orderstatus")).cast("int").as("n_statuses"))
+      .orderBy("o_orderpriority")
+
+  private val q84Oracle =
+    """SELECT o_orderpriority,
+      |  list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+      |  CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -659,5 +716,7 @@ object Extended {
     GraftQuery("q79_bloom_membership", q79, None),
     GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)),
     GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)),
-    GraftQuery("q82_stratified_sample", q82, None))
+    GraftQuery("q82_stratified_sample", q82, None),
+    GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
+    GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)))
 }
