@@ -88,4 +88,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"),
       "spine rows must partially aggregate before the shuffle")
   }
+
+  test("q76 gap fill: the bounds row joins in via broadcast, never a shuffled cartesian") {
+    val p = plan("q76_gap_fill")
+    assert(p.contains("Broadcast"), "one-row bounds × type dim must broadcast:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      "spine construction must not shuffle a cartesian product")
+  }
+
+  test("q73 NOT IN plans as a null-aware anti join, not a nested loop over the table") {
+    val p = plan("q73_not_in_null_aware")
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
 }
