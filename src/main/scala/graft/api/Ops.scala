@@ -117,6 +117,46 @@ object Ops {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact Jaccard similarity join over (id, text) with PPJoin-style
+    * prefix filtering (Chaudhuri et al., ICDE 2006; Xiao et al., WWW
+    * 2008): two shingle sets with Jaccard >= t — given the size-ratio
+    * constraint the join enforces — must overlap in >= ⌈t·|A|⌉ hashes, so
+    * any qualifying pair shares a hash within the first |A|-⌈t·|A|⌉+1
+    * elements of each SORTED hash set. Candidates come from an equi-join
+    * on exploded prefix hashes (cost ∝ matching prefixes, not block²),
+    * then exact merge-walk verification — so the prefix filter is
+    * exactness-preserving. Optional `blockCol` restricts pairs to equal
+    * block values (and tightens the candidate join).
+    * Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= t. */
+  def jaccardDupPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Option[String] = None, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
+    val blockExpr = blockCol.map(col).getOrElse(lit(0))
+    val g = df.select(col(idCol).as("doc_id"), blockExpr.as("_blk"), hsUdf(col(textCol)).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0) // <3-token docs have no shingles, can't reach t
+    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = g.select(col("doc_id"), col("_blk"), col("sz"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("ph"))
+    val pa = pref.alias("a")
+    val pb = pref.alias("b")
+    val candidates = pa.join(pb,
+        col("a.ph") === col("b.ph") && col("a._blk") === col("b._blk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= col("b.sz") * threshold && col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val ha = g.select(col("doc_id").as("a_id"), col("hs").as("hsa"), col("sz").as("sza"))
+    val hb = g.select(col("doc_id").as("b_id"), col("hs").as("hsb"), col("sz").as("szb"))
+    val inter = graft.functions.ArrayOps.intersectCardSorted(col("hsa"), col("hsb"))
+    candidates.join(ha, "a_id").join(hb, "b_id")
+      .select(col("a_id"), col("b_id"), col("sza"), col("szb"), inter.as("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
     * candidates, Hamming-verified with native bit_count. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {

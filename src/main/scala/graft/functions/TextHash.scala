@@ -144,15 +144,24 @@ object TextHash {
     }
   }
 
-  /** One-permutation MinHash over word-3-gram shingles (Li, Owen & Zhang,
-    * "One permutation hashing", NIPS 2012) with forward-cyclic
-    * densification for empty slots (Shrivastava & Li, "Improved
-    * densification of one permutation hashing", UAI 2014): each shingle
-    * hash lands in ONE of the k slots (its top bits) and updates that
-    * slot's minimum — O(shingles) total instead of the classic k-loop's
-    * O(shingles × k), which profiling showed was ~75% of the whole MinHash
-    * dedup pipeline. Per-slot agreement between two docs still estimates
-    * their Jaccard similarity, so LSH banding semantics are unchanged.
+  /** MinHash signature over word-3-gram shingles, hybrid by document size:
+    *
+    *  - shingles < 4k: classic k independent permutations via
+    *    double-hashing composites `h1 + p·h2` (Kirsch & Mitzenmacher,
+    *    "Less hashing, same performance", ESA 2006) — per-slot agreement
+    *    is independently ~Jaccard, the textbook banding analysis holds
+    *    exactly, and the k-loop is cheap when the shingle count is small.
+    *  - shingles ≥ 4k: one-permutation hashing (Li, Owen & Zhang, "One
+    *    permutation hashing", NIPS 2012): each shingle hash updates only
+    *    the slot picked by `h mod k` — O(shingles) instead of
+    *    O(shingles × k), the asymptotic fix for long documents. With ≥ 4k
+    *    shingles, empty slots are rare (P < e^-4 per slot), so the simple
+    *    deterministic forward-cyclic borrow that fills them (a simplified
+    *    in-place, one-directional variant — NOT the UAI 2014 densification
+    *    scheme) has negligible effect on agreement statistics; short
+    *    documents, where chained borrowing WOULD correlate slots, never
+    *    take this path.
+    *
     * Returns null-free Array[Long]; all-MaxValue when < 3 tokens (the
     * caller filters those before banding).
     */
@@ -160,25 +169,43 @@ object TextHash {
     val sig = Array.fill(k)(Long.MaxValue)
     val hs = shingleHashes3(text)
     if (hs.isEmpty) return sig
-    var j = 0
-    while (j < hs.length) {
-      // no dedup pass: duplicate shingles cannot change any minimum
-      val h = mix64(hs(j))
-      val slot = java.lang.Long.remainderUnsigned(h, k).toInt
-      if (h < sig(slot)) sig(slot) = h
-      j += 1
-    }
-    // densify: an empty slot borrows (rotated) from the next filled slot,
-    // deterministically — required so banding never compares raw MaxValue
-    // sentinels (which would make all sparse docs spuriously collide)
-    var p = 0
-    while (p < k) {
-      if (sig(p) == Long.MaxValue) {
-        var off = 1
-        while (sig((p + off) % k) == Long.MaxValue && off < k) off += 1
-        sig(p) = mix64(sig((p + off) % k) + off)
+    if (hs.length < 4 * k) {
+      // classic path: k derived permutations per shingle (no dedup pass —
+      // duplicate shingles cannot change any minimum)
+      var j = 0
+      while (j < hs.length) {
+        val h0 = hs(j)
+        val h1 = mix64(h0)
+        val h2 = mix64(h0 ^ 0x9e3779b97f4a7c15L) | 1L
+        var hp = h1
+        var p = 0
+        while (p < k) {
+          if (hp < sig(p)) sig(p) = hp
+          hp += h2
+          p += 1
+        }
+        j += 1
       }
-      p += 1
+    } else {
+      var j = 0
+      while (j < hs.length) {
+        val h = mix64(hs(j))
+        val slot = java.lang.Long.remainderUnsigned(h, k).toInt
+        if (h < sig(slot)) sig(slot) = h
+        j += 1
+      }
+      // fill the (rare) empty slots deterministically so banding never
+      // compares raw MaxValue sentinels (which would make sparse docs
+      // spuriously collide)
+      var p = 0
+      while (p < k) {
+        if (sig(p) == Long.MaxValue) {
+          var off = 1
+          while (sig((p + off) % k) == Long.MaxValue && off < k) off += 1
+          sig(p) = mix64(sig((p + off) % k) + off)
+        }
+        p += 1
+      }
     }
     sig
   }

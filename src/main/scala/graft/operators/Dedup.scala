@@ -71,36 +71,11 @@ object Dedup {
     * the prefix theorem guarantees every qualifying pair survives
     * candidate generation, and verification is exact — same results as the
     * all-pairs form, same DuckDB oracle. */
-  private def dd28(spark: SparkSession, dir: String): DataFrame = {
-    val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
-    val g = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), hsUdf(col("text")).as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .filter(col("sz") > 0) // <3-token docs have no shingles, can't reach 0.5
-    // prefix of the sorted hash array: ⌊sz/2⌋+1 elements (safe for t=0.5)
-    val pref = g.select(col("doc_id"), col("source"), col("sz"),
-      explode(slice(col("hs"), lit(1), (col("sz") / 2).cast("int") + 1)).as("ph"))
-    val pa = pref.alias("a")
-    val pb = pref.alias("b")
-    val candidates = pa.join(pb,
-        col("a.ph") === col("b.ph") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    // exact verification: re-join the compact sorted hash sets by id; the
-    // per-pair work is one codegen'd merge-walk intersection
-    val ha = g.select(col("doc_id").as("a_id"), col("hs").as("hsa"), col("sz").as("sza"))
-    val hb = g.select(col("doc_id").as("b_id"), col("hs").as("hsb"), col("sz").as("szb"))
-    val inter = graft.functions.ArrayOps.intersectCardSorted(col("hsa"), col("hsb"))
-    candidates.join(ha, "a_id").join(hb, "b_id")
-      .select(col("a_id"), col("b_id"),
-        col("sza"), col("szb"), inter.as("inter"))
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+  private def dd28(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Ops.jaccardDupPairs(
+        Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
+        blockCol = Some("source"), threshold = 0.5)
       .orderBy("a_id", "b_id")
-  }
 
   private val dd28Oracle =
     """WITH g AS (

@@ -20,8 +20,10 @@ class MinhashProbeSpec extends SparkTestBase {
       r
     }
 
-    // absorb scan/codegen/session warm-up so stage timings are honest
-    docs.select(length(col("text"))).agg(sum(lit(1))).head()
+    // absorb scan/codegen/session warm-up so stage timings are honest —
+    // the aggregate must actually CONSUME text, or Catalyst prunes the
+    // column and the first timed stage still pays the cold text scan
+    docs.agg(sum(length(col("text")))).head()
 
     val sigUdf = udf { text: String => graft.functions.TextHash.minhashSig(text, 64) }
     timed("signatures (k=64)") {
