@@ -691,6 +691,28 @@ object Extended {
       |  CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** SQL hint surface: the BROADCAST(c) hint forces the dimension side to
+    * broadcast regardless of size estimates — the escape hatch when stats
+    * mislead the planner at scale (PlanSpec pins that the hint is
+    * honored). DuckDB reads the hint as a plain comment, so the oracle is
+    * the identical statement. */
+  private def q85(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
+    Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
+    spark.sql(
+      s"""SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) AS n_orders,
+         |  ${oDsum("o.o_totalprice")} AS sum_price
+         |FROM graft_orders o JOIN graft_customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+  }
+
+  private val q85Oracle =
+    s"""SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) AS n_orders,
+       |  ${oDsum("o.o_totalprice")} AS sum_price
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -718,5 +740,6 @@ object Extended {
     GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)),
     GraftQuery("q82_stratified_sample", q82, None),
     GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
-    GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)))
+    GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
+    GraftQuery("q85_sql_hints", q85, Some(q85Oracle)))
 }

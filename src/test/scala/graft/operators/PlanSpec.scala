@@ -100,4 +100,16 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q73_not_in_null_aware")
     assert(p.contains("LeftAnti"), p.take(1500))
   }
+
+  test("q07 top-k: rank limit pushes below the window (WindowGroupLimit)") {
+    val p = plan("q07_window_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "rn <= k must prune per-group rows BEFORE the full window sort — " +
+        "without WindowGroupLimit every group's rows survive to the window:\n" + p.take(1500))
+  }
+
+  test("q85: SQL BROADCAST hint is honored") {
+    val p = plan("q85_sql_hints")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
 }
