@@ -713,6 +713,27 @@ object Extended {
        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Windowed distinct count. Spark forbids DISTINCT aggregates in window
+    * frames, so the idiomatic workaround is size(collect_set() OVER w) —
+    * worth pinning against an engine (DuckDB) that supports the construct
+    * natively. Whole-partition frame; rows sharing all projected columns
+    * are fully identical, so the sort is hash-stable. */
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        size(collect_set(col("l_partkey")).over(w)).as("nd_parts_supp"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  private val q86Oracle =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(COUNT(DISTINCT l_partkey) OVER (PARTITION BY l_suppkey) AS INTEGER) AS nd_parts_supp
+      |FROM lineitem WHERE l_suppkey < 5
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -741,5 +762,6 @@ object Extended {
     GraftQuery("q82_stratified_sample", q82, None),
     GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
-    GraftQuery("q85_sql_hints", q85, Some(q85Oracle)))
+    GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
+    GraftQuery("q86_window_distinct", q86, Some(q86Oracle)))
 }
