@@ -141,6 +141,41 @@ class OpsSpec extends SparkTestBase {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("pageRank matches the hand-computed fixpoint on a 3-node chain") {
+    import spark.implicits._
+    // a -> b -> c ; d=0.85, unnormalized, init 1.0. Fixpoint:
+    //   r(a) = 0.15                      (no in-links)
+    //   r(b) = 0.15 + 0.85·r(a)         = 0.2775
+    //   r(c) = 0.15 + 0.85·r(b)         = 0.385875
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ranks = Ops.pageRank(edges, "src", "dst", iterations = 20).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(ranks(1L) - 0.15) < 1e-9)
+    assert(math.abs(ranks(2L) - 0.2775) < 1e-9)
+    assert(math.abs(ranks(3L) - 0.385875) < 1e-9)
+  }
+
+  test("jaccardDupPairs: higher threshold returns a subset; blockCol restricts pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "g1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "g1", "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "g1", "one two three four five six"),          // unrelated
+      (4L, "g2", "alpha beta gamma delta epsilon zeta")   // dup of 1, other block
+    ).toDF("doc_id", "grp", "text")
+    def pairs(t: Double, block: Option[String]) =
+      Ops.jaccardDupPairs(docs, "doc_id", "text", block, t).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val loose = pairs(0.3, None)
+    val tight = pairs(0.7, None)
+    assert(tight.subsetOf(loose), "raising the threshold must only remove pairs")
+    assert(loose.contains((1L, 2L)) && loose.contains((1L, 4L)))
+    assert(!loose.contains((1L, 3L)), "unrelated docs must not pair")
+    // blocking removes the cross-block (1,4) pair but keeps in-block (1,2)
+    val blocked = pairs(0.3, Some("grp"))
+    assert(blocked.contains((1L, 2L)) && !blocked.contains((1L, 4L)))
+  }
+
   test("cosineTopK ranks an exact duplicate vector first") {
     import spark.implicits._
     val vecs = Seq(
