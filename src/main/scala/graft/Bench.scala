@@ -26,6 +26,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The r2 bench output was truncated from the FRONT, losing the leading
+    // "metric":"total" field — repeat the total on its own compact line
+    // after the big per-query map so the last line always survives.
+    println(s"""{"total":$total}""")
     spark.stop()
   }
 }

@@ -210,6 +210,41 @@ object TextHash {
     sig
   }
 
+  /** Lowercase, strip non-alphanumerics, collapse runs to single spaces,
+    * and trim — one char pass, byte-identical to
+    * `trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))` for
+    * ASCII-lowercasing input (chars outside A-Z whose Unicode lowercase
+    * lands in a-z, e.g. the Kelvin sign, would differ — the dedup corpus
+    * is ASCII). Exists because the java.util.regex pass was the dd31
+    * bench hotspot (same move that fixed tx36): the NFA walks every char
+    * through alternation state; this loop is a table-free compare.
+    */
+  def normalizeText(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c0 = s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else pendingSpace = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** [[normalizeText]] as a column function (null in, null out). */
+  lazy val normalizeUdf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val u = org.apache.spark.sql.functions.udf { s: String =>
+      if (s == null) null else normalizeText(s)
+    }
+    c => u(c)
+  }
+
   /** Karp–Rabin polynomial rolling fingerprint over the whole string
     * (base 257, mod 2^61-1). Used for document fingerprinting.
     */

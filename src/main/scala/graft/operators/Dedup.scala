@@ -129,19 +129,54 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- dd30
-  /** Near-dup clusters: MinHash pairs → connected components → one
-    * canonical doc per duplicate cluster. The step that turns pairwise
-    * similarity into an actual training-set dedup decision. Engine-only
-    * (iterative fixpoint isn't single-statement SQL). */
+  /** Near-dup clusters: exact-Jaccard pairs (PPJoin prefix filter, no
+    * block restriction) → connected components → one canonical doc per
+    * duplicate cluster. The step that turns pairwise similarity into an
+    * actual training-set dedup decision.
+    *
+    * Built on [[graft.api.Ops.jaccardDupPairs]] (exactness-preserving
+    * candidates) rather than the MinHash pairs dd26 uses, so the WHOLE
+    * pipeline — candidate generation, verification, clustering — is
+    * deterministic and oracle-checked: the DuckDB side recomputes the
+    * same pair set relationally and closes it with a recursive CTE
+    * (min-label = min over the transitive closure). */
   private def dd30(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.api.Ops.minhashDupPairs(
+    val pairs = graft.api.Ops.jaccardDupPairs(
       Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
-      k = 64, rowsPerBand = 4, threshold = 0.5)
+      blockCol = None, threshold = 0.5)
     graft.api.Ops.connectedComponents(pairs, "a_id", "b_id")
       .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_rep")).cast("int"))
       .orderBy("cluster_rep", "doc_id")
   }
+
+  /** Pair generation mirrors dd28's oracle but via unnest→equi-join→count
+    * (only pairs sharing >= 1 shingle are touched — the oracle-side analog
+    * of the prefix filter); the closure is a recursive CTE. */
+  private val dd30Oracle =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [] END AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents) t),
+      |sh AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS h FROM g WHERE len(sh) > 0),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS sza, b.sz AS szb, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pairs AS (SELECT a_id, b_id FROM inter WHERE i / (sza + szb - i) >= 0.5),
+      |nodes AS (SELECT a_id AS id FROM pairs UNION SELECT b_id AS id FROM pairs),
+      |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id AS u, a_id AS v FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON reach.id = e.u)
+      |SELECT id AS doc_id, MIN(r) AS cluster_rep,
+      |  CAST(CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+      |FROM reach GROUP BY id ORDER BY cluster_rep, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dd31
   /** Normalization-keyed dedup: lowercase, strip punctuation, collapse
@@ -149,7 +184,12 @@ object Dedup {
     * "fuzzy-exact" tier between dd25 (byte-exact) and dd26 (MinHash).
     * One hash agg on a 16-byte key; the cheapest near-dup pass at 100 TB. */
   private def dd31(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    // Char-pass UDF, not regexp_replace(lower(..)): the regex NFA pass was
+    // the r2 bench's single worst line (12.5 s — 29% of the visible
+    // total). Output is byte-identical on this corpus (QueriesSpec pins
+    // UDF == regex on the real table; TextHashSpec on unit cases), so the
+    // DuckDB oracle keeps its regex form.
+    val norm = TextHash.normalizeUdf(col("text"))
     Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
       .select(col("doc_id"), md5(encode(norm, "UTF-8")).as("norm_key"))
       .groupBy("norm_key")
@@ -170,6 +210,6 @@ object Dedup {
     GraftQuery("dd27_dedup_simhash", dd27, None),
     GraftQuery("dd28_dedup_ngram_jaccard", dd28, Some(dd28Oracle)),
     GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)),
-    GraftQuery("dd30_dedup_clusters", dd30, None),
+    GraftQuery("dd30_dedup_clusters", dd30, Some(dd30Oracle)),
     GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)))
 }

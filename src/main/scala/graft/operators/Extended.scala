@@ -20,9 +20,6 @@ import graft.{GraftQuery, Tables}
 object Extended {
   import Exact._
 
-  /** Identity on a string array, declared element-nullable (see q84). */
-  private[operators] val relaxArrayNulls = udf { xs: Seq[String] => xs }
-
   // ---------------------------------------------------------------- q56
   /** Unpivot/melt: wide metric columns to long (id, metric, val) form —
     * narrow projection feeds the scan, generator output is codegen'd. */
@@ -394,7 +391,14 @@ object Extended {
   // ---------------------------------------------------------------- q71
   /** Array function breadth over embeddings: sort, slice, flatten,
     * membership, argmax position, reverse. (Spark slice(col, start, len)
-    * vs DuckDB's inclusive [a:b] — lengths aligned on both sides.) */
+    * vs DuckDB's inclusive [a:b] — lengths aligned on both sides.)
+    *
+    * The two float-array results (sorted5, rev3) are posexploded to
+    * (pos, val) scalar rows for the harness compare: the driver's pandas
+    * sort crashes on ndarray-typed columns (r2 `err` row), and
+    * stringifying floats would couple the check to two engines'
+    * float-formatting quirks — exploded scalars reuse the proven numeric
+    * compare path instead. */
   private def q71(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < 20)
@@ -405,16 +409,25 @@ object Extended {
         array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
         expr("array_position(embedding, array_max(embedding))").as("argmax_pos"),
         reverse(slice(col("embedding"), 1, 3)).as("rev3"))
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("flat_len"), col("has_zero"), col("argmax_pos"),
+        posexplode(concat(col("sorted5"), col("rev3"))).as(Seq("pos", "val")))
+      .orderBy("vec_id", "pos")
 
   private val q71Oracle =
-    """SELECT vec_id,
-      |  list_sort(embedding[1:5]) AS sorted5,
-      |  CAST(len(flatten([embedding[1:2], embedding[3:4]])) AS INTEGER) AS flat_len,
-      |  list_contains(embedding, 0.0) AS has_zero,
-      |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
-      |  list_reverse(embedding[1:3]) AS rev3
-      |FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""".stripMargin
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    list_sort(embedding[1:5]) AS sorted5,
+      |    CAST(len(flatten([embedding[1:2], embedding[3:4]])) AS INTEGER) AS flat_len,
+      |    list_contains(embedding, 0.0) AS has_zero,
+      |    CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+      |    list_reverse(embedding[1:3]) AS rev3
+      |  FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id, flat_len, has_zero, argmax_pos,
+      |        list_concat(sorted5, rev3) AS comb FROM t)
+      |SELECT vec_id, flat_len, has_zero, argmax_pos,
+      |  unnest(list_transform(range(len(comb)), x -> CAST(x AS INTEGER))) AS pos,
+      |  unnest(comb) AS val
+      |FROM c ORDER BY vec_id, pos""".stripMargin
 
   // ---------------------------------------------------------------- q72
   /** Multiset set-operators: INTERSECT ALL / EXCEPT ALL (multiplicity
@@ -504,10 +517,11 @@ object Extended {
 
   // ---------------------------------------------------------------- gr78
   /** PageRank over the supplier→part fulfillment graph (high-quantity
-    * lineitems as edges): top-20 parts by rank. Engine-only — iterative
-    * double fixpoints aren't single-statement SQL, and partial-agg
-    * summation order makes the low ulps run-dependent; the spec checks
-    * the structural properties instead. */
+    * lineitems as edges): top-20 parts by rank. The oracle unrolls the 6
+    * fixed iterations as chained CTEs (no recursion needed for a fixed
+    * depth); ranks are rounded to 9 decimals on BOTH sides so
+    * partial-agg summation order (a few ulps at 1e-17 on ranks ~1e-1)
+    * can't flap the hash, and the sort key is the rounded rank. */
   private def gr78(spark: SparkSession, dir: String): DataFrame = {
     // suppkey and partkey share the integer key space — offset the part
     // side so the two node domains are disjoint (otherwise "part 7" and
@@ -521,8 +535,29 @@ object Extended {
     // overhead, so iterations are the direct bench dial
     graft.api.Ops.pageRank(edges, "src", "dst", iterations = 6)
       .filter(col("id") >= 10000000L) // part nodes only
-      .select((col("id") - 10000000L).as("id"), col("rank"))
+      .select((col("id") - 10000000L).as("id"), round(col("rank"), 9).as("rank"))
       .orderBy(col("rank").desc, col("id")).limit(20)
+  }
+
+  private val gr78Oracle = {
+    val iters = (1 to 6).map { k =>
+      val prev = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT n.id, 0.15::DOUBLE + 0.85::DOUBLE * COALESCE(s.c, 0::DOUBLE) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT w.dst, SUM($prev.rank * w.w) AS c
+         |    FROM w JOIN $prev ON w.src = $prev.id GROUP BY w.dst) s
+         |  ON n.id = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+       |  FROM lineitem WHERE l_quantity >= 48),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+       |w AS (SELECT src, dst, 1.0::DOUBLE / (COUNT(*) OVER (PARTITION BY src)) AS w FROM edges),
+       |r0 AS (SELECT id, 1.0::DOUBLE AS rank FROM nodes),
+       |$iters
+       |SELECT CAST(id - 10000000 AS BIGINT) AS id, round(rank, 9) AS rank
+       |FROM r6 WHERE id >= 10000000 ORDER BY rank DESC, id LIMIT 20""".stripMargin
   }
 
   // ---------------------------------------------------------------- q79
@@ -671,23 +706,21 @@ object Extended {
   // ---------------------------------------------------------------- q84
   /** Sorted-distinct collection aggregate: the deterministic form of
     * collect_set (raw set order is engine/partition-arbitrary — the sort
-    * makes it comparable). */
+    * makes it comparable). The sorted set is emitted as a ','-joined
+    * string: the driver's pandas compare crashes sorting array-typed
+    * columns (r2 `err` row), and a delimited string of the sorted
+    * elements carries the identical information. */
   private def q84(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders").select("o_orderpriority", "o_orderstatus")
       .groupBy("o_orderpriority")
       .agg(
-        // collect_set emits `element NOT NULL` but DuckDB lists are
-        // element-nullable, and Catalyst folds away nullability-only
-        // casts/conditions — an identity UDF (whose output schema is
-        // always element-nullable) is the one optimizer-proof way to make
-        // the arrow schemas agree; 5 group rows, so the UDF cost is nil
-        Extended.relaxArrayNulls(sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
         countDistinct(col("o_orderstatus")).cast("int").as("n_statuses"))
       .orderBy("o_orderpriority")
 
   private val q84Oracle =
     """SELECT o_orderpriority,
-      |  list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+      |  coalesce(array_to_string(list_sort(list_distinct(list(o_orderstatus))), ','), '') AS statuses,
       |  CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -755,7 +788,7 @@ object Extended {
     GraftQuery("q73_not_in_null_aware", q73, Some(q73Oracle)),
     GraftQuery("q74_recursive_cte", q74, Some(q74Oracle)),
     GraftQuery("q75_try_funcs", q75, Some(q75Oracle)),
-    GraftQuery("gr78_pagerank", gr78, None),
+    GraftQuery("gr78_pagerank", gr78, Some(gr78Oracle)),
     GraftQuery("q79_bloom_membership", q79, None),
     GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)),
     GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)),

@@ -264,10 +264,15 @@ object TextOps {
       .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(-1)).as("tid"))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)").as("token_ids"))
-    // left join so zero-token docs still emit (with an empty id list)
+    // left join so zero-token docs still emit (with an empty id list).
+    // The id list goes out as a ','-joined string: the driver's pandas
+    // compare crashes sorting array-typed columns (r2 `err` row), and the
+    // CSV form of an int list is a lossless, format-stable encoding.
     toks.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"),
+        concat_ws(",",
+          coalesce(col("token_ids"), array().cast("array<int>")).cast("array<string>"))
+          .as("token_ids"),
         size(col("ws")).as("n_tokens"))
       .orderBy("doc_id")
   }
@@ -283,7 +288,8 @@ object TextOps {
       |  QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, word) <= 100),
       |m AS (SELECT map(list(word), list(id)) AS vm FROM vocab)
       |SELECT doc_id,
-      |  list_transform(ws, t -> coalesce(map_extract(vm, t)[1], -1)) AS token_ids,
+      |  coalesce(array_to_string(
+      |    list_transform(ws, t -> coalesce(map_extract(vm, t)[1], -1)), ','), '') AS token_ids,
       |  CAST(len(ws) AS INTEGER) AS n_tokens
       |FROM toks, m ORDER BY doc_id""".stripMargin
 

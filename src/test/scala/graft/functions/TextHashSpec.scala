@@ -74,6 +74,16 @@ class TextHashSpec extends AnyFunSuite {
     assert(f1 >= 0 && f1 < (1L << 61))
   }
 
+  test("normalizeText matches the regex form char-for-char (unit cases)") {
+    def regexForm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val cases = Seq(
+      "Hello,  World!", "  lead/trail  ", "", "a", "...", "a1 B2!c3",
+      "tabs\tand\nnewlines", "already clean text", "UPPER lower 123",
+      "double  space", "!@#$%^&*()", "x", "mixed-Case_Words.here")
+    cases.foreach(s => assert(TextHash.normalizeText(s) == regexForm(s), s"input: '$s'"))
+  }
+
   test("hamming counts differing bits") {
     assert(TextHash.hamming(0L, -1L) == 64)
     assert(TextHash.hamming(5L, 4L) == 1)

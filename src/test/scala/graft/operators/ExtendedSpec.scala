@@ -98,14 +98,20 @@ class ExtendedSpec extends SparkTestBase {
   test("tx37: token ids decode back to the most frequent words, OOV is -1") {
     val rows = SparkEntry.queries("tx37_tokenize_ids")(spark, sf).collect()
     assert(rows.nonEmpty)
+    // token_ids goes out CSV-encoded for the harness (pandas can't sort
+    // array columns) — decoding here doubles as the losslessness check
+    def decode(r: org.apache.spark.sql.Row): Seq[Int] = {
+      val s = r.getAs[String]("token_ids")
+      if (s.isEmpty) Seq.empty else s.split(",").toSeq.map(_.toInt)
+    }
     rows.foreach { r =>
-      val ids = r.getAs[scala.collection.Seq[Int]]("token_ids")
+      val ids = decode(r)
       assert(ids.length == r.getAs[Int]("n_tokens"))
       ids.foreach(id => assert(id >= -1 && id < 100))
     }
     // id 0 must be the corpus-wide most frequent token: it appears more
     // often than any other single id across all docs
-    val freq = rows.flatMap(_.getAs[scala.collection.Seq[Int]]("token_ids"))
+    val freq = rows.flatMap(decode)
       .filter(_ >= 0).groupBy(identity).view.mapValues(_.size)
     if (freq.nonEmpty) assert(freq.maxBy(_._2)._1 == 0)
   }

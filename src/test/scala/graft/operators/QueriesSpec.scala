@@ -110,6 +110,18 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dd31 char-pass normalization is byte-identical to the regex form on the corpus") {
+    import org.apache.spark.sql.functions._
+    // dd31's oracle keeps the regexp_replace form — this pins the UDF
+    // swap (the r2 bench hotspot fix) to it on the real table
+    val mismatch = graft.Tables(spark, sf, "documents")
+      .select(
+        graft.functions.TextHash.normalizeUdf(col("text")).as("u"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("r"))
+      .filter(not(col("u") <=> col("r"))).count()
+    assert(mismatch == 0, s"$mismatch docs normalize differently under the char-pass UDF")
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
