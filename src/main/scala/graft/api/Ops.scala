@@ -287,6 +287,134 @@ object Ops {
     ranks
   }
 
+  /** Exact cosine similarity self-join: ALL pairs with
+    * `cos(a, b) >= threshold`, with pivot-blocked candidate generation
+    * (ball-cover metric join; cf. Jacox & Samet, "Metric space similarity
+    * joins", TODS 2008). Never a full×full nested-loop join:
+    *
+    *   1. every vector is assigned to its nearest of `numPivots`
+    *      deterministic pivot directions (one linear pass; the angles to
+    *      ALL pivots are kept for step 3);
+    *   2. per-pivot angular radii are aggregated, and a pivot PAIR (i, j)
+    *      is admissible iff `ang(p_i, p_j) <= r_i + r_j + acos(t)` — by
+    *      the spherical triangle inequality every qualifying vector pair
+    *      must live in an admissible pivot pair, so pruning is
+    *      EXACTNESS-PRESERVING (this is candidate pruning, not LSH:
+    *      nothing probabilistic, no recall knob);
+    *   3. candidates flow through two equi-joins on the pivot ids
+    *      (broadcast of the tiny admissible-pair table, then a shuffle
+    *      hash join on the pivot key), each side pre-filtered by the
+    *      per-vector bound `ang(v, p_other) <= acos(t) + r_other`;
+    *   4. survivors are verified with the exact codegen'd dot product —
+    *      the same ordered-fold math the all-pairs form used, so results
+    *      (and the DuckDB oracle) are bit-identical.
+    *
+    * Scale shape: compute is `Σ |C_i|·|C_j|` over admissible pairs —
+    * when the corpus clusters (the production dedup regime: planted
+    * near-dups at t >= 0.8), most pivot pairs are inadmissible and cost
+    * collapses toward `Σ cluster²`; on isotropic data at a permissive
+    * threshold every pair is genuinely borderline, no exact method can
+    * beat n² comparisons, and this plan degrades to an evenly-distributed
+    * grid join (shuffle volume stays O(n·numPivots) rows — pairs are
+    * materialized only inside the join iterator). Raise `numPivots` with
+    * corpus size (buckets ∝ sqrt(n)); the approximate path for corpora
+    * where n² verification is unaffordable is [[minhashDupPairs]] /
+    * the LSH side of Similarity.
+    */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPivots: Int = 16): DataFrame = {
+    require(threshold > -1 && threshold <= 1, s"threshold must be in (-1,1], got $threshold")
+    val spark = df.sparkSession
+    val thetaT = math.acos(threshold)
+    val eps = 1e-9 // bound slack: double-rounding must never EXCLUDE a true pair
+
+    // vector dimension (schema-level probe: one row, never the data path)
+    val dimRow = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    val dim = if (dimRow.isEmpty) 1 else math.max(dimRow(0).getInt(0), 1)
+
+    // Deterministic ±1 pivot directions (SplitMix64-derived, stable across
+    // JVMs/runs — same derivation family as the LSH planes). Pivot quality
+    // only affects PRUNING, never results.
+    val pivots = Array.tabulate(numPivots, dim) { (p, j) =>
+      if ((TextHash.mix64(p.toLong * 8191L + j) & 1L) == 0L) 1.0 else -1.0
+    }
+    val pivNorm = math.sqrt(dim.toDouble)
+    val pivB = spark.sparkContext.broadcast(pivots)
+
+    def clampAcos(x: Double): Double = math.acos(math.max(-1.0, math.min(1.0, x)))
+
+    // nearest pivot + angles to every pivot, one pass per vector
+    val assignUdf = udf { emb: Seq[Float] =>
+      val pv = pivB.value
+      var n2 = 0.0
+      var j = 0
+      while (j < emb.length) { n2 += emb(j).toDouble * emb(j); j += 1 }
+      val en = math.sqrt(n2)
+      val angles = new Array[Double](pv.length)
+      var best = 0
+      var p = 0
+      while (p < pv.length) {
+        val pp = pv(p)
+        var d = 0.0
+        var i = 0
+        val lim = math.min(emb.length, pp.length)
+        while (i < lim) { d += emb(i) * pp(i); i += 1 }
+        angles(p) = math.acos(math.max(-1.0, math.min(1.0, d / (en * math.sqrt(pp.length.toDouble)))))
+        if (angles(p) < angles(best)) best = p
+        p += 1
+      }
+      (best, angles)
+    }
+
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", VectorOps.norm(col("_v")))
+      .filter(col("_nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
+      .withColumn("_as", assignUdf(col("_v")))
+      .select(col("_id"), col("_v"), col("_nrm"),
+        col("_as._1").as("_c"), col("_as._2").as("_ang"))
+
+    // per-pivot radius = max member angle (numPivots rows — index metadata,
+    // like collecting AQE stats, not a data-path collect)
+    val radMap = base
+      .select(col("_c"), element_at(col("_ang"), col("_c") + 1).as("_a"))
+      .groupBy("_c").agg(max(col("_a")).as("_r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    val keys = radMap.keys.toSeq.sorted
+    val admRows = for {
+      i <- keys; j <- keys if i <= j
+      pij = {
+        var d = 0.0; var x = 0
+        while (x < dim) { d += pivots(i)(x) * pivots(j)(x); x += 1 }
+        clampAcos(d / (pivNorm * pivNorm))
+      }
+      if pij <= radMap(i) + radMap(j) + thetaT + eps
+    } yield (i, j, radMap(i), radMap(j))
+    import spark.implicits._
+    val adm = admRows.toDF("ci", "cj", "ri", "rj")
+
+    val a = base.select(col("_id").as("a_id"), col("_v").as("_va"),
+      col("_nrm").as("_na"), col("_c").as("_ca"), col("_ang").as("_anga"))
+    val b = base.select(col("_id").as("b_id"), col("_v").as("_vb"),
+      col("_nrm").as("_nb"), col("_c").as("_cb"), col("_ang").as("_angb"))
+
+    a.join(broadcast(adm), col("_ca") === col("ci"))
+      // per-vector refinement: a qualifying partner in C_j must be within
+      // acos(t) of `a`, and is within r_j of p_j — so `a` itself must be
+      // within acos(t)+r_j of p_j or the (a, C_j) block can't match
+      .filter(element_at(col("_anga"), col("cj") + 1) <= lit(thetaT) + col("rj") + lit(eps))
+      .join(b, col("cj") === col("_cb"))
+      .filter(element_at(col("_angb"), col("ci") + 1) <= lit(thetaT) + col("ri") + lit(eps))
+      .filter(col("ci") =!= col("cj") || col("a_id") < col("b_id"))
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        // per-element products commute and the fold order is positional,
+        // so dot(va, vb) is bit-identical regardless of id order
+        (VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine similarity (self-matches excluded by id). The
     * query side is broadcast; norms are precomputed per row; the per-pair

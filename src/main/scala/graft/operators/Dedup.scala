@@ -96,23 +96,18 @@ object Dedup {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- dd29
-  /** Embedding-cosine near-dup: all-pairs above a similarity threshold.
-    * Exact (ordered-fold double math, reproducible by the oracle); the
-    * approximate scale path is Similarity's LSH variant. */
-  private def dd29(spark: SparkSession, dir: String): DataFrame = {
-    // Norms precomputed per vector (not per pair); per-pair work is a single
-    // codegen'd dot product + divide.
-    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
-      .withColumn("nrm", VectorOps.norm(col("embedding")))
-      .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
+  /** Embedding-cosine near-dup: exact pairs above a similarity threshold,
+    * via [[graft.api.Ops.cosineDupPairs]] — pivot-blocked candidate
+    * generation (exactness-preserving metric pruning + equi-join grid;
+    * never a full×full BroadcastNestedLoopJoin — PlanSpec pins this).
+    * Results are bit-identical to the all-pairs form, so the oracle is
+    * unchanged; the approximate path for corpora where n² verification is
+    * unaffordable is Similarity's LSH variant. */
+  private def dd29(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Ops.cosineDupPairs(
+        Tables(spark, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding",
+        threshold = 0.4)
       .orderBy("a_id", "b_id")
-  }
 
   private val dd29Oracle =
     """WITH n0 AS (

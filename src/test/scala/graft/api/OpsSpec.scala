@@ -176,6 +176,51 @@ class OpsSpec extends SparkTestBase {
     assert(blocked.contains((1L, 2L)) && !blocked.contains((1L, 4L)))
   }
 
+  test("cosineDupPairs is bit-identical to the brute-force all-pairs join on the real table") {
+    val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    // reference: the plain O(n²) formulation this operator replaced
+    val withNorm = e
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("embedding")))
+      .filter(col("nrm") > 0)
+    val a = withNorm.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (graft.functions.VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Ops.cosineDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute, // == on doubles: bitwise is the contract
+      s"pivot-blocked join diverged: only-brute=${(brute -- pruned).take(3)} " +
+        s"only-pruned=${(pruned -- brute).take(3)}")
+    assert(brute.nonEmpty, "degenerate check: no qualifying pairs at this sf")
+  }
+
+  test("cosineDupPairs on clustered literal data: in-cluster pairs only, at a tight threshold") {
+    import spark.implicits._
+    // two tight opposite-ish clusters — the production dedup regime where
+    // pivot admissibility actually prunes cross-cluster blocks
+    val c1 = (0 until 5).map(i => (i.toLong, Seq(1.0f, 0.01f * i, 0.0f)))
+    val c2 = (10 until 15).map(i => (i.toLong, Seq(-1.0f, 0.0f, 0.01f * (i - 10))))
+    val df = (c1 ++ c2).toDF("vec_id", "embedding")
+    val got = Ops.cosineDupPairs(df, "vec_id", "embedding", threshold = 0.9, numPivots = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inC1 = for { x <- 0L until 5L; y <- x + 1 until 5L } yield (x, y)
+    val inC2 = for { x <- 10L until 15L; y <- x + 1 until 15L } yield (x, y)
+    assert(got == (inC1 ++ inC2).toSet,
+      s"expected exactly the in-cluster pairs, got $got")
+  }
+
+  test("cosineDupPairs: empty input and zero vectors flow through") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Ops.cosineDupPairs(empty, "vec_id", "embedding", 0.5).count() == 0)
+    val zeros = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Ops.cosineDupPairs(zeros, "vec_id", "embedding", 0.5).count() == 0)
+  }
+
   test("cosineTopK ranks an exact duplicate vector first") {
     import spark.implicits._
     val vecs = Seq(

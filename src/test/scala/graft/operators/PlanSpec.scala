@@ -108,6 +108,14 @@ class PlanSpec extends SparkTestBase {
         "without WindowGroupLimit every group's rows survive to the window:\n" + p.take(1500))
   }
 
+  test("dd29: pivot-blocked cosine join — no full×full nested loop or cartesian") {
+    val p = plan("dd29_dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "embedding-cosine dedup must route candidates through the pivot " +
+        "equi-joins, not an all-pairs nested loop:\n" + p.take(2000))
+    assert(p.contains("graft_dot_f"), "exact verification must stay on the codegen'd dot")
+  }
+
   test("q85: SQL BROADCAST hint is honored") {
     val p = plan("q85_sql_hints")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
