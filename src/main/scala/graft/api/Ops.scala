@@ -416,20 +416,33 @@ object Ops {
   }
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
-    * `corpus` by cosine similarity (self-matches excluded by id). The
-    * query side is broadcast; norms are precomputed per row; the per-pair
-    * work is one codegen'd dot product. */
-  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    * `corpus` by cosine similarity (self-matches excluded by id). Norms
+    * are precomputed per row; the per-pair work is one codegen'd dot
+    * product; the per-query top-k is rank-limited BEFORE the final
+    * shuffle (Spark's WindowGroupLimit — a map-side partial top-k).
+    *
+    * `broadcastQueries = true` (default) broadcasts the query side, so
+    * the corpus streams once with zero shuffle before the top-k — right
+    * whenever the query set fits in an executor (the common dedup/eval
+    * regime). Set it false for a LARGE query set: the join becomes a
+    * shuffle-replicate grid (every corpus partition × every query
+    * partition as independent tasks) — same exact results, no
+    * single-executor memory requirement on either side. For corpora
+    * where exact |Q|·|C| compute itself is unaffordable, use the LSH/IVF
+    * paths in [[graft.operators.Similarity]] instead. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     // Zero-norm vectors have no defined cosine: exclude them up front
     // (also prevents an ANSI-mode DIVIDE_BY_ZERO on the sim projection).
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", VectorOps.norm(col("_v")))
       .filter(col("_nrm") > 0)
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
       .withColumn("_qnrm", VectorOps.norm(col("_qv")))
       .filter(col("_qnrm") > 0)
+    val q = if (broadcastQueries) broadcast(q0) else q0.hint("shuffle_replicate_nl")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+    c.join(q, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorOps.dot(col("_qv"), col("_v")) / (col("_qnrm") * col("_nrm"))).as("sim"))
       .withColumn("rn", row_number().over(w))

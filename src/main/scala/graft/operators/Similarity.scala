@@ -55,12 +55,19 @@ object Similarity {
     * at the test scales; at production scale you'd raise planes with the
     * corpus size (buckets ∝ n / target-candidates). */
   private val NPlanes = 6
-  private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(NPlanes, 64) { (p, j) =>
-      if ((TextHash.mix64(p.toLong * 64L + j) & 1L) == 0L) 1.0 else -1.0
-    }
 
-  private def ss31(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH candidate pairs `(q_id, vec_id, sim)` for query rows
+    * (`vec_id % 100 == 0`), with `nPlanes` hyperplanes (2^nPlanes
+    * buckets). Exposed package-private so the scale probe can demonstrate
+    * the production recipe — raise `nPlanes` with corpus size so
+    * candidates-per-query stay bounded (buckets ∝ n / target-candidates)
+    * — against the very join ss31 runs. */
+  private[graft] def lshCandidates(raw: DataFrame, nPlanes: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nPlanes, 64) { (p, j) =>
+        if ((TextHash.mix64(p.toLong * 64L + j) & 1L) == 0L) 1.0 else -1.0
+      }
     val planesB = spark.sparkContext.broadcast(planes)
     val bucketUdf = udf { emb: Seq[Float] =>
       val pl = planesB.value
@@ -76,26 +83,30 @@ object Similarity {
       }
       bucket
     }
-    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val e = raw.select("vec_id", "embedding")
       .withColumn("bucket", bucketUdf(col("embedding")))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
     // Multi-probe (Lv et al., "Multi-probe LSH", VLDB 2007): besides its
-    // own bucket, each query probes the NPlanes buckets one sign-flip away
+    // own bucket, each query probes the nPlanes buckets one sign-flip away
     // — near neighbors that landed just across one hyperplane are found at
     // (planes+1)× probe cost instead of being silently missed. Without
     // this, single-probe recall@5 measured ~0 at test scale (the quality
     // floor in QueriesSpec guards it).
     val probes = array(
-      col("bucket") +: (0 until NPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+      col("bucket") +: (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         explode(probes).as("bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
+  }
+
+  private def ss31(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    lshCandidates(Tables(spark, dir, "embeddings"), NPlanes)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))

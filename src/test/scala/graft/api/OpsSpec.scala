@@ -233,4 +233,20 @@ class OpsSpec extends SparkTestBase {
     assert(got.head == 1L)
     assert(got.size == 2)
   }
+
+  test("cosineTopK: broadcast and shuffle-replicate grid paths take distinct plans, same results") {
+    val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val bc = Ops.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+    val grid = Ops.cosineTopK(e, q, "vec_id", "embedding", k = 5, broadcastQueries = false)
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    val gridPlan = grid.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastNestedLoopJoin"), bcPlan.take(1500))
+    assert(gridPlan.contains("CartesianProduct") && !gridPlan.contains("BroadcastNestedLoopJoin"),
+      "broadcastQueries=false must become a shuffle-replicate grid join " +
+        "(no single-executor residency for the query side):\n" + gridPlan.take(1500))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(key(bc) == key(grid), "join strategy must not change exact top-k results")
+  }
 }

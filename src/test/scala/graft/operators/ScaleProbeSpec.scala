@@ -35,4 +35,36 @@ class ScaleProbeSpec extends SparkTestBase {
       info(f"k=$k docs=$n pairs=$pairs time=$sec%.1fs")
     }
   }
+
+  /** The ss31 production recipe: raise the plane count with corpus size
+    * (buckets ∝ n) so candidates-per-query stay bounded. At 10× corpus
+    * with 2^3=8× the buckets, scanned candidates per query should stay
+    * near 1× — sublinear in corpus — where a fixed-bucket index would
+    * grow them 10×. */
+  test("ss31 LSH: candidates per query stay bounded at 10x corpus with buckets raised 8x") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+
+    def replicate(k: Int) = (0 until k)
+      .map(i => base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+
+    def candidatesPerQuery(corpus: org.apache.spark.sql.DataFrame, nPlanes: Int): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val row = Similarity.lshCandidates(corpus, nPlanes)
+        .agg(count(lit(1)).as("c"), countDistinct(col("q_id")).as("q")).collect()(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (row.getLong(0).toDouble / math.max(row.getLong(1), 1L), sec)
+    }
+
+    val (cpq1, sec1) = candidatesPerQuery(replicate(1).localCheckpoint(), 6)
+    val (cpq10, sec10) = candidatesPerQuery(replicate(10).localCheckpoint(), 9)
+    info(f"1x: planes=6 cand/query=$cpq1%.0f time=$sec1%.1fs; 10x: planes=9 cand/query=$cpq10%.0f time=$sec10%.1fs")
+    // replicated vectors are identical, so buckets can't separate clones:
+    // even the floor is ~10/8 × cpq1 + clone collisions. The claim under
+    // test is sublinearity, not constancy.
+    assert(cpq10 < cpq1 * 5.0,
+      f"candidates per query grew ${cpq10 / cpq1}%.1fx at 10x corpus — index not sublinear")
+  }
 }
