@@ -199,6 +199,59 @@ object Dedup {
       |FROM documents
       |GROUP BY 3 ORDER BY kept_doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd32
+  /** Exact-substring chunk dedup (the distributed shape of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022):
+    * each document is cut into consecutive non-overlapping 10-word chunks,
+    * chunks are keyed by md5, and a chunk instance counts as duplicated
+    * when its key occurs more than once in the WHOLE corpus. Output is the
+    * per-doc duplicated-chunk fraction — the signal pipelines threshold on
+    * to drop boilerplate-heavy docs that exact/doc-level dedup misses.
+    *
+    * Scale shape: one (16-byte-key) hash agg for global chunk counts +
+    * one co-partitioned shuffle join back to chunk instances — no windows,
+    * no self-join; cost is linear in corpus tokens. */
+  def chunkDupFraction(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 10): DataFrame = {
+    val cw = chunkWords
+    val w = docs
+      .select(col(idCol).as("doc_id"), TextOps.toks(textCol).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val chunks = w.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((size(col("ws")) + lit(cw - 1)) / lit(cw)).cast("int") - 1),
+          i => md5(encode(array_join(slice(col("ws"), i * cw + 1, lit(cw)), " "), "UTF-8"))))
+          .as("k"))
+    val global = chunks.groupBy("k").agg(count(lit(1)).as("cnt"))
+    chunks.join(global, "k")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+  }
+
+  private def dd32(spark: SparkSession, dir: String): DataFrame =
+    chunkDupFraction(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val dd32Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+      |c AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, (len(ws) + 9) // 10),
+      |    i -> md5(array_to_string(ws[i*10+1:i*10+10], ' ')))) AS k
+      |  FROM w),
+      |g AS (SELECT k, COUNT(*) AS cnt FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      |  FROM c JOIN g USING (k) GROUP BY 1)
+      |SELECT doc_id, n_chunks, n_dup_chunks,
+      |  CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_frac
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
     GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
@@ -206,5 +259,6 @@ object Dedup {
     GraftQuery("dd28_dedup_ngram_jaccard", dd28, Some(dd28Oracle)),
     GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)),
     GraftQuery("dd30_dedup_clusters", dd30, Some(dd30Oracle)),
-    GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)))
+    GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)),
+    GraftQuery("dd32_dedup_chunk_substr", dd32, Some(dd32Oracle)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -12,7 +12,7 @@ import graft.{GraftQuery, Tables}
   */
 object TextOps {
 
-  private def toks(c: String) = filter(split(col(c), " "), t => t =!= "")
+  private[graft] def toks(c: String) = filter(split(col(c), " "), t => t =!= "")
 
   // ---------------------------------------------------------------- q22
   /** WordCount, relational form: explode → hash agg. Codegen'd end-to-end;
@@ -344,6 +344,135 @@ object TextOps {
       |  CAST(off % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- tx39
+  /** Word n-grams of `words` as space-joined strings; empty array when the
+    * document is shorter than `n`. Shared by the repetition metrics (tx39),
+    * decontamination (tx40), and chunk dedup (dd32). */
+  private[graft] def wordNgrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Gopher-style repetition metrics (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021, Table A1),
+    * word-fraction variant (the synthetic corpus has no newlines, so the
+    * line-based rules don't apply):
+    *   - `top2_frac`: fraction of the document's words covered by its most
+    *     frequent word 2-gram (drop threshold 0.20);
+    *   - `dup3_frac`: fraction of word-3-gram instances that occur more
+    *     than once within the document (drop threshold 0.30).
+    * Everything is per-doc relational aggregation — (doc_id, gram) hash
+    * aggs with map-side partials, no windows, no cross-doc shuffle beyond
+    * the agg keys — so the pass is embarrassingly scalable. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs
+      .select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
+    val base = w.select(col("doc_id"), size(col("ws")).cast("long").as("wc"))
+    val m2 = w.select(col("doc_id"), explode(wordNgrams(col("ws"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mx"))
+    val a3 = w.select(col("doc_id"), explode(wordNgrams(col("ws"), 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n3"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"))
+    val top2 = when(col("wc") === 0 || col("mx").isNull, lit(0.0))
+      .otherwise(lit(2.0) * col("mx") / col("wc"))
+    val dup3 = when(col("n3").isNull || col("n3") === 0, lit(0.0))
+      .otherwise(col("dup3").cast("double") / col("n3"))
+    base.join(m2, Seq("doc_id"), "left").join(a3, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("wc"),
+        top2.as("top2_frac"), dup3.as("dup3_frac"))
+      .withColumn("keep",
+        (col("top2_frac") <= 0.2 && col("dup3_frac") <= 0.3).cast("int"))
+  }
+
+  private def tx39(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val tx39Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS wc FROM w),
+      |g2 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |m2 AS (SELECT doc_id, MAX(c) AS mx FROM
+      |  (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3 FROM
+      |  (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+      |o AS (
+      |  SELECT b.doc_id, b.wc,
+      |    CASE WHEN b.wc = 0 OR m2.mx IS NULL THEN 0.0 ELSE 2.0 * m2.mx / b.wc END AS top2_frac,
+      |    CASE WHEN a3.n3 IS NULL OR a3.n3 = 0 THEN 0.0 ELSE CAST(a3.dup3 AS DOUBLE) / a3.n3 END AS dup3_frac
+      |  FROM base b LEFT JOIN m2 USING (doc_id) LEFT JOIN a3 USING (doc_id))
+      |SELECT doc_id, wc, top2_frac, dup3_frac,
+      |  CAST(CASE WHEN top2_frac <= 0.2 AND dup3_frac <= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS keep
+      |FROM o ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- tx40
+  /** Benchmark decontamination by n-gram overlap (the GPT-3 appendix-C /
+    * open-pipeline standard: a training doc is contaminated if it shares
+    * any length-n word n-gram with an evaluation document). The
+    * "benchmark" here is the deterministic `doc_id % 97 = 0` slice.
+    *
+    * Scale shape: the benchmark n-gram set is tiny next to the corpus
+    * (eval suites vs 100 TB), so it is deduplicated and BROADCAST; the
+    * training side streams once through a broadcast hash join — no
+    * shuffle of corpus-sized data at all. Output is every training doc
+    * with its distinct-shared-gram count and a contaminated flag. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), explode_outer(wordNgrams(toks(textCol), n)).as("g"),
+        benchPred.as("_bench"))
+    val bench = grams.filter(col("_bench"))
+      .select("g").where(col("g").isNotNull).distinct()
+    val train = grams.filter(!col("_bench"))
+    val hits = train.dropDuplicates("doc_id", "g")
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select("doc_id").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
+  }
+
+  private def tx40(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables(spark, dir, "documents"), "doc_id", "text",
+      benchPred = col("doc_id") % 97 === 0)
+      .orderBy("doc_id")
+
+  private val tx40Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 6),
+      |           i -> array_to_string(ws[i:i+7], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM g JOIN bench USING (g) WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+      |SELECT w.doc_id AS doc_id, COALESCE(hits.n_shared, 0) AS n_shared,
+      |  CAST(CASE WHEN COALESCE(hits.n_shared, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+      |FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id
+      |WHERE w.doc_id % 97 <> 0 ORDER BY w.doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -354,5 +483,7 @@ object TextOps {
     GraftQuery("tx36_bigram_freq", tx36, Some(tx36Oracle)),
     GraftQuery("tx37_tokenize_ids", tx37, Some(tx37Oracle)),
     GraftQuery("tx38_pack_sequences", tx38, Some(tx38Oracle)),
+    GraftQuery("tx39_repetition_gopher", tx39, Some(tx39Oracle)),
+    GraftQuery("tx40_decontaminate", tx40, Some(tx40Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Planted-data semantics for the training-data pipeline ops added in
+  * round 3: Gopher repetition metrics, n-gram decontamination, and
+  * exact-substring chunk dedup. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("repetitionMetrics: a degenerate repeated doc is dropped, a diverse doc kept") {
+    val docs = Seq(
+      (1L, "a b a b a b"),                       // top2: "a b"x3 → 2*3/6 = 1.0
+      (2L, "one two three four five six seven eight nine ten eleven twelve"), // all grams unique
+      (3L, "x")                                  // wc=1: no grams at all
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("top2_frac") == 1.0)
+    // 3-grams of doc1: "a b a","b a b","a b a","b a b" — every instance duplicated
+    assert(got(0).getAs[Double]("dup3_frac") == 1.0)
+    assert(got(0).getAs[Int]("keep") == 0)
+    assert(got(1).getAs[Double]("top2_frac") == 2.0 / 12)
+    assert(got(1).getAs[Double]("dup3_frac") == 0.0)
+    assert(got(1).getAs[Int]("keep") == 1)
+    assert(got(2).getAs[Double]("top2_frac") == 0.0 && got(2).getAs[Int]("keep") == 1)
+  }
+
+  test("decontaminate: only docs sharing an 8-gram with the benchmark are flagged") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (0L, s"eval doc $shared tail"),             // benchmark (pred: id % 2 == 0 → 0 only even... use explicit)
+      (1L, s"train doc with $shared inside here"), // contaminated
+      (3L, "completely different content that has no overlap at all with anything")
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(docs, "doc_id", "text",
+        benchPred = col("doc_id") === 0L)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L), "benchmark docs excluded from output")
+    assert(got(0).getAs[Int]("contaminated") == 1 && got(0).getAs[Long]("n_shared") >= 1L)
+    assert(got(1).getAs[Int]("contaminated") == 0 && got(1).getAs[Long]("n_shared") == 0L)
+  }
+
+  test("decontaminate: short docs (< n words) flow through uncontaminated") {
+    val docs = Seq((0L, "a b c d e f g h"), (1L, "tiny")).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(docs, "doc_id", "text", benchPred = col("doc_id") === 0L)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getAs[Int]("contaminated") == 0)
+  }
+
+  test("chunkDupFraction: shared boilerplate chunk is counted, unique tails are not") {
+    // chunkWords=2 → doc chunks: (a b)(c d) / (a b)(e f) / (g h)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "g h")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDupFraction(docs, "doc_id", "text", chunkWords = 2)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_chunks") == 2 && got(0).getAs[Long]("n_dup_chunks") == 1)
+    assert(got(0).getAs[Double]("dup_chunk_frac") == 0.5)
+    assert(got(1).getAs[Double]("dup_chunk_frac") == 0.5)
+    assert(got(2).getAs[Long]("n_dup_chunks") == 0 && got(2).getAs[Double]("dup_chunk_frac") == 0.0)
+  }
+
+  test("chunkDupFraction: within-doc repetition alone counts as duplication") {
+    val docs = Seq((1L, "p q p q")).toDF("doc_id", "text") // chunks (p q)(p q)
+    val got = Dedup.chunkDupFraction(docs, "doc_id", "text", chunkWords = 2).collect()
+    assert(got(0).getAs[Long]("n_chunks") == 2 && got(0).getAs[Double]("dup_chunk_frac") == 1.0)
+  }
+}
