@@ -366,12 +366,17 @@ object Ops {
       (best, angles)
     }
 
+    // The assigned table is the metric index: it feeds the radius agg AND
+    // both join sides, so persist it once (memory-and-disk — at scale this
+    // is the standard materialize-the-index step, ~2× input size) instead
+    // of re-running the scan + assignment three times.
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", VectorOps.norm(col("_v")))
       .filter(col("_nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
       .withColumn("_as", assignUdf(col("_v")))
       .select(col("_id"), col("_v"), col("_nrm"),
         col("_as._1").as("_c"), col("_as._2").as("_ang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-pivot radius = max member angle (numPivots rows — index metadata,
     // like collecting AQE stats, not a data-path collect)
