@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.TextHash
+
+/** The end-to-end "prepare a training shard" composition — the query a
+  * reference user actually runs nightly, assembled from the library's own
+  * stages (each independently oracled as its tx/dd query):
+  *
+  *   1. repetition filter (tx39 thresholds: Gopher-style keep flag),
+  *   2. benchmark decontamination (tx40: drop docs sharing an 8-gram with
+  *      the `doc_id % 97 = 0` eval slice — bench docs themselves leave
+  *      the training set too),
+  *   3. normalization-keyed dedup (dd31 key: min doc_id per md5 of the
+  *      lowercased/punct-stripped form survives),
+  *   4. sequence packing (tx38: global token offsets via the two-pass
+  *      distributed prefix sum, 2048-token sequences).
+  *
+  * Every stage is a shuffle-bounded relational op (hash aggs, one
+  * broadcast join against the tiny benchmark gram set, bucket-table
+  * prefix sum) — the whole pipeline is a single Catalyst plan with no
+  * driver-side data movement, so it scales exactly as far as its worst
+  * stage, which is the (doc, gram) hash agg.
+  */
+object Pipeline {
+
+  private def px90(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val keepRep = TextOps.repetitionMetrics(docs, "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id")
+    val keepDecon = TextOps.decontaminate(docs, "doc_id", "text",
+        benchPred = col("doc_id") % 97 === 0)
+      .filter(col("contaminated") === 0).select("doc_id")
+    val surviving = docs
+      .join(keepRep, "doc_id")
+      .join(keepDecon, "doc_id") // also drops the benchmark slice itself
+    val norm = TextHash.normalizeUdf(col("text"))
+    val canonical = surviving
+      .select(col("doc_id"), md5(encode(norm, "UTF-8")).as("k"))
+      .groupBy("k").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    TextOps.packSequences(surviving.join(canonical, "doc_id"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Chains the tx39 / tx40 / dd31 / tx38 oracle fragments; stage
+    * semantics are pinned one-to-one with their standalone oracles. */
+  private val px90Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g2 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |m2 AS (SELECT doc_id, MAX(c) AS mx FROM
+      |  (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+      |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3 FROM
+      |  (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+      |rep AS (
+      |  SELECT b.doc_id FROM (SELECT doc_id, CAST(len(ws) AS BIGINT) AS wc FROM w) b
+      |  LEFT JOIN m2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+      |  WHERE (CASE WHEN b.wc = 0 OR m2.mx IS NULL THEN 0.0 ELSE 2.0 * m2.mx / b.wc END) <= 0.2
+      |    AND (CASE WHEN a3.n3 IS NULL OR a3.n3 = 0 THEN 0.0 ELSE CAST(a3.dup3 AS DOUBLE) / a3.n3 END) <= 0.3),
+      |g8 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 8
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 6),
+      |           i -> array_to_string(ws[i:i+7], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % 97 = 0),
+      |contaminated AS (
+      |  SELECT DISTINCT g8.doc_id FROM g8 JOIN bench USING (g) WHERE g8.doc_id % 97 <> 0),
+      |surviving AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN rep USING (doc_id)
+      |  WHERE d.doc_id % 97 <> 0
+      |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |canonical AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM (SELECT doc_id,
+      |          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+      |        FROM surviving)
+      |  GROUP BY k),
+      |t AS (
+      |  SELECT s.doc_id,
+      |    CAST(len(list_filter(string_split(s.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM surviving s JOIN canonical USING (doc_id)),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+      |  FROM t)
+      |SELECT doc_id, n_tokens, off,
+      |  CAST(off // 2048 AS BIGINT) AS seq_id,
+      |  CAST(off % 2048 AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)))
+}

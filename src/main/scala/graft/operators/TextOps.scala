@@ -306,11 +306,12 @@ object TextOps {
     * partition-parallel; offset = bucket base + within-bucket cumsum. At
     * 100 TB, pick the bucket width so the bucket TABLE (not the data) fits
     * one partition — 1M docs/bucket ⇒ 100k bucket rows for 10^11 docs. */
-  private def tx38(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int = 2048, docsPerBucket: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tables(spark, dir, "documents")
-      .select(col("doc_id"), size(toks("text")).cast("long").as("n_tokens"))
-      .withColumn("bucket", (col("doc_id") / 64).cast("long"))
+    val t = docs
+      .select(col(idCol).as("doc_id"), size(toks(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / docsPerBucket).cast("long"))
     val base = t.groupBy("bucket").agg(sum("n_tokens").as("btot"))
       .withColumn("base", coalesce(
         sum(col("btot")).over(
@@ -325,10 +326,13 @@ object TextOps {
       .withColumn("off", col("base") + col("cum") - col("n_tokens"))
       .select(
         col("doc_id"), col("n_tokens"), col("off"),
-        expr("off div 2048").as("seq_id"),
-        (col("off") % 2048).as("seq_offset"))
-      .orderBy("doc_id")
+        expr(s"off div $seqLen").as("seq_id"),
+        (col("off") % seqLen).as("seq_offset"))
   }
+
+  private def tx38(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
 
   private val tx38Oracle =
     """WITH t AS (
@@ -473,6 +477,55 @@ object TextOps {
       |FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id
       |WHERE w.doc_id % 97 <> 0 ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- tx41
+  /** TF-IDF top terms per document, with a log-free deterministic score:
+    * `tf * N / df` preserves the TF-IDF ordering for fixed N (log is
+    * monotone) while staying bitwise-reproducible across engines — one
+    * integer product (exact below 2^53) and one double division, no
+    * transcendental functions (whose last-ulp behavior differs between
+    * libm implementations; see the oracle-determinism playbook).
+    *
+    * Scale shape: two hash aggs — (doc, term) term frequencies and
+    * per-term document frequencies — a broadcast of the 1-row corpus
+    * count, a shuffle join on term, and a rank-limited window
+    * (WindowGroupLimit: per-partition top-k before the shuffle). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = docs.select(col(idCol).as("doc_id"),
+      explode(toks(textCol)).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = w.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("word"), col("score"))
+  }
+
+  private def tx41(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "rn")
+
+  private val tx41Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.word, CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, CAST(rn AS INTEGER) AS rn, word, score FROM (
+      |  SELECT doc_id, word, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+      |  FROM s) t
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -485,5 +538,6 @@ object TextOps {
     GraftQuery("tx38_pack_sequences", tx38, Some(tx38Oracle)),
     GraftQuery("tx39_repetition_gopher", tx39, Some(tx39Oracle)),
     GraftQuery("tx40_decontaminate", tx40, Some(tx40Oracle)),
+    GraftQuery("tx41_tfidf_topterms", tx41, Some(tx41Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

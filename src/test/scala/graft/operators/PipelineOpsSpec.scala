@@ -71,4 +71,30 @@ class PipelineOpsSpec extends SparkTestBase {
     val got = Dedup.chunkDupFraction(docs, "doc_id", "text", chunkWords = 2).collect()
     assert(got(0).getAs[Long]("n_chunks") == 2 && got(0).getAs[Double]("dup_chunk_frac") == 1.0)
   }
+
+  test("tfidfTopTerms: a corpus-rare term outranks a ubiquitous one") {
+    val docs = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rn").collect()
+    // doc1: rare tf=1 df=1 → 1*3/1 = 3.0; common tf=2 df=3 → 2*3/3 = 2.0
+    assert(got(0).getAs[String]("word") == "rare" && got(0).getAs[Double]("score") == 3.0)
+    assert(got(1).getAs[String]("word") == "common" && got(1).getAs[Double]("score") == 2.0)
+  }
+
+  test("px90: packed output excludes the benchmark slice and has contiguous offsets") {
+    val rows = graft.SparkEntry.queries("px90_training_pipeline")(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 97 != 0), "benchmark docs must not be packed")
+    // offsets are the exclusive prefix sum of n_tokens in doc_id order
+    var expect = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("off") == expect,
+        s"doc ${r.getLong(0)}: off=${r.getAs[Long]("off")} expected $expect")
+      expect += r.getAs[Long]("n_tokens")
+    }
+  }
 }
