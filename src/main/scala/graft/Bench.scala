@@ -13,7 +13,10 @@ object Bench {
     // Warm up codegen/classloading/parquet-reader paths on the tiny sf so
     // the first timed query doesn't absorb ~5s of fixed JVM startup cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q01_...,q02_... restricts the run (isolated timing)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query reports -1 (not its elapsed-until-throw time, which
       // would read as a suspiciously fast success)

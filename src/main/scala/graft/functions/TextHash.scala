@@ -144,6 +144,47 @@ object TextHash {
     }
   }
 
+  /** Per-document repetition counters in ONE char pass + two small local
+    * hash maps: (word count, max 2-gram multiplicity, 3-gram instance
+    * count, duplicated-3-gram instance count). Repetition is a PER-DOC
+    * property, so nothing here ever needs a shuffle — this replaces an
+    * explode + two (doc, gram) cluster-wide hash aggs with local counting
+    * over ~doc-length entries. Grams are keyed by mixed word hashes (the
+    * same order-sensitive rotations as [[shingleHashes3]]); a within-doc
+    * 64-bit collision (~1e-15 for a 10k-word doc) is the only way this can
+    * differ from counting the gram strings themselves. */
+  def repCounts(text: String): (Long, Long, Long, Long) = {
+    val hw = wordHashes(text)
+    var mx2 = 0L
+    if (hw.length >= 2) {
+      val m = new java.util.HashMap[java.lang.Long, Int](hw.length * 2)
+      var j = 0
+      while (j + 1 < hw.length) {
+        val k = mix64(hw(j) ^ java.lang.Long.rotateLeft(hw(j + 1), 21))
+        val c = m.getOrDefault(k, 0) + 1
+        m.put(k, c)
+        if (c > mx2) mx2 = c
+        j += 1
+      }
+    }
+    var n3 = 0L
+    var dup3 = 0L
+    if (hw.length >= 3) {
+      n3 = hw.length - 2L
+      val m = new java.util.HashMap[java.lang.Long, Int](hw.length * 2)
+      var j = 0
+      while (j + 2 < hw.length) {
+        val k = mix64(mix64(hw(j) ^ java.lang.Long.rotateLeft(hw(j + 1), 21)) ^
+          java.lang.Long.rotateLeft(hw(j + 2), 42))
+        m.put(k, m.getOrDefault(k, 0) + 1)
+        j += 1
+      }
+      val it = m.values().iterator()
+      while (it.hasNext) { val c = it.next(); if (c > 1) dup3 += c }
+    }
+    (hw.length.toLong, mx2, n3, dup3)
+  }
+
   /** MinHash signature over word-3-gram shingles, hybrid by document size:
     *
     *  - shingles < 4k: classic k independent permutations via

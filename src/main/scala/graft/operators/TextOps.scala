@@ -352,11 +352,31 @@ object TextOps {
   /** Word n-grams of `words` as space-joined strings; empty array when the
     * document is shorter than `n`. Shared by the repetition metrics (tx39),
     * decontamination (tx40), and chunk dedup (dd32). */
-  private[graft] def wordNgrams(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => array_join(slice(words, i, lit(n)), " ")))
-      .otherwise(typedLit(Seq.empty[String]))
+  /** Distinct word n-grams of `text` as space-joined strings, in first-
+    * occurrence order; empty when the document is shorter than `n` words.
+    * One tight loop per row (split once, StringBuilder per gram, LinkedHashSet
+    * dedup) — Spark's array HOF chain (transform + slice + array_join) is
+    * CodegenFallback-interpreted and re-evaluates its input expression per
+    * gram index, which measured O(doc²) at sf0.1. */
+  private[graft] def distinctWordNgrams(text: String, n: Int): Array[String] = {
+    val w0 = if (text == null) Array.empty[String] else text.split(' ')
+    val w = w0.filter(_.nonEmpty)
+    if (w.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]((w.length - n + 1) * 2)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= w.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
 
   /** Gopher-style repetition metrics (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", 2021, Table A1),
@@ -366,26 +386,19 @@ object TextOps {
     *     frequent word 2-gram (drop threshold 0.20);
     *   - `dup3_frac`: fraction of word-3-gram instances that occur more
     *     than once within the document (drop threshold 0.30).
-    * Everything is per-doc relational aggregation — (doc_id, gram) hash
-    * aggs with map-side partials, no windows, no cross-doc shuffle beyond
-    * the agg keys — so the pass is embarrassingly scalable. */
+    * Repetition is per-doc local, so the whole pass is ONE tight-loop UDF
+    * projection — no explode, no shuffle, no joins ([[TextHash.repCounts]]
+    * counts grams in small local hash maps). The fraction arithmetic stays
+    * in SQL so the IEEE operation order matches the DuckDB oracle exactly. */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = docs
-      .select(col(idCol).as("doc_id"), toks(textCol).as("ws"))
-    val base = w.select(col("doc_id"), size(col("ws")).cast("long").as("wc"))
-    val m2 = w.select(col("doc_id"), explode(wordNgrams(col("ws"), 2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("mx"))
-    val a3 = w.select(col("doc_id"), explode(wordNgrams(col("ws"), 3)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum(col("c")).as("n3"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"))
-    val top2 = when(col("wc") === 0 || col("mx").isNull, lit(0.0))
+    val counts = udf { text: String => graft.functions.TextHash.repCounts(text) }
+    val top2 = when(col("wc") === 0 || col("mx") === 0, lit(0.0))
       .otherwise(lit(2.0) * col("mx") / col("wc"))
-    val dup3 = when(col("n3").isNull || col("n3") === 0, lit(0.0))
+    val dup3 = when(col("n3") === 0, lit(0.0))
       .otherwise(col("dup3").cast("double") / col("n3"))
-    base.join(m2, Seq("doc_id"), "left").join(a3, Seq("doc_id"), "left")
+    docs.select(col(idCol).as("doc_id"), counts(col(textCol)).as("_m"))
+      .select(col("doc_id"), col("_m._1").as("wc"), col("_m._2").as("mx"),
+        col("_m._3").as("n3"), col("_m._4").as("dup3"))
       .select(col("doc_id"), col("wc"),
         top2.as("top2_frac"), dup3.as("dup3_frac"))
       .withColumn("keep",
@@ -438,16 +451,20 @@ object TextOps {
     * with its distinct-shared-gram count and a contaminated flag. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchPred: Column, n: Int = 8): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"), explode_outer(wordNgrams(toks(textCol), n)).as("g"),
+    // Per-doc gram sets come deduplicated out of one tight-loop UDF pass
+    // (no explode-then-dropDuplicates shuffle); the one-row-per-doc frame
+    // also gives the output doc list without a distinct.
+    val gramsUdf = udf { (text: String) => distinctWordNgrams(text, n) }
+    val gramSets = docs
+      .select(col(idCol).as("doc_id"), gramsUdf(col(textCol)).as("gs"),
         benchPred.as("_bench"))
-    val bench = grams.filter(col("_bench"))
-      .select("g").where(col("g").isNotNull).distinct()
-    val train = grams.filter(!col("_bench"))
-    val hits = train.dropDuplicates("doc_id", "g")
+    val bench = gramSets.filter(col("_bench"))
+      .select(explode(col("gs")).as("g")).distinct()
+    val train = gramSets.filter(!col("_bench"))
+    val hits = train.select(col("doc_id"), explode(col("gs")).as("g"))
       .join(broadcast(bench), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    train.select("doc_id").distinct()
+    train.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", (col("n_shared") > 0).cast("int"))
