@@ -167,8 +167,48 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  // ---------------------------------------------------------------- ss33
+  /** Scalar int8 quantization of embeddings (the FAISS `SQ8` storage tier:
+    * per-vector max-abs scale, symmetric round-to-int8) — at 100 TB the
+    * vector store shrinks 4× and ANN candidate scans read int8; exact
+    * re-ranking fetches the float vectors for the few survivors.
+    *
+    * Deterministic across engines by construction: the quantized code is
+    * `floor(x · 127 / maxabs + 0.5)` — floor is exact on IEEE doubles and
+    * the divide/multiply order is pinned on both sides, so no engine's
+    * `round()` tie-breaking mode (HALF_UP vs banker's) is involved.
+    * Per-row map work, no shuffle. Codes are emitted comma-joined (the
+    * harness's pandas compare cannot sort array columns); the array form
+    * is what [[quantizeEmbeddings]] returns to library callers. */
+  def quantizeEmbeddings(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    embs.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("scale", array_max(transform(col("_v"), x => abs(x.cast("double")))))
+      .filter(col("scale") > 0) // all-zero vectors carry no direction to quantize
+      .select(col("vec_id"), col("scale"),
+        transform(col("_v"),
+          x => floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5)).cast("int"))
+          .as("q"))
+  }
+
+  private def ss33(spark: SparkSession, dir: String): DataFrame =
+    quantizeEmbeddings(Tables(spark, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale"), array_join(col("q"), ",").as("q_csv"))
+      .orderBy("vec_id")
+
+  private val ss33Oracle =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+      |    embedding
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER)), ',') AS q_csv
+      |FROM q WHERE scale > 0 ORDER BY vec_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
     GraftQuery("ss31_ann_lsh_topk", ss31, None),
-    GraftQuery("ss32_ann_ivf_topk", ss32, None))
+    GraftQuery("ss32_ann_ivf_topk", ss32, None),
+    GraftQuery("ss33_quantize_int8", ss33, Some(ss33Oracle)))
 }

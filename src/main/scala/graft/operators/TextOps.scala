@@ -390,6 +390,11 @@ object TextOps {
     * projection — no explode, no shuffle, no joins ([[TextHash.repCounts]]
     * counts grams in small local hash maps). The fraction arithmetic stays
     * in SQL so the IEEE operation order matches the DuckDB oracle exactly. */
+  /** Gopher-style drop thresholds (word-fraction variant) — shared by the
+    * batch metrics query and the streaming cleaner. */
+  val Top2FracThreshold = 0.2
+  val Dup3FracThreshold = 0.3
+
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = udf { text: String => graft.functions.TextHash.repCounts(text) }
     val top2 = when(col("wc") === 0 || col("mx") === 0, lit(0.0))
@@ -402,7 +407,8 @@ object TextOps {
       .select(col("doc_id"), col("wc"),
         top2.as("top2_frac"), dup3.as("dup3_frac"))
       .withColumn("keep",
-        (col("top2_frac") <= 0.2 && col("dup3_frac") <= 0.3).cast("int"))
+        (col("top2_frac") <= Top2FracThreshold && col("dup3_frac") <= Dup3FracThreshold)
+          .cast("int"))
   }
 
   private def tx39(spark: SparkSession, dir: String): DataFrame =

@@ -72,6 +72,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(0).getAs[Long]("n_chunks") == 2 && got(0).getAs[Double]("dup_chunk_frac") == 1.0)
   }
 
+  test("quantizeEmbeddings: int8 codes reconstruct within half a quantization step") {
+    val docs = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f)),
+      (2L, Seq(-2.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f)) // all-zero: dropped
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeEmbeddings(docs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(got.length == 2, "all-zero vectors must be dropped")
+    assert(got(0).getAs[Double]("scale") == 0.5)
+    assert(got(0).getAs[scala.collection.Seq[Int]]("q").toSeq == Seq(127, -63, 32)) // floor(±x*127/0.5 + .5)
+    got.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[scala.collection.Seq[Int]]("q")
+      val orig = docs.filter(col("vec_id") === r.getLong(0))
+        .collect()(0).getAs[scala.collection.Seq[Float]]("embedding")
+      q.zip(orig).foreach { case (code, x) =>
+        assert(math.abs(code * scale / 127.0 - x) <= scale / 127.0 / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: code $code reconstructs outside half a step of $x")
+      }
+    }
+  }
+
   test("tfidfTopTerms: a corpus-rare term outranks a ubiquitous one") {
     val docs = Seq(
       (1L, "common rare common"),
