@@ -326,7 +326,14 @@ object Ops {
     require(threshold > -1 && threshold <= 1, s"threshold must be in (-1,1], got $threshold")
     val spark = df.sparkSession
     val thetaT = math.acos(threshold)
-    val eps = 1e-9 // bound slack: double-rounding must never EXCLUDE a true pair
+    // Bound slack: double-rounding must never EXCLUDE a true pair. acos is
+    // ill-conditioned near ±1 (derivative 1/sqrt(1-x²) → ∞), so an argument
+    // off by one ulp can move the angle by ~1e-8 — far more than the naive
+    // 1e-9 slack. Radii and thetaT are O(1) radians, so 1e-6 of extra slack
+    // admits a vanishing sliver of extra CANDIDATES (all re-verified
+    // exactly) while provably covering the rounding of every acos in the
+    // bound chain.
+    val eps = 1e-6
 
     // vector dimension (schema-level probe: one row, never the data path)
     val dimRow = df.select(size(col(vecCol)).as("d")).limit(1).collect()
@@ -343,9 +350,16 @@ object Ops {
 
     def clampAcos(x: Double): Double = math.acos(math.max(-1.0, math.min(1.0, x)))
 
-    // nearest pivot + angles to every pivot, one pass per vector
+    // nearest pivot + angles to every pivot, one pass per vector. Pivot
+    // angles are metric angles only if every vector has the probed
+    // dimension — a silent truncation would break the exactness-preserving
+    // pruning invisibly (pruned pairs are never re-checked), so a
+    // mixed-dimension corpus fails loudly here instead.
     val assignUdf = udf { emb: Seq[Float] =>
       val pv = pivB.value
+      if (emb.length != pv(0).length)
+        throw new IllegalArgumentException(
+          s"cosineDupPairs requires uniform vector dimension: probed ${pv(0).length}, found ${emb.length}")
       var n2 = 0.0
       var j = 0
       while (j < emb.length) { n2 += emb(j).toDouble * emb(j); j += 1 }
@@ -357,8 +371,7 @@ object Ops {
         val pp = pv(p)
         var d = 0.0
         var i = 0
-        val lim = math.min(emb.length, pp.length)
-        while (i < lim) { d += emb(i) * pp(i); i += 1 }
+        while (i < pp.length) { d += emb(i) * pp(i); i += 1 }
         angles(p) = math.acos(math.max(-1.0, math.min(1.0, d / (en * math.sqrt(pp.length.toDouble)))))
         if (angles(p) < angles(best)) best = p
         p += 1
@@ -367,16 +380,23 @@ object Ops {
     }
 
     // The assigned table is the metric index: it feeds the radius agg AND
-    // both join sides, so persist it once (memory-and-disk — at scale this
-    // is the standard materialize-the-index step, ~2× input size) instead
-    // of re-running the scan + assignment three times.
+    // both join sides, so materialize it once (at scale this is the
+    // standard materialize-the-index step, ~2× input size) instead of
+    // re-running the scan + assignment three times. localCheckpoint, not
+    // persist: the blocks are released by the ContextCleaner as soon as
+    // the checkpointed plan is unreferenced, so repeated invocations from
+    // a long-lived session don't accumulate pinned cache entries (a
+    // CacheManager persist without a paired unpersist would). The cost is
+    // lineage truncation — lost executors can't recompute these blocks —
+    // the usual tradeoff for ephemeral index materialization; use a
+    // reliable checkpoint dir for fault-tolerant multi-hour runs.
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_nrm", VectorOps.norm(col("_v")))
       .filter(col("_nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
       .withColumn("_as", assignUdf(col("_v")))
       .select(col("_id"), col("_v"), col("_nrm"),
         col("_as._1").as("_c"), col("_as._2").as("_ang"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // per-pivot radius = max member angle (numPivots rows — index metadata,
     // like collecting AQE stats, not a data-path collect)

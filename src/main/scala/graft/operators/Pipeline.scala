@@ -35,13 +35,15 @@ object Pipeline {
         benchPred = col("doc_id") % 97 === 0)
       .filter(col("contaminated") === 0).select("doc_id")
     // The filtered shard feeds the canonical-dedup agg AND the packing
-    // input join — persist it once (the natural materialization point a
-    // production pipeline writes to storage anyway) instead of re-running
-    // the repetition/decontamination stages per consumer.
+    // input join — materialize it once (the natural materialization point
+    // a production pipeline writes to storage anyway) instead of
+    // re-running the repetition/decontamination stages per consumer.
+    // localCheckpoint, not persist: blocks are released when the plan is
+    // unreferenced, so repeated invocations don't pin cache forever.
     val surviving = docs
       .join(keepRep, "doc_id")
       .join(keepDecon, "doc_id") // also drops the benchmark slice itself
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val norm = TextHash.normalizeUdf(col("text"))
     val canonical = surviving
       .select(col("doc_id"), md5(encode(norm, "UTF-8")).as("k"))
