@@ -4,7 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Extended, Multimodal, Pipeline, Relational, Similarity, Statistics, Temporal, TextOps, TpchShapes}
+import graft.operators.{Dedup, Extended, Graph, Multimodal, Pipeline, Relational, Similarity, Statistics, Temporal, TextOps, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
   /** All engine queries, in stable registration order. */
   val registry: Seq[GraftQuery] =
     Relational.all ++ Statistics.all ++ Extended.all ++ TpchShapes.all ++ Temporal.all ++
-      TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ Pipeline.all
+      TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++ Graph.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

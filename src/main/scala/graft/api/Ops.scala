@@ -440,6 +440,41 @@ object Ops {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Bucketed interval join: each row of `points` paired with every row of
+    * `intervals` whose [start, end) window contains its timestamp — WITHOUT
+    * the theta-join trap. A naive `p.ts >= i.start && p.ts < i.end` is a
+    * non-equi condition, so Spark plans a BroadcastNestedLoopJoin: every
+    * point × every interval, the classic temporal-join scale-killer.
+    *
+    * Instead both sides are mapped onto fixed time buckets (the binning
+    * strategy of interval joins in stream processors — Flink's interval
+    * join and the bucketed range-join optimization in Spark-ecosystem
+    * engines): a point lands in exactly one bucket; an interval is
+    * replicated to each bucket it overlaps (end-exclusive). The join is
+    * then an EQUI-join on the bucket id plus an exact range refinement —
+    * shuffle-partitionable, skew-handleable by AQE, and the replication
+    * factor is `interval_length / bucketSeconds + 1` (pick bucketSeconds
+    * near the typical interval length; it is a pure performance knob with
+    * no effect on results).
+    *
+    * Intervals with `end <= start` are empty by [start, end) semantics and
+    * are dropped (also keeps the bucket `sequence` ascending). */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, tsCol: String,
+      startCol: String, endCol: String, bucketSeconds: Long = 600L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val bs = lit(bucketSeconds * 1000000L)
+    def bucketOf(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / bs)
+    val p = points.withColumn("_bkt", bucketOf(col(tsCol)))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bkt2", explode(sequence(
+        bucketOf(col(startCol)),
+        bucketOf(col(endCol) - expr("INTERVAL '1' MICROSECOND")))))
+    p.join(iv, col("_bkt") === col("_bkt2") &&
+        col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bkt", "_bkt2")
+  }
+
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows of
     * `corpus` by cosine similarity (self-matches excluded by id). Norms
     * are precomputed per row; the per-pair work is one codegen'd dot

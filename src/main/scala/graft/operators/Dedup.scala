@@ -252,6 +252,96 @@ object Dedup {
       |  CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_frac
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd33
+  /** Semantic dedup (the SemDeDup shape — Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): assign each embedding to its nearest centroid by
+    * cosine, then inside each cluster greedily keep the lowest-id member
+    * of every cosine-ε ball. Pairwise comparison happens only WITHIN
+    * clusters, so the n² a full cosine dedup would cost collapses to
+    * Σ cluster²; with k ∝ n (production: k-means centroids trained on a
+    * sample — the IVF path in [[Similarity]]) per-cluster size stays
+    * bounded and total cost is ~linear in n.
+    *
+    * Assignment is one broadcast join + ONE hash agg (`max_by` over a
+    * `(cos, -cid)` struct — map-side partial agg with a deterministic
+    * smallest-cid tie-break; no n×k window shuffle). The in-cluster pair
+    * join shuffles by cluster key only. All float math is the ordered-fold
+    * dot product, so any centroid frame that is itself deterministic makes
+    * the whole decision bitwise-reproducible by the oracle.
+    *
+    * `centroids` must carry (cid, cv, cnrm). Zero-norm vectors are
+    * excluded (no cosine direction). Output: (vec_id, cluster, kept). */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val n = embs.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("_nrm", VectorOps.norm(col("_v")))
+      .filter(col("_nrm") > 0)
+    // One pass: nearest centroid per vector. The materialized assignment
+    // feeds both pair-join sides and the final projection (localCheckpoint
+    // — blocks released when unreferenced, same rationale as cosineDupPairs).
+    val asg = n.crossJoin(broadcast(centroids.select(col("cid"), col("cv"), col("cnrm"))))
+      .select(col("vec_id"), col("_v"), col("_nrm"), col("cid"),
+        (VectorOps.dot(col("_v"), col("cv")) / (col("_nrm") * col("cnrm"))).as("_cos"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cid"), struct(col("_cos"), (-col("cid")).as("_t"))).as("cluster"),
+        first(col("_v")).as("_v"), first(col("_nrm")).as("_nrm"))
+      .localCheckpoint(true)
+    val a = asg.select(col("vec_id").as("a_id"), col("_v").as("_va"),
+      col("_nrm").as("_na"), col("cluster"))
+    val b = asg.select(col("vec_id").as("b_id"), col("_v").as("_vb"),
+      col("_nrm").as("_nb"), col("cluster"))
+    val removed = a.join(b, "cluster")
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorOps.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= threshold)
+      .select(col("b_id")).distinct()
+    asg.select(col("vec_id"), col("cluster"))
+      .join(removed, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("b_id").isNull, 1).otherwise(0).as("kept"))
+  }
+
+  private def dd33(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("_nrm", VectorOps.norm(col("embedding")))
+      .filter(col("_nrm") > 0)
+    // Deterministic centroids — the k lowest-id vectors — so the oracle
+    // can replay the assignment exactly; at scale swap in sampled k-means.
+    val cents = base.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("_nrm").as("cnrm"))
+    semanticDedup(Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+        cents, threshold = 0.5)
+      .orderBy("vec_id")
+  }
+
+  private val dd33Oracle =
+    """WITH n0 AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |n AS (SELECT * FROM n0 WHERE nrm > 0),
+      |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 8),
+      |sc AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, len(n.embedding) + 1),
+      |      i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (n.nrm * c.cnrm) AS cos
+      |  FROM n CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |    FROM sc) WHERE rn = 1),
+      |m AS (SELECT n.vec_id, asg.cluster, n.embedding, n.nrm FROM n JOIN asg USING (vec_id)),
+      |rm AS (
+      |  SELECT DISTINCT b.vec_id AS b_id
+      |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.5)
+      |SELECT m.vec_id, m.cluster, CASE WHEN rm.b_id IS NULL THEN 1 ELSE 0 END AS kept
+      |FROM m LEFT JOIN rm ON m.vec_id = rm.b_id
+      |ORDER BY m.vec_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
     GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
@@ -260,5 +350,6 @@ object Dedup {
     GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)),
     GraftQuery("dd30_dedup_clusters", dd30, Some(dd30Oracle)),
     GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)),
-    GraftQuery("dd32_dedup_chunk_substr", dd32, Some(dd32Oracle)))
+    GraftQuery("dd32_dedup_chunk_substr", dd32, Some(dd32Oracle)),
+    GraftQuery("dd33_dedup_semantic", dd33, Some(dd33Oracle)))
 }

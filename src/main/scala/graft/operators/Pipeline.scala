@@ -112,6 +112,57 @@ object Pipeline {
       |  CAST(off % 2048 AS BIGINT) AS seq_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- px91
+  /** Deterministic domain mixing: per-stratum keyed-hash downsampling to
+    * target mixture rates (the mixture-reweighting step of every
+    * production pretraining pipeline — e.g. the domain weights in Gao et
+    * al., "The Pile", arXiv:2101.00027, or Rae et al., Gopher,
+    * arXiv:2112.11446). A row survives iff the first 4 hex digits of
+    * md5(key) fall below the stratum's threshold (rate mapped onto the
+    * 16⁴ hash space).
+    *
+    * Hash-keyed, not `rand()`-keyed, deliberately:
+    *   - reproducible across engines, retries, and partitionings (a task
+    *     re-run after executor loss keeps the SAME rows — rand() does not);
+    *   - resample-stable: raising a stratum's rate only ADDS documents
+    *     (thresholds are nested), so iterating on the mixture never churns
+    *     the already-selected corpus;
+    *   - embarrassingly parallel: a per-row hash + broadcast-joined
+    *     threshold, no shuffle at all before the caller's next op.
+    *
+    * `rates` maps stratum value → keep-rate in [0,1]; strata absent from
+    * the map are dropped (explicit mixture, no silent pass-through). */
+  def mixSample(docs: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // rate → 4-hex-digit threshold; hex digits sort lexically = numerically,
+    // and "g000" > any hex string, so rate 1.0 keeps everything.
+    val thr = rates.toSeq.map { case (s, r) =>
+      (s, if (r >= 1.0) "g000" else f"${math.floor(r * 65536).toInt}%04x")
+    }.toDF(stratumCol, "_thr")
+    docs.join(broadcast(thr), stratumCol)
+      .filter(substring(md5(encode(col(keyCol).cast("string"), "UTF-8")), 1, 4) < col("_thr"))
+      .drop("_thr")
+  }
+
+  private def px91(spark: SparkSession, dir: String): DataFrame =
+    mixSample(Tables(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.8, "es" -> 0.9, "zh" -> 0.7))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private val px91Oracle =
+    """WITH r AS (SELECT * FROM (VALUES
+      |    ('en', '8000'), ('de', 'g000'), ('fr', 'cccc'),
+      |    ('es', 'e666'), ('zh', 'b333')) AS t(lang, thr))
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN r USING (lang)
+      |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)))
+    GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
+    GraftQuery("px91_domain_mix", px91, Some(px91Oracle)))
 }

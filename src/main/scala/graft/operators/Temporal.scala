@@ -90,6 +90,66 @@ object Temporal {
        |  ${oDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Native session windows: `session_window(ts, gap)` — the declarative
+    * form of q20's hand-rolled gaps-and-islands sessionization, and the
+    * one that carries over unchanged to Structured Streaming (session
+    * windows with watermark-based state eviction). Spark semantics
+    * (pinned by Round4OpsSpec): an event AT OR within `gap` of the
+    * session's last event extends it — a window [t, t+gap) merges with a
+    * window starting exactly at t+gap; window end = last event + gap. The
+    * oracle replays exactly that (new session only when the gap is
+    * strictly greater than 5 minutes). */
+  private def q87(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select("user_id", "ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "s_start")
+
+  private val q87Oracle =
+    s"""WITH t AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 300000 THEN 1 ELSE 0 END AS ns
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM t)
+       |SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 5 MINUTE AS s_end,
+       |  COUNT(*) AS n_events, ${oDsum("value")} AS sum_value
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, s_start""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Bucketed interval join ([[graft.api.Ops.intervalJoin]]): events
+    * falling inside the 10-minute window opened by each `error` event.
+    * The plan is an equi-join on time-bucket ids + exact range refinement
+    * — never a point×interval BroadcastNestedLoopJoin (PlanSpec pins
+    * this). The oracle is the naive theta join: identical pairs. */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select("event_id", "ts")
+    val iv = Tables(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("t0"),
+        (col("ts") + expr("INTERVAL '10' MINUTE")).as("t1"))
+    graft.api.Ops.intervalJoin(ev, iv, tsCol = "ts", startCol = "t0", endCol = "t1")
+      .filter(col("event_id") =!= col("err_id"))
+      .groupBy("err_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("err_id")
+  }
+
+  private val q88Oracle =
+    """SELECT i.event_id AS err_id, COUNT(*) AS n_events
+      |FROM events i JOIN events e
+      |  ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 10 MINUTE
+      |  AND e.event_id <> i.event_id
+      |WHERE i.event_type = 'error'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q50
   /** Funnel analysis: signup → first subsequent purchase per user, with
     * conversion rate and mean time-to-convert. A conditional range join on
@@ -181,5 +241,7 @@ object Temporal {
     GraftQuery("q19_asof_join", q19, Some(q19Oracle)),
     GraftQuery("q20_sessionize", q20, Some(q20Oracle)),
     GraftQuery("q21_event_window_agg", q21, Some(q21Oracle)),
-    GraftQuery("q50_funnel", q50, Some(q50Oracle)))
+    GraftQuery("q50_funnel", q50, Some(q50Oracle)),
+    GraftQuery("q87_session_window", q87, Some(q87Oracle)),
+    GraftQuery("q88_interval_bucket_join", q88, Some(q88Oracle)))
 }

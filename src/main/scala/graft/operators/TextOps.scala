@@ -549,6 +549,67 @@ object TextOps {
       |  FROM s) t
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- tx42
+  /** PII redaction: mask email addresses then long digit runs (account /
+    * phone-number shaped) in free text, and count what was masked — the
+    * pre-training privacy-scrub pass (the pattern-based tier of e.g.
+    * Subramani et al., "Detecting personal identifiable information in
+    * training data", and what C4's cleaning applied at corpus scale).
+    * Per-row regex projection: embarrassingly parallel, no shuffle; the
+    * patterns stay in the RE2-compatible subset (character classes,
+    * bounded/unbounded repeats, no backrefs or lookaround) so Spark's
+    * java.util.regex and the oracle's RE2 agree match-for-match, and so a
+    * linear-time engine can run them at 100 TB without pathological
+    * backtracking.
+    *
+    * Order matters and is pinned: emails first (their local part contains
+    * digit runs the second pass would otherwise shred), digit runs on the
+    * email-masked text. Counts are taken per pattern on the same text the
+    * corresponding replace saw. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val DigitRunPattern = "[0-9]{6,}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "<EMAIL>")
+    docs.select(col(idCol),
+      regexp_replace(t1, DigitRunPattern, "<NUM>").as("redacted"),
+      size(regexp_extract_all(t0, lit(EmailPattern), lit(0))).as("n_email"),
+      size(regexp_extract_all(t1, lit(DigitRunPattern), lit(0))).as("n_num"))
+  }
+
+  private def tx42(spark: SparkSession, dir: String): DataFrame = {
+    // The synthetic corpus carries no organic PII, so the query constructs
+    // a deterministic contact string from customer fields (name with its
+    // 9-digit id, a derived email, a derived account number) and redacts
+    // that — the redaction engine is what's under test, and the oracle
+    // replays the identical construction.
+    val contact = Tables(spark, dir, "customer").select(
+      col("c_custkey"),
+      concat(
+        col("c_name"), lit(" <"),
+        lower(col("c_mktsegment")), col("c_custkey").cast("string"),
+        lit("@example.com> acct "),
+        (col("c_custkey") * 7919L + 1000000L).cast("string")).as("contact"))
+    redactPii(contact, "c_custkey", "contact").orderBy("c_custkey")
+  }
+
+  private val tx42Oracle =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    c_name || ' <' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR)
+      |      || '@example.com> acct ' || CAST(c_custkey * 7919 + 1000000 AS VARCHAR) AS contact
+      |  FROM customer),
+      |e AS (
+      |  SELECT c_custkey, contact,
+      |    regexp_replace(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM c)
+      |SELECT c_custkey,
+      |  regexp_replace(t1, '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+      |  CAST(len(regexp_extract_all(t1, '[0-9]{6,}')) AS INTEGER) AS n_num
+      |FROM e ORDER BY c_custkey""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -562,5 +623,6 @@ object TextOps {
     GraftQuery("tx39_repetition_gopher", tx39, Some(tx39Oracle)),
     GraftQuery("tx40_decontaminate", tx40, Some(tx40Oracle)),
     GraftQuery("tx41_tfidf_topterms", tx41, Some(tx41Oracle)),
+    GraftQuery("tx42_pii_redact", tx42, Some(tx42Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

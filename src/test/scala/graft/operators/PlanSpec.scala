@@ -120,4 +120,27 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q85_sql_hints")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
+
+  test("q88: interval join is a bucketed equi-join, not a point×interval nested loop") {
+    val p = plan("q88_interval_bucket_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval containment must ride the bucket equi-join:\n" + p.take(2000))
+  }
+
+  test("dd33: in-cluster pair join is an equi-join; only the k-centroid cross is a nested loop") {
+    val p = plan("dd33_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // exactly one BroadcastNestedLoopJoin is allowed: the k-row centroid
+    // cross join (k = 8 — broadcast metadata, not data). The n×n pair join
+    // must be hash-partitioned on the cluster key.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "the in-cluster pair join regressed to a nested loop:\n" + p.take(2000))
+    assert(p.contains("graft_dot_f"), "pair verification must stay on the codegen'd dot")
+  }
+
+  test("gr79: wedge and closure joins are equi-joins (no nested loop anywhere)") {
+    val p = plan("gr79_triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Planted-data semantics for the round-4 operators: semantic dedup,
+  * domain mixing, PII redaction, triangle counting, bucketed interval
+  * join, and native session windows.
+  */
+class Round4OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ dd33
+  test("semanticDedup: per-cluster near-dups drop, lowest id is the keeper") {
+    // Two orthogonal centroid directions → two clusters, one near-dup in each.
+    val embs = Seq(
+      (10L, Array(1.0f, 0.0f)), // cluster A canonical → kept
+      (11L, Array(0.99f, 0.01f)), // cos(10,11) ≈ 0.99995 → removed
+      (20L, Array(0.0f, 1.0f)), // cluster B canonical → kept
+      (21L, Array(0.02f, 0.98f)) // cos(20,21) ≈ 0.99979 → removed
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1.0f, 0.0f), 1.0), (20L, Array(0.0f, 1.0f), 1.0))
+      .toDF("cid", "cv", "cnrm")
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((10L, 10L, 1), (11L, 10L, 0), (20L, 20L, 1), (21L, 20L, 0)))
+  }
+
+  test("semanticDedup: removal is greedy lowest-id-wins and cluster-scoped") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)), // dup of 1, same cluster → removed
+      (3L, Array(0.0f, 1.0f)), // other cluster: survives though identical to 4
+      (4L, Array(0.0f, 1.0f)) // dup of 3 in its cluster → removed
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1.0f, 0.0f), 1.0), (3L, Array(0.0f, 1.0f), 1.0))
+      .toDF("cid", "cv", "cnrm")
+    val kept = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, threshold = 0.99)
+      .filter(col("kept") === 1).select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("semanticDedup: centroid tie breaks to the smaller cid") {
+    // equidistant from both centroids → assigned to cid 1, not 2
+    val embs = Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1.0f, 0.0f), 1.0), (2L, Array(0.0f, 1.0f), 1.0))
+      .toDF("cid", "cv", "cnrm")
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding", cents, threshold = 0.9)
+      .collect()
+    assert(got.head.getLong(1) == 1L)
+  }
+
+  // ------------------------------------------------------------ px91
+  test("mixSample: thresholds are nested — raising a rate only adds rows") {
+    val docs = (0L until 2000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    def ids(rate: Double) =
+      Pipeline.mixSample(docs, "doc_id", "lang", Map("en" -> rate))
+        .select("doc_id").as[Long].collect().toSet
+    val at30 = ids(0.3); val at60 = ids(0.6); val at100 = ids(1.0)
+    assert(at30.subsetOf(at60) && at60.subsetOf(at100))
+    assert(at100.size == 2000)
+    // achieved rates concentrate around targets (md5 is uniform)
+    assert(math.abs(at30.size / 2000.0 - 0.3) < 0.05)
+    assert(math.abs(at60.size / 2000.0 - 0.6) < 0.05)
+  }
+
+  test("mixSample: strata absent from the rate map are dropped") {
+    val docs = Seq((1L, "en"), (2L, "xx")).toDF("doc_id", "lang")
+    val got = Pipeline.mixSample(docs, "doc_id", "lang", Map("en" -> 1.0))
+      .select("doc_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  // ------------------------------------------------------------ tx42
+  test("redactPii: emails first, then digit runs; counts match the masks") {
+    val docs = Seq(
+      (1L, "mail me at john.doe99@corp.example.com or acct 12345678"),
+      (2L, "short digits 12345 stay, 123456 is masked"),
+      (3L, "nothing to redact here")
+    ).toDF("id", "text")
+    val got = TextOps.redactPii(docs, "id", "text").orderBy("id").collect()
+    assert(got(0).getString(1) == "mail me at <EMAIL> or acct <NUM>")
+    assert(got(0).getInt(2) == 1 && got(0).getInt(3) == 1)
+    assert(got(1).getString(1) == "short digits 12345 stay, <NUM> is masked")
+    assert(got(1).getInt(2) == 0 && got(1).getInt(3) == 1)
+    assert(got(2).getString(1) == "nothing to redact here")
+    assert(got(2).getInt(2) == 0 && got(2).getInt(3) == 0)
+  }
+
+  // ------------------------------------------------------------ gr79
+  test("triangleCounts: K4 has four triangles, three per node") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.triangleCounts(edges, "u", "v")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("triangleCounts: duplicate/reversed edges and a dangling path don't inflate") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), // one triangle, noisy encoding
+      (3L, 4L), (4L, 5L) // path — no triangle
+    ).toDF("u", "v")
+    val got = Graph.triangleCounts(edges, "u", "v")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  // ------------------------------------------------------------ q88
+  test("intervalJoin: [start, end) boundaries and bucket-spanning intervals") {
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    val points = Seq((1L, ts(0)), (2L, ts(599)), (3L, ts(600)), (4L, ts(1200)))
+      .toDF("pid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // interval [0, 600s) with bucket 600s → start boundary in, end boundary out
+    val iv = Seq((100L, ts(0), ts(600))).toDF("iid", "t0", "t1")
+      .withColumn("t0", col("t0").cast("timestamp_ntz"))
+      .withColumn("t1", col("t1").cast("timestamp_ntz"))
+    val got = graft.api.Ops.intervalJoin(points, iv, "ts", "t0", "t1")
+      .select("pid").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+    // a 25-minute interval spans 3+ buckets of 600 s; no duplicates emitted
+    val iv2 = Seq((200L, ts(0), ts(1500))).toDF("iid", "t0", "t1")
+      .withColumn("t0", col("t0").cast("timestamp_ntz"))
+      .withColumn("t1", col("t1").cast("timestamp_ntz"))
+    val got2 = graft.api.Ops.intervalJoin(points, iv2, "ts", "t0", "t1")
+      .select("pid").as[Long].collect().sorted
+    assert(got2.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("intervalJoin: empty intervals (end <= start) match nothing") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val points = Seq((1L, t)).toDF("pid", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val iv = Seq((100L, t, t)).toDF("iid", "t0", "t1")
+      .withColumn("t0", col("t0").cast("timestamp_ntz"))
+      .withColumn("t1", col("t1").cast("timestamp_ntz"))
+    assert(graft.api.Ops.intervalJoin(points, iv, "ts", "t0", "t1").count() == 0)
+  }
+
+  // ------------------------------------------------------------ q87
+  test("session_window gap boundary matches the oracle: only > gap starts a new session") {
+    // An event exactly 5 minutes after the last one MERGES (Spark treats
+    // the window end t+gap as joinable with a window starting at t+gap);
+    // one microsecond past it starts a new session. The q87 oracle encodes
+    // exactly this (strict > on the gap).
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00") // == gap → merges
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00.000001") // > gap → new
+    val ev = Seq((7L, t0, 1.0), (7L, t1, 1.0), (7L, t2, 1.0)).toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val sessions = ev.groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n")).orderBy(col("w.start"))
+      .select("n").as[Long].collect()
+    assert(sessions.toSeq == Seq(2L, 1L))
+  }
+}
