@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -162,7 +163,73 @@ object Pipeline {
       |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- px92
+  /** Per-stratum quality cut: keep the top `keepFrac` of documents by
+    * quality score WITHIN each stratum (the "quality filtering per
+    * language" stage of CCNet — Wenzek et al., arXiv:1911.00359 — and
+    * every pipeline since). Exact form: percent_rank over (stratum,
+    * score desc, id) — one shuffle by stratum; rank ties are impossible
+    * because the id is in the sort key, so the cut is deterministic.
+    *
+    * The per-stratum window implies one sorted partition per stratum;
+    * with few huge strata (the 100 TB regime: 10 languages, terabytes
+    * each) use [[qualityCutApprox]] instead — an aggregated percentile
+    * threshold broadcast back as a filter, which replaces the giant sort
+    * with one sketch agg + a map-side filter (the standard production
+    * trade: the cut point is approximate, the filter is still exact and
+    * deterministic given the threshold). */
+  def qualityCut(scored: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, keepFrac: Double): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    scored.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= keepFrac)
+  }
+
+  /** Scale variant: threshold = the (1 - keepFrac) quantile of the score
+    * per stratum via the GK sketch (`percentile_approx`), broadcast-joined
+    * back; no per-stratum sort. Engine-only (sketch cut points are
+    * implementation-defined); Round4OpsSpec pins its agreement with the
+    * exact cut. */
+  def qualityCutApprox(scored: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, keepFrac: Double): DataFrame = {
+    val thr = scored.groupBy(stratumCol)
+      .agg(percentile_approx(col(scoreCol), lit(1.0 - keepFrac), lit(10000)).as("_thr"))
+    scored.join(broadcast(thr), stratumCol)
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
+  private def px92(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.toks("text")
+    val nWords = size(t)
+    // tx33's quality score, inline (ttr × capped-length factor)
+    val quality = when(nWords > 0,
+      (size(array_distinct(t)) / nWords) * least(nWords, lit(100)) / lit(100.0))
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), quality.as("quality"))
+    qualityCut(scored, "doc_id", "lang", "quality", keepFrac = 0.8)
+      .select("doc_id", "lang", "quality", "pr")
+      .orderBy("doc_id")
+  }
+
+  private val px92Oracle =
+    """WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(tk) > 0
+      |      THEN len(list_distinct(tk)) / len(tk) * least(len(tk), 100) / CAST(100 AS DOUBLE) END AS quality
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |        FROM documents)),
+      |r AS (
+      |  SELECT doc_id, lang, quality,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC NULLS LAST, doc_id) AS pr
+      |  FROM s)
+      |SELECT doc_id, lang, quality, pr FROM r
+      |WHERE pr <= 0.8 ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
-    GraftQuery("px91_domain_mix", px91, Some(px91Oracle)))
+    GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
+    GraftQuery("px92_quality_cut", px92, Some(px92Oracle)))
 }

@@ -24,6 +24,20 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Native session windows on a stream: the declarative counterpart of
+    * [[sessionize]] (and of the batch q87 query — same `session_window`
+    * call, same gap semantics). The watermark closes a session once event
+    * time passes its end, so per-user state holds only OPEN sessions —
+    * bounded by activity, not stream lifetime. Append-mode compatible:
+    * rows emit exactly once, when their session finalizes. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup on event_id with BOUNDED state: duplicates are
     * only tracked while they can still arrive (inside the watermark delay),
     * so state size follows the dedup window, not the stream's lifetime —

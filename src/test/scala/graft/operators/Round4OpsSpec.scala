@@ -74,6 +74,30 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L))
   }
 
+  // ------------------------------------------------------------ px92
+  test("qualityCut: keeps the top fraction per stratum, deterministically on ties") {
+    val scored = Seq(
+      (1L, "en", 0.9), (2L, "en", 0.5), (3L, "en", 0.5), (4L, "en", 0.1),
+      (5L, "de", 0.7), (6L, "de", 0.3)
+    ).toDF("doc_id", "lang", "quality")
+    // en: ranks by (quality desc, id) → 1,2,3,4 → pr 0, 1/3, 2/3, 1;
+    // keepFrac 0.7 keeps 1,2,3. de: pr 0, 1 → keeps 5.
+    val kept = Pipeline.qualityCut(scored, "doc_id", "lang", "quality", 0.7)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("qualityCutApprox agrees with the exact cut on a well-spread stratum") {
+    val scored = (1L to 1000L).map(i => (i, "en", i / 1000.0)).toDF("doc_id", "lang", "quality")
+    val exact = Pipeline.qualityCut(scored, "doc_id", "lang", "quality", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Pipeline.qualityCutApprox(scored, "doc_id", "lang", "quality", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // sketch accuracy 1/10000 ≫ 1000 rows → the cut point is exact here
+    assert((exact diff approx).size + (approx diff exact).size <= 2,
+      s"exact=${exact.size} approx=${approx.size}")
+  }
+
   // ------------------------------------------------------------ tx42
   test("redactPii: emails first, then digit runs; counts match the masks") {
     val docs = Seq(

@@ -59,6 +59,55 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionCounts: session windows merge within gap and split past it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.sessionCounts(df)
+      .writeStream.format("memory").queryName("sw_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        (7L, ts("2024-01-01 00:00:00"), 1.0),
+        (7L, ts("2024-01-01 00:04:00"), 2.0), // within gap → same session
+        (7L, ts("2024-01-01 00:20:00"), 4.0), // 16 min later → new session
+        (8L, ts("2024-01-01 00:00:30"), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").collect()
+        .map(r => (r.getLong(0), r.getAs[Timestamp]("s_start").toString,
+          r.getAs[Timestamp]("s_end").toString, r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set(
+        (7L, "2024-01-01 00:00:00.0", "2024-01-01 00:09:00.0", 2L, 3.0),
+        (7L, "2024-01-01 00:20:00.0", "2024-01-01 00:25:00.0", 1L, 4.0),
+        (8L, "2024-01-01 00:00:30.0", "2024-01-01 00:05:30.0", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts over the real events parquet: streaming equals the q87 batch query") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val toTs = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = toTs(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf))
+    val q = EventStream.sessionCounts(stream)
+      .writeStream.format("memory").queryName("sw_parquet").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sw_parquet").collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3), r.getDouble(4))).toSet
+      val batch = toTs(raw).select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streaming (${streamed.size} rows) != batch (${batch.size} rows)")
+    } finally q.stop()
+  }
+
   test("dedupEvents drops within-watermark duplicate event_ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
