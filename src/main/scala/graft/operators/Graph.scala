@@ -40,10 +40,15 @@ object Graph {
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // The oriented adjacency feeds BOTH wedge-join sides and the closure
+    // probe — materialize it once (localCheckpoint: blocks released when
+    // unreferenced) instead of re-running dedup + degree joins three times
+    // (Spark does not common-subexpression-eliminate self-join subtrees).
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"),
       when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint(true)
     val x = oriented.select(col("src"), col("dst").as("w1"), col("ddst").as("dw1"))
     val y = oriented.select(col("src"), col("dst").as("w2"), col("ddst").as("dw2"))
     val wedges = x.join(y, "src")
