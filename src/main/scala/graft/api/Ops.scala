@@ -440,6 +440,21 @@ object Ops {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Z-order (Morton) value of two non-negative integer columns: bit i of
+    * x lands at bit 2i, bit i of y at bit 2i+1. Interleaving is the
+    * data-layout trick behind multi-dimensional clustering (Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`): sorting or range-partitioning by the z-value
+    * gives every output file a small RECTANGLE of (x, y) space, so a scan
+    * filtered on either dimension prunes most files — a 1-D sort can only
+    * cluster one of them. Pure bit arithmetic per row (codegen'd, no UDF);
+    * `bits` bounds the supported domain at [0, 2^bits). */
+  def zorderValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftright(x, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+    }
+
   /** Bucketed interval join: each row of `points` paired with every row of
     * `intervals` whose [start, end) window contains its timestamp — WITHOUT
     * the theta-join trap. A naive `p.ts >= i.start && p.ts < i.end` is a

@@ -767,6 +767,43 @@ object Extended {
       |FROM lineitem WHERE l_suppkey < 5
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Z-order layout clustering ([[graft.api.Ops.zorderValue]]): assign the
+    * distinct (partkey, suppkey) pairs to 16 "files" by equal-width ranges
+    * of their Morton value, and report each file's bounding rectangle. The
+    * point of the query is the OUTPUT SHAPE: every file covers a narrow
+    * box in BOTH dimensions (a 1-D sort would give tight partkey ranges
+    * but full-width suppkey ranges), which is what makes file-level
+    * min/max pruning work on either filter column at 100 TB. Equal-width
+    * range assignment is one agg + a map-side projection — no global sort,
+    * no window; production writers use `repartitionByRange(zval)` for
+    * equal-SIZE files (same rectangles, balanced row counts). */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .withColumn("zval", graft.api.Ops.zorderValue(col("p"), col("s")))
+    val zmax = ps.agg(max(col("zval")).as("_zmax"))
+    ps.crossJoin(broadcast(zmax))
+      .withColumn("file_id", expr("(zval * 16) div (_zmax + 1)"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("p").as("p_min"), max("p").as("p_max"),
+        min("s").as("s_min"), max("s").as("s_max"))
+      .orderBy("file_id")
+  }
+
+  private val q89Oracle = {
+    val zExpr = (0 until 16).map(i =>
+      s"((p >> $i) & 1) * ${1L << (2 * i)} + ((s >> $i) & 1) * ${1L << (2 * i + 1)}")
+      .mkString(" + ")
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |z AS (SELECT p, s, $zExpr AS zval FROM ps)
+       |SELECT CAST((zval * 16) // ((SELECT MAX(zval) FROM z) + 1) AS BIGINT) AS file_id,
+       |  COUNT(*) AS n_rows,
+       |  MIN(p) AS p_min, MAX(p) AS p_max, MIN(s) AS s_min, MAX(s) AS s_max
+       |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
     GraftQuery("q57_conditional_agg", q57, Some(q57Oracle)),
@@ -796,5 +833,6 @@ object Extended {
     GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
-    GraftQuery("q86_window_distinct", q86, Some(q86Oracle)))
+    GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),
+    GraftQuery("q89_zorder_layout", q89, Some(q89Oracle)))
 }

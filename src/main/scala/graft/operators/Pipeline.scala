@@ -163,6 +163,58 @@ object Pipeline {
       |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- px93
+  /** Domain mixing with rates ABOVE 1: deterministic epoch repetition.
+    * Production mixtures up-weight small high-quality sources by repeating
+    * them (multiple "epochs" of Wikipedia per epoch of web crawl — the
+    * mixture tables of GPT-3/The Pile/Llama all do this). A rate r maps to
+    * `floor(r)` guaranteed copies plus one extra copy iff the row's
+    * md5-fraction falls under `frac(r)` — the same nested keyed-hash rule
+    * as [[mixSample]], so the fractional epoch is a reproducible SUBSET,
+    * not a random resample, and r <= 1 degenerates to exactly mixSample's
+    * behavior. Copies carry a `copy` index so downstream shuffles/packing
+    * can spread them instead of co-locating duplicates.
+    *
+    * Per-row hash + broadcast-joined rates + one generator — no shuffle,
+    * no driver participation; output size is Σ stratum·rate by design. */
+  def mixUpsample(docs: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(_ >= 0), "rates must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rdf = rates.toSeq.map { case (s, r) =>
+      val fr = r - math.floor(r)
+      (s, math.floor(r).toLong,
+        if (fr <= 0) "0000" else f"${math.floor(fr * 65536).toInt}%04x")
+    }.toDF(stratumCol, "_base", "_thr")
+    docs.join(broadcast(rdf), stratumCol)
+      .withColumn("_n", col("_base") +
+        when(substring(md5(encode(col(keyCol).cast("string"), "UTF-8")), 1, 4) < col("_thr"), 1L)
+          .otherwise(0L))
+      .filter(col("_n") >= 1) // sequence(1, 0) would run DESCENDING in Spark
+      .withColumn("copy", explode(sequence(lit(1L), col("_n"))))
+      .drop("_base", "_thr", "_n")
+  }
+
+  private def px93(spark: SparkSession, dir: String): DataFrame =
+    mixUpsample(Tables(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 2.0, "fr" -> 1.25, "es" -> 1.0, "zh" -> 3.0))
+      .select("doc_id", "lang", "copy")
+      .orderBy("doc_id", "copy")
+
+  private val px93Oracle =
+    """WITH r AS (SELECT * FROM (VALUES
+      |    ('en', 0, '8000'), ('de', 2, '0000'), ('fr', 1, '4000'),
+      |    ('es', 1, '0000'), ('zh', 3, '0000')) AS t(lang, base, thr)),
+      |n AS (
+      |  SELECT d.doc_id, d.lang,
+      |    r.base + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr
+      |                  THEN 1 ELSE 0 END AS n
+      |  FROM documents d JOIN r USING (lang))
+      |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy
+      |FROM n WHERE n >= 1
+      |ORDER BY doc_id, copy""".stripMargin
+
   // ---------------------------------------------------------------- px92
   /** Per-stratum quality cut: keep the top `keepFrac` of documents by
     * quality score WITHIN each stratum (the "quality filtering per
@@ -231,5 +283,6 @@ object Pipeline {
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
-    GraftQuery("px92_quality_cut", px92, Some(px92Oracle)))
+    GraftQuery("px92_quality_cut", px92, Some(px92Oracle)),
+    GraftQuery("px93_domain_upsample", px93, Some(px93Oracle)))
 }

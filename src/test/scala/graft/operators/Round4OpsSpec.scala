@@ -74,6 +74,41 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L))
   }
 
+  // ------------------------------------------------------------ px93
+  test("mixUpsample: integer rates repeat exactly; fractional part is a nested subset") {
+    val docs = (0L until 1000L).map(i => (i, "de")).toDF("doc_id", "lang")
+    val at2 = Pipeline.mixUpsample(docs, "doc_id", "lang", Map("de" -> 2.0))
+    assert(at2.count() == 2000)
+    assert(at2.groupBy("doc_id").count().filter(col("count") =!= 2).count() == 0)
+    // 2.5: every doc twice, about half a third time — and the extra-copy
+    // docs are exactly the docs mixSample keeps at rate 0.5
+    val at25 = Pipeline.mixUpsample(docs, "doc_id", "lang", Map("de" -> 2.5))
+    val extra = at25.filter(col("copy") === 3).select("doc_id").as[Long].collect().toSet
+    val sampled = Pipeline.mixSample(docs, "doc_id", "lang", Map("de" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(extra == sampled)
+    // rate < 1 degenerates to mixSample (single copy of the sampled subset)
+    val down = Pipeline.mixUpsample(docs, "doc_id", "lang", Map("de" -> 0.5))
+    assert(down.select("doc_id").as[Long].collect().toSet == sampled)
+    assert(down.filter(col("copy") =!= 1).count() == 0)
+  }
+
+  // ------------------------------------------------------------ q89
+  test("zorderValue: interleaves bits and preserves locality rectangles") {
+    val df = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (65535, 65535))
+      .toDF("x", "y")
+      .withColumn("z", graft.api.Ops.zorderValue(col("x"), col("y")))
+    val got = df.select("x", "y", "z").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got((0, 0)) == 0L)
+    assert(got((1, 0)) == 1L)
+    assert(got((0, 1)) == 2L)
+    assert(got((1, 1)) == 3L)
+    // x=2 (bit1→bit2), y=3 (bit0→bit1, bit1→bit3) → 0b1110 = 14
+    assert(got((2, 3)) == 14L)
+    assert(got((65535, 65535)) == (1L << 32) - 1)
+  }
+
   // ------------------------------------------------------------ px92
   test("qualityCut: keeps the top fraction per stratum, deterministically on ties") {
     val scored = Seq(
