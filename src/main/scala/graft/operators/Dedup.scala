@@ -252,6 +252,67 @@ object Dedup {
       |  CAST(n_dup_chunks AS DOUBLE) / n_chunks AS dup_chunk_frac
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd34
+  /** Incremental dedup: decide each document of a NEW batch against the
+    * historical corpus plus the batch itself, without ever re-comparing
+    * corpus×corpus — the daily-ingest regime of a production pipeline
+    * (the corpus is already deduplicated; re-running a full-corpus dedup
+    * per day would be quadratic in history).
+    *
+    * Keys are the dd31 normalization hash, so "duplicate" here means
+    * normalized-exact. Scale shape: the corpus contributes only its
+    * 16-byte KEY TABLE (the dedup index a production pipeline keeps
+    * materialized between runs — at 100 TB text that index is ~1% of the
+    * data), the increment joins it co-partitioned by key, and the
+    * within-batch tier is one hash agg on the (small) increment. The
+    * near-dup counterpart indexes corpus MinHash bands once and probes
+    * them with increment signatures — same band join as
+    * [[graft.api.Ops.minhashDupPairs]], increment×bands instead of
+    * self×self.
+    *
+    * Output, per increment doc: dup_of_corpus / dup_in_increment flags
+    * and the final keep decision (kept = new key AND first holder of it
+    * in the batch). */
+  def incrementalDedup(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def k(t: org.apache.spark.sql.Column) = md5(encode(TextHash.normalizeUdf(t), "UTF-8"))
+    val ck = corpus.select(k(col(textCol)).as("k")).distinct()
+      .withColumn("_inCorpus", lit(1))
+    val ik = increment.select(col(idCol).as("doc_id"), k(col(textCol)).as("k"))
+    val firstInInc = ik.groupBy("k").agg(min("doc_id").as("_first"))
+    ik.join(firstInInc, "k")
+      .join(ck, Seq("k"), "left")
+      .select(col("doc_id"),
+        when(col("_inCorpus").isNotNull, 1).otherwise(0).as("dup_of_corpus"),
+        when(col("doc_id") =!= col("_first"), 1).otherwise(0).as("dup_in_increment"),
+        when(col("_inCorpus").isNull && col("doc_id") === col("_first"), 1)
+          .otherwise(0).as("kept"))
+  }
+
+  private def dd34(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    incrementalDedup(
+        corpus = docs.filter(col("doc_id") % 5 =!= 0),
+        increment = docs.filter(col("doc_id") % 5 === 0),
+        idCol = "doc_id", textCol = "text")
+      .orderBy("doc_id")
+  }
+
+  private val dd34Oracle =
+    """WITH inc AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |corp AS (
+      |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |f AS (SELECT k, MIN(doc_id) AS first_id FROM inc GROUP BY 1)
+      |SELECT inc.doc_id,
+      |  CASE WHEN corp.k IS NOT NULL THEN 1 ELSE 0 END AS dup_of_corpus,
+      |  CASE WHEN inc.doc_id <> f.first_id THEN 1 ELSE 0 END AS dup_in_increment,
+      |  CASE WHEN corp.k IS NULL AND inc.doc_id = f.first_id THEN 1 ELSE 0 END AS kept
+      |FROM inc JOIN f USING (k) LEFT JOIN corp ON inc.k = corp.k
+      |ORDER BY inc.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- dd33
   /** Semantic dedup (the SemDeDup shape — Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication",
@@ -351,5 +412,6 @@ object Dedup {
     GraftQuery("dd30_dedup_clusters", dd30, Some(dd30Oracle)),
     GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)),
     GraftQuery("dd32_dedup_chunk_substr", dd32, Some(dd32Oracle)),
-    GraftQuery("dd33_dedup_semantic", dd33, Some(dd33Oracle)))
+    GraftQuery("dd33_dedup_semantic", dd33, Some(dd33Oracle)),
+    GraftQuery("dd34_dedup_incremental", dd34, Some(dd34Oracle)))
 }

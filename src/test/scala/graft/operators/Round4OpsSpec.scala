@@ -74,6 +74,23 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(1L))
   }
 
+  // ------------------------------------------------------------ dd34
+  test("incrementalDedup: corpus hits, within-batch dups, and fresh docs classified") {
+    val corpus = Seq((100L, "Seen Before!"), (101L, "old news"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (1L, "seen before"), // normalized-equal to corpus 100 → dropped
+      (2L, "fresh one"), // new → kept
+      (3L, "fresh one "), // normalized-dup of 2 within batch → dropped
+      (4L, "another fresh") // new → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, inc, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1, 0, 0), (2L, 0, 0, 1), (3L, 0, 1, 0), (4L, 0, 0, 1)))
+  }
+
   // ------------------------------------------------------------ px93
   test("mixUpsample: integer rates repeat exactly; fractional part is a nested subset") {
     val docs = (0L until 1000L).map(i => (i, "de")).toDF("doc_id", "lang")
