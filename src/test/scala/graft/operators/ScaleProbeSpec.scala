@@ -67,4 +67,48 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(cpq10 < cpq1 * 5.0,
       f"candidates per query grew ${cpq10 / cpq1}%.1fx at 10x corpus — index not sublinear")
   }
+
+  /** The dd33 production recipe: grow the centroid count with corpus size
+    * (k ∝ n) so mean cluster size — and with it the in-cluster pairwise
+    * work per vector — stays bounded. Compared pairs per vector at 10×
+    * corpus with 10× centroids should stay near 1×, where a fixed-k
+    * clustering would grow them 10×. */
+  test("dd33 semantic dedup: pairs per vector stay bounded at 10x corpus with k raised 10x") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val base = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+
+    def replicate(k: Int) = (0 until k)
+      .map(i => base.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+
+    def pairsPerVector(embs: org.apache.spark.sql.DataFrame, k: Int): (Double, Double) = {
+      val withN = embs.withColumn("_nrm", graft.functions.VectorOps.norm(col("embedding")))
+        .filter(col("_nrm") > 0)
+      val cents = withN.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("_nrm").as("cnrm"))
+      val n = embs.count()
+      val t0 = System.nanoTime()
+      // cluster-size census of the same assignment semanticDedup uses:
+      // in-cluster pair work is Σ m·(m-1)/2
+      val sizes = withN.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (graft.functions.VectorOps.dot(col("embedding"), col("cv")) / (col("_nrm") * col("cnrm"))).as("_cos"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("_cos"), (-col("cid")).as("_t"))).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("m"))
+      val pairs = sizes.agg(sum(col("m") * (col("m") - 1))).collect()(0).getLong(0) / 2
+      val sec = (System.nanoTime() - t0) / 1e9
+      (pairs.toDouble / n, sec)
+    }
+
+    val (ppv1, sec1) = pairsPerVector(replicate(1).localCheckpoint(), 8)
+    val (ppv10, sec10) = pairsPerVector(replicate(10).localCheckpoint(), 80)
+    info(f"1x: k=8 pairs/vec=$ppv1%.0f time=$sec1%.1fs; 10x: k=80 pairs/vec=$ppv10%.0f time=$sec10%.1fs")
+    // replicated vectors are identical, so clones of one direction can
+    // never be separated by ANY clustering — the floor is ~1× plus clone
+    // mass. The claim under test is sublinearity in corpus size.
+    assert(ppv10 < ppv1 * 5.0,
+      f"pairs per vector grew ${ppv10 / ppv1}%.1fx at 10x corpus — clustering not keeping pair work bounded")
+  }
 }
