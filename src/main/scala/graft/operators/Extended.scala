@@ -779,9 +779,12 @@ object Extended {
     * no window; production writers use `repartitionByRange(zval)` for
     * equal-SIZE files (same rectangles, balanced row counts). */
   private def q89(spark: SparkSession, dir: String): DataFrame = {
+    // the z-valued distinct feeds the max agg AND the bucket projection —
+    // materialize once (no CSE across DataFrame reuse)
     val ps = Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
       .withColumn("zval", graft.api.Ops.zorderValue(col("p"), col("s")))
+      .localCheckpoint(true)
     val zmax = ps.agg(max(col("zval")).as("_zmax"))
     ps.crossJoin(broadcast(zmax))
       .withColumn("file_id", expr("(zval * 16) div (_zmax + 1)"))
@@ -803,6 +806,42 @@ object Extended {
        |  MIN(p) AS p_min, MAX(p) AS p_max, MIN(s) AS s_min, MAX(s) AS s_max
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q90
+  /** Spark 4 VariantType: `parse_json` once into the binary variant
+    * encoding, then typed `variant_get` path extraction — the
+    * semi-structured column type that replaces repeated string re-parsing
+    * (q14's get_json_object re-tokenizes the JSON text per extraction; a
+    * variant column parses ONCE at ingest and every downstream extraction
+    * is a cheap binary traversal, the difference that matters when a
+    * 100 TB events table is queried by many consumers). Aggregates over
+    * the extracted value prove the typed path end-to-end; the oracle
+    * computes the same numbers from DuckDB's JSON extraction. */
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_type"),
+      parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"),
+        // a missing path is null, not an error (try-semantics of the type)
+        variant_get(col("v"), "$.missing", "int").as("miss"))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(col("miss")).as("n_missing_path"))
+      .orderBy("event_type")
+  }
+
+  private val q90Oracle =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  CAST(COUNT(CAST(json_extract_string(props, '$.missing') AS INTEGER)) AS BIGINT) AS n_missing_path
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q56_unpivot", q56, Some(q56Oracle)),
@@ -834,5 +873,6 @@ object Extended {
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
     GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),
-    GraftQuery("q89_zorder_layout", q89, Some(q89Oracle)))
+    GraftQuery("q89_zorder_layout", q89, Some(q89Oracle)),
+    GraftQuery("q90_variant_json", q90, Some(q90Oracle)))
 }
