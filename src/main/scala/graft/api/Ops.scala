@@ -157,6 +157,57 @@ object Ops {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance (Levenshtein) similarity join: all pairs with
+    * `levenshtein(a, b) <= maxDist`, `a_id < b_id`. Candidate generation
+    * is exactness-preserving two-stage filtering (Gravano et al.,
+    * "Approximate String Joins in a Database (Almost) for Free",
+    * VLDB 2001), never an all-pairs DP:
+    *
+    *  1. Length banding — ed <= d implies |len(a) - len(b)| <= d, so docs
+    *     bucket by floor(len / (d+1)) and only same/adjacent buckets can
+    *     qualify. The probe side explodes to {b-1, b, b+1} while the build
+    *     side keeps its own bucket, so the join is a plain equi-join
+    *     (shuffle-hash/broadcast eligible, no theta condition) and each
+    *     qualifying pair meets exactly once (probe keys are distinct and
+    *     the a_id < b_id filter kills the mirrored orientation).
+    *  2. q-gram count filter — one edit changes at most q of a string's
+    *     len-q+1 char q-grams (as a bag: an insert/delete only shifts the
+    *     positions of grams outside its q-window, not their contents), so
+    *     a qualifying pair must share >= max(len) - (q-1) - d*q grams.
+    *     Bag intersection runs on sorted hash arrays via the same codegen
+    *     merge walk as the Jaccard join.
+    *
+    * Survivors get ONE exact `levenshtein(a, b, maxDist)` — Spark's
+    * threshold form, which band-limits the DP to O(d * len) cells and
+    * early-exits with -1 above d, instead of the full O(len^2) table.
+    * At scale the cost is O(Σ bucket_probe × bucket_build) cheap merge
+    * walks + O(|candidates|) banded DPs, both shuffle-partitioned by
+    * bucket key. */
+  def editDistanceDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val qgUdf = udf { s: String => TextHash.qgramHashesSortedBag(s, q) }
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_txt"))
+      .withColumn("_len", length(col("_txt")))
+      .withColumn("_qg", qgUdf(col("_txt")))
+      .withColumn("_bkt", floor(col("_len") / (maxDist + 1)))
+    val probe = base.select(col("_id"), col("_txt"), col("_len"), col("_qg"),
+      explode(array(col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)).as("_pb"))
+    val build = base.select(col("_id").as("b_id"), col("_txt").as("b_txt"),
+      col("_len").as("b_len"), col("_qg").as("b_qg"), col("_bkt").as("_pb"))
+    val sharedGrams = graft.functions.ArrayOps.intersectCardSorted(col("_qg"), col("b_qg"))
+    val countFilterFloor =
+      greatest(col("_len"), col("b_len")) - lit((q - 1) + maxDist * q)
+    probe.join(build, "_pb")
+      .filter(col("_id") < col("b_id") &&
+        abs(col("_len") - col("b_len")) <= maxDist &&
+        sharedGrams >= countFilterFloor)
+      .select(col("_id").as("a_id"), col("b_id"),
+        levenshtein(col("_txt"), col("b_txt"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
     * candidates, Hamming-verified with native bit_count. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {

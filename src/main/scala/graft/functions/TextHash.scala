@@ -144,6 +144,33 @@ object TextHash {
     }
   }
 
+  /** Char q-gram FNV-1a hashes, sorted ascending, DUPLICATES KEPT — a bag,
+    * not a set. The merge walk in
+    * [[graft.plans.IntersectCardSortedLong]] advances both pointers on a
+    * match, so on sorted-with-duplicates input it counts min multiplicity
+    * per value — i.e. BAG intersection cardinality, exactly the quantity
+    * the Gravano count filter bounds (set semantics would under-count
+    * shared grams and break the filter's completeness proof). */
+  def qgramHashesSortedBag(s: String, q: Int): Array[Long] = {
+    val n = s.length - q + 1
+    if (n <= 0) return Array.emptyLongArray
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < q) {
+        h ^= s.charAt(i + j)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** Per-document repetition counters in ONE char pass + two small local
     * hash maps: (word count, max 2-gram multiplicity, 3-gram instance
     * count, duplicated-3-gram instance count). Repetition is a PER-DOC

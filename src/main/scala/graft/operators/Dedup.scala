@@ -403,6 +403,30 @@ object Dedup {
       |FROM m LEFT JOIN rm ON m.vec_id = rm.b_id
       |ORDER BY m.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd35
+  /** Edit-distance fuzzy dedup: all document pairs within Levenshtein
+    * distance 10 (the injected near-dup pairs sit at distance 4-8; the
+    * nearest non-dup pair is at 38, so the threshold is comfortably
+    * inside the gap). Candidates via exactness-preserving length-band +
+    * q-gram count filtering, exact banded DP verify — see
+    * [[graft.api.Ops.editDistanceDupPairs]]. The oracle states the plain
+    * semantics (all pairs with levenshtein <= 10); its length-band
+    * predicate is implied by the threshold, not an approximation. */
+  private def dd35(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Ops.editDistanceDupPairs(
+        Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
+        maxDist = 10)
+      .orderBy("a_id", "b_id")
+
+  private val dd35Oracle =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id
+      |  AND abs(length(a.text) - length(b.text)) <= 10
+      |WHERE levenshtein(a.text, b.text) <= 10
+      |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
     GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
@@ -413,5 +437,6 @@ object Dedup {
     GraftQuery("dd31_dedup_normalized", dd31, Some(dd31Oracle)),
     GraftQuery("dd32_dedup_chunk_substr", dd32, Some(dd32Oracle)),
     GraftQuery("dd33_dedup_semantic", dd33, Some(dd33Oracle)),
-    GraftQuery("dd34_dedup_incremental", dd34, Some(dd34Oracle)))
+    GraftQuery("dd34_dedup_incremental", dd34, Some(dd34Oracle)),
+    GraftQuery("dd35_dedup_editdist", dd35, Some(dd35Oracle)))
 }

@@ -233,4 +233,45 @@ class Round4OpsSpec extends SparkTestBase {
       .select("n").as[Long].collect()
     assert(sessions.toSeq == Seq(2L, 1L))
   }
+
+  // ------------------------------------------------------------ dd35
+  test("editDistanceDupPairs matches brute-force levenshtein on the sf0.001 corpus") {
+    val docs = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+    val got = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text", maxDist = 10)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val a = docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("b_id"), col("text").as("tb"))
+    val want = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= 10).orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(want.nonEmpty, "expected planted near-dups at sf0.001")
+    assert(got == want)
+  }
+
+  test("editDistanceDupPairs: pairs straddling a length-bucket boundary are found") {
+    // lengths 21 and 22 fall in different floor(len/11) buckets (1 vs 2);
+    // the adjacent-bucket probe must still pair them. Identical strings in
+    // the same bucket and a far string exercise the other branches.
+    val s21 = "a" * 21
+    val s22 = "a" * 22
+    val far = "z" * 200
+    val docs = Seq((1L, s21), (2L, s22), (3L, s21), (4L, far)).toDF("doc_id", "text")
+    val got = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text", maxDist = 10)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
+  }
+
+  test("editDistanceDupPairs: count filter never prunes a true pair (d edits, d <= maxDist)") {
+    // Apply exactly d random-ish edits; the pair must always survive.
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val edited = base.updated(4, 'x').updated(10, 'y').patch(20, "", 2).patch(30, "qq", 0)
+    // 2 substitutions + 2-char delete + 2-char insert = at most 6 edits
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val got = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L)))
+  }
 }
