@@ -208,6 +208,47 @@ object Ops {
       .filter(col("dist") >= 0)
   }
 
+  /** Global 0-based row numbers under a TOTAL order, without one global
+    * window (which would serialize the corpus through a single partition
+    * — the classic zipWithIndex problem, solved the way Spark's own
+    * sort does it):
+    *
+    *  1. `repartitionByRange` on the order keys — each partition holds a
+    *     contiguous key range, partition index = range order. The ranged
+    *     frame is localCheckpoint'ed so the two consumers below read the
+    *     SAME materialized partitioning (range boundaries are sampled, so
+    *     two independent executions could legally differ; pinning it also
+    *     avoids recomputing the input twice).
+    *  2. per-partition row counts — a P-row table, prefix-summed with a
+    *     window over P rows (P = shuffle partitions, never data-sized).
+    *  3. per-partition row_number (partition-parallel window) + broadcast
+    *     partition base = the global row number.
+    *
+    * `order` must be a total order (break ties with a unique id) —
+    * otherwise rows equal under it get an arbitrary but still unique,
+    * stable-within-run numbering. */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
+      outCol: String = "rn", partitions: Int = 0): DataFrame = {
+    require(order.nonEmpty, "order must name at least one column")
+    val p = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val bases = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_base", coalesce(
+        sum(col("_cnt")).over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_pid", "_base")
+    val win = Window.partitionBy("_pid").orderBy(order: _*)
+    ranged
+      .withColumn("_prn", row_number().over(win).cast("long"))
+      .join(broadcast(bases), "_pid")
+      .withColumn(outCol, col("_base") + col("_prn") - 1)
+      .drop("_pid", "_prn")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
     * candidates, Hamming-verified with native bit_count. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {

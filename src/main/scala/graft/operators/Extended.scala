@@ -807,6 +807,47 @@ object Extended {
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Spark 4 string collations: GROUP BY under `UTF8_LCASE` merges case
+    * variants at the TYPE level — the hash agg and its shuffle key use the
+    * collation directly, so no second normalized column flows through the
+    * plan and every predicate/join on the column inherits the semantics
+    * (vs sprinkling lower() per expression, the pre-collation idiom).
+    * The query builds a deterministic mixed-case segment (upper for even
+    * custkeys, lower for odd), groups it case-insensitively, and proves
+    * the merge by counting raw case forms per group. Aggregates that must
+    * stay case-SENSITIVE (min / count distinct of the raw form) collate
+    * back to UTF8_BINARY — under LCASE the two case variants are EQUAL,
+    * which would make min() pick an arbitrary representative. */
+  private def q91(spark: SparkSession, dir: String): DataFrame = {
+    val cased = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+      .otherwise(lower(col("c_mktsegment")))
+    val raw = collate(col("seg"), "UTF8_BINARY")
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), cased.as("seg"))
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("seg_ci"))
+      .agg(
+        lower(min(raw)).as("segment"),
+        countDistinct(raw).as("n_forms"),
+        count(lit(1)).as("n_cust"),
+        sum(col("c_custkey")).as("sum_key"))
+      .select(collate(col("segment"), "UTF8_BINARY").as("segment"),
+        col("n_forms"), col("n_cust"), col("sum_key"))
+      .orderBy("segment")
+  }
+
+  private val q91Oracle =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+      |         ELSE lower(c_mktsegment) END AS seg
+      |  FROM customer)
+      |SELECT lower(min(seg)) AS segment,
+      |  CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_forms,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+      |FROM c GROUP BY lower(seg) ORDER BY segment""".stripMargin
+
   // ---------------------------------------------------------------- q90
   /** Spark 4 VariantType: `parse_json` once into the binary variant
     * encoding, then typed `variant_get` path extraction — the
@@ -874,5 +915,6 @@ object Extended {
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
     GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),
     GraftQuery("q89_zorder_layout", q89, Some(q89Oracle)),
-    GraftQuery("q90_variant_json", q90, Some(q90Oracle)))
+    GraftQuery("q90_variant_json", q90, Some(q90Oracle)),
+    GraftQuery("q91_collated_group", q91, Some(q91Oracle)))
 }

@@ -280,9 +280,54 @@ object Pipeline {
       |SELECT doc_id, lang, quality, pr FROM r
       |WHERE pr <= 0.8 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- px94
+  /** Token-balanced shard assignment: rank documents by token count
+    * descending (ties → doc_id) and deal them serpentine over `nShards`
+    * shards — rank pass 0 goes 0,1,…,S-1, pass 1 goes S-1,…,0 — the
+    * deterministic folded variant of longest-processing-time scheduling
+    * (Graham 1969): big docs spread first, each shard's token total lands
+    * within one doc of its neighbors. The global rank comes from
+    * [[graft.api.Ops.withGlobalRowNumber]] — range partitioning + a
+    * P-row prefix sum, never a corpus-wide single-partition window. */
+  def shardByTokenBudget(docs: DataFrame, idCol: String, tokenCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val ranked = graft.api.Ops.withGlobalRowNumber(
+      docs, Seq(col(tokenCol).desc, col(idCol)), outCol = "rnk")
+    val pos = col("rnk") % nShards
+    // `div` (integer division) — `/` on longs is double division in Spark SQL
+    ranked.withColumn("shard_id",
+      when(expr(s"(rnk div $nShards) % 2") === 0, pos)
+        .otherwise(lit(nShards - 1) - pos)
+      .cast("int"))
+  }
+
+  private def px94(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(TextOps.toks("text")).cast("long").as("n_tokens"))
+    shardByTokenBudget(t, "doc_id", "n_tokens", nShards = 8)
+      .select("doc_id", "n_tokens", "rnk", "shard_id")
+      .orderBy("doc_id")
+  }
+
+  private val px94Oracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS BIGINT) AS rnk
+      |  FROM t)
+      |SELECT doc_id, n_tokens, rnk,
+      |  CAST(CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8 ELSE 7 - rnk % 8 END AS INTEGER) AS shard_id
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
     GraftQuery("px92_quality_cut", px92, Some(px92Oracle)),
-    GraftQuery("px93_domain_upsample", px93, Some(px93Oracle)))
+    GraftQuery("px93_domain_upsample", px93, Some(px93Oracle)),
+    GraftQuery("px94_token_shards", px94, Some(px94Oracle)))
 }

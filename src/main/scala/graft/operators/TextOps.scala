@@ -610,6 +610,130 @@ object TextOps {
       |  CAST(len(regexp_extract_all(t1, '[0-9]{6,}')) AS INTEGER) AS n_num
       |FROM e ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- tx43
+  /** Cross-document boilerplate fraction (the CCNet / C4 cleaning signal —
+    * Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data", LREC 2020, dedups frequent paragraphs; C4 drops
+    * lines repeated across documents — re-expressed over word n-grams
+    * because the synthetic corpus has no newlines): an n-gram is
+    * boilerplate when it appears in >= `minDf` distinct documents, and
+    * each document reports what fraction of its distinct n-grams is
+    * boilerplate.
+    *
+    * Scale shape: per-doc distinct grams come out of one tight-loop UDF
+    * pass (no explode+dropDuplicates shuffle); document frequency is one
+    * hash agg keyed on the gram (rows are per-doc distinct, so COUNT(*)
+    * IS the DF); membership is a semi join also keyed on the gram. Every
+    * corpus-sized shuffle is gram-keyed and partition-parallel — nothing
+    * all-pairs, nothing driver-side. The fraction is an exact-int divide
+    * (one IEEE op), bitwise-stable across engines. */
+  def boilerplateFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Int = 2): DataFrame = {
+    val gramsUdf = udf { (text: String) => distinctWordNgrams(text, n) }
+    val grams = docs
+      .select(col(idCol).as("doc_id"), gramsUdf(col(textCol)).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val frequent = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("g")
+    val bp = grams.join(frequent, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("bp_grams"))
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(bp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("bp_grams"), lit(0L)).as("bp_grams"))
+      .withColumn("bp_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("bp_grams").cast("double") / col("n_grams")))
+  }
+
+  private def tx43(spark: SparkSession, dir: String): DataFrame =
+    boilerplateFraction(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val tx43Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 3),
+      |           i -> array_to_string(ws[i:i+4], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM w),
+      |f AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1) WHERE df >= 2),
+      |t AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+      |b AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS bp_grams FROM g JOIN f USING (g) GROUP BY 1)
+      |SELECT w.doc_id AS doc_id,
+      |  COALESCE(t.n_grams, 0) AS n_grams,
+      |  COALESCE(b.bp_grams, 0) AS bp_grams,
+      |  CASE WHEN COALESCE(t.n_grams, 0) = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(b.bp_grams, 0) AS DOUBLE) / t.n_grams END AS bp_frac
+      |FROM w LEFT JOIN t USING (doc_id) LEFT JOIN b USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- tx44
+  /** Overlapping token-window chunking — the retrieval-corpus (RAG) prep
+    * step: each document becomes ceil(n_tokens / stride) chunks of up to
+    * `size` tokens, chunk k starting at token k*stride, so consecutive
+    * chunks overlap by `size - stride` tokens and no token is dropped.
+    *
+    * Scale shape: a pure per-row generator — one tight-loop UDF builds the
+    * window strings from a single split (no self-join, no window function,
+    * no shuffle), and posexplode yields (chunk_idx, chunk). Output size is
+    * ~size/stride × corpus, the expected expansion for overlap chunking;
+    * everything stays embarrassingly parallel. */
+  private[graft] def wordWindows(text: String, size: Int, stride: Int): Array[String] = {
+    val w0 = if (text == null) Array.empty[String] else text.split(' ')
+    val w = w0.filter(_.nonEmpty)
+    if (w.isEmpty) return Array.empty[String]
+    val nChunks = (w.length + stride - 1) / stride
+    val out = new Array[String](nChunks)
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < nChunks) {
+      val s = k * stride
+      val e = math.min(s + size, w.length)
+      sb.setLength(0)
+      var i = s
+      while (i < e) { if (i > s) sb.append(' '); sb.append(w(i)); i += 1 }
+      out(k) = sb.toString
+      k += 1
+    }
+    out
+  }
+
+  def chunkTokenWindows(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && size >= stride,
+      s"need size >= stride >= 1, got size=$size stride=$stride")
+    val winUdf = udf { (text: String) => wordWindows(text, size, stride) }
+    docs.select(col(idCol).as("doc_id"), posexplode(winUdf(col(textCol))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        (col("pos") * stride).as("tok_start"),
+        org.apache.spark.sql.functions.size(split(col("col"), " ")).as("n_tok"),
+        col("col").as("chunk"))
+  }
+
+  private def tx44(spark: SparkSession, dir: String): DataFrame =
+    chunkTokenWindows(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  private val tx44Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, unnest(range(0, (len(ws) + 23) // 24)) AS k
+      |  FROM w)
+      |SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |  CAST(k * 24 AS INTEGER) AS tok_start,
+      |  CAST(len(ws[k*24+1 : LEAST(k*24+32, len(ws))]) AS INTEGER) AS n_tok,
+      |  array_to_string(ws[k*24+1 : LEAST(k*24+32, len(ws))], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -624,5 +748,7 @@ object TextOps {
     GraftQuery("tx40_decontaminate", tx40, Some(tx40Oracle)),
     GraftQuery("tx41_tfidf_topterms", tx41, Some(tx41Oracle)),
     GraftQuery("tx42_pii_redact", tx42, Some(tx42Oracle)),
+    GraftQuery("tx43_boilerplate_frac", tx43, Some(tx43Oracle)),
+    GraftQuery("tx44_chunk_windows", tx44, Some(tx44Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

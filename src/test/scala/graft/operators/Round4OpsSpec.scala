@@ -264,6 +264,96 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 1), (1L, 3L, 0), (2L, 3L, 1)))
   }
 
+  // ------------------------------------------------------------ tx43
+  test("boilerplateFraction: corpus-frequent n-grams flag, unique ones don't") {
+    // Docs 1 and 2 share the 5-gram "a b c d e" (DF=2 → boilerplate);
+    // every other gram is unique. Doc 3 is too short to have any 5-gram.
+    val docs = Seq(
+      (1L, "a b c d e p q r s"), // 5 grams, 1 boilerplate
+      (2L, "x a b c d e y z w"), // 5 grams, 1 boilerplate
+      (3L, "too short here")     // 0 grams
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateFraction(docs, "doc_id", "text", n = 5, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 1L, 0.2),
+      (2L, 5L, 1L, 0.2),
+      (3L, 0L, 0L, 0.0)))
+  }
+
+  test("boilerplateFraction: repeated gram within ONE doc does not make it boilerplate") {
+    // "m n o p q" occurs twice inside doc 1 but in no other doc: per-doc
+    // distinct grams mean DF=1, so it must NOT count as boilerplate.
+    val docs = Seq(
+      (1L, "m n o p q m n o p q"),
+      (2L, "entirely different words go right here now")
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateFraction(docs, "doc_id", "text", n = 5, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.forall(_._2 == 0L), s"no gram crosses documents, got $got")
+  }
+
+  // ------------------------------------------------------------ tx44
+  test("chunkTokenWindows: overlap, tail clipping, and full coverage") {
+    val words = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "just three words")).toDF("doc_id", "text")
+    val got = TextOps.chunkTokenWindows(docs, "doc_id", "text", size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // doc 1: 50 words → ceil(50/24)=3 chunks at 0/24/48, sizes 32/26/2
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0, 32), (1, 24, 26), (2, 48, 2)))
+    assert(d1(0)._5.startsWith("w1 w2 ") && d1(0)._5.endsWith(" w32"))
+    assert(d1(1)._5.startsWith("w25 ") && d1(1)._5.endsWith(" w50"))
+    assert(d1(2)._5 == "w49 w50")
+    // overlap: chunk 0 and 1 share words w25..w32
+    assert(d1(0)._5.split(' ').toSet.intersect(d1(1)._5.split(' ').toSet).size == 8)
+    // doc 2: shorter than one window → a single whole-doc chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 3, "just three words")))
+  }
+
+  // ------------------------------------------------------------ px94
+  test("withGlobalRowNumber matches a single global window") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 2654435761L) % 1000) // shuffled values, with ties
+    val got = graft.api.Ops.withGlobalRowNumber(df, Seq(col("v").desc, col("id")), "rn")
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long") - 1)
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("shardByTokenBudget: serpentine deal balances token totals") {
+    val docs = spark.range(0, 200).toDF("doc_id")
+      .withColumn("n_tokens", ((col("doc_id") * 48271L) % 90 + 10).cast("long"))
+    val got = Pipeline.shardByTokenBudget(docs, "doc_id", "n_tokens", nShards = 8)
+    val totals = got.groupBy("shard_id").agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(totals.length == 8 && totals.map(_._3).sum == 200)
+    // serpentine on a descending sort keeps shards within a few percent
+    val (mx, mn) = (totals.map(_._2).max, totals.map(_._2).min)
+    assert(mx - mn <= mx / 10, s"imbalanced: $mx vs $mn")
+    // rank pass 0 deals 0..7 in order, pass 1 reverses
+    val byRank = got.orderBy("rnk").select("shard_id").collect().map(_.getInt(0))
+    assert(byRank.take(16).toSeq == ((0 to 7) ++ (7 to 0 by -1)).toSeq)
+  }
+
+  // ------------------------------------------------------------ q91
+  test("UTF8_LCASE grouping merges case variants; binary re-collation keeps them apart") {
+    val df = Seq("ALPHA", "alpha", "Alpha", "BETA", "beta").toDF("s")
+    val ci = df.groupBy(collate(col("s"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(collate(col("s"), "UTF8_BINARY")).as("forms"))
+      .select(lower(collate(col("k"), "UTF8_BINARY")).as("k"), col("n"), col("forms"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ci == Seq(("alpha", 3L, 3L), ("beta", 2L, 2L)))
+  }
+
   test("editDistanceDupPairs: count filter never prunes a true pair (d edits, d <= maxDist)") {
     // Apply exactly d random-ish edits; the pair must always survive.
     val base = "the quick brown fox jumps over the lazy dog and keeps running"
