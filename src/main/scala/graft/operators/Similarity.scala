@@ -206,9 +206,150 @@ object Similarity {
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INTEGER)), ',') AS q_csv
       |FROM q WHERE scale > 0 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- ss34
+  /** Product-quantization ANN — the fine-quantizer half of Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search" (TPAMI 2011),
+    * complementing ss32's IVF coarse half: vectors are unit-normalized
+    * (so L2 order ≡ cosine order), split into M=8 subspaces of 8 dims,
+    * and each sub-vector is coded as its nearest of K=16 per-subspace
+    * centroids → an 8-byte code replaces a 256-byte vector. Search is
+    * asymmetric distance computation (ADC): each query precomputes an
+    * M×K table of sub-distances; a corpus row's approximate distance is
+    * M table lookups — no float vector is read during the scan. The
+    * ADC shortlist is then exactly re-ranked on the real vectors.
+    *
+    * Codebook training runs a deterministic seeded Lloyd's on a BOUNDED
+    * sample collected to the driver — FAISS practice: the codebook needs
+    * a representative sample (here ≤2048 rows, fixed vec_id order), not
+    * the corpus, so training cost is independent of corpus size. The
+    * scan is one broadcast of (q_id, table) against the codes column:
+    * O(N·M) lookups, partition-parallel, shuffle-free until the tiny
+    * per-query top-k windows. Engine-only (approximate); the recall@5
+    * floor in QueriesSpec is the quality gate. */
+  private[operators] def pqCodebooks(
+      sample: Array[Array[Float]], m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    Array.tabulate(m) { j =>
+      // init: evenly strided sample rows (deterministic, spread over the
+      // vec_id-ordered sample); Lloyd's with empty clusters keeping their
+      // previous center
+      val pts = sample.map { v =>
+        val p = new Array[Double](sd)
+        var t = 0; while (t < sd) { p(t) = v(j * sd + t); t += 1 }; p
+      }
+      val centers = Array.tabulate(k)(c => pts((c.toLong * pts.length / k).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](sd))
+        val cnts = new Array[Int](k)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var t = 0
+            while (t < sd) { val df = p(t) - centers(c)(t); d += df * df; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var t = 0; while (t < sd) { sums(best)(t) += p(t); t += 1 }
+          cnts(best) += 1
+        }
+        var c = 0
+        while (c < k) {
+          if (cnts(c) > 0) {
+            var t = 0; while (t < sd) { centers(c)(t) = sums(c)(t) / cnts(c); t += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      centers
+    }
+  }
+
+  private def ss34(spark: SparkSession, dir: String): DataFrame = {
+    val M = 8; val K = 16; val Shortlist = 40
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
+    val sample: Array[Array[Float]] = e.orderBy("vec_id")
+      .limit(2048).select("embedding", "nrm").collect()
+      .map { r =>
+        val v = r.getSeq[Float](0); val n = r.getDouble(1)
+        val a = new Array[Float](v.length)
+        var i = 0; while (i < a.length) { a(i) = (v(i) / n).toFloat; i += 1 }
+        a
+      }
+    val cbB = spark.sparkContext.broadcast(pqCodebooks(sample, M, K, iters = 10))
+
+    val encodeUdf = udf { (emb: Seq[Float], nrm: Double) =>
+      val cb = cbB.value
+      val sd = emb.length / cb.length
+      Array.tabulate(cb.length) { j =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb(j).length) {
+          var d = 0.0; var t = 0
+          while (t < sd) { val df = emb(j * sd + t) / nrm - cb(j)(c)(t); d += df * df; t += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    // flattened M×K ADC table: tbl(j*K + c) = ||q_sub_j - centroid_jc||²
+    val adcUdf = udf { (emb: Seq[Float], nrm: Double) =>
+      val cb = cbB.value
+      val m = cb.length; val k = cb(0).length; val sd = emb.length / m
+      val tbl = new Array[Double](m * k)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var t = 0
+          while (t < sd) { val df = emb(j * sd + t) / nrm - cb(j)(c)(t); d += df * df; t += 1 }
+          tbl(j * k + c) = d
+          c += 1
+        }
+        j += 1
+      }
+      tbl
+    }
+    val adcScore = udf { (codes: Seq[Int], tbl: Seq[Double]) =>
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += tbl(j * 16 + codes(j)); j += 1 }
+      s
+    }
+
+    val coded = e.select(col("vec_id"), encodeUdf(col("embedding"), col("nrm")).as("codes"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+        adcUdf(col("embedding"), col("nrm")).as("tbl"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val cands = coded.crossJoin(broadcast(q.select(col("q_id"), col("tbl"))))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), adcScore(col("codes"), col("tbl")).as("adist"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= Shortlist)
+      .select("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands.join(e, "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+      .orderBy("q_id", "rn")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
     GraftQuery("ss31_ann_lsh_topk", ss31, None),
     GraftQuery("ss32_ann_ivf_topk", ss32, None),
-    GraftQuery("ss33_quantize_int8", ss33, Some(ss33Oracle)))
+    GraftQuery("ss33_quantize_int8", ss33, Some(ss33Oracle)),
+    GraftQuery("ss34_ann_pq_topk", ss34, None))
 }
