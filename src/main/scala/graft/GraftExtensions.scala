@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Multiply, Sqrt}
 
-import graft.plans.{DotProductF, IntersectCardSortedLong, NormSqF}
+import graft.plans.{DotProductF, IntersectCardSortedLong, L1DistInt, NormSqF}
 
 /** SQL registration of the engine's native expressions, so `spark.sql`
   * users get the same codegen'd hot paths as the DataFrame API:
@@ -13,6 +13,7 @@ import graft.plans.{DotProductF, IntersectCardSortedLong, NormSqF}
   *   - graft_normsq(a)            — sum of squares
   *   - graft_cosine(a, b)         — cosine similarity
   *   - graft_intersect_card(a, b) — |a ∩ b| of sorted array<long>
+  *   - graft_l1_dist(a, b)        — Σ|a_i-b_i| of array<int> histograms
   *
   * Two entry points: `withExtensions(new GraftExtensions)` at session build
   * time, or `GraftFunctions.register(spark)` on a live session.
@@ -49,7 +50,8 @@ object GraftFunctions {
     "graft_dot" -> arity("graft_dot", 2)(exprs => DotProductF(exprs(0), exprs(1))),
     "graft_normsq" -> arity("graft_normsq", 1)(exprs => NormSqF(exprs.head)),
     "graft_cosine" -> arity("graft_cosine", 2)(cosine),
-    "graft_intersect_card" -> arity("graft_intersect_card", 2)(exprs => IntersectCardSortedLong(exprs(0), exprs(1))))
+    "graft_intersect_card" -> arity("graft_intersect_card", 2)(exprs => IntersectCardSortedLong(exprs(0), exprs(1))),
+    "graft_l1_dist" -> arity("graft_l1_dist", 2)(exprs => L1DistInt(exprs(0), exprs(1))))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

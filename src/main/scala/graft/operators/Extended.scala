@@ -822,15 +822,21 @@ object Extended {
   private def q91(spark: SparkSession, dir: String): DataFrame = {
     val cased = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
       .otherwise(lower(col("c_mktsegment")))
-    val raw = collate(col("seg"), "UTF8_BINARY")
-    Tables(spark, dir, "customer")
+    // Pre-aggregate by the RAW (binary) form first — a codegen'd hash agg
+    // over the corpus — so the collated agg runs on the tiny distinct-form
+    // table: collation-aware comparisons never touch corpus-sized data
+    // (the same partial-agg shape Spark itself uses for count distinct).
+    val byRaw = Tables(spark, dir, "customer")
       .select(col("c_custkey"), cased.as("seg"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("_n"), sum(col("c_custkey")).as("_s"))
+    byRaw
       .groupBy(collate(col("seg"), "UTF8_LCASE").as("seg_ci"))
       .agg(
-        lower(min(raw)).as("segment"),
-        countDistinct(raw).as("n_forms"),
-        count(lit(1)).as("n_cust"),
-        sum(col("c_custkey")).as("sum_key"))
+        lower(min(collate(col("seg"), "UTF8_BINARY"))).as("segment"),
+        count(lit(1)).as("n_forms"),
+        sum(col("_n")).as("n_cust"),
+        sum(col("_s")).as("sum_key"))
       .select(collate(col("segment"), "UTF8_BINARY").as("segment"),
         col("n_forms"), col("n_cust"), col("sum_key"))
       .orderBy("segment")

@@ -300,9 +300,18 @@ object Similarity {
         best
       }
     }
-    // flattened M×K ADC table: tbl(j*K + c) = ||q_sub_j - centroid_jc||²
-    val adcUdf = udf { (emb: Seq[Float], nrm: Double) =>
-      val cb = cbB.value
+    // The query batch is the BOUNDED side (ss30-32 broadcast it for the
+    // same reason), so its ADC tables are computed once on the driver and
+    // broadcast as primitive arrays: the scan then reads only (vec_id,
+    // codes) per corpus row — carrying the 128-double table through every
+    // joined row measured 2× slower (250k rows × per-row array decode).
+    val cb = cbB.value
+    val qRows = e.filter(col("vec_id") % 100 === 0)
+      .select("vec_id", "embedding", "nrm").collect()
+      .sortBy(_.getLong(0))
+    val qIds: Array[Long] = qRows.map(_.getLong(0))
+    val qTables: Array[Array[Double]] = qRows.map { r =>
+      val emb = r.getSeq[Float](1); val nrm = r.getDouble(2)
       val m = cb.length; val k = cb(0).length; val sd = emb.length / m
       val tbl = new Array[Double](m * k)
       var j = 0
@@ -318,26 +327,41 @@ object Similarity {
       }
       tbl
     }
-    val adcScore = udf { (codes: Seq[Int], tbl: Seq[Double]) =>
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += tbl(j * 16 + codes(j)); j += 1 }
-      s
+    val qTablesB = spark.sparkContext.broadcast(qTables)
+    // ONE generator call per corpus row scores ALL queries (M lookups
+    // each) — 50× fewer UDF invocations than scoring per (row, query)
+    // pair; posexplode's pos indexes back into the q_id literal array.
+    val scoresUdf = udf { (codes: Seq[Int]) =>
+      val ts = qTablesB.value
+      val k = cb(0).length
+      val out = new Array[Double](ts.length)
+      var qi = 0
+      while (qi < ts.length) {
+        val tbl = ts(qi)
+        var s = 0.0; var j = 0
+        while (j < codes.length) { s += tbl(j * k + codes(j)); j += 1 }
+        out(qi) = s
+        qi += 1
+      }
+      out
     }
+    val qIdLit = array(qIds.map(lit(_)): _*)
 
     val coded = e.select(col("vec_id"), encodeUdf(col("embedding"), col("nrm")).as("codes"))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
-        adcUdf(col("embedding"), col("nrm")).as("tbl"))
     val wA = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
-    val cands = coded.crossJoin(broadcast(q.select(col("q_id"), col("tbl"))))
+    val cands = coded
+      .select(col("vec_id"), posexplode(scoresUdf(col("codes"))))
+      .select(element_at(qIdLit, col("pos") + 1).as("q_id"),
+        col("vec_id"), col("col").as("adist"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), adcScore(col("codes"), col("tbl")).as("adist"))
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= Shortlist)
       .select("q_id", "vec_id")
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     cands.join(e, "vec_id")
-      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
+      .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         (VectorOps.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("sim"))
       .withColumn("rn", row_number().over(w))

@@ -28,6 +28,15 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r == 3)
   }
 
+  test("graft_l1_dist: histogram L1, short side zero-padded") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_l1_dist(array(3,0,2), array(1,1,2)) AS a, " +
+      "graft_l1_dist(array(3,2), array(3,2,4,1)) AS b, " +
+      "graft_l1_dist(array(), array(5)) AS c").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == (3, 5, 5))
+  }
+
   test("GraftExtensions injects every builder (without relying on register())") {
     // getOrCreate would reuse the shared test session and bypass
     // withExtensions, so drive the extension object directly and verify the

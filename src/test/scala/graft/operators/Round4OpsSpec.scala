@@ -354,6 +354,17 @@ class Round4OpsSpec extends SparkTestBase {
     assert(ci == Seq(("alpha", 3L, 3L), ("beta", 2L, 2L)))
   }
 
+  test("editDistanceDupPairs: short x long pairs across the prefix-bound floor are found") {
+    // len 30 → 28 grams (<= d·q = 30: short set); len 36 → 34 grams (long,
+    // prefix path). The pair is at distance 6 and must surface via the
+    // prefix join against the short doc's whole bag.
+    val docs = Seq((1L, "x" * 30), (2L, "x" * 36), (3L, "y" * 30)).toDF("doc_id", "text")
+    val got = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text", maxDist = 10)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 2L, 6)))
+  }
+
   test("editDistanceDupPairs: count filter never prunes a true pair (d edits, d <= maxDist)") {
     // Apply exactly d random-ish edits; the pair must always survive.
     val base = "the quick brown fox jumps over the lazy dog and keeps running"
