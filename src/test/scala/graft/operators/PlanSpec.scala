@@ -143,4 +143,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("dd35: edit-distance join is a bucketed equi-join with both codegen filters") {
+    val p = plan("dd35_dedup_editdist")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "length banding must keep the candidate join an equi-join:\n" + p.take(2000))
+    assert(p.contains("graft_l1_dist"),
+      "histogram L1 prefilter must run before the merge walk")
+    assert(p.contains("graft_intersect_card_sorted"),
+      "exact bag count filter must stay on the codegen merge walk")
+  }
+
+  test("px94: global rank is range-partitioned — no corpus-wide single-partition sort") {
+    val p = plan("px94_token_shards")
+    // the documents-sized side must flow through RangePartitioning; the
+    // only single-partition exchange allowed is the P-row bucket-count
+    // prefix sum (its input is an aggregate, never the corpus)
+    assert(p.contains("REPARTITION_BY_NUM") || p.contains("rangepartitioning") ||
+      p.toLowerCase.contains("rangepartitioning"),
+      "expected a range repartition of the corpus:\n" + p.take(2000))
+    val idx = p.indexOf("SinglePartition")
+    if (idx >= 0) {
+      val tail = p.substring(idx)
+      assert(tail.contains("HashAggregate") || p.substring(0, idx).contains("HashAggregate"),
+        "SinglePartition exchange must only carry the aggregated bucket table:\n" + p.take(2000))
+    }
+  }
+
+  test("tx43: boilerplate membership is a gram-keyed semi join (no nested loop)") {
+    val p = plan("tx43_boilerplate_frac")
+    assert(p.contains("LeftSemi"), "frequent-gram membership should be a semi join:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
 }

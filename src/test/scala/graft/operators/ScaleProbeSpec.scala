@@ -111,4 +111,34 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(ppv10 < ppv1 * 5.0,
       f"pairs per vector grew ${ppv10 / ppv1}%.1fx at 10x corpus — clustering not keeping pair work bounded")
   }
+
+  /** dd35's cost model is Σ length-bucket² with a 64-op histogram kernel
+    * on almost every pair — the probe measures how the constant-factor
+    * layering (L1 prefilter ahead of the merge walk ahead of the banded
+    * DP) holds when bucket populations grow 10×. Candidate pairs grow
+    * ~100× under replication (every clone pair is a true dup), so this is
+    * the worst case: wall growth well under the 100× pair growth shows
+    * the cheap kernel + parallel scan absorbing the quadratic term. */
+  test("dd35 edit-distance join: 10x replicated corpus timing") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+
+    def replicate(k: Int) = (0 until k)
+      .map(i => base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+
+    var secs = Map.empty[Int, Double]
+    for (k <- Seq(1, 10)) {
+      val docs = replicate(k).localCheckpoint()
+      val n = docs.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text", maxDist = 10).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      secs += k -> sec
+      info(f"k=$k docs=$n pairs=$pairs time=$sec%.1fs")
+    }
+    assert(secs(10) < secs(1) * 100.0,
+      f"wall grew ${secs(10) / secs(1)}%.0fx at 10x corpus — kernel layering not absorbing the bucket² term")
+  }
 }
