@@ -58,11 +58,14 @@ object Similarity {
 
   /** LSH candidate pairs `(q_id, vec_id, sim)` for query rows
     * (`vec_id % 100 == 0`), with `nPlanes` hyperplanes (2^nPlanes
-    * buckets). Exposed package-private so the scale probe can demonstrate
-    * the production recipe — raise `nPlanes` with corpus size so
-    * candidates-per-query stay bounded (buckets ∝ n / target-candidates)
-    * — against the very join ss31 runs. */
-  private[graft] def lshCandidates(raw: DataFrame, nPlanes: Int): DataFrame = {
+    * buckets) and multi-probe depth `probeFlips` (all buckets within that
+    * Hamming distance of the query's bucket are probed — 1+n probes at
+    * depth 1, +n(n-1)/2 at depth 2). Exposed package-private so the scale
+    * probe can demonstrate the production recipe — raise `nPlanes` with
+    * corpus size so candidates-per-query stay bounded, and `probeFlips`
+    * with the recall target — against the very join ss31 runs. */
+  private[graft] def lshCandidates(raw: DataFrame, nPlanes: Int,
+      probeFlips: Int = 1): DataFrame = {
     val spark = raw.sparkSession
     val planes: Array[Array[Double]] =
       Array.tabulate(nPlanes, 64) { (p, j) =>
@@ -88,13 +91,20 @@ object Similarity {
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .filter(col("nrm") > 0) // zero vectors have no cosine (ANSI: would throw)
     // Multi-probe (Lv et al., "Multi-probe LSH", VLDB 2007): besides its
-    // own bucket, each query probes the nPlanes buckets one sign-flip away
-    // — near neighbors that landed just across one hyperplane are found at
-    // (planes+1)× probe cost instead of being silently missed. Without
-    // this, single-probe recall@5 measured ~0 at test scale (the quality
-    // floor in QueriesSpec guards it).
-    val probes = array(
-      col("bucket") +: (0 until nPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*)
+    // own bucket, each query probes every bucket within `probeFlips` sign
+    // flips — near neighbors that landed just across one or two
+    // hyperplanes are found at bounded extra probe cost instead of being
+    // silently missed. Without any flips, single-probe recall@5 measured
+    // ~0 at test scale (the quality floor in QueriesSpec guards it);
+    // depth 2 took recall@5 at sf0.01 from 0.08 to a useful level because
+    // the synthetic embeddings' true neighbors sit ~55° apart and cross
+    // two of 6 hyperplanes often.
+    val masks: Seq[Int] = Seq(0) ++
+      (if (probeFlips >= 1) (0 until nPlanes).map(1 << _) else Seq.empty) ++
+      (if (probeFlips >= 2)
+        for (i <- 0 until nPlanes; j <- i + 1 until nPlanes) yield (1 << i) | (1 << j)
+      else Seq.empty)
+    val probes = array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         explode(probes).as("bucket"))
@@ -106,7 +116,7 @@ object Similarity {
 
   private def ss31(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    lshCandidates(Tables(spark, dir, "embeddings"), NPlanes)
+    lshCandidates(Tables(spark, dir, "embeddings"), NPlanes, probeFlips = 2)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
