@@ -324,10 +324,96 @@ object Pipeline {
       |  CAST(CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8 ELSE 7 - rnk % 8 END AS INTEGER) AS shard_id
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- px95
+  /** The curriculum/shard counterpart to px90: per-language quality cut
+    * (px92 semantics) → cross-doc boilerplate filter (tx43) → normalized
+    * dedup (dd31 canonical keys, applied to the surviving set) →
+    * token-balanced serpentine shard assignment (px94). Output is the
+    * per-document shard manifest a distributed trainer consumes. Every
+    * stage is the independently-oracled library op; the composition is one
+    * Catalyst plan whose only materialization point is the survivor set
+    * (consumed by both the dedup agg and the shard ranking). */
+  private def px95(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val t = TextOps.toks("text")
+    val nWords = size(t)
+    val quality = when(nWords > 0,
+      (size(array_distinct(t)) / nWords) * least(nWords, lit(100)) / lit(100.0))
+    val keepQ = qualityCut(
+        docs.select(col("doc_id"), col("lang"), quality.as("quality")),
+        "doc_id", "lang", "quality", keepFrac = 0.8)
+      .select("doc_id")
+    val keepBp = TextOps.boilerplateFraction(docs, "doc_id", "text")
+      .filter(col("bp_frac") < 0.8).select("doc_id")
+    val surviving = docs
+      .join(keepQ, "doc_id")
+      .join(keepBp, "doc_id")
+      .localCheckpoint(true)
+    val norm = graft.functions.TextHash.normalizeUdf(col("text"))
+    val canonical = surviving
+      .select(col("doc_id"), md5(encode(norm, "UTF-8")).as("k"))
+      .groupBy("k").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val withTok = surviving.join(canonical, "doc_id")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.toks("text")).cast("long").as("n_tokens"))
+    shardByTokenBudget(withTok, "doc_id", "n_tokens", nShards = 8)
+      .select("doc_id", "lang", "n_tokens", "rnk", "shard_id")
+      .orderBy("doc_id")
+  }
+
+  /** Chains the px92 / tx43 / dd31 / px94 oracle fragments one-to-one. */
+  private val px95Oracle =
+    """WITH tk AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, text,
+      |    CASE WHEN len(tk) > 0
+      |      THEN len(list_distinct(tk)) / len(tk) * least(len(tk), 100) / CAST(100 AS DOUBLE) END AS q,
+      |    CAST(len(tk) AS BIGINT) AS n_tokens
+      |  FROM tk),
+      |keepq AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      percent_rank() OVER (PARTITION BY lang ORDER BY q DESC NULLS LAST, doc_id) AS pr
+      |    FROM s) WHERE pr <= 0.8),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 5
+      |    THEN list_distinct(list_transform(range(1, len(tk) - 3),
+      |           i -> array_to_string(tk[i:i+4], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM tk),
+      |f AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY 1) WHERE df >= 2),
+      |tno AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY 1),
+      |b AS (SELECT g.doc_id, COUNT(*) AS bp FROM g JOIN f USING (g) GROUP BY 1),
+      |keepbp AS (
+      |  SELECT tk.doc_id FROM tk LEFT JOIN tno USING (doc_id) LEFT JOIN b USING (doc_id)
+      |  WHERE (CASE WHEN COALESCE(tno.n_g, 0) = 0 THEN 0.0
+      |              ELSE CAST(COALESCE(b.bp, 0) AS DOUBLE) / tno.n_g END) < 0.8),
+      |surv AS (
+      |  SELECT s.doc_id, s.lang, s.text, s.n_tokens
+      |  FROM s JOIN keepq USING (doc_id) JOIN keepbp USING (doc_id)),
+      |canon AS (
+      |  SELECT MIN(doc_id) AS doc_id
+      |  FROM (SELECT doc_id,
+      |          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+      |        FROM surv)
+      |  GROUP BY k),
+      |r AS (
+      |  SELECT surv.doc_id, lang, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens DESC, surv.doc_id) - 1 AS BIGINT) AS rnk
+      |  FROM surv JOIN canon ON surv.doc_id = canon.doc_id)
+      |SELECT doc_id, lang, n_tokens, rnk,
+      |  CAST(CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8 ELSE 7 - rnk % 8 END AS INTEGER) AS shard_id
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
     GraftQuery("px92_quality_cut", px92, Some(px92Oracle)),
     GraftQuery("px93_domain_upsample", px93, Some(px93Oracle)),
-    GraftQuery("px94_token_shards", px94, Some(px94Oracle)))
+    GraftQuery("px94_token_shards", px94, Some(px94Oracle)),
+    GraftQuery("px95_curriculum_shards", px95, Some(px95Oracle)))
 }
