@@ -103,6 +103,44 @@ object Graph {
       |FROM nodes GROUP BY 1
       |ORDER BY n_triangles DESC, supplier LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- gr80
+  /** Weighted co-occurrence graph construction — the basket/recommender
+    * primitive (and the graph-build step feeding gr78/gr79/dd30): parts
+    * co-purchased in the same order become an edge weighted by the number
+    * of shared orders; weight >= 2 keeps the non-noise edges.
+    *
+    * Scale shape: the pair generation is an equi-join keyed on the basket
+    * id, so its cost is Σ basket_size² — bounded per basket (TPC-H orders
+    * cap at 7 lines; a production pipeline caps or samples items-per-
+    * basket first, because one mega-basket's deg² is this job's only skew
+    * hazard — the same "last reducer" guard as the triangle count's
+    * degree orientation). The weight agg is hash-keyed on the pair. */
+  def coOccurrenceEdges(items: DataFrame, basketCol: String, itemCol: String,
+      minWeight: Long = 1L): DataFrame = {
+    val o = items.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+    o.as("a").join(o.as("b"),
+        col("a._bk") === col("b._bk") && col("a._it") < col("b._it"))
+      .groupBy(col("a._it").as("p1"), col("b._it").as("p2"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
+  private def gr80(spark: SparkSession, dir: String): DataFrame =
+    coOccurrenceEdges(Tables(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minWeight = 2L)
+      .orderBy("p1", "p2")
+
+  private val gr80Oracle =
+    """WITH o AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |pr AS (
+      |  SELECT a.it AS p1, b.it AS p2, CAST(COUNT(*) AS BIGINT) AS weight
+      |  FROM o a JOIN o b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2)
+      |SELECT p1, p2, weight FROM pr WHERE weight >= 2
+      |ORDER BY p1, p2""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    GraftQuery("gr79_triangle_count", gr79, Some(gr79Oracle)))
+    GraftQuery("gr79_triangle_count", gr79, Some(gr79Oracle)),
+    GraftQuery("gr80_copurchase_graph", gr80, Some(gr80Oracle)))
 }

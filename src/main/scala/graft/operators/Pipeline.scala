@@ -409,11 +409,38 @@ object Pipeline {
       |  CAST(CASE WHEN (rnk // 8) % 2 = 0 THEN rnk % 8 ELSE 7 - rnk % 8 END AS INTEGER) AS shard_id
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- px96
+  /** Deterministic per-stratum eval holdout: the k documents per language
+    * with the smallest salted content-independent hash — the standard way
+    * to carve a stable eval set that (a) is uniform within each stratum,
+    * (b) never moves when the corpus grows (membership depends only on
+    * the id), and (c) is reproducible across engines (md5 on both sides,
+    * no RNG). Selection is top-k per group, which Spark plans with
+    * WindowGroupLimit — each partition pre-filters to its local top-k
+    * before the stratum shuffle, so the full sort never materializes. */
+  private def px96(spark: SparkSession, dir: String): DataFrame = {
+    val hk = md5(concat(col("doc_id").cast("string"), lit(":eval")))
+    graft.api.Ops.topKPerGroup(
+        Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), hk.as("hk")),
+        partCols = Seq("lang"), order = Seq(col("hk"), col("doc_id")), k = 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("hk"))
+      .orderBy("lang", "rn")
+  }
+
+  private val px96Oracle =
+    """SELECT lang, CAST(rn AS INTEGER) AS rn, doc_id, hk FROM (
+      |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || ':eval') AS hk,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':eval'), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
     GraftQuery("px92_quality_cut", px92, Some(px92Oracle)),
     GraftQuery("px93_domain_upsample", px93, Some(px93Oracle)),
     GraftQuery("px94_token_shards", px94, Some(px94Oracle)),
-    GraftQuery("px95_curriculum_shards", px95, Some(px95Oracle)))
+    GraftQuery("px95_curriculum_shards", px95, Some(px95Oracle)),
+    GraftQuery("px96_eval_holdout", px96, Some(px96Oracle)))
 }

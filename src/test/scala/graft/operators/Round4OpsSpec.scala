@@ -342,6 +342,24 @@ class Round4OpsSpec extends SparkTestBase {
     assert(byRank.take(16).toSeq == ((0 to 7) ++ (7 to 0 by -1)).toSeq)
   }
 
+  // ------------------------------------------------------------ gr80
+  test("coOccurrenceEdges: pair weights count shared baskets, duplicates collapse") {
+    val items = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (2L, "b"), // duplicate line in the same basket must not double-count
+      (3L, "a"), (3L, "b"),
+      (4L, "c")
+    ).toDF("basket", "item")
+    val got = Graph.coOccurrenceEdges(items, "basket", "item", minWeight = 1L)
+      .orderBy("p1", "p2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
+    val thresholded = Graph.coOccurrenceEdges(items, "basket", "item", minWeight = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(thresholded == Seq(("a", "b", 3L)))
+  }
+
   // ------------------------------------------------------------ q91
   test("UTF8_LCASE grouping merges case variants; binary re-collation keeps them apart") {
     val df = Seq("ALPHA", "alpha", "Alpha", "BETA", "beta").toDF("s")
