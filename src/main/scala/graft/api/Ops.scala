@@ -383,14 +383,20 @@ object Ops {
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
+    // nodes and the weighted edge list are loop INVARIANTS consumed by a
+    // keyed join every round — pre-partition them on their join keys
+    // before checkpointing (localCheckpoint preserves outputPartitioning),
+    // so each iteration exchanges only the round's small rank/contrib
+    // tables, never the edge list again.
     val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .repartition(col("id")).localCheckpoint()
     // fold 1/out-degree into the edge list ONCE — a per-iteration
     // groupBy+join over degrees would redo this work every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint()
+      .repartition(col("src")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
       val contribs = weighted.join(ranks, col("src") === col("id"))
