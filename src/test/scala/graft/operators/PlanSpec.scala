@@ -175,4 +175,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), "frequent-gram membership should be a semi join:\n" + p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("px96: per-stratum top-k rides WindowGroupLimit (map-side rank prefilter)") {
+    val p = plan("px96_eval_holdout")
+    assert(p.contains("WindowGroupLimit"),
+      "eval holdout must pre-filter ranks before the stratum shuffle:\n" + p.take(1500))
+  }
+
+  test("px95: the composed pipeline stays free of nested-loop joins") {
+    val p = plan("px95_curriculum_shards")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("gr80: basket pair generation is an equi-join on the basket id") {
+    val p = plan("gr80_copurchase_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
