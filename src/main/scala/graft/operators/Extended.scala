@@ -807,6 +807,30 @@ object Extended {
        |FROM z GROUP BY 1 ORDER BY file_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q92
+  /** Per-row file provenance via the hidden `_metadata` struct on file
+    * sources — how a 100 TB pipeline answers "which input file did this
+    * training document come from" without writing a path column into the
+    * data: the scan exposes file path/name/size per row for free, and
+    * grouping by it gives the per-input-file audit manifest (row counts
+    * joined with distinct-id counts proves no file contributed duplicate
+    * ids). The oracle reproduces the same manifest from the table name —
+    * the testdata table is a single parquet file, which the query itself
+    * verifies (n_files = 1). */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("_metadata.file_name").as("file_name"))
+    d.groupBy("file_name")
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("doc_id")).as("n_ids"))
+      .orderBy("file_name")
+  }
+
+  private val q92Oracle =
+    """SELECT 'documents.parquet' AS file_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- q91
   /** Spark 4 string collations: GROUP BY under `UTF8_LCASE` merges case
     * variants at the TYPE level — the hash agg and its shuffle key use the
@@ -922,5 +946,6 @@ object Extended {
     GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),
     GraftQuery("q89_zorder_layout", q89, Some(q89Oracle)),
     GraftQuery("q90_variant_json", q90, Some(q90Oracle)),
-    GraftQuery("q91_collated_group", q91, Some(q91Oracle)))
+    GraftQuery("q91_collated_group", q91, Some(q91Oracle)),
+    GraftQuery("q92_file_provenance", q92, Some(q92Oracle)))
 }
