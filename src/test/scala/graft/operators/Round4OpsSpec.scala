@@ -315,7 +315,43 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 3, "just three words")))
   }
 
+  // ------------------------------------------------------------ tx44 (property)
+  test("chunkTokenWindows: stride-aligned reconstruction returns the original tokens") {
+    // taking the first `stride` tokens of every chunk (all of the last)
+    // must reassemble each document exactly — no token lost or duplicated
+    val docs = Seq(
+      (1L, (1 to 53).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 24).map(i => s"u$i").mkString(" ")), // exactly one stride
+      (3L, "a"),
+      (4L, (1 to 48).map(i => s"v$i").mkString(" ")) // exact multiple of stride
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokenWindows(docs, "doc_id", "text", size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+    val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val toks = sorted.zipWithIndex.flatMap { case ((_, _, chunk), i) =>
+        val ws = chunk.split(' ')
+        if (i == sorted.length - 1) ws else ws.take(24)
+      }
+      id -> toks.mkString(" ")
+    }
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == want)
+  }
+
   // ------------------------------------------------------------ px94
+  test("withGlobalRowNumber is partition-count invariant") {
+    val df = spark.range(0, 500).toDF("id")
+      .withColumn("v", (col("id") * 2654435761L) % 97)
+    def rn(p: Int) = graft.api.Ops
+      .withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn", partitions = p)
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val r1 = rn(1)
+    assert(rn(7) == r1 && rn(64) == r1,
+      "global numbering must not depend on the physical partition count")
+  }
+
   test("withGlobalRowNumber matches a single global window") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("v", (col("id") * 2654435761L) % 1000) // shuffled values, with ties
