@@ -378,6 +378,25 @@ class Round4OpsSpec extends SparkTestBase {
     assert(byRank.take(16).toSeq == ((0 to 7) ++ (7 to 0 by -1)).toSeq)
   }
 
+  // ------------------------------------------------------------ observe
+  test("Dataset.observe: pipeline metrics ride the job, no second pass over the data") {
+    // the production monitoring surface: a cleaning job reports rows-in /
+    // rows-kept / token totals from the SAME pass that writes the output,
+    // instead of re-scanning the corpus for a metrics query
+    val obs = new org.apache.spark.sql.Observation("clean")
+    val docs = graft.Tables(spark, sf, "documents")
+    val kept = docs
+      .observe(obs,
+        count(lit(1)).as("rows_in"),
+        sum(org.apache.spark.sql.functions.size(TextOps.toks("text")).cast("long")).as("tokens_in"))
+      .filter(length(col("text")) > 100)
+    val nKept = kept.count()
+    val m = obs.get
+    assert(m("rows_in").asInstanceOf[Long] == docs.count())
+    assert(m("tokens_in").asInstanceOf[Long] > 0)
+    assert(nKept < m("rows_in").asInstanceOf[Long], "filter must drop something at sf0.001")
+  }
+
   // ------------------------------------------------------------ gr80
   test("coOccurrenceEdges: pair weights count shared baskets, duplicates collapse") {
     val items = Seq(
