@@ -330,9 +330,12 @@ object Ops {
     // and without the checkpoint the whole upstream pipeline (e.g. the
     // MinHash candidate generation feeding dedup clustering) would be
     // recomputed per round.
+    // pre-partitioned on the per-iteration join key (dst) so each round
+    // exchanges only the small label table, never the edge list
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
