@@ -199,9 +199,13 @@ object Ops {
     * right default; a prefix-filter variant belongs behind a strategy
     * flag if natural-text corpora need it. */
   def editDistanceDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, q: Int = 3): DataFrame = {
+      maxDist: Int, q: Int = 3, blockCol: Option[String] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
+    // optional blocking (same convention as jaccardDupPairs): pairs are
+    // restricted to equal block values, and the block key rides inside
+    // the bucket join key, tightening candidate generation for free
+    val blockExpr = blockCol.map(col).getOrElse(lit(0))
     val qgUdf = udf { s: String => TextHash.qgramHashesSortedBag(s, q) }
     // 64-bucket count histogram of the gram bag: the count bound survives
     // the projection (L1(hist_a, hist_b) <= bag sym-diff <= 2·d·q), so a
@@ -213,21 +217,21 @@ object Ops {
       hs.foreach { v => h((v & 63L).toInt) += 1 }
       h
     }
-    val base = df.select(col(idCol).as("_id"), col(textCol).as("_txt"))
+    val base = df.select(col(idCol).as("_id"), blockExpr.as("_blk"), col(textCol).as("_txt"))
       .withColumn("_len", length(col("_txt")))
       .withColumn("_qg", qgUdf(col("_txt")))
       .withColumn("_hist", histUdf(col("_qg")))
       .withColumn("_bkt", floor(col("_len") / (maxDist + 1)))
-    val probe = base.select(col("_id"), col("_txt"), col("_len"), col("_qg"), col("_hist"),
+    val probe = base.select(col("_id"), col("_blk"), col("_txt"), col("_len"), col("_qg"), col("_hist"),
       explode(array(col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)).as("_pb"))
-    val build = base.select(col("_id").as("b_id"), col("_txt").as("b_txt"),
+    val build = base.select(col("_id").as("b_id"), col("_blk").as("b_blk"), col("_txt").as("b_txt"),
       col("_len").as("b_len"), col("_qg").as("b_qg"), col("_hist").as("b_hist"),
       col("_bkt").as("_pb"))
     val histL1 = graft.functions.ArrayOps.l1DistInt(col("_hist"), col("b_hist"))
     val sharedGrams = graft.functions.ArrayOps.intersectCardSorted(col("_qg"), col("b_qg"))
     val countFilterFloor =
       greatest(col("_len"), col("b_len")) - lit((q - 1) + maxDist * q)
-    probe.join(build, "_pb")
+    probe.join(build, probe("_pb") === build("_pb") && probe("_blk") === build("b_blk"))
       .filter(col("_id") < col("b_id") &&
         abs(col("_len") - col("b_len")) <= maxDist &&
         histL1 <= lit(2 * maxDist * q) &&

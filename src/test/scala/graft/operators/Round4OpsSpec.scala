@@ -438,6 +438,21 @@ class Round4OpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 6)))
   }
 
+  test("editDistanceDupPairs: blockCol restricts pairs to equal blocks") {
+    val docs = Seq(
+      (1L, "s1", "aaaa aaaa aaaa aaaa"),
+      (2L, "s1", "aaaa aaaa aaaa aaab"),
+      (3L, "s2", "aaaa aaaa aaaa aaac") // near-dup of 1/2 but other block
+    ).toDF("doc_id", "source", "text")
+    val blocked = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text",
+        maxDist = 5, blockCol = Some("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(blocked == Seq((1L, 2L)))
+    val open = graft.api.Ops.editDistanceDupPairs(docs, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("editDistanceDupPairs: count filter never prunes a true pair (d edits, d <= maxDist)") {
     // Apply exactly d random-ish edits; the pair must always survive.
     val base = "the quick brown fox jumps over the lazy dog and keeps running"
