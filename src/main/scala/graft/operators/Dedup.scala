@@ -427,6 +427,39 @@ object Dedup {
       |WHERE levenshtein(a.text, b.text) <= 10
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd36
+  /** Soft dedup: down-WEIGHT duplicates instead of dropping them — every
+    * document survives with sampling weight 1/n_copies over its
+    * normalized-duplicate group (He et al., "SoftDedup: an efficient data
+    * reweighting method for speeding up language model pre-training",
+    * ACL 2024 — the reweighting alternative to hard removal when repeated
+    * data still carries signal, cf. Muennighoff et al., "Scaling
+    * data-constrained language models", NeurIPS 2023).
+    *
+    * Scale shape: one window count over a 16-byte md5 key — a single hash
+    * shuffle, no join, no second pass; the per-row weight is a codegen'd
+    * projection. At 100 TB this is the same cost as dd31's group-agg but
+    * keeps every row, so it composes with a downstream weighted sampler. */
+  private def dd36(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = TextHash.normalizeUdf(col("text"))
+    val w = Window.partitionBy(col("norm_key"))
+    Tables(spark, dir, "documents").select(col("doc_id"),
+        md5(encode(norm, "UTF-8")).as("norm_key"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 9).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  private val dd36Oracle =
+    """SELECT doc_id, n_copies, ROUND(CAST(1 AS DOUBLE) / n_copies, 9) AS weight
+      |FROM (
+      |  SELECT doc_id, COUNT(*) OVER (PARTITION BY
+      |      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_copies
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
     GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
@@ -438,5 +471,6 @@ object Dedup {
     GraftQuery("dd32_dedup_chunk_substr", dd32, Some(dd32Oracle)),
     GraftQuery("dd33_dedup_semantic", dd33, Some(dd33Oracle)),
     GraftQuery("dd34_dedup_incremental", dd34, Some(dd34Oracle)),
-    GraftQuery("dd35_dedup_editdist", dd35, Some(dd35Oracle)))
+    GraftQuery("dd35_dedup_editdist", dd35, Some(dd35Oracle)),
+    GraftQuery("dd36_dedup_soft_weight", dd36, Some(dd36Oracle)))
 }

@@ -435,6 +435,69 @@ object Pipeline {
       |  FROM documents) t
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // ---------------------------------------------------------------- px97
+  /** Token-budget apportionment: split an exact total token budget across
+    * domains proportionally to their available tokens using the Hamilton
+    * / largest-remainder method — the "how many tokens do I take from
+    * each source" planning step that precedes px91's row-level sampling
+    * (domain token accounting as in Gao et al., The Pile,
+    * arXiv:2101.00027 §2). Guarantees Σ budget_tok == budget exactly and
+    * |budget_d − B·A_d/ΣA| < 1 per domain.
+    *
+    * Entirely integer arithmetic (B·A_d div ΣA and its remainder), so the
+    * result is bitwise-deterministic on any engine — no float shares.
+    * Remainder ties break on stratum name.
+    *
+    * Scale shape: one embarrassingly-parallel token count + one hash agg
+    * reduce the corpus to ONE ROW PER DOMAIN; the windows that rank the
+    * remainders run on that domain-sized table (strata ≪ rows by
+    * definition), so the unpartitioned window is driver-scale work no
+    * matter how large the corpus. B·A_d needs 128-bit math once
+    * B·ΣA approaches 2^63 — switch the products to DECIMAL(38,0) then. */
+  def apportionTokenBudget(docs: DataFrame, stratumCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val avail = docs
+      .select(col(stratumCol).as("stratum"),
+        size(TextOps.toks(textCol)).cast("long").as("n_tok"))
+      .groupBy("stratum").agg(sum(col("n_tok")).as("avail_tok"))
+    val tot = avail.agg(sum(col("avail_tok")).as("w"))
+    val f = avail.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("avail_tok"),
+        expr(s"($budget * avail_tok) div w").as("floorq"),
+        expr(s"($budget * avail_tok) % w").as("rem"))
+    val rk = row_number().over(Window.orderBy(col("rem").desc, col("stratum")))
+    val fsum = sum(col("floorq")).over(Window.partitionBy())
+    f.withColumn("rk", rk).withColumn("fsum", fsum)
+      .select(col("stratum"), col("avail_tok"),
+        (col("floorq") + when(col("rk") <= lit(budget) - col("fsum"), 1L).otherwise(0L))
+          .as("budget_tok"))
+  }
+
+  private def px97(spark: SparkSession, dir: String): DataFrame =
+    apportionTokenBudget(Tables(spark, dir, "documents"), "source", "text",
+        budget = 1000000L)
+      .orderBy("stratum")
+
+  private val px97Oracle =
+    """WITH a AS (
+      |  SELECT source AS stratum,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS avail_tok
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(avail_tok) AS BIGINT) AS w FROM a),
+      |f AS (
+      |  SELECT stratum, avail_tok,
+      |    (1000000 * avail_tok) // w AS floorq,
+      |    (1000000 * avail_tok) % w AS rem
+      |  FROM a CROSS JOIN t),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk,
+      |    SUM(floorq) OVER () AS fsum
+      |  FROM f)
+      |SELECT stratum, avail_tok,
+      |  CAST(floorq + CASE WHEN rk <= 1000000 - fsum THEN 1 ELSE 0 END AS BIGINT) AS budget_tok
+      |FROM r ORDER BY stratum""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -442,5 +505,6 @@ object Pipeline {
     GraftQuery("px93_domain_upsample", px93, Some(px93Oracle)),
     GraftQuery("px94_token_shards", px94, Some(px94Oracle)),
     GraftQuery("px95_curriculum_shards", px95, Some(px95Oracle)),
-    GraftQuery("px96_eval_holdout", px96, Some(px96Oracle)))
+    GraftQuery("px96_eval_holdout", px96, Some(px96Oracle)),
+    GraftQuery("px97_token_apportion", px97, Some(px97Oracle)))
 }

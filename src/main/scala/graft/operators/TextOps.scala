@@ -734,6 +734,64 @@ object TextOps {
       |  array_to_string(ws[k*24+1 : LEAST(k*24+32, len(ws))], ' ') AS chunk
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- tx45
+  /** Unigram language-model quality scoring: train a Laplace-smoothed
+    * unigram LM on the corpus itself, then score each document by its
+    * negative log-likelihood — the perplexity-style quality filter of
+    * CCNet (Wenzek et al., "CCNet: extracting high quality monolingual
+    * datasets from web crawl data", LREC 2020) and the Gopher pipeline
+    * (Rae et al. 2021), reduced to the self-trained unigram tier that
+    * needs no external model artifact.
+    *
+    * Determinism: each token's NLL is rounded to 9 decimals and summed as
+    * DECIMAL, so the per-doc sum is exact and order-independent (the
+    * oracle-determinism rule for transcendental-valued aggregates); the
+    * single final cast/division happens once per row on both engines.
+    *
+    * Scale shape: two hash aggs over the token stream (per-word counts +
+    * the 1-row corpus total), then a broadcast join of the vocab-sized
+    * NLL table back onto the token stream and one hash agg by doc_id. The
+    * broadcast is safe because the vocabulary is sublinear in corpus
+    * size; for an open-vocabulary web corpus drop the broadcast hint and
+    * let AQE pick the join side. No shuffle carries the raw text. */
+  def unigramNllScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"), explode(toks(textCol)).as("word"))
+    val cnt = w.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val tot = w.agg(count(lit(1)).as("t"), countDistinct(col("word")).as("v"))
+    val lp = cnt.crossJoin(broadcast(tot))
+      .select(col("word"),
+        round(-log((col("cnt") + lit(1)).cast("double") /
+          (col("t") + col("v")).cast("double")), 9)
+          .cast("decimal(30,9)").as("nll"))
+    w.join(broadcast(lp), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll")).as("nll_dec"))
+      .select(col("doc_id"), col("n_tok"),
+        col("nll_dec").cast("double").as("nll_sum"),
+        round(col("nll_dec").cast("double") / col("n_tok"), 6).as("avg_nll"))
+  }
+
+  private def tx45(spark: SparkSession, dir: String): DataFrame =
+    unigramNllScore(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val tx45Oracle =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT word) AS v FROM w),
+      |lp AS (
+      |  SELECT word,
+      |    CAST(ROUND(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 9)
+      |      AS DECIMAL(30,9)) AS nll
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(nll) AS DOUBLE) AS nll_sum,
+      |  ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+      |FROM w JOIN lp USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -750,5 +808,6 @@ object TextOps {
     GraftQuery("tx42_pii_redact", tx42, Some(tx42Oracle)),
     GraftQuery("tx43_boilerplate_frac", tx43, Some(tx43Oracle)),
     GraftQuery("tx44_chunk_windows", tx44, Some(tx44Oracle)),
+    GraftQuery("tx45_lm_quality_nll", tx45, Some(tx45Oracle)),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }

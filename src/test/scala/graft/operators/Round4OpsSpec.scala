@@ -463,4 +463,72 @@ class Round4OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 2L)))
   }
+
+  // ------------------------------------------------------------ px97
+  test("apportionTokenBudget: budgets sum to B exactly and stay within 1 of the real share") {
+    val docs = Seq(
+      (1L, "web", "a b c d e f g"), // 7 tokens
+      (2L, "web", "h i j"), // 3 → web 10
+      (3L, "book", "k l m n o"), // book 5
+      (4L, "code", "p q") // code 2 → total 17
+    ).toDF("doc_id", "source", "text")
+    val b = 1000L
+    val byStratum = Pipeline.apportionTokenBudget(docs, "source", "text", b)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byStratum.map(_._3).sum == b)
+    byStratum.foreach { case (_, avail, budget) =>
+      val exact = b.toDouble * avail / 17.0
+      assert(math.abs(budget - exact) < 1.0, s"budget $budget vs exact share $exact")
+    }
+    // 10/17·1000 = 588.23…, 5/17·1000 = 294.11…, 2/17·1000 = 117.64…
+    // floors 588+294+117 = 999; the 1 leftover goes to the largest
+    // remainder (code, .64) → 588 / 294 / 118.
+    assert(byStratum.sortBy(_._1).toSeq ==
+      Seq(("book", 5L, 294L), ("code", 2L, 118L), ("web", 10L, 588L)))
+  }
+
+  test("apportionTokenBudget: zero budget yields all-zero budgets") {
+    val docs = Seq((1L, "a", "x y"), (2L, "b", "z")).toDF("doc_id", "source", "text")
+    val got = Pipeline.apportionTokenBudget(docs, "source", "text", 0L)
+      .collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(0L, 0L))
+  }
+
+  // ------------------------------------------------------------ dd36
+  test("softDedupWeights (dd36 shape): group weights sum to one group-count total") {
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  world"), // one group of 3
+      (4L, "something else") // singleton
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.expressions.Window
+    val norm = graft.functions.TextHash.normalizeUdf(col("text"))
+    val w = Window.partitionBy(col("nk"))
+    val got = docs.select(col("doc_id"), md5(norm).as("nk"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 9))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(3L, 3L, 3L, 1L))
+    // every doc survives; total weight = number of distinct groups (±round-off)
+    assert(got.length == 4)
+    assert(math.abs(got.map(_._3).sum - 2.0) < 1e-6)
+  }
+
+  // ------------------------------------------------------------ tx45
+  test("unigramNllScore: docs of rare tokens score higher NLL than docs of common tokens") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common common common"),
+      (3L, "common common common common"),
+      (4L, "rare1 rare2 rare3 rare4")
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramNllScore(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(4L, 4L, 4L, 4L))
+    val common = got(0)._3
+    val rare = got(3)._3
+    assert(rare > common, s"rare-token doc NLL $rare should exceed $common")
+    // hand check doc 1: p(common) = (12+1)/(16+5) = 13/21
+    val expect = math.rint(-math.log(13.0 / 21.0) * 1e9) / 1e9 // per-token, rounded 9
+    assert(math.abs(common - math.rint(expect * 4 / 4 * 1e6) / 1e6) < 1e-6)
+  }
 }
