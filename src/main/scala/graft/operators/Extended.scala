@@ -662,15 +662,28 @@ object Extended {
   /** Stratified sampling (df.stat.sampleBy): per-stratum Bernoulli
     * fractions under one seed — the class-balancing downsample step of a
     * training-data pipeline (e.g. cap the dominant language/source).
-    * Engine-only: RNG streams aren't portable across engines; the spec
-    * asserts per-stratum proportions and determinism instead. */
+    * Per-stratum fractions are applied as PORTABLE salted-hash thresholds
+    * (md5 prefix < per-flag hex cut: 0.1→0x19999999, 0.5→0x80000000,
+    * 0.9→0xE6666666) rather than `sampleBy`'s engine-private RNG, so the
+    * exact sampled row set reproduces on any engine and the DuckDB oracle
+    * hash-matches. Same plan shape as sampleBy: one scan, a per-row
+    * predicate, then the counting agg — no shuffle before the agg. */
   private def q82(spark: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("A" -> 0.1, "N" -> 0.5, "R" -> 0.9)
+    val cut = when(col("l_returnflag") === "A", lit("19999999"))
+      .when(col("l_returnflag") === "N", lit("80000000"))
+      .otherwise(lit("e6666666"))
     Tables(spark, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber")
-      .stat.sampleBy("l_returnflag", fractions, seed = 42L)
+      .filter(substring(md5(concat_ws(":", lit("s42"), col("l_orderkey"), col("l_linenumber"))), 1, 8) < cut)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
       .orderBy("l_returnflag")
   }
+
+  private val q82Oracle =
+    """SELECT l_returnflag, COUNT(*) AS n_sampled FROM lineitem
+      |WHERE substr(md5(concat_ws(':', 's42', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 8)
+      |      < CASE l_returnflag WHEN 'A' THEN '19999999' WHEN 'N' THEN '80000000' ELSE 'e6666666' END
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q83
   /** CSV-string parsing (from_csv): schema-driven extraction from embedded
@@ -939,7 +952,7 @@ object Extended {
     GraftQuery("q79_bloom_membership", q79, None),
     GraftQuery("q80_scd2_merge", q80, Some(q80Oracle)),
     GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)),
-    GraftQuery("q82_stratified_sample", q82, None),
+    GraftQuery("q82_stratified_sample", q82, Some(q82Oracle)),
     GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),

@@ -177,12 +177,24 @@ object Statistics {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q43
-  /** Seeded Bernoulli sampling — engine-deterministic (fixed seed), but
-    * RNG streams differ across engines, so rows-only check. */
+  /** Seeded Bernoulli sampling, expressed as a PORTABLE salted-hash
+    * threshold (first 8 hex chars of md5(salt:key) < 0x1999999A ≈ 10%)
+    * instead of `Dataset.sample`'s engine-private RNG stream. Same
+    * statistical contract (uniform, deterministic under the salt/seed,
+    * embarrassingly parallel, no shuffle), but any engine reproduces the
+    * exact row set — so the DuckDB oracle hash-matches. Lexicographic
+    * compare of fixed-width lowercase hex equals numeric compare.
+    * (`Dataset.sample(fraction, seed)` remains available to library users;
+    * it is the same plan shape with a non-portable RNG.) */
   private def q43(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(substring(md5(concat(lit("s42:"), col("o_orderkey").cast("string"))), 1, 8) < "19999999")
       .orderBy("o_orderkey")
+
+  private val q43Oracle =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE substr(md5('s42:' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'
+      |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q45
   /** Explicit GROUPING SETS (finer than rollup/cube) via the SQL entry. */
@@ -256,7 +268,7 @@ object Statistics {
     GraftQuery("q39_string_agg", q39, Some(q39Oracle)),
     GraftQuery("q41_pivot", q41, Some(q41Oracle)),
     GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
-    GraftQuery("q43_sample_seeded", q43, None),
+    GraftQuery("q43_sample_seeded", q43, Some(q43Oracle)),
     GraftQuery("q44_sql_surface", q44, Some(q44Oracle)),
     GraftQuery("q45_grouping_sets", q45, Some(q45Oracle)),
     GraftQuery("q51_correlated_subquery", q51, Some(q51Oracle)),
