@@ -705,6 +705,36 @@ object Extended {
       .orderBy("o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q94
+  /** ORC interchange: write a pruned lineitem slice to ORC, read it back,
+    * and aggregate — Spark's second native columnar source/sink beside
+    * parquet (same DataSource scan machinery: column pruning + predicate
+    * pushdown reach the ORC reader just as they do parquet's). The write
+    * and the read are both partition-parallel; the slice round-trips
+    * losslessly (long/string/double are exact in ORC), so the oracle
+    * computes the identical aggregate straight from the parquet source.
+    * Output lands under target/ (build scratch), never in testdata. */
+  private def q94(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/interchange/q94_lineitem_orc"
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 10000)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_linenumber") <= 4)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q94Oracle =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey < 10000 AND l_linenumber <= 4
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val q83Oracle =
     """WITH src AS (
       |  SELECT o_orderkey,
@@ -954,6 +984,7 @@ object Extended {
     GraftQuery("q81_min_by_max_by", q81, Some(q81Oracle)),
     GraftQuery("q82_stratified_sample", q82, Some(q82Oracle)),
     GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
+    GraftQuery("q94_orc_interchange", q94, Some(q94Oracle)),
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
     GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),

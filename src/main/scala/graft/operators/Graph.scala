@@ -140,7 +140,84 @@ object Graph {
       |SELECT p1, p2, weight FROM pr WHERE weight >= 2
       |ORDER BY p1, p2""".stripMargin
 
+  /** Multi-source BFS: min-hop distance from any seed node, capped at
+    * `maxHops`, over an UNDIRECTED edge list — the reachability /
+    * neighborhood-expansion primitive (e.g. "everything within k hops of
+    * a flagged document" in a contamination sweep).
+    *
+    * Bulk-synchronous frontier expansion (the Pregel shape): each round
+    * is ONE equi-join of the current frontier against the edge list plus
+    * one anti-join against the visited set — no theta joins, no driver-
+    * side iteration over nodes. Only the frontier (which at high hop
+    * counts is a small fraction of the graph) flows between rounds; the
+    * symmetrized edge list is a loop invariant, pre-partitioned on its
+    * join key once and checkpointed, so every round's join exchanges
+    * frontier rows only. First visit wins = min distance, so no re-agg
+    * over the visited set is ever needed.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src")).localCheckpoint()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      // left_anti keeps only FIRST visits: the frontier shrinks to the
+      // newly-discovered ring, and `visited` stays one row per node.
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  // ---------------------------------------------------------------- gr81
+  /** 3-hop BFS over the co-purchase graph (gr80's edges, weight >= 2),
+    * seeded at the largest parts (p_size = 50): which parts are reachable
+    * through chains of strong co-purchase affinity, and how close. The
+    * DuckDB oracle replays the same expansion as a recursive CTE and
+    * takes MIN(dist) per node — bounded recursion, identical ring sets. */
+  private def gr81(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coOccurrenceEdges(Tables(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minWeight = 2L)
+    val seeds = Tables(spark, dir, "part").filter(col("p_size") === 50)
+    bfsDistances(edges, "p1", "p2", seeds, "p_partkey", maxHops = 3)
+      .select(col("node").as("part"), col("dist"))
+      .orderBy("part")
+  }
+
+  private val gr81Oracle =
+    """WITH RECURSIVE o AS (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |pe AS (
+      |  SELECT a.it AS p1, b.it AS p2
+      |  FROM o a JOIN o b ON a.bk = b.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (
+      |  SELECT p1 AS src, p2 AS dst FROM pe
+      |  UNION SELECT p2, p1 FROM pe),
+      |bfs(node, dist) AS (
+      |  SELECT DISTINCT p_partkey, 0 FROM part WHERE p_size = 50
+      |  UNION
+      |  SELECT e.dst, bfs.dist + 1
+      |  FROM bfs JOIN e ON e.src = bfs.node
+      |  WHERE bfs.dist < 3)
+      |SELECT node AS part, CAST(MIN(dist) AS INTEGER) AS dist
+      |FROM bfs GROUP BY node ORDER BY part""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("gr79_triangle_count", gr79, Some(gr79Oracle)),
-    GraftQuery("gr80_copurchase_graph", gr80, Some(gr80Oracle)))
+    GraftQuery("gr80_copurchase_graph", gr80, Some(gr80Oracle)),
+    GraftQuery("gr81_bfs_distances", gr81, Some(gr81Oracle)))
 }

@@ -498,6 +498,45 @@ object Pipeline {
       |  CAST(floorq + CASE WHEN rk <= 1000000 - fsum THEN 1 ELSE 0 END AS BIGINT) AS budget_tok
       |FROM r ORDER BY stratum""".stripMargin
 
+  // ---------------------------------------------------------------- px98
+  /** Deterministic train/val/test assignment by salted key hash — the
+    * split must be a pure function of the example's identity, never of
+    * row order, partitioning, or an RNG stream, so that (a) re-running
+    * the pipeline on a grown corpus keeps every old example in its old
+    * split (no silent train→test leakage across runs) and (b) any engine
+    * reproduces the same split exactly. First 8 md5 hex chars as a
+    * uniform u32: < 0.9·2^32 → train, < 0.95·2^32 → val, else test.
+    * One scan, no shuffle before the audit agg; at 100 TB the assignment
+    * is a free extra column on whatever job writes the shards. */
+  def hashSplit(docs: DataFrame, keyCol: String, salt: String = "s42",
+      trainFrac: Double = 0.90, valFrac: Double = 0.05): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"fractions must satisfy 0 < train, 0 <= val, train+val < 1; got $trainFrac/$valFrac")
+    def cut(f: Double): String = f"${(f * 4294967296.0).toLong}%08x"
+    val h = substring(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))), 1, 8)
+    docs.withColumn("split",
+      when(h < cut(trainFrac), "train")
+        .when(h < cut(trainFrac + valFrac), "val")
+        .otherwise("test"))
+  }
+
+  /** Split audit: per-split doc count and char mass (the sanity row a
+    * pipeline logs before training starts). */
+  private def px98(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+
+  private val px98Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -506,5 +545,6 @@ object Pipeline {
     GraftQuery("px94_token_shards", px94, Some(px94Oracle)),
     GraftQuery("px95_curriculum_shards", px95, Some(px95Oracle)),
     GraftQuery("px96_eval_holdout", px96, Some(px96Oracle)),
-    GraftQuery("px97_token_apportion", px97, Some(px97Oracle)))
+    GraftQuery("px97_token_apportion", px97, Some(px97Oracle)),
+    GraftQuery("px98_data_split", px98, Some(px98Oracle)))
 }

@@ -196,6 +196,35 @@ object Statistics {
       |WHERE substr(md5('s42:' || CAST(o_orderkey AS VARCHAR)), 1, 8) < '19999999'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Per-group uniform k-sample, deterministic and portable: rank rows
+    * within each group by a salted hash (a fixed random permutation of
+    * the group) and keep the first k — the distributed, re-runnable form
+    * of per-stratum reservoir sampling. Spark plans the `row_number <= k`
+    * filter as WindowGroupLimit: a per-partition top-k heap pushed below
+    * the shuffle, so no group is ever fully sorted or materialized —
+    * safe under a group with a billion rows (contrast orderBy(rand)
+    * per group, which is a full sort AND non-reproducible). */
+  private def q93(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("status"))
+      .orderBy(md5(concat(lit("s42:"), col("o_orderkey").cast("string"))), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .orderBy("status", "rn")
+  }
+
+  private val q93Oracle =
+    """SELECT status, o_orderkey, rn FROM (
+      |  SELECT o_orderstatus AS status, o_orderkey,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY o_orderstatus
+      |      ORDER BY md5('s42:' || CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INTEGER) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 20 ORDER BY status, rn""".stripMargin
+
   // ---------------------------------------------------------------- q45
   /** Explicit GROUPING SETS (finer than rollup/cube) via the SQL entry. */
   private def q45(spark: SparkSession, dir: String): DataFrame = {
@@ -269,6 +298,7 @@ object Statistics {
     GraftQuery("q41_pivot", q41, Some(q41Oracle)),
     GraftQuery("q42_posexplode", q42, Some(q42Oracle)),
     GraftQuery("q43_sample_seeded", q43, Some(q43Oracle)),
+    GraftQuery("q93_group_sample", q93, Some(q93Oracle)),
     GraftQuery("q44_sql_surface", q44, Some(q44Oracle)),
     GraftQuery("q45_grouping_sets", q45, Some(q45Oracle)),
     GraftQuery("q51_correlated_subquery", q51, Some(q51Oracle)),

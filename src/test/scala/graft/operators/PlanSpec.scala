@@ -108,6 +108,13 @@ class PlanSpec extends SparkTestBase {
         "without WindowGroupLimit every group's rows survive to the window:\n" + p.take(1500))
   }
 
+  test("q93 group sample: hash-rank limit prunes per group before the window sort") {
+    val p = plan("q93_group_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rn <= k over a hash order must plan as a per-partition top-k, " +
+        "not a full per-group sort:\n" + p.take(1500))
+  }
+
   test("dd29: pivot-blocked cosine join — no full×full nested loop or cartesian") {
     val p = plan("dd29_dedup_embedding_cosine")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
