@@ -735,6 +735,66 @@ object Extended {
       |WHERE l_orderkey < 10000 AND l_linenumber <= 4
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Hive-style partitioned layout + partition PRUNING — the first-order
+    * 100 TB lever: a write partitioned on a coarse key (here order year)
+    * turns every later filter on that key into directory-listing pruning.
+    * The read-back plan must show the year predicate as a PartitionFilter
+    * (pinned in PlanSpec): the 1995 query lists ONE directory and never
+    * opens the other years' files — at scale, that is the difference
+    * between scanning 100 TB and scanning one partition. Partition count
+    * stays bounded (one per year), so no small-file explosion; within a
+    * partition, file splits parallelize as usual. */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/interchange/q95_orders_by_year"
+    Tables(spark, dir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q95Oracle =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE year(o_orderdate) = 1995
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** JSON-lines interchange: write a slice as JSONL, read it back with an
+    * EXPLICIT schema (schema inference is a full extra pass over the data
+    * — never acceptable at scale), aggregate. Long and string fields
+    * round-trip losslessly through JSON text; the oracle computes the
+    * same aggregate from the parquet source. JSONL is the lingua franca
+    * of text-corpus distribution, so the engine must both emit and
+    * ingest it without a schema-inference scan. */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/interchange/q96_documents_jsonl"
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).json(out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  private val q96Oracle =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 7 = 0
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   private val q83Oracle =
     """WITH src AS (
       |  SELECT o_orderkey,
@@ -985,6 +1045,8 @@ object Extended {
     GraftQuery("q82_stratified_sample", q82, Some(q82Oracle)),
     GraftQuery("q83_from_csv", q83, Some(q83Oracle)),
     GraftQuery("q94_orc_interchange", q94, Some(q94Oracle)),
+    GraftQuery("q95_partitioned_layout", q95, Some(q95Oracle)),
+    GraftQuery("q96_jsonl_interchange", q96, Some(q96Oracle)),
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
     GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),

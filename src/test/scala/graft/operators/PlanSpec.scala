@@ -115,6 +115,15 @@ class PlanSpec extends SparkTestBase {
         "not a full per-group sort:\n" + p.take(1500))
   }
 
+  test("q95: year predicate prunes partitions at the directory level") {
+    val p = plan("q95_partitioned_layout")
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+      "the o_year filter must prune at listing time, not per-row:\n" + p.take(1500))
+    assert(!p.matches("(?s).*PushedFilters: \\[[^\\]]*o_year[^\\]]*\\].*"),
+      "o_year should be a partition column, not a data filter:\n" + p.take(1500))
+  }
+
   test("dd29: pivot-blocked cosine join — no full×full nested loop or cartesian") {
     val p = plan("dd29_dedup_embedding_cosine")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
