@@ -176,7 +176,10 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+      // `visited` is only ever a UNION of already-checkpointed rings, so
+      // re-deriving it is free — checkpointing it too would materialize
+      // the whole visited set once per round for nothing.
+      visited = visited.unionByName(next)
       frontier = next
     }
     visited

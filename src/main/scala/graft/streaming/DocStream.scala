@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.functions.TextHash
 import graft.operators.TextOps
@@ -39,5 +40,57 @@ object DocStream {
       .withColumn("norm_key", md5(encode(TextHash.normalizeUdf(col("text")), "UTF-8")))
       .dropDuplicates("norm_key")
       .select("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------------
+  // Per-source token-budget admission (transformWithState)
+  // ------------------------------------------------------------------
+
+  final case class DocTok(doc_id: Long, source: String, n_tok: Long)
+  final case class Admitted(doc_id: Long, source: String, n_tok: Long,
+      cum_tok: Long, admitted: Boolean)
+
+  /** Keyed running token counter: admits documents per source until the
+    * source's budget is consumed — the streaming form of px97's planning
+    * step ("stop ingesting domain d once its token allocation is spent"),
+    * enforced incrementally as data arrives instead of by a corpus scan.
+    *
+    * State is ONE long per source (the admitted-token prefix sum) in the
+    * `transformWithState` value store — bounded by the number of sources,
+    * not the stream length, so no watermark/TTL is needed for state to
+    * stay small. Admission is soft-capped: a document is admitted iff the
+    * budget is not yet exhausted when it arrives, so the crossing
+    * document lands (budgets are targets, not hard byte limits). Within
+    * one micro-batch a key's rows are admitted in doc_id order, making
+    * replays of the same batched input deterministic.
+    */
+  private class TokenBudget(budget: Long)
+      extends StatefulProcessor[String, DocTok, Admitted] {
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum_tok", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DocTok],
+        timerValues: TimerValues): Iterator[Admitted] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { d =>
+        val admit = c < budget
+        if (admit) c += d.n_tok
+        Admitted(d.doc_id, key, d.n_tok, c, admit)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** docs(doc_id, source, n_tok) → per-doc admission decisions with the
+    * running per-source total. Requires the RocksDB state store provider
+    * (the only store transformWithState supports). */
+  def admitByTokenBudget(docs: Dataset[DocTok], budgetPerSource: Long): Dataset[Admitted] = {
+    require(budgetPerSource >= 0, s"budget must be >= 0, got $budgetPerSource")
+    implicit val outEnc = Encoders.product[Admitted]
+    implicit val keyEnc = Encoders.STRING
+    docs.groupByKey(_.source)
+      .transformWithState(new TokenBudget(budgetPerSource),
+        TimeMode.None(), OutputMode.Append(), outEnc)
   }
 }

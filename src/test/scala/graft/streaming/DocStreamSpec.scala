@@ -27,6 +27,38 @@ class DocStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("admitByTokenBudget: per-source budgets enforced across micro-batches, state is one counter") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Long)]
+    val docs = mem.toDS().map { case (id, src, tok) => DocStream.DocTok(id, src, tok) }
+    val q = DocStream.admitByTokenBudget(docs, budgetPerSource = 100L)
+      .writeStream.format("memory").queryName("budget_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "web", 60L), (2L, "web", 30L), (10L, "book", 90L))
+      q.processAllAvailable()
+      // batch 2: web is at 90/100 → doc 3 still admitted (soft cap), doc 4
+      // then rejected; book is at 90/100 → doc 11 admitted crossing the line
+      mem.addData((3L, "web", 50L), (4L, "web", 5L), (11L, "book", 40L))
+      q.processAllAvailable()
+      val rows = spark.table("budget_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("cum_tok"), r.getAs[Boolean]("admitted"))).toMap
+      assert(rows(1L) == (60L, true) && rows(2L) == (90L, true), s"batch-1 web: $rows")
+      assert(rows(3L) == (140L, true), "doc 3 must be admitted while budget remains (soft cap)")
+      assert(rows(4L) == (140L, false), "doc 4 must be rejected once the budget is spent")
+      assert(rows(10L) == (90L, true) && rows(11L) == (130L, true),
+        s"book source must track its own budget independently: $rows")
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("cleanDocs gives identical survivors in batch mode") {
     import spark.implicits._
     val docs = Seq(
