@@ -90,6 +90,32 @@ object Temporal {
        |  ${oDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** SLIDING window aggregation: `window(ts, size=1h, slide=30m)` — each
+    * event lands in exactly size/slide = 2 overlapping windows. Spark
+    * plans this as a generator (one output row per covering window)
+    * feeding the same partial/final hash agg as the tumbling case — the
+    * row amplification is the fixed size/slide factor, applied BEFORE the
+    * map-side combine, so shuffle volume stays (windows × groups), not
+    * (events × 2). The oracle reproduces the epoch-aligned window set by
+    * unnesting the two candidate starts per event and range-filtering. */
+  private def q97(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  private val q97Oracle =
+    s"""WITH cand AS (
+       |  SELECT time_bucket(INTERVAL '30 minutes', ts) - o * INTERVAL '30 minutes' AS w_start,
+       |    event_type, value, ts
+       |  FROM events, (SELECT unnest([0, 1]) AS o) offs)
+       |SELECT w_start, event_type, COUNT(*) AS n_events, ${oDsum("value")} AS sum_value
+       |FROM cand
+       |WHERE ts >= w_start AND ts < w_start + INTERVAL '1 hour'
+       |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Native session windows: `session_window(ts, gap)` — the declarative
     * form of q20's hand-rolled gaps-and-islands sessionization, and the
@@ -241,6 +267,7 @@ object Temporal {
     GraftQuery("q19_asof_join", q19, Some(q19Oracle)),
     GraftQuery("q20_sessionize", q20, Some(q20Oracle)),
     GraftQuery("q21_event_window_agg", q21, Some(q21Oracle)),
+    GraftQuery("q97_sliding_window", q97, Some(q97Oracle)),
     GraftQuery("q50_funnel", q50, Some(q50Oracle)),
     GraftQuery("q87_session_window", q87, Some(q87Oracle)),
     GraftQuery("q88_interval_bucket_join", q88, Some(q88Oracle)))
