@@ -141,4 +141,41 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(secs(10) < secs(1) * 100.0,
       f"wall grew ${secs(10) / secs(1)}%.0fx at 10x corpus — kernel layering not absorbing the bucket² term")
   }
+
+  /** BFS cost per round is |frontier ⋈ edges| — per-round work tracks the
+    * frontier's edge mass, never the whole graph. Replicating the graph
+    * 10× as DISJOINT copies (ids shifted) with seeds in only one copy
+    * must keep the reached set identical; the join cost grows only by
+    * the edge-list scan side, so wall should grow far sublinearly in
+    * graph size. This is the property that makes hop-capped BFS usable
+    * on a 100 TB edge list where seeds touch one community. */
+  test("bfsDistances: 10x disjoint graph, seeds in one copy — wall sublinear in graph size") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val base = Graph.coOccurrenceEdges(
+      Tables(spark, sfDir, "lineitem"), "l_orderkey", "l_partkey", minWeight = 2L)
+      .select(col("p1"), col("p2")).localCheckpoint()
+    val seeds = Tables(spark, sfDir, "part").filter(col("p_size") === 50)
+      .select("p_partkey")
+
+    def replicate(k: Int) = (0 until k)
+      .map(i => base.select((col("p1") + lit(i * 10000000L)).as("p1"),
+        (col("p2") + lit(i * 10000000L)).as("p2")))
+      .reduce(_ unionByName _)
+
+    var reached = Map.empty[Int, Long]
+    var secs = Map.empty[Int, Double]
+    for (k <- Seq(1, 10)) {
+      val edges = replicate(k).localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = Graph.bfsDistances(edges, "p1", "p2", seeds, "p_partkey", maxHops = 3).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      reached += k -> n; secs += k -> sec
+      info(f"k=$k edges=${edges.count()} reached=$n time=$sec%.1fs")
+    }
+    assert(reached(1) == reached(10),
+      "disjoint replicas must not change the reachable set — frontier leaked across copies")
+    assert(secs(10) < secs(1) * 5.0,
+      f"wall grew ${secs(10) / secs(1)}%.1fx at 10x graph — per-round cost is not frontier-bound")
+  }
 }
