@@ -764,6 +764,39 @@ object Extended {
       |FROM orders WHERE year(o_orderdate) = 1995
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** DYNAMIC partition pruning: the fact side is partitioned by day, but
+    * the query's day set is only known through a join — the dim is
+    * filtered on an attribute (week number), not the join key, so static
+    * pruning can't fire. Spark's DPP turns the broadcast dim into a
+    * runtime IN-filter on the fact's partition column
+    * (`dynamicpruningexpression` inside PartitionFilters — pinned in
+    * PlanSpec): the scan lists 7 of 30 day directories instead of all.
+    * At 100 TB this is the star-schema workhorse — date-dim filters
+    * prune the fact scan without the pipeline author ever writing a
+    * partition predicate. */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/interchange/q98_events_by_day"
+    Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = spark.range(0, 30)
+      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("id").cast("int")).as("d"),
+        (col("id") / 7 + 1).cast("int").as("wk"))
+      .filter(col("wk") === 2)
+    fact.join(broadcast(dim), col("event_date") === col("d"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val q98Oracle =
+    s"""SELECT event_type, COUNT(*) AS n_events, ${oDsum("value")} AS sum_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** JSON-lines interchange: write a slice as JSONL, read it back with an
     * EXPLICIT schema (schema inference is a full extra pass over the data
@@ -1047,6 +1080,7 @@ object Extended {
     GraftQuery("q94_orc_interchange", q94, Some(q94Oracle)),
     GraftQuery("q95_partitioned_layout", q95, Some(q95Oracle)),
     GraftQuery("q96_jsonl_interchange", q96, Some(q96Oracle)),
+    GraftQuery("q98_dynamic_pruning", q98, Some(q98Oracle)),
     GraftQuery("q84_collect_sorted", q84, Some(q84Oracle)),
     GraftQuery("q85_sql_hints", q85, Some(q85Oracle)),
     GraftQuery("q86_window_distinct", q86, Some(q86Oracle)),

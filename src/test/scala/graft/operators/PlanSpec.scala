@@ -124,6 +124,13 @@ class PlanSpec extends SparkTestBase {
       "o_year should be a partition column, not a data filter:\n" + p.take(1500))
   }
 
+  test("q98: the dim filter prunes fact partitions at RUNTIME (dynamic pruning)") {
+    val p = plan("q98_dynamic_pruning")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "the fact scan must carry a dynamicpruningexpression fed by the dim join — " +
+        "without it all 30 day partitions are read for a 7-day query:\n" + p.take(2000))
+  }
+
   test("dd29: pivot-blocked cosine join — no full×full nested loop or cartesian") {
     val p = plan("dd29_dedup_embedding_cosine")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
