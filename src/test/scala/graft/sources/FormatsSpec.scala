@@ -38,4 +38,17 @@ class FormatsSpec extends SparkTestBase {
     assert(plan.contains("o_orderstatus=F") || !plan.contains("o_orderstatus=O"),
       "partition pruning should restrict scanned directories")
   }
+
+  test("orc round-trip is lossless and its scan takes pushed filters") {
+    val dir = Files.createTempDirectory("fmt").toString + "/orc"
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      sample.orderBy("n_nationkey").collect().toSeq)
+    val filtered = back.filter(col("n_nationkey") > 10).select("n_name")
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [") && plan.contains("n_nationkey"),
+      "ORC scan must receive the pushed predicate, like parquet:\n" + plan.take(800))
+  }
 }
