@@ -792,6 +792,83 @@ object TextOps {
       |FROM w JOIN lp USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- tx46
+  /** BPE merge learning (Sennrich, Haddow & Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016 §3.2): learn
+    * the top-k byte-pair merge rules from the corpus — the tokenizer-
+    * training step of an LLM data pipeline.
+    *
+    * Distributed shape: the corpus is scanned ONCE to build the
+    * (word, freq) table — BPE statistics are a function of word
+    * frequencies, so all further rounds run on the vocab-sized symbol
+    * table (distinct words ≪ corpus rows; at 100 TB the corpus pass is
+    * the only big job). Each of the k rounds is one pair-explode +
+    * weighted hash agg over that small table, an argmax collect of ONE
+    * row (same driver-scalar pattern as connectedComponents' convergence
+    * probe), and a broadcast-free per-row merge map. The symbol table is
+    * re-checkpointed each round to keep lineage flat. Iterative argmax-
+    * then-rewrite is not expressible in one SQL query, so the op is
+    * engine-only, property-tested on a hand-computed corpus.
+    *
+    * Determinism: ties on pair count break lexicographically on (left,
+    * right), so the learned merge table is engine- and partitioning-
+    * independent. End-of-word is marked with "</w>" per the paper, so
+    * merges never cross word boundaries.
+    *
+    * Returns (step, left, right, pair_count) for steps 1..k.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val symsUdf = udf { w: String => w.map(_.toString) :+ "</w>" }
+    var vocab = words.select(col("n"), symsUdf(col("w")).as("syms")).localCheckpoint()
+
+    def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2 // left-to-right, non-overlapping
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val best = vocab
+        .select(col("n"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
+        .withColumn("r", try_element_at(col("syms"), col("i") + 2))
+        .filter(col("r").isNotNull)
+        .groupBy("l", "r").agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        steps += ((step, l, r, c))
+        val applyUdf = udf { syms: Seq[String] => mergeOnce(syms, l, r) }
+        vocab = vocab.select(col("n"), applyUdf(col("syms")).as("syms"))
+        // same sparse-checkpoint idiom as pageRank: the vocab chain is
+        // consumed once per round, so materialize only every few rounds
+        // to bound plan depth without a job per merge
+        if (step % 3 == 0) vocab = vocab.localCheckpoint()
+        step += 1
+      }
+    }
+    steps.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  private def tx46(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables(spark, dir, "documents"), "text", k = 10)
+      .orderBy("step")
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("q22_wordcount", q22, Some(wordcountOracle)),
     GraftQuery("q23_wordcount_mapreduce", q23, Some(wordcountOracle)),
@@ -809,5 +886,6 @@ object TextOps {
     GraftQuery("tx43_boilerplate_frac", tx43, Some(tx43Oracle)),
     GraftQuery("tx44_chunk_windows", tx44, Some(tx44Oracle)),
     GraftQuery("tx45_lm_quality_nll", tx45, Some(tx45Oracle)),
+    GraftQuery("tx46_bpe_merges", tx46, None),
     GraftQuery("q52_clean_pipeline", q52, Some(q52Oracle)))
 }
