@@ -380,10 +380,103 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  // ---------------------------------------------------------------- ss35
+  /** Hybrid retrieval: lexical and vector rankings fused by reciprocal
+    * rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * `rrf(d) = Σ_modality 1/(60 + rank_modality(d))`, missing-from-a-
+    * modality contributing 0 — the standard "BM25 + dense" ensemble of a
+    * RAG stack, here with both branches exact and deterministic so the
+    * whole fusion is oracle-checkable:
+    *
+    *   - lexical: per-term tf·(N/df) (the tx41 log-free convention —
+    *     division is IEEE-exact, no ln() cross-engine risk), summed over
+    *     the query terms;
+    *   - vector: exact cosine against the query embedding (the ss30
+    *     codegen'd dot-product path);
+    *   - each branch keeps its top-100 by (score desc, id) — a
+    *     TakeOrderedAndProject, never a global sort — and ranks are
+    *     assigned within that bounded candidate set, so the only
+    *     unpartitioned window in the plan runs on ≤100 rows;
+    *   - branches meet in a full-outer join on doc id (candidate sets
+    *     need not overlap), then top-20 by fused score.
+    *
+    * Ties break on doc_id everywhere, so the output is total-ordered and
+    * partitioning-independent. */
+  private def ss35(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val embs = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val terms = Seq("join", "filter")
+
+    val tf = docs.select(col("doc_id"), explode(TextOps.toks("text")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val lex = tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), ((col("tf") * col("n_docs")).cast("double") / col("df")).as("s"))
+      .groupBy("doc_id").agg(sum(col("s")).as("lex_score"))
+    val lexTop = lex.orderBy(col("lex_score").desc, col("doc_id")).limit(100)
+      .withColumn("r_lex", row_number().over(Window.orderBy(col("lex_score").desc, col("doc_id"))))
+      .select("doc_id", "r_lex")
+
+    val q = broadcast(embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("_qv"), VectorOps.norm(col("embedding")).as("_qnrm")))
+    val vec = embs.withColumn("_nrm", VectorOps.norm(col("embedding")))
+      .filter(col("_nrm") > 0)
+      .crossJoin(q)
+      .select(col("vec_id").as("doc_id"),
+        (VectorOps.dot(col("_qv"), col("embedding")) / (col("_qnrm") * col("_nrm"))).as("sim"))
+    val vecTop = vec.orderBy(col("sim").desc, col("doc_id")).limit(100)
+      .withColumn("r_vec", row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select("doc_id", "r_vec")
+
+    lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0))).as("rrf"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+  }
+
+  private val ss35Oracle =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk WHERE w IN ('join', 'filter') GROUP BY 1, 2),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |lex AS (
+      |  SELECT doc_id, SUM(CAST(tf * n_docs AS DOUBLE) / df) AS s
+      |  FROM tf JOIN dfq USING (w) CROSS JOIN nd GROUP BY 1),
+      |lext AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS r_lex
+      |  FROM (SELECT * FROM lex ORDER BY s DESC, doc_id LIMIT 100)),
+      |n0 AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |n AS (SELECT * FROM n0 WHERE nrm > 0),
+      |q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+      |vec AS (
+      |  SELECT vec_id AS doc_id,
+      |    list_sum(list_transform(range(1, len(q_emb) + 1),
+      |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / (q_nrm * nrm) AS sim
+      |  FROM n CROSS JOIN q),
+      |vect AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INTEGER) AS r_vec
+      |  FROM (SELECT * FROM vec ORDER BY sim DESC, doc_id LIMIT 100))
+      |SELECT COALESCE(lext.doc_id, vect.doc_id) AS doc_id,
+      |  COALESCE(CAST(1 AS DOUBLE) / (60 + r_lex), 0) + COALESCE(CAST(1 AS DOUBLE) / (60 + r_vec), 0) AS rrf,
+      |  COALESCE(r_lex, 0) AS r_lex, COALESCE(r_vec, 0) AS r_vec
+      |FROM lext FULL OUTER JOIN vect ON lext.doc_id = vect.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
     GraftQuery("ss31_ann_lsh_topk", ss31, None),
     GraftQuery("ss32_ann_ivf_topk", ss32, None),
     GraftQuery("ss33_quantize_int8", ss33, Some(ss33Oracle)),
-    GraftQuery("ss34_ann_pq_topk", ss34, None))
+    GraftQuery("ss34_ann_pq_topk", ss34, None),
+    GraftQuery("ss35_rrf_fusion", ss35, Some(ss35Oracle)))
 }
