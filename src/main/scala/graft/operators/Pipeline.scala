@@ -537,6 +537,67 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- px99
+  /** Temperature-flattened domain mixing: downsample each domain at rate
+    * `sqrt(share_d)` (i.e. multinomial weights ∝ w^τ with τ = 1/2 — the
+    * "raise rare domains, flatten head domains" move of multilingual /
+    * multi-source training mixes). Rare domains keep ~everything, the
+    * head shrinks toward its square root.
+    *
+    * Determinism across engines: shares come from exact integer token
+    * sums; `sqrt` and division are IEEE-correctly-rounded, so the
+    * per-domain rate is the identical double everywhere; the rate is
+    * then materialized as an 8-hex-char cut (`floor(rate·2^32)`) and each
+    * row keeps iff its salted-md5 prefix sorts below the cut — the same
+    * portable Bernoulli device as q43/px98, with a per-domain threshold.
+    * τ = 1/2 is chosen over an arbitrary τ because pow() is NOT
+    * correctly-rounded everywhere, sqrt is.
+    *
+    * One corpus pass for token counts (one row per domain), a broadcast
+    * join of the tiny rate table, then the per-row hash filter — no
+    * shuffle of corpus-sized data at any point. */
+  def temperatureMix(docs: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, salt: String = "s42"): DataFrame = {
+    val tok = size(TextOps.toks(textCol)).cast("long")
+    val avail = docs
+      .select(col(stratumCol).as("_st"), tok.as("_tok"))
+      .groupBy("_st").agg(sum(col("_tok")).as("_dom_tok"))
+    val tot = avail.agg(sum(col("_dom_tok")).as("_all_tok"))
+    val rates = avail.crossJoin(broadcast(tot))
+      .select(col("_st"),
+        lower(lpad(hex(floor(sqrt(col("_dom_tok").cast("double") / col("_all_tok"))
+          * lit(4294967296.0)).cast("long")), 8, "0")).as("_cut"))
+    // the row hash keys on the document's stable identity (idCol), never
+    // row order or an RNG, so the kept set is a pure function of the
+    // corpus — same stability contract as hashSplit
+    docs.join(broadcast(rates), col(stratumCol) === col("_st"))
+      .filter(substring(md5(concat(lit(s"$salt:"), col(stratumCol), lit(":"),
+        col(idCol).cast("string"))), 1, 8) < col("_cut"))
+      .drop("_st", "_cut")
+  }
+
+  private def px99(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables(spark, dir, "documents"), "doc_id", "source", "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(size(TextOps.toks("text")).cast("long")).as("tok_kept"))
+      .orderBy("source")
+
+  private val px99Oracle =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |a AS (SELECT source, SUM(n_tok) AS dom_tok FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(dom_tok) AS all_tok FROM a),
+      |r AS (
+      |  SELECT source,
+      |    lower(lpad(hex(CAST(floor(sqrt(CAST(dom_tok AS DOUBLE) / all_tok) * 4294967296.0) AS BIGINT)), 8, '0')) AS cut
+      |  FROM a CROSS JOIN tot)
+      |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+      |FROM t JOIN r ON t.source = r.source
+      |WHERE substr(md5('s42:' || t.source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < cut
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -546,5 +607,6 @@ object Pipeline {
     GraftQuery("px95_curriculum_shards", px95, Some(px95Oracle)),
     GraftQuery("px96_eval_holdout", px96, Some(px96Oracle)),
     GraftQuery("px97_token_apportion", px97, Some(px97Oracle)),
-    GraftQuery("px98_data_split", px98, Some(px98Oracle)))
+    GraftQuery("px98_data_split", px98, Some(px98Oracle)),
+    GraftQuery("px99_temperature_mix", px99, Some(px99Oracle)))
 }

@@ -71,6 +71,26 @@ class SplitSampleGraphSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------ temperatureMix
+  test("temperatureMix: keep-rate rises as domain share falls (flattening), deterministic") {
+    val docs = Tables(spark, sf, "documents")
+    val kept = Pipeline.temperatureMix(docs, "doc_id", "source", "text")
+    val frac = kept.groupBy("source").count().withColumnRenamed("count", "k")
+      .join(docs.groupBy("source").count().withColumnRenamed("count", "n"), "source")
+      .select(col("source"), (col("k") / col("n")).as("f"),
+        col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(frac.nonEmpty)
+    // every domain keeps at least sqrt(share) of ITS mass in expectation;
+    // the smallest domain's keep fraction must exceed the largest's
+    val biggest = frac.maxBy(_._3)
+    val smallest = frac.minBy(_._3)
+    assert(smallest._2 >= biggest._2,
+      s"flattening violated: smallest ${smallest} vs biggest ${biggest}")
+    val again = Pipeline.temperatureMix(docs, "doc_id", "source", "text").count()
+    assert(again == kept.count(), "kept set must be a pure function of the corpus")
+  }
+
   // ------------------------------------------------------------ q93
   test("q93 group sample: exactly k per group, ranks contiguous, re-runnable") {
     val rows = SparkEntry.queries("q93_group_sample")(spark, sf).collect()
