@@ -17,6 +17,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
     val results = selected.map { case (name, fn) =>
+      // Driver-JVM hygiene between measurements: checkpoint/broadcast
+      // blocks of PREVIOUS queries are freed by the ContextCleaner only
+      // after their DataFrames are GC'd — without a nudge, a query deep
+      // in the run can pay storage-memory pressure (block eviction/spill)
+      // accrued by its hundred predecessors, which showed up as bimodal
+      // 2 s / 13 s timings for the checkpoint-heavy pipeline queries.
+      System.gc()
       val t0 = System.nanoTime()
       // a failed query reports -1 (not its elapsed-until-throw time, which
       // would read as a suspiciously fast success)

@@ -65,6 +65,19 @@ object EventStream {
         col("c_ts"), col("v_ts"))
   }
 
+  /** Stream-static enrichment: attach slowly-changing dimension
+    * attributes to a stream by a broadcast equi-join — the production
+    * "enrich events with the user/dim table" shape. The static side is
+    * stateless for the stream (re-planned per micro-batch, so a dim
+    * refresh is picked up on the next batch); broadcast keeps the stream
+    * side shuffle-free, which is what makes this viable at full ingest
+    * rate. Left join: events with no dim row pass through with nulls
+    * rather than silently dropping (auditable, not lossy). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
   final case class SessionState(sessionStartMs: Long, lastMs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start_ms: Long, n_events: Long, duration_ms: Long)

@@ -254,4 +254,22 @@ class EventStreamSpec extends SparkTestBase {
       assert(afterTimeout.contains((7L, 1L, 0L)), s"timed-out session missing: $afterTimeout")
     } finally q.stop()
   }
+
+  test("enrichWithDim: stream-static left join enriches matched rows, passes unmatched with nulls") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("user_id", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("d_user", "tier")
+    val q = EventStream.enrichWithDim(events, dim, "user_id", "d_user")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (2L, "view"), (99L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier")))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (99L, None)),
+        s"got $rows")
+    } finally q.stop()
+  }
 }
