@@ -598,6 +598,40 @@ object Pipeline {
       |WHERE substr(md5('s42:' || t.source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < cut
       |GROUP BY t.source ORDER BY t.source""".stripMargin
 
+  // ---------------------------------------------------------------- px100
+  /** The pipeline's actual deliverable: WRITE the training-data lake —
+    * documents laid out as `split=<train|val|test>/shard_id=<n>/`
+    * partitioned parquet (px98's stable hash split × a deterministic
+    * shard key) — then read the written layout back and emit the shard
+    * manifest a trainer consumes. The read-back (not the pre-write
+    * frame) is aggregated, so the oracle cross-checks what actually
+    * landed on disk through the partitioned writer. Trainers then scan
+    * exactly `split=train/shard_id=k` via directory pruning (q95's
+    * lever); shard count is the write-parallelism dial, fixed here at 4
+    * so the tiny test corpus still exercises multi-directory layout. */
+  private def px100(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/interchange/px100_shards"
+    hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px100Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -608,5 +642,6 @@ object Pipeline {
     GraftQuery("px96_eval_holdout", px96, Some(px96Oracle)),
     GraftQuery("px97_token_apportion", px97, Some(px97Oracle)),
     GraftQuery("px98_data_split", px98, Some(px98Oracle)),
-    GraftQuery("px99_temperature_mix", px99, Some(px99Oracle)))
+    GraftQuery("px99_temperature_mix", px99, Some(px99Oracle)),
+    GraftQuery("px100_shard_manifest", px100, Some(px100Oracle)))
 }
