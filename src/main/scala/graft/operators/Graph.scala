@@ -151,8 +151,10 @@ object Graph {
     * side iteration over nodes. Only the frontier (which at high hop
     * counts is a small fraction of the graph) flows between rounds; the
     * symmetrized edge list is a loop invariant, pre-partitioned on its
-    * join key once and checkpointed, so every round's join exchanges
-    * frontier rows only. First visit wins = min distance, so no re-agg
+    * join key once and checkpointed, so the edge join exchanges frontier
+    * rows only (the first-visit anti-join additionally exchanges the
+    * visited set — one slim (node, dist) row per reached node, edge-mass
+    * cheap by comparison). First visit wins = min distance, so no re-agg
     * over the visited set is ever needed.
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
