@@ -47,6 +47,22 @@ object Tables {
   }
 }
 
+/** Build-scratch root for the interchange sink queries (q94/q95/q96/q98,
+  * px100). Resolution order: `spark.graft.scratchDir` session conf →
+  * `graft.scratch.dir` JVM system property → `<user.dir>/target/interchange`
+  * (the sbt build-scratch convention, relative to wherever the JVM runs).
+  * Never a hard-coded absolute checkout path — the same jar must write to
+  * the right place on any machine/checkout.
+  */
+object Scratch {
+  def dir(spark: SparkSession, leaf: String): String = {
+    val root = spark.conf.getOption("spark.graft.scratchDir")
+      .orElse(sys.props.get("graft.scratch.dir"))
+      .getOrElse(s"${sys.props("user.dir")}/target/interchange")
+    s"$root/$leaf"
+  }
+}
+
 /** One engine query: the Spark implementation plus (when SQL-expressible)
   * the equivalent ANSI SQL the DuckDB oracle runs over the same parquet.
   * Queries without an oracle get the driver's weaker rows-only check.

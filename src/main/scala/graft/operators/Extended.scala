@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.{GraftQuery, Tables}
+import graft.{GraftQuery, Scratch, Tables}
 
 /** Round-2 operator widening: unpivot/melt, conditional aggregation,
   * interval RANGE window frames, first/last/nth window values, skew-salted
@@ -715,7 +715,7 @@ object Extended {
     * computes the identical aggregate straight from the parquet source.
     * Output lands under target/ (build scratch), never in testdata. */
   private def q94(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/interchange/q94_lineitem_orc"
+    val out = Scratch.dir(spark, "q94_lineitem_orc")
     Tables(spark, dir, "lineitem")
       .filter(col("l_orderkey") < 10000)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
@@ -746,7 +746,7 @@ object Extended {
     * stays bounded (one per year), so no small-file explosion; within a
     * partition, file splits parallelize as usual. */
   private def q95(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/interchange/q95_orders_by_year"
+    val out = Scratch.dir(spark, "q95_orders_by_year")
     Tables(spark, dir, "orders")
       .withColumn("o_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
@@ -776,7 +776,7 @@ object Extended {
     * prune the fact scan without the pipeline author ever writing a
     * partition predicate. */
   private def q98(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/interchange/q98_events_by_day"
+    val out = Scratch.dir(spark, "q98_events_by_day")
     Tables(spark, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .write.mode("overwrite").partitionBy("event_date").parquet(out)
@@ -806,7 +806,7 @@ object Extended {
     * of text-corpus distribution, so the engine must both emit and
     * ingest it without a schema-inference scan. */
   private def q96(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/interchange/q96_documents_jsonl"
+    val out = Scratch.dir(spark, "q96_documents_jsonl")
     Tables(spark, dir, "documents")
       .filter(col("doc_id") % 7 === 0)
       .select("doc_id", "lang", "source", "n_chars")

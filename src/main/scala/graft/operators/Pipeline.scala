@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{GraftQuery, Tables}
+import graft.{GraftQuery, Scratch, Tables}
 import graft.functions.TextHash
 
 /** The end-to-end "prepare a training shard" composition — the query a
@@ -550,6 +550,16 @@ object Pipeline {
     * then materialized as an 8-hex-char cut (`floor(rate·2^32)`) and each
     * row keeps iff its salted-md5 prefix sorts below the cut — the same
     * portable Bernoulli device as q43/px98, with a per-domain threshold.
+    * The cut is clamped to 2^32-1: a rate that rounds to 1.0 (e.g. a
+    * single-domain corpus) would otherwise hex-encode floor(2^32) to the
+    * 9-char "100000000", which lpad(...,8) truncates to "10000000" —
+    * silently keeping ~6.25% of the domain instead of all of it. Since
+    * every 8-hex md5 prefix sorts strictly below "ffffffff"+1 but NOT
+    * below a truncated cut, rate>=1 must clamp to the max 8-char cut;
+    * "ffffffff" itself excludes only the 2^-32 sliver of exact-max
+    * prefixes, so keep-all is expressed as a `>= 1.0` short-circuit
+    * (the cut becomes the 9-char "g0000000", which every hex prefix
+    * sorts below). The oracle mirrors the same short-circuit.
     * τ = 1/2 is chosen over an arbitrary τ because pow() is NOT
     * correctly-rounded everywhere, sqrt is.
     *
@@ -563,10 +573,16 @@ object Pipeline {
       .select(col(stratumCol).as("_st"), tok.as("_tok"))
       .groupBy("_st").agg(sum(col("_tok")).as("_dom_tok"))
     val tot = avail.agg(sum(col("_dom_tok")).as("_all_tok"))
+    val rate = sqrt(col("_dom_tok").cast("double") / col("_all_tok"))
+    // rate < 1.0 strictly implies rate*2^32 < 2^32 exactly (the product
+    // 2^32 - 2^-21 at rate = 1-ulp is representable, so fp rounding can't
+    // push it up to 2^32) — the keep-all branch is the ONLY way past 8 hex
+    // chars, and 'g' > 'f' makes its cut sort above every md5 prefix.
     val rates = avail.crossJoin(broadcast(tot))
       .select(col("_st"),
-        lower(lpad(hex(floor(sqrt(col("_dom_tok").cast("double") / col("_all_tok"))
-          * lit(4294967296.0)).cast("long")), 8, "0")).as("_cut"))
+        when(rate >= 1.0, lit("g0000000"))
+          .otherwise(lower(lpad(hex(floor(rate * lit(4294967296.0)).cast("long")), 8, "0")))
+          .as("_cut"))
     // the row hash keys on the document's stable identity (idCol), never
     // row order or an RNG, so the kept set is a pure function of the
     // corpus — same stability contract as hashSplit
@@ -591,7 +607,9 @@ object Pipeline {
       |tot AS (SELECT SUM(dom_tok) AS all_tok FROM a),
       |r AS (
       |  SELECT source,
-      |    lower(lpad(hex(CAST(floor(sqrt(CAST(dom_tok AS DOUBLE) / all_tok) * 4294967296.0) AS BIGINT)), 8, '0')) AS cut
+      |    CASE WHEN sqrt(CAST(dom_tok AS DOUBLE) / all_tok) >= 1.0 THEN 'g0000000'
+      |         ELSE lower(lpad(hex(CAST(floor(sqrt(CAST(dom_tok AS DOUBLE) / all_tok) * 4294967296.0) AS BIGINT)), 8, '0'))
+      |    END AS cut
       |  FROM a CROSS JOIN tot)
       |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
       |FROM t JOIN r ON t.source = r.source
@@ -610,7 +628,7 @@ object Pipeline {
     * lever); shard count is the write-parallelism dial, fixed here at 4
     * so the tiny test corpus still exercises multi-directory layout. */
   private def px100(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/interchange/px100_shards"
+    val out = Scratch.dir(spark, "px100_shards")
     hashSplit(Tables(spark, dir, "documents"), "doc_id")
       .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
       .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)

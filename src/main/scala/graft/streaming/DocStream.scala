@@ -63,6 +63,16 @@ object DocStream {
     * document lands (budgets are targets, not hard byte limits). Within
     * one micro-batch a key's rows are admitted in doc_id order, making
     * replays of the same batched input deterministic.
+    *
+    * Memory bound: the determinism sort materializes ONE key's rows of
+    * ONE micro-batch (`rows.toArray`) — and these are (id, source, count)
+    * triples, never document text — so transient executor memory is
+    * O(hottest key's rows per micro-batch), while checkpointed STATE
+    * stays one long per source. A hot source in a huge micro-batch is
+    * therefore bounded by trigger sizing (`maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger`), the knob production streams already use;
+    * if upstream can guarantee per-key arrival order instead, the sort
+    * (and the array) can be dropped to make the pass fully streaming.
     */
   private class TokenBudget(budget: Long)
       extends StatefulProcessor[String, DocTok, Admitted] {

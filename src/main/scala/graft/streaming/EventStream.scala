@@ -72,11 +72,21 @@ object EventStream {
     * refresh is picked up on the next batch); broadcast keeps the stream
     * side shuffle-free, which is what makes this viable at full ingest
     * rate. Left join: events with no dim row pass through with nulls
-    * rather than silently dropping (auditable, not lossy). */
+    * rather than silently dropping (auditable, not lossy).
+    *
+    * The dim key is renamed to a reserved internal name before the join:
+    * with `eventKey == dimKey` the naive `col(a) === col(b)` condition is
+    * ambiguous (self-referencing) and `drop(dimKey)` would remove the
+    * EVENT-side column too — renaming makes both resolve unambiguously. */
   def enrichWithDim(events: DataFrame, dim: DataFrame, eventKey: String,
-      dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
-      .drop(dimKey)
+      dimKey: String): DataFrame = {
+    val k = "__graft_dim_key"
+    require(!events.columns.contains(k) && !dim.columns.contains(k),
+      s"column name $k is reserved by enrichWithDim")
+    events.join(broadcast(dim.withColumnRenamed(dimKey, k)),
+        col(eventKey) === col(k), "left")
+      .drop(k)
+  }
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String)
   final case class SessionState(sessionStartMs: Long, lastMs: Long, nEvents: Long)

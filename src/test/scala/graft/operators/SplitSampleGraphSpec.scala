@@ -91,6 +91,18 @@ class SplitSampleGraphSpec extends SparkTestBase {
     assert(again == kept.count(), "kept set must be a pure function of the corpus")
   }
 
+  test("temperatureMix: single-domain corpus (rate = 1.0) keeps every row") {
+    // share = 1 → sqrt(share) = 1.0 → floor(1.0*2^32) hex-encodes to 9
+    // chars; without the keep-all short-circuit lpad(...,8) truncates the
+    // cut to '10000000' and silently keeps ~6.25% of the domain
+    val docs = Tables(spark, sf, "documents")
+    val one = docs.filter(col("source") === docs.select("source").first().getString(0))
+    val n = one.count()
+    assert(n > 0)
+    val kept = Pipeline.temperatureMix(one, "doc_id", "source", "text").count()
+    assert(kept == n, s"rate>=1 domain must keep all $n rows, kept $kept")
+  }
+
   // ------------------------------------------------------------ q93
   test("q93 group sample: exactly k per group, ranks contiguous, re-runnable") {
     val rows = SparkEntry.queries("q93_group_sample")(spark, sf).collect()

@@ -272,4 +272,23 @@ class EventStreamSpec extends SparkTestBase {
         s"got $rows")
     } finally q.stop()
   }
+
+  test("enrichWithDim: eventKey == dimKey joins unambiguously and keeps the event-side key") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val events = mem.toDF().toDF("user_id", "event_type")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrichWithDim(events, dim, "user_id", "user_id")
+      .writeStream.format("memory").queryName("enrich_same_key").outputMode("append").start()
+    try {
+      mem.addData((1L, "click"), (99L, "view"))
+      q.processAllAvailable()
+      val out = spark.table("enrich_same_key")
+      assert(out.columns.count(_ == "user_id") == 1, "event-side key must survive exactly once")
+      val rows = out.collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[String]("tier")))).toSet
+      assert(rows == Set((1L, Some("gold")), (99L, None)), s"got $rows")
+    } finally q.stop()
+  }
 }
