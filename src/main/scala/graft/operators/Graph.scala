@@ -63,19 +63,18 @@ object Graph {
   // ---------------------------------------------------------------- gr79
   /** Triangle census of the supplier co-supply graph (suppliers joined by
     * sharing a high-quantity part): top-20 suppliers by triangle
-    * membership. The bipartite projection (part → supplier-pair) costs
-    * Σ deg_part² pairs — kept bounded here by the quantity filter; at
-    * production fan-outs, cap or sample suppliers-per-part before pairing
-    * (the projection, not the triangle count, is the scale hazard). The
-    * oracle counts the same triangles with the naive 3-way join — same
-    * result, any counting order. */
+    * membership. The bipartite projection (part → supplier-pair) is
+    * [[coOccurrenceEdges]] with the part as the basket, so it inherits the
+    * `maxItemsPerBasket` guard against a ubiquitous part's deg² blow-up;
+    * the cap stays off here because the quantity filter already bounds
+    * suppliers-per-part at TPC-H fan-outs and the oracle needs exact
+    * projection semantics. The oracle counts the same triangles with the
+    * naive 3-way join — same result, any counting order. */
   private def gr79(spark: SparkSession, dir: String): DataFrame = {
-    val ps = Tables(spark, dir, "lineitem")
-      .filter(col("l_quantity") >= 48.0)
-      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
-    val edges = ps.as("a").join(ps.as("b"), col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("u"), col("b.s").as("v"))
+    val edges = coOccurrenceEdges(
+        Tables(spark, dir, "lineitem").filter(col("l_quantity") >= 48.0),
+        "l_partkey", "l_suppkey")
+      .select(col("p1").as("u"), col("p2").as("v"))
     triangleCounts(edges, "u", "v")
       .select(col("node").as("supplier"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("supplier"))
@@ -110,14 +109,30 @@ object Graph {
     * of shared orders; weight >= 2 keeps the non-noise edges.
     *
     * Scale shape: the pair generation is an equi-join keyed on the basket
-    * id, so its cost is Σ basket_size² — bounded per basket (TPC-H orders
-    * cap at 7 lines; a production pipeline caps or samples items-per-
-    * basket first, because one mega-basket's deg² is this job's only skew
-    * hazard — the same "last reducer" guard as the triangle count's
-    * degree orientation). The weight agg is hash-keyed on the pair. */
+    * id, so its cost is Σ basket_size² — ONE mega-basket's size² lands on
+    * one reducer (the "curse of the last reducer" the triangle count's
+    * degree orientation kills on its side of the pipeline). `maxItemsPerBasket`
+    * is the production guard: a deterministic per-basket hash top-k
+    * (row_number over (hash(item), item) — Spark plans it as
+    * WindowGroupLimit, the q93 idiom, so per-basket state during the rank
+    * is k rows, never the full basket) bounds every basket to k items and
+    * the whole join to Σ min(size, k)² BEFORE any pair is generated.
+    * Hash-ordered, not "first k by id", so the kept sample is unbiased
+    * w.r.t. item-id assignment and stable across runs/partitionings.
+    * `None` keeps exact semantics for naturally-bounded baskets (TPC-H
+    * orders cap at 7 lines). The weight agg is hash-keyed on the pair. */
   def coOccurrenceEdges(items: DataFrame, basketCol: String, itemCol: String,
-      minWeight: Long = 1L): DataFrame = {
-    val o = items.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+      minWeight: Long = 1L, maxItemsPerBasket: Option[Int] = None): DataFrame = {
+    val o0 = items.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+    val o = maxItemsPerBasket match {
+      case Some(k) =>
+        require(k >= 2, s"maxItemsPerBasket must be >= 2 to emit any pair, got $k")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("_bk").orderBy(xxhash64(col("_it")), col("_it"))
+        o0.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k).drop("_rn")
+      case None => o0
+    }
     o.as("a").join(o.as("b"),
         col("a._bk") === col("b._bk") && col("a._it") < col("b._it"))
       .groupBy(col("a._it").as("p1"), col("b._it").as("p2"))
@@ -150,39 +165,70 @@ object Graph {
     * one anti-join against the visited set — no theta joins, no driver-
     * side iteration over nodes. Only the frontier (which at high hop
     * counts is a small fraction of the graph) flows between rounds; the
-    * symmetrized edge list is a loop invariant, pre-partitioned on its
-    * join key once and checkpointed, so the edge join exchanges frontier
-    * rows only (the first-visit anti-join additionally exchanges the
-    * visited set — one slim (node, dist) row per reached node, edge-mass
-    * cheap by comparison). First visit wins = min distance, so no re-agg
-    * over the visited set is ever needed.
+    * symmetrized edge list is a checkpointed loop invariant. First visit
+    * wins = min distance, so no re-agg over the visited set is needed.
+    *
+    * Per-round shuffle accounting (measured, not assumed — checkpointed
+    * rings come back as `LogicalRDD`s whose origin-plan size ESTIMATES
+    * are join-inflated, so without hints the static planner picks
+    * sort-merge joins and shuffle-WRITES the whole edge list every round;
+    * AQE flips them to broadcast at runtime but only after the map-side
+    * writes are paid): the frontier and visited sides carry explicit
+    * broadcast hints whenever their EXACT row counts — free metadata,
+    * the rings are eagerly checkpointed — are under `broadcastMaxRows`.
+    * A broadcast-frontier round then runs: in-memory edge scan → BHJ →
+    * ring dedup (the round's single exchange, candidate mass) → BHJ
+    * anti — the edge list is never sorted, shuffled, or re-partitioned.
+    * Past the row bound (web-scale frontiers), the hints drop off and
+    * the round degrades gracefully to the partitioned SMJ path, where
+    * the dedup agg's output partitioning already feeds the anti join's
+    * left side with no extra exchange.
+    *
+    * distinct() stays BEFORE the anti join: the Aggregate blocks
+    * Catalyst's PushDownLeftSemiAntiJoin from pushing the anti join
+    * below the edge join — pushed down, it would anti-join the ENTIRE
+    * edge list against `visited` every round instead of just the ring.
+    *
+    * The loop also exits as soon as a ring comes back empty (the same
+    * free count): all later rings are provably empty, so remaining hops
+    * would each pay a full no-op round.
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .repartition(col("src")).localCheckpoint()
+      .localCheckpoint()
     var visited = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint()
+    var visitedRows = visited.count() // counts in-memory blocks, no recompute
     var frontier = visited
-    for (h <- 1 to maxHops) {
+    var frontierRows = visitedRows
+    var h = 1
+    while (h <= maxHops && frontierRows > 0) {
+      val fr = if (frontierRows <= broadcastMaxRows) broadcast(frontier) else frontier
+      val vis = if (visitedRows <= broadcastMaxRows) broadcast(visited) else visited
       // left_anti keeps only FIRST visits: the frontier shrinks to the
       // newly-discovered ring, and `visited` stays one row per node.
-      val next = frontier.join(e, col("node") === col("src"))
+      val next = fr.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(vis, Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint()
+      val n = next.count()
       // `visited` is only ever a UNION of already-checkpointed rings, so
       // re-deriving it is free — checkpointing it too would materialize
       // the whole visited set once per round for nothing.
       visited = visited.unionByName(next)
+      visitedRows += n
       frontier = next
+      frontierRows = n
+      h += 1
     }
     visited
   }

@@ -115,6 +115,19 @@ class PlanSpec extends SparkTestBase {
         "not a full per-group sort:\n" + p.take(1500))
   }
 
+  test("coOccurrenceEdges cap: per-basket top-k plans as WindowGroupLimit before pairing") {
+    import org.apache.spark.sql.functions.col
+    val items = graft.Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val df = Graph.coOccurrenceEdges(items, "l_orderkey", "l_partkey",
+      minWeight = 1L, maxItemsPerBasket = Some(5))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("WindowGroupLimit"),
+      "the fan-out cap must prune each basket to k rows BEFORE the " +
+        "pair self-join, not rank-and-filter after a full window sort:\n" + p.take(1500))
+  }
+
   test("q95: year predicate prunes partitions at the directory level") {
     val p = plan("q95_partitioned_layout")
     assert(p.contains("PartitionFilters: [") &&

@@ -415,6 +415,37 @@ class Round4OpsSpec extends SparkTestBase {
     assert(thresholded == Seq(("a", "b", 3L)))
   }
 
+  test("coOccurrenceEdges: maxItemsPerBasket bounds a mega-basket's pair fan-out deterministically") {
+    // one 100-item mega-basket (the deg² skew hazard) next to a small one
+    val items = ((1 to 100).map(i => (1L, f"item$i%03d")) ++
+      Seq((2L, "item001"), (2L, "item002"))).toDF("basket", "item")
+    val capped = Graph.coOccurrenceEdges(items, "basket", "item",
+      minWeight = 1L, maxItemsPerBasket = Some(10))
+    // basket 1 contributes at most C(10,2)=45 pairs instead of C(100,2)=4950;
+    // basket 2 is under the cap and keeps its exact pair
+    val n = capped.count()
+    assert(n <= 46, s"cap leaked: $n pairs")
+    assert(capped.filter(col("p1") === "item001" && col("p2") === "item002").count() == 1,
+      "sub-cap basket must keep exact semantics")
+    // hash top-k keys on stable item identity: the kept set is a pure
+    // function of the data, not of partitioning or run order
+    val again = Graph.coOccurrenceEdges(items, "basket", "item",
+      minWeight = 1L, maxItemsPerBasket = Some(10))
+    assert(capped.orderBy("p1", "p2").collect().toSeq ==
+      again.orderBy("p1", "p2").collect().toSeq, "capped sample must be deterministic")
+    // capped pairs are a subset of the exact projection
+    val exact = Graph.coOccurrenceEdges(items, "basket", "item", minWeight = 1L)
+      .select("p1", "p2")
+    assert(capped.select("p1", "p2").join(exact, Seq("p1", "p2"), "left_anti").count() == 0)
+    // a cap above the natural fan-out changes nothing
+    val wide = Graph.coOccurrenceEdges(items, "basket", "item",
+      minWeight = 1L, maxItemsPerBasket = Some(1000))
+    assert(wide.count() == exact.count())
+    intercept[IllegalArgumentException] {
+      Graph.coOccurrenceEdges(items, "basket", "item", maxItemsPerBasket = Some(1))
+    }
+  }
+
   // ------------------------------------------------------------ q91
   test("UTF8_LCASE grouping merges case variants; binary re-collation keeps them apart") {
     val df = Seq("ALPHA", "alpha", "Alpha", "BETA", "beta").toDF("s")
