@@ -323,52 +323,88 @@ object Ops {
     * clustering step: near-dup PAIRS become duplicate CLUSTERS, and the
     * minimum member id is each cluster's canonical representative.
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * minimum label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup clusters are shallow — single
-    * digits). Each round is two shuffles on the edge key; maxIter bounds
-    * the worst case and the loop exits early on fixpoint.
+    * Alternating large-star/small-star contraction (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi & Vassilvitskii, "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): each round rewires every node toward its
+    * neighborhood minimum —
+    *
+    *   - large-star: per node u with neighborhood N(u), every LARGER
+    *     neighbor v > u re-attaches to m = min(N(u) ∪ {u});
+    *   - small-star: edges oriented larger→smaller, per node u every
+    *     (smaller) neighbor and u itself attach to m = min(N(u) ∪ {u}) —
+    *
+    * which contracts path-shaped structure exponentially: convergence in
+    * O(log n) rounds REGARDLESS of component diameter, where min-label
+    * propagation needs O(diameter) rounds and is correct-but-unusable on
+    * a web-scale dup graph with a long chain (a 100-hop path converges
+    * here in ~8 rounds, not 100). At the fixpoint the edge set is exactly
+    * the star forest (node → component minimum). Each round is four
+    * hash-partitioned shuffles (two groupBy mins + two equi-joins) over a
+    * monotonically star-ifying edge set; the fixpoint test is an exact
+    * set comparison (two anti-join probes) on checkpointed rounds, and
+    * non-convergence within maxIter fails loudly because unconverged
+    * labels are silently WRONG (non-minimal components → multiple
+    * "canonical" docs per true cluster).
     */
-  def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10): DataFrame = {
-    // Materialize the edge list once — every iteration joins against it,
-    // and without the checkpoint the whole upstream pipeline (e.g. the
-    // MinHash candidate generation feeding dedup clustering) would be
-    // recomputed per round.
-    // pre-partitioned on the per-iteration join key (dst) so each round
-    // exchanges only the small label table, never the edge list
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10): DataFrame =
+    ccLargeSmallStar(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the round count — exposed for the
+    * convergence-rate regression test (a diameter-100 path must converge
+    * in far fewer than 100 rounds). */
+  private[graft] def ccLargeSmallStar(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    // Node domain from the RAW symmetrized list (self-loops included) so
+    // isolated/self-loop-only ids still get a label, as before.
+    val sym0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .repartition(col("dst"))
+    val nodes = sym0.select(col("u").as("id")).distinct().localCheckpoint()
+    // Working edge set: canonical larger-first orientation, no self-loops.
+    // Materialized once — without the checkpoint the whole upstream
+    // pipeline (e.g. MinHash candidate generation) would re-run per round.
+    var e = sym0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
-        .join(labels, col("dst") === col("id"))
-        .groupBy(col("src"))
-        .agg(min(col("comp")).as("ncomp"))
-      // checkpoint BEFORE the change-count so the fixpoint test reads the
-      // materialized result instead of recomputing the round's joins.
-      val updated = labels
-        .join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
+      // ---- large-star: larger neighbors re-attach to the local min
+      val both = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // v > u >= m, so (v, m) is already larger-first and never a loop
+      val ls = both.filter(col("v") > col("u")).join(lsMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // ---- small-star: smaller neighbors (and u) attach to the local min
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v"), col("m"))
+        .unionByName(ssMin.select(col("u").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+        .distinct()
         .localCheckpoint()
-      val changed = updated.filter(col("comp") =!= col("prev")).limit(1).count()
-      labels = updated.select("id", "comp")
-      converged = changed == 0
+      // exact fixpoint: both canonical+distinct, so set equality is two
+      // empty anti-joins (limit(1) short-circuits the probe)
+      converged =
+        ss.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0 &&
+        e.join(ss, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      e = ss
       iter += 1
     }
-    // Unconverged labels are silently WRONG (non-minimal components →
-    // multiple "canonical" docs per true cluster); fail loudly instead.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — " +
-          s"component diameter exceeds maxIter; raise maxIter")
-    labels
+          s"pathological growth (raise maxIter; O(log n) rounds expected)")
+    // fixpoint edge set IS the star forest: (member → component min);
+    // roots and isolated nodes label themselves
+    val labels = nodes
+      .join(e.select(col("u").as("id"), col("v").as("_root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_root"), col("id")).as("comp"))
+    (labels, iter)
   }
 
   /** PageRank over a directed edge list (src, dst) — the second iterative

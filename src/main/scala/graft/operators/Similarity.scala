@@ -20,11 +20,28 @@ import graft.functions.{TextHash, VectorOps}
   */
 object Similarity {
 
+  /** Fixed-size ANN query batch, shared by ss30/ss31/ss32/ss34: the first
+    * `QueryBatchMax` valid vectors (by vec_id) of the `vec_id % 100 == 0`
+    * slice. The cap is the scale invariant: a `% 100` filter alone is
+    * CORPUS-PROPORTIONAL (1% of 100 TB is still a terabyte of "queries"),
+    * which made ss34's driver-side table build and every ssXX broadcast
+    * grow with the corpus. `orderBy(vec_id).limit(n)` plans as a
+    * TakeOrderedAndProject — a bounded serving batch at any corpus size,
+    * never a global sort — so driver memory and broadcast size are now
+    * O(batch), not O(corpus). Callers pass their norm-filtered relation so
+    * the batch is exactly the first n USABLE queries (mirrors the oracle,
+    * which limits over its norm-filtered CTE). */
+  private[operators] val QueryBatchMax = 64
+  private[operators] def queryBatch(validVecs: DataFrame): DataFrame =
+    validVecs.filter(col("vec_id") % 100 === 0).orderBy("vec_id").limit(QueryBatchMax)
+
   // ---------------------------------------------------------------- ss30
   private def ss30(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val valid = e.withColumn("_nrm", graft.functions.VectorOps.norm(col("embedding")))
+      .filter(col("_nrm") > 0).drop("_nrm")
     graft.api.Ops.cosineTopK(
-        corpus = e, queries = e.filter(col("vec_id") % 100 === 0),
+        corpus = e, queries = queryBatch(valid),
         idCol = "vec_id", vecCol = "embedding", k = 10)
       .orderBy("q_id", "rn")
   }
@@ -35,7 +52,8 @@ object Similarity {
       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       |  FROM embeddings),
       |n AS (SELECT * FROM n0 WHERE nrm > 0),
-      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id % 100 = 0),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n
+      |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
       |s AS (
       |  SELECT q_id, vec_id,
       |    list_sum(list_transform(range(1, len(q_emb) + 1),
@@ -56,8 +74,8 @@ object Similarity {
     * corpus size (buckets ∝ n / target-candidates). */
   private val NPlanes = 6
 
-  /** LSH candidate pairs `(q_id, vec_id, sim)` for query rows
-    * (`vec_id % 100 == 0`), with `nPlanes` hyperplanes (2^nPlanes
+  /** LSH candidate pairs `(q_id, vec_id, sim)` for the [[queryBatch]]
+    * query rows, with `nPlanes` hyperplanes (2^nPlanes
     * buckets) and multi-probe depth `probeFlips` (all buckets within that
     * Hamming distance of the query's bucket are probed — 1+n probes at
     * depth 1, +n(n-1)/2 at depth 2). Exposed package-private so the scale
@@ -105,7 +123,7 @@ object Similarity {
         for (i <- 0 until nPlanes; j <- i + 1 until nPlanes) yield (1 << i) | (1 << j)
       else Seq.empty)
     val probes = array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = queryBatch(e)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         explode(probes).as("bucket"))
     e.join(broadcast(q), Seq("bucket"))
@@ -163,7 +181,7 @@ object Similarity {
       }.sortBy(p => (p._1, p._2)).take(2).map(_._2).toArray
     }
 
-    val q = assigned.filter(col("vec_id") % 100 === 0)
+    val q = queryBatch(assigned)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
         explode(probesUdf(col("embedding"))).as("cluster"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
@@ -315,8 +333,10 @@ object Similarity {
     // broadcast as primitive arrays: the scan then reads only (vec_id,
     // codes) per corpus row — carrying the 128-double table through every
     // joined row measured 2× slower (250k rows × per-row array decode).
+    // queryBatch caps the collect at QueryBatchMax rows, so the driver
+    // memory and the broadcast here are fixed-size at any corpus scale.
     val cb = cbB.value
-    val qRows = e.filter(col("vec_id") % 100 === 0)
+    val qRows = queryBatch(e)
       .select("vec_id", "embedding", "nrm").collect()
       .sortBy(_.getLong(0))
     val qIds: Array[Long] = qRows.map(_.getLong(0))
@@ -367,7 +387,7 @@ object Similarity {
       .withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= Shortlist)
       .select("q_id", "vec_id")
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = queryBatch(e)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     cands.join(e, "vec_id")

@@ -45,16 +45,29 @@ class OpsSpec extends SparkTestBase {
     assert(got.isNullAt(0), s"expected the latest (null-payload) row to win, got $got")
   }
 
-  test("connectedComponents fails loudly when the diameter exceeds maxIter") {
+  test("connectedComponents fails loudly when rounds exceed maxIter") {
     import spark.implicits._
     val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
     intercept[IllegalStateException] {
-      Ops.connectedComponents(chain, "a", "b", maxIter = 2).collect()
+      Ops.connectedComponents(chain, "a", "b", maxIter = 1).collect()
     }
     // and converges fine when allowed enough rounds
     val ok = Ops.connectedComponents(chain, "a", "b", maxIter = 15)
       .collect().map(r => r.getLong(1)).distinct
     assert(ok.toSeq == Seq(1L))
+  }
+
+  test("connectedComponents: diameter-100 path converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // the case min-label propagation cannot handle: a 100-hop chain would
+    // need 100 label rounds; large-star/small-star contracts it in ~log n
+    val path = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Ops.ccLargeSmallStar(path, "a", "b", maxIter = 15)
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comps.length == 101, s"expected 101 labeled nodes, got ${comps.length}")
+    assert(comps.forall(_._2 == 0L), "every node must label to the component minimum 0")
+    assert(rounds < 15, s"convergence took $rounds rounds — not O(log n)")
+    info(s"diameter-100 path converged in $rounds rounds")
   }
 
   test("sessionize: 30-min gaps split sessions; ids are 1-based and ordered") {

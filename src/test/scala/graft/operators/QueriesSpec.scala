@@ -110,6 +110,23 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("ANN query batch is fixed-size: never corpus-proportional, planned as a bounded top-k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20k vectors → 200 ids pass the % 100 slice; the batch must cap at
+    // QueryBatchMax regardless, taking the FIRST ids deterministically
+    val big = (0L until 20000L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val batch = Similarity.queryBatch(big)
+    val ids = batch.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == Similarity.QueryBatchMax,
+      s"batch must cap at ${Similarity.QueryBatchMax}, got ${ids.length}")
+    assert(ids.toSeq == (0 until Similarity.QueryBatchMax).map(_ * 100L),
+      "batch must be the first vec_ids of the slice, not an arbitrary subset")
+    val plan = batch.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the batch limit must plan as a bounded top-k, not a global sort:\n" + plan.take(1000))
+  }
+
   test("dd31 char-pass normalization is byte-identical to the regex form on the corpus") {
     import org.apache.spark.sql.functions._
     // dd31's oracle keeps the regexp_replace form — this pins the UDF
