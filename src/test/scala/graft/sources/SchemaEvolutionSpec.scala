@@ -54,4 +54,42 @@ class SchemaEvolutionSpec extends SparkTestBase {
       "tiny shuffle output should be read as coalesced partitions, " +
         "not 32 near-empty tasks:\n" + plan.take(1200))
   }
+
+  test("AQE splits the straggler partition of a skewed shuffle join (skew=true in the plan)") {
+    // The runtime complement to the MANUAL salted join (q60): when one key
+    // dominates a shuffle join, OptimizeSkewedJoin must carve its partition
+    // into advisory-sized splits instead of leaving one task with the
+    // whole hot key. Thresholds are lowered so the test fixture's ~MB-scale
+    // skew triggers the same code path a 100 TB straggler would.
+    import spark.implicits._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // one hot key with 200k rows beside 50 cold keys with ~40 rows each
+      val left = ((1 to 200000).map(i => (0L, i.toLong)) ++
+        (1 to 2000).map(i => ((i % 50).toLong + 1, i.toLong))).toDF("k", "payload")
+      val right = (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "attr")
+      val joined = left.join(right, "k")
+      val n = joined.count()
+      assert(n == 202000L, s"join result wrong: $n")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        "the hot key's partition must be split by OptimizeSkewedJoin " +
+          "(skew=true marker on the join):\n" + plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -59,6 +59,66 @@ class DocStreamSpec extends SparkTestBase {
     }
   }
 
+  test("admitByTokenBudget: kill + restart recovers counter state from the checkpoint (exactly-once)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = java.nio.file.Files.createTempDirectory("twsck").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+
+    def addFile(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "source", "n_tok").repartition(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+
+    def start(outDir: String, ckDir: String) = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, source STRING, n_tok LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1") // identical micro-batching in both runs
+        .parquet(inDir)
+        .as[DocStream.DocTok]
+      DocStream.admitByTokenBudget(docs, budgetPerSource = 100L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .start()
+    }
+
+    def results(outDir: String): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tok"),
+          r.getAs[Boolean]("admitted"))).toSet
+
+    try {
+      // batch 1 spends 90 of web's 100-token budget
+      addFile("b1", Seq((1L, "web", 60L), (2L, "web", 30L)))
+      val q1 = start(s"$base/outA", s"$base/ckA")
+      try q1.processAllAvailable() finally q1.stop() // "crash" after batch 1 committed
+
+      // batch 2 lands while the query is DOWN; the restart must resume with
+      // web at 90/100 — doc 3 admitted across the line (soft cap), doc 4
+      // rejected ONLY because the pre-crash counter was recovered
+      addFile("b2", Seq((3L, "web", 50L), (4L, "web", 5L)))
+      val q2 = start(s"$base/outA", s"$base/ckA")
+      try q2.processAllAvailable() finally q2.stop()
+      val resumed = results(s"$base/outA")
+
+      assert(resumed == Set((1L, 60L, true), (2L, 90L, true), (3L, 140L, true), (4L, 140L, false)),
+        s"post-restart admission must continue from recovered state: $resumed")
+
+      // and the interrupted run equals one uninterrupted run over the same
+      // files (fresh checkpoint; same per-file triggers)
+      val q3 = start(s"$base/outB", s"$base/ckB")
+      try q3.processAllAvailable() finally q3.stop()
+      assert(results(s"$base/outB") == resumed,
+        "restart-resumed output must equal the uninterrupted run")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("cleanDocs gives identical survivors in batch mode") {
     import spark.implicits._
     val docs = Seq(

@@ -182,6 +182,60 @@ class EventStreamSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 2L, 3L), s"expected exactly-once delivery, got ${out.toSeq}")
   }
 
+  test("sessionCounts: restart recovers open-session + watermark state from the checkpoint") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("sessck").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+
+    def addFile(name: String, rows: Seq[(Timestamp, Long, Double)]): Unit =
+      rows.toDF("ts", "user_id", "value").repartition(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+
+    def start(outDir: String, ckDir: String) = {
+      val events = spark.readStream
+        .schema("ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      EventStream.sessionCounts(events, gap = "5 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .start()
+    }
+
+    def sessions(outDir: String): Set[(Long, String, String, Long, Double)] =
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("s_start").toString,
+          r.getAs[Timestamp]("s_end").toString, r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+
+    // batch 1 opens a session (2 events); the watermark hasn't passed its
+    // end, so NOTHING is emitted before the "crash" — the session exists
+    // only as checkpointed state
+    addFile("b1", Seq((ts("2024-01-01 00:00:00"), 7L, 1.0), (ts("2024-01-01 00:02:00"), 7L, 2.0)))
+    val q1 = start(s"$base/outA", s"$base/ckA")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(!new java.io.File(s"$base/outA").exists() || sessions(s"$base/outA").isEmpty,
+      "open session must not emit before the watermark passes it")
+
+    // batch 2 (while down) advances the watermark past the open session's
+    // end — the restarted query can only emit the correct (2-event) session
+    // if batch 1's session state was recovered from the checkpoint
+    addFile("b2", Seq((ts("2024-01-01 01:00:00"), 7L, 5.0)))
+    val q2 = start(s"$base/outA", s"$base/ckA")
+    try q2.processAllAvailable() finally q2.stop()
+    val resumed = sessions(s"$base/outA")
+    assert(resumed == Set((7L, "2024-01-01 00:00:00.0", "2024-01-01 00:07:00.0", 2L, 3.0)),
+      s"recovered session state must finalize with BOTH pre-crash events: $resumed")
+
+    // interrupted == uninterrupted over the same files and triggers
+    val q3 = start(s"$base/outB", s"$base/ckB")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sessions(s"$base/outB") == resumed,
+      "restart-resumed output must equal the uninterrupted run")
+  }
+
   test("foreachBatch upsert sink: each micro-batch merges into the latest-state table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
