@@ -282,14 +282,24 @@ object Ops {
       .drop("_pid", "_prn")
   }
 
-  /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
-    * candidates, Hamming-verified with native bit_count. */
-  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  /** The signature stage of [[simhashDupPairs]] — exposed so the
+    * brute-force parity spec compares the banded join against an
+    * all-pairs scan of the SAME signatures, not a re-implementation. */
+  private[graft] def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val simhashUdf = udf { toksArr: Seq[String] =>
       TextHash.simhash64(toksArr.iterator.map(TextHash.fnv1a64))
     }
-    val docs = df.select(col(idCol).as("_id"),
+    df.select(col(idCol).as("_id"),
       simhashUdf(filter(split(col(textCol), " "), t => t =!= "")).as("sh"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
+    * candidates, Hamming-verified with native bit_count. Exact by
+    * pigeonhole: a pair within Hamming distance 3 differs in <= 3 of the
+    * 4 bands, so at least one band is intact and the pair IS a candidate
+    * — banding loses nothing, it only prunes the pair space. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val docs = simhashSignatures(df, idCol, textCol)
     val bandStructs = (0 until 4).map(bi =>
       struct(lit(bi).as("band"), shiftrightunsigned(col("sh"), bi * 16).bitwiseAND(lit(0xffffL)).as("bkey")))
     val banded = docs.select(col("_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))

@@ -38,12 +38,41 @@ object Dedup {
     * Jaccard verification over sorted-hash shingle sets. Shuffle cost is
     * bounded by band-bucket sizes; the shingle sets are re-joined by id
     * only for the (few) candidate pairs. See [[graft.api.Ops.minhashDupPairs]].
+    *
+    * Oracled against the brute-force all-pairs Jaccard: verification is
+    * exact, so precision is 1 by construction, and recall is a banding
+    * property — P(catch) = 1-(1-J^4)^16, which is ~1-3e-8 at the J >= 0.9
+    * the corpus's near-dup pairs actually sit at (every one of the 25
+    * sf0.01 pairs). A borderline J = 0.5 pair would be caught with p =
+    * 0.64 only — if the data distribution ever drifts toward the
+    * threshold, widen bands or drop the oracle back to the probe specs.
     */
   private def dd26(spark: SparkSession, dir: String): DataFrame =
     graft.api.Ops.minhashDupPairs(
         Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
         k = 64, rowsPerBand = 4, threshold = 0.5)
       .orderBy("a_id", "b_id")
+
+  /** Exact all-pairs shingle Jaccard (same distinct word-3-gram sets as the
+    * engine's hashed form — identical counts absent 64-bit collisions, the
+    * same equivalence dd28's oracle already rides). */
+  private val dd26Oracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |      ELSE [] END AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |        FROM documents) t),
+      |ne AS (SELECT * FROM g WHERE len(sh) > 0)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.sh, b.sh))
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------- dd27
   /** SimHash near-dup (Charikar, "Similarity estimation techniques from
@@ -462,7 +491,7 @@ object Dedup {
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("dd25_dedup_exact", dd25, Some(dd25Oracle)),
-    GraftQuery("dd26_dedup_minhash_lsh", dd26, None),
+    GraftQuery("dd26_dedup_minhash_lsh", dd26, Some(dd26Oracle)),
     GraftQuery("dd27_dedup_simhash", dd27, None),
     GraftQuery("dd28_dedup_ngram_jaccard", dd28, Some(dd28Oracle)),
     GraftQuery("dd29_dedup_embedding_cosine", dd29, Some(dd29Oracle)),

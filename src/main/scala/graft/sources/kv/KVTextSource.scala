@@ -144,6 +144,26 @@ case class KVReaderFactory(columns: Array[String], conf: SerializableConfigurati
     new KVPartitionReader(partition.asInstanceOf[KVInputPartition], columns, conf)
 }
 
+/** Reader-pool concurrency gauges — the Spark counterpart of the
+  * reference's semaphore admission (reference: src/worker_pool.rs:16,
+  * 48-76): Spark admits a split's reader only when a scheduler slot
+  * frees up, so concurrent open files are bounded by task slots, not by
+  * split count. The gauges (one atomic bump per split open/close) let a
+  * spec pin that bound and that no handle outlives its task. Single-JVM
+  * visibility is exactly what local-mode tests need; on a cluster each
+  * executor JVM tracks its own slots. */
+private[sources] object KVReaderGauges {
+  val open = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val highWater = new java.util.concurrent.atomic.AtomicInteger(0)
+  def onOpen(): Unit = {
+    val n = open.incrementAndGet()
+    highWater.getAndUpdate(h => math.max(h, n))
+  }
+  def onClose(): Unit = open.decrementAndGet()
+  def reset(): Unit = { open.set(0); highWater.set(0) }
+  def high: Int = highWater.get()
+}
+
 /** Reads `key value` lines from one byte range of one file. Split protocol
   * (same as Hadoop's LineRecordReader): a reader whose range starts past 0
   * discards bytes through the first '\n' (that line belongs to the
@@ -159,6 +179,7 @@ class KVPartitionReader(p: KVInputPartition, columns: Array[String],
   private val needValue = columns.contains("value")
 
   private val fsIn = new Path(p.file).getFileSystem(conf.value).open(new Path(p.file))
+  KVReaderGauges.onOpen()
   // byte-at-a-time parsing over a buffered wrapper — the raw checksum
   // stream pays a full call stack per read(), catastrophic at MiB ranges.
   // Safe because the range is consumed strictly sequentially after the seek.
@@ -210,7 +231,7 @@ class KVPartitionReader(p: KVInputPartition, columns: Array[String],
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = { in.close(); KVReaderGauges.onClose() }
 }
 
 // ---------------------------------------------------------------- write side

@@ -106,6 +106,25 @@ class OpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dd27 banding is exact: banded+verified pairs equal the brute-force all-pairs scan") {
+    import org.apache.spark.sql.functions._
+    // pigeonhole claim, proven on the real corpus: hamming <= 3 implies at
+    // least one intact 16-bit band, so the banded join must find EXACTLY
+    // the pairs an all-pairs signature scan finds
+    val docs = graft.Tables(spark, sf, "documents")
+    val banded = Ops.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Ops.simhashSignatures(docs, "doc_id", "text")
+    val brute = sigs.alias("a").join(sigs.alias("b"), col("a._id") < col("b._id"))
+      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded != brute force: missed ${brute -- banded}, extra ${banded -- brute}")
+    assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
   test("simhashDupPairs: identical docs collide at hamming 0") {
     import spark.implicits._
     val t = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -26,6 +26,30 @@ class KVSourceSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("reader admission is slot-bounded: many splits never open more files than task slots") {
+    // The reference gates worker admission with a semaphore
+    // (worker_pool.rs:16,48-76); Spark's equivalent is scheduler slots —
+    // a split's reader opens only when a core frees up. 500+ splits must
+    // therefore never hold more than <cores> files open at once, and no
+    // handle may outlive its task.
+    val dir = Files.createTempDirectory("kvadm").toString
+    val lines = (0 until 4000).map(i => s"key$i value-$i padding to make the file span many chunks $i")
+    write(dir, lines)
+    graft.sources.kv.KVReaderGauges.reset()
+    val df = spark.read.format("graft-kv").option("chunkSize", 512).load(dir)
+    val nSplits = df.rdd.getNumPartitions
+    assert(nSplits > 100, s"expected hundreds of byte-range splits, got $nSplits")
+    assert(df.count() == 4000)
+    val slots = spark.sparkContext.defaultParallelism
+    val high = graft.sources.kv.KVReaderGauges.high
+    assert(high <= slots,
+      s"$high readers were open concurrently but only $slots task slots exist — " +
+        "reader lifetime must be bounded by task admission")
+    assert(high > 0, "gauge must have observed the scan")
+    assert(graft.sources.kv.KVReaderGauges.open.get() == 0,
+      "every reader must close with its task — leaked file handles")
+  }
+
   test("file smaller than one chunk, trailing line without newline, junk lines") {
     val dir = Files.createTempDirectory("kvsrc2").toString
     // no trailing newline after the last line; one space-less junk line
