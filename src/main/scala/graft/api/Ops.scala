@@ -366,17 +366,21 @@ object Ops {
       maxIter: Int): (DataFrame, Int) = {
     // Node domain from the RAW symmetrized list (self-loops included) so
     // isolated/self-loop-only ids still get a label, as before.
+    // Checkpointed FIRST: nodes, the working edge set, and every round
+    // all hang off it — without this single materialization the upstream
+    // pipeline (e.g. the Jaccard candidate+verify join feeding dd30)
+    // would execute once per consumer.
     val sym0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-    val nodes = sym0.select(col("u").as("id")).distinct().localCheckpoint()
+      .localCheckpoint()
+    val nodes = sym0.select(col("u").as("id")).distinct()
     // Working edge set: canonical larger-first orientation, no self-loops.
-    // Materialized once — without the checkpoint the whole upstream
-    // pipeline (e.g. MinHash candidate generation) would re-run per round.
     var e = sym0.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
+    var nE = e.count() // in-memory blocks — a cheap metadata read
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -397,12 +401,15 @@ object Ops {
         .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
         .distinct()
         .localCheckpoint()
-      // exact fixpoint: both canonical+distinct, so set equality is two
-      // empty anti-joins (limit(1) short-circuits the probe)
-      converged =
-        ss.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0 &&
-        e.join(ss, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      // exact fixpoint on canonical+distinct sets: |new| = |old| plus ONE
+      // empty anti-join imply equality, and the (free) checkpoint count
+      // gates the probe — rounds that are still contracting skip the
+      // anti-join entirely, so the common case pays no fixpoint shuffle.
+      val nSs = ss.count()
+      converged = nSs == nE &&
+        ss.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
       e = ss
+      nE = nSs
       iter += 1
     }
     if (!converged)
@@ -427,34 +434,46 @@ object Ops {
     * `(1-d) + d·Σ contributions` per node (divide by N for the
     * probability-normalized variant). Node ids are a single namespace —
     * callers joining two key domains (e.g. a bipartite graph) must make
-    * the ids disjoint first. Each iteration is one shuffle join plus one
-    * shuffle aggregate on the pre-weighted edge list (1/out-degree is
-    * folded into the edges once, up front, and checkpointed with them).
-    * Dangling-node mass is dropped (documented simplification).
+    * the ids disjoint first. Dangling-node mass is dropped (documented
+    * simplification).
+    *
+    * Iteration shape (same adaptive device as [[graft.operators.Graph
+    * .bfsDistances]], and for the same measured reason: a checkpointed
+    * DataFrame comes back as a LogicalRDD whose size estimate is
+    * join-inflated, so the static planner would sort-merge — and
+    * shuffle-WRITE — the pre-weighted EDGE LIST every round, with AQE's
+    * late broadcast flip unable to recover the map-side writes): while
+    * the exact node count — free, counted once on the checkpoint — is
+    * under `broadcastMaxRows`, the rank table is broadcast into the edge
+    * join and the contribution table into the rank rebuild, so a round
+    * costs exactly ONE shuffle (the per-destination contribution
+    * aggregate, map-side-combined) and the edge list never moves after
+    * its initial checkpoint. Past the bound (web-scale node sets) the
+    * hints drop off and rounds degrade to the standard partitioned SMJ
+    * path. 1/out-degree is folded into the edges once, up front.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      broadcastMaxRows: Long = 1000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint()
-    // nodes and the weighted edge list are loop INVARIANTS consumed by a
-    // keyed join every round — pre-partition them on their join keys
-    // before checkpointing (localCheckpoint preserves outputPartitioning),
-    // so each iteration exchanges only the round's small rank/contrib
-    // tables, never the edge list again.
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-      .repartition(col("id")).localCheckpoint()
+      .localCheckpoint()
+    val small = nodes.count() <= broadcastMaxRows
     // fold 1/out-degree into the edge list ONCE — a per-iteration
     // groupBy+join over degrees would redo this work every round
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .repartition(col("src")).localCheckpoint()
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
-      val contribs = weighted.join(ranks, col("src") === col("id"))
+      val r = if (small) broadcast(ranks) else ranks
+      val contribs0 = weighted.join(r, col("src") === col("id"))
         .select(col("dst"), (col("rank") * col("w")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      val contribs = if (small) broadcast(contribs0) else contribs0
       ranks = nodes.join(contribs, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit((1.0 - damping)) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
