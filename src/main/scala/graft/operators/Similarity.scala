@@ -492,11 +492,76 @@ object Similarity {
       |FROM lext FULL OUTER JOIN vect ON lext.doc_id = vect.doc_id
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- ss36
+  /** kNN label-prediction eval — the standard "is this embedding space
+    * any good" probe of an embedding pipeline (kNN-classification recall
+    * of labeled vectors, cf. the evaluation protocol in Jégou et al.,
+    * TPAMI 2011): each query in the fixed batch takes its exact top-10
+    * cosine neighbors (the ss30 codegen'd path — never the query's own
+    * row), the neighbors vote with their `label`, majority wins with a
+    * deterministic smallest-label tie-break, and the verdict is compared
+    * to the query's own label. Output is one row per query — the
+    * aggregate accuracy is a trivial AVG over it, but the per-query form
+    * is what an eval harness joins back to error-analyze.
+    *
+    * Scale shape: everything rides the bounded query batch (broadcast)
+    * against one corpus scan, then per-query vote aggs on <= k·batch
+    * rows. Fully deterministic → exact DuckDB oracle. */
+  private def ss36(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val valid = e.withColumn("_nrm", graft.functions.VectorOps.norm(col("embedding")))
+      .filter(col("_nrm") > 0).drop("_nrm")
+    val top = graft.api.Ops.cosineTopK(
+      corpus = e.select("vec_id", "embedding"),
+      queries = queryBatch(valid).select("vec_id", "embedding"),
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+    val labels = e.select(col("vec_id"), col("label"))
+    val votes = top.join(labels, "vec_id")
+      .groupBy(col("q_id"), col("label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+    pred.join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("q_id")
+  }
+
+  private val ss36Oracle =
+    """WITH n0 AS (
+      |  SELECT vec_id, embedding, label,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |n AS (SELECT * FROM n0 WHERE nrm > 0),
+      |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM n
+      |      WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 64),
+      |s AS (
+      |  SELECT q_id, vec_id,
+      |    list_sum(list_transform(range(1, len(q_emb) + 1),
+      |      i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) / (q_nrm * nrm) AS sim
+      |  FROM q JOIN n ON vec_id <> q_id),
+      |topk AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      |    FROM s) t WHERE rn <= 10),
+      |v AS (
+      |  SELECT t.q_id, e.label, COUNT(*) AS votes
+      |  FROM topk t JOIN embeddings e ON e.vec_id = t.vec_id GROUP BY 1, 2),
+      |p AS (
+      |  SELECT q_id, label AS pred_label, votes FROM (
+      |    SELECT q_id, label, votes,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn
+      |    FROM v) t WHERE rn = 1)
+      |SELECT p.q_id, e.label AS true_label, p.pred_label, CAST(p.votes AS BIGINT) AS votes,
+      |  CAST(p.pred_label = e.label AS INTEGER) AS correct
+      |FROM p JOIN embeddings e ON e.vec_id = p.q_id ORDER BY q_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
     GraftQuery("ss31_ann_lsh_topk", ss31, None),
     GraftQuery("ss32_ann_ivf_topk", ss32, None),
     GraftQuery("ss33_quantize_int8", ss33, Some(ss33Oracle)),
     GraftQuery("ss34_ann_pq_topk", ss34, None),
-    GraftQuery("ss35_rrf_fusion", ss35, Some(ss35Oracle)))
+    GraftQuery("ss35_rrf_fusion", ss35, Some(ss35Oracle)),
+    GraftQuery("ss36_knn_label_eval", ss36, Some(ss36Oracle)))
 }

@@ -127,6 +127,20 @@ class QueriesSpec extends SparkTestBase {
       "the batch limit must plan as a bounded top-k, not a global sort:\n" + plan.take(1000))
   }
 
+  test("ss36 kNN eval: one verdict per query, votes bounded by k, correct is 0/1") {
+    val rows = SparkEntry.queries("ss36_knn_label_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val qids = rows.map(_.getAs[Long]("q_id"))
+    assert(qids.distinct.length == qids.length, "exactly one majority verdict per query")
+    rows.foreach { r =>
+      val v = r.getAs[Long]("votes")
+      assert(v >= 1 && v <= 10, s"votes $v outside [1, k]")
+      val c = r.getAs[Int]("correct")
+      assert(c == 0 || c == 1)
+      assert((r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")) == (c == 1))
+    }
+  }
+
   test("dd31 char-pass normalization is byte-identical to the regex form on the corpus") {
     import org.apache.spark.sql.functions._
     // dd31's oracle keeps the regexp_replace form — this pins the UDF
