@@ -469,14 +469,7 @@ object Ops {
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (i <- 1 to iterations) {
-      val r = if (small) broadcast(ranks) else ranks
-      val contribs0 = weighted.join(r, col("src") === col("id"))
-        .select(col("dst"), (col("rank") * col("w")).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("contrib"))
-      val contribs = if (small) broadcast(contribs0) else contribs0
-      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping)) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      ranks = pageRankRound(weighted, nodes, ranks, damping, small)
       // Rank lineage is a CHAIN (each round's output is consumed exactly
       // once by the next), so no per-round materialization is needed for
       // correctness or recompute; checkpoint sparsely just to keep the
@@ -484,6 +477,21 @@ object Ops {
       if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** ONE PageRank iteration — exposed so the plan spec pins the round's
+    * physical shape (rank/contrib broadcasts, single contribution-agg
+    * exchange, no edge-list shuffle) against the REAL dataflow. */
+  private[graft] def pageRankRound(weighted: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, damping: Double, small: Boolean): DataFrame = {
+    val r = if (small) broadcast(ranks) else ranks
+    val contribs0 = weighted.join(r, col("src") === col("id"))
+      .select(col("dst"), (col("rank") * col("w")).as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("contrib"))
+    val contribs = if (small) broadcast(contribs0) else contribs0
+    nodes.join(contribs, col("id") === col("dst"), "left")
+      .select(col("id"),
+        (lit((1.0 - damping)) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
   }
 
   /** Exact cosine similarity self-join: ALL pairs with

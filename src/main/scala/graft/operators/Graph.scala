@@ -211,14 +211,8 @@ object Graph {
     var frontierRows = visitedRows
     var h = 1
     while (h <= maxHops && frontierRows > 0) {
-      val fr = if (frontierRows <= broadcastMaxRows) broadcast(frontier) else frontier
-      val vis = if (visitedRows <= broadcastMaxRows) broadcast(visited) else visited
-      // left_anti keeps only FIRST visits: the frontier shrinks to the
-      // newly-discovered ring, and `visited` stays one row per node.
-      val next = fr.join(e, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-        .join(vis, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
+      val next = bfsRound(frontier, visited, e, h,
+        frontierRows, visitedRows, broadcastMaxRows)
         .localCheckpoint()
       val n = next.count()
       // `visited` is only ever a UNION of already-checkpointed rings, so
@@ -231,6 +225,21 @@ object Graph {
       h += 1
     }
     visited
+  }
+
+  /** ONE BFS expansion round — exposed so the plan spec pins the round's
+    * physical shape (broadcast joins, single candidate-mass exchange, no
+    * edge-list shuffle) against the REAL dataflow, not a test copy.
+    * left_anti keeps only FIRST visits: the frontier shrinks to the
+    * newly-discovered ring, and `visited` stays one row per node. */
+  private[graft] def bfsRound(frontier: DataFrame, visited: DataFrame, e: DataFrame,
+      h: Int, frontierRows: Long, visitedRows: Long, broadcastMaxRows: Long): DataFrame = {
+    val fr = if (frontierRows <= broadcastMaxRows) broadcast(frontier) else frontier
+    val vis = if (visitedRows <= broadcastMaxRows) broadcast(visited) else visited
+    fr.join(e, col("node") === col("src"))
+      .select(col("dst").as("node")).distinct()
+      .join(vis, Seq("node"), "left_anti")
+      .withColumn("dist", lit(h))
   }
 
   // ---------------------------------------------------------------- gr81

@@ -52,7 +52,23 @@ object EventStream {
     * plus the two-sided time-range condition let Spark evict join state as
     * event time advances (without them the join buffers both streams
     * forever). */
-  def clickToView(clicks: DataFrame, views: DataFrame): DataFrame = {
+  def clickToView(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickToViewJoin(clicks, views, "inner")
+
+  /** LEFT OUTER variant: every click emits — matched pairs as they join,
+    * and clicks with NO view inside the attribution window emit once with
+    * null view columns, as soon as the watermark proves no qualifying
+    * view can still arrive (i.e. passes click time + 30 min + delay).
+    * This is the auditable form of attribution: unmatched clicks land in
+    * the output as first-class rows instead of silently vanishing, so
+    * downstream conversion metrics see the full denominator. Same state
+    * eviction as the inner form — the outer rows cost no extra state,
+    * only the deferred emit. */
+  def clickToViewOuter(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickToViewJoin(clicks, views, "leftOuter")
+
+  private def clickToViewJoin(clicks: DataFrame, views: DataFrame,
+      joinType: String): DataFrame = {
     val c = clicks.select(
       col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
       .withWatermark("c_ts", "30 minutes")
@@ -60,7 +76,7 @@ object EventStream {
       col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("view_id"))
       .withWatermark("v_ts", "30 minutes")
     c.join(v, expr(
-      "c_user = v_user AND v_ts >= c_ts AND v_ts <= c_ts + interval 30 minutes"))
+      "c_user = v_user AND v_ts >= c_ts AND v_ts <= c_ts + interval 30 minutes"), joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         col("c_ts"), col("v_ts"))
   }

@@ -115,6 +115,51 @@ class PlanSpec extends SparkTestBase {
         "not a full per-group sort:\n" + p.take(1500))
   }
 
+  test("BFS round: broadcast frontier/visited, one candidate exchange, edge list never shuffles") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // the r5 gr81 win: without broadcast hints the static planner SMJ'd
+    // every round and shuffle-WROTE the edge list each hop (LogicalRDD
+    // size estimates are join-inflated; AQE's late flip can't recover the
+    // map-side writes) — this pins the hinted shape so it can't regress
+    val raw = (1 to 5000).map(i => (i.toLong, (i % 997).toLong)).toDF("u", "v")
+    val e = raw.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(raw.select(col("v").as("src"), col("u").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val visited = (1 to 50).map(_.toLong).toDF("node")
+      .withColumn("dist", lit(0)).localCheckpoint()
+    val round = Graph.bfsRound(visited, visited, e, 1,
+      frontierRows = 50, visitedRows = 50, broadcastMaxRows = 1000000L)
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      "round must not sort-merge (edge list would shuffle every hop):\n" + p.take(1500))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      "frontier edge-join AND visited anti-join must both broadcast:\n" + p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one exchange per round (the ring dedup) is the contract:\n" + p.take(1500))
+  }
+
+  test("PageRank round: broadcast ranks/contribs, one contribution exchange, no edge shuffle") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val e = (1 to 5000).map(i => (i.toLong, (i % 997).toLong)).toDF("src", "dst")
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val outDeg = e.groupBy("src").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val weighted = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w")).localCheckpoint()
+    val ranks = nodes.withColumn("rank", lit(1.0))
+    val round = graft.api.Ops.pageRankRound(weighted, nodes, ranks, 0.85, small = true)
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      "round must not sort-merge (edge list would shuffle every iteration):\n" + p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "exactly one exchange per round (the contribution agg) is the contract:\n" + p.take(1500))
+  }
+
   test("coOccurrenceEdges cap: per-basket top-k plans as WindowGroupLimit before pairing") {
     import org.apache.spark.sql.functions.col
     val items = graft.Tables(spark, sf, "lineitem")

@@ -152,6 +152,36 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("clickToViewOuter: unmatched clicks emit with null view once the watermark closes them") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    def df(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("event_id", "ts", "user_id")
+    val q = EventStream.clickToViewOuter(df(clicks), df(views))
+      .writeStream.format("memory").queryName("ctv_outer").outputMode("append").start()
+    try {
+      clicks.addData((10L, ts("2024-01-01 00:00:00"), 7L))   // will match
+      clicks.addData((11L, ts("2024-01-01 00:05:00"), 8L))   // never matches — no view for user 8
+      views.addData((20L, ts("2024-01-01 00:10:00"), 7L))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past click 11's close-out point
+      clicks.addData((12L, ts("2024-01-01 09:00:00"), 9L))
+      views.addData((21L, ts("2024-01-01 09:00:00"), 9L))
+      q.processAllAvailable()
+      clicks.addData((13L, ts("2024-01-01 12:00:00"), 9L))
+      views.addData((22L, ts("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("ctv_outer").collect()
+        .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("view_id")).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(rows.contains((10L, Some(20L))), s"matched pair missing: $rows")
+      assert(rows.contains((11L, None)),
+        s"unmatched click must emit with null view after watermark close-out: $rows")
+    } finally q.stop()
+  }
+
   test("file source -> parquet sink with checkpoint: restart resumes exactly-once") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("ckpt").toString
