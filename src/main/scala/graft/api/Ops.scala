@@ -293,15 +293,30 @@ object Ops {
       simhashUdf(filter(split(col(textCol), " "), t => t =!= "")).as("sh"))
   }
 
-  /** SimHash near-duplicate pairs: 64-bit signatures, 16-bit band
-    * candidates, Hamming-verified with native bit_count. Exact by
-    * pigeonhole: a pair within Hamming distance 3 differs in <= 3 of the
-    * 4 bands, so at least one band is intact and the pair IS a candidate
-    * — banding loses nothing, it only prunes the pair space. */
+  /** SimHash near-duplicate pairs: 64-bit signatures, banded candidates,
+    * Hamming-verified with native bit_count. Exact by pigeonhole: the
+    * signature is cut into `maxHamming + 1` bands, so a pair within the
+    * Hamming budget differs in at most `maxHamming` bands, leaving at
+    * least one band intact — the pair IS a candidate, and banding loses
+    * nothing, it only prunes the pair space. Deriving the band count from
+    * the budget (instead of a fixed 4) keeps that guarantee for EVERY
+    * legal `maxHamming`, not just <= 3; the default 3 yields the
+    * classic 4x16-bit layout. Wider budgets mean narrower bands and more
+    * candidates — the recall/cost dial, paid at candidate time and
+    * corrected by the exact verify. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63] (64-bit signatures), got $maxHamming")
     val docs = simhashSignatures(df, idCol, textCol)
-    val bandStructs = (0 until 4).map(bi =>
-      struct(lit(bi).as("band"), shiftrightunsigned(col("sh"), bi * 16).bitwiseAND(lit(0xffffL)).as("bkey")))
+    val nBands = maxHamming + 1
+    // band widths: 64/nBands each, first (64 mod nBands) bands one bit wider
+    val widths = Array.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until nBands).map { bi =>
+      val mask = if (widths(bi) == 64) -1L else (1L << widths(bi)) - 1L
+      struct(lit(bi).as("band"),
+        shiftrightunsigned(col("sh"), offsets(bi)).bitwiseAND(lit(mask)).as("bkey"))
+    }
     val banded = docs.select(col("_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("_id"), col("sh"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = banded.alias("a")

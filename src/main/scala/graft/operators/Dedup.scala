@@ -41,16 +41,20 @@ object Dedup {
     *
     * Oracled against the brute-force all-pairs Jaccard: verification is
     * exact, so precision is 1 by construction, and recall is a banding
-    * property — P(catch) = 1-(1-J^4)^16, which is ~1-3e-8 at the J >= 0.9
-    * the corpus's near-dup pairs actually sit at (every one of the 25
-    * sf0.01 pairs). A borderline J = 0.5 pair would be caught with p =
-    * 0.64 only — if the data distribution ever drifts toward the
-    * threshold, widen bands or drop the oracle back to the probe specs.
+    * property. The oracle gate is what forces the band choice here:
+    * rowsPerBand = 2 (32 bands of 2) puts P(catch) = 1-(1-J^2)^32 at
+    * 0.99990 even for a pair sitting EXACTLY at the J = 0.5 threshold
+    * (and ~1-1e-28 at the J >= 0.9 every sf0.01 pair actually has),
+    * where the default 16x4 banding would catch a borderline pair with
+    * p = 0.64 — too flappy to hard-gate. Narrower bands cost more
+    * candidate pairs, which the exact verify absorbs; the OUTPUT is
+    * banding-independent whenever recall holds, so the oracle compares
+    * apples to apples.
     */
   private def dd26(spark: SparkSession, dir: String): DataFrame =
     graft.api.Ops.minhashDupPairs(
         Tables(spark, dir, "documents"), idCol = "doc_id", textCol = "text",
-        k = 64, rowsPerBand = 4, threshold = 0.5)
+        k = 64, rowsPerBand = 2, threshold = 0.5)
       .orderBy("a_id", "b_id")
 
   /** Exact all-pairs shingle Jaccard (same distinct word-3-gram sets as the

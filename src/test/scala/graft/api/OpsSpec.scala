@@ -108,21 +108,30 @@ class OpsSpec extends SparkTestBase {
 
   test("dd27 banding is exact: banded+verified pairs equal the brute-force all-pairs scan") {
     import org.apache.spark.sql.functions._
-    // pigeonhole claim, proven on the real corpus: hamming <= 3 implies at
-    // least one intact 16-bit band, so the banded join must find EXACTLY
-    // the pairs an all-pairs signature scan finds
+    // pigeonhole claim, proven on the real corpus AND across budgets:
+    // hamming <= h implies at least one of the h+1 bands is intact, so
+    // the banded join must find EXACTLY what an all-pairs scan finds —
+    // for the default budget 3 (4x16 layout), a tight budget, and the
+    // degenerate budget 0 (one 64-bit band = exact signature equality)
     val docs = graft.Tables(spark, sf, "documents")
-    val banded = Ops.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val sigs = Ops.simhashSignatures(docs, "doc_id", "text")
-    val brute = sigs.alias("a").join(sigs.alias("b"), col("a._id") < col("b._id"))
-      .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .filter(col("hamming") <= 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(banded == brute,
-      s"banded != brute force: missed ${brute -- banded}, extra ${banded -- brute}")
-    assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
+    val sigs = Ops.simhashSignatures(docs, "doc_id", "text").localCheckpoint()
+    var anyPair = false
+    for (h <- Seq(0, 1, 3)) {
+      val banded = Ops.simhashDupPairs(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = sigs.alias("a").join(sigs.alias("b"), col("a._id") < col("b._id"))
+        .select(col("a._id").as("a_id"), col("b._id").as("b_id"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        .filter(col("hamming") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute,
+        s"maxHamming=$h: banded != brute force: missed ${brute -- banded}, extra ${banded -- brute}")
+      anyPair ||= brute.nonEmpty
+    }
+    assert(anyPair, "corpus should contain at least one near-dup pair")
+    intercept[IllegalArgumentException] {
+      Ops.simhashDupPairs(docs, "doc_id", "text", maxHamming = 64)
+    }
   }
 
   test("simhashDupPairs: identical docs collide at hamming 0") {
