@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
@@ -127,8 +128,7 @@ object Graph {
     val o = maxItemsPerBasket match {
       case Some(k) =>
         require(k >= 2, s"maxItemsPerBasket must be >= 2 to emit any pair, got $k")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("_bk").orderBy(xxhash64(col("_it")), col("_it"))
+        val w = Window.partitionBy("_bk").orderBy(xxhash64(col("_it")), col("_it"))
         o0.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= k).drop("_rn")
       case None => o0

@@ -35,13 +35,19 @@ object Similarity {
   private[operators] def queryBatch(validVecs: DataFrame): DataFrame =
     validVecs.filter(col("vec_id") % 100 === 0).orderBy("vec_id").limit(QueryBatchMax)
 
+  /** `embedding`-bearing rows with a usable (non-zero) norm — the
+    * [[queryBatch]] prelude for callers whose relation isn't already
+    * norm-filtered (ss30/ss36; ss31/ss32/ss34 filter as part of their
+    * signature/assignment stages). */
+  private def normFiltered(e: DataFrame): DataFrame =
+    e.withColumn("_nrm", VectorOps.norm(col("embedding")))
+      .filter(col("_nrm") > 0).drop("_nrm")
+
   // ---------------------------------------------------------------- ss30
   private def ss30(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
-    val valid = e.withColumn("_nrm", graft.functions.VectorOps.norm(col("embedding")))
-      .filter(col("_nrm") > 0).drop("_nrm")
     graft.api.Ops.cosineTopK(
-        corpus = e, queries = queryBatch(valid),
+        corpus = e, queries = queryBatch(normFiltered(e)),
         idCol = "vec_id", vecCol = "embedding", k = 10)
       .orderBy("q_id", "rn")
   }
@@ -509,11 +515,9 @@ object Similarity {
     * rows. Fully deterministic → exact DuckDB oracle. */
   private def ss36(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val valid = e.withColumn("_nrm", graft.functions.VectorOps.norm(col("embedding")))
-      .filter(col("_nrm") > 0).drop("_nrm")
     val top = graft.api.Ops.cosineTopK(
       corpus = e.select("vec_id", "embedding"),
-      queries = queryBatch(valid).select("vec_id", "embedding"),
+      queries = queryBatch(normFiltered(e)).select("vec_id", "embedding"),
       idCol = "vec_id", vecCol = "embedding", k = 10)
     val labels = e.select(col("vec_id"), col("label"))
     val votes = top.join(labels, "vec_id")
