@@ -650,6 +650,79 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px101
+  /** Targeted deletion from the training lake — the right-to-be-forgotten
+    * / takedown operation every production corpus eventually needs, shaped
+    * for 100 TB: REWRITE ONLY THE PARTITIONS THAT CONTAIN A TOMBSTONED
+    * DOC. Mechanics:
+    *
+    *   1. affected partitions: a broadcast semi-join of the lake against
+    *      the (small) tombstone set, projected to the partition key —
+    *      directory pruning makes the later rewrite read only these;
+    *   2. survivors of the affected partitions (anti-join on the doc id)
+    *      are materialized BEFORE any file is touched (`localCheckpoint` —
+    *      overwriting a path that feeds the running plan would clobber
+    *      its own input, the q80/foreachBatch lesson);
+    *   3. dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
+    *      replaces exactly the directories present in the written frame —
+    *      untouched shards keep their files byte-identical (the spec pins
+    *      this via file paths+sizes), so a 4-doc takedown on a
+    *      million-shard lake rewrites 4 shards, not the lake.
+    *
+    * Returns the post-delete lake read-back. Partition granularity is the
+    * amplification dial: deletes rewrite whole shards, so shard sizing
+    * trades write parallelism against delete amplification. */
+  def deleteFromLake(spark: SparkSession, lakeDir: String, tombstones: DataFrame,
+      tombIdCol: String, lakeIdCol: String = "doc_id",
+      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+    val lake = spark.read.parquet(lakeDir)
+    val t = broadcast(tombstones.select(col(tombIdCol).as("_del")).distinct())
+    val affected = lake.join(t, col(lakeIdCol) === col("_del"), "left_semi")
+      .select(partitionCols.map(col): _*).distinct()
+    if (affected.limit(1).count() > 0) {
+      val survivors = lake
+        .join(broadcast(affected), partitionCols, "left_semi")
+        .join(t, col(lakeIdCol) === col("_del"), "left_anti")
+        .localCheckpoint(true) // fully materialized before the overwrite below
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(lakeDir)
+      finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    spark.read.parquet(lakeDir)
+  }
+
+  /** Build the px100 lake layout in its own scratch dir, tombstone the
+    * `doc_id % 131 == 0` docs, surgically delete, and emit the post-delete
+    * manifest from the read-back — the oracle recomputes it relationally
+    * as "px100's manifest minus the tombstoned docs". */
+  private def px101(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px101_lake")
+    hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    val tomb = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 131 === 0).select("doc_id")
+    deleteFromLake(spark, out, tomb, "doc_id")
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px101Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 131 <> 0
+      |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -661,5 +734,6 @@ object Pipeline {
     GraftQuery("px97_token_apportion", px97, Some(px97Oracle)),
     GraftQuery("px98_data_split", px98, Some(px98Oracle)),
     GraftQuery("px99_temperature_mix", px99, Some(px99Oracle)),
-    GraftQuery("px100_shard_manifest", px100, Some(px100Oracle)))
+    GraftQuery("px100_shard_manifest", px100, Some(px100Oracle)),
+    GraftQuery("px101_lake_delete", px101, Some(px101Oracle)))
 }

@@ -107,6 +107,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1).getAs[String]("word") == "common" && got(1).getAs[Double]("score") == 2.0)
   }
 
+  test("deleteFromLake is surgical: tombstoned docs vanish, unaffected shard files stay byte-identical") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("px101").toString + "/lake"
+    val docs = graft.Tables(spark, sf, "documents")
+    Pipeline.hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState()
+    val tomb = docs.filter(col("doc_id") % 131 === 0).select("doc_id")
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty, "fixture must tombstone at least one doc")
+    // partitions the tombstones live in (the ONLY ones allowed to change)
+    val affected = spark.read.parquet(out)
+      .filter(col("doc_id").isin(tombIds.toSeq: _*))
+      .select("split", "shard_id").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+    val after = Pipeline.deleteFromLake(spark, out, tomb, "doc_id")
+    val ids = after.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ids intersect tombIds).isEmpty, "tombstoned docs survived the delete")
+    assert(ids.size == docs.count() - tombIds.size, "non-tombstoned docs must all survive")
+
+    val untouched = fileState().filter { case (path, st) =>
+      before.get(path).contains(st) // same size AND mtime
+    }
+    // every file of every unaffected partition must be byte-identical
+    val unaffectedBefore = before.keys.filterNot(p =>
+      affected.exists { case (s, sh) => p.contains(s"split=$s/shard_id=$sh/") })
+    unaffectedBefore.foreach { p =>
+      assert(untouched.contains(p),
+        s"unaffected shard file was rewritten (delete not surgical): $p")
+    }
+    assert(affected.nonEmpty, "fixture should touch at least one partition")
+  }
+
   test("px90: packed output excludes the benchmark slice and has contiguous offsets") {
     val rows = graft.SparkEntry.queries("px90_training_pipeline")(spark, sf)
       .orderBy("doc_id").collect()
