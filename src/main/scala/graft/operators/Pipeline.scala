@@ -723,6 +723,68 @@ object Pipeline {
       |FROM documents WHERE doc_id % 131 <> 0
       |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px102
+  /** Shard compaction — the maintenance pass that undoes what incremental
+    * writes and surgical deletes (px101) do to a lake: partitions
+    * accumulate many small files, and small files tax every subsequent
+    * scan (footer reads, task scheduling, row-group fragmentation).
+    * Same surgical discipline as the delete:
+    *
+    *   1. per-partition file counts come from the `_metadata.file_path`
+    *      column (no filesystem walk — the scan itself reports provenance,
+    *      the q92 device);
+    *   2. ONLY partitions over `maxFilesPerPartition` are read back,
+    *      materialized (self-overwrite guard), hash-repartitioned on the
+    *      partition key — one task per partition ⇒ one output file per
+    *      directory — and dynamically overwritten;
+    *   3. already-compact partitions keep their files byte-identical.
+    *
+    * Compaction is data-preserving by construction, and the px102 oracle
+    * leans on exactly that: the post-compaction manifest must equal the
+    * relational manifest of the un-compacted data. The file-count
+    * property itself is pinned by the spec. */
+  def compactLake(spark: SparkSession, lakeDir: String,
+      maxFilesPerPartition: Int = 1,
+      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+    require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
+    val lake = spark.read.parquet(lakeDir)
+    val affected = lake
+      .select(partitionCols.map(col) :+ col("_metadata.file_path").as("_f"): _*)
+      .groupBy(partitionCols.map(col): _*)
+      .agg(countDistinct(col("_f")).as("_nf"))
+      .filter(col("_nf") > maxFilesPerPartition)
+      .select(partitionCols.map(col): _*)
+    if (affected.limit(1).count() > 0) {
+      val packed = lake
+        .join(broadcast(affected), partitionCols, "left_semi")
+        .repartition(partitionCols.map(col): _*) // one task, one file per dir
+        .localCheckpoint(true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try packed.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(lakeDir)
+      finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    }
+    spark.read.parquet(lakeDir)
+  }
+
+  /** Fragment a fresh lake on purpose (8-way pre-write repartition ⇒ up
+    * to 8 files per shard dir), compact it, and emit the manifest from
+    * the read-back — which must equal the manifest of the original data. */
+  private def px102(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px102_lake")
+    hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    compactLake(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -735,5 +797,6 @@ object Pipeline {
     GraftQuery("px98_data_split", px98, Some(px98Oracle)),
     GraftQuery("px99_temperature_mix", px99, Some(px99Oracle)),
     GraftQuery("px100_shard_manifest", px100, Some(px100Oracle)),
-    GraftQuery("px101_lake_delete", px101, Some(px101Oracle)))
+    GraftQuery("px101_lake_delete", px101, Some(px101Oracle)),
+    GraftQuery("px102_lake_compact", px102, Some(px100Oracle)))
 }

@@ -149,6 +149,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(affected.nonEmpty, "fixture should touch at least one partition")
   }
 
+  test("compactLake: fragmented shards collapse to one file; a second pass is a byte-identical no-op") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("px102").toString + "/lake"
+    val docs = graft.Tables(spark, sf, "documents")
+    Pipeline.hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+
+    def filesByDir(): Map[String, Seq[(String, Long, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getParent, f.getPath, f.length(), f.lastModified()))
+        .groupMap(_._1)(t => (t._2, t._3, t._4))
+    }
+    assert(filesByDir().values.exists(_.size > 1), "fixture must fragment at least one shard")
+    val n0 = docs.count()
+
+    val compacted = Pipeline.compactLake(spark, out)
+    assert(compacted.count() == n0, "compaction must preserve every row")
+    val once = filesByDir()
+    once.foreach { case (d, fs) =>
+      assert(fs.size == 1, s"partition $d still has ${fs.size} files after compaction")
+    }
+
+    // all partitions are now compact: the second pass must touch nothing
+    Pipeline.compactLake(spark, out)
+    assert(filesByDir() == once, "re-compacting a compact lake must be a no-op")
+  }
+
   test("px90: packed output excludes the benchmark slice and has contiguous offsets") {
     val rows = graft.SparkEntry.queries("px90_training_pipeline")(spark, sf)
       .orderBy("doc_id").collect()
