@@ -785,6 +785,54 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px103
+  /** Idempotent incremental ingest — the nightly append every production
+    * corpus runs, completing the lake lifecycle (px100 write → px103
+    * append → px101 delete → px102 compact). A new batch lands as:
+    *
+    *   1. anti-join the batch against the lake's id column — docs already
+    *      present are skipped, so replaying yesterday's batch (the
+    *      standard at-least-once ingest failure mode) adds nothing;
+    *      at warehouse scale the lake side of this anti-join is an
+    *      id-column-only scan (column pruning), and a broadcast bloom of
+    *      batch ids (the q79 device) can pre-filter it when even that
+    *      scan needs cutting;
+    *   2. fresh docs are materialized (self-overwrite guard), assigned
+    *      their split/shard exactly as the original write was, and
+    *      APPENDED — existing files are never opened, let alone
+    *      rewritten (the spec pins byte-identical pre-existing files),
+    *      so ingest cost tracks the batch, not the lake.
+    *
+    * Fragmentation added by many appends is px102's job to undo. */
+  def appendToLake(spark: SparkSession, lakeDir: String, batch: DataFrame,
+      idCol: String = "doc_id",
+      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+    val lakeIds = spark.read.parquet(lakeDir).select(idCol)
+    val fresh = batch.join(lakeIds, Seq(idCol), "left_anti").localCheckpoint(true)
+    if (fresh.limit(1).count() > 0)
+      fresh.write.mode("append").partitionBy(partitionCols: _*).parquet(lakeDir)
+    spark.read.parquet(lakeDir)
+  }
+
+  /** Seed the lake with two-thirds of the corpus, append the FULL corpus
+    * as the incoming batch (so two-thirds are replayed duplicates and
+    * one-third is genuinely new), and emit the post-append manifest —
+    * which must equal the full corpus manifest (px100's oracle): dups
+    * skipped, news landed, nothing double-ingested. */
+  private def px103(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px103_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    sharded.filter(col("doc_id") % 3 =!= 0)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    appendToLake(spark, out, sharded)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -798,5 +846,6 @@ object Pipeline {
     GraftQuery("px99_temperature_mix", px99, Some(px99Oracle)),
     GraftQuery("px100_shard_manifest", px100, Some(px100Oracle)),
     GraftQuery("px101_lake_delete", px101, Some(px101Oracle)),
-    GraftQuery("px102_lake_compact", px102, Some(px100Oracle)))
+    GraftQuery("px102_lake_compact", px102, Some(px100Oracle)),
+    GraftQuery("px103_lake_append", px103, Some(px100Oracle)))
 }

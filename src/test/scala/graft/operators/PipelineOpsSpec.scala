@@ -180,6 +180,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(filesByDir() == once, "re-compacting a compact lake must be a no-op")
   }
 
+  test("appendToLake: replayed docs are skipped, pre-existing files stay byte-identical, replay is idempotent") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("px103").toString + "/lake"
+    val docs = graft.Tables(spark, sf, "documents")
+    val sharded = Pipeline.hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    sharded.filter(col("doc_id") % 3 =!= 0)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState()
+
+    val appended = Pipeline.appendToLake(spark, out, sharded)
+    val ids = appended.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.length == ids.distinct.length, "replayed overlap must not double-ingest")
+    assert(ids.length == docs.count(), "new docs must all land")
+    val after = fileState()
+    before.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"append rewrote a pre-existing file: $p")
+    }
+
+    // replaying the SAME batch again adds nothing and touches nothing
+    Pipeline.appendToLake(spark, out, sharded)
+    assert(fileState() == after, "idempotent replay must be a byte-identical no-op")
+  }
+
   test("px90: packed output excludes the benchmark slice and has contiguous offsets") {
     val rows = graft.SparkEntry.queries("px90_training_pipeline")(spark, sf)
       .orderBy("doc_id").collect()
