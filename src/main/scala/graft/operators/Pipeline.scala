@@ -833,6 +833,56 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px104
+  /** Table profiling — the ANALYZE / data-quality pass a pipeline runs on
+    * every new corpus drop before trusting it: per-column row count, null
+    * count, exact distinct count, and min/max. ONE scan computes every
+    * column's aggregates side by side (Spark rewrites the multi-distinct
+    * agg via expand — n_cols× the rows through one exchange, not n_cols
+    * scans), then the wide row unpivots to the one-row-per-column report
+    * a monitor diffs against yesterday. min/max are emitted as strings so
+    * the report schema is column-type-independent; exact (not approx)
+    * distinct keeps the report deterministic and oracle-checkable —
+    * profile cost is a deliberate batch job, not a serving path. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"), countDistinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"), max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        (col("n_rows") - col(s"_nn_$c")).as("n_null"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_s"), col(s"_mx_$c").as("max_s"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  private def px104(spark: SparkSession, dir: String): DataFrame =
+    profileTable(Tables(spark, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("column")
+
+  private val px104Oracle =
+    """WITH p AS (
+      |  SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+      |    COUNT(*) - COUNT(doc_id) AS n_null, COUNT(DISTINCT doc_id) AS n_distinct,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_s, CAST(MAX(doc_id) AS VARCHAR) AS max_s
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+      |    MIN(lang), MAX(lang) FROM documents
+      |  UNION ALL
+      |  SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+      |    MIN(source), MAX(source) FROM documents
+      |  UNION ALL
+      |  SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+      |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents)
+      |SELECT "column", CAST(n_rows AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+      |FROM p ORDER BY "column"""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -847,5 +897,6 @@ object Pipeline {
     GraftQuery("px100_shard_manifest", px100, Some(px100Oracle)),
     GraftQuery("px101_lake_delete", px101, Some(px101Oracle)),
     GraftQuery("px102_lake_compact", px102, Some(px100Oracle)),
-    GraftQuery("px103_lake_append", px103, Some(px100Oracle)))
+    GraftQuery("px103_lake_append", px103, Some(px100Oracle)),
+    GraftQuery("px104_table_profile", px104, Some(px104Oracle)))
 }
