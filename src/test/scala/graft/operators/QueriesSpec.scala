@@ -127,6 +127,22 @@ class QueriesSpec extends SparkTestBase {
       "the batch limit must plan as a bounded top-k, not a global sort:\n" + plan.take(1000))
   }
 
+  test("q17 approx distinct stays within HLL++ error bounds of the exact q16 counts") {
+    val exact = SparkEntry.queries("q16_distinct_agg")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("nd_parts")).toMap
+    val approx = SparkEntry.queries("q17_approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_nd_parts")).toMap
+    assert(approx.keySet == exact.keySet, "same groups on both sides")
+    // rsd = 0.01 requested; allow 5 sigma + small-count slack — a sketch
+    // regression (wrong rsd wiring, wrong column) lands far outside this
+    exact.foreach { case (g, nd) =>
+      val a = approx(g)
+      val tol = math.max(5, nd * 0.05)
+      assert(math.abs(a - nd) <= tol,
+        s"group $g: approx $a vs exact $nd exceeds tolerance $tol")
+    }
+  }
+
   test("ss36 kNN eval: one verdict per query, votes bounded by k, correct is 0/1") {
     val rows = SparkEntry.queries("ss36_knn_label_eval")(spark, sf).collect()
     assert(rows.nonEmpty)
