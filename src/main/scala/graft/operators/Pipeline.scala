@@ -883,6 +883,88 @@ object Pipeline {
       |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
       |FROM p ORDER BY "column"""".stripMargin
 
+  // ---------------------------------------------------------------- px105
+  /** Multi-signal quality blending — the classifier-ensemble cut of
+    * modern curation pipelines (DCLM/FineWeb-style: several weak quality
+    * signals, each percentile-normalized so their scales don't fight,
+    * averaged into one blended score, top fraction kept). Signals here
+    * are the library's own oracled scorers: tx33's type-token-ratio
+    * quality (higher = better) and tx45's self-trained unigram NLL
+    * (lower = more fluent).
+    *
+    * Percentile normalization uses [[graft.api.Ops.withGlobalRowNumber]]
+    * — the range-partitioned distributed rank — NOT a global window, so
+    * no single task ever sees the corpus (the px94 discipline). Ranks are
+    * made total by a doc_id tie-break, so every percentile, the blend,
+    * and the kept set are pure functions of the corpus and bitwise
+    * reproducible in the oracle (integer-exact rank / (n-1) division on
+    * both engines). Docs with no signal (empty text) are excluded before
+    * ranking rather than polluting the percentile denominator. */
+  def qualityBlend(docs: DataFrame, idCol: String, textCol: String,
+      keepFrac: Double = 0.5): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1], got $keepFrac")
+    val t = TextOps.toks(textCol)
+    val nWords = size(t)
+    // null (not divide-by-zero) for empty docs — the tx33 guard
+    val quality = when(nWords > 0,
+      (size(array_distinct(t)) / nWords) * least(nWords, lit(100)) / lit(100.0))
+    val q = docs.select(col(idCol).as("doc_id"), quality.as("quality"))
+      .filter(col("quality").isNotNull)
+    val f = TextOps.unigramNllScore(docs, idCol, textCol).select(col("doc_id"), col("avg_nll"))
+    val j = q.join(f, "doc_id").select("doc_id", "quality", "avg_nll")
+    val nRows = j.count()
+    require(nRows > 1, s"qualityBlend needs >= 2 scored docs, got $nRows")
+    val rq = graft.api.Ops.withGlobalRowNumber(j, Seq(col("quality"), col("doc_id")), "rq")
+      .select(col("doc_id"), col("rq"))
+    val rf = graft.api.Ops.withGlobalRowNumber(j, Seq(col("avg_nll").desc, col("doc_id")), "rf")
+      .select(col("doc_id"), col("rf"))
+    val denom = lit((nRows - 1).toDouble)
+    j.join(rq, "doc_id").join(rf, "doc_id")
+      .select(col("doc_id"),
+        (col("rq").cast("double") / denom).as("pr_quality"),
+        (col("rf").cast("double") / denom).as("pr_fluency"))
+      .withColumn("blend", (col("pr_quality") + col("pr_fluency")) / 2)
+      .filter(col("blend") >= lit(1.0 - keepFrac))
+  }
+
+  private def px105(spark: SparkSession, dir: String): DataFrame =
+    qualityBlend(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val px105Oracle =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    len(list_distinct(tk)) / len(tk) * least(len(tk), 100) / CAST(100 AS DOUBLE) AS quality
+      |  FROM tk WHERE len(tk) > 0),
+      |w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |cnt AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS t, COUNT(DISTINCT word) AS v FROM w),
+      |lp AS (
+      |  SELECT word,
+      |    CAST(ROUND(-ln(CAST(cnt + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 9)
+      |      AS DECIMAL(30,9)) AS nll
+      |  FROM cnt CROSS JOIN tot),
+      |f AS (
+      |  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+      |  FROM w JOIN lp USING (word) GROUP BY doc_id),
+      |j AS (SELECT q.doc_id, quality, avg_nll FROM q JOIN f USING (doc_id)),
+      |n AS (SELECT CAST(COUNT(*) - 1 AS DOUBLE) AS d FROM j),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY quality, doc_id) - 1 AS DOUBLE) AS rq,
+      |    CAST(row_number() OVER (ORDER BY avg_nll DESC, doc_id) - 1 AS DOUBLE) AS rf
+      |  FROM j)
+      |SELECT doc_id, rq / d AS pr_quality, rf / d AS pr_fluency,
+      |  (rq / d + rf / d) / 2 AS blend
+      |FROM r CROSS JOIN n
+      |WHERE (rq / d + rf / d) / 2 >= 0.5
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("px90_training_pipeline", px90, Some(px90Oracle)),
     GraftQuery("px91_domain_mix", px91, Some(px91Oracle)),
@@ -898,5 +980,6 @@ object Pipeline {
     GraftQuery("px101_lake_delete", px101, Some(px101Oracle)),
     GraftQuery("px102_lake_compact", px102, Some(px100Oracle)),
     GraftQuery("px103_lake_append", px103, Some(px100Oracle)),
-    GraftQuery("px104_table_profile", px104, Some(px104Oracle)))
+    GraftQuery("px104_table_profile", px104, Some(px104Oracle)),
+    GraftQuery("px105_quality_blend", px105, Some(px105Oracle)))
 }
