@@ -911,7 +911,10 @@ object Pipeline {
     val q = docs.select(col(idCol).as("doc_id"), quality.as("quality"))
       .filter(col("quality").isNotNull)
     val f = TextOps.unigramNllScore(docs, idCol, textCol).select(col("doc_id"), col("avg_nll"))
-    val j = q.join(f, "doc_id").select("doc_id", "quality", "avg_nll")
+    // the scored-signal table feeds FOUR consumers (the denominator count,
+    // both rank passes, and the final join) — materialize it once or the
+    // NLL pipeline re-runs per consumer
+    val j = q.join(f, "doc_id").select("doc_id", "quality", "avg_nll").localCheckpoint(true)
     val nRows = j.count()
     require(nRows > 1, s"qualityBlend needs >= 2 scored docs, got $nRows")
     val rq = graft.api.Ops.withGlobalRowNumber(j, Seq(col("quality"), col("doc_id")), "rq")
