@@ -160,6 +160,31 @@ class PlanSpec extends SparkTestBase {
       "exactly one exchange per round (the contribution agg) is the contract:\n" + p.take(1500))
   }
 
+  test("lake delete rewrite: dynamic partition pruning keeps the read affected-partitions-only") {
+    import org.apache.spark.sql.functions._
+    // the px101 scale property: a takedown on a million-shard lake must
+    // READ only the shards it rewrites — the semi join on the partition
+    // key has to reach the scan as a dynamicpruning partition filter, or
+    // the rewrite silently scans the whole lake
+    val out = java.nio.file.Files.createTempDirectory("prune").toString + "/lake"
+    val docs = graft.Tables(spark, sf, "documents")
+    Pipeline.hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    val lake = spark.read.parquet(out)
+    val t = broadcast(docs.filter(col("doc_id") % 131 === 0).select(col("doc_id").as("_del")))
+    val affected = lake.join(t, col("doc_id") === col("_del"), "left_semi")
+      .select("split", "shard_id").distinct()
+    val survivors = lake
+      .join(broadcast(affected), Seq("split", "shard_id"), "left_semi")
+      .join(t, col("doc_id") === col("_del"), "left_anti")
+    survivors.collect()
+    val p = survivors.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning"),
+      "the affected-partition semi join must prune the lake scan at the " +
+        "directory level, not filter rows after a full read:\n" + p.take(1500))
+  }
+
   test("coOccurrenceEdges cap: per-basket top-k plans as WindowGroupLimit before pairing") {
     import org.apache.spark.sql.functions.col
     val items = graft.Tables(spark, sf, "lineitem")
