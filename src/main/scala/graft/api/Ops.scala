@@ -279,7 +279,7 @@ object Ops {
       .withColumn("_prn", row_number().over(win).cast("long"))
       .join(broadcast(bases), "_pid")
       .withColumn(outCol, col("_base") + col("_prn") - 1)
-      .drop("_pid", "_prn")
+      .drop("_pid", "_prn", "_base")
   }
 
   /** The signature stage of [[simhashDupPairs]] — exposed so the
@@ -371,14 +371,50 @@ object Ops {
     * labels are silently WRONG (non-minimal components → multiple
     * "canonical" docs per true cluster).
     */
-  def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10): DataFrame =
-    ccLargeSmallStar(edges, aCol, bCol, maxIter)._1
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10,
+      broadcastMaxRows: Long = 1000000L): DataFrame =
+    ccLargeSmallStar(edges, aCol, bCol, maxIter, broadcastMaxRows)._1
+
+  /** ONE large-star + small-star contraction round — exposed so the plan
+    * spec pins the round's physical shape. The same broadcast-adaptive
+    * device as [[pageRankRound]] / `Graph.bfsDistances`, for the same
+    * measured reason (checkpointed LogicalRDDs carry join-inflated size
+    * estimates, so the static planner would sort-merge — and
+    * shuffle-WRITE — the full edge set twice per round): while the edge
+    * set is small, the per-node min tables (node-count-bounded, far
+    * smaller than the edges) are broadcast into both star joins, so a
+    * round's only exchanges are the two min AGGREGATES (map-side
+    * combined) and the output canonicalization — the edge set itself
+    * never shuffles. In that regime the large-star intermediate also
+    * skips its dedup (its duplicates cannot change a min or the final
+    * distinct). Past the bound, rounds degrade to the standard
+    * partitioned path with the size-reducing dedup restored. */
+  private[graft] def ccRound(e: DataFrame, small: Boolean): DataFrame = {
+    // ---- large-star: larger neighbors re-attach to the local min
+    val both = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val lsMin0 = both.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val lsMin = if (small) broadcast(lsMin0) else lsMin0
+    // v > u >= m, so (v, m) is already larger-first and never a loop
+    val ls0 = both.filter(col("v") > col("u")).join(lsMin, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+    val ls = if (small) ls0 else ls0.distinct()
+    // ---- small-star: smaller neighbors (and u) attach to the local min
+    val ssMin0 = ls.groupBy("u").agg(min(col("v")).as("m"))
+    val ssMin = if (small) broadcast(ssMin0) else ssMin0
+    ls.join(ssMin, "u")
+      .select(col("v"), col("m"))
+      .unionByName(ssMin0.select(col("u").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+      .distinct()
+  }
 
   /** [[connectedComponents]] plus the round count — exposed for the
     * convergence-rate regression test (a diameter-100 path must converge
     * in far fewer than 100 rounds). */
   private[graft] def ccLargeSmallStar(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int): (DataFrame, Int) = {
+      maxIter: Int, broadcastMaxRows: Long = 1000000L): (DataFrame, Int) = {
     // Node domain from the RAW symmetrized list (self-loops included) so
     // isolated/self-loop-only ids still get a label, as before.
     // Checkpointed FIRST: nodes, the working edge set, and every round
@@ -399,23 +435,9 @@ object Ops {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // ---- large-star: larger neighbors re-attach to the local min
-      val both = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val lsMin = both.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // v > u >= m, so (v, m) is already larger-first and never a loop
-      val ls = both.filter(col("v") > col("u")).join(lsMin, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-      // ---- small-star: smaller neighbors (and u) attach to the local min
-      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
-        .select(col("v"), col("m"))
-        .unionByName(ssMin.select(col("u").as("v"), col("m")))
-        .filter(col("v") =!= col("m"))
-        .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
-        .distinct()
-        .localCheckpoint()
+      // exact edge count is free from the round checkpoint — while small,
+      // the round broadcasts its min tables and never shuffles the edges
+      val ss = ccRound(e, small = nE <= broadcastMaxRows).localCheckpoint()
       // exact fixpoint on canonical+distinct sets: |new| = |old| plus ONE
       // empty anti-join imply equality, and the (free) checkpoint count
       // gates the probe — rounds that are still contracting skip the

@@ -626,13 +626,17 @@ object Pipeline {
     * landed on disk through the partitioned writer. Trainers then scan
     * exactly `split=train/shard_id=k` via directory pruning (q95's
     * lever); shard count is the write-parallelism dial, fixed here at 4
-    * so the tiny test corpus still exercises multi-directory layout. */
+    * so the tiny test corpus still exercises multi-directory layout.
+    * The write lands through [[Lake.init]], so the layout is born with
+    * its manifest (version 1 = exactly the files that landed) and the
+    * later lifecycle mutations (px101-103) commit against a log instead
+    * of adopting a bare directory. */
   private def px100(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "px100_shards")
-    hashSplit(Tables(spark, dir, "documents"), "doc_id")
-      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
-      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
-    spark.read.parquet(out)
+    Lake.init(spark,
+        hashSplit(Tables(spark, dir, "documents"), "doc_id")
+          .withColumn("shard_id", (col("doc_id") % 4).cast("int")),
+        out, Seq("split", "shard_id"))
       .groupBy("split", "shard_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .select(col("split"), col("shard_id").cast("int").as("shard_id"),
@@ -654,20 +658,24 @@ object Pipeline {
   /** Targeted deletion from the training lake — the right-to-be-forgotten
     * / takedown operation every production corpus eventually needs, shaped
     * for 100 TB: REWRITE ONLY THE PARTITIONS THAT CONTAIN A TOMBSTONED
-    * DOC. Mechanics:
+    * DOC, published through [[Lake]]'s write-audit-publish commit.
+    * Mechanics:
     *
     *   1. affected partitions: a broadcast semi-join of the lake against
     *      the (small) tombstone set, projected to the partition key —
-    *      directory pruning makes the later rewrite read only these;
-    *   2. survivors of the affected partitions (anti-join on the doc id)
-    *      are materialized BEFORE any file is touched (`localCheckpoint` —
-    *      overwriting a path that feeds the running plan would clobber
-    *      its own input, the q80/foreachBatch lesson);
-    *   3. dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
-    *      replaces exactly the directories present in the written frame —
-    *      untouched shards keep their files byte-identical (the spec pins
-    *      this via file paths+sizes), so a 4-doc takedown on a
-    *      million-shard lake rewrites 4 shards, not the lake.
+    *      partition pruning makes every later pass read only these;
+    *   2. STAGE: survivors of the affected partitions (anti-join on the
+    *      doc id) are written as NEW files into the same shard layout —
+    *      the pre-image is never opened for write, so no self-overwrite
+    *      checkpoint guard is needed and staging is abortable;
+    *   3. AUDIT: the staged files are read back and counted against the
+    *      survivor frame; a mismatch aborts with the lake untouched;
+    *   4. PUBLISH: one atomic manifest rename swaps the affected
+    *      partitions' old files for the staged ones — readers see the
+    *      pre-delete or post-delete lake, never a mix, and a partition
+    *      whose every doc is tombstoned drops out of the manifest
+    *      entirely (no silent retention). Superseded files are vacuumed
+    *      after the commit; untouched shards stay byte-identical.
     *
     * Returns the post-delete lake read-back. Partition granularity is the
     * amplification dial: deletes rewrite whole shards, so shard sizing
@@ -675,22 +683,42 @@ object Pipeline {
   def deleteFromLake(spark: SparkSession, lakeDir: String, tombstones: DataFrame,
       tombIdCol: String, lakeIdCol: String = "doc_id",
       partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
-    val lake = spark.read.parquet(lakeDir)
+    stageLakeDelete(spark, lakeDir, tombstones, tombIdCol, lakeIdCol, partitionCols)
+      .foreach(Lake.publish(spark, _))
+    Lake.read(spark, lakeDir)
+  }
+
+  /** The stage+audit half of [[deleteFromLake]], exposed so the crash spec
+    * can stop between stage and publish and prove readers still see the
+    * pre-delete lake. None = no tombstone hits the lake (nothing staged). */
+  private[graft] def stageLakeDelete(spark: SparkSession, lakeDir: String,
+      tombstones: DataFrame, tombIdCol: String, lakeIdCol: String,
+      partitionCols: Seq[String]): Option[Lake.StagedCommit] = {
+    val base = Lake.adopt(spark, lakeDir)
+    // `_metadata` is only resolvable on the scan itself, so pin the file
+    // provenance as a regular column before any join consumes the frame
+    val lake = Lake.readState(spark, lakeDir, base)
+      .select(col("*"), col("_metadata.file_path").as("_file"))
     val t = broadcast(tombstones.select(col(tombIdCol).as("_del")).distinct())
     val affected = lake.join(t, col(lakeIdCol) === col("_del"), "left_semi")
       .select(partitionCols.map(col): _*).distinct()
-    if (affected.limit(1).count() > 0) {
-      val survivors = lake
-        .join(broadcast(affected), partitionCols, "left_semi")
-        .join(t, col(lakeIdCol) === col("_del"), "left_anti")
-        .localCheckpoint(true) // fully materialized before the overwrite below
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try survivors.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(lakeDir)
-      finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    if (affected.limit(1).count() == 0) None
+    else {
+      val affectedLake = lake.join(broadcast(affected), partitionCols, "left_semi")
+      // the pre-image files this commit supersedes — including those of
+      // fully-tombstoned partitions, which stage zero survivor rows and
+      // therefore vanish from the manifest (the silent-retention fix)
+      val removed = affectedLake.select(col("_file")).distinct()
+        .collect().map(r => Lake.relativizeUri(spark, lakeDir, r.getString(0))).toSeq
+      val survivors = affectedLake.join(t, col(lakeIdCol) === col("_del"), "left_anti")
+        .drop("_file")
+      val expected = survivors.count()
+      val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols,
+        scopeDirs = Lake.parentDirs(removed))
+      val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
+      Some(Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
+        stagedRows, expected))
     }
-    spark.read.parquet(lakeDir)
   }
 
   /** Build the px100 lake layout in its own scratch dir, tombstone the
@@ -728,44 +756,69 @@ object Pipeline {
     * writes and surgical deletes (px101) do to a lake: partitions
     * accumulate many small files, and small files tax every subsequent
     * scan (footer reads, task scheduling, row-group fragmentation).
-    * Same surgical discipline as the delete:
+    * Same surgical discipline and the same [[Lake]] write-audit-publish
+    * commit as the delete:
     *
     *   1. per-partition file counts come from the `_metadata.file_path`
-    *      column (no filesystem walk — the scan itself reports provenance,
-    *      the q92 device);
-    *   2. ONLY partitions over `maxFilesPerPartition` are read back,
-    *      materialized (self-overwrite guard), hash-repartitioned on the
-    *      partition key — one task per partition ⇒ one output file per
-    *      directory — and dynamically overwritten;
-    *   3. already-compact partitions keep their files byte-identical.
+    *      column of the manifest-resolved read (no filesystem walk — the
+    *      scan itself reports provenance, the q92 device);
+    *   2. ONLY partitions over `maxFilesPerPartition` are read back and
+    *      bin-packed: rows are hash-assigned to `ceil(rows/target)` file
+    *      groups per partition, the shuffle lands one TASK per
+    *      (partition, group), and `maxRecordsPerFile` caps any file a
+    *      group collision makes oversized — so a hot shard compacts to N
+    *      bounded files written in parallel, never one straggler task
+    *      writing one giant file;
+    *   3. STAGE/AUDIT/PUBLISH as in [[deleteFromLake]]: packed files are
+    *      appended invisibly, counted against the pre-pack frame, and a
+    *      single manifest rename swaps them in; already-compact
+    *      partitions keep their files byte-identical.
     *
     * Compaction is data-preserving by construction, and the px102 oracle
     * leans on exactly that: the post-compaction manifest must equal the
-    * relational manifest of the un-compacted data. The file-count
-    * property itself is pinned by the spec. */
+    * relational manifest of the un-compacted data. The file-count and
+    * parallel-write properties are pinned by the spec. */
   def compactLake(spark: SparkSession, lakeDir: String,
       maxFilesPerPartition: Int = 1,
+      targetRowsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
-    val lake = spark.read.parquet(lakeDir)
+    require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
+    val base = Lake.adopt(spark, lakeDir)
+    // `_metadata` is only resolvable on the scan itself, so pin the file
+    // provenance as a regular column before any join consumes the frame
+    val lake = Lake.readState(spark, lakeDir, base)
+      .select(col("*"), col("_metadata.file_path").as("_file"))
     val affected = lake
-      .select(partitionCols.map(col) :+ col("_metadata.file_path").as("_f"): _*)
       .groupBy(partitionCols.map(col): _*)
-      .agg(countDistinct(col("_f")).as("_nf"))
+      .agg(countDistinct(col("_file")).as("_nf"), count(lit(1)).as("_n"))
       .filter(col("_nf") > maxFilesPerPartition)
-      .select(partitionCols.map(col): _*)
     if (affected.limit(1).count() > 0) {
-      val packed = lake
-        .join(broadcast(affected), partitionCols, "left_semi")
-        .repartition(partitionCols.map(col): _*) // one task, one file per dir
-        .localCheckpoint(true)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try packed.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(lakeDir)
-      finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      val affectedLake = lake.join(
+        broadcast(affected.select(partitionCols.map(col): _*)), partitionCols, "left_semi")
+      val removed = affectedLake.select(col("_file")).distinct()
+        .collect().map(r => Lake.relativizeUri(spark, lakeDir, r.getString(0))).toSeq
+      // bin-pack: ceil(n/target) groups per partition, rows hash-spread
+      // across them — group count is the per-partition file budget and
+      // (partition, group) is the write-parallelism unit
+      val groups = affected.select(partitionCols.map(col) :+
+        ceil(col("_n").cast("double") / targetRowsPerFile).cast("int").as("_ng"): _*)
+      val dataCols = lake.columns.toSeq.filterNot(_ == "_file")
+      val packed = affectedLake
+        .join(broadcast(groups), partitionCols)
+        .withColumn("_gid", pmod(hash(dataCols.map(col): _*), col("_ng")))
+        .repartition((partitionCols :+ "_gid").map(col): _*)
+        .select(dataCols.map(col): _*)
+      val expected = affectedLake.count()
+      val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
+        Map("maxRecordsPerFile" -> targetRowsPerFile.toString),
+        scopeDirs = Lake.parentDirs(removed))
+      val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
+      Lake.publish(spark,
+        Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
+          stagedRows, expected))
     }
-    spark.read.parquet(lakeDir)
+    Lake.read(spark, lakeDir)
   }
 
   /** Fragment a fresh lake on purpose (8-way pre-write repartition ⇒ up
@@ -790,28 +843,67 @@ object Pipeline {
     * corpus runs, completing the lake lifecycle (px100 write → px103
     * append → px101 delete → px102 compact). A new batch lands as:
     *
-    *   1. anti-join the batch against the lake's id column — docs already
-    *      present are skipped, so replaying yesterday's batch (the
-    *      standard at-least-once ingest failure mode) adds nothing;
-    *      at warehouse scale the lake side of this anti-join is an
-    *      id-column-only scan (column pruning), and a broadcast bloom of
-    *      batch ids (the q79 device) can pre-filter it when even that
-    *      scan needs cutting;
-    *   2. fresh docs are materialized (self-overwrite guard), assigned
-    *      their split/shard exactly as the original write was, and
-    *      APPENDED — existing files are never opened, let alone
-    *      rewritten (the spec pins byte-identical pre-existing files),
-    *      so ingest cost tracks the batch, not the lake.
+    *   1. the batch self-dedups on the id (at-least-once upstreams
+    *      duplicate WITHIN a batch, not just across replays);
+    *   2. a broadcast bloom over the batch ids (the q79 device) pre-filters
+    *      the lake's id-column scan — a lake id provably absent from the
+    *      batch cannot affect the anti-join, so the lake side of the dedup
+    *      shrinks from every-id-ever to roughly the overlap, and append
+    *      cost tracks the BATCH, not the lake (false positives merely pass
+    *      through to the exact anti-join);
+    *   3. the anti-join keeps only genuinely fresh docs, which are
+    *      APPENDED as new files — the pre-image is never opened (the spec
+    *      pins byte-identical pre-existing files) and the manifest read
+    *      pins the anti-join to a fixed file list, so there is no
+    *      read-your-own-write hazard to checkpoint against;
+    *   4. one atomic [[Lake]] manifest commit makes the batch visible —
+    *      replaying a crashed append re-stages invisibly and re-commits,
+    *      so ingest is exactly-once end to end. A first-ever ingest into
+    *      a missing/empty lake commits the batch as version 1.
     *
     * Fragmentation added by many appends is px102's job to undo. */
   def appendToLake(spark: SparkSession, lakeDir: String, batch: DataFrame,
       idCol: String = "doc_id",
       partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
-    val lakeIds = spark.read.parquet(lakeDir).select(idCol)
-    val fresh = batch.join(lakeIds, Seq(idCol), "left_anti").localCheckpoint(true)
-    if (fresh.limit(1).count() > 0)
-      fresh.write.mode("append").partitionBy(partitionCols: _*).parquet(lakeDir)
-    spark.read.parquet(lakeDir)
+    val base = Lake.adopt(spark, lakeDir)
+    val b = batch.dropDuplicates(idCol)
+    val fresh =
+      if (base.files.isEmpty) b
+      else {
+        val bf = b.stat.bloomFilter(idCol, math.max(b.count(), 1L), 0.03)
+        val bfB = spark.sparkContext.broadcast(bf)
+        val lakeIds = Lake.readState(spark, lakeDir, base).select(idCol)
+        val probed = b.schema(idCol).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            val mc = udf { k: String => k != null && bfB.value.mightContainString(k) }
+            lakeIds.filter(mc(col(idCol)))
+          case _ =>
+            val mc = udf { k: java.lang.Long => k != null && bfB.value.mightContainLong(k) }
+            lakeIds.filter(mc(col(idCol).cast("long")))
+        }
+        b.join(probed, Seq(idCol), "left_anti")
+      }
+    val expected = fresh.count()
+    if (expected > 0) {
+      // the partition directories this batch can land in — bounds the
+      // staging diff's listing to O(batch partitions); a wrong dir name
+      // (exotic partition value rendering) surfaces as a failed audit,
+      // never a wrong commit
+      val scope = fresh.select(partitionCols.map(col): _*).distinct().collect().map { r =>
+        partitionCols.zipWithIndex.map { case (c, i) =>
+          val v = if (r.isNullAt(i)) null else String.valueOf(r.get(i))
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, v)
+        }.mkString("/")
+      }.toSeq
+      val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols, scopeDirs = scope)
+      val stagedBack = Lake.readFiles(spark, lakeDir, base.schemaJson, staged)
+      val schemaJson =
+        if (base.files.isEmpty) stagedBack.schema.json else base.schemaJson
+      Lake.publish(spark, Lake.StagedCommit(lakeDir, base, schemaJson, Seq.empty,
+        staged, stagedBack.count(), expected))
+    }
+    Lake.read(spark, lakeDir)
   }
 
   /** Seed the lake with two-thirds of the corpus, append the FULL corpus
@@ -899,7 +991,15 @@ object Pipeline {
     * and the kept set are pure functions of the corpus and bitwise
     * reproducible in the oracle (integer-exact rank / (n-1) division on
     * both engines). Docs with no signal (empty text) are excluded before
-    * ranking rather than polluting the percentile denominator. */
+    * ranking rather than polluting the percentile denominator.
+    *
+    * `keepFrac` is the KEPT FRACTION, exactly: the blend itself is ranked
+    * (same distributed device, blend-desc with a doc_id tie-break) and
+    * the top `ceil(keepFrac·n)` docs survive — thresholding the blend
+    * value instead would keep a data-dependent share, because an average
+    * of two dependent percentiles is not uniformly distributed. A corpus
+    * with a single scored doc keeps that doc; an unscored corpus yields
+    * an empty result. */
   def qualityBlend(docs: DataFrame, idCol: String, textCol: String,
       keepFrac: Double = 0.5): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1], got $keepFrac")
@@ -916,18 +1016,23 @@ object Pipeline {
     // NLL pipeline re-runs per consumer
     val j = q.join(f, "doc_id").select("doc_id", "quality", "avg_nll").localCheckpoint(true)
     val nRows = j.count()
-    require(nRows > 1, s"qualityBlend needs >= 2 scored docs, got $nRows")
+    if (nRows == 0) return j.select(col("doc_id"),
+      lit(null).cast("double").as("pr_quality"), lit(null).cast("double").as("pr_fluency"),
+      lit(null).cast("double").as("blend"))
     val rq = graft.api.Ops.withGlobalRowNumber(j, Seq(col("quality"), col("doc_id")), "rq")
       .select(col("doc_id"), col("rq"))
     val rf = graft.api.Ops.withGlobalRowNumber(j, Seq(col("avg_nll").desc, col("doc_id")), "rf")
       .select(col("doc_id"), col("rf"))
-    val denom = lit((nRows - 1).toDouble)
-    j.join(rq, "doc_id").join(rf, "doc_id")
+    val denom = lit(math.max(nRows - 1, 1L).toDouble)
+    val scored = j.join(rq, "doc_id").join(rf, "doc_id")
       .select(col("doc_id"),
         (col("rq").cast("double") / denom).as("pr_quality"),
         (col("rf").cast("double") / denom).as("pr_fluency"))
       .withColumn("blend", (col("pr_quality") + col("pr_fluency")) / 2)
-      .filter(col("blend") >= lit(1.0 - keepFrac))
+    val keep = math.ceil(keepFrac * nRows).toLong
+    graft.api.Ops.withGlobalRowNumber(scored, Seq(col("blend").desc, col("doc_id")), "_rb")
+      .filter(col("_rb") < keep)
+      .drop("_rb")
   }
 
   private def px105(spark: SparkSession, dir: String): DataFrame =
@@ -956,16 +1061,19 @@ object Pipeline {
       |  SELECT doc_id, ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
       |  FROM w JOIN lp USING (word) GROUP BY doc_id),
       |j AS (SELECT q.doc_id, quality, avg_nll FROM q JOIN f USING (doc_id)),
-      |n AS (SELECT CAST(COUNT(*) - 1 AS DOUBLE) AS d FROM j),
+      |n AS (SELECT COUNT(*) AS c, CAST(COUNT(*) - 1 AS DOUBLE) AS d FROM j),
       |r AS (
       |  SELECT doc_id,
       |    CAST(row_number() OVER (ORDER BY quality, doc_id) - 1 AS DOUBLE) AS rq,
       |    CAST(row_number() OVER (ORDER BY avg_nll DESC, doc_id) - 1 AS DOUBLE) AS rf
-      |  FROM j)
-      |SELECT doc_id, rq / d AS pr_quality, rf / d AS pr_fluency,
-      |  (rq / d + rf / d) / 2 AS blend
-      |FROM r CROSS JOIN n
-      |WHERE (rq / d + rf / d) / 2 >= 0.5
+      |  FROM j),
+      |s AS (
+      |  SELECT doc_id, rq / d AS pr_quality, rf / d AS pr_fluency,
+      |    (rq / d + rf / d) / 2 AS blend, c
+      |  FROM r CROSS JOIN n)
+      |SELECT doc_id, pr_quality, pr_fluency, blend
+      |FROM (SELECT s.*, row_number() OVER (ORDER BY blend DESC, doc_id) AS rb FROM s)
+      |WHERE rb <= CAST(ceil(0.5 * c) AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
