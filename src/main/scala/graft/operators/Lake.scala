@@ -204,6 +204,31 @@ object Lake {
       case None     => spark.read.parquet(lakeDir)
     }
 
+  /** Time travel: the lake exactly as manifest `version` committed it.
+    * Free by construction — every manifest is immutable and lists its
+    * full file set, so an audit/repro read of "the corpus the model was
+    * trained on" is one manifest load, no log replay. Files superseded
+    * AFTER `version` remain readable until an eager vacuum or [[vacuum]]
+    * reclaims them; reading a vacuumed-away version fails loudly with
+    * the missing files named. */
+  def readVersion(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val target = new Path(logDir(root), manifestName(version))
+    if (!fs.exists(target))
+      throw new IllegalArgumentException(
+        s"lake $lakeDir has no committed manifest version $version")
+    val in = fs.open(target)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split('\n').toSeq
+    val st = LakeState(version, lines.head, lines.tail.filter(_.nonEmpty))
+    val gone = st.files.filterNot(f => fs.exists(new Path(root, f)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"lake version $version is no longer reconstructible — " +
+          s"${gone.size} file(s) vacuumed, e.g. ${gone.take(3).mkString(", ")}")
+    readState(spark, lakeDir, st)
+  }
+
   /** Append-mode write of `df` into the lake's partition layout, returning
     * the relative paths of the files it created (listing diff; the
     * single-writer regime makes the diff race-free). Nothing pre-existing
@@ -252,8 +277,12 @@ object Lake {
     * pre-write frame's rows, or the staged files are deleted and the lake
     * is untouched (readers never saw them). Vacuum of the superseded
     * pre-image runs only AFTER the manifest rename — a crash between the
-    * two leaves invisible orphans, not a corrupt lake. */
-  private[graft] def publish(spark: SparkSession, sc: StagedCommit): Unit = {
+    * two leaves invisible orphans, not a corrupt lake. Pass
+    * `vacuumSuperseded = false` to retain the pre-image files and keep
+    * earlier versions [[readVersion]]-able (storage-for-history; reclaim
+    * later by vacuuming against the version you are willing to lose). */
+  private[graft] def publish(spark: SparkSession, sc: StagedCommit,
+      vacuumSuperseded: Boolean = true): Unit = {
     if (sc.stagedRows != sc.expectedRows) {
       abort(spark, sc)
       throw new IllegalStateException(
@@ -263,7 +292,7 @@ object Lake {
     val removed = sc.removedFiles.toSet
     commit(spark, sc.lakeDir, sc.base.version + 1, sc.schemaJson,
       sc.base.files.filterNot(removed) ++ sc.stagedFiles)
-    deleteFiles(spark, sc.lakeDir, sc.removedFiles)
+    if (vacuumSuperseded) deleteFiles(spark, sc.lakeDir, sc.removedFiles)
   }
 
   /** Roll back a staged-but-unpublished mutation: delete its invisible

@@ -870,18 +870,8 @@ object Pipeline {
     val fresh =
       if (base.files.isEmpty) b
       else {
-        val bf = b.stat.bloomFilter(idCol, math.max(b.count(), 1L), 0.03)
-        val bfB = spark.sparkContext.broadcast(bf)
         val lakeIds = Lake.readState(spark, lakeDir, base).select(idCol)
-        val probed = b.schema(idCol).dataType match {
-          case org.apache.spark.sql.types.StringType =>
-            val mc = udf { k: String => k != null && bfB.value.mightContainString(k) }
-            lakeIds.filter(mc(col(idCol)))
-          case _ =>
-            val mc = udf { k: java.lang.Long => k != null && bfB.value.mightContainLong(k) }
-            lakeIds.filter(mc(col(idCol).cast("long")))
-        }
-        b.join(probed, Seq(idCol), "left_anti")
+        b.join(bloomProbedIds(spark, b, lakeIds, idCol), Seq(idCol), "left_anti")
       }
     val expected = fresh.count()
     if (expected > 0) {
@@ -904,6 +894,26 @@ object Pipeline {
         staged, stagedBack.count(), expected))
     }
     Lake.read(spark, lakeDir)
+  }
+
+  /** The q79 device as [[appendToLake]]'s prefilter: a bloom over the
+    * batch's ids probes the lake's id column, keeping only ids that MIGHT
+    * be in the batch. An id the bloom rejects is provably absent from the
+    * batch and can never affect the batch-vs-lake anti-join, so dropping
+    * it is exactness-preserving; false positives (3%) merely pass through
+    * to the anti-join. Exposed so the spec can pin the row reduction. */
+  private[graft] def bloomProbedIds(spark: SparkSession, batch: DataFrame,
+      lakeIds: DataFrame, idCol: String): DataFrame = {
+    val bf = batch.stat.bloomFilter(idCol, math.max(batch.count(), 1L), 0.03)
+    val bfB = spark.sparkContext.broadcast(bf)
+    batch.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val mc = udf { k: String => k != null && bfB.value.mightContainString(k) }
+        lakeIds.filter(mc(col(idCol)))
+      case _ =>
+        val mc = udf { k: java.lang.Long => k != null && bfB.value.mightContainLong(k) }
+        lakeIds.filter(mc(col(idCol).cast("long")))
+    }
   }
 
   /** Seed the lake with two-thirds of the corpus, append the FULL corpus
@@ -950,6 +960,69 @@ object Pipeline {
     }
     wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** The nightly-monitor variant of [[profileTable]]: identical report
+    * shape, but distinct counts come from HLL++ (`approx_count_distinct`,
+    * Heule et al., EDBT 2013) instead of the exact expand-based
+    * multi-distinct. The exact form pushes n_cols× the rows through one
+    * exchange — the right cost for an oracle-checkable audit; the approx
+    * form pushes each row ONCE through a constant-size sketch per column,
+    * which is the only shape a 100 TB nightly profile can afford. `rsd`
+    * is HLL++'s relative standard deviation dial (default 5%); the spec
+    * pins approx-vs-exact agreement on the test corpus. */
+  def approxProfile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "approxProfile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"), max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        (col("n_rows") - col(s"_nn_$c")).as("n_null"), col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_s"), col(s"_mx_$c").as("max_s"))
+    }
+    wide.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  // ---------------------------------------------------------------- px106
+  /** Lake time travel — the audit/reproducibility read the manifest log
+    * makes free: "give me the corpus exactly as version v committed it"
+    * is ONE manifest load (immutable, self-contained file list), no log
+    * replay, no snapshot copy. The query seeds a lake at version 1
+    * ([[Lake.init]] on two-thirds of the corpus), appends the full corpus
+    * (version 2 — the at-least-once replay shape of px103), then reads
+    * VERSION 1 back: the pre-append seed, byte-for-byte, even though the
+    * current lake has moved on. Appends supersede nothing, so history
+    * stays readable with zero retention cost; mutations that do supersede
+    * files trade storage for history via `publish(vacuumSuperseded =
+    * false)` (LakeSpec pins both that trade and the loud failure once a
+    * version is vacuumed away). */
+  private def px106(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px106_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
+    appendToLake(spark, out, sharded)
+    Lake.readVersion(spark, out, 1L)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px106Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 3 <> 0
+      |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
   private def px104(spark: SparkSession, dir: String): DataFrame =
     profileTable(Tables(spark, dir, "documents"),
@@ -1092,5 +1165,6 @@ object Pipeline {
     GraftQuery("px102_lake_compact", px102, Some(px100Oracle)),
     GraftQuery("px103_lake_append", px103, Some(px100Oracle)),
     GraftQuery("px104_table_profile", px104, Some(px104Oracle)),
-    GraftQuery("px105_quality_blend", px105, Some(px105Oracle)))
+    GraftQuery("px105_quality_blend", px105, Some(px105Oracle)),
+    GraftQuery("px106_lake_time_travel", px106, Some(px106Oracle)))
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.functions.TextHash
 import graft.operators.TextOps
@@ -41,6 +41,41 @@ object DocStream {
       .dropDuplicates("norm_key")
       .select("doc_id", "text")
   }
+
+  // ------------------------------------------------------------------
+  // Streaming lake ingest (foreachBatch → appendToLake)
+  // ------------------------------------------------------------------
+
+  /** Close the loop between the document stream and the training lake:
+    * every micro-batch lands through [[graft.operators.Pipeline
+    * .appendToLake]], i.e. through the [[graft.operators.Lake]]
+    * write-audit-publish commit. Exactly-once falls out of composing two
+    * weaker guarantees:
+    *
+    *   - `foreachBatch` is AT-LEAST-ONCE: after a crash the last
+    *     un-checkpointed micro-batch is re-delivered in full;
+    *   - `appendToLake` is IDEMPOTENT: the batch self-dedups and
+    *     anti-joins the (bloom-prefiltered) lake ids, so a re-delivered
+    *     batch — or an overlap between batches — stages zero rows and
+    *     commits nothing.
+    *
+    * A crash INSIDE an append is equally safe: before the manifest rename
+    * the staged files are invisible (vacuumable orphans at worst), after
+    * it the replay's anti-join sees the committed ids. The stream's rows
+    * must already carry the lake's partition columns — shaping (split /
+    * shard assignment) belongs to the upstream transform, exactly as in
+    * the batch px100 write. */
+  def ingestToLake(docs: DataFrame, lakeDir: String, checkpointDir: String,
+      idCol: String = "doc_id",
+      partitionCols: Seq[String] = Seq("split", "shard_id")): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Pipeline.appendToLake(
+          batch.sparkSession, lakeDir, batch, idCol, partitionCols)
+        ()
+      }
+      .start()
 
   // ------------------------------------------------------------------
   // Per-source token-budget admission (transformWithState)

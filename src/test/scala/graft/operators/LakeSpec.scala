@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Crash-consistency and commit-protocol semantics of the [[Lake]]
+  * write-audit-publish layer under the px100-px103 lifecycle operators.
+  * The invariant under test everywhere: a reader resolving through the
+  * manifest sees the pre-commit lake or the post-commit lake, NEVER a
+  * mix — regardless of where a mutation dies. */
+class LakeSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(leaf: String): String =
+    java.nio.file.Files.createTempDirectory(leaf).toString + "/lake"
+
+  /** 40 docs over (split, shard_id): train/test × shard 0/1. */
+  private def fixture(): DataFrame =
+    spark.range(40).select(
+      col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"),
+      when(col("id") < 20, "train").otherwise("test").as("split"),
+      (col("id") % 2).cast("int").as("shard_id"))
+
+  private def writePlain(df: DataFrame, out: String): Unit =
+    df.write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("a crash between stage and publish leaves readers on the pre-delete lake; publish flips them atomically") {
+    val out = freshDir("lake-crash")
+    writePlain(fixture(), out)
+    val tomb = Seq(0L, 7L, 13L).toDF("doc_id")
+
+    // stage + audit, then "crash" — publish never runs
+    val staged = Pipeline.stageLakeDelete(spark, out, tomb, "doc_id", "doc_id",
+      Seq("split", "shard_id"))
+    assert(staged.nonEmpty, "fixture tombstones must hit the lake")
+    assert(staged.get.stagedFiles.nonEmpty, "survivor files must be staged on disk")
+
+    // the staged files physically exist but a manifest reader cannot see them
+    val midCrash = Lake.read(spark, out)
+    assert(ids(midCrash) == (0L until 40L).toSet,
+      "mid-crash readers must see the complete pre-delete lake")
+    assert(midCrash.count() == 40, "no staged duplicate may leak into a read")
+
+    // resuming the commit flips readers to the post-delete lake
+    Lake.publish(spark, staged.get)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))
+  }
+
+  test("abort rolls a staged mutation back: staged files deleted, readers untouched") {
+    val out = freshDir("lake-abort")
+    writePlain(fixture(), out)
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(1L, 2L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    Lake.abort(spark, staged)
+    val left = Lake.listDataFiles(spark, out)
+    staged.stagedFiles.foreach(f =>
+      assert(!left.contains(f), s"aborted staged file still on disk: $f"))
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet)
+  }
+
+  test("a failed audit refuses to publish and leaves the lake untouched") {
+    val out = freshDir("lake-audit")
+    writePlain(fixture(), out)
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(3L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    val poisoned = staged.copy(expectedRows = staged.expectedRows + 1)
+    val e = intercept[IllegalStateException] { Lake.publish(spark, poisoned) }
+    assert(e.getMessage.contains("audit failed"))
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet,
+      "a failed audit must leave readers on the pre-mutation lake")
+    assert(Lake.latestManifest(spark, out).get.version == 0L,
+      "no new manifest version may land after a failed audit")
+  }
+
+  test("deleting EVERY doc of a partition retains none of them (no silent retention)") {
+    val out = freshDir("lake-empty-part")
+    writePlain(fixture(), out)
+    // every doc of (test, 0): ids 20..38 even — plus one train doc for a
+    // partially-affected partition in the same commit
+    val full = (20L until 40L by 2).toSet
+    val tomb = (full + 5L).toSeq.toDF("doc_id")
+    val after = Pipeline.deleteFromLake(spark, out, tomb, "doc_id")
+    assert((ids(after) intersect (full + 5L)).isEmpty,
+      "fully-tombstoned partition docs survived the delete — silent retention")
+    assert(ids(after) == (0L until 40L).toSet -- full - 5L)
+    assert(after.filter(col("split") === "test" && col("shard_id") === 0).count() == 0,
+      "the emptied partition must read back as zero rows")
+  }
+
+  test("vacuum reclaims crash orphans without touching live data") {
+    val out = freshDir("lake-vacuum")
+    writePlain(fixture(), out)
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(4L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    // abandon the staged commit (crash) — its files are orphans now
+    val dead = Lake.vacuum(spark, out)
+    assert(dead.toSet == staged.stagedFiles.toSet,
+      "vacuum must delete exactly the abandoned staged files")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet)
+    assert(Lake.vacuum(spark, out).isEmpty, "a clean lake has nothing to vacuum")
+  }
+
+  test("appendToLake bootstraps a first-ever ingest and dedups within the batch") {
+    val out = freshDir("lake-first")
+    // duplicate ids INSIDE the first batch (at-least-once upstream)
+    val batch = fixture().unionByName(fixture().filter(col("doc_id") < 5))
+    val after = Pipeline.appendToLake(spark, out, batch)
+    assert(after.count() == 40, "intra-batch duplicates must not double-ingest")
+    assert(ids(after) == (0L until 40L).toSet)
+    assert(Lake.latestManifest(spark, out).isDefined,
+      "a first-ever ingest must be born with a manifest")
+    // replay of the same batch is a no-op commit-wise
+    val v1 = Lake.latestManifest(spark, out).get.version
+    Pipeline.appendToLake(spark, out, batch)
+    assert(Lake.latestManifest(spark, out).get.version == v1,
+      "an all-duplicate replay must not commit a new version")
+  }
+
+  test("append's bloom prefilter cuts the lake-side id scan to ~the overlap") {
+    val out = freshDir("lake-bloom")
+    val lakeDf = spark.range(1000).select(
+      col("id").as("doc_id"), lit("x").as("text"),
+      lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
+    writePlain(lakeDf, out)
+    // batch: 50 replayed ids + 50 new ones
+    val batch = spark.range(950, 1050).select(
+      col("id").as("doc_id"), lit("y").as("text"),
+      lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
+    val lakeIds = spark.read.parquet(out).select("doc_id")
+    val probed = Pipeline.bloomProbedIds(spark, batch, lakeIds, "doc_id").count()
+    // exact: >= the 50 true overlaps; effective: ~3% fp on the other 950
+    assert(probed >= 50, "bloom must never drop a true overlap (no false negatives)")
+    assert(probed <= 50 + 150,
+      s"bloom should cut the 1000-id lake scan to ~the overlap, kept $probed")
+    val after = Pipeline.appendToLake(spark, out, batch)
+    assert(after.count() == 1050, "the 50 new docs (and only they) must land")
+  }
+
+  test("time travel: a retained version reads back exactly; a vacuumed-away version fails loudly") {
+    val out = freshDir("lake-tt")
+    writePlain(fixture(), out)
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(0L, 1L, 2L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    Lake.publish(spark, staged, vacuumSuperseded = false) // storage-for-history
+    assert(ids(Lake.read(spark, out)) == (3L until 40L).toSet)
+    // v0 is the adopted pre-delete lake — still fully reconstructible
+    assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet)
+    // reclaiming against the LATEST manifest spends that history
+    assert(Lake.vacuum(spark, out).nonEmpty, "retained pre-image must be vacuumable")
+    val e = intercept[IllegalStateException] { Lake.readVersion(spark, out, 0L).count() }
+    assert(e.getMessage.contains("no longer reconstructible"))
+    assert(ids(Lake.read(spark, out)) == (3L until 40L).toSet,
+      "vacuum must never touch the current version")
+  }
+
+  test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
+    val out = freshDir("lake-binpack")
+    // one hot partition: 500 rows fragmented across 10 files
+    val hot = spark.range(500).select(
+      col("id").as("doc_id"), concat(lit("d"), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    hot.repartition(10).write.mode("overwrite")
+      .partitionBy("split", "shard_id").parquet(out)
+    val target = 100L
+    val after = Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = target)
+    assert(after.count() == 500, "compaction must preserve every row")
+    val files = Lake.latestManifest(spark, out).get.files
+    val perFileRows = files.map { f =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(out, f).toString).count()
+    }
+    assert(perFileRows.forall(_ <= target),
+      s"maxRecordsPerFile must cap every file at $target rows: $perFileRows")
+    val expectMin = math.ceil(500.0 / target).toInt // 5
+    assert(files.size >= expectMin && files.size <= 2 * expectMin,
+      s"bin-packing should land ~$expectMin files, got ${files.size}")
+  }
+}

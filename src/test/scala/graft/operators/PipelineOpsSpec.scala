@@ -211,6 +211,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fileState() == after, "idempotent replay must be a byte-identical no-op")
   }
 
+  test("approxProfile matches the exact profile on everything but n_distinct, which lands within HLL++ error — and skips the expand") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val exact = Pipeline.profileTable(docs, cols).orderBy("column").collect()
+    val approx = Pipeline.approxProfile(docs, cols).orderBy("column").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(e.getAs[String]("column") == a.getAs[String]("column"))
+      assert(e.getAs[Long]("n_rows") == a.getAs[Long]("n_rows"))
+      assert(e.getAs[Long]("n_null") == a.getAs[Long]("n_null"))
+      assert(e.getAs[String]("min_s") == a.getAs[String]("min_s"))
+      assert(e.getAs[String]("max_s") == a.getAs[String]("max_s"))
+      val ed = e.getAs[Long]("n_distinct").toDouble
+      val ad = a.getAs[Long]("n_distinct").toDouble
+      // rsd=0.05 → 5σ plus small-cardinality absolute slack
+      assert(math.abs(ad - ed) <= math.max(5.0, 0.25 * ed),
+        s"${e.getAs[String]("column")}: approx $ad vs exact $ed out of tolerance")
+    }
+    // the exact multi-distinct pays the expand (n_cols× rows through one
+    // exchange); the sketch variant must push each row through ONCE
+    val pe = Pipeline.profileTable(docs, cols).queryExecution.executedPlan.toString
+    val pa = Pipeline.approxProfile(docs, cols).queryExecution.executedPlan.toString
+    assert(pe.contains("Expand"), "exact profile is expected to plan via expand")
+    assert(!pa.contains("Expand"), "approx profile must not expand:\n" + pa.take(1200))
+  }
+
   test("px90: packed output excludes the benchmark slice and has contiguous offsets") {
     val rows = graft.SparkEntry.queries("px90_training_pipeline")(spark, sf)
       .orderBy("doc_id").collect()

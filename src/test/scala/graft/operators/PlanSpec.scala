@@ -160,6 +160,32 @@ class PlanSpec extends SparkTestBase {
       "exactly one exchange per round (the contribution agg) is the contract:\n" + p.take(1500))
   }
 
+  test("CC round: broadcast min tables, min/canonicalize exchanges only, no edge shuffle") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // dd30's iterative core: in the broadcast-adaptive regime a
+    // large/small-star round may aggregate (the two min tables) and
+    // canonicalize (the output distinct), but the edge set itself must
+    // never reach a sort-merge join or shuffle as join input
+    val e = (1 to 5000).map(i => (math.max(i.toLong, (i % 997).toLong),
+        math.min(i.toLong, (i % 997).toLong)))
+      .filter(t => t._1 != t._2).distinct.toDF("u", "v").localCheckpoint()
+    val round = graft.api.Ops.ccRound(e, small = true)
+    round.collect()
+    val p = round.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      "round must not sort-merge (edge set would shuffle twice per round):\n" + p.take(1500))
+    // the large-star intermediate fans out into several plan branches
+    // (join input + both min aggregates), so BHJs appear >= 2 times; the
+    // invariant is that every one of them is a broadcast, never a shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "both star joins must broadcast their min tables:\n" + p.take(1500))
+    // 2 min aggregates + the output dedup; the printed tree repeats the
+    // (runtime-reused) ssMin agg stage under the union, hence <= 4 in text
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4,
+      "only the min aggregates and the output dedup may exchange:\n" + p.take(1500))
+  }
+
   test("lake delete rewrite: dynamic partition pruning keeps the read affected-partitions-only") {
     import org.apache.spark.sql.functions._
     // the px101 scale property: a takedown on a million-shard lake must

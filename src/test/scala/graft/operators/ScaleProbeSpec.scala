@@ -178,4 +178,40 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(secs(10) < secs(1) * 5.0,
       f"wall grew ${secs(10) / secs(1)}%.1fx at 10x graph — per-round cost is not frontier-bound")
   }
+
+  /** px103's scaling claim: with the bloom prefilter, a fixed-size batch
+    * appended to a 10× lake pays ~the same JOIN cost — the lake side of
+    * the anti-join is cut to ~the overlap before it shuffles. The only
+    * O(lake) term left is the single-column id scan feeding the bloom
+    * probe, which is the floor any id-dedup ingest pays. */
+  test("px103 append: fixed batch into a 10x lake — cost tracks the batch, not the lake") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), lit("train").as("split"),
+        (col("doc_id") % 8).cast("int").as("shard_id"))
+
+    def replicate(k: Int) = (0 until k)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+
+    // fixed batch: half replays of lake ids, half genuinely new
+    val batch = base.limit(2000).withColumn("doc_id",
+        when(col("doc_id") % 2 === 0, col("doc_id"))
+          .otherwise(col("doc_id") + lit(900000000L)))
+      .localCheckpoint()
+
+    var secs = Map.empty[Int, Double]
+    for (k <- Seq(1, 10)) {
+      val out = java.nio.file.Files.createTempDirectory(s"probe-lake$k").toString + "/lake"
+      replicate(k).write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+      val t0 = System.nanoTime()
+      Pipeline.appendToLake(spark, out, batch)
+      val sec = (System.nanoTime() - t0) / 1e9
+      secs += k -> sec
+      info(f"k=$k lake=${k * base.count()} batch=2000 append=$sec%.1fs")
+    }
+    assert(secs(10) < secs(1) * 5.0,
+      f"append grew ${secs(10) / secs(1)}%.1fx at 10x lake — batch-bound claim broken")
+  }
 }

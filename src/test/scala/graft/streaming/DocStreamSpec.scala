@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, lit}
 
 class DocStreamSpec extends SparkTestBase {
 
@@ -131,5 +132,50 @@ class DocStreamSpec extends SparkTestBase {
     // are valid representatives of the shared normalized key
     assert(ids.size == 2 && ids.contains(4L) && !ids.contains(2L) &&
       (ids.contains(1L) || ids.contains(3L)))
+  }
+
+  test("ingestToLake: overlapping micro-batches and a kill+restart land exactly-once in the lake") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("lakeingest").toString
+    val inDir = s"$base/in"
+    val lakeDir = s"$base/lake"
+    val ck = s"$base/ck"
+    new java.io.File(inDir).mkdirs()
+
+    def addFile(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .repartition(1).write.mode("overwrite").parquet(s"$inDir/$name")
+
+    def start() = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1") // one file = one micro-batch
+        .parquet(inDir)
+        .withColumn("split", lit("train"))
+        .withColumn("shard_id", (col("doc_id") % 2).cast("int"))
+      DocStream.ingestToLake(docs, lakeDir, ck)
+    }
+
+    // run 1: two micro-batches, the second re-shipping half of the first
+    addFile("b1", 1 to 10)
+    addFile("b2", 6 to 15)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // "crash" after commit
+
+    // run 2 resumes the SAME checkpoint with another overlapping delivery
+    addFile("b3", 11 to 20)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val lake = graft.operators.Lake.read(spark, lakeDir)
+    val got = lake.select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.length == got.distinct.length,
+      s"duplicate doc_ids in the lake after overlap+restart: ${got.sorted}")
+    assert(got.toSet == (1L to 20L).toSet,
+      s"every delivered doc must land exactly once, got ${got.sorted}")
+    // each non-empty micro-batch commit is one manifest version
+    assert(graft.operators.Lake.latestManifest(spark, lakeDir).exists(_.version >= 2),
+      "per-micro-batch manifest commits expected")
   }
 }
