@@ -127,6 +127,24 @@ object Lake {
   private[graft] def parentDirs(relFiles: Seq[String]): Seq[String] =
     relFiles.map(f => f.take(f.lastIndexOf('/').max(0))).filter(_.nonEmpty).distinct.sorted
 
+  /** The manifest files living under any of `dirs` (relative partition
+    * directories). The manifest IS the lake's file census — partition
+    * membership is the path prefix, so "which files does this mutation
+    * supersede" is driver-side string work, never a Spark job. */
+  private[graft] def filesUnder(files: Seq[String], dirs: Seq[String]): Seq[String] =
+    files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+
+  /** Render one typed partition-value row as its directory path, exactly
+    * as Spark's writer lays it out (Hive escaping, null → default
+    * partition). A wrong rendering for an exotic type is caught by the
+    * callers' sanity checks (each rendered dir must own manifest files) —
+    * it can surface as a refused mutation, never a wrong commit. */
+  private[graft] def partitionDir(partitionCols: Seq[String], row: org.apache.spark.sql.Row): String =
+    partitionCols.zipWithIndex.map { case (c, i) =>
+      val v = if (row.isNullAt(i)) null else String.valueOf(row.get(i))
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString(c, v)
+    }.mkString("/")
+
   private def logDir(root: Path): Path = new Path(root, LogDirName)
 
   private def manifestName(version: Long): String = f"v$version%020d.manifest"

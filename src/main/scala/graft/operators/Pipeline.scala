@@ -690,31 +690,46 @@ object Pipeline {
 
   /** The stage+audit half of [[deleteFromLake]], exposed so the crash spec
     * can stop between stage and publish and prove readers still see the
-    * pre-delete lake. None = no tombstone hits the lake (nothing staged). */
+    * pre-delete lake. None = no tombstone hits the lake (nothing staged).
+    *
+    * Job economy (the 100 TB accounting): ONE column-pruned pass over the
+    * lake's (id, partition) columns finds the affected partitions; the
+    * superseded file set is then pure driver-side string work against the
+    * manifest (partition membership is the path prefix — no `_metadata`
+    * census, no second scan); ONE pass over the affected files only
+    * counts rows and tombstone hits together (survivors = rows − hits,
+    * the audit's expectation); the stage write and its read-back audit
+    * also touch only affected partitions. Every per-partition/ per-file
+    * collect is bounded by the affected set, never the lake. */
   private[graft] def stageLakeDelete(spark: SparkSession, lakeDir: String,
       tombstones: DataFrame, tombIdCol: String, lakeIdCol: String,
       partitionCols: Seq[String]): Option[Lake.StagedCommit] = {
     val base = Lake.adopt(spark, lakeDir)
-    // `_metadata` is only resolvable on the scan itself, so pin the file
-    // provenance as a regular column before any join consumes the frame
     val lake = Lake.readState(spark, lakeDir, base)
-      .select(col("*"), col("_metadata.file_path").as("_file"))
     val t = broadcast(tombstones.select(col(tombIdCol).as("_del")).distinct())
-    val affected = lake.join(t, col(lakeIdCol) === col("_del"), "left_semi")
-      .select(partitionCols.map(col): _*).distinct()
-    if (affected.limit(1).count() == 0) None
+    // pass 1 (id + partition columns only): which partitions are hit
+    val affectedRows = lake.join(t, col(lakeIdCol) === col("_del"), "left_semi")
+      .select(partitionCols.map(col): _*).distinct().collect()
+    if (affectedRows.isEmpty) None
     else {
-      val affectedLake = lake.join(broadcast(affected), partitionCols, "left_semi")
+      val affectedDirs = affectedRows.map(Lake.partitionDir(partitionCols, _)).toSeq
       // the pre-image files this commit supersedes — including those of
       // fully-tombstoned partitions, which stage zero survivor rows and
       // therefore vanish from the manifest (the silent-retention fix)
-      val removed = affectedLake.select(col("_file")).distinct()
-        .collect().map(r => Lake.relativizeUri(spark, lakeDir, r.getString(0))).toSeq
+      val removed = Lake.filesUnder(base.files, affectedDirs)
+      val orphanDirs = affectedDirs.filterNot(d => removed.exists(_.startsWith(d + "/")))
+      if (orphanDirs.nonEmpty)
+        throw new IllegalStateException(
+          s"partition-dir rendering mismatch: ${orphanDirs.mkString(", ")} own no " +
+            "manifest files although tombstones were found in them — refusing to stage")
+      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed)
+      // pass 2 (affected files only): total rows and tombstone hits at once
+      val stats = affectedLake.join(t, col(lakeIdCol) === col("_del"), "left")
+        .agg(count(lit(1)).as("_n"), count(col("_del")).as("_hits")).collect()(0)
+      val expected = stats.getLong(0) - stats.getLong(1)
       val survivors = affectedLake.join(t, col(lakeIdCol) === col("_del"), "left_anti")
-        .drop("_file")
-      val expected = survivors.count()
       val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols,
-        scopeDirs = Lake.parentDirs(removed))
+        scopeDirs = affectedDirs)
       val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
       Some(Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
         stagedRows, expected))
@@ -759,16 +774,18 @@ object Pipeline {
     * Same surgical discipline and the same [[Lake]] write-audit-publish
     * commit as the delete:
     *
-    *   1. per-partition file counts come from the `_metadata.file_path`
-    *      column of the manifest-resolved read (no filesystem walk — the
-    *      scan itself reports provenance, the q92 device);
+    *   1. the per-partition file census is the MANIFEST itself — partition
+    *      membership is the path prefix, so finding fragmented partitions
+    *      is driver-side string work (no filesystem walk, no scan, no
+    *      Spark job at all);
     *   2. ONLY partitions over `maxFilesPerPartition` are read back and
     *      bin-packed: rows are hash-assigned to `ceil(rows/target)` file
-    *      groups per partition, the shuffle lands one TASK per
-    *      (partition, group), and `maxRecordsPerFile` caps any file a
-    *      group collision makes oversized — so a hot shard compacts to N
-    *      bounded files written in parallel, never one straggler task
-    *      writing one giant file;
+    *      groups per partition (row counts from ONE aggregate over the
+    *      affected files — its result doubles as the audit expectation),
+    *      the shuffle lands one TASK per (partition, group), and
+    *      `maxRecordsPerFile` caps any file a group collision makes
+    *      oversized — so a hot shard compacts to N bounded files written
+    *      in parallel, never one straggler task writing one giant file;
     *   3. STAGE/AUDIT/PUBLISH as in [[deleteFromLake]]: packed files are
     *      appended invisibly, counted against the pre-pack frame, and a
     *      single manifest rename swaps them in; already-compact
@@ -785,34 +802,38 @@ object Pipeline {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
     val base = Lake.adopt(spark, lakeDir)
-    // `_metadata` is only resolvable on the scan itself, so pin the file
-    // provenance as a regular column before any join consumes the frame
-    val lake = Lake.readState(spark, lakeDir, base)
-      .select(col("*"), col("_metadata.file_path").as("_file"))
-    val affected = lake
-      .groupBy(partitionCols.map(col): _*)
-      .agg(countDistinct(col("_file")).as("_nf"), count(lit(1)).as("_n"))
-      .filter(col("_nf") > maxFilesPerPartition)
-    if (affected.limit(1).count() > 0) {
-      val affectedLake = lake.join(
-        broadcast(affected.select(partitionCols.map(col): _*)), partitionCols, "left_semi")
-      val removed = affectedLake.select(col("_file")).distinct()
-        .collect().map(r => Lake.relativizeUri(spark, lakeDir, r.getString(0))).toSeq
-      // bin-pack: ceil(n/target) groups per partition, rows hash-spread
-      // across them — group count is the per-partition file budget and
-      // (partition, group) is the write-parallelism unit
-      val groups = affected.select(partitionCols.map(col) :+
-        ceil(col("_n").cast("double") / targetRowsPerFile).cast("int").as("_ng"): _*)
-      val dataCols = lake.columns.toSeq.filterNot(_ == "_file")
+    // driver-side census: manifest files grouped by partition directory
+    val affectedDirs = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+      .filter { case (d, fs) => d.nonEmpty && fs.size > maxFilesPerPartition }
+      .keys.toSeq.sorted
+    if (affectedDirs.nonEmpty) {
+      val removed = Lake.filesUnder(base.files, affectedDirs)
+      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed)
+      // one aggregate over the affected files: per-partition row counts
+      // feed the bin-packing AND sum to the audit expectation
+      val countRows = affectedLake.groupBy(partitionCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).collect()
+      val expected = countRows.map(_.getAs[Long]("_n")).sum
+      val groupSchema = org.apache.spark.sql.types.StructType(
+        affectedLake.select(partitionCols.map(col): _*).schema.fields :+
+          org.apache.spark.sql.types.StructField("_ng",
+            org.apache.spark.sql.types.IntegerType, nullable = false))
+      val groupRows = countRows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          partitionCols.indices.map(r.get) :+
+            math.ceil(r.getAs[Long]("_n").toDouble / targetRowsPerFile).toInt)
+      }
+      val groups = spark.createDataFrame(
+        spark.sparkContext.parallelize(groupRows.toSeq, 1), groupSchema)
+      val dataCols = affectedLake.columns.toSeq
       val packed = affectedLake
         .join(broadcast(groups), partitionCols)
         .withColumn("_gid", pmod(hash(dataCols.map(col): _*), col("_ng")))
         .repartition((partitionCols :+ "_gid").map(col): _*)
         .select(dataCols.map(col): _*)
-      val expected = affectedLake.count()
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
         Map("maxRecordsPerFile" -> targetRowsPerFile.toString),
-        scopeDirs = Lake.parentDirs(removed))
+        scopeDirs = affectedDirs)
       val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
       Lake.publish(spark,
         Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
@@ -867,25 +888,23 @@ object Pipeline {
       partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
     val b = batch.dropDuplicates(idCol)
-    val fresh =
+    // materialized once: three consumers follow (count, partition-dir
+    // collect, stage write) and recomputing the anti-join would re-scan
+    // the lake's id column each time; the block is batch-sized
+    val fresh = (
       if (base.files.isEmpty) b
       else {
         val lakeIds = Lake.readState(spark, lakeDir, base).select(idCol)
         b.join(bloomProbedIds(spark, b, lakeIds, idCol), Seq(idCol), "left_anti")
-      }
+      }).localCheckpoint(true)
     val expected = fresh.count()
     if (expected > 0) {
       // the partition directories this batch can land in — bounds the
       // staging diff's listing to O(batch partitions); a wrong dir name
       // (exotic partition value rendering) surfaces as a failed audit,
       // never a wrong commit
-      val scope = fresh.select(partitionCols.map(col): _*).distinct().collect().map { r =>
-        partitionCols.zipWithIndex.map { case (c, i) =>
-          val v = if (r.isNullAt(i)) null else String.valueOf(r.get(i))
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(c, v)
-        }.mkString("/")
-      }.toSeq
+      val scope = fresh.select(partitionCols.map(col): _*).distinct().collect()
+        .map(Lake.partitionDir(partitionCols, _)).toSeq
       val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols, scopeDirs = scope)
       val stagedBack = Lake.readFiles(spark, lakeDir, base.schemaJson, staged)
       val schemaJson =
