@@ -154,6 +154,24 @@ object Lake {
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
 
+  private def readManifestFile(fs: FileSystem, p: Path, v: Long): LakeState = {
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split('\n').toSeq
+    LakeState(v, lines.head, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** A specific committed manifest; throws if `version` was never
+    * committed. */
+  private[graft] def manifestAt(spark: SparkSession, lakeDir: String, version: Long): LakeState = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val target = new Path(logDir(root), manifestName(version))
+    if (!fs.exists(target))
+      throw new IllegalArgumentException(
+        s"lake $lakeDir has no committed manifest version $version")
+    readManifestFile(fs, target, version)
+  }
+
   /** Latest committed manifest, if the lake has a log. */
   private[graft] def latestManifest(spark: SparkSession, lakeDir: String): Option[LakeState] = {
     val (fs, root) = fsRoot(spark, lakeDir)
@@ -163,12 +181,7 @@ object Lake {
       .flatMap(s => parseVersion(s.getPath.getName).map(_ -> s.getPath))
     if (versions.isEmpty) return None
     val (v, p) = versions.maxBy(_._1)
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.split('\n').toSeq
-    LakeState(v, lines.head, lines.tail.filter(_.nonEmpty)) match {
-      case st => Some(st)
-    }
+    Some(readManifestFile(fs, p, v))
   }
 
   /** Current state: the latest manifest, or a bootstrap version 0 built
@@ -231,14 +244,7 @@ object Lake {
     * the missing files named. */
   def readVersion(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    val target = new Path(logDir(root), manifestName(version))
-    if (!fs.exists(target))
-      throw new IllegalArgumentException(
-        s"lake $lakeDir has no committed manifest version $version")
-    val in = fs.open(target)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.split('\n').toSeq
-    val st = LakeState(version, lines.head, lines.tail.filter(_.nonEmpty))
+    val st = manifestAt(spark, lakeDir, version)
     val gone = st.files.filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
@@ -332,6 +338,27 @@ object Lake {
       else readFiles(spark, lakeDir, df.schema.json, files).schema.json
     commit(spark, lakeDir, 1L, schemaJson, files)
     read(spark, lakeDir)
+  }
+
+  /** Incremental (CDC-style) read: the rows ADDED between two committed
+    * versions, computed by reading ONLY the files present in `toVersion`'s
+    * manifest but not in `fromVersion`'s — never the lake. This is the
+    * primitive an incremental consumer (nightly retraining, downstream
+    * index refresh) runs instead of a full-corpus diff: for append-only
+    * histories it is exactly the new documents, at the cost of the delta,
+    * not the corpus. Rewritten files (delete/compact) surface their
+    * surviving rows as "added" — set-difference against [[readVersion]]
+    * of `fromVersion` if exact row-level CDC across rewrites is needed
+    * (that cost is inherently O(both versions), which is why real CDC
+    * logs record row-level actions; the manifest records file-level ones).
+    */
+  def changesBetween(spark: SparkSession, lakeDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val from = manifestAt(spark, lakeDir, fromVersion).files.toSet
+    val to = manifestAt(spark, lakeDir, toVersion)
+    readFiles(spark, lakeDir, to.schemaJson, to.files.filterNot(from))
   }
 
   /** Delete every data file the latest manifest does not reference —

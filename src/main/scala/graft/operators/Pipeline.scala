@@ -1043,6 +1043,43 @@ object Pipeline {
       |FROM documents WHERE doc_id % 3 <> 0
       |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px107
+  /** Incremental consumption — the "what must I retrain on since the last
+    * snapshot" read every downstream of a training lake runs nightly.
+    * [[Lake.changesBetween]] diffs two manifests' file lists driver-side
+    * and reads ONLY the files added in between, so the consumer pays for
+    * the delta, not the corpus: here version 1 is the seed (two-thirds of
+    * the docs), version 2 the full-corpus append, and the incremental
+    * read must surface exactly the appended third — recomputed
+    * relationally by the oracle. The manifest diff is exact for
+    * append-only histories (the px103 ingest path); file-rewriting
+    * mutations surface survivors, the documented file-level-CDC
+    * semantics. */
+  private def px107(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px107_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
+    appendToLake(spark, out, sharded)
+    Lake.changesBetween(spark, out, 1L, 2L)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px107Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 3 = 0
+      |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   private def px104(spark: SparkSession, dir: String): DataFrame =
     profileTable(Tables(spark, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))
@@ -1185,5 +1222,6 @@ object Pipeline {
     GraftQuery("px103_lake_append", px103, Some(px100Oracle)),
     GraftQuery("px104_table_profile", px104, Some(px104Oracle)),
     GraftQuery("px105_quality_blend", px105, Some(px105Oracle)),
-    GraftQuery("px106_lake_time_travel", px106, Some(px106Oracle)))
+    GraftQuery("px106_lake_time_travel", px106, Some(px106Oracle)),
+    GraftQuery("px107_lake_incremental", px107, Some(px107Oracle)))
 }

@@ -160,6 +160,24 @@ class LakeSpec extends SparkTestBase {
       "vacuum must never touch the current version")
   }
 
+  test("changesBetween reads only the delta files: appended docs for append-only history, survivors for rewrites") {
+    val out = freshDir("lake-cdc")
+    // v1: seed with the even docs; v2: append the rest
+    Lake.init(spark, fixture().filter(col("doc_id") % 2 === 0), out, Seq("split", "shard_id"))
+    Pipeline.appendToLake(spark, out, fixture())
+    assert(ids(Lake.changesBetween(spark, out, 1L, 2L)) ==
+      (1L until 40L by 2).toSet, "append-only delta must be exactly the new docs")
+    assert(Lake.changesBetween(spark, out, 2L, 2L).count() == 0,
+      "a version is its own fixpoint — empty delta")
+    // v3: a delete rewrites affected partitions; file-level CDC surfaces
+    // the rewritten files' SURVIVORS as added (documented semantics)
+    Pipeline.deleteFromLake(spark, out, Seq(4L).toDF("doc_id"), "doc_id")
+    // doc 4 lives in (train, shard 0) = even ids < 20; its survivors:
+    val rewritten = ids(Lake.changesBetween(spark, out, 2L, 3L))
+    assert(rewritten == (0L until 20L by 2).toSet - 4L,
+      s"rewrite delta must be the affected partition's survivors: $rewritten")
+  }
+
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
     val out = freshDir("lake-binpack")
     // one hot partition: 500 rows fragmented across 10 files
