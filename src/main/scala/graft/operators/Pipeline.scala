@@ -915,23 +915,39 @@ object Pipeline {
     Lake.read(spark, lakeDir)
   }
 
-  /** The q79 device as [[appendToLake]]'s prefilter: a bloom over the
-    * batch's ids probes the lake's id column, keeping only ids that MIGHT
-    * be in the batch. An id the bloom rejects is provably absent from the
-    * batch and can never affect the batch-vs-lake anti-join, so dropping
-    * it is exactness-preserving; false positives (3%) merely pass through
-    * to the anti-join. Exposed so the spec can pin the row reduction. */
+  /** The q79 device as [[appendToLake]]'s prefilter, two layers deep —
+    * both exactness-preserving (an id provably absent from the batch can
+    * never affect the batch-vs-lake anti-join):
+    *
+    *   1. the batch's [min, max] id range as a PLAIN predicate on the
+    *      lake's id column — this one pushes into the parquet scan
+    *      (row-group/page statistics skipping), so for time-ordered id
+    *      assignment (the common ingest regime) the lake-side SCAN itself
+    *      shrinks to ~the recent files, not just the join input;
+    *   2. a broadcast bloom over the batch ids probing the survivors —
+    *      cuts scattered in-range non-members; its false positives (3%)
+    *      merely pass through to the exact anti-join.
+    *
+    * One pass over the (small) batch computes count, min, and max for
+    * both layers. Exposed so the spec can pin the row reduction and the
+    * pushed range predicate. */
   private[graft] def bloomProbedIds(spark: SparkSession, batch: DataFrame,
       lakeIds: DataFrame, idCol: String): DataFrame = {
-    val bf = batch.stat.bloomFilter(idCol, math.max(batch.count(), 1L), 0.03)
+    val stats = batch.agg(count(col(idCol)).as("_n"),
+      min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx")).collect()(0)
+    val n = math.max(stats.getLong(0), 1L)
+    if (stats.isNullAt(1)) return lakeIds.filter(lit(false)) // all-null batch ids
+    val ranged = lakeIds.filter(
+      col(idCol) >= lit(stats.get(1)) && col(idCol) <= lit(stats.get(2)))
+    val bf = batch.stat.bloomFilter(idCol, n, 0.03)
     val bfB = spark.sparkContext.broadcast(bf)
     batch.schema(idCol).dataType match {
       case org.apache.spark.sql.types.StringType =>
         val mc = udf { k: String => k != null && bfB.value.mightContainString(k) }
-        lakeIds.filter(mc(col(idCol)))
+        ranged.filter(mc(col(idCol)))
       case _ =>
         val mc = udf { k: java.lang.Long => k != null && bfB.value.mightContainLong(k) }
-        lakeIds.filter(mc(col(idCol).cast("long")))
+        ranged.filter(mc(col(idCol).cast("long")))
     }
   }
 

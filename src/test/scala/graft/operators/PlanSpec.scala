@@ -160,6 +160,25 @@ class PlanSpec extends SparkTestBase {
       "exactly one exchange per round (the contribution agg) is the contract:\n" + p.take(1500))
   }
 
+  test("append prefilter: the batch id range reaches the lake scan as a pushed filter") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // layer 1 of the px103 prefilter must prune at the parquet statistics
+    // level — a UDF-only prefilter would read every row-group of a 100 TB
+    // id column before dropping rows
+    val out = java.nio.file.Files.createTempDirectory("bloomrange").toString + "/lake"
+    spark.range(1000).select(col("id").as("doc_id"), lit("x").as("text"))
+      .write.mode("overwrite").parquet(out)
+    val batch = spark.range(900, 950).select(col("id").as("doc_id"))
+    val probed = Pipeline.bloomProbedIds(spark, batch,
+      spark.read.parquet(out).select("doc_id"), "doc_id")
+    probed.collect()
+    val p = probed.queryExecution.executedPlan.toString()
+    assert(p.replaceAll("\\s+", " ").matches(
+      "(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(doc_id,900\\)[^\\]]*\\].*"),
+      "the batch min/max range must push into the parquet id scan:\n" + p.take(1500))
+  }
+
   test("CC round: broadcast min tables, min/canonicalize exchanges only, no edge shuffle") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
