@@ -209,19 +209,26 @@ object Lake {
     st
   }
 
-  /** Read a specific file list (partition columns inferred from the paths
-    * under `basePath`); an empty list reads as an empty frame with the
-    * manifest's schema, so "every row deleted" round-trips. */
+  /** Read a specific file list under the manifest's recorded schema.
+    * Applying the schema explicitly (instead of inferring from a sample
+    * file) is what makes schema EVOLUTION sound: after a merge-schema
+    * append the lake holds files written under different column sets, and
+    * every file projects into the manifest schema with absent columns as
+    * null — no mergeSchema footer sweep, no sample-file lottery. An empty
+    * list reads as an empty frame with the same schema, so "every row
+    * deleted" round-trips. Partition columns keep their recorded types. */
   private[graft] def readFiles(spark: SparkSession, lakeDir: String,
-      schemaJson: String, files: Seq[String]): DataFrame =
-    if (files.isEmpty) {
-      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      schemaJson: String, files: Seq[String]): DataFrame = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
+    else {
       val (_, root) = fsRoot(spark, lakeDir)
-      spark.read.option("basePath", root.toString)
+      val reader = spark.read.option("basePath", root.toString)
+      (if (schema.nonEmpty) reader.schema(schema) else reader)
         .parquet(files.map(f => new Path(root, f).toString): _*)
     }
+  }
 
   private[graft] def readState(spark: SparkSession, lakeDir: String, st: LakeState): DataFrame =
     readFiles(spark, lakeDir, st.schemaJson, st.files)

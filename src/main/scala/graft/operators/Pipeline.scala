@@ -882,12 +882,55 @@ object Pipeline {
     *      so ingest is exactly-once end to end. A first-ever ingest into
     *      a missing/empty lake commits the batch as version 1.
     *
+    * Schema drift between batch and lake REFUSES by default (silent
+    * column loss is how long-lived corpora rot); with `mergeSchema =
+    * true`, batch-only columns extend the manifest schema (nullable — old
+    * files read them as null) and lake-only columns land as null in the
+    * new files. A column whose TYPE changed refuses either way: that is
+    * a migration, not an evolution. The manifest carries the schema, so
+    * evolution is one commit and readers never re-sweep file footers.
+    *
     * Fragmentation added by many appends is px102's job to undo. */
   def appendToLake(spark: SparkSession, lakeDir: String, batch: DataFrame,
       idCol: String = "doc_id",
-      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+      partitionCols: Seq[String] = Seq("split", "shard_id"),
+      mergeSchema: Boolean = false): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
-    val b = batch.dropDuplicates(idCol)
+    val b0 = batch.dropDuplicates(idCol)
+    // resolve batch-vs-lake schema drift BEFORE any dedup work
+    val (b, commitSchemaJson) =
+      if (base.files.isEmpty) (b0, null: String)
+      else {
+        val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val lakeTypes = lakeSchema.map(f => f.name -> f.dataType).toMap
+        val bTypes = b0.schema.map(f => f.name -> f.dataType).toMap
+        val conflicts = lakeTypes.keySet.intersect(bTypes.keySet)
+          .filter(c => lakeTypes(c) != bTypes(c))
+        if (conflicts.nonEmpty)
+          throw new IllegalArgumentException(
+            s"appendToLake: column type change for ${conflicts.mkString(", ")} — " +
+              "a type migration needs a rewrite, not an append")
+        if (lakeTypes == bTypes) (b0, base.schemaJson)
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            "appendToLake: batch schema drifts from the lake " +
+              s"(batch-only: ${(bTypes.keySet -- lakeTypes.keySet).mkString(", ")}; " +
+              s"lake-only: ${(lakeTypes.keySet -- bTypes.keySet).mkString(", ")}) — " +
+              "pass mergeSchema = true to evolve")
+        else {
+          val missingParts = partitionCols.filterNot(bTypes.contains)
+          require(missingParts.isEmpty,
+            s"appendToLake: batch lacks partition column(s) ${missingParts.mkString(", ")}")
+          val newFields = b0.schema.fields.filterNot(f => lakeTypes.contains(f.name))
+            .map(_.copy(nullable = true))
+          val merged = org.apache.spark.sql.types.StructType(lakeSchema.fields ++ newFields)
+          val aligned = b0.select(merged.map(f =>
+            if (bTypes.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)): _*)
+          (aligned, merged.json)
+        }
+      }
     // materialized once: three consumers follow (count, partition-dir
     // collect, stage write) and recomputing the anti-join would re-scan
     // the lake's id column each time; the block is batch-sized
@@ -906,9 +949,10 @@ object Pipeline {
       val scope = fresh.select(partitionCols.map(col): _*).distinct().collect()
         .map(Lake.partitionDir(partitionCols, _)).toSeq
       val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols, scopeDirs = scope)
-      val stagedBack = Lake.readFiles(spark, lakeDir, base.schemaJson, staged)
+      val stagedBack = Lake.readFiles(spark, lakeDir,
+        Option(commitSchemaJson).getOrElse(base.schemaJson), staged)
       val schemaJson =
-        if (base.files.isEmpty) stagedBack.schema.json else base.schemaJson
+        if (base.files.isEmpty) stagedBack.schema.json else commitSchemaJson
       Lake.publish(spark, Lake.StagedCommit(lakeDir, base, schemaJson, Seq.empty,
         staged, stagedBack.count(), expected))
     }

@@ -160,6 +160,38 @@ class LakeSpec extends SparkTestBase {
       "vacuum must never touch the current version")
   }
 
+  test("merge-schema append: new columns evolve the manifest, drift refuses by default, type changes always refuse") {
+    val out = freshDir("lake-evolve")
+    Lake.init(spark, fixture(), out, Seq("split", "shard_id"))
+    val batch2 = spark.range(40, 50).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"),
+      (col("id") * 0.5).as("quality"))
+    // silent column loss is refused without the explicit opt-in
+    intercept[IllegalArgumentException] { Pipeline.appendToLake(spark, out, batch2) }
+    val after = Pipeline.appendToLake(spark, out, batch2, mergeSchema = true)
+    assert(after.columns.contains("quality"), "batch-only column must evolve the schema")
+    assert(after.filter(col("doc_id") < 40 && col("quality").isNotNull).count() == 0,
+      "pre-evolution rows must read the new column as null")
+    assert(after.filter(col("doc_id") >= 40 && col("quality").isNull).count() == 0,
+      "appended rows must carry their column values")
+    // a batch MISSING a lake column lands it as null under mergeSchema
+    val batch3 = spark.range(50, 55).select(
+      col("id").as("doc_id"), lit("train").as("split"),
+      (col("id") % 2).cast("int").as("shard_id"), (col("id") * 0.5).as("quality"))
+    val after3 = Pipeline.appendToLake(spark, out, batch3, mergeSchema = true)
+    assert(after3.filter(col("doc_id") >= 50 && col("text").isNotNull).count() == 0)
+    assert(after3.count() == 55)
+    // a TYPE change is a migration, never an append
+    val batch4 = spark.range(60, 61).select(
+      col("id").as("doc_id"), lit("t").as("text"), lit("train").as("split"),
+      (col("id") % 2).cast("int").as("shard_id"), lit("high").as("quality"))
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendToLake(spark, out, batch4, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type change"))
+  }
+
   test("changesBetween reads only the delta files: appended docs for append-only history, survivors for rewrites") {
     val out = freshDir("lake-cdc")
     // v1: seed with the even docs; v2: append the rest
