@@ -160,6 +160,25 @@ class LakeSpec extends SparkTestBase {
       "vacuum must never touch the current version")
   }
 
+  test("two writers staged from the same base: the second publish refuses — no lost update") {
+    val out = freshDir("lake-race")
+    writePlain(fixture(), out)
+    // both writers resolve the SAME base version, then race to publish
+    val w1 = Pipeline.stageLakeDelete(spark, out, Seq(1L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    val w2 = Pipeline.stageLakeDelete(spark, out, Seq(3L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    Lake.publish(spark, w1)
+    val e = intercept[IllegalStateException] { Lake.publish(spark, w2) }
+    assert(e.getMessage.contains("concurrent commit"),
+      s"the losing writer must be refused, not merged: ${e.getMessage}")
+    // only the winner's delete is visible; the loser must re-stage from
+    // the new base (its staged files are abortable orphans)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 1L)
+    Lake.abort(spark, w2)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 1L)
+  }
+
   test("merge-schema append: new columns evolve the manifest, drift refuses by default, type changes always refuse") {
     val out = freshDir("lake-evolve")
     Lake.init(spark, fixture(), out, Seq("split", "shard_id"))
