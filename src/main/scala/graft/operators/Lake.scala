@@ -381,4 +381,26 @@ object Lake {
         deleteFiles(spark, lakeDir, dead)
         dead
     }
+
+  /** Retention-policy vacuum: keep the newest `keepVersions` manifests
+    * fully readable ([[readVersion]] / [[changesBetween]]), reclaim
+    * everything older — data files referenced by no retained version are
+    * deleted, then the expired manifests themselves (data first, so a
+    * crash mid-vacuum leaves dangling manifests that fail loudly rather
+    * than silently-live files). The latest version is always retained. */
+  def vacuumKeeping(spark: SparkSession, lakeDir: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val log = logDir(root)
+    if (!fs.exists(log)) return Seq.empty
+    val versions = fs.listStatus(log).toSeq
+      .flatMap(s => parseVersion(s.getPath.getName)).sorted
+    if (versions.isEmpty) return Seq.empty
+    val (expired, retained) = versions.splitAt(math.max(versions.size - keepVersions, 0))
+    val live = retained.flatMap(v => manifestAt(spark, lakeDir, v).files).toSet
+    val dead = listDataFiles(spark, lakeDir).filterNot(live)
+    deleteFiles(spark, lakeDir, dead)
+    expired.foreach(v => fs.delete(new Path(log, manifestName(v)), false))
+    dead
+  }
 }

@@ -798,7 +798,8 @@ object Pipeline {
   def compactLake(spark: SparkSession, lakeDir: String,
       maxFilesPerPartition: Int = 1,
       targetRowsPerFile: Long = 4000000L,
-      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+      partitionCols: Seq[String] = Seq("split", "shard_id"),
+      sortCols: Seq[String] = Seq.empty): DataFrame = {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
     val base = Lake.adopt(spark, lakeDir)
@@ -826,11 +827,26 @@ object Pipeline {
       val groups = spark.createDataFrame(
         spark.sparkContext.parallelize(groupRows.toSeq, 1), groupSchema)
       val dataCols = affectedLake.columns.toSeq
-      val packed = affectedLake
-        .join(broadcast(groups), partitionCols)
-        .withColumn("_gid", pmod(hash(dataCols.map(col): _*), col("_ng")))
-        .repartition((partitionCols :+ "_gid").map(col): _*)
-        .select(dataCols.map(col): _*)
+      // two packing strategies, same file-size bound:
+      //  - unsorted: hash file-groups per partition (ceil(n/target) each)
+      //  - clustered (sortCols): RANGE partition on (partition, sortCols)
+      //    with ~target-sized tasks — the range sampler balances skew, a
+      //    task-local sort makes every written file a contiguous run, and
+      //    parquet min/max statistics on the sort columns come out TIGHT
+      //    and pairwise disjoint — the data-skipping food for pushed
+      //    range predicates (e.g. px103's batch-id-range prefilter).
+      //    Never a global sort.
+      val packed =
+        if (sortCols.nonEmpty) {
+          val nTasks = math.max(1, math.ceil(expected.toDouble / targetRowsPerFile).toInt)
+          affectedLake
+            .repartitionByRange(nTasks, (partitionCols ++ sortCols).map(col): _*)
+            .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        } else affectedLake
+          .join(broadcast(groups), partitionCols)
+          .withColumn("_gid", pmod(hash(dataCols.map(col): _*), col("_ng")))
+          .repartition((partitionCols :+ "_gid").map(col): _*)
+          .select(dataCols.map(col): _*)
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
         Map("maxRecordsPerFile" -> targetRowsPerFile.toString),
         scopeDirs = affectedDirs)

@@ -229,6 +229,50 @@ class LakeSpec extends SparkTestBase {
       s"rewrite delta must be the affected partition's survivors: $rewritten")
   }
 
+  test("clustered compaction: files are contiguous sorted runs with disjoint id ranges per partition") {
+    val out = freshDir("lake-cluster")
+    val hot = spark.range(500).select(
+      (col("id") * 7919 % 500).as("doc_id"), concat(lit("d"), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    hot.repartition(10).write.mode("overwrite")
+      .partitionBy("split", "shard_id").parquet(out)
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 100L, sortCols = Seq("doc_id"))
+    val files = Lake.latestManifest(spark, out).get.files
+    assert(files.size >= 5, s"expected ~5 target-sized files, got ${files.size}")
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(new org.apache.hadoop.fs.Path(out, f).toString)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.length <= 100, s"file over target: ${ids.length}")
+      assert(ids.sameElements(ids.sorted), s"file $f is not a sorted run")
+      (ids.min, ids.max)
+    }
+    ranges.sorted.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file id ranges overlap: ..$hi vs $lo.. — stats won't skip")
+      case _ =>
+    }
+  }
+
+  test("vacuumKeeping retains the newest N versions readable and reclaims older history") {
+    val out = freshDir("lake-retention")
+    Lake.init(spark, fixture().filter(col("doc_id") < 20), out, Seq("split", "shard_id")) // v1
+    Pipeline.appendToLake(spark, out, fixture())                                          // v2
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(2L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    Lake.publish(spark, staged, vacuumSuperseded = false)                                 // v3 + history
+    assert(Lake.vacuumKeeping(spark, out, 2).isEmpty,
+      "v2 and v3 both reference every live file — nothing to reclaim yet")
+    intercept[IllegalArgumentException] { Lake.readVersion(spark, out, 1L) } // expired
+    assert(ids(Lake.readVersion(spark, out, 2L)) == (0L until 40L).toSet)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 2L)
+    val dead = Lake.vacuumKeeping(spark, out, 1)
+    assert(dead.nonEmpty, "v2-only pre-image files must be reclaimed at keep=1")
+    intercept[IllegalArgumentException] { Lake.readVersion(spark, out, 2L) }
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 2L,
+      "the latest version must survive every retention cut")
+  }
+
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
     val out = freshDir("lake-binpack")
     // one hot partition: 500 rows fragmented across 10 files
