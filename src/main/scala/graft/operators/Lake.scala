@@ -46,6 +46,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Directories without a `_graft_log` (plain `df.write.partitionBy`
   * layouts) bootstrap as version 0 = the current listing, so the protocol
   * retrofits onto any existing partitioned-parquet lake.
+  *
+  * Because every manifest is an immutable, self-contained file list, the
+  * expensive-sounding lake features come out as near-trivial reads:
+  * [[readVersion]] (time travel / audit reads), [[changesBetween]]
+  * (incremental CDC-style consumption — the delta's files only),
+  * schema evolution (the manifest carries the schema; every file projects
+  * into it), and [[vacuumKeeping]] (retention: keep N versions readable,
+  * reclaim the rest).
   */
 object Lake {
 
