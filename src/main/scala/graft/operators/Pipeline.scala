@@ -682,9 +682,14 @@ object Pipeline {
     * trades write parallelism against delete amplification. */
   def deleteFromLake(spark: SparkSession, lakeDir: String, tombstones: DataFrame,
       tombIdCol: String, lakeIdCol: String = "doc_id",
-      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+      partitionCols: Seq[String] = Seq("split", "shard_id"),
+      retainHistory: Boolean = false): DataFrame = {
+    // CAUTION with retainHistory on a right-to-be-forgotten delete: the
+    // tombstoned rows stay physically readable via [[Lake.readVersion]]
+    // until a retention vacuum spends that history — eager vacuum (the
+    // default) is what actually destroys the bytes
     stageLakeDelete(spark, lakeDir, tombstones, tombIdCol, lakeIdCol, partitionCols)
-      .foreach(Lake.publish(spark, _))
+      .foreach(Lake.publish(spark, _, vacuumSuperseded = !retainHistory))
     Lake.read(spark, lakeDir)
   }
 
@@ -799,7 +804,8 @@ object Pipeline {
       maxFilesPerPartition: Int = 1,
       targetRowsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = Seq("split", "shard_id"),
-      sortCols: Seq[String] = Seq.empty): DataFrame = {
+      sortCols: Seq[String] = Seq.empty,
+      retainHistory: Boolean = false): DataFrame = {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
     val base = Lake.adopt(spark, lakeDir)
@@ -853,7 +859,8 @@ object Pipeline {
       val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
       Lake.publish(spark,
         Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
-          stagedRows, expected))
+          stagedRows, expected),
+        vacuumSuperseded = !retainHistory)
     }
     Lake.read(spark, lakeDir)
   }

@@ -146,10 +146,9 @@ class LakeSpec extends SparkTestBase {
   test("time travel: a retained version reads back exactly; a vacuumed-away version fails loudly") {
     val out = freshDir("lake-tt")
     writePlain(fixture(), out)
-    val staged = Pipeline.stageLakeDelete(spark, out, Seq(0L, 1L, 2L).toDF("doc_id"),
-      "doc_id", "doc_id", Seq("split", "shard_id")).get
-    Lake.publish(spark, staged, vacuumSuperseded = false) // storage-for-history
-    assert(ids(Lake.read(spark, out)) == (3L until 40L).toSet)
+    val after = Pipeline.deleteFromLake(spark, out, Seq(0L, 1L, 2L).toDF("doc_id"),
+      "doc_id", retainHistory = true) // storage-for-history through the public API
+    assert(ids(after) == (3L until 40L).toSet)
     // v0 is the adopted pre-delete lake — still fully reconstructible
     assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet)
     // reclaiming against the LATEST manifest spends that history
