@@ -94,13 +94,6 @@ object Lake {
     fp.substring(rp.length + 1)
   }
 
-  /** [[relativize]] for the absolute URI strings `_metadata.file_path`
-    * reports. */
-  private[graft] def relativizeUri(spark: SparkSession, lakeDir: String, fileUri: String): String = {
-    val (fs, root) = fsRoot(spark, lakeDir)
-    relativize(root, fs.makeQualified(new Path(new java.net.URI(fileUri))))
-  }
-
   /** Recursive listing of the lake's parquet data files as lakeDir-relative
     * paths; hidden trees (`_graft_log`, `_SUCCESS`, `.`-prefixed temp
     * files) are excluded. Used to bootstrap version 0 and to diff a staged
@@ -128,12 +121,6 @@ object Lake {
     }
     out.result().distinct.sorted
   }
-
-  /** Distinct parent directories (lakeDir-relative) of a set of relative
-    * file paths — the partition directories a mutation's pre-image lives
-    * in, used to scope [[stageWrite]]'s listing diff. */
-  private[graft] def parentDirs(relFiles: Seq[String]): Seq[String] =
-    relFiles.map(f => f.take(f.lastIndexOf('/').max(0))).filter(_.nonEmpty).distinct.sorted
 
   /** The manifest files living under any of `dirs` (relative partition
     * directories). The manifest IS the lake's file census — partition
