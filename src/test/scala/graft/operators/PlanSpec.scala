@@ -160,6 +160,28 @@ class PlanSpec extends SparkTestBase {
       "exactly one exchange per round (the contribution agg) is the contract:\n" + p.take(1500))
   }
 
+  test("manifest-resolved lake reads keep partition pruning and data-filter pushdown") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Lake.read pins the scan to the manifest's explicit file list — that
+    // must NOT cost the two scan-avoidance levers: a partition predicate
+    // still prunes to the matching directories' files at planning time,
+    // and a data predicate still pushes into parquet
+    val out = java.nio.file.Files.createTempDirectory("lakeprune").toString + "/lake"
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i", if (i < 20) "train" else "test", (i % 2).toInt))
+      .toDF("doc_id", "text", "split", "shard_id")
+    Lake.init(spark, docs, out, Seq("split", "shard_id"))
+    val df = Lake.read(spark, out)
+      .filter(col("split") === "train" && col("doc_id") > 5L)
+    assert(df.count() == 14)
+    val p = df.queryExecution.executedPlan.toString().replaceAll("\\s+", " ")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*split[^\\]]*\\].*"),
+      "the split predicate must prune manifest files at planning time:\n" + p.take(1500))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(doc_id,5\\)[^\\]]*\\].*"),
+      "the doc_id predicate must push into the parquet scan:\n" + p.take(1500))
+  }
+
   test("append prefilter: the batch id range reaches the lake scan as a pushed filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
