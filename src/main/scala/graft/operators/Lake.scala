@@ -130,15 +130,29 @@ object Lake {
     files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
 
   /** Render one typed partition-value row as its directory path, exactly
-    * as Spark's writer lays it out (Hive escaping, null → default
-    * partition). A wrong rendering for an exotic type is caught by the
-    * callers' sanity checks (each rendered dir must own manifest files) —
-    * it can surface as a refused mutation, never a wrong commit. */
-  private[graft] def partitionDir(partitionCols: Seq[String], row: org.apache.spark.sql.Row): String =
+    * as Spark's writer lays it out. The value string is produced by the
+    * same device the write path uses — a Catalyst `Cast(v, string)` with
+    * the session time zone — so date/timestamp/decimal partition values
+    * render identically to the directories the writer created (a raw
+    * `toString` diverges for e.g. `java.sql.Timestamp`'s trailing `.0`);
+    * Hive escaping and null → default partition then come from
+    * `getPartitionPathString`. A wrong rendering for an exotic type is
+    * still caught by the callers' sanity checks (each rendered dir must
+    * own manifest files) — it can surface as a refused mutation, never a
+    * wrong commit. Rows must carry their schema (collected frames do). */
+  private[graft] def partitionDir(partitionCols: Seq[String], row: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     partitionCols.zipWithIndex.map { case (c, i) =>
-      val v = if (row.isNullAt(i)) null else String.valueOf(row.get(i))
+      val v =
+        if (row.isNullAt(i)) null
+        else {
+          val lit = Literal.create(row.get(i), row.schema(i).dataType)
+          String.valueOf(Cast(lit, org.apache.spark.sql.types.StringType, tz).eval(null))
+        }
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString(c, v)
     }.mkString("/")
+  }
 
   private def logDir(root: Path): Path = new Path(root, LogDirName)
 
@@ -272,7 +286,15 @@ object Lake {
   }
 
   /** Atomically commit a new manifest version. Refuses (rather than
-    * clobbers) an already-committed version — the single-writer guard. */
+    * clobbers) an already-committed version — the single-writer guard.
+    * The guard is exists-check + rename + content read-back: on HDFS a
+    * rename onto an existing destination fails outright; on filesystems
+    * where rename OVERWRITES (POSIX / RawLocalFileSystem) two truly
+    * concurrent publishes could both "succeed", so after the rename the
+    * manifest is read back and compared to what this writer wrote — at
+    * most one racer matches, the other throws with its commit un-landed.
+    * (On object stores without atomic rename this whole method is the
+    * documented swap-in point for a put-if-absent conditional write.) */
   private[graft] def commit(spark: SparkSession, lakeDir: String, version: Long,
       schemaJson: String, files: Seq[String]): Unit = {
     val (fs, root) = fsRoot(spark, lakeDir)
@@ -282,15 +304,21 @@ object Lake {
     if (fs.exists(target))
       throw new IllegalStateException(
         s"concurrent commit: manifest version $version already exists at $target")
+    val payload = (schemaJson +: files.sorted).mkString("\n")
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((schemaJson +: files.sorted).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"concurrent commit: rename to $target failed (version raced by another writer)")
     }
+    val landed = readManifestFile(fs, target, version)
+    if (landed.schemaJson != schemaJson || landed.files != files.sorted)
+      throw new IllegalStateException(
+        s"concurrent commit: manifest version $version was clobbered by another " +
+          "writer after rename (overwrite-on-rename filesystem) — this commit lost")
   }
 
   private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit = {

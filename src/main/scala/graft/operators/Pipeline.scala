@@ -920,12 +920,16 @@ object Pipeline {
       mergeSchema: Boolean = false): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
     val b0 = batch.dropDuplicates(idCol)
+    // drift checks key on the RECORDED schema, not the file count: a lake
+    // whose latest manifest lists zero files (every row deleted) still has
+    // a schema contract, and bypassing the checks there would let a
+    // type-changed batch silently re-bootstrap it
+    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     // resolve batch-vs-lake schema drift BEFORE any dedup work
     val (b, commitSchemaJson) =
-      if (base.files.isEmpty) (b0, null: String)
+      if (lakeSchema.isEmpty) (b0, null: String)
       else {
-        val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
         val lakeTypes = lakeSchema.map(f => f.name -> f.dataType).toMap
         val bTypes = b0.schema.map(f => f.name -> f.dataType).toMap
         val conflicts = lakeTypes.keySet.intersect(bTypes.keySet)
@@ -975,7 +979,7 @@ object Pipeline {
       val stagedBack = Lake.readFiles(spark, lakeDir,
         Option(commitSchemaJson).getOrElse(base.schemaJson), staged)
       val schemaJson =
-        if (base.files.isEmpty) stagedBack.schema.json else commitSchemaJson
+        if (commitSchemaJson == null) stagedBack.schema.json else commitSchemaJson
       Lake.publish(spark, Lake.StagedCommit(lakeDir, base, schemaJson, Seq.empty,
         staged, stagedBack.count(), expected))
     }
@@ -1008,14 +1012,15 @@ object Pipeline {
       col(idCol) >= lit(stats.get(1)) && col(idCol) <= lit(stats.get(2)))
     val bf = batch.stat.bloomFilter(idCol, n, 0.03)
     val bfB = spark.sparkContext.broadcast(bf)
-    batch.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        val mc = udf { k: String => k != null && bfB.value.mightContainString(k) }
-        ranged.filter(mc(col(idCol)))
-      case _ =>
-        val mc = udf { k: java.lang.Long => k != null && bfB.value.mightContainLong(k) }
-        ranged.filter(mc(col(idCol).cast("long")))
+    // native codegen'd probe (graft.plans.BloomMightContainF) — a Scala
+    // UDF here would break whole-stage codegen on the id scan
+    import org.apache.spark.sql.graft.{ColumnBridge => CB}
+    val probeCol = batch.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.StringType => col(idCol)
+      case _ => col(idCol).cast("long")
     }
+    ranged.filter(CB.column(
+      graft.plans.BloomMightContainF(CB.expression(probeCol), bfB)))
   }
 
   /** Seed the lake with two-thirds of the corpus, append the FULL corpus

@@ -199,6 +199,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.replaceAll("\\s+", " ").matches(
       "(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(doc_id,900\\)[^\\]]*\\].*"),
       "the batch min/max range must push into the parquet id scan:\n" + p.take(1500))
+    // layer 2 (the bloom probe) must stay inside whole-stage codegen: a
+    // Scala UDF would split the stage right after the pushed scan
+    assert(!p.contains("UDF") && !p.contains("BatchEvalPython"),
+      "the bloom probe must be a native expression, not a UDF:\n" + p.take(1500))
+    assert(p.contains("graft_bloom_might_contain"),
+      "the native bloom probe must appear in the filter:\n" + p.take(1500))
   }
 
   test("CC round: broadcast min tables, min/canonicalize exchanges only, no edge shuffle") {
