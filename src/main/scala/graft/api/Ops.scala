@@ -133,9 +133,15 @@ object Ops {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
     val blockExpr = blockCol.map(col).getOrElse(lit(0))
+    // persisted because FOUR plan branches consume g (both sides of the
+    // prefix join, both sides of the verification join) and the shingle
+    // UDF over the full corpus is the dominant cost — without the persist
+    // it runs once per branch. MEMORY_AND_DISK spills rather than evicts,
+    // and an evicted block recomputes (correctness never depends on it).
     val g = df.select(col(idCol).as("doc_id"), blockExpr.as("_blk"), hsUdf(col(textCol)).as("hs"))
       .withColumn("sz", size(col("hs")))
       .filter(col("sz") > 0) // <3-token docs have no shingles, can't reach t
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = g.select(col("doc_id"), col("_blk"), col("sz"),
       explode(slice(col("hs"), lit(1), prefLen)).as("ph"))
@@ -372,8 +378,8 @@ object Ops {
     * "canonical" docs per true cluster).
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 10,
-      broadcastMaxRows: Long = 1000000L): DataFrame =
-    ccLargeSmallStar(edges, aCol, bCol, maxIter, broadcastMaxRows)._1
+      broadcastMaxRows: Long = 1000000L, driverMaxRows: Long = 1000000L): DataFrame =
+    ccLargeSmallStar(edges, aCol, bCol, maxIter, broadcastMaxRows, driverMaxRows)._1
 
   /** ONE large-star + small-star contraction round — exposed so the plan
     * spec pins the round's physical shape. The same broadcast-adaptive
@@ -412,9 +418,11 @@ object Ops {
 
   /** [[connectedComponents]] plus the round count — exposed for the
     * convergence-rate regression test (a diameter-100 path must converge
-    * in far fewer than 100 rounds). */
+    * in far fewer than 100 rounds). Returns 0 rounds when the driver
+    * fast path resolved the closure without distributed iteration. */
   private[graft] def ccLargeSmallStar(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int, broadcastMaxRows: Long = 1000000L): (DataFrame, Int) = {
+      maxIter: Int, broadcastMaxRows: Long = 1000000L,
+      driverMaxRows: Long = 1000000L): (DataFrame, Int) = {
     // Node domain from the RAW symmetrized list (self-loops included) so
     // isolated/self-loop-only ids still get a label, as before.
     // Checkpointed FIRST: nodes, the working edge set, and every round
@@ -425,6 +433,49 @@ object Ops {
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .localCheckpoint()
+    // Driver fast path: a dup graph whose SYMMETRIZED edge list fits the
+    // driver (the same fits-in-one-place regime that lets the distributed
+    // rounds broadcast their min tables) resolves in ONE in-memory
+    // union-find pass instead of per-round Spark jobs — measured, the
+    // iterative path's cost at this size is pure job-scheduling overhead
+    // (seconds for hundreds of edges), not data. Min-root union keeps the
+    // exact contract: comp = min id of the component. Only exact integral
+    // id types take the fast path (labels must round-trip bit-for-bit);
+    // anything else, or a larger edge list, runs the scalable rounds.
+    val idType = sym0.schema("u").dataType
+    val intIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (intIds && driverMaxRows > 0 && sym0.count() <= driverMaxRows) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.getOrDefault(x, x)
+          parent.put(x, parent.getOrDefault(p, p)) // path halving
+          x = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val collected = sym0.collect().map(r =>
+        (r.get(0).asInstanceOf[Number].longValue, r.get(1).asInstanceOf[Number].longValue))
+      collected.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        // attach the larger root under the smaller: the final root of
+        // every tree is the component minimum by induction
+        if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+      }
+      val seen = new java.util.HashSet[Long]()
+      val all = Seq.newBuilder[(Long, Long)]
+      collected.foreach { case (u, v) =>
+        if (seen.add(u)) all += ((u, find(u)))
+        if (seen.add(v)) all += ((v, find(v)))
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val out = all.result().toDF("id", "comp")
+        .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
+      return (out, 0)
+    }
     val nodes = sym0.select(col("u").as("id")).distinct()
     // Working edge set: canonical larger-first orientation, no self-loops.
     var e = sym0.filter(col("u") =!= col("v"))

@@ -47,12 +47,13 @@ class OpsSpec extends SparkTestBase {
 
   test("connectedComponents fails loudly when rounds exceed maxIter") {
     import spark.implicits._
+    // driverMaxRows = 0 forces the distributed rounds the test pins
     val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
     intercept[IllegalStateException] {
-      Ops.connectedComponents(chain, "a", "b", maxIter = 1).collect()
+      Ops.connectedComponents(chain, "a", "b", maxIter = 1, driverMaxRows = 0).collect()
     }
     // and converges fine when allowed enough rounds
-    val ok = Ops.connectedComponents(chain, "a", "b", maxIter = 15)
+    val ok = Ops.connectedComponents(chain, "a", "b", maxIter = 15, driverMaxRows = 0)
       .collect().map(r => r.getLong(1)).distinct
     assert(ok.toSeq == Seq(1L))
   }
@@ -62,12 +63,37 @@ class OpsSpec extends SparkTestBase {
     // the case min-label propagation cannot handle: a 100-hop chain would
     // need 100 label rounds; large-star/small-star contracts it in ~log n
     val path = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
-    val (labels, rounds) = Ops.ccLargeSmallStar(path, "a", "b", maxIter = 15)
+    val (labels, rounds) = Ops.ccLargeSmallStar(path, "a", "b", maxIter = 15,
+      driverMaxRows = 0)
     val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(comps.length == 101, s"expected 101 labeled nodes, got ${comps.length}")
     assert(comps.forall(_._2 == 0L), "every node must label to the component minimum 0")
     assert(rounds < 15, s"convergence took $rounds rounds — not O(log n)")
     info(s"diameter-100 path converged in $rounds rounds")
+  }
+
+  test("CC driver fast path: identical labels to the distributed rounds, zero rounds run") {
+    import spark.implicits._
+    // mixed shapes: a chain, a triangle, a self-loop-only node, a star —
+    // the driver union-find must agree with the iterative path label for
+    // label (comp = min id of the component) on all of them
+    val edges = ((0L until 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L), (200L, 200L)) ++
+      (0L until 8L).map(i => (300L, 310L + i))).toDF("a", "b")
+    val (fast, fastRounds) = Ops.ccLargeSmallStar(edges, "a", "b", maxIter = 15)
+    val (slow, slowRounds) = Ops.ccLargeSmallStar(edges, "a", "b", maxIter = 15,
+      driverMaxRows = 0)
+    assert(fastRounds == 0, "a tiny edge set must resolve driver-side, no Spark rounds")
+    assert(slowRounds > 0, "driverMaxRows = 0 must force the distributed rounds")
+    val f = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = slow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == s, s"fast/slow label disagreement: ${(f.toSet diff s.toSet).take(5)}")
+    // int ids round-trip through the fast path with their type intact
+    val intEdges = Seq((1, 2), (2, 3), (7, 7)).toDF("a", "b")
+    val lab = Ops.connectedComponents(intEdges, "a", "b")
+    assert(lab.schema("comp").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(lab.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7))
   }
 
   test("sessionize: 30-min gaps split sessions; ids are 1-based and ordered") {
