@@ -1,82 +1,108 @@
 package graft.operators
 
+import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Manifest-resolved lake storage: the write-audit-publish commit protocol
   * under the px100-px103 lake lifecycle (cf. the transaction-log design of
   * open table formats — Armbrust et al., "Delta Lake: High-Performance ACID
   * Table Storage over Cloud Object Stores", VLDB 2020 — re-expressed in its
-  * minimal single-writer form).
+  * minimal single-writer-per-kind form).
   *
-  * The round-5 lake mutations rewrote partitions IN PLACE via dynamic
-  * partition overwrite, which has two production-disqualifying failure
-  * modes: (a) a crash mid-overwrite leaves a partition half-replaced with
-  * the survivors unrecoverable (the pre-image was already clobbered), and
-  * (b) a partition whose every row is deleted produces zero output rows, so
-  * dynamic overwrite never touches its directory and the deleted rows
-  * silently SURVIVE — data retention in a right-to-be-forgotten operator.
-  * Both disappear when visibility is decoupled from file existence:
+  * The log under `lakeDir/_graft_log/` is INCREMENTAL: every commit writes
+  * one DELTA record — the action kind, the schema, the files it added
+  * (with optional per-file column min/max stats) and the files it removed
+  * — never the full file listing. Readers resolve a version by loading the
+  * newest CHECKPOINT at or below it (a full-state snapshot written every
+  * [[CheckpointInterval]] commits) and replaying the deltas after it. A
+  * one-file nightly append into a million-file lake therefore writes a
+  * constant-size record: commit cost tracks the DELTA, not the lake.
+  *
+  * The commit lifecycle (unchanged from the full-listing form):
   *
   *   1. STAGE — mutations only ever APPEND new files (Spark's task/job
   *      UUID naming makes collisions impossible); the pre-image is never
-  *      opened for write, so staging is recomputable and abortable at any
-  *      point, and no self-overwrite checkpoint guard is needed at all;
-  *   2. AUDIT — the staged files are read back and counted against the
-  *      row count of the pre-write frame; a mismatch aborts (staged files
-  *      deleted) before anything becomes visible;
-  *   3. PUBLISH — a manifest listing exactly the live data files is
-  *      renamed into `_graft_log/` (write-temp-then-rename: atomic on
-  *      POSIX/HDFS; on object stores without atomic rename this is the
-  *      documented swap-in point for a put-if-absent conditional write);
-  *   4. VACUUM — files superseded by the commit are deleted best-effort
-  *      AFTER the manifest lands; a crash mid-vacuum leaves orphans that
-  *      are invisible to manifest readers and reclaimable by [[vacuum]].
+  *      opened for write, so staging is recomputable and abortable;
+  *   2. AUDIT — the staged files are read back; row counts must match the
+  *      pre-write frame or the mutation aborts with the lake untouched.
+  *      The same read-back captures per-file min/max of the mutation's
+  *      key columns, which the delta records so later appends can prune
+  *      the candidate FILE LIST before planning a single scan;
+  *   3. PUBLISH — the delta record is renamed into the log (atomic on
+  *      POSIX/HDFS; the read-back-verify below covers overwrite-on-rename
+  *      filesystems). A raced PURE-ADD commit (append) rebases: it
+  *      re-resolves the latest version and re-commits its already-staged
+  *      files at the next one — concurrent appends all land. Commits
+  *      that REMOVE files (delete/compact) refuse instead: their staged
+  *      content was derived from a base another writer just replaced;
+  *   4. VACUUM — superseded files are deleted best-effort AFTER the
+  *      delta lands; a crash mid-vacuum leaves orphans invisible to
+  *      manifest readers, reclaimable by [[vacuum]].
   *
-  * Readers resolve the latest manifest and load exactly its file list, so
-  * at every instant they see the pre-commit lake or the post-commit lake,
-  * never a mix. A fully-emptied partition simply has no files in the new
-  * manifest — deletion-completeness by construction. Single-writer is the
-  * assumed regime (a concurrent commit to the same version is detected and
-  * refused, not merged).
+  * Readers see the pre-commit lake or the post-commit lake, never a mix.
+  * A fully-emptied partition simply has no files in the resolved state.
+  * [[readVersion]] (time travel) resolves any retained version;
+  * [[changesBetween]] (incremental CDC-style consumption) replays the
+  * action kinds, so rewrite-only commits (compaction) contribute NOTHING
+  * and consumers get exactly the genuinely-new rows; [[vacuum]] reclaims
+  * only true orphans (files no committed record references); retention is
+  * spent explicitly through [[vacuumKeeping]], which checkpoints the
+  * oldest retained version before dropping older deltas.
   *
   * Directories without a `_graft_log` (plain `df.write.partitionBy`
   * layouts) bootstrap as version 0 = the current listing, so the protocol
   * retrofits onto any existing partitioned-parquet lake.
-  *
-  * Because every manifest is an immutable, self-contained file list, the
-  * expensive-sounding lake features come out as near-trivial reads:
-  * [[readVersion]] (time travel / audit reads), [[changesBetween]]
-  * (incremental CDC-style consumption — the delta's files only),
-  * schema evolution (the manifest carries the schema; every file projects
-  * into it), and [[vacuumKeeping]] (retention: keep N versions readable,
-  * reclaim the rest).
   */
 object Lake {
 
   val LogDirName = "_graft_log"
 
-  /** One resolved lake version: the schema (JSON, for empty-lake reads)
-    * and the lakeDir-relative paths of every live data file. */
-  final case class LakeState(version: Long, schemaJson: String, files: Seq[String])
+  /** A full checkpoint is written every this-many commits; state
+    * resolution replays at most this many deltas past a checkpoint. */
+  val CheckpointInterval = 10
+
+  /** How a commit changed the data, recorded in its delta and consumed by
+    * [[changesBetween]]: `append`/`init`/`adopt` ADD rows; `delete` and
+    * `compact` only rewrite/remove existing ones. */
+  private[graft] val DataAddingActions = Set("append", "init", "adopt")
+
+  /** Per-file min/max of one column, captured at audit time and carried
+    * in the delta record. Values are the column's Spark `min`/`max`
+    * rendered as strings; only exact-round-trip types (integral, string,
+    * floating) participate in pruning — anything else is kept. */
+  final case class ColStat(col: String, min: String, max: String)
+
+  /** One resolved lake version: the schema (JSON, for empty-lake reads),
+    * the lakeDir-relative paths of every live data file, and whatever
+    * per-file column stats the deltas carried. */
+  final case class LakeState(version: Long, schemaJson: String, files: Seq[String],
+      stats: Map[String, Seq[ColStat]] = Map.empty)
+
+  /** One committed delta record. */
+  private[graft] final case class DeltaRecord(version: Long, action: String,
+      schemaJson: String, added: Seq[(String, Seq[ColStat])], removed: Seq[String])
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
     * files (still live until publish); `stagedFiles` are written but
-    * invisible to readers until the manifest lands; `schemaJson` is the
-    * schema the new manifest records (the base's for mutations, the staged
-    * data's for a first-ever ingest). */
+    * invisible to readers until the delta lands; `schemaJson` is the
+    * schema the new version records; `stagedStats` are the audit-time
+    * per-file column stats for the staged files. */
   final case class StagedCommit(
       lakeDir: String,
       base: LakeState,
+      action: String,
       schemaJson: String,
       removedFiles: Seq[String],
       stagedFiles: Seq[String],
       stagedRows: Long,
-      expectedRows: Long)
+      expectedRows: Long,
+      stagedStats: Map[String, Seq[ColStat]] = Map.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -123,9 +149,9 @@ object Lake {
   }
 
   /** The manifest files living under any of `dirs` (relative partition
-    * directories). The manifest IS the lake's file census — partition
-    * membership is the path prefix, so "which files does this mutation
-    * supersede" is driver-side string work, never a Spark job. */
+    * directories). The resolved state IS the lake's file census —
+    * partition membership is the path prefix, so "which files does this
+    * mutation supersede" is driver-side string work, never a Spark job. */
   private[graft] def filesUnder(files: Seq[String], dirs: Seq[String]): Seq[String] =
     files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
 
@@ -148,53 +174,175 @@ object Lake {
         if (row.isNullAt(i)) null
         else {
           val lit = Literal.create(row.get(i), row.schema(i).dataType)
-          String.valueOf(Cast(lit, org.apache.spark.sql.types.StringType, tz).eval(null))
+          String.valueOf(Cast(lit, StringType, tz).eval(null))
         }
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString(c, v)
     }.mkString("/")
   }
 
+  // ------------------------------------------------------------------
+  // Log encoding: one delta record per commit, periodic checkpoints
+  // ------------------------------------------------------------------
+
   private def logDir(root: Path): Path = new Path(root, LogDirName)
 
-  private def manifestName(version: Long): String = f"v$version%020d.manifest"
+  private def deltaName(version: Long): String = f"v$version%020d.manifest"
+  private def checkpointName(version: Long): String = f"v$version%020d.checkpoint"
 
-  private def parseVersion(name: String): Option[Long] =
+  private def parseDelta(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".manifest"))
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
 
-  private def readManifestFile(fs: FileSystem, p: Path, v: Long): LakeState = {
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.split('\n').toSeq
-    LakeState(v, lines.head, lines.tail.filter(_.nonEmpty))
+  private def parseCheckpoint(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".checkpoint"))
+      name.stripPrefix("v").stripSuffix(".checkpoint").toLongOption
+    else None
+
+  private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
+
+  private def statsFields(stats: Seq[ColStat]): Seq[String] =
+    stats.flatMap(s => Seq(enc(s.col), enc(s.min), enc(s.max)))
+
+  private def parseStats(fields: Seq[String]): Seq[ColStat] =
+    fields.grouped(3).collect { case Seq(c, mn, mx) => ColStat(dec(c), dec(mn), dec(mx)) }.toSeq
+
+  private def renderDelta(rec: DeltaRecord): String = {
+    val header = s"graft-delta-v1\t${rec.action}"
+    val schema = s"S\t${enc(rec.schemaJson)}"
+    val adds = rec.added.sortBy(_._1).map { case (p, st) =>
+      (Seq("A", enc(p)) ++ statsFields(st)).mkString("\t") }
+    val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
+    (header +: schema +: (adds ++ removes)).mkString("\n")
   }
 
-  /** A specific committed manifest; throws if `version` was never
-    * committed. */
-  private[graft] def manifestAt(spark: SparkSession, lakeDir: String, version: Long): LakeState = {
+  private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    val header = lines.head.split('\t')
+    require(header(0) == "graft-delta-v1", s"not a graft delta record: ${lines.head.take(60)}")
+    val action = header(1)
+    var schemaJson = ""
+    val added = Seq.newBuilder[(String, Seq[ColStat])]
+    val removed = Seq.newBuilder[String]
+    lines.tail.foreach { l =>
+      val f = l.split('\t').toSeq
+      f.head match {
+        case "S" => schemaJson = dec(f(1))
+        case "A" => added += ((dec(f(1)), parseStats(f.drop(2))))
+        case "R" => removed += dec(f(1))
+        case other => throw new IllegalStateException(s"unknown delta line tag: $other")
+      }
+    }
+    DeltaRecord(version, action, schemaJson, added.result(), removed.result())
+  }
+
+  private def renderCheckpoint(st: LakeState): String = {
+    val header = "graft-checkpoint-v1"
+    val schema = s"S\t${enc(st.schemaJson)}"
+    val files = st.files.sorted.map { p =>
+      (Seq("F", enc(p)) ++ statsFields(st.stats.getOrElse(p, Seq.empty))).mkString("\t") }
+    (header +: schema +: files).mkString("\n")
+  }
+
+  private def parseCheckpointFile(text: String, version: Long): LakeState = {
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    require(lines.head == "graft-checkpoint-v1",
+      s"not a graft checkpoint: ${lines.head.take(60)}")
+    var schemaJson = ""
+    val files = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, Seq[ColStat]]
+    lines.tail.foreach { l =>
+      val f = l.split('\t').toSeq
+      f.head match {
+        case "S" => schemaJson = dec(f(1))
+        case "F" =>
+          val p = dec(f(1))
+          files += p
+          val st = parseStats(f.drop(2))
+          if (st.nonEmpty) stats += (p -> st)
+        case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
+      }
+    }
+    LakeState(version, schemaJson, files.result().sorted, stats.result())
+  }
+
+  private def readLogFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** (delta versions, checkpoint versions) present in the log — ONE
+    * directory listing resolves everything the readers need. */
+  private def listLog(fs: FileSystem, root: Path): (Seq[Long], Seq[Long]) = {
+    val log = logDir(root)
+    if (!fs.exists(log)) return (Seq.empty, Seq.empty)
+    val names = fs.listStatus(log).toSeq.map(_.getPath.getName)
+    (names.flatMap(parseDelta).sorted, names.flatMap(parseCheckpoint).sorted)
+  }
+
+  private[graft] def deltaAt(spark: SparkSession, lakeDir: String, version: Long): DeltaRecord = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    val target = new Path(logDir(root), manifestName(version))
-    if (!fs.exists(target))
+    val p = new Path(logDir(root), deltaName(version))
+    if (!fs.exists(p))
       throw new IllegalArgumentException(
         s"lake $lakeDir has no committed manifest version $version")
-    readManifestFile(fs, target, version)
+    parseDeltaFile(readLogFile(fs, p), version)
   }
 
-  /** Latest committed manifest, if the lake has a log. */
+  private def applyDelta(st: LakeState, d: DeltaRecord): LakeState = {
+    val removed = d.removed.toSet
+    LakeState(d.version, d.schemaJson,
+      (st.files.filterNot(removed) ++ d.added.map(_._1)).sorted,
+      (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap)
+  }
+
+  /** Resolve the lake state at `version`: newest checkpoint at or below
+    * it, plus a replay of the deltas after it. Throws
+    * IllegalArgumentException when the version was never committed or its
+    * history has been retired by [[vacuumKeeping]]. */
+  private[graft] def stateAt(spark: SparkSession, lakeDir: String, version: Long): LakeState = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val (deltas, checkpoints) = listLog(fs, root)
+    if (!deltas.contains(version))
+      throw new IllegalArgumentException(
+        s"lake $lakeDir has no committed manifest version $version")
+    resolve(fs, root, lakeDir, version, deltas, checkpoints)
+  }
+
+  private def resolve(fs: FileSystem, root: Path, lakeDir: String, version: Long,
+      deltas: Seq[Long], checkpoints: Seq[Long]): LakeState = {
+    val cp = checkpoints.filter(_ <= version).maxOption
+    val start = cp match {
+      case Some(c) =>
+        parseCheckpointFile(readLogFile(fs, new Path(logDir(root), checkpointName(c))), c)
+      case None => LakeState(-1L, StructType(Seq.empty).json, Seq.empty)
+    }
+    if (start.version == version) return start
+    val toReplay = deltas.filter(v => v > start.version && v <= version)
+    // a gap means older deltas were retired without a covering checkpoint
+    val expectLow = if (start.version >= 0) start.version + 1 else deltas.headOption.getOrElse(0L)
+    if (toReplay.isEmpty || toReplay.head != expectLow ||
+        toReplay.zip(toReplay.tail).exists { case (a, b) => b != a + 1 } ||
+        toReplay.last != version ||
+        (start.version < 0 && toReplay.head > 1))
+      throw new IllegalArgumentException(
+        s"lake $lakeDir version $version is not resolvable — history retired " +
+          s"without a covering checkpoint (deltas present: ${toReplay.mkString(",")})")
+    toReplay.foldLeft(start) { (st, v) =>
+      applyDelta(st, parseDeltaFile(readLogFile(fs, new Path(logDir(root), deltaName(v))), v))
+    }
+  }
+
+  /** Latest committed state, if the lake has a log. */
   private[graft] def latestManifest(spark: SparkSession, lakeDir: String): Option[LakeState] = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    val log = logDir(root)
-    if (!fs.exists(log)) return None
-    val versions = fs.listStatus(log).toSeq
-      .flatMap(s => parseVersion(s.getPath.getName).map(_ -> s.getPath))
-    if (versions.isEmpty) return None
-    val (v, p) = versions.maxBy(_._1)
-    Some(readManifestFile(fs, p, v))
+    val (deltas, checkpoints) = listLog(fs, root)
+    deltas.maxOption.map(v => resolve(fs, root, lakeDir, v, deltas, checkpoints))
   }
 
-  /** Current state: the latest manifest, or a bootstrap version 0 built
-    * from the directory listing when the lake predates the log. */
+  /** Current state: the latest committed state, or a bootstrap version 0
+    * built from the directory listing when the lake predates the log. */
   private[graft] def currentState(spark: SparkSession, lakeDir: String): LakeState =
     latestManifest(spark, lakeDir).getOrElse {
       val files = listDataFiles(spark, lakeDir)
@@ -214,7 +362,9 @@ object Lake {
   private[graft] def adopt(spark: SparkSession, lakeDir: String): LakeState = {
     val st = currentState(spark, lakeDir)
     if (latestManifest(spark, lakeDir).isEmpty && st.files.nonEmpty)
-      commit(spark, lakeDir, 0L, st.schemaJson, st.files)
+      commitDelta(spark, lakeDir,
+        DeltaRecord(0L, "adopt", st.schemaJson, st.files.map(_ -> Seq.empty), Seq.empty),
+        Some(st))
     st
   }
 
@@ -251,16 +401,14 @@ object Lake {
       case None     => spark.read.parquet(lakeDir)
     }
 
-  /** Time travel: the lake exactly as manifest `version` committed it.
-    * Free by construction — every manifest is immutable and lists its
-    * full file set, so an audit/repro read of "the corpus the model was
-    * trained on" is one manifest load, no log replay. Files superseded
-    * AFTER `version` remain readable until an eager vacuum or [[vacuum]]
-    * reclaims them; reading a vacuumed-away version fails loudly with
-    * the missing files named. */
+  /** Time travel: the lake exactly as version `version` committed it.
+    * Any retained version is one checkpoint load plus a bounded delta
+    * replay — no snapshot copy. Files superseded AFTER `version` remain
+    * readable until [[vacuumKeeping]] spends that history; reading a
+    * vacuumed-away version fails loudly with the missing files named. */
   def readVersion(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    val st = manifestAt(spark, lakeDir, version)
+    val st = stateAt(spark, lakeDir, version)
     val gone = st.files.filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
@@ -269,42 +417,33 @@ object Lake {
     readState(spark, lakeDir, st)
   }
 
-  /** Append-mode write of `df` into the lake's partition layout, returning
-    * the relative paths of the files it created (listing diff; the
-    * single-writer regime makes the diff race-free). Nothing pre-existing
-    * is opened, so a crash here strands invisible files at worst. When the
-    * mutation can only land inside known partition directories (delete,
-    * compact), pass them as `scopeDirs` so the diff lists O(affected)
-    * files instead of walking the lake. */
-  private[graft] def stageWrite(spark: SparkSession, lakeDir: String, df: DataFrame,
-      partitionCols: Seq[String], writeOptions: Map[String, String] = Map.empty,
-      scopeDirs: Seq[String] = Seq.empty): Seq[String] = {
-    val before = listDataFiles(spark, lakeDir, scopeDirs).toSet
-    df.write.mode("append").options(writeOptions)
-      .partitionBy(partitionCols: _*).parquet(lakeDir)
-    listDataFiles(spark, lakeDir, scopeDirs).filterNot(before)
-  }
+  // ------------------------------------------------------------------
+  // Commit
+  // ------------------------------------------------------------------
 
-  /** Atomically commit a new manifest version. Refuses (rather than
-    * clobbers) an already-committed version — the single-writer guard.
-    * The guard is exists-check + rename + content read-back: on HDFS a
-    * rename onto an existing destination fails outright; on filesystems
-    * where rename OVERWRITES (POSIX / RawLocalFileSystem) two truly
-    * concurrent publishes could both "succeed", so after the rename the
-    * manifest is read back and compared to what this writer wrote — at
-    * most one racer matches, the other throws with its commit un-landed.
-    * (On object stores without atomic rename this whole method is the
-    * documented swap-in point for a put-if-absent conditional write.) */
-  private[graft] def commit(spark: SparkSession, lakeDir: String, version: Long,
-      schemaJson: String, files: Seq[String]): Unit = {
+  /** Atomically commit one delta record, then write a checkpoint when the
+    * version crosses the [[CheckpointInterval]] grid (`postState` feeds
+    * it — the caller always has the resolved post-image in hand, so the
+    * checkpoint costs no replay). Refuses (rather than clobbers) an
+    * already-committed version — the single-writer-per-version guard:
+    * exists-check + rename + content read-back. On HDFS a rename onto an
+    * existing destination fails outright; on filesystems where rename
+    * OVERWRITES (POSIX / RawLocalFileSystem) two truly concurrent
+    * publishes could both "succeed", so after the rename the record is
+    * read back and compared to what this writer wrote — at most one racer
+    * matches, the other throws with its commit un-landed. (On object
+    * stores without atomic rename this is the documented swap-in point
+    * for a put-if-absent conditional write.) */
+  private[graft] def commitDelta(spark: SparkSession, lakeDir: String,
+      rec: DeltaRecord, postState: Option[LakeState]): Unit = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val log = logDir(root)
     fs.mkdirs(log)
-    val target = new Path(log, manifestName(version))
+    val target = new Path(log, deltaName(rec.version))
     if (fs.exists(target))
       throw new IllegalStateException(
-        s"concurrent commit: manifest version $version already exists at $target")
-    val payload = (schemaJson +: files.sorted).mkString("\n")
+        s"concurrent commit: manifest version ${rec.version} already exists at $target")
+    val payload = renderDelta(rec)
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(payload.getBytes(StandardCharsets.UTF_8))
@@ -314,11 +453,24 @@ object Lake {
       throw new IllegalStateException(
         s"concurrent commit: rename to $target failed (version raced by another writer)")
     }
-    val landed = readManifestFile(fs, target, version)
-    if (landed.schemaJson != schemaJson || landed.files != files.sorted)
+    if (readLogFile(fs, target) != payload)
       throw new IllegalStateException(
-        s"concurrent commit: manifest version $version was clobbered by another " +
+        s"concurrent commit: manifest version ${rec.version} was clobbered by another " +
           "writer after rename (overwrite-on-rename filesystem) — this commit lost")
+    if (rec.version > 0 && rec.version % CheckpointInterval == 0)
+      postState.foreach(st => writeCheckpoint(fs, root, st.copy(version = rec.version)))
+  }
+
+  /** Best-effort checkpoint write (idempotent; readers only ever gain a
+    * shorter replay from it, never correctness). */
+  private def writeCheckpoint(fs: FileSystem, root: Path, st: LakeState): Unit = {
+    val target = new Path(logDir(root), checkpointName(st.version))
+    if (fs.exists(target)) return
+    val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(renderCheckpoint(st).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
   }
 
   private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit = {
@@ -326,26 +478,74 @@ object Lake {
     files.foreach(f => fs.delete(new Path(root, f), false))
   }
 
+  /** Does `ours` project into `theirs` — every field present with the
+    * same type? The condition under which our staged files remain valid
+    * when rebased onto a concurrently-evolved schema. */
+  private def schemaCovers(theirsJson: String, oursJson: String): Boolean = {
+    val theirs = DataType.fromJson(theirsJson).asInstanceOf[StructType]
+      .map(f => f.name -> f.dataType).toMap
+    DataType.fromJson(oursJson).asInstanceOf[StructType]
+      .forall(f => theirs.get(f.name).contains(f.dataType))
+  }
+
   /** Audit + commit + vacuum of a staged mutation. The audit gate is the
     * "verify" of write-audit-publish: staged read-back rows must equal the
     * pre-write frame's rows, or the staged files are deleted and the lake
     * is untouched (readers never saw them). Vacuum of the superseded
-    * pre-image runs only AFTER the manifest rename — a crash between the
-    * two leaves invisible orphans, not a corrupt lake. Pass
+    * pre-image runs only AFTER the delta lands — a crash between the two
+    * leaves invisible orphans, not a corrupt lake. Pass
     * `vacuumSuperseded = false` to retain the pre-image files and keep
     * earlier versions [[readVersion]]-able (storage-for-history; reclaim
-    * later by vacuuming against the version you are willing to lose). */
+    * later with [[vacuumKeeping]]).
+    *
+    * Raced commits: a PURE-ADD mutation (`removedFiles` empty — appends,
+    * first ingests) whose version was taken by another writer REBASES
+    * automatically: its staged files conflict with nothing, so it
+    * re-resolves the latest version and re-commits at the next one (up to
+    * `maxRebases` times; a concurrent schema change it cannot project
+    * into still refuses). Mutations that remove files (delete, compact)
+    * refuse outright — their staged content embeds the base they read. */
   private[graft] def publish(spark: SparkSession, sc: StagedCommit,
-      vacuumSuperseded: Boolean = true): Unit = {
+      vacuumSuperseded: Boolean = true, maxRebases: Int = 5): Unit = {
     if (sc.stagedRows != sc.expectedRows) {
       abort(spark, sc)
       throw new IllegalStateException(
         s"lake publish audit failed: staged ${sc.stagedRows} rows, " +
           s"expected ${sc.expectedRows} — staged files deleted, lake untouched")
     }
-    val removed = sc.removedFiles.toSet
-    commit(spark, sc.lakeDir, sc.base.version + 1, sc.schemaJson,
-      sc.base.files.filterNot(removed) ++ sc.stagedFiles)
+    var base = sc.base
+    var schemaJson = sc.schemaJson
+    var rebases = 0
+    var committed = false
+    while (!committed) {
+      val removed = sc.removedFiles.toSet
+      val post = LakeState(base.version + 1, schemaJson,
+        (base.files.filterNot(removed) ++ sc.stagedFiles).sorted,
+        (base.stats -- sc.removedFiles) ++ sc.stagedStats)
+      try {
+        commitDelta(spark, sc.lakeDir,
+          DeltaRecord(base.version + 1, sc.action, schemaJson,
+            sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
+            sc.removedFiles),
+          Some(post))
+        committed = true
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
+          if (sc.removedFiles.nonEmpty || rebases >= maxRebases) throw e
+          rebases += 1
+          val latest = latestManifest(spark, sc.lakeDir).getOrElse(throw e)
+          // rebase schema: keep ours when the world didn't move under us;
+          // adopt theirs when our files still project into it; else this
+          // is a concurrent non-commuting schema change — refuse
+          schemaJson =
+            if (latest.schemaJson == sc.base.schemaJson) sc.schemaJson
+            else if (schemaCovers(latest.schemaJson, sc.schemaJson)) latest.schemaJson
+            else throw new IllegalStateException(
+              "concurrent commit: schema changed under a pure-add commit and the " +
+                "staged files do not project into it — rebase refused", e)
+          base = latest
+      }
+    }
     if (vacuumSuperseded) deleteFiles(spark, sc.lakeDir, sc.removedFiles)
   }
 
@@ -354,76 +554,206 @@ object Lake {
   private[graft] def abort(spark: SparkSession, sc: StagedCommit): Unit =
     deleteFiles(spark, sc.lakeDir, sc.stagedFiles)
 
-  /** Create a lake: write the initial partition layout and commit manifest
-    * version 1 over exactly the files that landed. Overwrite semantics —
-    * anything at `lakeDir` (a previous run's lake, log included) is
-    * replaced. Returns the read-back. */
+  // ------------------------------------------------------------------
+  // Audit read-back with per-file column stats
+  // ------------------------------------------------------------------
+
+  /** Read the staged files back ONCE, returning the total row count (the
+    * audit expectation check) and per-file min/max of `statsCols` (the
+    * delta's data-skipping stats — recorded so later appends can prune
+    * the candidate file list before opening a single footer). One
+    * aggregate grouped by `_metadata.file_path` computes both; the
+    * per-file collect is bounded by the staged file count. Columns absent
+    * from the schema (pre-evolution mutations) are skipped. */
+  private[graft] def auditStaged(spark: SparkSession, lakeDir: String, schemaJson: String,
+      stagedFiles: Seq[String], statsCols: Seq[String]): (Long, Map[String, Seq[ColStat]]) = {
+    if (stagedFiles.isEmpty) return (0L, Map.empty)
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val df = readFiles(spark, lakeDir, schemaJson, stagedFiles)
+    // a first-ever ingest audits under an empty recorded schema — the
+    // read-back's inferred schema then decides which stats cols exist
+    val valid = statsCols.filter(df.schema.fieldNames.contains).distinct
+    val aggs = count(lit(1)).as("_n") +:
+      valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+    val rows = df.groupBy(col("_metadata.file_path").as("_fp"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    var total = 0L
+    val stats = Map.newBuilder[String, Seq[ColStat]]
+    rows.foreach { r =>
+      total += r.getAs[Long]("_n")
+      val rel = relativize(root, fs.makeQualified(new Path(new java.net.URI(r.getAs[String]("_fp")))))
+      val st = valid.flatMap { c =>
+        val (mn, mx) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
+        if (mn == null || mx == null) None
+        else Some(ColStat(c, String.valueOf(mn), String.valueOf(mx)))
+      }
+      if (st.nonEmpty) stats += (rel -> st)
+    }
+    (total, stats.result())
+  }
+
+  /** The subset of `st.files` whose recorded `statCol` range overlaps
+    * `[lo, hi]` — plus every file with no recorded stats for that column
+    * (unknown must be kept; pruning is exactness-preserving). Comparison
+    * is typed: integral and floating stats parse back to numbers, string
+    * stats compare in UTF8 binary order (Spark's min/max order); any
+    * other type keeps the file. */
+  private[graft] def pruneByStats(st: LakeState, statCol: String, dt: DataType,
+      lo: Any, hi: Any): Seq[String] = {
+    def cmp(a: String, b: String): Option[Int] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        for (x <- a.toLongOption; y <- b.toLongOption) yield java.lang.Long.compare(x, y)
+      case DoubleType | FloatType =>
+        for (x <- a.toDoubleOption; y <- b.toDoubleOption) yield java.lang.Double.compare(x, y)
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      case _ => None
+    }
+    val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
+    st.files.filter { f =>
+      st.stats.get(f).flatMap(_.find(_.col == statCol)) match {
+        case None => true
+        case Some(cs) =>
+          (cmp(cs.max, loS), cmp(cs.min, hiS)) match {
+            case (Some(a), Some(b)) => a >= 0 && b <= 0 // ranges overlap
+            case _ => true
+          }
+      }
+    }
+  }
+
+  /** Create a lake: write the initial partition layout and commit version
+    * 1 over exactly the files that landed. Overwrite semantics — anything
+    * at `lakeDir` (a previous run's lake, log included) is replaced.
+    * `statsCols` seeds per-file min/max stats for later append pruning.
+    * Returns the read-back. */
   def init(spark: SparkSession, df: DataFrame, lakeDir: String,
-      partitionCols: Seq[String]): DataFrame = {
+      partitionCols: Seq[String], statsCols: Seq[String] = Seq.empty): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
     if (fs.exists(root)) fs.delete(root, true)
     val files = stageWrite(spark, lakeDir, df, partitionCols)
     val schemaJson =
       if (files.isEmpty) df.schema.json
       else readFiles(spark, lakeDir, df.schema.json, files).schema.json
-    commit(spark, lakeDir, 1L, schemaJson, files)
+    val stats =
+      if (statsCols.isEmpty || files.isEmpty) Map.empty[String, Seq[ColStat]]
+      else auditStaged(spark, lakeDir, schemaJson, files, statsCols)._2
+    val post = LakeState(1L, schemaJson, files.sorted, stats)
+    commitDelta(spark, lakeDir,
+      DeltaRecord(1L, "init", schemaJson,
+        files.map(f => f -> stats.getOrElse(f, Seq.empty)), Seq.empty),
+      Some(post))
     read(spark, lakeDir)
   }
 
-  /** Incremental (CDC-style) read: the rows ADDED between two committed
-    * versions, computed by reading ONLY the files present in `toVersion`'s
-    * manifest but not in `fromVersion`'s — never the lake. This is the
-    * primitive an incremental consumer (nightly retraining, downstream
-    * index refresh) runs instead of a full-corpus diff: for append-only
-    * histories it is exactly the new documents, at the cost of the delta,
-    * not the corpus. Rewritten files (delete/compact) surface their
-    * surviving rows as "added" — set-difference against [[readVersion]]
-    * of `fromVersion` if exact row-level CDC across rewrites is needed
-    * (that cost is inherently O(both versions), which is why real CDC
-    * logs record row-level actions; the manifest records file-level ones).
-    */
+  /** Append-mode write of `df` into the lake's partition layout, returning
+    * the relative paths of the files it created (listing diff; staged
+    * files carry unique UUID names so the diff is race-free even among
+    * concurrent writers). Nothing pre-existing is opened, so a crash here
+    * strands invisible files at worst. When the mutation can only land
+    * inside known partition directories (delete, compact), pass them as
+    * `scopeDirs` so the diff lists O(affected) files instead of walking
+    * the lake. */
+  private[graft] def stageWrite(spark: SparkSession, lakeDir: String, df: DataFrame,
+      partitionCols: Seq[String], writeOptions: Map[String, String] = Map.empty,
+      scopeDirs: Seq[String] = Seq.empty): Seq[String] = {
+    val before = listDataFiles(spark, lakeDir, scopeDirs).toSet
+    df.write.mode("append").options(writeOptions)
+      .partitionBy(partitionCols: _*).parquet(lakeDir)
+    listDataFiles(spark, lakeDir, scopeDirs).filterNot(before)
+  }
+
+  /** Incremental (CDC-style) read: the GENUINELY NEW rows between two
+    * committed versions. The delta log's action kinds make this exact
+    * where the full-listing diff could not be: only data-adding commits
+    * (append / init / adopt) contribute their added files; rewrite-only
+    * commits (compact) and row-removing commits (delete) contribute
+    * nothing — a consumer no longer double-processes the corpus after a
+    * compaction. Cost is O(the delta's files), never the lake.
+    *
+    * A data-added file that a LATER in-range commit rewrote is still read
+    * (its rows are the new data) — if an eager vacuum already reclaimed
+    * it, the read fails loudly naming the files: run mutations with
+    * `retainHistory` (or defer [[vacuumKeeping]]) on lakes with
+    * incremental consumers. Rows added in-range and then deleted in-range
+    * still surface: this is adds-CDC, not a row-level diff. */
   def changesBetween(spark: SparkSession, lakeDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
-    val from = manifestAt(spark, lakeDir, fromVersion).files.toSet
-    val to = manifestAt(spark, lakeDir, toVersion)
-    readFiles(spark, lakeDir, to.schemaJson, to.files.filterNot(from))
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val to = stateAt(spark, lakeDir, toVersion) // also validates toVersion
+    if (fromVersion == toVersion)
+      return readFiles(spark, lakeDir, to.schemaJson, Seq.empty)
+    stateAt(spark, lakeDir, fromVersion) // validates fromVersion is resolvable
+    val added = Seq.newBuilder[String]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val d = deltaAt(spark, lakeDir, v)
+      if (DataAddingActions.contains(d.action)) added ++= d.added.map(_._1)
+    }
+    val files = added.result().distinct
+    val gone = files.filterNot(f => fs.exists(new Path(root, f)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"changesBetween($fromVersion, $toVersion): ${gone.size} data-added file(s) " +
+          s"were rewritten and vacuumed in-range, e.g. ${gone.take(3).mkString(", ")} — " +
+          "retain history (retainHistory / deferred vacuumKeeping) on lakes with " +
+          "incremental consumers")
+    readFiles(spark, lakeDir, to.schemaJson, files)
   }
 
-  /** Delete every data file the latest manifest does not reference —
-    * reclaims orphans left by crashes between stage and publish (or
-    * between publish and its eager vacuum). Returns what it deleted.
-    * No-op on manifest-less lakes (nothing is provably dead there). */
-  def vacuum(spark: SparkSession, lakeDir: String): Seq[String] =
-    latestManifest(spark, lakeDir) match {
-      case None => Seq.empty
-      case Some(st) =>
-        val live = st.files.toSet
-        val dead = listDataFiles(spark, lakeDir).filterNot(live)
-        deleteFiles(spark, lakeDir, dead)
-        dead
+  /** Delete every on-disk data file that NO committed log record
+    * references — the crash-orphan reclaim (files staged by a mutation
+    * that died before publish). History deliberately retained via
+    * `retainHistory` IS referenced (by the older deltas), so a routine
+    * orphan sweep can never spend a retention policy — that is
+    * [[vacuumKeeping]]'s job. Returns what it deleted. No-op on
+    * manifest-less lakes (nothing is provably dead there). */
+  def vacuum(spark: SparkSession, lakeDir: String): Seq[String] = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val (deltas, checkpoints) = listLog(fs, root)
+    if (deltas.isEmpty) return Seq.empty
+    val referenced = Set.newBuilder[String]
+    deltas.foreach(v => referenced ++= deltaAt(spark, lakeDir, v).added.map(_._1))
+    checkpoints.foreach { c =>
+      referenced ++= parseCheckpointFile(
+        readLogFile(fs, new Path(logDir(root), checkpointName(c))), c).files
     }
+    val live = referenced.result()
+    val dead = listDataFiles(spark, lakeDir).filterNot(live)
+    deleteFiles(spark, lakeDir, dead)
+    dead
+  }
 
-  /** Retention-policy vacuum: keep the newest `keepVersions` manifests
+  /** Retention-policy vacuum: keep the newest `keepVersions` versions
     * fully readable ([[readVersion]] / [[changesBetween]]), reclaim
-    * everything older — data files referenced by no retained version are
-    * deleted, then the expired manifests themselves (data first, so a
-    * crash mid-vacuum leaves dangling manifests that fail loudly rather
-    * than silently-live files). The latest version is always retained. */
+    * everything older. A checkpoint is written AT the oldest retained
+    * version first (so it stays resolvable once older deltas are gone),
+    * then data files referenced by no retained version — and by no
+    * retained delta's adds, which exact in-range CDC still needs — are
+    * deleted, then the expired deltas and stale checkpoints (data first,
+    * so a crash mid-vacuum leaves dangling log records that fail loudly
+    * rather than silently-live files). The latest version is always
+    * retained. */
   def vacuumKeeping(spark: SparkSession, lakeDir: String, keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val (fs, root) = fsRoot(spark, lakeDir)
-    val log = logDir(root)
-    if (!fs.exists(log)) return Seq.empty
-    val versions = fs.listStatus(log).toSeq
-      .flatMap(s => parseVersion(s.getPath.getName)).sorted
-    if (versions.isEmpty) return Seq.empty
-    val (expired, retained) = versions.splitAt(math.max(versions.size - keepVersions, 0))
-    val live = retained.flatMap(v => manifestAt(spark, lakeDir, v).files).toSet
-    val dead = listDataFiles(spark, lakeDir).filterNot(live)
+    val (deltas, checkpoints) = listLog(fs, root)
+    if (deltas.isEmpty) return Seq.empty
+    val (expired, retained) = deltas.splitAt(math.max(deltas.size - keepVersions, 0))
+    val oldest = retained.head
+    writeCheckpoint(fs, root, resolve(fs, root, lakeDir, oldest, deltas, checkpoints))
+    val live = Set.newBuilder[String]
+    retained.foreach { v =>
+      live ++= resolve(fs, root, lakeDir, v, deltas, checkpoints).files
+      if (v > oldest) live ++= deltaAt(spark, lakeDir, v).added.map(_._1)
+    }
+    val dead = listDataFiles(spark, lakeDir).filterNot(live.result())
     deleteFiles(spark, lakeDir, dead)
-    expired.foreach(v => fs.delete(new Path(log, manifestName(v)), false))
+    expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
+    checkpoints.filter(_ < oldest).foreach(c =>
+      fs.delete(new Path(logDir(root), checkpointName(c)), false))
     dead
   }
 }

@@ -735,9 +735,12 @@ object Pipeline {
       val survivors = affectedLake.join(t, col(lakeIdCol) === col("_del"), "left_anti")
       val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols,
         scopeDirs = affectedDirs)
-      val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
-      Some(Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
-        stagedRows, expected))
+      // audit read-back doubles as the stats capture: the rewritten
+      // files keep id-range stats so append pruning survives deletes
+      val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
+        base.schemaJson, staged, Seq(lakeIdCol))
+      Some(Lake.StagedCommit(lakeDir, base, "delete", base.schemaJson, removed, staged,
+        stagedRows, expected, stagedStats))
     }
   }
 
@@ -856,10 +859,14 @@ object Pipeline {
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
         Map("maxRecordsPerFile" -> targetRowsPerFile.toString),
         scopeDirs = affectedDirs)
-      val stagedRows = Lake.readFiles(spark, lakeDir, base.schemaJson, staged).count()
+      // the audit read-back also captures per-file min/max of the sort
+      // columns: clustered compaction's disjoint ranges become manifest
+      // stats, the data-skipping food for append file-list pruning
+      val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
+        base.schemaJson, staged, sortCols)
       Lake.publish(spark,
-        Lake.StagedCommit(lakeDir, base, base.schemaJson, removed, staged,
-          stagedRows, expected),
+        Lake.StagedCommit(lakeDir, base, "compact", base.schemaJson, removed, staged,
+          stagedRows, expected, stagedStats),
         vacuumSuperseded = !retainHistory)
     }
     Lake.read(spark, lakeDir)
@@ -964,8 +971,21 @@ object Pipeline {
     val fresh = (
       if (base.files.isEmpty) b
       else {
-        val lakeIds = Lake.readState(spark, lakeDir, base).select(idCol)
-        b.join(bloomProbedIds(spark, b, lakeIds, idCol), Seq(idCol), "left_anti")
+        // layer 0 of the prefilter: prune the manifest FILE LIST by the
+        // batch's [min, max] id range against the per-file stats the
+        // deltas recorded at audit time — files that provably can't
+        // contain a batch id are never opened, not even their footers
+        // (layers 1-2, the pushed range predicate and the bloom probe,
+        // then run inside the surviving files). One batch-side pass
+        // computes the count/min/max all three layers share.
+        val bs = b.agg(count(col(idCol)).as("_n"),
+          min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx")).collect()(0)
+        val candidateFiles =
+          if (bs.isNullAt(1)) Seq.empty[String]
+          else Lake.pruneByStats(base, idCol, b.schema(idCol).dataType, bs.get(1), bs.get(2))
+        val lakeIds = Lake.readFiles(spark, lakeDir, base.schemaJson, candidateFiles)
+          .select(idCol)
+        b.join(bloomProbedIds(spark, b, lakeIds, idCol, Some(bs)), Seq(idCol), "left_anti")
       }).localCheckpoint(true)
     val expected = fresh.count()
     if (expected > 0) {
@@ -976,12 +996,15 @@ object Pipeline {
       val scope = fresh.select(partitionCols.map(col): _*).distinct().collect()
         .map(Lake.partitionDir(partitionCols, _)).toSeq
       val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols, scopeDirs = scope)
-      val stagedBack = Lake.readFiles(spark, lakeDir,
-        Option(commitSchemaJson).getOrElse(base.schemaJson), staged)
+      // audit read-back captures per-file id stats for future pruning
+      val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
+        Option(commitSchemaJson).getOrElse(base.schemaJson), staged, Seq(idCol))
       val schemaJson =
-        if (commitSchemaJson == null) stagedBack.schema.json else commitSchemaJson
-      Lake.publish(spark, Lake.StagedCommit(lakeDir, base, schemaJson, Seq.empty,
-        staged, stagedBack.count(), expected))
+        if (commitSchemaJson == null)
+          Lake.readFiles(spark, lakeDir, base.schemaJson, staged).schema.json
+        else commitSchemaJson
+      Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "append", schemaJson,
+        Seq.empty, staged, stagedRows, expected, stagedStats))
     }
     Lake.read(spark, lakeDir)
   }
@@ -1003,9 +1026,10 @@ object Pipeline {
     * both layers. Exposed so the spec can pin the row reduction and the
     * pushed range predicate. */
   private[graft] def bloomProbedIds(spark: SparkSession, batch: DataFrame,
-      lakeIds: DataFrame, idCol: String): DataFrame = {
-    val stats = batch.agg(count(col(idCol)).as("_n"),
-      min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx")).collect()(0)
+      lakeIds: DataFrame, idCol: String,
+      preStats: Option[org.apache.spark.sql.Row] = None): DataFrame = {
+    val stats = preStats.getOrElse(batch.agg(count(col(idCol)).as("_n"),
+      min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx")).collect()(0))
     val n = math.max(stats.getLong(0), 1L)
     if (stats.isNullAt(1)) return lakeIds.filter(lit(false)) // all-null batch ids
     val ranged = lakeIds.filter(
@@ -1096,8 +1120,8 @@ object Pipeline {
   // ---------------------------------------------------------------- px106
   /** Lake time travel — the audit/reproducibility read the manifest log
     * makes free: "give me the corpus exactly as version v committed it"
-    * is ONE manifest load (immutable, self-contained file list), no log
-    * replay, no snapshot copy. The query seeds a lake at version 1
+    * is one checkpoint load plus a bounded (<= [[Lake.CheckpointInterval]])
+    * delta replay, no snapshot copy. The query seeds a lake at version 1
     * ([[Lake.init]] on two-thirds of the corpus), appends the full corpus
     * (version 2 — the at-least-once replay shape of px103), then reads
     * VERSION 1 back: the pre-append seed, byte-for-byte, even though the
@@ -1134,15 +1158,15 @@ object Pipeline {
   // ---------------------------------------------------------------- px107
   /** Incremental consumption — the "what must I retrain on since the last
     * snapshot" read every downstream of a training lake runs nightly.
-    * [[Lake.changesBetween]] diffs two manifests' file lists driver-side
-    * and reads ONLY the files added in between, so the consumer pays for
-    * the delta, not the corpus: here version 1 is the seed (two-thirds of
-    * the docs), version 2 the full-corpus append, and the incremental
-    * read must surface exactly the appended third — recomputed
-    * relationally by the oracle. The manifest diff is exact for
-    * append-only histories (the px103 ingest path); file-rewriting
-    * mutations surface survivors, the documented file-level-CDC
-    * semantics. */
+    * [[Lake.changesBetween]] replays the in-range delta records
+    * driver-side and reads ONLY the files that DATA-ADDING commits
+    * contributed, so the consumer pays for the delta, not the corpus:
+    * here version 1 is the seed (two-thirds of the docs), version 2 the
+    * full-corpus append, and the incremental read must surface exactly
+    * the appended third — recomputed relationally by the oracle. The
+    * action kinds in the log make this exact across maintenance too:
+    * rewrite-only commits (compaction) contribute nothing, so consumers
+    * never double-process a recompacted corpus (LakeSpec pins that). */
   private def px107(spark: SparkSession, dir: String): DataFrame = {
     val out = Scratch.dir(spark, "px107_lake")
     val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")

@@ -143,7 +143,7 @@ class LakeSpec extends SparkTestBase {
     assert(after.count() == 1050, "the 50 new docs (and only they) must land")
   }
 
-  test("time travel: a retained version reads back exactly; a vacuumed-away version fails loudly") {
+  test("time travel: a retained version reads back exactly; orphan vacuum never spends history") {
     val out = freshDir("lake-tt")
     writePlain(fixture(), out)
     val after = Pipeline.deleteFromLake(spark, out, Seq(0L, 1L, 2L).toDF("doc_id"),
@@ -151,12 +151,27 @@ class LakeSpec extends SparkTestBase {
     assert(ids(after) == (3L until 40L).toSet)
     // v0 is the adopted pre-delete lake — still fully reconstructible
     assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet)
-    // reclaiming against the LATEST manifest spends that history
-    assert(Lake.vacuum(spark, out).nonEmpty, "retained pre-image must be vacuumable")
+    // the ORPHAN sweep only reclaims files no committed record references —
+    // deliberately retained history survives it (spending history is
+    // vacuumKeeping's job, never a routine maintenance pass's side effect)
+    assert(Lake.vacuum(spark, out).isEmpty,
+      "vacuum() must not reclaim history a retention policy kept")
+    assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet)
+    // a crash mid-retention (data gone, manifest still present) fails loudly
+    val v0files = Lake.stateAt(spark, out, 0L).files
+    val kept = Lake.latestManifest(spark, out).get.files.toSet
+    val preImage = v0files.filterNot(kept)
+    assert(preImage.nonEmpty)
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, preImage.head), false)
     val e = intercept[IllegalStateException] { Lake.readVersion(spark, out, 0L).count() }
     assert(e.getMessage.contains("no longer reconstructible"))
     assert(ids(Lake.read(spark, out)) == (3L until 40L).toSet,
-      "vacuum must never touch the current version")
+      "the current version must be untouched")
   }
 
   test("two writers staged from the same base: the second publish refuses — no lost update") {
@@ -210,7 +225,7 @@ class LakeSpec extends SparkTestBase {
     assert(e.getMessage.contains("type change"))
   }
 
-  test("changesBetween reads only the delta files: appended docs for append-only history, survivors for rewrites") {
+  test("changesBetween is exact adds-CDC: appends surface, rewrites contribute nothing") {
     val out = freshDir("lake-cdc")
     // v1: seed with the even docs; v2: append the rest
     Lake.init(spark, fixture().filter(col("doc_id") % 2 === 0), out, Seq("split", "shard_id"))
@@ -219,13 +234,46 @@ class LakeSpec extends SparkTestBase {
       (1L until 40L by 2).toSet, "append-only delta must be exactly the new docs")
     assert(Lake.changesBetween(spark, out, 2L, 2L).count() == 0,
       "a version is its own fixpoint — empty delta")
-    // v3: a delete rewrites affected partitions; file-level CDC surfaces
-    // the rewritten files' SURVIVORS as added (documented semantics)
+    // v3: a delete rewrites affected partitions — its action kind says
+    // "no new rows", so incremental consumers skip it entirely (the old
+    // full-listing diff surfaced every survivor as falsely 'added')
     Pipeline.deleteFromLake(spark, out, Seq(4L).toDF("doc_id"), "doc_id")
-    // doc 4 lives in (train, shard 0) = even ids < 20; its survivors:
-    val rewritten = ids(Lake.changesBetween(spark, out, 2L, 3L))
-    assert(rewritten == (0L until 20L by 2).toSet - 4L,
-      s"rewrite delta must be the affected partition's survivors: $rewritten")
+    assert(Lake.changesBetween(spark, out, 2L, 3L).count() == 0,
+      "a row-removing commit must contribute nothing to adds-CDC")
+  }
+
+  test("changesBetween across a compaction: exactly the appended docs, never the recompacted corpus") {
+    val out = freshDir("lake-cdc-compact")
+    // v1 seed (fragmented), v2 append A, v3 compact (history retained),
+    // v4 append B — the nightly-consumer worst case the action kinds fix
+    fixture().filter(col("doc_id") < 20).repartition(4)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    Lake.adopt(spark, out) // v0
+    Pipeline.appendToLake(spark, out, fixture().filter(col("doc_id") < 30))  // v1: adds 20..29
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 1000L, retainHistory = true)                       // v2: rewrite only
+    Pipeline.appendToLake(spark, out, fixture())                             // v3: adds 30..39
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet)
+    val changed = ids(Lake.changesBetween(spark, out, 0L, 3L))
+    assert(changed == (20L until 40L).toSet,
+      s"consumer must see exactly the two appends' docs, got ${changed.size} ids — " +
+        "a full-listing diff would re-surface the whole compacted corpus")
+    // with history EAGERLY vacuumed instead, the in-range rewrite makes the
+    // exact read impossible — it must fail loudly, never double-process.
+    // Two appends into the same partitions guarantee >1 file per dir, so
+    // the compaction provably rewrites (and vacuums) appended files.
+    val out2 = freshDir("lake-cdc-eager")
+    fixture().filter(col("doc_id") < 20).repartition(4)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out2)
+    Lake.adopt(spark, out2)                                                   // v0
+    Pipeline.appendToLake(spark, out2, fixture().filter(col("doc_id") < 25))  // v1
+    Pipeline.appendToLake(spark, out2, fixture().filter(col("doc_id") < 30))  // v2
+    Pipeline.compactLake(spark, out2, maxFilesPerPartition = 1, targetRowsPerFile = 1000L) // v3
+    val e = intercept[IllegalStateException] {
+      Lake.changesBetween(spark, out2, 0L, 3L).count()
+    }
+    assert(e.getMessage.contains("retain history"),
+      s"eagerly-vacuumed in-range rewrite must fail loudly: ${e.getMessage}")
   }
 
   test("clustered compaction: files are contiguous sorted runs with disjoint id ranges per partition") {
@@ -270,6 +318,107 @@ class LakeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Lake.readVersion(spark, out, 2L) }
     assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 2L,
       "the latest version must survive every retention cut")
+  }
+
+  test("raced pure-add commits rebase: two appends staged from the same base BOTH land") {
+    val out = freshDir("lake-race-append")
+    writePlain(fixture(), out)
+    val base = Lake.adopt(spark, out) // v0
+    def stageAppend(newIds: Seq[Long]): Lake.StagedCommit = {
+      val batch = newIds.toDF("id").select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
+      val staged = Lake.stageWrite(spark, out, batch, Seq("split", "shard_id"),
+        scopeDirs = Seq("split=train/shard_id=0", "split=train/shard_id=1"))
+      val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq("doc_id"))
+      Lake.StagedCommit(out, base, "append", base.schemaJson, Seq.empty, staged,
+        rows, rows, stats)
+    }
+    // both writers resolve the SAME base, then publish one after the other
+    val w1 = stageAppend(Seq(100L, 101L))
+    val w2 = stageAppend(Seq(200L, 201L))
+    Lake.publish(spark, w1) // v1
+    Lake.publish(spark, w2) // raced at v1 — pure adds rebase to v2
+    assert(Lake.latestManifest(spark, out).get.version == 2L,
+      "the raced append must land at the next version, not refuse")
+    assert(ids(Lake.read(spark, out)) ==
+      (0L until 40L).toSet ++ Set(100L, 101L, 200L, 201L),
+      "both appends' docs must be visible after the rebase")
+    // a REMOVING mutation staged from a now-stale base still refuses: its
+    // staged survivors embed the base it read (delete-vs-delete is pinned
+    // by the two-writer test above; this is delete racing an append)
+    val d = Pipeline.stageLakeDelete(spark, out, Seq(5L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    Lake.publish(spark, stageAppend(Seq(300L))) // v3 lands first
+    val e = intercept[IllegalStateException] { Lake.publish(spark, d) }
+    assert(e.getMessage.contains("concurrent commit"),
+      s"a raced removing commit must refuse, not rebase: ${e.getMessage}")
+    Lake.abort(spark, d)
+    assert(ids(Lake.read(spark, out)).contains(5L))
+  }
+
+  test("the log is incremental: an append's commit record tracks the BATCH while the lake grows") {
+    val out = freshDir("lake-deltalog")
+    // a lake with many files (fragmented on purpose)
+    fixture().repartition(8).write.mode("overwrite")
+      .partitionBy("split", "shard_id").parquet(out)
+    Lake.adopt(spark, out) // v0: the adopt record DOES carry the full listing
+    val nLakeFiles = Lake.latestManifest(spark, out).get.files.size
+    assert(nLakeFiles >= 16, s"fixture should fragment the lake, got $nLakeFiles files")
+    (0 until 3).foreach { k =>
+      val batch = Seq(1000L + k).toDF("id").select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
+      Pipeline.appendToLake(spark, out, batch)
+    }
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    val log = new org.apache.hadoop.fs.Path(root, Lake.LogDirName)
+    val sizes = fs.listStatus(log).map(s => s.getPath.getName -> s.getLen).toMap
+    val adoptBytes = sizes(f"v${0L}%020d.manifest")
+    (1L to 3L).foreach { v =>
+      val b = sizes(f"v$v%020d.manifest")
+      assert(b < adoptBytes / 3,
+        s"append v$v wrote $b bytes vs $adoptBytes for the full listing — " +
+          "the commit record must track the delta, not the lake")
+    }
+    // and the resolved state still accumulates every file
+    assert(Lake.latestManifest(spark, out).get.files.size >= nLakeFiles + 3)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet ++ Set(1000L, 1001L, 1002L))
+  }
+
+  test("append prunes the candidate file list by the manifest's per-file id stats") {
+    val out = freshDir("lake-statprune")
+    val lakeDf = spark.range(1000).select(
+      col("id").as("doc_id"), concat(lit("d"), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    lakeDf.repartition(10).write.mode("overwrite")
+      .partitionBy("split", "shard_id").parquet(out)
+    // clustered compaction: disjoint ~100-row id runs per file, with the
+    // audit read-back recording per-file doc_id min/max into the delta
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 100L, sortCols = Seq("doc_id"))
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.stats.nonEmpty, "clustered compaction must record per-file id stats")
+    assert(st.files.forall(st.stats.contains),
+      "every compacted file must carry stats")
+    // a batch touching only the top of the id space must keep ~1-2 files
+    val pruned = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 950L, 1049L)
+    assert(pruned.size < st.files.size,
+      s"pruning must drop non-overlapping files: kept ${pruned.size}/${st.files.size}")
+    assert(pruned.size <= 2,
+      s"a 100-id batch over ~100-row sorted files must keep <= 2 files, kept ${pruned.size}")
+    // and the append built on that pruning is still exact
+    val batch = spark.range(950, 1050).select(
+      col("id").as("doc_id"), concat(lit("n"), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    val after = Pipeline.appendToLake(spark, out, batch)
+    assert(after.count() == 1050, "the 50 genuinely-new docs (and only they) must land")
+    assert(ids(after) == (0L until 1050L).toSet)
   }
 
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
