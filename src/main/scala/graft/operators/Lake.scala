@@ -478,6 +478,14 @@ object Lake {
     files.foreach(f => fs.delete(new Path(root, f), false))
   }
 
+  /** Total on-disk bytes of the given lake files (driver-side statting,
+    * bounded by the caller's affected set — used to translate a byte
+    * sizing target into a row target from observed bytes/row). */
+  private[graft] def fileBytes(spark: SparkSession, lakeDir: String, files: Seq[String]): Long = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+  }
+
   /** Does `ours` project into `theirs` — every field present with the
     * same type? The condition under which our staged files remain valid
     * when rebased onto a concurrently-evolved schema. */

@@ -808,9 +808,12 @@ object Pipeline {
       targetRowsPerFile: Long = 4000000L,
       partitionCols: Seq[String] = Seq("split", "shard_id"),
       sortCols: Seq[String] = Seq.empty,
-      retainHistory: Boolean = false): DataFrame = {
+      retainHistory: Boolean = false,
+      targetBytesPerFile: Option[Long] = None): DataFrame = {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
+    targetBytesPerFile.foreach(tb =>
+      require(tb >= 1, s"targetBytesPerFile must be >= 1, got $tb"))
     val base = Lake.adopt(spark, lakeDir)
     // driver-side census: manifest files grouped by partition directory
     val affectedDirs = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
@@ -824,6 +827,17 @@ object Pipeline {
       val countRows = affectedLake.groupBy(partitionCols.map(col): _*)
         .agg(count(lit(1)).as("_n")).collect()
       val expected = countRows.map(_.getAs[Long]("_n")).sum
+      // byte sizing: operators reason about lakes in bytes (HDFS block /
+      // object-store part sizes), so a byte target converts to a row
+      // target via the affected files' OBSERVED bytes/row — driver-side
+      // stats on exactly the files being rewritten, no extra scan
+      val target = targetBytesPerFile match {
+        case Some(tb) =>
+          val totalBytes = Lake.fileBytes(spark, lakeDir, removed)
+          val bytesPerRow = math.max(1.0, totalBytes.toDouble / math.max(expected, 1L))
+          math.max(1L, (tb / bytesPerRow).toLong)
+        case None => targetRowsPerFile
+      }
       val groupSchema = org.apache.spark.sql.types.StructType(
         affectedLake.select(partitionCols.map(col): _*).schema.fields :+
           org.apache.spark.sql.types.StructField("_ng",
@@ -831,7 +845,7 @@ object Pipeline {
       val groupRows = countRows.map { r =>
         org.apache.spark.sql.Row.fromSeq(
           partitionCols.indices.map(r.get) :+
-            math.ceil(r.getAs[Long]("_n").toDouble / targetRowsPerFile).toInt)
+            math.ceil(r.getAs[Long]("_n").toDouble / target).toInt)
       }
       val groups = spark.createDataFrame(
         spark.sparkContext.parallelize(groupRows.toSeq, 1), groupSchema)
@@ -847,7 +861,7 @@ object Pipeline {
       //    Never a global sort.
       val packed =
         if (sortCols.nonEmpty) {
-          val nTasks = math.max(1, math.ceil(expected.toDouble / targetRowsPerFile).toInt)
+          val nTasks = math.max(1, math.ceil(expected.toDouble / target).toInt)
           affectedLake
             .repartitionByRange(nTasks, (partitionCols ++ sortCols).map(col): _*)
             .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
@@ -857,7 +871,7 @@ object Pipeline {
           .repartition((partitionCols :+ "_gid").map(col): _*)
           .select(dataCols.map(col): _*)
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
-        Map("maxRecordsPerFile" -> targetRowsPerFile.toString),
+        Map("maxRecordsPerFile" -> target.toString),
         scopeDirs = affectedDirs)
       // the audit read-back also captures per-file min/max of the sort
       // columns: clustered compaction's disjoint ranges become manifest

@@ -64,15 +64,35 @@ object DocStream {
     * it the replay's anti-join sees the committed ids. The stream's rows
     * must already carry the lake's partition columns — shaping (split /
     * shard assignment) belongs to the upstream transform, exactly as in
-    * the batch px100 write. */
+    * the batch px100 write.
+    *
+    * Every micro-batch adds files, so a long-running stream fragments the
+    * lake it feeds. `compactEvery = n` folds the maintenance pass in: after
+    * every n-th micro-batch commit, partitions that accumulated more than
+    * `compactMaxFilesPerPartition` files are bin-packed by
+    * [[graft.operators.Pipeline.compactLake]] — file counts stay bounded
+    * for the stream's lifetime instead of growing one file-set per batch
+    * (DocStreamSpec pins the bound). Compaction is data-preserving and
+    * replay-safe (a re-run after a crash just compacts again); its eager
+    * vacuum spends the rewritten pre-image, so lakes with exact
+    * incremental consumers ([[graft.operators.Lake.changesBetween]])
+    * should retain history via a deferred retention policy instead. */
   def ingestToLake(docs: DataFrame, lakeDir: String, checkpointDir: String,
       idCol: String = "doc_id",
-      partitionCols: Seq[String] = Seq("split", "shard_id")): StreamingQuery =
+      partitionCols: Seq[String] = Seq("split", "shard_id"),
+      compactEvery: Int = 0,
+      compactMaxFilesPerPartition: Int = 8,
+      compactTargetRowsPerFile: Long = 4000000L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Pipeline.appendToLake(
           batch.sparkSession, lakeDir, batch, idCol, partitionCols)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.operators.Pipeline.compactLake(batch.sparkSession, lakeDir,
+            maxFilesPerPartition = compactMaxFilesPerPartition,
+            targetRowsPerFile = compactTargetRowsPerFile,
+            partitionCols = partitionCols)
         ()
       }
       .start()

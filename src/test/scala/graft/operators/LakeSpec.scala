@@ -421,6 +421,29 @@ class LakeSpec extends SparkTestBase {
     assert(ids(after) == (0L until 1050L).toSet)
   }
 
+  test("byte-based compaction target: files sized from observed bytes/row, rows preserved") {
+    val out = freshDir("lake-bytetarget")
+    // wide rows (~256 chars of md5 hex) so bytes/row is text-dominated —
+    // the regime where a row-count target misjudges file sizes
+    val wide = spark.range(500).select(
+      col("id").as("doc_id"),
+      concat((0 until 8).map(i => md5(concat(col("id"), lit(s"w$i")))): _*).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    wide.repartition(10).write.mode("overwrite")
+      .partitionBy("split", "shard_id").parquet(out)
+    val before = Lake.adopt(spark, out)
+    val totalBytes = Lake.fileBytes(spark, out, before.files)
+    // ask for ~5 files' worth of bytes each
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetBytesPerFile = Some(totalBytes / 5))
+    val after = Lake.read(spark, out)
+    assert(after.count() == 500, "byte-targeted compaction must preserve every row")
+    assert(ids(after) == (0L until 500L).toSet)
+    val files = Lake.latestManifest(spark, out).get.files
+    assert(files.size >= 3 && files.size <= 10,
+      s"a bytes/5 target should land ~5 bounded files, got ${files.size}")
+  }
+
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
     val out = freshDir("lake-binpack")
     // one hot partition: 500 rows fragmented across 10 files

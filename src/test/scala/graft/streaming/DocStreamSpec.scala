@@ -178,4 +178,44 @@ class DocStreamSpec extends SparkTestBase {
     assert(graft.operators.Lake.latestManifest(spark, lakeDir).exists(_.version >= 2),
       "per-micro-batch manifest commits expected")
   }
+
+  test("ingestToLake auto-compaction keeps file counts bounded across many micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("lakecompact").toString
+    val inDir = s"$base/in"
+    val lakeDir = s"$base/lake"
+    new java.io.File(inDir).mkdirs()
+    import spark.implicits._
+
+    def addFile(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .repartition(2) // each batch lands >= 1 file per shard dir
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+
+    // 8 disjoint micro-batches: without compaction each adds its own
+    // file-set per partition forever (~8+ files per shard dir)
+    (0 until 8).foreach(k => addFile(f"b$k%02d", (k * 10 + 1) to (k * 10 + 10)))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("split", lit("train"))
+      .withColumn("shard_id", (col("doc_id") % 2).cast("int"))
+    val q = DocStream.ingestToLake(docs, lakeDir, s"$base/ck",
+      compactEvery = 2, compactMaxFilesPerPartition = 1,
+      compactTargetRowsPerFile = 1000L)
+    try q.processAllAvailable() finally q.stop()
+
+    val lake = graft.operators.Lake.read(spark, lakeDir)
+    assert(lake.select("doc_id").distinct().count() == 80,
+      "compaction must preserve every ingested doc")
+    val files = graft.operators.Lake.latestManifest(spark, lakeDir).get.files
+    // 2 shard dirs; the last compaction ran at batch 8, so every dir is
+    // packed to <= maxFilesPerPartition (=1) + nothing appended after
+    assert(files.size <= 4,
+      s"auto-compaction must bound the file count (2 shards), got ${files.size}: $files")
+    val perDir = files.groupBy(f => f.take(f.lastIndexOf('/')))
+    assert(perDir.values.forall(_.size <= 2),
+      s"no shard dir may accumulate per-batch file-sets: ${perDir.view.mapValues(_.size).toMap}")
+  }
 }
