@@ -1206,6 +1206,61 @@ object Pipeline {
       |FROM documents WHERE doc_id % 3 = 0
       |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px108
+  /** Stats-pruned ingest into a clustered lake — the three prefilter
+    * layers composed end to end: the seed is clustered-compacted on the
+    * id ([[compactLake]] with `sortCols`), whose audit read-back records
+    * per-file doc_id min/max into the delta log; the follow-up
+    * [[appendToLake]] then (0) prunes the candidate FILE LIST by the
+    * batch id range against those stats, (1) pushes the range predicate
+    * into the surviving files' scans, and (2) bloom-probes the survivors
+    * — and must still land exactly the genuinely-new docs. The oracle is
+    * px100's full-corpus manifest: pruning is exactness-preserving or
+    * this hash breaks. */
+  private def px108(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px108_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    sharded.filter(col("doc_id") % 3 =!= 0).repartition(6)
+      .write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 2000L, sortCols = Seq("doc_id"))
+    appendToLake(spark, out, sharded)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  // ---------------------------------------------------------------- px109
+  /** Exact incremental consumption ACROSS maintenance — the action-kind
+    * payoff of the delta log. History: seed (v1) → append the even third
+    * (v2) → compaction with history retained (v3, rewrite-only) → append
+    * the rest of the third (v4). [[Lake.changesBetween]](1, 4) must
+    * surface exactly the two appends' docs: the compaction contributes
+    * NOTHING (under the old full-listing diff it re-surfaced the whole
+    * recompacted corpus as "added", so a nightly consumer double-
+    * processed everything after every maintenance pass). The oracle
+    * recomputes the appended third relationally. */
+  private def px109(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px109_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0).repartition(6), out,
+      Seq("split", "shard_id"))                                            // v1
+    appendToLake(spark, out, sharded.filter(col("doc_id") % 6 === 0))      // v2
+    compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 4000000L, retainHistory = true)                  // v3
+    appendToLake(spark, out, sharded)                                      // v4
+    Lake.changesBetween(spark, out, 1L, 4L)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   private def px104(spark: SparkSession, dir: String): DataFrame =
     profileTable(Tables(spark, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))
@@ -1349,5 +1404,7 @@ object Pipeline {
     GraftQuery("px104_table_profile", px104, Some(px104Oracle)),
     GraftQuery("px105_quality_blend", px105, Some(px105Oracle)),
     GraftQuery("px106_lake_time_travel", px106, Some(px106Oracle)),
-    GraftQuery("px107_lake_incremental", px107, Some(px107Oracle)))
+    GraftQuery("px107_lake_incremental", px107, Some(px107Oracle)),
+    GraftQuery("px108_lake_clustered_append", px108, Some(px100Oracle)),
+    GraftQuery("px109_lake_cdc_across_compact", px109, Some(px107Oracle)))
 }
