@@ -62,6 +62,10 @@ object Lake {
 
   val LogDirName = "_graft_log"
 
+  /** Per-writer staging subtrees live here; `_`-prefixed so every data
+    * listing and every reader skips them. */
+  val StagingDirName = "_graft_staging"
+
   /** A full checkpoint is written every this-many commits; state
     * resolution replays at most this many deltas past a checkpoint. */
   val CheckpointInterval = 10
@@ -78,10 +82,17 @@ object Lake {
   final case class ColStat(col: String, min: String, max: String)
 
   /** One resolved lake version: the schema (JSON, for empty-lake reads),
-    * the lakeDir-relative paths of every live data file, and whatever
-    * per-file column stats the deltas carried. */
+    * the lakeDir-relative paths of every live data file, whatever
+    * per-file column stats the deltas carried, and `history` — the files
+    * REFERENCED by this version's ancestry but no longer live (removed by
+    * some delta at or below this version and retained on disk for time
+    * travel / CDC). `files ++ history` is therefore the complete
+    * referenced-file set of the log up to this version, which is what
+    * lets [[vacuum]] decide orphan-ness from the LATEST state alone —
+    * one checkpoint load plus a bounded delta replay — instead of
+    * re-reading every retained delta. */
   final case class LakeState(version: Long, schemaJson: String, files: Seq[String],
-      stats: Map[String, Seq[ColStat]] = Map.empty)
+      stats: Map[String, Seq[ColStat]] = Map.empty, history: Seq[String] = Seq.empty)
 
   /** One committed delta record. */
   private[graft] final case class DeltaRecord(version: Long, action: String,
@@ -205,8 +216,18 @@ object Lake {
   private def statsFields(stats: Seq[ColStat]): Seq[String] =
     stats.flatMap(s => Seq(enc(s.col), enc(s.min), enc(s.max)))
 
-  private def parseStats(fields: Seq[String]): Seq[ColStat] =
-    fields.grouped(3).collect { case Seq(c, mn, mx) => ColStat(dec(c), dec(mn), dec(mx)) }.toSeq
+  private def parseStats(fields: Seq[String]): Seq[ColStat] = {
+    // a trailing 1- or 2-field remainder is log corruption: fail loudly
+    // like every other parse error here — silently dropping it would
+    // only DEGRADE pruning today, but a quiet corruption is how a log
+    // grows undiagnosable (unknown stats keep the file, so loudness
+    // costs no exactness)
+    if (fields.length % 3 != 0)
+      throw new IllegalStateException(
+        s"malformed per-file stats: ${fields.length} field(s) is not a multiple of " +
+          s"3 (col,min,max triples) — ${fields.mkString("[", ",", "]")}")
+    fields.grouped(3).map { case Seq(c, mn, mx) => ColStat(dec(c), dec(mn), dec(mx)) }.toSeq
+  }
 
   private def renderDelta(rec: DeltaRecord): String = {
     val header = s"graft-delta-v1\t${rec.action}"
@@ -242,7 +263,8 @@ object Lake {
     val schema = s"S\t${enc(st.schemaJson)}"
     val files = st.files.sorted.map { p =>
       (Seq("F", enc(p)) ++ statsFields(st.stats.getOrElse(p, Seq.empty))).mkString("\t") }
-    (header +: schema +: files).mkString("\n")
+    val hist = st.history.sorted.map(p => s"H\t${enc(p)}")
+    (header +: schema +: (files ++ hist)).mkString("\n")
   }
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
@@ -251,6 +273,7 @@ object Lake {
       s"not a graft checkpoint: ${lines.head.take(60)}")
     var schemaJson = ""
     val files = Seq.newBuilder[String]
+    val hist = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, Seq[ColStat]]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
@@ -261,10 +284,11 @@ object Lake {
           files += p
           val st = parseStats(f.drop(2))
           if (st.nonEmpty) stats += (p -> st)
+        case "H" => hist += dec(f(1))
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
-    LakeState(version, schemaJson, files.result().sorted, stats.result())
+    LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted)
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -294,7 +318,10 @@ object Lake {
     val removed = d.removed.toSet
     LakeState(d.version, d.schemaJson,
       (st.files.filterNot(removed) ++ d.added.map(_._1)).sorted,
-      (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap)
+      (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap,
+      // removed files stay referenced (time travel / in-range CDC reads
+      // them until a retention vacuum spends that history)
+      st.history ++ d.removed)
   }
 
   /** Resolve the lake state at `version`: newest checkpoint at or below
@@ -430,10 +457,16 @@ object Lake {
     * existing destination fails outright; on filesystems where rename
     * OVERWRITES (POSIX / RawLocalFileSystem) two truly concurrent
     * publishes could both "succeed", so after the rename the record is
-    * read back and compared to what this writer wrote — at most one racer
-    * matches, the other throws with its commit un-landed. (On object
-    * stores without atomic rename this is the documented swap-in point
-    * for a put-if-absent conditional write.) */
+    * read back and compared to what this writer wrote — the loser of any
+    * rename interleaving that completes before either read-back throws
+    * with its commit un-landed. A RESIDUAL window remains on
+    * overwrite-on-rename filesystems only: a racer that renames AFTER
+    * this writer's read-back already passed silently clobbers this
+    * commit. Closing it needs an atomic put-if-absent primitive — HDFS
+    * rename (fails onto an existing destination) and object-store
+    * conditional PUTs both provide one, and this method is the documented
+    * swap-in point; on local filesystems the guard is best-effort by
+    * nature and the window is accepted for tests. */
   private[graft] def commitDelta(spark: SparkSession, lakeDir: String,
       rec: DeltaRecord, postState: Option[LakeState]): Unit = {
     val (fs, root) = fsRoot(spark, lakeDir)
@@ -462,14 +495,18 @@ object Lake {
   }
 
   /** Best-effort checkpoint write (idempotent; readers only ever gain a
-    * shorter replay from it, never correctness). */
-  private def writeCheckpoint(fs: FileSystem, root: Path, st: LakeState): Unit = {
+    * shorter replay from it, never correctness). `overwrite = true`
+    * replaces an existing checkpoint — only [[vacuumKeeping]] uses it, to
+    * prune the history section after reclaiming the files it named. */
+  private def writeCheckpoint(fs: FileSystem, root: Path, st: LakeState,
+      overwrite: Boolean = false): Unit = {
     val target = new Path(logDir(root), checkpointName(st.version))
-    if (fs.exists(target)) return
+    if (fs.exists(target) && !overwrite) return
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(renderCheckpoint(st).getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (overwrite) fs.delete(target, false)
     if (!fs.rename(tmp, target)) fs.delete(tmp, false)
   }
 
@@ -506,13 +543,21 @@ object Lake {
     * earlier versions [[readVersion]]-able (storage-for-history; reclaim
     * later with [[vacuumKeeping]]).
     *
-    * Raced commits: a PURE-ADD mutation (`removedFiles` empty — appends,
-    * first ingests) whose version was taken by another writer REBASES
-    * automatically: its staged files conflict with nothing, so it
-    * re-resolves the latest version and re-commits at the next one (up to
-    * `maxRebases` times; a concurrent schema change it cannot project
-    * into still refuses). Mutations that remove files (delete, compact)
-    * refuse outright — their staged content embeds the base they read. */
+    * Raced commits rebase under OCC conflict detection (the Delta Lake
+    * discipline — Armbrust et al., VLDB 2020, conflict detection): a
+    * commit whose version was taken by another writer re-resolves the
+    * latest state and re-commits at the next version (up to `maxRebases`
+    * times) IF every interposed commit commutes with it:
+    *
+    *   - a PURE-ADD mutation (`removedFiles` empty — appends, first
+    *     ingests) commutes with everything except a schema change its
+    *     staged files cannot project into;
+    *   - a REMOVING mutation (delete, compact) commutes with interposed
+    *     commits that neither removed any file it removes (its base
+    *     would be gone) nor added files INTO the partitions it read —
+    *     its staged survivors embed what it read there, so a concurrent
+    *     append into another partition lands alongside it, while any
+    *     genuine overlap refuses with the staged files abortable. */
   private[graft] def publish(spark: SparkSession, sc: StagedCommit,
       vacuumSuperseded: Boolean = true, maxRebases: Int = 5): Unit = {
     if (sc.stagedRows != sc.expectedRows) {
@@ -521,15 +566,18 @@ object Lake {
         s"lake publish audit failed: staged ${sc.stagedRows} rows, " +
           s"expected ${sc.expectedRows} — staged files deleted, lake untouched")
     }
+    def parentDir(f: String): String = f.take(f.lastIndexOf('/').max(0))
+    val ourRemoved = sc.removedFiles.toSet
+    val readDirs = sc.removedFiles.map(parentDir).toSet
     var base = sc.base
     var schemaJson = sc.schemaJson
     var rebases = 0
     var committed = false
     while (!committed) {
-      val removed = sc.removedFiles.toSet
       val post = LakeState(base.version + 1, schemaJson,
-        (base.files.filterNot(removed) ++ sc.stagedFiles).sorted,
-        (base.stats -- sc.removedFiles) ++ sc.stagedStats)
+        (base.files.filterNot(ourRemoved) ++ sc.stagedFiles).sorted,
+        (base.stats -- sc.removedFiles) ++ sc.stagedStats,
+        base.history ++ sc.removedFiles)
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -539,9 +587,27 @@ object Lake {
         committed = true
       } catch {
         case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
-          if (sc.removedFiles.nonEmpty || rebases >= maxRebases) throw e
+          if (rebases >= maxRebases) throw e
           rebases += 1
           val latest = latestManifest(spark, sc.lakeDir).getOrElse(throw e)
+          // OCC conflict check for removing commits: replay the deltas
+          // that interposed since our base and refuse on genuine overlap
+          if (sc.removedFiles.nonEmpty)
+            ((base.version + 1) to latest.version).foreach { v =>
+              val d = deltaAt(spark, sc.lakeDir, v)
+              val removedHit = d.removed.filter(ourRemoved)
+              if (removedHit.nonEmpty)
+                throw new IllegalStateException(
+                  s"concurrent commit: interposed ${d.action} v$v removed file(s) this " +
+                    s"${sc.action} also removes (e.g. ${removedHit.take(2).mkString(", ")}) " +
+                    "— its staged base is gone, rebase refused", e)
+              val addedHit = d.added.map(_._1).filter(f => readDirs.contains(parentDir(f)))
+              if (addedHit.nonEmpty)
+                throw new IllegalStateException(
+                  s"concurrent commit: interposed ${d.action} v$v added file(s) into " +
+                    s"partition(s) this ${sc.action} read and rewrites " +
+                    s"(e.g. ${addedHit.take(2).mkString(", ")}) — rebase refused", e)
+            }
           // rebase schema: keep ours when the world didn't move under us;
           // adopt theirs when our files still project into it; else this
           // is a concurrent non-commuting schema change — refuse
@@ -549,7 +615,7 @@ object Lake {
             if (latest.schemaJson == sc.base.schemaJson) sc.schemaJson
             else if (schemaCovers(latest.schemaJson, sc.schemaJson)) latest.schemaJson
             else throw new IllegalStateException(
-              "concurrent commit: schema changed under a pure-add commit and the " +
+              s"concurrent commit: schema changed under a ${sc.action} commit and the " +
                 "staged files do not project into it — rebase refused", e)
           base = latest
       }
@@ -600,15 +666,22 @@ object Lake {
     (total, stats.result())
   }
 
-  /** The subset of `st.files` whose recorded `statCol` range overlaps
-    * `[lo, hi]` — plus every file with no recorded stats for that column
-    * (unknown must be kept; pruning is exactness-preserving). Comparison
-    * is typed: integral and floating stats parse back to numbers, string
-    * stats compare in UTF8 binary order (Spark's min/max order); any
-    * other type keeps the file. */
-  private[graft] def pruneByStats(st: LakeState, statCol: String, dt: DataType,
-      lo: Any, hi: Any): Seq[String] = {
-    def cmp(a: String, b: String): Option[Int] = dt match {
+  /** One column's query-side bound for stats pruning: "only rows with
+    * `col` in `[lo, hi]` can matter". */
+  final case class ColBound(col: String, dt: DataType, lo: Any, hi: Any)
+
+  /** The subset of `st.files` whose recorded stats overlap EVERY bound in
+    * the conjunction — plus, per bound, every file with no recorded stats
+    * for that column (unknown must be kept; pruning is
+    * exactness-preserving). A multi-column clustering (e.g. a lake
+    * range-compacted on (domain, doc_id)) therefore compound-prunes: a
+    * file survives only if each bounded column's range overlaps, which is
+    * strictly tighter than any single column alone. Comparison is typed:
+    * integral and floating stats parse back to numbers, string stats
+    * compare in UTF8 binary order (Spark's min/max order); any other type
+    * keeps the file. */
+  private[graft] def pruneByStats(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
+    def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         for (x <- a.toLongOption; y <- b.toLongOption) yield java.lang.Long.compare(x, y)
       case DoubleType | FloatType =>
@@ -618,18 +691,22 @@ object Lake {
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
       case _ => None
     }
-    val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
-    st.files.filter { f =>
-      st.stats.get(f).flatMap(_.find(_.col == statCol)) match {
+    def overlaps(f: String, b: ColBound): Boolean =
+      st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
         case None => true
         case Some(cs) =>
-          (cmp(cs.max, loS), cmp(cs.min, hiS)) match {
-            case (Some(a), Some(b)) => a >= 0 && b <= 0 // ranges overlap
+          (cmp(b.dt, cs.max, String.valueOf(b.lo)), cmp(b.dt, cs.min, String.valueOf(b.hi))) match {
+            case (Some(x), Some(y)) => x >= 0 && y <= 0 // ranges overlap
             case _ => true
           }
       }
-    }
+    st.files.filter(f => bounds.forall(overlaps(f, _)))
   }
+
+  /** Single-column convenience form of [[pruneByStats]]. */
+  private[graft] def pruneByStats(st: LakeState, statCol: String, dt: DataType,
+      lo: Any, hi: Any): Seq[String] =
+    pruneByStats(st, Seq(ColBound(statCol, dt, lo, hi)))
 
   /** Create a lake: write the initial partition layout and commit version
     * 1 over exactly the files that landed. Overwrite semantics — anything
@@ -656,20 +733,52 @@ object Lake {
   }
 
   /** Append-mode write of `df` into the lake's partition layout, returning
-    * the relative paths of the files it created (listing diff; staged
-    * files carry unique UUID names so the diff is race-free even among
-    * concurrent writers). Nothing pre-existing is opened, so a crash here
-    * strands invisible files at worst. When the mutation can only land
-    * inside known partition directories (delete, compact), pass them as
-    * `scopeDirs` so the diff lists O(affected) files instead of walking
-    * the lake. */
+    * the relative paths of the files it created. The write lands in a
+    * PER-WRITER staging directory (`_graft_staging/<uuid>/`, hidden from
+    * every reader and from [[listDataFiles]]) and the staged files are
+    * then renamed into the lake's partition directories one by one — so
+    * "which files did THIS writer stage" is the writer's own move list,
+    * never a before/after listing diff. A listing diff looks race-free
+    * (part-file names embed a unique job UUID so they can't collide) but
+    * is not: two concurrent appends into the same partition dirs would
+    * each CLAIM the other's just-written files, and the doubled `added`
+    * entry would make readers double-read those rows. Claiming by staging
+    * dir makes concurrent stages fully disjoint by construction, with no
+    * listing cost at all. Nothing pre-existing is opened, and the staged
+    * files stay invisible to manifest readers until the delta lands — a
+    * crash mid-stage or mid-move strands invisible orphans at worst
+    * ([[vacuum]] reclaims them). The per-file rename is a metadata move
+    * on POSIX/HDFS; an object store without cheap rename would swap in a
+    * direct-to-final write committer here. */
   private[graft] def stageWrite(spark: SparkSession, lakeDir: String, df: DataFrame,
-      partitionCols: Seq[String], writeOptions: Map[String, String] = Map.empty,
-      scopeDirs: Seq[String] = Seq.empty): Seq[String] = {
-    val before = listDataFiles(spark, lakeDir, scopeDirs).toSet
-    df.write.mode("append").options(writeOptions)
-      .partitionBy(partitionCols: _*).parquet(lakeDir)
-    listDataFiles(spark, lakeDir, scopeDirs).filterNot(before)
+      partitionCols: Seq[String], writeOptions: Map[String, String] = Map.empty): Seq[String] = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val staging = new Path(new Path(root, StagingDirName), java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").options(writeOptions)
+      .partitionBy(partitionCols: _*).parquet(staging.toString)
+    val stagingQ = fs.makeQualified(staging)
+    val moved = Seq.newBuilder[String]
+    try {
+      if (fs.exists(staging)) {
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = relativize(stagingQ, fs.makeQualified(f))
+          val segments = rel.split('/')
+          if (f.getName.endsWith(".parquet") &&
+              !segments.exists(s => s.startsWith("_") || s.startsWith("."))) {
+            val target = new Path(root, rel)
+            fs.mkdirs(target.getParent)
+            if (!fs.rename(f, target))
+              throw new IllegalStateException(
+                s"staged-file move failed: $f -> $target (already-moved files are " +
+                  "invisible orphans; vacuum reclaims them)")
+            moved += rel
+          }
+        }
+      }
+    } finally fs.delete(staging, true)
+    moved.result().sorted
   }
 
   /** Incremental (CDC-style) read: the GENUINELY NEW rows between two
@@ -714,24 +823,23 @@ object Lake {
   /** Delete every on-disk data file that NO committed log record
     * references — the crash-orphan reclaim (files staged by a mutation
     * that died before publish). History deliberately retained via
-    * `retainHistory` IS referenced (by the older deltas), so a routine
-    * orphan sweep can never spend a retention policy — that is
-    * [[vacuumKeeping]]'s job. Returns what it deleted. No-op on
-    * manifest-less lakes (nothing is provably dead there). */
+    * `retainHistory` IS referenced (it rides in the resolved state's
+    * `history` section), so a routine orphan sweep can never spend a
+    * retention policy — that is [[vacuumKeeping]]'s job. The referenced
+    * set comes from the LATEST resolved state alone (`files ++ history`
+    * — the newest checkpoint plus at most [[CheckpointInterval]] tail
+    * deltas), so a maintenance pass on a long-lived lake never replays
+    * its full history. Returns what it deleted. No-op on manifest-less
+    * lakes (nothing is provably dead there). */
   def vacuum(spark: SparkSession, lakeDir: String): Seq[String] = {
-    val (fs, root) = fsRoot(spark, lakeDir)
-    val (deltas, checkpoints) = listLog(fs, root)
-    if (deltas.isEmpty) return Seq.empty
-    val referenced = Set.newBuilder[String]
-    deltas.foreach(v => referenced ++= deltaAt(spark, lakeDir, v).added.map(_._1))
-    checkpoints.foreach { c =>
-      referenced ++= parseCheckpointFile(
-        readLogFile(fs, new Path(logDir(root), checkpointName(c))), c).files
+    latestManifest(spark, lakeDir) match {
+      case None => Seq.empty
+      case Some(latest) =>
+        val live = (latest.files ++ latest.history).toSet
+        val dead = listDataFiles(spark, lakeDir).filterNot(live)
+        deleteFiles(spark, lakeDir, dead)
+        dead
     }
-    val live = referenced.result()
-    val dead = listDataFiles(spark, lakeDir).filterNot(live)
-    deleteFiles(spark, lakeDir, dead)
-    dead
   }
 
   /** Retention-policy vacuum: keep the newest `keepVersions` versions
@@ -751,13 +859,23 @@ object Lake {
     if (deltas.isEmpty) return Seq.empty
     val (expired, retained) = deltas.splitAt(math.max(deltas.size - keepVersions, 0))
     val oldest = retained.head
-    writeCheckpoint(fs, root, resolve(fs, root, lakeDir, oldest, deltas, checkpoints))
+    val oldestState = resolve(fs, root, lakeDir, oldest, deltas, checkpoints)
     val live = Set.newBuilder[String]
     retained.foreach { v =>
       live ++= resolve(fs, root, lakeDir, v, deltas, checkpoints).files
       if (v > oldest) live ++= deltaAt(spark, lakeDir, v).added.map(_._1)
     }
-    val dead = listDataFiles(spark, lakeDir).filterNot(live.result())
+    val liveSet = live.result()
+    // the retention cut IS the new history horizon: versions below
+    // `oldest` are gone, so the checkpoint's history section shrinks to
+    // exactly the still-referenced-but-not-live files — overwriting any
+    // pre-existing checkpoint whose history named files reclaimed below.
+    // Written BEFORE anything is deleted, so a crash mid-vacuum leaves
+    // dangling log records that fail loudly, never silently-live files.
+    writeCheckpoint(fs, root,
+      oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted),
+      overwrite = true)
+    val dead = listDataFiles(spark, lakeDir).filterNot(liveSet)
     deleteFiles(spark, lakeDir, dead)
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>

@@ -733,8 +733,7 @@ object Pipeline {
         .agg(count(lit(1)).as("_n"), count(col("_del")).as("_hits")).collect()(0)
       val expected = stats.getLong(0) - stats.getLong(1)
       val survivors = affectedLake.join(t, col(lakeIdCol) === col("_del"), "left_anti")
-      val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols,
-        scopeDirs = affectedDirs)
+      val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols)
       // audit read-back doubles as the stats capture: the rewritten
       // files keep id-range stats so append pruning survives deletes
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
@@ -871,8 +870,7 @@ object Pipeline {
           .repartition((partitionCols :+ "_gid").map(col): _*)
           .select(dataCols.map(col): _*)
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
-        Map("maxRecordsPerFile" -> target.toString),
-        scopeDirs = affectedDirs)
+        Map("maxRecordsPerFile" -> target.toString))
       // the audit read-back also captures per-file min/max of the sort
       // columns: clustered compaction's disjoint ranges become manifest
       // stats, the data-skipping food for append file-list pruning
@@ -938,7 +936,8 @@ object Pipeline {
   def appendToLake(spark: SparkSession, lakeDir: String, batch: DataFrame,
       idCol: String = "doc_id",
       partitionCols: Seq[String] = Seq("split", "shard_id"),
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      statsCols: Seq[String] = Seq.empty): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
     val b0 = batch.dropDuplicates(idCol)
     // drift checks key on the RECORDED schema, not the file count: a lake
@@ -986,33 +985,47 @@ object Pipeline {
       if (base.files.isEmpty) b
       else {
         // layer 0 of the prefilter: prune the manifest FILE LIST by the
-        // batch's [min, max] id range against the per-file stats the
+        // batch's [min, max] ranges against the per-file stats the
         // deltas recorded at audit time — files that provably can't
         // contain a batch id are never opened, not even their footers
         // (layers 1-2, the pushed range predicate and the bloom probe,
-        // then run inside the surviving files). One batch-side pass
-        // computes the count/min/max all three layers share.
-        val bs = b.agg(count(col(idCol)).as("_n"),
-          min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx")).collect()(0)
+        // then run inside the surviving files). `statsCols` adds extra
+        // clustering columns to the conjunction: a (domain, doc_id)-
+        // clustered lake compound-prunes tighter than either column
+        // alone. One batch-side pass computes every bound plus the
+        // count/min/max the later layers share.
+        val extraCols = statsCols.filterNot(_ == idCol).filter(b.columns.contains)
+        val aggs = Seq(count(col(idCol)).as("_n"),
+          min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx")) ++
+          extraCols.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+        val bs = b.agg(aggs.head, aggs.tail: _*).collect()(0)
         val candidateFiles =
           if (bs.isNullAt(1)) Seq.empty[String]
-          else Lake.pruneByStats(base, idCol, b.schema(idCol).dataType, bs.get(1), bs.get(2))
+          else {
+            val bounds = Lake.ColBound(idCol, b.schema(idCol).dataType,
+              bs.get(1), bs.get(2)) +:
+              extraCols.zipWithIndex.flatMap { case (c, i) =>
+                val (mn, mx) = (bs.get(3 + 2 * i), bs.get(4 + 2 * i))
+                if (mn == null || mx == null) None
+                else Some(Lake.ColBound(c, b.schema(c).dataType, mn, mx))
+              }
+            Lake.pruneByStats(base, bounds)
+          }
         val lakeIds = Lake.readFiles(spark, lakeDir, base.schemaJson, candidateFiles)
           .select(idCol)
         b.join(bloomProbedIds(spark, b, lakeIds, idCol, Some(bs)), Seq(idCol), "left_anti")
       }).localCheckpoint(true)
     val expected = fresh.count()
     if (expected > 0) {
-      // the partition directories this batch can land in — bounds the
-      // staging diff's listing to O(batch partitions); a wrong dir name
-      // (exotic partition value rendering) surfaces as a failed audit,
-      // never a wrong commit
-      val scope = fresh.select(partitionCols.map(col): _*).distinct().collect()
-        .map(Lake.partitionDir(partitionCols, _)).toSeq
-      val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols, scopeDirs = scope)
-      // audit read-back captures per-file id stats for future pruning
+      // staging is claim-by-staging-dir (no listing diff), so no
+      // partition-scope collect is needed here — one fewer Spark job
+      // per append
+      val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols)
+      // audit read-back captures per-file id (+ clustering) stats for
+      // future compound pruning
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
-        Option(commitSchemaJson).getOrElse(base.schemaJson), staged, Seq(idCol))
+        Option(commitSchemaJson).getOrElse(base.schemaJson), staged,
+        (idCol +: statsCols).distinct)
       val schemaJson =
         if (commitSchemaJson == null)
           Lake.readFiles(spark, lakeDir, base.schemaJson, staged).schema.json

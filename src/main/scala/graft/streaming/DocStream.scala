@@ -73,16 +73,25 @@ object DocStream {
     * [[graft.operators.Pipeline.compactLake]] — file counts stay bounded
     * for the stream's lifetime instead of growing one file-set per batch
     * (DocStreamSpec pins the bound). Compaction is data-preserving and
-    * replay-safe (a re-run after a crash just compacts again); its eager
-    * vacuum spends the rewritten pre-image, so lakes with exact
-    * incremental consumers ([[graft.operators.Lake.changesBetween]])
-    * should retain history via a deferred retention policy instead. */
+    * replay-safe (a re-run after a crash just compacts again).
+    *
+    * `compactRetainHistory` (default TRUE) keeps each compaction's
+    * rewritten pre-image on disk, which is what makes the maintenance
+    * pass CDC-SAFE: an exact incremental consumer
+    * ([[graft.operators.Lake.changesBetween]]) reading a range that
+    * spans a compaction still finds every data-added file it needs
+    * (DocStreamSpec pins this). The retained pre-images are reclaimed by
+    * a periodic [[graft.operators.Lake.vacuumKeeping]] once consumers
+    * have drained past them. Set it false only for a lake with NO
+    * incremental consumers — the pre-image is then vacuumed eagerly and
+    * an in-range `changesBetween` fails loudly. */
   def ingestToLake(docs: DataFrame, lakeDir: String, checkpointDir: String,
       idCol: String = "doc_id",
       partitionCols: Seq[String] = Seq("split", "shard_id"),
       compactEvery: Int = 0,
       compactMaxFilesPerPartition: Int = 8,
-      compactTargetRowsPerFile: Long = 4000000L): StreamingQuery =
+      compactTargetRowsPerFile: Long = 4000000L,
+      compactRetainHistory: Boolean = true): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -92,7 +101,8 @@ object DocStream {
           graft.operators.Pipeline.compactLake(batch.sparkSession, lakeDir,
             maxFilesPerPartition = compactMaxFilesPerPartition,
             targetRowsPerFile = compactTargetRowsPerFile,
-            partitionCols = partitionCols)
+            partitionCols = partitionCols,
+            retainHistory = compactRetainHistory)
         ()
       }
       .start()

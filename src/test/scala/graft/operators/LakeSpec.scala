@@ -328,8 +328,7 @@ class LakeSpec extends SparkTestBase {
       val batch = newIds.toDF("id").select(
         col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
         lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
-      val staged = Lake.stageWrite(spark, out, batch, Seq("split", "shard_id"),
-        scopeDirs = Seq("split=train/shard_id=0", "split=train/shard_id=1"))
+      val staged = Lake.stageWrite(spark, out, batch, Seq("split", "shard_id"))
       val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq("doc_id"))
       Lake.StagedCommit(out, base, "append", base.schemaJson, Seq.empty, staged,
         rows, rows, stats)
@@ -344,17 +343,95 @@ class LakeSpec extends SparkTestBase {
     assert(ids(Lake.read(spark, out)) ==
       (0L until 40L).toSet ++ Set(100L, 101L, 200L, 201L),
       "both appends' docs must be visible after the rebase")
-    // a REMOVING mutation staged from a now-stale base still refuses: its
-    // staged survivors embed the base it read (delete-vs-delete is pinned
-    // by the two-writer test above; this is delete racing an append)
+  }
+
+  test("OCC rebase: a delete racing an append into a DIFFERENT partition — both land") {
+    val out = freshDir("lake-occ-commute")
+    writePlain(fixture(), out)
+    val base = Lake.adopt(spark, out) // v0
+    // the delete reads/rewrites (train, shard 1) — id 5 lives there
     val d = Pipeline.stageLakeDelete(spark, out, Seq(5L).toDF("doc_id"),
       "doc_id", "doc_id", Seq("split", "shard_id")).get
-    Lake.publish(spark, stageAppend(Seq(300L))) // v3 lands first
-    val e = intercept[IllegalStateException] { Lake.publish(spark, d) }
-    assert(e.getMessage.contains("concurrent commit"),
-      s"a raced removing commit must refuse, not rebase: ${e.getMessage}")
-    Lake.abort(spark, d)
+    assert(d.removedFiles.forall(_.startsWith("split=train/shard_id=1/")),
+      s"fixture expectation: the delete must only touch train/shard 1, got ${d.removedFiles}")
+    // a concurrent append into (train, shard 0) lands first — disjoint
+    // from everything the delete read, so the two commute
+    val batch = Seq(300L).toDF("id").select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    val staged = Lake.stageWrite(spark, out, batch, Seq("split", "shard_id"))
+    val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq("doc_id"))
+    Lake.publish(spark, Lake.StagedCommit(out, base, "append", base.schemaJson,
+      Seq.empty, staged, rows, rows, stats)) // v1 — takes the delete's version
+    Lake.publish(spark, d)                   // raced — must rebase and land at v2
+    assert(Lake.latestManifest(spark, out).get.version == 2L,
+      "the disjoint delete must rebase and land, not refuse")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 5L + 300L,
+      "both the append's doc and the delete must be visible")
+  }
+
+  test("OCC rebase: genuine overlap still refuses — removed-base and append-into-read-partition") {
+    val out = freshDir("lake-occ-refuse")
+    writePlain(fixture().repartition(8), out) // >1 file per partition dir
+    // (a) delete racing an overlapping COMPACT: the compact rewrote (and
+    // removed) the very files the delete's survivors were derived from
+    val d1 = Pipeline.stageLakeDelete(spark, out, Seq(5L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    assert(d1.removedFiles.size > 1, "fixture must be fragmented so the compact rewrites it")
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 1000L, retainHistory = true) // rewrites every fragmented partition
+    val e1 = intercept[IllegalStateException] { Lake.publish(spark, d1) }
+    assert(e1.getMessage.contains("concurrent commit") &&
+      e1.getMessage.contains("staged base is gone"),
+      s"delete-vs-overlapping-compact must refuse: ${e1.getMessage}")
+    Lake.abort(spark, d1)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet)
+    // (b) delete racing an append INTO the partition it read: the
+    // appended rows would survive a tombstone check they never saw
+    val base = Lake.latestManifest(spark, out).get
+    val d2 = Pipeline.stageLakeDelete(spark, out, Seq(5L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    val batch = Seq(301L).toDF("id").select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), lit(1).cast("int").as("shard_id")) // same partition as id 5
+    val staged = Lake.stageWrite(spark, out, batch, Seq("split", "shard_id"))
+    val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq("doc_id"))
+    Lake.publish(spark, Lake.StagedCommit(out, base, "append", base.schemaJson,
+      Seq.empty, staged, rows, rows, stats))
+    val e2 = intercept[IllegalStateException] { Lake.publish(spark, d2) }
+    assert(e2.getMessage.contains("concurrent commit") &&
+      e2.getMessage.contains("rebase refused"),
+      s"delete-vs-append-into-read-partition must refuse: ${e2.getMessage}")
+    Lake.abort(spark, d2)
     assert(ids(Lake.read(spark, out)).contains(5L))
+  }
+
+  test("concurrent appends into the SAME partition never cross-claim each other's files") {
+    val out = freshDir("lake-claim")
+    writePlain(fixture(), out)
+    val base = Lake.adopt(spark, out)
+    def stage(id: Long): Lake.StagedCommit = {
+      val batch = Seq(id).toDF("id").select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+      val staged = Lake.stageWrite(spark, out, batch, Seq("split", "shard_id"))
+      val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq("doc_id"))
+      Lake.StagedCommit(out, base, "append", base.schemaJson, Seq.empty, staged,
+        rows, rows, stats)
+    }
+    // interleaved staging into the SAME partition dir: under a listing
+    // diff, w2 (staged second) would claim w1's files too and readers
+    // would double-read them after both commits
+    val w1 = stage(500L)
+    val w2 = stage(501L)
+    assert(w1.stagedFiles.toSet.intersect(w2.stagedFiles.toSet).isEmpty,
+      "two writers' staged-file claims must be disjoint")
+    assert(w1.stagedFiles.nonEmpty && w2.stagedFiles.nonEmpty)
+    Lake.publish(spark, w1)
+    Lake.publish(spark, w2)
+    val after = Lake.read(spark, out)
+    assert(after.count() == 42, "no row may be double-read after both commits")
+    assert(ids(after) == (0L until 40L).toSet ++ Set(500L, 501L))
   }
 
   test("the log is incremental: an append's commit record tracks the BATCH while the lake grows") {
@@ -442,6 +519,82 @@ class LakeSpec extends SparkTestBase {
     val files = Lake.latestManifest(spark, out).get.files
     assert(files.size >= 3 && files.size <= 10,
       s"a bytes/5 target should land ~5 bounded files, got ${files.size}")
+  }
+
+  test("vacuum decides orphan-ness from the latest state alone — log reads bounded by the checkpoint interval") {
+    val out = freshDir("lake-vacuum-bounded")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    // 11 appends: the checkpoint grid (interval 10) is crossed at v10
+    (0 until 11).foreach { k =>
+      val batch = Seq(2000L + k).toDF("id").select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
+      Pipeline.appendToLake(spark, out, batch)
+    }
+    assert(Lake.latestManifest(spark, out).get.version == 11L)
+    // corrupt an old delta BELOW the newest checkpoint: a vacuum that
+    // replays full history would die here; a checkpoint-based one never
+    // opens it
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    val v2 = new org.apache.hadoop.fs.Path(root, s"${Lake.LogDirName}/v${"%020d".format(2)}.manifest")
+    val o = fs.create(v2, true)
+    try o.write("garbage, not a delta record".getBytes("UTF-8")) finally o.close()
+    intercept[Exception] { Lake.deltaAt(spark, out, 2L) } // the corruption is real
+    // plant a crash orphan, then vacuum: must reclaim exactly it without
+    // ever reading the corrupted pre-checkpoint delta
+    val orphan = Lake.stageWrite(spark, out,
+      Seq(9999L).toDF("id").select(
+        col("id").as("doc_id"), lit("orphan").as("text"),
+        lit("train").as("split"), lit(0).cast("int").as("shard_id")),
+      Seq("split", "shard_id"))
+    assert(orphan.nonEmpty)
+    val dead = Lake.vacuum(spark, out)
+    assert(dead.toSet == orphan.toSet,
+      s"vacuum must reclaim exactly the planted orphan, got $dead")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet ++ (2000L until 2011L))
+  }
+
+  test("a corrupted per-file stats field fails loudly, never silently degrades pruning") {
+    val out = freshDir("lake-badstats")
+    val log = java.nio.file.Paths.get(out, Lake.LogDirName)
+    java.nio.file.Files.createDirectories(log)
+    // a delta whose A line carries a 2-field stats remainder (col,min but
+    // no max) — log corruption, not a legal record
+    val bad = "graft-delta-v1\tappend\nS\t%7B%7D\nA\tf.parquet\tdoc_id\t5"
+    java.nio.file.Files.write(log.resolve(f"v${0L}%020d.manifest"),
+      bad.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { Lake.deltaAt(spark, out, 0L) }
+    assert(e.getMessage.contains("malformed per-file stats"),
+      s"expected a loud stats-corruption failure, got: ${e.getMessage}")
+  }
+
+  test("two-column stats pruning opens strictly fewer files than either column alone") {
+    import Lake.{ColBound, ColStat, LakeState}
+    import org.apache.spark.sql.types.LongType
+    // four files tiling the (a, b) plane — the layout a lake clustered on
+    // (a, b) produces
+    val st = LakeState(1L, "{}", Seq("f00", "f01", "f10", "f11"), Map(
+      "f00" -> Seq(ColStat("a", "0", "9"), ColStat("b", "0", "9")),
+      "f01" -> Seq(ColStat("a", "0", "9"), ColStat("b", "10", "19")),
+      "f10" -> Seq(ColStat("a", "10", "19"), ColStat("b", "0", "9")),
+      "f11" -> Seq(ColStat("a", "10", "19"), ColStat("b", "10", "19"))))
+    val byA = Lake.pruneByStats(st, Seq(ColBound("a", LongType, 0L, 5L)))
+    val byB = Lake.pruneByStats(st, Seq(ColBound("b", LongType, 0L, 5L)))
+    val byBoth = Lake.pruneByStats(st,
+      Seq(ColBound("a", LongType, 0L, 5L), ColBound("b", LongType, 0L, 5L)))
+    assert(byA.toSet == Set("f00", "f01") && byB.toSet == Set("f00", "f10"))
+    assert(byBoth == Seq("f00"),
+      s"the conjunction must prune strictly tighter than either column alone: $byBoth")
+    // unknown stats on one bounded column keep the file (exactness)
+    val st2 = st.copy(stats = st.stats - "f11")
+    assert(Lake.pruneByStats(st2,
+      Seq(ColBound("a", LongType, 0L, 5L), ColBound("b", LongType, 0L, 5L)))
+      .toSet == Set("f00", "f11"))
   }
 
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {

@@ -218,4 +218,48 @@ class DocStreamSpec extends SparkTestBase {
     assert(perDir.values.forall(_.size <= 2),
       s"no shard dir may accumulate per-batch file-sets: ${perDir.view.mapValues(_.size).toMap}")
   }
+
+  test("auto-compaction is CDC-safe: changesBetween across the stream's compactions yields exactly the ingested docs") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdc").toString
+    val inDir = s"$base/in"
+    val lakeDir = s"$base/lake"
+    new java.io.File(inDir).mkdirs()
+    import spark.implicits._
+
+    def addFile(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+        .repartition(1) // one file = one micro-batch = one append commit
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+
+    // 6 micro-batches with compactEvery = 2: the version range a nightly
+    // consumer reads SPANS multiple maintenance passes. The default
+    // compactRetainHistory = true keeps each rewritten pre-image on disk,
+    // so the exact incremental read must succeed — and must surface
+    // exactly the appended docs, never the recompacted corpus.
+    (0 until 6).foreach(k => addFile(f"b$k%02d", (k * 10 + 1) to (k * 10 + 10)))
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("split", lit("train"))
+      .withColumn("shard_id", (col("doc_id") % 2).cast("int"))
+    val q = DocStream.ingestToLake(docs, lakeDir, s"$base/ck",
+      compactEvery = 2, compactMaxFilesPerPartition = 1,
+      compactTargetRowsPerFile = 1000L)
+    try q.processAllAvailable() finally q.stop()
+
+    val latest = graft.operators.Lake.latestManifest(spark, lakeDir).get.version
+    assert(latest >= 8, s"6 appends + 3 compactions expected, got version $latest")
+    val changed = graft.operators.Lake.changesBetween(spark, lakeDir, 1L, latest)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(changed.length == changed.distinct.length,
+      s"CDC across compactions double-processed rows: ${changed.sorted.take(30)}")
+    // from v1 (the first batch's commit) onward: everything after batch 1
+    assert(changed.toSet == (11L to 60L).toSet,
+      s"CDC must surface exactly batches 2..6, got ${changed.sorted}")
+    // the retained pre-images are reclaimable once consumers drain
+    val dead = graft.operators.Lake.vacuumKeeping(spark, lakeDir, 1)
+    assert(dead.nonEmpty, "retention vacuum must reclaim the drained compaction pre-images")
+  }
 }
