@@ -133,15 +133,21 @@ object Ops {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val hsUdf = udf { text: String => TextHash.shingleHashesSorted(text) }
     val blockExpr = blockCol.map(col).getOrElse(lit(0))
-    // persisted because FOUR plan branches consume g (both sides of the
-    // prefix join, both sides of the verification join) and the shingle
-    // UDF over the full corpus is the dominant cost — without the persist
-    // it runs once per branch. MEMORY_AND_DISK spills rather than evicts,
-    // and an evicted block recomputes (correctness never depends on it).
+    // materialized ONCE via eager local checkpoint because FOUR plan
+    // branches consume g (both sides of the prefix join, both sides of
+    // the verification join) and the shingle UDF over the full corpus is
+    // the dominant cost — recomputed per branch otherwise. A local
+    // checkpoint (the metric-index path's device) over a Dataset.persist
+    // deliberately: the ContextCleaner releases the checkpointed blocks
+    // as soon as the result is unreferenced, where a persist pins a
+    // CacheManager entry until an explicit unpersist — which a function
+    // returning a LAZY frame has no sound place to issue, so a long
+    // session interleaving many dedup calls would accumulate pinned
+    // caches that evict each other.
     val g = df.select(col(idCol).as("doc_id"), blockExpr.as("_blk"), hsUdf(col(textCol)).as("hs"))
       .withColumn("sz", size(col("hs")))
       .filter(col("sz") > 0) // <3-token docs have no shingles, can't reach t
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = g.select(col("doc_id"), col("_blk"), col("sz"),
       explode(slice(col("hs"), lit(1), prefLen)).as("ph"))
@@ -445,7 +451,11 @@ object Ops {
     val idType = sym0.schema("u").dataType
     val intIds = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
-    if (intIds && driverMaxRows > 0 && sym0.count() <= driverMaxRows) {
+    // gate probe is BOUNDED: scan at most driverMaxRows+1 rows to learn
+    // which side of the threshold the edge list is on — a billion-edge
+    // graph never pays a full count just to take the distributed path
+    val cap = math.min(driverMaxRows, Int.MaxValue - 1L).toInt
+    if (intIds && driverMaxRows > 0 && sym0.limit(cap + 1).count() <= driverMaxRows) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0

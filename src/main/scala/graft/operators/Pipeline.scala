@@ -1274,6 +1274,30 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px110
+  /** The lake behind a format string — [[graft.sources.lake.LakeSource]]
+    * puts manifest resolution and time travel on the standard DSv2
+    * surface, so SQL/Python users read a lake (at any retained version)
+    * with `spark.read.format("graft-lake").option("version", v)` and no
+    * Scala helpers. The query replays px106's history (seed v1, full-
+    * corpus append v2) and reads VERSION 1 through the format string: the
+    * result must equal px106's direct [[Lake.readVersion]] read — same
+    * oracle — and PlanSpec pins that partition pruning and parquet
+    * pushdown survive the indirection. */
+  private def px110(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px110_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
+    appendToLake(spark, out, sharded)
+    spark.read.format("graft-lake").option("version", 1L).load(out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   private def px104(spark: SparkSession, dir: String): DataFrame =
     profileTable(Tables(spark, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))
@@ -1419,5 +1443,6 @@ object Pipeline {
     GraftQuery("px106_lake_time_travel", px106, Some(px106Oracle)),
     GraftQuery("px107_lake_incremental", px107, Some(px107Oracle)),
     GraftQuery("px108_lake_clustered_append", px108, Some(px100Oracle)),
-    GraftQuery("px109_lake_cdc_across_compact", px109, Some(px107Oracle)))
+    GraftQuery("px109_lake_cdc_across_compact", px109, Some(px107Oracle)),
+    GraftQuery("px110_lake_dsv2_read", px110, Some(px106Oracle)))
 }

@@ -1,0 +1,120 @@
+package graft.sources.lake
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Lake
+
+/** DataSource V2 read surface for the manifest-resolved lake:
+  *
+  * {{{
+  *   spark.read.format("graft-lake").load(lakeDir)                      // latest version
+  *   spark.read.format("graft-lake").option("version", 3).load(lakeDir) // time travel
+  * }}}
+  *
+  * This puts [[Lake.read]] / [[Lake.readVersion]] behind a format string,
+  * so SQL and Python users get manifest isolation and time travel without
+  * calling Scala helpers. Resolution is the same code path the helpers
+  * use — newest checkpoint plus a bounded delta replay — and the scan is
+  * delegated to Spark's own `ParquetTable` over the resolved file list
+  * with the manifest schema applied, so EVERYTHING the native parquet
+  * source does survives intact: partition pruning over the resolved
+  * files' directory values, predicate pushdown into row-group statistics,
+  * column pruning, vectorized reading (PlanSpec pins the pruning and
+  * pushdown through this source).
+  *
+  * Read-only by design: the write path of a lake is the
+  * write-audit-publish commit protocol ([[Lake.publish]] and the px100+
+  * lifecycle operators); exposing a direct `save()` through this format
+  * would bypass audit and manifest isolation, so the table advertises
+  * BATCH_READ only and Spark refuses writes with its standard
+  * unsupported-operation error.
+  */
+class LakeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake"
+
+  private def lakePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-lake requires a path: .load(lakeDir)"))
+
+  /** Resolve the requested lake state: `version` if asked (with
+    * [[Lake.readVersion]]'s loud vacuumed-history check), latest
+    * otherwise. A manifest-less directory bootstraps like
+    * [[Lake.currentState]] so the format also reads plain
+    * `partitionBy` layouts. */
+  private def resolve(options: CaseInsensitiveStringMap): (String, Lake.LakeState) = {
+    val path = lakePath(options)
+    val spark = SparkSession.active
+    val st = Option(options.get("version")) match {
+      case Some(v) =>
+        val version = v.toLongOption.getOrElse(
+          throw new IllegalArgumentException(s"graft-lake: version must be a long, got '$v'"))
+        val resolved = Lake.stateAt(spark, path, version)
+        val (fs, root) = {
+          val p = new Path(path)
+          val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+          (f, f.makeQualified(p))
+        }
+        val gone = resolved.files.filterNot(f => fs.exists(new Path(root, f)))
+        if (gone.nonEmpty)
+          throw new IllegalStateException(
+            s"lake version $version is no longer reconstructible — " +
+              s"${gone.size} file(s) vacuumed, e.g. ${gone.take(3).mkString(", ")}")
+        resolved
+      case None => Lake.currentState(spark, path)
+    }
+    (path, st)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DataType.fromJson(resolve(options)._2.schemaJson).asInstanceOf[StructType]
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, st) = resolve(opts)
+    val spark = SparkSession.active
+    val root = {
+      val p = new Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
+    }
+    val manifestSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    // basePath makes the resolved files' partition directories parse back
+    // into partition columns exactly as a directory read would; the
+    // manifest schema pins their recorded types
+    val scanOpts = new util.HashMap[String, String](properties)
+    scanOpts.put("basePath", root.toString)
+    scanOpts.remove("path")
+    val inner = ParquetTable(
+      s"graft-lake $path@v${st.version}",
+      spark,
+      new CaseInsensitiveStringMap(scanOpts),
+      st.files.map(f => new Path(root, f).toString),
+      Some(manifestSchema),
+      classOf[ParquetFileFormat])
+    new LakeTable(inner)
+  }
+}
+
+/** Read-only wrapper around the resolved-file-list `ParquetTable`. */
+private[lake] class LakeTable(inner: ParquetTable) extends Table with SupportsRead {
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+}

@@ -243,6 +243,24 @@ class OpsSpec extends SparkTestBase {
     assert(blocked.contains((1L, 2L)) && !blocked.contains((1L, 4L)))
   }
 
+  test("jaccardDupPairs releases its shingle cache: nothing left pinned in the CacheManager") {
+    import spark.implicits._
+    // Dataset.persist entries live in the CacheManager and stay pinned
+    // until an explicit unpersist — THE accumulation hazard in a
+    // long-lived session. (The returned frame's eager localCheckpoint is
+    // RDD-level storage the ContextCleaner reclaims once unreferenced,
+    // so it does not pin anything.)
+    spark.catalog.clearCache()
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Ops.jaccardDupPairs(docs, "doc_id", "text", None, 0.3)
+    assert(out.count() >= 1)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the shingle persist must be unpersisted before jaccardDupPairs returns")
+  }
+
   test("cosineDupPairs is bit-identical to the brute-force all-pairs join on the real table") {
     val e = graft.Tables(spark, sf, "embeddings").select("vec_id", "embedding")
     // reference: the plain O(n²) formulation this operator replaced

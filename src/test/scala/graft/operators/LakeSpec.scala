@@ -597,6 +597,68 @@ class LakeSpec extends SparkTestBase {
       .toSet == Set("f00", "f11"))
   }
 
+  test("compound pruning end-to-end: a (lang, doc_id)-clustered lake records both columns and appends stay exact") {
+    val out = freshDir("lake-compound")
+    // interleaved langs: id ranges overlap across langs, so id-only
+    // pruning keeps a tail file PER LANG while the conjunction keeps
+    // only the matching lang's tail
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"), concat(lit("d"), col("id")).as("text"),
+      when(col("id") % 2 === 0, "aa").otherwise("bb").as("lang"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    docs.repartition(10).write.mode("overwrite")
+      .partitionBy("split", "shard_id").parquet(out)
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 100L, sortCols = Seq("lang", "doc_id"))
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.forall(f => st.stats.get(f).exists(s =>
+      s.exists(_.col == "lang") && s.exists(_.col == "doc_id"))),
+      "clustered compaction must record stats for every sort column")
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val byId = Lake.pruneByStats(st, "doc_id", LongType, 900L, 1099L)
+    val both = Lake.pruneByStats(st, Seq(
+      Lake.ColBound("lang", StringType, "bb", "bb"),
+      Lake.ColBound("doc_id", LongType, 900L, 1099L)))
+    assert(both.size < byId.size,
+      s"the lang bound must drop the other lang's tail files: ${both.size} vs ${byId.size}")
+    // and the append that USES the conjunction is still exact
+    val batch = spark.range(900, 1100).filter(col("id") % 2 === 1).select(
+      col("id").as("doc_id"), concat(lit("n"), col("id")).as("text"),
+      lit("bb").as("lang"), lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+    val after = Pipeline.appendToLake(spark, out, batch, statsCols = Seq("lang"))
+    assert(ids(after) == ((0L until 1000L) ++ (1001L until 1100L by 2)).toSet,
+      "compound-pruned append must land exactly the genuinely-new docs")
+  }
+
+  test("graft-lake format: latest + time-travel reads match the Scala helpers; staged files invisible; writes refuse") {
+    val out = freshDir("lake-dsv2")
+    Lake.init(spark, fixture().filter(col("doc_id") < 20), out, Seq("split", "shard_id")) // v1
+    Pipeline.appendToLake(spark, out, fixture())                                          // v2
+    // latest read resolves through the manifest
+    assert(ids(spark.read.format("graft-lake").load(out)) == (0L until 40L).toSet)
+    // time travel to the seed
+    val v1 = spark.read.format("graft-lake").option("version", 1).load(out)
+    assert(ids(v1) == (0L until 20L).toSet)
+    assert(v1.schema("shard_id").dataType == org.apache.spark.sql.types.IntegerType,
+      "partition column types must come from the manifest schema, not inference")
+    // staged-but-unpublished files are invisible through the format too
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(1L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    assert(ids(spark.read.format("graft-lake").load(out)) == (0L until 40L).toSet,
+      "manifest isolation must hold through the DSv2 source")
+    Lake.abort(spark, staged)
+    // unknown version fails loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("version", 99).load(out).count()
+    }
+    // the format is read-only: the lake's write path is the commit protocol
+    intercept[Exception] {
+      fixture().write.format("graft-lake").mode("append").save(out)
+    }
+    assert(Lake.latestManifest(spark, out).get.version == 2L,
+      "a refused write must not move the manifest")
+  }
+
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
     val out = freshDir("lake-binpack")
     // one hot partition: 500 rows fragmented across 10 files

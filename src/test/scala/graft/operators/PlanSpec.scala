@@ -182,6 +182,26 @@ class PlanSpec extends SparkTestBase {
       "the doc_id predicate must push into the parquet scan:\n" + p.take(1500))
   }
 
+  test("graft-lake DSv2 source keeps partition pruning and data-filter pushdown") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the format-string surface must cost nothing vs Lake.read: the same
+    // two scan-avoidance levers must survive the TableProvider indirection
+    val out = java.nio.file.Files.createTempDirectory("lakedsv2prune").toString + "/lake"
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i", if (i < 20) "train" else "test", (i % 2).toInt))
+      .toDF("doc_id", "text", "split", "shard_id")
+    Lake.init(spark, docs, out, Seq("split", "shard_id"))
+    val df = spark.read.format("graft-lake").load(out)
+      .filter(col("split") === "train" && col("doc_id") > 5L)
+    assert(df.count() == 14)
+    val p = df.queryExecution.executedPlan.toString().replaceAll("\\s+", " ")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*split[^\\]]*\\].*"),
+      "the split predicate must prune at planning time through the DSv2 source:\n" + p.take(1500))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(doc_id,5\\)[^\\]]*\\].*"),
+      "the doc_id predicate must push into the parquet scan through the DSv2 source:\n" + p.take(1500))
+  }
+
   test("append prefilter: the batch id range reaches the lake scan as a pushed filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
