@@ -72,7 +72,10 @@ object Lake {
 
   /** How a commit changed the data, recorded in its delta and consumed by
     * [[changesBetween]]: `append`/`init`/`adopt` ADD rows; `delete` and
-    * `compact` only rewrite/remove existing ones. */
+    * `compact` only rewrite/remove existing ones; `merge` does BOTH — its
+    * delta tags each added file as genuinely-new data (`A`) or a rewrite
+    * of surviving pre-image rows (`AR`), so incremental consumers get
+    * exactly the upserted rows and never the rewritten survivors. */
   private[graft] val DataAddingActions = Set("append", "init", "adopt")
 
   /** Per-file min/max of one column, captured at audit time and carried
@@ -94,9 +97,14 @@ object Lake {
   final case class LakeState(version: Long, schemaJson: String, files: Seq[String],
       stats: Map[String, Seq[ColStat]] = Map.empty, history: Seq[String] = Seq.empty)
 
-  /** One committed delta record. */
+  /** One committed delta record. `rewrites` names the subset of `added`
+    * paths that carry REWRITTEN pre-image rows rather than new data
+    * (rendered with the `AR` line tag) — the per-file grain that keeps
+    * [[changesBetween]] exact through commits that both rewrite and add
+    * (merge). */
   private[graft] final case class DeltaRecord(version: Long, action: String,
-      schemaJson: String, added: Seq[(String, Seq[ColStat])], removed: Seq[String])
+      schemaJson: String, added: Seq[(String, Seq[ColStat])], removed: Seq[String],
+      rewrites: Set[String] = Set.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -113,7 +121,8 @@ object Lake {
       stagedFiles: Seq[String],
       stagedRows: Long,
       expectedRows: Long,
-      stagedStats: Map[String, Seq[ColStat]] = Map.empty)
+      stagedStats: Map[String, Seq[ColStat]] = Map.empty,
+      rewriteFiles: Set[String] = Set.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -233,7 +242,8 @@ object Lake {
     val header = s"graft-delta-v1\t${rec.action}"
     val schema = s"S\t${enc(rec.schemaJson)}"
     val adds = rec.added.sortBy(_._1).map { case (p, st) =>
-      (Seq("A", enc(p)) ++ statsFields(st)).mkString("\t") }
+      val tag = if (rec.rewrites(p)) "AR" else "A"
+      (Seq(tag, enc(p)) ++ statsFields(st)).mkString("\t") }
     val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
     (header +: schema +: (adds ++ removes)).mkString("\n")
   }
@@ -246,16 +256,22 @@ object Lake {
     var schemaJson = ""
     val added = Seq.newBuilder[(String, Seq[ColStat])]
     val removed = Seq.newBuilder[String]
+    val rewrites = Set.newBuilder[String]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
         case "S" => schemaJson = dec(f(1))
         case "A" => added += ((dec(f(1)), parseStats(f.drop(2))))
+        case "AR" =>
+          val p = dec(f(1))
+          added += ((p, parseStats(f.drop(2))))
+          rewrites += p
         case "R" => removed += dec(f(1))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
-    DeltaRecord(version, action, schemaJson, added.result(), removed.result())
+    DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
+      rewrites.result())
   }
 
   private def renderCheckpoint(st: LakeState): String = {
@@ -582,7 +598,7 @@ object Lake {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
-            sc.removedFiles),
+            sc.removedFiles, sc.rewriteFiles),
           Some(post))
         committed = true
       } catch {
@@ -807,7 +823,12 @@ object Lake {
     val added = Seq.newBuilder[String]
     ((fromVersion + 1) to toVersion).foreach { v =>
       val d = deltaAt(spark, lakeDir, v)
+      // data-adding actions contribute everything they added; every other
+      // action contributes only files NOT tagged as pre-image rewrites —
+      // which is nothing for delete/compact (all their adds are tagged)
+      // and exactly the upsert files for merge
       if (DataAddingActions.contains(d.action)) added ++= d.added.map(_._1)
+      else added ++= d.added.map(_._1).filterNot(d.rewrites)
     }
     val files = added.result().distinct
     val gone = files.filterNot(f => fs.exists(new Path(root, f)))
@@ -830,13 +851,26 @@ object Lake {
     * — the newest checkpoint plus at most [[CheckpointInterval]] tail
     * deltas), so a maintenance pass on a long-lived lake never replays
     * its full history. Returns what it deleted. No-op on manifest-less
-    * lakes (nothing is provably dead there). */
-  def vacuum(spark: SparkSession, lakeDir: String): Seq[String] = {
+    * lakes (nothing is provably dead there).
+    *
+    * `minAgeMs` is the in-flight-writer grace period: a LIVE writer that
+    * has finished staging but not yet published holds files in the data
+    * tree that look exactly like crash orphans — reclaiming them would
+    * let its commit land referencing deleted files. Files modified within
+    * the last `minAgeMs` are therefore skipped (the Delta Lake retention
+    * discipline); production maintenance should pass a bound comfortably
+    * above the longest stage→publish window (hours), while the default 0
+    * keeps single-writer cleanup immediate. */
+  def vacuum(spark: SparkSession, lakeDir: String, minAgeMs: Long = 0L): Seq[String] = {
     latestManifest(spark, lakeDir) match {
       case None => Seq.empty
       case Some(latest) =>
         val live = (latest.files ++ latest.history).toSet
-        val dead = listDataFiles(spark, lakeDir).filterNot(live)
+        val (fs, root) = fsRoot(spark, lakeDir)
+        val cutoff = System.currentTimeMillis() - minAgeMs
+        val dead = listDataFiles(spark, lakeDir).filterNot(live).filter { f =>
+          minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
+        }
         deleteFiles(spark, lakeDir, dead)
         dead
     }

@@ -739,7 +739,7 @@ object Pipeline {
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
         base.schemaJson, staged, Seq(lakeIdCol))
       Some(Lake.StagedCommit(lakeDir, base, "delete", base.schemaJson, removed, staged,
-        stagedRows, expected, stagedStats))
+        stagedRows, expected, stagedStats, rewriteFiles = staged.toSet))
     }
   }
 
@@ -878,7 +878,7 @@ object Pipeline {
         base.schemaJson, staged, sortCols)
       Lake.publish(spark,
         Lake.StagedCommit(lakeDir, base, "compact", base.schemaJson, removed, staged,
-          stagedRows, expected, stagedStats),
+          stagedRows, expected, stagedStats, rewriteFiles = staged.toSet),
         vacuumSuperseded = !retainHistory)
     }
     Lake.read(spark, lakeDir)
@@ -1274,6 +1274,137 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px111
+  /** Row-level MERGE (upsert) — the correction pass every living corpus
+    * needs: re-scored quality columns, re-extracted text for a crawl
+    * subset, late-arriving replacements, plus genuinely new docs, all in
+    * ONE atomic commit. Matched ids (lake ∩ updates) are REPLACED by
+    * their update rows; unmatched update rows INSERT. Same surgical
+    * discipline as the delete, plus the per-file add-kind that keeps
+    * incremental consumers exact:
+    *
+    *   1. affected partitions = those holding a matched id (broadcast
+    *      semi-join on the id, partition membership from the manifest);
+    *   2. STAGE A: survivors of the affected partitions (anti-join on
+    *      the update ids) are rewritten — these files are tagged `AR`
+    *      (pre-image rewrites) in the delta;
+    *   3. STAGE B: the update rows themselves land as `A` (data) files
+    *      in whatever partitions their partition columns name — an
+    *      update may MOVE a doc across partitions (the old copy dies
+    *      with its rewritten partition, the new one lands where it now
+    *      belongs);
+    *   4. AUDIT both stages (survivors + upserts vs the pre-computed
+    *      expectation), PUBLISH one delta that removes the affected
+    *      pre-image and adds both file sets.
+    *
+    * [[Lake.changesBetween]] over a range spanning the merge surfaces
+    * exactly the UPSERTED rows (stage B) — never the rewritten
+    * survivors — which is precisely "what must I re-embed/re-train on".
+    * Updates must carry the lake's exact schema (a merge that drops or
+    * retypes columns is corruption, not evolution — refused); an upsert
+    * into an empty/missing lake is a plain first ingest. Raced merges
+    * follow [[Lake.publish]]'s OCC rules: a pure-insert merge rebases
+    * freely, a rewriting merge refuses on genuine overlap. */
+  def mergeIntoLake(spark: SparkSession, lakeDir: String, updates: DataFrame,
+      idCol: String = "doc_id",
+      partitionCols: Seq[String] = Seq("split", "shard_id"),
+      retainHistory: Boolean = false): DataFrame = {
+    val base = Lake.adopt(spark, lakeDir)
+    if (base.files.isEmpty) // first-ever ingest: merge degenerates to append
+      return appendToLake(spark, lakeDir, updates, idCol, partitionCols)
+    // materialized once: the id broadcast, the audit expectation, and the
+    // stage write all consume it; the block is update-batch-sized
+    val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
+    val updCount = upd.count()
+    if (updCount == 0) return Lake.read(spark, lakeDir)
+    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val lakeTypes = lakeSchema.map(f => f.name -> f.dataType).toMap
+    val uTypes = upd.schema.map(f => f.name -> f.dataType).toMap
+    require(lakeTypes == uTypes,
+      s"mergeIntoLake: updates schema must equal the lake schema exactly " +
+        s"(updates-only: ${(uTypes.keySet -- lakeTypes.keySet).mkString(", ")}; " +
+        s"lake-only: ${(lakeTypes.keySet -- uTypes.keySet).mkString(", ")}; " +
+        s"retyped: ${lakeTypes.keySet.intersect(uTypes.keySet)
+          .filter(c => lakeTypes(c) != uTypes(c)).mkString(", ")})")
+    val lake = Lake.readState(spark, lakeDir, base)
+    val u = broadcast(upd.select(col(idCol).as("_mid")).distinct())
+    // pass 1 (id + partition columns only): which partitions hold a match
+    val matchedParts = lake.join(u, col(idCol) === col("_mid"), "left_semi")
+      .select(partitionCols.map(col): _*).distinct().collect()
+    val affectedDirs = matchedParts.map(Lake.partitionDir(partitionCols, _)).toSeq
+    val removed = Lake.filesUnder(base.files, affectedDirs)
+    val orphanDirs = affectedDirs.filterNot(d => removed.exists(_.startsWith(d + "/")))
+    if (orphanDirs.nonEmpty)
+      throw new IllegalStateException(
+        s"partition-dir rendering mismatch: ${orphanDirs.mkString(", ")} own no " +
+          "manifest files although matches were found in them — refusing to stage")
+    // stage A: survivors of the affected partitions (pre-image rewrites)
+    val (survStaged, survRows, survStats, survExpected) =
+      if (removed.isEmpty) (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]], 0L)
+      else {
+        val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed)
+        val stats = affectedLake.join(u, col(idCol) === col("_mid"), "left")
+          .agg(count(lit(1)).as("_n"), count(col("_mid")).as("_hits")).collect()(0)
+        val expected = stats.getLong(0) - stats.getLong(1)
+        val survivors = affectedLake.join(u, col(idCol) === col("_mid"), "left_anti")
+        val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols)
+        val (rows, st) = Lake.auditStaged(spark, lakeDir, base.schemaJson, staged, Seq(idCol))
+        (staged, rows, st, expected)
+      }
+    // stage B: the upserts themselves (genuinely new data for CDC)
+    val upStaged = Lake.stageWrite(spark, lakeDir,
+      upd.select(lakeSchema.map(f => col(f.name)): _*), partitionCols)
+    val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
+      upStaged, Seq(idCol))
+    Lake.publish(spark,
+      Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson, removed,
+        survStaged ++ upStaged, survRows + upRows, survExpected + updCount,
+        survStats ++ upStats, rewriteFiles = survStaged.toSet),
+      vacuumSuperseded = !retainHistory)
+    Lake.read(spark, lakeDir)
+  }
+
+  /** Upsert the corpus in place (bump n_chars for the `% 7` docs, insert
+    * re-keyed copies of the `% 5` docs) and emit the post-merge manifest —
+    * recomputed relationally by the oracle as original-minus-matched plus
+    * updated plus inserted. */
+  private def px111(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px111_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    sharded.write.mode("overwrite").partitionBy("split", "shard_id").parquet(out)
+    val updated = sharded.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    val inserted = hashSplit(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    mergeIntoLake(spark, out, updated.unionByName(inserted))
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px111Oracle =
+    """WITH allrows AS (
+      |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, n_chars + 1000 FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, n_chars FROM documents WHERE doc_id % 5 = 0)
+      |SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM allrows GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   // ---------------------------------------------------------------- px110
   /** The lake behind a format string — [[graft.sources.lake.LakeSource]]
     * puts manifest resolution and time travel on the standard DSv2
@@ -1444,5 +1575,6 @@ object Pipeline {
     GraftQuery("px107_lake_incremental", px107, Some(px107Oracle)),
     GraftQuery("px108_lake_clustered_append", px108, Some(px100Oracle)),
     GraftQuery("px109_lake_cdc_across_compact", px109, Some(px107Oracle)),
-    GraftQuery("px110_lake_dsv2_read", px110, Some(px106Oracle)))
+    GraftQuery("px110_lake_dsv2_read", px110, Some(px106Oracle)),
+    GraftQuery("px111_lake_merge_upsert", px111, Some(px111Oracle)))
 }

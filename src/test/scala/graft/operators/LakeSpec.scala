@@ -573,6 +573,23 @@ class LakeSpec extends SparkTestBase {
       s"expected a loud stats-corruption failure, got: ${e.getMessage}")
   }
 
+  test("vacuum grace period: freshly-staged files of a live writer survive the sweep") {
+    val out = freshDir("lake-vacuum-grace")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)
+    // a live writer mid-commit: staged, not yet published
+    val staged = Pipeline.stageLakeDelete(spark, out, Seq(4L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    // a maintenance pass with a grace period must NOT reclaim the staged
+    // files (they were modified seconds ago)
+    assert(Lake.vacuum(spark, out, minAgeMs = 3600_000L).isEmpty,
+      "files younger than the grace period must survive the orphan sweep")
+    Lake.publish(spark, staged) // the writer completes normally
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 4L)
+    // without the grace period the same files would have been reclaimed
+    // and this commit would have referenced deleted data
+  }
+
   test("two-column stats pruning opens strictly fewer files than either column alone") {
     import Lake.{ColBound, ColStat, LakeState}
     import org.apache.spark.sql.types.LongType
@@ -628,6 +645,49 @@ class LakeSpec extends SparkTestBase {
     val after = Pipeline.appendToLake(spark, out, batch, statsCols = Seq("lang"))
     assert(ids(after) == ((0L until 1000L) ++ (1001L until 1100L by 2)).toSet,
       "compound-pruned append must land exactly the genuinely-new docs")
+  }
+
+  test("mergeIntoLake upserts: matched rows replaced, new rows inserted, partition moves honored, one commit") {
+    val out = freshDir("lake-merge")
+    writePlain(fixture(), out)
+    // update doc 4's text in place, MOVE doc 7 from (train,1) to (test,1),
+    // and insert brand-new docs 100/101
+    val updates = Seq(
+      (4L, "patched 4", "train", 0),
+      (7L, "moved 7", "test", 1),
+      (100L, "new 100", "train", 0),
+      (101L, "new 101", "test", 1)).toDF("doc_id", "text", "split", "shard_id")
+      .select(col("doc_id"), col("text"), col("split"), col("shard_id").cast("int").as("shard_id"))
+    val v0 = Lake.latestManifest(spark, out) // none yet — adopt happens inside
+    assert(v0.isEmpty)
+    val after = Pipeline.mergeIntoLake(spark, out, updates)
+    assert(after.count() == 42, "40 originals - 0 deleted + 2 inserts (2 replaced in place)")
+    assert(ids(after) == (0L until 40L).toSet ++ Set(100L, 101L))
+    val byId = after.select("doc_id", "text", "split").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(4L) == ("patched 4", "train"), "matched row must be replaced")
+    assert(byId(7L) == ("moved 7", "test"), "an update may move a doc across partitions")
+    assert(after.filter(col("doc_id") === 7L).count() == 1,
+      "a moved doc must not survive in its old partition")
+    assert(byId(100L)._1 == "new 100" && byId(101L)._1 == "new 101")
+    assert(byId(0L)._1 == "doc 0", "unmatched rows must be untouched")
+    // one atomic commit: adopt v0 + merge v1
+    assert(Lake.latestManifest(spark, out).get.version == 1L)
+    // CDC over the merge surfaces the UPSERTS only, never the rewritten
+    // survivors of the affected partitions
+    val changed = ids(Lake.changesBetween(spark, out, 0L, 1L))
+    assert(changed == Set(4L, 7L, 100L, 101L),
+      s"adds-CDC across a merge must be exactly the upserted rows, got $changed")
+    // schema drift refuses
+    val bad = Seq((5L, "x", "train", 0, 1.0)).toDF("doc_id", "text", "split", "shard_id", "extra")
+      .select(col("doc_id"), col("text"), col("split"), col("shard_id").cast("int").as("shard_id"), col("extra"))
+    val e = intercept[IllegalArgumentException] { Pipeline.mergeIntoLake(spark, out, bad) }
+    assert(e.getMessage.contains("schema"))
+    // pure-insert merge commutes like an append (no affected partitions)
+    Pipeline.mergeIntoLake(spark, out, Seq((200L, "new 200", "train", 0))
+      .toDF("doc_id", "text", "split", "shard_id")
+      .select(col("doc_id"), col("text"), col("split"), col("shard_id").cast("int").as("shard_id")))
+    assert(ids(Lake.read(spark, out)).contains(200L))
   }
 
   test("graft-lake format: latest + time-travel reads match the Scala helpers; staged files invisible; writes refuse") {
