@@ -104,7 +104,7 @@ object Lake {
     * (merge). */
   private[graft] final case class DeltaRecord(version: Long, action: String,
       schemaJson: String, added: Seq[(String, Seq[ColStat])], removed: Seq[String],
-      rewrites: Set[String] = Set.empty)
+      rewrites: Set[String] = Set.empty, timestampMs: Long = 0L)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -239,7 +239,7 @@ object Lake {
   }
 
   private def renderDelta(rec: DeltaRecord): String = {
-    val header = s"graft-delta-v1\t${rec.action}"
+    val header = s"graft-delta-v1\t${rec.action}\t${rec.timestampMs}"
     val schema = s"S\t${enc(rec.schemaJson)}"
     val adds = rec.added.sortBy(_._1).map { case (p, st) =>
       val tag = if (rec.rewrites(p)) "AR" else "A"
@@ -253,6 +253,7 @@ object Lake {
     val header = lines.head.split('\t')
     require(header(0) == "graft-delta-v1", s"not a graft delta record: ${lines.head.take(60)}")
     val action = header(1)
+    val ts = header.lift(2).flatMap(_.toLongOption).getOrElse(0L)
     var schemaJson = ""
     val added = Seq.newBuilder[(String, Seq[ColStat])]
     val removed = Seq.newBuilder[String]
@@ -271,7 +272,7 @@ object Lake {
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
-      rewrites.result())
+      rewrites.result(), ts)
   }
 
   private def renderCheckpoint(st: LakeState): String = {
@@ -492,7 +493,11 @@ object Lake {
     if (fs.exists(target))
       throw new IllegalStateException(
         s"concurrent commit: manifest version ${rec.version} already exists at $target")
-    val payload = renderDelta(rec)
+    // commit wall-clock stamped at publish time — feeds timestamp time
+    // travel ([[versionAtTimestamp]]) and [[describeHistory]]; clock skew
+    // across writers makes this best-effort ordering, version numbers
+    // stay the authoritative total order
+    val payload = renderDelta(rec.copy(timestampMs = System.currentTimeMillis()))
     val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(payload.getBytes(StandardCharsets.UTF_8))
@@ -886,6 +891,52 @@ object Lake {
     * so a crash mid-vacuum leaves dangling log records that fail loudly
     * rather than silently-live files). The latest version is always
     * retained. */
+  /** The newest retained version whose commit wall-clock is at or below
+    * `tsMs` — timestamp time travel's resolution step. Reads the retained
+    * delta headers (an audit-frequency operation, O(retained log) driver
+    * reads); version numbers remain the authoritative order when writer
+    * clocks skew. Throws when every retained commit is newer than the
+    * asked-for time. */
+  def versionAtTimestamp(spark: SparkSession, lakeDir: String, tsMs: Long): Long = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val (deltas, _) = listLog(fs, root)
+    if (deltas.isEmpty)
+      throw new IllegalArgumentException(s"lake $lakeDir has no committed versions")
+    val atOrBelow = deltas.filter(v => deltaAt(spark, lakeDir, v).timestampMs <= tsMs)
+    atOrBelow.maxOption.getOrElse(throw new IllegalArgumentException(
+      s"lake $lakeDir has no version committed at or before timestamp $tsMs " +
+        s"(earliest retained commit: ${deltaAt(spark, lakeDir, deltas.head).timestampMs})"))
+  }
+
+  /** [[readVersion]] addressed by commit wall-clock instead of version. */
+  def readTimestamp(spark: SparkSession, lakeDir: String, tsMs: Long): DataFrame =
+    readVersion(spark, lakeDir, versionAtTimestamp(spark, lakeDir, tsMs))
+
+  /** The lake's commit audit trail, newest first — the DESCRIBE HISTORY
+    * surface: one row per retained version with its action, commit
+    * wall-clock, and file-level delta sizes (`n_data_added` excludes
+    * pre-image rewrites, so it is "how many files of genuinely new rows
+    * landed"). Driver-side over the retained log; O(retained log). */
+  def describeHistory(spark: SparkSession, lakeDir: String): DataFrame = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val (deltas, _) = listLog(fs, root)
+    val rows = deltas.sorted(Ordering[Long].reverse).map { v =>
+      val d = deltaAt(spark, lakeDir, v)
+      org.apache.spark.sql.Row(v, new java.sql.Timestamp(d.timestampMs), d.action,
+        d.added.size, d.added.count { case (p, _) => !d.rewrites(p) }, d.removed.size)
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.TimestampType, nullable = false),
+      org.apache.spark.sql.types.StructField("action", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_added", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_data_added", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_removed", IntegerType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   def vacuumKeeping(spark: SparkSession, lakeDir: String, keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val (fs, root) = fsRoot(spark, lakeDir)

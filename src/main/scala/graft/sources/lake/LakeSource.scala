@@ -20,6 +20,16 @@ import graft.operators.Lake
   * {{{
   *   spark.read.format("graft-lake").load(lakeDir)                      // latest version
   *   spark.read.format("graft-lake").option("version", 3).load(lakeDir) // time travel
+  *   spark.read.format("graft-lake")
+  *     .option("timestampAsOf", "2026-08-13 12:00:00").load(lakeDir)    // by commit time
+  * }}}
+  *
+  * Being a registered DSv2 source also puts the lake on the pure-SQL
+  * surface:
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW corpus
+  *   USING `graft-lake` OPTIONS (path '/lakes/corpus', version '3')
   * }}}
   *
   * This puts [[Lake.read]] / [[Lake.readVersion]] behind a format string,
@@ -47,18 +57,35 @@ class LakeSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-lake requires a path: .load(lakeDir)"))
 
-  /** Resolve the requested lake state: `version` if asked (with
-    * [[Lake.readVersion]]'s loud vacuumed-history check), latest
+  /** Resolve the requested lake state: `version` or `timestampAsOf`
+    * (epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`) if asked — both with
+    * [[Lake.readVersion]]'s loud vacuumed-history check — latest
     * otherwise. A manifest-less directory bootstraps like
     * [[Lake.currentState]] so the format also reads plain
     * `partitionBy` layouts. */
   private def resolve(options: CaseInsensitiveStringMap): (String, Lake.LakeState) = {
     val path = lakePath(options)
     val spark = SparkSession.active
-    val st = Option(options.get("version")) match {
-      case Some(v) =>
-        val version = v.toLongOption.getOrElse(
-          throw new IllegalArgumentException(s"graft-lake: version must be a long, got '$v'"))
+    val asked: Option[Long] = (Option(options.get("version")), Option(options.get("timestampAsOf"))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "graft-lake: pass version OR timestampAsOf, not both")
+      case (Some(v), None) =>
+        Some(v.toLongOption.getOrElse(
+          throw new IllegalArgumentException(s"graft-lake: version must be a long, got '$v'")))
+      case (None, Some(t)) =>
+        val tsMs = t.toLongOption.getOrElse {
+          try java.sql.Timestamp.valueOf(t).getTime
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"graft-lake: timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss', got '$t'")
+          }
+        }
+        Some(Lake.versionAtTimestamp(spark, path, tsMs))
+      case (None, None) => None
+    }
+    val st = asked match {
+      case Some(version) =>
         val resolved = Lake.stateAt(spark, path, version)
         val (fs, root) = {
           val p = new Path(path)

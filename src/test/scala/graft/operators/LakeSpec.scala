@@ -719,6 +719,36 @@ class LakeSpec extends SparkTestBase {
       "a refused write must not move the manifest")
   }
 
+  test("commit timestamps: timestamp time travel, describeHistory audit trail, SQL view over the format") {
+    val out = freshDir("lake-ts")
+    Lake.init(spark, fixture().filter(col("doc_id") < 20), out, Seq("split", "shard_id")) // v1
+    Pipeline.appendToLake(spark, out, fixture())                                          // v2
+    Pipeline.deleteFromLake(spark, out, Seq(3L).toDF("doc_id"), "doc_id",
+      retainHistory = true)                                                               // v3
+    val t1 = Lake.deltaAt(spark, out, 1L).timestampMs
+    val t2 = Lake.deltaAt(spark, out, 2L).timestampMs
+    assert(t1 > 0 && t2 >= t1, "commit stamps must be present and non-decreasing here")
+    // timestamp resolution: the newest version at or below the asked time
+    assert(Lake.versionAtTimestamp(spark, out, t1) == 1L)
+    assert(Lake.versionAtTimestamp(spark, out, System.currentTimeMillis()) == 3L)
+    assert(ids(Lake.readTimestamp(spark, out, t1)) == (0L until 20L).toSet)
+    intercept[IllegalArgumentException] { Lake.versionAtTimestamp(spark, out, t1 - 1000L) }
+    // the DSv2 option resolves the same way (millis form)
+    assert(ids(spark.read.format("graft-lake")
+      .option("timestampAsOf", t1.toString).load(out)) == (0L until 20L).toSet)
+    // audit trail: newest first, actions and file-level delta sizes
+    val hist = Lake.describeHistory(spark, out).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    assert(hist.map(_.getString(2)).toSeq == Seq("delete", "append", "init"))
+    val del = hist.head
+    assert(del.getInt(4) == 0 && del.getInt(5) > 0,
+      "a delete adds no data files and removes pre-image files")
+    // pure-SQL surface: a temporary view over the format string
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW lake_v1 " +
+      s"USING `graft-lake` OPTIONS (path '$out', version '1')")
+    assert(spark.sql("SELECT count(*) FROM lake_v1").collect()(0).getLong(0) == 20L)
+  }
+
   test("compactLake bin-packs a hot shard to ~ceil(rows/target) bounded files, not one straggler file") {
     val out = freshDir("lake-binpack")
     // one hot partition: 500 rows fragmented across 10 files
