@@ -1,0 +1,258 @@
+package graft.sources.lake
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.operators.Lake
+
+/** Structured-Streaming tail of the lake's CHANGE FEED:
+  *
+  * {{{
+  *   spark.readStream.format("graft-lake-cdc")
+  *     .option("startingVersion", "earliest")   // or a version, or absent = tail new commits
+  *     .load(lakeDir)
+  * }}}
+  *
+  * Offsets ARE manifest versions: each micro-batch reads exactly the
+  * files that versions `(start, end]` added as GENUINELY NEW DATA —
+  * the same per-file add-kind rule as [[Lake.changesBetween]], so
+  * appends and merge upserts stream through while compactions, deletes,
+  * and merge survivor-rewrites contribute NOTHING. Composed with the
+  * engine's checkpointed offsets this is exactly-once lake→stream: a
+  * restart replans the same committed version range and gets the same
+  * files. The downstream-of-the-corpus loop closes here — `ingestToLake`
+  * lands documents exactly-once INTO the lake, and this source lets an
+  * embedder/tokenizer/trainer consume exactly the new rows OUT of it,
+  * paying per delta, never per corpus.
+  *
+  * Scale shape: `latestOffset` is one log-directory listing;
+  * `planInputPartitions` reads only the in-range delta records and stats
+  * the files they name (O(delta), never O(lake)); each file becomes one
+  * input partition read by Spark's own vectorized parquet reader
+  * (partition-directory values re-attached from the path, typed by the
+  * manifest schema).
+  *
+  * Caveats (documented contract): the schema is FIXED at stream start
+  * (restart the stream to pick up an evolved schema — files written
+  * before an evolution read the new columns as null); lakes with exact
+  * streaming consumers must retain history across maintenance passes
+  * (`retainHistory` / `compactRetainHistory`, the [[Lake.changesBetween]]
+  * rule — a vacuumed in-range file fails the batch loudly rather than
+  * double-processing); partition columns are discovered from the current
+  * manifest's file paths (pass `option("partitionColumns", "a,b")` for a
+  * lake that is still empty at stream start). */
+class LakeStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake-cdc"
+
+  private def lakePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-lake-cdc requires a path: .load(lakeDir)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LakeStreamSource.tableSchema(SparkSession.active, lakePath(options), options)._1
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = lakePath(opts)
+    val (full, partCols) = LakeStreamSource.tableSchema(SparkSession.active, path, opts)
+    new LakeStreamTable(path, full, partCols, opts)
+  }
+}
+
+object LakeStreamSource {
+  /** (dataCols ++ partitionCols schema, partition column names in path
+    * order). The row layout the parquet reader factory produces is
+    * readDataSchema ++ partitionSchema, so the table schema mirrors it. */
+  private[lake] def tableSchema(spark: SparkSession, lakeDir: String,
+      options: CaseInsensitiveStringMap): (StructType, Seq[String]) = {
+    val st = Lake.currentState(spark, lakeDir)
+    val manifest = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val partCols: Seq[String] = st.files.headOption match {
+      case Some(f) =>
+        f.split('/').dropRight(1).toSeq.map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"not a partition directory segment: $seg")
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.take(eq))
+        }
+      case None =>
+        Option(options.get("partitionColumns")).toSeq
+          .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    }
+    val missing = partCols.filterNot(c => manifest.fieldNames.contains(c))
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the manifest schema")
+    val dataFields = manifest.fields.filterNot(f => partCols.contains(f.name))
+    val partFields = partCols.map(c => manifest(manifest.fieldIndex(c)))
+    (StructType(dataFields ++ partFields), partCols)
+  }
+}
+
+private[lake] class LakeStreamTable(lakeDir: String, schema0: StructType,
+    partCols: Seq[String], options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-lake-cdc $lakeDir"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def description(): String = name()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new LakeMicroBatchStream(lakeDir, schema0, partCols, options)
+      }
+    }
+}
+
+/** One offset = one committed manifest version. */
+private[lake] case class LakeVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType,
+    partCols: Seq[String], options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val spark = SparkSession.active
+  private val partSchema = StructType(partCols.map(c => fullSchema(fullSchema.fieldIndex(c))))
+  private val dataSchema = StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+  private val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  private def retainedVersions(): Seq[Long] = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // the log dir listing IS the offset range (one RPC; no delta reads)
+    val log = new Path(fs.makeQualified(root), Lake.LogDirName)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .flatMap(n => n.stripPrefix("v").stripSuffix(".manifest").toLongOption)
+      .sorted
+  }
+
+  override def initialOffset(): Offset = {
+    val deltas = retainedVersions()
+    if (deltas.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft-lake-cdc: $lakeDir has no committed versions to stream from")
+    val v = Option(options.get("startingVersion")) match {
+      case Some("earliest") => deltas.head - 1      // include the earliest retained commit
+      case Some(s) => s.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-lake-cdc: startingVersion must be a version or 'earliest', got '$s'")) - 1
+      case None => deltas.last                      // tail: only commits after stream start
+    }
+    LakeVersionOffset(v)
+  }
+
+  override def latestOffset(): Offset =
+    LakeVersionOffset(retainedVersions().lastOption.getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset = LakeVersionOffset(json.toLong)
+
+  /** Typed partition values parsed back from a file's directory path —
+    * the inverse of [[Lake.partitionDir]]'s rendering, cast through the
+    * same Catalyst device so types round-trip. */
+  private def partitionValues(relPath: String): InternalRow = {
+    val segs = relPath.split('/').dropRight(1)
+    require(segs.length == partCols.length,
+      s"file $relPath does not match the ${partCols.length}-level partition layout")
+    val values = segs.zip(partSchema.fields).map { case (seg, field) =>
+      val eq = seg.indexOf('=')
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.drop(eq + 1))
+      if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        null
+      else
+        Cast(Literal(UTF8String.fromString(raw), StringType), field.dataType, tz).eval(null)
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    if (e <= s) return Array.empty
+    val added = Seq.newBuilder[String]
+    ((s + 1) to e).foreach { v =>
+      val d = Lake.deltaAt(spark, lakeDir, v)
+      if (Lake.DataAddingActions.contains(d.action)) added ++= d.added.map(_._1)
+      else added ++= d.added.map(_._1).filterNot(d.rewrites)
+    }
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qroot = fs.makeQualified(root)
+    added.result().distinct.sorted.zipWithIndex.map { case (rel, i) =>
+      val p = new Path(qroot, rel)
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"graft-lake-cdc: data-added file $rel of versions ($s, $e] was rewritten and " +
+            "vacuumed — retain history (retainHistory / compactRetainHistory / deferred " +
+            "vacuumKeeping) on lakes with streaming consumers")
+      val fst = fs.getFileStatus(p)
+      FilePartition(i, Array(PartitionedFile(
+        partitionValues(rel),
+        org.apache.spark.paths.SparkPath.fromPath(fst.getPath),
+        0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the same hadoop-conf preparation the native ParquetScan performs
+    // before broadcasting: read-support wiring + the requested schema +
+    // the session's parquet semantics flags
+    val conf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val schemaJson = dataSchema.json
+    hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    hadoopConf.set("org.apache.spark.sql.parquet.row.requested_schema", schemaJson)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(dataSchema, hadoopConf)
+    hadoopConf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      conf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      conf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key,
+      conf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key,
+      conf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      conf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
+    val broadcastConf = spark.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(conf, broadcastConf, dataSchema, dataSchema, partSchema,
+      Array.empty, None, new ParquetOptions(Map.empty[String, String], conf))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
