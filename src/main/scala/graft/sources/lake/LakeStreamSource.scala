@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
@@ -26,6 +26,8 @@ import graft.operators.Lake
   * {{{
   *   spark.readStream.format("graft-lake-cdc")
   *     .option("startingVersion", "earliest")   // or a version, or absent = tail new commits
+  *     .option("maxVersionsPerTrigger", "10")   // bound catch-up micro-batches (backpressure)
+  *     .option("columns", "doc_id,text")        // decode-level projection for wide rows
   *     .load(lakeDir)
   * }}}
   *
@@ -103,7 +105,22 @@ object LakeStreamSource {
       s"partition column(s) ${missing.mkString(", ")} not in the manifest schema")
     val dataFields = manifest.fields.filterNot(f => partCols.contains(f.name))
     val partFields = partCols.map(c => manifest(manifest.fieldIndex(c)))
-    (StructType(dataFields ++ partFields), partCols)
+    val full = StructType(dataFields ++ partFields)
+    // explicit projection: the streaming engine does not push column
+    // pruning into micro-batch scans, so `option("columns", "a,b")` is
+    // the deterministic way to keep a tail from decoding a wide corpus
+    // row it doesn't need (an embedder wants (doc_id, text), not the
+    // whole document record)
+    val projected = Option(options.get("columns")) match {
+      case Some(cs) =>
+        val want = cs.split(',').map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(full.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"columns option names unknown field(s): ${unknown.mkString(", ")}")
+        StructType(full.filter(f => want.contains(f.name)))
+      case None => full
+    }
+    (projected, partCols)
   }
 }
 
@@ -115,12 +132,25 @@ private[lake] class LakeStreamTable(lakeDir: String, schema0: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def description(): String = name()
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new LakeMicroBatchStream(lakeDir, schema0, partCols, options)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning pushes into the stream's parquet decode: a tail
+      // that selects (doc_id, text) never materializes the other columns
+      // of a wide corpus row. Required fields arrive in table-schema
+      // order (data columns before partition columns), so the pruned
+      // reader's output layout (readDataSchema ++ partitionSchema) still
+      // matches readSchema exactly.
+      private var required: StructType = schema0
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = {
+        val req = required
+        new Scan {
+          override def readSchema(): StructType = req
+          override def description(): String =
+            s"${name()} columns=${req.fieldNames.mkString(",")}"
+          override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+            new LakeMicroBatchStream(lakeDir, req, partCols, options)
+        }
       }
     }
 }
@@ -132,11 +162,15 @@ private[lake] case class LakeVersionOffset(version: Long) extends Offset {
 
 private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType,
     partCols: Seq[String], options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val spark = SparkSession.active
-  private val partSchema = StructType(partCols.map(c => fullSchema(fullSchema.fieldIndex(c))))
+  // fullSchema here is the (possibly column-pruned) READ schema; partCols
+  // is always the lake's complete partition layout, needed to parse every
+  // directory level of a file path even when only some survive pruning
+  private val partSchema = StructType(fullSchema.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
+  private val keptPartIdx: Seq[Int] = partSchema.fields.map(f => partCols.indexOf(f.name)).toSeq
   private val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
 
   private def retainedVersions(): Seq[Long] = {
@@ -168,6 +202,22 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   override def latestOffset(): Offset =
     LakeVersionOffset(retainedVersions().lastOption.getOrElse(-1L))
 
+  /** Trigger sizing — the production backpressure knob: with
+    * `option("maxVersionsPerTrigger", n)` a restart against a long
+    * backlog catches up in bounded micro-batches instead of one giant
+    * batch reading the whole backlog's files. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val latest = retainedVersions().lastOption.getOrElse(-1L)
+    Option(options.get("maxVersionsPerTrigger")).flatMap(_.toLongOption) match {
+      case Some(n) if n > 0 =>
+        val s = startOffset.asInstanceOf[LakeVersionOffset].version
+        LakeVersionOffset(math.min(latest, s + n))
+      case _ => LakeVersionOffset(latest)
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
   override def deserializeOffset(json: String): Offset = LakeVersionOffset(json.toLong)
 
   /** Typed partition values parsed back from a file's directory path —
@@ -177,7 +227,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     val segs = relPath.split('/').dropRight(1)
     require(segs.length == partCols.length,
       s"file $relPath does not match the ${partCols.length}-level partition layout")
-    val values = segs.zip(partSchema.fields).map { case (seg, field) =>
+    val values = keptPartIdx.zip(partSchema.fields).map { case (i, field) =>
+      val seg = segs(i)
       val eq = seg.indexOf('=')
       val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(seg.drop(eq + 1))
@@ -186,7 +237,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       else
         Cast(Literal(UTF8String.fromString(raw), StringType), field.dataType, tz).eval(null)
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    new GenericInternalRow(values.toArray[Any])
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -255,4 +306,9 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  /** Shown as the source description in streaming progress — names the
+    * lake and the (possibly pruned) columns this stream decodes. */
+  override def toString: String =
+    s"graft-lake-cdc $lakeDir columns=${fullSchema.fieldNames.mkString(",")}"
 }

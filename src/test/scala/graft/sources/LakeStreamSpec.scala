@@ -93,6 +93,43 @@ class LakeStreamSpec extends SparkTestBase {
       s"restart must replay each committed change exactly once, got ${durable.sorted}")
   }
 
+  test("lake CDC stream: column pruning reaches the parquet decode; maxVersionsPerTrigger bounds catch-up batches") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcprune").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id")) // v1
+    Pipeline.appendToLake(spark, out, fixture(10 until 20))              // v2
+    Pipeline.appendToLake(spark, out, fixture(20 until 30))              // v3
+
+    // a projected tail: only (doc_id, split) survive — pruning must reach
+    // the scan (the plan's ReadSchema) and partition values still type
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerTrigger", "1") // 3 pending versions -> 3 batches
+      .option("columns", "doc_id,split")    // decode-level projection
+      .load(out)
+      .writeStream.format("memory").queryName("lake_pruned")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("lake_pruned").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSet == (0L until 30L).toSet)
+      assert(rows.forall(_.getAs[String]("split") == "train"))
+      // the scan itself was pruned: its read schema names only the
+      // selected columns, so text/shard_id are never decoded
+      val progress = q.recentProgress
+      assert(progress.nonEmpty)
+      assert(progress.map(_.numInputRows).sum == 30)
+      // one committed version per micro-batch (3 non-empty batches)
+      assert(progress.count(_.numInputRows > 0) == 3,
+        s"maxVersionsPerTrigger=1 must split the 3-version backlog into 3 batches: " +
+          progress.map(_.numInputRows).mkString(","))
+      val scanDesc = q.lastProgress.sources.head.description
+      assert(scanDesc.contains("columns=doc_id,split"),
+        s"pruning must reach the stream's scan, not a post-scan project: $scanDesc")
+    } finally q.stop()
+  }
+
   test("lake CDC stream default start is the tail: only commits after stream start surface") {
     val base = java.nio.file.Files.createTempDirectory("lakecdctail").toString
     val out = s"$base/lake"
