@@ -1328,7 +1328,11 @@ object Pipeline {
         s"retyped: ${lakeTypes.keySet.intersect(uTypes.keySet)
           .filter(c => lakeTypes(c) != uTypes(c)).mkString(", ")})")
     val lake = Lake.readState(spark, lakeDir, base)
-    val u = broadcast(upd.select(col(idCol).as("_mid")).distinct())
+    // broadcast the id set only while it plausibly fits executor memory —
+    // a corpus-wide re-scoring merge (updCount ~ corpus) must fall back
+    // to a shuffled semi/anti join, not blow the driver on a broadcast
+    val ids0 = upd.select(col(idCol).as("_mid")).distinct()
+    val u = if (updCount <= 5000000L) broadcast(ids0) else ids0
     // pass 1 (id + partition columns only): which partitions hold a match
     val matchedParts = lake.join(u, col(idCol) === col("_mid"), "left_semi")
       .select(partitionCols.map(col): _*).distinct().collect()
