@@ -891,6 +891,40 @@ object Lake {
     * so a crash mid-vacuum leaves dangling log records that fail loudly
     * rather than silently-live files). The latest version is always
     * retained. */
+  /** Roll the lake BACK to a retained `version` — the undo button for a
+    * bad ingest/delete/merge (cf. Delta RESTORE). Committed as a NEW
+    * version whose delta re-adds the target version's files (they are
+    * already on disk while history is retained — nothing is copied or
+    * rewritten) and removes the current-only ones, so readers flip
+    * atomically and the mistake stays readable as history until a
+    * retention vacuum spends it. The re-added files are tagged as
+    * rewrites: a restore surfaces NO new rows to [[changesBetween]] /
+    * the CDC stream — consumers already processed them when they first
+    * landed. Refuses loudly when the target version's files were
+    * vacuumed (an eagerly-vacuumed lake has no history to restore), and
+    * races like every removing commit: OCC-checked rebase, refusal on
+    * genuine overlap. Returns the post-restore read-back. */
+  def restore(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val target = stateAt(spark, lakeDir, version)
+    val gone = target.files.filterNot(f => fs.exists(new Path(root, f)))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore to version $version — ${gone.size} of its file(s) were " +
+          s"vacuumed, e.g. ${gone.take(3).mkString(", ")}; restore needs retained history")
+    val base = currentState(spark, lakeDir)
+    if (base.version == version) return readState(spark, lakeDir, base)
+    val current = base.files.toSet
+    val reAdded = target.files.filterNot(current)
+    val removed = base.files.filterNot(target.files.toSet)
+    publish(spark, StagedCommit(lakeDir, base, "restore", target.schemaJson,
+      removed, reAdded, 0L, 0L,
+      stagedStats = target.stats.view.filterKeys(reAdded.contains).toMap,
+      rewriteFiles = reAdded.toSet),
+      vacuumSuperseded = false) // the undone commits stay readable history
+    read(spark, lakeDir)
+  }
+
   /** The newest retained version whose commit wall-clock is at or below
     * `tsMs` — timestamp time travel's resolution step. Reads the retained
     * delta headers (an audit-frequency operation, O(retained log) driver

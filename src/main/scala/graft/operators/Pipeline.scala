@@ -1433,6 +1433,30 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px112
+  /** Restore — the undo button closing the lifecycle: a bad mutation
+    * (here px101's tombstone delete, history retained) is rolled back by
+    * [[Lake.restore]], which re-commits the pre-mutation file set as a
+    * new version without copying a byte. The post-restore manifest must
+    * equal the ORIGINAL corpus manifest (px100's oracle): the delete
+    * happened, was audited, stayed readable as history — and then was
+    * undone atomically. */
+  private def px112(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px112_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"))             // v1
+    val tomb = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 131 === 0).select("doc_id")
+    deleteFromLake(spark, out, tomb, "doc_id", retainHistory = true)     // v2
+    Lake.restore(spark, out, 1L)                                         // v3 = v1 again
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   private def px104(spark: SparkSession, dir: String): DataFrame =
     profileTable(Tables(spark, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))
@@ -1580,5 +1604,6 @@ object Pipeline {
     GraftQuery("px108_lake_clustered_append", px108, Some(px100Oracle)),
     GraftQuery("px109_lake_cdc_across_compact", px109, Some(px107Oracle)),
     GraftQuery("px110_lake_dsv2_read", px110, Some(px106Oracle)),
-    GraftQuery("px111_lake_merge_upsert", px111, Some(px111Oracle)))
+    GraftQuery("px111_lake_merge_upsert", px111, Some(px111Oracle)),
+    GraftQuery("px112_lake_restore", px112, Some(px100Oracle)))
 }

@@ -690,6 +690,36 @@ class LakeSpec extends SparkTestBase {
     assert(ids(Lake.read(spark, out)).contains(200L))
   }
 
+  test("restore rolls back atomically: pre-mutation content returns, CDC sees nothing, vacuumed history refuses") {
+    val out = freshDir("lake-restore")
+    Lake.init(spark, fixture().filter(col("doc_id") < 20), out, Seq("split", "shard_id")) // v1
+    Pipeline.appendToLake(spark, out, fixture())                                          // v2
+    Pipeline.deleteFromLake(spark, out, Seq(2L, 3L).toDF("doc_id"), "doc_id",
+      retainHistory = true)                                                               // v3
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(2L, 3L))
+    val restored = Lake.restore(spark, out, 2L)                                           // v4
+    assert(ids(restored) == (0L until 40L).toSet, "the bad delete must be undone")
+    assert(Lake.latestManifest(spark, out).get.version == 4L,
+      "restore is a NEW commit, not history surgery")
+    // nothing re-surfaces to incremental consumers: the restored rows were
+    // already processed when they first landed
+    assert(Lake.changesBetween(spark, out, 3L, 4L).count() == 0,
+      "a restore must contribute nothing to adds-CDC")
+    // the undone delete remains readable history until retention spends it
+    assert(ids(Lake.readVersion(spark, out, 3L)) == (0L until 40L).toSet -- Set(2L, 3L))
+    // restoring to the current version is a no-op read
+    val v4 = Lake.latestManifest(spark, out).get.version
+    Lake.restore(spark, out, 4L)
+    assert(Lake.latestManifest(spark, out).get.version == v4)
+    // an eagerly-vacuumed mutation has no history to restore to
+    val out2 = freshDir("lake-restore-gone")
+    Lake.init(spark, fixture(), out2, Seq("split", "shard_id"))                           // v1
+    Pipeline.deleteFromLake(spark, out2, Seq(5L).toDF("doc_id"), "doc_id")                // v2, eager vacuum
+    val e = intercept[IllegalStateException] { Lake.restore(spark, out2, 1L) }
+    assert(e.getMessage.contains("restore needs retained history"),
+      s"restore over spent history must refuse loudly: ${e.getMessage}")
+  }
+
   test("graft-lake format: latest + time-travel reads match the Scala helpers; staged files invisible; writes refuse") {
     val out = freshDir("lake-dsv2")
     Lake.init(spark, fixture().filter(col("doc_id") < 20), out, Seq("split", "shard_id")) // v1
