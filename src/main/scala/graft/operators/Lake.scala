@@ -93,9 +93,19 @@ object Lake {
     * referenced-file set of the log up to this version, which is what
     * lets [[vacuum]] decide orphan-ness from the LATEST state alone —
     * one checkpoint load plus a bounded delta replay — instead of
-    * re-reading every retained delta. */
+    * re-reading every retained delta.
+    *
+    * `historyComplete` is the format-migration guard: a state resolved
+    * through a LEGACY checkpoint (header `graft-checkpoint-v1`, written
+    * by builds that predate the history section, with no `H` lines)
+    * cannot know which retained-history files its ancestry references,
+    * so [[vacuum]] must fall back to the full-log referenced-set
+    * computation instead of trusting `files ++ history` — otherwise it
+    * would reclassify that retained history as orphans and delete it,
+    * breaking time travel on lakes created by earlier builds. */
   final case class LakeState(version: Long, schemaJson: String, files: Seq[String],
-      stats: Map[String, Seq[ColStat]] = Map.empty, history: Seq[String] = Seq.empty)
+      stats: Map[String, Seq[ColStat]] = Map.empty, history: Seq[String] = Seq.empty,
+      historyComplete: Boolean = true)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -515,10 +525,18 @@ object Lake {
       postState.foreach(st => writeCheckpoint(fs, root, st.copy(version = rec.version)))
   }
 
-  /** Best-effort checkpoint write (idempotent; readers only ever gain a
-    * shorter replay from it, never correctness). `overwrite = true`
-    * replaces an existing checkpoint — only [[vacuumKeeping]] uses it, to
-    * prune the history section after reclaiming the files it named. */
+  /** Checkpoint write. On the interval grid (`overwrite = false`) it is
+    * best-effort and idempotent — readers only ever gain a shorter replay
+    * from it, never correctness, so a failed rename is silently dropped.
+    * `overwrite = true` REPLACES an existing checkpoint — only
+    * [[vacuumKeeping]] uses it, to prune the history section after
+    * reclaiming the files it named — and there the checkpoint is
+    * load-bearing (older deltas are about to be retired), so the swap is
+    * old-aside → new-in → drop-old: the pre-existing checkpoint is never
+    * deleted before its replacement is in place (no no-checkpoint
+    * window), and any failed rename rolls the old one back and THROWS
+    * instead of letting the caller proceed to retire history that only
+    * the failed checkpoint could have covered. */
   private def writeCheckpoint(fs: FileSystem, root: Path, st: LakeState,
       overwrite: Boolean = false): Unit = {
     val target = new Path(logDir(root), checkpointName(st.version))
@@ -527,8 +545,26 @@ object Lake {
     val out = fs.create(tmp, false)
     try out.write(renderCheckpoint(st).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (overwrite) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    if (!overwrite) {
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+    } else {
+      val aside = new Path(logDir(root), s".old-${java.util.UUID.randomUUID()}")
+      val hadOld = fs.exists(target)
+      if (hadOld && !fs.rename(target, aside)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"checkpoint replace failed: could not move the existing checkpoint $target " +
+            "aside — aborting before any history is retired")
+      }
+      if (!fs.rename(tmp, target)) {
+        if (hadOld) fs.rename(aside, target) // roll the old checkpoint back
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"checkpoint replace failed: could not rename $tmp to $target — " +
+            "aborting before any history is retired")
+      }
+      if (hadOld) fs.delete(aside, false)
+    }
   }
 
   private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit = {
