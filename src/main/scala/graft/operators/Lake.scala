@@ -285,8 +285,15 @@ object Lake {
       rewrites.result(), ts)
   }
 
+  /** Checkpoints are written under the `v2` header: `v2` PROMISES a
+    * complete `H` (history) section, which is what lets [[vacuum]] trust
+    * `files ++ history` as the full referenced-file set. A `v1` header
+    * (builds that predate the history section) makes no such promise —
+    * its absence of `H` lines is ambiguous with a genuinely empty
+    * history — so states resolved through one carry
+    * `historyComplete = false` and vacuum falls back to the full log. */
   private def renderCheckpoint(st: LakeState): String = {
-    val header = "graft-checkpoint-v1"
+    val header = "graft-checkpoint-v2"
     val schema = s"S\t${enc(st.schemaJson)}"
     val files = st.files.sorted.map { p =>
       (Seq("F", enc(p)) ++ statsFields(st.stats.getOrElse(p, Seq.empty))).mkString("\t") }
@@ -296,8 +303,12 @@ object Lake {
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-    require(lines.head == "graft-checkpoint-v1",
-      s"not a graft checkpoint: ${lines.head.take(60)}")
+    val complete = lines.head match {
+      case "graft-checkpoint-v2" => true
+      case "graft-checkpoint-v1" => false // legacy: history section unknown
+      case other =>
+        throw new IllegalArgumentException(s"not a graft checkpoint: ${other.take(60)}")
+    }
     var schemaJson = ""
     val files = Seq.newBuilder[String]
     val hist = Seq.newBuilder[String]
@@ -315,7 +326,8 @@ object Lake {
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
-    LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted)
+    LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted,
+      historyComplete = complete)
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -323,12 +335,48 @@ object Lake {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  /** Name a checkpoint's move-aside during [[writeCheckpoint]]'s replace
+    * swap. `.`-prefixed (hidden from every reader) but VERSION-CARRYING,
+    * so a crash mid-swap is recoverable: the stranded old checkpoint can
+    * be renamed back by [[recoverAsides]] instead of being lost under an
+    * opaque name forever. */
+  private def asideName(version: Long): String =
+    s".old.${checkpointName(version)}"
+
+  private def parseAside(name: String): Option[Long] =
+    if (name.startsWith(".old.")) parseCheckpoint(name.stripPrefix(".old.")) else None
+
+  /** Crash recovery for [[writeCheckpoint]]'s replace swap (old-aside →
+    * new-in → drop-old): a crash between the two renames leaves NO
+    * checkpoint at the target with the old one stranded at its `.old.*`
+    * aside name — if earlier deltas were already retired, the lake would
+    * be unresolvable until repaired. Whenever a log listing surfaces an
+    * aside (the common case is zero — this costs nothing), rename it back
+    * when its target checkpoint is missing, or drop it when the target
+    * exists (the swap completed; the aside is a failed-cleanup leftover).
+    * Best-effort and idempotent: concurrent recoverers race on the
+    * rename, one wins, the rest see the source gone. */
+  private def recoverAsides(fs: FileSystem, log: Path, names: Seq[String]): Unit =
+    names.foreach { n =>
+      parseAside(n).foreach { v =>
+        val target = new Path(log, checkpointName(v))
+        if (fs.exists(target)) fs.delete(new Path(log, n), false)
+        else fs.rename(new Path(log, n), target)
+      }
+    }
+
   /** (delta versions, checkpoint versions) present in the log — ONE
-    * directory listing resolves everything the readers need. */
+    * directory listing resolves everything the readers need. A stranded
+    * checkpoint aside (crash mid-[[writeCheckpoint]] replace) is healed
+    * here, lazily, before the listing is interpreted. */
   private def listLog(fs: FileSystem, root: Path): (Seq[Long], Seq[Long]) = {
     val log = logDir(root)
     if (!fs.exists(log)) return (Seq.empty, Seq.empty)
-    val names = fs.listStatus(log).toSeq.map(_.getPath.getName)
+    var names = fs.listStatus(log).toSeq.map(_.getPath.getName)
+    if (names.exists(parseAside(_).isDefined)) {
+      recoverAsides(fs, log, names)
+      names = fs.listStatus(log).toSeq.map(_.getPath.getName)
+    }
     (names.flatMap(parseDelta).sorted, names.flatMap(parseCheckpoint).sorted)
   }
 
@@ -348,7 +396,10 @@ object Lake {
       (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap,
       // removed files stay referenced (time travel / in-range CDC reads
       // them until a retention vacuum spends that history)
-      st.history ++ d.removed)
+      st.history ++ d.removed,
+      // a replay from a legacy (v1) checkpoint stays incomplete no matter
+      // how many deltas stack on top — the missing history is BELOW it
+      historyComplete = st.historyComplete)
   }
 
   /** Resolve the lake state at `version`: newest checkpoint at or below
@@ -548,16 +599,26 @@ object Lake {
     if (!overwrite) {
       if (!fs.rename(tmp, target)) fs.delete(tmp, false)
     } else {
-      val aside = new Path(logDir(root), s".old-${java.util.UUID.randomUUID()}")
+      // the aside name carries the version ([[asideName]]): a crash
+      // between the two renames strands the old checkpoint there, and the
+      // next log listing's [[recoverAsides]] renames it back
+      val aside = new Path(logDir(root), asideName(st.version))
       val hadOld = fs.exists(target)
       if (hadOld && !fs.rename(target, aside)) {
         fs.delete(tmp, false)
         throw new IllegalStateException(
           s"checkpoint replace failed: could not move the existing checkpoint $target " +
-            "aside — aborting before any history is retired")
+            s"aside to $aside — aborting before any history is retired")
       }
       if (!fs.rename(tmp, target)) {
-        if (hadOld) fs.rename(aside, target) // roll the old checkpoint back
+        // roll the old checkpoint back; if even that fails, recoverAsides
+        // heals it on the next listing — but name the aside path here so
+        // manual repair never has to guess
+        if (hadOld && !fs.rename(aside, target))
+          throw new IllegalStateException(
+            s"checkpoint replace failed AND rollback failed: the pre-existing " +
+              s"checkpoint is stranded at $aside (recoverAsides restores it on the " +
+              "next log listing) — aborting before any history is retired")
         fs.delete(tmp, false)
         throw new IllegalStateException(
           s"checkpoint replace failed: could not rename $tmp to $target — " +
@@ -634,7 +695,8 @@ object Lake {
       val post = LakeState(base.version + 1, schemaJson,
         (base.files.filterNot(ourRemoved) ++ sc.stagedFiles).sorted,
         (base.stats -- sc.removedFiles) ++ sc.stagedStats,
-        base.history ++ sc.removedFiles)
+        base.history ++ sc.removedFiles,
+        historyComplete = base.historyComplete)
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -906,8 +968,28 @@ object Lake {
     latestManifest(spark, lakeDir) match {
       case None => Seq.empty
       case Some(latest) =>
-        val live = (latest.files ++ latest.history).toSet
         val (fs, root) = fsRoot(spark, lakeDir)
+        val live: Set[String] =
+          if (latest.historyComplete) (latest.files ++ latest.history).toSet
+          else {
+            // the latest state resolved through a LEGACY (v1) checkpoint,
+            // whose history section is unknowable — fall back to the full
+            // retained log: every retained delta's adds plus every
+            // checkpoint's file and history sections. Strictly more
+            // expensive (O(retained log)) and strictly safe; the next
+            // vacuumKeeping writes a v2 checkpoint and restores the
+            // latest-state-only fast path.
+            val (deltas, checkpoints) = listLog(fs, root)
+            val b = Set.newBuilder[String]
+            deltas.foreach(v => b ++= deltaAt(spark, lakeDir, v).added.map(_._1))
+            checkpoints.foreach { c =>
+              val st = parseCheckpointFile(
+                readLogFile(fs, new Path(logDir(root), checkpointName(c))), c)
+              b ++= st.files
+              b ++= st.history
+            }
+            b.result()
+          }
         val cutoff = System.currentTimeMillis() - minAgeMs
         val dead = listDataFiles(spark, lakeDir).filterNot(live).filter { f =>
           minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
@@ -1027,8 +1109,12 @@ object Lake {
     // pre-existing checkpoint whose history named files reclaimed below.
     // Written BEFORE anything is deleted, so a crash mid-vacuum leaves
     // dangling log records that fail loudly, never silently-live files.
+    // the recomputed history IS complete for the retained log (older
+    // deltas are about to be retired), so the rewritten checkpoint also
+    // migrates a legacy-v1 lake onto the v2 fast path
     writeCheckpoint(fs, root,
-      oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted),
+      oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted,
+        historyComplete = true),
       overwrite = true)
     val dead = listDataFiles(spark, lakeDir).filterNot(liveSet)
     deleteFiles(spark, lakeDir, dead)

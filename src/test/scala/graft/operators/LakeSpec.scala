@@ -559,6 +559,100 @@ class LakeSpec extends SparkTestBase {
     assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet ++ (2000L until 2011L))
   }
 
+  test("legacy v1 checkpoint (no history section): vacuum falls back to the full log and keeps retained history") {
+    val out = freshDir("lake-legacy-ckpt")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    // delete WITH history retained at v1: the pre-image files are live on
+    // disk but referenced only through the history section from then on
+    Pipeline.deleteFromLake(spark, out, Seq(0L, 7L).toDF("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id"), retainHistory = true)
+    // 9 appends cross the checkpoint grid at v10 — the checkpoint's H
+    // lines now carry the retained pre-image
+    (0 until 9).foreach { k =>
+      Pipeline.appendToLake(spark, out, Seq(3000L + k).toDF("id").select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id")))
+    }
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    val ckpt = new org.apache.hadoop.fs.Path(root,
+      s"${Lake.LogDirName}/v${"%020d".format(10)}.checkpoint")
+    assert(fs.exists(ckpt), "fixture must have crossed the checkpoint grid")
+    // downgrade the checkpoint to the LEGACY v1 format: v1 header, no H
+    // lines — exactly what a pre-history-section build would have written
+    val text = {
+      val in = fs.open(ckpt)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(text.linesIterator.exists(_.startsWith("H\t")),
+      "the v2 checkpoint must carry the retained history")
+    val legacy = text.linesIterator
+      .filterNot(_.startsWith("H\t")).toSeq
+      .updated(0, "graft-checkpoint-v1").mkString("\n")
+    val o = fs.create(ckpt, true)
+    try o.write(legacy.getBytes("UTF-8")) finally o.close()
+    // vacuum must NOT reclassify the retained pre-image as orphans: the
+    // legacy checkpoint cannot vouch for history, so the referenced set
+    // falls back to the full retained log
+    val dead = Lake.vacuum(spark, out)
+    assert(dead.isEmpty, s"vacuum on a legacy-checkpoint lake deleted: $dead")
+    assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet,
+      "time travel below the legacy checkpoint must survive the vacuum")
+    // a retention pass whose horizon reaches the legacy checkpoint
+    // REWRITES it in the v2 format (recomputed, complete history) and
+    // restores the latest-state-only fast path
+    Lake.vacuumKeeping(spark, out, keepVersions = 1)
+    val healed = {
+      val in = fs.open(ckpt)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(healed.startsWith("graft-checkpoint-v2"),
+      "vacuumKeeping must migrate the lake back onto the v2 checkpoint format")
+    assert(ids(Lake.read(spark, out)) ==
+      ((0L until 40L).toSet -- Set(0L, 7L)) ++ (3000L until 3009L))
+    assert(Lake.vacuum(spark, out).isEmpty)
+  }
+
+  test("a checkpoint stranded mid-replace (crash between the swap renames) heals on the next log listing") {
+    val out = freshDir("lake-aside-heal")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    (0 until 10).foreach { k => // cross the checkpoint grid at v10
+      Pipeline.appendToLake(spark, out, Seq(4000L + k).toDF("id").select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id")))
+    }
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    val log = new org.apache.hadoop.fs.Path(root, Lake.LogDirName)
+    val ckptName = s"v${"%020d".format(10)}.checkpoint"
+    val ckpt = new org.apache.hadoop.fs.Path(log, ckptName)
+    assert(fs.exists(ckpt))
+    // simulate the crash window: old checkpoint moved aside, replacement
+    // never landed — no checkpoint at the target
+    assert(fs.rename(ckpt, new org.apache.hadoop.fs.Path(log, s".old.$ckptName")))
+    assert(!fs.exists(ckpt))
+    // any log listing heals it: the read succeeds AND the checkpoint is back
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet ++ (4000L until 4010L))
+    assert(fs.exists(ckpt), "the stranded aside must be renamed back to the target")
+    // the other crash shape: swap completed but the old-aside delete
+    // failed — the leftover aside is dropped, the live checkpoint kept
+    val stray = new org.apache.hadoop.fs.Path(log, s".old.$ckptName")
+    org.apache.hadoop.fs.FileUtil.copy(fs, ckpt, fs, stray, false,
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(stray))
+    Lake.read(spark, out).count()
+    assert(!fs.exists(stray), "a completed swap's leftover aside must be reclaimed")
+    assert(fs.exists(ckpt))
+  }
+
   test("a corrupted per-file stats field fails loudly, never silently degrades pruning") {
     val out = freshDir("lake-badstats")
     val log = java.nio.file.Paths.get(out, Lake.LogDirName)
