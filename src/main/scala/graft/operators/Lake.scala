@@ -249,7 +249,13 @@ object Lake {
   }
 
   private def renderDelta(rec: DeltaRecord): String = {
-    val header = s"graft-delta-v1\t${rec.action}\t${rec.timestampMs}"
+    // the header carries the audit-surface facts (action, commit
+    // wall-clock, add/data-add/remove counts) so [[versionAtTimestamp]]
+    // and [[describeHistory]] resolve from ONE bounded first-line read,
+    // never a full-file parse; extra fields are ignored by older parsers
+    val nData = rec.added.count { case (p, _) => !rec.rewrites(p) }
+    val header = s"graft-delta-v1\t${rec.action}\t${rec.timestampMs}" +
+      s"\t${rec.added.size}\t$nData\t${rec.removed.size}"
     val schema = s"S\t${enc(rec.schemaJson)}"
     val adds = rec.added.sortBy(_._1).map { case (p, st) =>
       val tag = if (rec.rewrites(p)) "AR" else "A"
@@ -333,6 +339,57 @@ object Lake {
   private def readLogFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** ONLY the first line of a log file — O(line) bytes read regardless of
+    * file size, so header-resolved operations ([[versionAtTimestamp]],
+    * [[describeHistory]]) on a lake whose deltas name thousands of files
+    * never pay a full-file read per version. Reads in small chunks until
+    * the first newline; bytes accumulate before decoding so a multi-byte
+    * character split across chunks cannot corrupt (headers are ASCII
+    * today — this is cheap insurance). */
+  private[graft] def readLogFileHeader(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](256)
+      val acc = new java.io.ByteArrayOutputStream(256)
+      var done = false
+      while (!done) {
+        val n = in.read(buf)
+        if (n < 0) done = true
+        else {
+          var i = 0
+          while (i < n && buf(i) != '\n') i += 1
+          acc.write(buf, 0, i)
+          if (i < n) done = true
+        }
+      }
+      acc.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** The header-resolvable facts of one committed delta. Counts are
+    * `None` for deltas written before the header carried them (those
+    * fall back to a full parse where counts are needed). */
+  private[graft] final case class DeltaHeader(action: String, timestampMs: Long,
+      counts: Option[(Int, Int, Int)])
+
+  /** Parse a delta's first line only — see [[readLogFileHeader]]. */
+  private[graft] def deltaHeaderAt(spark: SparkSession, lakeDir: String,
+      version: Long): DeltaHeader = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val p = new Path(logDir(root), deltaName(version))
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(
+        s"lake $lakeDir has no committed manifest version $version")
+    val f = readLogFileHeader(fs, p).split('\t')
+    require(f(0) == "graft-delta-v1", s"not a graft delta record: ${f(0).take(60)}")
+    val counts = for {
+      a <- f.lift(3).flatMap(_.toIntOption)
+      d <- f.lift(4).flatMap(_.toIntOption)
+      r <- f.lift(5).flatMap(_.toIntOption)
+    } yield (a, d, r)
+    DeltaHeader(f(1), f.lift(2).flatMap(_.toLongOption).getOrElse(0L), counts)
   }
 
   /** Name a checkpoint's move-aside during [[writeCheckpoint]]'s replace
@@ -1044,20 +1101,22 @@ object Lake {
   }
 
   /** The newest retained version whose commit wall-clock is at or below
-    * `tsMs` — timestamp time travel's resolution step. Reads the retained
-    * delta headers (an audit-frequency operation, O(retained log) driver
-    * reads); version numbers remain the authoritative order when writer
-    * clocks skew. Throws when every retained commit is newer than the
-    * asked-for time. */
+    * `tsMs` — timestamp time travel's resolution step. Reads ONLY the
+    * first line of each retained delta ([[readLogFileHeader]]): the cost
+    * per version is O(header), never O(delta file) — a lookup against a
+    * lake whose commits each name thousands of files stays cheap.
+    * Version numbers remain the authoritative order when writer clocks
+    * skew. Throws when every retained commit is newer than the asked-for
+    * time. */
   def versionAtTimestamp(spark: SparkSession, lakeDir: String, tsMs: Long): Long = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val (deltas, _) = listLog(fs, root)
     if (deltas.isEmpty)
       throw new IllegalArgumentException(s"lake $lakeDir has no committed versions")
-    val atOrBelow = deltas.filter(v => deltaAt(spark, lakeDir, v).timestampMs <= tsMs)
+    val atOrBelow = deltas.filter(v => deltaHeaderAt(spark, lakeDir, v).timestampMs <= tsMs)
     atOrBelow.maxOption.getOrElse(throw new IllegalArgumentException(
       s"lake $lakeDir has no version committed at or before timestamp $tsMs " +
-        s"(earliest retained commit: ${deltaAt(spark, lakeDir, deltas.head).timestampMs})"))
+        s"(earliest retained commit: ${deltaHeaderAt(spark, lakeDir, deltas.head).timestampMs})"))
   }
 
   /** [[readVersion]] addressed by commit wall-clock instead of version. */
@@ -1068,14 +1127,20 @@ object Lake {
     * surface: one row per retained version with its action, commit
     * wall-clock, and file-level delta sizes (`n_data_added` excludes
     * pre-image rewrites, so it is "how many files of genuinely new rows
-    * landed"). Driver-side over the retained log; O(retained log). */
+    * landed"). Header-resolved (first line per delta, O(header) bytes);
+    * deltas committed before the header carried counts fall back to a
+    * full parse. Driver-side over the retained log. */
   def describeHistory(spark: SparkSession, lakeDir: String): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val (deltas, _) = listLog(fs, root)
     val rows = deltas.sorted(Ordering[Long].reverse).map { v =>
-      val d = deltaAt(spark, lakeDir, v)
-      org.apache.spark.sql.Row(v, new java.sql.Timestamp(d.timestampMs), d.action,
-        d.added.size, d.added.count { case (p, _) => !d.rewrites(p) }, d.removed.size)
+      val h = deltaHeaderAt(spark, lakeDir, v)
+      val (na, nd, nr) = h.counts.getOrElse {
+        val d = deltaAt(spark, lakeDir, v)
+        (d.added.size, d.added.count { case (p, _) => !d.rewrites(p) }, d.removed.size)
+      }
+      org.apache.spark.sql.Row(v, new java.sql.Timestamp(h.timestampMs), h.action,
+        na, nd, nr)
     }
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("version", LongType, nullable = false),

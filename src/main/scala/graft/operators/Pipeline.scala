@@ -1305,6 +1305,34 @@ object Pipeline {
     * into an empty/missing lake is a plain first ingest. Raced merges
     * follow [[Lake.publish]]'s OCC rules: a pure-insert merge rebases
     * freely, a rewriting merge refuses on genuine overlap. */
+  /** Ceiling on the estimated bytes of a merge's update-id set before
+    * the semi/anti joins fall back from broadcast to shuffle. 256 MB of
+    * build-side ids is comfortably inside a production executor heap
+    * (Spark's own broadcast guidance tops out well above this) while a
+    * corpus-wide re-scoring merge — wide ids × many rows — lands in the
+    * shuffled path long before it could OOM an executor. */
+  private[graft] val MergeBroadcastMaxBytes: Long = 256L << 20
+
+  /** Estimated in-memory bytes of the id set [[mergeIntoLake]] would
+    * broadcast: rows × (encoded id width + per-row join-build overhead).
+    * Fixed-width types price at their Catalyst default size; strings and
+    * binaries measure their AVERAGE encoded width with one bounded
+    * aggregate over the already-checkpointed batch — the point is to
+    * distinguish 6M longs (~150 MB, broadcastable) from 1M kilobyte
+    * string keys (~1 GB, not), not byte-exactness. */
+  private[graft] def estimatedIdSetBytes(upd: DataFrame, idCol: String,
+      updCount: Long): Long = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val overhead = 16L // UnsafeRow header + hash-relation slot, roughly
+    val perRow = upd.schema(idCol).dataType match {
+      case StringType | BinaryType =>
+        val r = upd.agg(avg(octet_length(col(idCol).cast("binary")))).collect()(0)
+        (if (r.isNullAt(0)) 8.0 else r.getDouble(0)).toLong + overhead
+      case dt => dt.defaultSize.toLong + overhead
+    }
+    updCount * perRow
+  }
+
   def mergeIntoLake(spark: SparkSession, lakeDir: String, updates: DataFrame,
       idCol: String = "doc_id",
       partitionCols: Seq[String] = Seq("split", "shard_id"),
@@ -1330,9 +1358,14 @@ object Pipeline {
     val lake = Lake.readState(spark, lakeDir, base)
     // broadcast the id set only while it plausibly fits executor memory —
     // a corpus-wide re-scoring merge (updCount ~ corpus) must fall back
-    // to a shuffled semi/anti join, not blow the driver on a broadcast
+    // to a shuffled semi/anti join, not blow the driver on a broadcast.
+    // The cutoff is a BYTE estimate, not a row count: 6M narrow numeric
+    // ids broadcast fine, while 1M wide string ids would be gigabytes
     val ids0 = upd.select(col(idCol).as("_mid")).distinct()
-    val u = if (updCount <= 5000000L) broadcast(ids0) else ids0
+    val u =
+      if (estimatedIdSetBytes(upd, idCol, updCount) <= MergeBroadcastMaxBytes)
+        broadcast(ids0)
+      else ids0
     // pass 1 (id + partition columns only): which partitions hold a match
     val matchedParts = lake.join(u, col(idCol) === col("_mid"), "left_semi")
       .select(partitionCols.map(col): _*).distinct().collect()

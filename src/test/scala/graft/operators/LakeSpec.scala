@@ -653,6 +653,70 @@ class LakeSpec extends SparkTestBase {
     assert(fs.exists(ckpt))
   }
 
+  test("versionAtTimestamp / describeHistory resolve from delta headers: O(line) bytes read, not O(delta file)") {
+    val out = freshDir("lake-header-only")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    Pipeline.appendToLake(spark, out, Seq(5000L).toDF("id").select(
+      col("id").as("doc_id"), lit("doc").as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))) // v1
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    val log = new org.apache.hadoop.fs.Path(root, Lake.LogDirName)
+    // handcraft a FAT delta v2 — the header of a bulk ingest whose body
+    // names tens of thousands of files (~5 MB). Timestamp resolution and
+    // the history audit must never open past its first line.
+    val schemaLine = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(log, s"v${"%020d".format(0)}.manifest"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.linesIterator.find(_.startsWith("S\t")).get
+    }
+    val ts = System.currentTimeMillis() + 60000L
+    val fat = new StringBuilder(s"graft-delta-v1\tappend\t$ts\t60000\t60000\t0\n")
+    fat ++= schemaLine += '\n'
+    (0 until 60000).foreach { i =>
+      fat ++= s"A\tsplit%3Dtrain%2Fshard_id%3D0%2Fpart-fake-$i.c000.snappy.parquet\n" }
+    val fatPath = new org.apache.hadoop.fs.Path(log, s"v${"%020d".format(2)}.manifest")
+    val o = fs.create(fatPath, false)
+    try o.write(fat.toString.getBytes("UTF-8")) finally o.close()
+    val fatLen = fs.getFileStatus(fatPath).getLen
+    assert(fatLen > (3L << 20), s"fat delta must be MBs, got $fatLen bytes")
+
+    val stats = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    assume(stats != null, "local-filesystem storage statistics unavailable")
+    val before = stats.getLong("bytesRead")
+    assert(Lake.versionAtTimestamp(spark, out, ts) == 2L)
+    assert(Lake.versionAtTimestamp(spark, out, ts - 1L) == 1L)
+    val hist = Lake.describeHistory(spark, out).collect()
+    val bytesRead = stats.getLong("bytesRead") - before
+    assert(bytesRead < fatLen / 4,
+      s"header-resolved lookups read $bytesRead bytes against a $fatLen-byte delta — " +
+        "they must stay O(header)")
+    // and the header carried the truth: the audit trail sees the bulk add
+    val fatRow = hist.find(_.getLong(0) == 2L).get
+    assert(fatRow.getString(2) == "append" && fatRow.getInt(3) == 60000 &&
+      fatRow.getInt(4) == 60000 && fatRow.getInt(5) == 0)
+  }
+
+  test("merge broadcast cutoff is byte-based: 6M narrow ids broadcast, 1M wide string ids fall back") {
+    // narrow numeric ids: 6M rows price at defaultSize + overhead — well
+    // under the ceiling the old 5M-row magic number refused
+    val narrow = spark.range(100).select(col("id").as("doc_id"))
+    assert(Pipeline.estimatedIdSetBytes(narrow, "doc_id", 6000000L) <=
+      Pipeline.MergeBroadcastMaxBytes,
+      "6M narrow numeric ids must stay broadcastable")
+    // wide string ids: measured average width drives the estimate over
+    // the ceiling at only 1M rows — rows alone can't see this
+    val wide = spark.range(100).select(
+      concat(lit("k".repeat(600)), col("id").cast("string")).as("doc_id"))
+    assert(Pipeline.estimatedIdSetBytes(wide, "doc_id", 1000000L) >
+      Pipeline.MergeBroadcastMaxBytes,
+      "1M kilobyte-wide string ids must fall back to the shuffled join")
+  }
+
   test("a corrupted per-file stats field fails loudly, never silently degrades pruning") {
     val out = freshDir("lake-badstats")
     val log = java.nio.file.Paths.get(out, Lake.LogDirName)
