@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Manifest-resolved lake storage: the write-audit-publish commit protocol
@@ -66,6 +66,22 @@ object Lake {
     * listing and every reader skips them. */
   val StagingDirName = "_graft_staging"
 
+  /** Deletion-vector sidecars live here (`_`-prefixed: hidden from every
+    * data listing and reader). One child directory per DV-writing commit,
+    * holding parquet rows `(file: string, pos: long)` — "row `pos` of
+    * lake file `file` is deleted". Merge-on-read row tombstones in the
+    * Delta Lake deletion-vector sense (Armbrust et al., VLDB 2020 +
+    * the public DV design): a sparse delete/merge commits positions, not
+    * rewritten survivor files, and reads apply them as an anti-join on
+    * `(_metadata.file_path, _metadata.row_index)`. [[compactLake]]
+    * materializes them back into plain files. */
+  val DvDirName = "_graft_dv"
+
+  /** Schema of a DV sidecar's parquet rows. */
+  private[graft] val DvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos", LongType, nullable = false)))
+
   /** A full checkpoint is written every this-many commits; state
     * resolution replays at most this many deltas past a checkpoint. */
   val CheckpointInterval = 10
@@ -105,7 +121,16 @@ object Lake {
     * breaking time travel on lakes created by earlier builds. */
   final case class LakeState(version: Long, schemaJson: String, files: Seq[String],
       stats: Map[String, Seq[ColStat]] = Map.empty, history: Seq[String] = Seq.empty,
-      historyComplete: Boolean = true)
+      historyComplete: Boolean = true,
+      /** Live deletion-vector attachments: data file → the sidecar dirs
+        * whose positions are deleted from it. Reads of the file apply
+        * the union. */
+      dvs: Map[String, Seq[String]] = Map.empty,
+      /** Sidecars whose data file was since removed (compaction
+        * materialized it, or a rewrite superseded it) — still referenced
+        * by this version's ancestry for time travel, reclaimed by
+        * [[vacuumKeeping]] like file history. */
+      dvHistory: Seq[String] = Seq.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -114,7 +139,10 @@ object Lake {
     * (merge). */
   private[graft] final case class DeltaRecord(version: Long, action: String,
       schemaJson: String, added: Seq[(String, Seq[ColStat])], removed: Seq[String],
-      rewrites: Set[String] = Set.empty, timestampMs: Long = 0L)
+      rewrites: Set[String] = Set.empty, timestampMs: Long = 0L,
+      /** Deletion-vector attachments this commit adds: (data file,
+        * sidecar dir) pairs, rendered as `D` lines. */
+      dvAdds: Seq[(String, String)] = Seq.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -132,7 +160,11 @@ object Lake {
       stagedRows: Long,
       expectedRows: Long,
       stagedStats: Map[String, Seq[ColStat]] = Map.empty,
-      rewriteFiles: Set[String] = Set.empty)
+      rewriteFiles: Set[String] = Set.empty,
+      /** Deletion-vector attachments this commit publishes: data file →
+        * staged sidecar dirs (already written under [[DvDirName]],
+        * invisible until the delta lands; [[abort]] deletes them). */
+      dvAdds: Map[String, Seq[String]] = Map.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -261,7 +293,8 @@ object Lake {
       val tag = if (rec.rewrites(p)) "AR" else "A"
       (Seq(tag, enc(p)) ++ statsFields(st)).mkString("\t") }
     val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
-    (header +: schema +: (adds ++ removes)).mkString("\n")
+    val dvs = rec.dvAdds.sorted.map { case (f, s) => s"D\t${enc(f)}\t${enc(s)}" }
+    (header +: schema +: (adds ++ removes ++ dvs)).mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -274,6 +307,7 @@ object Lake {
     val added = Seq.newBuilder[(String, Seq[ColStat])]
     val removed = Seq.newBuilder[String]
     val rewrites = Set.newBuilder[String]
+    val dvAdds = Seq.newBuilder[(String, String)]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -284,11 +318,12 @@ object Lake {
           added += ((p, parseStats(f.drop(2))))
           rewrites += p
         case "R" => removed += dec(f(1))
+        case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
-      rewrites.result(), ts)
+      rewrites.result(), ts, dvAdds.result())
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -304,7 +339,10 @@ object Lake {
     val files = st.files.sorted.map { p =>
       (Seq("F", enc(p)) ++ statsFields(st.stats.getOrElse(p, Seq.empty))).mkString("\t") }
     val hist = st.history.sorted.map(p => s"H\t${enc(p)}")
-    (header +: schema +: (files ++ hist)).mkString("\n")
+    val dvs = st.dvs.toSeq.flatMap { case (f, ss) => ss.map(s => (f, s)) }
+      .sorted.map { case (f, s) => s"V\t${enc(f)}\t${enc(s)}" }
+    val dvHist = st.dvHistory.sorted.map(s => s"VH\t${enc(s)}")
+    (header +: schema +: (files ++ hist ++ dvs ++ dvHist)).mkString("\n")
   }
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
@@ -319,6 +357,8 @@ object Lake {
     val files = Seq.newBuilder[String]
     val hist = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, Seq[ColStat]]
+    val dvPairs = Seq.newBuilder[(String, String)]
+    val dvHist = Seq.newBuilder[String]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -329,11 +369,15 @@ object Lake {
           val st = parseStats(f.drop(2))
           if (st.nonEmpty) stats += (p -> st)
         case "H" => hist += dec(f(1))
+        case "V" => dvPairs += ((dec(f(1)), dec(f(2))))
+        case "VH" => dvHist += dec(f(1))
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
     LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted,
-      historyComplete = complete)
+      historyComplete = complete,
+      dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
+      dvHistory = dvHist.result().sorted)
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -448,6 +492,14 @@ object Lake {
 
   private def applyDelta(st: LakeState, d: DeltaRecord): LakeState = {
     val removed = d.removed.toSet
+    // a removed file's DV attachments detach into dvHistory (time travel
+    // below this version still needs the sidecars); new attachments union
+    // onto whatever the file already carries
+    val detached = st.dvs.view.filterKeys(removed).values.flatten.toSeq
+    val keptDvs = st.dvs -- removed
+    val newDvs = d.dvAdds.foldLeft(keptDvs) { case (m, (f, s)) =>
+      m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
+    }
     LakeState(d.version, d.schemaJson,
       (st.files.filterNot(removed) ++ d.added.map(_._1)).sorted,
       (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap,
@@ -456,7 +508,9 @@ object Lake {
       st.history ++ d.removed,
       // a replay from a legacy (v1) checkpoint stays incomplete no matter
       // how many deltas stack on top — the missing history is BELOW it
-      historyComplete = st.historyComplete)
+      historyComplete = st.historyComplete,
+      dvs = newDvs,
+      dvHistory = st.dvHistory ++ detached)
   }
 
   /** Resolve the lake state at `version`: newest checkpoint at or below
@@ -539,20 +593,85 @@ object Lake {
     * list reads as an empty frame with the same schema, so "every row
     * deleted" round-trips. Partition columns keep their recorded types. */
   private[graft] def readFiles(spark: SparkSession, lakeDir: String,
-      schemaJson: String, files: Seq[String]): DataFrame = {
+      schemaJson: String, files: Seq[String],
+      dvs: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val (_, root) = fsRoot(spark, lakeDir)
       val reader = spark.read.option("basePath", root.toString)
-      (if (schema.nonEmpty) reader.schema(schema) else reader)
+      val base = (if (schema.nonEmpty) reader.schema(schema) else reader)
         .parquet(files.map(f => new Path(root, f).toString): _*)
+      applyDvs(spark, root, base, files, dvs)
+    }
+  }
+
+  /** Merge-on-read: drop the `(file, pos)` rows the deletion-vector
+    * sidecars name, as an anti-join on the scan's own
+    * `(_metadata.file_path, _metadata.row_index)` lineage. Rows from
+    * files with no attachment stream through the join probe untouched; a
+    * lake with no DVs at all skips the join entirely (the common fast
+    * path — compaction materializes DVs back into plain files). The
+    * anti-join is left unhinted: a sparse delete's DV set is small and
+    * AQE broadcasts it; a pathological DV set (which should have been a
+    * rewrite) degrades to a shuffled join, still exact. */
+  private def applyDvs(spark: SparkSession, root: Path, base: DataFrame,
+      files: Seq[String], dvs: Map[String, Seq[String]]): DataFrame = {
+    val inRead = files.toSet
+    val relevant = dvs.view.filterKeys(inRead).toMap
+    if (relevant.isEmpty) base
+    else {
+      import spark.implicits._
+      val sidecars = relevant.values.flatten.toSeq.distinct.sorted
+      val dvDf = spark.read.schema(DvSchema)
+        .parquet(sidecars.map(s => new Path(root, s).toString): _*)
+      // driver-built (relative → as-the-scan-renders-it absolute) map for
+      // exactly the DV'd files: bounded by the attachment count, and the
+      // inner join drops sidecar rows for files outside this read
+      val absMap = relevant.keysIterator
+        .map(f => (f, new Path(root, f).toString)).toSeq.toDF("file", "_gf_path")
+      val del = dvDf.join(absMap, "file")
+        .select(col("_gf_path"), col("pos").as("_gf_pos"))
+      base.select(col("*"), col("_metadata.file_path").as("_gf_path"),
+          col("_metadata.row_index").as("_gf_pos"))
+        .join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
+        .drop("_gf_path", "_gf_pos")
+    }
+  }
+
+  /** Read `files` with per-row LINEAGE attached: `_gf_file` (the
+    * lakeDir-relative path) and `_gf_pos` (the row's position in that
+    * file) — the coordinates a deletion vector records. Existing DVs are
+    * applied first, so an already-deleted row can never be re-tombstoned
+    * or re-counted by a later sparse mutation. */
+  private[graft] def readFilesWithLineage(spark: SparkSession, lakeDir: String,
+      schemaJson: String, files: Seq[String],
+      dvs: Map[String, Seq[String]]): DataFrame = {
+    import spark.implicits._
+    require(files.nonEmpty, "lineage read needs a non-empty file list")
+    val (_, root) = fsRoot(spark, lakeDir)
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val reader = spark.read.option("basePath", root.toString)
+    val base = (if (schema.nonEmpty) reader.schema(schema) else reader)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
+      .select(col("*"), col("_metadata.file_path").as("_gf_path"),
+        col("_metadata.row_index").as("_gf_pos"))
+    val relMap = files.map(f => (new Path(root, f).toString, f)).toDF("_gf_path", "_gf_file")
+    val withRel = base.join(broadcast(relMap), "_gf_path").drop("_gf_path")
+    val relevant = dvs.view.filterKeys(files.toSet).toMap
+    if (relevant.isEmpty) withRel
+    else {
+      val sidecars = relevant.values.flatten.toSeq.distinct.sorted
+      val dvDf = spark.read.schema(DvSchema)
+        .parquet(sidecars.map(s => new Path(root, s).toString): _*)
+      withRel.join(dvDf.select(col("file").as("_gf_file"), col("pos").as("_gf_pos")),
+        Seq("_gf_file", "_gf_pos"), "left_anti")
     }
   }
 
   private[graft] def readState(spark: SparkSession, lakeDir: String, st: LakeState): DataFrame =
-    readFiles(spark, lakeDir, st.schemaJson, st.files)
+    readFiles(spark, lakeDir, st.schemaJson, st.files, st.dvs)
 
   /** The lake as its readers see it: resolved through the latest manifest
     * when one exists (staged-but-unpublished files are invisible; vacuum
@@ -571,7 +690,8 @@ object Lake {
   def readVersion(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val st = stateAt(spark, lakeDir, version)
-    val gone = st.files.filterNot(f => fs.exists(new Path(root, f)))
+    val gone = (st.files ++ st.dvs.values.flatten)
+      .filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"lake version $version is no longer reconstructible — " +
@@ -743,22 +863,34 @@ object Lake {
     }
     def parentDir(f: String): String = f.take(f.lastIndexOf('/').max(0))
     val ourRemoved = sc.removedFiles.toSet
-    val readDirs = sc.removedFiles.map(parentDir).toSet
+    val ourDvTargets = sc.dvAdds.keySet
+    // a sparse (DV) mutation reads the partitions of the files it
+    // tombstones into, exactly as a rewrite reads the partitions of the
+    // files it removes — both sets gate the interposed-append check
+    val readDirs = (sc.removedFiles ++ ourDvTargets).map(parentDir).toSet
+    val dvAddSeq = sc.dvAdds.toSeq.flatMap { case (f, ss) => ss.map(s => (f, s)) }.sorted
     var base = sc.base
     var schemaJson = sc.schemaJson
     var rebases = 0
     var committed = false
     while (!committed) {
+      val detached = base.dvs.view.filterKeys(ourRemoved).values.flatten.toSeq
+      val keptDvs = base.dvs -- ourRemoved
+      val postDvs = dvAddSeq.foldLeft(keptDvs) { case (m, (f, s)) =>
+        m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
+      }
       val post = LakeState(base.version + 1, schemaJson,
         (base.files.filterNot(ourRemoved) ++ sc.stagedFiles).sorted,
         (base.stats -- sc.removedFiles) ++ sc.stagedStats,
         base.history ++ sc.removedFiles,
-        historyComplete = base.historyComplete)
+        historyComplete = base.historyComplete,
+        dvs = postDvs,
+        dvHistory = base.dvHistory ++ detached)
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
-            sc.removedFiles, sc.rewriteFiles),
+            sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq),
           Some(post))
         committed = true
       } catch {
@@ -766,22 +898,34 @@ object Lake {
           if (rebases >= maxRebases) throw e
           rebases += 1
           val latest = latestManifest(spark, sc.lakeDir).getOrElse(throw e)
-          // OCC conflict check for removing commits: replay the deltas
-          // that interposed since our base and refuse on genuine overlap
-          if (sc.removedFiles.nonEmpty)
+          // OCC conflict check for removing AND sparse (DV) commits:
+          // replay the deltas that interposed since our base and refuse
+          // on genuine overlap
+          if (sc.removedFiles.nonEmpty || ourDvTargets.nonEmpty)
             ((base.version + 1) to latest.version).foreach { v =>
               val d = deltaAt(spark, sc.lakeDir, v)
-              val removedHit = d.removed.filter(ourRemoved)
+              val removedHit = d.removed.filter(f =>
+                ourRemoved.contains(f) || ourDvTargets.contains(f))
               if (removedHit.nonEmpty)
                 throw new IllegalStateException(
                   s"concurrent commit: interposed ${d.action} v$v removed file(s) this " +
-                    s"${sc.action} also removes (e.g. ${removedHit.take(2).mkString(", ")}) " +
-                    "— its staged base is gone, rebase refused", e)
+                    s"${sc.action} read as its base " +
+                    s"(e.g. ${removedHit.take(2).mkString(", ")}) — its staged base is " +
+                    "gone, rebase refused", e)
+              // an interposed DV on a file our rewrite removes: our
+              // staged survivors embed a pre-image WITHOUT that deletion
+              // — rebasing would resurrect the deleted rows
+              val dvHit = d.dvAdds.map(_._1).filter(ourRemoved)
+              if (dvHit.nonEmpty)
+                throw new IllegalStateException(
+                  s"concurrent commit: interposed ${d.action} v$v attached deletion " +
+                    s"vector(s) to file(s) this ${sc.action} rewrites " +
+                    s"(e.g. ${dvHit.take(2).mkString(", ")}) — rebase refused", e)
               val addedHit = d.added.map(_._1).filter(f => readDirs.contains(parentDir(f)))
               if (addedHit.nonEmpty)
                 throw new IllegalStateException(
                   s"concurrent commit: interposed ${d.action} v$v added file(s) into " +
-                    s"partition(s) this ${sc.action} read and rewrites " +
+                    s"partition(s) this ${sc.action} read " +
                     s"(e.g. ${addedHit.take(2).mkString(", ")}) — rebase refused", e)
             }
           // rebase schema: keep ours when the world didn't move under us;
@@ -800,9 +944,14 @@ object Lake {
   }
 
   /** Roll back a staged-but-unpublished mutation: delete its invisible
-    * staged files. The manifest never moved, so readers are unaffected. */
-  private[graft] def abort(spark: SparkSession, sc: StagedCommit): Unit =
+    * staged files (and staged DV sidecar dirs). The manifest never
+    * moved, so readers are unaffected. */
+  private[graft] def abort(spark: SparkSession, sc: StagedCommit): Unit = {
     deleteFiles(spark, sc.lakeDir, sc.stagedFiles)
+    val (fs, root) = fsRoot(spark, sc.lakeDir)
+    sc.dvAdds.values.flatten.toSeq.distinct.foreach(s =>
+      fs.delete(new Path(root, s), true))
+  }
 
   // ------------------------------------------------------------------
   // Audit read-back with per-file column stats
@@ -957,6 +1106,24 @@ object Lake {
     moved.result().sorted
   }
 
+  /** Stage one deletion-vector sidecar: write the `(file, pos)` rows
+    * under [[DvDirName]]`/<uuid>` — invisible to every reader until the
+    * delta lands ([[abort]] deletes it) — and read them back: the count
+    * is the publish audit's staged side, the distinct files are the
+    * attachment targets for the delta's `D` lines. The distinct-file
+    * collect is bounded by the affected file count, never the row count. */
+  private[graft] def stageDv(spark: SparkSession, lakeDir: String,
+      dvRows: DataFrame): (String, Long, Seq[String]) = {
+    val (_, root) = fsRoot(spark, lakeDir)
+    val rel = s"$DvDirName/${java.util.UUID.randomUUID()}"
+    dvRows.select(col("file").cast(StringType), col("pos").cast(LongType))
+      .write.mode("errorifexists").parquet(new Path(root, rel).toString)
+    val back = spark.read.schema(DvSchema).parquet(new Path(root, rel).toString)
+    val n = back.count()
+    val files = back.select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    (rel, n, files)
+  }
+
   /** Incremental (CDC-style) read: the GENUINELY NEW rows between two
     * committed versions. The delta log's action kinds make this exact
     * where the full-listing diff could not be: only data-adding commits
@@ -1026,8 +1193,10 @@ object Lake {
       case None => Seq.empty
       case Some(latest) =>
         val (fs, root) = fsRoot(spark, lakeDir)
-        val live: Set[String] =
-          if (latest.historyComplete) (latest.files ++ latest.history).toSet
+        val (live, liveDv): (Set[String], Set[String]) =
+          if (latest.historyComplete)
+            ((latest.files ++ latest.history).toSet,
+              (latest.dvs.values.flatten ++ latest.dvHistory).toSet)
           else {
             // the latest state resolved through a LEGACY (v1) checkpoint,
             // whose history section is unknowable — fall back to the full
@@ -1038,22 +1207,45 @@ object Lake {
             // latest-state-only fast path.
             val (deltas, checkpoints) = listLog(fs, root)
             val b = Set.newBuilder[String]
-            deltas.foreach(v => b ++= deltaAt(spark, lakeDir, v).added.map(_._1))
+            val bd = Set.newBuilder[String]
+            deltas.foreach { v =>
+              val d = deltaAt(spark, lakeDir, v)
+              b ++= d.added.map(_._1)
+              bd ++= d.dvAdds.map(_._2)
+            }
             checkpoints.foreach { c =>
               val st = parseCheckpointFile(
                 readLogFile(fs, new Path(logDir(root), checkpointName(c))), c)
               b ++= st.files
               b ++= st.history
+              bd ++= st.dvs.values.flatten
+              bd ++= st.dvHistory
             }
-            b.result()
+            (b.result(), bd.result())
           }
         val cutoff = System.currentTimeMillis() - minAgeMs
         val dead = listDataFiles(spark, lakeDir).filterNot(live).filter { f =>
           minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
         }
         deleteFiles(spark, lakeDir, dead)
-        dead
+        // DV sidecar sweep: children of _graft_dv referenced by no
+        // committed record are crash orphans (a sparse mutation that died
+        // before publish); the same grace period protects a live writer's
+        // staged-but-unpublished sidecar
+        val deadDv = listDvDirs(fs, root).filterNot(liveDv).filter { d =>
+          minAgeMs <= 0 ||
+            fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
+        }
+        deadDv.foreach(d => fs.delete(new Path(root, d), true))
+        dead ++ deadDv
     }
+  }
+
+  /** The lakeDir-relative sidecar dirs currently on disk (one listing). */
+  private def listDvDirs(fs: FileSystem, root: Path): Seq[String] = {
+    val dvRoot = new Path(root, DvDirName)
+    if (!fs.exists(dvRoot)) Seq.empty
+    else fs.listStatus(dvRoot).toSeq.map(s => s"$DvDirName/${s.getPath.getName}").sorted
   }
 
   /** Retention-policy vacuum: keep the newest `keepVersions` versions
@@ -1082,7 +1274,8 @@ object Lake {
   def restore(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val target = stateAt(spark, lakeDir, version)
-    val gone = target.files.filterNot(f => fs.exists(new Path(root, f)))
+    val gone = (target.files ++ target.dvs.values.flatten)
+      .filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore to version $version — ${gone.size} of its file(s) were " +
@@ -1090,12 +1283,23 @@ object Lake {
     val base = currentState(spark, lakeDir)
     if (base.version == version) return readState(spark, lakeDir, base)
     val current = base.files.toSet
-    val reAdded = target.files.filterNot(current)
-    val removed = base.files.filterNot(target.files.toSet)
+    val targetSet = target.files.toSet
+    // a file live in BOTH states whose DV attachments differ (a sparse
+    // delete landed after the target version, or the target itself
+    // carried DVs the current state lost) must be removed-and-re-added in
+    // the SAME delta: the remove drops its current attachments, the
+    // re-add's D lines restore exactly the target's
+    val dvDiff = base.files.filter(targetSet).filter { f =>
+      base.dvs.getOrElse(f, Seq.empty).toSet != target.dvs.getOrElse(f, Seq.empty).toSet
+    }
+    val reAdded = target.files.filterNot(current) ++ dvDiff
+    val removed = base.files.filterNot(targetSet) ++ dvDiff
+    if (removed.isEmpty && reAdded.isEmpty) return readState(spark, lakeDir, base)
     publish(spark, StagedCommit(lakeDir, base, "restore", target.schemaJson,
       removed, reAdded, 0L, 0L,
       stagedStats = target.stats.view.filterKeys(reAdded.contains).toMap,
-      rewriteFiles = reAdded.toSet),
+      rewriteFiles = reAdded.toSet,
+      dvAdds = target.dvs.view.filterKeys(reAdded.contains).toMap),
       vacuumSuperseded = false) // the undone commits stay readable history
     read(spark, lakeDir)
   }
@@ -1163,11 +1367,19 @@ object Lake {
     val oldest = retained.head
     val oldestState = resolve(fs, root, lakeDir, oldest, deltas, checkpoints)
     val live = Set.newBuilder[String]
+    val liveDv = Set.newBuilder[String]
     retained.foreach { v =>
-      live ++= resolve(fs, root, lakeDir, v, deltas, checkpoints).files
-      if (v > oldest) live ++= deltaAt(spark, lakeDir, v).added.map(_._1)
+      val st = resolve(fs, root, lakeDir, v, deltas, checkpoints)
+      live ++= st.files
+      liveDv ++= st.dvs.values.flatten
+      if (v > oldest) {
+        val d = deltaAt(spark, lakeDir, v)
+        live ++= d.added.map(_._1)
+        liveDv ++= d.dvAdds.map(_._2)
+      }
     }
     val liveSet = live.result()
+    val liveDvSet = liveDv.result()
     // the retention cut IS the new history horizon: versions below
     // `oldest` are gone, so the checkpoint's history section shrinks to
     // exactly the still-referenced-but-not-live files — overwriting any
@@ -1179,13 +1391,16 @@ object Lake {
     // migrates a legacy-v1 lake onto the v2 fast path
     writeCheckpoint(fs, root,
       oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted,
-        historyComplete = true),
+        historyComplete = true,
+        dvHistory = (liveDvSet -- oldestState.dvs.values.flatten.toSet).toSeq.sorted),
       overwrite = true)
     val dead = listDataFiles(spark, lakeDir).filterNot(liveSet)
     deleteFiles(spark, lakeDir, dead)
+    val deadDv = listDvDirs(fs, root).filterNot(liveDvSet)
+    deadDv.foreach(d => fs.delete(new Path(root, d), true))
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>
       fs.delete(new Path(logDir(root), checkpointName(c)), false))
-    dead
+    dead ++ deadDv
   }
 }

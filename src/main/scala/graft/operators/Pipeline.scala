@@ -727,7 +727,7 @@ object Pipeline {
         throw new IllegalStateException(
           s"partition-dir rendering mismatch: ${orphanDirs.mkString(", ")} own no " +
             "manifest files although tombstones were found in them — refusing to stage")
-      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed)
+      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
       // pass 2 (affected files only): total rows and tombstone hits at once
       val stats = affectedLake.join(t, col(lakeIdCol) === col("_del"), "left")
         .agg(count(lit(1)).as("_n"), count(col("_del")).as("_hits")).collect()(0)
@@ -814,13 +814,21 @@ object Pipeline {
     targetBytesPerFile.foreach(tb =>
       require(tb >= 1, s"targetBytesPerFile must be >= 1, got $tb"))
     val base = Lake.adopt(spark, lakeDir)
-    // driver-side census: manifest files grouped by partition directory
+    // driver-side census: manifest files grouped by partition directory.
+    // Partitions holding deletion-vector'd files are ALWAYS in scope —
+    // compaction is where merge-on-read tombstones get materialized back
+    // into plain files, regardless of the partition's file count
+    val dvDirs = base.dvs.keys.map(f => f.take(f.lastIndexOf('/').max(0))).toSet
     val affectedDirs = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
-      .filter { case (d, fs) => d.nonEmpty && fs.size > maxFilesPerPartition }
+      .filter { case (d, fs) =>
+        d.nonEmpty && (fs.size > maxFilesPerPartition || dvDirs.contains(d)) }
       .keys.toSeq.sorted
     if (affectedDirs.nonEmpty) {
       val removed = Lake.filesUnder(base.files, affectedDirs)
-      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed)
+      // reading WITH the deletion vectors applied is what MATERIALIZES
+      // them: the compacted replacement files carry only surviving rows,
+      // and the commit's file removals drop the attachments from the state
+      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
       // one aggregate over the affected files: per-partition row counts
       // feed the bin-packing AND sum to the audit expectation
       val countRows = affectedLake.groupBy(partitionCols.map(col): _*)
@@ -1011,7 +1019,7 @@ object Pipeline {
               }
             Lake.pruneByStats(base, bounds)
           }
-        val lakeIds = Lake.readFiles(spark, lakeDir, base.schemaJson, candidateFiles)
+        val lakeIds = Lake.readFiles(spark, lakeDir, base.schemaJson, candidateFiles, base.dvs)
           .select(idCol)
         b.join(bloomProbedIds(spark, b, lakeIds, idCol, Some(bs)), Seq(idCol), "left_anti")
       }).localCheckpoint(true)
@@ -1380,7 +1388,7 @@ object Pipeline {
     val (survStaged, survRows, survStats, survExpected) =
       if (removed.isEmpty) (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]], 0L)
       else {
-        val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed)
+        val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
         val stats = affectedLake.join(u, col(idCol) === col("_mid"), "left")
           .agg(count(lit(1)).as("_n"), count(col("_mid")).as("_hits")).collect()(0)
         val expected = stats.getLong(0) - stats.getLong(1)
@@ -1399,6 +1407,116 @@ object Pipeline {
         survStaged ++ upStaged, survRows + upRows, survExpected + updCount,
         survStats ++ upStats, rewriteFiles = survStaged.toSet),
       vacuumSuperseded = !retainHistory)
+    Lake.read(spark, lakeDir)
+  }
+
+  /** SPARSE (merge-on-read) deletion: commits per-row TOMBSTONES —
+    * deletion-vector sidecars of `(file, pos)` coordinates — instead of
+    * rewriting every survivor of every affected partition. The
+    * write-amplification contrast with [[deleteFromLake]] is the whole
+    * point at 100 TB: a right-to-be-forgotten pass touching 0.1% of rows
+    * spread across every partition writes O(deleted rows) sidecar bytes
+    * here, versus a rewrite of essentially the whole lake there. Reads
+    * apply the vectors as an anti-join on the scan's own row lineage
+    * ([[Lake.readFiles]]); [[compactLake]] materializes them back into
+    * plain files and drops the attachments.
+    *
+    * Same commit discipline as every mutation: stage (the sidecar write,
+    * invisible until publish), audit (sidecar read-back count vs the
+    * matched-row count), publish (one delta carrying `D` attachment
+    * lines; OCC rebase with refusal when an interposed commit removed a
+    * tombstoned file or appended into a tombstoned partition). Candidate
+    * files prune by the manifest's id stats before a single row is read.
+    * Already-deleted rows can never re-tombstone (lineage reads apply
+    * existing vectors first), so the operation is idempotent. */
+  def deleteFromLakeSparse(spark: SparkSession, lakeDir: String, tombstones: DataFrame,
+      tombIdCol: String, lakeIdCol: String = "doc_id"): DataFrame = {
+    val base = Lake.adopt(spark, lakeDir)
+    if (base.files.isEmpty) return Lake.read(spark, lakeDir)
+    val t = broadcast(tombstones.select(col(tombIdCol).as("_del")).distinct())
+    val bounds = tombstones.agg(min(col(tombIdCol)), max(col(tombIdCol))).collect()(0)
+    if (bounds.isNullAt(0)) return Lake.read(spark, lakeDir) // no tombstones
+    val candidates = Lake.pruneByStats(base, lakeIdCol,
+      tombstones.schema(tombIdCol).dataType, bounds.get(0), bounds.get(1))
+    if (candidates.isEmpty) return Lake.read(spark, lakeDir)
+    // one column-pruned pass over the candidates: the tombstoned rows'
+    // (file, pos) coordinates, with existing vectors already applied
+    val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
+      candidates, base.dvs)
+    val matched = lineage.join(t, col(lakeIdCol) === col("_del"), "left_semi")
+    val expected = matched.count()
+    if (expected == 0L) return Lake.read(spark, lakeDir)
+    val (sidecar, stagedRows, files) = Lake.stageDv(spark, lakeDir,
+      matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+    Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "delete", base.schemaJson,
+      Seq.empty, Seq.empty, stagedRows, expected,
+      dvAdds = files.map(f => f -> Seq(sidecar)).toMap))
+    Lake.read(spark, lakeDir)
+  }
+
+  /** SPARSE row-level MERGE: the correction pass of [[mergeIntoLake]]
+    * WITHOUT the survivor rewrite. Matched pre-image rows are tombstoned
+    * by deletion vector (O(matched rows), not O(affected partitions));
+    * the update rows land as genuinely-new `A` files exactly as in the
+    * rewriting merge, so [[Lake.changesBetween]] and the CDC stream
+    * surface exactly the upserts. ONE atomic commit carries both. A 1%
+    * corpus-wide re-score therefore writes ~1% of the lake's bytes
+    * (upserts + sidecar) instead of rewriting every affected partition —
+    * the biggest write-amplification lever the lake has; compaction
+    * later folds the tombstones away in the background. */
+  def mergeIntoLakeSparse(spark: SparkSession, lakeDir: String, updates: DataFrame,
+      idCol: String = "doc_id",
+      partitionCols: Seq[String] = Seq("split", "shard_id")): DataFrame = {
+    val base = Lake.adopt(spark, lakeDir)
+    if (base.files.isEmpty) // first-ever ingest: merge degenerates to append
+      return appendToLake(spark, lakeDir, updates, idCol, partitionCols)
+    val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
+    val updCount = upd.count()
+    if (updCount == 0) return Lake.read(spark, lakeDir)
+    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val lakeTypes = lakeSchema.map(f => f.name -> f.dataType).toMap
+    val uTypes = upd.schema.map(f => f.name -> f.dataType).toMap
+    require(lakeTypes == uTypes,
+      s"mergeIntoLakeSparse: updates schema must equal the lake schema exactly " +
+        s"(updates-only: ${(uTypes.keySet -- lakeTypes.keySet).mkString(", ")}; " +
+        s"lake-only: ${(lakeTypes.keySet -- uTypes.keySet).mkString(", ")}; " +
+        s"retyped: ${lakeTypes.keySet.intersect(uTypes.keySet)
+          .filter(c => lakeTypes(c) != uTypes(c)).mkString(", ")})")
+    val ids0 = upd.select(col(idCol).as("_mid")).distinct()
+    val u =
+      if (estimatedIdSetBytes(upd, idCol, updCount) <= MergeBroadcastMaxBytes)
+        broadcast(ids0)
+      else ids0
+    // tombstone the matched pre-image rows (stats-pruned candidates only)
+    val bounds = upd.agg(min(col(idCol)), max(col(idCol))).collect()(0)
+    val candidates =
+      if (bounds.isNullAt(0)) Seq.empty[String]
+      else Lake.pruneByStats(base, idCol, upd.schema(idCol).dataType,
+        bounds.get(0), bounds.get(1))
+    val (dvAdds, dvRows, matchedExpected) =
+      if (candidates.isEmpty) (Map.empty[String, Seq[String]], 0L, 0L)
+      else {
+        val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
+          candidates, base.dvs)
+        val matched = lineage.join(u, col(idCol) === col("_mid"), "left_semi")
+        val expected = matched.count()
+        if (expected == 0L) (Map.empty[String, Seq[String]], 0L, 0L)
+        else {
+          val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
+            matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+          (files.map(f => f -> Seq(sidecar)).toMap, n, expected)
+        }
+      }
+    // the upserts land as genuinely-new data files (CDC surfaces exactly these)
+    val upStaged = Lake.stageWrite(spark, lakeDir,
+      upd.select(lakeSchema.map(f => col(f.name)): _*), partitionCols)
+    val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
+      upStaged, Seq(idCol))
+    Lake.publish(spark,
+      Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson,
+        Seq.empty, upStaged, dvRows + upRows, matchedExpected + updCount,
+        upStats, dvAdds = dvAdds))
     Lake.read(spark, lakeDir)
   }
 
@@ -1433,6 +1551,52 @@ object Pipeline {
       |  SELECT doc_id, n_chars + 1000 FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
       |  SELECT doc_id + 10000000, n_chars FROM documents WHERE doc_id % 5 = 0)
+      |SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM allrows GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- px113
+  /** The SPARSE merge at its px111 shape — same correction-pass
+    * semantics, radically different write amplification: matched
+    * pre-image rows are tombstoned by deletion vector (no survivor file
+    * is rewritten — [[graft.operators.LakeSpec]] pins `n_removed == 0`
+    * and `n_added == upsert files` via describeHistory), the upserts
+    * land as data files, reads apply the vectors merge-on-read. The
+    * oracle recomputes the post-merge corpus relationally, so a single
+    * hash-match certifies the whole MoR read path: lineage anti-join,
+    * attachment resolution through the manifest, upsert visibility. */
+  private def px113(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px113_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    val updated = sharded.filter(col("doc_id") % 11 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(500L))
+    val inserted = hashSplit(
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(20000000L)), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    mergeIntoLakeSparse(spark, out, updated.unionByName(inserted))
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px113Oracle =
+    """WITH allrows AS (
+      |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, n_chars + 500 FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, n_chars FROM documents WHERE doc_id % 13 = 0)
       |SELECT CASE
       |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
       |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
@@ -1638,5 +1802,6 @@ object Pipeline {
     GraftQuery("px109_lake_cdc_across_compact", px109, Some(px107Oracle)),
     GraftQuery("px110_lake_dsv2_read", px110, Some(px106Oracle)),
     GraftQuery("px111_lake_merge_upsert", px111, Some(px111Oracle)),
-    GraftQuery("px112_lake_restore", px112, Some(px100Oracle)))
+    GraftQuery("px112_lake_restore", px112, Some(px100Oracle)),
+    GraftQuery("px113_lake_merge_sparse", px113, Some(px113Oracle)))
 }

@@ -100,6 +100,17 @@ class LakeSource extends TableProvider with DataSourceRegister {
         resolved
       case None => Lake.currentState(spark, path)
     }
+    // merge-on-read reader capability gate (the Delta Lake discipline:
+    // a reader that cannot apply deletion vectors must refuse, never
+    // silently resurrect deleted rows). The delegated ParquetTable scan
+    // has no DV anti-join, so a DV-bearing version is unreadable here
+    // until compaction materializes the tombstones.
+    if (st.dvs.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-lake: version ${st.version} of $path carries deletion vectors on " +
+          s"${st.dvs.size} file(s), which this format's delegated parquet scan cannot " +
+          "apply — read via Lake.read / Lake.readVersion (merge-on-read), or run " +
+          "compactLake to materialize the tombstones first")
     (path, st)
   }
 

@@ -717,6 +717,141 @@ class LakeSpec extends SparkTestBase {
       "1M kilobyte-wide string ids must fall back to the shuffled join")
   }
 
+  test("sparse delete: tombstones commit without touching a data file; reads, time travel, CDC, compaction stay exact") {
+    val out = freshDir("lake-dv-delete")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    val filesBefore = Lake.latestManifest(spark, out).get.files
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(0L, 7L, 13L).toDF("doc_id"), "doc_id")
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.version == 1L)
+    assert(st.files == filesBefore,
+      "a sparse delete must neither add nor remove a single data file")
+    assert(st.dvs.nonEmpty, "the tombstones must be attached as deletion vectors")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))
+    val h1 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+    assert(h1.getString(2) == "delete" && h1.getInt(3) == 0 && h1.getInt(5) == 0,
+      "the audit trail must show zero file adds/removes for a sparse delete")
+    // time travel below the tombstones sees every row
+    assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet)
+    // adds-CDC surfaces nothing for a delete
+    assert(Lake.changesBetween(spark, out, 0L, 1L).count() == 0)
+    // idempotent: re-deleting already-tombstoned ids matches nothing
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(0L, 7L).toDF("doc_id"), "doc_id")
+    assert(Lake.latestManifest(spark, out).get.version == 1L,
+      "re-deleting already-deleted rows must not commit a new version")
+    // an orphan vacuum never reclaims a referenced sidecar
+    assert(Lake.vacuum(spark, out).isEmpty)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))
+    // the DSv2 surface refuses rather than resurrecting deleted rows
+    val e = intercept[UnsupportedOperationException] {
+      spark.read.format("graft-lake").load(out).count()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // compaction materializes: same rows, attachments dropped, vectors
+    // retained as history for time travel
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 8, retainHistory = true)
+    val st2 = Lake.latestManifest(spark, out).get
+    assert(st2.dvs.isEmpty, "compaction must materialize the tombstones away")
+    assert(st2.dvHistory.nonEmpty, "the retained sidecar must move to dv history")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))
+    assert(ids(Lake.readVersion(spark, out, 1L)) == (0L until 40L).toSet -- Set(0L, 7L, 13L),
+      "time travel to the DV-bearing version must still apply the retained vectors")
+    assert(spark.read.format("graft-lake").load(out).count() == 37,
+      "the DSv2 surface reads normally once tombstones are materialized")
+    // retention to latest-only reclaims the sidecar dir with the history
+    Lake.vacuumKeeping(spark, out, 1)
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    val dvRoot = new org.apache.hadoop.fs.Path(root, Lake.DvDirName)
+    assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty,
+      "a spent retention must reclaim unreferenced sidecar dirs")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))
+  }
+
+  test("sparse merge: upserts land as data files, matched rows tombstone — zero survivor rewrites, CDC exact") {
+    val out = freshDir("lake-dv-merge")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    val survivorFiles = Lake.latestManifest(spark, out).get.files.size
+    val updates = fixture().filter(col("doc_id") % 10 === 0)
+      .withColumn("text", concat(lit("updated "), col("doc_id")))
+      .unionByName(Seq((100L, "new doc", "train", 0))
+        .toDF("doc_id", "text", "split", "shard_id"))
+    Pipeline.mergeIntoLakeSparse(spark, out, updates, "doc_id")
+    val st = Lake.latestManifest(spark, out).get
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) == "merge")
+    assert(h.getInt(5) == 0, "a sparse merge must remove zero survivor files")
+    assert(h.getInt(3) > 0 && h.getInt(3) < survivorFiles,
+      s"the merge's file adds (${h.getInt(3)}) must be the upsert files alone, " +
+        s"far below the $survivorFiles pre-image files")
+    assert(st.dvs.nonEmpty, "matched pre-image rows must be tombstoned")
+    val r = Lake.read(spark, out)
+    assert(r.count() == 41)
+    assert(r.filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+      == "updated 0", "the matched row must read as its update image")
+    assert(r.filter(col("doc_id") === 100L).count() == 1)
+    // incremental consumers get exactly the upserted rows
+    assert(ids(Lake.changesBetween(spark, out, 0L, 1L)) == Set(0L, 10L, 20L, 30L, 100L))
+  }
+
+  test("restore across a sparse delete resets the deletion vectors both ways") {
+    val out = freshDir("lake-dv-restore")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(5L).toDF("doc_id"), "doc_id") // v1
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 5L)
+    Lake.restore(spark, out, 0L) // v2: undo the tombstone
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet,
+      "restoring below the sparse delete must clear its vectors")
+    assert(Lake.latestManifest(spark, out).get.dvs.isEmpty)
+    Lake.restore(spark, out, 1L) // v3: roll forward onto the deleted state
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 5L,
+      "restoring onto the DV-bearing version must re-attach its vectors")
+    assert(Lake.latestManifest(spark, out).get.dvs.nonEmpty)
+  }
+
+  test("OCC: a sparse delete racing an append refuses on a tombstoned partition, lands on a disjoint one") {
+    val out = freshDir("lake-dv-occ")
+    writePlain(fixture(), out)
+    def stageSparse(id: Long): (Lake.LakeState, Long, Map[String, Seq[String]]) = {
+      val base = Lake.adopt(spark, out)
+      val lineage = Lake.readFilesWithLineage(spark, out, base.schemaJson,
+        base.files, base.dvs)
+      val matched = lineage.filter(col("doc_id") === id)
+      val (sidecar, n, files) = Lake.stageDv(spark, out,
+        matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+      (base, n, files.map(f => f -> Seq(sidecar)).toMap)
+    }
+    def appendRow(id: Long, split: String, shard: Int): Unit =
+      Pipeline.appendToLake(spark, out, Seq(id).toDF("id").select(
+        col("id").as("doc_id"), lit("doc").as("text"),
+        lit(split).as("split"), lit(shard).cast("int").as("shard_id")))
+    // doc 1 lives in train/shard_id=1; the interposed append lands in
+    // test/shard_id=0 — disjoint, both must land
+    val (base1, n1, dv1) = stageSparse(1L)
+    appendRow(4100L, "test", 0)
+    Lake.publish(spark, Lake.StagedCommit(out, base1, "delete", base1.schemaJson,
+      Seq.empty, Seq.empty, n1, n1, dvAdds = dv1))
+    assert(ids(Lake.read(spark, out)) == ((0L until 40L).toSet - 1L) + 4100L,
+      "a sparse delete and a disjoint append must BOTH land")
+    // doc 2 lives in train/shard_id=0; an interposed append into exactly
+    // that partition means rows this delete's predicate never saw — refuse
+    val (base2, n2, dv2) = stageSparse(2L)
+    appendRow(4200L, "train", 0)
+    val e = intercept[IllegalStateException] {
+      Lake.publish(spark, Lake.StagedCommit(out, base2, "delete", base2.schemaJson,
+        Seq.empty, Seq.empty, n2, n2, dvAdds = dv2))
+    }
+    assert(e.getMessage.contains("rebase refused"))
+    assert(ids(Lake.read(spark, out)) == ((0L until 40L).toSet - 1L) ++ Set(4100L, 4200L),
+      "the refused delete must leave the lake untouched")
+  }
+
   test("a corrupted per-file stats field fails loudly, never silently degrades pruning") {
     val out = freshDir("lake-badstats")
     val log = java.nio.file.Paths.get(out, Lake.LogDirName)

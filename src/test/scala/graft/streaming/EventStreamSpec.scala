@@ -33,12 +33,16 @@ class EventStreamSpec extends SparkTestBase {
 
   test("windowedCounts over the real events parquet: streaming equals batch") {
     import org.apache.spark.sql.functions._
-    // file-source stream over the driver-generated events table (ts arrives
-    // as nanos long under nanosAsLong; convert exactly as Tables does)
+    // file-source stream over the driver-generated events table (ts is
+    // TIMESTAMP(NANOS) in some generator versions — surfacing as nanos
+    // long under nanosAsLong — and TIMESTAMP(MICROS) in others; handle
+    // both, exactly as Tables does)
     val raw = spark.read.parquet(s"$sf/events.parquet")
     // watermark requires TIMESTAMP (LTZ) — keep LTZ here (session TZ is UTC)
     val toTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos long
+      else df.withColumn("ts", col("ts").cast("timestamp")) // native micros
     val stream = toTs(
       spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf))
@@ -87,7 +91,9 @@ class EventStreamSpec extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val toTs = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // nanos long
+      else df.withColumn("ts", col("ts").cast("timestamp")) // native micros
     val stream = toTs(
       spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet").parquet(sf))
