@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
-import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Manifest-resolved lake storage: the write-audit-publish commit protocol
   * under the px100-px103 lake lifecycle (cf. the transaction-log design of
@@ -77,6 +77,16 @@ object Lake {
     * materializes them back into plain files. */
   val DvDirName = "_graft_dv"
 
+  /** Change-data-feed sidecars live here (`_`-prefixed: hidden from every
+    * data listing and reader). One child directory per row-removing
+    * commit, holding the DELETED pre-image rows in the lake's own layout
+    * (partitioned like the data tree). Written AT COMMIT TIME — the Delta
+    * Lake CDF discipline — so the change feed is a plain parquet read per
+    * version for batch and stream alike: no read-time except-join ever
+    * reconstructs "what was deleted". Insert rows need no sidecar: the
+    * commit's added data files ARE the insert rows. */
+  val CdcDirName = "_graft_cdc"
+
   /** Schema of a DV sidecar's parquet rows. */
   private[graft] val DvSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("file", StringType, nullable = false),
@@ -130,7 +140,11 @@ object Lake {
         * materialized it, or a rewrite superseded it) — still referenced
         * by this version's ancestry for time travel, reclaimed by
         * [[vacuumKeeping]] like file history. */
-      dvHistory: Seq[String] = Seq.empty)
+      dvHistory: Seq[String] = Seq.empty,
+      /** Change-feed sidecar dirs referenced by this version's ancestry
+        * ([[changeFeed]] reads them per in-range version), accumulated
+        * from the deltas' `C` lines and spent only by [[vacuumKeeping]]. */
+      cdc: Seq[String] = Seq.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -142,7 +156,11 @@ object Lake {
       rewrites: Set[String] = Set.empty, timestampMs: Long = 0L,
       /** Deletion-vector attachments this commit adds: (data file,
         * sidecar dir) pairs, rendered as `D` lines. */
-      dvAdds: Seq[(String, String)] = Seq.empty)
+      dvAdds: Seq[(String, String)] = Seq.empty,
+      /** Change-feed sidecars this commit wrote: (sidecar dir, change
+        * type) pairs, rendered as `C` lines. The sidecar's rows ARE the
+        * feed rows of that type for this version. */
+      cdcFiles: Seq[(String, String)] = Seq.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -164,7 +182,11 @@ object Lake {
       /** Deletion-vector attachments this commit publishes: data file →
         * staged sidecar dirs (already written under [[DvDirName]],
         * invisible until the delta lands; [[abort]] deletes them). */
-      dvAdds: Map[String, Seq[String]] = Map.empty)
+      dvAdds: Map[String, Seq[String]] = Map.empty,
+      /** Change-feed sidecars this commit publishes: (dir, change type)
+        * pairs already written under [[CdcDirName]] (invisible until the
+        * delta lands; [[abort]] deletes them). */
+      cdcFiles: Seq[(String, String)] = Seq.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -294,7 +316,8 @@ object Lake {
       (Seq(tag, enc(p)) ++ statsFields(st)).mkString("\t") }
     val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
     val dvs = rec.dvAdds.sorted.map { case (f, s) => s"D\t${enc(f)}\t${enc(s)}" }
-    (header +: schema +: (adds ++ removes ++ dvs)).mkString("\n")
+    val cdc = rec.cdcFiles.sorted.map { case (p, t) => s"C\t${enc(p)}\t${enc(t)}" }
+    (header +: schema +: (adds ++ removes ++ dvs ++ cdc)).mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -308,6 +331,7 @@ object Lake {
     val removed = Seq.newBuilder[String]
     val rewrites = Set.newBuilder[String]
     val dvAdds = Seq.newBuilder[(String, String)]
+    val cdcFiles = Seq.newBuilder[(String, String)]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -319,11 +343,12 @@ object Lake {
           rewrites += p
         case "R" => removed += dec(f(1))
         case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
+        case "C" => cdcFiles += ((dec(f(1)), dec(f(2))))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
-      rewrites.result(), ts, dvAdds.result())
+      rewrites.result(), ts, dvAdds.result(), cdcFiles.result())
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -342,7 +367,8 @@ object Lake {
     val dvs = st.dvs.toSeq.flatMap { case (f, ss) => ss.map(s => (f, s)) }
       .sorted.map { case (f, s) => s"V\t${enc(f)}\t${enc(s)}" }
     val dvHist = st.dvHistory.sorted.map(s => s"VH\t${enc(s)}")
-    (header +: schema +: (files ++ hist ++ dvs ++ dvHist)).mkString("\n")
+    val cdc = st.cdc.sorted.map(p => s"CF\t${enc(p)}")
+    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc)).mkString("\n")
   }
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
@@ -359,6 +385,7 @@ object Lake {
     val stats = Map.newBuilder[String, Seq[ColStat]]
     val dvPairs = Seq.newBuilder[(String, String)]
     val dvHist = Seq.newBuilder[String]
+    val cdc = Seq.newBuilder[String]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -371,13 +398,15 @@ object Lake {
         case "H" => hist += dec(f(1))
         case "V" => dvPairs += ((dec(f(1)), dec(f(2))))
         case "VH" => dvHist += dec(f(1))
+        case "CF" => cdc += dec(f(1))
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
     LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted,
       historyComplete = complete,
       dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
-      dvHistory = dvHist.result().sorted)
+      dvHistory = dvHist.result().sorted,
+      cdc = cdc.result().sorted)
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -510,7 +539,8 @@ object Lake {
       // how many deltas stack on top — the missing history is BELOW it
       historyComplete = st.historyComplete,
       dvs = newDvs,
-      dvHistory = st.dvHistory ++ detached)
+      dvHistory = st.dvHistory ++ detached,
+      cdc = st.cdc ++ d.cdcFiles.map(_._1))
   }
 
   /** Resolve the lake state at `version`: newest checkpoint at or below
@@ -885,12 +915,14 @@ object Lake {
         base.history ++ sc.removedFiles,
         historyComplete = base.historyComplete,
         dvs = postDvs,
-        dvHistory = base.dvHistory ++ detached)
+        dvHistory = base.dvHistory ++ detached,
+        cdc = base.cdc ++ sc.cdcFiles.map(_._1))
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
-            sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq),
+            sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
+            cdcFiles = sc.cdcFiles),
           Some(post))
         committed = true
       } catch {
@@ -949,7 +981,7 @@ object Lake {
   private[graft] def abort(spark: SparkSession, sc: StagedCommit): Unit = {
     deleteFiles(spark, sc.lakeDir, sc.stagedFiles)
     val (fs, root) = fsRoot(spark, sc.lakeDir)
-    sc.dvAdds.values.flatten.toSeq.distinct.foreach(s =>
+    (sc.dvAdds.values.flatten ++ sc.cdcFiles.map(_._1)).toSeq.distinct.foreach(s =>
       fs.delete(new Path(root, s), true))
   }
 
@@ -1106,6 +1138,45 @@ object Lake {
     moved.result().sorted
   }
 
+  /** Partition column names of the lake's layout, parsed from a manifest
+    * file path (the layout is uniform by construction); empty for an
+    * unpartitioned lake. */
+  private[graft] def partitionColsOf(st: LakeState): Seq[String] =
+    st.files.headOption.toSeq.flatMap(_.split('/').dropRight(1).toSeq.map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"not a partition directory segment: $seg")
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(seg.take(eq))
+    })
+
+  /** Stage one change-feed sidecar: write the given pre-image rows under
+    * [[CdcDirName]]`/<uuid>`, partitioned exactly like the data tree so
+    * the streaming source decodes them with the same machinery as data
+    * files (partition values from the path). Invisible to every reader
+    * until the delta lands; [[abort]] deletes it. Extra non-schema
+    * columns (e.g. row lineage) ride along in the footers and are
+    * ignored by every schema-projected reader. Returns the sidecar's
+    * relative path. */
+  private[graft] def stageCdc(spark: SparkSession, lakeDir: String, rows: DataFrame,
+      partitionCols: Seq[String]): String = {
+    val (_, root) = fsRoot(spark, lakeDir)
+    val rel = s"$CdcDirName/${java.util.UUID.randomUUID()}"
+    rows.write.mode("errorifexists").partitionBy(partitionCols: _*)
+      .parquet(new Path(root, rel).toString)
+    rel
+  }
+
+  /** Read change-feed sidecar dirs under the given manifest schema —
+    * each with ITS OWN basePath so its partition directories parse back
+    * into partition columns regardless of the `_graft_cdc/<uuid>` prefix. */
+  private def readCdcSidecars(spark: SparkSession, root: Path, schemaJson: String,
+      dirs: Seq[String]): DataFrame = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    dirs.map { d =>
+      val p = new Path(root, d).toString
+      spark.read.option("basePath", p).schema(schema).parquet(p)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Stage one deletion-vector sidecar: write the `(file, pos)` rows
     * under [[DvDirName]]`/<uuid>` — invisible to every reader until the
     * delta lands ([[abort]] deletes it) — and read them back: the count
@@ -1168,6 +1239,97 @@ object Lake {
     readFiles(spark, lakeDir, to.schemaJson, files)
   }
 
+  /** ROW-LEVEL change feed between two committed versions: every row the
+    * range inserted or deleted, tagged `_change_type` (`'insert'` /
+    * `'delete'`) and `_commit_version` — the Delta Lake CDF surface. An
+    * upsert of an existing key reads as delete (the pre-image) plus
+    * insert (the post-image), so a downstream index/embedding store can
+    * mirror the lake exactly — including right-to-be-forgotten purges,
+    * which adds-only CDC ([[changesBetween]]) structurally cannot convey.
+    *
+    * Cost is O(the range's deltas): insert rows come straight from the
+    * commits' added data files; delete rows come from the change-feed
+    * sidecars the mutations wrote AT COMMIT TIME ([[CdcDirName]]) — no
+    * read-time except-join ever reconstructs a pre-image. Compactions
+    * and survivor rewrites contribute nothing, exactly as in adds-CDC. A
+    * restore contributes its re-added files as inserts and its removed
+    * files as deletes (with the respective versions' deletion vectors
+    * applied), so a consumer that mirrored the undone commits converges
+    * back to the restored state. Requires the range's files and sidecars
+    * retained (the [[changesBetween]] retention rule); deletes committed
+    * by pre-change-feed builds have no sidecars and cannot be
+    * reconstructed — the feed names the versions and refuses. */
+  def changeFeed(spark: SparkSession, lakeDir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val to = stateAt(spark, lakeDir, toVersion)
+    // `firstRetained - 1` is the "from the very beginning" sentinel (the
+    // stream's `earliest`): every retained commit contributes. Any other
+    // fromVersion must itself be resolvable.
+    val firstRetained = listLog(fs, root)._1.headOption.getOrElse(
+      throw new IllegalArgumentException(s"lake $lakeDir has no committed versions"))
+    if (fromVersion != firstRetained - 1)
+      stateAt(spark, lakeDir, fromVersion) // validates resolvability
+    val schema = DataType.fromJson(to.schemaJson).asInstanceOf[StructType]
+    val feedSchema = StructType(schema.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    def tag(df: DataFrame, t: String, v: Long): DataFrame =
+      df.select(schema.map(f => col(f.name)) ++
+        Seq(lit(t).as("_change_type"), lit(v).as("_commit_version")): _*)
+    def mustExist(files: Seq[String], what: String, v: Long): Unit = {
+      val gone = files.filterNot(f => fs.exists(new Path(root, f)))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"changeFeed($fromVersion, $toVersion): ${gone.size} $what of version $v " +
+            s"vacuumed, e.g. ${gone.take(3).mkString(", ")} — retain history on lakes " +
+            "with change-feed consumers")
+    }
+    val frames = Seq.newBuilder[DataFrame]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val d = deltaAt(spark, lakeDir, v)
+      val restore = d.action == "restore"
+      // a delete/merge commit from a build predating the change feed has
+      // no sidecar to reconstruct its pre-image from — refuse, loudly
+      if (!restore && d.cdcFiles.isEmpty &&
+          (d.removed.nonEmpty || d.dvAdds.nonEmpty) && d.action != "compact")
+        throw new IllegalStateException(
+          s"changeFeed($fromVersion, $toVersion): version $v (${d.action}) removed rows " +
+            "but carries no change-feed sidecar (committed by a pre-change-feed build) — " +
+            "its delete pre-image is not reconstructible")
+      val insertFiles =
+        if (restore) d.added.map(_._1)
+        else if (DataAddingActions.contains(d.action)) d.added.map(_._1)
+        else d.added.map(_._1).filterNot(d.rewrites)
+      if (insertFiles.nonEmpty) {
+        mustExist(insertFiles, "data-added file(s)", v)
+        // fresh adds carry no vectors at commit time; a restore's re-adds
+        // carry exactly the attachments its delta re-attached
+        val dvsAtCommit =
+          if (restore) d.dvAdds.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          else Map.empty[String, Seq[String]]
+        frames += tag(
+          readFiles(spark, lakeDir, to.schemaJson, insertFiles, dvsAtCommit), "insert", v)
+      }
+      d.cdcFiles.groupBy(_._2).foreach { case (t, ps) =>
+        mustExist(ps.map(_._1), "change-feed sidecar(s)", v)
+        frames += tag(readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1)), t, v)
+      }
+      if (restore && d.removed.nonEmpty) {
+        mustExist(d.removed, "removed file(s)", v)
+        val pre = stateAt(spark, lakeDir, v - 1)
+        frames += tag(readFiles(spark, lakeDir, to.schemaJson, d.removed,
+          pre.dvs.view.filterKeys(d.removed.toSet).toMap), "delete", v)
+      }
+    }
+    val out = frames.result()
+    if (out.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
+    else out.reduce(_.unionByName(_))
+  }
+
   /** Delete every on-disk data file that NO committed log record
     * references — the crash-orphan reclaim (files staged by a mutation
     * that died before publish). History deliberately retained via
@@ -1193,10 +1355,10 @@ object Lake {
       case None => Seq.empty
       case Some(latest) =>
         val (fs, root) = fsRoot(spark, lakeDir)
-        val (live, liveDv): (Set[String], Set[String]) =
+        val (live, liveSidecar): (Set[String], Set[String]) =
           if (latest.historyComplete)
             ((latest.files ++ latest.history).toSet,
-              (latest.dvs.values.flatten ++ latest.dvHistory).toSet)
+              (latest.dvs.values.flatten ++ latest.dvHistory ++ latest.cdc).toSet)
           else {
             // the latest state resolved through a LEGACY (v1) checkpoint,
             // whose history section is unknowable — fall back to the full
@@ -1212,6 +1374,7 @@ object Lake {
               val d = deltaAt(spark, lakeDir, v)
               b ++= d.added.map(_._1)
               bd ++= d.dvAdds.map(_._2)
+              bd ++= d.cdcFiles.map(_._1)
             }
             checkpoints.foreach { c =>
               val st = parseCheckpointFile(
@@ -1220,6 +1383,7 @@ object Lake {
               b ++= st.history
               bd ++= st.dvs.values.flatten
               bd ++= st.dvHistory
+              bd ++= st.cdc
             }
             (b.result(), bd.result())
           }
@@ -1228,25 +1392,26 @@ object Lake {
           minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
         }
         deleteFiles(spark, lakeDir, dead)
-        // DV sidecar sweep: children of _graft_dv referenced by no
-        // committed record are crash orphans (a sparse mutation that died
-        // before publish); the same grace period protects a live writer's
-        // staged-but-unpublished sidecar
-        val deadDv = listDvDirs(fs, root).filterNot(liveDv).filter { d =>
+        // sidecar sweep (DV + CDC): children of _graft_dv/_graft_cdc
+        // referenced by no committed record are crash orphans (a sparse
+        // mutation that died before publish); the same grace period
+        // protects a live writer's staged-but-unpublished sidecar
+        val deadSidecar = listSidecarDirs(fs, root).filterNot(liveSidecar).filter { d =>
           minAgeMs <= 0 ||
             fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
         }
-        deadDv.foreach(d => fs.delete(new Path(root, d), true))
-        dead ++ deadDv
+        deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
+        dead ++ deadSidecar
     }
   }
 
-  /** The lakeDir-relative sidecar dirs currently on disk (one listing). */
-  private def listDvDirs(fs: FileSystem, root: Path): Seq[String] = {
-    val dvRoot = new Path(root, DvDirName)
-    if (!fs.exists(dvRoot)) Seq.empty
-    else fs.listStatus(dvRoot).toSeq.map(s => s"$DvDirName/${s.getPath.getName}").sorted
-  }
+  /** The lakeDir-relative DV and CDC sidecar dirs on disk (two listings). */
+  private def listSidecarDirs(fs: FileSystem, root: Path): Seq[String] =
+    Seq(DvDirName, CdcDirName).flatMap { dn =>
+      val r = new Path(root, dn)
+      if (!fs.exists(r)) Seq.empty
+      else fs.listStatus(r).toSeq.map(s => s"$dn/${s.getPath.getName}")
+    }.sorted
 
   /** Retention-policy vacuum: keep the newest `keepVersions` versions
     * fully readable ([[readVersion]] / [[changesBetween]]), reclaim
@@ -1368,6 +1533,7 @@ object Lake {
     val oldestState = resolve(fs, root, lakeDir, oldest, deltas, checkpoints)
     val live = Set.newBuilder[String]
     val liveDv = Set.newBuilder[String]
+    val liveCdc = Set.newBuilder[String]
     retained.foreach { v =>
       val st = resolve(fs, root, lakeDir, v, deltas, checkpoints)
       live ++= st.files
@@ -1376,10 +1542,12 @@ object Lake {
         val d = deltaAt(spark, lakeDir, v)
         live ++= d.added.map(_._1)
         liveDv ++= d.dvAdds.map(_._2)
+        liveCdc ++= d.cdcFiles.map(_._1)
       }
     }
     val liveSet = live.result()
     val liveDvSet = liveDv.result()
+    val liveCdcSet = liveCdc.result()
     // the retention cut IS the new history horizon: versions below
     // `oldest` are gone, so the checkpoint's history section shrinks to
     // exactly the still-referenced-but-not-live files — overwriting any
@@ -1392,15 +1560,20 @@ object Lake {
     writeCheckpoint(fs, root,
       oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted,
         historyComplete = true,
-        dvHistory = (liveDvSet -- oldestState.dvs.values.flatten.toSet).toSeq.sorted),
+        dvHistory = (liveDvSet -- oldestState.dvs.values.flatten.toSet).toSeq.sorted,
+        // the retention cut restarts the change feed's horizon: only the
+        // sidecars of retained versions ABOVE the new oldest stay
+        // readable (changeFeed refuses ranges below it anyway)
+        cdc = liveCdcSet.toSeq.sorted),
       overwrite = true)
     val dead = listDataFiles(spark, lakeDir).filterNot(liveSet)
     deleteFiles(spark, lakeDir, dead)
-    val deadDv = listDvDirs(fs, root).filterNot(liveDvSet)
-    deadDv.foreach(d => fs.delete(new Path(root, d), true))
+    val deadSidecar = listSidecarDirs(fs, root)
+      .filterNot(d => liveDvSet.contains(d) || liveCdcSet.contains(d))
+    deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>
       fs.delete(new Path(logDir(root), checkpointName(c)), false))
-    dead ++ deadDv
+    dead ++ deadSidecar
   }
 }

@@ -738,8 +738,13 @@ object Pipeline {
       // files keep id-range stats so append pruning survives deletes
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
         base.schemaJson, staged, Seq(lakeIdCol))
+      // the deleted pre-image rows, written at commit time — what the
+      // row-level change feed serves as this version's 'delete' rows
+      val cdcPath = Lake.stageCdc(spark, lakeDir,
+        affectedLake.join(t, col(lakeIdCol) === col("_del"), "left_semi"), partitionCols)
       Some(Lake.StagedCommit(lakeDir, base, "delete", base.schemaJson, removed, staged,
-        stagedRows, expected, stagedStats, rewriteFiles = staged.toSet))
+        stagedRows, expected, stagedStats, rewriteFiles = staged.toSet,
+        cdcFiles = Seq((cdcPath, "delete"))))
     }
   }
 
@@ -1384,9 +1389,13 @@ object Pipeline {
       throw new IllegalStateException(
         s"partition-dir rendering mismatch: ${orphanDirs.mkString(", ")} own no " +
           "manifest files although matches were found in them — refusing to stage")
-    // stage A: survivors of the affected partitions (pre-image rewrites)
-    val (survStaged, survRows, survStats, survExpected) =
-      if (removed.isEmpty) (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]], 0L)
+    // stage A: survivors of the affected partitions (pre-image rewrites);
+    // the REPLACED rows are written as a change-feed sidecar — the feed's
+    // 'delete' half of the upsert (its 'insert' half is stage B's files)
+    val (survStaged, survRows, survStats, survExpected, cdcFiles) =
+      if (removed.isEmpty)
+        (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]], 0L,
+          Seq.empty[(String, String)])
       else {
         val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
         val stats = affectedLake.join(u, col(idCol) === col("_mid"), "left")
@@ -1395,7 +1404,9 @@ object Pipeline {
         val survivors = affectedLake.join(u, col(idCol) === col("_mid"), "left_anti")
         val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols)
         val (rows, st) = Lake.auditStaged(spark, lakeDir, base.schemaJson, staged, Seq(idCol))
-        (staged, rows, st, expected)
+        val cdcPath = Lake.stageCdc(spark, lakeDir,
+          affectedLake.join(u, col(idCol) === col("_mid"), "left_semi"), partitionCols)
+        (staged, rows, st, expected, Seq((cdcPath, "delete")))
       }
     // stage B: the upserts themselves (genuinely new data for CDC)
     val upStaged = Lake.stageWrite(spark, lakeDir,
@@ -1405,7 +1416,7 @@ object Pipeline {
     Lake.publish(spark,
       Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson, removed,
         survStaged ++ upStaged, survRows + upRows, survExpected + updCount,
-        survStats ++ upStats, rewriteFiles = survStaged.toSet),
+        survStats ++ upStats, rewriteFiles = survStaged.toSet, cdcFiles = cdcFiles),
       vacuumSuperseded = !retainHistory)
     Lake.read(spark, lakeDir)
   }
@@ -1446,11 +1457,23 @@ object Pipeline {
     val matched = lineage.join(t, col(lakeIdCol) === col("_del"), "left_semi")
     val expected = matched.count()
     if (expected == 0L) return Lake.read(spark, lakeDir)
+    // ONE pass over the matched rows writes the change-feed sidecar (the
+    // deleted pre-image, row lineage riding along as extra columns); the
+    // deletion vector then derives from the SIDECAR's read-back — the
+    // lake is never scanned a second time
+    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.partitionColsOf(base))
+    val root = {
+      val pp = new org.apache.hadoop.fs.Path(lakeDir)
+      pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+    }
+    val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+    val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
     val (sidecar, stagedRows, files) = Lake.stageDv(spark, lakeDir,
-      matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+      back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
     Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "delete", base.schemaJson,
       Seq.empty, Seq.empty, stagedRows, expected,
-      dvAdds = files.map(f => f -> Seq(sidecar)).toMap))
+      dvAdds = files.map(f => f -> Seq(sidecar)).toMap,
+      cdcFiles = Seq((cdcPath, "delete"))))
     Lake.read(spark, lakeDir)
   }
 
@@ -1494,18 +1517,30 @@ object Pipeline {
       if (bounds.isNullAt(0)) Seq.empty[String]
       else Lake.pruneByStats(base, idCol, upd.schema(idCol).dataType,
         bounds.get(0), bounds.get(1))
-    val (dvAdds, dvRows, matchedExpected) =
-      if (candidates.isEmpty) (Map.empty[String, Seq[String]], 0L, 0L)
+    val (dvAdds, dvRows, matchedExpected, cdcFiles) =
+      if (candidates.isEmpty)
+        (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)])
       else {
         val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
           candidates, base.dvs)
         val matched = lineage.join(u, col(idCol) === col("_mid"), "left_semi")
         val expected = matched.count()
-        if (expected == 0L) (Map.empty[String, Seq[String]], 0L, 0L)
+        if (expected == 0L)
+          (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)])
         else {
+          // change-feed sidecar first (one lake pass); the deletion
+          // vector derives from the sidecar's own read-back
+          val cdcPath = Lake.stageCdc(spark, lakeDir, matched, partitionCols)
+          val root = {
+            val pp = new org.apache.hadoop.fs.Path(lakeDir)
+            pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+          }
+          val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+          val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
           val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
-            matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
-          (files.map(f => f -> Seq(sidecar)).toMap, n, expected)
+            back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+          (files.map(f => f -> Seq(sidecar)).toMap, n, expected,
+            Seq((cdcPath, "delete")))
         }
       }
     // the upserts land as genuinely-new data files (CDC surfaces exactly these)
@@ -1516,7 +1551,7 @@ object Pipeline {
     Lake.publish(spark,
       Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson,
         Seq.empty, upStaged, dvRows + upRows, matchedExpected + updCount,
-        upStats, dvAdds = dvAdds))
+        upStats, dvAdds = dvAdds, cdcFiles = cdcFiles))
     Lake.read(spark, lakeDir)
   }
 
@@ -1605,6 +1640,52 @@ object Pipeline {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM allrows GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- px114
+  /** The ROW-LEVEL change feed, oracled end-to-end: seed the corpus
+    * (v1), sparsely delete the `% 17` docs (v2 — a deletion-vector
+    * commit whose change-feed sidecar carries the purged pre-image),
+    * append a re-keyed `% 19` batch (v3), then serve
+    * [[Lake.changeFeed]](1, 3): the deletes of v2 with their ORIGINAL
+    * partition values plus the inserts of v3, each tagged
+    * `_change_type`. The oracle recomputes both halves relationally —
+    * this is the right-to-be-forgotten contract: a downstream
+    * index/embedding store replaying the feed drops exactly the purged
+    * rows and gains exactly the appended ones. */
+  private def px114(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px114_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id")) // v1
+    deleteFromLakeSparse(spark, out,
+      docs.filter(col("doc_id") % 17 === 0).select("doc_id"), "doc_id")                 // v2
+    appendToLake(spark, out, hashSplit(
+      docs.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(30000000L)), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int")))                         // v3
+    Lake.changeFeed(spark, out, 1L, 3L)
+      .groupBy("_change_type", "split")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("_change_type"), col("split"), col("n_rows"), col("sum_chars"))
+      .orderBy("_change_type", "split")
+  }
+
+  private val px114Oracle =
+    """WITH changes AS (
+      |  SELECT 'delete' AS _change_type, doc_id, n_chars
+      |  FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT 'insert', doc_id + 30000000, n_chars
+      |  FROM documents WHERE doc_id % 19 = 0)
+      |SELECT _change_type,
+      |  CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM changes GROUP BY 1, 2 ORDER BY _change_type, split""".stripMargin
 
   // ---------------------------------------------------------------- px110
   /** The lake behind a format string — [[graft.sources.lake.LakeSource]]
@@ -1803,5 +1884,6 @@ object Pipeline {
     GraftQuery("px110_lake_dsv2_read", px110, Some(px106Oracle)),
     GraftQuery("px111_lake_merge_upsert", px111, Some(px111Oracle)),
     GraftQuery("px112_lake_restore", px112, Some(px100Oracle)),
-    GraftQuery("px113_lake_merge_sparse", px113, Some(px113Oracle)))
+    GraftQuery("px113_lake_merge_sparse", px113, Some(px113Oracle)),
+    GraftQuery("px114_lake_change_feed", px114, Some(px114Oracle)))
 }

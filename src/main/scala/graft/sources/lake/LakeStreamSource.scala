@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFil
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
@@ -27,7 +27,9 @@ import graft.operators.Lake
   *   spark.readStream.format("graft-lake-cdc")
   *     .option("startingVersion", "earliest")   // or a version, or absent = tail new commits
   *     .option("maxVersionsPerTrigger", "10")   // bound catch-up micro-batches (backpressure)
+  *     .option("maxBytesPerTrigger", "134217728") // byte-bounded catch-up batches
   *     .option("columns", "doc_id,text")        // decode-level projection for wide rows
+  *     .option("readChangeFeed", "true")        // ROW-LEVEL feed: + _change_type, _commit_version
   *     .load(lakeDir)
   * }}}
   *
@@ -43,22 +45,45 @@ import graft.operators.Lake
   * embedder/tokenizer/trainer consume exactly the new rows OUT of it,
   * paying per delta, never per corpus.
   *
+  * With `readChangeFeed=true` the stream is the ROW-LEVEL feed
+  * ([[Lake.changeFeed]]'s semantics): every batch's rows carry
+  * `_change_type` (`'insert'` from the commits' added data files,
+  * `'delete'` from the change-feed sidecars the mutations wrote at
+  * commit time) and `_commit_version`. A downstream index mirrors the
+  * lake exactly — deletes included, which the adds-only default
+  * structurally cannot convey. Both extra columns are attached as
+  * PARTITION columns of the scan (constant per file), so the vectorized
+  * parquet decode is identical to the default mode's.
+  *
   * Scale shape: `latestOffset` is one log-directory listing;
   * `planInputPartitions` reads only the in-range delta records and stats
-  * the files they name (O(delta), never O(lake)); each file becomes one
-  * input partition read by Spark's own vectorized parquet reader
-  * (partition-directory values re-attached from the path, typed by the
-  * manifest schema).
+  * the files they name (O(delta), never O(lake)); planned files are
+  * BIN-PACKED into `FilePartition`s by `maxPartitionBytes` (Spark's own
+  * file-source packing), so a catch-up batch over a version that added
+  * 10k small files schedules ~bytes/maxPartitionBytes tasks, not 10k.
+  * `maxVersionsPerTrigger` bounds versions per batch;
+  * `maxBytesPerTrigger` bounds bytes (whichever bites first — at least
+  * one version always admits so the stream progresses).
   *
-  * Caveats (documented contract): the schema is FIXED at stream start
-  * (restart the stream to pick up an evolved schema — files written
-  * before an evolution read the new columns as null); lakes with exact
-  * streaming consumers must retain history across maintenance passes
-  * (`retainHistory` / `compactRetainHistory`, the [[Lake.changesBetween]]
-  * rule — a vacuumed in-range file fails the batch loudly rather than
+  * Schema evolution is LOUD: the decode schema is fixed at stream start,
+  * and a batch whose range contains a commit that evolved the manifest
+  * beyond it (new columns / retypes) fails naming the version and asking
+  * for a restart — never silently decoding new files under the old
+  * column set. In-range commits with OLDER (narrower) schemas decode
+  * fine (absent columns read as null), so catch-up from `earliest`
+  * across historical evolutions still works.
+  *
+  * Caveats (documented contract): lakes with exact streaming consumers
+  * must retain history across maintenance passes (`retainHistory` /
+  * `compactRetainHistory`, the [[Lake.changesBetween]] rule — a
+  * vacuumed in-range file fails the batch loudly rather than
   * double-processing); partition columns are discovered from the current
   * manifest's file paths (pass `option("partitionColumns", "a,b")` for a
-  * lake that is still empty at stream start). */
+  * lake that is still empty at stream start); a restore in a
+  * `readChangeFeed` range streams its removed files as deletes and its
+  * re-added files as inserts, refusing loudly when deletion vectors are
+  * involved (the per-file decode cannot apply them — consume that range
+  * with the batch [[Lake.changeFeed]] instead). */
 class LakeStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake-cdc"
 
@@ -81,9 +106,18 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
 }
 
 object LakeStreamSource {
-  /** (dataCols ++ partitionCols schema, partition column names in path
-    * order). The row layout the parquet reader factory produces is
-    * readDataSchema ++ partitionSchema, so the table schema mirrors it. */
+  /** The row-level feed's synthetic columns, attached per planned file as
+    * partition-column constants. */
+  private[lake] val ChangeTypeCol = "_change_type"
+  private[lake] val CommitVersionCol = "_commit_version"
+
+  private[lake] def cdcMode(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("readChangeFeed", false)
+
+  /** (dataCols ++ partitionCols [++ synthetic feed cols] schema, partition
+    * column names in path order). The row layout the parquet reader
+    * factory produces is readDataSchema ++ partitionSchema, so the table
+    * schema mirrors it. */
   private[lake] def tableSchema(spark: SparkSession, lakeDir: String,
       options: CaseInsensitiveStringMap): (StructType, Seq[String]) = {
     val st = Lake.currentState(spark, lakeDir)
@@ -105,7 +139,12 @@ object LakeStreamSource {
       s"partition column(s) ${missing.mkString(", ")} not in the manifest schema")
     val dataFields = manifest.fields.filterNot(f => partCols.contains(f.name))
     val partFields = partCols.map(c => manifest(manifest.fieldIndex(c)))
-    val full = StructType(dataFields ++ partFields)
+    val synthFields =
+      if (cdcMode(options))
+        Seq(StructField(ChangeTypeCol, StringType, nullable = false),
+          StructField(CommitVersionCol, LongType, nullable = false))
+      else Seq.empty
+    val full = StructType(dataFields ++ partFields ++ synthFields)
     // explicit projection: the streaming engine does not push column
     // pruning into micro-batch scans, so `option("columns", "a,b")` is
     // the deterministic way to keep a tail from decoding a wide corpus
@@ -163,15 +202,25 @@ private[lake] case class LakeVersionOffset(version: Long) extends Offset {
 private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType,
     partCols: Seq[String], options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
+  import LakeStreamSource.{ChangeTypeCol, CommitVersionCol}
 
   private val spark = SparkSession.active
+  private val cdcMode = LakeStreamSource.cdcMode(options)
+  private val synthCols = if (cdcMode) Seq(ChangeTypeCol, CommitVersionCol) else Seq.empty
   // fullSchema here is the (possibly column-pruned) READ schema; partCols
   // is always the lake's complete partition layout, needed to parse every
-  // directory level of a file path even when only some survive pruning
-  private val partSchema = StructType(fullSchema.filter(f => partCols.contains(f.name)))
-  private val dataSchema = StructType(fullSchema.filterNot(f => partCols.contains(f.name)))
-  private val keptPartIdx: Seq[Int] = partSchema.fields.map(f => partCols.indexOf(f.name)).toSeq
+  // directory level of a file path even when only some survive pruning.
+  // The synthetic feed columns are partition-schema members too: their
+  // values are per-file constants attached at planning time.
+  private val partSchema = StructType(fullSchema.filter(f =>
+    partCols.contains(f.name) || synthCols.contains(f.name)))
+  private val dataSchema = StructType(fullSchema.filterNot(f =>
+    partCols.contains(f.name) || synthCols.contains(f.name)))
   private val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+  // the decode schema is FIXED at stream start; [[assertNoEvolution]]
+  // fails any batch whose range evolved the manifest beyond it
+  private val startSchema: StructType =
+    DataType.fromJson(Lake.currentState(spark, lakeDir).schemaJson).asInstanceOf[StructType]
 
   private def retainedVersions(): Seq[Long] = {
     val root = new Path(lakeDir)
@@ -202,70 +251,170 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   override def latestOffset(): Offset =
     LakeVersionOffset(retainedVersions().lastOption.getOrElse(-1L))
 
-  /** Trigger sizing — the production backpressure knob: with
-    * `option("maxVersionsPerTrigger", n)` a restart against a long
-    * backlog catches up in bounded micro-batches instead of one giant
-    * batch reading the whole backlog's files. */
+  /** Trigger sizing — the production backpressure knobs: with
+    * `maxVersionsPerTrigger` / `maxBytesPerTrigger` a restart against a
+    * long backlog catches up in bounded micro-batches instead of one
+    * giant batch reading the whole backlog's files. The byte bound stats
+    * each candidate version's planned files (O(delta) RPCs) and always
+    * admits at least one version so the stream progresses. */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val latest = retainedVersions().lastOption.getOrElse(-1L)
-    Option(options.get("maxVersionsPerTrigger")).flatMap(_.toLongOption) match {
-      case Some(n) if n > 0 =>
-        val s = startOffset.asInstanceOf[LakeVersionOffset].version
-        LakeVersionOffset(math.min(latest, s + n))
-      case _ => LakeVersionOffset(latest)
+    val s = startOffset.asInstanceOf[LakeVersionOffset].version
+    val byVersions = Option(options.get("maxVersionsPerTrigger"))
+      .flatMap(_.toLongOption).filter(_ > 0) match {
+      case Some(n) => math.min(latest, s + n)
+      case None => latest
     }
+    val bounded = Option(options.get("maxBytesPerTrigger"))
+      .flatMap(_.toLongOption).filter(_ > 0) match {
+      case None => byVersions
+      case Some(maxBytes) =>
+        val root = new Path(lakeDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val qroot = fs.makeQualified(root)
+        var end = s
+        var bytes = 0L
+        var stop = false
+        while (!stop && end < byVersions) {
+          val vBytes = plannedFiles(end, end + 1).map { pf =>
+            val p = new Path(qroot, pf.relPath)
+            if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+          }.sum
+          if (bytes + vBytes > maxBytes && end > s) stop = true // at least one version admits
+          else { bytes += vBytes; end += 1 }
+        }
+        end
+    }
+    LakeVersionOffset(bounded)
   }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset = LakeVersionOffset(json.toLong)
 
+  /** One planned file: its lakeDir-relative path, how many leading path
+    * segments to skip before the partition directories begin (change-feed
+    * sidecars live under `_graft_cdc/<uuid>/`), and the synthetic feed
+    * constants when in `readChangeFeed` mode. */
+  private case class PlannedFile(relPath: String, strip: Int,
+      changeType: String, version: Long)
+
   /** Typed partition values parsed back from a file's directory path —
     * the inverse of [[Lake.partitionDir]]'s rendering, cast through the
-    * same Catalyst device so types round-trip. */
-  private def partitionValues(relPath: String): InternalRow = {
-    val segs = relPath.split('/').dropRight(1)
+    * same Catalyst device so types round-trip — plus the synthetic feed
+    * constants for the fields that ask for them. */
+  private def partitionValues(pf: PlannedFile): InternalRow = {
+    val segs = pf.relPath.split('/').drop(pf.strip).dropRight(1)
     require(segs.length == partCols.length,
-      s"file $relPath does not match the ${partCols.length}-level partition layout")
-    val values = keptPartIdx.zip(partSchema.fields).map { case (i, field) =>
-      val seg = segs(i)
-      val eq = seg.indexOf('=')
-      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(seg.drop(eq + 1))
-      if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-        null
-      else
-        Cast(Literal(UTF8String.fromString(raw), StringType), field.dataType, tz).eval(null)
+      s"file ${pf.relPath} does not match the ${partCols.length}-level partition layout")
+    val values = partSchema.fields.map { field =>
+      field.name match {
+        case ChangeTypeCol => UTF8String.fromString(pf.changeType)
+        case CommitVersionCol => pf.version
+        case name =>
+          val seg = segs(partCols.indexOf(name))
+          val eq = seg.indexOf('=')
+          val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.drop(eq + 1))
+          if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            null
+          else
+            Cast(Literal(UTF8String.fromString(raw), StringType), field.dataType, tz).eval(null)
+      }
     }
     new GenericInternalRow(values.toArray[Any])
+  }
+
+  /** The decode schema is fixed at stream start: an in-range commit whose
+    * schema does NOT project into it (new columns, retypes) would decode
+    * its files with those columns silently invisible — fail the batch
+    * loudly instead, naming the version. Narrower historical schemas
+    * project fine (absent columns read as null) and pass. */
+  private def assertNoEvolution(v: Long, schemaJson: String): Unit = {
+    if (schemaJson.isEmpty) return
+    val theirs = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val known = startSchema.map(f => f.name -> f.dataType).toMap
+    val beyond = theirs.filterNot(f => known.get(f.name).contains(f.dataType))
+    if (beyond.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-lake-cdc: version $v evolved the lake schema beyond this stream's " +
+          s"start-time schema (new/retyped: ${beyond.map(_.name).mkString(", ")}) — " +
+          "restart the stream to pick up the evolved schema; decoding would silently " +
+          "drop the new columns")
+  }
+
+  /** The files versions `(s, e]` contribute, with their feed tags. */
+  private def plannedFiles(s: Long, e: Long): Seq[PlannedFile] = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qroot = fs.makeQualified(root)
+    val out = Seq.newBuilder[PlannedFile]
+    ((s + 1) to e).foreach { v =>
+      val d = Lake.deltaAt(spark, lakeDir, v)
+      assertNoEvolution(v, d.schemaJson)
+      val restore = d.action == "restore"
+      val insertFiles =
+        if (restore && cdcMode) d.added.map(_._1)
+        else if (Lake.DataAddingActions.contains(d.action)) d.added.map(_._1)
+        else d.added.map(_._1).filterNot(d.rewrites)
+      insertFiles.foreach(f => out += PlannedFile(f, 0, "insert", v))
+      if (cdcMode) {
+        // the mutations' commit-time sidecars ARE the delete rows; a
+        // restore's removed files stream as deletes wholesale
+        d.cdcFiles.foreach { case (dir, tpe) =>
+          val dirPath = new Path(qroot, dir)
+          if (!fs.exists(dirPath))
+            throw new IllegalStateException(
+              s"graft-lake-cdc: change-feed sidecar $dir of version $v was vacuumed — " +
+                "retain history on lakes with streaming feed consumers")
+          val it = fs.listFiles(dirPath, true)
+          val strip = dir.count(_ == '/') + 1
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet"))
+              out += PlannedFile(Lake.relativize(qroot, fs.makeQualified(f)), strip, tpe, v)
+          }
+        }
+        if (restore && d.removed.nonEmpty) {
+          if (d.dvAdds.nonEmpty)
+            throw new IllegalStateException(
+              s"graft-lake-cdc: version $v is a restore involving deletion vectors, " +
+                "which this stream's per-file decode cannot apply — consume this range " +
+                "with the batch Lake.changeFeed instead")
+          d.removed.foreach(f => out += PlannedFile(f, 0, "delete", v))
+        }
+      }
+    }
+    out.result()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LakeVersionOffset].version
     val e = end.asInstanceOf[LakeVersionOffset].version
     if (e <= s) return Array.empty
-    val added = Seq.newBuilder[String]
-    ((s + 1) to e).foreach { v =>
-      val d = Lake.deltaAt(spark, lakeDir, v)
-      if (Lake.DataAddingActions.contains(d.action)) added ++= d.added.map(_._1)
-      else added ++= d.added.map(_._1).filterNot(d.rewrites)
-    }
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)
-    added.result().distinct.sorted.zipWithIndex.map { case (rel, i) =>
-      val p = new Path(qroot, rel)
+    val planned = plannedFiles(s, e).distinct
+    val files = planned.map { pf =>
+      val p = new Path(qroot, pf.relPath)
       if (!fs.exists(p))
         throw new IllegalStateException(
-          s"graft-lake-cdc: data-added file $rel of versions ($s, $e] was rewritten and " +
-            "vacuumed — retain history (retainHistory / compactRetainHistory / deferred " +
-            "vacuumKeeping) on lakes with streaming consumers")
+          s"graft-lake-cdc: data-added file ${pf.relPath} of versions ($s, $e] was " +
+            "rewritten and vacuumed — retain history (retainHistory / " +
+            "compactRetainHistory / deferred vacuumKeeping) on lakes with streaming " +
+            "consumers")
       val fst = fs.getFileStatus(p)
-      FilePartition(i, Array(PartitionedFile(
-        partitionValues(rel),
+      PartitionedFile(
+        partitionValues(pf),
         org.apache.spark.paths.SparkPath.fromPath(fst.getPath),
-        0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)))
-    }.toArray
+        0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)
+    }
+    // bin-pack into FilePartitions exactly as Spark's own file sources
+    // do: a catch-up batch over a version that added 10k small files
+    // schedules ~totalBytes/maxPartitionBytes tasks, never 10k
+    FilePartition.getFilePartitions(spark, files,
+      spark.sessionState.conf.filesMaxPartitionBytes).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -310,5 +459,6 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   /** Shown as the source description in streaming progress — names the
     * lake and the (possibly pruned) columns this stream decodes. */
   override def toString: String =
-    s"graft-lake-cdc $lakeDir columns=${fullSchema.fieldNames.mkString(",")}"
+    s"graft-lake-cdc $lakeDir${if (cdcMode) " [change feed]" else ""} " +
+      s"columns=${fullSchema.fieldNames.mkString(",")}"
 }

@@ -99,10 +99,11 @@ class LakeSpec extends SparkTestBase {
     writePlain(fixture(), out)
     val staged = Pipeline.stageLakeDelete(spark, out, Seq(4L).toDF("doc_id"),
       "doc_id", "doc_id", Seq("split", "shard_id")).get
-    // abandon the staged commit (crash) — its files are orphans now
+    // abandon the staged commit (crash) — its files AND its change-feed
+    // sidecar are orphans now
     val dead = Lake.vacuum(spark, out)
-    assert(dead.toSet == staged.stagedFiles.toSet,
-      "vacuum must delete exactly the abandoned staged files")
+    assert(dead.toSet == (staged.stagedFiles ++ staged.cdcFiles.map(_._1)).toSet,
+      "vacuum must delete exactly the abandoned staged files and sidecars")
     assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet)
     assert(Lake.vacuum(spark, out).isEmpty, "a clean lake has nothing to vacuum")
   }

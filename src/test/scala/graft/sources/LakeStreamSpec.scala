@@ -130,6 +130,125 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("row-level change feed stream: append → delete → append arrives as insert/delete/insert exactly-once across a restart") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcfeed").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))        // v1: inserts
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(3L, 4L).toDF("doc_id"), "doc_id") // v2: deletes
+    def start() = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
+      .load(out)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink").option("checkpointLocation", s"$base/ck")
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    Pipeline.appendToLake(spark, out, fixture(100 until 105))                   // v3, while down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(s"$base/sink")
+      .select("doc_id", "split", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val expected =
+      (0L until 10L).map(i => (i, if (i < 100) "train" else "test", "insert", 1L)) ++
+        Seq((3L, "train", "delete", 2L), (4L, "train", "delete", 2L)) ++
+        (100L until 105L).map(i => (i, "test", "insert", 3L))
+    assert(rows.groupBy(identity).view.mapValues(_.size).toMap ==
+      expected.groupBy(identity).view.mapValues(_.size).toMap,
+      s"the feed must replay each change exactly once across the restart, got " +
+        rows.sortBy(r => (r._4, r._3, r._1)).mkString(", "))
+  }
+
+  test("batch changeFeed: rewrite deletes, merges and restores emit exact row-level events that NET to the lake") {
+    val base = java.nio.file.Files.createTempDirectory("lakefeedbatch").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))         // v1
+    Pipeline.deleteFromLake(spark, out, Seq(2L).toDF("doc_id"), "doc_id",
+      retainHistory = true)                                                      // v2: rewrite delete
+    Pipeline.mergeIntoLake(spark, out,
+      fixture(5 to 5, "patched").unionByName(fixture(50 to 50)),
+      retainHistory = true)                                                      // v3: rewrite merge
+    val feed13 = Lake.changeFeed(spark, out, 1L, 3L)
+    val ev = feed13.select("doc_id", "text", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(ev == Set(
+      (2L, "doc 2", "delete", 2L),            // the rewrite-delete's pre-image
+      (5L, "doc 5", "delete", 3L),            // the upsert's pre-image...
+      (5L, "patched 5", "insert", 3L),        // ...and its post-image
+      (50L, "doc 50", "insert", 3L)),
+      s"row-level events must be exact, got $ev")
+    Lake.restore(spark, out, 1L)                                                 // v4: undo everything
+    // THE net-convergence property: a mirror replaying the full feed
+    // (inserts exceptAll deletes, multiset semantics) equals the lake
+    val feed = Lake.changeFeed(spark, out, 0L, 4L)
+    val dataCols = Lake.read(spark, out).columns.map(col).toSeq
+    val mirror = feed.filter(col("_change_type") === "insert").select(dataCols: _*)
+      .exceptAll(feed.filter(col("_change_type") === "delete").select(dataCols: _*))
+    assert(mirror.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap ==
+      Lake.read(spark, out).collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap,
+      "replaying the change feed from scratch must reconstruct the lake exactly")
+    assert(mirror.count() == 10)
+  }
+
+  test("batch changeFeed over sparse mutations: tombstoned pre-images surface as deletes with their partitions") {
+    val base = java.nio.file.Files.createTempDirectory("lakefeedsparse").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))         // v1
+    Pipeline.mergeIntoLakeSparse(spark, out,
+      fixture(5 to 5, "patched").unionByName(fixture(60 to 60)))                 // v2
+    val ev = Lake.changeFeed(spark, out, 1L, 2L)
+      .select("doc_id", "text", "split", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(ev == Set(
+      (5L, "doc 5", "train", "delete"),
+      (5L, "patched 5", "train", "insert"),
+      (60L, "doc 60", "train", "insert")),
+      s"sparse upserts must feed delete+insert pairs, got $ev")
+  }
+
+  test("mid-stream schema evolution fails the batch loudly; narrower historical schemas decode fine") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcevolve").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 5), out, Seq("split", "shard_id"))          // v1
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_evolve")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_evolve").count() == 5)
+      // evolve the lake under the running stream: a new column lands
+      Pipeline.appendToLake(spark, out,
+        fixture(10 until 12).withColumn("lang", lit("en")), mergeSchema = true)  // v2
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("evolved the lake schema") ||
+        Option(e.getCause).exists(_.getMessage.contains("evolved the lake schema")),
+        s"the batch must fail NAMING the evolution, got: ${e.getMessage}")
+    } finally q.stop()
+    // a FRESH stream (start-time schema now includes the new column)
+    // catches up across the historical evolution: v1's narrower files
+    // decode with the new column null
+    val q2 = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_evolve2")
+      .option("checkpointLocation", s"$base/ck2")
+      .start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("lake_evolve2").collect()
+      assert(rows.length == 7)
+      assert(rows.filter(_.getAs[Long]("doc_id") < 5).forall(_.getAs[String]("lang") == null),
+        "pre-evolution files must decode the new column as null")
+      assert(rows.filter(_.getAs[Long]("doc_id") >= 10).forall(_.getAs[String]("lang") == "en"))
+    } finally q2.stop()
+  }
+
   test("lake CDC stream default start is the tail: only commits after stream start surface") {
     val base = java.nio.file.Files.createTempDirectory("lakecdctail").toString
     val out = s"$base/lake"
