@@ -736,49 +736,24 @@ object Lake {
   /** Atomically commit one delta record, then write a checkpoint when the
     * version crosses the [[CheckpointInterval]] grid (`postState` feeds
     * it — the caller always has the resolved post-image in hand, so the
-    * checkpoint costs no replay). Refuses (rather than clobbers) an
-    * already-committed version — the single-writer-per-version guard:
-    * exists-check + rename + content read-back. On HDFS a rename onto an
-    * existing destination fails outright; on filesystems where rename
-    * OVERWRITES (POSIX / RawLocalFileSystem) two truly concurrent
-    * publishes could both "succeed", so after the rename the record is
-    * read back and compared to what this writer wrote — the loser of any
-    * rename interleaving that completes before either read-back throws
-    * with its commit un-landed. A RESIDUAL window remains on
-    * overwrite-on-rename filesystems only: a racer that renames AFTER
-    * this writer's read-back already passed silently clobbers this
-    * commit. Closing it needs an atomic put-if-absent primitive — HDFS
-    * rename (fails onto an existing destination) and object-store
-    * conditional PUTs both provide one, and this method is the documented
-    * swap-in point; on local filesystems the guard is best-effort by
-    * nature and the window is accepted for tests. */
+    * checkpoint costs no replay). Refusing (rather than clobbering) an
+    * already-committed version — the single-writer-per-version guard —
+    * is delegated to the per-filesystem [[LogStore]] seam: atomic
+    * exclusive-create on HDFS-style filesystems, exists-check + rename +
+    * content read-back on POSIX (with its documented residual window),
+    * and a conditional-PUT contract for object-store backends. */
   private[graft] def commitDelta(spark: SparkSession, lakeDir: String,
       rec: DeltaRecord, postState: Option[LakeState]): Unit = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val log = logDir(root)
     fs.mkdirs(log)
     val target = new Path(log, deltaName(rec.version))
-    if (fs.exists(target))
-      throw new IllegalStateException(
-        s"concurrent commit: manifest version ${rec.version} already exists at $target")
     // commit wall-clock stamped at publish time — feeds timestamp time
     // travel ([[versionAtTimestamp]]) and [[describeHistory]]; clock skew
     // across writers makes this best-effort ordering, version numbers
     // stay the authoritative total order
     val payload = renderDelta(rec.copy(timestampMs = System.currentTimeMillis()))
-    val tmp = new Path(log, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(payload.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"concurrent commit: rename to $target failed (version raced by another writer)")
-    }
-    if (readLogFile(fs, target) != payload)
-      throw new IllegalStateException(
-        s"concurrent commit: manifest version ${rec.version} was clobbered by another " +
-          "writer after rename (overwrite-on-rename filesystem) — this commit lost")
+    LogStore.forFileSystem(fs).putIfAbsent(fs, log, target, payload)
     if (rec.version > 0 && rec.version % CheckpointInterval == 0)
       postState.foreach(st => writeCheckpoint(fs, root, st.copy(version = rec.version)))
   }
@@ -1087,6 +1062,32 @@ object Lake {
         files.map(f => f -> stats.getOrElse(f, Seq.empty)), Seq.empty),
       Some(post))
     read(spark, lakeDir)
+  }
+
+  /** PLAIN protocol append — the DSv2 write path's `INSERT INTO`: stage
+    * the batch into the lake's existing partition layout, audit the
+    * read-back, publish one `append` delta (pure-add, so raced inserts
+    * rebase freely). No dedup, no schema merge — SQL INSERT semantics,
+    * with the batch aligned to the manifest schema by NAME (Spark's
+    * insert resolution has already validated/coerced columns). Refuses
+    * on a lake without a committed manifest or files: an empty target
+    * has no layout to insert into — create it with [[init]] /
+    * `ingestToLake` first. */
+  private[graft] def append(spark: SparkSession, lakeDir: String, df: DataFrame): Unit = {
+    val base = adopt(spark, lakeDir)
+    if (base.files.isEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-lake: $lakeDir has no committed layout to insert into — initialize the " +
+          "lake first (Lake.init / ingestToLake)")
+    val lakeSchema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val aligned = df.select(lakeSchema.map(f => col(f.name).cast(f.dataType)): _*)
+      .localCheckpoint(true) // one materialization feeds count + stage
+    val expected = aligned.count()
+    if (expected == 0) return
+    val staged = stageWrite(spark, lakeDir, aligned, partitionColsOf(base))
+    val (rows, stats) = auditStaged(spark, lakeDir, base.schemaJson, staged, Seq.empty)
+    publish(spark, StagedCommit(lakeDir, base, "append", base.schemaJson,
+      Seq.empty, staged, rows, expected, stats))
   }
 
   /** Append-mode write of `df` into the lake's partition layout, returning
@@ -1460,6 +1461,10 @@ object Lake {
     val reAdded = target.files.filterNot(current) ++ dvDiff
     val removed = base.files.filterNot(targetSet) ++ dvDiff
     if (removed.isEmpty && reAdded.isEmpty) return readState(spark, lakeDir, base)
+    // stagedRows = expectedRows = 0 makes the publish audit DELIBERATELY
+    // vacuous: the re-added files were audited when they first committed
+    // and their existence is checked above — there is no staged write to
+    // re-count. Do not treat the 0/0 as load-bearing.
     publish(spark, StagedCommit(lakeDir, base, "restore", target.schemaJson,
       removed, reAdded, 0L, 0L,
       stagedStats = target.stats.view.filterKeys(reAdded.contains).toMap,

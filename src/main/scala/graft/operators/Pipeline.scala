@@ -1641,6 +1641,35 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM allrows GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px115
+  /** The lake's WRITE surface behind pure SQL — `CREATE TABLE ... USING
+    * graft-lake` + `INSERT INTO ... BY NAME` — closing the DSv2 story
+    * the read source opened (px110): SQL/Python users now append through
+    * the same stage→audit→publish commit protocol as the Scala helpers
+    * ([[graft.sources.lake.LakeSource]] routes the V1 insert to
+    * [[Lake.append]]). Seed two thirds of the corpus, INSERT the rest
+    * through SQL, and the post-insert manifest must equal the full
+    * corpus (px100's oracle) — the insert landed exactly, once, as an
+    * audited commit. */
+  private def px115(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px115_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
+    spark.sql("DROP TABLE IF EXISTS px115_corpus")
+    spark.sql(s"CREATE TABLE px115_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      sharded.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("px115_batch")
+      spark.sql("INSERT INTO px115_corpus BY NAME SELECT * FROM px115_batch")
+    } finally spark.sql("DROP TABLE IF EXISTS px115_corpus")
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   // ---------------------------------------------------------------- px114
   /** The ROW-LEVEL change feed, oracled end-to-end: seed the corpus
     * (v1), sparsely delete the `% 17` docs (v2 — a deletion-vector
@@ -1885,5 +1914,6 @@ object Pipeline {
     GraftQuery("px111_lake_merge_upsert", px111, Some(px111Oracle)),
     GraftQuery("px112_lake_restore", px112, Some(px100Oracle)),
     GraftQuery("px113_lake_merge_sparse", px113, Some(px113Oracle)),
-    GraftQuery("px114_lake_change_feed", px114, Some(px114Oracle)))
+    GraftQuery("px114_lake_change_feed", px114, Some(px114Oracle)),
+    GraftQuery("px115_lake_sql_insert", px115, Some(px100Oracle)))
 }

@@ -4,9 +4,11 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, InsertableRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -43,15 +45,43 @@ import graft.operators.Lake
   * column pruning, vectorized reading (PlanSpec pins the pruning and
   * pushdown through this source).
   *
-  * Read-only by design: the write path of a lake is the
-  * write-audit-publish commit protocol ([[Lake.publish]] and the px100+
-  * lifecycle operators); exposing a direct `save()` through this format
-  * would bypass audit and manifest isolation, so the table advertises
-  * BATCH_READ only and Spark refuses writes with its standard
-  * unsupported-operation error.
+  * The WRITE path routes through the same commit protocol as the Scala
+  * helpers — never around it. `INSERT INTO` (or `df.writeTo(...).append`
+  * / `df.write.mode("append").save`) lands as a stage → audit → publish
+  * `append` commit ([[Lake.append]]): manifest-isolated, OCC-rebased,
+  * CDC-visible, exactly like every other mutation. Everything that
+  * CANNOT go through the protocol refuses loudly: overwrite modes (use
+  * `Lake.init` / `restore`), inserts into a version- or
+  * timestamp-pinned table (no writing into the past), and inserts into
+  * an uninitialized directory (no layout to insert into).
   */
-class LakeSource extends TableProvider with DataSourceRegister {
+class LakeSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
   override def shortName(): String = "graft-lake"
+
+  /** The V1 save path (`df.write.format("graft-lake").mode(m).save(p)`):
+    * append routes through the commit protocol exactly like the DSv2
+    * insert; every other mode refuses — overwriting a lake is
+    * `Lake.init` / `Lake.restore`, never a format-string write. */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake requires a path: .save(lakeDir)"))
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      throw new UnsupportedOperationException(
+        s"graft-lake: $mode writes bypass the commit protocol — only mode(\"append\") " +
+          "routes through stage/audit/publish; replace a lake with Lake.init, roll it " +
+          "back with Lake.restore")
+    Lake.append(data.sparkSession, path, data)
+    val sch = DataType.fromJson(
+      Lake.currentState(data.sparkSession, path).schemaJson).asInstanceOf[StructType]
+    new BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = sch
+    }
+  }
 
   private def lakePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
@@ -142,17 +172,45 @@ class LakeSource extends TableProvider with DataSourceRegister {
       st.files.map(f => new Path(root, f).toString),
       Some(manifestSchema),
       classOf[ParquetFileFormat])
-    new LakeTable(inner)
+    val pinned = opts.containsKey("version") || opts.containsKey("timestampAsOf")
+    new LakeTable(inner, path, pinned)
   }
 }
 
-/** Read-only wrapper around the resolved-file-list `ParquetTable`. */
-private[lake] class LakeTable(inner: ParquetTable) extends Table with SupportsRead {
+/** Wrapper around the resolved-file-list `ParquetTable`: reads delegate
+  * to the native parquet scan, writes route through the commit protocol
+  * as a V1 insert ([[Lake.append]]). */
+private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (pinned)
+      throw new UnsupportedOperationException(
+        s"graft-lake: cannot INSERT into a version/timestamp-pinned read of $path — " +
+          "writes go to the lake's head")
+    new WriteBuilder {
+      // no SupportsTruncate/SupportsOverwrite: every overwrite mode
+      // refuses with Spark's standard error — overwriting a lake is
+      // Lake.init / Lake.restore, never a format-string write
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                overwrite: Boolean): Unit = {
+              if (overwrite)
+                throw new UnsupportedOperationException(
+                  s"graft-lake: overwrite writes bypass the commit protocol — use " +
+                    "Lake.init (replace) or Lake.restore (roll back) instead")
+              Lake.append(SparkSession.active, path, data)
+            }
+          }
+      }
+    }
+  }
 }

@@ -1035,12 +1035,60 @@ class LakeSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       spark.read.format("graft-lake").option("version", 99).load(out).count()
     }
-    // the format is read-only: the lake's write path is the commit protocol
+    // writes ROUTE THROUGH the commit protocol (never around it): an
+    // append-mode save lands as an audited OCC commit...
+    Seq((500L, "doc 500", "train", 0)).toDF("doc_id", "text", "split", "shard_id")
+      .write.format("graft-lake").mode("append").save(out)
+    assert(Lake.latestManifest(spark, out).get.version == 3L,
+      "a format-string append must land as a protocol commit")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet + 500L)
+    // ...while an overwrite — which would bypass init/restore — refuses
+    // with the manifest unmoved
     intercept[Exception] {
-      fixture().write.format("graft-lake").mode("append").save(out)
+      fixture().write.format("graft-lake").mode("overwrite").save(out)
     }
-    assert(Lake.latestManifest(spark, out).get.version == 2L,
+    assert(Lake.latestManifest(spark, out).get.version == 3L,
       "a refused write must not move the manifest")
+  }
+
+  test("DSv2 write: SQL INSERT INTO lands as an OCC append commit, CDC-visible; pinned and uninitialized writes refuse") {
+    val out = freshDir("lake-sql-insert")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    spark.sql("DROP TABLE IF EXISTS lake_sql_t")
+    spark.sql(s"CREATE TABLE lake_sql_t USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      Seq((100L, "doc 100", "test", 0), (101L, "doc 101", "test", 1))
+        .toDF("doc_id", "text", "split", "shard_id")
+        .createOrReplaceTempView("lake_sql_batch")
+      spark.sql("INSERT INTO lake_sql_t BY NAME SELECT * FROM lake_sql_batch")
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.version == 1L, "the SQL insert must land as ONE protocol commit")
+      val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+      assert(h.getString(2) == "append" && h.getInt(5) == 0)
+      assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet ++ Set(100L, 101L))
+      // the commit is a normal delta: incremental consumers see exactly it
+      assert(ids(Lake.changesBetween(spark, out, 0L, 1L)) == Set(100L, 101L))
+    } finally spark.sql("DROP TABLE IF EXISTS lake_sql_t")
+    // a version-pinned table refuses writes — no inserting into the past
+    spark.sql("DROP TABLE IF EXISTS lake_sql_pinned")
+    spark.sql(
+      s"CREATE TABLE lake_sql_pinned USING `graft-lake` OPTIONS (path '$out', version '0')")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO lake_sql_pinned BY NAME SELECT * FROM lake_sql_batch")
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("pinned"))),
+        s"pinned writes must refuse loudly, got: ${e.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS lake_sql_pinned")
+    // an uninitialized directory has no layout to insert into
+    intercept[Exception] {
+      Seq((1L, "x", "train", 0)).toDF("doc_id", "text", "split", "shard_id")
+        .write.format("graft-lake").mode("append")
+        .save(freshDir("lake-sql-empty"))
+    }
   }
 
   test("commit timestamps: timestamp time travel, describeHistory audit trail, SQL view over the format") {
