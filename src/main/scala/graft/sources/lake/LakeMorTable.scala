@@ -1,0 +1,190 @@
+package graft.sources.lake
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Lake
+
+/** MERGE-ON-READ batch scan for a DV-bearing lake version: the
+  * format-string read ([[LakeSource]]) delegates here whenever the
+  * resolved state carries deletion vectors, so `spark.read
+  * .format("graft-lake")` keeps working between a sparse delete and the
+  * compaction that materializes it.
+  *
+  * Plan shape: files WITHOUT attachments bin-pack into ordinary
+  * vectorized `FilePartition`s, exactly like the clean-path scan; each
+  * file WITH attachments becomes ONE single-file partition whose reader
+  * counts row positions and skips the tombstoned ones. (Spark scans are
+  * uniformly row- or columnar-decoded, so the whole transitional scan
+  * runs in row mode.) The
+  * single-file grain is what makes position counting sound: the whole
+  * file is one unsplit read with NO pushed filters, so emitted row order
+  * is file order and the running count equals `_metadata.row_index` —
+  * the coordinate system the vectors were recorded in. The price is
+  * row-mode decode and no predicate pushdown on the tombstoned files
+  * only; compaction restores the fully-vectorized clean path.
+  *
+  * The tombstone sets ride in the partition payloads, so the scan
+  * refuses (pointing at `compactLake`) when the total position count
+  * exceeds a cap — `spark.graft.lake.morMaxPositions`, default 5M — a
+  * DV set that size should have been a rewrite, not a bigger task
+  * binary. */
+object LakeMorTable {
+  val MaxPositionsConf = "spark.graft.lake.morMaxPositions"
+  val DefaultMaxPositions = 5000000L
+
+  /** file → sorted tombstoned positions, collected driver-side (bounded
+    * by the cap). */
+  def loadPositions(spark: SparkSession, root: Path,
+      st: Lake.LakeState): Map[String, Array[Long]] = {
+    val sidecars = st.dvs.values.flatten.toSeq.distinct.sorted
+    val dv = spark.read.schema(Lake.DvSchema)
+      .parquet(sidecars.map(s => new Path(root, s).toString): _*)
+    val cap = spark.conf.getOption(MaxPositionsConf).flatMap(_.toLongOption)
+      .getOrElse(DefaultMaxPositions)
+    val total = dv.count()
+    if (total > cap)
+      throw new UnsupportedOperationException(
+        s"graft-lake: version ${st.version} carries $total deletion-vector positions " +
+          s"(cap $cap via $MaxPositionsConf) — a tombstone set this large should be " +
+          "materialized: run compactLake, or read via Lake.read (its anti-join scales)")
+    dv.collect().groupBy(_.getString(0)).map { case (f, rows) =>
+      f -> rows.map(_.getLong(1)).sorted
+    }
+  }
+}
+
+private[lake] class LakeMorTable(tableName: String, lakeDir: String,
+    st: Lake.LakeState, pinned: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+  private val manifestSchema =
+    DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+  private val partCols = Lake.partitionColsOf(st)
+
+  override def name(): String = tableName
+  override def schema(): StructType = manifestSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+  // appends are DV-independent (pure add): a tombstone-bearing lake
+  // still takes protocol inserts
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    LakeWrites.newWriteBuilder(lakeDir, pinned)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = manifestSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new LakeMorScan(lakeDir, st, partCols, required)
+    }
+}
+
+private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
+    partCols: Seq[String], required: StructType) extends Scan with Batch {
+  private val spark = SparkSession.active
+  private val partSchema = StructType(required.filter(f => partCols.contains(f.name)))
+  private val dataSchema = StructType(required.filterNot(f => partCols.contains(f.name)))
+  private val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  override def readSchema(): StructType =
+    StructType(dataSchema.fields ++ partSchema.fields)
+  override def description(): String =
+    s"graft-lake MoR $lakeDir@v${st.version} columns=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+
+  private def partitionValues(relPath: String): InternalRow = {
+    val segs = relPath.split('/').dropRight(1)
+    val values = partSchema.fields.map { field =>
+      val seg = segs(partCols.indexOf(field.name))
+      val eq = seg.indexOf('=')
+      val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.drop(eq + 1))
+      if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        null
+      else
+        Cast(Literal(UTF8String.fromString(raw), StringType), field.dataType, tz).eval(null)
+    }
+    new GenericInternalRow(values.toArray[Any])
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qroot = fs.makeQualified(root)
+    val positions = LakeMorTable.loadPositions(spark, qroot, st)
+    def pf(rel: String): PartitionedFile = {
+      val fst = fs.getFileStatus(new Path(qroot, rel))
+      PartitionedFile(partitionValues(rel),
+        org.apache.spark.paths.SparkPath.fromPath(fst.getPath),
+        0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)
+    }
+    val (tombstoned, clean) = st.files.partition(positions.contains)
+    val cleanParts: Seq[InputPartition] = FilePartition.getFilePartitions(
+      spark, clean.map(pf), spark.sessionState.conf.filesMaxPartitionBytes)
+    // one UNSPLIT partition per tombstoned file: position counting needs
+    // the whole file read in order by a single reader
+    val morParts: Seq[InputPartition] = tombstoned.zipWithIndex.map { case (rel, i) =>
+      MorPartition(FilePartition(cleanParts.length + i, Array(pf(rel))), positions(rel))
+    }
+    (cleanParts ++ morParts).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MorReaderFactory(LakeParquetRead.readerFactory(spark, dataSchema, partSchema))
+}
+
+/** A single tombstoned file plus its sorted deleted positions. */
+private[lake] case class MorPartition(files: FilePartition,
+    skip: Array[Long]) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Row-mode wrapper: Spark requires every partition of one scan to agree
+  * on row-vs-columnar, so the presence of ANY tombstoned file puts the
+  * whole (transitional, pre-compaction) scan in row mode; clean
+  * partitions stay bin-packed and decode through the same factory,
+  * [[MorPartition]]s additionally filter by position. */
+private[lake] class MorReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    inner.createColumnarReader(partition)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case MorPartition(files, skip) =>
+        new PositionSkipReader(inner.createReader(files), skip)
+      case p => inner.createReader(p)
+    }
+}
+
+/** Streams the wrapped reader's rows, counting positions and skipping
+  * the tombstoned ones. `skip` is sorted and rows arrive in file order
+  * (unsplit, unfiltered read), so one advancing pointer decides each
+  * row in O(1). */
+private[lake] class PositionSkipReader(inner: PartitionReader[InternalRow],
+    skip: Array[Long]) extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  private var idx = 0
+  override def next(): Boolean = {
+    while (inner.next()) {
+      pos += 1
+      while (idx < skip.length && skip(idx) < pos) idx += 1
+      if (idx >= skip.length || skip(idx) != pos) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}

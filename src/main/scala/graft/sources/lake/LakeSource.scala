@@ -130,17 +130,6 @@ class LakeSource extends TableProvider with DataSourceRegister
         resolved
       case None => Lake.currentState(spark, path)
     }
-    // merge-on-read reader capability gate (the Delta Lake discipline:
-    // a reader that cannot apply deletion vectors must refuse, never
-    // silently resurrect deleted rows). The delegated ParquetTable scan
-    // has no DV anti-join, so a DV-bearing version is unreadable here
-    // until compaction materializes the tombstones.
-    if (st.dvs.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"graft-lake: version ${st.version} of $path carries deletion vectors on " +
-          s"${st.dvs.size} file(s), which this format's delegated parquet scan cannot " +
-          "apply — read via Lake.read / Lake.readVersion (merge-on-read), or run " +
-          "compactLake to materialize the tombstones first")
     (path, st)
   }
 
@@ -154,6 +143,15 @@ class LakeSource extends TableProvider with DataSourceRegister
     val opts = new CaseInsensitiveStringMap(properties)
     val (path, st) = resolve(opts)
     val spark = SparkSession.active
+    val pinned0 = opts.containsKey("version") || opts.containsKey("timestampAsOf")
+    // a DV-bearing version reads MERGE-ON-READ: the delegated
+    // ParquetTable scan cannot apply deletion vectors, so the scan
+    // switches to [[LakeMorTable]] (per-file position skip) until
+    // compaction materializes the tombstones and the fully-vectorized
+    // delegation below returns
+    if (st.dvs.nonEmpty)
+      return new LakeMorTable(s"graft-lake $path@v${st.version} (merge-on-read)",
+        path, st, pinned0)
     val root = {
       val p = new Path(path)
       p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
@@ -172,8 +170,7 @@ class LakeSource extends TableProvider with DataSourceRegister
       st.files.map(f => new Path(root, f).toString),
       Some(manifestSchema),
       classOf[ParquetFileFormat])
-    val pinned = opts.containsKey("version") || opts.containsKey("timestampAsOf")
-    new LakeTable(inner, path, pinned)
+    new LakeTable(inner, path, pinned0)
   }
 }
 
@@ -189,7 +186,15 @@ private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     inner.newScanBuilder(options)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    LakeWrites.newWriteBuilder(path, pinned)
+}
+
+/** The protocol-routed V1 write builder shared by the clean-path and
+  * merge-on-read tables: inserts land as [[Lake.append]] commits;
+  * version/timestamp-pinned tables and overwrite modes refuse. */
+private[lake] object LakeWrites {
+  def newWriteBuilder(path: String, pinned: Boolean): WriteBuilder = {
     if (pinned)
       throw new UnsupportedOperationException(
         s"graft-lake: cannot INSERT into a version/timestamp-pinned read of $path — " +

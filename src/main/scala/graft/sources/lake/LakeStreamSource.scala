@@ -11,13 +11,10 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
-import org.apache.spark.util.SerializableConfiguration
 
 import graft.operators.Lake
 
@@ -417,41 +414,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       spark.sessionState.conf.filesMaxPartitionBytes).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the same hadoop-conf preparation the native ParquetScan performs
-    // before broadcasting: read-support wiring + the requested schema +
-    // the session's parquet semantics flags
-    val conf = spark.sessionState.conf
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    val schemaJson = dataSchema.json
-    hadoopConf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
-    hadoopConf.set("org.apache.spark.sql.parquet.row.requested_schema", schemaJson)
-    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(dataSchema, hadoopConf)
-    hadoopConf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
-      conf.sessionLocalTimeZone)
-    hadoopConf.setBoolean(
-      org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
-      conf.nestedSchemaPruningEnabled)
-    hadoopConf.setBoolean(org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key,
-      conf.caseSensitiveAnalysis)
-    hadoopConf.setBoolean(org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key,
-      conf.isParquetBinaryAsString)
-    hadoopConf.setBoolean(
-      org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
-      conf.isParquetINT96AsTimestamp)
-    hadoopConf.setBoolean(
-      org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      conf.getConf(org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED))
-    hadoopConf.setBoolean(
-      org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-      conf.getConf(org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG))
-    val broadcastConf = spark.sparkContext.broadcast(
-      new SerializableConfiguration(hadoopConf))
-    ParquetPartitionReaderFactory(conf, broadcastConf, dataSchema, dataSchema, partSchema,
-      Array.empty, None, new ParquetOptions(Map.empty[String, String], conf))
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    LakeParquetRead.readerFactory(spark, dataSchema, partSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -744,11 +744,25 @@ class LakeSpec extends SparkTestBase {
     // an orphan vacuum never reclaims a referenced sidecar
     assert(Lake.vacuum(spark, out).isEmpty)
     assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))
-    // the DSv2 surface refuses rather than resurrecting deleted rows
-    val e = intercept[UnsupportedOperationException] {
-      spark.read.format("graft-lake").load(out).count()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    // the DSv2 surface reads MERGE-ON-READ: position-skip partitions for
+    // the tombstoned files, the native path for the rest — never a
+    // resurrected row
+    assert(ids(spark.read.format("graft-lake").load(out)) ==
+      (0L until 40L).toSet -- Set(0L, 7L, 13L),
+      "the format-string read must apply the deletion vectors")
+    // a pathological tombstone set refuses, pointing at compaction
+    spark.conf.set(graft.sources.lake.LakeMorTable.MaxPositionsConf, "1")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        spark.read.format("graft-lake").load(out).count()
+      }
+      assert(e.getMessage.contains("compactLake"))
+    } finally spark.conf.unset(graft.sources.lake.LakeMorTable.MaxPositionsConf)
+    // time travel through the format applies the version's OWN vectors
+    assert(ids(spark.read.format("graft-lake").option("version", 1L).load(out)) ==
+      (0L until 40L).toSet -- Set(0L, 7L, 13L))
+    assert(ids(spark.read.format("graft-lake").option("version", 0L).load(out)) ==
+      (0L until 40L).toSet)
     // compaction materializes: same rows, attachments dropped, vectors
     // retained as history for time travel
     Pipeline.compactLake(spark, out, maxFilesPerPartition = 8, retainHistory = true)
@@ -850,6 +864,64 @@ class LakeSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("rebase refused"))
     assert(ids(Lake.read(spark, out)) == ((0L until 40L).toSet - 1L) ++ Set(4100L, 4200L),
+      "the refused delete must leave the lake untouched")
+  }
+
+  test("OCC: two sparse deletes staged from the same base BOTH land (tombstone unions commute)") {
+    val out = freshDir("lake-dv-race")
+    writePlain(fixture(), out)
+    def stageSparse(id: Long): (Lake.LakeState, Long, Map[String, Seq[String]], Seq[(String, String)]) = {
+      val base = Lake.adopt(spark, out)
+      val lineage = Lake.readFilesWithLineage(spark, out, base.schemaJson,
+        base.files, base.dvs)
+      val matched = lineage.filter(col("doc_id") === id)
+      val cdcPath = Lake.stageCdc(spark, out,
+        matched.drop("_gf_file", "_gf_pos"), Seq("split", "shard_id"))
+      val (sidecar, n, files) = Lake.stageDv(spark, out,
+        matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+      (base, n, files.map(f => f -> Seq(sidecar)).toMap, Seq((cdcPath, "delete")))
+    }
+    // docs 3 and 5 share a partition (train, shard 1) AND a file — the
+    // hardest case: both deletes tombstone into the same file
+    val (baseA, nA, dvA, cdcA) = stageSparse(3L)
+    val (baseB, nB, dvB, cdcB) = stageSparse(5L)
+    assert(baseA.version == baseB.version, "both staged from the same base")
+    Lake.publish(spark, Lake.StagedCommit(out, baseA, "delete", baseA.schemaJson,
+      Seq.empty, Seq.empty, nA, nA, dvAdds = dvA, cdcFiles = cdcA))
+    // B's version is taken; its rebase must land — tombstones on the
+    // same file UNION, they never conflict
+    Lake.publish(spark, Lake.StagedCommit(out, baseB, "delete", baseB.schemaJson,
+      Seq.empty, Seq.empty, nB, nB, dvAdds = dvB, cdcFiles = cdcB))
+    assert(Lake.latestManifest(spark, out).get.version == 2L)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(3L, 5L),
+      "raced sparse deletes must BOTH land")
+    // and the change feed carries both pre-images at their versions
+    val ev = Lake.changeFeed(spark, out, 0L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ev == Set(3L, 5L))
+  }
+
+  test("OCC: a sparse delete racing a compaction that materializes its target file refuses") {
+    val out = freshDir("lake-dv-vs-compact")
+    writePlain(fixture(), out)
+    val base = Lake.adopt(spark, out)
+    val lineage = Lake.readFilesWithLineage(spark, out, base.schemaJson,
+      base.files, base.dvs)
+    val matched = lineage.filter(col("doc_id") === 1L)
+    val (sidecar, n, files) = Lake.stageDv(spark, out,
+      matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+    // interpose: a compaction rewrites every partition — the staged
+    // tombstone's (file, pos) coordinates now point at replaced files
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 1000L, retainHistory = true)
+    val e = intercept[IllegalStateException] {
+      Lake.publish(spark, Lake.StagedCommit(out, base, "delete", base.schemaJson,
+        Seq.empty, Seq.empty, n, n, dvAdds = files.map(f => f -> Seq(sidecar)).toMap))
+    }
+    assert(e.getMessage.contains("rebase refused"),
+      s"stale tombstone coordinates must refuse, got: ${e.getMessage}")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet,
       "the refused delete must leave the lake untouched")
   }
 
