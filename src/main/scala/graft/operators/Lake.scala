@@ -999,7 +999,8 @@ object Lake {
   }
 
   /** One column's query-side bound for stats pruning: "only rows with
-    * `col` in `[lo, hi]` can matter". */
+    * `col` in `[lo, hi]` can matter". A `null` endpoint means unbounded
+    * on that side (a one-sided predicate like `col >= x` still prunes). */
   final case class ColBound(col: String, dt: DataType, lo: Any, hi: Any)
 
   /** The subset of `st.files` whose recorded stats overlap EVERY bound in
@@ -1012,7 +1013,7 @@ object Lake {
     * integral and floating stats parse back to numbers, string stats
     * compare in UTF8 binary order (Spark's min/max order); any other type
     * keeps the file. */
-  private[graft] def pruneByStats(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
+  def pruneByStats(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
     def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         for (x <- a.toLongOption; y <- b.toLongOption) yield java.lang.Long.compare(x, y)
@@ -1027,16 +1028,19 @@ object Lake {
       st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
         case None => true
         case Some(cs) =>
-          (cmp(b.dt, cs.max, String.valueOf(b.lo)), cmp(b.dt, cs.min, String.valueOf(b.hi))) match {
-            case (Some(x), Some(y)) => x >= 0 && y <= 0 // ranges overlap
-            case _ => true
-          }
+          // each side independently: unbounded or unparseable keeps the
+          // file; both parseable sides must overlap the [lo, hi] range
+          val loOk = b.lo == null ||
+            cmp(b.dt, cs.max, String.valueOf(b.lo)).forall(_ >= 0)
+          val hiOk = b.hi == null ||
+            cmp(b.dt, cs.min, String.valueOf(b.hi)).forall(_ <= 0)
+          loOk && hiOk
       }
     st.files.filter(f => bounds.forall(overlaps(f, _)))
   }
 
   /** Single-column convenience form of [[pruneByStats]]. */
-  private[graft] def pruneByStats(st: LakeState, statCol: String, dt: DataType,
+  def pruneByStats(st: LakeState, statCol: String, dt: DataType,
       lo: Any, hi: Any): Seq[String] =
     pruneByStats(st, Seq(ColBound(statCol, dt, lo, hi)))
 

@@ -163,21 +163,28 @@ class LakeSource extends TableProvider with DataSourceRegister
     val scanOpts = new util.HashMap[String, String](properties)
     scanOpts.put("basePath", root.toString)
     scanOpts.remove("path")
-    val inner = ParquetTable(
+    def tableFor(files: Seq[String]) = ParquetTable(
       s"graft-lake $path@v${st.version}",
       spark,
       new CaseInsensitiveStringMap(scanOpts),
-      st.files.map(f => new Path(root, f).toString),
+      files.map(f => new Path(root, f).toString),
       Some(manifestSchema),
       classOf[ParquetFileFormat])
-    new LakeTable(inner, path, pinned0)
+    new LakeTable(tableFor(st.files), path, pinned0, st, manifestSchema,
+      (files, o) => tableFor(files).newScanBuilder(o))
   }
 }
 
 /** Wrapper around the resolved-file-list `ParquetTable`: reads delegate
-  * to the native parquet scan, writes route through the commit protocol
-  * as a V1 insert ([[Lake.append]]). */
-private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean)
+  * to the native parquet scan — behind a manifest-stat FILE-skipping
+  * layer when the log recorded per-file column stats
+  * ([[org.apache.spark.sql.graft.LakeStatPruningScanBuilder]]: pushed
+  * range/equality predicates prune the candidate file list driver-side
+  * before a single footer opens) — and writes route through the commit
+  * protocol as a V1 insert ([[Lake.append]]). */
+private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean,
+    st: Lake.LakeState, manifestSchema: StructType,
+    builderFor: (Seq[String], CaseInsensitiveStringMap) => ScanBuilder)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
@@ -185,7 +192,9 @@ private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    inner.newScanBuilder(options)
+    if (st.stats.isEmpty) inner.newScanBuilder(options)
+    else new org.apache.spark.sql.graft.LakeStatPruningScanBuilder(
+      st, manifestSchema, options, files => builderFor(files, options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     LakeWrites.newWriteBuilder(path, pinned)
 }

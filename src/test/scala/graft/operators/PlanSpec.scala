@@ -202,6 +202,44 @@ class PlanSpec extends SparkTestBase {
       "the doc_id predicate must push into the parquet scan through the DSv2 source:\n" + p.take(1500))
   }
 
+  test("graft-lake DSv2 source SKIPS FILES by manifest stats: a range predicate opens only overlapping files") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a doc_id-clustered unpartitioned lake: 4 files with disjoint id
+    // ranges and per-file stats recorded in the delta log
+    val out = java.nio.file.Files.createTempDirectory("lakestatskip").toString + "/lake"
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Lake.init(spark,
+      docs.repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+      out, Seq.empty, statsCols = Seq("doc_id"))
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.size == 4 && st.stats.size == 4, "fixture: 4 stats'd files")
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+            .fileIndex.inputFiles.length
+      }.get
+    }
+    // a one-sided range hits ONE of the four disjoint files — the other
+    // three are skipped from the MANIFEST stats, their footers never open
+    val ranged = spark.read.format("graft-lake").load(out).filter(col("doc_id") >= 30L)
+    assert(ranged.select("doc_id").collect().map(_.getLong(0)).toSet == (30L until 40L).toSet)
+    assert(plannedFiles(ranged) == 1,
+      "a clustered range predicate must plan only the overlapping file")
+    // equality prunes the same way
+    val eq = spark.read.format("graft-lake").load(out).filter(col("doc_id") === 7L)
+    assert(eq.count() == 1)
+    assert(plannedFiles(eq) == 1)
+    // a predicate the stats cannot decide keeps every file — and stays exact
+    val like = spark.read.format("graft-lake").load(out).filter(col("text").endsWith("7"))
+    assert(like.count() == 4) // 7, 17, 27, 37
+    assert(plannedFiles(like) == 4)
+    // no filters at all: the full resolved list
+    assert(plannedFiles(spark.read.format("graft-lake").load(out)) == 4)
+  }
+
   test("append prefilter: the batch id range reaches the lake scan as a pushed filter") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
