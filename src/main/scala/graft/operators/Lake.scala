@@ -309,7 +309,8 @@ object Lake {
     // never a full-file parse; extra fields are ignored by older parsers
     val nData = rec.added.count { case (p, _) => !rec.rewrites(p) }
     val header = s"graft-delta-v1\t${rec.action}\t${rec.timestampMs}" +
-      s"\t${rec.added.size}\t$nData\t${rec.removed.size}"
+      s"\t${rec.added.size}\t$nData\t${rec.removed.size}" +
+      s"\t${rec.dvAdds.size}\t${rec.cdcFiles.size}"
     val schema = s"S\t${enc(rec.schemaJson)}"
     val adds = rec.added.sortBy(_._1).map { case (p, st) =>
       val tag = if (rec.rewrites(p)) "AR" else "A"
@@ -445,7 +446,7 @@ object Lake {
     * `None` for deltas written before the header carried them (those
     * fall back to a full parse where counts are needed). */
   private[graft] final case class DeltaHeader(action: String, timestampMs: Long,
-      counts: Option[(Int, Int, Int)])
+      counts: Option[(Int, Int, Int)], dvCdcCounts: Option[(Int, Int)])
 
   /** Parse a delta's first line only — see [[readLogFileHeader]]. */
   private[graft] def deltaHeaderAt(spark: SparkSession, lakeDir: String,
@@ -462,7 +463,11 @@ object Lake {
       d <- f.lift(4).flatMap(_.toIntOption)
       r <- f.lift(5).flatMap(_.toIntOption)
     } yield (a, d, r)
-    DeltaHeader(f(1), f.lift(2).flatMap(_.toLongOption).getOrElse(0L), counts)
+    val dvCdc = for {
+      dv <- f.lift(6).flatMap(_.toIntOption)
+      c <- f.lift(7).flatMap(_.toIntOption)
+    } yield (dv, c)
+    DeltaHeader(f(1), f.lift(2).flatMap(_.toLongOption).getOrElse(0L), counts, dvCdc)
   }
 
   /** Name a checkpoint's move-aside during [[writeCheckpoint]]'s replace
@@ -1513,12 +1518,13 @@ object Lake {
     val (deltas, _) = listLog(fs, root)
     val rows = deltas.sorted(Ordering[Long].reverse).map { v =>
       val h = deltaHeaderAt(spark, lakeDir, v)
-      val (na, nd, nr) = h.counts.getOrElse {
-        val d = deltaAt(spark, lakeDir, v)
-        (d.added.size, d.added.count { case (p, _) => !d.rewrites(p) }, d.removed.size)
-      }
+      lazy val full = deltaAt(spark, lakeDir, v)
+      val (na, nd, nr) = h.counts.getOrElse(
+        (full.added.size, full.added.count { case (p, _) => !full.rewrites(p) },
+          full.removed.size))
+      val (ndv, nc) = h.dvCdcCounts.getOrElse((full.dvAdds.size, full.cdcFiles.size))
       org.apache.spark.sql.Row(v, new java.sql.Timestamp(h.timestampMs), h.action,
-        na, nd, nr)
+        na, nd, nr, ndv, nc)
     }
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
@@ -1527,7 +1533,11 @@ object Lake {
       org.apache.spark.sql.types.StructField("action", StringType, nullable = false),
       org.apache.spark.sql.types.StructField("n_added", IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("n_data_added", IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_removed", IntegerType, nullable = false)))
+      org.apache.spark.sql.types.StructField("n_removed", IntegerType, nullable = false),
+      // sparse-mutation grain: deletion-vector attachments and
+      // change-feed sidecars this commit published
+      org.apache.spark.sql.types.StructField("n_dv_attached", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_cdc_files", IntegerType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -1547,11 +1557,15 @@ object Lake {
       val st = resolve(fs, root, lakeDir, v, deltas, checkpoints)
       live ++= st.files
       liveDv ++= st.dvs.values.flatten
+      // EVERY retained delta keeps its change-feed sidecars: the
+      // earliest-sentinel changeFeed replays the oldest retained delta
+      // too, so its sidecars are reachable even though no version below
+      // it survives
+      val d = deltaAt(spark, lakeDir, v)
+      liveCdc ++= d.cdcFiles.map(_._1)
       if (v > oldest) {
-        val d = deltaAt(spark, lakeDir, v)
         live ++= d.added.map(_._1)
         liveDv ++= d.dvAdds.map(_._2)
-        liveCdc ++= d.cdcFiles.map(_._1)
       }
     }
     val liveSet = live.result()

@@ -1477,6 +1477,39 @@ object Pipeline {
     Lake.read(spark, lakeDir)
   }
 
+  /** [[deleteFromLakeSparse]] for an arbitrary PREDICATE instead of a
+    * tombstone id set — "purge every row WHERE lang = 'xx'", the policy
+    * half of right-to-be-forgotten. Scans the lake once (column-pruned
+    * to what the predicate reads plus row lineage), tombstones every
+    * matching row by deletion vector, writes the purged pre-image to the
+    * change-feed sidecar, commits once. No stats pruning (an arbitrary
+    * predicate has no id bounds) — pass tombstone ids to the id form
+    * when you have them. */
+  def deleteFromLakeSparseWhere(spark: SparkSession, lakeDir: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val base = Lake.adopt(spark, lakeDir)
+    if (base.files.isEmpty) return Lake.read(spark, lakeDir)
+    val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
+      base.files, base.dvs)
+    val matched = lineage.filter(predicate)
+    val expected = matched.count()
+    if (expected == 0L) return Lake.read(spark, lakeDir)
+    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.partitionColsOf(base))
+    val root = {
+      val pp = new org.apache.hadoop.fs.Path(lakeDir)
+      pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+    }
+    val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+    val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
+    val (sidecar, stagedRows, files) = Lake.stageDv(spark, lakeDir,
+      back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+    Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "delete", base.schemaJson,
+      Seq.empty, Seq.empty, stagedRows, expected,
+      dvAdds = files.map(f => f -> Seq(sidecar)).toMap,
+      cdcFiles = Seq((cdcPath, "delete"))))
+    Lake.read(spark, lakeDir)
+  }
+
   /** SPARSE row-level MERGE: the correction pass of [[mergeIntoLake]]
     * WITHOUT the survivor rewrite. Matched pre-image rows are tombstoned
     * by deletion vector (O(matched rows), not O(affected partitions));

@@ -676,7 +676,7 @@ class LakeSpec extends SparkTestBase {
       text.linesIterator.find(_.startsWith("S\t")).get
     }
     val ts = System.currentTimeMillis() + 60000L
-    val fat = new StringBuilder(s"graft-delta-v1\tappend\t$ts\t60000\t60000\t0\n")
+    val fat = new StringBuilder(s"graft-delta-v1\tappend\t$ts\t60000\t60000\t0\t0\t0\n")
     fat ++= schemaLine += '\n'
     (0 until 60000).foreach { i =>
       fat ++= s"A\tsplit%3Dtrain%2Fshard_id%3D0%2Fpart-fake-$i.c000.snappy.parquet\n" }
@@ -865,6 +865,50 @@ class LakeSpec extends SparkTestBase {
     assert(e.getMessage.contains("rebase refused"))
     assert(ids(Lake.read(spark, out)) == ((0L until 40L).toSet - 1L) ++ Set(4100L, 4200L),
       "the refused delete must leave the lake untouched")
+  }
+
+  test("predicate sparse delete: WHERE-form purge tombstones every matching row, feeds deletes, audits in history") {
+    val out = freshDir("lake-dv-where")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    // policy purge: every test-split doc with an odd shard
+    Pipeline.deleteFromLakeSparseWhere(spark, out,
+      col("split") === "test" && col("shard_id") === 1)
+    val survivors = ids(Lake.read(spark, out))
+    assert(survivors == (0L until 40L).toSet.filterNot(i => i >= 20 && i % 2 == 1),
+      s"the predicate's rows must all be gone, got $survivors")
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) == "delete" && h.getInt(3) == 0 && h.getInt(5) == 0,
+      "zero files touched")
+    assert(h.getAs[Int]("n_dv_attached") > 0 && h.getAs[Int]("n_cdc_files") == 1,
+      "the audit trail must show the sparse grain: vectors attached, one feed sidecar")
+    // the purged pre-image rows feed as deletes
+    val ev = Lake.changeFeed(spark, out, 0L, 1L)
+    assert(ev.filter(col("_change_type") === "delete").count() == 10)
+    assert(ev.filter(col("_change_type") === "insert").count() == 0)
+    // idempotent: nothing left to match, no new version
+    Pipeline.deleteFromLakeSparseWhere(spark, out,
+      col("split") === "test" && col("shard_id") === 1)
+    assert(Lake.latestManifest(spark, out).get.version == 1L)
+  }
+
+  test("vacuumKeeping keeps the OLDEST retained version's feed sidecars: the earliest change feed stays servable") {
+    val out = freshDir("lake-cdc-retention")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(2L).toDF("doc_id"), "doc_id") // v1
+    Pipeline.appendToLake(spark, out, Seq(100L).toDF("id").select(
+      col("id").as("doc_id"), lit("doc 100").as("text"),
+      lit("test").as("split"), lit(0).cast("int").as("shard_id")))              // v2
+    // retire v0: the sparse delete becomes the OLDEST retained version —
+    // its change-feed sidecar must survive, because the earliest-sentinel
+    // feed still replays it
+    Lake.vacuumKeeping(spark, out, keepVersions = 2)
+    val ev = Lake.changeFeed(spark, out, 0L, 2L)
+      .select("doc_id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ev == Set((2L, "delete", 1L), (100L, "insert", 2L)),
+      s"the feed across the retention cut must stay exact, got $ev")
   }
 
   test("OCC: two sparse deletes staged from the same base BOTH land (tombstone unions commute)") {

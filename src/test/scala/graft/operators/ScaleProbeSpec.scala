@@ -214,4 +214,39 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(secs(10) < secs(1) * 5.0,
       f"append grew ${secs(10) / secs(1)}%.1fx at 10x lake — batch-bound claim broken")
   }
+
+  test("sparse delete: fixed tombstone range into a 10x clustered lake — stats pruning keeps cost near the matches") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), lit("train").as("split"),
+        (col("doc_id") % 8).cast("int").as("shard_id"))
+
+    def replicate(k: Int) = (0 until k)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+
+    // the tombstones live in ONE id-range corner of the FIRST replica —
+    // the delta log's per-file doc_id stats must keep the candidate scan
+    // there no matter how much unrelated lake surrounds it
+    val tomb = base.select("doc_id").filter(col("doc_id") < 2000L).localCheckpoint()
+
+    var secs = Map.empty[Int, Double]
+    for (k <- Seq(1, 10)) {
+      val out = java.nio.file.Files.createTempDirectory(s"probe-dv$k").toString + "/lake"
+      Lake.init(spark,
+        replicate(k).repartitionByRange(16 * k, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+      val t0 = System.nanoTime()
+      Pipeline.deleteFromLakeSparse(spark, out, tomb, "doc_id")
+      val sec = (System.nanoTime() - t0) / 1e9
+      secs += k -> sec
+      info(f"k=$k files=${Lake.latestManifest(spark, out).get.files.size} " +
+        f"sparse-delete=$sec%.1fs")
+    }
+    assert(secs(10) < secs(1) * 5.0,
+      f"sparse delete grew ${secs(10) / secs(1)}%.1fx at 10x lake — " +
+        "stats-pruned match-bound claim broken")
+  }
 }
