@@ -1411,7 +1411,21 @@ object Lake {
             fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
         }
         deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
-        dead ++ deadSidecar
+        // staging sweep: a _graft_staging/<uuid> subtree is NEVER
+        // referenced by a commit (staged files MOVE out before publish),
+        // so any child past the grace period is a crashed writer's
+        // leftover — without this they leak forever
+        val stagingRoot = new Path(root, StagingDirName)
+        val deadStaging =
+          if (!fs.exists(stagingRoot)) Seq.empty[String]
+          else fs.listStatus(stagingRoot).toSeq
+            .map(s => s"$StagingDirName/${s.getPath.getName}")
+            .filter { d =>
+              minAgeMs <= 0 ||
+                fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
+            }
+        deadStaging.foreach(d => fs.delete(new Path(root, d), true))
+        dead ++ deadSidecar ++ deadStaging
     }
   }
 

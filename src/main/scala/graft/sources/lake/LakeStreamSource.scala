@@ -236,11 +236,32 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     if (deltas.isEmpty)
       throw new IllegalArgumentException(
         s"graft-lake-cdc: $lakeDir has no committed versions to stream from")
-    val v = Option(options.get("startingVersion")) match {
-      case Some("earliest") => deltas.head - 1      // include the earliest retained commit
-      case Some(s) => s.toLongOption.getOrElse(throw new IllegalArgumentException(
+    val v = (Option(options.get("startingVersion")),
+        Option(options.get("startingTimestamp"))) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "graft-lake-cdc: pass startingVersion OR startingTimestamp, not both")
+      case (Some("earliest"), None) => deltas.head - 1 // include the earliest retained commit
+      case (Some(s), None) => s.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"graft-lake-cdc: startingVersion must be a version or 'earliest', got '$s'")) - 1
-      case None => deltas.last                      // tail: only commits after stream start
+      case (None, Some(t)) =>
+        // every commit whose wall-clock is AT OR AFTER the asked-for time
+        // streams (header-resolved, O(line) per retained version); a time
+        // newer than every retained commit tails from now
+        val tsMs = t.toLongOption.getOrElse {
+          try java.sql.Timestamp.valueOf(t).getTime
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              "graft-lake-cdc: startingTimestamp must be epoch millis or " +
+                s"'yyyy-MM-dd HH:mm:ss', got '$t'")
+          }
+        }
+        deltas.find(v =>
+          Lake.deltaHeaderAt(spark, lakeDir, v).timestampMs >= tsMs) match {
+          case Some(first) => first - 1
+          case None => deltas.last
+        }
+      case (None, None) => deltas.last // tail: only commits after stream start
     }
     LakeVersionOffset(v)
   }

@@ -983,6 +983,36 @@ class LakeSpec extends SparkTestBase {
       s"expected a loud stats-corruption failure, got: ${e.getMessage}")
   }
 
+  test("vacuum reclaims a crashed writer's abandoned staging subtree") {
+    val out = freshDir("lake-staging-sweep")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (f, f.makeQualified(p))
+    }
+    // simulate a writer killed mid-stage: a staging subtree with parquet
+    // in it, never moved out, never referenced by any commit
+    val stray = new org.apache.hadoop.fs.Path(root,
+      s"${Lake.StagingDirName}/dead-writer-uuid/split=train/shard_id=0")
+    fs.mkdirs(stray)
+    val o = fs.create(new org.apache.hadoop.fs.Path(stray, "part-000.parquet"), false)
+    try o.write("junk".getBytes("UTF-8")) finally o.close()
+    val dead = Lake.vacuum(spark, out)
+    assert(dead.exists(_.startsWith(s"${Lake.StagingDirName}/dead-writer-uuid")),
+      s"the abandoned staging subtree must be reclaimed, got $dead")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"${Lake.StagingDirName}/dead-writer-uuid")))
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet, "live data untouched")
+    // and the grace period protects a LIVE writer's staging, same as data
+    val fresh = new org.apache.hadoop.fs.Path(root,
+      s"${Lake.StagingDirName}/live-writer-uuid")
+    fs.mkdirs(fresh)
+    assert(Lake.vacuum(spark, out, minAgeMs = 3600000L).isEmpty)
+    assert(fs.exists(fresh), "a graced sweep must not reclaim a live writer's staging")
+  }
+
   test("vacuum grace period: freshly-staged files of a live writer survive the sweep") {
     val out = freshDir("lake-vacuum-grace")
     writePlain(fixture(), out)

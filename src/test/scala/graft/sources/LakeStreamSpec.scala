@@ -249,6 +249,49 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("startingTimestamp: the stream replays every commit at or after the asked-for wall-clock") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcts").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))   // v1
+    Thread.sleep(15)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(15)
+    Pipeline.appendToLake(spark, out, fixture(10 until 15))                // v2
+    Pipeline.appendToLake(spark, out, fixture(15 until 20))                // v3
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingTimestamp", betweenTs.toString)
+      .load(out)
+      .writeStream.format("memory").queryName("lake_ts_start")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_ts_start").collect().map(_.getAs[Long]("doc_id")).toSet ==
+        (10L until 20L).toSet,
+        "only the commits at or after the timestamp may replay")
+    } finally q.stop()
+    // a future timestamp tails: nothing pre-existing replays
+    val q2 = spark.readStream.format("graft-lake-cdc")
+      .option("startingTimestamp", (System.currentTimeMillis() + 60000L).toString)
+      .load(out)
+      .writeStream.format("memory").queryName("lake_ts_tail")
+      .option("checkpointLocation", s"$base/ck2")
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("lake_ts_tail").count() == 0)
+    } finally q2.stop()
+    intercept[Exception] {
+      spark.readStream.format("graft-lake-cdc")
+        .option("startingTimestamp", betweenTs.toString)
+        .option("startingVersion", "earliest")
+        .load(out)
+        .writeStream.format("memory").queryName("lake_ts_both")
+        .option("checkpointLocation", s"$base/ck3")
+        .start().processAllAvailable()
+    }
+  }
+
   test("lake CDC stream default start is the tail: only commits after stream start surface") {
     val base = java.nio.file.Files.createTempDirectory("lakecdctail").toString
     val out = s"$base/lake"
