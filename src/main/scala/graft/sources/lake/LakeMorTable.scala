@@ -83,16 +83,14 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
     LakeWrites.newWriteBuilder(lakeDir, pinned)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
-      private var required: StructType = manifestSchema
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
-      override def build(): Scan = new LakeMorScan(lakeDir, st, partCols, required)
-    }
+    new org.apache.spark.sql.graft.LakeMorScanBuilder(manifestSchema,
+      (bounds, required) =>
+        new LakeMorScan(lakeDir, st, partCols, required.getOrElse(manifestSchema), bounds))
 }
 
 private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
-    partCols: Seq[String], required: StructType) extends Scan with Batch {
+    partCols: Seq[String], required: StructType,
+    bounds: Seq[Lake.ColBound] = Seq.empty) extends Scan with Batch {
   private val spark = SparkSession.active
   private val partSchema = StructType(required.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(required.filterNot(f => partCols.contains(f.name)))
@@ -130,7 +128,10 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
         org.apache.spark.paths.SparkPath.fromPath(fst.getPath),
         0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)
     }
-    val (tombstoned, clean) = st.files.partition(positions.contains)
+    // manifest-stat file skipping applies here too: whole-file pruning
+    // never disturbs row positions inside the surviving files
+    val candidates = Lake.pruneByStats(st, bounds)
+    val (tombstoned, clean) = candidates.partition(positions.contains)
     val cleanParts: Seq[InputPartition] = FilePartition.getFilePartitions(
       spark, clean.map(pf), spark.sessionState.conf.filesMaxPartitionBytes)
     // one UNSPLIT partition per tombstoned file: position counting needs

@@ -110,3 +110,26 @@ object LakeStatPruning {
     }
   }
 }
+
+/** The merge-on-read scan's builder: pushed filters contribute their
+  * stats-prunable bounds to CANDIDATE FILE skipping (sound under
+  * position-based deletion vectors — dropping whole files never
+  * disturbs row positions within the survivors) but NOTHING is pushed
+  * into the data read itself, so Spark re-applies every predicate
+  * post-scan and the position counting stays exact. */
+class LakeMorScanBuilder(
+    manifestSchema: StructType,
+    scanFor: (Seq[graft.operators.Lake.ColBound], Option[StructType]) => Scan)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+  private var required: Option[StructType] = None
+  private var bounds: Seq[graft.operators.Lake.ColBound] = Seq.empty
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    bounds = LakeStatPruning.boundsFrom(manifestSchema, filters)
+    filters // everything stays a post-scan predicate
+  }
+  override def pushedFilters: Array[Predicate] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+  override def build(): Scan = scanFor(bounds, required)
+}
