@@ -19,13 +19,19 @@ import graft.plans.{DotProductF, IntersectCardSortedLong, L1DistInt, NormSqF}
   * time, or `GraftFunctions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // SQL MERGE INTO on graft-lake tables → the sparse deletion-vector
+    // commit paths (Spark's own rewrite only serves
+    // SupportsRowLevelOperations tables and ignores ours)
+    e.injectResolutionRule(session =>
+      new org.apache.spark.sql.graft.ResolveLakeMerge(session))
+  }
 }
 
 object GraftFunctions {

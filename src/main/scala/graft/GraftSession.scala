@@ -27,6 +27,9 @@ object GraftSession {
     * coalesces the excess at runtime). */
   def builder(parallelism: Int, master: Option[String]): SparkSession.Builder = {
     val b = SparkSession.builder()
+      // the engine's SQL surface: native expressions (graft_dot, …) and
+      // the graft-lake MERGE INTO routing rule
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", parallelism)
       // deterministic cross-engine timestamps (TESTDATA is UTC-naive)
       .config("spark.sql.session.timeZone", "UTC")

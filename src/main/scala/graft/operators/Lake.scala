@@ -160,7 +160,15 @@ object Lake {
       /** Change-feed sidecars this commit wrote: (sidecar dir, change
         * type) pairs, rendered as `C` lines. The sidecar's rows ARE the
         * feed rows of that type for this version. */
-      cdcFiles: Seq[(String, String)] = Seq.empty)
+      cdcFiles: Seq[(String, String)] = Seq.empty,
+      /** Deletion-vector attachments this commit DETACHES: (data file,
+        * sidecar dir) pairs, rendered as `X` lines — the
+        * [[compactDeletionVectors]] fold-away (the detached sidecar
+        * stays referenced as history for time travel below this
+        * version). Applied BEFORE `dvAdds`, so a consolidation both
+        * detaches the stacked sidecars and attaches their union in one
+        * delta. */
+      dvRemoves: Seq[(String, String)] = Seq.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -186,7 +194,10 @@ object Lake {
       /** Change-feed sidecars this commit publishes: (dir, change type)
         * pairs already written under [[CdcDirName]] (invisible until the
         * delta lands; [[abort]] deletes them). */
-      cdcFiles: Seq[(String, String)] = Seq.empty)
+      cdcFiles: Seq[(String, String)] = Seq.empty,
+      /** Deletion-vector attachments this commit DETACHES (rendered as
+        * `X` lines; see [[DeltaRecord.dvRemoves]]). */
+      dvRemoves: Seq[(String, String)] = Seq.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -317,8 +328,9 @@ object Lake {
       (Seq(tag, enc(p)) ++ statsFields(st)).mkString("\t") }
     val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
     val dvs = rec.dvAdds.sorted.map { case (f, s) => s"D\t${enc(f)}\t${enc(s)}" }
+    val dvx = rec.dvRemoves.sorted.map { case (f, s) => s"X\t${enc(f)}\t${enc(s)}" }
     val cdc = rec.cdcFiles.sorted.map { case (p, t) => s"C\t${enc(p)}\t${enc(t)}" }
-    (header +: schema +: (adds ++ removes ++ dvs ++ cdc)).mkString("\n")
+    (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc)).mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -332,6 +344,7 @@ object Lake {
     val removed = Seq.newBuilder[String]
     val rewrites = Set.newBuilder[String]
     val dvAdds = Seq.newBuilder[(String, String)]
+    val dvRemoves = Seq.newBuilder[(String, String)]
     val cdcFiles = Seq.newBuilder[(String, String)]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
@@ -344,12 +357,13 @@ object Lake {
           rewrites += p
         case "R" => removed += dec(f(1))
         case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
+        case "X" => dvRemoves += ((dec(f(1)), dec(f(2))))
         case "C" => cdcFiles += ((dec(f(1)), dec(f(2))))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
-      rewrites.result(), ts, dvAdds.result(), cdcFiles.result())
+      rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result())
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -527,10 +541,12 @@ object Lake {
   private def applyDelta(st: LakeState, d: DeltaRecord): LakeState = {
     val removed = d.removed.toSet
     // a removed file's DV attachments detach into dvHistory (time travel
-    // below this version still needs the sidecars); new attachments union
-    // onto whatever the file already carries
-    val detached = st.dvs.view.filterKeys(removed).values.flatten.toSeq
-    val keptDvs = st.dvs -- removed
+    // below this version still needs the sidecars); explicit `X` detaches
+    // ([[compactDeletionVectors]]) drop the named (file, sidecar) pairs
+    // BEFORE adds apply; new attachments union onto what remains
+    val detached = st.dvs.view.filterKeys(removed).values.flatten.toSeq ++
+      d.dvRemoves.map(_._2)
+    val keptDvs = applyDvRemoves(st.dvs -- removed, d.dvRemoves)
     val newDvs = d.dvAdds.foldLeft(keptDvs) { case (m, (f, s)) =>
       m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
     }
@@ -547,6 +563,20 @@ object Lake {
       dvHistory = st.dvHistory ++ detached,
       cdc = st.cdc ++ d.cdcFiles.map(_._1))
   }
+
+  /** Drop the named (file, sidecar) attachment pairs — idempotent (an
+    * already-detached pair is a no-op, so raced consolidations commute);
+    * a file whose last attachment detaches leaves the map. */
+  private def applyDvRemoves(dvs: Map[String, Seq[String]],
+      removes: Seq[(String, String)]): Map[String, Seq[String]] =
+    removes.foldLeft(dvs) { case (m, (f, s)) =>
+      m.get(f) match {
+        case None => m
+        case Some(ss) =>
+          val left = ss.filterNot(_ == s)
+          if (left.isEmpty) m - f else m.updated(f, left)
+      }
+    }
 
   /** Resolve the lake state at `version`: newest checkpoint at or below
     * it, plus a replay of the deltas after it. Throws
@@ -619,6 +649,82 @@ object Lake {
     st
   }
 
+  // ------------------------------------------------------------------
+  // Column mapping: logical → physical field names
+  // ------------------------------------------------------------------
+
+  /** Metadata key carrying a field's PHYSICAL (on-disk) column name when
+    * it differs from its logical one — set by [[renameColumn]], the
+    * Delta/Iceberg column-mapping idea in its name-based form: a rename
+    * is a METADATA commit (the manifest schema changes, zero data bytes
+    * move), and every read/write translates at the parquet boundary. */
+  private[graft] val PhysicalNameKey = "graft.physical"
+
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private[graft] def hasMapping(schema: StructType): Boolean =
+    schema.exists(_.metadata.contains(PhysicalNameKey))
+
+  /** The schema as the data files spell it: every field under its
+    * physical name. Identity when nothing was ever renamed. */
+  private[graft] def toPhysical(schema: StructType): StructType =
+    StructType(schema.map(f => f.copy(name = physicalName(f))))
+
+  /** Alias a physically-named frame back to logical names; columns not
+    * in the schema (lineage, feed tags) pass through untouched. */
+  private def toLogical(df: DataFrame, schema: StructType): DataFrame = {
+    val renames = schema.filter(f => physicalName(f) != f.name)
+    renames.foldLeft(df) { (d, f) => d.withColumnRenamed(physicalName(f), f.name) }
+  }
+
+  /** Rename logical columns of a frame ABOUT TO BE WRITTEN to their
+    * physical names (columns outside the schema ride along unchanged). */
+  private def toPhysicalDf(df: DataFrame, schema: StructType): DataFrame = {
+    val renames = schema.filter(f => physicalName(f) != f.name)
+    renames.foldLeft(df) { (d, f) => d.withColumnRenamed(f.name, physicalName(f)) }
+  }
+
+  /** COLUMN RENAME as a metadata-only commit: the manifest schema gets
+    * the new logical name with the original physical name recorded in
+    * field metadata — no data file is opened, let alone rewritten,
+    * which at 100 TB is the difference between a constant-time commit
+    * and a full-lake rewrite. Reads translate at the parquet boundary
+    * ([[readFiles]]); writes translate at staging ([[stageWrite]] /
+    * [[stageCdc]]); stats prune through the mapping
+    * ([[pruneByStats]]). Time travel BELOW the rename resolves the old
+    * schema and reads the old name, exactly as committed. Partition
+    * columns refuse (their name is baked into every directory path — a
+    * rename there IS a physical relayout); duplicate/missing names
+    * refuse naming the columns. The DSv2 surfaces refuse mapped lakes
+    * loudly (scan delegation can't alias yet) — batch `Lake.read` is
+    * the mapped read path. */
+  def renameColumn(spark: SparkSession, lakeDir: String,
+      oldName: String, newName: String): Unit = {
+    val base = adopt(spark, lakeDir)
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"renameColumn: no column '$oldName' in the lake schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(newName),
+      s"renameColumn: column '$newName' already exists")
+    require(!partitionColsOf(base).contains(oldName),
+      s"renameColumn: '$oldName' is a partition column — its name is baked into " +
+        "every directory path; renaming it means a physical relayout (compactLake " +
+        "into a new lake), not a metadata commit")
+    val renamed = StructType(schema.map { f =>
+      if (f.name == oldName) {
+        val keepPhysical = physicalName(f) // chains of renames keep the ORIGINAL
+        f.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalNameKey, keepPhysical).build())
+      } else f
+    })
+    publish(spark, StagedCommit(lakeDir, base, "rename", renamed.json,
+      Seq.empty, Seq.empty, 0L, 0L))
+  }
+
   /** Read a specific file list under the manifest's recorded schema.
     * Applying the schema explicitly (instead of inferring from a sample
     * file) is what makes schema EVOLUTION sound: after a merge-schema
@@ -636,9 +742,13 @@ object Lake {
     else {
       val (_, root) = fsRoot(spark, lakeDir)
       val reader = spark.read.option("basePath", root.toString)
-      val base = (if (schema.nonEmpty) reader.schema(schema) else reader)
+      // data files spell columns by their PHYSICAL names (column
+      // mapping); read under those and alias back to logical after
+      val physical = toPhysical(schema)
+      val base = (if (schema.nonEmpty) reader.schema(physical) else reader)
         .parquet(files.map(f => new Path(root, f).toString): _*)
-      applyDvs(spark, root, base, files, dvs)
+      val applied = applyDvs(spark, root, base, files, dvs)
+      if (hasMapping(schema)) toLogical(applied, schema) else applied
     }
   }
 
@@ -688,21 +798,23 @@ object Lake {
     val (_, root) = fsRoot(spark, lakeDir)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val reader = spark.read.option("basePath", root.toString)
-    val base = (if (schema.nonEmpty) reader.schema(schema) else reader)
+    val base = (if (schema.nonEmpty) reader.schema(toPhysical(schema)) else reader)
       .parquet(files.map(f => new Path(root, f).toString): _*)
       .select(col("*"), col("_metadata.file_path").as("_gf_path"),
         col("_metadata.row_index").as("_gf_pos"))
     val relMap = files.map(f => (new Path(root, f).toString, f)).toDF("_gf_path", "_gf_file")
     val withRel = base.join(broadcast(relMap), "_gf_path").drop("_gf_path")
     val relevant = dvs.view.filterKeys(files.toSet).toMap
-    if (relevant.isEmpty) withRel
-    else {
-      val sidecars = relevant.values.flatten.toSeq.distinct.sorted
-      val dvDf = spark.read.schema(DvSchema)
-        .parquet(sidecars.map(s => new Path(root, s).toString): _*)
-      withRel.join(dvDf.select(col("file").as("_gf_file"), col("pos").as("_gf_pos")),
-        Seq("_gf_file", "_gf_pos"), "left_anti")
-    }
+    val antiJoined =
+      if (relevant.isEmpty) withRel
+      else {
+        val sidecars = relevant.values.flatten.toSeq.distinct.sorted
+        val dvDf = spark.read.schema(DvSchema)
+          .parquet(sidecars.map(s => new Path(root, s).toString): _*)
+        withRel.join(dvDf.select(col("file").as("_gf_file"), col("pos").as("_gf_pos")),
+          Seq("_gf_file", "_gf_pos"), "left_anti")
+      }
+    if (hasMapping(schema)) toLogical(antiJoined, schema) else antiJoined
   }
 
   private[graft] def readState(spark: SparkSession, lakeDir: String, st: LakeState): DataFrame =
@@ -884,8 +996,9 @@ object Lake {
     var rebases = 0
     var committed = false
     while (!committed) {
-      val detached = base.dvs.view.filterKeys(ourRemoved).values.flatten.toSeq
-      val keptDvs = base.dvs -- ourRemoved
+      val detached = base.dvs.view.filterKeys(ourRemoved).values.flatten.toSeq ++
+        sc.dvRemoves.map(_._2)
+      val keptDvs = applyDvRemoves(base.dvs -- ourRemoved, sc.dvRemoves)
       val postDvs = dvAddSeq.foldLeft(keptDvs) { case (m, (f, s)) =>
         m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
       }
@@ -902,7 +1015,7 @@ object Lake {
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
-            cdcFiles = sc.cdcFiles),
+            cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted),
           Some(post))
         committed = true
       } catch {
@@ -933,7 +1046,13 @@ object Lake {
                   s"concurrent commit: interposed ${d.action} v$v attached deletion " +
                     s"vector(s) to file(s) this ${sc.action} rewrites " +
                     s"(e.g. ${dvHit.take(2).mkString(", ")}) — rebase refused", e)
-              val addedHit = d.added.map(_._1).filter(f => readDirs.contains(parentDir(f)))
+              // a vectors-only consolidation reads NO data rows, so an
+              // interposed append into its files' partitions cannot
+              // invalidate it — only row-reading sparse/removing commits
+              // gate on partition-level adds
+              val addedHit =
+                if (sc.action == "dvcompact") Seq.empty
+                else d.added.map(_._1).filter(f => readDirs.contains(parentDir(f)))
               if (addedHit.nonEmpty)
                 throw new IllegalStateException(
                   s"concurrent commit: interposed ${d.action} v$v added file(s) into " +
@@ -981,6 +1100,11 @@ object Lake {
     if (stagedFiles.isEmpty) return (0L, Map.empty)
     val (fs, root) = fsRoot(spark, lakeDir)
     val df = readFiles(spark, lakeDir, schemaJson, stagedFiles)
+    // stats record under PHYSICAL column names — the coordinate system
+    // the on-disk files and [[pruneByStats]]' translation both use
+    val auditSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val physOf: String => String = c =>
+      auditSchema.find(_.name == c).fold(c)(physicalName)
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
     val valid = statsCols.filter(df.schema.fieldNames.contains).distinct
@@ -996,7 +1120,7 @@ object Lake {
       val st = valid.flatMap { c =>
         val (mn, mx) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
         if (mn == null || mx == null) None
-        else Some(ColStat(c, String.valueOf(mn), String.valueOf(mx)))
+        else Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
       }
       if (st.nonEmpty) stats += (rel -> st)
     }
@@ -1019,6 +1143,22 @@ object Lake {
     * compare in UTF8 binary order (Spark's min/max order); any other type
     * keeps the file. */
   def pruneByStats(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
+    // stats are recorded under PHYSICAL column names (they come from
+    // audit read-backs of on-disk files); translate logically-named
+    // bounds through the manifest's column mapping before matching.
+    // An unparseable/absent schema (hand-built states) maps nothing.
+    val schema = scala.util.Try(DataType.fromJson(st.schemaJson))
+      .toOption.collect { case s: StructType => s }
+    val mapped = schema.filter(hasMapping) match {
+      case None => bounds
+      case Some(s) => bounds.map { b =>
+        s.find(_.name == b.col).fold(b)(f => b.copy(col = physicalName(f)))
+      }
+    }
+    pruneByStatsPhysical(st, mapped)
+  }
+
+  private def pruneByStatsPhysical(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
     def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         for (x <- a.toLongOption; y <- b.toLongOption) yield java.lang.Long.compare(x, y)
@@ -1084,7 +1224,13 @@ object Lake {
     * `ingestToLake` first. */
   private[graft] def append(spark: SparkSession, lakeDir: String, df: DataFrame): Unit = {
     val base = adopt(spark, lakeDir)
-    if (base.files.isEmpty)
+    // a NEVER-POPULATED manifest lake (catalog CREATE TABLE: schema
+    // committed, no file ever added) bootstraps as unpartitioned — its
+    // empty layout IS the layout. A lake that merely became empty (every
+    // row deleted from a partitioned layout, history retained) still
+    // refuses: inserting unpartitioned files into a partitioned tree
+    // would mix layouts.
+    if (base.files.isEmpty && !(base.version >= 1 && base.history.isEmpty))
       throw new UnsupportedOperationException(
         s"graft-lake: $lakeDir has no committed layout to insert into — initialize the " +
           "lake first (Lake.init / ingestToLake)")
@@ -1117,11 +1263,23 @@ object Lake {
     * ([[vacuum]] reclaims them). The per-file rename is a metadata move
     * on POSIX/HDFS; an object store without cheap rename would swap in a
     * direct-to-final write committer here. */
+  /** The latest manifest schema IF it carries a column mapping — the
+    * write-side translation gate. One driver-side log resolution; the
+    * common (unmapped) case answers without parsing field metadata
+    * twice. */
+  private def mappingOf(spark: SparkSession, lakeDir: String): Option[StructType] =
+    latestManifest(spark, lakeDir)
+      .map(st => DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
+      .filter(hasMapping)
+
   private[graft] def stageWrite(spark: SparkSession, lakeDir: String, df: DataFrame,
       partitionCols: Seq[String], writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val staging = new Path(new Path(root, StagingDirName), java.util.UUID.randomUUID().toString)
-    df.write.mode("overwrite").options(writeOptions)
+    // under a column mapping, files are SPELLED physical: rename the
+    // frame's mapped logical columns before a byte lands
+    val out = mappingOf(spark, lakeDir).fold(df)(toPhysicalDf(df, _))
+    out.write.mode("overwrite").options(writeOptions)
       .partitionBy(partitionCols: _*).parquet(staging.toString)
     val stagingQ = fs.makeQualified(staging)
     val moved = Seq.newBuilder[String]
@@ -1170,7 +1328,8 @@ object Lake {
       partitionCols: Seq[String]): String = {
     val (_, root) = fsRoot(spark, lakeDir)
     val rel = s"$CdcDirName/${java.util.UUID.randomUUID()}"
-    rows.write.mode("errorifexists").partitionBy(partitionCols: _*)
+    val out = mappingOf(spark, lakeDir).fold(rows)(toPhysicalDf(rows, _))
+    out.write.mode("errorifexists").partitionBy(partitionCols: _*)
       .parquet(new Path(root, rel).toString)
     rel
   }
@@ -1181,10 +1340,11 @@ object Lake {
   private def readCdcSidecars(spark: SparkSession, root: Path, schemaJson: String,
       dirs: Seq[String]): DataFrame = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    dirs.map { d =>
+    val raw = dirs.map { d =>
       val p = new Path(root, d).toString
-      spark.read.option("basePath", p).schema(schema).parquet(p)
+      spark.read.option("basePath", p).schema(toPhysical(schema)).parquet(p)
     }.reduce(_.unionByName(_))
+    if (hasMapping(schema)) toLogical(raw, schema) else raw
   }
 
   /** Stage one deletion-vector sidecar: write the `(file, pos)` rows
@@ -1268,7 +1428,18 @@ object Lake {
     * back to the restored state. Requires the range's files and sidecars
     * retained (the [[changesBetween]] retention rule); deletes committed
     * by pre-change-feed builds have no sidecars and cannot be
-    * reconstructed — the feed names the versions and refuses. */
+    * reconstructed — the feed names the versions and refuses.
+    *
+    * FEED SEMANTICS under raced sparse deletes: two concurrent sparse
+    * deletes that tombstone the SAME row both land (their vectors union
+    * — the OCC race test pins this), and each commit's sidecar carries
+    * that row's pre-image, so the feed emits a delete event for it at
+    * BOTH versions. Set-style mirrors (`exceptAll` replay) converge
+    * regardless; consumers that COUNT deletes or key strictly must
+    * dedupe on the row key — at-least-once delete delivery is the
+    * documented contract, chosen over Delta's refuse-concurrent-deletes
+    * so that independent right-to-be-forgotten passes never abort each
+    * other. */
   def changeFeed(spark: SparkSession, lakeDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -1302,9 +1473,13 @@ object Lake {
       val d = deltaAt(spark, lakeDir, v)
       val restore = d.action == "restore"
       // a delete/merge commit from a build predating the change feed has
-      // no sidecar to reconstruct its pre-image from — refuse, loudly
+      // no sidecar to reconstruct its pre-image from — refuse, loudly.
+      // compact (rewrite-only) and dvcompact (vectors-only fold: its
+      // dvAdds re-attach the SAME positions it detaches) remove no rows
+      // and are exempt.
       if (!restore && d.cdcFiles.isEmpty &&
-          (d.removed.nonEmpty || d.dvAdds.nonEmpty) && d.action != "compact")
+          (d.removed.nonEmpty || d.dvAdds.nonEmpty) &&
+          d.action != "compact" && d.action != "dvcompact")
         throw new IllegalStateException(
           s"changeFeed($fromVersion, $toVersion): version $v (${d.action}) removed rows " +
             "but carries no change-feed sidecar (committed by a pre-change-feed build) — " +
@@ -1415,18 +1590,84 @@ object Lake {
         // referenced by a commit (staged files MOVE out before publish),
         // so any child past the grace period is a crashed writer's
         // leftover — without this they leak forever
+        // the grace check uses the NEWEST mtime anywhere in the subtree,
+        // not the subtree root's: a directory's mtime is set when its
+        // first child lands and deeper task-file writes don't refresh it,
+        // so a live writer whose stage outlasts the grace period would
+        // otherwise have freshly written staged files reclaimed mid-commit
         val stagingRoot = new Path(root, StagingDirName)
         val deadStaging =
           if (!fs.exists(stagingRoot)) Seq.empty[String]
           else fs.listStatus(stagingRoot).toSeq
             .map(s => s"$StagingDirName/${s.getPath.getName}")
             .filter { d =>
-              minAgeMs <= 0 ||
-                fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
+              minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff
             }
         deadStaging.foreach(d => fs.delete(new Path(root, d), true))
         dead ++ deadSidecar ++ deadStaging
     }
+  }
+
+  /** Newest modification time anywhere under `p` (the dir itself, its
+    * subdirectories, and every file) — the correct "is this subtree
+    * still being written to" signal for grace-period sweeps. */
+  private def newestMtime(fs: FileSystem, p: Path): Long = {
+    if (!fs.exists(p)) return 0L
+    var newest = fs.getFileStatus(p).getModificationTime
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+    newest
+  }
+
+  /** VECTORS-ONLY maintenance fold (cf. Delta's `REORG … PURGE` shape,
+    * minus the data rewrite): merge each data file's STACKED
+    * deletion-vector sidecars into one, touching no data bytes.
+    * Repeated sparse mutations against the same file stack sidecars
+    * (`dvs: file → Seq(sidecar)`), and every stacked sidecar is another
+    * parquet read on the merge-on-read path; this folds the stack so
+    * the MoR read stays cheap BETWEEN full compactions (which remain
+    * the only way to materialize tombstones into plain files).
+    *
+    * One `dvcompact` commit: the distinct `(file, pos)` union of each
+    * stacked file's sidecars is staged as ONE new sidecar, the delta
+    * detaches the old attachments (`X` lines) and attaches the new one
+    * (`D` lines) — net row change ZERO, so the change feed and adds-CDC
+    * emit NOTHING across it, and time travel below it still resolves
+    * the old sidecars (they move to dv history; [[vacuumKeeping]]
+    * reclaims them with the rest of history). Audit compares the new
+    * sidecar's read-back count against the distinct pre-image position
+    * count. Files with a single attachment are left alone; a lake with
+    * no stacking is a no-op (no version bump). Cost is O(attached
+    * sidecar bytes) — never the lake. Raced appends commute (the fold
+    * reads no data rows); raced sparse deletes commute by attachment
+    * union; a raced rewrite of a folded file refuses like every
+    * removing conflict. Returns the per-file attachment counts folded,
+    * empty when nothing stacked. */
+  def compactDeletionVectors(spark: SparkSession, lakeDir: String): Map[String, Int] = {
+    import spark.implicits._
+    val base = currentState(spark, lakeDir)
+    val stacked = base.dvs.filter(_._2.size >= 2)
+    if (stacked.isEmpty) return Map.empty
+    val (_, root) = fsRoot(spark, lakeDir)
+    val sidecars = stacked.values.flatten.toSeq.distinct.sorted
+    val dv = spark.read.schema(DvSchema)
+      .parquet(sidecars.map(s => new Path(root, s).toString): _*)
+    // a sidecar can cover files that are NOT stacked — keep only the
+    // stacked files' rows (broadcast semi-join; the file list is bounded
+    // by the attachment count). distinct: the same position tombstoned
+    // by two raced deletes folds to one row.
+    val stackedFiles = stacked.keys.toSeq.sorted.toDF("file")
+    val rows = dv.join(broadcast(stackedFiles), "file").distinct()
+    val expected = rows.count()
+    val (rel, stagedRows, files) = stageDv(spark, lakeDir, rows)
+    require(files.toSet == stacked.keySet,
+      s"dv consolidation read-back names ${files.size} file(s), expected " +
+        s"${stacked.size} — sidecar corruption? staged $rel left for vacuum")
+    publish(spark, StagedCommit(lakeDir, base, "dvcompact", base.schemaJson,
+      Seq.empty, Seq.empty, stagedRows, expected,
+      dvAdds = files.map(f => f -> Seq(rel)).toMap,
+      dvRemoves = stacked.toSeq.flatMap { case (f, ss) => ss.map(s => (f, s)) }))
+    stacked.view.mapValues(_.size).toMap
   }
 
   /** The lakeDir-relative DV and CDC sidecar dirs on disk (two listings). */
@@ -1556,7 +1797,8 @@ object Lake {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  def vacuumKeeping(spark: SparkSession, lakeDir: String, keepVersions: Int): Seq[String] = {
+  def vacuumKeeping(spark: SparkSession, lakeDir: String, keepVersions: Int,
+      minAgeMs: Long = 0L): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val (fs, root) = fsRoot(spark, lakeDir)
     val (deltas, checkpoints) = listLog(fs, root)
@@ -1603,10 +1845,21 @@ object Lake {
         // readable (changeFeed refuses ranges below it anyway)
         cdc = liveCdcSet.toSeq.sorted),
       overwrite = true)
-    val dead = listDataFiles(spark, lakeDir).filterNot(liveSet)
+    // `minAgeMs` is the same in-flight-writer grace as [[vacuum]]'s: an
+    // unreferenced data file or sidecar younger than the window may be a
+    // LIVE writer's staged-but-unpublished output (sidecars are staged
+    // under their final _graft_dv/_graft_cdc names before publish), and
+    // reclaiming it would fail that commit — or worse, let the commit
+    // land referencing a deleted sidecar. Skipped survivors are retried
+    // by any later maintenance pass.
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dead = listDataFiles(spark, lakeDir).filterNot(liveSet).filter { f =>
+      minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
+    }
     deleteFiles(spark, lakeDir, dead)
     val deadSidecar = listSidecarDirs(fs, root)
       .filterNot(d => liveDvSet.contains(d) || liveCdcSet.contains(d))
+      .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
     deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>

@@ -1482,15 +1482,22 @@ object Pipeline {
     * half of right-to-be-forgotten. Scans the lake once (column-pruned
     * to what the predicate reads plus row lineage), tombstones every
     * matching row by deletion vector, writes the purged pre-image to the
-    * change-feed sidecar, commits once. No stats pruning (an arbitrary
-    * predicate has no id bounds) — pass tombstone ids to the id form
-    * when you have them. */
+    * change-feed sidecar, commits once. The predicate's stats-prunable
+    * conjuncts (range/equality against literals —
+    * [[org.apache.spark.sql.graft.LakeStatPruning.boundsFrom]], the same
+    * translation the DSv2 read uses) prune the CANDIDATE FILE LIST
+    * against the manifest's per-file min/max before a single row is
+    * read, so a range purge on a clustered lake scans only the
+    * overlapping files; predicates with no extractable bounds scan
+    * everything (exactness-preserving, like all stats pruning here). */
   def deleteFromLakeSparseWhere(spark: SparkSession, lakeDir: String,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
     if (base.files.isEmpty) return Lake.read(spark, lakeDir)
+    val candidates = sparseWhereCandidates(spark, base, predicate)
+    if (candidates.isEmpty) return Lake.read(spark, lakeDir)
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
-      base.files, base.dvs)
+      candidates, base.dvs)
     val matched = lineage.filter(predicate)
     val expected = matched.count()
     if (expected == 0L) return Lake.read(spark, lakeDir)
@@ -1508,6 +1515,29 @@ object Pipeline {
       dvAdds = files.map(f => f -> Seq(sidecar)).toMap,
       cdcFiles = Seq((cdcPath, "delete"))))
     Lake.read(spark, lakeDir)
+  }
+
+  /** The candidate files of a predicate-form sparse mutation: the
+    * manifest files whose recorded stats overlap the predicate's
+    * extractable bounds. The predicate is RESOLVED first — filtered
+    * against an empty frame under the lake schema, so the analyzer
+    * normalizes it into the typed comparison nodes
+    * [[org.apache.spark.sql.graft.LakeStatPruning.boundsFrom]] reads
+    * (literals coerced to the column types, `&&` into `And`). A
+    * predicate no bound can be extracted from keeps every file.
+    * Package-visible so the spec can pin the pruning without a
+    * filesystem-level probe. */
+  private[graft] def sparseWhereCandidates(spark: SparkSession, base: Lake.LakeState,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val conds = empty.filter(predicate).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val bounds = org.apache.spark.sql.graft.LakeStatPruning.boundsFrom(schema, conds)
+    if (bounds.isEmpty) base.files else Lake.pruneByStats(base, bounds)
   }
 
   /** SPARSE row-level MERGE: the correction pass of [[mergeIntoLake]]
@@ -1749,6 +1779,84 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM changes GROUP BY 1, 2 ORDER BY _change_type, split""".stripMargin
 
+  // ---------------------------------------------------------------- px117
+  /** SQL `MERGE INTO` — px113's sparse upsert driven entirely from SQL:
+    * the injected [[org.apache.spark.sql.graft.ResolveLakeMerge]] rule
+    * routes the UPDATE SET star + INSERT star shape onto
+    * [[mergeIntoLakeSparse]], so the statement commits O(matched rows)
+    * tombstones plus the upsert files — zero survivor rewrites — and
+    * the post-merge corpus hash-matches px113's relational oracle.
+    * LakeSpec pins the SQL-vs-Scala row-for-row equality and the loud
+    * refusal of unsupported merge shapes. */
+  private def px117(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px117_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    val updated = sharded.filter(col("doc_id") % 11 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(500L))
+    val inserted = hashSplit(
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(20000000L)), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    updated.unionByName(inserted).createOrReplaceTempView("px117_updates")
+    spark.sql("DROP TABLE IF EXISTS px117_corpus")
+    spark.sql(s"CREATE TABLE px117_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try spark.sql(
+      """MERGE INTO px117_corpus t USING px117_updates s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.sql("DROP TABLE IF EXISTS px117_corpus")
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  // ---------------------------------------------------------------- px116
+  /** SQL row-level DELETE — the lake's best write-amplification
+    * property (sparse deletion-vector commits) behind pure SQL:
+    * `DELETE FROM corpus WHERE …` on a `graft-lake` table routes
+    * through [[graft.sources.lake.LakeDeletes]] to
+    * [[deleteFromLakeSparseWhere]], landing as ONE protocol commit that
+    * attaches `(file, pos)` tombstones (zero data files added or
+    * removed — LakeSpec pins it via describeHistory), writes the purged
+    * pre-image to the change-feed sidecar, and stats-prunes the
+    * candidate files from the predicate's bounds. The post-delete
+    * manifest must equal the corpus minus the deleted range — a single
+    * hash-match certifying the SQL DELETE translation, the sparse
+    * commit, and the merge-on-read lake read. */
+  private def px116(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px116_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    spark.sql("DROP TABLE IF EXISTS px116_corpus")
+    spark.sql(s"CREATE TABLE px116_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try spark.sql("DELETE FROM px116_corpus WHERE doc_id >= 17 AND doc_id < 170")
+    finally spark.sql("DROP TABLE IF EXISTS px116_corpus")
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px116Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE NOT (doc_id >= 17 AND doc_id < 170)
+      |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   // ---------------------------------------------------------------- px110
   /** The lake behind a format string — [[graft.sources.lake.LakeSource]]
     * puts manifest resolution and time travel on the standard DSv2
@@ -1948,5 +2056,7 @@ object Pipeline {
     GraftQuery("px112_lake_restore", px112, Some(px100Oracle)),
     GraftQuery("px113_lake_merge_sparse", px113, Some(px113Oracle)),
     GraftQuery("px114_lake_change_feed", px114, Some(px114Oracle)),
-    GraftQuery("px115_lake_sql_insert", px115, Some(px100Oracle)))
+    GraftQuery("px115_lake_sql_insert", px115, Some(px100Oracle)),
+    GraftQuery("px116_lake_sql_delete", px116, Some(px116Oracle)),
+    GraftQuery("px117_lake_sql_merge", px117, Some(px113Oracle)))
 }

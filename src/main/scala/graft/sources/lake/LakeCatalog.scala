@@ -1,0 +1,157 @@
+package graft.sources.lake
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Lake
+
+/** Named-catalog surface for graft lakes — SQL users stop passing paths:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_lake",
+  *     "graft.sources.lake.LakeCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft_lake.warehouse", "/lakes")
+  *
+  *   SELECT * FROM graft_lake.corpus                      -- /lakes/corpus
+  *   SELECT * FROM graft_lake.corpus VERSION AS OF 2      -- time travel
+  *   SELECT * FROM graft_lake.corpus TIMESTAMP AS OF '…'
+  *   INSERT INTO graft_lake.corpus SELECT …               -- protocol commit
+  *   DELETE FROM graft_lake.corpus WHERE …                -- sparse DV commit
+  *   MERGE INTO graft_lake.corpus t USING u s ON …        -- sparse merge
+  * }}}
+  *
+  * A `TableCatalog` whose identity IS the filesystem layout: table
+  * `db.t` lives at `<warehouse>/db/t`, and a backtick-quoted absolute
+  * path (`` graft_lake.`/abs/path` ``) addresses a lake directly — the
+  * Delta-style path-table idiom. Tables resolve through the SAME
+  * [[LakeSource]] machinery as the format string (manifest isolation,
+  * stat-pruned scans, merge-on-read under deletion vectors, the
+  * protocol write path), so the catalog adds naming and the standard
+  * `VERSION AS OF` / `TIMESTAMP AS OF` syntax, not a second read path.
+  *
+  * `CREATE TABLE` commits an EMPTY unpartitioned lake (version 1, the
+  * schema recorded) so `INSERT INTO` can bootstrap it; a PARTITIONED
+  * create refuses — an empty lake has no file layout to record
+  * partition columns in, so partitioned lakes are created by their
+  * first data write (`Lake.init` / `ingestToLake`) and then named here.
+  * `DROP TABLE` deletes the lake directory (the path is the identity —
+  * there is no registration to remove). `ALTER TABLE` refuses: schema
+  * evolution goes through merge-schema appends. */
+class LakeCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def dirFor(ident: Identifier): String = {
+    if (ident.name.startsWith("/")) {
+      require(ident.namespace.isEmpty,
+        s"graft-lake catalog: a path-addressed table takes no namespace, got " +
+          s"${ident.namespace.mkString(".")}.${ident.name}")
+      ident.name
+    } else warehouse match {
+      case Some(w) => (w.stripSuffix("/") +: (ident.namespace :+ ident.name)).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"graft-lake catalog '$catalogName' has no warehouse configured — set " +
+          s"spark.sql.catalog.$catalogName.warehouse, or address lakes by absolute " +
+          s"path: $catalogName.`/path/to/lake`")
+    }
+  }
+
+  private def isLake(dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && (fs.exists(new Path(p, Lake.LogDirName)) ||
+      Lake.listDataFiles(spark, dir).nonEmpty)
+  }
+
+  private def tableAt(ident: Identifier, version: Option[String],
+      timestampAsOf: Option[String]): Table = {
+    val dir = dirFor(ident)
+    if (!isLake(dir)) throw new NoSuchTableException(ident)
+    val props = new util.HashMap[String, String]()
+    props.put("path", dir)
+    version.foreach(props.put("version", _))
+    timestampAsOf.foreach(props.put("timestampAsOf", _))
+    new LakeSource().getTable(null, Array.empty, props)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None, None)
+
+  /** `VERSION AS OF v` — the catalog time-travel overload. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(version), None)
+
+  /** `TIMESTAMP AS OF t` — Spark passes MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    tableAt(ident, None, Some((timestampMicros / 1000L).toString))
+
+  override def tableExists(ident: Identifier): Boolean = isLake(dirFor(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
+    val base = new Path((w.stripSuffix("/") +: namespace).mkString("/"))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(base).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isLake((w.stripSuffix("/") +: namespace :+ n).mkString("/")))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft-lake catalog: CREATE TABLE with partitioning is not supported — an " +
+          "empty lake has no file layout to record partition columns in; create " +
+          "partitioned lakes with their first data write (Lake.init / ingestToLake), " +
+          "then query them by name")
+    val dir = dirFor(ident)
+    // an empty UNPARTITIONED lake: version 1 commits the schema over no
+    // files, so INSERT INTO bootstraps the layout
+    Lake.commitDelta(spark, dir,
+      Lake.DeltaRecord(1L, "init", schema.json, Seq.empty, Seq.empty),
+      Some(Lake.LakeState(1L, schema.json, Seq.empty)))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-lake catalog: ALTER TABLE is not supported — evolve the schema " +
+        "through merge-schema appends (appendToLake(mergeSchema = true))")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!isLake(dir)) return false
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = new Path(dirFor(oldIdent))
+    val to = new Path(dirFor(newIdent))
+    val fs = from.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"graft-lake catalog: rename $from -> $to failed (filesystem refused)")
+  }
+}

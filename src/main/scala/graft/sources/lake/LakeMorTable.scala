@@ -36,17 +36,27 @@ import graft.operators.Lake
   * row-mode decode and no predicate pushdown on the tombstoned files
   * only; compaction restores the fully-vectorized clean path.
   *
-  * The tombstone sets ride in the partition payloads, so the scan
-  * refuses (pointing at `compactLake`) when the total position count
-  * exceeds a cap — `spark.graft.lake.morMaxPositions`, default 5M — a
-  * DV set that size should have been a rewrite, not a bigger task
-  * binary. */
+  * The tombstone sets ship to the tasks as ONE BROADCAST keyed by file
+  * (each tombstoned file's reader looks its positions up at open time),
+  * never as per-task partition payloads — a version with many
+  * tombstoned files serializes the position set once, not once per
+  * task binary. The remaining ceiling is the driver-side load of the
+  * position set before broadcasting, capped at
+  * `spark.graft.lake.morMaxPositions` (default 20M) with a loud
+  * refusal pointing at `compactLake` — a tombstone set that size
+  * should have been materialized, and `Lake.read`'s executor-side
+  * anti-join has no such ceiling. */
 object LakeMorTable {
   val MaxPositionsConf = "spark.graft.lake.morMaxPositions"
-  val DefaultMaxPositions = 5000000L
+  val DefaultMaxPositions = 20000000L
 
-  /** file → sorted tombstoned positions, collected driver-side (bounded
-    * by the cap). */
+  /** file → sorted tombstoned positions. ONE bounded fetch: the cap
+    * check and the load are the same `limit(cap+1)` collect — no
+    * separate count pass, no unbounded driver fetch before the check.
+    * The narrow single-partition coalesce ahead of the limit keeps
+    * `executeTake` from issuing one job per partition wave (and AQE
+    * from staging a shuffle as its own job): the whole load is ONE job,
+    * its single task streaming the cap-bounded sidecar rows. */
   def loadPositions(spark: SparkSession, root: Path,
       st: Lake.LakeState): Map[String, Array[Long]] = {
     val sidecars = st.dvs.values.flatten.toSeq.distinct.sorted
@@ -54,21 +64,28 @@ object LakeMorTable {
       .parquet(sidecars.map(s => new Path(root, s).toString): _*)
     val cap = spark.conf.getOption(MaxPositionsConf).flatMap(_.toLongOption)
       .getOrElse(DefaultMaxPositions)
-    val total = dv.count()
-    if (total > cap)
+    val capPlus1 = math.min(cap, Int.MaxValue - 2L).toInt + 1
+    val rows = dv.coalesce(1).limit(capPlus1).collect()
+    if (rows.length >= capPlus1)
       throw new UnsupportedOperationException(
-        s"graft-lake: version ${st.version} carries $total deletion-vector positions " +
-          s"(cap $cap via $MaxPositionsConf) — a tombstone set this large should be " +
+        s"graft-lake: version ${st.version} carries over $cap deletion-vector positions " +
+          s"(cap via $MaxPositionsConf) — a tombstone set this large should be " +
           "materialized: run compactLake, or read via Lake.read (its anti-join scales)")
-    dv.collect().groupBy(_.getString(0)).map { case (f, rows) =>
-      f -> rows.map(_.getLong(1)).sorted
+    rows.groupBy(_.getString(0)).map { case (f, rs) =>
+      f -> rs.map(_.getLong(1)).sorted
     }
   }
 }
 
 private[lake] class LakeMorTable(tableName: String, lakeDir: String,
     st: Lake.LakeState, pinned: Boolean)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with LakeDeletes
+    with GraftLakeTable {
+  override def lakeDirPath: String = lakeDir
+  override def lakePinned: Boolean = pinned
+  override def lakeManifest: Lake.LakeState = st
+  override protected def deleteLakeDir: String = lakeDir
+  override protected def deletePinned: Boolean = pinned
   private val manifestSchema =
     DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
   private val partCols = Lake.partitionColsOf(st)
@@ -98,8 +115,13 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
 
   override def readSchema(): StructType =
     StructType(dataSchema.fields ++ partSchema.fields)
+  // the description names the cost a user would otherwise misread: a
+  // pushed-looking filter on a heavily-tombstoned version runs row-mode
+  // with post-scan predicates — compaction restores the vectorized path
   override def description(): String =
-    s"graft-lake MoR $lakeDir@v${st.version} columns=${required.fieldNames.mkString(",")}"
+    s"graft-lake MoR $lakeDir@v${st.version} columns=${required.fieldNames.mkString(",")} " +
+      s"[row-mode, ${st.dvs.size} of ${st.files.size} file(s) tombstoned, no data-filter " +
+      "pushdown — consider compactLake to restore the vectorized clean-path scan]"
   override def toBatch: Batch = this
 
   private def partitionValues(relPath: String): InternalRow = {
@@ -121,7 +143,6 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)
-    val positions = LakeMorTable.loadPositions(spark, qroot, st)
     def pf(rel: String): PartitionedFile = {
       val fst = fs.getFileStatus(new Path(qroot, rel))
       PartitionedFile(partitionValues(rel),
@@ -129,26 +150,37 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
         0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)
     }
     // manifest-stat file skipping applies here too: whole-file pruning
-    // never disturbs row positions inside the surviving files
+    // never disturbs row positions inside the surviving files. Planning
+    // needs only WHICH files carry attachments (the manifest knows) —
+    // the positions themselves load once at reader-factory time and
+    // ship as a broadcast, never in the partition payloads
     val candidates = Lake.pruneByStats(st, bounds)
-    val (tombstoned, clean) = candidates.partition(positions.contains)
+    val (tombstoned, clean) = candidates.partition(st.dvs.contains)
     val cleanParts: Seq[InputPartition] = FilePartition.getFilePartitions(
       spark, clean.map(pf), spark.sessionState.conf.filesMaxPartitionBytes)
     // one UNSPLIT partition per tombstoned file: position counting needs
     // the whole file read in order by a single reader
     val morParts: Seq[InputPartition] = tombstoned.zipWithIndex.map { case (rel, i) =>
-      MorPartition(FilePartition(cleanParts.length + i, Array(pf(rel))), positions(rel))
+      MorPartition(FilePartition(cleanParts.length + i, Array(pf(rel))), rel)
     }
     (cleanParts ++ morParts).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new MorReaderFactory(LakeParquetRead.readerFactory(spark, dataSchema, partSchema))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val root = new Path(lakeDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val positions = LakeMorTable.loadPositions(spark, fs.makeQualified(root), st)
+    new MorReaderFactory(LakeParquetRead.readerFactory(spark, dataSchema, partSchema),
+      spark.sparkContext.broadcast(positions))
+  }
 }
 
-/** A single tombstoned file plus its sorted deleted positions. */
-private[lake] case class MorPartition(files: FilePartition,
-    skip: Array[Long]) extends InputPartition {
+/** A single tombstoned file, identified by its lakeDir-relative path —
+  * the key into the broadcast position map. The payload carries NO
+  * positions: a thousand tombstoned files serialize the position set
+  * once (the broadcast), not a thousand times (the task binaries). */
+private[graft] case class MorPartition(files: FilePartition,
+    relPath: String) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -156,16 +188,19 @@ private[lake] case class MorPartition(files: FilePartition,
   * on row-vs-columnar, so the presence of ANY tombstoned file puts the
   * whole (transitional, pre-compaction) scan in row mode; clean
   * partitions stay bin-packed and decode through the same factory,
-  * [[MorPartition]]s additionally filter by position. */
-private[lake] class MorReaderFactory(inner: PartitionReaderFactory)
+  * [[MorPartition]]s additionally filter by position looked up from the
+  * broadcast at open time. */
+private[lake] class MorReaderFactory(inner: PartitionReaderFactory,
+    positions: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = false
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     inner.createColumnarReader(partition)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case MorPartition(files, skip) =>
-        new PositionSkipReader(inner.createReader(files), skip)
+      case MorPartition(files, relPath) =>
+        new PositionSkipReader(inner.createReader(files),
+          positions.value.getOrElse(relPath, Array.empty[Long]))
       case p => inner.createReader(p)
     }
 }

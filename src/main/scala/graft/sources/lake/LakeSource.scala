@@ -144,6 +144,15 @@ class LakeSource extends TableProvider with DataSourceRegister
     val (path, st) = resolve(opts)
     val spark = SparkSession.active
     val pinned0 = opts.containsKey("version") || opts.containsKey("timestampAsOf")
+    // a renamed (column-mapped) lake reads physical names the delegated
+    // parquet scans cannot alias back — refuse loudly rather than
+    // serve nulls under the renamed column
+    val resolvedSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (graft.operators.Lake.hasMapping(resolvedSchema))
+      throw new UnsupportedOperationException(
+        s"graft-lake: $path@v${st.version} carries renamed (column-mapped) fields — " +
+          "the DSv2 scan cannot alias physical parquet columns yet; read mapped " +
+          "lakes with Lake.read / Lake.readVersion")
     // a DV-bearing version reads MERGE-ON-READ: the delegated
     // ParquetTable scan cannot apply deletion vectors, so the scan
     // switches to [[LakeMorTable]] (per-file position skip) until
@@ -175,6 +184,23 @@ class LakeSource extends TableProvider with DataSourceRegister
   }
 }
 
+/** Marker + accessor surface identifying a DSv2 table as a graft lake —
+  * what the injected `MERGE INTO` resolution rule
+  * ([[org.apache.spark.sql.graft.ResolveLakeMerge]]) matches on to route
+  * row-level SQL onto the sparse commit paths. Public (the rule lives in
+  * another package); implemented by both the clean-path [[LakeTable]]
+  * and the merge-on-read [[LakeMorTable]]. */
+trait GraftLakeTable {
+  /** The lake's root directory (the commit target). */
+  def lakeDirPath: String
+  /** True when resolved with version/timestampAsOf (mutations refuse). */
+  def lakePinned: Boolean
+  /** The resolved manifest state this table reads. */
+  def lakeManifest: Lake.LakeState
+  /** The lake layout's partition columns (in path order). */
+  def lakePartitionCols: Seq[String] = Lake.partitionColsOf(lakeManifest)
+}
+
 /** Wrapper around the resolved-file-list `ParquetTable`: reads delegate
   * to the native parquet scan — behind a manifest-stat FILE-skipping
   * layer when the log recorded per-file column stats
@@ -185,7 +211,13 @@ class LakeSource extends TableProvider with DataSourceRegister
 private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean,
     st: Lake.LakeState, manifestSchema: StructType,
     builderFor: (Seq[String], CaseInsensitiveStringMap) => ScanBuilder)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with LakeDeletes
+    with GraftLakeTable {
+  override def lakeDirPath: String = path
+  override def lakePinned: Boolean = pinned
+  override def lakeManifest: Lake.LakeState = st
+  override protected def deleteLakeDir: String = path
+  override protected def deletePinned: Boolean = pinned
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
   override def partitioning(): Array[Transform] = inner.partitioning()

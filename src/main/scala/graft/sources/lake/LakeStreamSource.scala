@@ -119,6 +119,11 @@ object LakeStreamSource {
       options: CaseInsensitiveStringMap): (StructType, Seq[String]) = {
     val st = Lake.currentState(spark, lakeDir)
     val manifest = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (Lake.hasMapping(manifest))
+      throw new UnsupportedOperationException(
+        s"graft-lake-cdc: $lakeDir carries renamed (column-mapped) fields — the " +
+          "stream's per-file decode cannot alias physical parquet columns yet; " +
+          "consume mapped lakes with the batch Lake.changeFeed")
     val partCols: Seq[String] = st.files.headOption match {
       case Some(f) =>
         f.split('/').dropRight(1).toSeq.map { seg =>
@@ -394,11 +399,23 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
           }
         }
         if (restore && d.removed.nonEmpty) {
-          if (d.dvAdds.nonEmpty)
+          // two ways deletion vectors can be involved: the restore
+          // RE-ATTACHES vectors to its re-added files (dvAdds), or the
+          // files it REMOVES carried vectors in the pre-restore state —
+          // streaming those wholesale as deletes would emit delete events
+          // for rows already tombstoned earlier, silently corrupting
+          // net-replay mirrors. The batch Lake.changeFeed applies
+          // stateAt(v-1).dvs to the removed files; this per-file decode
+          // cannot, so both shapes refuse loudly.
+          lazy val preDvd = Lake.stateAt(spark, lakeDir, v - 1)
+            .dvs.keySet.intersect(d.removed.toSet)
+          if (d.dvAdds.nonEmpty || preDvd.nonEmpty)
             throw new IllegalStateException(
-              s"graft-lake-cdc: version $v is a restore involving deletion vectors, " +
-                "which this stream's per-file decode cannot apply — consume this range " +
-                "with the batch Lake.changeFeed instead")
+              s"graft-lake-cdc: version $v is a restore involving deletion vectors" +
+                (if (d.dvAdds.nonEmpty) ""
+                 else s" (removed file(s) carried vectors, e.g. ${preDvd.take(2).mkString(", ")})") +
+                ", which this stream's per-file decode cannot apply — consume this " +
+                "range with the batch Lake.changeFeed instead")
           d.removed.foreach(f => out += PlannedFile(f, 0, "delete", v))
         }
       }

@@ -892,6 +892,244 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.latestManifest(spark, out).get.version == 1L)
   }
 
+  test("predicate sparse delete stats-prunes: a range purge on a clustered lake reads only overlapping files") {
+    val out = freshDir("lake-dv-where-prune")
+    val rows = spark.range(8000).select(col("id").as("doc_id"),
+      concat(lit("text-"), col("id")).as("text"),
+      lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id"))
+    // range-clustered: 16 files with disjoint doc_id runs, stats recorded
+    Lake.init(spark, rows.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id"), out, Seq.empty, statsCols = Seq("doc_id"))
+    val base = Lake.latestManifest(spark, out).get
+    assert(base.files.size >= 16, s"fixture wants >=16 clustered files, got ${base.files.size}")
+    // the predicate's bounds prune the candidate list driver-side
+    val oneSide = Pipeline.sparseWhereCandidates(spark, base, col("doc_id") >= lit(7500L))
+    assert(oneSide.nonEmpty && oneSide.size <= 2,
+      s"a one-sided range must keep only the tail file(s), got ${oneSide.size}")
+    val twoSide = Pipeline.sparseWhereCandidates(spark, base,
+      col("doc_id") >= lit(7500L) && col("doc_id") < lit(7600L))
+    assert(twoSide.size <= oneSide.size, "a conjunction prunes at least as tight")
+    // no extractable bound (or no stats for the column) keeps every file
+    assert(Pipeline.sparseWhereCandidates(spark, base, col("text") === "nope").size ==
+      base.files.size)
+    assert(Pipeline.sparseWhereCandidates(spark, base,
+      col("doc_id") >= lit(7500L) || col("text") === "x").size == base.files.size,
+      "a top-level OR extracts no bound — conservative, never wrong")
+    // end-to-end: the purge's read volume tracks the overlapping files,
+    // not the lake (the local-fs byte counter is synchronous on reads)
+    val stats = org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics.get("file")
+    assume(stats != null, "local-filesystem storage statistics unavailable")
+    val dataBytes = Lake.fileBytes(spark, out, base.files)
+    val before = stats.getLong("bytesRead")
+    Pipeline.deleteFromLakeSparseWhere(spark, out, col("doc_id") >= lit(7500L))
+    val readBytes = stats.getLong("bytesRead") - before
+    assert(readBytes < dataBytes / 2,
+      s"a pruned range purge read $readBytes bytes against a $dataBytes-byte lake — " +
+        "it must scan only the overlapping files")
+    // and the commit is exact: rows gone, zero files touched
+    assert(Lake.read(spark, out).count() == 7500L)
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 2L).get
+    assert(h.getString(2) == "delete" && h.getInt(3) == 0 && h.getInt(5) == 0)
+  }
+
+  test("SQL DELETE FROM lands as a sparse deletion-vector commit; consecutive and pinned deletes behave") {
+    val out = freshDir("lake-sql-delete")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    spark.sql("DROP TABLE IF EXISTS sqldel")
+    spark.sql(s"CREATE TABLE sqldel USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      spark.sql("DELETE FROM sqldel WHERE doc_id >= 10 AND doc_id < 20")
+      assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- (10L until 20L),
+        "the SQL range delete must tombstone exactly the matching rows")
+      val h1 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+      assert(h1.getString(2) == "delete" && h1.getInt(3) == 0 && h1.getInt(5) == 0,
+        "the SQL DELETE must land sparse: zero files added or removed")
+      assert(h1.getAs[Int]("n_dv_attached") > 0 && h1.getAs[Int]("n_cdc_files") == 1,
+        "vectors attached, pre-image in the feed sidecar")
+      // a second DELETE resolves the now DV-BEARING table (the MoR table
+      // services the delete) — IN-list and string filters translate too
+      spark.sql("DELETE FROM sqldel WHERE doc_id IN (25, 31) AND text IS NOT NULL")
+      assert(ids(Lake.read(spark, out)) ==
+        (0L until 40L).toSet -- (10L until 20L) -- Set(25L, 31L))
+      val h2 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 2L).get
+      assert(h2.getString(2) == "delete" && h2.getInt(3) == 0 && h2.getInt(5) == 0)
+      // both SQL deletes feed their pre-images row-level
+      assert(Lake.changeFeed(spark, out, 0L, 2L)
+        .filter(col("_change_type") === "delete").count() == 12)
+      // the SELECT surface agrees with the Scala read after both commits
+      assert(spark.sql("SELECT count(*) FROM sqldel").collect()(0).getLong(0) == 28L ||
+        // the catalog may cache the pre-delete relation; a fresh read is the contract
+        spark.read.format("graft-lake").load(out).count() == 28L)
+      // no deleting from the past: a pinned read refuses
+      spark.sql("DROP TABLE IF EXISTS sqldelv0")
+      spark.sql(s"CREATE TABLE sqldelv0 USING `graft-lake` OPTIONS (path '$out', version '0')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("DELETE FROM sqldelv0 WHERE doc_id = 1")
+        }
+        assert(e.getMessage.contains("pinned"),
+          s"a pinned-table delete must refuse naming the pin, got: ${e.getMessage}")
+      } finally spark.sql("DROP TABLE IF EXISTS sqldelv0")
+    } finally spark.sql("DROP TABLE IF EXISTS sqldel")
+  }
+
+  test("SQL MERGE INTO matches the Scala sparse-merge path exactly; delete-shape and refusals behave") {
+    val out = freshDir("lake-sql-merge")
+    val ref = freshDir("lake-sql-merge-ref")
+    writePlain(fixture(), out); Lake.adopt(spark, out)   // v0
+    writePlain(fixture(), ref); Lake.adopt(spark, ref)   // v0 (reference twin)
+    // upsert batch: patch doc 5, insert doc 200
+    val updates = spark.range(1).select(lit(5L).as("doc_id"),
+        lit("patched 5").as("text"), lit("train").as("split"), lit(1).cast("int").as("shard_id"))
+      .unionByName(spark.range(1).select(lit(200L).as("doc_id"),
+        lit("doc 200").as("text"), lit("test").as("split"), lit(0).cast("int").as("shard_id")))
+    updates.createOrReplaceTempView("sqlmerge_src")
+    spark.sql("DROP TABLE IF EXISTS sqlmerge")
+    spark.sql(s"CREATE TABLE sqlmerge USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      spark.sql("""MERGE INTO sqlmerge t USING sqlmerge_src s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      // the Scala path on the twin lake must produce the same corpus
+      Pipeline.mergeIntoLakeSparse(spark, ref, updates, "doc_id", Seq("split", "shard_id"))
+      def corpus(dir: String) = Lake.read(spark, dir)
+        .select("doc_id", "text", "split", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+      assert(corpus(out) == corpus(ref),
+        "SQL MERGE must equal the Scala mergeIntoLakeSparse result")
+      assert(corpus(out).contains((5L, "patched 5", "train", 1)) &&
+        corpus(out).contains((200L, "doc 200", "test", 0)))
+      // ONE sparse merge commit: zero files removed, vectors attached
+      val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+      assert(h.getString(2) == "merge" && h.getInt(5) == 0,
+        "the SQL MERGE must land sparse: zero survivor files rewritten")
+      assert(h.getAs[Int]("n_dv_attached") > 0)
+      // WHEN MATCHED THEN DELETE routes to the tombstone-set sparse delete
+      spark.sql("""MERGE INTO sqlmerge t USING sqlmerge_src s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN DELETE""")
+      assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 5L,
+        "the matched docs (5 and 200) must be tombstoned")
+      val h2 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 2L).get
+      assert(h2.getString(2) == "delete" && h2.getInt(3) == 0 && h2.getInt(5) == 0)
+      // unsupported shapes refuse loudly, naming the contract
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql("""MERGE INTO sqlmerge t USING sqlmerge_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED AND s.doc_id > 100 THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+      assert(e.getMessage.contains("graft-lake MERGE INTO"),
+        s"conditional WHEN must refuse with the contract, got: ${e.getMessage}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sqlmerge")
+      spark.catalog.dropTempView("sqlmerge_src")
+    }
+  }
+
+  test("compactDeletionVectors folds stacked sidecars to one per file: no data bytes, silent feed, time travel intact") {
+    val out = freshDir("lake-dv-fold")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                          // v0
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(1L, 3L).toDF("doc_id"), "doc_id") // v1
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(5L, 7L).toDF("doc_id"), "doc_id") // v2
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(9L).toDF("doc_id"), "doc_id")     // v3
+    val st3 = Lake.latestManifest(spark, out).get
+    assert(st3.dvs.values.exists(_.size >= 2), "fixture must stack sidecars")
+    val gone = Set(1L, 3L, 5L, 7L, 9L)
+    val folded = Lake.compactDeletionVectors(spark, out)                            // v4
+    assert(folded.nonEmpty && folded.values.max >= 3,
+      s"the train/shard=1 file must fold 3 sidecars, got $folded")
+    val st4 = Lake.latestManifest(spark, out).get
+    assert(st4.version == 4L)
+    assert(st4.files == st3.files, "a vectors-only fold must touch no data file")
+    assert(st4.dvs.nonEmpty && st4.dvs.values.forall(_.size == 1),
+      s"one sidecar per file after the fold, got ${st4.dvs}")
+    assert(st4.dvHistory.nonEmpty, "the detached sidecars must move to dv history")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- gone,
+      "read hashes unchanged across the fold")
+    assert(ids(spark.read.format("graft-lake").load(out)) == (0L until 40L).toSet -- gone,
+      "the MoR format read applies the consolidated sidecar")
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 4L).get
+    assert(h.getString(2) == "dvcompact" && h.getInt(3) == 0 && h.getInt(5) == 0)
+    // the fold is CDC-INVISIBLE: nothing emitted across it, and the full
+    // feed still carries exactly the real deletes
+    assert(Lake.changeFeed(spark, out, 3L, 4L).count() == 0,
+      "a vectors-only fold must emit nothing to the change feed")
+    assert(Lake.changeFeed(spark, out, 0L, 4L)
+      .filter(col("_change_type") === "delete").count() == 5)
+    assert(Lake.changesBetween(spark, out, 3L, 4L).count() == 0)
+    // time travel below the fold resolves the OLD (pre-fold) sidecars
+    assert(ids(Lake.readVersion(spark, out, 2L)) ==
+      (0L until 40L).toSet -- Set(1L, 3L, 5L, 7L))
+    // nothing left to fold: a second call no-ops without a version bump
+    assert(Lake.compactDeletionVectors(spark, out).isEmpty)
+    assert(Lake.latestManifest(spark, out).get.version == 4L)
+    // an orphan vacuum reclaims nothing (old sidecars are history)
+    assert(Lake.vacuum(spark, out).isEmpty)
+    // retention to latest-only reclaims the detached sidecars
+    Lake.vacuumKeeping(spark, out, 1)
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- gone)
+  }
+
+  test("renameColumn is a metadata-only commit: reads translate, time travel keeps old names, mutations keep working") {
+    val out = freshDir("lake-rename")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    val filesBefore = Lake.latestManifest(spark, out).get.files
+    Lake.renameColumn(spark, out, "text", "body") // v1 — zero data bytes
+    val st1 = Lake.latestManifest(spark, out).get
+    assert(st1.files == filesBefore, "a rename must not touch a single data file")
+    val h1 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+    assert(h1.getString(2) == "rename" && h1.getInt(3) == 0 && h1.getInt(5) == 0)
+    // post-rename reads: logical name with the old files' values
+    val df = Lake.read(spark, out)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "body", "split", "shard_id"),
+      s"the renamed column must surface logically, got ${df.schema.fieldNames.mkString(",")}")
+    assert(df.filter(col("doc_id") === 3L).select("body").head.getString(0) == "doc 3")
+    // time travel BELOW the rename resolves the old name
+    val v0 = Lake.readVersion(spark, out, 0L)
+    assert(v0.schema.fieldNames.contains("text") && !v0.schema.fieldNames.contains("body"))
+    assert(v0.filter(col("doc_id") === 3L).select("text").head.getString(0) == "doc 3")
+    // mutations after the rename speak the NEW name end-to-end: an
+    // append (new files spell the ORIGINAL physical name on disk) …
+    Pipeline.appendToLake(spark, out, spark.range(40, 45).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("body"),
+      lit("test").as("split"), (col("id") % 2).cast("int").as("shard_id")))  // v2
+    val after = Lake.read(spark, out)
+    assert(after.count() == 45 &&
+      after.filter(col("body").isNull).count() == 0,
+      "old (aliased) and new (physically-spelled) files must both read the column")
+    // … and a predicate sparse delete on the renamed column, feeding the
+    // purged pre-image with the logical name
+    Pipeline.deleteFromLakeSparseWhere(spark, out, col("body") === "doc 44")  // v3
+    assert(Lake.read(spark, out).count() == 44)
+    val feed = Lake.changeFeed(spark, out, 2L, 3L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("body").head.getString(0) == "doc 44")
+    // a rename CHAIN keeps the original physical name
+    Lake.renameColumn(spark, out, "body", "content") // v4
+    assert(Lake.read(spark, out).filter(col("doc_id") === 3L)
+      .select("content").head.getString(0) == "doc 3")
+    // refusals name the columns
+    val ePart = intercept[IllegalArgumentException] {
+      Lake.renameColumn(spark, out, "split", "part")
+    }
+    assert(ePart.getMessage.contains("split") && ePart.getMessage.contains("partition"))
+    val eDup = intercept[IllegalArgumentException] {
+      Lake.renameColumn(spark, out, "doc_id", "content")
+    }
+    assert(eDup.getMessage.contains("content"))
+    // the DSv2 surfaces refuse mapped lakes loudly (no silent nulls)
+    val eDsv2 = intercept[UnsupportedOperationException] {
+      spark.read.format("graft-lake").load(out).collect()
+    }
+    assert(eDsv2.getMessage.contains("column-mapped"))
+    val eStream = intercept[Exception] {
+      spark.readStream.format("graft-lake-cdc").load(out)
+    }
+    assert(eStream.getMessage.contains("column-mapped"))
+  }
+
   test("vacuumKeeping keeps the OLDEST retained version's feed sidecars: the earliest change feed stays servable") {
     val out = freshDir("lake-cdc-retention")
     writePlain(fixture(), out)
@@ -1011,6 +1249,20 @@ class LakeSpec extends SparkTestBase {
     fs.mkdirs(fresh)
     assert(Lake.vacuum(spark, out, minAgeMs = 3600000L).isEmpty)
     assert(fs.exists(fresh), "a graced sweep must not reclaim a live writer's staging")
+    // the grace must look at the NEWEST mtime in the subtree, not the
+    // subtree root's: a long-running stage's root dir mtime is set when
+    // its first child lands and never refreshed by deeper task writes —
+    // age the root artificially, then land a fresh deep file
+    val old = System.currentTimeMillis() - 7200_000L
+    fs.setTimes(fresh, old, old)
+    val deep = new org.apache.hadoop.fs.Path(fresh, "split=train/shard_id=1")
+    fs.mkdirs(deep)
+    val o2 = fs.create(new org.apache.hadoop.fs.Path(deep, "part-001.parquet"), false)
+    try o2.write("live".getBytes("UTF-8")) finally o2.close()
+    fs.setTimes(fresh, old, old) // mkdirs refreshed it; age it again
+    assert(Lake.vacuum(spark, out, minAgeMs = 3600000L).isEmpty,
+      "a subtree with ANY write inside the grace window is a live writer's")
+    assert(fs.exists(deep), "the live writer's freshly staged deep file must survive")
   }
 
   test("vacuum grace period: freshly-staged files of a live writer survive the sweep") {
@@ -1028,6 +1280,51 @@ class LakeSpec extends SparkTestBase {
     assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 4L)
     // without the grace period the same files would have been reclaimed
     // and this commit would have referenced deleted data
+  }
+
+  test("MoR position load is ONE bounded job; positions ship by broadcast; the scan description names compactLake") {
+    val out = freshDir("lake-mor-broadcast")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                      // v0
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(2L, 9L, 21L, 33L).toDF("doc_id"), "doc_id") // v1
+    val st = Lake.latestManifest(spark, out).get
+    val root = {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      f.makeQualified(p)
+    }
+    // the cap check and the load must be ONE bounded fetch — no separate
+    // count pass over the sidecars (job-group ids count the jobs)
+    spark.sparkContext.setJobGroup("graft-dv-load", "position load probe")
+    val pos = try graft.sources.lake.LakeMorTable.loadPositions(spark, root, st)
+      finally spark.sparkContext.clearJobGroup()
+    assert(pos.values.map(_.length).sum == 4, "all four tombstones must load")
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("graft-dv-load").length
+    assert(jobs == 1, s"the position load must be one bounded job, ran $jobs")
+    // positions ride in ONE broadcast keyed by file, not in the task
+    // payloads: every MorPartition serializes only its file + rel path
+    val props = new java.util.HashMap[String, String](); props.put("path", out)
+    val table = new graft.sources.lake.LakeSource()
+      .getTable(null, Array.empty, props)
+    val scan = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(props))
+      .build()
+    val parts = scan.toBatch.planInputPartitions()
+    val morParts = parts.collect { case m: graft.sources.lake.MorPartition => m }
+    assert(morParts.nonEmpty, "the tombstoned files must plan as MoR partitions")
+    morParts.foreach { m =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      try oos.writeObject(m) finally oos.close()
+      assert(bos.size() < 4096,
+        s"a MoR partition payload must not embed positions (got ${bos.size()} bytes)")
+    }
+    // the transitional scan names its cost and the way out
+    assert(scan.description().contains("consider compactLake"),
+      s"the MoR scan description must point at compactLake, got: ${scan.description()}")
+    // and the read through the factory (broadcast path) stays exact
+    assert(ids(spark.read.format("graft-lake").load(out)) ==
+      (0L until 40L).toSet -- Set(2L, 9L, 21L, 33L))
   }
 
   test("two-column stats pruning opens strictly fewer files than either column alone") {

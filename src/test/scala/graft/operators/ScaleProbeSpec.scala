@@ -249,4 +249,27 @@ class ScaleProbeSpec extends SparkTestBase {
       f"sparse delete grew ${secs(10) / secs(1)}%.1fx at 10x lake — " +
         "stats-pruned match-bound claim broken")
   }
+
+  /** The broadcast-shipped MoR scan has no 5M design ceiling: a version
+    * carrying >5M deletion-vector positions (the OLD per-task-payload
+    * cap) still reads through `spark.read.format("graft-lake")`. */
+  test("MoR format read survives >5M deletion-vector positions via the broadcast path") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val out = java.nio.file.Files.createTempDirectory("morscale").toString + "/lake"
+    val n = 7000000L
+    val rows = spark.range(n).select(col("id").as("doc_id"),
+      (col("id") % 4).cast("int").as("shard_id"))
+    Lake.init(spark, rows.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id"), out, Seq("shard_id"), statsCols = Seq("doc_id"))
+    // tombstone 5.5M rows — over the old cap, under the new one
+    val t0 = System.nanoTime()
+    Pipeline.deleteFromLakeSparse(spark, out,
+      spark.range(5500000L).select(col("id").as("doc_id")), "doc_id")
+    info(f"sparse-delete 5.5M rows: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    val t1 = System.nanoTime()
+    val survivors = spark.read.format("graft-lake").load(out).count()
+    info(f"MoR format count: ${(System.nanoTime() - t1) / 1e9}%.1fs")
+    assert(survivors == n - 5500000L,
+      s"broadcast MoR scan must apply all 5.5M tombstones, got $survivors")
+  }
 }

@@ -310,4 +310,43 @@ class LakeStreamSpec extends SparkTestBase {
         (20L until 25L).toSet)
     } finally q.stop()
   }
+
+  test("change-feed stream refuses a restore rolling back OFF a DV-bearing version (removed files carried vectors)") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcrestoredv").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"),
+      statsCols = Seq("doc_id"))                                                 // v1: clean
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(3L, 7L).toDF("doc_id"), "doc_id") // v2: DVs attach
+    Lake.restore(spark, out, 1L)                                                 // v3: back OFF the DVs
+    // the restore's delta has dvAdds EMPTY (the target is clean) but its
+    // removed files carried vectors in the pre-restore state — streaming
+    // them wholesale as deletes would emit phantom delete events for the
+    // rows v2 already tombstoned; the guard must resolve stateAt(v-1)
+    // and refuse exactly like the re-attach case
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_restore_dv")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def mentions(m: String) = m != null && m.contains("restore involving deletion vectors")
+      assert(mentions(e.getMessage) || Option(e.getCause).exists(c => mentions(c.getMessage)),
+        s"the batch must refuse naming the DV-involved restore, got: ${e.getMessage}")
+    } finally q.stop()
+    // the batch feed handles the same range exactly (applies pre-state
+    // vectors to the removed files): net replay converges to the lake
+    val feed = Lake.changeFeed(spark, out, 0L, 3L)
+    val inserted = feed.filter(col("_change_type") === "insert")
+      .select("doc_id", "text")
+    val deleted = feed.filter(col("_change_type") === "delete")
+      .select("doc_id", "text")
+    val mirror = inserted.exceptAll(deleted).collect().map(_.getLong(0)).sorted
+    assert(mirror.toSeq == (0L until 20L).toSeq,
+      s"batch feed must net-converge to the restored lake, got ${mirror.mkString(",")}")
+  }
 }
