@@ -1517,6 +1517,59 @@ object Pipeline {
     Lake.read(spark, lakeDir)
   }
 
+  /** SPARSE row-level UPDATE — "SET col = expr WHERE pred" as ONE
+    * deletion-vector commit: matched rows tombstone by vector (their
+    * pre-image feeding the CDC sidecar as deletes), the updated
+    * post-image rows land as genuinely-new data files (feeding as
+    * inserts), zero survivor files rewritten. Assignment expressions
+    * may reference the row's own columns (`SET n = n + 1`) — they
+    * evaluate over the matched pre-image — and may move rows across
+    * partitions (the staged write re-partitions). Candidate files
+    * stats-prune from the predicate's bounds exactly like the sparse
+    * delete. Unassigned columns carry over unchanged. */
+  def updateLakeSparseWhere(spark: SparkSession, lakeDir: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val base = Lake.adopt(spark, lakeDir)
+    if (base.files.isEmpty) return Lake.read(spark, lakeDir)
+    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val unknown = assignments.keySet.filterNot(lakeSchema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"updateLakeSparseWhere: SET names unknown column(s) ${unknown.mkString(", ")}")
+    val candidates = sparseWhereCandidates(spark, base, predicate)
+    if (candidates.isEmpty) return Lake.read(spark, lakeDir)
+    val partitionCols = Lake.partitionColsOf(base)
+    val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
+      candidates, base.dvs)
+    val matched = lineage.filter(predicate).localCheckpoint(true)
+    val expected = matched.count()
+    if (expected == 0L) return Lake.read(spark, lakeDir)
+    // pre-image first (one pass): CDC delete sidecar, DV from its read-back
+    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, partitionCols)
+    val root = {
+      val pp = new org.apache.hadoop.fs.Path(lakeDir)
+      pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+    }
+    val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+    val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
+    val (sidecar, dvRows, dvFiles) = Lake.stageDv(spark, lakeDir,
+      back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+    // post-image: assignments applied over the matched pre-image rows,
+    // cast back to the column's recorded type (SQL UPDATE semantics)
+    val updated = matched.select(lakeSchema.map { f =>
+      assignments.get(f.name).fold(col(f.name))(_.cast(f.dataType)).as(f.name)
+    }: _*)
+    val upStaged = Lake.stageWrite(spark, lakeDir, updated, partitionCols)
+    val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
+      upStaged, Seq.empty)
+    Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "update", base.schemaJson,
+      Seq.empty, upStaged, dvRows + upRows, expected * 2, upStats,
+      dvAdds = dvFiles.map(f => f -> Seq(sidecar)).toMap,
+      cdcFiles = Seq((cdcPath, "delete"))))
+    Lake.read(spark, lakeDir)
+  }
+
   /** The candidate files of a predicate-form sparse mutation: the
     * manifest files whose recorded stats overlap the predicate's
     * extractable bounds. The predicate is RESOLVED first — filtered
@@ -1816,6 +1869,88 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px118
+  /** SQL row-level UPDATE — the third DML verb on the lake's SQL
+    * surface: `UPDATE corpus SET n_chars = n_chars + 500 WHERE doc_id %
+    * 11 = 0` routes through the injected rule to
+    * [[updateLakeSparseWhere]], landing as ONE sparse commit (matched
+    * pre-image tombstoned by deletion vector, post-image rows as new
+    * data files, zero survivor rewrites). The self-referential SET and
+    * the non-filter-translatable predicate both exercise the by-name
+    * expression re-binding. Oracle recomputes the bumped corpus
+    * relationally. */
+  private def px118(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px118_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    spark.sql("DROP TABLE IF EXISTS px118_corpus")
+    spark.sql(s"CREATE TABLE px118_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try spark.sql("UPDATE px118_corpus SET n_chars = n_chars + 500 WHERE doc_id % 11 = 0")
+    finally spark.sql("DROP TABLE IF EXISTS px118_corpus")
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px118Oracle =
+    """WITH bumped AS (
+      |  SELECT doc_id,
+      |    n_chars + CASE WHEN doc_id % 11 = 0 THEN 500 ELSE 0 END AS n_chars
+      |  FROM documents)
+      |SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM bumped GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- px119
+  /** Deletion-vector CONSOLIDATION, certified by hash: two stacked
+    * sparse deletes (the `% 23` then `% 29` docs — the shared files
+    * carry TWO sidecars), then [[Lake.compactDeletionVectors]] folds
+    * each file's stack into one sidecar (a vectors-only `dvcompact`
+    * commit — zero data bytes, CDC-invisible), and the corpus is read
+    * back through the DSv2 format string — the merge-on-read scan
+    * applying the CONSOLIDATED vectors. The oracle recomputes the
+    * surviving corpus relationally, so one hash-match certifies the
+    * fold's exactness end-to-end: union of positions, detach/attach
+    * delta, broadcast-shipped MoR application. */
+  private def px119(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px119_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    deleteFromLakeSparse(spark, out,
+      docs.filter(col("doc_id") % 23 === 0).select("doc_id"), "doc_id")  // v2
+    deleteFromLakeSparse(spark, out,
+      docs.filter(col("doc_id") % 29 === 0).select("doc_id"), "doc_id")  // v3
+    Lake.compactDeletionVectors(spark, out)                              // v4: fold
+    spark.read.format("graft-lake").load(out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px119Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 23 <> 0 AND doc_id % 29 <> 0
+      |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2058,5 +2193,7 @@ object Pipeline {
     GraftQuery("px114_lake_change_feed", px114, Some(px114Oracle)),
     GraftQuery("px115_lake_sql_insert", px115, Some(px100Oracle)),
     GraftQuery("px116_lake_sql_delete", px116, Some(px116Oracle)),
-    GraftQuery("px117_lake_sql_merge", px117, Some(px113Oracle)))
+    GraftQuery("px117_lake_sql_merge", px117, Some(px113Oracle)),
+    GraftQuery("px118_lake_sql_update", px118, Some(px118Oracle)),
+    GraftQuery("px119_lake_dv_consolidate", px119, Some(px119Oracle)))
 }

@@ -112,6 +112,17 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
   private val partSchema = StructType(required.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(required.filterNot(f => partCols.contains(f.name)))
   private val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+  // under a column mapping the parquet reader must ask for the PHYSICAL
+  // column names; the emitted rows are positional, so the declared
+  // (logical) readSchema is untouched — this is what lets the row-mode
+  // scan serve renamed lakes the delegated vectorized scan cannot
+  private val physByLogical: Map[String, String] = {
+    val full = org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
+      .asInstanceOf[StructType]
+    full.map(f => f.name -> Lake.physicalName(f)).toMap
+  }
+  private val physDataSchema = StructType(dataSchema.map(f =>
+    f.copy(name = physByLogical.getOrElse(f.name, f.name))))
 
   override def readSchema(): StructType =
     StructType(dataSchema.fields ++ partSchema.fields)
@@ -120,8 +131,10 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
   // with post-scan predicates — compaction restores the vectorized path
   override def description(): String =
     s"graft-lake MoR $lakeDir@v${st.version} columns=${required.fieldNames.mkString(",")} " +
-      s"[row-mode, ${st.dvs.size} of ${st.files.size} file(s) tombstoned, no data-filter " +
-      "pushdown — consider compactLake to restore the vectorized clean-path scan]"
+      s"[row-mode, ${st.dvs.size} of ${st.files.size} file(s) tombstoned" +
+      (if (physByLogical.exists { case (l, p) => l != p }) ", column-mapped" else "") +
+      ", no data-filter pushdown — consider compactLake to restore the " +
+      "vectorized clean-path scan]"
   override def toBatch: Batch = this
 
   private def partitionValues(relPath: String): InternalRow = {
@@ -169,8 +182,10 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
   override def createReaderFactory(): PartitionReaderFactory = {
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val positions = LakeMorTable.loadPositions(spark, fs.makeQualified(root), st)
-    new MorReaderFactory(LakeParquetRead.readerFactory(spark, dataSchema, partSchema),
+    val positions =
+      if (st.dvs.isEmpty) Map.empty[String, Array[Long]]
+      else LakeMorTable.loadPositions(spark, fs.makeQualified(root), st)
+    new MorReaderFactory(LakeParquetRead.readerFactory(spark, physDataSchema, partSchema),
       spark.sparkContext.broadcast(positions))
   }
 }

@@ -144,22 +144,15 @@ class LakeSource extends TableProvider with DataSourceRegister
     val (path, st) = resolve(opts)
     val spark = SparkSession.active
     val pinned0 = opts.containsKey("version") || opts.containsKey("timestampAsOf")
-    // a renamed (column-mapped) lake reads physical names the delegated
-    // parquet scans cannot alias back — refuse loudly rather than
-    // serve nulls under the renamed column
+    // two shapes the delegated vectorized ParquetTable scan cannot
+    // serve: a DV-bearing version (position skipping) and a renamed
+    // (column-mapped) lake (physical parquet names need aliasing back to
+    // logical). Both read through [[LakeMorTable]]'s row-mode scan —
+    // positional rows under the logical declared schema — until
+    // compaction (for DVs) restores the fully-vectorized delegation.
     val resolvedSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    if (graft.operators.Lake.hasMapping(resolvedSchema))
-      throw new UnsupportedOperationException(
-        s"graft-lake: $path@v${st.version} carries renamed (column-mapped) fields — " +
-          "the DSv2 scan cannot alias physical parquet columns yet; read mapped " +
-          "lakes with Lake.read / Lake.readVersion")
-    // a DV-bearing version reads MERGE-ON-READ: the delegated
-    // ParquetTable scan cannot apply deletion vectors, so the scan
-    // switches to [[LakeMorTable]] (per-file position skip) until
-    // compaction materializes the tombstones and the fully-vectorized
-    // delegation below returns
-    if (st.dvs.nonEmpty)
-      return new LakeMorTable(s"graft-lake $path@v${st.version} (merge-on-read)",
+    if (st.dvs.nonEmpty || graft.operators.Lake.hasMapping(resolvedSchema))
+      return new LakeMorTable(s"graft-lake $path@v${st.version} (row-mode)",
         path, st, pinned0)
     val root = {
       val p = new Path(path)

@@ -2,8 +2,9 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -65,6 +66,40 @@ class ResolveLakeMerge(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable if m.resolved && lakeTable(m.targetTable).isDefined =>
       convert(m, lakeTable(m.targetTable).get)
+    case u: UpdateTable if u.resolved && lakeTable(u.table).isDefined =>
+      convertUpdate(u, lakeTable(u.table).get)
+  }
+
+  /** Swap resolved attribute references for by-name unresolved ones, so
+    * the expression re-binds against the command's own lake read at run
+    * time (the original exprIds died with the analyzed relation). */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** `UPDATE lake SET col = expr, … WHERE pred` → ONE sparse commit
+    * ([[Pipeline.updateLakeSparseWhere]]): matched rows tombstone by
+    * deletion vector, the post-image rows land as new data files.
+    * Assignments may reference the row's own columns. */
+  private def convertUpdate(u: UpdateTable, table: GraftLakeTable): LogicalPlan = {
+    if (table.lakePinned)
+      refuse(s"cannot UPDATE a version/timestamp-pinned read of ${table.lakeDirPath}")
+    val targetOut = u.table.outputSet
+    val cond = u.condition.getOrElse(Literal.TrueLiteral)
+    if (SubqueryExpression.hasSubquery(cond) ||
+        u.assignments.exists(a => SubqueryExpression.hasSubquery(a.value)))
+      refuse("UPDATE with subqueries is not supported")
+    val sets = u.assignments.map {
+      case Assignment(k: AttributeReference, v) if targetOut.contains(k) =>
+        if (!v.references.subsetOf(targetOut))
+          refuse(s"UPDATE assigns ${k.name} from outside the table")
+        k.name -> unresolve(v)
+      case Assignment(k, _) =>
+        refuse(s"UPDATE assigns non-column ${k.sql} (nested fields unsupported)")
+    }
+    LakeUpdateCommand(table.lakeDirPath, ExprHolder(unresolve(cond)),
+      sets.map { case (n, e) => (n, ExprHolder(e)) })
   }
 
   private def refuse(why: String): Nothing =
@@ -156,6 +191,24 @@ case class LakeMergeIntoCommand(lakeDir: String, idCol: String,
     Pipeline.mergeIntoLakeSparse(classic, lakeDir,
       org.apache.spark.sql.classic.Dataset.ofRows(classic, updates),
       idCol, partitionCols)
+    Seq.empty
+  }
+}
+
+/** Opaque expression carrier: keeps the deliberately-UNRESOLVED
+  * by-name expressions out of `QueryPlan.expressions`, so CheckAnalysis
+  * does not reject the (fully intentional) unresolved attributes — they
+  * re-bind against the command's own lake read at run time. */
+case class ExprHolder(e: Expression)
+
+/** The routed SQL UPDATE: [[Pipeline.updateLakeSparseWhere]] with the
+  * condition and SET expressions re-bound by name over the lake read. */
+case class LakeUpdateCommand(lakeDir: String, condition: ExprHolder,
+    sets: Seq[(String, ExprHolder)]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    Pipeline.updateLakeSparseWhere(session, lakeDir,
+      ColumnBridge.column(condition.e),
+      sets.map { case (n, h) => n -> ColumnBridge.column(h.e) }.toMap)
     Seq.empty
   }
 }

@@ -974,6 +974,39 @@ class LakeSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS sqldel")
   }
 
+  test("SQL UPDATE lands as one sparse commit: pre-image tombstoned, post-image appended, self-referential SET and partition moves work") {
+    val out = freshDir("lake-sql-update")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    spark.sql("DROP TABLE IF EXISTS sqlupd")
+    spark.sql(s"CREATE TABLE sqlupd USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      // self-referential SET over an arbitrary (non-filter-translatable) predicate
+      spark.sql("UPDATE sqlupd SET text = concat(text, '!') WHERE doc_id % 2 = 0 AND doc_id < 10")
+      val r = Lake.read(spark, out)
+      assert(r.count() == 40, "an update changes rows, never the row count")
+      assert(r.filter(col("doc_id") === 4L).select("text").head.getString(0) == "doc 4!")
+      assert(r.filter(col("doc_id") === 5L).select("text").head.getString(0) == "doc 5")
+      val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+      assert(h.getString(2) == "update" && h.getInt(5) == 0,
+        "the SQL UPDATE must land sparse: zero files removed")
+      assert(h.getAs[Int]("n_dv_attached") > 0 && h.getAs[Int]("n_cdc_files") == 1)
+      // the feed sees delete(pre-image) + insert(post-image)
+      val feed = Lake.changeFeed(spark, out, 0L, 1L)
+      assert(feed.filter(col("_change_type") === "delete").count() == 5)
+      assert(feed.filter(col("_change_type") === "insert" &&
+        col("text").endsWith("!")).count() == 5)
+      // an update that MOVES a row across partitions
+      spark.sql("UPDATE sqlupd SET split = 'test' WHERE doc_id = 1")
+      val moved = Lake.read(spark, out).filter(col("doc_id") === 1L)
+      assert(moved.select("split").head.getString(0) == "test")
+      assert(Lake.read(spark, out).count() == 40)
+      // unknown column and pinned-table refusals stay loud
+      val e = intercept[Exception] { spark.sql("UPDATE sqlupd SET nope = 1") }
+      assert(e.getMessage.toLowerCase.contains("nope"))
+    } finally spark.sql("DROP TABLE IF EXISTS sqlupd")
+  }
+
   test("SQL MERGE INTO matches the Scala sparse-merge path exactly; delete-shape and refusals behave") {
     val out = freshDir("lake-sql-merge")
     val ref = freshDir("lake-sql-merge-ref")
@@ -1119,11 +1152,21 @@ class LakeSpec extends SparkTestBase {
       Lake.renameColumn(spark, out, "doc_id", "content")
     }
     assert(eDup.getMessage.contains("content"))
-    // the DSv2 surfaces refuse mapped lakes loudly (no silent nulls)
-    val eDsv2 = intercept[UnsupportedOperationException] {
-      spark.read.format("graft-lake").load(out).collect()
-    }
-    assert(eDsv2.getMessage.contains("column-mapped"))
+    // the DSv2 batch read serves the mapped lake through the row-mode
+    // scan: logical names out, physical names read, tombstones applied
+    val dsv2 = spark.read.format("graft-lake").load(out)
+    assert(dsv2.schema.fieldNames.contains("content"))
+    assert(dsv2.count() == 44 && dsv2.filter(col("content").isNull).count() == 0,
+      "the mapped DSv2 read must alias physical columns, never serve nulls")
+    assert(dsv2.filter(col("doc_id") === 3L).select("content").head.getString(0) == "doc 3")
+    // …and SQL DML keeps working on the mapped lake (delete by the NEW name)
+    spark.sql("DROP TABLE IF EXISTS renamed_lake")
+    spark.sql(s"CREATE TABLE renamed_lake USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      spark.sql("DELETE FROM renamed_lake WHERE content = 'doc 7'")
+      assert(Lake.read(spark, out).count() == 43)
+    } finally spark.sql("DROP TABLE IF EXISTS renamed_lake")
+    // the stream still refuses mapped lakes loudly (per-file decode)
     val eStream = intercept[Exception] {
       spark.readStream.format("graft-lake-cdc").load(out)
     }
