@@ -686,6 +686,55 @@ object Lake {
     renames.foldLeft(df) { (d, f) => d.withColumnRenamed(f.name, physicalName(f)) }
   }
 
+  /** Metadata key flagging a field as DROPPED: the field stays in the
+    * manifest schema as a TOMBSTONE (so its name can never be silently
+    * reused — see [[dropColumn]]) but every read and mutation surface
+    * excludes it. */
+  private[graft] val DroppedKey = "graft.dropped"
+
+  private[graft] def isDropped(f: StructField): Boolean =
+    f.metadata.contains(DroppedKey)
+
+  /** The user-facing schema: the manifest schema minus dropped-column
+    * tombstones. Identity for lakes that never dropped a column. */
+  private[graft] def visible(schema: StructType): StructType =
+    if (schema.exists(isDropped)) StructType(schema.filterNot(isDropped)) else schema
+
+  /** COLUMN DROP as a metadata-only commit — [[renameColumn]]'s sibling:
+    * the field is flagged dropped in the manifest schema (a TOMBSTONE —
+    * it stays recorded so the name cannot be silently reused) and every
+    * read, mutation, scan, and stream excludes it from that version on.
+    * Zero data bytes move: the column's values remain in the files,
+    * unread (a compaction rewrite naturally sheds them over time), and
+    * time travel below the drop still reads them. Re-ADDING a dropped
+    * name via a merge-schema append REFUSES loudly — old files still
+    * hold the old values under that name, and re-binding it would
+    * resurrect them into the new column; use a new name (or rename
+    * after adding). Partition columns and the last visible column
+    * refuse. */
+  def dropColumn(spark: SparkSession, lakeDir: String, name: String): Unit = {
+    val base = adopt(spark, lakeDir)
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val field = schema.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropColumn: no column '$name' in the lake schema " +
+          s"(${visible(schema).fieldNames.mkString(", ")})"))
+    require(!isDropped(field), s"dropColumn: column '$name' is already dropped")
+    require(!partitionColsOf(base).contains(name),
+      s"dropColumn: '$name' is a partition column — its name is baked into every " +
+        "directory path; dropping it means a physical relayout, not a metadata commit")
+    require(visible(schema).size > 1,
+      s"dropColumn: '$name' is the last visible column")
+    val newSchema = StructType(schema.map { f =>
+      if (f.name == name)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putBoolean(DroppedKey, true).build())
+      else f
+    })
+    publish(spark, StagedCommit(lakeDir, base, "drop", newSchema.json,
+      Seq.empty, Seq.empty, 0L, 0L))
+  }
+
   /** COLUMN RENAME as a metadata-only commit: the manifest schema gets
     * the new logical name with the original physical name recorded in
     * field metadata — no data file is opened, let alone rewritten,
@@ -704,11 +753,16 @@ object Lake {
       oldName: String, newName: String): Unit = {
     val base = adopt(spark, lakeDir)
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(oldName),
+    require(schema.find(_.name == oldName).exists(!isDropped(_)),
       s"renameColumn: no column '$oldName' in the lake schema " +
-        s"(${schema.fieldNames.mkString(", ")})")
+        s"(${visible(schema).fieldNames.mkString(", ")})")
+    // collision check against the FULL schema: a dropped tombstone's
+    // name is reserved too (re-binding it would resurrect old values)
     require(!schema.fieldNames.contains(newName),
-      s"renameColumn: column '$newName' already exists")
+      s"renameColumn: column '$newName' already exists" +
+        (if (schema.find(_.name == newName).exists(isDropped))
+          " (as a dropped-column tombstone — old files still hold values under it)"
+         else ""))
     require(!partitionColsOf(base).contains(oldName),
       s"renameColumn: '$oldName' is a partition column — its name is baked into " +
         "every directory path; renaming it means a physical relayout (compactLake " +
@@ -736,7 +790,7 @@ object Lake {
   private[graft] def readFiles(spark: SparkSession, lakeDir: String,
       schemaJson: String, files: Seq[String],
       dvs: Map[String, Seq[String]] = Map.empty): DataFrame = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val schema = visible(DataType.fromJson(schemaJson).asInstanceOf[StructType])
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
@@ -796,7 +850,7 @@ object Lake {
     import spark.implicits._
     require(files.nonEmpty, "lineage read needs a non-empty file list")
     val (_, root) = fsRoot(spark, lakeDir)
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val schema = visible(DataType.fromJson(schemaJson).asInstanceOf[StructType])
     val reader = spark.read.option("basePath", root.toString)
     val base = (if (schema.nonEmpty) reader.schema(toPhysical(schema)) else reader)
       .parquet(files.map(f => new Path(root, f).toString): _*)
@@ -1234,7 +1288,7 @@ object Lake {
       throw new UnsupportedOperationException(
         s"graft-lake: $lakeDir has no committed layout to insert into — initialize the " +
           "lake first (Lake.init / ingestToLake)")
-    val lakeSchema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val lakeSchema = visible(DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
     val aligned = df.select(lakeSchema.map(f => col(f.name).cast(f.dataType)): _*)
       .localCheckpoint(true) // one materialization feeds count + stage
     val expected = aligned.count()
@@ -1339,7 +1393,7 @@ object Lake {
     * into partition columns regardless of the `_graft_cdc/<uuid>` prefix. */
   private def readCdcSidecars(spark: SparkSession, root: Path, schemaJson: String,
       dirs: Seq[String]): DataFrame = {
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val schema = visible(DataType.fromJson(schemaJson).asInstanceOf[StructType])
     val raw = dirs.map { d =>
       val p = new Path(root, d).toString
       spark.read.option("basePath", p).schema(toPhysical(schema)).parquet(p)
@@ -1453,7 +1507,7 @@ object Lake {
       throw new IllegalArgumentException(s"lake $lakeDir has no committed versions"))
     if (fromVersion != firstRetained - 1)
       stateAt(spark, lakeDir, fromVersion) // validates resolvability
-    val schema = DataType.fromJson(to.schemaJson).asInstanceOf[StructType]
+    val schema = visible(DataType.fromJson(to.schemaJson).asInstanceOf[StructType])
     val feedSchema = StructType(schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))

@@ -957,8 +957,12 @@ object Pipeline {
     // whose latest manifest lists zero files (every row deleted) still has
     // a schema contract, and bypassing the checks there would let a
     // type-changed batch silently re-bootstrap it
-    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+    val fullSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // drift checks and alignment run against the VISIBLE schema; the
+    // committed schema keeps dropped-column tombstones (their names stay
+    // reserved)
+    val lakeSchema = Lake.visible(fullSchema)
     // resolve batch-vs-lake schema drift BEFORE any dedup work
     val (b, commitSchemaJson) =
       if (lakeSchema.isEmpty) (b0, null: String)
@@ -984,11 +988,21 @@ object Pipeline {
             s"appendToLake: batch lacks partition column(s) ${missingParts.mkString(", ")}")
           val newFields = b0.schema.fields.filterNot(f => lakeTypes.contains(f.name))
             .map(_.copy(nullable = true))
-          val merged = org.apache.spark.sql.types.StructType(lakeSchema.fields ++ newFields)
-          val aligned = b0.select(merged.map(f =>
+          // a DROPPED column's name is reserved: old files still hold
+          // values under it, and re-binding the name would resurrect
+          // them into the new column — refuse, loudly
+          val resurrected = newFields.map(_.name)
+            .filter(n => fullSchema.fieldNames.contains(n))
+          if (resurrected.nonEmpty)
+            throw new IllegalArgumentException(
+              s"appendToLake: column(s) ${resurrected.mkString(", ")} were DROPPED " +
+                "from this lake — re-adding the name would resurrect the old files' " +
+                "values; use a different name (rename after adding if needed)")
+          val aligned = b0.select((lakeSchema.fields ++ newFields).toSeq.map(f =>
             if (bTypes.contains(f.name)) col(f.name)
             else lit(null).cast(f.dataType).as(f.name)): _*)
-          (aligned, merged.json)
+          // committed schema = full manifest schema (tombstones kept) + new fields
+          (aligned, org.apache.spark.sql.types.StructType(fullSchema.fields ++ newFields).json)
         }
       }
     // materialized once: three consumers follow (count, partition-dir
@@ -1358,8 +1372,9 @@ object Pipeline {
     val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
     val updCount = upd.count()
     if (updCount == 0) return Lake.read(spark, lakeDir)
-    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val lakeSchema = Lake.visible(
+      org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val lakeTypes = lakeSchema.map(f => f.name -> f.dataType).toMap
     val uTypes = upd.schema.map(f => f.name -> f.dataType).toMap
     require(lakeTypes == uTypes,
@@ -1532,8 +1547,9 @@ object Pipeline {
       assignments: Map[String, org.apache.spark.sql.Column]): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
     if (base.files.isEmpty) return Lake.read(spark, lakeDir)
-    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val lakeSchema = Lake.visible(
+      org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val unknown = assignments.keySet.filterNot(lakeSchema.fieldNames.contains)
     require(unknown.isEmpty,
       s"updateLakeSparseWhere: SET names unknown column(s) ${unknown.mkString(", ")}")
@@ -1582,8 +1598,9 @@ object Pipeline {
     * filesystem-level probe. */
   private[graft] def sparseWhereCandidates(spark: SparkSession, base: Lake.LakeState,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val schema = Lake.visible(
+      org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val conds = empty.filter(predicate).queryExecution.analyzed.collect {
@@ -1612,8 +1629,9 @@ object Pipeline {
     val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
     val updCount = upd.count()
     if (updCount == 0) return Lake.read(spark, lakeDir)
-    val lakeSchema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val lakeSchema = Lake.visible(
+      org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val lakeTypes = lakeSchema.map(f => f.name -> f.dataType).toMap
     val uTypes = upd.schema.map(f => f.name -> f.dataType).toMap
     require(lakeTypes == uTypes,

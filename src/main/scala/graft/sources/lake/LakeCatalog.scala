@@ -130,10 +130,33 @@ class LakeCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-lake catalog: ALTER TABLE is not supported — evolve the schema " +
-        "through merge-schema appends (appendToLake(mergeSchema = true))")
+  /** `ALTER TABLE graft_lake.t RENAME COLUMN a TO b` / `DROP COLUMN a`
+    * — the METADATA-COMMIT evolutions ([[Lake.renameColumn]] /
+    * [[Lake.dropColumn]]: zero data bytes move). Everything else
+    * (retypes, adds) refuses — adds evolve through merge-schema
+    * appends, retypes need a rewrite. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!isLake(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "graft-lake catalog: nested-field rename is not supported")
+        Lake.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "graft-lake catalog: nested-field drop is not supported")
+        Lake.dropColumn(spark, dir, d.fieldNames()(0))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft-lake catalog: ALTER TABLE change $other is not supported — " +
+            "add columns through merge-schema appends " +
+            "(appendToLake(mergeSchema = true)); type changes need a rewrite")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Cast, GenericInternalRow, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,7 +87,7 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
   override protected def deleteLakeDir: String = lakeDir
   override protected def deletePinned: Boolean = pinned
   private val manifestSchema =
-    DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    Lake.visible(DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
   private val partCols = Lake.partitionColsOf(st)
 
   override def name(): String = tableName
@@ -107,7 +107,8 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
 
 private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     partCols: Seq[String], required: StructType,
-    bounds: Seq[Lake.ColBound] = Seq.empty) extends Scan with Batch {
+    bounds: Seq[Lake.ColBound] = Seq.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   private val spark = SparkSession.active
   private val partSchema = StructType(required.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(required.filterNot(f => partCols.contains(f.name)))
@@ -136,6 +137,27 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
       ", no data-filter pushdown — consider compactLake to restore the " +
       "vectorized clean-path scan]"
   override def toBatch: Batch = this
+
+  /** Planner statistics: the stats-pruned candidate files' on-disk
+    * bytes. Without this a join against a DV-bearing or column-mapped
+    * lake prices at `spark.sql.defaultSizeInBytes` (effectively
+    * infinite) and loses broadcast planning — the clean delegated path
+    * gets the same signal from `ParquetTable`'s own report. Tombstoned
+    * rows make the estimate slightly HIGH (conservative: at worst a
+    * broadcast is withheld, never wrongly granted on size). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long = {
+      val root = new Path(lakeDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val qroot = fs.makeQualified(root)
+      Lake.pruneByStats(st, bounds).map { rel =>
+        val p = new Path(qroot, rel)
+        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+      }.sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   private def partitionValues(relPath: String): InternalRow = {
     val segs = relPath.split('/').dropRight(1)

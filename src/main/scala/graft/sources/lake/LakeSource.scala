@@ -134,7 +134,8 @@ class LakeSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DataType.fromJson(resolve(options)._2.schemaJson).asInstanceOf[StructType]
+    graft.operators.Lake.visible(
+      DataType.fromJson(resolve(options)._2.schemaJson).asInstanceOf[StructType])
 
   override def getTable(
       schema: StructType,
@@ -151,14 +152,16 @@ class LakeSource extends TableProvider with DataSourceRegister
     // positional rows under the logical declared schema — until
     // compaction (for DVs) restores the fully-vectorized delegation.
     val resolvedSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    if (st.dvs.nonEmpty || graft.operators.Lake.hasMapping(resolvedSchema))
+    if (st.dvs.nonEmpty || graft.operators.Lake.hasMapping(resolvedSchema) ||
+        resolvedSchema.exists(f => f.metadata.contains("graft.dropped")))
       return new LakeMorTable(s"graft-lake $path@v${st.version} (row-mode)",
         path, st, pinned0)
     val root = {
       val p = new Path(path)
       p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
     }
-    val manifestSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val manifestSchema = graft.operators.Lake.visible(
+      DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
     // basePath makes the resolved files' partition directories parse back
     // into partition columns exactly as a directory read would; the
     // manifest schema pins their recorded types

@@ -118,12 +118,8 @@ object LakeStreamSource {
   private[lake] def tableSchema(spark: SparkSession, lakeDir: String,
       options: CaseInsensitiveStringMap): (StructType, Seq[String]) = {
     val st = Lake.currentState(spark, lakeDir)
-    val manifest = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    if (Lake.hasMapping(manifest))
-      throw new UnsupportedOperationException(
-        s"graft-lake-cdc: $lakeDir carries renamed (column-mapped) fields — the " +
-          "stream's per-file decode cannot alias physical parquet columns yet; " +
-          "consume mapped lakes with the batch Lake.changeFeed")
+    val manifest = Lake.visible(
+      DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
     val partCols: Seq[String] = st.files.headOption match {
       case Some(f) =>
         f.split('/').dropRight(1).toSeq.map { seg =>
@@ -223,6 +219,14 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   // fails any batch whose range evolved the manifest beyond it
   private val startSchema: StructType =
     DataType.fromJson(Lake.currentState(spark, lakeDir).schemaJson).asInstanceOf[StructType]
+  // under a column mapping the parquet decode asks for PHYSICAL names
+  // (time-invariant — every file ever written spells them, before or
+  // after any rename) while the stream's declared schema stays logical;
+  // rows are positional, so only the reader factory needs the mapping
+  private val physByLogical: Map[String, String] =
+    startSchema.map(f => f.name -> Lake.physicalName(f)).toMap
+  private val physDataSchema = StructType(dataSchema.map(f =>
+    f.copy(name = physByLogical.getOrElse(f.name, f.name))))
 
   private def retainedVersions(): Seq[Long] = {
     val root = new Path(lakeDir)
@@ -352,12 +356,17 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     * schema does NOT project into it (new columns, retypes) would decode
     * its files with those columns silently invisible — fail the batch
     * loudly instead, naming the version. Narrower historical schemas
-    * project fine (absent columns read as null) and pass. */
+    * project fine (absent columns read as null) and pass. Comparison is
+    * by PHYSICAL name — the time-invariant identity — so a pure RENAME
+    * in range is invisible to the running stream (it decodes physical
+    * columns anyway; the declared logical names refresh on restart),
+    * and a stream started after a rename replays pre-rename history. */
   private def assertNoEvolution(v: Long, schemaJson: String): Unit = {
     if (schemaJson.isEmpty) return
     val theirs = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val known = startSchema.map(f => f.name -> f.dataType).toMap
-    val beyond = theirs.filterNot(f => known.get(f.name).contains(f.dataType))
+    val known = startSchema.map(f => Lake.physicalName(f) -> f.dataType).toMap
+    val beyond = theirs.filterNot(f =>
+      known.get(Lake.physicalName(f)).contains(f.dataType))
     if (beyond.nonEmpty)
       throw new IllegalStateException(
         s"graft-lake-cdc: version $v evolved the lake schema beyond this stream's " +
@@ -453,7 +462,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    LakeParquetRead.readerFactory(spark, dataSchema, partSchema)
+    LakeParquetRead.readerFactory(spark, physDataSchema, partSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -1166,11 +1166,60 @@ class LakeSpec extends SparkTestBase {
       spark.sql("DELETE FROM renamed_lake WHERE content = 'doc 7'")
       assert(Lake.read(spark, out).count() == 43)
     } finally spark.sql("DROP TABLE IF EXISTS renamed_lake")
-    // the stream still refuses mapped lakes loudly (per-file decode)
-    val eStream = intercept[Exception] {
-      spark.readStream.format("graft-lake-cdc").load(out)
+    // the stream serves mapped lakes too (physical-name decode) —
+    // LakeStreamSpec pins the mid-stream and fresh-start behaviors
+    assert(spark.readStream.format("graft-lake-cdc").load(out)
+      .schema.fieldNames.contains("content"))
+  }
+
+  test("dropColumn is a metadata-only commit: the column vanishes everywhere, re-adding refuses, time travel keeps it") {
+    val out = freshDir("lake-drop")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    val filesBefore = Lake.latestManifest(spark, out).get.files
+    Lake.dropColumn(spark, out, "text") // v1 — zero data bytes
+    assert(Lake.latestManifest(spark, out).get.files == filesBefore)
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) == "drop" && h.getInt(3) == 0 && h.getInt(5) == 0)
+    val df = Lake.read(spark, out)
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "split", "shard_id"),
+      s"the dropped column must vanish, got ${df.schema.fieldNames.mkString(",")}")
+    assert(df.count() == 40)
+    // time travel below the drop still reads the column
+    assert(Lake.readVersion(spark, out, 0L).schema.fieldNames.contains("text"))
+    // post-drop mutations speak the narrowed schema
+    Pipeline.appendToLake(spark, out, spark.range(40, 45).select(
+      col("id").as("doc_id"), lit("test").as("split"),
+      (col("id") % 2).cast("int").as("shard_id"))) // v2
+    assert(Lake.read(spark, out).count() == 45)
+    // the DSv2 read (row-mode under tombstones) excludes the column too
+    val dsv2 = spark.read.format("graft-lake").load(out)
+    assert(dsv2.schema.fieldNames.toSeq == Seq("doc_id", "split", "shard_id"))
+    assert(dsv2.count() == 45)
+    // sparse machinery keeps working against the tombstoned schema
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(0L).toDF("doc_id"), "doc_id") // v3
+    assert(Lake.read(spark, out).count() == 44)
+    val feed = Lake.changeFeed(spark, out, 2L, 3L)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("doc_id", "split", "shard_id", "_change_type", "_commit_version"),
+      "the feed carries only visible columns")
+    // re-ADDING the dropped name refuses loudly (old files still hold values)
+    val eReadd = intercept[IllegalArgumentException] {
+      Pipeline.appendToLake(spark, out, spark.range(50, 52).select(
+        col("id").as("doc_id"), lit("resurrect?").as("text"),
+        lit("test").as("split"), (col("id") % 2).cast("int").as("shard_id")),
+        mergeSchema = true)
     }
-    assert(eStream.getMessage.contains("column-mapped"))
+    assert(eReadd.getMessage.contains("DROPPED"),
+      s"re-add must refuse naming the drop, got: ${eReadd.getMessage}")
+    // renaming onto the tombstone name refuses too
+    val eRename = intercept[IllegalArgumentException] {
+      Lake.renameColumn(spark, out, "doc_id", "text")
+    }
+    assert(eRename.getMessage.contains("tombstone"))
+    // refusals: partition column and the tombstone itself
+    intercept[IllegalArgumentException] { Lake.dropColumn(spark, out, "split") }
+    intercept[IllegalArgumentException] { Lake.dropColumn(spark, out, "text") }
   }
 
   test("vacuumKeeping keeps the OLDEST retained version's feed sidecars: the earliest change feed stays servable") {
@@ -1365,6 +1414,12 @@ class LakeSpec extends SparkTestBase {
     // the transitional scan names its cost and the way out
     assert(scan.description().contains("consider compactLake"),
       s"the MoR scan description must point at compactLake, got: ${scan.description()}")
+    // and reports REAL statistics — without them a join against a
+    // DV-bearing lake prices at defaultSizeInBytes and never broadcasts
+    val stats = spark.read.format("graft-lake").load(out)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 64L * 1024 * 1024,
+      s"the row-mode scan must report its candidate bytes, got ${stats.sizeInBytes}")
     // and the read through the factory (broadcast path) stays exact
     assert(ids(spark.read.format("graft-lake").load(out)) ==
       (0L until 40L).toSet -- Set(2L, 9L, 21L, 33L))

@@ -82,6 +82,30 @@ class LakeCatalogSpec extends SparkTestBase {
       s"partitioned create must refuse naming the reason, got: ${e.getMessage}")
   }
 
+  test("ALTER TABLE routes rename/drop as metadata commits; other changes refuse") {
+    val out = s"$wh/evolve"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))        // v1
+    spark.sql("ALTER TABLE graft_lake.evolve RENAME COLUMN text TO body")       // v2
+    val renamed = spark.sql("SELECT doc_id, body FROM graft_lake.evolve").collect()
+    assert(renamed.length == 10 && renamed.forall(_.getString(1) != null),
+      "the renamed column must read its old values by name")
+    spark.sql("ALTER TABLE graft_lake.evolve DROP COLUMN body")                 // v3
+    assert(!spark.table("graft_lake.evolve").schema.fieldNames.contains("body"))
+    // both landed as metadata commits: zero files added or removed
+    val hist = Lake.describeHistory(spark, out).collect()
+    assert(hist.filter(r => Set("rename", "drop")(r.getString(2)))
+      .forall(r => r.getInt(3) == 0 && r.getInt(5) == 0))
+    // a retype refuses loudly — Spark's capability check rejects it
+    // before our catalog (narrowing BIGINT->INT), and our alterTable
+    // names the rewrite for anything that slips through
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.evolve ALTER COLUMN doc_id TYPE INT")
+    }
+    assert(e.getMessage.contains("rewrite") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      s"a retype must refuse, got: ${e.getMessage}")
+  }
+
   test("path-addressed tables: graft_lake.`/abs/path` reads a lake outside the warehouse") {
     val dir = java.nio.file.Files.createTempDirectory("lake-bypath").toString + "/lake"
     Lake.init(spark, fixture(0 until 7), dir, Seq("split", "shard_id"))

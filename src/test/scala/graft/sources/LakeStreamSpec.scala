@@ -311,6 +311,53 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("column rename mid-stream: the running tail is undisturbed (physical decode); a fresh stream surfaces the new name") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcrename").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))         // v1
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_rename_tail")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("lake_rename_tail").count() == 20)
+      // a pure rename is INVISIBLE to the running stream: the decode is
+      // by physical name (time-invariant), the declared logical schema
+      // refreshes on restart — no refusal, no rows
+      Lake.renameColumn(spark, out, "text", "body")                              // v2
+      q.processAllAvailable()
+      assert(spark.table("lake_rename_tail").count() == 20,
+        "a metadata-only rename must stream nothing")
+      // post-rename appends stream through under the START-TIME logical
+      // name, values intact (the new files spell the physical name)
+      Pipeline.appendToLake(spark, out, fixture(20 until 25)
+        .withColumnRenamed("text", "body"))                                      // v3
+      q.processAllAvailable()
+      val rows = spark.table("lake_rename_tail").collect()
+      assert(rows.length == 25)
+      assert(rows.forall(_.getAs[String]("text") != null),
+        "post-rename files must decode under the stream's start-time column")
+    } finally q.stop()
+    // a FRESH stream declares the renamed schema and replays EVERYTHING —
+    // pre-rename history decodes by the same physical name
+    val q2 = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_rename_tail2")
+      .option("checkpointLocation", s"$base/ck2")
+      .start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("lake_rename_tail2").collect()
+      assert(rows.length == 25)
+      assert(rows.forall(_.getAs[String]("body") != null),
+        "pre-rename history must decode under the new logical name")
+    } finally q2.stop()
+  }
+
   test("change-feed stream refuses a restore rolling back OFF a DV-bearing version (removed files carried vectors)") {
     val base = java.nio.file.Files.createTempDirectory("lakecdcrestoredv").toString
     val out = s"$base/lake"
