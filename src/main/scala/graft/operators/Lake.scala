@@ -144,7 +144,15 @@ object Lake {
       /** Change-feed sidecar dirs referenced by this version's ancestry
         * ([[changeFeed]] reads them per in-range version), accumulated
         * from the deltas' `C` lines and spent only by [[vacuumKeeping]]. */
-      cdc: Seq[String] = Seq.empty)
+      cdc: Seq[String] = Seq.empty,
+      /** Application transaction watermarks: writer app id → highest
+        * transaction version committed under it (the deltas' `T` lines,
+        * folded monotonically). The idempotent-write ledger — a commit
+        * tagged (app, v) with v at or below the watermark is a REPLAY
+        * and skips ([[append]]'s `txn` / the streaming sink's batch id;
+        * the Delta Lake `txnAppId`/`txnVersion` discipline, Armbrust et
+        * al., VLDB 2020, transaction identifiers). */
+      txns: Map[String, Long] = Map.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -168,7 +176,18 @@ object Lake {
         * version). Applied BEFORE `dvAdds`, so a consolidation both
         * detaches the stacked sidecars and attaches their union in one
         * delta. */
-      dvRemoves: Seq[(String, String)] = Seq.empty)
+      dvRemoves: Seq[(String, String)] = Seq.empty,
+      /** The application transaction this commit was tagged with
+        * ((appId, txnVersion), rendered as a `T` line) — see
+        * [[LakeState.txns]]. */
+      txn: Option[(String, Long)] = None,
+      /** Per-file stats RESTATED for already-live files (rendered as
+        * `AS` lines) — [[analyzeStats]]' backfill commit: the named
+        * files' recorded min/max merge these columns in, no data or
+        * file-list change. A restate for a file an interposed commit
+        * removed is skipped at replay (the file is gone; its stats
+        * died with it). */
+      statRestates: Seq[(String, Seq[ColStat])] = Seq.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -197,7 +216,14 @@ object Lake {
       cdcFiles: Seq[(String, String)] = Seq.empty,
       /** Deletion-vector attachments this commit DETACHES (rendered as
         * `X` lines; see [[DeltaRecord.dvRemoves]]). */
-      dvRemoves: Seq[(String, String)] = Seq.empty)
+      dvRemoves: Seq[(String, String)] = Seq.empty,
+      /** Application transaction tag ((appId, txnVersion)) — [[publish]]
+        * SKIPS the whole commit (aborting the staged files) when the
+        * lake's [[LakeState.txns]] watermark already covers it, including
+        * when a raced writer's interposed commit moved the watermark
+        * mid-rebase. The idempotent-replay guard for the streaming sink
+        * and `txnAppId`/`txnVersion` batch writes. */
+      txn: Option[(String, Long)] = None)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -330,7 +356,11 @@ object Lake {
     val dvs = rec.dvAdds.sorted.map { case (f, s) => s"D\t${enc(f)}\t${enc(s)}" }
     val dvx = rec.dvRemoves.sorted.map { case (f, s) => s"X\t${enc(f)}\t${enc(s)}" }
     val cdc = rec.cdcFiles.sorted.map { case (p, t) => s"C\t${enc(p)}\t${enc(t)}" }
-    (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc)).mkString("\n")
+    val txn = rec.txn.toSeq.map { case (a, v) => s"T\t${enc(a)}\t$v" }
+    val restates = rec.statRestates.sortBy(_._1).map { case (p, st) =>
+      (Seq("AS", enc(p)) ++ statsFields(st)).mkString("\t") }
+    (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc ++ txn ++ restates))
+      .mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -346,6 +376,8 @@ object Lake {
     val dvAdds = Seq.newBuilder[(String, String)]
     val dvRemoves = Seq.newBuilder[(String, String)]
     val cdcFiles = Seq.newBuilder[(String, String)]
+    var txn: Option[(String, Long)] = None
+    val restates = Seq.newBuilder[(String, Seq[ColStat])]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -355,15 +387,18 @@ object Lake {
           val p = dec(f(1))
           added += ((p, parseStats(f.drop(2))))
           rewrites += p
+        case "AS" => restates += ((dec(f(1)), parseStats(f.drop(2))))
         case "R" => removed += dec(f(1))
         case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
         case "X" => dvRemoves += ((dec(f(1)), dec(f(2))))
         case "C" => cdcFiles += ((dec(f(1)), dec(f(2))))
+        case "T" => txn = Some((dec(f(1)), f(2).toLong))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
-      rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result())
+      rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result(), txn,
+      restates.result())
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -383,7 +418,8 @@ object Lake {
       .sorted.map { case (f, s) => s"V\t${enc(f)}\t${enc(s)}" }
     val dvHist = st.dvHistory.sorted.map(s => s"VH\t${enc(s)}")
     val cdc = st.cdc.sorted.map(p => s"CF\t${enc(p)}")
-    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc)).mkString("\n")
+    val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
+    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns)).mkString("\n")
   }
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
@@ -401,6 +437,7 @@ object Lake {
     val dvPairs = Seq.newBuilder[(String, String)]
     val dvHist = Seq.newBuilder[String]
     val cdc = Seq.newBuilder[String]
+    val txns = Map.newBuilder[String, Long]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -414,6 +451,7 @@ object Lake {
         case "V" => dvPairs += ((dec(f(1)), dec(f(2))))
         case "VH" => dvHist += dec(f(1))
         case "CF" => cdc += dec(f(1))
+        case "T" => txns += (dec(f(1)) -> f(2).toLong)
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
@@ -421,7 +459,8 @@ object Lake {
       historyComplete = complete,
       dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
       dvHistory = dvHist.result().sorted,
-      cdc = cdc.result().sorted)
+      cdc = cdc.result().sorted,
+      txns = txns.result())
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -550,9 +589,18 @@ object Lake {
     val newDvs = d.dvAdds.foldLeft(keptDvs) { case (m, (f, s)) =>
       m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
     }
+    val postFiles = (st.files.filterNot(removed) ++ d.added.map(_._1)).sorted
+    val postFileSet = postFiles.toSet
+    val baseStats = (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap
+    // stat restates ([[analyzeStats]]) merge per column onto LIVE files;
+    // a restate whose file an interposed commit removed is skipped
+    val restated = d.statRestates.filter(r => postFileSet(r._1))
+      .foldLeft(baseStats) { case (m, (f, st2)) =>
+        m.updated(f, mergeStatCols(m.getOrElse(f, Seq.empty), st2))
+      }
     LakeState(d.version, d.schemaJson,
-      (st.files.filterNot(removed) ++ d.added.map(_._1)).sorted,
-      (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap,
+      postFiles,
+      restated,
       // removed files stay referenced (time travel / in-range CDC reads
       // them until a retention vacuum spends that history)
       st.history ++ d.removed,
@@ -561,8 +609,17 @@ object Lake {
       historyComplete = st.historyComplete,
       dvs = newDvs,
       dvHistory = st.dvHistory ++ detached,
-      cdc = st.cdc ++ d.cdcFiles.map(_._1))
+      cdc = st.cdc ++ d.cdcFiles.map(_._1),
+      // the watermark folds MONOTONICALLY: an out-of-order replayed tag
+      // (possible only through manual log surgery) can never move it back
+      txns = d.txn.fold(st.txns) { case (a, v) =>
+        st.txns.updated(a, math.max(v, st.txns.getOrElse(a, Long.MinValue))) })
   }
+
+  /** Per-column stats merge: the restated columns replace their old
+    * entries, every other recorded column survives. */
+  private def mergeStatCols(old: Seq[ColStat], nw: Seq[ColStat]): Seq[ColStat] =
+    old.filterNot(o => nw.exists(_.col == o.col)) ++ nw
 
   /** Drop the named (file, sidecar) attachment pairs — idempotent (an
     * already-detached pair is a no-op, so raced consolidations commute);
@@ -1050,6 +1107,14 @@ object Lake {
     var rebases = 0
     var committed = false
     while (!committed) {
+      // idempotent-replay guard: the watermark is re-checked against the
+      // CURRENT base on every rebase, so a raced duplicate (two writers
+      // replaying the same batch) cannot double-land — whichever commits
+      // first moves the watermark, the other observes it here and skips
+      if (sc.txn.exists { case (a, v) => base.txns.get(a).exists(_ >= v) }) {
+        abort(spark, sc)
+        return
+      }
       val detached = base.dvs.view.filterKeys(ourRemoved).values.flatten.toSeq ++
         sc.dvRemoves.map(_._2)
       val keptDvs = applyDvRemoves(base.dvs -- ourRemoved, sc.dvRemoves)
@@ -1063,13 +1128,15 @@ object Lake {
         historyComplete = base.historyComplete,
         dvs = postDvs,
         dvHistory = base.dvHistory ++ detached,
-        cdc = base.cdc ++ sc.cdcFiles.map(_._1))
+        cdc = base.cdc ++ sc.cdcFiles.map(_._1),
+        txns = sc.txn.fold(base.txns) { case (a, v) =>
+          base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) })
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
-            cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted),
+            cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn),
           Some(post))
         committed = true
       } catch {
@@ -1276,8 +1343,15 @@ object Lake {
     * on a lake without a committed manifest or files: an empty target
     * has no layout to insert into — create it with [[init]] /
     * `ingestToLake` first. */
-  private[graft] def append(spark: SparkSession, lakeDir: String, df: DataFrame): Unit = {
+  private[graft] def append(spark: SparkSession, lakeDir: String, df: DataFrame,
+      txn: Option[(String, Long)] = None): Unit = {
     val base = adopt(spark, lakeDir)
+    // idempotent-write fast path: a replayed transaction skips BEFORE
+    // the input is even materialized — the restarted streaming query's
+    // re-delivered micro-batch (or a retried `txnAppId` batch write)
+    // costs one manifest resolution, zero data reads. [[publish]]
+    // re-checks against the rebased head, closing the race window.
+    if (txn.exists { case (a, v) => base.txns.get(a).exists(_ >= v) }) return
     // a NEVER-POPULATED manifest lake (catalog CREATE TABLE: schema
     // committed, no file ever added) bootstraps as unpartitioned — its
     // empty layout IS the layout. A lake that merely became empty (every
@@ -1296,7 +1370,7 @@ object Lake {
     val staged = stageWrite(spark, lakeDir, aligned, partitionColsOf(base))
     val (rows, stats) = auditStaged(spark, lakeDir, base.schemaJson, staged, Seq.empty)
     publish(spark, StagedCommit(lakeDir, base, "append", base.schemaJson,
-      Seq.empty, staged, rows, expected, stats))
+      Seq.empty, staged, rows, expected, stats, txn = txn))
   }
 
   /** Append-mode write of `df` into the lake's partition layout, returning
@@ -1722,6 +1796,55 @@ object Lake {
       dvAdds = files.map(f => f -> Seq(rel)).toMap,
       dvRemoves = stacked.toSeq.flatMap { case (f, ss) => ss.map(s => (f, s)) }))
     stacked.view.mapValues(_.size).toMap
+  }
+
+  /** Backfill per-file min/max stats for `statsCols` — the pruning
+    * metadata a lake adopted from a bare directory (or init'd without
+    * `statsCols`) never got, and the biggest read lever at 100 TB:
+    * file skipping without it touches every file, with it only the
+    * bound-overlapping ones (the Delta `ANALYZE`/collect-stats shape).
+    * ONE column-pruned pass over the live files (the same
+    * [[auditStaged]] device every write's stats capture uses — physical
+    * column names, identical value rendering, so freshly-analyzed and
+    * write-captured stats are indistinguishable to [[pruneByStats]]),
+    * committed as a METADATA-ONLY `analyze` delta carrying `AS` restate
+    * lines: no data bytes move, the file list is untouched, the change
+    * feed emits nothing. Raced commits rebase freely — a restate whose
+    * file an interposed commit removed is dropped both at rebase and at
+    * every later replay, so stale stats can never attach to a rewritten
+    * file's path. Tombstoned (deletion-vector'd) rows still count into
+    * min/max — conservative, hence sound for pruning. Returns the
+    * per-file stats committed. */
+  def analyzeStats(spark: SparkSession, lakeDir: String, statsCols: Seq[String],
+      maxRebases: Int = 5): Map[String, Seq[ColStat]] = {
+    require(statsCols.nonEmpty, "analyzeStats needs at least one column")
+    var base = adopt(spark, lakeDir)
+    if (base.files.isEmpty) return Map.empty
+    val (_, stats) = auditStaged(spark, lakeDir, base.schemaJson, base.files, statsCols)
+    var rebases = 0
+    var committed = false
+    while (!committed) {
+      val live = base.files.toSet
+      val restates = stats.view.filterKeys(live).toSeq.sortBy(_._1)
+      if (restates.isEmpty) return Map.empty // everything analyzed was since removed
+      val merged = restates.foldLeft(base.stats) { case (m, (f, st)) =>
+        m.updated(f, mergeStatCols(m.getOrElse(f, Seq.empty), st))
+      }
+      val post = base.copy(version = base.version + 1, stats = merged)
+      try {
+        commitDelta(spark, lakeDir,
+          DeltaRecord(base.version + 1, "analyze", base.schemaJson,
+            Seq.empty, Seq.empty, statRestates = restates),
+          Some(post))
+        committed = true
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
+          if (rebases >= maxRebases) throw e
+          rebases += 1
+          base = latestManifest(spark, lakeDir).getOrElse(throw e)
+      }
+    }
+    stats
   }
 
   /** The lakeDir-relative DV and CDC sidecar dirs on disk (two listings). */

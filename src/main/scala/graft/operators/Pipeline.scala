@@ -1969,6 +1969,76 @@ object Pipeline {
       |FROM documents WHERE doc_id % 23 <> 0 AND doc_id % 29 <> 0
       |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px120
+  /** EXACTLY-ONCE streaming ingest behind the format string —
+    * `writeStream.format("graft-lake")` ([[graft.sources.lake
+    * .LakeStreamingSink]]): seed a third of the corpus as the lake's
+    * layout (v1), land the rest as parquet files, and stream them in
+    * with `Trigger.AvailableNow` + `maxFilesPerTrigger` so the ingest
+    * spans SEVERAL micro-batches — each landing as one protocol
+    * `append` commit tagged `(streaming-sink-<queryId>, batchId)` in
+    * the manifest's transaction watermark (a crash-replayed batch
+    * skips from the manifest alone; LakeSinkSpec pins the replay).
+    * The post-stream manifest must equal the full corpus (px100's
+    * oracle): every batch landed, exactly once, through the same
+    * stage→audit→publish commit as every batch mutation. */
+  private def px120(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px120_lake")
+    val src = Scratch.dir(spark, "px120_src")
+    val ckpt = Scratch.dir(spark, "px120_ckpt")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 === 0), out, Seq("split", "shard_id"))
+    sharded.filter(col("doc_id") % 3 =!= 0).repartition(4).write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema(sharded.schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  // ---------------------------------------------------------------- px121
+  /** METADATA TABLES, oracled: the commit log behind plain `SELECT`
+    * ([[graft.sources.lake.LakeMetaTables]] — `graft_lake.t$history`,
+    * computed driver-side from delta HEADERS alone, zero data-file
+    * opens). The fixture's layout is pinned one-file-per-commit
+    * (unpartitioned, single-partition writes) so the header counts are
+    * data-independent: init lands 1 file, the append 1 file, and the
+    * sparse delete touches only the odd-ids file — `n_dv_attached = 1`,
+    * nothing added or removed. The oracle is the VALUES literal of that
+    * history: a hash-match certifies header-only resolution, the
+    * catalog's metadata routing, and the sparse commit's audit-surface
+    * counts in one read. */
+  private def px121(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px121_lake")
+    val docs = Tables(spark, dir, "documents").select("doc_id", "n_chars")
+    Lake.init(spark, docs.filter(col("doc_id") % 2 === 0).repartition(1),
+      out, Seq.empty)                                                      // v1: 1 file, even ids
+    Lake.append(spark, out, docs.filter(col("doc_id") % 2 =!= 0).repartition(1)) // v2: 1 file, odd ids
+    deleteFromLakeSparse(spark, out,
+      docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")    // v3: DV on the odd file only
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.lake.LakeCatalog")
+    spark.sql(
+      "SELECT version, action, n_added, n_data_added, n_removed, n_dv_attached " +
+        s"FROM graft_lake.`$out" + "$history` ORDER BY version")
+  }
+
+  private val px121Oracle =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'init',   CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER)),
+      |  (CAST(2 AS BIGINT), 'append', CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER)),
+      |  (CAST(3 AS BIGINT), 'delete', CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(1 AS INTEGER)))
+      |  AS t(version, action, n_added, n_data_added, n_removed, n_dv_attached)
+      |ORDER BY version""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2213,5 +2283,7 @@ object Pipeline {
     GraftQuery("px116_lake_sql_delete", px116, Some(px116Oracle)),
     GraftQuery("px117_lake_sql_merge", px117, Some(px113Oracle)),
     GraftQuery("px118_lake_sql_update", px118, Some(px118Oracle)),
-    GraftQuery("px119_lake_dv_consolidate", px119, Some(px119Oracle)))
+    GraftQuery("px119_lake_dv_consolidate", px119, Some(px119Oracle)),
+    GraftQuery("px120_lake_stream_sink", px120, Some(px100Oracle)),
+    GraftQuery("px121_lake_meta_tables", px121, Some(px121Oracle)))
 }

@@ -5,7 +5,8 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,7 @@ import graft.operators.Lake
   * `DROP TABLE` deletes the lake directory (the path is the identity —
   * there is no registration to remove). `ALTER TABLE` refuses: schema
   * evolution goes through merge-schema appends. */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Option[String] = None
 
@@ -80,6 +81,24 @@ class LakeCatalog extends TableCatalog {
 
   private def tableAt(ident: Identifier, version: Option[String],
       timestampAsOf: Option[String]): Table = {
+    // `corpus$history` / `$files` / `$txns` — the metadata tables
+    // ([[LakeMetaTables]]); the suffix is parsed off the NAME, so both
+    // named and path-addressed (`graft_lake.`/lake$files``) forms work
+    LakeMetaTables.parse(ident.name) match {
+      case Some((base, kind)) =>
+        val dir = dirFor(Identifier.of(ident.namespace, base))
+        if (!isLake(dir)) throw new NoSuchTableException(ident)
+        val pinned: Option[Long] = (version, timestampAsOf) match {
+          case (Some(v), _) => Some(v.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-lake catalog: VERSION AS OF on a metadata table takes a " +
+                s"version number, got '$v'")))
+          case (_, Some(ts)) => Some(Lake.versionAtTimestamp(spark, dir, ts.toLong))
+          case _ => None
+        }
+        return LakeMetaTables.table(spark, dir, kind, pinned)
+      case None => ()
+    }
     val dir = dirFor(ident)
     if (!isLake(dir)) throw new NoSuchTableException(ident)
     val props = new util.HashMap[String, String]()
@@ -99,7 +118,11 @@ class LakeCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     tableAt(ident, None, Some((timestampMicros / 1000L).toString))
 
-  override def tableExists(ident: Identifier): Boolean = isLake(dirFor(ident))
+  override def tableExists(ident: Identifier): Boolean =
+    LakeMetaTables.parse(ident.name) match {
+      case Some((base, _)) => isLake(dirFor(Identifier.of(ident.namespace, base)))
+      case None => isLake(dirFor(ident))
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val w = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace))
@@ -165,6 +188,26 @@ class LakeCatalog extends TableCatalog {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
   }
+
+  /** `CALL graft_lake.system.<proc>(table => 't', …)` — the maintenance
+    * surface ([[LakeProcedures]]). The `system` namespace is
+    * conventional (the Iceberg idiom) but not enforced: a bare
+    * `graft_lake.vacuum(…)` resolves too. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))))
+      throw new IllegalArgumentException(
+        s"graft-lake catalog: procedures live under the 'system' namespace, got " +
+          ident.namespace.mkString("."))
+    LakeProcedures.load(ident.name, table => {
+      val parts = table.split('.')
+      dirFor(Identifier.of(parts.init, parts.last))
+    })
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakeProcedures.All.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

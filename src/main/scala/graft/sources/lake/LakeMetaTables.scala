@@ -1,0 +1,173 @@
+package graft.sources.lake
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.Lake
+
+/** Iceberg-style METADATA TABLES on the lake catalog — the commit log,
+  * file census, and transaction watermarks behind plain `SELECT`:
+  *
+  * {{{
+  *   SELECT version, action, n_removed FROM graft_lake.corpus$history
+  *   SELECT path, partition FROM graft_lake.corpus$files
+  *   SELECT app_id, last_version FROM graft_lake.corpus$txns
+  *   SELECT * FROM graft_lake.`/abs/path$files`        -- path-addressed
+  * }}}
+  *
+  * (backtick the identifier in SQL when `$` needs quoting). Each table
+  * is computed DRIVER-SIDE from the manifest alone — one log resolution,
+  * zero data-file opens, exactly the information [[Lake.describeHistory]]
+  * / [[Lake.LakeState]] already hold — and shipped to the scan as one
+  * bounded partition: `$history` is O(versions) via header-only delta
+  * reads, `$files` is O(live files) — the size of the manifest itself —
+  * and `$txns` is O(writer apps). Nothing here scales with data bytes,
+  * so the tables stay cheap on a 100 TB lake; deliberately NOT included
+  * is anything that would need per-file filesystem stats or footer
+  * opens (use `compactLake`'s own sizing for that).
+  *
+  * Version/timestamp pinning (`VERSION AS OF`) applies to `$files` and
+  * `$txns` (the census/watermarks AS OF that commit); `$history` always
+  * reads the full retained log and refuses pinning rather than
+  * truncating it ambiguously. */
+private[lake] object LakeMetaTables {
+
+  /** Recognized suffixes: `name$kind`. */
+  val Kinds: Set[String] = Set("history", "files", "txns")
+
+  /** Split `corpus$history` → (`corpus`, `history`); None for plain
+    * table names (a `$` with an unknown tail is NOT metadata — it stays
+    * part of the table name rather than guessing). */
+  def parse(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val kind = name.substring(i + 1)
+      if (Kinds.contains(kind)) Some((name.substring(0, i), kind)) else None
+    }
+  }
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("action", StringType, nullable = false),
+    StructField("n_added", IntegerType, nullable = false),
+    StructField("n_data_added", IntegerType, nullable = false),
+    StructField("n_removed", IntegerType, nullable = false),
+    StructField("n_dv_attached", IntegerType, nullable = false),
+    StructField("n_cdc_files", IntegerType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("partition", StringType, nullable = false),
+    StructField("n_stat_cols", IntegerType, nullable = false),
+    StructField("n_dv_sidecars", IntegerType, nullable = false)))
+
+  val txnsSchema: StructType = StructType(Seq(
+    StructField("app_id", StringType, nullable = false),
+    StructField("last_version", LongType, nullable = false)))
+
+  private def s(v: String) = UTF8String.fromString(v)
+
+  /** Build the metadata table for `kind` over the lake at `dir`,
+    * optionally pinned to a version/timestamp (resolved exactly like the
+    * data table's time travel). */
+  def table(spark: SparkSession, dir: String, kind: String,
+      pinnedVersion: Option[Long]): Table = kind match {
+    case "history" =>
+      if (pinnedVersion.isDefined)
+        throw new UnsupportedOperationException(
+          "graft-lake: $history always reads the full retained log — drop the " +
+            "VERSION/TIMESTAMP AS OF (pin $files/$txns instead)")
+      new LakeMetaTable(s"$dir$$history", historySchema, () =>
+        Lake.describeHistory(spark, dir).collect().map { r =>
+          new GenericInternalRow(Array[Any](
+            r.getLong(0), r.getTimestamp(1).getTime * 1000L, s(r.getString(2)),
+            r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+        })
+    case "files" =>
+      new LakeMetaTable(s"$dir$$files", filesSchema, () => {
+        val st = stateFor(spark, dir, pinnedVersion)
+        st.files.map { f =>
+          val cut = f.lastIndexOf('/')
+          new GenericInternalRow(Array[Any](
+            s(f), s(if (cut > 0) f.substring(0, cut) else ""),
+            st.stats.getOrElse(f, Seq.empty).size,
+            st.dvs.getOrElse(f, Seq.empty).size)): InternalRow
+        }.toArray
+      })
+    case "txns" =>
+      new LakeMetaTable(s"$dir$$txns", txnsSchema, () => {
+        val st = stateFor(spark, dir, pinnedVersion)
+        st.txns.toSeq.sortBy(_._1).map { case (a, v) =>
+          new GenericInternalRow(Array[Any](s(a), v)): InternalRow
+        }.toArray
+      })
+    case other => throw new IllegalArgumentException(s"unknown metadata table kind: $other")
+  }
+
+  private def stateFor(spark: SparkSession, dir: String,
+      pinned: Option[Long]): Lake.LakeState =
+    pinned.fold(Lake.currentState(spark, dir))(v => Lake.stateAt(spark, dir, v))
+}
+
+/** One driver-computed, single-partition metadata table. The row set is
+  * built lazily at scan-planning time (every query sees the log as of
+  * ITS planning, not catalog-load), and rides to the one reader task as
+  * the partition payload — these are manifest-sized lists, bounded by
+  * design, never data-proportional. */
+private[lake] class LakeMetaTable(tblName: String, tblSchema: StructType,
+    compute: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tblName
+  override def schema(): StructType = tblSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LakeMetaScan(tblName, tblSchema, compute)
+    }
+}
+
+/** Single-partition scan over driver-computed rows — shared by the
+  * metadata tables and the `CALL` procedures' result sets
+  * ([[LakeProcedures]]). Also a `LocalScan` (the rows ARE driver-local),
+  * which is the only output shape Spark's procedure invocation accepts;
+  * table reads still go through the batch path. */
+private[lake] class LakeMetaScan(scanName: String, scanSchema: StructType,
+    compute: () => Array[InternalRow])
+    extends Scan with org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = scanSchema
+  override def description(): String = s"graft-lake metadata $scanName"
+  override def rows(): Array[InternalRow] = compute()
+  override def toBatch: Batch = new Batch {
+    private val rows = compute()
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(LakeMetaPartition(rows))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new LakeMetaReaderFactory
+  }
+}
+
+private[lake] final case class LakeMetaPartition(rows: Array[InternalRow])
+    extends InputPartition
+
+private[lake] class LakeMetaReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[LakeMetaPartition].rows.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}

@@ -97,7 +97,7 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
   // appends are DV-independent (pure add): a tombstone-bearing lake
   // still takes protocol inserts
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    LakeWrites.newWriteBuilder(lakeDir, pinned)
+    LakeWrites.newWriteBuilder(lakeDir, pinned, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graft.LakeMorScanBuilder(manifestSchema,

@@ -1,0 +1,153 @@
+package graft.sources.lake
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{Lake, Pipeline}
+
+/** Lake MAINTENANCE behind SQL `CALL` — Spark 4's `ProcedureCatalog`
+  * surface (SPIP: stored procedures; the Iceberg `CALL cat.system.…`
+  * idiom), so the operations that keep a 100 TB lake healthy need no
+  * Scala entry point:
+  *
+  * {{{
+  *   CALL graft_lake.system.vacuum(table => 'corpus', min_age_ms => 3600000)
+  *   CALL graft_lake.system.vacuum_keeping(table => 'corpus', keep_versions => 10)
+  *   CALL graft_lake.system.compact(table => 'corpus', target_rows_per_file => 4000000)
+  *   CALL graft_lake.system.compact_dvs(table => 'corpus')
+  *   CALL graft_lake.system.restore(table => 'corpus', version => 3)
+  * }}}
+  *
+  * `table` is a catalog table name (or an absolute lake path). Every
+  * procedure routes to the SAME Scala maintenance op the engine already
+  * pins with specs — vacuum's grace windows, vacuumKeeping's retention
+  * checkpoint, compaction's DV fold-away, restore's no-copy rollback —
+  * and returns its facts as rows (reclaimed paths, folded sidecar
+  * counts, the restored version) through the bounded driver-side scan
+  * the metadata tables use. */
+private[lake] object LakeProcedures {
+
+  val All: Seq[String] =
+    Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt)
+
+  private def s(v: String) = UTF8String.fromString(v)
+
+  private val pathsSchema = StructType(Seq(
+    StructField("reclaimed_path", StringType, nullable = false)))
+
+  private def pathRows(paths: Seq[String]): Array[InternalRow] =
+    paths.sorted.map(f => new GenericInternalRow(Array[Any](s(f))): InternalRow).toArray
+
+  /** One procedure: fixed parameters, one result schema, a driver-side
+    * body returning the result rows. `resolve` is the owning catalog's
+    * table-name → directory mapping; a path-form `table` argument
+    * bypasses it. */
+  private final class LakeProc(procName: String, procDescription: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      resolve: String => String,
+      body: (String, InternalRow) => Array[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val dir = if (table.startsWith("/")) table else resolve(table)
+      val rows = body(dir, input)
+      util.Collections.singletonList[Scan](
+        new LakeMetaScan(procName, outSchema, () => rows)).iterator()
+    }
+  }
+
+  private val tableParam =
+    p("table", StringType).comment("catalog table name or absolute lake path").build()
+
+  def load(name: String, resolve: String => String): UnboundProcedure = name match {
+    case "vacuum" => new LakeProc("vacuum",
+      "reclaim unreferenced data files and sidecars (invisible orphans); " +
+        "min_age_ms is the in-flight-writer grace window",
+      Array(tableParam,
+        p("min_age_ms", LongType).defaultValue("0").build()),
+      pathsSchema, resolve,
+      (dir, in) => pathRows(Lake.vacuum(spark, dir, in.getLong(1))))
+    case "vacuum_keeping" => new LakeProc("vacuum_keeping",
+      "retire history below the newest keep_versions commits and reclaim " +
+        "the files only that history referenced",
+      Array(tableParam,
+        p("keep_versions", IntegerType).build(),
+        p("min_age_ms", LongType).defaultValue("0").build()),
+      pathsSchema, resolve,
+      (dir, in) => pathRows(Lake.vacuumKeeping(spark, dir, in.getInt(1), in.getLong(2))))
+    case "compact" => new LakeProc("compact",
+      "bin-pack fragmented partitions and materialize deletion vectors " +
+        "back into plain files",
+      Array(tableParam,
+        p("max_files_per_partition", IntegerType).defaultValue("1").build(),
+        p("target_rows_per_file", LongType).defaultValue("4000000").build()),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_live_files", IntegerType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val cols = Lake.partitionColsOf(Lake.adopt(spark, dir))
+        Pipeline.compactLake(spark, dir, maxFilesPerPartition = in.getInt(1),
+          targetRowsPerFile = in.getLong(2), partitionCols = cols,
+          retainHistory = true)
+        val st = Lake.currentState(spark, dir)
+        Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
+      })
+    case "compact_dvs" => new LakeProc("compact_dvs",
+      "fold each file's stacked deletion-vector sidecars into one " +
+        "(vectors-only commit, zero data bytes, CDC-invisible)",
+      Array(tableParam),
+      StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("n_folded", IntegerType, nullable = false))),
+      resolve,
+      (dir, _) => Lake.compactDeletionVectors(spark, dir).toSeq.sortBy(_._1)
+        .map { case (f, n) => new GenericInternalRow(Array[Any](s(f), n)): InternalRow }
+        .toArray)
+    case "restore" => new LakeProc("restore",
+      "roll the lake back to a retained version as a NEW commit (no bytes copied)",
+      Array(tableParam, p("version", LongType).build()),
+      StructType(Seq(StructField("restored_to_version", LongType, nullable = false),
+        StructField("new_version", LongType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val target = in.getLong(1)
+        Lake.restore(spark, dir, target)
+        Array(new GenericInternalRow(Array[Any](
+          target, Lake.currentState(spark, dir).version)))
+      })
+    case "analyze" => new LakeProc("analyze",
+      "backfill per-file min/max stats for the named columns (metadata-only " +
+        "commit) so scans stat-prune a lake that was adopted or written " +
+        "without statsCols",
+      Array(tableParam,
+        p("columns", StringType).comment("comma-separated column names").build()),
+      StructType(Seq(
+        StructField("n_files_analyzed", IntegerType, nullable = false),
+        StructField("columns", StringType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
+        val stats = Lake.analyzeStats(spark, dir, cols.toSeq)
+        Array(new GenericInternalRow(Array[Any](stats.size, s(cols.mkString(",")))))
+      })
+    case other => throw new IllegalArgumentException(
+      s"graft-lake catalog: unknown procedure '$other' — available: ${All.mkString(", ")}")
+  }
+}

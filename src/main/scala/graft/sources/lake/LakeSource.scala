@@ -56,8 +56,21 @@ import graft.operators.Lake
   * an uninitialized directory (no layout to insert into).
   */
 class LakeSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft-lake"
+
+  /** `df.writeStream.format("graft-lake").start(lakeDir)` — the
+    * exactly-once streaming sink ([[LakeStreamingSink]]: one protocol
+    * append per micro-batch, replays deduped by the lake's transaction
+    * watermark). Spark routes here because [[LakeTable]] declares no
+    * STREAMING_WRITE capability — the v1 sink IS the streaming write
+    * path, same protocol as every other mutation. */
+  override def createSink(ctx: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    LakeStreamingSink.create(parameters, partitionColumns, outputMode)
 
   /** The V1 save path (`df.write.format("graft-lake").mode(m).save(p)`):
     * append routes through the commit protocol exactly like the DSv2
@@ -74,7 +87,8 @@ class LakeSource extends TableProvider with DataSourceRegister
         s"graft-lake: $mode writes bypass the commit protocol — only mode(\"append\") " +
           "routes through stage/audit/publish; replace a lake with Lake.init, roll it " +
           "back with Lake.restore")
-    Lake.append(data.sparkSession, path, data)
+    Lake.append(data.sparkSession, path, data,
+      txn = LakeWrites.txnOf(k => parameters.find(_._1.equalsIgnoreCase(k)).map(_._2)))
     val sch = DataType.fromJson(
       Lake.currentState(data.sparkSession, path).schemaJson).asInstanceOf[StructType]
     new BaseRelation {
@@ -224,18 +238,35 @@ private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean
     else new org.apache.spark.sql.graft.LakeStatPruningScanBuilder(
       st, manifestSchema, options, files => builderFor(files, options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    LakeWrites.newWriteBuilder(path, pinned)
+    LakeWrites.newWriteBuilder(path, pinned, info)
 }
 
 /** The protocol-routed V1 write builder shared by the clean-path and
   * merge-on-read tables: inserts land as [[Lake.append]] commits;
   * version/timestamp-pinned tables and overwrite modes refuse. */
 private[lake] object LakeWrites {
-  def newWriteBuilder(path: String, pinned: Boolean): WriteBuilder = {
+
+  /** Parse the Delta-style idempotent-write pair from write options:
+    * `txnAppId` + `txnVersion` tag the commit so a replay of the same
+    * (app, version) skips ([[Lake.LakeState.txns]]). Both-or-neither —
+    * half a tag is a misconfigured retry loop, refused loudly. */
+  private[lake] def txnOf(opt: String => Option[String]): Option[(String, Long)] =
+    (opt("txnAppId"), opt("txnVersion")) match {
+      case (Some(a), Some(v)) =>
+        Some((a, v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"graft-lake: txnVersion must be a long, got '$v'"))))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "graft-lake: txnAppId and txnVersion must be set together — an idempotent " +
+          "write is tagged by the (application id, monotonic version) pair")
+    }
+
+  def newWriteBuilder(path: String, pinned: Boolean, info: LogicalWriteInfo): WriteBuilder = {
     if (pinned)
       throw new UnsupportedOperationException(
         s"graft-lake: cannot INSERT into a version/timestamp-pinned read of $path — " +
           "writes go to the lake's head")
+    val txn = txnOf(k => Option(info.options.get(k)))
     new WriteBuilder {
       // no SupportsTruncate/SupportsOverwrite: every overwrite mode
       // refuses with Spark's standard error — overwriting a lake is
@@ -249,7 +280,7 @@ private[lake] object LakeWrites {
                 throw new UnsupportedOperationException(
                   s"graft-lake: overwrite writes bypass the commit protocol — use " +
                     "Lake.init (replace) or Lake.restore (roll back) instead")
-              Lake.append(SparkSession.active, path, data)
+              Lake.append(SparkSession.active, path, data, txn = txn)
             }
           }
       }

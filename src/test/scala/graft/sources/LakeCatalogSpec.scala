@@ -20,11 +20,18 @@ class LakeCatalogSpec extends SparkTestBase {
         when(col("doc_id") < 100, "train").otherwise("test").as("split"),
         (col("doc_id") % 2).cast("int").as("shard_id"))
 
-  private lazy val wh = {
-    val d = java.nio.file.Files.createTempDirectory("graft-lake-wh").toString
+  private lazy val whDir =
+    java.nio.file.Files.createTempDirectory("graft-lake-wh").toString
+
+  /** Set the catalog confs and DROP the session's cached catalog
+    * instance — another suite (e.g. px121 via QueriesSpec) may have
+    * initialized `graft_lake` WITHOUT a warehouse, and Spark caches
+    * catalog plugins per session on first use. */
+  private def wh: String = {
     spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.lake.LakeCatalog")
-    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", d)
-    d
+    spark.conf.set("spark.sql.catalog.graft_lake.warehouse", whDir)
+    org.apache.spark.sql.graft.ColumnBridge.resetCatalogManager(spark)
+    whDir
   }
 
   test("named reads: SELECT FROM graft_lake.t, VERSION AS OF and TIMESTAMP AS OF match the option() forms") {
@@ -110,5 +117,148 @@ class LakeCatalogSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("lake-bypath").toString + "/lake"
     Lake.init(spark, fixture(0 until 7), dir, Seq("split", "shard_id"))
     assert(spark.sql(s"SELECT count(*) FROM graft_lake.`$dir`").head.getLong(0) == 7L)
+  }
+
+  test("metadata tables: $history/$files/$txns behind SELECT, with AS-OF pinning on the census") {
+    val out = s"$wh/meta"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))          // v1
+    Pipeline.appendToLake(spark, out, fixture(20 until 30))                       // v2
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(3L).toDF("doc_id"), "doc_id")   // v3
+    fixture(30 until 32).write.format("graft-lake")
+      .option("txnAppId", "cat-loader").option("txnVersion", "7")
+      .mode("append").save(out)                                                   // v4
+
+    val hist = spark.sql(
+      "SELECT version, action FROM graft_lake.`meta$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "init"), (2L, "append"), (3L, "delete"), (4L, "append")))
+
+    // $files mirrors the manifest census exactly; the sparse delete's
+    // attachment is counted on its one file
+    val files = spark.sql(
+      "SELECT path, n_dv_sidecars FROM graft_lake.`meta$files`").collect()
+    val st = Lake.currentState(spark, out)
+    assert(files.map(_.getString(0)).toSet == st.files.toSet)
+    assert(files.map(_.getInt(1)).sum == 1,
+      "exactly one file carries the sparse delete's vector")
+
+    // the census pins: VERSION AS OF 1 is v1's file set, zero vectors
+    val v1Files = spark.sql(
+      "SELECT path, n_dv_sidecars FROM graft_lake.`meta$files` VERSION AS OF 1").collect()
+    assert(v1Files.map(_.getString(0)).toSet ==
+      Lake.stateAt(spark, out, 1L).files.toSet)
+    assert(v1Files.forall(_.getInt(1) == 0))
+
+    // $txns surfaces the idempotent-write watermark
+    val txns = spark.sql(
+      "SELECT app_id, last_version FROM graft_lake.`meta$txns`").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(txns == Seq(("cat-loader", 7L)))
+
+    // $history refuses pinning rather than truncating ambiguously
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake.`meta$history` VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("full retained log"))
+
+    // metadata tables are read-only: the insert has no write surface
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_lake.`meta$txns` VALUES ('x', 1)")
+    }
+
+    // path-addressed metadata composes with the suffix
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake.`$out$$history`")
+      .head.getLong(0) == 4L)
+  }
+
+  test("CALL procedures: compact_dvs, compact, restore and vacuum_keeping run lake maintenance from SQL") {
+    val out = s"$wh/proc"
+    Lake.init(spark, fixture(0 until 20).coalesce(1), out, Seq("split", "shard_id"))  // v1: 1 file/shard
+    Pipeline.appendToLake(spark, out, fixture(20 until 30))                           // v2
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(1L, 3L).toDF("doc_id"), "doc_id")   // v3
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(5L).toDF("doc_id"), "doc_id")       // v4: stacks on shard-1's file
+
+    // fold the stacked sidecars — vectors-only commit
+    val folded = spark.sql("CALL graft_lake.system.compact_dvs(table => 'proc')").collect()
+    assert(folded.exists(_.getInt(1) == 2),
+      s"the shard-1 file carried 2 stacked sidecars to fold, got ${folded.toSeq}")
+    assert(Lake.read(spark, out).count() == 27)
+
+    // bin-pack + materialize the vectors away
+    val c = spark.sql("CALL graft_lake.system.compact(table => 'proc')").collect()(0)
+    assert(c.getInt(1) > 0)
+    assert(Lake.currentState(spark, out).dvs.isEmpty,
+      "compaction materializes deletion vectors into plain files")
+    assert(Lake.read(spark, out).count() == 27)
+
+    // roll back to v1 — no bytes copied, result surfaces both versions
+    val r = spark.sql("CALL graft_lake.system.restore(table => 'proc', version => 1)").collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) > 1L)
+    assert(Lake.read(spark, out).count() == 20)
+
+    // retention cut from SQL; the live corpus survives it
+    spark.sql("CALL graft_lake.system.vacuum_keeping(table => 'proc', keep_versions => 1)").collect()
+    assert(Lake.read(spark, out).count() == 20)
+
+    // vacuum reclaims a planted orphan (and names it in the result)
+    val orphan = new java.io.File(s"$out/stray.parquet")
+    fixture(900 until 901).coalesce(1).write.parquet(s"$out/.stray_tmp")
+    val part = new java.io.File(s"$out/.stray_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, orphan.toPath)
+    val reclaimed = spark.sql("CALL graft_lake.system.vacuum(table => 'proc')")
+      .collect().map(_.getString(0))
+    assert(reclaimed.exists(_.endsWith("stray.parquet")),
+      s"vacuum must reclaim the planted orphan, got ${reclaimed.toSeq}")
+
+    // an unknown procedure names itself and the available set
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_lake.system.nope(table => 'proc')").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("CALL analyze backfills per-file stats as a metadata-only commit that pruning then uses") {
+    val out = s"$wh/stats"
+    // two files with DISJOINT id ranges, init'd WITHOUT statsCols — the
+    // adopted-lake shape that cannot prune
+    Lake.init(spark, fixture(0 until 50).coalesce(1), out, Seq("split"))
+    Pipeline.appendToLake(spark, out, fixture(100 until 150).coalesce(1),
+      partitionCols = Seq("split"))
+    val pre = Lake.currentState(spark, out)
+    assert(pre.files.exists(f => !pre.stats.contains(f)),
+      "the init'd file must lack stats before analyze (appendToLake captures its own)")
+    val vBefore = pre.version
+
+    val r = spark.sql(
+      "CALL graft_lake.system.analyze(table => 'stats', columns => 'doc_id')").collect()(0)
+    val st = Lake.currentState(spark, out)
+    assert(r.getInt(0) == st.files.size && r.getString(1) == "doc_id")
+    assert(st.files.forall(f => st.stats.get(f).exists(_.exists(_.col == "doc_id"))),
+      "every live file must carry doc_id stats after analyze")
+
+    // the backfilled stats PRUNE: a bound inside the second file's range
+    // keeps only the files that can hold it
+    val pruned = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 120L, 130L)
+    assert(pruned.size < st.files.size && pruned.nonEmpty,
+      s"a selective bound must prune, kept ${pruned.size} of ${st.files.size}")
+
+    // metadata-only: no files moved, reads unchanged, the change feed
+    // emits nothing across it
+    val h = Lake.describeHistory(spark, out).collect()
+      .find(_.getLong(0) == vBefore + 1).get
+    assert(h.getString(2) == "analyze" && h.getInt(3) == 0 && h.getInt(5) == 0)
+    assert(Lake.read(spark, out).count() == 100)
+    assert(Lake.changeFeed(spark, out, vBefore, vBefore + 1).count() == 0,
+      "analyze must be invisible to the row-level change feed")
+
+    // a later resolution (checkpoint or replay) still carries the
+    // restated stats: resolve the analyzed version explicitly
+    val at = Lake.stateAt(spark, out, vBefore + 1)
+    assert(at.files.forall(f => at.stats.contains(f)))
+    // and time travel BELOW the analyze still lacks the init file's
+    val below = Lake.stateAt(spark, out, vBefore)
+    assert(below.files.exists(f => !below.stats.contains(f)))
   }
 }
