@@ -836,6 +836,51 @@ object Lake {
       Seq.empty, Seq.empty, 0L, 0L))
   }
 
+  /** Widening TYPE promotion as a METADATA commit — completing the
+    * metadata-only schema-evolution triple (rename, drop, widen): the
+    * manifest's declared type moves up, OLD files keep being decoded
+    * natively by the parquet readers' widening promotion (the Spark 4
+    * device Delta Lake's type widening rides on — byte→short→int→long,
+    * byte/short/int→double, float→double), NEW writes land at the wider
+    * type via the append path's align-cast. Zero data bytes move; at
+    * 100 TB the alternative is a full rewrite. Narrowing or any other
+    * retype refuses loudly naming the rewrite. Recorded per-file stats
+    * survive: their string renderings of the narrower type parse
+    * exactly under the wider type's comparison ([[pruneByStats]]).
+    * Partition columns refuse (their values are path-rendered under the
+    * old type). A running CDC stream refuses loudly at the widen
+    * version, exactly like every mid-stream schema evolution. */
+  def widenColumn(spark: SparkSession, lakeDir: String, colName: String,
+      to: DataType): Unit = {
+    val base = adopt(spark, lakeDir)
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val field = schema.find(_.name == colName).filter(!isDropped(_)).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn: no column '$colName' in the lake schema " +
+          s"(${visible(schema).fieldNames.mkString(", ")})"))
+    require(!partitionColsOf(base).contains(colName),
+      s"widenColumn: '$colName' is a partition column — its values are rendered " +
+        "into directory paths under the old type; widening it means a physical " +
+        "relayout, not a metadata commit")
+    require(widens(field.dataType, to),
+      s"widenColumn: ${field.dataType.simpleString} -> ${to.simpleString} is not a " +
+        "widening promotion the parquet readers decode natively (allowed: " +
+        "byte->short->int->long, byte/short/int->double, float->double) — " +
+        "anything else needs a rewrite into a new lake")
+    val widened = StructType(schema.map(f =>
+      if (f.name == colName) f.copy(dataType = to) else f))
+    publish(spark, StagedCommit(lakeDir, base, "widen", widened.json,
+      Seq.empty, Seq.empty, 0L, 0L))
+  }
+
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
   /** Read a specific file list under the manifest's recorded schema.
     * Applying the schema explicitly (instead of inferring from a sample
     * file) is what makes schema EVOLUTION sound: after a merge-schema

@@ -172,11 +172,20 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
           throw new UnsupportedOperationException(
             "graft-lake catalog: nested-field drop is not supported")
         Lake.dropColumn(spark, dir, d.fieldNames()(0))
+      case t: TableChange.UpdateColumnType =>
+        if (t.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "graft-lake catalog: nested-field retype is not supported")
+        // widening promotions land as metadata commits
+        // ([[Lake.widenColumn]]); anything else refuses there, naming
+        // the rewrite
+        Lake.widenColumn(spark, dir, t.fieldNames()(0), t.newDataType())
       case other =>
         throw new UnsupportedOperationException(
           s"graft-lake catalog: ALTER TABLE change $other is not supported — " +
             "add columns through merge-schema appends " +
-            "(appendToLake(mergeSchema = true)); type changes need a rewrite")
+            "(appendToLake(mergeSchema = true)); non-widening type changes need " +
+            "a rewrite")
     }
     loadTable(ident)
   }

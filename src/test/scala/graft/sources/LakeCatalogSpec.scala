@@ -218,6 +218,40 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("widening retype is a metadata commit: old int files decode as long, new writes land wide") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val out = s"$wh/widen"
+    val df = (0 until 10).map(i => (i.toLong, i)).toDF("doc_id", "n")
+      .select(col("doc_id"), col("n").cast("int").as("n"), lit("train").as("split"))
+    Lake.init(spark, df.coalesce(1), out, Seq("split"))                    // v1: int files
+    spark.sql("ALTER TABLE graft_lake.widen ALTER COLUMN n TYPE BIGINT")   // v2: metadata only
+    assert(Lake.read(spark, out).schema("n").dataType == LongType)
+    assert(Lake.read(spark, out).agg(sum("n")).head.getLong(0) == 45L,
+      "the old int file must decode natively under the widened type")
+    val h2 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 2L).get
+    assert(h2.getString(2) == "widen" && h2.getInt(3) == 0 && h2.getInt(5) == 0)
+
+    // a post-widen append lands values only the wide type can hold
+    Lake.append(spark, out, Seq((100L, 3000000000L, "train")).toDF("doc_id", "n", "split"))
+    assert(Lake.read(spark, out).agg(sum("n")).head.getLong(0) == 45L + 3000000000L)
+    // the DSv2 format string reads the widened schema too
+    assert(spark.read.format("graft-lake").load(out).schema("n").dataType == LongType)
+    // time travel below the widen still reads the narrow type
+    assert(Lake.readVersion(spark, out, 1L).schema("n").dataType == IntegerType)
+
+    // narrowing refuses — Spark's upcast check or the lake's own guard
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.widen ALTER COLUMN doc_id TYPE INT")
+    }
+    assert(e.getMessage.contains("rewrite") ||
+      e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // and a partition-column widen refuses naming the relayout
+    val e2 = intercept[Exception] {
+      Lake.widenColumn(spark, out, "split", org.apache.spark.sql.types.StringType)
+    }
+    assert(e2.getMessage.contains("partition") || e2.getMessage.contains("widening"))
+  }
+
   test("CALL analyze backfills per-file stats as a metadata-only commit that pruning then uses") {
     val out = s"$wh/stats"
     // two files with DISJOINT id ranges, init'd WITHOUT statsCols — the
