@@ -1647,12 +1647,13 @@ object Lake {
       val restore = d.action == "restore"
       // a delete/merge commit from a build predating the change feed has
       // no sidecar to reconstruct its pre-image from — refuse, loudly.
-      // compact (rewrite-only) and dvcompact (vectors-only fold: its
-      // dvAdds re-attach the SAME positions it detaches) remove no rows
-      // and are exempt.
+      // compact/repartition (rewrite-only) and dvcompact (vectors-only
+      // fold: its dvAdds re-attach the SAME positions it detaches)
+      // remove no rows and are exempt.
       if (!restore && d.cdcFiles.isEmpty &&
           (d.removed.nonEmpty || d.dvAdds.nonEmpty) &&
-          d.action != "compact" && d.action != "dvcompact")
+          d.action != "compact" && d.action != "dvcompact" &&
+          d.action != "repartition")
         throw new IllegalStateException(
           s"changeFeed($fromVersion, $toVersion): version $v (${d.action}) removed rows " +
             "but carries no change-feed sidecar (committed by a pre-change-feed build) — " +

@@ -897,6 +897,66 @@ object Pipeline {
     Lake.read(spark, lakeDir)
   }
 
+  /** Change the lake's PARTITION LAYOUT in ONE protocol commit — the
+    * operation every "partition columns are baked into paths" refusal
+    * (renameColumn, widenColumn, the catalog's partitioned CREATE)
+    * points at. This is deliberately a FULL REWRITE, priced honestly:
+    * unlike a rename/widen there is no metadata trick that relayouts
+    * 100 TB of directories, so the engine offers the rewrite as one
+    * audited, atomic, restorable commit instead of pretending otherwise.
+    * Mechanics are clustered compaction's, applied lake-wide: read every
+    * live file with deletion vectors applied (tombstones materialize
+    * away), range-repartition on (new partition cols ++ sortCols) into
+    * ~target-sized tasks, stage under the NEW layout, audit the
+    * read-back count, publish one `repartition` delta that removes every
+    * old-layout file and adds the new ones as REWRITES — so the change
+    * feed and adds-CDC emit nothing (no row changed), incremental
+    * consumers never re-process the corpus, and `retainHistory` (default
+    * TRUE for an operation this large) keeps the old layout readable by
+    * time travel / restore until a retention vacuum spends it. A running
+    * CDC stream refuses loudly at the first new-layout file (the
+    * partition decode names the layout change). Raced commits refuse
+    * like every whole-partition rewrite — the repartition read every
+    * partition, so nothing commutes with it. */
+  def repartitionLake(spark: SparkSession, lakeDir: String,
+      newPartitionCols: Seq[String],
+      targetRowsPerFile: Long = 4000000L,
+      sortCols: Seq[String] = Seq.empty,
+      retainHistory: Boolean = true): DataFrame = {
+    require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
+    val base = Lake.adopt(spark, lakeDir)
+    if (base.files.isEmpty)
+      throw new IllegalArgumentException(
+        s"repartitionLake: $lakeDir has no live files — an empty lake has no " +
+          "layout to change (its next first write decides one)")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val visible = Lake.visible(schema).fieldNames.toSet
+    val missing = (newPartitionCols ++ sortCols).filterNot(visible)
+    require(missing.isEmpty,
+      s"repartitionLake: column(s) ${missing.mkString(", ")} not in the lake schema " +
+        s"(${visible.mkString(", ")})")
+    val df = Lake.readFiles(spark, lakeDir, base.schemaJson, base.files, base.dvs)
+    val expected = df.count()
+    val nTasks = math.max(1, math.ceil(expected.toDouble / targetRowsPerFile).toInt)
+    val keys = (newPartitionCols ++ sortCols).distinct
+    val packed =
+      if (keys.nonEmpty)
+        df.repartitionByRange(nTasks, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+      else df.repartition(nTasks)
+    val staged = Lake.stageWrite(spark, lakeDir, packed, newPartitionCols,
+      Map("maxRecordsPerFile" -> targetRowsPerFile.toString))
+    val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
+      base.schemaJson, staged, sortCols)
+    Lake.publish(spark,
+      Lake.StagedCommit(lakeDir, base, "repartition", base.schemaJson,
+        base.files, staged, stagedRows, expected, stagedStats,
+        rewriteFiles = staged.toSet),
+      vacuumSuperseded = !retainHistory)
+    Lake.read(spark, lakeDir)
+  }
+
   /** Fragment a fresh lake on purpose (8-way pre-write repartition ⇒ up
     * to 8 files per shard dir), compact it, and emit the manifest from
     * the read-back — which must equal the manifest of the original data. */
@@ -950,8 +1010,15 @@ object Pipeline {
       idCol: String = "doc_id",
       partitionCols: Seq[String] = Seq("split", "shard_id"),
       mergeSchema: Boolean = false,
-      statsCols: Seq[String] = Seq.empty): DataFrame = {
+      statsCols: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
+    // transaction fast path (see [[Lake.LakeState.txns]]): a replayed
+    // micro-batch skips on the watermark alone — the id anti-join below
+    // would also stage zero rows, but only after re-reading the lake's
+    // id column; tagged replays never touch data
+    if (txn.exists { case (a, v) => base.txns.get(a).exists(_ >= v) })
+      return Lake.read(spark, lakeDir)
     val b0 = batch.dropDuplicates(idCol)
     // drift checks key on the RECORDED schema, not the file count: a lake
     // whose latest manifest lists zero files (every row deleted) still has
@@ -1058,7 +1125,7 @@ object Pipeline {
           Lake.readFiles(spark, lakeDir, base.schemaJson, staged).schema.json
         else commitSchemaJson
       Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "append", schemaJson,
-        Seq.empty, staged, stagedRows, expected, stagedStats))
+        Seq.empty, staged, stagedRows, expected, stagedStats, txn = txn))
     }
     Lake.read(spark, lakeDir)
   }
@@ -2039,6 +2106,28 @@ object Pipeline {
       |  AS t(version, action, n_added, n_data_added, n_removed, n_dv_attached)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- px122
+  /** PARTITION-LAYOUT EVOLUTION, oracled end-to-end: the corpus lands
+    * under the standard (split, shard_id) layout, then
+    * [[repartitionLake]] relayouts it to (split) alone — one audited
+    * `repartition` commit, clustered on doc_id so the new files carry
+    * tight disjoint min/max — and the post-relayout manifest must equal
+    * the original corpus (px100's oracle): every row survived the
+    * relayout, exactly once, with the old layout retained as history. */
+  private def px122(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px122_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"))               // v1
+    repartitionLake(spark, out, Seq("split"), sortCols = Seq("doc_id"))    // v2: relayout
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2285,5 +2374,6 @@ object Pipeline {
     GraftQuery("px118_lake_sql_update", px118, Some(px118Oracle)),
     GraftQuery("px119_lake_dv_consolidate", px119, Some(px119Oracle)),
     GraftQuery("px120_lake_stream_sink", px120, Some(px100Oracle)),
-    GraftQuery("px121_lake_meta_tables", px121, Some(px121Oracle)))
+    GraftQuery("px121_lake_meta_tables", px121, Some(px121Oracle)),
+    GraftQuery("px122_lake_repartition", px122, Some(px100Oracle)))
 }

@@ -21,6 +21,7 @@ import graft.operators.Lake
   *   SELECT version, action, n_removed FROM graft_lake.corpus$history
   *   SELECT path, partition FROM graft_lake.corpus$files
   *   SELECT app_id, last_version FROM graft_lake.corpus$txns
+  *   SELECT partition, n_files FROM graft_lake.corpus$partitions
   *   SELECT * FROM graft_lake.`/abs/path$files`        -- path-addressed
   * }}}
   *
@@ -42,7 +43,7 @@ import graft.operators.Lake
 private[lake] object LakeMetaTables {
 
   /** Recognized suffixes: `name$kind`. */
-  val Kinds: Set[String] = Set("history", "files", "txns")
+  val Kinds: Set[String] = Set("history", "files", "txns", "partitions")
 
   /** Split `corpus$history` → (`corpus`, `history`); None for plain
     * table names (a `$` with an unknown tail is NOT metadata — it stays
@@ -75,6 +76,11 @@ private[lake] object LakeMetaTables {
   val txnsSchema: StructType = StructType(Seq(
     StructField("app_id", StringType, nullable = false),
     StructField("last_version", LongType, nullable = false)))
+
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_dv_sidecars", IntegerType, nullable = false)))
 
   private def s(v: String) = UTF8String.fromString(v)
 
@@ -110,6 +116,20 @@ private[lake] object LakeMetaTables {
         val st = stateFor(spark, dir, pinnedVersion)
         st.txns.toSeq.sortBy(_._1).map { case (a, v) =>
           new GenericInternalRow(Array[Any](s(a), v)): InternalRow
+        }.toArray
+      })
+    case "partitions" =>
+      // the fragmentation/tombstoning dashboard: which partitions need a
+      // CALL compact — file counts and live vector attachments, grouped
+      // from the census driver-side
+      new LakeMetaTable(s"$dir$$partitions", partitionsSchema, () => {
+        val st = stateFor(spark, dir, pinnedVersion)
+        st.files.groupBy { f =>
+          val cut = f.lastIndexOf('/')
+          if (cut > 0) f.substring(0, cut) else ""
+        }.toSeq.sortBy(_._1).map { case (p, fs) =>
+          new GenericInternalRow(Array[Any](s(p), fs.size,
+            fs.map(f => st.dvs.getOrElse(f, Seq.empty).size).sum)): InternalRow
         }.toArray
       })
     case other => throw new IllegalArgumentException(s"unknown metadata table kind: $other")

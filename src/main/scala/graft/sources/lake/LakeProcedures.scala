@@ -35,7 +35,8 @@ import graft.operators.{Lake, Pipeline}
 private[lake] object LakeProcedures {
 
   val All: Seq[String] =
-    Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze")
+    Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze",
+      "repartition")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -93,19 +94,24 @@ private[lake] object LakeProcedures {
       (dir, in) => pathRows(Lake.vacuumKeeping(spark, dir, in.getInt(1), in.getLong(2))))
     case "compact" => new LakeProc("compact",
       "bin-pack fragmented partitions and materialize deletion vectors " +
-        "back into plain files",
+        "back into plain files; sort_by range-clusters the rewrite " +
+        "(tight disjoint per-file min/max -> stats pruning)",
       Array(tableParam,
         p("max_files_per_partition", IntegerType).defaultValue("1").build(),
-        p("target_rows_per_file", LongType).defaultValue("4000000").build()),
+        p("target_rows_per_file", LongType).defaultValue("4000000").build(),
+        p("sort_by", StringType).defaultValue("''")
+          .comment("comma-separated clustering columns; empty = bin-pack only").build()),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("n_live_files", IntegerType, nullable = false))),
       resolve,
       (dir, in) => {
         val cols = Lake.partitionColsOf(Lake.adopt(spark, dir))
+        val sortBy = in.getUTF8String(3).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Pipeline.compactLake(spark, dir, maxFilesPerPartition = in.getInt(1),
           targetRowsPerFile = in.getLong(2), partitionCols = cols,
-          retainHistory = true)
+          sortCols = sortBy, retainHistory = true)
         val st = Lake.currentState(spark, dir)
         Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
       })
@@ -146,6 +152,30 @@ private[lake] object LakeProcedures {
         val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
         val stats = Lake.analyzeStats(spark, dir, cols.toSeq)
         Array(new GenericInternalRow(Array[Any](stats.size, s(cols.mkString(",")))))
+      })
+    case "repartition" => new LakeProc("repartition",
+      "change the lake's partition layout in one audited rewrite commit " +
+        "(a full rewrite, priced honestly — no metadata trick relayouts " +
+        "directories); old layout stays readable as history",
+      Array(tableParam,
+        p("partition_by", StringType)
+          .comment("comma-separated new partition columns; empty = unpartitioned").build(),
+        p("target_rows_per_file", LongType).defaultValue("4000000").build(),
+        p("sort_by", StringType).defaultValue("''")
+          .comment("comma-separated clustering columns within the new layout").build()),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_live_files", IntegerType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val parts = in.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val sortBy = in.getUTF8String(3).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        Pipeline.repartitionLake(spark, dir, parts,
+          targetRowsPerFile = in.getLong(2), sortCols = sortBy)
+        val st = Lake.currentState(spark, dir)
+        Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
       })
     case other => throw new IllegalArgumentException(
       s"graft-lake catalog: unknown procedure '$other' — available: ${All.mkString(", ")}")

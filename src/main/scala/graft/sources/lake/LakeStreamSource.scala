@@ -341,6 +341,15 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         case name =>
           val seg = segs(partCols.indexOf(name))
           val eq = seg.indexOf('=')
+          // the level must SPELL the expected column: a same-depth layout
+          // change ([[graft.operators.Pipeline.repartitionLake]] with
+          // reordered/renamed partition columns) would otherwise decode
+          // another column's values silently
+          require(eq > 0 && seg.substring(0, eq) == name,
+            s"graft-lake-cdc: file ${pf.relPath}: directory level '$seg' does not " +
+              s"spell partition column '$name' — the lake's partition layout " +
+              "changed mid-stream (repartitionLake); restart the stream to pick " +
+              "up the new layout")
           val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.drop(eq + 1))
           if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)

@@ -54,10 +54,13 @@ object DocStream {
     *
     *   - `foreachBatch` is AT-LEAST-ONCE: after a crash the last
     *     un-checkpointed micro-batch is re-delivered in full;
-    *   - `appendToLake` is IDEMPOTENT: the batch self-dedups and
-    *     anti-joins the (bloom-prefiltered) lake ids, so a re-delivered
-    *     batch — or an overlap between batches — stages zero rows and
-    *     commits nothing.
+    *   - `appendToLake` is IDEMPOTENT twice over: each commit is tagged
+    *     `(ingest-<checkpointDir>, batchId)` in the manifest's
+    *     transaction watermark, so a re-delivered batch skips from ONE
+    *     manifest resolution before any data is read — and even an
+    *     UNTAGGED overlap (rows shared between batches) stages zero
+    *     rows through the id anti-join against the (bloom-prefiltered)
+    *     lake ids.
     *
     * A crash INSIDE an append is equally safe: before the manifest rename
     * the staged files are invisible (vacuumable orphans at worst), after
@@ -95,8 +98,11 @@ object DocStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the checkpoint dir IS the query's replay identity (batch ids
+        // restart from its offsets), so it keys the watermark
         graft.operators.Pipeline.appendToLake(
-          batch.sparkSession, lakeDir, batch, idCol, partitionCols)
+          batch.sparkSession, lakeDir, batch, idCol, partitionCols,
+          txn = Some((s"ingest-$checkpointDir", batchId)))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           graft.operators.Pipeline.compactLake(batch.sparkSession, lakeDir,
             maxFilesPerPartition = compactMaxFilesPerPartition,

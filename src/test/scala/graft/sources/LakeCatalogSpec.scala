@@ -149,6 +149,15 @@ class LakeCatalogSpec extends SparkTestBase {
       Lake.stateAt(spark, out, 1L).files.toSet)
     assert(v1Files.forall(_.getInt(1) == 0))
 
+    // $partitions is the fragmentation dashboard: per-dir file counts
+    // summing to the census, the sparse delete's vector on its partition
+    val parts = spark.sql(
+      "SELECT partition, n_files, n_dv_sidecars FROM graft_lake.`meta$partitions`")
+      .collect()
+    assert(parts.map(_.getInt(1)).sum == st.files.size)
+    assert(parts.forall(_.getString(0).contains("split=")))
+    assert(parts.map(_.getInt(2)).sum == 1)
+
     // $txns surfaces the idempotent-write watermark
     val txns = spark.sql(
       "SELECT app_id, last_version FROM graft_lake.`meta$txns`").collect()
@@ -216,6 +225,51 @@ class LakeCatalogSpec extends SparkTestBase {
       spark.sql("CALL graft_lake.system.nope(table => 'proc')").collect()
     }
     assert(e.getMessage.contains("nope"))
+
+    // SHOW PROCEDURES lists the whole maintenance surface
+    val listed = spark.sql("SHOW PROCEDURES IN graft_lake.system").collect()
+      .flatMap(_.toSeq).map(String.valueOf).toSet
+    val expected = Set("vacuum", "vacuum_keeping", "compact", "compact_dvs",
+      "restore", "analyze")
+    assert(expected.subsetOf(listed),
+      s"SHOW PROCEDURES must list the maintenance surface, got $listed")
+  }
+
+  test("CALL repartition relayouts the lake in one commit; old layout stays time-travelable; feeds silent") {
+    val out = s"$wh/relayout"
+    Lake.init(spark, fixture(0 until 40), out, Seq("split", "shard_id"))  // v1
+    assert(Lake.currentState(spark, out).files.forall(_.contains("shard_id=")))
+    spark.sql("CALL graft_lake.system.repartition(table => 'relayout', " +
+      "partition_by => 'split', sort_by => 'doc_id')").collect()          // v2
+    val st = Lake.currentState(spark, out)
+    assert(st.files.forall(f => f.contains("split=") && !f.contains("shard_id=")),
+      s"every live file must sit under the NEW layout, got ${st.files.take(3)}")
+    assert(Lake.read(spark, out).count() == 40)
+    // the former partition column survives as DATA
+    assert(Lake.read(spark, out).select("shard_id").distinct().count() == 2)
+    // rewrite-tagged: adds-CDC and the row-level feed both see nothing
+    assert(Lake.changesBetween(spark, out, 1L, 2L).count() == 0)
+    assert(Lake.changeFeed(spark, out, 1L, 2L).count() == 0)
+    // the old layout stays readable below the relayout
+    assert(Lake.readVersion(spark, out, 1L).count() == 40)
+    // clustering stats landed on the new files
+    assert(st.files.forall(f => st.stats.get(f).exists(_.exists(_.col == "doc_id"))))
+  }
+
+  test("CALL compact with sort_by range-clusters the rewrite and records pruning stats") {
+    val out = s"$wh/cluster"
+    Lake.init(spark, fixture(0 until 200).repartition(4), out, Seq("split")) // 4 files/dir
+    spark.sql("CALL graft_lake.system.compact(table => 'cluster', " +
+      "target_rows_per_file => 30, sort_by => 'doc_id')").collect()
+    val st = Lake.currentState(spark, out)
+    assert(st.files.forall(f => st.stats.get(f).exists(_.exists(_.col == "doc_id"))),
+      "every clustered file must carry doc_id min/max in the manifest")
+    // contiguous runs => a narrow bound prunes most files
+    val pruned = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 0L, 10L)
+    assert(pruned.nonEmpty && pruned.size < st.files.size,
+      s"disjoint clustered ranges must prune: kept ${pruned.size} of ${st.files.size}")
+    assert(Lake.read(spark, out).count() == 200)
   }
 
   test("widening retype is a metadata commit: old int files decode as long, new writes land wide") {
