@@ -1844,6 +1844,24 @@ object Lake {
     stacked.view.mapValues(_.size).toMap
   }
 
+  /** [[vacuumKeeping]] with a TIME-based retention policy — "keep the
+    * last 7 days readable" (the Delta retention idiom) instead of a
+    * version count: retains every version committed within
+    * `retentionMs` of now (always at least the latest), reclaims older
+    * history. Resolution is O(retained versions) header reads (commit
+    * wall-clocks live in the delta headers); clock skew across writers
+    * makes the cut best-effort by time, exact by version. */
+  def vacuumKeepingAge(spark: SparkSession, lakeDir: String, retentionMs: Long,
+      minAgeMs: Long = 0L): Seq[String] = {
+    require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val (deltas, _) = listLog(fs, root)
+    if (deltas.isEmpty) return Seq.empty
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val keep = deltas.count(v => deltaHeaderAt(spark, lakeDir, v).timestampMs >= cutoff)
+    vacuumKeeping(spark, lakeDir, math.max(keep, 1), minAgeMs)
+  }
+
   /** Backfill per-file min/max stats for `statsCols` — the pruning
     * metadata a lake adopted from a bare directory (or init'd without
     * `statsCols`) never got, and the biggest read lever at 100 TB:
@@ -1862,17 +1880,25 @@ object Lake {
     * min/max — conservative, hence sound for pruning. Returns the
     * per-file stats committed. */
   def analyzeStats(spark: SparkSession, lakeDir: String, statsCols: Seq[String],
+      scopeDirs: Seq[String] = Seq.empty,
       maxRebases: Int = 5): Map[String, Seq[ColStat]] = {
     require(statsCols.nonEmpty, "analyzeStats needs at least one column")
     var base = adopt(spark, lakeDir)
-    if (base.files.isEmpty) return Map.empty
-    val (_, stats) = auditStaged(spark, lakeDir, base.schemaJson, base.files, statsCols)
+    // `scopeDirs` (lakeDir-relative partition-directory prefixes) bounds
+    // the pass to those subtrees — the incremental form: at 100 TB,
+    // analyze partitions as they need it (newly adopted, freshly
+    // relayouted) instead of one corpus-wide scan per backfill
+    val targets =
+      if (scopeDirs.isEmpty) base.files else filesUnder(base.files, scopeDirs)
+    if (targets.isEmpty) return Map.empty
+    val (_, stats) = auditStaged(spark, lakeDir, base.schemaJson, targets, statsCols)
     var rebases = 0
     var committed = false
     while (!committed) {
       val live = base.files.toSet
       val restates = stats.view.filterKeys(live).toSeq.sortBy(_._1)
       if (restates.isEmpty) return Map.empty // everything analyzed was since removed
+
       val merged = restates.foldLeft(base.stats) { case (m, (f, st)) =>
         m.updated(f, mergeStatCols(m.getOrElse(f, Seq.empty), st))
       }

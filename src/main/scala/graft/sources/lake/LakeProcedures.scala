@@ -85,13 +85,27 @@ private[lake] object LakeProcedures {
       pathsSchema, resolve,
       (dir, in) => pathRows(Lake.vacuum(spark, dir, in.getLong(1))))
     case "vacuum_keeping" => new LakeProc("vacuum_keeping",
-      "retire history below the newest keep_versions commits and reclaim " +
-        "the files only that history referenced",
+      "retire history and reclaim the files only it referenced — by " +
+        "version count (keep_versions) or by age (retention_ms, the " +
+        "'keep the last 7 days readable' policy); set exactly one",
       Array(tableParam,
-        p("keep_versions", IntegerType).build(),
-        p("min_age_ms", LongType).defaultValue("0").build()),
+        p("keep_versions", IntegerType).defaultValue("-1").build(),
+        p("min_age_ms", LongType).defaultValue("0").build(),
+        p("retention_ms", LongType).defaultValue("-1").build()),
       pathsSchema, resolve,
-      (dir, in) => pathRows(Lake.vacuumKeeping(spark, dir, in.getInt(1), in.getLong(2))))
+      (dir, in) => {
+        val keep = in.getInt(1)
+        val retention = in.getLong(3)
+        (keep >= 0, retention >= 0) match {
+          case (true, false) =>
+            pathRows(Lake.vacuumKeeping(spark, dir, keep, in.getLong(2)))
+          case (false, true) =>
+            pathRows(Lake.vacuumKeepingAge(spark, dir, retention, in.getLong(2)))
+          case _ => throw new IllegalArgumentException(
+            "vacuum_keeping: set exactly one of keep_versions (count policy) or " +
+              "retention_ms (age policy)")
+        }
+      })
     case "compact" => new LakeProc("compact",
       "bin-pack fragmented partitions and materialize deletion vectors " +
         "back into plain files; sort_by range-clusters the rewrite " +
@@ -141,16 +155,20 @@ private[lake] object LakeProcedures {
     case "analyze" => new LakeProc("analyze",
       "backfill per-file min/max stats for the named columns (metadata-only " +
         "commit) so scans stat-prune a lake that was adopted or written " +
-        "without statsCols",
+        "without statsCols; scope bounds the pass to partition-dir prefixes " +
+        "(the incremental form)",
       Array(tableParam,
-        p("columns", StringType).comment("comma-separated column names").build()),
+        p("columns", StringType).comment("comma-separated column names").build(),
+        p("scope", StringType).defaultValue("''")
+          .comment("comma-separated partition-dir prefixes; empty = whole lake").build()),
       StructType(Seq(
         StructField("n_files_analyzed", IntegerType, nullable = false),
         StructField("columns", StringType, nullable = false))),
       resolve,
       (dir, in) => {
         val cols = in.getUTF8String(1).toString.split(',').map(_.trim).filter(_.nonEmpty)
-        val stats = Lake.analyzeStats(spark, dir, cols.toSeq)
+        val scope = in.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty)
+        val stats = Lake.analyzeStats(spark, dir, cols.toSeq, scope.toSeq)
         Array(new GenericInternalRow(Array[Any](stats.size, s(cols.mkString(",")))))
       })
     case "repartition" => new LakeProc("repartition",

@@ -37,6 +37,16 @@ import graft.operators.Lake
   * duplicate ROWS across batches are preserved as data — and costs one
   * manifest resolution per replay instead of an id scan.
   *
+  * A long-running stream fragments the lake it feeds (one file set per
+  * micro-batch); `option("compactEvery", n)` folds the maintenance in —
+  * after every n-th batch commit, partitions holding more than
+  * `compactMaxFilesPerPartition` files bin-pack through
+  * [[graft.operators.Pipeline.compactLake]] (history retained, so
+  * incremental consumers stay exact) — the same bound
+  * [[graft.streaming.DocStream.ingestToLake]] offers its foreachBatch
+  * form. Compaction is replay-safe: a re-run after a crash just
+  * compacts again.
+  *
   * Contract, refused loudly otherwise: the target must already be a
   * lake (`Lake.init` / `ingestToLake` / catalog `CREATE TABLE` — the
   * sink never invents a layout); `outputMode` must be Append (the lake
@@ -46,7 +56,8 @@ import graft.operators.Lake
   * directories by their column VALUES, exactly as in every other
   * protocol write). Rows must carry the lake's partition columns.
   */
-private[lake] class LakeStreamingSink(path: String) extends Sink {
+private[lake] class LakeStreamingSink(path: String, compactEvery: Int,
+    compactMaxFilesPerPartition: Int, compactTargetRowsPerFile: Long) extends Sink {
 
   override def name(): String = s"graft-lake-sink[$path]"
 
@@ -62,6 +73,13 @@ private[lake] class LakeStreamingSink(path: String) extends Sink {
     // the incremental plan, not its rows)
     val spark = SparkSession.active
     Lake.append(spark, path, ColumnBridge.asBatch(data), txn = Some((appId, batchId)))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val cols = Lake.partitionColsOf(Lake.adopt(spark, path))
+      graft.operators.Pipeline.compactLake(spark, path,
+        maxFilesPerPartition = compactMaxFilesPerPartition,
+        targetRowsPerFile = compactTargetRowsPerFile,
+        partitionCols = cols, retainHistory = true)
+    }
   }
 }
 
@@ -85,6 +103,18 @@ private[lake] object LakeStreamingSink {
       throw new IllegalArgumentException(
         s"graft-lake sink: $path is not a lake — initialize it first (Lake.init / " +
           "Pipeline.ingestToLake / catalog CREATE TABLE); the sink never invents a layout")
-    new LakeStreamingSink(path)
+    // option keys may arrive in either case depending on the writer path
+    def raw(k: String): Option[String] =
+      parameters.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+    def intOpt(k: String, dflt: Int): Int =
+      raw(k).map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-lake sink: $k must be an int, got '$v'"))).getOrElse(dflt)
+    def longOpt(k: String, dflt: Long): Long =
+      raw(k).map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-lake sink: $k must be a long, got '$v'"))).getOrElse(dflt)
+    new LakeStreamingSink(path,
+      compactEvery = intOpt("compactEvery", 0),
+      compactMaxFilesPerPartition = intOpt("compactMaxFilesPerPartition", 8),
+      compactTargetRowsPerFile = longOpt("compactTargetRowsPerFile", 4000000L))
   }
 }

@@ -348,5 +348,53 @@ class LakeCatalogSpec extends SparkTestBase {
     // and time travel BELOW the analyze still lacks the init file's
     val below = Lake.stateAt(spark, out, vBefore)
     assert(below.files.exists(f => !below.stats.contains(f)))
+
+    // the SCOPED (incremental) form touches only the named subtree: a
+    // stats-less file lands in split=test, a train-scoped analyze skips
+    // it, a test-scoped one picks it up
+    Lake.append(spark, out, fixture(150 until 160).coalesce(1))
+    val newFile = (Lake.currentState(spark, out).files.toSet -- st.files.toSet).head
+    assert(newFile.startsWith("split=test/"))
+    spark.sql("CALL graft_lake.system.analyze(table => 'stats', " +
+      "columns => 'doc_id', scope => 'split=train')").collect()
+    assert(!Lake.currentState(spark, out).stats.contains(newFile),
+      "a train-scoped analyze must not touch split=test files")
+    spark.sql("CALL graft_lake.system.analyze(table => 'stats', " +
+      "columns => 'doc_id', scope => 'split=test')").collect()
+    assert(Lake.currentState(spark, out).stats.get(newFile)
+      .exists(_.exists(_.col == "doc_id")))
+  }
+
+  test("CALL vacuum_keeping with retention_ms applies an age retention policy") {
+    val out = s"$wh/age"
+    Lake.init(spark, fixture(0 until 5).coalesce(1), out, Seq("split"))   // v1
+    Pipeline.appendToLake(spark, out, fixture(5 until 10).coalesce(1),
+      partitionCols = Seq("split"))                                       // v2
+    spark.sql("CALL graft_lake.system.compact(table => 'age', " +
+      "target_rows_per_file => 1000)").collect()                          // v3: rewrite, history kept
+    assert(Lake.readVersion(spark, out, 1L).count() == 5)
+
+    // a generous window keeps everything readable
+    spark.sql("CALL graft_lake.system.vacuum_keeping(table => 'age', " +
+      "retention_ms => 86400000)").collect()
+    assert(Lake.readVersion(spark, out, 1L).count() == 5)
+
+    // a zero window keeps only the latest; older history is retired
+    Thread.sleep(10)
+    spark.sql("CALL graft_lake.system.vacuum_keeping(table => 'age', " +
+      "retention_ms => 0)").collect()
+    assert(Lake.read(spark, out).count() == 10)
+    intercept[Exception] { Lake.readVersion(spark, out, 1L).count() }
+
+    // the two policies are exclusive — none or both refuse naming the rule
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_lake.system.vacuum_keeping(table => 'age')").collect()
+    }
+    assert(e.getMessage.contains("exactly one"))
+    val e2 = intercept[Exception] {
+      spark.sql("CALL graft_lake.system.vacuum_keeping(table => 'age', " +
+        "keep_versions => 2, retention_ms => 1000)").collect()
+    }
+    assert(e2.getMessage.contains("exactly one"))
   }
 }

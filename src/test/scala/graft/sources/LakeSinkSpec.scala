@@ -76,6 +76,33 @@ class LakeSinkSpec extends SparkTestBase {
       "a crash-replayed micro-batch must not commit a new version")
   }
 
+  test("streaming sink auto-compaction bounds file counts across many micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("lakesinkcompact").toString
+    val out = s"$base/lake"; val src = s"$base/src"; val ckpt = s"$base/ck"
+    Lake.init(spark, fixture(0 until 4), out, Seq("split", "shard_id"))
+    // 6 single-row files -> 6 micro-batches; compactEvery=2 folds as it goes
+    (0 until 6).foreach { i =>
+      fixture((10 + i) until (11 + i)).coalesce(1).write.mode("append").parquet(src)
+    }
+    val q = spark.readStream.schema(fixture(0 until 1).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", ckpt)
+      .option("compactEvery", "2")
+      .option("compactMaxFilesPerPartition", "1")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    assert(lakeIds(out) == ((0L until 4L) ++ (10L until 16L)),
+      "all batches land exactly once through the compacting sink")
+    val st = Lake.currentState(spark, out)
+    val perDir = st.files.groupBy(f => f.take(f.lastIndexOf('/'))).values.map(_.size)
+    assert(perDir.max <= 2,
+      s"compactEvery must bound per-partition file counts, got ${perDir.toSeq}")
+    val hist = Lake.describeHistory(spark, out).collect().map(_.getString(2))
+    assert(hist.contains("compact"), "the sink's maintenance pass commits compactions")
+  }
+
   test("streaming sink refusals: non-lake target, partitionBy, non-append output mode") {
     val base = java.nio.file.Files.createTempDirectory("lakesinkrefuse").toString
     implicit val ctx = spark.sqlContext
