@@ -2039,7 +2039,9 @@ object Pipeline {
   // ---------------------------------------------------------------- px120
   /** EXACTLY-ONCE streaming ingest behind the format string —
     * `writeStream.format("graft-lake")` ([[graft.sources.lake
-    * .LakeStreamingSink]]): seed a third of the corpus as the lake's
+    * .LakeStreamingWrites]], the DSv2 streaming write: executors write
+    * partition-routed parquet, the driver's epoch commit is one
+    * protocol append): seed a third of the corpus as the lake's
     * layout (v1), land the rest as parquet files, and stream them in
     * with `Trigger.AvailableNow` + `maxFilesPerTrigger` so the ingest
     * spans SEVERAL micro-batches — each landing as one protocol

@@ -93,7 +93,8 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
   override def name(): String = tableName
   override def schema(): StructType = manifestSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   // appends are DV-independent (pure add): a tombstone-bearing lake
   // still takes protocol inserts
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

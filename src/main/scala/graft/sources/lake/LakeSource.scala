@@ -56,21 +56,8 @@ import graft.operators.Lake
   * an uninitialized directory (no layout to insert into).
   */
 class LakeSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with CreatableRelationProvider {
   override def shortName(): String = "graft-lake"
-
-  /** `df.writeStream.format("graft-lake").start(lakeDir)` — the
-    * exactly-once streaming sink ([[LakeStreamingSink]]: one protocol
-    * append per micro-batch, replays deduped by the lake's transaction
-    * watermark). Spark routes here because [[LakeTable]] declares no
-    * STREAMING_WRITE capability — the v1 sink IS the streaming write
-    * path, same protocol as every other mutation. */
-  override def createSink(ctx: org.apache.spark.sql.SQLContext,
-      parameters: Map[String, String], partitionColumns: Seq[String],
-      outputMode: org.apache.spark.sql.streaming.OutputMode)
-      : org.apache.spark.sql.execution.streaming.Sink =
-    LakeStreamingSink.create(parameters, partitionColumns, outputMode)
 
   /** The V1 save path (`df.write.format("graft-lake").mode(m).save(p)`):
     * append routes through the commit protocol exactly like the DSv2
@@ -232,7 +219,8 @@ private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean
   override def schema(): StructType = inner.schema
   override def partitioning(): Array[Transform] = inner.partitioning()
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (st.stats.isEmpty) inner.newScanBuilder(options)
     else new org.apache.spark.sql.graft.LakeStatPruningScanBuilder(
@@ -283,6 +271,11 @@ private[lake] object LakeWrites {
               Lake.append(SparkSession.active, path, data, txn = txn)
             }
           }
+        // `writeStream.format("graft-lake").start(path)` / `.toTable`
+        // — the exactly-once streaming write ([[LakeStreamingWrites]])
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          LakeStreamingWrites.create(path, info.queryId(), info.schema(),
+            k => Option(info.options.get(k)))
       }
     }
   }

@@ -1,0 +1,285 @@
+package graft.sources.lake
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection}
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+import graft.operators.Lake
+
+/** The DSv2 STREAMING WRITE — `df.writeStream.format("graft-lake")
+  * .start(lakeDir)` and `df.writeStream.toTable("graft_lake.t")` both
+  * land here (the table declares `STREAMING_WRITE`):
+  *
+  *   - EXECUTORS write the micro-batch: each task routes its rows to
+  *     per-partition parquet files (the same Hive `col=value/` layout
+  *     and PHYSICAL column names every protocol write uses — partition
+  *     values live in paths, not files), casting the query's columns
+  *     into the lake's schema through one codegen'd projection. Files
+  *     land under their final partition directories with unique
+  *     epoch/task-stamped names — INVISIBLE to every reader until the
+  *     manifest commit, because reads are manifest-isolated (a crash
+  *     strands reclaimable orphans, never half-visible data).
+  *   - The DRIVER's `commit(epochId, …)` is one protocol commit:
+  *     audit read-back of the staged files against the writers' own
+  *     counts, then an OCC-rebased `append` delta tagged
+  *     `(streaming-sink-<queryId>, epochId)` in the transaction
+  *     watermark ([[Lake.LakeState.txns]]) — so Spark's at-least-once
+  *     batch replay after a crash is detected from the manifest alone
+  *     and skipped, the Delta `DeltaSink` discipline (Armbrust et al.,
+  *     VLDB 2020) carried onto a genuinely distributed write path (no
+  *     driver-side re-planning of the batch).
+  *
+  * `option("compactEvery", n)` folds maintenance in: after every n-th
+  * epoch commit, partitions holding more than
+  * `compactMaxFilesPerPartition` files bin-pack through
+  * [[graft.operators.Pipeline.compactLake]] (history retained, so
+  * incremental consumers stay exact) — the bound
+  * [[graft.streaming.DocStream.ingestToLake]] offers its foreachBatch
+  * form, here with no user code at all.
+  *
+  * Contract, refused loudly at stream start: the target must already
+  * be a lake (the sink never invents a layout); the query's columns
+  * must be exactly the lake's visible columns (castable types — there
+  * is no merge-schema evolution mid-stream); writer-side `partitionBy`
+  * refuses (the lake's committed layout is authoritative). Output
+  * modes other than Append refuse through Spark's own capability
+  * check (no truncate / streaming-update surface is declared). */
+private[lake] object LakeStreamingWrites {
+
+  /** Validate and build — called from the write builder's
+    * `toStreaming` at stream start. */
+  def create(lakeDir: String, queryId: String, querySchema: StructType,
+      options: String => Option[String]): StreamingWrite = {
+    val spark = SparkSession.active
+    val st = Lake.latestManifest(spark, lakeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake sink: $lakeDir is not a lake — initialize it first (Lake.init / " +
+          "Pipeline.ingestToLake / catalog CREATE TABLE); the sink never invents a layout"))
+    val full = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val visible = Lake.visible(full)
+    val missing = visible.fieldNames.filterNot(querySchema.fieldNames.contains)
+    val extra = querySchema.fieldNames.filterNot(visible.fieldNames.contains)
+    if (missing.nonEmpty || extra.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-lake sink: the stream's columns must be exactly the lake's " +
+          s"(lake-only: ${missing.mkString(", ")}; stream-only: ${extra.mkString(", ")}) — " +
+          "schema evolution does not happen mid-stream; evolve the lake first " +
+          "(appendToLake(mergeSchema = true)), then restart")
+    // writer-side partitionBy arrives (when it arrives at all) as the
+    // serialized option Spark's v2 writers use; the lake's committed
+    // layout is authoritative, so silently accepting a different one
+    // would mislead — refuse
+    options("__partition_columns").foreach(cols =>
+      throw new UnsupportedOperationException(
+        s"graft-lake sink: partitionBy is not supported — the lake's committed " +
+          s"layout is authoritative; rows route to partition directories by their " +
+          s"column values (requested: $cols)"))
+    val partCols = Lake.partitionColsOf(st)
+    def intOpt(k: String, dflt: Int): Int =
+      options(k).map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-lake sink: $k must be an int, got '$v'"))).getOrElse(dflt)
+    def longOpt(k: String, dflt: Long): Long =
+      options(k).map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-lake sink: $k must be a long, got '$v'"))).getOrElse(dflt)
+
+    // the executor-side parquet conf: the session's hadoop conf (which
+    // carries every explicitly-set spark.sql entry) plus the write keys
+    // Spark's own parquet prepareWrite pins, so the staged files are
+    // indistinguishable from the batch path's
+    val sql = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    val codec = CompressionCodecName.fromConf(
+      sql.getConf(SQLConf.PARQUET_COMPRESSION).toUpperCase(java.util.Locale.ROOT))
+    // data files exclude partition columns and spell PHYSICAL names
+    // (column mapping); ParquetWriteSupport reads the schema from the
+    // conf, so it rides in the serialized box
+    val dataSchema = StructType(visible.filterNot(f => partCols.contains(f.name)))
+    val physDataSchema = Lake.toPhysical(dataSchema)
+    ParquetWriteSupport.setSchema(physDataSchema, conf)
+
+    val qualified = {
+      val p = new Path(lakeDir)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    new LakeStreamingWrite(qualified, queryId, querySchema, visible, partCols,
+      new HadoopConfBox(conf), sql.sessionLocalTimeZone, codec.name(),
+      compactEvery = intOpt("compactEvery", 0),
+      compactMaxFilesPerPartition = intOpt("compactMaxFilesPerPartition", 8),
+      compactTargetRowsPerFile = longOpt("compactTargetRowsPerFile", 4000000L))
+  }
+}
+
+/** Java-serializable Hadoop `Configuration` (the standard write-out /
+  * read-back trick; avoids depending on Spark's internal wrapper). */
+private[lake] class HadoopConfBox(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = conf.write(out)
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+private[lake] final case class LakeFilesMessage(files: Seq[(String, Long)])
+    extends WriterCommitMessage
+
+private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String,
+    querySchema: StructType, lakeVisible: StructType, partCols: Seq[String],
+    confBox: HadoopConfBox, tz: String, codecName: String,
+    compactEvery: Int, compactMaxFilesPerPartition: Int,
+    compactTargetRowsPerFile: Long) extends StreamingWrite {
+
+  private val appId = s"streaming-sink-$queryId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LakeStreamingWriterFactory(qualifiedLakeDir, querySchema, lakeVisible,
+      partCols, confBox, tz, codecName)
+
+  private def stagedOf(messages: Array[WriterCommitMessage]): Seq[(String, Long)] =
+    messages.toSeq.collect { case LakeFilesMessage(fs) => fs }.flatten
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = stagedOf(messages)
+    val base = Lake.adopt(spark, qualifiedLakeDir)
+    // the watermark check is also re-run inside publish's OCC rebase;
+    // this early exit keeps a replayed epoch from paying the audit read
+    if (base.txns.get(appId).exists(_ >= epochId)) {
+      deleteStaged(staged)
+      return
+    }
+    if (staged.nonEmpty) {
+      val expected = staged.map(_._2).sum
+      val (rows, stats) = Lake.auditStaged(spark, qualifiedLakeDir,
+        base.schemaJson, staged.map(_._1), Seq.empty)
+      Lake.publish(spark, Lake.StagedCommit(qualifiedLakeDir, base, "append",
+        base.schemaJson, Seq.empty, staged.map(_._1), rows, expected, stats,
+        txn = Some((appId, epochId))))
+    }
+    if (compactEvery > 0 && (epochId + 1) % compactEvery == 0)
+      graft.operators.Pipeline.compactLake(spark, qualifiedLakeDir,
+        maxFilesPerPartition = compactMaxFilesPerPartition,
+        targetRowsPerFile = compactTargetRowsPerFile,
+        partitionCols = partCols, retainHistory = true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteStaged(stagedOf(messages))
+
+  private def deleteStaged(staged: Seq[(String, Long)]): Unit = {
+    val root = new Path(qualifiedLakeDir)
+    val fs = root.getFileSystem(confBox.conf)
+    staged.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+  }
+}
+
+private[lake] class LakeStreamingWriterFactory(qualifiedLakeDir: String,
+    querySchema: StructType, lakeVisible: StructType, partCols: Seq[String],
+    confBox: HadoopConfBox, tz: String, codecName: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LakeDataWriter(qualifiedLakeDir, querySchema, lakeVisible, partCols,
+      confBox.conf, tz, codecName, partitionId, taskId, epochId)
+}
+
+/** One task's writer: casts query rows into the lake schema, routes
+  * each to its partition directory's open parquet writer (files named
+  * `part-<epoch>-<task>-<uuid>` — unique across replays and tasks),
+  * and reports `(relative path, rows)` per file at task commit. */
+private[lake] class LakeDataWriter(qualifiedLakeDir: String,
+    querySchema: StructType, lakeVisible: StructType, partCols: Seq[String],
+    conf: Configuration, tz: String, codecName: String,
+    partitionId: Int, taskId: Long, epochId: Long)
+    extends DataWriter[InternalRow] {
+
+  // query row -> lake row: reorder + cast in one codegen'd projection
+  private val toLake = UnsafeProjection.create(lakeVisible.map { f =>
+    val i = querySchema.fieldIndex(f.name)
+    Cast(BoundReference(i, querySchema(i).dataType, nullable = true),
+      f.dataType, Some(tz))
+  })
+  private val dataIdx =
+    lakeVisible.fields.indices.filterNot(i => partCols.contains(lakeVisible(i).name))
+  private val dataProj = UnsafeProjection.create(dataIdx.map(i =>
+    BoundReference(i, lakeVisible(i).dataType, nullable = true)))
+  // partition values render EXACTLY as Lake.partitionDir does: Cast to
+  // string under the session time zone, then Hive escaping
+  private val partIdx = partCols.map(lakeVisible.fieldIndex)
+  private val partStr = UnsafeProjection.create(partIdx.map(i =>
+    Cast(BoundReference(i, lakeVisible(i).dataType, nullable = true),
+      StringType, Some(tz))))
+
+  private val root = new Path(qualifiedLakeDir)
+  private val codec = CompressionCodecName.valueOf(codecName)
+  private val open = mutable.LinkedHashMap[String, (ParquetWriter[InternalRow], String)]()
+  private val counts = mutable.LinkedHashMap[String, Long]()
+
+  private class RowWriterBuilder(p: Path)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](p) {
+    override def getWriteSupport(c: Configuration) = new ParquetWriteSupport
+    override def self(): RowWriterBuilder = this
+  }
+
+  private def dirOf(lakeRow: InternalRow): String = {
+    if (partCols.isEmpty) return ""
+    val strs = partStr(lakeRow)
+    partCols.indices.map { i =>
+      val v = if (strs.isNullAt(i)) null else strs.getUTF8String(i).toString
+      ExternalCatalogUtils.getPartitionPathString(partCols(i), v)
+    }.mkString("/")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val lakeRow = toLake(row)
+    val dir = dirOf(lakeRow)
+    val (w, rel) = open.getOrElseUpdate(dir, {
+      val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
+      val rel = if (dir.isEmpty) name else s"$dir/$name"
+      val b = new RowWriterBuilder(new Path(root, rel))
+        .withConf(conf).withCompressionCodec(codec)
+      (b.build(), rel)
+    })
+    w.write(dataProj(lakeRow))
+    counts.update(rel, counts.getOrElse(rel, 0L) + 1L)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._1.close())
+    LakeFilesMessage(counts.toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach { case (w, _) => scala.util.Try(w.close()) }
+    val fs = root.getFileSystem(conf)
+    counts.keys.foreach(rel => fs.delete(new Path(root, rel), false))
+  }
+
+  override def close(): Unit = ()
+}

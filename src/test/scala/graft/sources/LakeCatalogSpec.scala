@@ -365,6 +365,35 @@ class LakeCatalogSpec extends SparkTestBase {
       .exists(_.exists(_.col == "doc_id")))
   }
 
+  test("writeStream.toTable lands through the exactly-once DSv2 streaming write") {
+    val out = s"$wh/streamtbl"
+    Lake.init(spark, fixture(0 until 6), out, Seq("split", "shard_id"))
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ck = java.nio.file.Files.createTempDirectory("tt-ck").toString
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") < 100, "train").otherwise("test").as("split"),
+        (col("doc_id") % 2).cast("int").as("shard_id"))
+      .writeStream.option("checkpointLocation", ck)
+      .toTable("graft_lake.streamtbl")
+    try {
+      mem.addData((10L, "a"), (11L, "b"))
+      q.processAllAvailable()
+      mem.addData((12L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Lake.read(spark, out).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == ((0L until 6L) ++ (10L until 13L)))
+    // each micro-batch committed as one tagged protocol append
+    val st = Lake.currentState(spark, out)
+    assert(st.txns.keys.exists(_.startsWith("streaming-sink-")) && st.txns.values.max == 1L,
+      s"toTable commits must move the sink watermark, got ${st.txns}")
+    assert(Lake.describeHistory(spark, out).collect()
+      .count(_.getString(2) == "append") == 2)
+  }
+
   test("CALL vacuum_keeping with retention_ms applies an age retention policy") {
     val out = s"$wh/age"
     Lake.init(spark, fixture(0 until 5).coalesce(1), out, Seq("split"))   // v1

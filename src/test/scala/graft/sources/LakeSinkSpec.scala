@@ -103,33 +103,55 @@ class LakeSinkSpec extends SparkTestBase {
     assert(hist.contains("compact"), "the sink's maintenance pass commits compactions")
   }
 
-  test("streaming sink refusals: non-lake target, partitionBy, non-append output mode") {
+  test("streaming sink refusals: non-lake target, schema drift, partitionBy") {
     val base = java.nio.file.Files.createTempDirectory("lakesinkrefuse").toString
     implicit val ctx = spark.sqlContext
-    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val df = mem.toDF().toDF("doc_id", "text")
 
-    val e1 = intercept[IllegalArgumentException] {
-      df.writeStream.format("graft-lake")
-        .option("checkpointLocation", s"$base/ck1").start(s"$base/nolake")
+    // the DSv2 streaming write is created lazily on the stream thread,
+    // so refusals surface through the query's failure — collect the
+    // whole cause chain's messages
+    def failureOf(body: => Unit): String = {
+      val e = intercept[Throwable](body)
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
     }
-    assert(e1.getMessage.contains("not a lake"))
+    def runToFailure(dfb: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+        feed: () => Unit): String = failureOf {
+      val q = dfb.start()
+      try { feed(); q.processAllAvailable() } finally q.stop()
+    }
+
+    val mem1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val m1 = runToFailure(
+      mem1.toDF().toDF("doc_id", "text").writeStream.format("graft-lake")
+        .option("checkpointLocation", s"$base/ck1").option("path", s"$base/nolake"),
+      () => { mem1.addData((1L, "a")); () })
+    assert(m1.contains("not a lake"), s"got: $m1")
 
     val out = s"$base/lake"
     Lake.init(spark, fixture(0 until 4), out, Seq("split", "shard_id"))
-    // Spark's own DSv2 analysis refuses writer-side partitioning before
-    // the v1 sink is even constructed; either refusal is loud
-    val e2 = intercept[Exception] {
-      df.writeStream.format("graft-lake").partitionBy("split")
-        .option("checkpointLocation", s"$base/ck2").start(out)
-    }
-    assert(e2.getMessage.toLowerCase.contains("partition"))
 
-    val e3 = intercept[UnsupportedOperationException] {
-      df.writeStream.format("graft-lake").outputMode("update")
-        .option("checkpointLocation", s"$base/ck3").start(out)
-    }
-    assert(e3.getMessage.contains("output mode"))
+    // schema drift refuses at write creation — no mid-stream evolution
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val m2 = runToFailure(
+      mem2.toDF().toDF("doc_id", "body").writeStream.format("graft-lake")
+        .option("checkpointLocation", s"$base/ck2").option("path", out),
+      () => { mem2.addData((1L, "a")); () })
+    assert(m2.contains("exactly the lake's"), s"got: $m2")
+
+    // writer-side partitionBy never reaches a DSv2 streaming sink —
+    // Spark drops it before the write is created (same for every v2
+    // sink, Delta included) — so the pinned CONTRACT is that rows
+    // still route by the lake's committed layout regardless
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Int)]
+    val q3 = mem3.toDF().toDF("doc_id", "text", "split", "shard_id")
+      .writeStream.format("graft-lake").partitionBy("text")
+      .option("checkpointLocation", s"$base/ck3").option("path", out).start()
+    try { mem3.addData((100L, "x", "train", 0)); q3.processAllAvailable() } finally q3.stop()
+    val newFile = Lake.currentState(spark, out).files.find(_.contains("part-0-")).get
+    assert(newFile.startsWith("split=train/shard_id=0/"),
+      s"rows must route by the LAKE layout, not the ignored partitionBy: $newFile")
   }
 
   test("batch writes with txnAppId/txnVersion are idempotent under retry") {
