@@ -256,21 +256,39 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
     }.mkString("/")
   }
 
+  // consecutive rows overwhelmingly share a partition (range-clustered
+  // and per-partition-shuffled inputs are fully contiguous) — remember
+  // the last route so the common case skips the map and the counter
+  private var lastDir: String = null
+  private var lastWriter: ParquetWriter[InternalRow] = _
+  private var lastRel: String = _
+  private var lastCount: Long = 0L
+  private def flushLast(): Unit =
+    if (lastDir != null && lastCount > 0) {
+      counts.update(lastRel, counts.getOrElse(lastRel, 0L) + lastCount)
+      lastCount = 0L
+    }
+
   override def write(row: InternalRow): Unit = {
     val lakeRow = toLake(row)
     val dir = dirOf(lakeRow)
-    val (w, rel) = open.getOrElseUpdate(dir, {
-      val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
-      val rel = if (dir.isEmpty) name else s"$dir/$name"
-      val b = new RowWriterBuilder(new Path(root, rel))
-        .withConf(conf).withCompressionCodec(codec)
-      (b.build(), rel)
-    })
-    w.write(dataProj(lakeRow))
-    counts.update(rel, counts.getOrElse(rel, 0L) + 1L)
+    if (dir != lastDir) {
+      flushLast()
+      val (w, rel) = open.getOrElseUpdate(dir, {
+        val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
+        val rel = if (dir.isEmpty) name else s"$dir/$name"
+        val b = new RowWriterBuilder(new Path(root, rel))
+          .withConf(conf).withCompressionCodec(codec)
+        (b.build(), rel)
+      })
+      lastDir = dir; lastWriter = w; lastRel = rel
+    }
+    lastWriter.write(dataProj(lakeRow))
+    lastCount += 1L
   }
 
   override def commit(): WriterCommitMessage = {
+    flushLast()
     open.values.foreach(_._1.close())
     LakeFilesMessage(counts.toSeq)
   }
@@ -278,7 +296,9 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
   override def abort(): Unit = {
     open.values.foreach { case (w, _) => scala.util.Try(w.close()) }
     val fs = root.getFileSystem(conf)
-    counts.keys.foreach(rel => fs.delete(new Path(root, rel), false))
+    // `open` names every file this task created (a file may have no
+    // counts entry yet while its tally sits in the fast-path buffer)
+    open.values.foreach { case (_, rel) => fs.delete(new Path(root, rel), false) }
   }
 
   override def close(): Unit = ()
