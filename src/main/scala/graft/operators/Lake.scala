@@ -152,7 +152,13 @@ object Lake {
         * and skips ([[append]]'s `txn` / the streaming sink's batch id;
         * the Delta Lake `txnAppId`/`txnVersion` discipline, Armbrust et
         * al., VLDB 2020, transaction identifiers). */
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      /** CHECK constraints (name → SQL predicate over the lake's
+        * columns), carried by `K`/`KD` delta lines — write-time quality
+        * gates ([[addCheckConstraint]]): every row-adding commit
+        * verifies its rows satisfy every check (NULL passes, the SQL
+        * standard), refusing the whole batch loudly otherwise. */
+      checks: Map[String, String] = Map.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -187,7 +193,12 @@ object Lake {
         * file-list change. A restate for a file an interposed commit
         * removed is skipped at replay (the file is gone; its stats
         * died with it). */
-      statRestates: Seq[(String, Seq[ColStat])] = Seq.empty)
+      statRestates: Seq[(String, Seq[ColStat])] = Seq.empty,
+      /** CHECK constraints this commit ADDS (name → SQL predicate, `K`
+        * lines) — see [[LakeState.checks]]. */
+      checkAdds: Seq[(String, String)] = Seq.empty,
+      /** CHECK constraint names this commit DROPS (`KD` lines). */
+      checkDrops: Seq[String] = Seq.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -359,8 +370,10 @@ object Lake {
     val txn = rec.txn.toSeq.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val restates = rec.statRestates.sortBy(_._1).map { case (p, st) =>
       (Seq("AS", enc(p)) ++ statsFields(st)).mkString("\t") }
-    (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc ++ txn ++ restates))
-      .mkString("\n")
+    val kAdds = rec.checkAdds.sortBy(_._1).map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
+    val kDrops = rec.checkDrops.sorted.map(n => s"KD\t${enc(n)}")
+    (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc ++ txn ++ restates ++
+      kAdds ++ kDrops)).mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -378,6 +391,8 @@ object Lake {
     val cdcFiles = Seq.newBuilder[(String, String)]
     var txn: Option[(String, Long)] = None
     val restates = Seq.newBuilder[(String, Seq[ColStat])]
+    val kAdds = Seq.newBuilder[(String, String)]
+    val kDrops = Seq.newBuilder[String]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -393,12 +408,14 @@ object Lake {
         case "X" => dvRemoves += ((dec(f(1)), dec(f(2))))
         case "C" => cdcFiles += ((dec(f(1)), dec(f(2))))
         case "T" => txn = Some((dec(f(1)), f(2).toLong))
+        case "K" => kAdds += ((dec(f(1)), dec(f(2))))
+        case "KD" => kDrops += dec(f(1))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
       rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result(), txn,
-      restates.result())
+      restates.result(), kAdds.result(), kDrops.result())
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -419,7 +436,9 @@ object Lake {
     val dvHist = st.dvHistory.sorted.map(s => s"VH\t${enc(s)}")
     val cdc = st.cdc.sorted.map(p => s"CF\t${enc(p)}")
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
-    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns)).mkString("\n")
+    val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
+    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns ++ checks))
+      .mkString("\n")
   }
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
@@ -438,6 +457,7 @@ object Lake {
     val dvHist = Seq.newBuilder[String]
     val cdc = Seq.newBuilder[String]
     val txns = Map.newBuilder[String, Long]
+    val checks = Map.newBuilder[String, String]
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -452,6 +472,7 @@ object Lake {
         case "VH" => dvHist += dec(f(1))
         case "CF" => cdc += dec(f(1))
         case "T" => txns += (dec(f(1)) -> f(2).toLong)
+        case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
@@ -460,7 +481,8 @@ object Lake {
       dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
       dvHistory = dvHist.result().sorted,
       cdc = cdc.result().sorted,
-      txns = txns.result())
+      txns = txns.result(),
+      checks = checks.result())
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -613,7 +635,8 @@ object Lake {
       // the watermark folds MONOTONICALLY: an out-of-order replayed tag
       // (possible only through manual log surgery) can never move it back
       txns = d.txn.fold(st.txns) { case (a, v) =>
-        st.txns.updated(a, math.max(v, st.txns.getOrElse(a, Long.MinValue))) })
+        st.txns.updated(a, math.max(v, st.txns.getOrElse(a, Long.MinValue))) },
+      checks = (st.checks -- d.checkDrops) ++ d.checkAdds)
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -1175,7 +1198,8 @@ object Lake {
         dvHistory = base.dvHistory ++ detached,
         cdc = base.cdc ++ sc.cdcFiles.map(_._1),
         txns = sc.txn.fold(base.txns) { case (a, v) =>
-          base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) })
+          base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) },
+        checks = base.checks)
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -1412,6 +1436,7 @@ object Lake {
       .localCheckpoint(true) // one materialization feeds count + stage
     val expected = aligned.count()
     if (expected == 0) return
+    enforceChecks(base, aligned)
     val staged = stageWrite(spark, lakeDir, aligned, partitionColsOf(base))
     val (rows, stats) = auditStaged(spark, lakeDir, base.schemaJson, staged, Seq.empty)
     publish(spark, StagedCommit(lakeDir, base, "append", base.schemaJson,
@@ -1842,6 +1867,74 @@ object Lake {
       dvAdds = files.map(f => f -> Seq(rel)).toMap,
       dvRemoves = stacked.toSeq.flatMap { case (f, ss) => ss.map(s => (f, s)) }))
     stacked.view.mapValues(_.size).toMap
+  }
+
+  /** Add a CHECK constraint (the Delta `ALTER TABLE … ADD CONSTRAINT`
+    * model): `expr` is a SQL predicate over the lake's columns; adding
+    * it first VALIDATES the existing corpus in one scan (a lake that
+    * already violates the rule refuses, naming the violation count),
+    * then commits a metadata-only `constraint` delta. From that version
+    * on, EVERY row-adding commit — batch append, idempotent ingest,
+    * sparse merge/update post-images, and the streaming write's
+    * executor-side writers — verifies its rows and refuses the whole
+    * batch loudly on the first violation (NULL passes, the SQL
+    * standard). The quality gate moves INTO the storage layer: no
+    * pipeline stage can land rows the contract forbids. */
+  def addCheckConstraint(spark: SparkSession, lakeDir: String,
+      name: String, expr: String): Unit = {
+    require(name.nonEmpty && expr.nonEmpty, "constraint name and expression required")
+    val base = adopt(spark, lakeDir)
+    require(!base.checks.contains(name),
+      s"addCheckConstraint: constraint '$name' already exists " +
+        s"(${base.checks(name)}) — drop it first to replace")
+    // validate the predicate parses AND holds over the existing corpus
+    // (violation = evaluates to FALSE; NULL passes, the SQL standard)
+    val df = readState(spark, lakeDir, base)
+    val n = df.filter(s"($expr) = false").count()
+    if (n > 0)
+      throw new IllegalArgumentException(
+        s"addCheckConstraint: $n existing row(s) violate CHECK ($expr) — a " +
+          "constraint is added to a lake that already satisfies it (clean the " +
+          "data first, e.g. deleteFromLakeSparseWhere the violations)")
+    commitDelta(spark, lakeDir,
+      DeltaRecord(base.version + 1, "constraint", base.schemaJson,
+        Seq.empty, Seq.empty, checkAdds = Seq(name -> expr)),
+      Some(base.copy(version = base.version + 1,
+        checks = base.checks.updated(name, expr))))
+  }
+
+  /** Drop a CHECK constraint — metadata commit; versions at or above it
+    * stop enforcing, time travel below still records it. */
+  def dropCheckConstraint(spark: SparkSession, lakeDir: String, name: String): Unit = {
+    val base = adopt(spark, lakeDir)
+    require(base.checks.contains(name),
+      s"dropCheckConstraint: no constraint '$name' " +
+        s"(existing: ${base.checks.keys.toSeq.sorted.mkString(", ")})")
+    commitDelta(spark, lakeDir,
+      DeltaRecord(base.version + 1, "constraint", base.schemaJson,
+        Seq.empty, Seq.empty, checkDrops = Seq(name)),
+      Some(base.copy(version = base.version + 1, checks = base.checks - name)))
+  }
+
+  /** Refuse `df` if any row violates any of the state's CHECK
+    * constraints — ONE pass computing every violation count (piggybacks
+    * nothing: callers run it on the batch frame they are about to
+    * materialize anyway, and Catalyst fuses the aggregates). NULL
+    * predicate results PASS (SQL CHECK semantics). */
+  private[graft] def enforceChecks(st: LakeState, df: DataFrame): Unit = {
+    if (st.checks.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, sum, when}
+    val entries = st.checks.toSeq.sortBy(_._1)
+    val aggs: Seq[org.apache.spark.sql.Column] = entries.map { case (_, e) =>
+      sum(when(expr(e) === false, 1L).otherwise(0L)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violated = entries.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n: CHECK ($e) — ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
   }
 
   /** [[vacuumKeeping]] with a TIME-based retention policy — "keep the

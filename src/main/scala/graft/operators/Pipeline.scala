@@ -1110,6 +1110,7 @@ object Pipeline {
         b.join(bloomProbedIds(spark, b, lakeIds, idCol, Some(bs)), Seq(idCol), "left_anti")
       }).localCheckpoint(true)
     val expected = fresh.count()
+    if (expected > 0) Lake.enforceChecks(base, fresh)
     if (expected > 0) {
       // staging is claim-by-staging-dir (no listing diff), so no
       // partition-scope collect is needed here — one fewer Spark job
@@ -1439,6 +1440,7 @@ object Pipeline {
     val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
     val updCount = upd.count()
     if (updCount == 0) return Lake.read(spark, lakeDir)
+    Lake.enforceChecks(base, upd)
     val lakeSchema = Lake.visible(
       org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1643,6 +1645,7 @@ object Pipeline {
     val updated = matched.select(lakeSchema.map { f =>
       assignments.get(f.name).fold(col(f.name))(_.cast(f.dataType)).as(f.name)
     }: _*)
+    Lake.enforceChecks(base, updated)
     val upStaged = Lake.stageWrite(spark, lakeDir, updated, partitionCols)
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq.empty)
@@ -1696,6 +1699,7 @@ object Pipeline {
     val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
     val updCount = upd.count()
     if (updCount == 0) return Lake.read(spark, lakeDir)
+    Lake.enforceChecks(base, upd)
     val lakeSchema = Lake.visible(
       org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])

@@ -43,7 +43,7 @@ import graft.operators.Lake
 private[lake] object LakeMetaTables {
 
   /** Recognized suffixes: `name$kind`. */
-  val Kinds: Set[String] = Set("history", "files", "txns", "partitions")
+  val Kinds: Set[String] = Set("history", "files", "txns", "partitions", "constraints")
 
   /** Split `corpus$history` → (`corpus`, `history`); None for plain
     * table names (a `$` with an unknown tail is NOT metadata — it stays
@@ -82,6 +82,10 @@ private[lake] object LakeMetaTables {
     StructField("n_files", IntegerType, nullable = false),
     StructField("n_dv_sidecars", IntegerType, nullable = false)))
 
+  val constraintsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("expression", StringType, nullable = false)))
+
   private def s(v: String) = UTF8String.fromString(v)
 
   /** Build the metadata table for `kind` over the lake at `dir`,
@@ -116,6 +120,13 @@ private[lake] object LakeMetaTables {
         val st = stateFor(spark, dir, pinnedVersion)
         st.txns.toSeq.sortBy(_._1).map { case (a, v) =>
           new GenericInternalRow(Array[Any](s(a), v)): InternalRow
+        }.toArray
+      })
+    case "constraints" =>
+      new LakeMetaTable(s"$dir$$constraints", constraintsSchema, () => {
+        val st = stateFor(spark, dir, pinnedVersion)
+        st.checks.toSeq.sortBy(_._1).map { case (n, e) =>
+          new GenericInternalRow(Array[Any](s(n), s(e))): InternalRow
         }.toArray
       })
     case "partitions" =>

@@ -36,7 +36,7 @@ private[lake] object LakeProcedures {
 
   val All: Seq[String] =
     Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze",
-      "repartition")
+      "repartition", "add_constraint", "drop_constraint")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -194,6 +194,32 @@ private[lake] object LakeProcedures {
           targetRowsPerFile = in.getLong(2), sortCols = sortBy)
         val st = Lake.currentState(spark, dir)
         Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
+      })
+    case "add_constraint" => new LakeProc("add_constraint",
+      "add a CHECK constraint (validates the existing corpus in one scan, " +
+        "then a metadata commit) — every later row-adding write verifies it " +
+        "and refuses violating batches loudly",
+      Array(tableParam,
+        p("name", StringType).build(),
+        p("expression", StringType).comment("SQL predicate over the lake's columns").build()),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expression", StringType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val (n, e) = (in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+        Lake.addCheckConstraint(spark, dir, n, e)
+        Array(new GenericInternalRow(Array[Any](s(n), s(e))))
+      })
+    case "drop_constraint" => new LakeProc("drop_constraint",
+      "drop a CHECK constraint (metadata commit; enforcement stops at this version)",
+      Array(tableParam, p("name", StringType).build()),
+      StructType(Seq(StructField("name", StringType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val n = in.getUTF8String(1).toString
+        Lake.dropCheckConstraint(spark, dir, n)
+        Array(new GenericInternalRow(Array[Any](s(n))))
       })
     case other => throw new IllegalArgumentException(
       s"graft-lake catalog: unknown procedure '$other' — available: ${All.mkString(", ")}")

@@ -176,6 +176,12 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
     }
     if (staged.nonEmpty) {
       val expected = staged.map(_._2).sum
+      // CHECK constraints gate the epoch exactly like a batch append:
+      // the staged read-back is verified BEFORE the manifest moves, and
+      // a violating micro-batch deletes its files and fails the query
+      try Lake.enforceChecks(base,
+        Lake.readFiles(spark, qualifiedLakeDir, base.schemaJson, staged.map(_._1)))
+      catch { case e: Throwable => deleteStaged(staged); throw e }
       val (rows, stats) = Lake.auditStaged(spark, qualifiedLakeDir,
         base.schemaJson, staged.map(_._1), Seq.empty)
       Lake.publish(spark, Lake.StagedCommit(qualifiedLakeDir, base, "append",

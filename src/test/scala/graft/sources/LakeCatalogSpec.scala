@@ -394,6 +394,68 @@ class LakeCatalogSpec extends SparkTestBase {
       .count(_.getString(2) == "append") == 2)
   }
 
+  test("CHECK constraints gate every row-adding path; $constraints lists them") {
+    val out = s"$wh/checked"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))        // v1
+    spark.sql("CALL graft_lake.system.add_constraint(table => 'checked', " +
+      "name => 'doc_id_range', expression => 'doc_id >= 0 AND doc_id < 1000')").collect()
+    assert(spark.sql("SELECT name, expression FROM graft_lake.`checked$constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("doc_id_range", "doc_id >= 0 AND doc_id < 1000")))
+
+    // a clean batch lands; a violating batch refuses WHOLE, naming the rule
+    Pipeline.appendToLake(spark, out, fixture(20 until 25))
+    assert(Lake.read(spark, out).count() == 25)
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.appendToLake(spark, out, fixture(995 until 1005))
+    }
+    assert(e1.getMessage.contains("doc_id_range") && e1.getMessage.contains("CHECK"))
+    assert(Lake.read(spark, out).count() == 25, "the violating batch must land NOTHING")
+
+    // SQL INSERT and sparse UPDATE post-images are gated too
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO graft_lake.checked VALUES (2000, 'x', 'test', 0)")
+    }
+    assert(e2.getMessage.contains("CHECK"))
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE graft_lake.checked SET doc_id = doc_id + 5000 WHERE doc_id = 3")
+    }
+    assert(e3.getMessage.contains("CHECK"))
+    assert(Lake.read(spark, out).filter(col("doc_id") === 3L).count() == 1)
+
+    // the streaming write fails a violating epoch before the manifest moves
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val vBefore = Lake.currentState(spark, out).version
+    val q = mem.toDF().toDF("doc_id")
+      .select(col("doc_id"), lit("t").as("text"), lit("train").as("split"),
+        lit(0).cast("int").as("shard_id"))
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("chk-ck").toString)
+      .start(out)
+    val e4 = intercept[Throwable] {
+      try { mem.addData(5000L); q.processAllAvailable() } finally q.stop()
+    }
+    assert(Iterator.iterate[Throwable](e4)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ").contains("CHECK"))
+    assert(Lake.currentState(spark, out).version == vBefore,
+      "a violating epoch must not commit")
+
+    // adding a constraint the corpus already violates refuses
+    val e5 = intercept[Exception] {
+      spark.sql("CALL graft_lake.system.add_constraint(table => 'checked', " +
+        "name => 'impossible', expression => 'doc_id > 10')").collect()
+    }
+    assert(e5.getMessage.contains("existing row"))
+
+    // drop ends enforcement
+    spark.sql("CALL graft_lake.system.drop_constraint(table => 'checked', " +
+      "name => 'doc_id_range')").collect()
+    Pipeline.appendToLake(spark, out, fixture(1200 until 1201))
+    assert(Lake.read(spark, out).count() == 26)
+  }
+
   test("CALL vacuum_keeping with retention_ms applies an age retention policy") {
     val out = s"$wh/age"
     Lake.init(spark, fixture(0 until 5).coalesce(1), out, Seq("split"))   // v1
