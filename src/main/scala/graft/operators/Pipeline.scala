@@ -2134,6 +2134,39 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px123
+  /** CHECK constraints on the write path, oracled: seed two thirds of
+    * the corpus, `CALL add_constraint` a doc_id range the corpus
+    * satisfies (validated in one scan), SQL-INSERT the remaining third
+    * THROUGH the gate, and prove a violating insert refuses WHOLE —
+    * the final manifest must equal exactly the full corpus (px100's
+    * oracle): the clean batch landed once, the violating batch landed
+    * nothing, and enforcement cost one fused aggregate per append. */
+  private def px123(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px123_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.lake.LakeCatalog")
+    spark.sql("CALL graft_lake.system.add_constraint(" +
+      s"table => '$out', name => 'doc_id_nonneg', " +
+      "expression => 'doc_id IS NOT NULL AND doc_id >= 0')").collect()
+    sharded.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("px123_batch")
+    spark.sql(s"INSERT INTO graft_lake.`$out` BY NAME SELECT * FROM px123_batch")
+    // the violating batch refuses whole — nothing of it may land
+    try {
+      spark.sql(s"INSERT INTO graft_lake.`$out` VALUES " +
+        "(-1, 'bad', 'xx', 'src', 1, 'train', 0)")
+      throw new IllegalStateException("px123: violating insert must refuse")
+    } catch { case e: Exception if e.getMessage.contains("CHECK") => () }
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2381,5 +2414,6 @@ object Pipeline {
     GraftQuery("px119_lake_dv_consolidate", px119, Some(px119Oracle)),
     GraftQuery("px120_lake_stream_sink", px120, Some(px100Oracle)),
     GraftQuery("px121_lake_meta_tables", px121, Some(px121Oracle)),
-    GraftQuery("px122_lake_repartition", px122, Some(px100Oracle)))
+    GraftQuery("px122_lake_repartition", px122, Some(px100Oracle)),
+    GraftQuery("px123_lake_check_constraint", px123, Some(px100Oracle)))
 }
