@@ -78,9 +78,11 @@ import graft.operators.Lake
   * manifest's file paths (pass `option("partitionColumns", "a,b")` for a
   * lake that is still empty at stream start); a restore in a
   * `readChangeFeed` range streams its removed files as deletes and its
-  * re-added files as inserts, refusing loudly when deletion vectors are
-  * involved (the per-file decode cannot apply them — consume that range
-  * with the batch [[Lake.changeFeed]] instead). */
+  * re-added files as inserts, WITH any involved deletion vectors
+  * applied — pre-restore attachments on removed files and re-attached
+  * vectors on re-adds both load once driver-side and their positions
+  * are skipped during the per-file decode (capped; a pathological
+  * range refuses loudly toward the batch [[Lake.changeFeed]]). */
 class LakeStreamSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake-cdc"
 
@@ -324,7 +326,13 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     * sidecars live under `_graft_cdc/<uuid>/`), and the synthetic feed
     * constants when in `readChangeFeed` mode. */
   private case class PlannedFile(relPath: String, strip: Int,
-      changeType: String, version: Long)
+      changeType: String, version: Long,
+      /** Row positions to SKIP while decoding — a restore's files with
+        * deletion vectors involved stream minus their tombstoned rows
+        * (those rows' events were already emitted at their own delete
+        * versions). Seq (not Array) so case equality stays value-based
+        * for the planner's distinct. */
+      skip: Seq[Long] = Seq.empty)
 
   /** Typed partition values parsed back from a file's directory path —
     * the inverse of [[Lake.partitionDir]]'s rendering, cast through the
@@ -394,11 +402,20 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       val d = Lake.deltaAt(spark, lakeDir, v)
       assertNoEvolution(v, d.schemaJson)
       val restore = d.action == "restore"
+      // a restore's re-added files may carry RE-ATTACHED vectors (its
+      // `D` lines): those rows are deleted in the restored state, so the
+      // re-insert decode skips their positions
+      val reAttach: Map[String, Seq[String]] =
+        if (restore && cdcMode && d.dvAdds.nonEmpty)
+          d.dvAdds.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        else Map.empty
+      val reAttachSkips = loadSkips(spark, qroot, reAttach, v)
       val insertFiles =
         if (restore && cdcMode) d.added.map(_._1)
         else if (Lake.DataAddingActions.contains(d.action)) d.added.map(_._1)
         else d.added.map(_._1).filterNot(d.rewrites)
-      insertFiles.foreach(f => out += PlannedFile(f, 0, "insert", v))
+      insertFiles.foreach(f =>
+        out += PlannedFile(f, 0, "insert", v, reAttachSkips.getOrElse(f, Seq.empty)))
       if (cdcMode) {
         // the mutations' commit-time sidecars ARE the delete rows; a
         // restore's removed files stream as deletes wholesale
@@ -417,28 +434,45 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
           }
         }
         if (restore && d.removed.nonEmpty) {
-          // two ways deletion vectors can be involved: the restore
-          // RE-ATTACHES vectors to its re-added files (dvAdds), or the
-          // files it REMOVES carried vectors in the pre-restore state —
-          // streaming those wholesale as deletes would emit delete events
-          // for rows already tombstoned earlier, silently corrupting
-          // net-replay mirrors. The batch Lake.changeFeed applies
-          // stateAt(v-1).dvs to the removed files; this per-file decode
-          // cannot, so both shapes refuse loudly.
-          lazy val preDvd = Lake.stateAt(spark, lakeDir, v - 1)
-            .dvs.keySet.intersect(d.removed.toSet)
-          if (d.dvAdds.nonEmpty || preDvd.nonEmpty)
-            throw new IllegalStateException(
-              s"graft-lake-cdc: version $v is a restore involving deletion vectors" +
-                (if (d.dvAdds.nonEmpty) ""
-                 else s" (removed file(s) carried vectors, e.g. ${preDvd.take(2).mkString(", ")})") +
-                ", which this stream's per-file decode cannot apply — consume this " +
-                "range with the batch Lake.changeFeed instead")
-          d.removed.foreach(f => out += PlannedFile(f, 0, "delete", v))
+          // the files a restore REMOVES may have carried deletion
+          // vectors in the pre-restore state — streaming them wholesale
+          // as deletes would emit delete events for rows already
+          // tombstoned at their own delete versions, corrupting counted
+          // or strictly-keyed mirrors. Exactly like the batch
+          // [[Lake.changeFeed]], the pre-restore attachments load once
+          // driver-side and the per-file decode SKIPS those positions.
+          val pre = Lake.stateAt(spark, lakeDir, v - 1)
+          val preAttach = d.removed.filter(pre.dvs.contains)
+            .map(f => f -> pre.dvs(f)).toMap
+          val removedSkips = loadSkips(spark, qroot, preAttach, v)
+          d.removed.foreach(f =>
+            out += PlannedFile(f, 0, "delete", v, removedSkips.getOrElse(f, Seq.empty)))
         }
       }
     }
     out.result()
+  }
+
+  /** Driver-side load of the positions `attach` names (file → sidecar
+    * dirs) — bounded by the restore's attachment sizes, capped like the
+    * MoR scan's position load so a pathological range refuses loudly
+    * instead of flooding the driver. */
+  private def loadSkips(spark: SparkSession, qroot: Path,
+      attach: Map[String, Seq[String]], v: Long): Map[String, Seq[Long]] = {
+    if (attach.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.col
+    val cap = 20000000
+    val sidecars = attach.values.flatten.toSeq.distinct.sorted
+    val rows = spark.read.schema(Lake.DvSchema)
+      .parquet(sidecars.map(s => new Path(qroot, s).toString): _*)
+      .filter(col("file").isInCollection(attach.keySet.toSeq))
+      .coalesce(1).limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw new IllegalStateException(
+        s"graft-lake-cdc: restore version $v carries over $cap deletion-vector " +
+          "positions — consume this range with the batch Lake.changeFeed instead")
+    rows.toSeq.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).distinct.sorted).toMap
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -449,7 +483,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)
     val planned = plannedFiles(s, e).distinct
-    val files = planned.map { pf =>
+    def partitioned(pf: PlannedFile): PartitionedFile = {
       val p = new Path(qroot, pf.relPath)
       if (!fs.exists(p))
         throw new IllegalStateException(
@@ -465,13 +499,42 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     }
     // bin-pack into FilePartitions exactly as Spark's own file sources
     // do: a catch-up batch over a version that added 10k small files
-    // schedules ~totalBytes/maxPartitionBytes tasks, never 10k
-    FilePartition.getFilePartitions(spark, files,
-      spark.sessionState.conf.filesMaxPartitionBytes).toArray
+    // schedules ~totalBytes/maxPartitionBytes tasks, never 10k.
+    // Skip-bearing files (a restore's DV-involved files) ride UNSPLIT in
+    // their own partitions — position counting needs one in-order reader
+    val (skippy, plain) = planned.partition(_.skip.nonEmpty)
+    val packed = FilePartition.getFilePartitions(spark, plain.map(partitioned),
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val skipParts: Seq[InputPartition] = skippy.zipWithIndex.map { case (pf, i) =>
+      LakeSkipPartition(
+        FilePartition(packed.length + i, Array(partitioned(pf))), pf.skip)
+    }
+    // Spark refuses MIXED row/columnar partitions within one batch, so
+    // the presence of ANY skip partition puts the whole batch in row
+    // mode; DV-free batches (the overwhelming majority) keep the
+    // vectorized decode. Planning always precedes the factory's
+    // per-partition mode query for the same batch.
+    batchHasSkips = skipParts.nonEmpty
+    (packed ++ skipParts).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    LakeParquetRead.readerFactory(spark, physDataSchema, partSchema)
+  @volatile private var batchHasSkips = false
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = LakeParquetRead.readerFactory(spark, physDataSchema, partSchema)
+    val rowMode = batchHasSkips
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        !rowMode && inner.supportColumnarReads(p)
+      override def createColumnarReader(p: InputPartition) =
+        inner.createColumnarReader(p)
+      override def createReader(p: InputPartition) = p match {
+        case LakeSkipPartition(fp, skip) =>
+          new PositionSkipReader(inner.createReader(fp), skip.toArray)
+        case p => inner.createReader(p)
+      }
+    }
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -481,4 +544,17 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   override def toString: String =
     s"graft-lake-cdc $lakeDir${if (cdcMode) " [change feed]" else ""} " +
       s"columns=${fullSchema.fieldNames.mkString(",")}"
+}
+
+/** One UNSPLIT skip-bearing file of a streaming batch: a restore's
+  * DV-involved file whose tombstoned row positions must not re-emit —
+  * decoded through [[PositionSkipReader]] over the shared parquet
+  * factory. Positions ride in the partition payload: restores are rare
+  * and their per-file position sets bounded (capped at plan time), so
+  * a broadcast would cost more than it saves here. */
+private[lake] final case class LakeSkipPartition(
+    files: org.apache.spark.sql.execution.datasources.FilePartition,
+    skip: Seq[Long])
+    extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
 }

@@ -358,42 +358,89 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
-  test("change-feed stream refuses a restore rolling back OFF a DV-bearing version (removed files carried vectors)") {
-    val base = java.nio.file.Files.createTempDirectory("lakecdcrestoredv").toString
+  test("change-feed stream across a restore back OFF a DV-bearing version: vectors applied, rows resurrect") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcrestoredv0").toString
     val out = s"$base/lake"
     Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"),
       statsCols = Seq("doc_id"))                                                 // v1: clean
     Pipeline.deleteFromLakeSparse(spark, out, Seq(3L, 7L).toDF("doc_id"), "doc_id") // v2: DVs attach
     Lake.restore(spark, out, 1L)                                                 // v3: back OFF the DVs
-    // the restore's delta has dvAdds EMPTY (the target is clean) but its
-    // removed files carried vectors in the pre-restore state — streaming
-    // them wholesale as deletes would emit phantom delete events for the
-    // rows v2 already tombstoned; the guard must resolve stateAt(v-1)
-    // and refuse exactly like the re-attach case
+    // v3's delta removes-and-re-adds the DV'd files (the dvDiff device):
+    // the stream must decode the REMOVED side minus the tombstoned
+    // positions (3 and 7 already emitted as deletes at v2) and the
+    // re-added side in full — net effect: the two rows RESURRECT
     val q = spark.readStream.format("graft-lake-cdc")
       .option("startingVersion", "earliest")
       .option("readChangeFeed", "true")
       .load(out)
-      .writeStream.format("memory").queryName("lake_restore_dv")
+      .writeStream.format("memory").queryName("lake_restore_dv0")
       .option("checkpointLocation", s"$base/ck")
       .start()
-    try {
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      def mentions(m: String) = m != null && m.contains("restore involving deletion vectors")
-      assert(mentions(e.getMessage) || Option(e.getCause).exists(c => mentions(c.getMessage)),
-        s"the batch must refuse naming the DV-involved restore, got: ${e.getMessage}")
-    } finally q.stop()
-    // the batch feed handles the same range exactly (applies pre-state
-    // vectors to the removed files): net replay converges to the lake
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("lake_restore_dv0").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+    assert(rows.filter(t => t._3 == 2L && t._2 == "delete").map(_._1).toSet == Set(3L, 7L))
+    val v3del = rows.filter(t => t._3 == 3L && t._2 == "delete").map(_._1).toSet
+    val v3ins = rows.filter(t => t._3 == 3L && t._2 == "insert").map(_._1).toSet
+    assert(!v3del.contains(3L) && !v3del.contains(7L),
+      s"already-tombstoned rows must not re-emit as deletes, got $v3del")
+    assert(v3ins.contains(3L) && v3ins.contains(7L),
+      "the restore's re-added files resurrect the undeleted rows as inserts")
+    assert(v3del.subsetOf(v3ins),
+      "a detach-restore's deletes re-add identically (remove+re-add of the same files)")
+    // net replay converges to the fully-restored lake
+    val net = rows.foldLeft(Map.empty[Long, Int]) { case (m, (id, tpe, _)) =>
+      m.updated(id, m.getOrElse(id, 0) + (if (tpe == "insert") 1 else -1)) }
+      .filter(_._2 > 0).keySet
+    assert(net == (0L until 20L).toSet,
+      s"net replay must equal the restored lake, got ${net.toSeq.sorted.mkString(",")}")
+    // and the batch feed agrees over the same range
     val feed = Lake.changeFeed(spark, out, 0L, 3L)
-    val inserted = feed.filter(col("_change_type") === "insert")
-      .select("doc_id", "text")
-    val deleted = feed.filter(col("_change_type") === "delete")
-      .select("doc_id", "text")
-    val mirror = inserted.exceptAll(deleted).collect().map(_.getLong(0)).sorted
-    assert(mirror.toSeq == (0L until 20L).toSeq,
-      s"batch feed must net-converge to the restored lake, got ${mirror.mkString(",")}")
+    val mirror = feed.filter(col("_change_type") === "insert").select("doc_id", "text")
+      .exceptAll(feed.filter(col("_change_type") === "delete").select("doc_id", "text"))
+      .collect().map(_.getLong(0)).sorted
+    assert(mirror.toSeq == (0L until 20L).toSeq)
+  }
+
+  test("readChangeFeed across restores involving deletion vectors applies them — no phantom events") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcrestoredv").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))          // v1
+    Pipeline.appendToLake(spark, out, fixture(20 until 30))                       // v2
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(25L).toDF("doc_id"), "doc_id")  // v3: DV on a v2 file
+    Lake.restore(spark, out, 1L)                                                  // v4: removes v2 files (one DV'd)
+    Lake.restore(spark, out, 3L)                                                  // v5: re-adds them, vector re-attached
+
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
+      .load(out)
+      .writeStream.format("memory").queryName("restore_dv_tail")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("restore_dv_tail").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+
+    // v4 removed the ten 20..29 docs, but 25 was ALREADY tombstoned at
+    // v3 — exactly 9 delete events, and none for 25
+    assert(rows.count(t => t._3 == 4L && t._2 == "delete") == 9,
+      s"v4 must delete the 9 live rows only, got ${rows.filter(_._3 == 4L).toSeq}")
+    assert(!rows.exists(t => t._3 == 4L && t._1 == 25L),
+      "the already-tombstoned row must not re-emit at the restore")
+    // v5 re-added the files with the vector re-attached — 9 inserts, not 10
+    assert(rows.count(t => t._3 == 5L && t._2 == "insert") == 9)
+    assert(!rows.exists(t => t._3 == 5L && t._1 == 25L))
+
+    // net replay converges to the final lake exactly
+    val net = rows.foldLeft(Map.empty[Long, Int]) { case (m, (id, tpe, _)) =>
+      m.updated(id, m.getOrElse(id, 0) + (if (tpe == "insert") 1 else -1)) }
+      .filter(_._2 > 0).keySet
+    val lake = Lake.read(spark, out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(net == lake,
+      s"net replay must equal the lake: extra=${net -- lake}, missing=${lake -- net}")
+    assert(lake == ((0L until 25L) ++ (26L until 30L)).toSet)
   }
 }
