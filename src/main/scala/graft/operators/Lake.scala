@@ -234,7 +234,14 @@ object Lake {
         * when a raced writer's interposed commit moved the watermark
         * mid-rebase. The idempotent-replay guard for the streaming sink
         * and `txnAppId`/`txnVersion` batch writes. */
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      /** Stat restate (`AS`) lines this commit carries: per-file
+        * per-column min/max replacements merged onto LIVE files — the
+        * [[applyDelta]] semantics. A restate whose file an interposed
+        * commit removed drops at rebase exactly as at replay. Used by
+        * the float->double [[widenColumn]] (re-widened bounds ride in
+        * the same metadata commit as the retype). */
+      statRestates: Seq[(String, Seq[ColStat])] = Seq.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -278,6 +285,29 @@ object Lake {
       }
     }
     out.result().distinct.sorted
+  }
+
+  /** True iff ANY qualifying parquet data file lives under `lakeDir` —
+    * the walk stops at the FIRST hit instead of materializing the full
+    * recursive listing, so an existence probe on a large not-yet-adopted
+    * directory (the catalog's `tableExists`/`loadTable` fallback) costs
+    * one partial traversal, not a full tree walk. `seen` observes each
+    * visited file (tests pin the short-circuit with it). */
+  private[graft] def hasAnyDataFile(spark: SparkSession, lakeDir: String,
+      seen: Path => Unit = _ => ()): Boolean = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    if (!fs.exists(root)) return false
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      seen(f)
+      val rel = relativize(root, fs.makeQualified(f))
+      val segments = rel.split('/')
+      if (f.getName.endsWith(".parquet") &&
+          !segments.exists(s => s.startsWith("_") || s.startsWith(".")))
+        return true
+    }
+    false
   }
 
   /** The manifest files living under any of `dirs` (relative partition
@@ -826,9 +856,11 @@ object Lake {
     * schema and reads the old name, exactly as committed. Partition
     * columns refuse (their name is baked into every directory path — a
     * rename there IS a physical relayout); duplicate/missing names
-    * refuse naming the columns. The DSv2 surfaces refuse mapped lakes
-    * loudly (scan delegation can't alias yet) — batch `Lake.read` is
-    * the mapped read path. */
+    * refuse naming the columns. The DSv2 read surfaces serve mapped
+    * lakes too: the MoR scan translates logical names to physical at
+    * the parquet boundary ([[graft.sources.lake.LakeMorTable]]), so
+    * `spark.read.format("graft-lake")`, the named catalog, and SQL DML
+    * all work over a renamed lake. */
   def renameColumn(spark: SparkSession, lakeDir: String,
       oldName: String, newName: String): Unit = {
     val base = adopt(spark, lakeDir)
@@ -868,8 +900,15 @@ object Lake {
     * type via the append path's align-cast. Zero data bytes move; at
     * 100 TB the alternative is a full rewrite. Narrowing or any other
     * retype refuses loudly naming the rewrite. Recorded per-file stats
-    * survive: their string renderings of the narrower type parse
-    * exactly under the wider type's comparison ([[pruneByStats]]).
+    * survive: integral widenings' string renderings parse exactly under
+    * the wider type's comparison ([[pruneByStats]]); float->double
+    * RESTATES the column's stats in the same commit — a float's
+    * shortest-repr string ("1.1") parses to a double BELOW the widened
+    * decoded value ((double)1.1f = 1.100000023841858), so reusing the
+    * strings verbatim could understate a file's max and wrongly prune
+    * it. Each bound re-parses as the float it renders (exact by
+    * shortest-repr round-trip) and widens natively, so the restated
+    * doubles are exactly the values the readers decode.
     * Partition columns refuse (their values are path-rendered under the
     * old type). A running CDC stream refuses loudly at the widen
     * version, exactly like every mid-stream schema evolution. */
@@ -892,8 +931,20 @@ object Lake {
         "anything else needs a rewrite into a new lake")
     val widened = StructType(schema.map(f =>
       if (f.name == colName) f.copy(dataType = to) else f))
+    val restates: Seq[(String, Seq[ColStat])] =
+      if (field.dataType == FloatType && to == DoubleType) {
+        val phys = physicalName(field)
+        def wide(str: String): String =
+          str.toFloatOption.fold(str)(v => String.valueOf(v.toDouble))
+        base.stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+          val re = cols.collect {
+            case c if c.col == phys => ColStat(c.col, wide(c.min), wide(c.max))
+          }
+          if (re.isEmpty) None else Some(f -> re)
+        }
+      } else Seq.empty
     publish(spark, StagedCommit(lakeDir, base, "widen", widened.json,
-      Seq.empty, Seq.empty, 0L, 0L))
+      Seq.empty, Seq.empty, 0L, 0L, statRestates = restates))
   }
 
   private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
@@ -1189,9 +1240,16 @@ object Lake {
       val postDvs = dvAddSeq.foldLeft(keptDvs) { case (m, (f, s)) =>
         m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
       }
+      val postFiles = (base.files.filterNot(ourRemoved) ++ sc.stagedFiles).sorted
+      val postFileSet = postFiles.toSet
+      val baseStats = (base.stats -- sc.removedFiles) ++ sc.stagedStats
+      val restatedStats = sc.statRestates.filter(r => postFileSet(r._1))
+        .foldLeft(baseStats) { case (m, (f, st2)) =>
+          m.updated(f, mergeStatCols(m.getOrElse(f, Seq.empty), st2))
+        }
       val post = LakeState(base.version + 1, schemaJson,
-        (base.files.filterNot(ourRemoved) ++ sc.stagedFiles).sorted,
-        (base.stats -- sc.removedFiles) ++ sc.stagedStats,
+        postFiles,
+        restatedStats,
         base.history ++ sc.removedFiles,
         historyComplete = base.historyComplete,
         dvs = postDvs,
@@ -1205,7 +1263,8 @@ object Lake {
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
-            cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn),
+            cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn,
+            statRestates = sc.statRestates.sortBy(_._1)),
           Some(post))
         committed = true
       } catch {
@@ -2067,6 +2126,16 @@ object Lake {
     val reAdded = target.files.filterNot(current) ++ dvDiff
     val removed = base.files.filterNot(targetSet) ++ dvDiff
     if (removed.isEmpty && reAdded.isEmpty) return readState(spark, lakeDir, base)
+    // CHECK constraints SURVIVE a restore (they live in LakeState.checks,
+    // not in the restored version), so rows re-added from a version
+    // predating a constraint were never validated against it — re-run
+    // the gate over exactly the re-added rows (target DVs applied; rows
+    // already live in the current state passed at their own commits).
+    // A violating restore refuses BEFORE the manifest moves, mirroring
+    // addCheckConstraint's validation of the existing corpus.
+    if (base.checks.nonEmpty && reAdded.nonEmpty)
+      enforceChecks(base, readFiles(spark, lakeDir, target.schemaJson,
+        reAdded, target.dvs.view.filterKeys(reAdded.toSet).toMap))
     // stagedRows = expectedRows = 0 makes the publish audit DELIBERATELY
     // vacuous: the re-added files were audited when they first committed
     // and their existence is checked above — there is no staged write to

@@ -76,7 +76,7 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(p) && (fs.exists(new Path(p, Lake.LogDirName)) ||
-      Lake.listDataFiles(spark, dir).nonEmpty)
+      Lake.hasAnyDataFile(spark, dir))
   }
 
   private def tableAt(ident: Identifier, version: Option[String],

@@ -461,16 +461,21 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       attach: Map[String, Seq[String]], v: Long): Map[String, Seq[Long]] = {
     if (attach.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.col
-    val cap = 20000000
+    // same configurable ceiling as the MoR scan's position load — ONE
+    // knob governs both driver-side DV loads
+    val cap = spark.conf.getOption(LakeMorTable.MaxPositionsConf)
+      .flatMap(_.toLongOption).getOrElse(LakeMorTable.DefaultMaxPositions)
     val sidecars = attach.values.flatten.toSeq.distinct.sorted
+    val capPlus1 = math.min(cap, Int.MaxValue - 2L).toInt + 1
     val rows = spark.read.schema(Lake.DvSchema)
       .parquet(sidecars.map(s => new Path(qroot, s).toString): _*)
       .filter(col("file").isInCollection(attach.keySet.toSeq))
-      .coalesce(1).limit(cap + 1).collect()
-    if (rows.length > cap)
+      .coalesce(1).limit(capPlus1).collect()
+    if (rows.length >= capPlus1)
       throw new IllegalStateException(
         s"graft-lake-cdc: restore version $v carries over $cap deletion-vector " +
-          "positions — consume this range with the batch Lake.changeFeed instead")
+          s"positions (cap via ${LakeMorTable.MaxPositionsConf}) — consume this " +
+          "range with the batch Lake.changeFeed instead")
     rows.toSeq.groupBy(_.getString(0))
       .view.mapValues(_.map(_.getLong(1)).distinct.sorted).toMap
   }
@@ -512,23 +517,28 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     // Spark refuses MIXED row/columnar partitions within one batch, so
     // the presence of ANY skip partition puts the whole batch in row
     // mode; DV-free batches (the overwhelming majority) keep the
-    // vectorized decode. Planning always precedes the factory's
-    // per-partition mode query for the same batch.
-    batchHasSkips = skipParts.nonEmpty
-    (packed ++ skipParts).toArray
+    // vectorized decode. The mode rides IN each partition (no shared
+    // planning-time state between planInputPartitions and the factory).
+    val rowMode = skipParts.nonEmpty
+    (packed.map(fp => LakeBatchPartition(fp, rowMode): InputPartition)
+      ++ skipParts).toArray
   }
-
-  @volatile private var batchHasSkips = false
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = LakeParquetRead.readerFactory(spark, physDataSchema, partSchema)
-    val rowMode = batchHasSkips
     new PartitionReaderFactory {
-      override def supportColumnarReads(p: InputPartition): Boolean =
-        !rowMode && inner.supportColumnarReads(p)
-      override def createColumnarReader(p: InputPartition) =
-        inner.createColumnarReader(p)
+      override def supportColumnarReads(p: InputPartition): Boolean = p match {
+        case LakeBatchPartition(fp, rowMode) =>
+          !rowMode && inner.supportColumnarReads(fp)
+        case _: LakeSkipPartition => false
+        case p => inner.supportColumnarReads(p)
+      }
+      override def createColumnarReader(p: InputPartition) = p match {
+        case LakeBatchPartition(fp, _) => inner.createColumnarReader(fp)
+        case p => inner.createColumnarReader(p)
+      }
       override def createReader(p: InputPartition) = p match {
+        case LakeBatchPartition(fp, _) => inner.createReader(fp)
         case LakeSkipPartition(fp, skip) =>
           new PositionSkipReader(inner.createReader(fp), skip.toArray)
         case p => inner.createReader(p)
@@ -552,6 +562,19 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   * factory. Positions ride in the partition payload: restores are rare
   * and their per-file position sets bounded (capped at plan time), so
   * a broadcast would cost more than it saves here. */
+/** A plain (skip-free) file partition of a streaming batch, carrying
+  * the batch's decode mode: `rowMode` is true iff the SAME batch also
+  * planned skip partitions (Spark refuses mixed row/columnar partitions
+  * within one batch). Shipping the flag in the partition keeps
+  * planInputPartitions -> createReaderFactory free of shared mutable
+  * state. */
+private[lake] final case class LakeBatchPartition(
+    files: org.apache.spark.sql.execution.datasources.FilePartition,
+    rowMode: Boolean)
+    extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
 private[lake] final case class LakeSkipPartition(
     files: org.apache.spark.sql.execution.datasources.FilePartition,
     skip: Seq[Long])

@@ -71,8 +71,14 @@ private[lake] object LakeStreamingWrites {
           "Pipeline.ingestToLake / catalog CREATE TABLE); the sink never invents a layout"))
     val full = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     val visible = Lake.visible(full)
-    val missing = visible.fieldNames.filterNot(querySchema.fieldNames.contains)
-    val extra = querySchema.fieldNames.filterNot(visible.fieldNames.contains)
+    // column matching follows the session's resolver (spark.sql.
+    // caseSensitive semantics, like the batch align-cast path): a
+    // stream whose casing differs from the lake's still binds
+    val resolver = spark.sessionState.analyzer.resolver
+    val missing = visible.fieldNames.filterNot(n =>
+      querySchema.fieldNames.exists(resolver(_, n)))
+    val extra = querySchema.fieldNames.filterNot(n =>
+      visible.fieldNames.exists(resolver(_, n)))
     if (missing.nonEmpty || extra.nonEmpty)
       throw new IllegalArgumentException(
         s"graft-lake sink: the stream's columns must be exactly the lake's " +
@@ -127,7 +133,11 @@ private[lake] object LakeStreamingWrites {
       val p = new Path(lakeDir)
       p.getFileSystem(conf).makeQualified(p).toString
     }
-    new LakeStreamingWrite(qualified, queryId, querySchema, visible, partCols,
+    // resolve each lake column's query-row ordinal ONCE, driver-side,
+    // under the session resolver — executors never re-do name matching
+    val queryIdx = visible.map(f =>
+      querySchema.fieldNames.indexWhere(resolver(_, f.name)))
+    new LakeStreamingWrite(qualified, queryId, querySchema, queryIdx, visible, partCols,
       new HadoopConfBox(conf), sql.sessionLocalTimeZone, codec.name(),
       compactEvery = intOpt("compactEvery", 0),
       compactMaxFilesPerPartition = intOpt("compactMaxFilesPerPartition", 8),
@@ -150,7 +160,8 @@ private[lake] final case class LakeFilesMessage(files: Seq[(String, Long)])
     extends WriterCommitMessage
 
 private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String,
-    querySchema: StructType, lakeVisible: StructType, partCols: Seq[String],
+    querySchema: StructType, queryIdx: Seq[Int],
+    lakeVisible: StructType, partCols: Seq[String],
     confBox: HadoopConfBox, tz: String, codecName: String,
     compactEvery: Int, compactMaxFilesPerPartition: Int,
     compactTargetRowsPerFile: Long) extends StreamingWrite {
@@ -158,8 +169,8 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
   private val appId = s"streaming-sink-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeStreamingWriterFactory(qualifiedLakeDir, querySchema, lakeVisible,
-      partCols, confBox, tz, codecName)
+    new LakeStreamingWriterFactory(qualifiedLakeDir, querySchema, queryIdx,
+      lakeVisible, partCols, confBox, tz, codecName)
 
   private def stagedOf(messages: Array[WriterCommitMessage]): Seq[(String, Long)] =
     messages.toSeq.collect { case LakeFilesMessage(fs) => fs }.flatten
@@ -206,12 +217,13 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
 }
 
 private[lake] class LakeStreamingWriterFactory(qualifiedLakeDir: String,
-    querySchema: StructType, lakeVisible: StructType, partCols: Seq[String],
+    querySchema: StructType, queryIdx: Seq[Int],
+    lakeVisible: StructType, partCols: Seq[String],
     confBox: HadoopConfBox, tz: String, codecName: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LakeDataWriter(qualifiedLakeDir, querySchema, lakeVisible, partCols,
+    new LakeDataWriter(qualifiedLakeDir, querySchema, queryIdx, lakeVisible, partCols,
       confBox.conf, tz, codecName, partitionId, taskId, epochId)
 }
 
@@ -220,17 +232,20 @@ private[lake] class LakeStreamingWriterFactory(qualifiedLakeDir: String,
   * `part-<epoch>-<task>-<uuid>` — unique across replays and tasks),
   * and reports `(relative path, rows)` per file at task commit. */
 private[lake] class LakeDataWriter(qualifiedLakeDir: String,
-    querySchema: StructType, lakeVisible: StructType, partCols: Seq[String],
+    querySchema: StructType, queryIdx: Seq[Int],
+    lakeVisible: StructType, partCols: Seq[String],
     conf: Configuration, tz: String, codecName: String,
     partitionId: Int, taskId: Long, epochId: Long)
     extends DataWriter[InternalRow] {
 
-  // query row -> lake row: reorder + cast in one codegen'd projection
-  private val toLake = UnsafeProjection.create(lakeVisible.map { f =>
-    val i = querySchema.fieldIndex(f.name)
-    Cast(BoundReference(i, querySchema(i).dataType, nullable = true),
-      f.dataType, Some(tz))
-  })
+  // query row -> lake row: reorder + cast in one codegen'd projection;
+  // ordinals were resolved driver-side under the session resolver
+  private val toLake = UnsafeProjection.create(
+    lakeVisible.zipWithIndex.map { case (f, j) =>
+      val i = queryIdx(j)
+      Cast(BoundReference(i, querySchema(i).dataType, nullable = true),
+        f.dataType, Some(tz))
+    })
   private val dataIdx =
     lakeVisible.fields.indices.filterNot(i => partCols.contains(lakeVisible(i).name))
   private val dataProj = UnsafeProjection.create(dataIdx.map(i =>

@@ -1684,4 +1684,69 @@ class LakeSpec extends SparkTestBase {
     assert(files.size >= expectMin && files.size <= 2 * expectMin,
       s"bin-packing should land ~$expectMin files, got ${files.size}")
   }
+
+  test("hasAnyDataFile stops at the first data file instead of a full tree walk") {
+    val base = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    // 20 partition directories, one parquet (plus a .crc sidecar) each —
+    // a full recursive listing visits ~40+ entries; the probe must not
+    spark.range(100).select(col("id"), (col("id") % 20).as("p"))
+      .write.partitionBy("p").parquet(s"$base/tree")
+    var seen = 0
+    assert(Lake.hasAnyDataFile(spark, base, _ => seen += 1))
+    assert(seen <= 10,
+      s"the probe must stop at the first parquet hit, visited $seen entries")
+    // no data files at all -> false (missing dir, empty dir, hidden-only tree)
+    assert(!Lake.hasAnyDataFile(spark, s"$base/absent"))
+    val hidden = java.nio.file.Files.createTempDirectory("graft-probe-h").toString
+    spark.range(5).write.parquet(s"$hidden/_staging/t")
+    assert(!Lake.hasAnyDataFile(spark, hidden),
+      "files under _-prefixed trees are not lake data files")
+  }
+
+  test("restore refuses when re-added rows violate a CHECK constraint added above the target") {
+    val out = freshDir("lake-restore-check")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                  // v0
+    Pipeline.deleteFromLakeSparseWhere(spark, out, col("doc_id") >= 30)          // v1
+    Lake.addCheckConstraint(spark, out, "small_ids", "doc_id < 30")         // v2
+    // rolling back below the delete would re-add rows 30..39, which the
+    // NOW-LIVE constraint (it survives restores) forbids — refuse whole
+    val e = intercept[IllegalArgumentException] { Lake.restore(spark, out, 0L) }
+    assert(e.getMessage.contains("CHECK") && e.getMessage.contains("small_ids"))
+    assert(Lake.currentState(spark, out).version == 2L,
+      "a refused restore must not move the manifest")
+    assert(ids(Lake.read(spark, out)) == (0L until 30L).toSet)
+    // a conforming restore still lands: undo a later delete of row 29
+    Pipeline.deleteFromLakeSparseWhere(spark, out, col("doc_id") === 29)           // v3
+    Lake.restore(spark, out, 2L)                                            // v4
+    assert(ids(Lake.read(spark, out)) == (0L until 30L).toSet)
+  }
+
+  test("float->double widen restates per-file stats exactly: pruning keeps the file the raw string would drop") {
+    import org.apache.spark.sql.types.DoubleType
+    val out = freshDir("lake-widen-float")
+    val df = Seq((0L, 0.5f), (1L, 1.1f)).toDF("doc_id", "score")
+      .withColumn("split", lit("train"))
+    Lake.init(spark, df.coalesce(1), out, Seq("split"), statsCols = Seq("score")) // v1
+    val pre = Lake.currentState(spark, out)
+    assert(pre.stats.values.flatten.exists(c => c.col == "score" && c.max == "1.1"),
+      s"float stats record shortest-repr strings, got ${pre.stats.values.flatten}")
+
+    Lake.widenColumn(spark, out, "score", DoubleType)                        // v2
+    val st = Lake.currentState(spark, out)
+    val decodedMax = 1.1f.toDouble // 1.100000023841858 — what readers now decode
+    // the restated max must BE the decoded double, not the float's string
+    val maxStat = st.stats.values.flatten.filter(_.col == "score").map(_.max).toSeq
+    assert(maxStat.contains(String.valueOf(decodedMax)),
+      s"widen must restate float stats through exact float parsing, got $maxStat")
+    // the sharp end: a bound at the decoded max must keep the file ("1.1"
+    // parses to a double BELOW decodedMax and would wrongly prune it)
+    val kept = Lake.pruneByStats(st, "score", DoubleType, decodedMax, null)
+    assert(kept.nonEmpty,
+      "the file holding (double)1.1f must survive a lo = (double)1.1f bound")
+    assert(Lake.read(spark, out).filter(col("score") >= decodedMax).count() == 1L,
+      "and the row itself is there")
+    // the restate replays identically from the log (no checkpoint shortcut)
+    assert(Lake.stateAt(spark, out, 2L).stats == st.stats)
+  }
 }

@@ -229,4 +229,27 @@ class LakeSinkSpec extends SparkTestBase {
     assert(Lake.currentState(spark, out).version == 12L,
       "a NEW app's version 3 is not a replay of another app's")
   }
+
+  test("streaming sink binds columns by the session resolver: differently-cased stream columns land aligned") {
+    val base = java.nio.file.Files.createTempDirectory("lakesink-case").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 5), out, Seq("split", "shard_id")) // v1
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Int)]
+    // UPPER-CASed names — the default resolver is case-insensitive,
+    // exactly like the batch align-cast path
+    val q = mem.toDF().toDF("DOC_ID", "TEXT", "SPLIT", "SHARD_ID")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$base/ck")
+      .start(out)
+    try {
+      mem.addData((100L, "100", "train", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = Lake.read(spark, out).filter(col("doc_id") === 100L).collect()
+    assert(row.length == 1 && row(0).getAs[String]("text") == "100" &&
+      row(0).getAs[String]("split") == "train",
+      s"upper-cased stream columns must bind to their lake columns, got ${row.toSeq}")
+  }
 }
