@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SupportsRowLevelOperations tables and ignores ours)
     e.injectResolutionRule(session =>
       new org.apache.spark.sql.graft.ResolveLakeMerge(session))
+    // DSv2 reads of a DV-bearing or column-mapped lake version re-plan
+    // onto Lake.read's vectorized anti-join (merge-on-read without the
+    // row-mode scan or the driver-side position cap)
+    e.injectResolutionRule(session =>
+      new org.apache.spark.sql.graft.VectorizeLakeMorRead(session))
   }
 }
 

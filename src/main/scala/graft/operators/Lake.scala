@@ -965,19 +965,40 @@ object Lake {
     * deleted" round-trips. Partition columns keep their recorded types. */
   private[graft] def readFiles(spark: SparkSession, lakeDir: String,
       schemaJson: String, files: Seq[String],
-      dvs: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      dvs: Map[String, Seq[String]] = Map.empty,
+      pruneState: Option[LakeState] = None): DataFrame = {
     val schema = visible(DataType.fromJson(schemaJson).asInstanceOf[StructType])
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val (_, root) = fsRoot(spark, lakeDir)
+      val (fs, root) = fsRoot(spark, lakeDir)
       val reader = spark.read.option("basePath", root.toString)
       // data files spell columns by their PHYSICAL names (column
       // mapping); read under those and alias back to logical after
       val physical = toPhysical(schema)
       val base = (if (schema.nonEmpty) reader.schema(physical) else reader)
         .parquet(files.map(f => new Path(root, f).toString): _*)
-      val applied = applyDvs(spark, root, base, files, dvs)
+      // manifest-stat file skipping at the FileIndex grain: the data
+      // filters Spark pushes at PLAN time prune whole files against the
+      // per-file min/max the log recorded — the same skip the DSv2 scan
+      // builder does, now on the anti-join (merge-on-read) plan too.
+      // Filters arrive over the PHYSICAL scan schema, so bounds build
+      // and match in physical names end to end.
+      val pruned = pruneState.filter(_.stats.nonEmpty) match {
+        case None => base
+        case Some(st) =>
+          val inRead = files.toSet
+          val prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]] =
+            filters => {
+              val bounds = org.apache.spark.sql.graft.LakeStatPruning
+                .boundsFrom(physical, filters)
+              if (bounds.isEmpty) None
+              else Some(pruneByStatsPhysical(st, bounds).iterator.filter(inRead)
+                .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet)
+            }
+          org.apache.spark.sql.graft.LakeVectorRead.withStatPruning(base, prune)
+      }
+      val applied = applyDvs(spark, root, pruned, files, dvs)
       if (hasMapping(schema)) toLogical(applied, schema) else applied
     }
   }
@@ -1048,7 +1069,17 @@ object Lake {
   }
 
   private[graft] def readState(spark: SparkSession, lakeDir: String, st: LakeState): DataFrame =
-    readFiles(spark, lakeDir, st.schemaJson, st.files, st.dvs)
+    readFiles(spark, lakeDir, st.schemaJson, st.files, st.dvs, pruneState = Some(st))
+
+  /** Read the lake exactly as the RESOLVED state `st` describes it — the
+    * state-addressed public face of the manifest read. The injected
+    * vectorized merge-on-read rule
+    * ([[org.apache.spark.sql.graft.VectorizeLakeMorRead]]) routes the
+    * DSv2 read surfaces through this plan: a fully vectorized parquet
+    * scan with manifest-stat file skipping, deletion vectors applied as
+    * the executor-side anti-join — no driver-side position load or cap. */
+  def readResolved(spark: SparkSession, lakeDir: String, st: LakeState): DataFrame =
+    readState(spark, lakeDir, st)
 
   /** The lake as its readers see it: resolved through the latest manifest
     * when one exists (staged-but-unpublished files are invisible; vacuum

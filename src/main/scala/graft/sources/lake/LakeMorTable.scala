@@ -17,11 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Lake
 
-/** MERGE-ON-READ batch scan for a DV-bearing lake version: the
-  * format-string read ([[LakeSource]]) delegates here whenever the
-  * resolved state carries deletion vectors, so `spark.read
-  * .format("graft-lake")` keeps working between a sparse delete and the
-  * compaction that materializes it.
+/** MERGE-ON-READ batch scan for a DV-bearing lake version — since the
+  * vectorized re-plan landed, the FALLBACK read surface: sessions built
+  * with the graft extensions re-plan any read of this table onto
+  * `Lake.read`'s vectorized anti-join
+  * ([[org.apache.spark.sql.graft.VectorizeLakeMorRead]] — columnar
+  * decode, no driver position load or cap), so this scan executes only
+  * for sessions WITHOUT the extensions. The table itself remains the
+  * DSv2 write/DML surface for DV-bearing and column-mapped versions
+  * (append builder, SQL DELETE via [[LakeDeletes]], the MERGE/UPDATE
+  * resolution rule), which is why reads still resolve through it.
   *
   * Plan shape: files WITHOUT attachments bin-pack into ordinary
   * vectorized `FilePartition`s, exactly like the clean-path scan; each
@@ -84,6 +89,7 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
   override def lakeDirPath: String = lakeDir
   override def lakePinned: Boolean = pinned
   override def lakeManifest: Lake.LakeState = st
+  override def lakeRowModeScan: Boolean = true
   override protected def deleteLakeDir: String = lakeDir
   override protected def deletePinned: Boolean = pinned
   private val manifestSchema =

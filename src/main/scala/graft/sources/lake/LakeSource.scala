@@ -149,9 +149,11 @@ class LakeSource extends TableProvider with DataSourceRegister
     // two shapes the delegated vectorized ParquetTable scan cannot
     // serve: a DV-bearing version (position skipping) and a renamed
     // (column-mapped) lake (physical parquet names need aliasing back to
-    // logical). Both read through [[LakeMorTable]]'s row-mode scan —
-    // positional rows under the logical declared schema — until
-    // compaction (for DVs) restores the fully-vectorized delegation.
+    // logical). Both resolve through [[LakeMorTable]] — whose READS the
+    // injected rule ([[org.apache.spark.sql.graft.VectorizeLakeMorRead]])
+    // re-plans onto Lake.read's vectorized anti-join; the table's own
+    // row-mode scan serves extension-less sessions, and its write/DML
+    // builders serve everyone.
     val resolvedSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     if (st.dvs.nonEmpty || graft.operators.Lake.hasMapping(resolvedSchema) ||
         resolvedSchema.exists(f => f.metadata.contains("graft.dropped")))
@@ -196,6 +198,13 @@ trait GraftLakeTable {
   def lakeManifest: Lake.LakeState
   /** The lake layout's partition columns (in path order). */
   def lakePartitionCols: Seq[String] = Lake.partitionColsOf(lakeManifest)
+  /** True when this table's OWN DSv2 scan would run in row mode (a
+    * DV-bearing or column-mapped resolved version) — the signal the
+    * injected [[org.apache.spark.sql.graft.VectorizeLakeMorRead]] rule
+    * matches to swap the read for `Lake.read`'s vectorized anti-join
+    * plan. The row-mode scan remains the fallback for sessions built
+    * without the graft extensions. */
+  def lakeRowModeScan: Boolean = false
 }
 
 /** Wrapper around the resolved-file-list `ParquetTable`: reads delegate

@@ -750,14 +750,15 @@ class LakeSpec extends SparkTestBase {
     assert(ids(spark.read.format("graft-lake").load(out)) ==
       (0L until 40L).toSet -- Set(0L, 7L, 13L),
       "the format-string read must apply the deletion vectors")
-    // a pathological tombstone set refuses, pointing at compaction
+    // the driver-side position cap does NOT bind this path: the
+    // vectorized anti-join read has no driver position load to cap (the
+    // cap still governs the no-extensions fallback scan and the CDC
+    // restore load)
     spark.conf.set(graft.sources.lake.LakeMorTable.MaxPositionsConf, "1")
-    try {
-      val e = intercept[UnsupportedOperationException] {
-        spark.read.format("graft-lake").load(out).count()
-      }
-      assert(e.getMessage.contains("compactLake"))
-    } finally spark.conf.unset(graft.sources.lake.LakeMorTable.MaxPositionsConf)
+    try assert(ids(spark.read.format("graft-lake").load(out)) ==
+      (0L until 40L).toSet -- Set(0L, 7L, 13L),
+      "the vectorized MoR read must not depend on the driver position cap")
+    finally spark.conf.unset(graft.sources.lake.LakeMorTable.MaxPositionsConf)
     // time travel through the format applies the version's OWN vectors
     assert(ids(spark.read.format("graft-lake").option("version", 1L).load(out)) ==
       (0L until 40L).toSet -- Set(0L, 7L, 13L))
@@ -1748,5 +1749,68 @@ class LakeSpec extends SparkTestBase {
       "and the row itself is there")
     // the restate replays identically from the log (no checkpoint shortcut)
     assert(Lake.stateAt(spark, out, 2L).stats == st.stats)
+  }
+
+  test("vectorized merge-on-read: DSv2 reads plan a columnar scan + anti-join, stat-prune files, serve mapped lakes") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val expanded = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: expanded.flatMap(allNodes)
+    }
+    val out = freshDir("lake-mor-vector")
+    Lake.init(spark, fixture().repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id"), out, Seq.empty, statsCols = Seq("doc_id")) // v1
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(5L, 32L).toDF("doc_id"), "doc_id") // v2
+
+    val df = spark.read.format("graft-lake").load(out)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == (0L until 40L).toSet -- Set(5L, 32L))
+    // plan shape: Spark's own VECTORIZED parquet scan with the vectors
+    // applied as a left-anti join — never the row-mode MoR scan
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val dataScans = nodes.collect {
+      case sc: FileSourceScanExec if sc.output.exists(_.name == "text") => sc }
+    assert(dataScans.nonEmpty && dataScans.forall(_.supportsColumnar),
+      s"the data scan must be the vectorized parquet scan, got:\n${df.queryExecution.executedPlan}")
+    assert(!df.queryExecution.executedPlan.toString.contains("graft-lake MoR"),
+      "the row-mode MoR scan must not plan when the graft extensions are installed")
+    assert(df.queryExecution.optimizedPlan.exists {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+      case _ => false
+    }, "the deletion vectors must apply as an executor-side anti-join")
+
+    // manifest-stat file skipping holds at the FileIndex grain: a
+    // selective range opens ONE of the four doc_id-clustered files
+    val filtered = spark.read.format("graft-lake").load(out).filter(col("doc_id") >= 30)
+    val fRows = filtered.collect()
+    assert(fRows.map(_.getAs[Long]("doc_id")).toSet == (30L until 40L).toSet - 32L)
+    val fScan = allNodes(filtered.queryExecution.executedPlan).collectFirst {
+      case sc: FileSourceScanExec if sc.output.exists(_.name == "text") => sc }.get
+    assert(fScan.metrics("numFiles").value == 1,
+      s"manifest stats must prune to the one overlapping file, read ${fScan.metrics("numFiles").value}")
+
+    // a column-mapped (renamed) lake reads vectorized through the format too
+    Lake.renameColumn(spark, out, "text", "body")                             // v3
+    val mapped = spark.read.format("graft-lake").load(out)
+    assert(mapped.schema.fieldNames.contains("body"))
+    assert(mapped.filter(col("doc_id") === 7L).select("body").head.getString(0) == "doc 7")
+    // (the filter above executed a fresh plan; assert columnar on a re-read)
+    val mapped2 = spark.read.format("graft-lake").load(out)
+    mapped2.collect()
+    assert(allNodes(mapped2.queryExecution.executedPlan).collect {
+      case sc: FileSourceScanExec => sc }.forall(_.supportsColumnar),
+      "a mapped lake's format read must stay columnar")
+
+    // time travel still resolves each version's own vectors
+    assert(ids(spark.read.format("graft-lake").option("version", 1L).load(out)) ==
+      (0L until 40L).toSet)
+    assert(ids(spark.read.format("graft-lake").option("version", 2L).load(out)) ==
+      (0L until 40L).toSet -- Set(5L, 32L))
   }
 }

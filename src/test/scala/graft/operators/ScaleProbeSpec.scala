@@ -250,27 +250,34 @@ class ScaleProbeSpec extends SparkTestBase {
         "stats-pruned match-bound claim broken")
   }
 
-  /** The broadcast-shipped MoR scan has no 5M design ceiling: a version
-    * carrying >5M deletion-vector positions (the OLD per-task-payload
-    * cap) still reads through `spark.read.format("graft-lake")`. */
-  test("MoR format read survives >5M deletion-vector positions via the broadcast path") {
+  /** The vectorized merge-on-read has NO position ceiling at all: a
+    * version carrying >20M deletion-vector positions (the driver-side
+    * cap of the no-extensions fallback scan) reads through
+    * `spark.read.format("graft-lake")` because the injected rule plans
+    * the executor-side anti-join — no driver position load exists to
+    * cap. The probe pins the cap conf at 1 to PROVE the read never
+    * consults it. */
+  test("MoR format read survives >20M deletion-vector positions via the vectorized anti-join") {
     assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
     val out = java.nio.file.Files.createTempDirectory("morscale").toString + "/lake"
-    val n = 7000000L
+    val n = 26000000L
+    val dels = 21000000L // over the fallback scan's 20M driver cap
     val rows = spark.range(n).select(col("id").as("doc_id"),
       (col("id") % 4).cast("int").as("shard_id"))
     Lake.init(spark, rows.repartitionByRange(16, col("doc_id"))
       .sortWithinPartitions("doc_id"), out, Seq("shard_id"), statsCols = Seq("doc_id"))
-    // tombstone 5.5M rows — over the old cap, under the new one
     val t0 = System.nanoTime()
     Pipeline.deleteFromLakeSparse(spark, out,
-      spark.range(5500000L).select(col("id").as("doc_id")), "doc_id")
-    info(f"sparse-delete 5.5M rows: ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    val t1 = System.nanoTime()
-    val survivors = spark.read.format("graft-lake").load(out).count()
-    info(f"MoR format count: ${(System.nanoTime() - t1) / 1e9}%.1fs")
-    assert(survivors == n - 5500000L,
-      s"broadcast MoR scan must apply all 5.5M tombstones, got $survivors")
+      spark.range(dels).select(col("id").as("doc_id")), "doc_id")
+    info(f"sparse-delete ${dels / 1000000}%dM rows: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    spark.conf.set(graft.sources.lake.LakeMorTable.MaxPositionsConf, "1")
+    try {
+      val t1 = System.nanoTime()
+      val survivors = spark.read.format("graft-lake").load(out).count()
+      info(f"MoR format count: ${(System.nanoTime() - t1) / 1e9}%.1fs")
+      assert(survivors == n - dels,
+        s"vectorized MoR read must apply all ${dels} tombstones, got $survivors")
+    } finally spark.conf.unset(graft.sources.lake.LakeMorTable.MaxPositionsConf)
   }
 
   /** The DSv2 streaming write at volume: the 10×-replicated corpus

@@ -36,7 +36,10 @@ class LakeStreamPlanSpec extends SparkTestBase {
     val parts = stream(out).planInputPartitions(LakeVersionOffset(0), LakeVersionOffset(1))
     assert(parts.length < nFiles / 4,
       s"$nFiles small files must bin-pack into few FilePartitions, got ${parts.length}")
-    val plannedFiles = parts.map(_.asInstanceOf[FilePartition].files.length).sum
+    val plannedFiles = parts.map {
+      case LakeBatchPartition(fp, _) => fp.files.length
+      case p => p.asInstanceOf[FilePartition].files.length
+    }.sum
     assert(plannedFiles == nFiles, "bin-packing must not drop or duplicate a file")
   }
 
