@@ -891,6 +891,38 @@ object Lake {
       Seq.empty, Seq.empty, 0L, 0L))
   }
 
+  /** ADD COLUMN as a METADATA commit — with rename, drop and widen,
+    * the metadata-only schema-evolution quartet: the manifest schema
+    * gains a NULLABLE field at the end; no data file is opened. Every
+    * EXISTING file simply lacks the column and the parquet readers
+    * decode it as null (exactly the machinery merge-schema appends
+    * already exercise — this is the same evolution without the data
+    * write `appendToLake(mergeSchema = true)` requires); new writes
+    * land values through the append path's align-cast. The Delta
+    * `ALTER TABLE ... ADD COLUMN` parity, wired to
+    * `TableChange.AddColumn` in the catalog. Non-nullable adds refuse
+    * (no existing row could satisfy them); name collisions refuse
+    * against the FULL schema — a dropped-column tombstone's name stays
+    * reserved (old files still hold values under it, and a re-bind
+    * would resurrect them). Time travel below the add resolves the old
+    * schema; a running CDC stream refuses loudly at the add version,
+    * like every mid-stream schema evolution. */
+  def addColumn(spark: SparkSession, lakeDir: String, name: String,
+      dataType: DataType): Unit = {
+    require(name.nonEmpty, "addColumn: column name required")
+    val base = adopt(spark, lakeDir)
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name),
+      s"addColumn: column '$name' already exists" +
+        (if (schema.find(_.name == name).exists(isDropped))
+          " (as a dropped-column tombstone — old files still hold values under it)"
+         else ""))
+    val added = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    publish(spark, StagedCommit(lakeDir, base, "addcol", added.json,
+      Seq.empty, Seq.empty, 0L, 0L))
+  }
+
   /** Widening TYPE promotion as a METADATA commit — completing the
     * metadata-only schema-evolution triple (rename, drop, widen): the
     * manifest's declared type moves up, OLD files keep being decoded
@@ -1303,6 +1335,26 @@ object Lake {
           if (rebases >= maxRebases) throw e
           rebases += 1
           val latest = latestManifest(spark, sc.lakeDir).getOrElse(throw e)
+          // LAYOUT conflict: a row-adding commit's staged files spell
+          // the layout of the base they were staged against — if an
+          // interposed repartition changed the lake's partition layout,
+          // rebasing them would silently MIX directory layouts (the
+          // uniformity partitionColsOf and the CDC partition decode
+          // rely on). Removing/rewriting commits are covered by the
+          // removed-file checks below (the relayout removed their
+          // base files); restores legitimately re-instate an old
+          // layout by removing every new-layout file in the same delta.
+          if ((sc.action == "append" || sc.action == "update" || sc.action == "merge") &&
+              sc.stagedFiles.nonEmpty && latest.files.nonEmpty) {
+            val ours = layoutOfPath(sc.stagedFiles.head)
+            val theirs = partitionColsOf(latest)
+            if (ours != theirs)
+              throw new IllegalStateException(
+                s"concurrent commit: the lake's partition layout changed under this " +
+                  s"${sc.action} — staged [${ours.mkString(", ")}], lake now " +
+                  s"[${theirs.mkString(", ")}] (a repartition interposed); re-stage " +
+                  "against the new layout", e)
+          }
           // OCC conflict check for removing AND sparse (DV) commits:
           // replay the deltas that interposed since our base and refuse
           // on genuine overlap
@@ -1598,11 +1650,16 @@ object Lake {
     * file path (the layout is uniform by construction); empty for an
     * unpartitioned lake. */
   private[graft] def partitionColsOf(st: LakeState): Seq[String] =
-    st.files.headOption.toSeq.flatMap(_.split('/').dropRight(1).toSeq.map { seg =>
+    st.files.headOption.toSeq.flatMap(layoutOfPath)
+
+  /** The partition-column sequence one lakeDir-relative data-file path
+    * SPELLS (its `col=value` directory segments, in order). */
+  private def layoutOfPath(f: String): Seq[String] =
+    f.split('/').dropRight(1).toSeq.map { seg =>
       val eq = seg.indexOf('=')
       require(eq > 0, s"not a partition directory segment: $seg")
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(seg.take(eq))
-    })
+    }
 
   /** Stage one change-feed sidecar: write the given pre-image rows under
     * [[CdcDirName]]`/<uuid>`, partitioned exactly like the data tree so
@@ -1624,13 +1681,20 @@ object Lake {
 
   /** Read change-feed sidecar dirs under the given manifest schema —
     * each with ITS OWN basePath so its partition directories parse back
-    * into partition columns regardless of the `_graft_cdc/<uuid>` prefix. */
+    * into partition columns regardless of the `_graft_cdc/<uuid>` prefix.
+    * `withLineage` additionally reads the `(_gf_file, _gf_pos)` row
+    * coordinates the mutation recorded (NULL for sidecars written
+    * without them) — the key the raced-tombstone dedup anti-joins on. */
   private def readCdcSidecars(spark: SparkSession, root: Path, schemaJson: String,
-      dirs: Seq[String]): DataFrame = {
+      dirs: Seq[String], withLineage: Boolean = false): DataFrame = {
     val schema = visible(DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    val readSchema =
+      if (!withLineage) toPhysical(schema)
+      else StructType(toPhysical(schema).fields ++ Seq(
+        StructField("_gf_file", StringType), StructField("_gf_pos", LongType)))
     val raw = dirs.map { d =>
       val p = new Path(root, d).toString
-      spark.read.option("basePath", p).schema(toPhysical(schema)).parquet(p)
+      spark.read.option("basePath", p).schema(readSchema).parquet(p)
     }.reduce(_.unionByName(_))
     if (hasMapping(schema)) toLogical(raw, schema) else raw
   }
@@ -1721,13 +1785,13 @@ object Lake {
     * FEED SEMANTICS under raced sparse deletes: two concurrent sparse
     * deletes that tombstone the SAME row both land (their vectors union
     * — the OCC race test pins this), and each commit's sidecar carries
-    * that row's pre-image, so the feed emits a delete event for it at
-    * BOTH versions. Set-style mirrors (`exceptAll` replay) converge
-    * regardless; consumers that COUNT deletes or key strictly must
-    * dedupe on the row key — at-least-once delete delivery is the
-    * documented contract, chosen over Delta's refuse-concurrent-deletes
-    * so that independent right-to-be-forgotten passes never abort each
-    * other. */
+    * that row's pre-image. The feed emits the delete EXACTLY ONCE: a
+    * sidecar row whose `(file, pos)` was already tombstoned in state
+    * v-1 is dropped by an executor-side anti-join at plan time (a
+    * restore that resurrected the row clears its vector from the prior
+    * state, so a genuine re-delete after a restore still emits).
+    * Sidecars predating the lineage columns read them as NULL and pass
+    * through — at-least-once for that legacy shape only. */
   def changeFeed(spark: SparkSession, lakeDir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -1789,7 +1853,38 @@ object Lake {
       }
       d.cdcFiles.groupBy(_._2).foreach { case (t, ps) =>
         mustExist(ps.map(_._1), "change-feed sidecar(s)", v)
-        frames += tag(readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1)), t, v)
+        // EXACTLY-ONCE deletes under raced same-row tombstones: two
+        // concurrent sparse deletes both land (vectors union), and the
+        // LATER commit's sidecar re-carries the already-deleted row's
+        // pre-image. The stateless exact rule: a delete event at v for
+        // (file, pos) is SPURIOUS iff that position was already
+        // tombstoned in state v-1 — drop it with an executor-side
+        // anti-join against the prior version's attached sidecars
+        // (restores that resurrected the row cleared its vector from
+        // the prior state, so a genuine re-delete always re-emits).
+        // Sidecars written without lineage columns read them as NULL
+        // and pass through untouched (at-least-once, as before).
+        // v-1 may predate retention (the first retained version's
+        // prior is unknowable) — duplicates relative to pre-retention
+        // deletes are undetectable by construction; emit as-is there
+        val priorDvs =
+          if (t == "delete")
+            scala.util.Try(stateAt(spark, lakeDir, v - 1)).toOption
+              .map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
+          else Map.empty[String, Seq[String]]
+        if (priorDvs.isEmpty)
+          frames += tag(readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1)), t, v)
+        else {
+          val raw = readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1),
+            withLineage = true)
+          val priorSidecars = priorDvs.values.flatten.toSeq.distinct.sorted
+          val prior = spark.read.schema(DvSchema)
+            .parquet(priorSidecars.map(sc => new Path(root, sc).toString): _*)
+            .select(col("file").as("_gf_file"), col("pos").as("_gf_pos"))
+          frames += tag(
+            raw.join(prior, Seq("_gf_file", "_gf_pos"), "left_anti")
+              .drop("_gf_file", "_gf_pos"), t, v)
+        }
       }
       if (restore && d.removed.nonEmpty) {
         mustExist(d.removed, "removed file(s)", v)

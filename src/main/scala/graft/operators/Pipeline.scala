@@ -1760,6 +1760,169 @@ object Pipeline {
     Lake.read(spark, lakeDir)
   }
 
+  /** One clause of the GENERAL sparse merge ([[mergeIntoLakeGeneral]]):
+    * `condition` evaluates over the DISAMBIGUATED joined row (target
+    * columns as `_t_<name>`, source columns as `_s_<name>`); `delete`
+    * marks `WHEN ... THEN DELETE`; `sets` holds the by-name SET /
+    * INSERT VALUES expressions — PARTIAL for updates (unassigned
+    * columns carry the pre-image), and missing insert columns land
+    * NULL (the SQL default). */
+  final case class MergeClause(condition: Option[org.apache.spark.sql.Column],
+      delete: Boolean, sets: Map[String, org.apache.spark.sql.Column])
+
+  /** The FULL-GRAMMAR sparse MERGE: conditional `WHEN` clauses (first
+    * satisfied clause wins, the SQL order), split shapes (different
+    * UPDATE vs INSERT expressions), partial `SET`, and `WHEN NOT
+    * MATCHED BY SOURCE` — everything [[mergeIntoLakeSparse]]'s upsert
+    * fast path cannot express — landing as ONE sparse commit exactly
+    * like the simple shapes: every affected pre-image row tombstones by
+    * deletion vector (feeding the change feed as deletes), post-images
+    * and inserts land as genuinely-new data files, zero survivor files
+    * rewritten.
+    *
+    * Execution is ONE full-outer join between the (stats-pruned)
+    * target lineage read and the key-deduped source: matched rows
+    * route through the matched-clause chain, source-only rows through
+    * the insert chain, target-only rows through the
+    * not-matched-by-source chain — each as a single codegen'd
+    * CASE over the clause conditions, evaluated once over the
+    * checkpointed join. With no NOT-MATCHED-BY-SOURCE clause the
+    * target side prunes to the files overlapping the source key range
+    * (manifest stats); with one, every target row is in play by
+    * definition — the same honest full-scan Delta prices that clause
+    * at. Duplicate source keys dedupe (last-writer-arbitrary) rather
+    * than raising ANSI MERGE's cardinality error — the documented
+    * divergence shared with [[mergeIntoLakeSparse]]. CHECK constraints
+    * gate the added rows exactly like every other row-adding path. */
+  def mergeIntoLakeGeneral(spark: SparkSession, lakeDir: String,
+      source: DataFrame, idCol: String, srcKey: org.apache.spark.sql.Column,
+      matched: Seq[MergeClause], notMatched: Seq[MergeClause],
+      notMatchedBySource: Seq[MergeClause]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+    val base = Lake.adopt(spark, lakeDir)
+    val lakeSchema = Lake.visible(
+      DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
+    require(lakeSchema.fieldNames.contains(idCol),
+      s"mergeIntoLakeGeneral: merge key '$idCol' is not a lake column")
+    val partitionCols = Lake.partitionColsOf(base)
+    val reserved = Seq("_t_", "_s_", "_gf_", "_gm_")
+    require(!lakeSchema.fieldNames.exists(n => reserved.exists(n.startsWith)) &&
+      !source.columns.exists(n => reserved.exists(n.startsWith)),
+      "mergeIntoLakeGeneral: column names may not start with the reserved " +
+        "prefixes _t_/_s_/_gf_/_gm_")
+    // source side: columns under _s_*, the deduped join key under _gm_sk
+    val src = source.select(source.columns.toSeq.map(c => col(c).as("_s_" + c)): _*)
+      .withColumn("_gm_sk", srcKey)
+      .dropDuplicates("_gm_sk")
+      .withColumn("_gm_sp", lit(true))
+    // candidate files: a NOT MATCHED BY SOURCE clause puts every target
+    // row in play; otherwise manifest stats prune to the key range
+    val candidates =
+      if (notMatchedBySource.nonEmpty) base.files
+      else {
+        val b = src.agg(min(col("_gm_sk")), max(col("_gm_sk"))).collect()(0)
+        if (b.isNullAt(0)) Seq.empty[String]
+        else Lake.pruneByStats(base, idCol, lakeSchema(idCol).dataType,
+          b.get(0), b.get(1))
+      }
+    val tgt =
+      if (candidates.isEmpty) {
+        val sch = StructType(lakeSchema.fields ++ Seq(
+          StructField("_gf_file", StringType), StructField("_gf_pos", LongType)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
+        candidates, base.dvs)
+    val tgtP = tgt.select(
+      lakeSchema.fieldNames.toSeq.map(c => col(c).as("_t_" + c))
+        ++ Seq(col("_gf_file"), col("_gf_pos")): _*)
+      .withColumn("_gm_tp", lit(true))
+    // first-satisfied-clause index (-1 = no clause fires): the SQL
+    // clause-order semantics as one codegen'd CASE chain
+    def actionOf(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
+      clauses.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case ((cl, i), els) =>
+          when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val joined = tgtP.join(src, col("_t_" + idCol) === col("_gm_sk"), "full_outer")
+      .withColumn("_gm_am",
+        when(col("_gm_tp").isNotNull && col("_gm_sp").isNotNull, actionOf(matched))
+          .otherwise(lit(-1)))
+      .withColumn("_gm_ai",
+        when(col("_gm_tp").isNull && col("_gm_sp").isNotNull, actionOf(notMatched))
+          .otherwise(lit(-1)))
+      .withColumn("_gm_an",
+        when(col("_gm_tp").isNotNull && col("_gm_sp").isNull,
+          actionOf(notMatchedBySource)).otherwise(lit(-1)))
+      .localCheckpoint(true) // one materialization feeds counts + sidecar + adds
+    val mDel = matched.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
+    val nDel = notMatchedBySource.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
+    def inSet(c: org.apache.spark.sql.Column, ids: Set[Int]) =
+      if (ids.isEmpty) lit(false) else c.isInCollection(ids.toSeq)
+    val tombCond = col("_gm_am") >= 0 || col("_gm_an") >= 0
+    val addCond = (col("_gm_am") >= 0 && !inSet(col("_gm_am"), mDel)) ||
+      (col("_gm_an") >= 0 && !inSet(col("_gm_an"), nDel)) || col("_gm_ai") >= 0
+    val counts = joined.agg(
+      sum(when(tombCond, 1L).otherwise(0L)),
+      sum(when(addCond, 1L).otherwise(0L))).collect()(0)
+    val tombExpected = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+    val addExpected = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+    if (tombExpected == 0L && addExpected == 0L) return Lake.read(spark, lakeDir)
+
+    // tombstones: every matched / not-matched-by-source row whose clause
+    // fires (updates tombstone their pre-image too). The pre-image +
+    // lineage feed the CDC sidecar; the vector derives from its read-back
+    val (dvAdds, dvRows, cdcFiles) =
+      if (tombExpected == 0L)
+        (Map.empty[String, Seq[String]], 0L, Seq.empty[(String, String)])
+      else {
+        val tomb = joined.filter(tombCond).select(
+          lakeSchema.fieldNames.toSeq.map(c => col("_t_" + c).as(c))
+            ++ Seq(col("_gf_file"), col("_gf_pos")): _*)
+        val cdcPath = Lake.stageCdc(spark, lakeDir, tomb, partitionCols)
+        val root = {
+          val pp = new org.apache.hadoop.fs.Path(lakeDir)
+          pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+        }
+        val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+        val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
+        val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
+          back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+        (files.map(f => f -> Seq(sidecar)).toMap, n, Seq((cdcPath, "delete")))
+      }
+    // post-images and inserts: per clause, each lake column evaluates its
+    // SET/VALUES expression cast to the recorded type, carries the
+    // pre-image (updates) or lands NULL (inserts) when unassigned
+    def updFrame(tag: org.apache.spark.sql.Column, i: Int, cl: MergeClause) =
+      joined.filter(tag === i).select(lakeSchema.map { f =>
+        cl.sets.get(f.name).fold(col("_t_" + f.name))(_.cast(f.dataType)).as(f.name)
+      }: _*)
+    val mAdds = matched.zipWithIndex.collect { case (cl, i) if !cl.delete =>
+      updFrame(col("_gm_am"), i, cl) }
+    val nAdds = notMatchedBySource.zipWithIndex.collect { case (cl, i) if !cl.delete =>
+      updFrame(col("_gm_an"), i, cl) }
+    val iAdds = notMatched.zipWithIndex.map { case (cl, i) =>
+      joined.filter(col("_gm_ai") === i).select(lakeSchema.map { f =>
+        cl.sets.get(f.name)
+          .fold(lit(null).cast(f.dataType): org.apache.spark.sql.Column)(_.cast(f.dataType))
+          .as(f.name)
+      }: _*) }
+    val (upStaged, upRows, upStats) =
+      if (addExpected == 0L)
+        (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]])
+      else {
+        val adds = (mAdds ++ nAdds ++ iAdds).reduce(_.unionByName(_))
+        Lake.enforceChecks(base, adds)
+        val staged = Lake.stageWrite(spark, lakeDir, adds, partitionCols)
+        val (r, st) = Lake.auditStaged(spark, lakeDir, base.schemaJson, staged, Seq(idCol))
+        (staged, r, st)
+      }
+    Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson,
+      Seq.empty, upStaged, dvRows + upRows, tombExpected + addExpected, upStats,
+      dvAdds = dvAdds, cdcFiles = cdcFiles))
+    Lake.read(spark, lakeDir)
+  }
+
   /** Upsert the corpus in place (bump n_chars for the `% 7` docs, insert
     * re-keyed copies of the `% 5` docs) and emit the post-merge manifest —
     * recomputed relationally by the oracle as original-minus-matched plus
@@ -2167,6 +2330,78 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px124
+  /** The FULL SQL MERGE grammar, oracled: one statement carrying a
+    * conditional matched DELETE, a split-shape partial UPDATE
+    * (referencing BOTH sides), a conditional INSERT with explicit
+    * VALUES, and WHEN NOT MATCHED BY SOURCE — routed through
+    * [[mergeIntoLakeGeneral]] as ONE sparse deletion-vector commit.
+    * The oracle recomputes the merged corpus relationally in DuckDB
+    * (its own MERGE predates 1.4): matched `% 21` docs delete, other
+    * `% 7` docs bump by their score, unmatched `% 97` docs bump by 7,
+    * re-keyed `% 13` docs with non-negative score insert. */
+  private def px124(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px124_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    val matchedSrc = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 21 === 0, lit(-1000L))
+          .otherwise(col("doc_id") % 100).as("score"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val newSrc = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        (col("doc_id") % 50 - 10).as("score"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    matchedSrc.unionByName(newSrc).createOrReplaceTempView("px124_src")
+    spark.sql("DROP TABLE IF EXISTS px124_corpus")
+    spark.sql(s"CREATE TABLE px124_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try spark.sql(
+      """MERGE INTO px124_corpus t USING px124_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.score < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.score
+        |WHEN NOT MATCHED AND s.score >= 0 THEN
+        |  INSERT (doc_id, text, lang, source, n_chars, split, shard_id)
+        |  VALUES (s.doc_id, s.text, s.lang, s.source, s.n_chars, 'test',
+        |          CAST(s.doc_id % 4 AS INT))
+        |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 97 = 0 THEN
+        |  UPDATE SET n_chars = t.n_chars + 7""".stripMargin)
+    finally spark.sql("DROP TABLE IF EXISTS px124_corpus")
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px124Oracle =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE
+      |      WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |      WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    CAST(doc_id % 4 AS INTEGER) AS shard_id
+      |  FROM documents),
+      |merged AS (
+      |  SELECT split, shard_id,
+      |    CASE
+      |      WHEN doc_id % 7 = 0 THEN n_chars + (doc_id % 100)
+      |      WHEN doc_id % 97 = 0 THEN n_chars + 7
+      |      ELSE n_chars END AS n_chars
+      |  FROM base WHERE NOT (doc_id % 7 = 0 AND doc_id % 21 = 0)
+      |  UNION ALL
+      |  SELECT 'test' AS split,
+      |    CAST((doc_id + 30000000) % 4 AS INTEGER) AS shard_id, n_chars
+      |  FROM documents WHERE doc_id % 13 = 0 AND (doc_id % 50 - 10) >= 0)
+      |SELECT split, shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM merged GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2415,5 +2650,6 @@ object Pipeline {
     GraftQuery("px120_lake_stream_sink", px120, Some(px100Oracle)),
     GraftQuery("px121_lake_meta_tables", px121, Some(px121Oracle)),
     GraftQuery("px122_lake_repartition", px122, Some(px100Oracle)),
-    GraftQuery("px123_lake_check_constraint", px123, Some(px100Oracle)))
+    GraftQuery("px123_lake_check_constraint", px123, Some(px100Oracle)),
+    GraftQuery("px124_lake_merge_grammar", px124, Some(px124Oracle)))
 }

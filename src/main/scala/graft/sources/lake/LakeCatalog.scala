@@ -43,8 +43,8 @@ import graft.operators.Lake
   * partition columns in, so partitioned lakes are created by their
   * first data write (`Lake.init` / `ingestToLake`) and then named here.
   * `DROP TABLE` deletes the lake directory (the path is the identity —
-  * there is no registration to remove). `ALTER TABLE` refuses: schema
-  * evolution goes through merge-schema appends. */
+  * there is no registration to remove). `ALTER TABLE` routes the
+  * metadata-commit evolutions (rename / drop / widen / add column). */
 class LakeCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Option[String] = None
@@ -154,10 +154,11 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   /** `ALTER TABLE graft_lake.t RENAME COLUMN a TO b` / `DROP COLUMN a`
-    * — the METADATA-COMMIT evolutions ([[Lake.renameColumn]] /
-    * [[Lake.dropColumn]]: zero data bytes move). Everything else
-    * (retypes, adds) refuses — adds evolve through merge-schema
-    * appends, retypes need a rewrite. */
+    * / `ALTER COLUMN a TYPE <wider>` / `ADD COLUMN c <type>` — the
+    * METADATA-COMMIT evolutions ([[Lake.renameColumn]] /
+    * [[Lake.dropColumn]] / [[Lake.widenColumn]] / [[Lake.addColumn]]:
+    * zero data bytes move). Non-widening retypes, NOT NULL adds and
+    * positioned adds refuse naming the alternative. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isLake(dir)) throw new NoSuchTableException(ident)
@@ -180,12 +181,26 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
         // ([[Lake.widenColumn]]); anything else refuses there, naming
         // the rewrite
         Lake.widenColumn(spark, dir, t.fieldNames()(0), t.newDataType())
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "graft-lake catalog: nested-field add is not supported")
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            "graft-lake catalog: ADD COLUMN ... NOT NULL is not supported — no " +
+              "existing row could satisfy it; add the column nullable, backfill, " +
+              "then gate new writes with a CHECK constraint")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "graft-lake catalog: ADD COLUMN with a position (FIRST/AFTER) is not " +
+              "supported — new columns append at the end of the schema")
+        // a metadata commit ([[Lake.addColumn]]): old files read null,
+        // new writes land values — zero data bytes move
+        Lake.addColumn(spark, dir, a.fieldNames()(0), a.dataType())
       case other =>
         throw new UnsupportedOperationException(
           s"graft-lake catalog: ALTER TABLE change $other is not supported — " +
-            "add columns through merge-schema appends " +
-            "(appendToLake(mergeSchema = true)); non-widening type changes need " +
-            "a rewrite")
+            "non-widening type changes need a rewrite")
     }
     loadTable(ident)
   }

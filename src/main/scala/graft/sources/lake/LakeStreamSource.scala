@@ -417,6 +417,47 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       insertFiles.foreach(f =>
         out += PlannedFile(f, 0, "insert", v, reAttachSkips.getOrElse(f, Seq.empty)))
       if (cdcMode) {
+        // EXACTLY-ONCE deletes under raced same-row tombstones — the
+        // batch feed's stateless rule, applied per version: a delete
+        // sidecar row whose (file, pos) was already tombstoned in state
+        // v-1 is spurious (two raced sparse deletes both land, vectors
+        // union, the later sidecar re-carries the row). The spurious
+        // rows' ROW INDEXES inside each sidecar file resolve with one
+        // small join job and load driver-side — bounded by the
+        // duplicate count (only race windows create any) — riding as
+        // position skips through [[LakeSkipPartition]]. Restores that
+        // resurrected a row cleared its vector from state v-1, so a
+        // genuine re-delete still streams. Legacy sidecars without
+        // lineage columns read them as NULL and match nothing.
+        val deleteDirs = d.cdcFiles.collect { case (dir, "delete") => dir }
+        val spuriousSkips: Map[String, Seq[Long]] =
+          if (deleteDirs.isEmpty) Map.empty
+          else {
+            // v-1 may predate retention — fall back to emit-as-is
+            val priorDvs = scala.util.Try(Lake.stateAt(spark, lakeDir, v - 1))
+              .toOption.map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
+            if (priorDvs.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.functions.col
+              import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+              val prior = spark.read.schema(Lake.DvSchema)
+                .parquet(priorDvs.values.flatten.toSeq.distinct.sorted
+                  .map(sc => new Path(qroot, sc).toString): _*)
+                .select(col("file").as("_gf_file"), col("pos").as("_gf_pos"))
+              val lineageOnly = StructType(Seq(
+                StructField("_gf_file", StringType), StructField("_gf_pos", LongType)))
+              spark.read.schema(lineageOnly)
+                .parquet(deleteDirs.map(dd => new Path(qroot, dd).toString): _*)
+                .select(col("_gf_file"), col("_gf_pos"),
+                  col("_metadata.file_path").as("_sc_path"),
+                  col("_metadata.row_index").as("_sc_idx"))
+                .join(prior, Seq("_gf_file", "_gf_pos"), "left_semi")
+                .select("_sc_path", "_sc_idx").collect()
+                .groupBy(r => Lake.relativize(qroot,
+                  fs.makeQualified(new Path(r.getString(0)))))
+                .view.mapValues(_.map(_.getLong(1)).distinct.sorted.toSeq).toMap
+            }
+          }
         // the mutations' commit-time sidecars ARE the delete rows; a
         // restore's removed files stream as deletes wholesale
         d.cdcFiles.foreach { case (dir, tpe) =>
@@ -429,8 +470,11 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
           val strip = dir.count(_ == '/') + 1
           while (it.hasNext) {
             val f = it.next().getPath
-            if (f.getName.endsWith(".parquet"))
-              out += PlannedFile(Lake.relativize(qroot, fs.makeQualified(f)), strip, tpe, v)
+            if (f.getName.endsWith(".parquet")) {
+              val rel = Lake.relativize(qroot, fs.makeQualified(f))
+              out += PlannedFile(rel, strip, tpe, v,
+                spuriousSkips.getOrElse(rel, Seq.empty))
+            }
           }
         }
         if (restore && d.removed.nonEmpty) {

@@ -179,6 +179,20 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
     val spark = SparkSession.active
     val staged = stagedOf(messages)
     val base = Lake.adopt(spark, qualifiedLakeDir)
+    // the partition layout was captured ONCE at stream start and the
+    // epoch's files are already staged under it — if a repartition
+    // changed the lake's layout mid-stream, committing would mix
+    // directory layouts; fail the query loudly instead (publish's OCC
+    // rebase backstops the same check)
+    val liveCols = Lake.partitionColsOf(base)
+    if (base.files.nonEmpty && liveCols != partCols) {
+      deleteStaged(staged)
+      throw new IllegalStateException(
+        s"graft-lake sink: the lake's partition layout changed mid-stream — " +
+          s"stream writes [${partCols.mkString(", ")}], lake now " +
+          s"[${liveCols.mkString(", ")}] (repartitionLake ran); restart the " +
+          "stream to adopt the new layout")
+    }
     // the watermark check is also re-run inside publish's OCC rebase;
     // this early exit keeps a replayed epoch from paying the audit read
     if (base.txns.get(appId).exists(_ >= epochId)) {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.{Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -104,18 +104,18 @@ class ResolveLakeMerge(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def refuse(why: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft-lake MERGE INTO: $why. Supported: ON t.<id> = s.<expr> with " +
-        "[WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *] " +
-        "(upsert; UPDATE and INSERT must assign the same source expressions) " +
-        "or [WHEN MATCHED THEN DELETE] alone")
+      s"graft-lake MERGE INTO: $why. Supported: ON t.<id> = s.<expr> with any " +
+        "combination of [WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE], " +
+        "[WHEN NOT MATCHED [AND cond] THEN INSERT …] and [WHEN NOT MATCHED BY " +
+        "SOURCE [AND cond] THEN UPDATE SET …|DELETE] — no subqueries in " +
+        "conditions or assignments, no nested-field assignments, no WITH SCHEMA " +
+        "EVOLUTION")
 
   private def convert(m: MergeIntoTable, table: GraftLakeTable): LogicalPlan = {
     if (table.lakePinned)
       refuse(s"cannot merge into a version/timestamp-pinned read of ${table.lakeDirPath}")
     if (m.withSchemaEvolution)
       refuse("WITH SCHEMA EVOLUTION is not supported (evolve through mergeSchema appends)")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
 
@@ -134,48 +134,114 @@ class ResolveLakeMerge(session: SparkSession) extends Rule[LogicalPlan] {
       .asInstanceOf[StructType]
     val partitionCols = table.lakePartitionCols
 
-    def assignMap(what: String, assigns: Seq[Assignment]): Map[String, Expression] = {
-      val pairs = assigns.map {
-        case Assignment(k: AttributeReference, v) if targetOut.contains(k) =>
-          if (!v.references.subsetOf(sourceOut))
-            refuse(s"$what assigns ${k.name} from an expression referencing the " +
-              "target — matched rows are fully replaced, so only source " +
-              "references are expressible")
-          k.name -> v
-        case Assignment(k, _) => refuse(s"$what assigns non-column ${k.sql}")
+    /** The full-column source-only assignment map of the FAST upsert
+      * shape, or None when the shape needs the general path. */
+    def fullSourceMap(assigns: Seq[Assignment]): Option[Map[String, Expression]] = {
+      val pairs = assigns.flatMap {
+        case Assignment(k: AttributeReference, v)
+            if targetOut.contains(k) && v.references.subsetOf(sourceOut) &&
+              !SubqueryExpression.hasSubquery(v) =>
+          Some(k.name -> v)
+        case _ => None
       }
-      val names = pairs.map(_._1)
-      val missing = lakeSchema.fieldNames.filterNot(names.contains)
-      if (missing.nonEmpty)
-        refuse(s"$what does not assign column(s) ${missing.mkString(", ")} — " +
-          "every lake column must be set (use SET * / INSERT *)")
-      pairs.toMap
+      val map = pairs.toMap
+      if (pairs.size == assigns.size && lakeSchema.fieldNames.forall(map.contains))
+        Some(map)
+      else None
     }
 
-    (m.matchedActions, m.notMatchedActions) match {
-      // upsert: UPDATE SET * + INSERT *
-      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins))) =>
-        val upMap = assignMap("UPDATE", up)
-        val insMap = assignMap("INSERT", ins)
-        lakeSchema.fieldNames.foreach { c =>
-          if (!upMap(c).semanticEquals(insMap(c)))
-            refuse(s"UPDATE and INSERT assign different expressions to $c — " +
-              "split-shape merges are not expressible as one upsert")
-        }
+    def fastUpsertMap(up: Seq[Assignment],
+        ins: Seq[Assignment]): Option[Map[String, Expression]] =
+      for {
+        uM <- fullSourceMap(up)
+        iM <- fullSourceMap(ins)
+        if lakeSchema.fieldNames.forall(c => uM(c).semanticEquals(iM(c)))
+      } yield uM
+
+    (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+      // FAST upsert: unconditional UPDATE SET * + INSERT * with the same
+      // per-column source expressions — [[Pipeline.mergeIntoLakeSparse]]
+      case (Seq(UpdateAction(None, up, _)), Seq(InsertAction(None, ins)), Seq())
+          if fastUpsertMap(up, ins).isDefined =>
+        val upMap = fastUpsertMap(up, ins).get
         val projected: Seq[NamedExpression] = lakeSchema.fields.toSeq.map { f =>
           Alias(Cast(upMap(f.name), f.dataType), f.name)()
         }
         LakeMergeIntoCommand(table.lakeDirPath, idAttr.name, partitionCols,
           Project(projected, m.sourceTable))
-      // pure delete: WHEN MATCHED THEN DELETE
-      case (Seq(DeleteAction(None)), Seq()) =>
+      // FAST pure delete: WHEN MATCHED THEN DELETE alone
+      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
         LakeDeleteMatchedCommand(table.lakeDirPath, idAttr.name,
           Project(Seq(Alias(srcIdExpr, idAttr.name)()), m.sourceTable))
-      case (matched, notMatched) =>
-        refuse(s"action shape [matched: ${matched.map(_.getClass.getSimpleName).mkString(",")}; " +
-          s"not matched: ${notMatched.map(_.getClass.getSimpleName).mkString(",")}] " +
-          "is not supported (conditional WHEN clauses included)")
+      // GENERAL grammar: conditional clauses, split shapes, partial SET,
+      // WHEN NOT MATCHED BY SOURCE — [[Pipeline.mergeIntoLakeGeneral]]
+      case (matched, notMatched, nmbs) =>
+        convertGeneral(m, table, idAttr.name, srcIdExpr, partitionCols,
+          lakeSchema, targetOut, sourceOut, matched, notMatched, nmbs)
     }
+  }
+
+  /** Lower the general grammar onto [[LakeMergeGeneralCommand]]: every
+    * condition/assignment is rewritten into BY-NAME expressions over the
+    * runtime's DISAMBIGUATED join frame — target references become
+    * `_t_<name>`, source references `_s_<name>` — so colliding
+    * target/source column names (the normal MERGE case) re-bind
+    * unambiguously. Scope rules enforced here, refused loudly: insert
+    * clauses see only the source, not-matched-by-source clauses only the
+    * target; no subqueries anywhere. */
+  private def convertGeneral(m: MergeIntoTable, table: GraftLakeTable,
+      idCol: String, srcIdExpr: Expression, partitionCols: Seq[String],
+      lakeSchema: StructType,
+      targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      matched: Seq[MergeAction], notMatched: Seq[MergeAction],
+      nmbs: Seq[MergeAction]): LogicalPlan = {
+
+    def dis(e: Expression, allowT: Boolean, allowS: Boolean, what: String): Expression = {
+      if (SubqueryExpression.hasSubquery(e))
+        refuse(s"$what contains a subquery")
+      e.transform {
+        case a: AttributeReference if targetOut.contains(a) =>
+          if (!allowT) refuse(s"$what references target column ${a.name}, but only " +
+            "source columns are in scope there")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("_t_" + a.name)
+        case a: AttributeReference if sourceOut.contains(a) =>
+          if (!allowS) refuse(s"$what references source column ${a.name}, but only " +
+            "target columns are in scope there")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted("_s_" + a.name)
+      }
+    }
+    def setsOf(assigns: Seq[Assignment], allowT: Boolean, allowS: Boolean,
+        what: String): Seq[(String, ExprHolder)] = {
+      val pairs = assigns.map {
+        case Assignment(k: AttributeReference, v) if targetOut.contains(k) =>
+          k.name -> ExprHolder(dis(v, allowT, allowS, what))
+        case Assignment(k, _) =>
+          refuse(s"$what assigns non-column ${k.sql} (nested fields unsupported)")
+      }
+      val dup = pairs.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+      if (dup.nonEmpty) refuse(s"$what assigns ${dup.mkString(", ")} more than once")
+      pairs
+    }
+    def clausesOf(actions: Seq[MergeAction], allowT: Boolean, allowS: Boolean,
+        what: String): Seq[GeneralClause] = actions.map {
+      case UpdateAction(c, assigns, _) =>
+        GeneralClause(c.map(e => ExprHolder(dis(e, allowT, allowS, s"$what condition"))),
+          delete = false, setsOf(assigns, allowT, allowS, s"$what UPDATE"))
+      case DeleteAction(c) =>
+        GeneralClause(c.map(e => ExprHolder(dis(e, allowT, allowS, s"$what condition"))),
+          delete = true, Seq.empty)
+      case InsertAction(c, assigns) =>
+        GeneralClause(c.map(e => ExprHolder(dis(e, allowT, allowS, s"$what condition"))),
+          delete = false, setsOf(assigns, allowT, allowS, s"$what INSERT"))
+      case other => refuse(s"$what action ${other.getClass.getSimpleName} is not supported")
+    }
+    LakeMergeGeneralCommand(table.lakeDirPath, idCol, partitionCols,
+      ExprHolder(dis(srcIdExpr, allowT = false, allowS = true, "ON condition")),
+      clausesOf(matched, allowT = true, allowS = true, "WHEN MATCHED"),
+      clausesOf(notMatched, allowT = false, allowS = true, "WHEN NOT MATCHED"),
+      clausesOf(nmbs, allowT = true, allowS = false, "WHEN NOT MATCHED BY SOURCE"),
+      m.sourceTable)
   }
 }
 
@@ -209,6 +275,34 @@ case class LakeUpdateCommand(lakeDir: String, condition: ExprHolder,
     Pipeline.updateLakeSparseWhere(session, lakeDir,
       ColumnBridge.column(condition.e),
       sets.map { case (n, h) => n -> ColumnBridge.column(h.e) }.toMap)
+    Seq.empty
+  }
+}
+
+/** One lowered MERGE clause: by-name disambiguated condition +
+  * assignments riding in [[ExprHolder]]s (intentionally unresolved —
+  * they re-bind over the runtime join frame). */
+case class GeneralClause(condition: Option[ExprHolder], delete: Boolean,
+    sets: Seq[(String, ExprHolder)])
+
+/** The routed full-grammar MERGE: [[Pipeline.mergeIntoLakeGeneral]]
+  * over the source plan, clauses re-bound by name at run time. */
+case class LakeMergeGeneralCommand(lakeDir: String, idCol: String,
+    partitionCols: Seq[String], srcKey: ExprHolder,
+    matched: Seq[GeneralClause], notMatched: Seq[GeneralClause],
+    notMatchedBySource: Seq[GeneralClause],
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val src = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
+    def cls(cs: Seq[GeneralClause]): Seq[Pipeline.MergeClause] =
+      cs.map(c => Pipeline.MergeClause(
+        c.condition.map(h => ColumnBridge.column(h.e)), c.delete,
+        c.sets.map { case (n, h) => n -> ColumnBridge.column(h.e) }.toMap))
+    Pipeline.mergeIntoLakeGeneral(classic, lakeDir, src, idCol,
+      ColumnBridge.column(srcKey.e), cls(matched), cls(notMatched),
+      cls(notMatchedBySource))
     Seq.empty
   }
 }

@@ -1046,14 +1046,13 @@ class LakeSpec extends SparkTestBase {
         "the matched docs (5 and 200) must be tombstoned")
       val h2 = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 2L).get
       assert(h2.getString(2) == "delete" && h2.getInt(3) == 0 && h2.getInt(5) == 0)
-      // unsupported shapes refuse loudly, naming the contract
+      // an unsupported ON shape still refuses loudly, naming the contract
       val e = intercept[UnsupportedOperationException] {
-        spark.sql("""MERGE INTO sqlmerge t USING sqlmerge_src s ON t.doc_id = s.doc_id
-          WHEN MATCHED AND s.doc_id > 100 THEN UPDATE SET *
-          WHEN NOT MATCHED THEN INSERT *""")
+        spark.sql("""MERGE INTO sqlmerge t USING sqlmerge_src s ON t.doc_id < s.doc_id
+          WHEN MATCHED THEN DELETE""")
       }
       assert(e.getMessage.contains("graft-lake MERGE INTO"),
-        s"conditional WHEN must refuse with the contract, got: ${e.getMessage}")
+        s"a non-equi ON must refuse with the contract, got: ${e.getMessage}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS sqlmerge")
       spark.catalog.dropTempView("sqlmerge_src")
@@ -1812,5 +1811,131 @@ class LakeSpec extends SparkTestBase {
       (0L until 40L).toSet)
     assert(ids(spark.read.format("graft-lake").option("version", 2L).load(out)) ==
       (0L until 40L).toSet -- Set(5L, 32L))
+  }
+
+  test("full SQL MERGE grammar: conditional clauses, split shape, partial SET and NOT MATCHED BY SOURCE in ONE sparse commit") {
+    val out = freshDir("lake-merge-general")
+    writePlain(fixture(), out); Lake.adopt(spark, out)                        // v0: ids 0..39
+    val src = Seq(
+      (5L, "patched 5", 10L),    // matched, score>0 -> conditional UPDATE
+      (7L, "dead 7", -1L),       // matched, score<0 -> conditional DELETE
+      (100L, "new 100", 1L),     // not matched, score>0 -> INSERT
+      (200L, "new 200", -5L))    // not matched, score<0 -> NO clause, dropped
+      .toDF("doc_id", "text", "score")
+    src.createOrReplaceTempView("gm_src")
+    spark.sql("DROP TABLE IF EXISTS gm")
+    spark.sql(s"CREATE TABLE gm USING `graft-lake` OPTIONS (path '$out')")
+    try {
+      spark.sql("""MERGE INTO gm t USING gm_src s ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.score < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET text = concat(s.text, ' over ', t.text)
+        WHEN NOT MATCHED AND s.score > 0 THEN
+          INSERT (doc_id, text, split, shard_id)
+          VALUES (s.doc_id, s.text, 'test', CAST(s.doc_id % 2 AS INT))
+        WHEN NOT MATCHED BY SOURCE AND t.doc_id >= 38 THEN UPDATE SET text = 'stale'""")
+      val c = Lake.read(spark, out).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!c.contains(7L), "the conditional DELETE must fire first for score<0")
+      assert(c(5L) == "patched 5 over doc 5",
+        s"partial SET referencing BOTH sides must bind, got ${c.get(5L)}")
+      assert(c(100L) == "new 100", "the conditional INSERT must land score>0 rows")
+      assert(!c.contains(200L), "a source row no clause accepts must be dropped")
+      assert(c(38L) == "stale" && c(39L) == "stale",
+        "NOT MATCHED BY SOURCE must update unmatched target rows")
+      assert(c(36L) == "doc 36", "rows no clause touches stay exact")
+      assert(c.size == 40, "40 - 1 delete + 1 insert")
+      // ONE sparse merge commit: zero file removes, vectors attached
+      val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+      assert(h.getString(2) == "merge" && h.getInt(5) == 0 &&
+        h.getAs[Int]("n_dv_attached") > 0,
+        s"the general merge must land as one sparse commit, got $h")
+      // the feed sees exactly the touched pre-images as deletes
+      assert(Lake.changeFeed(spark, out, 0L, 1L)
+        .filter(col("_change_type") === "delete")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L, 7L, 38L, 39L))
+      // an unassigned nullable column lands NULL on insert (SQL default)
+      spark.sql("""MERGE INTO gm t USING gm_src s ON t.doc_id = s.doc_id + 900
+        WHEN NOT MATCHED AND s.doc_id = 100 THEN
+          INSERT (doc_id, split, shard_id) VALUES (s.doc_id + 900, 'test', 0)""")
+      assert(Lake.read(spark, out).filter(col("doc_id") === 1000L)
+        .select("text").head.isNullAt(0), "unassigned INSERT columns land NULL")
+      // scope rules refuse loudly: NMBS reaching into the source —
+      // Spark's own analyzer rejects it before the rule even fires (the
+      // rule's own guard backstops programmatic plan construction)
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO gm t USING gm_src s ON t.doc_id = s.doc_id
+          WHEN NOT MATCHED BY SOURCE AND s.score > 0 THEN DELETE""")
+      }
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+        e.getMessage.contains("source column"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gm")
+      spark.catalog.dropTempView("gm_src")
+    }
+  }
+
+  test("raced same-row tombstones: the feed emits the delete EXACTLY once; a post-restore re-delete still emits") {
+    val out = freshDir("lake-dv-race-dedup")
+    writePlain(fixture(), out)
+    // the PRODUCTION sidecar shape: lineage columns ride in the CDC
+    // sidecar (deleteFromLakeSparse does exactly this)
+    def stageSparse(idSet: Set[Long]) = {
+      val base = Lake.adopt(spark, out)
+      val lineage = Lake.readFilesWithLineage(spark, out, base.schemaJson,
+        base.files, base.dvs)
+      val matched = lineage.filter(col("doc_id").isInCollection(idSet.toSeq))
+      val cdcPath = Lake.stageCdc(spark, out, matched, Seq("split", "shard_id"))
+      val (sidecar, n, files) = Lake.stageDv(spark, out,
+        matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+      (base, n, files.map(f => f -> Seq(sidecar)).toMap, Seq((cdcPath, "delete")))
+    }
+    // both writers claim doc 3 from the SAME base; B also claims 6
+    val (baseA, nA, dvA, cdcA) = stageSparse(Set(3L))
+    val (baseB, nB, dvB, cdcB) = stageSparse(Set(3L, 6L))
+    Lake.publish(spark, Lake.StagedCommit(out, baseA, "delete", baseA.schemaJson,
+      Seq.empty, Seq.empty, nA, nA, dvAdds = dvA, cdcFiles = cdcA))           // v1
+    Lake.publish(spark, Lake.StagedCommit(out, baseB, "delete", baseB.schemaJson,
+      Seq.empty, Seq.empty, nB, nB, dvAdds = dvB, cdcFiles = cdcB))           // v2
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(3L, 6L))
+    // exactly ONE delete event per row: 3 at its FIRST version, 6 at v2
+    val ev = Lake.changeFeed(spark, out, 0L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("doc_id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(ev == Seq((3L, 1L), (6L, 2L)),
+      s"raced tombstones must emit exactly one delete each, got $ev")
+    // resurrection resets the rule: restore below both deletes, then a
+    // genuine re-delete — it must emit (state v-1 carries no vector)
+    Lake.restore(spark, out, 0L)                                              // v3
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(3L).toDF("doc_id"), "doc_id") // v4
+    val ev2 = Lake.changeFeed(spark, out, 3L, 4L)
+      .filter(col("_change_type") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ev2 == Seq(3L), "a genuine re-delete after a restore must emit")
+  }
+
+  test("OCC: an append staged under the old layout refuses when a repartition interposes") {
+    val out = freshDir("lake-layout-race")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                    // v0
+    // stage an append under the CURRENT (split, shard_id) layout — no publish yet
+    val extra = Seq((100L, "doc 100", "train", 0)).toDF("doc_id", "text", "split", "shard_id")
+    val base = Lake.adopt(spark, out)
+    val staged = Lake.stageWrite(spark, out, extra, Seq("split", "shard_id"))
+    val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq.empty)
+    // interpose: a relayout to (split) — every live file moves
+    Pipeline.repartitionLake(spark, out, Seq("split"))                        // v1
+    // the old-layout append must refuse at rebase, naming the conflict
+    val e = intercept[IllegalStateException] {
+      Lake.publish(spark, Lake.StagedCommit(out, base, "append", base.schemaJson,
+        Seq.empty, staged, rows, rows, stats))
+    }
+    assert(e.getMessage.contains("partition layout changed"),
+      s"the rebase must name the layout conflict, got: ${e.getMessage}")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet,
+      "the refused append must land nothing")
+    assert(Lake.currentState(spark, out).files.forall(f =>
+      f.contains("split=") && !f.contains("shard_id=")),
+      "the lake must stay uniformly on the new layout")
   }
 }

@@ -488,4 +488,41 @@ class LakeCatalogSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("exactly one"))
   }
+
+  test("ALTER TABLE ADD COLUMN is a metadata commit: old files read null, appends land values, time travel excludes it") {
+    import org.apache.spark.sql.types.DoubleType
+    val out = s"$wh/addcol"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))       // v1
+    val vBefore = Lake.currentState(spark, out).version
+    spark.sql("ALTER TABLE graft_lake.addcol ADD COLUMN quality double")       // +1
+    val df = Lake.read(spark, out)
+    assert(df.schema("quality").dataType == DoubleType && df.schema("quality").nullable)
+    assert(df.filter(col("quality").isNull).count() == 10,
+      "every pre-add row must read the new column as null")
+    // metadata only: zero file adds/removes
+    val h = Lake.describeHistory(spark, out).collect()
+      .find(_.getLong(0) == vBefore + 1).get
+    assert(h.getString(2) == "addcol" && h.getInt(3) == 0 && h.getInt(5) == 0)
+    // a post-add append lands values; SQL reads them through the catalog
+    Lake.append(spark, out,
+      Seq((100L, "x", "train", 0, 0.9)).toDF("doc_id", "text", "split", "shard_id", "quality"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_lake.addcol WHERE quality IS NULL").head.getLong(0) == 10)
+    assert(spark.sql(
+      "SELECT quality FROM graft_lake.addcol WHERE doc_id = 100").head.getDouble(0) == 0.9)
+    // time travel below the add resolves the old schema
+    assert(!Lake.readVersion(spark, out, vBefore).schema.fieldNames.contains("quality"))
+    // refusals: NOT NULL, positioned, duplicate, dropped-tombstone rebind
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.addcol ADD COLUMN q2 double NOT NULL") }
+    assert(e1.getMessage.contains("NOT NULL"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.addcol ADD COLUMN q3 double FIRST") }
+    assert(e2.getMessage.contains("position") || e2.getMessage.contains("FIRST"))
+    val e3 = intercept[Exception] { Lake.addColumn(spark, out, "quality", DoubleType) }
+    assert(e3.getMessage.contains("already exists"))
+    Lake.dropColumn(spark, out, "quality")
+    val e4 = intercept[Exception] { Lake.addColumn(spark, out, "quality", DoubleType) }
+    assert(e4.getMessage.contains("tombstone"))
+  }
 }

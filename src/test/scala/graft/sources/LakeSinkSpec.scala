@@ -252,4 +252,33 @@ class LakeSinkSpec extends SparkTestBase {
       row(0).getAs[String]("split") == "train",
       s"upper-cased stream columns must bind to their lake columns, got ${row.toSeq}")
   }
+
+  test("streaming sink adopts a mid-stream relayout at the next epoch (the write rebuilds per batch)") {
+    val base = java.nio.file.Files.createTempDirectory("lakesink-layout").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Int)]
+    val q = mem.toDF().toDF("doc_id", "text", "split", "shard_id")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$base/ck")
+      .start(out)
+    try {
+      mem.addData((10L, "ok", "train", 0))
+      q.processAllAvailable() // one epoch lands under (split, shard_id)
+      assert(lakeIds(out).contains(10L))
+      graft.operators.Pipeline.repartitionLake(spark, out, Seq("split"))
+      mem.addData((11L, "late", "train", 1))
+      // Spark re-creates the DSv2 StreamingWrite per micro-batch, so the
+      // next epoch re-derives the layout from the relayouted manifest —
+      // the row lands under the NEW tree, never mixing layouts (the
+      // intra-epoch race is guarded at commit; LakeStreamPlanSpec pins it)
+      q.processAllAvailable()
+      val st = Lake.currentState(spark, out)
+      assert(lakeIds(out).contains(11L), "the post-relayout epoch must land")
+      assert(st.files.forall(f => f.contains("split=") && !f.contains("shard_id=")),
+        s"every file must sit under the new layout, got ${st.files}")
+    } finally q.stop()
+  }
 }

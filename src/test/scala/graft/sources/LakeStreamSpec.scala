@@ -443,4 +443,49 @@ class LakeStreamSpec extends SparkTestBase {
       s"net replay must equal the lake: extra=${net -- lake}, missing=${lake -- net}")
     assert(lake == ((0L until 25L) ++ (26L until 30L)).toSet)
   }
+
+  test("readChangeFeed under raced same-row tombstones streams the delete exactly once") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcrace").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))      // v1
+    // two sparse deletes staged from the SAME base, both claiming doc 3
+    // (production sidecar shape: lineage columns ride along)
+    def stageSparse(idSet: Set[Long]) = {
+      val b = Lake.adopt(spark, out)
+      val lineage = Lake.readFilesWithLineage(spark, out, b.schemaJson, b.files, b.dvs)
+      val matched = lineage.filter(col("doc_id").isInCollection(idSet.toSeq))
+      val cdcPath = Lake.stageCdc(spark, out, matched, Seq("split", "shard_id"))
+      val (sidecar, n, files) = Lake.stageDv(spark, out,
+        matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+      (b, n, files.map(f => f -> Seq(sidecar)).toMap, Seq((cdcPath, "delete")))
+    }
+    val (bA, nA, dvA, cdcA) = stageSparse(Set(3L))
+    val (bB, nB, dvB, cdcB) = stageSparse(Set(3L, 6L))
+    Lake.publish(spark, Lake.StagedCommit(out, bA, "delete", bA.schemaJson,
+      Seq.empty, Seq.empty, nA, nA, dvAdds = dvA, cdcFiles = cdcA))           // v2
+    Lake.publish(spark, Lake.StagedCommit(out, bB, "delete", bB.schemaJson,
+      Seq.empty, Seq.empty, nB, nB, dvAdds = dvB, cdcFiles = cdcB))           // v3
+
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
+      .load(out)
+      .writeStream.format("memory").queryName("race_dedup_tail")
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dels = spark.table("race_dedup_tail")
+      .filter(col("_change_type") === "delete")
+      .select("doc_id", "_commit_version").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("_commit_version"))).toSeq.sorted
+    assert(dels == Seq((3L, 2L), (6L, 3L)),
+      s"the stream must emit each raced tombstone exactly once, got $dels")
+    // net replay still converges
+    val rows = spark.table("race_dedup_tail").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("_change_type")))
+    val net = rows.foldLeft(Map.empty[Long, Int]) { case (m, (id, tpe)) =>
+      m.updated(id, m.getOrElse(id, 0) + (if (tpe == "insert") 1 else -1)) }
+      .filter(_._2 > 0).keySet
+    assert(net == (0L until 20L).toSet -- Set(3L, 6L))
+  }
 }

@@ -98,4 +98,25 @@ class LakeStreamPlanSpec extends SparkTestBase {
       s2.getDefaultReadLimit).asInstanceOf[LakeVersionOffset]
     assert(o2.version == 3L, s"a generous byte budget must admit the whole backlog, got $o2")
   }
+
+  test("streaming sink: a relayout landing between write creation and epoch commit refuses loudly") {
+    val out = java.nio.file.Files.createTempDirectory("sinkrace").toString + "/lake"
+    Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))
+    val visible = Lake.visible(org.apache.spark.sql.types.DataType
+      .fromJson(Lake.currentState(spark, out).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // the write captures the (split, shard_id) layout at creation ...
+    val write = LakeStreamingWrites.create(out, "race-q", visible, _ => None)
+    // ... then a relayout interposes before the epoch commits
+    Pipeline.repartitionLake(spark, out, Seq("split"))
+    val vBefore = Lake.currentState(spark, out).version
+    val e = intercept[IllegalStateException] {
+      write.commit(0L, Array(LakeFilesMessage(
+        Seq(("split=train/shard_id=0/ghost.parquet", 1L)))))
+    }
+    assert(e.getMessage.contains("layout changed mid-stream"),
+      s"the commit must name the relayout, got: ${e.getMessage}")
+    assert(Lake.currentState(spark, out).version == vBefore,
+      "the refused epoch must not commit")
+  }
 }
