@@ -158,7 +158,16 @@ object Lake {
         * gates ([[addCheckConstraint]]): every row-adding commit
         * verifies its rows satisfy every check (NULL passes, the SQL
         * standard), refusing the whole batch loudly otherwise. */
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      /** The lake's WRITE layout — the partition columns NEW files land
+        * under. `None` (every pre-evolution lake) derives it from the
+        * live files' paths, which is exact while layouts are uniform;
+        * [[evolveLayout]], the repartition rewrite and restores across
+        * a generation boundary record it explicitly (the Iceberg
+        * partition-spec-evolution model: each FILE's path spells its
+        * own layout generation, the state records where new writes
+        * go). */
+      layout: Option[Seq[String]] = None)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -198,7 +207,11 @@ object Lake {
         * lines) — see [[LakeState.checks]]. */
       checkAdds: Seq[(String, String)] = Seq.empty,
       /** CHECK constraint names this commit DROPS (`KD` lines). */
-      checkDrops: Seq[String] = Seq.empty)
+      checkDrops: Seq[String] = Seq.empty,
+      /** The write layout this commit RECORDS (`L` line; empty = an
+        * explicitly unpartitioned layout). Absent on ordinary commits
+        * — the state keeps its prior layout. */
+      layout: Option[Seq[String]] = None)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -241,7 +254,11 @@ object Lake {
         * commit removed drops at rebase exactly as at replay. Used by
         * the float->double [[widenColumn]] (re-widened bounds ride in
         * the same metadata commit as the retype). */
-      statRestates: Seq[(String, Seq[ColStat])] = Seq.empty)
+      statRestates: Seq[(String, Seq[ColStat])] = Seq.empty,
+      /** The write layout this commit records — see
+        * [[DeltaRecord.layout]]. [[evolveLayout]], the repartition
+        * rewrite, and restores across layout generations carry it. */
+      layout: Option[Seq[String]] = None)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -402,8 +419,9 @@ object Lake {
       (Seq("AS", enc(p)) ++ statsFields(st)).mkString("\t") }
     val kAdds = rec.checkAdds.sortBy(_._1).map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val kDrops = rec.checkDrops.sorted.map(n => s"KD\t${enc(n)}")
+    val lay = rec.layout.toSeq.map(cols => (Seq("L") ++ cols.map(enc)).mkString("\t"))
     (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc ++ txn ++ restates ++
-      kAdds ++ kDrops)).mkString("\n")
+      kAdds ++ kDrops ++ lay)).mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -423,6 +441,7 @@ object Lake {
     val restates = Seq.newBuilder[(String, Seq[ColStat])]
     val kAdds = Seq.newBuilder[(String, String)]
     val kDrops = Seq.newBuilder[String]
+    var layout: Option[Seq[String]] = None
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -440,12 +459,13 @@ object Lake {
         case "T" => txn = Some((dec(f(1)), f(2).toLong))
         case "K" => kAdds += ((dec(f(1)), dec(f(2))))
         case "KD" => kDrops += dec(f(1))
+        case "L" => layout = Some(f.tail.map(dec))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
       rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result(), txn,
-      restates.result(), kAdds.result(), kDrops.result())
+      restates.result(), kAdds.result(), kDrops.result(), layout = layout)
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -467,7 +487,8 @@ object Lake {
     val cdc = st.cdc.sorted.map(p => s"CF\t${enc(p)}")
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
-    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns ++ checks))
+    val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
+    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns ++ checks ++ lay))
       .mkString("\n")
   }
 
@@ -488,6 +509,7 @@ object Lake {
     val cdc = Seq.newBuilder[String]
     val txns = Map.newBuilder[String, Long]
     val checks = Map.newBuilder[String, String]
+    var layout: Option[Seq[String]] = None
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -503,6 +525,7 @@ object Lake {
         case "CF" => cdc += dec(f(1))
         case "T" => txns += (dec(f(1)) -> f(2).toLong)
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
+        case "LY" => layout = Some(f.tail.map(dec))
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
@@ -512,7 +535,8 @@ object Lake {
       dvHistory = dvHist.result().sorted,
       cdc = cdc.result().sorted,
       txns = txns.result(),
-      checks = checks.result())
+      checks = checks.result(),
+      layout = layout)
   }
 
   private def readLogFile(fs: FileSystem, p: Path): String = {
@@ -666,7 +690,8 @@ object Lake {
       // (possible only through manual log surgery) can never move it back
       txns = d.txn.fold(st.txns) { case (a, v) =>
         st.txns.updated(a, math.max(v, st.txns.getOrElse(a, Long.MinValue))) },
-      checks = (st.checks -- d.checkDrops) ++ d.checkAdds)
+      checks = (st.checks -- d.checkDrops) ++ d.checkAdds,
+      layout = d.layout.orElse(st.layout))
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -891,6 +916,39 @@ object Lake {
       Seq.empty, Seq.empty, 0L, 0L))
   }
 
+  /** PARTITION-SPEC EVOLUTION as a METADATA commit — the Iceberg
+    * model: the new layout applies to NEW writes only; existing files
+    * stay exactly where they are, each file's path spelling its own
+    * layout generation, and readers union the generations (one grouped
+    * parquet read per generation — [[readFiles]]). Zero data bytes
+    * move, which at 100 TB is the difference between a metadata commit
+    * and [[graft.operators.Pipeline.repartitionLake]]'s full rewrite —
+    * the rewrite is now the OPTIONAL compaction that folds old
+    * generations into the current layout when read locality earns it.
+    * New layout columns must be visible lake columns (their values
+    * leave the data files and render into directory paths for new
+    * writes; old files keep reading them from paths or footers as
+    * their generation spells). The CDC STREAM refuses ranges spanning
+    * a generation boundary (its decode is one fixed layout per query —
+    * restart, or consume via the batch [[changeFeed]], which serves
+    * mixed generations exactly). */
+  def evolveLayout(spark: SparkSession, lakeDir: String,
+      newPartitionCols: Seq[String]): Unit = {
+    val base = adopt(spark, lakeDir)
+    val schema = visible(DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
+    val missing = newPartitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"evolveLayout: not visible lake column(s): ${missing.mkString(", ")} " +
+        s"(visible: ${schema.fieldNames.mkString(", ")})")
+    require(newPartitionCols.distinct == newPartitionCols,
+      "evolveLayout: duplicate partition column(s)")
+    val current = partitionColsOf(base)
+    require(newPartitionCols != current,
+      s"evolveLayout: [${current.mkString(", ")}] is already the write layout")
+    publish(spark, StagedCommit(lakeDir, base, "evolve", base.schemaJson,
+      Seq.empty, Seq.empty, 0L, 0L, layout = Some(newPartitionCols)))
+  }
+
   /** ADD COLUMN as a METADATA commit — with rename, drop and widen,
     * the metadata-only schema-evolution quartet: the manifest schema
     * gains a NULLABLE field at the end; no data file is opened. Every
@@ -1004,68 +1062,84 @@ object Lake {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val (fs, root) = fsRoot(spark, lakeDir)
-      val reader = spark.read.option("basePath", root.toString)
       // data files spell columns by their PHYSICAL names (column
       // mapping); read under those and alias back to logical after
       val physical = toPhysical(schema)
-      val base = (if (schema.nonEmpty) reader.schema(physical) else reader)
-        .parquet(files.map(f => new Path(root, f).toString): _*)
       // manifest-stat file skipping at the FileIndex grain: the data
       // filters Spark pushes at PLAN time prune whole files against the
       // per-file min/max the log recorded — the same skip the DSv2 scan
       // builder does, now on the anti-join (merge-on-read) plan too.
       // Filters arrive over the PHYSICAL scan schema, so bounds build
       // and match in physical names end to end.
-      val pruned = pruneState.filter(_.stats.nonEmpty) match {
-        case None => base
-        case Some(st) =>
+      val prune: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]]] =
+        pruneState.filter(_.stats.nonEmpty).map { st =>
           val inRead = files.toSet
-          val prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]] =
-            filters => {
-              val bounds = org.apache.spark.sql.graft.LakeStatPruning
-                .boundsFrom(physical, filters)
-              if (bounds.isEmpty) None
-              else Some(pruneByStatsPhysical(st, bounds).iterator.filter(inRead)
-                .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet)
-            }
-          org.apache.spark.sql.graft.LakeVectorRead.withStatPruning(base, prune)
-      }
-      val applied = applyDvs(spark, root, pruned, files, dvs)
+          filters => {
+            val bounds = org.apache.spark.sql.graft.LakeStatPruning
+              .boundsFrom(physical, filters)
+            if (bounds.isEmpty) None
+            else Some(pruneByStatsPhysical(st, bounds).iterator.filter(inRead)
+              .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet)
+          }
+        }
+      val relevant = dvs.view.filterKeys(files.toSet).toMap
+      val unioned = readGrouped(spark, root, physical, files, prune,
+        withLineage = relevant.nonEmpty)
+      val applied =
+        if (relevant.isEmpty) unioned
+        else {
+          import spark.implicits._
+          val sidecars = relevant.values.flatten.toSeq.distinct.sorted
+          val dvDf = spark.read.schema(DvSchema)
+            .parquet(sidecars.map(sc => new Path(root, sc).toString): _*)
+          // driver-built (relative → as-the-scan-renders-it absolute)
+          // map for exactly the DV'd files: bounded by the attachment
+          // count; the inner join drops sidecar rows for files outside
+          // this read. The anti-join is left unhinted: a sparse
+          // delete's DV set is small and AQE broadcasts it.
+          val absMap = relevant.keysIterator
+            .map(f => (f, new Path(root, f).toString)).toSeq.toDF("file", "_gf_path")
+          val del = dvDf.join(absMap, "file")
+            .select(col("_gf_path"), col("pos").as("_gf_pos"))
+          unioned.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
+            .drop("_gf_path", "_gf_pos")
+        }
       if (hasMapping(schema)) toLogical(applied, schema) else applied
     }
   }
 
-  /** Merge-on-read: drop the `(file, pos)` rows the deletion-vector
-    * sidecars name, as an anti-join on the scan's own
-    * `(_metadata.file_path, _metadata.row_index)` lineage. Rows from
-    * files with no attachment stream through the join probe untouched; a
-    * lake with no DVs at all skips the join entirely (the common fast
-    * path — compaction materializes DVs back into plain files). The
-    * anti-join is left unhinted: a sparse delete's DV set is small and
-    * AQE broadcasts it; a pathological DV set (which should have been a
-    * rewrite) degrades to a shuffled join, still exact. */
-  private def applyDvs(spark: SparkSession, root: Path, base: DataFrame,
-      files: Seq[String], dvs: Map[String, Seq[String]]): DataFrame = {
-    val inRead = files.toSet
-    val relevant = dvs.view.filterKeys(inRead).toMap
-    if (relevant.isEmpty) base
-    else {
-      import spark.implicits._
-      val sidecars = relevant.values.flatten.toSeq.distinct.sorted
-      val dvDf = spark.read.schema(DvSchema)
-        .parquet(sidecars.map(s => new Path(root, s).toString): _*)
-      // driver-built (relative → as-the-scan-renders-it absolute) map for
-      // exactly the DV'd files: bounded by the attachment count, and the
-      // inner join drops sidecar rows for files outside this read
-      val absMap = relevant.keysIterator
-        .map(f => (f, new Path(root, f).toString)).toSeq.toDF("file", "_gf_path")
-      val del = dvDf.join(absMap, "file")
-        .select(col("_gf_path"), col("pos").as("_gf_pos"))
-      base.select(col("*"), col("_metadata.file_path").as("_gf_path"),
+  /** ONE parquet read per LAYOUT GENERATION, unioned by name: a
+    * post-[[evolveLayout]] lake mixes directory layouts, and Spark's
+    * partition discovery needs each read internally uniform. A
+    * generation's former partition columns read from its paths, the
+    * current one's from footers — the same logical schema either way
+    * (column order pinned to `physical`). `withLineage` appends the
+    * `(_gf_path, _gf_pos)` row coordinates, attached PER GENERATION
+    * (metadata columns do not resolve through a union). */
+  private def readGrouped(spark: SparkSession, root: Path, physical: StructType,
+      files: Seq[String],
+      prune: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]]],
+      withLineage: Boolean): DataFrame = {
+    val generations = files.groupBy(layoutOfPath).toSeq.sortBy(_._1.mkString(","))
+    val frames = generations.map { case (_, gen) =>
+      val reader = spark.read.option("basePath", root.toString)
+      val raw = (if (physical.nonEmpty) reader.schema(physical) else reader)
+        .parquet(gen.map(f => new Path(root, f).toString): _*)
+      // an empty `physical` (schema-less bootstrap reads) keeps the
+      // inferred columns — projecting an explicit empty list would
+      // select nothing
+      val lineageCols = if (withLineage)
+        Seq(col("_metadata.file_path").as("_gf_path"),
           col("_metadata.row_index").as("_gf_pos"))
-        .join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
-        .drop("_gf_path", "_gf_pos")
+      else Seq.empty
+      val projected =
+        if (physical.isEmpty && lineageCols.isEmpty) raw
+        else if (physical.isEmpty) raw.select(col("*") +: lineageCols: _*)
+        else raw.select(physical.fieldNames.toSeq.map(col) ++ lineageCols: _*)
+      prune.fold(projected)(pr =>
+        org.apache.spark.sql.graft.LakeVectorRead.withStatPruning(projected, pr))
     }
+    frames.reduce(_.unionByName(_))
   }
 
   /** Read `files` with per-row LINEAGE attached: `_gf_file` (the
@@ -1080,11 +1154,8 @@ object Lake {
     require(files.nonEmpty, "lineage read needs a non-empty file list")
     val (_, root) = fsRoot(spark, lakeDir)
     val schema = visible(DataType.fromJson(schemaJson).asInstanceOf[StructType])
-    val reader = spark.read.option("basePath", root.toString)
-    val base = (if (schema.nonEmpty) reader.schema(toPhysical(schema)) else reader)
-      .parquet(files.map(f => new Path(root, f).toString): _*)
-      .select(col("*"), col("_metadata.file_path").as("_gf_path"),
-        col("_metadata.row_index").as("_gf_pos"))
+    val base = readGrouped(spark, root, toPhysical(schema), files,
+      prune = None, withLineage = true)
     val relMap = files.map(f => (new Path(root, f).toString, f)).toDF("_gf_path", "_gf_file")
     val withRel = base.join(broadcast(relMap), "_gf_path").drop("_gf_path")
     val relevant = dvs.view.filterKeys(files.toSet).toMap
@@ -1289,6 +1360,29 @@ object Lake {
     var rebases = 0
     var committed = false
     while (!committed) {
+      // LAYOUT guard for row-adding commits: the staged files spell the
+      // layout they were staged under — committing them against a base
+      // whose WRITE layout differs (an interposed evolveLayout /
+      // repartitionLake, or a caller passing the wrong partition
+      // columns) would silently mix what the manifest records as the
+      // write layout. Checked against the CURRENT base every attempt
+      // (first try and every rebase). Removing/rewriting commits are
+      // covered by the removed-file conflict checks; restores and
+      // relayouts legitimately (re)define the layout they carry.
+      if ((sc.action == "append" || sc.action == "update" || sc.action == "merge") &&
+          sc.stagedFiles.nonEmpty && base.files.nonEmpty) {
+        val ours = layoutOfPath(sc.stagedFiles.head)
+        val theirs = partitionColsOf(base)
+        if (ours != theirs) {
+          val err = new IllegalStateException(
+            s"commit refused: the lake's partition layout changed under this " +
+              s"${sc.action} — staged [${ours.mkString(", ")}], lake writes " +
+              s"[${theirs.mkString(", ")}] (evolveLayout/repartitionLake); " +
+              "re-stage against the new layout")
+          abort(spark, sc)
+          throw err
+        }
+      }
       // idempotent-replay guard: the watermark is re-checked against the
       // CURRENT base on every rebase, so a raced duplicate (two writers
       // replaying the same batch) cannot double-land — whichever commits
@@ -1320,14 +1414,15 @@ object Lake {
         cdc = base.cdc ++ sc.cdcFiles.map(_._1),
         txns = sc.txn.fold(base.txns) { case (a, v) =>
           base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) },
-        checks = base.checks)
+        checks = base.checks,
+        layout = sc.layout.orElse(base.layout))
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
             cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn,
-            statRestates = sc.statRestates.sortBy(_._1)),
+            statRestates = sc.statRestates.sortBy(_._1), layout = sc.layout),
           Some(post))
         committed = true
       } catch {
@@ -1335,26 +1430,6 @@ object Lake {
           if (rebases >= maxRebases) throw e
           rebases += 1
           val latest = latestManifest(spark, sc.lakeDir).getOrElse(throw e)
-          // LAYOUT conflict: a row-adding commit's staged files spell
-          // the layout of the base they were staged against — if an
-          // interposed repartition changed the lake's partition layout,
-          // rebasing them would silently MIX directory layouts (the
-          // uniformity partitionColsOf and the CDC partition decode
-          // rely on). Removing/rewriting commits are covered by the
-          // removed-file checks below (the relayout removed their
-          // base files); restores legitimately re-instate an old
-          // layout by removing every new-layout file in the same delta.
-          if ((sc.action == "append" || sc.action == "update" || sc.action == "merge") &&
-              sc.stagedFiles.nonEmpty && latest.files.nonEmpty) {
-            val ours = layoutOfPath(sc.stagedFiles.head)
-            val theirs = partitionColsOf(latest)
-            if (ours != theirs)
-              throw new IllegalStateException(
-                s"concurrent commit: the lake's partition layout changed under this " +
-                  s"${sc.action} — staged [${ours.mkString(", ")}], lake now " +
-                  s"[${theirs.mkString(", ")}] (a repartition interposed); re-stage " +
-                  "against the new layout", e)
-          }
           // OCC conflict check for removing AND sparse (DV) commits:
           // replay the deltas that interposed since our base and refuse
           // on genuine overlap
@@ -1650,7 +1725,13 @@ object Lake {
     * file path (the layout is uniform by construction); empty for an
     * unpartitioned lake. */
   private[graft] def partitionColsOf(st: LakeState): Seq[String] =
-    st.files.headOption.toSeq.flatMap(layoutOfPath)
+    st.layout.getOrElse(st.files.headOption.toSeq.flatMap(layoutOfPath))
+
+  /** The distinct layout GENERATIONS the live files spell
+    * (path-derived). Size > 1 after an [[evolveLayout]] while both
+    * generations are still live. */
+  private[graft] def layoutGenerationsOf(st: LakeState): Seq[Seq[String]] =
+    st.files.map(layoutOfPath).distinct
 
   /** The partition-column sequence one lakeDir-relative data-file path
     * SPELLS (its `col=value` directory segments, in order). */
@@ -2270,7 +2351,13 @@ object Lake {
       removed, reAdded, 0L, 0L,
       stagedStats = target.stats.view.filterKeys(reAdded.contains).toMap,
       rewriteFiles = reAdded.toSet,
-      dvAdds = target.dvs.view.filterKeys(reAdded.contains).toMap),
+      dvAdds = target.dvs.view.filterKeys(reAdded.contains).toMap,
+      // the restored state's WRITE layout is the target's (a restore
+      // across an evolveLayout re-instates the old layout for new writes)
+      layout =
+        if (target.files.nonEmpty || target.layout.isDefined)
+          Some(partitionColsOf(target))
+        else None),
       vacuumSuperseded = false) // the undone commits stay readable history
     read(spark, lakeDir)
   }

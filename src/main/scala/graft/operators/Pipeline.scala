@@ -952,7 +952,10 @@ object Pipeline {
     Lake.publish(spark,
       Lake.StagedCommit(lakeDir, base, "repartition", base.schemaJson,
         base.files, staged, stagedRows, expected, stagedStats,
-        rewriteFiles = staged.toSet),
+        rewriteFiles = staged.toSet,
+        // the rewrite DEFINES the layout: record it explicitly so a
+        // stale evolveLayout record can never outlive the relayout
+        layout = Some(newPartitionCols)),
       vacuumSuperseded = !retainHistory)
     Lake.read(spark, lakeDir)
   }
@@ -2402,6 +2405,31 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM merged GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px125
+  /** Partition-spec EVOLUTION, oracled: seed two thirds of the corpus
+    * under (split, shard_id), `CALL evolve_layout` to (split) — a
+    * METADATA commit, zero data bytes — append the remaining third
+    * (it lands under the NEW layout, its shard_id moving into the
+    * footers), and aggregate the UNION of both generations: the result
+    * must hash-match the full corpus (px100's oracle), certifying
+    * mixed-generation reads end-to-end. */
+  private def px125(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px125_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.lake.LakeCatalog")
+    spark.sql(s"CALL graft_lake.system.evolve_layout(table => '$out', " +
+      "partition_by => 'split')").collect()
+    Lake.append(spark, out, sharded.filter(col("doc_id") % 3 === 0))
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2651,5 +2679,6 @@ object Pipeline {
     GraftQuery("px121_lake_meta_tables", px121, Some(px121Oracle)),
     GraftQuery("px122_lake_repartition", px122, Some(px100Oracle)),
     GraftQuery("px123_lake_check_constraint", px123, Some(px100Oracle)),
-    GraftQuery("px124_lake_merge_grammar", px124, Some(px124Oracle)))
+    GraftQuery("px124_lake_merge_grammar", px124, Some(px124Oracle)),
+    GraftQuery("px125_lake_layout_evolution", px125, Some(px100Oracle)))
 }

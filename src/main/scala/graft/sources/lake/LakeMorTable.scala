@@ -182,6 +182,16 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // the fallback scan decodes ONE layout (partition values index into
+    // a fixed partCols order); with the graft extensions installed this
+    // scan never plans — the rule re-plans reads onto Lake.read's
+    // generation-grouped union, which serves mixed layouts exactly
+    val gens = Lake.layoutGenerationsOf(st)
+    if (gens.size > 1)
+      throw new UnsupportedOperationException(
+        s"graft-lake: version ${st.version} mixes ${gens.size} partition-layout " +
+          "generations (evolveLayout) — read via Lake.read / a session with the " +
+          "graft extensions, or compactLake to fold the generations")
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)

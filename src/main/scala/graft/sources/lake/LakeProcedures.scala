@@ -36,7 +36,7 @@ private[lake] object LakeProcedures {
 
   val All: Seq[String] =
     Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze",
-      "repartition", "add_constraint", "drop_constraint")
+      "repartition", "evolve_layout", "add_constraint", "drop_constraint")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -194,6 +194,25 @@ private[lake] object LakeProcedures {
           targetRowsPerFile = in.getLong(2), sortCols = sortBy)
         val st = Lake.currentState(spark, dir)
         Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
+      })
+    case "evolve_layout" => new LakeProc("evolve_layout",
+      "change the partition layout for NEW writes as a METADATA commit " +
+        "(Iceberg partition-spec evolution: existing files stay put, readers " +
+        "union the generations; CALL repartition is the optional compaction)",
+      Array(tableParam,
+        p("partition_by", StringType)
+          .comment("comma-separated new partition columns; empty = unpartitioned").build()),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_generations", IntegerType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val parts = in.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        Lake.evolveLayout(spark, dir, parts)
+        val st = Lake.currentState(spark, dir)
+        Array(new GenericInternalRow(Array[Any](st.version,
+          Lake.layoutGenerationsOf(st).size)))
       })
     case "add_constraint" => new LakeProc("add_constraint",
       "add a CHECK constraint (validates the existing corpus in one scan, " +

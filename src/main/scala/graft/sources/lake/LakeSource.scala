@@ -155,8 +155,13 @@ class LakeSource extends TableProvider with DataSourceRegister
     // row-mode scan serves extension-less sessions, and its write/DML
     // builders serve everyone.
     val resolvedSchema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    // a MIXED-LAYOUT version (evolveLayout with both generations live)
+    // also routes here: the delegated ParquetTable needs one uniform
+    // directory layout for partition discovery, while Lake.read's
+    // generation-grouped union (which the injected rule plans) does not
     if (st.dvs.nonEmpty || graft.operators.Lake.hasMapping(resolvedSchema) ||
-        resolvedSchema.exists(f => f.metadata.contains("graft.dropped")))
+        resolvedSchema.exists(f => f.metadata.contains("graft.dropped")) ||
+        graft.operators.Lake.layoutGenerationsOf(st).size > 1)
       return new LakeMorTable(s"graft-lake $path@v${st.version} (row-mode)",
         path, st, pinned0)
     val root = {

@@ -414,8 +414,22 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         if (restore && cdcMode) d.added.map(_._1)
         else if (Lake.DataAddingActions.contains(d.action)) d.added.map(_._1)
         else d.added.map(_._1).filterNot(d.rewrites)
-      insertFiles.foreach(f =>
-        out += PlannedFile(f, 0, "insert", v, reAttachSkips.getOrElse(f, Seq.empty)))
+      insertFiles.foreach { f =>
+        // the stream decodes ONE layout generation (partition values
+        // index into the start-time partCols): a file from another
+        // generation (evolveLayout) refuses loudly — restart the
+        // stream past the boundary, or consume via the batch
+        // changeFeed (it unions generations exactly)
+        val gen = f.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+        if (gen != partCols)
+          throw new IllegalStateException(
+            s"graft-lake-cdc: version $v added $f under layout " +
+              s"[${gen.mkString(", ")}] but this stream decodes " +
+              s"[${partCols.mkString(", ")}] — the partition layout evolved " +
+              "mid-range (evolveLayout/repartitionLake); restart the stream, or " +
+              "consume this range with the batch Lake.changeFeed")
+        out += PlannedFile(f, 0, "insert", v, reAttachSkips.getOrElse(f, Seq.empty))
+      }
       if (cdcMode) {
         // EXACTLY-ONCE deletes under raced same-row tombstones — the
         // batch feed's stateless rule, applied per version: a delete

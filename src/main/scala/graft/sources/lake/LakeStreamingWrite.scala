@@ -190,8 +190,8 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
       throw new IllegalStateException(
         s"graft-lake sink: the lake's partition layout changed mid-stream — " +
           s"stream writes [${partCols.mkString(", ")}], lake now " +
-          s"[${liveCols.mkString(", ")}] (repartitionLake ran); restart the " +
-          "stream to adopt the new layout")
+          s"[${liveCols.mkString(", ")}] (repartitionLake/evolveLayout ran); " +
+          "restart the stream to adopt the new layout")
     }
     // the watermark check is also re-run inside publish's OCC rebase;
     // this early exit keeps a replayed epoch from paying the audit read

@@ -1938,4 +1938,81 @@ class LakeSpec extends SparkTestBase {
       f.contains("split=") && !f.contains("shard_id=")),
       "the lake must stay uniformly on the new layout")
   }
+
+  test("evolveLayout: a metadata commit relayouts NEW writes; generations union exactly; restore re-instates the old layout") {
+    val out = freshDir("lake-evolve")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                    // v0: gen0 (split, shard_id)
+    val filesBefore = Lake.currentState(spark, out).files
+    Lake.evolveLayout(spark, out, Seq("split"))                               // v1: METADATA only
+    val st1 = Lake.currentState(spark, out)
+    assert(st1.files == filesBefore, "an evolve must move zero files")
+    assert(st1.layout.contains(Seq("split")))
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 1L).get
+    assert(h.getString(2) == "evolve" && h.getInt(3) == 0 && h.getInt(5) == 0)
+    // a new append lands under the NEW layout; shard_id moves to footers
+    Lake.append(spark, out,
+      Seq((100L, "doc 100", "train", 0)).toDF("doc_id", "text", "split", "shard_id")) // v2
+    val newFiles = Lake.currentState(spark, out).files.filterNot(filesBefore.contains)
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      f.startsWith("split=") && !f.contains("shard_id=")),
+      s"post-evolve appends must land under (split) only, got $newFiles")
+    // the union of both generations reads exactly — scala AND DSv2
+    val df = Lake.read(spark, out)
+    assert(ids(df) == (0L until 40L).toSet + 100L)
+    assert(df.filter(col("shard_id") === 0).count() == 21,
+      "shard_id must decode from gen0 paths AND gen1 footers")
+    assert(ids(spark.read.format("graft-lake").load(out)) == (0L until 40L).toSet + 100L,
+      "the DSv2 read must serve the mixed-generation union")
+    assert(ids(df.filter(col("split") === "test")) == (20L until 40L).toSet)
+    // time travel below the evolve reads gen0 alone
+    assert(ids(Lake.readVersion(spark, out, 0L)) == (0L until 40L).toSet)
+    // sparse mutations stay exact across generations
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(5L, 100L).toDF("doc_id"), "doc_id") // v3
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(5L))
+    // restore below the evolve re-instates the OLD write layout
+    Lake.restore(spark, out, 0L)                                              // v4
+    Lake.append(spark, out,
+      Seq((200L, "doc 200", "test", 1)).toDF("doc_id", "text", "split", "shard_id")) // v5
+    val after = Lake.currentState(spark, out)
+    val newest = after.files.filterNot(filesBefore.contains)
+    assert(newest.nonEmpty && newest.forall(_.contains("shard_id=")),
+      s"post-restore appends must land under the restored (split, shard_id) layout, got $newest")
+    assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet + 200L)
+    // refusals: unknown column, no-op evolve
+    val e1 = intercept[IllegalArgumentException] {
+      Lake.evolveLayout(spark, out, Seq("nope")) }
+    assert(e1.getMessage.contains("not visible"))
+    val e2 = intercept[IllegalArgumentException] {
+      Lake.evolveLayout(spark, out, Seq("split", "shard_id")) }
+    assert(e2.getMessage.contains("already the write layout"))
+  }
+
+  test("evolveLayout: the CDC stream refuses a range spanning the generation boundary; the batch feed serves it") {
+    val out = freshDir("lake-evolve-stream")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                    // v0
+    Lake.evolveLayout(spark, out, Seq("split"))                               // v1
+    Lake.append(spark, out,
+      Seq((100L, "doc 100", "train", 0)).toDF("doc_id", "text", "split", "shard_id")) // v2
+    // the batch feed unions generations exactly
+    assert(Lake.changeFeed(spark, out, 0L, 2L)
+      .filter(col("_change_type") === "insert")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L))
+    // a stream from earliest must decode gen0 files under a (split)
+    // layout — refuse loudly, naming the way out
+    val ckpt = java.nio.file.Files.createTempDirectory("evolve-ck").toString
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .load(out)
+      .writeStream.format("memory").queryName("evolve_tail")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val e = intercept[Throwable] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ").contains("layout evolved"),
+      s"the stream must refuse across the generation boundary, got: ${e.getMessage}")
+  }
 }
