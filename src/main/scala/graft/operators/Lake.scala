@@ -2207,9 +2207,12 @@ object Lake {
     * last 7 days readable" (the Delta retention idiom) instead of a
     * version count: retains every version committed within
     * `retentionMs` of now (always at least the latest), reclaims older
-    * history. Resolution is O(retained versions) header reads (commit
-    * wall-clocks live in the delta headers); clock skew across writers
-    * makes the cut best-effort by time, exact by version. */
+    * history. Resolution BINARY-SEARCHES the cut over the version-sorted
+    * log — O(log versions) header reads (commit wall-clocks live in the
+    * delta headers), so a 10⁵-commit lake resolves in ~17 reads; clock
+    * skew across writers makes the cut best-effort by time (monotonic
+    * timestamps are what the search assumes, exactly what the linear
+    * scan's count gave), exact by version. */
   def vacuumKeepingAge(spark: SparkSession, lakeDir: String, retentionMs: Long,
       minAgeMs: Long = 0L): Seq[String] = {
     require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
@@ -2217,7 +2220,15 @@ object Lake {
     val (deltas, _) = listLog(fs, root)
     if (deltas.isEmpty) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs
-    val keep = deltas.count(v => deltaHeaderAt(spark, lakeDir, v).timestampMs >= cutoff)
+    // first index whose commit time is at/after the cutoff
+    var lo = 0
+    var hi = deltas.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (deltaHeaderAt(spark, lakeDir, deltas(mid)).timestampMs >= cutoff) hi = mid
+      else lo = mid + 1
+    }
+    val keep = deltas.length - lo
     vacuumKeeping(spark, lakeDir, math.max(keep, 1), minAgeMs)
   }
 

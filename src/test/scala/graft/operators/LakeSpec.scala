@@ -2015,4 +2015,30 @@ class LakeSpec extends SparkTestBase {
       .flatMap(t => Option(t.getMessage)).mkString(" ").contains("layout evolved"),
       s"the stream must refuse across the generation boundary, got: ${e.getMessage}")
   }
+
+  test("vectorized MoR: self-joins and lake-to-lake joins of DV-bearing lakes answer exactly") {
+    val out = freshDir("lake-mor-selfjoin")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                    // v0
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(3L, 7L).toDF("doc_id"), "doc_id") // v1
+    val live = (0L until 40L).toSet -- Set(3L, 7L)
+    val df = spark.read.format("graft-lake").load(out)
+    // self-join: the rule replaces BOTH relation occurrences with fresh
+    // plans; DeduplicateRelations must keep their attributes disjoint
+    assert(df.as("a").join(df.as("b"), "doc_id").count() == live.size.toLong)
+    // and a join against a SECOND DV-bearing lake
+    val out2 = freshDir("lake-mor-selfjoin-2")
+    writePlain(fixture(), out2)
+    Lake.adopt(spark, out2)
+    Pipeline.deleteFromLakeSparse(spark, out2, Seq(5L).toDF("doc_id"), "doc_id")
+    val df2 = spark.read.format("graft-lake").load(out2)
+    val joined = df.join(df2.select(col("doc_id"), col("text").as("text2")), "doc_id")
+    assert(joined.count() == (live - 5L).size.toLong)
+    // SQL over temp views exercises the same plans through the analyzer
+    df.createOrReplaceTempView("mor_a")
+    df2.createOrReplaceTempView("mor_b")
+    assert(spark.sql(
+      "SELECT count(*) FROM mor_a a JOIN mor_b b ON a.doc_id = b.doc_id")
+      .head.getLong(0) == (live - 5L).size.toLong)
+  }
 }

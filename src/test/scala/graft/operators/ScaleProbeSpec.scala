@@ -321,4 +321,36 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(n == docs.count(), "every replicated row lands exactly once")
     assert(appends >= 4, s"maxFilesPerTrigger=5 over 20 files must take >=4 epochs, got $appends")
   }
+
+  /** Partition-spec evolution at volume: on a 26M-row lake the
+    * relayout-for-new-writes is a CONSTANT-TIME metadata commit (vs the
+    * full rewrite repartitionLake prices), and the mixed-generation
+    * union stays exact with the new generation landing under the new
+    * tree. */
+  test("evolveLayout on a 26M-row lake is a constant-time metadata commit; the union read stays exact") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val out = java.nio.file.Files.createTempDirectory("evolvescale").toString + "/lake"
+    val n = 26000000L
+    val rows = spark.range(n).select(col("id").as("doc_id"),
+      (col("id") % 4).cast("int").as("shard_id"),
+      (col("id") % 2).cast("int").as("bucket"))
+    Lake.init(spark, rows.repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id"), out, Seq("shard_id"), statsCols = Seq("doc_id"))
+    val t0 = System.nanoTime()
+    Lake.evolveLayout(spark, out, Seq("bucket"))
+    val evolveSec = (System.nanoTime() - t0) / 1e9
+    info(f"evolveLayout on ${n / 1000000}%dM rows: $evolveSec%.2fs")
+    assert(evolveSec < 10.0,
+      f"a metadata relayout must not scale with the data, took $evolveSec%.1fs")
+    Lake.append(spark, out, spark.range(n, n + 1000000L).select(
+      col("id").as("doc_id"), (col("id") % 4).cast("int").as("shard_id"),
+      (col("id") % 2).cast("int").as("bucket")))
+    val st = Lake.currentState(spark, out)
+    assert(st.files.exists(_.startsWith("bucket=")) &&
+      st.files.exists(_.startsWith("shard_id=")), "both generations live")
+    val t1 = System.nanoTime()
+    val total = Lake.read(spark, out).count()
+    info(f"mixed-generation count: ${(System.nanoTime() - t1) / 1e9}%.1fs")
+    assert(total == n + 1000000L)
+  }
 }
