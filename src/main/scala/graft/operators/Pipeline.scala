@@ -1022,6 +1022,15 @@ object Pipeline {
     // id column; tagged replays never touch data
     if (txn.exists { case (a, v) => base.txns.get(a).exists(_ >= v) })
       return Lake.read(spark, lakeDir)
+    // the COMMITTED layout is authoritative for an existing lake (the
+    // streaming sink's rule, now here too): after evolveLayout or
+    // repartitionLake the caller's partitionCols default would stage
+    // a stale layout and refuse at publish — route by the manifest
+    // instead; the parameter governs only the FIRST-EVER ingest (no
+    // layout committed yet)
+    val effectiveCols =
+      if (base.files.nonEmpty || base.layout.isDefined) Lake.partitionColsOf(base)
+      else partitionCols
     val b0 = batch.dropDuplicates(idCol)
     // drift checks key on the RECORDED schema, not the file count: a lake
     // whose latest manifest lists zero files (every row deleted) still has
@@ -1053,7 +1062,7 @@ object Pipeline {
               s"lake-only: ${(lakeTypes.keySet -- bTypes.keySet).mkString(", ")}) — " +
               "pass mergeSchema = true to evolve")
         else {
-          val missingParts = partitionCols.filterNot(bTypes.contains)
+          val missingParts = effectiveCols.filterNot(bTypes.contains)
           require(missingParts.isEmpty,
             s"appendToLake: batch lacks partition column(s) ${missingParts.mkString(", ")}")
           val newFields = b0.schema.fields.filterNot(f => lakeTypes.contains(f.name))
@@ -1118,7 +1127,7 @@ object Pipeline {
       // staging is claim-by-staging-dir (no listing diff), so no
       // partition-scope collect is needed here — one fewer Spark job
       // per append
-      val staged = Lake.stageWrite(spark, lakeDir, fresh, partitionCols)
+      val staged = Lake.stageWrite(spark, lakeDir, fresh, effectiveCols)
       // audit read-back captures per-file id (+ clustering) stats for
       // future compound pruning
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
@@ -1699,6 +1708,9 @@ object Pipeline {
     val base = Lake.adopt(spark, lakeDir)
     if (base.files.isEmpty) // first-ever ingest: merge degenerates to append
       return appendToLake(spark, lakeDir, updates, idCol, partitionCols)
+    // the committed layout is authoritative for an existing lake —
+    // exactly as in [[appendToLake]]
+    val effectiveCols = Lake.partitionColsOf(base)
     val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
     val updCount = upd.count()
     if (updCount == 0) return Lake.read(spark, lakeDir)
@@ -1738,7 +1750,7 @@ object Pipeline {
         else {
           // change-feed sidecar first (one lake pass); the deletion
           // vector derives from the sidecar's own read-back
-          val cdcPath = Lake.stageCdc(spark, lakeDir, matched, partitionCols)
+          val cdcPath = Lake.stageCdc(spark, lakeDir, matched, effectiveCols)
           val root = {
             val pp = new org.apache.hadoop.fs.Path(lakeDir)
             pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
@@ -1753,7 +1765,7 @@ object Pipeline {
       }
     // the upserts land as genuinely-new data files (CDC surfaces exactly these)
     val upStaged = Lake.stageWrite(spark, lakeDir,
-      upd.select(lakeSchema.map(f => col(f.name)): _*), partitionCols)
+      upd.select(lakeSchema.map(f => col(f.name)): _*), effectiveCols)
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq(idCol))
     Lake.publish(spark,

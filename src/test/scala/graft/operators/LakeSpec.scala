@@ -2041,4 +2041,26 @@ class LakeSpec extends SparkTestBase {
       "SELECT count(*) FROM mor_a a JOIN mor_b b ON a.doc_id = b.doc_id")
       .head.getLong(0) == (live - 5L).size.toLong)
   }
+
+  test("appendToLake and mergeIntoLakeSparse route by the COMMITTED layout after an evolve") {
+    val out = freshDir("lake-evolve-append")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                    // v0
+    val filesBefore = Lake.currentState(spark, out).files
+    Lake.evolveLayout(spark, out, Seq("split"))                               // v1
+    // the callers keep their DEFAULT partitionCols (split, shard_id) —
+    // the manifest's committed layout routes the writes regardless
+    Pipeline.appendToLake(spark, out,
+      Seq((100L, "doc 100", "train", 0)).toDF("doc_id", "text", "split", "shard_id")) // v2
+    Pipeline.mergeIntoLakeSparse(spark, out,
+      Seq((5L, "patched 5", "train", 1)).toDF("doc_id", "text", "split", "shard_id")) // v3
+    val st = Lake.currentState(spark, out)
+    val newFiles = st.files.filterNot(filesBefore.contains)
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      f.startsWith("split=") && !f.contains("shard_id=")),
+      s"post-evolve appends/merges must land under the committed (split) layout, got $newFiles")
+    val c = Lake.read(spark, out).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c.size == 41 && c(100L) == "doc 100" && c(5L) == "patched 5")
+  }
 }
