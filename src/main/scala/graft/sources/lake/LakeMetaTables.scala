@@ -43,7 +43,8 @@ import graft.operators.Lake
 private[lake] object LakeMetaTables {
 
   /** Recognized suffixes: `name$kind`. */
-  val Kinds: Set[String] = Set("history", "files", "txns", "partitions", "constraints")
+  val Kinds: Set[String] =
+    Set("history", "files", "txns", "partitions", "constraints", "detail")
 
   /** Split `corpus$history` → (`corpus`, `history`); None for plain
     * table names (a `$` with an unknown tail is NOT metadata — it stays
@@ -85,6 +86,17 @@ private[lake] object LakeMetaTables {
   val constraintsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("expression", StringType, nullable = false)))
+
+  val detailSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("write_layout", StringType, nullable = false),
+    StructField("n_layout_generations", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_dv_attached_files", IntegerType, nullable = false),
+    StructField("n_history_files", IntegerType, nullable = false),
+    StructField("n_constraints", IntegerType, nullable = false),
+    StructField("n_txn_apps", IntegerType, nullable = false),
+    StructField("has_column_mapping", BooleanType, nullable = false)))
 
   private def s(v: String) = UTF8String.fromString(v)
 
@@ -142,6 +154,27 @@ private[lake] object LakeMetaTables {
           new GenericInternalRow(Array[Any](s(p), fs.size,
             fs.map(f => st.dvs.getOrElse(f, Seq.empty).size).sum)): InternalRow
         }.toArray
+      })
+    case "detail" =>
+      // the DESCRIBE DETAIL card: one row summarizing the resolved state
+      // — version, write layout + live generations (partition-spec
+      // evolution), census/tombstone/constraint/watermark counts. All
+      // manifest-resolved; deliberately no on-disk byte sizes (those
+      // would need per-file filesystem stats).
+      new LakeMetaTable(s"$dir$$detail", detailSchema, () => {
+        val st = stateFor(spark, dir, pinnedVersion)
+        val schema = org.apache.spark.sql.types.DataType.fromJson(st.schemaJson)
+          .asInstanceOf[StructType]
+        Array(new GenericInternalRow(Array[Any](
+          st.version,
+          s(Lake.partitionColsOf(st).mkString(",")),
+          Lake.layoutGenerationsOf(st).size,
+          st.files.size,
+          st.dvs.size,
+          st.history.size,
+          st.checks.size,
+          st.txns.size,
+          Lake.hasMapping(schema))): InternalRow)
       })
     case other => throw new IllegalArgumentException(s"unknown metadata table kind: $other")
   }

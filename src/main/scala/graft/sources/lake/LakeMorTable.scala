@@ -132,7 +132,15 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
   private val physDataSchema = StructType(dataSchema.map(f =>
     f.copy(name = physByLogical.getOrElse(f.name, f.name))))
 
-  override def readSchema(): StructType =
+  // the REQUIRED column order, exactly as the relation declares it —
+  // NOT the reader's emitted (data ++ partition) layout: declaring the
+  // emitted order makes V2 pushdown wrap the scan relation in a
+  // reordering Project whenever a partition column is not schema-last
+  // (any post-evolveLayout lake), and Spark's DeleteFromTable strategy
+  // refuses a Project-wrapped relation. Rows re-project to this order
+  // in the reader when the two differ.
+  override def readSchema(): StructType = required
+  private def emittedSchema: StructType =
     StructType(dataSchema.fields ++ partSchema.fields)
   // the description names the cost a user would otherwise misread: a
   // pushed-looking filter on a heavily-tombstoned version runs row-mode
@@ -224,8 +232,12 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     val positions =
       if (st.dvs.isEmpty) Map.empty[String, Array[Long]]
       else LakeMorTable.loadPositions(spark, fs.makeQualified(root), st)
+    val emitted = emittedSchema
+    val reorder: Option[Array[Int]] =
+      if (emitted.fieldNames.sameElements(required.fieldNames)) None
+      else Some(required.fieldNames.map(n => emitted.fieldIndex(n)))
     new MorReaderFactory(LakeParquetRead.readerFactory(spark, physDataSchema, partSchema),
-      spark.sparkContext.broadcast(positions))
+      spark.sparkContext.broadcast(positions), reorder, emitted)
   }
 }
 
@@ -245,18 +257,36 @@ private[graft] case class MorPartition(files: FilePartition,
   * [[MorPartition]]s additionally filter by position looked up from the
   * broadcast at open time. */
 private[lake] class MorReaderFactory(inner: PartitionReaderFactory,
-    positions: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
+    positions: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]],
+    reorder: Option[Array[Int]] = None, emitted: StructType = new StructType())
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = false
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     inner.createColumnarReader(partition)
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    partition match {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val base = partition match {
       case MorPartition(files, relPath) =>
         new PositionSkipReader(inner.createReader(files),
           positions.value.getOrElse(relPath, Array.empty[Long]))
       case p => inner.createReader(p)
     }
+    reorder.fold(base: PartitionReader[InternalRow])(idx =>
+      new ReorderingReader(base, idx, emitted))
+  }
+}
+
+/** Projects the reader's (data ++ partition) row layout back into the
+  * declared required order — engaged only when a partition column is
+  * not schema-last (post-evolveLayout lakes). The projection is built
+  * executor-side per reader (generated code is not serializable). */
+private[lake] class ReorderingReader(inner: PartitionReader[InternalRow],
+    idx: Array[Int], emitted: StructType) extends PartitionReader[InternalRow] {
+  private val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+    idx.toSeq.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+      i, emitted(i).dataType, nullable = true)))
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = proj(inner.get())
+  override def close(): Unit = inner.close()
 }
 
 /** Streams the wrapped reader's rows, counting positions and skipping

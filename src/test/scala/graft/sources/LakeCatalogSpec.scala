@@ -525,4 +525,35 @@ class LakeCatalogSpec extends SparkTestBase {
     val e4 = intercept[Exception] { Lake.addColumn(spark, out, "quality", DoubleType) }
     assert(e4.getMessage.contains("tombstone"))
   }
+
+  test("$detail is the one-row DESCRIBE DETAIL card: layout, generations, census and contract counts") {
+    val out = s"$wh/detail"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))      // v1
+    spark.sql("CALL graft_lake.system.add_constraint(table => 'detail', " +
+      "name => 'ids', expression => 'doc_id >= 0')").collect()               // v2
+    val d1 = spark.sql("SELECT * FROM graft_lake.`detail$detail`").collect()(0)
+    assert(d1.getAs[Long]("version") == 2L)
+    assert(d1.getAs[String]("write_layout") == "split,shard_id")
+    assert(d1.getAs[Int]("n_layout_generations") == 1)
+    assert(d1.getAs[Int]("n_files") == Lake.currentState(spark, out).files.size)
+    assert(d1.getAs[Int]("n_constraints") == 1)
+    assert(!d1.getAs[Boolean]("has_column_mapping"))
+    // evolve + append: the card reports the NEW write layout and BOTH
+    // live generations; DV census counts the tombstoned files
+    spark.sql("CALL graft_lake.system.evolve_layout(table => 'detail', " +
+      "partition_by => 'split')").collect()                                  // v3
+    Pipeline.appendToLake(spark, out, fixture(20 until 25))                  // v4
+    spark.sql("DELETE FROM graft_lake.detail WHERE doc_id = 3")              // v5
+    Lake.renameColumn(spark, out, "text", "body")                            // v6
+    val d2 = spark.sql("SELECT * FROM graft_lake.`detail$detail`").collect()(0)
+    assert(d2.getAs[String]("write_layout") == "split")
+    assert(d2.getAs[Int]("n_layout_generations") == 2)
+    assert(d2.getAs[Int]("n_dv_attached_files") == 1)
+    assert(d2.getAs[Boolean]("has_column_mapping"))
+    // AS-OF pins the card to the older state
+    val d0 = spark.sql(
+      "SELECT * FROM graft_lake.`detail$detail` VERSION AS OF 2").collect()(0)
+    assert(d0.getAs[String]("write_layout") == "split,shard_id" &&
+      d0.getAs[Int]("n_layout_generations") == 1)
+  }
 }
