@@ -211,7 +211,14 @@ object Lake {
       /** The write layout this commit RECORDS (`L` line; empty = an
         * explicitly unpartitioned layout). Absent on ordinary commits
         * — the state keeps its prior layout. */
-      layout: Option[Seq[String]] = None)
+      layout: Option[Seq[String]] = None,
+      /** Added data files whose rows are UPDATE POST-IMAGES (`AU` add
+        * lines): a sparse UPDATE / merge stages its updated rows and its
+        * genuinely-new inserts as separate files, and the change feed
+        * tags the former `update_postimage` instead of `insert` — the
+        * Delta CDF contract — at zero extra write cost (the add IS the
+        * post-image; no `_change_data` double-write). */
+      postImages: Set[String] = Set.empty)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -258,7 +265,10 @@ object Lake {
       /** The write layout this commit records — see
         * [[DeltaRecord.layout]]. [[evolveLayout]], the repartition
         * rewrite, and restores across layout generations carry it. */
-      layout: Option[Seq[String]] = None)
+      layout: Option[Seq[String]] = None,
+      /** Staged files holding UPDATE POST-IMAGE rows — rendered as `AU`
+        * add lines; see [[DeltaRecord.postImages]]. */
+      postImageFiles: Set[String] = Set.empty)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -408,7 +418,8 @@ object Lake {
       s"\t${rec.dvAdds.size}\t${rec.cdcFiles.size}"
     val schema = s"S\t${enc(rec.schemaJson)}"
     val adds = rec.added.sortBy(_._1).map { case (p, st) =>
-      val tag = if (rec.rewrites(p)) "AR" else "A"
+      val tag = if (rec.rewrites(p)) "AR"
+        else if (rec.postImages(p)) "AU" else "A"
       (Seq(tag, enc(p)) ++ statsFields(st)).mkString("\t") }
     val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
     val dvs = rec.dvAdds.sorted.map { case (f, s) => s"D\t${enc(f)}\t${enc(s)}" }
@@ -437,6 +448,7 @@ object Lake {
     val dvAdds = Seq.newBuilder[(String, String)]
     val dvRemoves = Seq.newBuilder[(String, String)]
     val cdcFiles = Seq.newBuilder[(String, String)]
+    val postImages = Set.newBuilder[String]
     var txn: Option[(String, Long)] = None
     val restates = Seq.newBuilder[(String, Seq[ColStat])]
     val kAdds = Seq.newBuilder[(String, String)]
@@ -451,6 +463,10 @@ object Lake {
           val p = dec(f(1))
           added += ((p, parseStats(f.drop(2))))
           rewrites += p
+        case "AU" =>
+          val p = dec(f(1))
+          added += ((p, parseStats(f.drop(2))))
+          postImages += p
         case "AS" => restates += ((dec(f(1)), parseStats(f.drop(2))))
         case "R" => removed += dec(f(1))
         case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
@@ -465,7 +481,8 @@ object Lake {
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
       rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result(), txn,
-      restates.result(), kAdds.result(), kDrops.result(), layout = layout)
+      restates.result(), kAdds.result(), kDrops.result(), layout = layout,
+      postImages = postImages.result())
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -539,7 +556,14 @@ object Lake {
       layout = layout)
   }
 
+  /** Full log-file reads since JVM start — the observability hook the
+    * change-feed spec uses to pin its O(range + checkpoint-interval)
+    * log-read budget (the forward-folding prior state). Driver-side
+    * only; never consulted for control flow. */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def readLogFile(fs: FileSystem, p: Path): String = {
+    logReads.incrementAndGet()
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
@@ -1422,7 +1446,8 @@ object Lake {
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
             cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn,
-            statRestates = sc.statRestates.sortBy(_._1), layout = sc.layout),
+            statRestates = sc.statRestates.sortBy(_._1), layout = sc.layout,
+            postImages = sc.postImageFiles),
           Some(post))
         committed = true
       } catch {
@@ -1884,8 +1909,17 @@ object Lake {
     // fromVersion must itself be resolvable.
     val firstRetained = listLog(fs, root)._1.headOption.getOrElse(
       throw new IllegalArgumentException(s"lake $lakeDir has no committed versions"))
-    if (fromVersion != firstRetained - 1)
-      stateAt(spark, lakeDir, fromVersion) // validates resolvability
+    // the PRIOR state folds FORWARD across the version loop (v-1's state
+    // is v's predecessor by construction): ONE stateAt resolution for
+    // the whole range, then pure in-memory applyDelta per step — a wide
+    // delete-heavy feed pays O(range + checkpoint-interval) log reads,
+    // not O(range x replay). None = the prior predates retention (the
+    // "earliest" sentinel's first version), where duplicates relative to
+    // pre-retention deletes are undetectable by construction.
+    var prior: Option[LakeState] =
+      if (fromVersion != firstRetained - 1)
+        Some(stateAt(spark, lakeDir, fromVersion)) // also validates resolvability
+      else None
     val schema = visible(DataType.fromJson(to.schemaJson).asInstanceOf[StructType])
     val feedSchema = StructType(schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),
@@ -1918,20 +1952,28 @@ object Lake {
           s"changeFeed($fromVersion, $toVersion): version $v (${d.action}) removed rows " +
             "but carries no change-feed sidecar (committed by a pre-change-feed build) — " +
             "its delete pre-image is not reconstructible")
-      val insertFiles =
+      val dataAdded =
         if (restore) d.added.map(_._1)
         else if (DataAddingActions.contains(d.action)) d.added.map(_._1)
         else d.added.map(_._1).filterNot(d.rewrites)
-      if (insertFiles.nonEmpty) {
-        mustExist(insertFiles, "data-added file(s)", v)
+      // CDF parity: an update/merge commit's `AU` files hold UPDATE
+      // POST-IMAGES, tagged update_postimage; everything else added is
+      // a genuine insert. Restores re-add files as plain inserts (state
+      // convergence, not a re-run of the undone mutations).
+      val (postImageAdded, insertFiles) =
+        if (restore) (Seq.empty[String], dataAdded)
+        else dataAdded.partition(d.postImages)
+      def addedFrame(files: Seq[String], t: String): Unit = if (files.nonEmpty) {
+        mustExist(files, "data-added file(s)", v)
         // fresh adds carry no vectors at commit time; a restore's re-adds
         // carry exactly the attachments its delta re-attached
         val dvsAtCommit =
           if (restore) d.dvAdds.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
           else Map.empty[String, Seq[String]]
-        frames += tag(
-          readFiles(spark, lakeDir, to.schemaJson, insertFiles, dvsAtCommit), "insert", v)
+        frames += tag(readFiles(spark, lakeDir, to.schemaJson, files, dvsAtCommit), t, v)
       }
+      addedFrame(insertFiles, "insert")
+      addedFrame(postImageAdded, "update_postimage")
       d.cdcFiles.groupBy(_._2).foreach { case (t, ps) =>
         mustExist(ps.map(_._1), "change-feed sidecar(s)", v)
         // EXACTLY-ONCE deletes under raced same-row tombstones: two
@@ -1947,11 +1989,12 @@ object Lake {
         // and pass through untouched (at-least-once, as before).
         // v-1 may predate retention (the first retained version's
         // prior is unknowable) — duplicates relative to pre-retention
-        // deletes are undetectable by construction; emit as-is there
+        // deletes are undetectable by construction; emit as-is there.
+        // update_preimage sidecars get the same rule: a raced sparse
+        // update whose row was already tombstoned re-carries it.
         val priorDvs =
-          if (t == "delete")
-            scala.util.Try(stateAt(spark, lakeDir, v - 1)).toOption
-              .map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
+          if (t == "delete" || t == "update_preimage")
+            prior.map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
           else Map.empty[String, Seq[String]]
         if (priorDvs.isEmpty)
           frames += tag(readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1)), t, v)
@@ -1969,9 +2012,17 @@ object Lake {
       }
       if (restore && d.removed.nonEmpty) {
         mustExist(d.removed, "removed file(s)", v)
-        val pre = stateAt(spark, lakeDir, v - 1)
+        val pre = prior.getOrElse(stateAt(spark, lakeDir, v - 1))
         frames += tag(readFiles(spark, lakeDir, to.schemaJson, d.removed,
           pre.dvs.view.filterKeys(d.removed.toSet).toMap), "delete", v)
+      }
+      // advance the fold: state v = state (v-1) + delta v. A range whose
+      // start predates retention resolves the first retained version
+      // once from the log and folds from there.
+      prior = prior match {
+        case Some(p) => Some(applyDelta(p, d))
+        case None if v >= firstRetained => Some(stateAt(spark, lakeDir, v))
+        case None => None
       }
     }
     val out = frames.result()

@@ -1487,11 +1487,12 @@ object Pipeline {
           "manifest files although matches were found in them — refusing to stage")
     // stage A: survivors of the affected partitions (pre-image rewrites);
     // the REPLACED rows are written as a change-feed sidecar — the feed's
-    // 'delete' half of the upsert (its 'insert' half is stage B's files)
-    val (survStaged, survRows, survStats, survExpected, cdcFiles) =
+    // update_preimage half of the upsert (its update_postimage half is
+    // stage B's matched files; unmatched source rows feed as inserts)
+    val (survStaged, survRows, survStats, survExpected, cdcFiles, affectedIds) =
       if (removed.isEmpty)
         (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]], 0L,
-          Seq.empty[(String, String)])
+          Seq.empty[(String, String)], None: Option[DataFrame])
       else {
         val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
         val stats = affectedLake.join(u, col(idCol) === col("_mid"), "left")
@@ -1500,19 +1501,34 @@ object Pipeline {
         val survivors = affectedLake.join(u, col(idCol) === col("_mid"), "left_anti")
         val staged = Lake.stageWrite(spark, lakeDir, survivors, partitionCols)
         val (rows, st) = Lake.auditStaged(spark, lakeDir, base.schemaJson, staged, Seq(idCol))
+        // the replaced pre-images ARE updates in upsert semantics — the
+        // feed serves them as update_preimage (Delta CDF parity)
         val cdcPath = Lake.stageCdc(spark, lakeDir,
           affectedLake.join(u, col(idCol) === col("_mid"), "left_semi"), partitionCols)
-        (staged, rows, st, expected, Seq((cdcPath, "delete")))
+        (staged, rows, st, expected, Seq((cdcPath, "update_preimage")),
+          Some(affectedLake.select(col(idCol).as("_lakeid"))))
       }
-    // stage B: the upserts themselves (genuinely new data for CDC)
-    val upStaged = Lake.stageWrite(spark, lakeDir,
-      upd.select(lakeSchema.map(f => col(f.name)): _*), partitionCols)
+    // stage B: the upserts — POST-IMAGES (source rows whose id matched)
+    // and genuine inserts land as SEPARATE files, so the change feed tags
+    // update_postimage vs insert exactly, at zero extra write cost
+    val updCols = upd.select(lakeSchema.map(f => col(f.name)): _*)
+    val (postStaged, insStaged) = affectedIds match {
+      case None =>
+        (Seq.empty[String], Lake.stageWrite(spark, lakeDir, updCols, partitionCols))
+      case Some(ids) =>
+        (Lake.stageWrite(spark, lakeDir,
+          updCols.join(ids, col(idCol) === col("_lakeid"), "left_semi"), partitionCols),
+          Lake.stageWrite(spark, lakeDir,
+            updCols.join(ids, col(idCol) === col("_lakeid"), "left_anti"), partitionCols))
+    }
+    val upStaged = postStaged ++ insStaged
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq(idCol))
     Lake.publish(spark,
       Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson, removed,
         survStaged ++ upStaged, survRows + upRows, survExpected + updCount,
-        survStats ++ upStats, rewriteFiles = survStaged.toSet, cdcFiles = cdcFiles),
+        survStats ++ upStats, rewriteFiles = survStaged.toSet, cdcFiles = cdcFiles,
+        postImageFiles = postStaged.toSet),
       vacuumSuperseded = !retainHistory)
     Lake.read(spark, lakeDir)
   }
@@ -1615,9 +1631,10 @@ object Pipeline {
 
   /** SPARSE row-level UPDATE — "SET col = expr WHERE pred" as ONE
     * deletion-vector commit: matched rows tombstone by vector (their
-    * pre-image feeding the CDC sidecar as deletes), the updated
-    * post-image rows land as genuinely-new data files (feeding as
-    * inserts), zero survivor files rewritten. Assignment expressions
+    * pre-image feeding the CDC sidecar as `update_preimage`), the
+    * updated post-image rows land as genuinely-new `AU` data files
+    * (feeding as `update_postimage` — the Delta CDF contract), zero
+    * survivor files rewritten. Assignment expressions
     * may reference the row's own columns (`SET n = n + 1`) — they
     * evaluate over the matched pre-image — and may move rows across
     * partitions (the staged write re-partitions). Candidate files
@@ -1664,7 +1681,8 @@ object Pipeline {
     Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "update", base.schemaJson,
       Seq.empty, upStaged, dvRows + upRows, expected * 2, upStats,
       dvAdds = dvFiles.map(f => f -> Seq(sidecar)).toMap,
-      cdcFiles = Seq((cdcPath, "delete"))))
+      cdcFiles = Seq((cdcPath, "update_preimage")),
+      postImageFiles = upStaged.toSet))
     Lake.read(spark, lakeDir)
   }
 
@@ -1737,19 +1755,22 @@ object Pipeline {
       if (bounds.isNullAt(0)) Seq.empty[String]
       else Lake.pruneByStats(base, idCol, upd.schema(idCol).dataType,
         bounds.get(0), bounds.get(1))
-    val (dvAdds, dvRows, matchedExpected, cdcFiles) =
+    val (dvAdds, dvRows, matchedExpected, cdcFiles, matchedIds) =
       if (candidates.isEmpty)
-        (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)])
+        (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)],
+          None: Option[DataFrame])
       else {
         val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
           candidates, base.dvs)
         val matched = lineage.join(u, col(idCol) === col("_mid"), "left_semi")
         val expected = matched.count()
         if (expected == 0L)
-          (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)])
+          (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)],
+            None: Option[DataFrame])
         else {
           // change-feed sidecar first (one lake pass); the deletion
-          // vector derives from the sidecar's own read-back
+          // vector derives from the sidecar's own read-back. Matched
+          // pre-images ARE updates in upsert semantics (CDF parity).
           val cdcPath = Lake.stageCdc(spark, lakeDir, matched, effectiveCols)
           val root = {
             val pp = new org.apache.hadoop.fs.Path(lakeDir)
@@ -1760,18 +1781,31 @@ object Pipeline {
           val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
             back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
           (files.map(f => f -> Seq(sidecar)).toMap, n, expected,
-            Seq((cdcPath, "delete")))
+            Seq((cdcPath, "update_preimage")),
+            Some(matched.select(col(idCol).as("_lakeid"))))
         }
       }
-    // the upserts land as genuinely-new data files (CDC surfaces exactly these)
-    val upStaged = Lake.stageWrite(spark, lakeDir,
-      upd.select(lakeSchema.map(f => col(f.name)): _*), effectiveCols)
+    // the upserts land as genuinely-new data files: POST-IMAGES (matched
+    // ids) and genuine inserts as SEPARATE files so the change feed tags
+    // update_postimage vs insert exactly, at zero extra write cost
+    val updCols = upd.select(lakeSchema.map(f => col(f.name)): _*)
+    val (postStaged, insStaged) = matchedIds match {
+      case None =>
+        (Seq.empty[String], Lake.stageWrite(spark, lakeDir, updCols, effectiveCols))
+      case Some(ids) =>
+        (Lake.stageWrite(spark, lakeDir,
+          updCols.join(ids, col(idCol) === col("_lakeid"), "left_semi"), effectiveCols),
+          Lake.stageWrite(spark, lakeDir,
+            updCols.join(ids, col(idCol) === col("_lakeid"), "left_anti"), effectiveCols))
+    }
+    val upStaged = postStaged ++ insStaged
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq(idCol))
     Lake.publish(spark,
       Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson,
         Seq.empty, upStaged, dvRows + upRows, matchedExpected + updCount,
-        upStats, dvAdds = dvAdds, cdcFiles = cdcFiles))
+        upStats, dvAdds = dvAdds, cdcFiles = cdcFiles,
+        postImageFiles = postStaged.toSet))
     Lake.read(spark, lakeDir)
   }
 
@@ -1807,7 +1841,9 @@ object Pipeline {
     * definition — the same honest full-scan Delta prices that clause
     * at. Duplicate source keys dedupe (last-writer-arbitrary) rather
     * than raising ANSI MERGE's cardinality error — the documented
-    * divergence shared with [[mergeIntoLakeSparse]]. CHECK constraints
+    * divergence shared with [[mergeIntoLakeSparse]]; null-key source
+    * rows are NOT deduped (null never matches — each inserts). CHECK
+    * constraints
     * gate the added rows exactly like every other row-adding path. */
   def mergeIntoLakeGeneral(spark: SparkSession, lakeDir: String,
       source: DataFrame, idCol: String, srcKey: org.apache.spark.sql.Column,
@@ -1825,10 +1861,15 @@ object Pipeline {
       !source.columns.exists(n => reserved.exists(n.startsWith)),
       "mergeIntoLakeGeneral: column names may not start with the reserved " +
         "prefixes _t_/_s_/_gf_/_gm_")
-    // source side: columns under _s_*, the deduped join key under _gm_sk
-    val src = source.select(source.columns.toSeq.map(c => col(c).as("_s_" + c)): _*)
+    // source side: columns under _s_*, the deduped join key under _gm_sk.
+    // Only NON-NULL keys dedupe: a null key never matches any target row
+    // (SQL three-valued equality), so distinct null-key rows are not
+    // cardinality duplicates — each is its own NOT-MATCHED insert
+    val srcKeyed = source
+      .select(source.columns.toSeq.map(c => col(c).as("_s_" + c)): _*)
       .withColumn("_gm_sk", srcKey)
-      .dropDuplicates("_gm_sk")
+    val src = srcKeyed.filter(col("_gm_sk").isNotNull).dropDuplicates("_gm_sk")
+      .unionByName(srcKeyed.filter(col("_gm_sk").isNull))
       .withColumn("_gm_sp", lit(true))
     // candidate files: a NOT MATCHED BY SOURCE clause puts every target
     // row in play; otherwise manifest stats prune to the key range
@@ -1859,6 +1900,11 @@ object Pipeline {
         case ((cl, i), els) =>
           when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
       }
+    // ONE DISK-backed materialization feeds the counts, both sidecars,
+    // and both add stages — with a NOT-MATCHED-BY-SOURCE clause this
+    // frame is the whole corpus x source, so DISK_ONLY keeps executor
+    // memory out of play and the explicit unpersist below releases the
+    // blocks the moment the commit publishes (no ContextCleaner wait)
     val joined = tgtP.join(src, col("_t_" + idCol) === col("_gm_sk"), "full_outer")
       .withColumn("_gm_am",
         when(col("_gm_tp").isNotNull && col("_gm_sp").isNotNull, actionOf(matched))
@@ -1869,45 +1915,67 @@ object Pipeline {
       .withColumn("_gm_an",
         when(col("_gm_tp").isNotNull && col("_gm_sp").isNull,
           actionOf(notMatchedBySource)).otherwise(lit(-1)))
-      .localCheckpoint(true) // one materialization feeds counts + sidecar + adds
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
     val mDel = matched.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
     val nDel = notMatchedBySource.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
     def inSet(c: org.apache.spark.sql.Column, ids: Set[Int]) =
       if (ids.isEmpty) lit(false) else c.isInCollection(ids.toSeq)
     val tombCond = col("_gm_am") >= 0 || col("_gm_an") >= 0
-    val addCond = (col("_gm_am") >= 0 && !inSet(col("_gm_am"), mDel)) ||
-      (col("_gm_an") >= 0 && !inSet(col("_gm_an"), nDel)) || col("_gm_ai") >= 0
+    // CDF split: a fired DELETE clause tombstones a plain delete; a fired
+    // UPDATE clause tombstones an update_preimage (its post-image is an
+    // AU add). inSet(-1) is false, so delCond implies the clause fired.
+    val tombDelCond = inSet(col("_gm_am"), mDel) || inSet(col("_gm_an"), nDel)
+    val tombUpdCond = tombCond && !tombDelCond
+    val addPostCond = (col("_gm_am") >= 0 && !inSet(col("_gm_am"), mDel)) ||
+      (col("_gm_an") >= 0 && !inSet(col("_gm_an"), nDel))
+    val addInsCond = col("_gm_ai") >= 0
     val counts = joined.agg(
-      sum(when(tombCond, 1L).otherwise(0L)),
-      sum(when(addCond, 1L).otherwise(0L))).collect()(0)
-    val tombExpected = if (counts.isNullAt(0)) 0L else counts.getLong(0)
-    val addExpected = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      sum(when(tombDelCond, 1L).otherwise(0L)),
+      sum(when(tombUpdCond, 1L).otherwise(0L)),
+      sum(when(addPostCond, 1L).otherwise(0L)),
+      sum(when(addInsCond, 1L).otherwise(0L))).collect()(0)
+    def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+    val (tombDel, tombUpd, addPost, addIns) = (cnt(0), cnt(1), cnt(2), cnt(3))
+    val tombExpected = tombDel + tombUpd
+    val addExpected = addPost + addIns
     if (tombExpected == 0L && addExpected == 0L) return Lake.read(spark, lakeDir)
 
     // tombstones: every matched / not-matched-by-source row whose clause
-    // fires (updates tombstone their pre-image too). The pre-image +
-    // lineage feed the CDC sidecar; the vector derives from its read-back
+    // fires (updates tombstone their pre-image too). The pre-images +
+    // lineage feed the CDC sidecars — one per change type — and the
+    // deletion vector derives from their combined read-back
     val (dvAdds, dvRows, cdcFiles) =
       if (tombExpected == 0L)
         (Map.empty[String, Seq[String]], 0L, Seq.empty[(String, String)])
       else {
-        val tomb = joined.filter(tombCond).select(
-          lakeSchema.fieldNames.toSeq.map(c => col("_t_" + c).as(c))
-            ++ Seq(col("_gf_file"), col("_gf_pos")): _*)
-        val cdcPath = Lake.stageCdc(spark, lakeDir, tomb, partitionCols)
         val root = {
           val pp = new org.apache.hadoop.fs.Path(lakeDir)
           pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
         }
-        val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
-        val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
+        def stagePre(cond: org.apache.spark.sql.Column, t: String)
+            : ((String, String), DataFrame) = {
+          val pre = joined.filter(cond).select(
+            lakeSchema.fieldNames.toSeq.map(c => col("_t_" + c).as(c))
+              ++ Seq(col("_gf_file"), col("_gf_pos")): _*)
+          val cdcPath = Lake.stageCdc(spark, lakeDir, pre, partitionCols)
+          val abs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+          ((cdcPath, t), spark.read.option("basePath", abs).parquet(abs))
+        }
+        val staged =
+          Seq((tombDelCond, "delete", tombDel),
+            (tombUpdCond, "update_preimage", tombUpd))
+            .collect { case (c, t, n) if n > 0L => stagePre(c, t) }
+        val back = staged.map(_._2).reduce(_.unionByName(_))
         val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
           back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
-        (files.map(f => f -> Seq(sidecar)).toMap, n, Seq((cdcPath, "delete")))
+        (files.map(f => f -> Seq(sidecar)).toMap, n, staged.map(_._1))
       }
     // post-images and inserts: per clause, each lake column evaluates its
     // SET/VALUES expression cast to the recorded type, carries the
-    // pre-image (updates) or lands NULL (inserts) when unassigned
+    // pre-image (updates) or lands NULL (inserts) when unassigned.
+    // Update post-images and genuine inserts stage as SEPARATE files so
+    // the change feed tags update_postimage vs insert exactly.
     def updFrame(tag: org.apache.spark.sql.Column, i: Int, cl: MergeClause) =
       joined.filter(tag === i).select(lakeSchema.map { f =>
         cl.sets.get(f.name).fold(col("_t_" + f.name))(_.cast(f.dataType)).as(f.name)
@@ -1922,20 +1990,22 @@ object Pipeline {
           .fold(lit(null).cast(f.dataType): org.apache.spark.sql.Column)(_.cast(f.dataType))
           .as(f.name)
       }: _*) }
-    val (upStaged, upRows, upStats) =
-      if (addExpected == 0L)
-        (Seq.empty[String], 0L, Map.empty[String, Seq[Lake.ColStat]])
-      else {
-        val adds = (mAdds ++ nAdds ++ iAdds).reduce(_.unionByName(_))
-        Lake.enforceChecks(base, adds)
-        val staged = Lake.stageWrite(spark, lakeDir, adds, partitionCols)
-        val (r, st) = Lake.auditStaged(spark, lakeDir, base.schemaJson, staged, Seq(idCol))
-        (staged, r, st)
-      }
+    def stageAdds(frames: Seq[DataFrame]): Seq[String] = {
+      val adds = frames.reduce(_.unionByName(_))
+      Lake.enforceChecks(base, adds)
+      Lake.stageWrite(spark, lakeDir, adds, partitionCols)
+    }
+    val postStaged = if (addPost > 0L) stageAdds(mAdds ++ nAdds) else Seq.empty[String]
+    val insStaged = if (addIns > 0L) stageAdds(iAdds) else Seq.empty[String]
+    val upStaged = postStaged ++ insStaged
+    val (upRows, upStats) =
+      if (addExpected == 0L) (0L, Map.empty[String, Seq[Lake.ColStat]])
+      else Lake.auditStaged(spark, lakeDir, base.schemaJson, upStaged, Seq(idCol))
     Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "merge", base.schemaJson,
       Seq.empty, upStaged, dvRows + upRows, tombExpected + addExpected, upStats,
-      dvAdds = dvAdds, cdcFiles = cdcFiles))
+      dvAdds = dvAdds, cdcFiles = cdcFiles, postImageFiles = postStaged.toSet))
     Lake.read(spark, lakeDir)
+    } finally joined.unpersist(blocking = false)
   }
 
   /** Upsert the corpus in place (bump n_chars for the `% 7` docs, insert
@@ -2442,6 +2512,85 @@ object Pipeline {
       .orderBy("split", "shard_id")
   }
 
+  // ---------------------------------------------------------------- px126
+  /** CDF-PARITY update events, oracled end-to-end: run the px124
+    * full-grammar MERGE (conditional DELETE, split-shape UPDATE,
+    * conditional INSERT, NOT MATCHED BY SOURCE), then serve the
+    * row-level [[Lake.changeFeed]] of that ONE commit and aggregate it
+    * by change type. Delta-CDF semantics: the DELETE clause's rows feed
+    * `delete`; both update clauses feed `update_preimage` paired with
+    * `update_postimage` (the post-images ride as `AU`-tagged add files
+    * — no `_change_data` double-write); the INSERT clause feeds
+    * `insert`. The oracle recomputes every event class relationally —
+    * a feature store replaying this feed can now distinguish an update
+    * from a genuine delete+insert pair. */
+  private def px126(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px126_lake")
+    val docs = Tables(spark, dir, "documents")
+    val sharded = hashSplit(docs, "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    val matchedSrc = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 21 === 0, lit(-1000L))
+          .otherwise(col("doc_id") % 100).as("score"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val newSrc = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 30000000L).as("doc_id"),
+        (col("doc_id") % 50 - 10).as("score"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    matchedSrc.unionByName(newSrc).createOrReplaceTempView("px126_src")
+    spark.sql("DROP TABLE IF EXISTS px126_corpus")
+    spark.sql(s"CREATE TABLE px126_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try spark.sql(
+      """MERGE INTO px126_corpus t USING px126_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND s.score < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.score
+        |WHEN NOT MATCHED AND s.score >= 0 THEN
+        |  INSERT (doc_id, text, lang, source, n_chars, split, shard_id)
+        |  VALUES (s.doc_id, s.text, s.lang, s.source, s.n_chars, 'test',
+        |          CAST(s.doc_id % 4 AS INT))
+        |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 97 = 0 THEN
+        |  UPDATE SET n_chars = t.n_chars + 7""".stripMargin)
+    finally spark.sql("DROP TABLE IF EXISTS px126_corpus")
+    Lake.changeFeed(spark, out, 1L, 2L)
+      .groupBy("_change_type", "split")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("_change_type"), col("split"), col("n_rows"), col("sum_chars"))
+      .orderBy("_change_type", "split")
+  }
+
+  private val px126Oracle =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE
+      |      WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |      WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents),
+      |events AS (
+      |  SELECT 'delete' AS _change_type, split, n_chars
+      |  FROM base WHERE doc_id % 21 = 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', split, n_chars
+      |  FROM base WHERE doc_id % 7 = 0 AND doc_id % 21 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', split, n_chars + (doc_id % 100)
+      |  FROM base WHERE doc_id % 7 = 0 AND doc_id % 21 <> 0
+      |  UNION ALL
+      |  SELECT 'update_preimage', split, n_chars
+      |  FROM base WHERE doc_id % 97 = 0 AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT 'update_postimage', split, n_chars + 7
+      |  FROM base WHERE doc_id % 97 = 0 AND doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT 'insert', 'test', n_chars
+      |  FROM documents WHERE doc_id % 13 = 0 AND (doc_id % 50 - 10) >= 0)
+      |SELECT _change_type, split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM events GROUP BY 1, 2 ORDER BY _change_type, split""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2692,5 +2841,6 @@ object Pipeline {
     GraftQuery("px122_lake_repartition", px122, Some(px100Oracle)),
     GraftQuery("px123_lake_check_constraint", px123, Some(px100Oracle)),
     GraftQuery("px124_lake_merge_grammar", px124, Some(px124Oracle)),
-    GraftQuery("px125_lake_layout_evolution", px125, Some(px100Oracle)))
+    GraftQuery("px125_lake_layout_evolution", px125, Some(px100Oracle)),
+    GraftQuery("px126_lake_cdf_update_events", px126, Some(px126Oracle)))
 }

@@ -200,6 +200,17 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
         s"graft-lake: version ${st.version} mixes ${gens.size} partition-layout " +
           "generations (evolveLayout) — read via Lake.read / a session with the " +
           "graft extensions, or compactLake to fold the generations")
+    // partCols is the RECORDED write layout (st.layout); right after an
+    // evolveLayout — before any new-generation file lands — the single
+    // live generation still spells the OLD layout, and decoding its
+    // paths against partCols would silently yield nulls / misparsed
+    // segments. Same remedy as the mixed case.
+    if (gens.headOption.exists(_ != partCols))
+      throw new UnsupportedOperationException(
+        s"graft-lake: version ${st.version}'s live files spell layout " +
+          s"[${gens.head.mkString(",")}] but the declared write layout is " +
+          s"[${partCols.mkString(",")}] (evolveLayout pending relayout) — read " +
+          "via Lake.read / a session with the graft extensions, or compactLake")
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)

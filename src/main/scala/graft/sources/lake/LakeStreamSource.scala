@@ -14,6 +14,7 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFil
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.Lake
@@ -227,8 +228,6 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   // rows are positional, so only the reader factory needs the mapping
   private val physByLogical: Map[String, String] =
     startSchema.map(f => f.name -> Lake.physicalName(f)).toMap
-  private val physDataSchema = StructType(dataSchema.map(f =>
-    f.copy(name = physByLogical.getOrElse(f.name, f.name))))
 
   private def retainedVersions(): Seq[Long] = {
     val root = new Path(lakeDir)
@@ -327,6 +326,12 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     * constants when in `readChangeFeed` mode. */
   private case class PlannedFile(relPath: String, strip: Int,
       changeType: String, version: Long,
+      /** The partition layout this file's OWN path spells (after
+        * `strip`) — each file decodes under its own layout generation,
+        * so a range spanning an [[graft.operators.Lake.evolveLayout]]
+        * (or a repartitionLake) streams exactly instead of refusing at
+        * the boundary. */
+      gen: Seq[String],
       /** Row positions to SKIP while decoding — a restore's files with
         * deletion vectors involved stream minus their tombstoned rows
         * (those rows' events were already emitted at their own delete
@@ -334,30 +339,46 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         * for the planner's distinct. */
       skip: Seq[Long] = Seq.empty)
 
+  /** The `col=value` directory layout `relPath` spells after its first
+    * `strip` segments, names unescaped with the same device that
+    * escaped them at write time ([[ExternalCatalogUtils]]) — so a
+    * partition column whose name needs path escaping still matches. */
+  private def genOf(relPath: String, strip: Int): Seq[String] =
+    relPath.split('/').drop(strip).dropRight(1).toSeq.map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"not a partition directory segment in $relPath: $seg")
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.take(eq))
+    }
+
+  /** The (footer, path) schema split of one layout generation: a
+    * generation's partition columns decode from its paths, everything
+    * else from footers — fixed PER FILE, not per stream, which is what
+    * lets one running stream serve mixed generations. The synthetic
+    * feed columns ride in the partition schema as per-file constants. */
+  private def genPartSchema(gen: Seq[String]): StructType =
+    StructType(fullSchema.filter(f =>
+      gen.contains(f.name) || synthCols.contains(f.name)))
+  private def genDataSchema(gen: Seq[String]): StructType =
+    StructType(fullSchema.filterNot(f =>
+      gen.contains(f.name) || synthCols.contains(f.name)))
+
   /** Typed partition values parsed back from a file's directory path —
     * the inverse of [[Lake.partitionDir]]'s rendering, cast through the
     * same Catalyst device so types round-trip — plus the synthetic feed
     * constants for the fields that ask for them. */
   private def partitionValues(pf: PlannedFile): InternalRow = {
     val segs = pf.relPath.split('/').drop(pf.strip).dropRight(1)
-    require(segs.length == partCols.length,
-      s"file ${pf.relPath} does not match the ${partCols.length}-level partition layout")
-    val values = partSchema.fields.map { field =>
+    // indexed against the file's OWN path-spelled layout (pf.gen derives
+    // from these very segments, unescaped), so the row matches the
+    // per-generation partition schema its reader factory was built with
+    val values = genPartSchema(pf.gen).fields.map { field =>
       field.name match {
         case ChangeTypeCol => UTF8String.fromString(pf.changeType)
         case CommitVersionCol => pf.version
         case name =>
-          val seg = segs(partCols.indexOf(name))
+          val seg = segs(pf.gen.indexOf(name))
           val eq = seg.indexOf('=')
-          // the level must SPELL the expected column: a same-depth layout
-          // change ([[graft.operators.Pipeline.repartitionLake]] with
-          // reordered/renamed partition columns) would otherwise decode
-          // another column's values silently
-          require(eq > 0 && seg.substring(0, eq) == name,
-            s"graft-lake-cdc: file ${pf.relPath}: directory level '$seg' does not " +
-              s"spell partition column '$name' — the lake's partition layout " +
-              "changed mid-stream (repartitionLake); restart the stream to pick " +
-              "up the new layout")
           val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .unescapePathName(seg.drop(eq + 1))
           if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
@@ -384,12 +405,20 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     val known = startSchema.map(f => Lake.physicalName(f) -> f.dataType).toMap
     val beyond = theirs.filterNot(f =>
       known.get(Lake.physicalName(f)).contains(f.dataType))
-    if (beyond.nonEmpty)
+    // a PURE NULLABLE ADD is representable to a running consumer: the
+    // new column simply isn't in this stream's declared schema yet —
+    // in-range files carrying it decode their projection fine, and a
+    // RESTART picks up the widened schema (pre-add versions then decode
+    // the column as null). The Delta schema-tracking pattern. Retypes
+    // (a known physical name at a different type) still refuse loudly.
+    val breaking = beyond.filterNot(f =>
+      !known.contains(Lake.physicalName(f)) && f.nullable)
+    if (breaking.nonEmpty)
       throw new IllegalStateException(
         s"graft-lake-cdc: version $v evolved the lake schema beyond this stream's " +
-          s"start-time schema (new/retyped: ${beyond.map(_.name).mkString(", ")}) — " +
+          s"start-time schema (retyped: ${breaking.map(_.name).mkString(", ")}) — " +
           "restart the stream to pick up the evolved schema; decoding would silently " +
-          "drop the new columns")
+          "misread the retyped columns")
   }
 
   /** The files versions `(s, e]` contribute, with their feed tags. */
@@ -415,20 +444,13 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         else if (Lake.DataAddingActions.contains(d.action)) d.added.map(_._1)
         else d.added.map(_._1).filterNot(d.rewrites)
       insertFiles.foreach { f =>
-        // the stream decodes ONE layout generation (partition values
-        // index into the start-time partCols): a file from another
-        // generation (evolveLayout) refuses loudly — restart the
-        // stream past the boundary, or consume via the batch
-        // changeFeed (it unions generations exactly)
-        val gen = f.split('/').dropRight(1).toSeq.map(_.takeWhile(_ != '='))
-        if (gen != partCols)
-          throw new IllegalStateException(
-            s"graft-lake-cdc: version $v added $f under layout " +
-              s"[${gen.mkString(", ")}] but this stream decodes " +
-              s"[${partCols.mkString(", ")}] — the partition layout evolved " +
-              "mid-range (evolveLayout/repartitionLake); restart the stream, or " +
-              "consume this range with the batch Lake.changeFeed")
-        out += PlannedFile(f, 0, "insert", v, reAttachSkips.getOrElse(f, Seq.empty))
+        // each file decodes under its OWN path-spelled layout generation
+        // (genOf), so a range spanning an evolveLayout/repartitionLake
+        // streams exactly — no boundary refusal. CDF parity: an
+        // update/merge commit's `AU` files hold update POST-IMAGES.
+        val tpe = if (!restore && d.postImages(f)) "update_postimage" else "insert"
+        out += PlannedFile(f, 0, tpe, v, genOf(f, 0),
+          reAttachSkips.getOrElse(f, Seq.empty))
       }
       if (cdcMode) {
         // EXACTLY-ONCE deletes under raced same-row tombstones — the
@@ -443,7 +465,11 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         // resurrected a row cleared its vector from state v-1, so a
         // genuine re-delete still streams. Legacy sidecars without
         // lineage columns read them as NULL and match nothing.
-        val deleteDirs = d.cdcFiles.collect { case (dir, "delete") => dir }
+        // update_preimage sidecars get the same spuriousness rule: a
+        // raced sparse update whose row was already tombstoned in state
+        // v-1 re-carries that row's pre-image
+        val deleteDirs = d.cdcFiles.collect {
+          case (dir, t) if t == "delete" || t == "update_preimage" => dir }
         val spuriousSkips: Map[String, Seq[Long]] =
           if (deleteDirs.isEmpty) Map.empty
           else {
@@ -486,7 +512,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
             val f = it.next().getPath
             if (f.getName.endsWith(".parquet")) {
               val rel = Lake.relativize(qroot, fs.makeQualified(f))
-              out += PlannedFile(rel, strip, tpe, v,
+              out += PlannedFile(rel, strip, tpe, v, genOf(rel, strip),
                 spuriousSkips.getOrElse(rel, Seq.empty))
             }
           }
@@ -504,7 +530,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
             .map(f => f -> pre.dvs(f)).toMap
           val removedSkips = loadSkips(spark, qroot, preAttach, v)
           d.removed.foreach(f =>
-            out += PlannedFile(f, 0, "delete", v, removedSkips.getOrElse(f, Seq.empty)))
+            out += PlannedFile(f, 0, "delete", v, genOf(f, 0),
+              removedSkips.getOrElse(f, Seq.empty)))
         }
       }
     }
@@ -560,49 +587,87 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         org.apache.spark.paths.SparkPath.fromPath(fst.getPath),
         0L, fst.getLen, Array.empty[String], fst.getModificationTime, fst.getLen)
     }
+    // ONE decode bundle per layout generation in this batch: the parquet
+    // reader factory requesting exactly the footer columns that
+    // generation stores, plus the permutation mapping its
+    // (data ++ partition) output layout onto the stream's DECLARED
+    // schema (fixed at start — a demoted partition column reads from
+    // footers, a promoted one from paths, either way emitted in the
+    // declared order). Bundles are built here ON THE DRIVER (broadcast
+    // conf) and ride IN the partitions — no shared planning-time state
+    // between planInputPartitions and the factory.
+    val declared = dataSchema.fields ++ partSchema.fields
+    val decodes: Map[Seq[String], LakeGenDecode] =
+      planned.map(_.gen).distinct.map { gen =>
+        val pd = genDataSchema(gen)
+        val phys = StructType(pd.map(f =>
+          f.copy(name = physByLogical.getOrElse(f.name, f.name))))
+        val ps = genPartSchema(gen)
+        val innerSchema = StructType(pd.fields ++ ps.fields)
+        val perm = declared.map(f => innerSchema.fieldIndex(f.name))
+        gen -> LakeGenDecode(LakeParquetRead.readerFactory(spark, phys, ps),
+          if (perm.zipWithIndex.forall { case (p, i) => p == i }) None else Some(perm),
+          innerSchema)
+      }.toMap
     // bin-pack into FilePartitions exactly as Spark's own file sources
-    // do: a catch-up batch over a version that added 10k small files
-    // schedules ~totalBytes/maxPartitionBytes tasks, never 10k.
-    // Skip-bearing files (a restore's DV-involved files) ride UNSPLIT in
-    // their own partitions — position counting needs one in-order reader
+    // do — PER GENERATION (one FilePartition's files must share a
+    // partition-values schema): a catch-up batch over a version that
+    // added 10k small files schedules ~totalBytes/maxPartitionBytes
+    // tasks, never 10k. Skip-bearing files (a restore's DV-involved
+    // files) ride UNSPLIT in their own partitions — position counting
+    // needs one in-order reader
     val (skippy, plain) = planned.partition(_.skip.nonEmpty)
-    val packed = FilePartition.getFilePartitions(spark, plain.map(partitioned),
-      spark.sessionState.conf.filesMaxPartitionBytes)
-    val skipParts: Seq[InputPartition] = skippy.zipWithIndex.map { case (pf, i) =>
-      LakeSkipPartition(
-        FilePartition(packed.length + i, Array(partitioned(pf))), pf.skip)
+    // row mode is BATCH-wide (Spark refuses mixed row/columnar
+    // partitions within one batch): any skip partition, or any
+    // generation whose factory cannot decode columnar, puts the whole
+    // batch in row mode; the common single-generation DV-free batch
+    // keeps the vectorized decode
+    val packedByGen = plain.groupBy(_.gen).toSeq.sortBy(_._1.mkString(","))
+      .map { case (gen, pfs) =>
+        (decodes(gen), FilePartition.getFilePartitions(spark, pfs.map(partitioned),
+          spark.sessionState.conf.filesMaxPartitionBytes))
+      }
+    val rowMode = skippy.nonEmpty || packedByGen.exists { case (dec, fps) =>
+      fps.exists(fp => !dec.inner.supportColumnarReads(fp)) }
+    var idx = -1
+    def nextIdx(): Int = { idx += 1; idx }
+    val packed: Seq[InputPartition] = packedByGen.flatMap { case (dec, fps) =>
+      fps.map(fp => LakeBatchPartition(
+        FilePartition(nextIdx(), fp.files), rowMode, dec): InputPartition)
     }
-    // Spark refuses MIXED row/columnar partitions within one batch, so
-    // the presence of ANY skip partition puts the whole batch in row
-    // mode; DV-free batches (the overwhelming majority) keep the
-    // vectorized decode. The mode rides IN each partition (no shared
-    // planning-time state between planInputPartitions and the factory).
-    val rowMode = skipParts.nonEmpty
-    (packed.map(fp => LakeBatchPartition(fp, rowMode): InputPartition)
-      ++ skipParts).toArray
+    val skipParts: Seq[InputPartition] = skippy.map { pf =>
+      LakeSkipPartition(
+        FilePartition(nextIdx(), Array(partitioned(pf))), pf.skip, decodes(pf.gen))
+    }
+    (packed ++ skipParts).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val inner = LakeParquetRead.readerFactory(spark, physDataSchema, partSchema)
+  override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
+      // each partition carries its generation's decode bundle; the
+      // factory is a pure dispatcher (nothing planning-time captured)
       override def supportColumnarReads(p: InputPartition): Boolean = p match {
-        case LakeBatchPartition(fp, rowMode) =>
-          !rowMode && inner.supportColumnarReads(fp)
-        case _: LakeSkipPartition => false
-        case p => inner.supportColumnarReads(p)
+        case LakeBatchPartition(fp, rowMode, dec) =>
+          !rowMode && dec.inner.supportColumnarReads(fp)
+        case _ => false
       }
       override def createColumnarReader(p: InputPartition) = p match {
-        case LakeBatchPartition(fp, _) => inner.createColumnarReader(fp)
-        case p => inner.createColumnarReader(p)
+        case LakeBatchPartition(fp, _, dec) =>
+          val base = dec.inner.createColumnarReader(fp)
+          dec.perm.fold(base)(new PermutingColumnarReader(base, _))
+        case p => throw new UnsupportedOperationException(s"columnar read of $p")
       }
       override def createReader(p: InputPartition) = p match {
-        case LakeBatchPartition(fp, _) => inner.createReader(fp)
-        case LakeSkipPartition(fp, skip) =>
-          new PositionSkipReader(inner.createReader(fp), skip.toArray)
-        case p => inner.createReader(p)
+        case LakeBatchPartition(fp, _, dec) =>
+          val base = dec.inner.createReader(fp)
+          dec.perm.fold(base)(new ReorderingReader(base, _, dec.innerSchema))
+        case LakeSkipPartition(fp, skip, dec) =>
+          val base = dec.perm.fold(dec.inner.createReader(fp))(
+            new ReorderingReader(dec.inner.createReader(fp), _, dec.innerSchema))
+          new PositionSkipReader(base, skip.toArray)
+        case p => throw new UnsupportedOperationException(s"row read of $p")
       }
     }
-  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -628,14 +693,43 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   * state. */
 private[lake] final case class LakeBatchPartition(
     files: org.apache.spark.sql.execution.datasources.FilePartition,
-    rowMode: Boolean)
+    rowMode: Boolean,
+    decode: LakeGenDecode)
     extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
 private[lake] final case class LakeSkipPartition(
     files: org.apache.spark.sql.execution.datasources.FilePartition,
-    skip: Seq[Long])
+    skip: Seq[Long],
+    decode: LakeGenDecode)
     extends org.apache.spark.sql.connector.read.InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** One layout generation's decode bundle, built at PLANNING time on the
+  * driver (the parquet factory needs a broadcast conf) and shipped in
+  * each of the generation's partitions: `inner` requests exactly the
+  * footer columns the generation stores; `perm` (None = identity)
+  * reorders the factory's (data ++ partition) output layout onto the
+  * stream's declared schema; `innerSchema` is that emitted layout, the
+  * type source for the executor-built projection. */
+private[lake] final case class LakeGenDecode(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    perm: Option[Array[Int]],
+    innerSchema: StructType)
+
+/** Columnar twin of [[ReorderingReader]]: permutes the batch's column
+  * vectors into the declared order — zero copy, the vectorized decode
+  * survives a cross-generation batch. */
+private[lake] final class PermutingColumnarReader(
+    inner: org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch],
+    perm: Array[Int])
+    extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
+  override def next(): Boolean = inner.next()
+  override def get(): ColumnarBatch = {
+    val b = inner.get()
+    new ColumnarBatch(perm.map(b.column), b.numRows())
+  }
+  override def close(): Unit = inner.close()
 }

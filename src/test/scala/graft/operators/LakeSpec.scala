@@ -992,11 +992,13 @@ class LakeSpec extends SparkTestBase {
       assert(h.getString(2) == "update" && h.getInt(5) == 0,
         "the SQL UPDATE must land sparse: zero files removed")
       assert(h.getAs[Int]("n_dv_attached") > 0 && h.getAs[Int]("n_cdc_files") == 1)
-      // the feed sees delete(pre-image) + insert(post-image)
+      // CDF parity: the feed pairs update_preimage with update_postimage
       val feed = Lake.changeFeed(spark, out, 0L, 1L)
-      assert(feed.filter(col("_change_type") === "delete").count() == 5)
-      assert(feed.filter(col("_change_type") === "insert" &&
+      assert(feed.filter(col("_change_type") === "update_preimage").count() == 5)
+      assert(feed.filter(col("_change_type") === "update_postimage" &&
         col("text").endsWith("!")).count() == 5)
+      assert(feed.filter(col("_change_type").isin("delete", "insert")).count() == 0,
+        "an update is neither a delete nor an insert in the feed")
       // an update that MOVES a row across partitions
       spark.sql("UPDATE sqlupd SET split = 'test' WHERE doc_id = 1")
       val moved = Lake.read(spark, out).filter(col("doc_id") === 1L)
@@ -1849,10 +1851,16 @@ class LakeSpec extends SparkTestBase {
       assert(h.getString(2) == "merge" && h.getInt(5) == 0 &&
         h.getAs[Int]("n_dv_attached") > 0,
         s"the general merge must land as one sparse commit, got $h")
-      // the feed sees exactly the touched pre-images as deletes
-      assert(Lake.changeFeed(spark, out, 0L, 1L)
-        .filter(col("_change_type") === "delete")
-        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L, 7L, 38L, 39L))
+      // CDF parity: the delete clause's pre-image feeds as delete; the
+      // update clauses' pre-images as update_preimage, their post-images
+      // as update_postimage; the insert clause as insert
+      val feed0 = Lake.changeFeed(spark, out, 0L, 1L)
+      def idsOf(t: String) = feed0.filter(col("_change_type") === t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idsOf("delete") == Set(7L), "only the DELETE clause feeds delete")
+      assert(idsOf("update_preimage") == Set(5L, 38L, 39L))
+      assert(idsOf("update_postimage") == Set(5L, 38L, 39L))
+      assert(idsOf("insert") == Set(100L))
       // an unassigned nullable column lands NULL on insert (SQL default)
       spark.sql("""MERGE INTO gm t USING gm_src s ON t.doc_id = s.doc_id + 900
         WHEN NOT MATCHED AND s.doc_id = 100 THEN
@@ -1988,7 +1996,7 @@ class LakeSpec extends SparkTestBase {
     assert(e2.getMessage.contains("already the write layout"))
   }
 
-  test("evolveLayout: the CDC stream refuses a range spanning the generation boundary; the batch feed serves it") {
+  test("evolveLayout: one RUNNING CDC stream spans generation boundaries; its rows equal the batch feed") {
     val out = freshDir("lake-evolve-stream")
     writePlain(fixture(), out)
     Lake.adopt(spark, out)                                                    // v0
@@ -1999,21 +2007,36 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.changeFeed(spark, out, 0L, 2L)
       .filter(col("_change_type") === "insert")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L))
-    // a stream from earliest must decode gen0 files under a (split)
-    // layout — refuse loudly, naming the way out
+    // each file decodes under its OWN path-spelled layout: gen0 files
+    // read shard_id from paths, gen1 files read it from footers — one
+    // stream serves both, and KEEPS RUNNING across a further evolve
     val ckpt = java.nio.file.Files.createTempDirectory("evolve-ck").toString
     val q = spark.readStream.format("graft-lake-cdc")
       .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
       .load(out)
       .writeStream.format("memory").queryName("evolve_tail")
       .option("checkpointLocation", ckpt)
       .start()
-    val e = intercept[Throwable] {
-      try q.processAllAvailable() finally q.stop()
-    }
-    assert(Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
-      .flatMap(t => Option(t.getMessage)).mkString(" ").contains("layout evolved"),
-      s"the stream must refuse across the generation boundary, got: ${e.getMessage}")
+    try {
+      q.processAllAvailable()
+      // a SECOND boundary lands while the stream is live
+      Lake.evolveLayout(spark, out, Seq("shard_id"))                          // v3
+      Lake.append(spark, out,
+        Seq((200L, "doc 200", "val", 2)).toDF("doc_id", "text", "split", "shard_id")) // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split", "shard_id", "_change_type", "_commit_version")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+        .toSet
+    val got = keyed(spark.table("evolve_tail"))
+    val want = keyed(Lake.changeFeed(spark, out, -1L, 4L))
+    assert(got == want,
+      s"the stream must equal the batch feed across both boundaries; " +
+        s"missing=${want -- got}, extra=${got -- want}")
+    assert(got.exists(_._1 == 100L) && got.exists(_._1 == 200L))
   }
 
   test("vectorized MoR: self-joins and lake-to-lake joins of DV-bearing lakes answer exactly") {
@@ -2062,5 +2085,58 @@ class LakeSpec extends SparkTestBase {
     val c = Lake.read(spark, out).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(c.size == 41 && c(100L) == "doc 100" && c(5L) == "patched 5")
+  }
+
+  test("changeFeed folds the prior state forward: log reads stay O(range + checkpoint interval)") {
+    val out = freshDir("lake-feed-fold")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    val k = 8
+    (0 until k).foreach(i =>
+      Pipeline.deleteFromLakeSparse(spark, out, Seq(i.toLong).toDF("doc_id"), "doc_id"))
+    val before = Lake.logReads.get()
+    val feed = Lake.changeFeed(spark, out, 0L, k.toLong)
+    val driverReads = Lake.logReads.get() - before
+    // budget: one stateAt for `to`, one for `from` (≤ checkpoint-interval
+    // deltas + a checkpoint each), one delta per in-range version — and
+    // NOTHING per delete-bearing version (the old per-version stateAt
+    // paid ~interval reads for each of the k deletes)
+    val budget = k + 2 * (Lake.CheckpointInterval + 2) + 2
+    assert(driverReads <= budget,
+      s"changeFeed planning read $driverReads log files for a $k-version range " +
+        s"(budget $budget) — the prior-state fold regressed")
+    assert(feed.filter(col("_change_type") === "delete").count() == k.toLong,
+      "the folded feed still serves every delete exactly once")
+  }
+
+  test("raced same-row sparse UPDATES: the update_preimage feeds exactly once (same rule as deletes)") {
+    val out = freshDir("lake-upd-race-dedup")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out) // v0
+    // the production sidecar shape, typed update_preimage: both writers
+    // claim doc 3's pre-image from the same base (raced sparse updates)
+    def stageUpd(idSet: Set[Long]) = {
+      val base = Lake.adopt(spark, out)
+      val lineage = Lake.readFilesWithLineage(spark, out, base.schemaJson,
+        base.files, base.dvs)
+      val matched = lineage.filter(col("doc_id").isInCollection(idSet.toSeq))
+      val cdcPath = Lake.stageCdc(spark, out, matched, Seq("split", "shard_id"))
+      val (sidecar, n, files) = Lake.stageDv(spark, out,
+        matched.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+      (base, n, files.map(f => f -> Seq(sidecar)).toMap,
+        Seq((cdcPath, "update_preimage")))
+    }
+    val (bA, nA, dvA, cdcA) = stageUpd(Set(3L))
+    val (bB, nB, dvB, cdcB) = stageUpd(Set(3L, 6L))
+    Lake.publish(spark, Lake.StagedCommit(out, bA, "update", bA.schemaJson,
+      Seq.empty, Seq.empty, nA, nA, dvAdds = dvA, cdcFiles = cdcA))           // v1
+    Lake.publish(spark, Lake.StagedCommit(out, bB, "update", bB.schemaJson,
+      Seq.empty, Seq.empty, nB, nB, dvAdds = dvB, cdcFiles = cdcB))           // v2
+    val ev = Lake.changeFeed(spark, out, 0L, 2L)
+      .filter(col("_change_type") === "update_preimage")
+      .select("doc_id", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(ev == Seq((3L, 1L), (6L, 2L)),
+      s"raced update pre-images must emit exactly once each, got $ev")
   }
 }

@@ -173,18 +173,22 @@ class LakeStreamSpec extends SparkTestBase {
     val ev = feed13.select("doc_id", "text", "_change_type", "_commit_version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     assert(ev == Set(
-      (2L, "doc 2", "delete", 2L),            // the rewrite-delete's pre-image
-      (5L, "doc 5", "delete", 3L),            // the upsert's pre-image...
-      (5L, "patched 5", "insert", 3L),        // ...and its post-image
-      (50L, "doc 50", "insert", 3L)),
+      (2L, "doc 2", "delete", 2L),                      // the rewrite-delete's pre-image
+      (5L, "doc 5", "update_preimage", 3L),             // the upsert's pre-image...
+      (5L, "patched 5", "update_postimage", 3L),        // ...and its post-image
+      (50L, "doc 50", "insert", 3L)),                   // the genuinely-new row
       s"row-level events must be exact, got $ev")
     Lake.restore(spark, out, 1L)                                                 // v4: undo everything
     // THE net-convergence property: a mirror replaying the full feed
-    // (inserts exceptAll deletes, multiset semantics) equals the lake
+    // (row-adding events exceptAll row-removing events, multiset
+    // semantics — update_postimage adds, update_preimage removes)
+    // equals the lake
     val feed = Lake.changeFeed(spark, out, 0L, 4L)
     val dataCols = Lake.read(spark, out).columns.map(col).toSeq
-    val mirror = feed.filter(col("_change_type") === "insert").select(dataCols: _*)
-      .exceptAll(feed.filter(col("_change_type") === "delete").select(dataCols: _*))
+    val mirror = feed.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(dataCols: _*)
+      .exceptAll(feed.filter(col("_change_type").isin("delete", "update_preimage"))
+        .select(dataCols: _*))
     assert(mirror.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap ==
       Lake.read(spark, out).collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap,
       "replaying the change feed from scratch must reconstruct the lake exactly")
@@ -201,13 +205,13 @@ class LakeStreamSpec extends SparkTestBase {
       .select("doc_id", "text", "split", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
     assert(ev == Set(
-      (5L, "doc 5", "train", "delete"),
-      (5L, "patched 5", "train", "insert"),
+      (5L, "doc 5", "train", "update_preimage"),
+      (5L, "patched 5", "train", "update_postimage"),
       (60L, "doc 60", "train", "insert")),
-      s"sparse upserts must feed delete+insert pairs, got $ev")
+      s"sparse upserts must feed update pre/post-image pairs plus inserts, got $ev")
   }
 
-  test("mid-stream schema evolution fails the batch loudly; narrower historical schemas decode fine") {
+  test("mid-stream additive evolution: a running stream continues through a nullable ADD; a restart widens") {
     val base = java.nio.file.Files.createTempDirectory("lakecdcevolve").toString
     val out = s"$base/lake"
     Lake.init(spark, fixture(0 until 5), out, Seq("split", "shard_id"))          // v1
@@ -220,15 +224,16 @@ class LakeStreamSpec extends SparkTestBase {
     try {
       q.processAllAvailable()
       assert(spark.table("lake_evolve").count() == 5)
-      // evolve the lake under the running stream: a new column lands
+      // a PURE NULLABLE ADD lands under the running stream: the batch
+      // CONTINUES — the new column simply isn't in this stream's
+      // declared schema until a restart (Delta's schema-tracking shape)
       Pipeline.appendToLake(spark, out,
         fixture(10 until 12).withColumn("lang", lit("en")), mergeSchema = true)  // v2
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      assert(e.getMessage.contains("evolved the lake schema") ||
-        Option(e.getCause).exists(_.getMessage.contains("evolved the lake schema")),
-        s"the batch must fail NAMING the evolution, got: ${e.getMessage}")
+      q.processAllAvailable()
+      val live = spark.table("lake_evolve")
+      assert(live.count() == 7, "the running stream must admit the post-add version")
+      assert(!live.columns.contains("lang"),
+        "the running stream keeps its start-time schema until restart")
     } finally q.stop()
     // a FRESH stream (start-time schema now includes the new column)
     // catches up across the historical evolution: v1's narrower files
@@ -246,7 +251,35 @@ class LakeStreamSpec extends SparkTestBase {
       assert(rows.filter(_.getAs[Long]("doc_id") < 5).forall(_.getAs[String]("lang") == null),
         "pre-evolution files must decode the new column as null")
       assert(rows.filter(_.getAs[Long]("doc_id") >= 10).forall(_.getAs[String]("lang") == "en"))
+      // an in-range nullable ADD keeps a running stream going too
+      Pipeline.appendToLake(spark, out,
+        fixture(20 until 21).withColumn("lang", lit("en"))
+          .withColumn("score", lit(1).cast("int")), mergeSchema = true)          // v3
+      q2.processAllAvailable()
+      assert(spark.table("lake_evolve2").count() == 8)
     } finally q2.stop()
+    // a RETYPE of a column the stream DECLARES still refuses loudly:
+    // this stream's start schema includes score:int; the widen to long
+    // lands in range and the batch fails naming the retype
+    val q3 = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_evolve3")
+      .option("checkpointLocation", s"$base/ck3")
+      .start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("lake_evolve3").count() == 8)
+      Lake.widenColumn(spark, out, "score", org.apache.spark.sql.types.LongType) // v4
+      Pipeline.appendToLake(spark, out, fixture(30 until 31)
+        .withColumn("lang", lit("en")).withColumn("score", lit(2L)))             // v5
+      val eW = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(eW.getMessage.contains("retyped") ||
+        Option(eW.getCause).exists(_.getMessage.contains("retyped")),
+        s"a widen in range must refuse naming the retype, got: ${eW.getMessage}")
+    } finally q3.stop()
   }
 
   test("startingTimestamp: the stream replays every commit at or after the asked-for wall-clock") {

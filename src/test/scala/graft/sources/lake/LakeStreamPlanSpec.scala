@@ -37,7 +37,7 @@ class LakeStreamPlanSpec extends SparkTestBase {
     assert(parts.length < nFiles / 4,
       s"$nFiles small files must bin-pack into few FilePartitions, got ${parts.length}")
     val plannedFiles = parts.map {
-      case LakeBatchPartition(fp, _) => fp.files.length
+      case LakeBatchPartition(fp, _, _) => fp.files.length
       case p => p.asInstanceOf[FilePartition].files.length
     }.sum
     assert(plannedFiles == nFiles, "bin-packing must not drop or duplicate a file")
