@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, count, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, date_format, hash, lit, max, min, pmod, substring}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
 /** Manifest-resolved lake storage: the write-audit-publish commit protocol
@@ -879,9 +879,10 @@ object Lake {
         s"dropColumn: no column '$name' in the lake schema " +
           s"(${visible(schema).fieldNames.mkString(", ")})"))
     require(!isDropped(field), s"dropColumn: column '$name' is already dropped")
-    require(!partitionColsOf(base).contains(name),
-      s"dropColumn: '$name' is a partition column — its name is baked into every " +
-        "directory path; dropping it means a physical relayout, not a metadata commit")
+    require(!layoutFieldsOf(base).exists(_.source == name),
+      s"dropColumn: '$name' is a partition column or transform source — its name is " +
+        "baked into the layout; dropping it means a physical relayout, not a " +
+        "metadata commit")
     require(visible(schema).size > 1,
       s"dropColumn: '$name' is the last visible column")
     val newSchema = StructType(schema.map { f =>
@@ -924,10 +925,11 @@ object Lake {
         (if (schema.find(_.name == newName).exists(isDropped))
           " (as a dropped-column tombstone — old files still hold values under it)"
          else ""))
-    require(!partitionColsOf(base).contains(oldName),
-      s"renameColumn: '$oldName' is a partition column — its name is baked into " +
-        "every directory path; renaming it means a physical relayout (compactLake " +
-        "into a new lake), not a metadata commit")
+    require(!layoutFieldsOf(base).exists(_.source == oldName),
+      s"renameColumn: '$oldName' is a partition column or transform source — its " +
+        "name is baked into the layout (directory paths / the recorded transform " +
+        "spec); renaming it means a physical relayout (compactLake into a new " +
+        "lake), not a metadata commit")
     val renamed = StructType(schema.map { f =>
       if (f.name == oldName) {
         val keepPhysical = physicalName(f) // chains of renames keep the ORIGINAL
@@ -960,17 +962,42 @@ object Lake {
       newPartitionCols: Seq[String]): Unit = {
     val base = adopt(spark, lakeDir)
     val schema = visible(DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
-    val missing = newPartitionCols.filterNot(schema.fieldNames.contains)
+    // entries are layout SPECS — identity names and/or Iceberg's
+    // transform grammar (days/hours/bucket/truncate); see [[LayoutField]]
+    val fields = newPartitionCols.map(parseLayoutField)
+    val missing = fields.map(_.source).filterNot(schema.fieldNames.contains)
     require(missing.isEmpty,
       s"evolveLayout: not visible lake column(s): ${missing.mkString(", ")} " +
         s"(visible: ${schema.fieldNames.mkString(", ")})")
-    require(newPartitionCols.distinct == newPartitionCols,
-      "evolveLayout: duplicate partition column(s)")
-    val current = partitionColsOf(base)
-    require(newPartitionCols != current,
+    require(fields.map(_.levelName).distinct.size == fields.size,
+      "evolveLayout: duplicate partition level(s)")
+    // a transform's level name must not shadow a schema column: readers
+    // decide "identity vs transform level" by schema membership
+    val shadowing = fields.filterNot(_.identity).map(_.levelName)
+      .filter(schema.fieldNames.contains)
+    require(shadowing.isEmpty,
+      s"evolveLayout: transform level name(s) ${shadowing.mkString(", ")} collide " +
+        "with lake column(s) — rename the column or choose another transform")
+    // source-type checks: the rendering must be well-defined
+    fields.filterNot(_.identity).foreach { f =>
+      val dt = schema(schema.fieldIndex(f.source)).dataType
+      f.kind match {
+        case "days" | "hours" =>
+          require(dt.typeName.startsWith("timestamp") || dt == org.apache.spark.sql.types.DateType,
+            s"evolveLayout: ${f.spec} needs a timestamp/date source, '${f.source}' is ${dt.simpleString}")
+        case "truncate" =>
+          require(dt == StringType || dt == LongType || dt == IntegerType ||
+            dt == ShortType || dt == ByteType,
+            s"evolveLayout: ${f.spec} needs a string or integral source, '${f.source}' is ${dt.simpleString}")
+        case _ => // bucket hashes any atomic type
+      }
+    }
+    val specs = fields.map(_.spec)
+    val current = layoutSpecsOf(base)
+    require(specs != current,
       s"evolveLayout: [${current.mkString(", ")}] is already the write layout")
     publish(spark, StagedCommit(lakeDir, base, "evolve", base.schemaJson,
-      Seq.empty, Seq.empty, 0L, 0L, layout = Some(newPartitionCols)))
+      Seq.empty, Seq.empty, 0L, 0L, layout = Some(specs)))
   }
 
   /** ADD COLUMN as a METADATA commit — with rename, drop and widen,
@@ -1034,10 +1061,10 @@ object Lake {
       throw new IllegalArgumentException(
         s"widenColumn: no column '$colName' in the lake schema " +
           s"(${visible(schema).fieldNames.mkString(", ")})"))
-    require(!partitionColsOf(base).contains(colName),
-      s"widenColumn: '$colName' is a partition column — its values are rendered " +
-        "into directory paths under the old type; widening it means a physical " +
-        "relayout, not a metadata commit")
+    require(!layoutFieldsOf(base).exists(_.source == colName),
+      s"widenColumn: '$colName' is a partition column or transform source — its " +
+        "values are rendered into directory paths under the old type; widening it " +
+        "means a physical relayout, not a metadata commit")
     require(widens(field.dataType, to),
       s"widenColumn: ${field.dataType.simpleString} -> ${to.simpleString} is not a " +
         "widening promotion the parquet readers decode natively (allowed: " +
@@ -1145,9 +1172,19 @@ object Lake {
       prune: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]]],
       withLineage: Boolean): DataFrame = {
     val generations = files.groupBy(layoutOfPath).toSeq.sortBy(_._1.mkString(","))
-    val frames = generations.map { case (_, gen) =>
+    val frames = generations.map { case (levels, gen) =>
       val reader = spark.read.option("basePath", root.toString)
-      val raw = (if (physical.nonEmpty) reader.schema(physical) else reader)
+      // TRANSFORM levels (directory names that are not schema columns —
+      // days/hours/bucket/truncate generations) must be declared to the
+      // partition discovery or it would refuse the unknown level:
+      // declare them as nullable strings, then project them away below.
+      // Their SOURCE columns read from the footers like any data column.
+      val extraLevels = levels.filterNot(physical.fieldNames.contains)
+      val readSchema =
+        if (physical.isEmpty) physical
+        else StructType(physical.fields ++ extraLevels.map(n =>
+          StructField(n, StringType, nullable = true)))
+      val raw = (if (physical.nonEmpty) reader.schema(readSchema) else reader)
         .parquet(gen.map(f => new Path(root, f).toString): _*)
       // an empty `physical` (schema-less bootstrap reads) keeps the
       // inferred columns — projecting an explicit empty list would
@@ -1396,7 +1433,7 @@ object Lake {
       if ((sc.action == "append" || sc.action == "update" || sc.action == "merge") &&
           sc.stagedFiles.nonEmpty && base.files.nonEmpty) {
         val ours = layoutOfPath(sc.stagedFiles.head)
-        val theirs = partitionColsOf(base)
+        val theirs = levelNamesOf(base) // path LEVEL names (transform-aware)
         if (ours != theirs) {
           val err = new IllegalStateException(
             s"commit refused: the lake's partition layout changed under this " +
@@ -1520,13 +1557,51 @@ object Lake {
   // Audit read-back with per-file column stats
   // ------------------------------------------------------------------
 
+  /** How many leading stats-comparable columns capture per-file min/max
+    * by DEFAULT when a write names no `statsCols` — the Delta Lake
+    * parity count (`dataSkippingNumIndexedCols = 32`): an adopted or
+    * naively-written lake gets file skipping without anyone asking. */
+  private[graft] val DefaultStatsCols = 32
+
+  /** Types [[pruneByStats]]' comparator can actually order — recording
+    * anything else is dead weight in the log. */
+  private def statsComparable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
+  /** Delta-parity STRING-stat truncation: a long string bound records as
+    * a 32-char prefix — the min as a plain prefix (<= every value it
+    * summarizes), the max with its last safely-incrementable char bumped
+    * (>= every value with that prefix), so pruning stays
+    * exactness-preserving while a 100 KB document body costs 32 chars of
+    * log, not 100 KB. Only chars below the surrogate range increment
+    * (codepoint order = UTF-8 byte order there, the order
+    * [[pruneByStats]] compares in); a max prefix with none records no
+    * stat for the column. */
+  private def truncatedBounds(mn: String, mx: String): Option[(String, String)] = {
+    val w = 32
+    val lo = if (mn.length <= w) mn else mn.take(w)
+    if (mx.length <= w) Some((lo, mx))
+    else {
+      val p = mx.take(w)
+      val i = p.lastIndexWhere(c => c < 0xD7FF.toChar)
+      if (i < 0) None else Some((lo, p.take(i) + (p(i) + 1).toChar))
+    }
+  }
+
   /** Read the staged files back ONCE, returning the total row count (the
     * audit expectation check) and per-file min/max of `statsCols` (the
     * delta's data-skipping stats — recorded so later appends can prune
     * the candidate file list before opening a single footer). One
     * aggregate grouped by `_metadata.file_path` computes both; the
     * per-file collect is bounded by the staged file count. Columns absent
-    * from the schema (pre-evolution mutations) are skipped. */
+    * from the schema (pre-evolution mutations) are skipped. An EMPTY
+    * `statsCols` defaults to the first [[DefaultStatsCols]]
+    * stats-comparable non-partition columns (path-resident columns'
+    * values are directory-derivable already); naming columns overrides
+    * the default entirely. */
   private[graft] def auditStaged(spark: SparkSession, lakeDir: String, schemaJson: String,
       stagedFiles: Seq[String], statsCols: Seq[String]): (Long, Map[String, Seq[ColStat]]) = {
     if (stagedFiles.isEmpty) return (0L, Map.empty)
@@ -1539,7 +1614,17 @@ object Lake {
       auditSchema.find(_.name == c).fold(c)(physicalName)
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
-    val valid = statsCols.filter(df.schema.fieldNames.contains).distinct
+    val effective =
+      if (statsCols.nonEmpty) statsCols
+      else {
+        // the staged paths themselves spell which columns are
+        // path-resident (zero extra I/O) — skip those levels
+        val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
+        df.schema.fields.iterator
+          .filter(f => statsComparable(f.dataType) && !pathLevels(f.name))
+          .map(_.name).take(DefaultStatsCols).toSeq
+      }
+    val valid = effective.filter(df.schema.fieldNames.contains).distinct
     val aggs = count(lit(1)).as("_n") +:
       valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
     val rows = df.groupBy(col("_metadata.file_path").as("_fp"))
@@ -1552,7 +1637,12 @@ object Lake {
       val st = valid.flatMap { c =>
         val (mn, mx) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
         if (mn == null || mx == null) None
-        else Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
+        else df.schema(c).dataType match {
+          case StringType =>
+            truncatedBounds(String.valueOf(mn), String.valueOf(mx))
+              .map { case (lo, hi) => ColStat(physOf(c), lo, hi) }
+          case _ => Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
+        }
       }
       if (st.nonEmpty) stats += (rel -> st)
     }
@@ -1613,7 +1703,74 @@ object Lake {
             cmp(b.dt, cs.min, String.valueOf(b.hi)).forall(_ <= 0)
           loOk && hiOk
       }
-    st.files.filter(f => bounds.forall(overlaps(f, _)))
+    // TRANSFORM-level path pruning (Iceberg-style partition pruning):
+    // a file whose path spells `<col>_day=V` / `<col>_hour=V` for a
+    // bounded timestamp/date column prunes when V falls outside the
+    // bound's rendered day/hour window — days/hours render FIXED-WIDTH
+    // sortable strings, so string comparison is chronological. Files
+    // without the level, and unrenderable bounds, keep the file
+    // (exactness-preserving like every pruning rule here).
+    def pathOverlaps(f: String, b: ColBound): Boolean = {
+      val dirs = f.split('/').dropRight(1)
+      if (dirs.isEmpty) true
+      else {
+        def unesc(s: String) = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(s)
+        val levels = dirs.iterator.flatMap { seg =>
+          val eq = seg.indexOf('=')
+          if (eq <= 0) Iterator.empty
+          else Iterator((unesc(seg.take(eq)), unesc(seg.drop(eq + 1))))
+        }.toMap
+        def check(suffix: String, kind: String): Boolean =
+          levels.get(b.col + suffix) match {
+            case None => true
+            case Some(v) =>
+              val loOk = b.lo == null ||
+                renderTimeTransform(kind, b.dt, b.lo).forall(v >= _)
+              val hiOk = b.hi == null ||
+                renderTimeTransform(kind, b.dt, b.hi).forall(v <= _)
+              loOk && hiOk
+          }
+        check("_day", "days") && check("_hour", "hours")
+      }
+    }
+    st.files.filter(f => bounds.forall(b => overlaps(f, b) && pathOverlaps(f, b)))
+  }
+
+  /** Driver-side rendering of a days/hours transform value for ONE
+    * bound endpoint — the same formula [[transformCol]]'s `date_format`
+    * writes (session time zone for zoned timestamps, wall-clock for
+    * NTZ/date). Accepts both internal (micros/days) and external
+    * (java.sql / java.time) endpoint representations — stat-derived and
+    * predicate-derived bounds arrive in either. None = unrenderable
+    * (keep the file). */
+  private def renderTimeTransform(kind: String, dt: DataType, v: Any): Option[String] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val pattern = if (kind == "days") "yyyy-MM-dd" else "yyyy-MM-dd-HH"
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val ldt: Option[java.time.LocalDateTime] = (dt, v) match {
+      case (_: org.apache.spark.sql.types.TimestampType, l: java.lang.Long) =>
+        Some(DateTimeUtils.microsToInstant(l).atZone(zone).toLocalDateTime)
+      case (_: org.apache.spark.sql.types.TimestampType, t: java.sql.Timestamp) =>
+        Some(DateTimeUtils.microsToInstant(DateTimeUtils.fromJavaTimestamp(t))
+          .atZone(zone).toLocalDateTime)
+      case (_: org.apache.spark.sql.types.TimestampType, i: java.time.Instant) =>
+        Some(i.atZone(zone).toLocalDateTime)
+      case (_: org.apache.spark.sql.types.TimestampNTZType, l: java.lang.Long) =>
+        Some(DateTimeUtils.microsToLocalDateTime(l))
+      case (_: org.apache.spark.sql.types.TimestampNTZType, l: java.time.LocalDateTime) =>
+        Some(l)
+      case (_: org.apache.spark.sql.types.DateType, i: java.lang.Integer) =>
+        Some(java.time.LocalDate.ofEpochDay(i.longValue()).atStartOfDay())
+      case (_: org.apache.spark.sql.types.DateType, d: java.sql.Date) =>
+        Some(d.toLocalDate.atStartOfDay())
+      case (_: org.apache.spark.sql.types.DateType, d: java.time.LocalDate) =>
+        Some(d.atStartOfDay())
+      case _ => None
+    }
+    ldt.map(fmt.format)
   }
 
   /** Single-column convenience form of [[pruneByStats]]. */
@@ -1635,12 +1792,17 @@ object Lake {
       if (files.isEmpty) df.schema.json
       else readFiles(spark, lakeDir, df.schema.json, files).schema.json
     val stats =
-      if (statsCols.isEmpty || files.isEmpty) Map.empty[String, Seq[ColStat]]
+      if (files.isEmpty) Map.empty[String, Seq[ColStat]]
       else auditStaged(spark, lakeDir, schemaJson, files, statsCols)._2
-    val post = LakeState(1L, schemaJson, files.sorted, stats)
+    // the init RECORDS its layout specs: a transform layout's levels
+    // (`ts_day=...`) must never be re-parsed off the paths as identity
+    // columns by the fallback
+    val specs = partitionCols.map(parseLayoutField(_).spec)
+    val post = LakeState(1L, schemaJson, files.sorted, stats, layout = Some(specs))
     commitDelta(spark, lakeDir,
       DeltaRecord(1L, "init", schemaJson,
-        files.map(f => f -> stats.getOrElse(f, Seq.empty)), Seq.empty),
+        files.map(f => f -> stats.getOrElse(f, Seq.empty)), Seq.empty,
+        layout = Some(specs)),
       Some(post))
     read(spark, lakeDir)
   }
@@ -1679,7 +1841,7 @@ object Lake {
     val expected = aligned.count()
     if (expected == 0) return
     enforceChecks(base, aligned)
-    val staged = stageWrite(spark, lakeDir, aligned, partitionColsOf(base))
+    val staged = stageWrite(spark, lakeDir, aligned, layoutSpecsOf(base))
     val (rows, stats) = auditStaged(spark, lakeDir, base.schemaJson, staged, Seq.empty)
     publish(spark, StagedCommit(lakeDir, base, "append", base.schemaJson,
       Seq.empty, staged, rows, expected, stats, txn = txn))
@@ -1718,9 +1880,15 @@ object Lake {
     val staging = new Path(new Path(root, StagingDirName), java.util.UUID.randomUUID().toString)
     // under a column mapping, files are SPELLED physical: rename the
     // frame's mapped logical columns before a byte lands
-    val out = mappingOf(spark, lakeDir).fold(df)(toPhysicalDf(df, _))
+    val out0 = mappingOf(spark, lakeDir).fold(df)(toPhysicalDf(df, _))
+    // `partitionCols` entries are layout SPECS: identity names partition
+    // directly (the column leaves the footers), transform fields render
+    // their derived level column first — the source column STAYS in the
+    // data files (Iceberg transform semantics). partitionBy drops only
+    // the derived level.
+    val (out, levelNames) = withLevelCols(out0, partitionCols)
     out.write.mode("overwrite").options(writeOptions)
-      .partitionBy(partitionCols: _*).parquet(staging.toString)
+      .partitionBy(levelNames: _*).parquet(staging.toString)
     val stagingQ = fs.makeQualified(staging)
     val moved = Seq.newBuilder[String]
     try {
@@ -1746,11 +1914,110 @@ object Lake {
     moved.result().sorted
   }
 
-  /** Partition column names of the lake's layout, parsed from a manifest
-    * file path (the layout is uniform by construction); empty for an
-    * unpartitioned lake. */
-  private[graft] def partitionColsOf(st: LakeState): Seq[String] =
+  // ------------------------------------------------------------------
+  // Partition transforms (Iceberg's spec-evolution grammar)
+  // ------------------------------------------------------------------
+
+  /** One field of a write layout — Iceberg's partition-transform
+    * grammar: a bare column name is IDENTITY (the column leaves the
+    * footers and lives in the path); `days(ts)` / `hours(ts)` /
+    * `bucket(n, col)` / `truncate(w, col)` render a DERIVED directory
+    * level (named `<col>_day` / `<col>_hour` / `<col>_bucket` /
+    * `<col>_trunc`) while the source column STAYS in the data files —
+    * so a 100 TB events lake can evolve its time grain as a metadata
+    * commit and every reader still finds `ts` in the footers.
+    * `levelName` is what the directory spells; [[layoutOfPath]] and
+    * generation matching speak level names throughout. */
+  private[graft] final case class LayoutField(spec: String, kind: String,
+      source: String, param: Int, levelName: String) {
+    def identity: Boolean = kind == "identity"
+  }
+
+  private val TransformRe =
+    """^\s*(days|hours|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?([^\s(),]+)\s*\)\s*$""".r
+
+  private[graft] def parseLayoutField(spec: String): LayoutField = spec match {
+    case TransformRe(kind, param, src) =>
+      val suffix = kind match {
+        case "days" => "_day"
+        case "hours" => "_hour"
+        case "bucket" => "_bucket"
+        case "truncate" => "_trunc"
+      }
+      val needsParam = kind == "bucket" || kind == "truncate"
+      require(needsParam == (param != null),
+        s"layout transform '$spec': ${if (needsParam) s"$kind(n, col) takes a count"
+          else s"$kind(col) takes no count"}")
+      val p = Option(param).map(_.toInt).getOrElse(0)
+      require(!needsParam || p > 0, s"layout transform '$spec': count must be positive")
+      LayoutField(s"$kind(${if (needsParam) s"$p, " else ""}$src)",
+        kind, src, p, src + suffix)
+    case name if name.nonEmpty && !name.contains('(') && !name.contains(')') =>
+      LayoutField(name.trim, "identity", name.trim, 0, name.trim)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unparseable layout field '$other' — expected a column name, days(col), " +
+          "hours(col), bucket(n, col) or truncate(w, col)")
+  }
+
+  /** The rendering expression producing one transform level's directory
+    * value from its source column — the SAME formula at write time and
+    * (driver-side, [[renderTransformValue]]) at prune time, so path
+    * pruning compares apples to apples. days/hours render sortable
+    * fixed-width strings; bucket is a Murmur3 hash mod n (Spark's
+    * `hash`, documented — not Iceberg's exact bucket function);
+    * truncate is a string prefix / integral floor. */
+  private def transformCol(f: LayoutField, source: org.apache.spark.sql.Column,
+      dt: DataType): org.apache.spark.sql.Column = f.kind match {
+    case "days" => date_format(source, "yyyy-MM-dd")
+    case "hours" => date_format(source, "yyyy-MM-dd-HH")
+    case "bucket" => pmod(hash(source), lit(f.param))
+    case "truncate" => dt match {
+      case StringType => substring(source, 1, f.param)
+      case _ => source - pmod(source, lit(f.param.toLong))
+    }
+    case other => throw new IllegalStateException(s"no transform rendering for $other")
+  }
+
+  /** Append the DERIVED level columns a layout's transform fields
+    * render (no-op for identity layouts); returns the widened frame and
+    * the layout's level names in order — the shared device of
+    * [[stageWrite]], [[stageCdc]] and the compaction/relayout grouping.
+    * Re-derivation is deterministic (pure column formulas), so a frame
+    * that already carries a level column is simply re-rendered
+    * identically. */
+  private[graft] def withLevelCols(df: DataFrame,
+      specs: Seq[String]): (DataFrame, Seq[String]) = {
+    val fields = specs.map(parseLayoutField)
+    val out = fields.filterNot(_.identity).foldLeft(df) { (d, f) =>
+      d.withColumn(f.levelName,
+        transformCol(f, col(f.source), d.schema(f.source).dataType))
+    }
+    (out, fields.map(_.levelName))
+  }
+
+  /** The raw layout SPECS of the lake's write layout (identity names
+    * and/or transform expressions). The path-derived fallback (adopted
+    * pre-manifest lakes) is always identity. */
+  private[graft] def layoutSpecsOf(st: LakeState): Seq[String] =
     st.layout.getOrElse(st.files.headOption.toSeq.flatMap(layoutOfPath))
+
+  private[graft] def layoutFieldsOf(st: LakeState): Seq[LayoutField] =
+    layoutSpecsOf(st).map(parseLayoutField)
+
+  /** The directory LEVEL names the write layout renders — what new
+    * files' paths spell, and the coordinate system generation matching
+    * uses. */
+  private[graft] def levelNamesOf(st: LakeState): Seq[String] =
+    layoutFieldsOf(st).map(_.levelName)
+
+  /** The IDENTITY partition columns of the lake's write layout — the
+    * schema columns that are path-resident (not in footers). Transform
+    * fields are excluded: their SOURCE columns stay in the data files.
+    * For pure-identity layouts (every pre-transform lake) this is the
+    * full layout, unchanged. */
+  private[graft] def partitionColsOf(st: LakeState): Seq[String] =
+    layoutFieldsOf(st).filter(_.identity).map(_.source)
 
   /** The distinct layout GENERATIONS the live files spell
     * (path-derived). Size > 1 after an [[evolveLayout]] while both
@@ -1779,8 +2046,11 @@ object Lake {
       partitionCols: Seq[String]): String = {
     val (_, root) = fsRoot(spark, lakeDir)
     val rel = s"$CdcDirName/${java.util.UUID.randomUUID()}"
-    val out = mappingOf(spark, lakeDir).fold(rows)(toPhysicalDf(rows, _))
-    out.write.mode("errorifexists").partitionBy(partitionCols: _*)
+    val out0 = mappingOf(spark, lakeDir).fold(rows)(toPhysicalDf(rows, _))
+    // `partitionCols` are layout SPECS exactly as in [[stageWrite]]:
+    // sidecars partition like the data tree, transform levels included
+    val (out, levelNames) = withLevelCols(out0, partitionCols)
+    out.write.mode("errorifexists").partitionBy(levelNames: _*)
       .parquet(new Path(root, rel).toString)
     rel
   }
@@ -2418,7 +2688,7 @@ object Lake {
       // across an evolveLayout re-instates the old layout for new writes)
       layout =
         if (target.files.nonEmpty || target.layout.isDefined)
-          Some(partitionColsOf(target))
+          Some(layoutSpecsOf(target))
         else None),
       vacuumSuperseded = false) // the undone commits stay readable history
     read(spark, lakeDir)

@@ -833,10 +833,13 @@ object Pipeline {
       // reading WITH the deletion vectors applied is what MATERIALIZES
       // them: the compacted replacement files carry only surviving rows,
       // and the commit's file removals drop the attachments from the state
-      val affectedLake = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
+      val affectedLake0 = Lake.readFiles(spark, lakeDir, base.schemaJson, removed, base.dvs)
+      // a transform layout groups by its DERIVED level columns (the
+      // same rendering formulas stageWrite applies — deterministic)
+      val (affectedLake, levelNames) = Lake.withLevelCols(affectedLake0, partitionCols)
       // one aggregate over the affected files: per-partition row counts
       // feed the bin-packing AND sum to the audit expectation
-      val countRows = affectedLake.groupBy(partitionCols.map(col): _*)
+      val countRows = affectedLake.groupBy(levelNames.map(col): _*)
         .agg(count(lit(1)).as("_n")).collect()
       val expected = countRows.map(_.getAs[Long]("_n")).sum
       // byte sizing: operators reason about lakes in bytes (HDFS block /
@@ -851,12 +854,12 @@ object Pipeline {
         case None => targetRowsPerFile
       }
       val groupSchema = org.apache.spark.sql.types.StructType(
-        affectedLake.select(partitionCols.map(col): _*).schema.fields :+
+        affectedLake.select(levelNames.map(col): _*).schema.fields :+
           org.apache.spark.sql.types.StructField("_ng",
             org.apache.spark.sql.types.IntegerType, nullable = false))
       val groupRows = countRows.map { r =>
         org.apache.spark.sql.Row.fromSeq(
-          partitionCols.indices.map(r.get) :+
+          levelNames.indices.map(r.get) :+
             math.ceil(r.getAs[Long]("_n").toDouble / target).toInt)
       }
       val groups = spark.createDataFrame(
@@ -875,12 +878,12 @@ object Pipeline {
         if (sortCols.nonEmpty) {
           val nTasks = math.max(1, math.ceil(expected.toDouble / target).toInt)
           affectedLake
-            .repartitionByRange(nTasks, (partitionCols ++ sortCols).map(col): _*)
-            .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+            .repartitionByRange(nTasks, (levelNames ++ sortCols).map(col): _*)
+            .sortWithinPartitions((levelNames ++ sortCols).map(col): _*)
         } else affectedLake
-          .join(broadcast(groups), partitionCols)
+          .join(broadcast(groups), levelNames)
           .withColumn("_gid", pmod(hash(dataCols.map(col): _*), col("_ng")))
-          .repartition((partitionCols :+ "_gid").map(col): _*)
+          .repartition((levelNames :+ "_gid").map(col): _*)
           .select(dataCols.map(col): _*)
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
         Map("maxRecordsPerFile" -> target.toString))
@@ -932,14 +935,18 @@ object Pipeline {
     val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val visible = Lake.visible(schema).fieldNames.toSet
-    val missing = (newPartitionCols ++ sortCols).filterNot(visible)
+    // newPartitionCols entries are layout SPECS (identity/transforms);
+    // validation keys on their SOURCE columns
+    val missing = (newPartitionCols.map(Lake.parseLayoutField(_).source) ++ sortCols)
+      .filterNot(visible)
     require(missing.isEmpty,
       s"repartitionLake: column(s) ${missing.mkString(", ")} not in the lake schema " +
         s"(${visible.mkString(", ")})")
-    val df = Lake.readFiles(spark, lakeDir, base.schemaJson, base.files, base.dvs)
+    val df0 = Lake.readFiles(spark, lakeDir, base.schemaJson, base.files, base.dvs)
+    val (df, levelNames) = Lake.withLevelCols(df0, newPartitionCols)
     val expected = df.count()
     val nTasks = math.max(1, math.ceil(expected.toDouble / targetRowsPerFile).toInt)
-    val keys = (newPartitionCols ++ sortCols).distinct
+    val keys = (levelNames ++ sortCols).distinct
     val packed =
       if (keys.nonEmpty)
         df.repartitionByRange(nTasks, keys.map(col): _*)
@@ -1028,8 +1035,9 @@ object Pipeline {
     // a stale layout and refuse at publish — route by the manifest
     // instead; the parameter governs only the FIRST-EVER ingest (no
     // layout committed yet)
+    // entries are layout SPECS (identity names and/or transforms)
     val effectiveCols =
-      if (base.files.nonEmpty || base.layout.isDefined) Lake.partitionColsOf(base)
+      if (base.files.nonEmpty || base.layout.isDefined) Lake.layoutSpecsOf(base)
       else partitionCols
     val b0 = batch.dropDuplicates(idCol)
     // drift checks key on the RECORDED schema, not the file count: a lake
@@ -1062,7 +1070,8 @@ object Pipeline {
               s"lake-only: ${(lakeTypes.keySet -- bTypes.keySet).mkString(", ")}) — " +
               "pass mergeSchema = true to evolve")
         else {
-          val missingParts = effectiveCols.filterNot(bTypes.contains)
+          val missingParts = effectiveCols.map(Lake.parseLayoutField(_).source)
+            .filterNot(bTypes.contains)
           require(missingParts.isEmpty,
             s"appendToLake: batch lacks partition column(s) ${missingParts.mkString(", ")}")
           val newFields = b0.schema.fields.filterNot(f => lakeTypes.contains(f.name))
@@ -1573,7 +1582,7 @@ object Pipeline {
     // deleted pre-image, row lineage riding along as extra columns); the
     // deletion vector then derives from the SIDECAR's read-back — the
     // lake is never scanned a second time
-    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.partitionColsOf(base))
+    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.layoutSpecsOf(base))
     val root = {
       val pp = new org.apache.hadoop.fs.Path(lakeDir)
       pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
@@ -1613,7 +1622,7 @@ object Pipeline {
     val matched = lineage.filter(predicate)
     val expected = matched.count()
     if (expected == 0L) return Lake.read(spark, lakeDir)
-    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.partitionColsOf(base))
+    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.layoutSpecsOf(base))
     val root = {
       val pp = new org.apache.hadoop.fs.Path(lakeDir)
       pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
@@ -1653,7 +1662,7 @@ object Pipeline {
       s"updateLakeSparseWhere: SET names unknown column(s) ${unknown.mkString(", ")}")
     val candidates = sparseWhereCandidates(spark, base, predicate)
     if (candidates.isEmpty) return Lake.read(spark, lakeDir)
-    val partitionCols = Lake.partitionColsOf(base)
+    val partitionCols = Lake.layoutSpecsOf(base)
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
       candidates, base.dvs)
     val matched = lineage.filter(predicate).localCheckpoint(true)
@@ -1728,7 +1737,7 @@ object Pipeline {
       return appendToLake(spark, lakeDir, updates, idCol, partitionCols)
     // the committed layout is authoritative for an existing lake —
     // exactly as in [[appendToLake]]
-    val effectiveCols = Lake.partitionColsOf(base)
+    val effectiveCols = Lake.layoutSpecsOf(base)
     val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
     val updCount = upd.count()
     if (updCount == 0) return Lake.read(spark, lakeDir)
@@ -1855,7 +1864,7 @@ object Pipeline {
       DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
     require(lakeSchema.fieldNames.contains(idCol),
       s"mergeIntoLakeGeneral: merge key '$idCol' is not a lake column")
-    val partitionCols = Lake.partitionColsOf(base)
+    val partitionCols = Lake.layoutSpecsOf(base)
     val reserved = Seq("_t_", "_s_", "_gf_", "_gm_")
     require(!lakeSchema.fieldNames.exists(n => reserved.exists(n.startsWith)) &&
       !source.columns.exists(n => reserved.exists(n.startsWith)),
@@ -2591,6 +2600,46 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM events GROUP BY 1, 2 ORDER BY _change_type, split""".stripMargin
 
+  // ---------------------------------------------------------------- px127
+  /** PARTITION TRANSFORMS, oracled end-to-end — the Iceberg
+    * spec-evolution headline: an events-style lake lands two thirds of
+    * the stream under a `days(ts)` transform layout (the `ts` column
+    * STAYS in the footers; paths spell derived `ts_day=` levels),
+    * `evolveLayout` moves the grain to `hours(ts)` as a CONSTANT-TIME
+    * metadata commit, the remaining third appends under `ts_hour=`
+    * levels, and a day x type aggregate over the mixed-generation union
+    * must hash-match the raw events table — certifying transform
+    * rendering, per-generation reads and the footer-resident source
+    * column in one number. Transform-level PATH pruning (a day window
+    * keeps only its `ts_day=`/`ts_hour=` files) is spec-pinned in
+    * LakeSpec. */
+  private def px127(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px127_lake")
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // the FIRST day re-lands at hour grain, the rest stays at day grain
+    // (the realistic evolve shape: finer partitioning going forward, not
+    // an hour-dir explosion over the whole history); writes repartition
+    // BY the level expression so each directory is written by one task
+    val day = date_format(col("ts"), "yyyy-MM-dd")
+    val minDay = ev.agg(min(day)).collect()(0).getString(0)
+    Lake.init(spark, ev.filter(day =!= minDay).repartition(day), out, Seq("days(ts)"))
+    Lake.evolveLayout(spark, out, Seq("hours(ts)"))
+    Lake.append(spark, out, ev.filter(day === minDay)
+      .repartition(date_format(col("ts"), "yyyy-MM-dd-HH")))
+    Lake.read(spark, out)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_ids"))
+      .select(col("day"), col("event_type"), col("n_events"), col("sum_ids"))
+      .orderBy("day", "event_type")
+  }
+
+  private val px127Oracle =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -2842,5 +2891,6 @@ object Pipeline {
     GraftQuery("px123_lake_check_constraint", px123, Some(px100Oracle)),
     GraftQuery("px124_lake_merge_grammar", px124, Some(px124Oracle)),
     GraftQuery("px125_lake_layout_evolution", px125, Some(px100Oracle)),
-    GraftQuery("px126_lake_cdf_update_events", px126, Some(px126Oracle)))
+    GraftQuery("px126_lake_cdf_update_events", px126, Some(px126Oracle)),
+    GraftQuery("px127_lake_layout_transforms", px127, Some(px127Oracle)))
 }

@@ -96,7 +96,23 @@ private[lake] object LakeMetaTables {
     StructField("n_history_files", IntegerType, nullable = false),
     StructField("n_constraints", IntegerType, nullable = false),
     StructField("n_txn_apps", IntegerType, nullable = false),
-    StructField("has_column_mapping", BooleanType, nullable = false)))
+    StructField("has_column_mapping", BooleanType, nullable = false),
+    StructField("guidance", StringType, nullable = false)))
+
+  /** Operational nudges surfaced on the `$detail` card — empty when the
+    * lake needs nothing. Today: a generation-count warning (every read
+    * plans one scan per live layout generation, so a lake evolved many
+    * times without compaction pays that planning tax until `CALL
+    * compact` / `repartitionLake` folds the old generations into the
+    * current layout — the q89-style actionable text, not just a count). */
+  private def guidanceFor(st: Lake.LakeState): String = {
+    val gens = Lake.layoutGenerationsOf(st).size
+    if (gens > 2)
+      s"$gens live layout generations — each read plans one scan per " +
+        "generation; CALL compact (or repartitionLake) to fold them into " +
+        "the current write layout"
+    else ""
+  }
 
   private def s(v: String) = UTF8String.fromString(v)
 
@@ -167,14 +183,15 @@ private[lake] object LakeMetaTables {
           .asInstanceOf[StructType]
         Array(new GenericInternalRow(Array[Any](
           st.version,
-          s(Lake.partitionColsOf(st).mkString(",")),
+          s(Lake.layoutSpecsOf(st).mkString(",")),
           Lake.layoutGenerationsOf(st).size,
           st.files.size,
           st.dvs.size,
           st.history.size,
           st.checks.size,
           st.txns.size,
-          Lake.hasMapping(schema))): InternalRow)
+          Lake.hasMapping(schema),
+          s(guidanceFor(st)))): InternalRow)
       })
     case other => throw new IllegalArgumentException(s"unknown metadata table kind: $other")
   }

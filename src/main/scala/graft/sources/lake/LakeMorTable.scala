@@ -176,8 +176,17 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
 
   private def partitionValues(relPath: String): InternalRow = {
     val segs = relPath.split('/').dropRight(1)
+    // by-NAME segment lookup (each level spells its own name), so
+    // TRANSFORM levels interleaved with identity columns never shift
+    // the decode; planInputPartitions guarantees every identity column
+    // is spelled
     val values = partSchema.fields.map { field =>
-      val seg = segs(partCols.indexOf(field.name))
+      val seg = segs.find { s =>
+        val eq = s.indexOf('=')
+        eq > 0 && org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.take(eq)) == field.name
+      }.getOrElse(throw new IllegalStateException(
+        s"graft-lake: $relPath does not spell partition column '${field.name}'"))
       val eq = seg.indexOf('=')
       val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(seg.drop(eq + 1))
@@ -200,17 +209,22 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
         s"graft-lake: version ${st.version} mixes ${gens.size} partition-layout " +
           "generations (evolveLayout) — read via Lake.read / a session with the " +
           "graft extensions, or compactLake to fold the generations")
-    // partCols is the RECORDED write layout (st.layout); right after an
-    // evolveLayout — before any new-generation file lands — the single
-    // live generation still spells the OLD layout, and decoding its
-    // paths against partCols would silently yield nulls / misparsed
-    // segments. Same remedy as the mixed case.
-    if (gens.headOption.exists(_ != partCols))
+    // partCols is the RECORDED write layout's identity columns; right
+    // after an evolveLayout — before any new-generation file lands —
+    // the single live generation may still spell the OLD layout, and
+    // decoding its paths against partCols would silently yield nulls /
+    // misparsed segments. TRANSFORM levels (directory names that are
+    // not schema columns) are fine: their source columns read from the
+    // footers and the level itself is ignored.
+    val schemaCols = Lake.visible(org.apache.spark.sql.types.DataType
+      .fromJson(st.schemaJson).asInstanceOf[StructType]).fieldNames.toSet
+    if (gens.headOption.exists(g => g.filter(schemaCols) != partCols))
       throw new UnsupportedOperationException(
         s"graft-lake: version ${st.version}'s live files spell layout " +
-          s"[${gens.head.mkString(",")}] but the declared write layout is " +
-          s"[${partCols.mkString(",")}] (evolveLayout pending relayout) — read " +
-          "via Lake.read / a session with the graft extensions, or compactLake")
+          s"[${gens.head.mkString(",")}] but the declared write layout's identity " +
+          s"columns are [${partCols.mkString(",")}] (evolveLayout pending " +
+          "relayout) — read via Lake.read / a session with the graft extensions, " +
+          "or compactLake")
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)

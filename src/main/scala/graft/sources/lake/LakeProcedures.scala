@@ -120,7 +120,7 @@ private[lake] object LakeProcedures {
         StructField("n_live_files", IntegerType, nullable = false))),
       resolve,
       (dir, in) => {
-        val cols = Lake.partitionColsOf(Lake.adopt(spark, dir))
+        val cols = Lake.layoutSpecsOf(Lake.adopt(spark, dir))
         val sortBy = in.getUTF8String(3).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Pipeline.compactLake(spark, dir, maxFilesPerPartition = in.getInt(1),

@@ -123,7 +123,7 @@ object LakeStreamSource {
     val st = Lake.currentState(spark, lakeDir)
     val manifest = Lake.visible(
       DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
-    val partCols: Seq[String] = st.files.headOption match {
+    val levels: Seq[String] = st.files.headOption match {
       case Some(f) =>
         f.split('/').dropRight(1).toSeq.map { seg =>
           val eq = seg.indexOf('=')
@@ -135,9 +135,17 @@ object LakeStreamSource {
         Option(options.get("partitionColumns")).toSeq
           .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     }
-    val missing = partCols.filterNot(c => manifest.fieldNames.contains(c))
-    require(missing.isEmpty,
-      s"partition column(s) ${missing.mkString(", ")} not in the manifest schema")
+    // an OPTION-provided name must be a real column (typo guard); a
+    // path-derived level that is NOT a schema column is a TRANSFORM
+    // level (days/hours/bucket/truncate layouts) — not a partition
+    // COLUMN of the stream's declared schema: its source column reads
+    // from the footers and the per-file decode ignores the level
+    if (st.files.isEmpty) {
+      val missing = levels.filterNot(manifest.fieldNames.contains)
+      require(missing.isEmpty,
+        s"partition column(s) ${missing.mkString(", ")} not in the manifest schema")
+    }
+    val partCols = levels.filter(manifest.fieldNames.contains)
     val dataFields = manifest.fields.filterNot(f => partCols.contains(f.name))
     val partFields = partCols.map(c => manifest(manifest.fieldIndex(c)))
     val synthFields =

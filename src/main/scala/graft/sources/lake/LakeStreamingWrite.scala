@@ -94,6 +94,16 @@ private[lake] object LakeStreamingWrites {
         s"graft-lake sink: partitionBy is not supported — the lake's committed " +
           s"layout is authoritative; rows route to partition directories by their " +
           s"column values (requested: $cols)"))
+    // the sink's per-row directory rendering speaks IDENTITY layouts;
+    // a transform layout (days/hours/bucket/truncate) routes through
+    // the batch path instead, which renders transform levels
+    val xforms = Lake.layoutSpecsOf(st).map(Lake.parseLayoutField).filterNot(_.identity)
+    if (xforms.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft-lake sink: the lake's write layout carries partition transform(s) " +
+          s"${xforms.map(_.spec).mkString(", ")} — the streaming sink renders " +
+          "identity layouts only; write via foreachBatch { appendToLake } " +
+          "(the batch path renders transform levels)")
     val partCols = Lake.partitionColsOf(st)
     def intOpt(k: String, dflt: Int): Int =
       options(k).map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
@@ -184,7 +194,7 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
     // changed the lake's layout mid-stream, committing would mix
     // directory layouts; fail the query loudly instead (publish's OCC
     // rebase backstops the same check)
-    val liveCols = Lake.partitionColsOf(base)
+    val liveCols = Lake.levelNamesOf(base) // transform-aware level names
     if (base.files.nonEmpty && liveCols != partCols) {
       deleteStaged(staged)
       throw new IllegalStateException(

@@ -2139,4 +2139,155 @@ class LakeSpec extends SparkTestBase {
     assert(ev == Seq((3L, 1L), (6L, 2L)),
       s"raced update pre-images must emit exactly once each, got $ev")
   }
+
+  test("default stats capture: a lake written WITHOUT statsCols prunes on a leading column; long strings truncate") {
+    val out = freshDir("lake-default-stats")
+    // 4 doc_id-clustered files, a >32-char string column, NO statsCols
+    val wide = spark.range(40).select(
+      col("id").as("doc_id"),
+      concat(lit("w" * 60 + " doc "), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+      .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+    Lake.init(spark, wide, out, Seq("split", "shard_id"))
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.size >= 4 && st.stats.size == st.files.size,
+      s"every file must carry default stats, got ${st.stats.size}/${st.files.size}")
+    // doc_id bounds landed without anyone asking — and they prune
+    val hit = Lake.pruneByStats(st,
+      "doc_id", org.apache.spark.sql.types.LongType, 35L, 39L)
+    assert(hit.size == 1,
+      s"a doc_id range over one clustered file must prune to it, got ${hit.size}")
+    // identity partition columns are path-resident: not in footer stats
+    assert(st.stats.values.flatten.forall(cs => cs.col != "split" && cs.col != "shard_id"))
+    // long string bounds record truncated (32-char prefixes), and string
+    // pruning through them stays exactness-preserving
+    val textStats = st.stats.values.flatten.filter(_.col == "text").toSeq
+    assert(textStats.nonEmpty && textStats.forall(cs =>
+      cs.min.length <= 32 && cs.max.length <= 33),
+      s"string stats must truncate, got ${textStats.map(c => (c.min.length, c.max.length))}")
+    val textHit = Lake.pruneByStats(st,
+      "text", org.apache.spark.sql.types.StringType,
+      "w" * 60 + " doc 39", "w" * 60 + " doc 39")
+    assert(textHit.nonEmpty, "truncated string bounds must never prune a matching file")
+    // appends capture default stats too (the DSv2/INSERT path)
+    Pipeline.appendToLake(spark, out, spark.range(100, 110).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id")))
+    val st2 = Lake.latestManifest(spark, out).get
+    val newFiles = st2.files.filterNot(st.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      st2.stats.get(f).exists(_.exists(_.col == "doc_id"))),
+      "appended files must carry default stats")
+    // the opt-in override still narrows: an explicit statsCols lake
+    // records exactly what was asked
+    val out2 = freshDir("lake-optin-stats")
+    Lake.init(spark, wide, out2, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
+    val stO = Lake.latestManifest(spark, out2).get
+    assert(stO.stats.values.flatten.map(_.col).toSet == Set("doc_id"),
+      "naming statsCols must override the default entirely")
+  }
+
+  test("partition transforms: days(ts) -> hours(ts) is a metadata commit; mixed reads, path pruning and sparse DML work") {
+    import org.apache.spark.sql.functions.expr
+    val out = freshDir("lake-transforms")
+    // 48 hourly events across two days; ts STAYS in the footers
+    def ev(ids: Range) = spark.range(ids.start, ids.end).select(
+      col("id").as("event_id"),
+      expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2026-01-01 00:00:00')").as("ts"),
+      concat(lit("ev "), col("id")).as("note"))
+    Lake.init(spark, ev(0 until 48), out, Seq("days(ts)"))                     // v1
+    val st1 = Lake.latestManifest(spark, out).get
+    assert(st1.files.forall(_.startsWith("ts_day=2026-01-0")),
+      s"day transform must render ts_day levels, got ${st1.files.take(2)}")
+    val back = Lake.read(spark, out)
+    assert(back.count() == 48 && back.schema.fieldNames.toSet ==
+      Set("event_id", "ts", "note"),
+      "the source column reads from footers; the derived level never surfaces")
+    assert(back.filter(col("ts") === expr("TIMESTAMP'2026-01-01 05:00:00'"))
+      .select("event_id").head.getLong(0) == 5L)
+    // evolve the grain: days -> hours, constant-time metadata commit
+    Lake.evolveLayout(spark, out, Seq("hours(ts)"))                            // v2
+    val h = Lake.describeHistory(spark, out).collect().find(_.getLong(0) == 2L).get
+    assert(h.getString(2) == "evolve" && h.getInt(3) == 0 && h.getInt(5) == 0)
+    Lake.append(spark, out, ev(48 until 72))                                   // v3: hour generation
+    val st3 = Lake.latestManifest(spark, out).get
+    val newFiles = st3.files.filterNot(st1.files.toSet)
+    assert(newFiles.nonEmpty && newFiles.forall(_.startsWith("ts_hour=2026-01-03")),
+      s"post-evolve appends must land under ts_hour levels, got ${newFiles.take(2)}")
+    // mixed-generation read answers exactly
+    val all = Lake.read(spark, out)
+    assert(all.count() == 72)
+    assert(all.agg(sum(col("event_id"))).head.getLong(0) == (0L until 72L).sum)
+    // TRANSFORM-LEVEL PATH PRUNING: a day-2 window keeps only day-2
+    // files of the day generation (and no day-3 hour files)
+    val pruned = Lake.pruneByStats(st3, "ts",
+      org.apache.spark.sql.types.TimestampType,
+      java.sql.Timestamp.valueOf("2026-01-02 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-02 23:00:00"))
+    assert(pruned.nonEmpty && pruned.forall(_.startsWith("ts_day=2026-01-02")),
+      s"a day-2 window must prune to the day-2 files, got ${pruned.take(3)}")
+    // an hour window inside day 3 prunes to exactly that hour's file(s)
+    val hourHit = Lake.pruneByStats(st3, "ts",
+      org.apache.spark.sql.types.TimestampType,
+      java.sql.Timestamp.valueOf("2026-01-03 05:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-03 05:00:00"))
+    assert(hourHit.exists(_.startsWith("ts_hour=2026-01-03-05")) &&
+      hourHit.forall(f => f.startsWith("ts_hour=2026-01-03-05") ||
+        f.startsWith("ts_day=")),
+      s"an hour window must keep only its hour file among the hour generation, got $hourHit")
+    // sparse DML renders transform sidecars and feeds exactly
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(50L).toDF("event_id"), "event_id",
+      lakeIdCol = "event_id")                                                  // v4
+    assert(Lake.read(spark, out).count() == 71)
+    val feed = Lake.changeFeed(spark, out, 3L, 4L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("event_id").collect().map(_.getLong(0)).toSeq == Seq(50L))
+    // compaction folds BOTH generations into the current (hours) layout
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      partitionCols = Seq("hours(ts)"), retainHistory = true)                  // v5
+    val st5 = Lake.latestManifest(spark, out).get
+    assert(Lake.layoutGenerationsOf(st5).size == 1 &&
+      st5.files.forall(_.startsWith("ts_hour=")),
+      "compaction must fold the day generation into hour levels")
+    assert(Lake.read(spark, out).count() == 71)
+    // guard rails: bad specs and protected sources refuse loudly
+    val eType = intercept[IllegalArgumentException] {
+      Lake.evolveLayout(spark, out, Seq("days(note)"))
+    }
+    assert(eType.getMessage.contains("timestamp"))
+    val eRename = intercept[IllegalArgumentException] {
+      Lake.renameColumn(spark, out, "ts", "event_ts")
+    }
+    assert(eRename.getMessage.contains("transform source"))
+    val eParse = intercept[IllegalArgumentException] {
+      Lake.evolveLayout(spark, out, Seq("months(ts)"))
+    }
+    assert(eParse.getMessage.contains("unparseable layout field"))
+  }
+
+  test("partition transforms: bucket(n, col) and truncate(w, col) layouts round-trip") {
+    val out = freshDir("lake-bucket")
+    writePlain(fixture(), out) // plain seed, then re-init under a bucket layout
+    Lake.init(spark, fixture(), out, Seq("bucket(4, doc_id)", "truncate(3, text)"))
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.forall(f =>
+      f.matches("doc_id_bucket=\\d/text_trunc=doc/.*")),
+      s"bucket+truncate levels must render, got ${st.files.take(2)}")
+    val back = Lake.read(spark, out)
+    assert(back.count() == 40 &&
+      back.schema.fieldNames.toSet == Set("doc_id", "text", "split", "shard_id"))
+    assert(ids(back) == (0L until 40L).toSet)
+    // mixed identity + transform: evolve to (split, bucket(2, doc_id))
+    Lake.evolveLayout(spark, out, Seq("split", "bucket(2, doc_id)"))
+    Lake.append(spark, out,
+      Seq((100L, "doc 100", "train", 0)).toDF("doc_id", "text", "split", "shard_id"))
+    val st2 = Lake.latestManifest(spark, out).get
+    val nf = st2.files.filterNot(st.files.toSet)
+    assert(nf.nonEmpty && nf.forall(_.matches("split=train/doc_id_bucket=[01]/.*")),
+      s"identity+transform layouts must interleave, got $nf")
+    val all = Lake.read(spark, out)
+    assert(all.count() == 41 && ids(all) == ((0L until 40L).toSet + 100L))
+    assert(all.filter(col("doc_id") === 100L).select("split").head.getString(0) == "train",
+      "the identity level still decodes from the path")
+  }
 }

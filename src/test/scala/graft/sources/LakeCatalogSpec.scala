@@ -308,61 +308,61 @@ class LakeCatalogSpec extends SparkTestBase {
 
   test("CALL analyze backfills per-file stats as a metadata-only commit that pruning then uses") {
     val out = s"$wh/stats"
-    // two files with DISJOINT id ranges, init'd WITHOUT statsCols — the
-    // adopted-lake shape that cannot prune
-    Lake.init(spark, fixture(0 until 50).coalesce(1), out, Seq("split"))
+    // the ADOPTED-lake shape that cannot prune: plain parquet files
+    // adopted as v0 carry no stats — every PROTOCOL write now captures
+    // default stats itself, so adoption is where analyze earns its keep
+    fixture(0 until 50).unionByName(fixture(200 until 210)).coalesce(1)
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    Lake.adopt(spark, out)                                                  // v0
     Pipeline.appendToLake(spark, out, fixture(100 until 150).coalesce(1),
-      partitionCols = Seq("split"))
+      partitionCols = Seq("split"))                                         // v1
     val pre = Lake.currentState(spark, out)
-    assert(pre.files.exists(f => !pre.stats.contains(f)),
-      "the init'd file must lack stats before analyze (appendToLake captures its own)")
+    val adopted = pre.files.filterNot(pre.stats.contains)
+    assert(adopted.size == 2,
+      s"both adopted files must lack stats (appendToLake captures its own), got $pre")
+    val trainFile = adopted.find(_.startsWith("split=train/")).get
+    val testFile = adopted.find(_.startsWith("split=test/")).get
     val vBefore = pre.version
 
+    // the SCOPED (incremental) form touches only the named subtree
+    spark.sql("CALL graft_lake.system.analyze(table => 'stats', " +
+      "columns => 'doc_id', scope => 'split=train')").collect()             // v2
+    val afterTrain = Lake.currentState(spark, out)
+    assert(afterTrain.stats.get(trainFile).exists(_.exists(_.col == "doc_id")))
+    assert(!afterTrain.stats.contains(testFile),
+      "a train-scoped analyze must not touch split=test files")
+
     val r = spark.sql(
-      "CALL graft_lake.system.analyze(table => 'stats', columns => 'doc_id')").collect()(0)
+      "CALL graft_lake.system.analyze(table => 'stats', columns => 'doc_id')")
+      .collect()(0)                                                         // v3
     val st = Lake.currentState(spark, out)
     assert(r.getInt(0) == st.files.size && r.getString(1) == "doc_id")
     assert(st.files.forall(f => st.stats.get(f).exists(_.exists(_.col == "doc_id"))),
       "every live file must carry doc_id stats after analyze")
 
-    // the backfilled stats PRUNE: a bound inside the second file's range
-    // keeps only the files that can hold it
+    // the backfilled stats PRUNE: a bound inside the appended file's
+    // range keeps only the files that can hold it
     val pruned = Lake.pruneByStats(st, "doc_id",
       org.apache.spark.sql.types.LongType, 120L, 130L)
     assert(pruned.size < st.files.size && pruned.nonEmpty,
       s"a selective bound must prune, kept ${pruned.size} of ${st.files.size}")
 
     // metadata-only: no files moved, reads unchanged, the change feed
-    // emits nothing across it
+    // emits nothing across the analyze commits
     val h = Lake.describeHistory(spark, out).collect()
-      .find(_.getLong(0) == vBefore + 1).get
+      .find(_.getLong(0) == vBefore + 2).get
     assert(h.getString(2) == "analyze" && h.getInt(3) == 0 && h.getInt(5) == 0)
-    assert(Lake.read(spark, out).count() == 100)
-    assert(Lake.changeFeed(spark, out, vBefore, vBefore + 1).count() == 0,
+    assert(Lake.read(spark, out).count() == 110)
+    assert(Lake.changeFeed(spark, out, vBefore, vBefore + 2).count() == 0,
       "analyze must be invisible to the row-level change feed")
 
     // a later resolution (checkpoint or replay) still carries the
     // restated stats: resolve the analyzed version explicitly
-    val at = Lake.stateAt(spark, out, vBefore + 1)
+    val at = Lake.stateAt(spark, out, vBefore + 2)
     assert(at.files.forall(f => at.stats.contains(f)))
-    // and time travel BELOW the analyze still lacks the init file's
+    // and time travel BELOW the analyzes still lacks the adopted files'
     val below = Lake.stateAt(spark, out, vBefore)
     assert(below.files.exists(f => !below.stats.contains(f)))
-
-    // the SCOPED (incremental) form touches only the named subtree: a
-    // stats-less file lands in split=test, a train-scoped analyze skips
-    // it, a test-scoped one picks it up
-    Lake.append(spark, out, fixture(150 until 160).coalesce(1))
-    val newFile = (Lake.currentState(spark, out).files.toSet -- st.files.toSet).head
-    assert(newFile.startsWith("split=test/"))
-    spark.sql("CALL graft_lake.system.analyze(table => 'stats', " +
-      "columns => 'doc_id', scope => 'split=train')").collect()
-    assert(!Lake.currentState(spark, out).stats.contains(newFile),
-      "a train-scoped analyze must not touch split=test files")
-    spark.sql("CALL graft_lake.system.analyze(table => 'stats', " +
-      "columns => 'doc_id', scope => 'split=test')").collect()
-    assert(Lake.currentState(spark, out).stats.get(newFile)
-      .exists(_.exists(_.col == "doc_id")))
   }
 
   test("writeStream.toTable lands through the exactly-once DSv2 streaming write") {
@@ -555,5 +555,16 @@ class LakeCatalogSpec extends SparkTestBase {
       "SELECT * FROM graft_lake.`detail$detail` VERSION AS OF 2").collect()(0)
     assert(d0.getAs[String]("write_layout") == "split,shard_id" &&
       d0.getAs[Int]("n_layout_generations") == 1)
+    // two generations: no nudge yet
+    assert(d2.getAs[String]("guidance") == "")
+    // a THIRD live generation crosses the bound: the card names the fold
+    Lake.evolveLayout(spark, out, Seq("shard_id"))                           // v7
+    Pipeline.appendToLake(spark, out, fixture(25 until 30)
+      .withColumnRenamed("text", "body"))                                    // v8
+    val d3 = spark.sql("SELECT * FROM graft_lake.`detail$detail`").collect()(0)
+    assert(d3.getAs[Int]("n_layout_generations") == 3)
+    assert(d3.getAs[String]("guidance").contains("3 live layout generations") &&
+      d3.getAs[String]("guidance").contains("CALL compact"),
+      s"the card must name the compaction, got: ${d3.getAs[String]("guidance")}")
   }
 }
