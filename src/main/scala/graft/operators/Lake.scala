@@ -2367,7 +2367,8 @@ object Lake {
         // referenced by no committed record are crash orphans (a sparse
         // mutation that died before publish); the same grace period
         // protects a live writer's staged-but-unpublished sidecar
-        val deadSidecar = listSidecarDirs(fs, root).filterNot(liveSidecar).filter { d =>
+        val liveTops = liveSidecar.map(sidecarTop)
+        val deadSidecar = listSidecarDirs(fs, root).filterNot(liveTops).filter { d =>
           minAgeMs <= 0 ||
             fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
         }
@@ -2618,6 +2619,15 @@ object Lake {
       else fs.listStatus(r).toSeq.map(s => s"$dn/${s.getPath.getName}")
     }.sorted
 
+  /** The `_graft_dv/<x>` / `_graft_cdc/<x>` TOP-LEVEL dir of a sidecar
+    * entry — committed entries may point one level DEEPER (the general
+    * merge's type-partitioned sidecar registers
+    * `_graft_cdc/<uuid>/_gm_ct=<type>` subtrees as separate feed dirs),
+    * while the orphan sweeps list and delete at the top-dir grain: a
+    * listed dir is live iff it is the top of ANY live entry. */
+  private def sidecarTop(entry: String): String =
+    entry.split('/').take(2).mkString("/")
+
   /** Retention-policy vacuum: keep the newest `keepVersions` versions
     * fully readable ([[readVersion]] / [[changesBetween]]), reclaim
     * everything older. A checkpoint is written AT the oldest retained
@@ -2813,8 +2823,9 @@ object Lake {
       minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
     }
     deleteFiles(spark, lakeDir, dead)
+    val liveTops = (liveDvSet ++ liveCdcSet).map(sidecarTop)
     val deadSidecar = listSidecarDirs(fs, root)
-      .filterNot(d => liveDvSet.contains(d) || liveCdcSet.contains(d))
+      .filterNot(liveTops)
       .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
     deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))

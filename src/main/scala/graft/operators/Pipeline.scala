@@ -1514,8 +1514,21 @@ object Pipeline {
         // feed serves them as update_preimage (Delta CDF parity)
         val cdcPath = Lake.stageCdc(spark, lakeDir,
           affectedLake.join(u, col(idCol) === col("_mid"), "left_semi"), partitionCols)
+        // matched ids for the stage-B split come from the
+        // already-materialized sidecar (one small read), not a second
+        // scan of the affected partitions
+        val cdcAbs = {
+          val pp = new org.apache.hadoop.fs.Path(lakeDir)
+          new org.apache.hadoop.fs.Path(
+            pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp),
+            cdcPath).toString
+        }
+        val idPhys = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .find(_.name == idCol).map(Lake.physicalName).getOrElse(idCol)
         (staged, rows, st, expected, Seq((cdcPath, "update_preimage")),
-          Some(affectedLake.select(col(idCol).as("_lakeid"))))
+          Some(spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
+            .select(col(idPhys).as("_lakeid"))))
       }
     // stage B: the upserts — POST-IMAGES (source rows whose id matched)
     // and genuine inserts land as SEPARATE files, so the change feed tags
@@ -1789,9 +1802,14 @@ object Pipeline {
           val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
           val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
             back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
+          // matched ids come from the already-materialized sidecar
+          // (physical names on disk), not a re-scan of the candidates
+          val idPhys = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .find(_.name == idCol).map(Lake.physicalName).getOrElse(idCol)
           (files.map(f => f -> Seq(sidecar)).toMap, n, expected,
             Seq((cdcPath, "update_preimage")),
-            Some(matched.select(col(idCol).as("_lakeid"))))
+            Some(back.select(col(idPhys).as("_lakeid"))))
         }
       }
     // the upserts land as genuinely-new data files: POST-IMAGES (matched
@@ -1873,12 +1891,16 @@ object Pipeline {
     // source side: columns under _s_*, the deduped join key under _gm_sk.
     // Only NON-NULL keys dedupe: a null key never matches any target row
     // (SQL three-valued equality), so distinct null-key rows are not
-    // cardinality duplicates — each is its own NOT-MATCHED insert
-    val srcKeyed = source
+    // cardinality duplicates — each is its own NOT-MATCHED insert. ONE
+    // pass: null keys salt the dedup key with a unique id so they all
+    // survive the same dropDuplicates that collapses duplicate real keys.
+    val src = source
       .select(source.columns.toSeq.map(c => col(c).as("_s_" + c)): _*)
       .withColumn("_gm_sk", srcKey)
-    val src = srcKeyed.filter(col("_gm_sk").isNotNull).dropDuplicates("_gm_sk")
-      .unionByName(srcKeyed.filter(col("_gm_sk").isNull))
+      .withColumn("_gm_nk",
+        when(col("_gm_sk").isNotNull, lit(0L)).otherwise(monotonically_increasing_id()))
+      .dropDuplicates("_gm_sk", "_gm_nk")
+      .drop("_gm_nk")
       .withColumn("_gm_sp", lit(true))
     // candidate files: a NOT MATCHED BY SOURCE clause puts every target
     // row in play; otherwise manifest stats prune to the key range
@@ -1909,11 +1931,15 @@ object Pipeline {
         case ((cl, i), els) =>
           when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
       }
-    // ONE DISK-backed materialization feeds the counts, both sidecars,
+    // ONE bounded materialization feeds the counts, the sidecar write
     // and both add stages — with a NOT-MATCHED-BY-SOURCE clause this
-    // frame is the whole corpus x source, so DISK_ONLY keeps executor
-    // memory out of play and the explicit unpersist below releases the
-    // blocks the moment the commit publishes (no ContextCleaner wait)
+    // frame is the whole corpus x source, so it persists
+    // MEMORY_AND_DISK (blocks that don't fit executor memory go to
+    // disk instead of evicting — the graceful 100 TB degradation) and
+    // the explicit unpersist below releases the blocks the moment the
+    // commit publishes (no ContextCleaner wait, the lifetime bound a
+    // checkpoint cannot give). Pure DISK_ONLY would pay serialization
+    // on every one of the 3-4 passes.
     val joined = tgtP.join(src, col("_t_" + idCol) === col("_gm_sk"), "full_outer")
       .withColumn("_gm_am",
         when(col("_gm_tp").isNotNull && col("_gm_sp").isNotNull, actionOf(matched))
@@ -1924,7 +1950,7 @@ object Pipeline {
       .withColumn("_gm_an",
         when(col("_gm_tp").isNotNull && col("_gm_sp").isNull,
           actionOf(notMatchedBySource)).otherwise(lit(-1)))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     val mDel = matched.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
     val nDel = notMatchedBySource.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
@@ -1951,9 +1977,12 @@ object Pipeline {
     if (tombExpected == 0L && addExpected == 0L) return Lake.read(spark, lakeDir)
 
     // tombstones: every matched / not-matched-by-source row whose clause
-    // fires (updates tombstone their pre-image too). The pre-images +
-    // lineage feed the CDC sidecars — one per change type — and the
-    // deletion vector derives from their combined read-back
+    // fires (updates tombstone their pre-image too). ONE pass writes
+    // BOTH change types' pre-images: the sidecar partitions by a
+    // leading `_gm_ct` level, and each `_gm_ct=<type>/` subtree IS a
+    // standard sidecar dir (partitionCols layout below it) that the
+    // feed's `C` entries point at individually. The deletion vector
+    // derives from the combined read-back — one more small-read job.
     val (dvAdds, dvRows, cdcFiles) =
       if (tombExpected == 0L)
         (Map.empty[String, Seq[String]], 0L, Seq.empty[(String, String)])
@@ -1962,23 +1991,21 @@ object Pipeline {
           val pp = new org.apache.hadoop.fs.Path(lakeDir)
           pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
         }
-        def stagePre(cond: org.apache.spark.sql.Column, t: String)
-            : ((String, String), DataFrame) = {
-          val pre = joined.filter(cond).select(
-            lakeSchema.fieldNames.toSeq.map(c => col("_t_" + c).as(c))
-              ++ Seq(col("_gf_file"), col("_gf_pos")): _*)
-          val cdcPath = Lake.stageCdc(spark, lakeDir, pre, partitionCols)
-          val abs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
-          ((cdcPath, t), spark.read.option("basePath", abs).parquet(abs))
-        }
+        val pre = joined.filter(tombCond).select(
+          lakeSchema.fieldNames.toSeq.map(c => col("_t_" + c).as(c))
+            ++ Seq(col("_gf_file"), col("_gf_pos"),
+              when(tombDelCond, lit("delete"))
+                .otherwise(lit("update_preimage")).as("_gm_ct")): _*)
+        val cdcPath = Lake.stageCdc(spark, lakeDir, pre,
+          "_gm_ct" +: partitionCols)
         val staged =
-          Seq((tombDelCond, "delete", tombDel),
-            (tombUpdCond, "update_preimage", tombUpd))
-            .collect { case (c, t, n) if n > 0L => stagePre(c, t) }
-        val back = staged.map(_._2).reduce(_.unionByName(_))
+          Seq(("delete", tombDel), ("update_preimage", tombUpd))
+            .collect { case (t, n) if n > 0L => (s"$cdcPath/_gm_ct=$t", t) }
+        val abs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
+        val back = spark.read.option("basePath", abs).parquet(abs)
         val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,
           back.select(col("_gf_file").as("file"), col("_gf_pos").as("pos")))
-        (files.map(f => f -> Seq(sidecar)).toMap, n, staged.map(_._1))
+        (files.map(f => f -> Seq(sidecar)).toMap, n, staged)
       }
     // post-images and inserts: per clause, each lake column evaluates its
     // SET/VALUES expression cast to the recorded type, carries the

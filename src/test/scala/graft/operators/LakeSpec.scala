@@ -2087,6 +2087,27 @@ class LakeSpec extends SparkTestBase {
     assert(c.size == 41 && c(100L) == "doc 100" && c(5L) == "patched 5")
   }
 
+  test("general merge: distinct null-key source rows each INSERT (null never matches, so they are not duplicates)") {
+    val out = freshDir("lake-nullkey-merge")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)
+    spark.sql("DROP TABLE IF EXISTS nkm")
+    spark.sql(s"CREATE TABLE nkm USING `graft-lake` OPTIONS (path '$out')")
+    Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"), (Some(5L), "patched"))
+      .toDF("doc_id", "text").createOrReplaceTempView("nkm_src")
+    try {
+      spark.sql("""MERGE INTO nkm t USING nkm_src s ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET text = s.text
+        WHEN NOT MATCHED THEN
+          INSERT (doc_id, text, split, shard_id) VALUES (s.doc_id, s.text, 'test', 0)""")
+      val r = Lake.read(spark, out)
+      assert(r.count() == 42, "two distinct null-key rows must insert separately")
+      assert(r.filter(col("doc_id").isNull).select("text").collect()
+        .map(_.getString(0)).toSet == Set("n1", "n2"))
+      assert(r.filter(col("doc_id") === 5L).select("text").head.getString(0) == "patched")
+    } finally spark.sql("DROP TABLE IF EXISTS nkm")
+  }
+
   test("changeFeed folds the prior state forward: log reads stay O(range + checkpoint interval)") {
     val out = freshDir("lake-feed-fold")
     writePlain(fixture(), out)
