@@ -1591,6 +1591,93 @@ object Lake {
     }
   }
 
+  /** Per-file column stats read from the staged files' PARQUET FOOTERS
+    * — the Iceberg capture path: the parquet writers already computed
+    * row-group min/max, so default stats cost O(footer) driver-side
+    * reads and zero data decode. `cols` are (PHYSICAL name, logical
+    * type) pairs; a column whose stats class mismatches its type, whose
+    * any row group lacks usable statistics, or whose float/double
+    * bounds are NaN is skipped for that file (absent keeps the file —
+    * every pruning rule here is exactness-preserving). String bounds
+    * truncate through [[truncatedBounds]] exactly like the aggregate
+    * path (parquet's own writer-side truncation already bumps its max,
+    * so re-truncating stays a valid bound). */
+  private def footerStats(spark: SparkSession, root: Path, files: Seq[String],
+      cols: Seq[(String, DataType)]): Map[String, Seq[ColStat]] = {
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val want = cols.toMap
+    val out = Map.newBuilder[String, Seq[ColStat]]
+    files.foreach { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+      try {
+        // fold (min, max) per column across row groups; None = unusable
+        val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            if (want.contains(name)) {
+              val st = c.getStatistics
+              val pair: Option[(Any, Any)] =
+                if (st == null || !st.hasNonNullValue) None
+                else (want(name), st.genericGetMin, st.genericGetMax) match {
+                  case (FloatType | DoubleType, mn: Number, mx: Number)
+                      if mn.doubleValue().isNaN || mx.doubleValue().isNaN => None
+                  case (_, mn, mx) => Some((mn, mx))
+                }
+              acc.updateWith(name) {
+                case Some(None) => Some(None)           // already poisoned
+                case None => Some(pair)
+                case Some(Some((lo, hi))) => pair match {
+                  case None => Some(None)
+                  case Some((mn, mx)) =>
+                    Some(Some((foldBound(want(name), lo, mn, takeMin = true),
+                      foldBound(want(name), hi, mx, takeMin = false))))
+                }
+              }
+            }
+          }
+        }
+        val st = cols.flatMap { case (name, dt) =>
+          acc.getOrElse(name, None).flatMap { case (lo, hi) =>
+            dt match {
+              case StringType =>
+                truncatedBounds(binString(lo), binString(hi))
+                  .map { case (l, h) => ColStat(name, l, h) }
+              case _ => Some(ColStat(name, String.valueOf(lo), String.valueOf(hi)))
+            }
+          }
+        }
+        if (st.nonEmpty) out += (rel -> st)
+      } finally reader.close()
+    }
+    out.result()
+  }
+
+  private def binString(v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => String.valueOf(other)
+  }
+
+  /** min/max fold of two footer bounds under the column's logical-type
+    * comparison (the same order [[pruneByStats]] compares in). */
+  private def foldBound(dt: DataType, a: Any, b: Any, takeMin: Boolean): Any = {
+    val cmpLt: Boolean = dt match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(binString(a))
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(binString(b))) < 0
+      case FloatType | DoubleType =>
+        java.lang.Double.compare(
+          a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue()) < 0
+      case _ =>
+        java.lang.Long.compare(
+          a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue()) < 0
+    }
+    if (cmpLt == takeMin) a else b
+  }
+
   /** Read the staged files back ONCE, returning the total row count (the
     * audit expectation check) and per-file min/max of `statsCols` (the
     * delta's data-skipping stats — recorded so later appends can prune
@@ -1599,9 +1686,11 @@ object Lake {
     * per-file collect is bounded by the staged file count. Columns absent
     * from the schema (pre-evolution mutations) are skipped. An EMPTY
     * `statsCols` defaults to the first [[DefaultStatsCols]]
-    * stats-comparable non-partition columns (path-resident columns'
-    * values are directory-derivable already); naming columns overrides
-    * the default entirely. */
+    * stats-comparable non-partition columns, read from the staged
+    * files' PARQUET FOOTERS ([[footerStats]] — the Iceberg capture
+    * path: zero data decode, the count pass stays column-pruned);
+    * naming columns overrides the default entirely and aggregates the
+    * data exactly as asked. */
   private[graft] def auditStaged(spark: SparkSession, lakeDir: String, schemaJson: String,
       stagedFiles: Seq[String], statsCols: Seq[String]): (Long, Map[String, Seq[ColStat]]) = {
     if (stagedFiles.isEmpty) return (0L, Map.empty)
@@ -1612,19 +1701,22 @@ object Lake {
     val auditSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val physOf: String => String = c =>
       auditSchema.find(_.name == c).fold(c)(physicalName)
+    if (statsCols.isEmpty) {
+      // DEFAULT capture: count from the (column-pruned) read-back,
+      // min/max from the writers' own footer statistics — decoding a
+      // corpus text column back just to min/max it would dominate every
+      // small commit, and the footers already hold the answer
+      val total = df.count()
+      val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
+      val cols = df.schema.fields.iterator
+        .filter(f => statsComparable(f.dataType) && !pathLevels(f.name))
+        .take(DefaultStatsCols)
+        .map(f => physOf(f.name) -> f.dataType).toSeq
+      return (total, footerStats(spark, root, stagedFiles, cols))
+    }
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
-    val effective =
-      if (statsCols.nonEmpty) statsCols
-      else {
-        // the staged paths themselves spell which columns are
-        // path-resident (zero extra I/O) — skip those levels
-        val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
-        df.schema.fields.iterator
-          .filter(f => statsComparable(f.dataType) && !pathLevels(f.name))
-          .map(_.name).take(DefaultStatsCols).toSeq
-      }
-    val valid = effective.filter(df.schema.fieldNames.contains).distinct
+    val valid = statsCols.filter(df.schema.fieldNames.contains).distinct
     val aggs = count(lit(1)).as("_n") +:
       valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
     val rows = df.groupBy(col("_metadata.file_path").as("_fp"))
@@ -1912,6 +2004,57 @@ object Lake {
       }
     } finally fs.delete(staging, true)
     moved.result().sorted
+  }
+
+  /** [[stageWrite]] with a LEADING STAGING-ONLY tag level: the frame
+    * writes ONCE partitioned by (`tagCol`, layout levels), and the move
+    * into the data tree STRIPS the tag segment — so one write job
+    * yields files exactly split by tag (part-file names embed a unique
+    * job UUID, so stripped siblings can never collide). The device that
+    * lets a merge stage its update post-images and its inserts as
+    * separate files without a second write pass. Returns tag value →
+    * moved relative paths. */
+  private[graft] def stageWriteTagged(spark: SparkSession, lakeDir: String,
+      df: DataFrame, tagCol: String, partitionCols: Seq[String],
+      writeOptions: Map[String, String] = Map.empty): Map[String, Seq[String]] = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val staging = new Path(new Path(root, StagingDirName), java.util.UUID.randomUUID().toString)
+    val out0 = mappingOf(spark, lakeDir).fold(df)(toPhysicalDf(df, _))
+    val (out, levelNames) = withLevelCols(out0, partitionCols)
+    out.write.mode("overwrite").options(writeOptions)
+      .partitionBy((tagCol +: levelNames): _*).parquet(staging.toString)
+    val stagingQ = fs.makeQualified(staging)
+    val byTag = scala.collection.mutable.Map[String, Vector[String]]()
+    try {
+      if (fs.exists(staging)) {
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = relativize(stagingQ, fs.makeQualified(f))
+          val segments = rel.split('/')
+          val nonTagHidden = segments.tail.exists(s =>
+            s.startsWith("_") || s.startsWith("."))
+          if (f.getName.endsWith(".parquet") && !nonTagHidden &&
+              segments.head.startsWith(tagCol + "=")) {
+            val tag = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(segments.head.drop(tagCol.length + 1))
+            // ONE task writes the same part-file name into every
+            // (tag, partition) dir pair it touches — the stripped
+            // siblings WOULD collide, so the tag prefixes the file name
+            val stripped = (segments.tail.dropRight(1) :+ s"$tag-${segments.last}")
+              .mkString("/")
+            val target = new Path(root, stripped)
+            fs.mkdirs(target.getParent)
+            if (!fs.rename(f, target))
+              throw new IllegalStateException(
+                s"staged-file move failed: $f -> $target (already-moved files are " +
+                  "invisible orphans; vacuum reclaims them)")
+            byTag.updateWith(tag)(v => Some(v.getOrElse(Vector.empty) :+ stripped))
+          }
+        }
+      }
+    } finally fs.delete(staging, true)
+    byTag.view.mapValues(_.sorted.toSeq).toMap
   }
 
   // ------------------------------------------------------------------

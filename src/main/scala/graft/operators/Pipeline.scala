@@ -1531,18 +1531,24 @@ object Pipeline {
             .select(col(idPhys).as("_lakeid"))))
       }
     // stage B: the upserts — POST-IMAGES (source rows whose id matched)
-    // and genuine inserts land as SEPARATE files, so the change feed tags
-    // update_postimage vs insert exactly, at zero extra write cost
+    // and genuine inserts land as SEPARATE files through ONE tagged
+    // write (the staging-only _gm_kind level strips on move), so the
+    // change feed tags update_postimage vs insert exactly at the same
+    // write cost as the untyped upsert
     val updCols = upd.select(lakeSchema.map(f => col(f.name)): _*)
-    val (postStaged, insStaged) = affectedIds match {
+    val tagged = affectedIds match {
       case None =>
-        (Seq.empty[String], Lake.stageWrite(spark, lakeDir, updCols, partitionCols))
+        Map("ins" -> Lake.stageWrite(spark, lakeDir, updCols, partitionCols))
       case Some(ids) =>
-        (Lake.stageWrite(spark, lakeDir,
-          updCols.join(ids, col(idCol) === col("_lakeid"), "left_semi"), partitionCols),
-          Lake.stageWrite(spark, lakeDir,
-            updCols.join(ids, col(idCol) === col("_lakeid"), "left_anti"), partitionCols))
+        Lake.stageWriteTagged(spark, lakeDir,
+          updCols.join(ids.distinct(), col(idCol) === col("_lakeid"), "left")
+            .withColumn("_gm_kind",
+              when(col("_lakeid").isNotNull, lit("post")).otherwise(lit("ins")))
+            .drop("_lakeid"),
+          "_gm_kind", partitionCols)
     }
+    val postStaged = tagged.getOrElse("post", Seq.empty)
+    val insStaged = tagged.getOrElse("ins", Seq.empty)
     val upStaged = postStaged ++ insStaged
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq(idCol))
@@ -1813,18 +1819,24 @@ object Pipeline {
         }
       }
     // the upserts land as genuinely-new data files: POST-IMAGES (matched
-    // ids) and genuine inserts as SEPARATE files so the change feed tags
-    // update_postimage vs insert exactly, at zero extra write cost
+    // ids) and genuine inserts as SEPARATE files through ONE tagged
+    // write (the staging-only _gm_kind level strips on move) — the
+    // change feed tags update_postimage vs insert exactly at the same
+    // write cost as the untyped upsert
     val updCols = upd.select(lakeSchema.map(f => col(f.name)): _*)
-    val (postStaged, insStaged) = matchedIds match {
+    val tagged = matchedIds match {
       case None =>
-        (Seq.empty[String], Lake.stageWrite(spark, lakeDir, updCols, effectiveCols))
+        Map("ins" -> Lake.stageWrite(spark, lakeDir, updCols, effectiveCols))
       case Some(ids) =>
-        (Lake.stageWrite(spark, lakeDir,
-          updCols.join(ids, col(idCol) === col("_lakeid"), "left_semi"), effectiveCols),
-          Lake.stageWrite(spark, lakeDir,
-            updCols.join(ids, col(idCol) === col("_lakeid"), "left_anti"), effectiveCols))
+        Lake.stageWriteTagged(spark, lakeDir,
+          updCols.join(ids.distinct(), col(idCol) === col("_lakeid"), "left")
+            .withColumn("_gm_kind",
+              when(col("_lakeid").isNotNull, lit("post")).otherwise(lit("ins")))
+            .drop("_lakeid"),
+          "_gm_kind", effectiveCols)
     }
+    val postStaged = tagged.getOrElse("post", Seq.empty)
+    val insStaged = tagged.getOrElse("ins", Seq.empty)
     val upStaged = postStaged ++ insStaged
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq(idCol))
@@ -2026,13 +2038,20 @@ object Pipeline {
           .fold(lit(null).cast(f.dataType): org.apache.spark.sql.Column)(_.cast(f.dataType))
           .as(f.name)
       }: _*) }
-    def stageAdds(frames: Seq[DataFrame]): Seq[String] = {
-      val adds = frames.reduce(_.unionByName(_))
-      Lake.enforceChecks(base, adds)
-      Lake.stageWrite(spark, lakeDir, adds, partitionCols)
-    }
-    val postStaged = if (addPost > 0L) stageAdds(mAdds ++ nAdds) else Seq.empty[String]
-    val insStaged = if (addIns > 0L) stageAdds(iAdds) else Seq.empty[String]
+    val (postStaged, insStaged) =
+      if (addExpected == 0L) (Seq.empty[String], Seq.empty[String])
+      else {
+        // ONE tagged write stages both families as separate files (the
+        // staging-only _gm_kind level strips on move) — the r12 single
+        // add pass, now CDF-typed
+        val adds =
+          ((mAdds ++ nAdds).map(_.withColumn("_gm_kind", lit("post"))) ++
+            iAdds.map(_.withColumn("_gm_kind", lit("ins"))))
+            .reduce(_.unionByName(_))
+        Lake.enforceChecks(base, adds)
+        val tagged = Lake.stageWriteTagged(spark, lakeDir, adds, "_gm_kind", partitionCols)
+        (tagged.getOrElse("post", Seq.empty), tagged.getOrElse("ins", Seq.empty))
+      }
     val upStaged = postStaged ++ insStaged
     val (upRows, upStats) =
       if (addExpected == 0L) (0L, Map.empty[String, Seq[Lake.ColStat]])
