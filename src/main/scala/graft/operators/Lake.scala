@@ -1796,11 +1796,15 @@ object Lake {
           loOk && hiOk
       }
     // TRANSFORM-level path pruning (Iceberg-style partition pruning):
-    // a file whose path spells `<col>_day=V` / `<col>_hour=V` for a
-    // bounded timestamp/date column prunes when V falls outside the
-    // bound's rendered day/hour window — days/hours render FIXED-WIDTH
-    // sortable strings, so string comparison is chronological. Files
-    // without the level, and unrenderable bounds, keep the file
+    // a file whose path spells a transform level for a bounded column
+    // prunes by the level's own semantics — days/hours render
+    // FIXED-WIDTH sortable strings (string comparison is
+    // chronological), truncate is monotone (prefix / floor-to-multiple
+    // of the bound endpoints brackets the level value), and bucket
+    // prunes EQUALITY bounds by recomputing the value's bucket (the
+    // level name is self-describing: `<col>_bucket<n>` carries the
+    // count, so any generation's files answer exactly). Files without
+    // a level, and unrenderable bounds, keep the file
     // (exactness-preserving like every pruning rule here).
     def pathOverlaps(f: String, b: ColBound): Boolean = {
       val dirs = f.split('/').dropRight(1)
@@ -1808,25 +1812,74 @@ object Lake {
       else {
         def unesc(s: String) = org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.unescapePathName(s)
-        val levels = dirs.iterator.flatMap { seg =>
-          val eq = seg.indexOf('=')
-          if (eq <= 0) Iterator.empty
-          else Iterator((unesc(seg.take(eq)), unesc(seg.drop(eq + 1))))
-        }.toMap
-        def check(suffix: String, kind: String): Boolean =
-          levels.get(b.col + suffix) match {
-            case None => true
-            case Some(v) =>
-              val loOk = b.lo == null ||
-                renderTimeTransform(kind, b.dt, b.lo).forall(v >= _)
-              val hiOk = b.hi == null ||
-                renderTimeTransform(kind, b.dt, b.hi).forall(v <= _)
-              loOk && hiOk
+        val bucketRe = (java.util.regex.Pattern.quote(b.col) + "_bucket(\\d+)").r
+        val truncRe = (java.util.regex.Pattern.quote(b.col) + "_trunc(\\d+)").r
+        def timeOk(kind: String, v: String): Boolean = {
+          val loOk = b.lo == null ||
+            renderTimeTransform(kind, b.dt, b.lo).forall(v >= _)
+          val hiOk = b.hi == null ||
+            renderTimeTransform(kind, b.dt, b.hi).forall(v <= _)
+          loOk && hiOk
+        }
+        def truncOk(w: Int, v: String): Boolean = {
+          def rendered(x: Any): Option[String] = (b.dt, x) match {
+            case (StringType, s) =>
+              val str = s match {
+                case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+                case other => String.valueOf(other)
+              }
+              Some(str.take(w))
+            case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
+              Some((n.longValue() - java.lang.Math.floorMod(n.longValue(), w.toLong)).toString)
+            case _ => None
           }
-        check("_day", "days") && check("_hour", "hours")
+          def cmpVals(x: String, y: String): Option[Int] = b.dt match {
+            case StringType => Some(
+              org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+            case _ => for (a <- x.toLongOption; c <- y.toLongOption)
+              yield java.lang.Long.compare(a, c)
+          }
+          val loOk = b.lo == null ||
+            rendered(b.lo).forall(r => cmpVals(v, r).forall(_ >= 0))
+          val hiOk = b.hi == null ||
+            rendered(b.hi).forall(r => cmpVals(v, r).forall(_ <= 0))
+          loOk && hiOk
+        }
+        def bucketOk(n: Int, v: String): Boolean =
+          // only an EQUALITY bound maps through a hash
+          if (b.lo == null || b.hi == null || b.lo != b.hi) true
+          else bucketOf(b.dt, b.lo, n).forall(x => v == x.toString)
+        dirs.forall { seg =>
+          val eq = seg.indexOf('=')
+          if (eq <= 0) true
+          else {
+            val (lvl, v) = (unesc(seg.take(eq)), unesc(seg.drop(eq + 1)))
+            lvl match {
+              case _ if lvl == b.col + "_day" => timeOk("days", v)
+              case _ if lvl == b.col + "_hour" => timeOk("hours", v)
+              case bucketRe(n) => bucketOk(n.toInt, v)
+              case truncRe(w) => truncOk(w.toInt, v)
+              case _ => true
+            }
+          }
+        }
       }
     }
     st.files.filter(f => bounds.forall(b => overlaps(f, b) && pathOverlaps(f, b)))
+  }
+
+  /** The [[transformCol]] bucket of one bound endpoint, recomputed
+    * driver-side: Spark's Murmur3 `hash` (seed 42) pmod n — EXACTLY the
+    * write-time formula, evaluated over the catalyst literal form of
+    * the value. None = unrenderable (keep the file). */
+  private def bucketOf(dt: DataType, v: Any, n: Int): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    scala.util.Try {
+      val lit = scala.util.Try(Literal.create(v, dt)).getOrElse(Literal(v, dt))
+      val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
+      java.lang.Math.floorMod(h, n)
+    }.toOption
   }
 
   /** Driver-side rendering of a days/hours transform value for ONE
@@ -2081,18 +2134,23 @@ object Lake {
 
   private[graft] def parseLayoutField(spec: String): LayoutField = spec match {
     case TransformRe(kind, param, src) =>
-      val suffix = kind match {
-        case "days" => "_day"
-        case "hours" => "_hour"
-        case "bucket" => "_bucket"
-        case "truncate" => "_trunc"
-      }
       val needsParam = kind == "bucket" || kind == "truncate"
       require(needsParam == (param != null),
         s"layout transform '$spec': ${if (needsParam) s"$kind(n, col) takes a count"
           else s"$kind(col) takes no count"}")
       val p = Option(param).map(_.toInt).getOrElse(0)
       require(!needsParam || p > 0, s"layout transform '$spec': count must be positive")
+      // parameterized transforms render SELF-DESCRIBING level names
+      // (`doc_id_bucket16=`, `text_trunc3=`): the param rides in every
+      // path, so pruning can recompute bucket membership / compare
+      // prefixes for ANY generation's files without ambiguity when a
+      // later evolve changes the count
+      val suffix = kind match {
+        case "days" => "_day"
+        case "hours" => "_hour"
+        case "bucket" => s"_bucket$p"
+        case "truncate" => s"_trunc$p"
+      }
       LayoutField(s"$kind(${if (needsParam) s"$p, " else ""}$src)",
         kind, src, p, src + suffix)
     case name if name.nonEmpty && !name.contains('(') && !name.contains(')') =>

@@ -2292,20 +2292,45 @@ class LakeSpec extends SparkTestBase {
     Lake.init(spark, fixture(), out, Seq("bucket(4, doc_id)", "truncate(3, text)"))
     val st = Lake.latestManifest(spark, out).get
     assert(st.files.forall(f =>
-      f.matches("doc_id_bucket=\\d/text_trunc=doc/.*")),
-      s"bucket+truncate levels must render, got ${st.files.take(2)}")
+      f.matches("doc_id_bucket4=\\d/text_trunc3=doc/.*")),
+      s"bucket+truncate levels must render self-describing names, got ${st.files.take(2)}")
     val back = Lake.read(spark, out)
     assert(back.count() == 40 &&
       back.schema.fieldNames.toSet == Set("doc_id", "text", "split", "shard_id"))
     assert(ids(back) == (0L until 40L).toSet)
+    // BUCKET PATH PRUNING: an equality bound keeps only the bound
+    // value's bucket (the level name carries the count, so the bucket
+    // recomputes exactly); the kept bucket still holds the row
+    val eqHit = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 7L, 7L)
+    assert(eqHit.nonEmpty && eqHit.size < st.files.size,
+      s"an equality bound must prune to one bucket, kept ${eqHit.size}/${st.files.size}")
+    assert(eqHit.map(_.split('/').head).toSet.size == 1,
+      s"all kept files must share one bucket level, got $eqHit")
+    // a RANGE bound cannot map through a hash: everything keeps
+    assert(Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 5L, 9L).size == st.files.size)
+    // TRUNCATE PATH PRUNING: a string window brackets by prefix
+    val tHit = Lake.pruneByStats(st, "text",
+      org.apache.spark.sql.types.StringType, "xyz", "xyz")
+    assert(tHit.isEmpty, "a prefix outside every text_trunc3 level must prune all files")
+    assert(Lake.pruneByStats(st, "text",
+      org.apache.spark.sql.types.StringType, "doc 7", "doc 7").nonEmpty)
     // mixed identity + transform: evolve to (split, bucket(2, doc_id))
     Lake.evolveLayout(spark, out, Seq("split", "bucket(2, doc_id)"))
     Lake.append(spark, out,
       Seq((100L, "doc 100", "train", 0)).toDF("doc_id", "text", "split", "shard_id"))
     val st2 = Lake.latestManifest(spark, out).get
     val nf = st2.files.filterNot(st.files.toSet)
-    assert(nf.nonEmpty && nf.forall(_.matches("split=train/doc_id_bucket=[01]/.*")),
+    assert(nf.nonEmpty && nf.forall(_.matches("split=train/doc_id_bucket2=[01]/.*")),
       s"identity+transform layouts must interleave, got $nf")
+    // cross-generation equality pruning stays exact: bucket4 files prune
+    // by THEIR count, bucket2 files by theirs — both from the path alone
+    val eqHit2 = Lake.pruneByStats(st2, "doc_id",
+      org.apache.spark.sql.types.LongType, 100L, 100L)
+    assert(eqHit2.exists(_.startsWith("split=train/doc_id_bucket2=")) &&
+      eqHit2.size < st2.files.size,
+      s"mixed-generation bucket pruning must keep 100's buckets only, got $eqHit2")
     val all = Lake.read(spark, out)
     assert(all.count() == 41 && ids(all) == ((0L until 40L).toSet + 100L))
     assert(all.filter(col("doc_id") === 100L).select("split").head.getString(0) == "train",
