@@ -2307,9 +2307,19 @@ class LakeSpec extends SparkTestBase {
       s"an equality bound must prune to one bucket, kept ${eqHit.size}/${st.files.size}")
     assert(eqHit.map(_.split('/').head).toSet.size == 1,
       s"all kept files must share one bucket level, got $eqHit")
-    // a RANGE bound cannot map through a hash: everything keeps
-    assert(Lake.pruneByStats(st, "doc_id",
-      org.apache.spark.sql.types.LongType, 5L, 9L).size == st.files.size)
+    // a RANGE bound cannot map through the bucket HASH, but footer value
+    // stats legitimately prune by doc_id min/max — the invariant is
+    // NO ROW LOSS: the kept set must still hold every id in [5, 9]
+    val rangeKept = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 5L, 9L)
+    assert(rangeKept.nonEmpty)
+    val rangeIds = spark.read.option("basePath", out)
+      .parquet(rangeKept.map(f => s"$out/$f"): _*)
+      .filter(col("doc_id").between(5L, 9L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rangeIds == (5L to 9L).toSet,
+      s"range pruning must lose no rows in [5,9]; kept ${rangeKept.size}/" +
+        s"${st.files.size} files holding $rangeIds")
     // TRUNCATE PATH PRUNING: a string window brackets by prefix
     val tHit = Lake.pruneByStats(st, "text",
       org.apache.spark.sql.types.StringType, "xyz", "xyz")
