@@ -167,7 +167,18 @@ object Lake {
         * partition-spec-evolution model: each FILE's path spells its
         * own layout generation, the state records where new writes
         * go). */
-      layout: Option[Seq[String]] = None)
+      layout: Option[Seq[String]] = None,
+      /** Columns whose data files carry PARQUET BLOOM FILTERS (written
+        * through parquet-mr's own footer bloom machinery, the Delta
+        * bloom-index / Iceberg write.parquet.bloom-filter-enabled
+        * parity): set at [[init]] or [[setBloomCols]] (a `B` delta
+        * line), carried by every checkpoint (`BY`). min/max stats
+        * cannot prune uniformly-distributed keys (UUID-ish ids) — a
+        * sparse merge into such a lake would read every candidate
+        * file; [[pruneByBloom]] probes these columns' per-file blooms
+        * instead. Logical names; write/read translate through the
+        * column mapping. */
+      bloomCols: Seq[String] = Seq.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -218,7 +229,11 @@ object Lake {
         * tags the former `update_postimage` instead of `insert` — the
         * Delta CDF contract — at zero extra write cost (the add IS the
         * post-image; no `_change_data` double-write). */
-      postImages: Set[String] = Set.empty)
+      postImages: Set[String] = Set.empty,
+      /** The bloom-filter column set this commit RECORDS (`B` line;
+        * empty = explicitly none). Absent on ordinary commits — the
+        * state keeps its prior setting. */
+      bloomCols: Option[Seq[String]] = None)
 
   /** A staged-but-unpublished mutation: everything [[publish]] needs to
     * audit, commit, and vacuum. `removedFiles` are superseded pre-image
@@ -268,7 +283,11 @@ object Lake {
       layout: Option[Seq[String]] = None,
       /** Staged files holding UPDATE POST-IMAGE rows — rendered as `AU`
         * add lines; see [[DeltaRecord.postImages]]. */
-      postImageFiles: Set[String] = Set.empty)
+      postImageFiles: Set[String] = Set.empty,
+      /** The bloom-filter column set this commit records — see
+        * [[DeltaRecord.bloomCols]]. [[init]] and [[setBloomCols]] carry
+        * it. */
+      bloomCols: Option[Seq[String]] = None)
 
   private def fsRoot(spark: SparkSession, lakeDir: String): (FileSystem, Path) = {
     val p = new Path(lakeDir)
@@ -431,8 +450,9 @@ object Lake {
     val kAdds = rec.checkAdds.sortBy(_._1).map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val kDrops = rec.checkDrops.sorted.map(n => s"KD\t${enc(n)}")
     val lay = rec.layout.toSeq.map(cols => (Seq("L") ++ cols.map(enc)).mkString("\t"))
+    val blm = rec.bloomCols.toSeq.map(cols => (Seq("B") ++ cols.map(enc)).mkString("\t"))
     (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc ++ txn ++ restates ++
-      kAdds ++ kDrops ++ lay)).mkString("\n")
+      kAdds ++ kDrops ++ lay ++ blm)).mkString("\n")
   }
 
   private def parseDeltaFile(text: String, version: Long): DeltaRecord = {
@@ -454,6 +474,7 @@ object Lake {
     val kAdds = Seq.newBuilder[(String, String)]
     val kDrops = Seq.newBuilder[String]
     var layout: Option[Seq[String]] = None
+    var bloomCols: Option[Seq[String]] = None
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -476,13 +497,14 @@ object Lake {
         case "K" => kAdds += ((dec(f(1)), dec(f(2))))
         case "KD" => kDrops += dec(f(1))
         case "L" => layout = Some(f.tail.map(dec))
+        case "B" => bloomCols = Some(f.tail.map(dec))
         case other => throw new IllegalStateException(s"unknown delta line tag: $other")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
       rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result(), txn,
       restates.result(), kAdds.result(), kDrops.result(), layout = layout,
-      postImages = postImages.result())
+      postImages = postImages.result(), bloomCols = bloomCols)
   }
 
   /** Checkpoints are written under the `v2` header: `v2` PROMISES a
@@ -505,8 +527,10 @@ object Lake {
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
-    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns ++ checks ++ lay))
-      .mkString("\n")
+    val blm = if (st.bloomCols.isEmpty) Seq.empty
+      else Seq((Seq("BY") ++ st.bloomCols.map(enc)).mkString("\t"))
+    (header +: schema +: (files ++ hist ++ dvs ++ dvHist ++ cdc ++ txns ++ checks ++
+      lay ++ blm)).mkString("\n")
   }
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
@@ -527,6 +551,7 @@ object Lake {
     val txns = Map.newBuilder[String, Long]
     val checks = Map.newBuilder[String, String]
     var layout: Option[Seq[String]] = None
+    var bloomCols: Seq[String] = Seq.empty
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -543,6 +568,7 @@ object Lake {
         case "T" => txns += (dec(f(1)) -> f(2).toLong)
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case "LY" => layout = Some(f.tail.map(dec))
+        case "BY" => bloomCols = f.tail.map(dec)
         case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
       }
     }
@@ -553,7 +579,8 @@ object Lake {
       cdc = cdc.result().sorted,
       txns = txns.result(),
       checks = checks.result(),
-      layout = layout)
+      layout = layout,
+      bloomCols = bloomCols)
   }
 
   /** Full log-file reads since JVM start — the observability hook the
@@ -715,7 +742,8 @@ object Lake {
       txns = d.txn.fold(st.txns) { case (a, v) =>
         st.txns.updated(a, math.max(v, st.txns.getOrElse(a, Long.MinValue))) },
       checks = (st.checks -- d.checkDrops) ++ d.checkAdds,
-      layout = d.layout.orElse(st.layout))
+      layout = d.layout.orElse(st.layout),
+      bloomCols = d.bloomCols.getOrElse(st.bloomCols))
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -963,35 +991,8 @@ object Lake {
     val base = adopt(spark, lakeDir)
     val schema = visible(DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
     // entries are layout SPECS — identity names and/or Iceberg's
-    // transform grammar (days/hours/bucket/truncate); see [[LayoutField]]
-    val fields = newPartitionCols.map(parseLayoutField)
-    val missing = fields.map(_.source).filterNot(schema.fieldNames.contains)
-    require(missing.isEmpty,
-      s"evolveLayout: not visible lake column(s): ${missing.mkString(", ")} " +
-        s"(visible: ${schema.fieldNames.mkString(", ")})")
-    require(fields.map(_.levelName).distinct.size == fields.size,
-      "evolveLayout: duplicate partition level(s)")
-    // a transform's level name must not shadow a schema column: readers
-    // decide "identity vs transform level" by schema membership
-    val shadowing = fields.filterNot(_.identity).map(_.levelName)
-      .filter(schema.fieldNames.contains)
-    require(shadowing.isEmpty,
-      s"evolveLayout: transform level name(s) ${shadowing.mkString(", ")} collide " +
-        "with lake column(s) — rename the column or choose another transform")
-    // source-type checks: the rendering must be well-defined
-    fields.filterNot(_.identity).foreach { f =>
-      val dt = schema(schema.fieldIndex(f.source)).dataType
-      f.kind match {
-        case "days" | "hours" =>
-          require(dt.typeName.startsWith("timestamp") || dt == org.apache.spark.sql.types.DateType,
-            s"evolveLayout: ${f.spec} needs a timestamp/date source, '${f.source}' is ${dt.simpleString}")
-        case "truncate" =>
-          require(dt == StringType || dt == LongType || dt == IntegerType ||
-            dt == ShortType || dt == ByteType,
-            s"evolveLayout: ${f.spec} needs a string or integral source, '${f.source}' is ${dt.simpleString}")
-        case _ => // bucket hashes any atomic type
-      }
-    }
+    // transform grammar; see [[LayoutField]] and the shared gate
+    val fields = validateLayout(newPartitionCols, schema, "evolveLayout")
     val specs = fields.map(_.spec)
     val current = layoutSpecsOf(base)
     require(specs != current,
@@ -1476,7 +1477,8 @@ object Lake {
         txns = sc.txn.fold(base.txns) { case (a, v) =>
           base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) },
         checks = base.checks,
-        layout = sc.layout.orElse(base.layout))
+        layout = sc.layout.orElse(base.layout),
+        bloomCols = sc.bloomCols.getOrElse(base.bloomCols))
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -1484,7 +1486,7 @@ object Lake {
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
             cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn,
             statRestates = sc.statRestates.sortBy(_._1), layout = sc.layout,
-            postImages = sc.postImageFiles),
+            postImages = sc.postImageFiles, bloomCols = sc.bloomCols),
           Some(post))
         committed = true
       } catch {
@@ -1604,15 +1606,52 @@ object Lake {
     * so re-truncating stays a valid bound). */
   private def footerStats(spark: SparkSession, root: Path, files: Seq[String],
       cols: Seq[(String, DataType)]): Map[String, Seq[ColStat]] = {
-    import scala.jdk.CollectionConverters._
     if (cols.isEmpty || files.isEmpty) return Map.empty
-    val conf = spark.sessionState.newHadoopConf()
+    if (files.size <= FooterStatsDriverMax)
+      return files.flatMap(rel =>
+        footerStatsOne(root, rel, cols, spark.sessionState.newHadoopConf())).toMap
+    // a commit staging many files distributes the footer reads as ONE
+    // spark job — O(files/executors) wall-clock instead of O(files)
+    // serial driver round-trips (Iceberg collects footer stats in the
+    // writing tasks; staged-then-moved files collect them in one read
+    // job here). The collect is bounded by the staged file count —
+    // manifest-sized by construction. The driver's hadoop conf rides
+    // along as plain entries (credentials, fs impls).
+    val confProps = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val rootStr = root.toString
+    val colsArr = cols
+    spark.sparkContext
+      .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val r = new Path(rootStr)
+        it.flatMap(rel => footerStatsOne(r, rel, colsArr, conf))
+      }.collect().toMap
+  }
+
+  /** How many staged files a commit may footer-read serially on the
+    * driver before [[footerStats]] distributes the reads as a job —
+    * small commits skip the job-launch overhead entirely. */
+  private[graft] val FooterStatsDriverMax = 8
+
+  /** Driver-side footer opens (a [[logReads]]-style counter): the
+    * distribution spec pins that a many-file commit performs ZERO of
+    * these — every footer is opened inside a task instead. */
+  private[graft] val footerDriverReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def footerStatsOne(root: Path, rel: String, cols: Seq[(String, DataType)],
+      conf: org.apache.hadoop.conf.Configuration): Option[(String, Seq[ColStat])] = {
+    import scala.jdk.CollectionConverters._
     val want = cols.toMap
-    val out = Map.newBuilder[String, Seq[ColStat]]
-    files.foreach { rel =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
-      try {
+    if (org.apache.spark.TaskContext.get() == null) footerDriverReads.incrementAndGet()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+    try {
         // fold (min, max) per column across row groups; None = unusable
         val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
         reader.getFooter.getBlocks.asScala.foreach { b =>
@@ -1650,10 +1689,8 @@ object Lake {
             }
           }
         }
-        if (st.nonEmpty) out += (rel -> st)
+        if (st.nonEmpty) Some(rel -> st) else None
       } finally reader.close()
-    }
-    out.result()
   }
 
   private def binString(v: Any): String = v match {
@@ -1828,7 +1865,12 @@ object Lake {
                 case u: org.apache.spark.unsafe.types.UTF8String => u.toString
                 case other => String.valueOf(other)
               }
-              Some(str.take(w))
+              // CODEPOINT prefix, exactly the write side's Spark
+              // `substring` semantics — String.take counts UTF-16 units
+              // and would split a surrogate pair, diverging from the
+              // written level value and wrongly pruning matching files
+              Some(org.apache.spark.unsafe.types.UTF8String.fromString(str)
+                .substringSQL(1, w).toString)
             case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
               Some((n.longValue() - java.lang.Math.floorMod(n.longValue(), w.toLong)).toString)
             case _ => None
@@ -1856,6 +1898,8 @@ object Lake {
           else {
             val (lvl, v) = (unesc(seg.take(eq)), unesc(seg.drop(eq + 1)))
             lvl match {
+              case _ if lvl == b.col + "_year" => timeOk("years", v)
+              case _ if lvl == b.col + "_month" => timeOk("months", v)
               case _ if lvl == b.col + "_day" => timeOk("days", v)
               case _ if lvl == b.col + "_hour" => timeOk("hours", v)
               case bucketRe(n) => bucketOk(n.toInt, v)
@@ -1891,7 +1935,12 @@ object Lake {
     * (keep the file). */
   private def renderTimeTransform(kind: String, dt: DataType, v: Any): Option[String] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    val pattern = if (kind == "days") "yyyy-MM-dd" else "yyyy-MM-dd-HH"
+    val pattern = kind match {
+      case "years" => "yyyy"
+      case "months" => "yyyy-MM"
+      case "days" => "yyyy-MM-dd"
+      case _ => "yyyy-MM-dd-HH"
+    }
     val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
     val zone = java.time.ZoneId.of(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
@@ -1923,16 +1972,122 @@ object Lake {
       lo: Any, hi: Any): Seq[String] =
     pruneByStats(st, Seq(ColBound(statCol, dt, lo, hi)))
 
+  /** Above this many probe keys a merge skips bloom pruning: the keys
+    * broadcast to the probing tasks (4M longs ≈ 32 MiB), and a source
+    * that large is a bulk rewrite, not a sparse upsert — min/max
+    * pruning and the join itself price it honestly. */
+  private[graft] val BloomProbeMaxKeys = 4000000L
+
+  /** BLOOM file skipping for high-cardinality equality keys — the
+    * prune min/max stats cannot perform (uniformly-distributed ids
+    * overlap every file's range, so a sparse merge would read the whole
+    * corpus): keep only the candidate files whose parquet FOOTER bloom
+    * filter (written because [[LakeState.bloomCols]] names the column)
+    * might contain AT LEAST ONE probe key. Delta bloom-index / Hudi
+    * bloom-index parity built on parquet-mr's own bloom machinery — no
+    * sidecar format, any parquet reader sees the same filters. ONE
+    * distributed job over the candidates (the keys ride as a
+    * broadcast; callers gate on [[BloomProbeMaxKeys]]); per file, every
+    * row group must miss every key to prune. Exactness-preserving like
+    * every pruning rule here: a missing column, absent bloom, foreign
+    * hash strategy, or un-hashable key keeps the file. Key hashes are
+    * computed once per task and reused across its files. */
+  private[graft] def pruneByBloom(spark: SparkSession, lakeDir: String,
+      st: LakeState, candidates: Seq[String], colName: String,
+      keys: Array[Any]): Seq[String] = {
+    if (candidates.isEmpty || keys.isEmpty) return candidates
+    val schema = scala.util.Try(DataType.fromJson(st.schemaJson))
+      .toOption.collect { case s: StructType => s }
+    val phys = schema.flatMap(_.find(_.name == colName)).map(physicalName)
+      .getOrElse(colName)
+    val confProps = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.newHadoopConf().iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    val rootStr = fsRoot(spark, lakeDir)._2.toString
+    val keysB = spark.sparkContext.broadcast(keys)
+    spark.sparkContext
+      .parallelize(candidates, math.min(candidates.size, spark.sparkContext.defaultParallelism))
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val root = new Path(rootStr)
+        // xxhash of each key by physical type, computed ONCE per task
+        // (parquet-mr's only hash strategy; a bloom reporting any other
+        // strategy keeps its file below)
+        val hashCache = scala.collection.mutable.Map[
+          PrimitiveTypeName, Option[Array[Long]]]()
+        def hashesFor(bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+            ptn: PrimitiveTypeName): Option[Array[Long]] =
+          hashCache.getOrElseUpdate(ptn, {
+            val out = Array.newBuilder[Long]
+            var ok = true
+            keysB.value.foreach { k =>
+              if (ok) (ptn, k) match {
+                case (PrimitiveTypeName.INT64, n: java.lang.Number) =>
+                  out += bf.hash(n.longValue())
+                case (PrimitiveTypeName.INT32, n: java.lang.Number) =>
+                  out += bf.hash(n.intValue())
+                case (PrimitiveTypeName.BINARY, s) =>
+                  out += bf.hash(org.apache.parquet.io.api.Binary.fromString(String.valueOf(s)))
+                case _ => ok = false // un-hashable key/type pair: keep files
+              }
+            }
+            if (ok) Some(out.result()) else None
+          })
+        it.filter { rel =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+          try {
+            reader.getFooter.getBlocks.asScala.exists { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == phys) match {
+                case None => true // column absent (pre-evolution file): keep
+                case Some(c) =>
+                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+                  if (bf == null ||
+                      bf.getHashStrategy != org.apache.parquet.column.values
+                        .bloomfilter.BloomFilter.HashStrategy.XXH64) true
+                  else hashesFor(bf, c.getPrimitiveType.getPrimitiveTypeName) match {
+                    case None => true
+                    case Some(hs) => hs.exists(bf.findHash)
+                  }
+              }
+            }
+          } finally reader.close()
+        }.toVector.iterator
+      }.collect().toSeq.sorted
+  }
+
+  /** The merge/delete-side gate in front of [[pruneByBloom]]: applies
+    * only when the lake blooms `idCol` and the key set is
+    * broadcast-sized; otherwise the stat-pruned candidates pass
+    * through unchanged. `keyDf`'s FIRST column is the key. */
+  private[graft] def bloomPrune(spark: SparkSession, lakeDir: String,
+      base: LakeState, candidates: Seq[String], idCol: String,
+      keyDf: DataFrame, keyCount: Long): Seq[String] =
+    if (candidates.isEmpty || keyCount <= 0L || keyCount > BloomProbeMaxKeys ||
+        !base.bloomCols.contains(idCol)) candidates
+    else pruneByBloom(spark, lakeDir, base, candidates, idCol,
+      keyDf.distinct().collect().map(_.get(0)))
+
   /** Create a lake: write the initial partition layout and commit version
     * 1 over exactly the files that landed. Overwrite semantics — anything
     * at `lakeDir` (a previous run's lake, log included) is replaced.
     * `statsCols` seeds per-file min/max stats for later append pruning.
     * Returns the read-back. */
   def init(spark: SparkSession, df: DataFrame, lakeDir: String,
-      partitionCols: Seq[String], statsCols: Seq[String] = Seq.empty): DataFrame = {
+      partitionCols: Seq[String], statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): DataFrame = {
+    validateLayout(partitionCols, df.schema, "Lake.init")
+    validateBloomCols(bloomCols, df.schema, "Lake.init")
     val (fs, root) = fsRoot(spark, lakeDir)
     if (fs.exists(root)) fs.delete(root, true)
-    val files = stageWrite(spark, lakeDir, df, partitionCols)
+    // no manifest exists yet, so the bloom write options ride explicitly
+    // (every later write resolves them from the manifest inside stageWrite)
+    val files = stageWrite(spark, lakeDir, df, partitionCols, bloomOptions(bloomCols))
     val schemaJson =
       if (files.isEmpty) df.schema.json
       else readFiles(spark, lakeDir, df.schema.json, files).schema.json
@@ -1943,14 +2098,69 @@ object Lake {
     // (`ts_day=...`) must never be re-parsed off the paths as identity
     // columns by the fallback
     val specs = partitionCols.map(parseLayoutField(_).spec)
-    val post = LakeState(1L, schemaJson, files.sorted, stats, layout = Some(specs))
+    val blm = if (bloomCols.isEmpty) None else Some(bloomCols)
+    val post = LakeState(1L, schemaJson, files.sorted, stats, layout = Some(specs),
+      bloomCols = bloomCols)
     commitDelta(spark, lakeDir,
       DeltaRecord(1L, "init", schemaJson,
         files.map(f => f -> stats.getOrElse(f, Seq.empty)), Seq.empty,
-        layout = Some(specs)),
+        layout = Some(specs), bloomCols = blm),
       Some(post))
     read(spark, lakeDir)
   }
+
+  /** Record (or change) the lake's BLOOM-FILTER column set as a
+    * METADATA commit (Delta bloom-index parity over parquet's own
+    * footer blooms): every subsequent data write carries per-file bloom
+    * filters for these columns, and [[pruneByBloom]] file-skips
+    * equality/IN-shaped key sets min/max stats cannot prune
+    * (uniformly-distributed ids). Existing files simply lack blooms and
+    * always keep — the setting applies progressively; a compaction
+    * rewrite backfills them. Columns must be integral or string (the
+    * key types the probe hashes). */
+  def setBloomCols(spark: SparkSession, lakeDir: String, cols: Seq[String]): Unit = {
+    val base = adopt(spark, lakeDir)
+    val schema = visible(DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
+    validateBloomCols(cols, schema, "setBloomCols")
+    require(cols != base.bloomCols,
+      s"setBloomCols: [${cols.mkString(", ")}] is already the bloom column set")
+    publish(spark, StagedCommit(lakeDir, base, "bloomcols", base.schemaJson,
+      Seq.empty, Seq.empty, 0L, 0L, bloomCols = Some(cols)))
+  }
+
+  private def validateBloomCols(cols: Seq[String], schema: StructType,
+      ctx: String): Unit = {
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$ctx: bloom column(s) not in the schema: ${missing.mkString(", ")}")
+    cols.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt == StringType || dt == LongType || dt == IntegerType ||
+        dt == ShortType || dt == ByteType,
+        s"$ctx: bloom filters index integral or string keys, '$c' is ${dt.simpleString}")
+    }
+  }
+
+  /** Parquet-mr write options enabling footer bloom filters for `cols`
+    * (PHYSICAL names — option keys address on-disk columns). Adaptive
+    * sizing: the writer keeps the smallest candidate bloom meeting the
+    * target FPP for the observed NDV, so small files pay bytes
+    * proportional to their keys, not the 1 MiB default bound. */
+  private def bloomOptions(cols: Seq[String]): Map[String, String] =
+    if (cols.isEmpty) Map.empty
+    else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++ Map(
+      "parquet.bloom.filter.adaptive.enabled" -> "true",
+      // FILE-level false positives compound per probed key
+      // (1-(1-fpp)^keys): a merge probes thousands of keys against
+      // every candidate's bloom, so the per-key FPP must sit far below
+      // parquet's 0.01 default or no file would ever prune — the Hudi
+      // bloom-index lesson (its default fpp is 1e-9). 1e-7 costs ~34
+      // bits ≈ 4 bytes of footer per key — noise against a corpus row,
+      // decisive for skipping: 10k probe keys still FP only ~0.1% of
+      // innocent files. The byte cap rises so adaptive sizing, not
+      // truncation, decides large files' filters.
+      "parquet.bloom.filter.fpp" -> "1.0E-7",
+      "parquet.bloom.filter.max.bytes" -> (32 * 1024 * 1024).toString)
 
   /** PLAIN protocol append — the DSv2 write path's `INSERT INTO`: stage
     * the batch into the lake's existing partition layout, audit the
@@ -2019,20 +2229,37 @@ object Lake {
       .map(st => DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
       .filter(hasMapping)
 
+  /** ONE driver-side manifest resolution answering both write-time
+    * questions: the column-mapping schema (frames rename to physical
+    * before a byte lands) and the bloom-filter write options
+    * ([[LakeState.bloomCols]] translated to physical names — parquet
+    * option keys address on-disk columns). */
+  private def writeContext(spark: SparkSession,
+      lakeDir: String): (Option[StructType], Map[String, String]) =
+    latestManifest(spark, lakeDir) match {
+      case None => (None, Map.empty)
+      case Some(st) =>
+        val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+        val phys = st.bloomCols.flatMap(c => schema.find(_.name == c)).map(physicalName)
+        (Some(schema).filter(hasMapping), bloomOptions(phys))
+    }
+
   private[graft] def stageWrite(spark: SparkSession, lakeDir: String, df: DataFrame,
       partitionCols: Seq[String], writeOptions: Map[String, String] = Map.empty): Seq[String] = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val staging = new Path(new Path(root, StagingDirName), java.util.UUID.randomUUID().toString)
     // under a column mapping, files are SPELLED physical: rename the
-    // frame's mapped logical columns before a byte lands
-    val out0 = mappingOf(spark, lakeDir).fold(df)(toPhysicalDf(df, _))
+    // frame's mapped logical columns before a byte lands; the manifest's
+    // bloomCols ride as parquet bloom write options on every data write
+    val (mapped, bloomOpts) = writeContext(spark, lakeDir)
+    val out0 = mapped.fold(df)(toPhysicalDf(df, _))
     // `partitionCols` entries are layout SPECS: identity names partition
     // directly (the column leaves the footers), transform fields render
     // their derived level column first — the source column STAYS in the
     // data files (Iceberg transform semantics). partitionBy drops only
     // the derived level.
     val (out, levelNames) = withLevelCols(out0, partitionCols)
-    out.write.mode("overwrite").options(writeOptions)
+    out.write.mode("overwrite").options(bloomOpts ++ writeOptions)
       .partitionBy(levelNames: _*).parquet(staging.toString)
     val stagingQ = fs.makeQualified(staging)
     val moved = Seq.newBuilder[String]
@@ -2072,9 +2299,10 @@ object Lake {
       writeOptions: Map[String, String] = Map.empty): Map[String, Seq[String]] = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val staging = new Path(new Path(root, StagingDirName), java.util.UUID.randomUUID().toString)
-    val out0 = mappingOf(spark, lakeDir).fold(df)(toPhysicalDf(df, _))
+    val (mapped, bloomOpts) = writeContext(spark, lakeDir)
+    val out0 = mapped.fold(df)(toPhysicalDf(df, _))
     val (out, levelNames) = withLevelCols(out0, partitionCols)
-    out.write.mode("overwrite").options(writeOptions)
+    out.write.mode("overwrite").options(bloomOpts ++ writeOptions)
       .partitionBy((tagCol +: levelNames): _*).parquet(staging.toString)
     val stagingQ = fs.makeQualified(staging)
     val byTag = scala.collection.mutable.Map[String, Vector[String]]()
@@ -2130,7 +2358,7 @@ object Lake {
   }
 
   private val TransformRe =
-    """^\s*(days|hours|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?([^\s(),]+)\s*\)\s*$""".r
+    """^\s*(years|months|days|hours|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?([^\s(),]+)\s*\)\s*$""".r
 
   private[graft] def parseLayoutField(spec: String): LayoutField = spec match {
     case TransformRe(kind, param, src) =>
@@ -2146,6 +2374,8 @@ object Lake {
       // prefixes for ANY generation's files without ambiguity when a
       // later evolve changes the count
       val suffix = kind match {
+        case "years" => "_year"
+        case "months" => "_month"
         case "days" => "_day"
         case "hours" => "_hour"
         case "bucket" => s"_bucket$p"
@@ -2161,6 +2391,62 @@ object Lake {
           "hours(col), bucket(n, col) or truncate(w, col)")
   }
 
+  /** Parse AND validate a write-layout spec list against `schema` — the
+    * ONE gate every layout-accepting entry point shares ([[init]],
+    * [[evolveLayout]], relayout/compaction and the first-ever ingest),
+    * so no path can silently commit a layout readers would misread:
+    * sources must be schema columns; level names must be unique; a
+    * transform's derived level must not SHADOW a schema column (readers
+    * classify identity-vs-transform levels by schema membership, and
+    * [[withLevelCols]]' withColumn would silently overwrite the user's
+    * data); an IDENTITY field must not be SPELLED like another schema
+    * column's transform level (`<col>_day`, `<col>_bucket4`, … — path
+    * pruning resolves levels by name pattern and would prune the
+    * identity column's arbitrary values by transform semantics); and
+    * transform sources must type-check against their rendering.
+    * Returns the parsed fields; callers record `fields.map(_.spec)` —
+    * the NORMALIZED spelling, so layout equality never hinges on
+    * whitespace. */
+  private[graft] def validateLayout(specs: Seq[String], schema: StructType,
+      ctx: String): Seq[LayoutField] = {
+    val fields = specs.map(parseLayoutField)
+    val missing = fields.map(_.source).filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$ctx: layout source column(s) not in the schema: ${missing.mkString(", ")} " +
+        s"(have: ${schema.fieldNames.mkString(", ")})")
+    require(fields.map(_.levelName).distinct.size == fields.size,
+      s"$ctx: duplicate partition level(s)")
+    val shadowing = fields.filterNot(_.identity).map(_.levelName)
+      .filter(schema.fieldNames.contains)
+    require(shadowing.isEmpty,
+      s"$ctx: transform level name(s) ${shadowing.mkString(", ")} collide " +
+        "with schema column(s) — rename the column or choose another transform")
+    val transformish = "^(.*)_(year|month|day|hour|bucket\\d+|trunc\\d+)$".r
+    fields.filter(_.identity).map(_.levelName).foreach {
+      case lvl @ transformish(src, _) if schema.fieldNames.contains(src) =>
+        throw new IllegalArgumentException(
+          s"$ctx: identity partition column '$lvl' is spelled like a transform " +
+            s"level of schema column '$src' — path pruning would misread its " +
+            s"directory values; rename the column or partition by a transform of '$src'")
+      case _ =>
+    }
+    fields.filterNot(_.identity).foreach { f =>
+      val dt = schema(schema.fieldIndex(f.source)).dataType
+      f.kind match {
+        case "years" | "months" | "days" | "hours" =>
+          require(dt.typeName.startsWith("timestamp") ||
+            dt == org.apache.spark.sql.types.DateType,
+            s"$ctx: ${f.spec} needs a timestamp/date source, '${f.source}' is ${dt.simpleString}")
+        case "truncate" =>
+          require(dt == StringType || dt == LongType || dt == IntegerType ||
+            dt == ShortType || dt == ByteType,
+            s"$ctx: ${f.spec} needs a string or integral source, '${f.source}' is ${dt.simpleString}")
+        case _ => // bucket hashes any atomic type
+      }
+    }
+    fields
+  }
+
   /** The rendering expression producing one transform level's directory
     * value from its source column — the SAME formula at write time and
     * (driver-side, [[renderTransformValue]]) at prune time, so path
@@ -2170,6 +2456,8 @@ object Lake {
     * truncate is a string prefix / integral floor. */
   private def transformCol(f: LayoutField, source: org.apache.spark.sql.Column,
       dt: DataType): org.apache.spark.sql.Column = f.kind match {
+    case "years" => date_format(source, "yyyy")
+    case "months" => date_format(source, "yyyy-MM")
     case "days" => date_format(source, "yyyy-MM-dd")
     case "hours" => date_format(source, "yyyy-MM-dd-HH")
     case "bucket" => pmod(hash(source), lit(f.param))

@@ -813,11 +813,17 @@ object Pipeline {
       partitionCols: Seq[String] = Seq("split", "shard_id"),
       sortCols: Seq[String] = Seq.empty,
       retainHistory: Boolean = false,
-      targetBytesPerFile: Option[Long] = None): DataFrame = {
+      targetBytesPerFile: Option[Long] = None,
+      zorderCols: Seq[String] = Seq.empty): DataFrame = {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
     targetBytesPerFile.foreach(tb =>
       require(tb >= 1, s"targetBytesPerFile must be >= 1, got $tb"))
+    require(zorderCols.isEmpty || zorderCols.size == 2,
+      s"compactLake: zorderCols interleaves exactly TWO dimensions, got " +
+        s"[${zorderCols.mkString(", ")}] — for one column use sortCols")
+    require(zorderCols.isEmpty || sortCols.isEmpty,
+      "compactLake: zorderCols and sortCols are alternative clusterings — pass one")
     val base = Lake.adopt(spark, lakeDir)
     // driver-side census: manifest files grouped by partition directory.
     // Partitions holding deletion-vector'd files are ALWAYS in scope —
@@ -829,6 +835,12 @@ object Pipeline {
         d.nonEmpty && (fs.size > maxFilesPerPartition || dvDirs.contains(d)) }
       .keys.toSeq.sorted
     if (affectedDirs.nonEmpty) {
+      // the rewrite layout passes the same shared gate as init/evolve —
+      // a transform spec shadowing a schema column (or an identity
+      // column spelled like a transform level) must refuse here too
+      Lake.validateLayout(partitionCols, Lake.visible(
+        org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]), "compactLake")
       val removed = Lake.filesUnder(base.files, affectedDirs)
       // reading WITH the deletion vectors applied is what MATERIALIZES
       // them: the compacted replacement files carry only surviving rows,
@@ -875,7 +887,46 @@ object Pipeline {
       //    range predicates (e.g. px103's batch-id-range prefilter).
       //    Never a global sort.
       val packed =
-        if (sortCols.nonEmpty) {
+        if (zorderCols.nonEmpty) {
+          // Z-ORDER clustering (Delta/Iceberg `OPTIMIZE ZORDER BY`): each
+          // dimension normalizes into 2^8 equal-width buckets from ONE
+          // min/max aggregate (no sampling pass, no global sort), the
+          // Morton interleave ([[graft.api.Ops.zorderValue]], pure
+          // codegen'd bit arithmetic) becomes the range-partition key,
+          // and the range partitioner's own sampling balances FILE SIZES
+          // — so value skew costs rectangle tightness, never balance.
+          // Every written file covers a small RECTANGLE of (x, y) space:
+          // min/max stats on BOTH columns come out tight, and a
+          // predicate on EITHER dimension prunes files a 1-D sort layout
+          // must read.
+          val Seq(zx, zy) = zorderCols
+          zorderCols.foreach { c =>
+            require(affectedLake.schema.fieldNames.contains(c),
+              s"compactLake: zorder column '$c' not in the lake schema")
+            require(affectedLake.schema(c).dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType],
+              s"compactLake: zorder needs numeric dimensions, '$c' is " +
+                affectedLake.schema(c).dataType.simpleString)
+          }
+          val nTasks = math.max(1, math.ceil(expected.toDouble / target).toInt)
+          val b = affectedLake.agg(
+            min(col(zx)).cast("double"), max(col(zx)).cast("double"),
+            min(col(zy)).cast("double"), max(col(zy)).cast("double")).collect()(0)
+          def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+            least(lit(255), greatest(lit(0),
+              floor((c.cast("double") - lit(lo)) * lit(256.0) /
+                lit(math.max(hi - lo, java.lang.Double.MIN_NORMAL) * (1.0 + 1e-9)))
+            )).cast("int")
+          val zval =
+            if (b.isNullAt(0) || b.isNullAt(2)) lit(0L)
+            else graft.api.Ops.zorderValue(
+              bucket(col(zx), b.getDouble(0), b.getDouble(1)),
+              bucket(col(zy), b.getDouble(2), b.getDouble(3)), bits = 8)
+          affectedLake.withColumn("_zv", zval)
+            .repartitionByRange(nTasks, (levelNames :+ "_zv").map(col): _*)
+            .sortWithinPartitions((levelNames :+ "_zv").map(col): _*)
+            .drop("_zv")
+        } else if (sortCols.nonEmpty) {
           val nTasks = math.max(1, math.ceil(expected.toDouble / target).toInt)
           affectedLake
             .repartitionByRange(nTasks, (levelNames ++ sortCols).map(col): _*)
@@ -888,10 +939,11 @@ object Pipeline {
       val staged = Lake.stageWrite(spark, lakeDir, packed, partitionCols,
         Map("maxRecordsPerFile" -> target.toString))
       // the audit read-back also captures per-file min/max of the sort
-      // columns: clustered compaction's disjoint ranges become manifest
-      // stats, the data-skipping food for append file-list pruning
+      // (or z-order — the per-file bounding RECTANGLES) columns:
+      // clustered compaction's disjoint ranges become manifest stats,
+      // the data-skipping food for append file-list pruning
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
-        base.schemaJson, staged, sortCols)
+        base.schemaJson, staged, sortCols ++ zorderCols)
       Lake.publish(spark,
         Lake.StagedCommit(lakeDir, base, "compact", base.schemaJson, removed, staged,
           stagedRows, expected, stagedStats, rewriteFiles = staged.toSet),
@@ -934,14 +986,16 @@ object Pipeline {
           "layout to change (its next first write decides one)")
     val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val visible = Lake.visible(schema).fieldNames.toSet
+    val visibleSchema = Lake.visible(schema)
+    val visible = visibleSchema.fieldNames.toSet
     // newPartitionCols entries are layout SPECS (identity/transforms);
-    // validation keys on their SOURCE columns
-    val missing = (newPartitionCols.map(Lake.parseLayoutField(_).source) ++ sortCols)
-      .filterNot(visible)
-    require(missing.isEmpty,
-      s"repartitionLake: column(s) ${missing.mkString(", ")} not in the lake schema " +
-        s"(${visible.mkString(", ")})")
+    // the shared gate validates sources, shadowing, spelling and types
+    val layoutFields = Lake.validateLayout(newPartitionCols, visibleSchema,
+      "repartitionLake")
+    val missingSort = sortCols.filterNot(visible)
+    require(missingSort.isEmpty,
+      s"repartitionLake: sort column(s) ${missingSort.mkString(", ")} not in the lake " +
+        s"schema (${visible.mkString(", ")})")
     val df0 = Lake.readFiles(spark, lakeDir, base.schemaJson, base.files, base.dvs)
     val (df, levelNames) = Lake.withLevelCols(df0, newPartitionCols)
     val expected = df.count()
@@ -960,9 +1014,11 @@ object Pipeline {
       Lake.StagedCommit(lakeDir, base, "repartition", base.schemaJson,
         base.files, staged, stagedRows, expected, stagedStats,
         rewriteFiles = staged.toSet,
-        // the rewrite DEFINES the layout: record it explicitly so a
-        // stale evolveLayout record can never outlive the relayout
-        layout = Some(newPartitionCols)),
+        // the rewrite DEFINES the layout: record it explicitly (in the
+        // NORMALIZED spelling, so evolveLayout's no-op detection and
+        // $detail agree with init/evolve records) so a stale
+        // evolveLayout record can never outlive the relayout
+        layout = Some(layoutFields.map(_.spec))),
       vacuumSuperseded = !retainHistory)
     Lake.read(spark, lakeDir)
   }
@@ -1035,10 +1091,15 @@ object Pipeline {
     // a stale layout and refuse at publish — route by the manifest
     // instead; the parameter governs only the FIRST-EVER ingest (no
     // layout committed yet)
-    // entries are layout SPECS (identity names and/or transforms)
+    // entries are layout SPECS (identity names and/or transforms); a
+    // first-ever ingest's caller-chosen layout passes the same shared
+    // gate init/evolveLayout apply (shadowing, spelling, source types)
     val effectiveCols =
       if (base.files.nonEmpty || base.layout.isDefined) Lake.layoutSpecsOf(base)
-      else partitionCols
+      else {
+        Lake.validateLayout(partitionCols, batch.schema, "appendToLake")
+        partitionCols
+      }
     val b0 = batch.dropDuplicates(idCol)
     // drift checks key on the RECORDED schema, not the file count: a lake
     // whose latest manifest lists zero files (every row deleted) still has
@@ -1585,10 +1646,15 @@ object Pipeline {
     val base = Lake.adopt(spark, lakeDir)
     if (base.files.isEmpty) return Lake.read(spark, lakeDir)
     val t = broadcast(tombstones.select(col(tombIdCol).as("_del")).distinct())
-    val bounds = tombstones.agg(min(col(tombIdCol)), max(col(tombIdCol))).collect()(0)
+    val bounds = tombstones
+      .agg(min(col(tombIdCol)), max(col(tombIdCol)), count(col(tombIdCol))).collect()(0)
     if (bounds.isNullAt(0)) return Lake.read(spark, lakeDir) // no tombstones
-    val candidates = Lake.pruneByStats(base, lakeIdCol,
-      tombstones.schema(tombIdCol).dataType, bounds.get(0), bounds.get(1))
+    // stats first (free, driver-side), then per-file blooms for the
+    // keys min/max cannot prune (uniformly-distributed ids)
+    val candidates = Lake.bloomPrune(spark, lakeDir, base,
+      Lake.pruneByStats(base, lakeIdCol,
+        tombstones.schema(tombIdCol).dataType, bounds.get(0), bounds.get(1)),
+      lakeIdCol, t.select(col("_del")), bounds.getLong(2))
     if (candidates.isEmpty) return Lake.read(spark, lakeDir)
     // one column-pruned pass over the candidates: the tombstoned rows'
     // (file, pos) coordinates, with existing vectors already applied
@@ -1777,12 +1843,15 @@ object Pipeline {
       if (estimatedIdSetBytes(upd, idCol, updCount) <= MergeBroadcastMaxBytes)
         broadcast(ids0)
       else ids0
-    // tombstone the matched pre-image rows (stats-pruned candidates only)
+    // tombstone the matched pre-image rows: stats-pruned candidates,
+    // then bloom-pruned for keys whose distribution defeats min/max
     val bounds = upd.agg(min(col(idCol)), max(col(idCol))).collect()(0)
     val candidates =
       if (bounds.isNullAt(0)) Seq.empty[String]
-      else Lake.pruneByStats(base, idCol, upd.schema(idCol).dataType,
-        bounds.get(0), bounds.get(1))
+      else Lake.bloomPrune(spark, lakeDir, base,
+        Lake.pruneByStats(base, idCol, upd.schema(idCol).dataType,
+          bounds.get(0), bounds.get(1)),
+        idCol, upd.select(col(idCol)), updCount)
     val (dvAdds, dvRows, matchedExpected, cdcFiles, matchedIds) =
       if (candidates.isEmpty)
         (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)],
@@ -1919,10 +1988,14 @@ object Pipeline {
     val candidates =
       if (notMatchedBySource.nonEmpty) base.files
       else {
-        val b = src.agg(min(col("_gm_sk")), max(col("_gm_sk"))).collect()(0)
+        val b = src
+          .agg(min(col("_gm_sk")), max(col("_gm_sk")), count(col("_gm_sk"))).collect()(0)
         if (b.isNullAt(0)) Seq.empty[String]
-        else Lake.pruneByStats(base, idCol, lakeSchema(idCol).dataType,
-          b.get(0), b.get(1))
+        else Lake.bloomPrune(spark, lakeDir, base,
+          Lake.pruneByStats(base, idCol, lakeSchema(idCol).dataType,
+            b.get(0), b.get(1)),
+          idCol, src.filter(col("_gm_sk").isNotNull).select(col("_gm_sk")),
+          b.getLong(2))
       }
     val tgt =
       if (candidates.isEmpty) {
@@ -1944,14 +2017,16 @@ object Pipeline {
           when(cl.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
       }
     // ONE bounded materialization feeds the counts, the sidecar write
-    // and both add stages — with a NOT-MATCHED-BY-SOURCE clause this
-    // frame is the whole corpus x source, so it persists
-    // MEMORY_AND_DISK (blocks that don't fit executor memory go to
-    // disk instead of evicting — the graceful 100 TB degradation) and
-    // the explicit unpersist below releases the blocks the moment the
-    // commit publishes (no ContextCleaner wait, the lifetime bound a
-    // checkpoint cannot give). Pure DISK_ONLY would pay serialization
-    // on every one of the 3-4 passes.
+    // and both add stages. Eager localCheckpoint, not persist: it
+    // TRUNCATES lineage, so the 4-5 downstream actions plan over a
+    // one-node LogicalRDD instead of re-running Catalyst/AQE over the
+    // full-outer join per action (the r13 persist swap cost 2.4× in
+    // driver fixed costs alone), and the arbitrary-winner dedup +
+    // monotonically_increasing_id upstream can never silently recompute
+    // different winners between the counts, the sidecar and the adds.
+    // Blocks spill MEMORY_AND_DISK (the graceful 100 TB degradation);
+    // the finally below releases them the moment the commit publishes
+    // (no ContextCleaner wait) by unpersisting the checkpoint RDD.
     val joined = tgtP.join(src, col("_t_" + idCol) === col("_gm_sk"), "full_outer")
       .withColumn("_gm_am",
         when(col("_gm_tp").isNotNull && col("_gm_sp").isNotNull, actionOf(matched))
@@ -1962,7 +2037,10 @@ object Pipeline {
       .withColumn("_gm_an",
         when(col("_gm_tp").isNotNull && col("_gm_sp").isNull,
           actionOf(notMatchedBySource)).otherwise(lit(-1)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    val cpRdds = joined.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
     try {
     val mDel = matched.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
     val nDel = notMatchedBySource.zipWithIndex.collect { case (c, i) if c.delete => i }.toSet
@@ -2060,7 +2138,7 @@ object Pipeline {
       Seq.empty, upStaged, dvRows + upRows, tombExpected + addExpected, upStats,
       dvAdds = dvAdds, cdcFiles = cdcFiles, postImageFiles = postStaged.toSet))
     Lake.read(spark, lakeDir)
-    } finally joined.unpersist(blocking = false)
+    } finally cpRdds.foreach(_.unpersist(blocking = false))
   }
 
   /** Upsert the corpus in place (bump n_chars for the `% 7` docs, insert
@@ -2663,13 +2741,20 @@ object Pipeline {
     val out = Scratch.dir(spark, "px127_lake")
     val ev = Tables(spark, dir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
-    // the FIRST day re-lands at hour grain, the rest stays at day grain
-    // (the realistic evolve shape: finer partitioning going forward, not
-    // an hour-dir explosion over the whole history); writes repartition
-    // BY the level expression so each directory is written by one task
+    // THREE grain generations, coarse history to fine future — the
+    // realistic multi-evolve shape a long-lived events lake walks:
+    // the deep archive (month-days 16+) at MONTH grain, the recent
+    // window at DAY grain, the newest day at HOUR grain. Each evolve
+    // is a metadata commit; the final read spans all three. Writes
+    // repartition BY the level expression so each directory is
+    // written by one task (no hour-dir explosion).
     val day = date_format(col("ts"), "yyyy-MM-dd")
     val minDay = ev.agg(min(day)).collect()(0).getString(0)
-    Lake.init(spark, ev.filter(day =!= minDay).repartition(day), out, Seq("days(ts)"))
+    val archive = dayofmonth(col("ts")) > 15
+    Lake.init(spark, ev.filter(archive)
+      .repartition(date_format(col("ts"), "yyyy-MM")), out, Seq("months(ts)"))
+    Lake.evolveLayout(spark, out, Seq("days(ts)"))
+    Lake.append(spark, out, ev.filter(!archive && day =!= minDay).repartition(day))
     Lake.evolveLayout(spark, out, Seq("hours(ts)"))
     Lake.append(spark, out, ev.filter(day === minDay)
       .repartition(date_format(col("ts"), "yyyy-MM-dd-HH")))
@@ -2685,6 +2770,56 @@ object Pipeline {
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- px128
+  /** Sparse merge into a BLOOM-INDEXED, UUID-shaped-key lake, oracled
+    * end-to-end: the corpus keys pass through an affine permutation mod
+    * a prime (injective, so the oracle recomputes it relationally) that
+    * scatters neighboring ids across every file — the exact layout
+    * where min/max stats prune NOTHING and a key-range merge would read
+    * the whole corpus. `Lake.init(bloomCols = doc_id)` writes per-file
+    * parquet footer bloom filters (fpp 1e-7); the sparse merge's
+    * candidate selection probes them with the source keys
+    * ([[Lake.pruneByBloom]] — one distributed job, Hudi bloom-index /
+    * Delta bloom-index parity) and tombstones only the files actually
+    * holding matches. The post-merge aggregate hash-matches a DuckDB
+    * recomputation of upsert-then-insert. */
+  private def px128(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px128_lake")
+    val docs = Tables(spark, dir, "documents")
+    val scattered = docs.select(
+      pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("split", lit("train"))
+    Lake.init(spark, scattered.repartition(16), out, Seq("split"),
+      bloomCols = Seq("doc_id"))
+    val updates = scattered.filter(col("doc_id") % 97 === 0)
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+    val inserts = scattered.filter(col("doc_id") % 89 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    mergeIntoLakeSparse(spark, out, updates.unionByName(inserts), idCol = "doc_id")
+    Lake.read(spark, out)
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .select(col("bucket"), col("n_docs"), col("sum_chars"), col("sum_ids"))
+      .orderBy("bucket")
+  }
+
+  private val px128Oracle =
+    """WITH scattered AS (
+      |  SELECT (doc_id * 2654435761) % 1000000007 AS doc_id, n_chars
+      |  FROM documents),
+      |merged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM scattered
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, n_chars FROM scattered WHERE doc_id % 89 = 0)
+      |SELECT doc_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
@@ -2938,5 +3073,6 @@ object Pipeline {
     GraftQuery("px124_lake_merge_grammar", px124, Some(px124Oracle)),
     GraftQuery("px125_lake_layout_evolution", px125, Some(px100Oracle)),
     GraftQuery("px126_lake_cdf_update_events", px126, Some(px126Oracle)),
-    GraftQuery("px127_lake_layout_transforms", px127, Some(px127Oracle)))
+    GraftQuery("px127_lake_layout_transforms", px127, Some(px127Oracle)),
+    GraftQuery("px128_lake_bloom_merge", px128, Some(px128Oracle)))
 }

@@ -109,12 +109,17 @@ private[lake] object LakeProcedures {
     case "compact" => new LakeProc("compact",
       "bin-pack fragmented partitions and materialize deletion vectors " +
         "back into plain files; sort_by range-clusters the rewrite " +
-        "(tight disjoint per-file min/max -> stats pruning)",
+        "(tight disjoint per-file min/max -> stats pruning); zorder " +
+        "Morton-interleaves two dimensions (per-file bounding " +
+        "RECTANGLES -> either-column pruning)",
       Array(tableParam,
         p("max_files_per_partition", IntegerType).defaultValue("1").build(),
         p("target_rows_per_file", LongType).defaultValue("4000000").build(),
         p("sort_by", StringType).defaultValue("''")
-          .comment("comma-separated clustering columns; empty = bin-pack only").build()),
+          .comment("comma-separated clustering columns; empty = bin-pack only").build(),
+        p("zorder", StringType).defaultValue("''")
+          .comment("exactly two comma-separated numeric columns; " +
+            "alternative to sort_by").build()),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("n_live_files", IntegerType, nullable = false))),
@@ -123,9 +128,11 @@ private[lake] object LakeProcedures {
         val cols = Lake.layoutSpecsOf(Lake.adopt(spark, dir))
         val sortBy = in.getUTF8String(3).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val zorder = in.getUTF8String(4).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         Pipeline.compactLake(spark, dir, maxFilesPerPartition = in.getInt(1),
           targetRowsPerFile = in.getLong(2), partitionCols = cols,
-          sortCols = sortBy, retainHistory = true)
+          sortCols = sortBy, retainHistory = true, zorderCols = zorder)
         val st = Lake.currentState(spark, dir)
         Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
       })

@@ -1990,7 +1990,7 @@ class LakeSpec extends SparkTestBase {
     // refusals: unknown column, no-op evolve
     val e1 = intercept[IllegalArgumentException] {
       Lake.evolveLayout(spark, out, Seq("nope")) }
-    assert(e1.getMessage.contains("not visible"))
+    assert(e1.getMessage.contains("not in the schema"))
     val e2 = intercept[IllegalArgumentException] {
       Lake.evolveLayout(spark, out, Seq("split", "shard_id")) }
     assert(e2.getMessage.contains("already the write layout"))
@@ -2206,6 +2206,26 @@ class LakeSpec extends SparkTestBase {
     val stO = Lake.latestManifest(spark, out2).get
     assert(stO.stats.values.flatten.map(_.col).toSet == Set("doc_id"),
       "naming statsCols must override the default entirely")
+    // DISTRIBUTED capture: a commit staging more than
+    // FooterStatsDriverMax files opens every footer inside a task (one
+    // job), ZERO serial driver round-trips — the 100 TB initial-ingest
+    // path. Small commits above took the serial fast path.
+    val out3 = freshDir("lake-dist-stats")
+    val many = spark.range(120).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+      .repartitionByRange(12, col("doc_id")).sortWithinPartitions("doc_id")
+    val beforeDriver = Lake.footerDriverReads.get()
+    Lake.init(spark, many, out3, Seq("split", "shard_id"))
+    assert(Lake.footerDriverReads.get() == beforeDriver,
+      "a many-file commit must open footers in tasks, not on the driver")
+    val stD = Lake.latestManifest(spark, out3).get
+    assert(stD.files.size > Lake.FooterStatsDriverMax &&
+      stD.stats.size == stD.files.size,
+      s"distributed capture must stat every file, got ${stD.stats.size}/${stD.files.size}")
+    assert(Lake.pruneByStats(stD, "doc_id",
+      org.apache.spark.sql.types.LongType, 115L, 119L).size == 1,
+      "distributed footer stats must prune exactly like serial capture")
   }
 
   test("partition transforms: days(ts) -> hours(ts) is a metadata commit; mixed reads, path pruning and sparse DML work") {
@@ -2281,9 +2301,235 @@ class LakeSpec extends SparkTestBase {
     }
     assert(eRename.getMessage.contains("transform source"))
     val eParse = intercept[IllegalArgumentException] {
-      Lake.evolveLayout(spark, out, Seq("months(ts)"))
+      Lake.evolveLayout(spark, out, Seq("weeks(ts)"))
     }
     assert(eParse.getMessage.contains("unparseable layout field"))
+  }
+
+  test("z-order compaction: two-column predicates prune more files than a linear sort") {
+    // a 64x64 grid: x and y independent, so a 1-D sort can only tighten
+    // ONE dimension's per-file ranges
+    def grid() = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+      concat(lit("cell "), col("id")).as("payload"), lit("train").as("split"))
+      .repartition(16)
+    val outZ = freshDir("lake-zorder")
+    val outL = freshDir("lake-linear")
+    Lake.init(spark, grid(), outZ, Seq("split"))
+    Lake.init(spark, grid(), outL, Seq("split"))
+    Pipeline.compactLake(spark, outZ, maxFilesPerPartition = 1,
+      targetRowsPerFile = 256L, partitionCols = Seq("split"),
+      zorderCols = Seq("x", "y"), retainHistory = true)
+    Pipeline.compactLake(spark, outL, maxFilesPerPartition = 1,
+      targetRowsPerFile = 256L, partitionCols = Seq("split"),
+      sortCols = Seq("x"), retainHistory = true)
+    val stZ = Lake.latestManifest(spark, outZ).get
+    val stL = Lake.latestManifest(spark, outL).get
+    assert(stZ.files.size > 4 && stL.files.size > 4,
+      s"both layouts must bin-pack to many files, got ${stZ.files.size}/${stL.files.size}")
+    // a predicate on the NON-sort dimension: the linear layout keeps
+    // everything (every file spans all of y), the z-order layout keeps
+    // only the files whose rectangle overlaps the y-band
+    def kept(st: Lake.LakeState, c: String, lo: Long, hi: Long) =
+      Lake.pruneByStats(st, c, org.apache.spark.sql.types.LongType, lo, hi)
+    // backfill y stats on the linear lake so the comparison is honest:
+    // its files genuinely SPAN all of y (not merely lack the stat)
+    Lake.analyzeStats(spark, outL, Seq("y"))
+    val stL1 = Lake.latestManifest(spark, outL).get
+    val zY = kept(stZ, "y", 8L, 15L)
+    val lY = kept(stL1, "y", 8L, 15L)
+    assert(lY.size == stL1.files.size,
+      "a linear x-sort cannot prune a y-band")
+    assert(zY.size < stZ.files.size,
+      s"z-order must prune a y-band, kept ${zY.size}/${stZ.files.size}")
+    // the two-column box compound-prunes at least as well as either axis
+    val zBox = Lake.pruneByStats(stZ, Seq(
+      Lake.ColBound("x", org.apache.spark.sql.types.LongType, 8L, 15L),
+      Lake.ColBound("y", org.apache.spark.sql.types.LongType, 8L, 15L)))
+    assert(zBox.size <= zY.size && zBox.size < stZ.files.size)
+    // no row loss: the pruned set still holds the whole box
+    val boxRows = spark.read.option("basePath", outZ)
+      .parquet(zBox.map(f => s"$outZ/$f"): _*)
+      .filter(col("x").between(8, 15) && col("y").between(8, 15)).count()
+    assert(boxRows == 64L, s"the box must keep all 64 grid cells, got $boxRows")
+    // CALL surface: zorder rides the compact procedure (lake addressed
+    // by absolute path — no warehouse needed)
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.lake.LakeCatalog")
+    org.apache.spark.sql.graft.ColumnBridge.resetCatalogManager(spark)
+    spark.sql(s"CALL graft_lake.system.compact(table => '$outL', " +
+      "target_rows_per_file => 256, zorder => 'x,y')").collect()
+    val stL2 = Lake.latestManifest(spark, outL).get
+    assert(kept(stL2, "y", 8L, 15L).size < stL2.files.size,
+      "CALL compact(zorder) must produce a y-prunable layout")
+    // guard rails
+    val eDim = intercept[IllegalArgumentException] {
+      Pipeline.compactLake(spark, outZ, partitionCols = Seq("split"),
+        zorderCols = Seq("x"))
+    }
+    assert(eDim.getMessage.contains("exactly TWO"))
+    val eBoth = intercept[IllegalArgumentException] {
+      Pipeline.compactLake(spark, outZ, partitionCols = Seq("split"),
+        sortCols = Seq("x"), zorderCols = Seq("x", "y"))
+    }
+    assert(eBoth.getMessage.contains("alternative"))
+  }
+
+  test("bloom file skipping: per-file parquet blooms prune merge keys min/max stats cannot") {
+    val out = freshDir("lake-bloom")
+    // ids INTERLEAVED across files (residue classes): every file spans
+    // the whole id range, so min/max stats keep everything — exactly
+    // the blind spot the per-file blooms close
+    def interleaved(ids: Range) = spark.range(ids.start, ids.end).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"))
+      .repartition(8, pmod(col("id"), lit(8)))
+    Lake.init(spark, interleaved(0 until 4000), out, Seq("split"),
+      bloomCols = Seq("doc_id"))                                               // v1
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.bloomCols == Seq("doc_id"), "init must record the bloom column set")
+    // min/max alone cannot prune the interleaved layout
+    val statKept = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, 8L, 9L)
+    assert(statKept.size == st.files.size,
+      s"interleaved ranges must defeat min/max pruning, kept ${statKept.size}/${st.files.size}")
+    // the bloom probe keeps only the files actually holding the keys
+    // (ids 8 and 9 live in the residue-0 and residue-1 files)
+    val bloomKept = Lake.pruneByBloom(spark, out, st, statKept, "doc_id",
+      Array(8L, 9L))
+    assert(bloomKept.nonEmpty && bloomKept.size < st.files.size,
+      s"blooms must prune interleaved files, kept ${bloomKept.size}/${st.files.size}")
+    val back = spark.read.option("basePath", out)
+      .parquet(bloomKept.map(f => s"$out/$f"): _*)
+    assert(back.filter(col("doc_id").isin(8L, 9L)).count() == 2,
+      "bloom pruning must lose no matching rows")
+    // END-TO-END: the sparse merge routes through the bloom gate and
+    // still produces the exact post-merge corpus
+    val updates = spark.range(8, 10).select(col("id").as("doc_id"),
+      concat(lit("UPDATED "), col("id")).as("text"), lit("train").as("split"))
+      .unionByName(spark.range(9000, 9002).select(col("id").as("doc_id"),
+        concat(lit("new "), col("id")).as("text"), lit("train").as("split")))
+    Pipeline.mergeIntoLakeSparse(spark, out, updates, idCol = "doc_id")        // v2
+    val merged = Lake.read(spark, out)
+    assert(merged.count() == 4002)
+    assert(merged.filter(col("doc_id") === 8L).select("text").head.getString(0)
+      == "UPDATED 8")
+    assert(ids(merged).contains(9000L) && ids(merged).contains(9001L))
+    // PROGRESSIVE adoption: a bloom-less lake opts in via ONE metadata
+    // commit; pre-setting files lack blooms and always KEEP
+    // (exactness-preserving), post-setting writes carry them
+    val out2 = freshDir("lake-bloom-adopt")
+    Lake.init(spark, interleaved(0 until 2000), out2, Seq("split"))            // v1
+    Lake.setBloomCols(spark, out2, Seq("doc_id"))                              // v2
+    val st2a = Lake.latestManifest(spark, out2).get
+    assert(st2a.bloomCols == Seq("doc_id") &&
+      st2a.files == Lake.stateAt(spark, out2, 1L).files,
+      "setBloomCols must be a metadata commit")
+    Pipeline.appendToLake(spark, out2, interleaved(20000 until 22000))         // v3
+    val st2 = Lake.latestManifest(spark, out2).get
+    val oldFiles = Lake.stateAt(spark, out2, 1L).files.toSet
+    assert(st2.files.size > oldFiles.size, "the append must add files")
+    // probe a PRE-setting id: the bloom-less old files keep (unknown is
+    // kept), the bloomed appended files prune (8 is provably absent)
+    val kept2 = Lake.pruneByBloom(spark, out2, st2, st2.files, "doc_id",
+      Array(8L))
+    assert(oldFiles.subsetOf(kept2.toSet),
+      "pre-setting files have no blooms and must keep")
+    assert(kept2.toSet == oldFiles,
+      s"post-setting files must prune by their blooms, kept ${kept2.size}/${st2.files.size}")
+    // guard rails: unknown and non-key-typed columns refuse
+    val eCol = intercept[IllegalArgumentException] {
+      Lake.setBloomCols(spark, out2, Seq("nope"))
+    }
+    assert(eCol.getMessage.contains("not in the schema"))
+    val eTypeB = intercept[IllegalArgumentException] {
+      Lake.init(spark,
+        interleaved(0 until 10).withColumn("score", col("doc_id").cast("double")),
+        freshDir("lake-bloom-badtype"), Seq("split"), bloomCols = Seq("score"))
+    }
+    assert(eTypeB.getMessage.contains("integral or string"))
+  }
+
+  test("partition transforms: years/months complete the grammar; month path pruning; shared layout validation") {
+    import org.apache.spark.sql.functions.expr
+    val out = freshDir("lake-months")
+    // 150 daily events: Nov 15 2025 .. Apr 13 2026, six ts_month levels
+    def ev(ids: Range) = spark.range(ids.start, ids.end).select(
+      col("id").as("event_id"),
+      expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP'2025-11-15 00:00:00')").as("ts"),
+      concat(lit("ev "), col("id")).as("note"))
+    Lake.init(spark, ev(0 until 150), out, Seq("months(ts)"))                  // v1
+    val st1 = Lake.latestManifest(spark, out).get
+    assert(st1.files.forall(_.matches("ts_month=20(25|26)-\\d\\d/.*")),
+      s"month transform must render ts_month levels, got ${st1.files.take(2)}")
+    // MONTH-WINDOW PATH PRUNING: a December window keeps only the
+    // 2025-12 dirs (ts stats are timestamps — not value-comparable —
+    // so the path level is what prunes)
+    val dec = Lake.pruneByStats(st1, "ts",
+      org.apache.spark.sql.types.TimestampType,
+      java.sql.Timestamp.valueOf("2025-12-03 00:00:00"),
+      java.sql.Timestamp.valueOf("2025-12-28 00:00:00"))
+    assert(dec.nonEmpty && dec.forall(_.startsWith("ts_month=2025-12/")),
+      s"a December bound must keep only 2025-12 month dirs, got ${dec.take(3)}")
+    // no row loss through the pruned set
+    val decIds = spark.read.option("basePath", out)
+      .parquet(dec.map(f => s"$out/$f"): _*)
+      .filter(col("ts").between("2025-12-03", "2025-12-28"))
+      .count()
+    assert(decIds == 26L, s"December window must hold 26 daily events, got $decIds")
+    // evolve the grain months -> days: a METADATA commit (zero files move)
+    Lake.evolveLayout(spark, out, Seq("days(ts)"))                             // v2
+    Lake.append(spark, out, ev(150 until 160))                                 // v3
+    val st3 = Lake.latestManifest(spark, out).get
+    assert(st3.files.filterNot(st1.files.toSet).forall(_.startsWith("ts_day=")),
+      "post-evolve appends must land at day grain")
+    assert(st1.files.forall(st3.files.toSet),
+      "evolve must be metadata-only: every month-generation file survives")
+    // mixed-generation read spans both grains
+    val all = Lake.read(spark, out)
+    assert(all.count() == 160 &&
+      all.schema.fieldNames.toSet == Set("event_id", "ts", "note"))
+    assert(all.agg(sum(col("event_id"))).head.getLong(0) == (0L until 160L).sum)
+    // years(ts) parses, renders and validates too
+    val outY = freshDir("lake-years")
+    Lake.init(spark, ev(0 until 150), outY, Seq("years(ts)"))
+    val stY = Lake.latestManifest(spark, outY).get
+    assert(stY.files.map(_.split('/').head).toSet == Set("ts_year=2025", "ts_year=2026"))
+    val y26 = Lake.pruneByStats(stY, "ts",
+      org.apache.spark.sql.types.TimestampType,
+      java.sql.Timestamp.valueOf("2026-02-01 00:00:00"), null)
+    assert(y26.nonEmpty && y26.forall(_.startsWith("ts_year=2026/")),
+      s"an open 2026 bound must prune the 2025 year dir, got ${y26.take(3)}")
+    // SHARED VALIDATION GATE: every entry point refuses a transform
+    // whose level would shadow a user column, and an identity column
+    // spelled like another column's transform level
+    val shadowFrame = ev(0 until 5).withColumn("ts_month", lit("user data"))
+    val eShadow = intercept[IllegalArgumentException] {
+      Lake.init(spark, shadowFrame, freshDir("lake-shadow"), Seq("months(ts)"))
+    }
+    assert(eShadow.getMessage.contains("collide"),
+      s"init must refuse a shadowing transform, got: ${eShadow.getMessage}")
+    val eSpelled = intercept[IllegalArgumentException] {
+      Lake.init(spark, shadowFrame, freshDir("lake-spelled"), Seq("ts_month"))
+    }
+    assert(eSpelled.getMessage.contains("spelled like a transform"),
+      s"init must refuse a transform-spelled identity column, got: ${eSpelled.getMessage}")
+    val eAppend = intercept[IllegalArgumentException] {
+      Pipeline.appendToLake(spark, freshDir("lake-append-shadow"), shadowFrame,
+        idCol = "event_id", partitionCols = Seq("months(ts)"))
+    }
+    assert(eAppend.getMessage.contains("collide"),
+      "a first-ever ingest must pass the same layout gate")
+    val eType = intercept[IllegalArgumentException] {
+      Lake.init(spark, ev(0 until 5), freshDir("lake-badtype"), Seq("years(note)"))
+    }
+    assert(eType.getMessage.contains("timestamp"))
+    // repartitionLake records the NORMALIZED spelling: whitespace
+    // variation can never defeat evolveLayout's no-op detection
+    Pipeline.repartitionLake(spark, out, Seq("bucket( 4,  event_id )"))        // v4
+    val st4 = Lake.latestManifest(spark, out).get
+    assert(st4.layout.contains(Seq("bucket(4, event_id)")),
+      s"repartitionLake must record normalized specs, got ${st4.layout}")
+    assert(Lake.read(spark, out).count() == 160)
   }
 
   test("partition transforms: bucket(n, col) and truncate(w, col) layouts round-trip") {

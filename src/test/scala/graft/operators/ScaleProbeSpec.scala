@@ -353,4 +353,63 @@ class ScaleProbeSpec extends SparkTestBase {
     info(f"mixed-generation count: ${(System.nanoTime() - t1) / 1e9}%.1fs")
     assert(total == n + 1000000L)
   }
+
+  /** The bloom-index claim at scale: a UUID-shaped key (hash-scattered —
+    * every file's [min,max] spans the whole key space, so stats pruning
+    * keeps 100% of files) on a 10×-replicated corpus. A sparse merge's
+    * candidate list must come back O(files actually holding the keys),
+    * not O(lake): the per-file parquet blooms (fpp 1e-7) probed with the
+    * source's keys decide it. */
+  test("bloom skipping: a sparse merge into a UUID-keyed 10x lake reads O(matching) files") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val sfDir = sys.env.getOrElse("GRAFT_SCALE_SF", "/root/testdata/sf0.1")
+    val out = java.nio.file.Files.createTempDirectory("bloomscale").toString + "/lake"
+    val base = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    // 10x replicate, then SCATTER the key space (Fibonacci-hash spread):
+    // neighbors land in different files, every file spans ~the full range
+    val docs = (0 until 10)
+      .map(i => base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+      .select((pmod(col("doc_id") * lit(2654435761L), lit(1000000007L))).as("doc_id"),
+        col("text"))
+      .dropDuplicates("doc_id")
+      .withColumn("split", lit("train"))
+      .repartition(64)
+    Lake.init(spark, docs, out, Seq("split"), bloomCols = Seq("doc_id"))
+    val st = Lake.currentState(spark, out)
+    val nFiles = st.files.size
+    // 100 source keys scattered ACROSS files (a plain limit would pull
+    // one partition's prefix and understate the matching-file count)
+    val keys = Lake.read(spark, out).select("doc_id")
+      .filter(pmod(col("doc_id"), lit(5003L)) === 1L).limit(100)
+      .collect().map(_.get(0))
+    val t0 = System.nanoTime()
+    val statKept = Lake.pruneByStats(st, "doc_id",
+      org.apache.spark.sql.types.LongType, keys.map(_.asInstanceOf[Long]).min,
+      keys.map(_.asInstanceOf[Long]).max)
+    val bloomKept = Lake.pruneByBloom(spark, out, st, statKept, "doc_id", keys)
+    val pruneSec = (System.nanoTime() - t0) / 1e9
+    info(f"files=$nFiles statKept=${statKept.size} bloomKept=${bloomKept.size} " +
+      f"prune=$pruneSec%.1fs")
+    assert(statKept.size == nFiles, "scattered keys must defeat min/max pruning")
+    // 100 keys hit at most 100 files; fpp 1e-7 adds ~0 false ones
+    assert(bloomKept.size <= math.min(100, nFiles),
+      s"bloom pruning must keep O(matching) files, kept ${bloomKept.size}/$nFiles")
+    // NO FALSE NEGATIVES: every probe key survives in the kept set
+    val keptIds = spark.read.option("basePath", out)
+      .parquet(bloomKept.map(f => s"$out/$f"): _*)
+      .filter(col("doc_id").isInCollection(keys.map(_.asInstanceOf[Long])))
+      .select("doc_id").distinct().count()
+    assert(keptIds == keys.length,
+      s"bloom pruning lost keys: $keptIds/${keys.length} survive")
+    // and the merge itself routes through the gate, exactly
+    val updates = Lake.read(spark, out).select("doc_id", "split")
+      .limit(50).withColumn("text", lit("UPDATED"))
+      .select("doc_id", "text", "split")
+    val before = Lake.read(spark, out).count()
+    Pipeline.mergeIntoLakeSparse(spark, out, updates, idCol = "doc_id")
+    val after = Lake.read(spark, out)
+    assert(after.count() == before)
+    assert(after.filter(col("text") === "UPDATED").count() == 50)
+  }
 }
