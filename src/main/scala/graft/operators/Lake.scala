@@ -1604,11 +1604,15 @@ object Lake {
     * truncate through [[truncatedBounds]] exactly like the aggregate
     * path (parquet's own writer-side truncation already bumps its max,
     * so re-truncating stays a valid bound). */
+  /** Per-file (row count, column stats) read from the staged files'
+    * PARQUET FOOTERS — row counts AND min/max come from the writers'
+    * own metadata in the SAME footer open, so the default audit pays
+    * ONE pass (no separate count job per commit). */
   private def footerStats(spark: SparkSession, root: Path, files: Seq[String],
-      cols: Seq[(String, DataType)]): Map[String, Seq[ColStat]] = {
-    if (cols.isEmpty || files.isEmpty) return Map.empty
+      cols: Seq[(String, DataType)]): Map[String, (Long, Seq[ColStat])] = {
+    if (files.isEmpty) return Map.empty
     if (files.size <= FooterStatsDriverMax)
-      return files.flatMap(rel =>
+      return files.map(rel =>
         footerStatsOne(root, rel, cols, spark.sessionState.newHadoopConf())).toMap
     // a commit staging many files distributes the footer reads as ONE
     // spark job — O(files/executors) wall-clock instead of O(files)
@@ -1630,7 +1634,7 @@ object Lake {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confProps.foreach { case (k, v) => conf.set(k, v) }
         val r = new Path(rootStr)
-        it.flatMap(rel => footerStatsOne(r, rel, colsArr, conf))
+        it.map(rel => footerStatsOne(r, rel, colsArr, conf))
       }.collect().toMap
   }
 
@@ -1645,7 +1649,7 @@ object Lake {
   private[graft] val footerDriverReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def footerStatsOne(root: Path, rel: String, cols: Seq[(String, DataType)],
-      conf: org.apache.hadoop.conf.Configuration): Option[(String, Seq[ColStat])] = {
+      conf: org.apache.hadoop.conf.Configuration): (String, (Long, Seq[ColStat])) = {
     import scala.jdk.CollectionConverters._
     val want = cols.toMap
     if (org.apache.spark.TaskContext.get() == null) footerDriverReads.incrementAndGet()
@@ -1689,7 +1693,7 @@ object Lake {
             }
           }
         }
-        if (st.nonEmpty) Some(rel -> st) else None
+        rel -> ((reader.getRecordCount, st))
       } finally reader.close()
   }
 
@@ -1739,17 +1743,20 @@ object Lake {
     val physOf: String => String = c =>
       auditSchema.find(_.name == c).fold(c)(physicalName)
     if (statsCols.isEmpty) {
-      // DEFAULT capture: count from the (column-pruned) read-back,
-      // min/max from the writers' own footer statistics — decoding a
-      // corpus text column back just to min/max it would dominate every
-      // small commit, and the footers already hold the answer
-      val total = df.count()
+      // DEFAULT capture: row counts AND min/max both come from the
+      // writers' own footer metadata in ONE pass over the staged files
+      // (decoding a corpus text column back just to min/max it — or
+      // even launching a separate count job — would dominate every
+      // small commit; the footers already hold both answers, and a
+      // torn file fails the footer open loudly)
       val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
       val cols = df.schema.fields.iterator
         .filter(f => statsComparable(f.dataType) && !pathLevels(f.name))
         .take(DefaultStatsCols)
         .map(f => physOf(f.name) -> f.dataType).toSeq
-      return (total, footerStats(spark, root, stagedFiles, cols))
+      val perFile = footerStats(spark, root, stagedFiles, cols)
+      return (perFile.values.map(_._1).sum,
+        perFile.collect { case (f, (_, st)) if st.nonEmpty => f -> st })
     }
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
@@ -1843,6 +1850,16 @@ object Lake {
     // count, so any generation's files answer exactly). Files without
     // a level, and unrenderable bounds, keep the file
     // (exactness-preserving like every pruning rule here).
+    // levels classify by SCHEMA MEMBERSHIP exactly like the readers: a
+    // directory level that IS a schema column is an identity level, even
+    // when its name is spelled like another column's transform
+    // (`ts_day` as a real column next to `ts`) — transform semantics
+    // must never prune an identity column's arbitrary user values.
+    // (validateLayout refuses such layouts at write time; adopted lakes
+    // never ran it, so the read side must classify correctly too.)
+    val schemaCols: Set[String] = scala.util.Try(DataType.fromJson(st.schemaJson))
+      .toOption.collect { case s: StructType => s.fieldNames.toSet }
+      .getOrElse(Set.empty)
     def pathOverlaps(f: String, b: ColBound): Boolean = {
       val dirs = f.split('/').dropRight(1)
       if (dirs.isEmpty) true
@@ -1898,6 +1915,7 @@ object Lake {
           else {
             val (lvl, v) = (unesc(seg.take(eq)), unesc(seg.drop(eq + 1)))
             lvl match {
+              case _ if schemaCols.contains(lvl) => true // identity level
               case _ if lvl == b.col + "_year" => timeOk("years", v)
               case _ if lvl == b.col + "_month" => timeOk("months", v)
               case _ if lvl == b.col + "_day" => timeOk("days", v)
@@ -2072,6 +2090,23 @@ object Lake {
         !base.bloomCols.contains(idCol)) candidates
     else pruneByBloom(spark, lakeDir, base, candidates, idCol,
       keyDf.distinct().collect().map(_.get(0)))
+
+  /** READ-side bloom consultation (the Delta bloom-index point-lookup
+    * use): every predicate bound that pins a bloomed column to ONE
+    * value (`id = x` — lo == hi, the needle query a 100 TB lake serves
+    * constantly) probes the candidates' blooms with that driver-known
+    * value. Range and open bounds pass through — a hash answers only
+    * equality. Applied by the sparse `WHERE` mutations and the DSv2
+    * scan's partition planning, after min/max stats. */
+  private[graft] def bloomPruneBounds(spark: SparkSession, lakeDir: String,
+      st: LakeState, candidates: Seq[String],
+      bounds: Seq[ColBound]): Seq[String] =
+    bounds.filter(b => b.lo != null && b.hi != null && b.lo == b.hi &&
+        st.bloomCols.contains(b.col))
+      .foldLeft(candidates) { (c, b) =>
+        if (c.isEmpty) c
+        else pruneByBloom(spark, lakeDir, st, c, b.col, Array(b.lo))
+      }
 
   /** Create a lake: write the initial partition layout and commit version
     * 1 over exactly the files that landed. Overwrite semantics — anything

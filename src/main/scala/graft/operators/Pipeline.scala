@@ -1700,7 +1700,7 @@ object Pipeline {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val base = Lake.adopt(spark, lakeDir)
     if (base.files.isEmpty) return Lake.read(spark, lakeDir)
-    val candidates = sparseWhereCandidates(spark, base, predicate)
+    val candidates = sparseWhereCandidates(spark, lakeDir, base, predicate)
     if (candidates.isEmpty) return Lake.read(spark, lakeDir)
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
       candidates, base.dvs)
@@ -1745,7 +1745,7 @@ object Pipeline {
     val unknown = assignments.keySet.filterNot(lakeSchema.fieldNames.contains)
     require(unknown.isEmpty,
       s"updateLakeSparseWhere: SET names unknown column(s) ${unknown.mkString(", ")}")
-    val candidates = sparseWhereCandidates(spark, base, predicate)
+    val candidates = sparseWhereCandidates(spark, lakeDir, base, predicate)
     if (candidates.isEmpty) return Lake.read(spark, lakeDir)
     val partitionCols = Lake.layoutSpecsOf(base)
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
@@ -1790,7 +1790,8 @@ object Pipeline {
     * predicate no bound can be extracted from keeps every file.
     * Package-visible so the spec can pin the pruning without a
     * filesystem-level probe. */
-  private[graft] def sparseWhereCandidates(spark: SparkSession, base: Lake.LakeState,
+  private[graft] def sparseWhereCandidates(spark: SparkSession, lakeDir: String,
+      base: Lake.LakeState,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     val schema = Lake.visible(
       org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
@@ -1801,7 +1802,9 @@ object Pipeline {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
     val bounds = org.apache.spark.sql.graft.LakeStatPruning.boundsFrom(schema, conds)
-    if (bounds.isEmpty) base.files else Lake.pruneByStats(base, bounds)
+    if (bounds.isEmpty) base.files
+    else Lake.bloomPruneBounds(spark, lakeDir, base,
+      Lake.pruneByStats(base, bounds), bounds)
   }
 
   /** SPARSE row-level MERGE: the correction pass of [[mergeIntoLake]]

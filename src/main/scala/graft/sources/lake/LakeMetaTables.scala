@@ -90,6 +90,7 @@ private[lake] object LakeMetaTables {
   val detailSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("write_layout", StringType, nullable = false),
+    StructField("bloom_cols", StringType, nullable = false),
     StructField("n_layout_generations", IntegerType, nullable = false),
     StructField("n_files", IntegerType, nullable = false),
     StructField("n_dv_attached_files", IntegerType, nullable = false),
@@ -184,6 +185,7 @@ private[lake] object LakeMetaTables {
         Array(new GenericInternalRow(Array[Any](
           st.version,
           s(Lake.layoutSpecsOf(st).mkString(",")),
+          s(st.bloomCols.mkString(",")),
           Lake.layoutGenerationsOf(st).size,
           st.files.size,
           st.dvs.size,

@@ -238,8 +238,12 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     // never disturbs row positions inside the surviving files. Planning
     // needs only WHICH files carry attachments (the manifest knows) —
     // the positions themselves load once at reader-factory time and
-    // ship as a broadcast, never in the partition payloads
-    val candidates = Lake.pruneByStats(st, bounds)
+    // ship as a broadcast, never in the partition payloads. An EQUALITY
+    // bound on a bloomed column additionally probes the candidates'
+    // footer blooms (one metadata-sized job at plan time — the
+    // point-lookup file skip min/max cannot give a scattered key)
+    val candidates = Lake.bloomPruneBounds(spark, lakeDir, st,
+      Lake.pruneByStats(st, bounds), bounds)
     val (tombstoned, clean) = candidates.partition(st.dvs.contains)
     val cleanParts: Seq[InputPartition] = FilePartition.getFilePartitions(
       spark, clean.map(pf), spark.sessionState.conf.filesMaxPartitionBytes)

@@ -36,7 +36,8 @@ private[lake] object LakeProcedures {
 
   val All: Seq[String] =
     Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze",
-      "repartition", "evolve_layout", "add_constraint", "drop_constraint")
+      "repartition", "evolve_layout", "add_constraint", "drop_constraint",
+      "set_bloom_cols")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -220,6 +221,28 @@ private[lake] object LakeProcedures {
         val st = Lake.currentState(spark, dir)
         Array(new GenericInternalRow(Array[Any](st.version,
           Lake.layoutGenerationsOf(st).size)))
+      })
+    case "set_bloom_cols" => new LakeProc("set_bloom_cols",
+      "record the bloom-filter column set as a METADATA commit: every " +
+        "later data write carries per-file parquet footer blooms for " +
+        "these columns, and sparse merges/deletes + equality point " +
+        "lookups file-skip keys min/max stats cannot prune (existing " +
+        "files keep until compaction rewrites them)",
+      Array(tableParam,
+        p("columns", StringType)
+          .comment("comma-separated integral/string key columns; " +
+            "empty = disable for new writes").build()),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("bloom_cols", StringType, nullable = false))),
+      resolve,
+      (dir, in) => {
+        val cols = in.getUTF8String(1).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        Lake.setBloomCols(spark, dir, cols)
+        val st = Lake.currentState(spark, dir)
+        Array(new GenericInternalRow(Array[Any](st.version,
+          s(st.bloomCols.mkString(",")))))
       })
     case "add_constraint" => new LakeProc("add_constraint",
       "add a CHECK constraint (validates the existing corpus in one scan, " +

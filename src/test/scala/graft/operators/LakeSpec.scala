@@ -904,16 +904,16 @@ class LakeSpec extends SparkTestBase {
     val base = Lake.latestManifest(spark, out).get
     assert(base.files.size >= 16, s"fixture wants >=16 clustered files, got ${base.files.size}")
     // the predicate's bounds prune the candidate list driver-side
-    val oneSide = Pipeline.sparseWhereCandidates(spark, base, col("doc_id") >= lit(7500L))
+    val oneSide = Pipeline.sparseWhereCandidates(spark, out, base, col("doc_id") >= lit(7500L))
     assert(oneSide.nonEmpty && oneSide.size <= 2,
       s"a one-sided range must keep only the tail file(s), got ${oneSide.size}")
-    val twoSide = Pipeline.sparseWhereCandidates(spark, base,
+    val twoSide = Pipeline.sparseWhereCandidates(spark, out, base,
       col("doc_id") >= lit(7500L) && col("doc_id") < lit(7600L))
     assert(twoSide.size <= oneSide.size, "a conjunction prunes at least as tight")
     // no extractable bound (or no stats for the column) keeps every file
-    assert(Pipeline.sparseWhereCandidates(spark, base, col("text") === "nope").size ==
+    assert(Pipeline.sparseWhereCandidates(spark, out, base, col("text") === "nope").size ==
       base.files.size)
-    assert(Pipeline.sparseWhereCandidates(spark, base,
+    assert(Pipeline.sparseWhereCandidates(spark, out, base,
       col("doc_id") >= lit(7500L) || col("text") === "x").size == base.files.size,
       "a top-level OR extracts no bound — conservative, never wrong")
     // end-to-end: the purge's read volume tracks the overlapping files,
@@ -1449,6 +1449,24 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.pruneByStats(st2,
       Seq(ColBound("a", LongType, 0L, 5L), ColBound("b", LongType, 0L, 5L)))
       .toSet == Set("f00", "f11"))
+    // an identity partition column SPELLED like a transform level of
+    // another schema column ('ts_day' next to 'ts' — possible only on
+    // an ADOPTED lake; validateLayout refuses new ones): a bound on ts
+    // must NOT map the identity level's arbitrary user values through
+    // transform semantics — schema membership decides, like the readers
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("ts_day",
+        org.apache.spark.sql.types.StringType))).json
+    val stAdopted = LakeState(1L, schemaJson,
+      Seq("ts_day=batchA/part-0.parquet", "ts_day=batchB/part-1.parquet"))
+    val keptAdopted = Lake.pruneByStats(stAdopted, "ts",
+      org.apache.spark.sql.types.TimestampType,
+      java.sql.Timestamp.valueOf("2026-01-05 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-06 00:00:00"))
+    assert(keptAdopted.size == 2,
+      s"identity 'ts_day' values must never prune by transform semantics, kept $keptAdopted")
   }
 
   test("compound pruning end-to-end: a (lang, doc_id)-clustered lake records both columns and appends stay exact") {
@@ -2419,7 +2437,12 @@ class LakeSpec extends SparkTestBase {
     // (exactness-preserving), post-setting writes carry them
     val out2 = freshDir("lake-bloom-adopt")
     Lake.init(spark, interleaved(0 until 2000), out2, Seq("split"))            // v1
-    Lake.setBloomCols(spark, out2, Seq("doc_id"))                              // v2
+    spark.conf.set("spark.sql.catalog.graft_lake", "graft.sources.lake.LakeCatalog")
+    org.apache.spark.sql.graft.ColumnBridge.resetCatalogManager(spark)
+    val callRow = spark.sql("CALL graft_lake.system.set_bloom_cols(" +
+      s"table => '$out2', columns => 'doc_id')").collect()(0)                  // v2
+    assert(callRow.getAs[String]("bloom_cols") == "doc_id",
+      "CALL set_bloom_cols must report the recorded set")
     val st2a = Lake.latestManifest(spark, out2).get
     assert(st2a.bloomCols == Seq("doc_id") &&
       st2a.files == Lake.stateAt(spark, out2, 1L).files,
@@ -2436,6 +2459,13 @@ class LakeSpec extends SparkTestBase {
       "pre-setting files have no blooms and must keep")
     assert(kept2.toSet == oldFiles,
       s"post-setting files must prune by their blooms, kept ${kept2.size}/${st2.files.size}")
+    // READ-side consultation: an equality WHERE-delete on the bloomed
+    // key routes through bloomPruneBounds (point-lookup file skip) and
+    // still lands exactly
+    Pipeline.deleteFromLakeSparseWhere(spark, out2, col("doc_id") === 21000L)  // v4
+    assert(Lake.read(spark, out2).count() == 3999 &&
+      !ids(Lake.read(spark, out2)).contains(21000L),
+      "the equality delete must remove exactly its row through the bloom gate")
     // guard rails: unknown and non-key-typed columns refuse
     val eCol = intercept[IllegalArgumentException] {
       Lake.setBloomCols(spark, out2, Seq("nope"))

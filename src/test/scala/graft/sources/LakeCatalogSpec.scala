@@ -538,6 +538,7 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(d1.getAs[Int]("n_files") == Lake.currentState(spark, out).files.size)
     assert(d1.getAs[Int]("n_constraints") == 1)
     assert(!d1.getAs[Boolean]("has_column_mapping"))
+    assert(d1.getAs[String]("bloom_cols") == "", "no bloom columns configured")
     // evolve + append: the card reports the NEW write layout and BOTH
     // live generations; DV census counts the tombstoned files
     spark.sql("CALL graft_lake.system.evolve_layout(table => 'detail', " +
