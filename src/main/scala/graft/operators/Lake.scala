@@ -1089,7 +1089,7 @@ object Lake {
       Seq.empty, Seq.empty, 0L, 0L, statRestates = restates))
   }
 
-  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+  private[graft] def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
     case (ShortType, IntegerType | LongType | DoubleType) => true
     case (IntegerType, LongType | DoubleType) => true
@@ -1643,6 +1643,16 @@ object Lake {
     * small commits skip the job-launch overhead entirely. */
   private[graft] val FooterStatsDriverMax = 8
 
+  /** Reserved per-file stat carrying the file's ROW COUNT (min = max =
+    * count) — Delta `numRecords` / Iceberg `record_count` parity,
+    * captured for free by both audit paths (the named-stats aggregate
+    * already counts per file; the footer pass reads the writer's own
+    * record count). Manifest-resolved consumers plan from it with zero
+    * data jobs: clustered compaction's size estimate, the DSv2 scan's
+    * numRows, `$files.n_rows`. A USER column with this exact name is
+    * excluded from stats capture so the two can never collide. */
+  private[graft] val RowsStatName = "#rows"
+
   /** Driver-side footer opens (a [[logReads]]-style counter): the
     * distribution spec pins that a many-file commit performs ZERO of
     * these — every footer is opened inside a task instead. */
@@ -1751,16 +1761,19 @@ object Lake {
       // torn file fails the footer open loudly)
       val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
       val cols = df.schema.fields.iterator
-        .filter(f => statsComparable(f.dataType) && !pathLevels(f.name))
+        .filter(f => statsComparable(f.dataType) && !pathLevels(f.name) &&
+          f.name != RowsStatName)
         .take(DefaultStatsCols)
         .map(f => physOf(f.name) -> f.dataType).toSeq
       val perFile = footerStats(spark, root, stagedFiles, cols)
       return (perFile.values.map(_._1).sum,
-        perFile.collect { case (f, (_, st)) if st.nonEmpty => f -> st })
+        perFile.map { case (f, (n, st)) =>
+          f -> (st :+ ColStat(RowsStatName, n.toString, n.toString)) })
     }
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
-    val valid = statsCols.filter(df.schema.fieldNames.contains).distinct
+    val valid = statsCols.filter(df.schema.fieldNames.contains)
+      .filterNot(_ == RowsStatName).distinct
     val aggs = count(lit(1)).as("_n") +:
       valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
     val rows = df.groupBy(col("_metadata.file_path").as("_fp"))
@@ -1780,7 +1793,10 @@ object Lake {
           case _ => Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
         }
       }
-      if (st.nonEmpty) stats += (rel -> st)
+      // the per-file row count rides along (the aggregate already
+      // counted it) — [[RowsStatName]], the manifest's numRecords
+      val n = r.getAs[Long]("_n")
+      stats += (rel -> (st :+ ColStat(RowsStatName, n.toString, n.toString)))
     }
     (total, stats.result())
   }
@@ -1828,7 +1844,12 @@ object Lake {
       case _ => None
     }
     def overlaps(f: String, b: ColBound): Boolean =
-      st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
+      // a USER column literally named like the [[RowsStatName]] pseudo-stat
+      // (possible on a mapping-less lake, where physical = logical) must
+      // never prune against the recorded row COUNT — capture excludes such
+      // a column's real min/max, so always-keep is the exact answer
+      if (b.col == RowsStatName) true
+      else st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
         case None => true
         case Some(cs) =>
           // each side independently: unbounded or unparseable keeps the

@@ -849,11 +849,32 @@ object Pipeline {
       // a transform layout groups by its DERIVED level columns (the
       // same rendering formulas stageWrite applies — deterministic)
       val (affectedLake, levelNames) = Lake.withLevelCols(affectedLake0, partitionCols)
-      // one aggregate over the affected files: per-partition row counts
-      // feed the bin-packing AND sum to the audit expectation
-      val countRows = affectedLake.groupBy(levelNames.map(col): _*)
-        .agg(count(lit(1)).as("_n")).collect()
-      val expected = countRows.map(_.getAs[Long]("_n")).sum
+      // the audit expectation comes from the MANIFEST when it can (every
+      // affected file carries its recorded `#rows` numRecords stat and
+      // none has deletion vectors — the common fragmentation case):
+      // clustered/z-order compaction then plans with ZERO census jobs,
+      // reading the corpus exactly once (the rewrite itself). DV-bearing
+      // scopes count live rows the honest way.
+      val manifestExpected: Option[Long] =
+        if (removed.exists(base.dvs.contains)) None
+        else {
+          val per = removed.map(f => base.stats.getOrElse(f, Seq.empty)
+            .find(_.col == Lake.RowsStatName).flatMap(_.min.toLongOption))
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+        }
+      // the per-partition census feeds only the UNSORTED bin-packing's
+      // group map — the clustered paths skip it entirely on a
+      // manifest-counted lake
+      val needCensus = (sortCols.isEmpty && zorderCols.isEmpty) ||
+        manifestExpected.isEmpty
+      val countRows =
+        if (needCensus)
+          affectedLake.groupBy(levelNames.map(col): _*)
+            .agg(count(lit(1)).as("_n")).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      val expected =
+        if (needCensus) countRows.map(_.getAs[Long]("_n")).sum
+        else manifestExpected.get
       // byte sizing: operators reason about lakes in bytes (HDFS block /
       // object-store part sizes), so a byte target converts to a row
       // target via the affected files' OBSERVED bytes/row — driver-side

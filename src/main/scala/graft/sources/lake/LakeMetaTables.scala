@@ -71,6 +71,7 @@ private[lake] object LakeMetaTables {
   val filesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("partition", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
     StructField("n_stat_cols", IntegerType, nullable = false),
     StructField("n_dv_sidecars", IntegerType, nullable = false)))
 
@@ -81,6 +82,7 @@ private[lake] object LakeMetaTables {
   val partitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
     StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
     StructField("n_dv_sidecars", IntegerType, nullable = false)))
 
   val constraintsSchema: StructType = StructType(Seq(
@@ -138,9 +140,16 @@ private[lake] object LakeMetaTables {
         val st = stateFor(spark, dir, pinnedVersion)
         st.files.map { f =>
           val cut = f.lastIndexOf('/')
+          val stats = st.stats.getOrElse(f, Seq.empty)
+          // `#rows` is the recorded numRecords, not a pruning stat —
+          // surfaced as its own column (null for pre-capture files),
+          // excluded from the stat-column census
+          val nRows: Any = stats.find(_.col == Lake.RowsStatName)
+            .flatMap(_.min.toLongOption).orNull
           new GenericInternalRow(Array[Any](
             s(f), s(if (cut > 0) f.substring(0, cut) else ""),
-            st.stats.getOrElse(f, Seq.empty).size,
+            nRows,
+            stats.count(_.col != Lake.RowsStatName),
             st.dvs.getOrElse(f, Seq.empty).size)): InternalRow
         }.toArray
       })
@@ -168,7 +177,13 @@ private[lake] object LakeMetaTables {
           val cut = f.lastIndexOf('/')
           if (cut > 0) f.substring(0, cut) else ""
         }.toSeq.sortBy(_._1).map { case (p, fs) =>
-          new GenericInternalRow(Array[Any](s(p), fs.size,
+          // Iceberg `record_count` parity: the partition's row total from
+          // the recorded per-file numRecords — null (not an undercount)
+          // whenever any file predates capture
+          val per = fs.map(f => st.stats.getOrElse(f, Seq.empty)
+            .find(_.col == Lake.RowsStatName).flatMap(_.min.toLongOption))
+          val nRows: Any = if (per.exists(_.isEmpty)) null else per.flatten.sum
+          new GenericInternalRow(Array[Any](s(p), fs.size, nRows,
             fs.map(f => st.dvs.getOrElse(f, Seq.empty).size).sum)): InternalRow
         }.toArray
       })

@@ -171,7 +171,20 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
       }.sum
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    // row estimate from the manifest's recorded `#rows` numRecords:
+    // exact when every candidate carries it and none is tombstoned
+    // (a DV'd file's live count is lower — report nothing rather than
+    // an overcount the planner would trust)
+    override def numRows(): java.util.OptionalLong = {
+      val candidates = Lake.pruneByStats(st, bounds)
+      if (candidates.exists(st.dvs.contains)) java.util.OptionalLong.empty()
+      else {
+        val per = candidates.map(f => st.stats.getOrElse(f, Seq.empty)
+          .find(_.col == Lake.RowsStatName).flatMap(_.min.toLongOption))
+        if (per.exists(_.isEmpty)) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(per.flatten.sum)
+      }
+    }
   }
 
   private def partitionValues(relPath: String): InternalRow = {

@@ -2222,8 +2222,14 @@ class LakeSpec extends SparkTestBase {
     val out2 = freshDir("lake-optin-stats")
     Lake.init(spark, wide, out2, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
     val stO = Lake.latestManifest(spark, out2).get
-    assert(stO.stats.values.flatten.map(_.col).toSet == Set("doc_id"),
-      "naming statsCols must override the default entirely")
+    assert(stO.stats.values.flatten.map(_.col).toSet ==
+      Set("doc_id", Lake.RowsStatName),
+      "naming statsCols must override the default entirely (plus the " +
+        "numRecords pseudo-stat every audit records)")
+    // numRecords capture: every file's recorded #rows sums to the corpus
+    assert(stO.stats.values.flatten.filter(_.col == Lake.RowsStatName)
+      .map(_.min.toLong).sum == 40L,
+      "per-file #rows must sum to the written row count")
     // DISTRIBUTED capture: a commit staging more than
     // FooterStatsDriverMax files opens every footer inside a task (one
     // job), ZERO serial driver round-trips — the 100 TB initial-ingest

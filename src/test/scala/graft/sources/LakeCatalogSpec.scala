@@ -149,14 +149,23 @@ class LakeCatalogSpec extends SparkTestBase {
       Lake.stateAt(spark, out, 1L).files.toSet)
     assert(v1Files.forall(_.getInt(1) == 0))
 
+    // every audit records per-file numRecords — $files surfaces it and
+    // the corpus total is exact (Delta numRecords / Iceberg record_count)
+    val fileRows = spark.sql("SELECT n_rows FROM graft_lake.`meta$files`").collect()
+    assert(fileRows.forall(!_.isNullAt(0)), "every committed file is counted")
+    assert(fileRows.map(_.getLong(0)).sum == 32L,
+      "per-file numRecords must sum to the written corpus")
+
     // $partitions is the fragmentation dashboard: per-dir file counts
     // summing to the census, the sparse delete's vector on its partition
     val parts = spark.sql(
-      "SELECT partition, n_files, n_dv_sidecars FROM graft_lake.`meta$partitions`")
+      "SELECT partition, n_files, n_rows, n_dv_sidecars FROM graft_lake.`meta$partitions`")
       .collect()
     assert(parts.map(_.getInt(1)).sum == st.files.size)
     assert(parts.forall(_.getString(0).contains("split=")))
-    assert(parts.map(_.getInt(2)).sum == 1)
+    assert(parts.map(_.getLong(2)).sum == 32L,
+      "partition record_count totals must sum to the corpus")
+    assert(parts.map(_.getInt(3)).sum == 1)
 
     // $txns surfaces the idempotent-write watermark
     val txns = spark.sql(
