@@ -71,6 +71,22 @@ import graft.operators.Lake
   * fine (absent columns read as null), so catch-up from `earliest`
   * across historical evolutions still works.
   *
+  * `option("schemaTrackingLocation", dir)` (Delta's schema-tracking
+  * idiom) makes those restarts RESUME instead of demanding a fresh
+  * `startingVersion`: the stream persists the schema it decodes under
+  * to a per-stream log (one small file, like the offset checkpoint it
+  * sits beside), records the EVOLVED schema the moment a mid-stream
+  * retype kills a batch, and — because the option is the consumer's
+  * explicit opt-in to an output schema that changes across restarts —
+  * a restarted stream accepts in-range HISTORICAL versions whose
+  * retypes are pure widening promotions into its start-time schema
+  * (`int` files decode natively under the widened `long` declaration,
+  * the same parquet promotion [[graft.operators.Lake.widenColumn]]
+  * rides on). Net effect: kill at a widen, restart with the option,
+  * and the checkpointed offset replays the pre-widen tail under the
+  * widened schema — exactly once, no rows lost. Without the option
+  * the conservative refusal (and its message) is unchanged.
+  *
   * Caveats (documented contract): lakes with exact streaming consumers
   * must retain history across maintenance passes (`retainHistory` /
   * `compactRetainHistory`, the [[Lake.changesBetween]] rule — a
@@ -228,8 +244,65 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   private val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
   // the decode schema is FIXED at stream start; [[assertNoEvolution]]
   // fails any batch whose range evolved the manifest beyond it
-  private val startSchema: StructType =
-    DataType.fromJson(Lake.currentState(spark, lakeDir).schemaJson).asInstanceOf[StructType]
+  private val (startVersion: Long, startSchema: StructType) = {
+    val st = Lake.currentState(spark, lakeDir)
+    (st.version, DataType.fromJson(st.schemaJson).asInstanceOf[StructType])
+  }
+  // Delta's schema-tracking-location idiom: a per-stream schema log that
+  // (a) records the schema each run decodes under — advanced here at
+  // construction, and at the refusal boundary when a mid-stream retype
+  // kills a batch — and (b) is the consumer's opt-in for the restarted
+  // stream to decode historical pre-widen versions under the widened
+  // declaration (the refusal stays conservative without it). The log is
+  // one small file beside the offset checkpoint: `<loc>/graft-cdc-schema`,
+  // first line the lake version the schema was recorded at, the rest its
+  // JSON. A torn write only loses the audit entry — the decode schema
+  // re-derives from the manifest, never from the log.
+  private val tracking: Option[Path] =
+    Option(options.get("schemaTrackingLocation")).map(new Path(_, "graft-cdc-schema"))
+  private def writeTracked(v: Long, schema: StructType): Unit = tracking.foreach { f =>
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(f, true)
+    try out.write(s"$v\n${schema.json}".getBytes("UTF-8")) finally out.close()
+  }
+  private def readTracked(): Option[(Long, StructType)] = tracking.flatMap { f =>
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 64 * 1024, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val nl = text.indexOf('\n')
+      for {
+        v <- text.take(math.max(nl, 0)).toLongOption
+        s <- scala.util.Try(DataType.fromJson(text.drop(nl + 1))
+          .asInstanceOf[StructType]).toOption
+      } yield (v, s)
+    }
+  }
+  // validate the tracked→current chain before advancing the log: every
+  // column the previous run served must still exist (by physical name)
+  // at the same or a natively-decodable WIDER type — anything else means
+  // the lake evolved in a way no restart can follow and the stream
+  // refuses naming the columns rather than silently changing semantics
+  tracking.foreach { _ =>
+    readTracked().foreach { case (trackedV, trackedSchema) =>
+      val cur = startSchema.map(f => Lake.physicalName(f) -> f.dataType).toMap
+      val unfollowable = trackedSchema.filterNot { f =>
+        cur.get(Lake.physicalName(f)).exists(t =>
+          t == f.dataType || Lake.widens(f.dataType, t))
+      }
+      if (unfollowable.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-lake-cdc: the schema tracked at version $trackedV cannot follow the " +
+            s"current lake schema (${unfollowable.map(_.name).mkString(", ")} retyped " +
+            "beyond a widening promotion) — consume from a fresh startingVersion")
+    }
+    writeTracked(startVersion, startSchema)
+  }
   // under a column mapping the parquet decode asks for PHYSICAL names
   // (time-invariant — every file ever written spells them, before or
   // after any rename) while the stream's declared schema stays logical;
@@ -419,14 +492,37 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     // RESTART picks up the widened schema (pre-add versions then decode
     // the column as null). The Delta schema-tracking pattern. Retypes
     // (a known physical name at a different type) still refuse loudly.
-    val breaking = beyond.filterNot(f =>
+    val breaking0 = beyond.filterNot(f =>
       !known.contains(Lake.physicalName(f)) && f.nullable)
-    if (breaking.nonEmpty)
+    // with a schema-tracking log the consumer has opted into restarts
+    // that change the output schema — a HISTORICAL version whose retypes
+    // are pure WIDENING promotions into this stream's declared schema
+    // decodes natively under the wide declaration (int32 footers read as
+    // long — the parquet promotion widenColumn rides on), so the
+    // restarted stream replays the pre-widen tail instead of refusing it
+    val breaking =
+      if (tracking.isEmpty) breaking0
+      else breaking0.filterNot(f =>
+        known.get(Lake.physicalName(f)).exists(Lake.widens(f.dataType, _)))
+    if (breaking.nonEmpty) {
+      // record the evolved schema at the boundary so the operator sees
+      // WHAT to restart into (and the restart's chain validation has the
+      // pre-kill schema to follow from); then refuse — a RUNNING stream
+      // can never decode wider files under its narrower declaration
+      if (tracking.isDefined) {
+        writeTracked(v, DataType.fromJson(schemaJson).asInstanceOf[StructType])
+        throw new IllegalStateException(
+          s"graft-lake-cdc: version $v evolved the lake schema beyond this stream's " +
+            s"start-time schema (retyped: ${breaking.map(_.name).mkString(", ")}) — " +
+            "evolved schema recorded at the schemaTrackingLocation; RESTART the " +
+            "stream to resume from the checkpointed offset under the evolved schema")
+      }
       throw new IllegalStateException(
         s"graft-lake-cdc: version $v evolved the lake schema beyond this stream's " +
           s"start-time schema (retyped: ${breaking.map(_.name).mkString(", ")}) — " +
           "restart the stream to pick up the evolved schema; decoding would silently " +
           "misread the retyped columns")
+    }
   }
 
   /** The files versions `(s, e]` contribute, with their feed tags. */

@@ -282,6 +282,99 @@ class LakeStreamSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("schemaTrackingLocation: a mid-stream widen kills the batch recording the evolved schema; a tracked restart resumes the checkpoint and replays the pre-widen tail under the widened declaration") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("lakecdctrack").toString
+    def docs(ids: Seq[(Long, Long)]) = ids.toDF("doc_id", "score")
+      .select(col("doc_id"), concat(lit("doc "), col("doc_id")).as("text"),
+        col("score").cast("int"), lit("train").as("split"))
+    val wideRead = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("score", LongType),
+      StructField("split", StringType)))
+
+    // ── lake A: the RUNNING stream is killed AT the widen; the refusal
+    // records the evolved schema and the tracked restart RESUMES the
+    // checkpointed offset (no replay of the committed prefix)
+    val outA = s"$base/lakeA"
+    Lake.init(spark, docs((0L until 5L).map(i => i -> i)), outA, Seq("split"))   // v1
+    def startA() = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("schemaTrackingLocation", s"$base/trackA")
+      .load(outA)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sinkA").option("checkpointLocation", s"$base/ckA")
+      .start()
+    val qa = startA()
+    try {
+      qa.processAllAvailable()                                                   // v1 committed
+      Lake.widenColumn(spark, outA, "score", LongType)                           // v2
+      Pipeline.appendToLake(spark, outA,
+        Seq((100L, "doc 100", 5000000000L, "train"))
+          .toDF("doc_id", "text", "score", "split"))                             // v3
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qa.processAllAvailable()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+      assert(msg.contains("retyped") && msg.contains("schemaTrackingLocation"),
+        s"the tracked refusal must name the retype and the recorded schema, got: $msg")
+    } finally qa.stop()
+    val trackA = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/trackA/graft-cdc-schema")), "UTF-8")
+    assert(trackA.startsWith("2\n") && trackA.contains("\"long\""),
+      s"the kill must record the widen version's evolved schema, got: ${trackA.take(80)}")
+    val qa2 = startA()
+    try qa2.processAllAvailable() finally qa2.stop()
+    val sunkA = spark.read.schema(wideRead).parquet(s"$base/sinkA")
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sunkA.groupBy(identity).view.mapValues(_.size).toMap ==
+      ((0L until 5L).map(i => (i, i)) :+ (100L -> 5000000000L))
+        .map(_ -> 1).toMap,
+      s"the restart must resume the offset — committed rows once, the wide row once: ${sunkA.sorted.toSeq}")
+
+    // ── lake B: the widen lands while the stream is DOWN with a narrow
+    // append still unprocessed — an untracked restart refuses with the
+    // unchanged text; the tracked restart replays the narrow tail under
+    // the widened declaration (native parquet widening), exactly once
+    val outB = s"$base/lakeB"
+    Lake.init(spark, docs((0L until 3L).map(i => i -> i)), outB, Seq("split"))   // v1
+    def startB(track: Boolean) = {
+      val r = spark.readStream.format("graft-lake-cdc")
+        .option("startingVersion", "earliest")
+      (if (track) r.option("schemaTrackingLocation", s"$base/trackB") else r)
+        .load(outB)
+        .writeStream.format("parquet")
+        .option("path", s"$base/sinkB").option("checkpointLocation", s"$base/ckB")
+        .start()
+    }
+    val qb = startB(track = true)
+    try qb.processAllAvailable() finally qb.stop()                               // v1 committed
+    Pipeline.appendToLake(spark, outB, docs(Seq(10L -> 10L, 11L -> 11L)))        // v2: narrow, unprocessed
+    Lake.widenColumn(spark, outB, "score", LongType)                             // v3
+    Pipeline.appendToLake(spark, outB,
+      Seq((20L, "doc 20", 6000000000L, "train"))
+        .toDF("doc_id", "text", "score", "split"))                               // v4: wide
+    val qb2 = startB(track = false)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qb2.processAllAvailable() finally qb2.stop()
+    }
+    val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).mkString
+    assert(msg2.contains("retyped") && !msg2.contains("schemaTrackingLocation"),
+      s"without the option the conservative refusal text is unchanged, got: $msg2")
+    val qb3 = startB(track = true)
+    try qb3.processAllAvailable() finally qb3.stop()
+    val sunkB = spark.read.schema(wideRead).parquet(s"$base/sinkB")
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectB = ((0L until 3L).map(i => (i, i)) ++
+      Seq(10L -> 10L, 11L -> 11L, 20L -> 6000000000L)).map(_ -> 1).toMap
+    assert(sunkB.groupBy(identity).view.mapValues(_.size).toMap == expectB,
+      s"the tracked restart must replay the narrow tail exactly once, widened: ${sunkB.sorted.toSeq}")
+    // net convergence: the sink mirrors the lake
+    val lakeB = Lake.read(spark, outB).select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sunkB.sorted.toSeq == lakeB.sorted.toSeq,
+      "the tracked stream's full replay must equal the batch read")
+  }
+
   test("startingTimestamp: the stream replays every commit at or after the asked-for wall-clock") {
     val base = java.nio.file.Files.createTempDirectory("lakecdcts").toString
     val out = s"$base/lake"
