@@ -2541,6 +2541,24 @@ object Lake {
     (out, fields.map(_.levelName))
   }
 
+  /** One STRING-rendering Column per layout level — identity levels
+    * cast to string (the [[partitionDir]] rendering), transform levels
+    * through [[transformCol]] — over a frame carrying `schema`. The
+    * DSv2 streaming sink analyzes these over a dummy relation and binds
+    * the resolved Catalyst expressions into its per-row directory
+    * projection, so its rendering IS the batch path's formulas (casts,
+    * session time zone, hash seed and all) by construction, never a
+    * re-implementation that could drift. */
+  private[graft] def levelRenderCols(schema: StructType,
+      specs: Seq[String]): Seq[(String, org.apache.spark.sql.Column)] =
+    specs.map(parseLayoutField).map { f =>
+      val c =
+        if (f.identity) col(f.source).cast("string")
+        else transformCol(f, col(f.source),
+          schema(schema.fieldIndex(f.source)).dataType).cast("string")
+      f.levelName -> c
+    }
+
   /** The raw layout SPECS of the lake's write layout (identity names
     * and/or transform expressions). The path-derived fallback (adopted
     * pre-manifest lakes) is always identity. */

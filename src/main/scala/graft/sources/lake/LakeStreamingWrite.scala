@@ -51,6 +51,13 @@ import graft.operators.Lake
   * [[graft.streaming.DocStream.ingestToLake]] offers its foreachBatch
   * form, here with no user code at all.
   *
+  * Transform layouts (`days(ts)`, `bucket(n, id)`, …) stream natively:
+  * the batch path's level-rendering formulas are analyzed once per
+  * epoch over the lake schema and their bound expressions ride to the
+  * writers, so a streamed row lands in exactly the directory a batch
+  * `appendToLake` would choose — the canonical 100 TB shape (events
+  * streaming into an hours(ts) lake) needs no foreachBatch detour.
+  *
   * Contract, refused loudly at stream start: the target must already
   * be a lake (the sink never invents a layout); the query's columns
   * must be exactly the lake's visible columns (castable types — there
@@ -94,17 +101,40 @@ private[lake] object LakeStreamingWrites {
         s"graft-lake sink: partitionBy is not supported — the lake's committed " +
           s"layout is authoritative; rows route to partition directories by their " +
           s"column values (requested: $cols)"))
-    // the sink's per-row directory rendering speaks IDENTITY layouts;
-    // a transform layout (days/hours/bucket/truncate) routes through
-    // the batch path instead, which renders transform levels
-    val xforms = Lake.layoutSpecsOf(st).map(Lake.parseLayoutField).filterNot(_.identity)
-    if (xforms.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"graft-lake sink: the lake's write layout carries partition transform(s) " +
-          s"${xforms.map(_.spec).mkString(", ")} — the streaming sink renders " +
-          "identity layouts only; write via foreachBatch { appendToLake } " +
-          "(the batch path renders transform levels)")
+    // the per-row directory rendering — identity AND transform levels
+    // (`days(ts)`, `bucket(n, id)`, …): the batch path's own rendering
+    // Columns are ANALYZED over a dummy relation carrying the lake
+    // schema, and the resolved expressions (session-tz casts, hash
+    // seed, format patterns — whatever the analyzer inserted) bind to
+    // the lake-row ordinals. Write-path PARITY by construction: a row
+    // streamed into a days(ts) lake lands in exactly the directory the
+    // batch append would choose. Identity partition columns stay
+    // path-resident (excluded from data files); transform SOURCES stay
+    // in the footers — same split as [[Lake.stageWrite]].
+    val layoutSpecs = Lake.layoutSpecsOf(st)
+    val levelNames = layoutSpecs.map(Lake.parseLayoutField(_).levelName)
     val partCols = Lake.partitionColsOf(st)
+    val boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (layoutSpecs.isEmpty) Seq.empty
+      else {
+        val dummy = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), visible)
+        val rendered = dummy.select(
+          Lake.levelRenderCols(visible, layoutSpecs).map { case (n, c) => c.as(n) }: _*)
+        rendered.queryExecution.analyzed match {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project
+              if p.child.output.map(_.name) == visible.fieldNames.toSeq =>
+            val exprs = p.projectList.map {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+              case e => e
+            }
+            exprs.map(org.apache.spark.sql.catalyst.expressions.BindReferences
+              .bindReference(_,
+                org.apache.spark.sql.catalyst.expressions.AttributeSeq(p.child.output)))
+          case other => throw new IllegalStateException(
+            s"graft-lake sink: unexpected level-rendering plan shape: $other")
+        }
+      }
     def intOpt(k: String, dflt: Int): Int =
       options(k).map(v => v.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"graft-lake sink: $k must be an int, got '$v'"))).getOrElse(dflt)
@@ -148,6 +178,7 @@ private[lake] object LakeStreamingWrites {
     val queryIdx = visible.map(f =>
       querySchema.fieldNames.indexWhere(resolver(_, f.name)))
     new LakeStreamingWrite(qualified, queryId, querySchema, queryIdx, visible, partCols,
+      layoutSpecs, levelNames, boundLevelExprs,
       new HadoopConfBox(conf), sql.sessionLocalTimeZone, codec.name(),
       compactEvery = intOpt("compactEvery", 0),
       compactMaxFilesPerPartition = intOpt("compactMaxFilesPerPartition", 8),
@@ -172,6 +203,8 @@ private[lake] final case class LakeFilesMessage(files: Seq[(String, Long)])
 private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String,
     querySchema: StructType, queryIdx: Seq[Int],
     lakeVisible: StructType, partCols: Seq[String],
+    layoutSpecs: Seq[String], levelNames: Seq[String],
+    boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     confBox: HadoopConfBox, tz: String, codecName: String,
     compactEvery: Int, compactMaxFilesPerPartition: Int,
     compactTargetRowsPerFile: Long) extends StreamingWrite {
@@ -180,7 +213,7 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(qualifiedLakeDir, querySchema, queryIdx,
-      lakeVisible, partCols, confBox, tz, codecName)
+      lakeVisible, partCols, levelNames, boundLevelExprs, confBox, tz, codecName)
 
   private def stagedOf(messages: Array[WriterCommitMessage]): Seq[(String, Long)] =
     messages.toSeq.collect { case LakeFilesMessage(fs) => fs }.flatten
@@ -195,11 +228,11 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
     // directory layouts; fail the query loudly instead (publish's OCC
     // rebase backstops the same check)
     val liveCols = Lake.levelNamesOf(base) // transform-aware level names
-    if (base.files.nonEmpty && liveCols != partCols) {
+    if (base.files.nonEmpty && liveCols != levelNames) {
       deleteStaged(staged)
       throw new IllegalStateException(
         s"graft-lake sink: the lake's partition layout changed mid-stream — " +
-          s"stream writes [${partCols.mkString(", ")}], lake now " +
+          s"stream writes [${levelNames.mkString(", ")}], lake now " +
           s"[${liveCols.mkString(", ")}] (repartitionLake/evolveLayout ran); " +
           "restart the stream to adopt the new layout")
     }
@@ -227,7 +260,7 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
       graft.operators.Pipeline.compactLake(spark, qualifiedLakeDir,
         maxFilesPerPartition = compactMaxFilesPerPartition,
         targetRowsPerFile = compactTargetRowsPerFile,
-        partitionCols = partCols, retainHistory = true)
+        partitionCols = layoutSpecs, retainHistory = true)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -242,13 +275,14 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
 
 private[lake] class LakeStreamingWriterFactory(qualifiedLakeDir: String,
     querySchema: StructType, queryIdx: Seq[Int],
-    lakeVisible: StructType, partCols: Seq[String],
+    lakeVisible: StructType, partCols: Seq[String], levelNames: Seq[String],
+    boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     confBox: HadoopConfBox, tz: String, codecName: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(qualifiedLakeDir, querySchema, queryIdx, lakeVisible, partCols,
-      confBox.conf, tz, codecName, partitionId, taskId, epochId)
+      levelNames, boundLevelExprs, confBox.conf, tz, codecName, partitionId, taskId, epochId)
 }
 
 /** One task's writer: casts query rows into the lake schema, routes
@@ -257,7 +291,8 @@ private[lake] class LakeStreamingWriterFactory(qualifiedLakeDir: String,
   * and reports `(relative path, rows)` per file at task commit. */
 private[lake] class LakeDataWriter(qualifiedLakeDir: String,
     querySchema: StructType, queryIdx: Seq[Int],
-    lakeVisible: StructType, partCols: Seq[String],
+    lakeVisible: StructType, partCols: Seq[String], levelNames: Seq[String],
+    boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     conf: Configuration, tz: String, codecName: String,
     partitionId: Int, taskId: Long, epochId: Long)
     extends DataWriter[InternalRow] {
@@ -274,12 +309,11 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
     lakeVisible.fields.indices.filterNot(i => partCols.contains(lakeVisible(i).name))
   private val dataProj = UnsafeProjection.create(dataIdx.map(i =>
     BoundReference(i, lakeVisible(i).dataType, nullable = true)))
-  // partition values render EXACTLY as Lake.partitionDir does: Cast to
-  // string under the session time zone, then Hive escaping
-  private val partIdx = partCols.map(lakeVisible.fieldIndex)
-  private val partStr = UnsafeProjection.create(partIdx.map(i =>
-    Cast(BoundReference(i, lakeVisible(i).dataType, nullable = true),
-      StringType, Some(tz))))
+  // directory-level values — identity levels cast to string exactly as
+  // Lake.partitionDir does, transform levels through the batch path's
+  // ANALYZED rendering expressions (bound to lake-row ordinals driver
+  // side) — then Hive escaping. One codegen'd projection per task.
+  private val partStr = UnsafeProjection.create(boundLevelExprs)
 
   private val root = new Path(qualifiedLakeDir)
   private val codec = CompressionCodecName.valueOf(codecName)
@@ -293,11 +327,11 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
   }
 
   private def dirOf(lakeRow: InternalRow): String = {
-    if (partCols.isEmpty) return ""
+    if (levelNames.isEmpty) return ""
     val strs = partStr(lakeRow)
-    partCols.indices.map { i =>
+    levelNames.indices.map { i =>
       val v = if (strs.isNullAt(i)) null else strs.getUTF8String(i).toString
-      ExternalCatalogUtils.getPartitionPathString(partCols(i), v)
+      ExternalCatalogUtils.getPartitionPathString(levelNames(i), v)
     }.mkString("/")
   }
 

@@ -253,6 +253,99 @@ class LakeSinkSpec extends SparkTestBase {
       s"upper-cased stream columns must bind to their lake columns, got ${row.toSeq}")
   }
 
+  test("streaming sink renders transform layouts: streamed rows land in exactly the directories the batch path chooses") {
+    val base = java.nio.file.Files.createTempDirectory("lakesink-xform").toString
+    implicit val ctx = spark.sqlContext
+    def events(ids: Range) = ids.map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-${(i % 3) + 1}%02d 0${i % 9}:00:00"),
+        if (i % 2 == 0) "view" else "click")
+    }.toDF("event_id", "ts", "etype")
+    def dirsOf(dir: String) = Lake.currentState(spark, dir).files
+      .map(f => f.take(math.max(f.lastIndexOf('/'), 0))).toSet
+
+    // mixed identity + time-transform layout, seeded identically in a
+    // STREAMED lake and a BATCH twin; the same extra rows then arrive
+    // via the sink vs appendToLake — directory sets must be identical
+    val outS = s"$base/lakeS"; val outB = s"$base/lakeB"
+    Seq(outS, outB).foreach(o =>
+      Lake.init(spark, events(0 until 6), o, Seq("etype", "days(ts)")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("event_id", "ts", "etype")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$base/ck")
+      .start(outS)
+    val extra = events(6 until 14)
+    try {
+      mem.addData(events(6 until 14).collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.operators.Pipeline.appendToLake(spark, outB, extra,
+      idCol = "event_id", partitionCols = Seq("etype", "days(ts)"))
+    assert(dirsOf(outS) == dirsOf(outB),
+      s"streamed rows must land under the batch path's directories:\n" +
+        s"  streamed: ${dirsOf(outS).toSeq.sorted}\n  batch: ${dirsOf(outB).toSeq.sorted}")
+    assert(dirsOf(outS).forall(d => d.startsWith("etype=") && d.contains("/ts_day=2026-01-")),
+      s"levels must spell etype=/ts_day=, got ${dirsOf(outS).toSeq.sorted}")
+    // values round-trip exactly (ts reads from footers, not paths)
+    val streamed = Lake.read(spark, outS).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[String]("etype"))).toSet
+    assert(streamed == events(0 until 14).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSet,
+      "streamed rows must read back exactly, transform sources from footers")
+    // PER-ROW agreement (set equality could hide a mis-rendered row
+    // landing in another live directory): every row's file must spell
+    // the row's own day — the invariant transform path pruning rests on
+    val bS = Lake.adopt(spark, outS)
+    Lake.readFilesWithLineage(spark, outS, bS.schemaJson, bS.files, bS.dvs)
+      .select("ts", "_gf_file").collect().foreach { r =>
+        val day = r.getTimestamp(0).toString.take(10)
+        assert(r.getString(1).contains(s"ts_day=$day/"),
+          s"row at ${r.getTimestamp(0)} sits in ${r.getString(1)} — not its day")
+      }
+    // the CDC stream tails the transform lake's sink commits
+    val tail = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest").load(outS)
+      .writeStream.format("memory").queryName("xform_sink_tail")
+      .option("checkpointLocation", s"$base/cktail").start()
+    try {
+      tail.processAllAvailable()
+      assert(spark.table("xform_sink_tail").count() == 14)
+    } finally tail.stop()
+
+    // hash-transform parity: bucket(3, event_id) routes by Murmur3 —
+    // the sink and the batch path must agree bucket-for-bucket
+    val outS2 = s"$base/lakeS2"; val outB2 = s"$base/lakeB2"
+    Seq(outS2, outB2).foreach(o =>
+      Lake.init(spark, events(0 until 4), o, Seq("bucket(3, event_id)")))
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q2 = mem2.toDF().toDF("event_id", "ts", "etype")
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$base/ck2")
+      .start(outS2)
+    try {
+      mem2.addData(events(4 until 20).collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    graft.operators.Pipeline.appendToLake(spark, outB2, events(4 until 20),
+      idCol = "event_id", partitionCols = Seq("bucket(3, event_id)"))
+    // per-bucket ROW counts must match exactly (dir sets alone could
+    // hide a mis-hashed row landing in another live bucket)
+    def bucketCounts(dir: String) = Lake.read(spark, dir)
+      .selectExpr("pmod(hash(event_id), 3) as b").groupBy("b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dirsOf(outS2) == dirsOf(outB2), "bucket dirs must agree")
+    assert(bucketCounts(outS2) == bucketCounts(outB2),
+      "Murmur3 bucket routing must agree row-for-row with the batch path")
+    val perDirS = Lake.currentState(spark, outS2).files.groupBy(_.take(17))
+    assert(perDirS.keySet.forall(_.startsWith("event_id_bucket3=")),
+      s"bucket levels must spell event_id_bucket3=, got ${perDirS.keySet}")
+  }
+
   test("streaming sink adopts a mid-stream relayout at the next epoch (the write rebuilds per batch)") {
     val base = java.nio.file.Files.createTempDirectory("lakesink-layout").toString
     val out = s"$base/lake"
