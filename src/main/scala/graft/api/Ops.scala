@@ -754,11 +754,26 @@ object Ops {
     * cluster one of them. Pure bit arithmetic per row (codegen'd, no UDF);
     * `bits` bounds the supported domain at [0, 2^bits). */
   def zorderValue(x: Column, y: Column, bits: Int = 16): Column =
+    zorderValue(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave (round-robin: bit i of column j
+    * lands at bit `i*n + j`) — every output range of the z-value is a
+    * small HYPER-RECTANGLE of the n-dimensional space, so a predicate
+    * on ANY of the columns prunes. `n * bits` must fit a long's 63
+    * value bits; at the lake's 8-bucket normalization that admits up
+    * to 7 dimensions (Delta's practical ZORDER BY guidance caps lower
+    * — locality per dimension dilutes as n grows). */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zorderValue interleaves >= 2 columns, got ${cols.size}")
+    require(cols.size * bits <= 63,
+      s"zorderValue: ${cols.size} dims x $bits bits overflow a long's value bits")
+    val n = cols.size
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc +
-        shiftright(x, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i)) +
-        shiftright(y, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * i + 1))
+      cols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + shiftright(c, i).bitwiseAND(lit(1)).cast("long") * lit(1L << (i * n + j))
+      }
     }
+  }
 
   /** Bucketed interval join: each row of `points` paired with every row of
     * `intervals` whose [start, end) window contains its timestamp — WITHOUT

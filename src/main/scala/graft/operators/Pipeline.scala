@@ -819,9 +819,10 @@ object Pipeline {
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
     targetBytesPerFile.foreach(tb =>
       require(tb >= 1, s"targetBytesPerFile must be >= 1, got $tb"))
-    require(zorderCols.isEmpty || zorderCols.size == 2,
-      s"compactLake: zorderCols interleaves exactly TWO dimensions, got " +
-        s"[${zorderCols.mkString(", ")}] — for one column use sortCols")
+    require(zorderCols.isEmpty || (zorderCols.size >= 2 && zorderCols.size <= 4),
+      s"compactLake: zorderCols interleaves 2-4 dimensions, got " +
+        s"[${zorderCols.mkString(", ")}] — for one column use sortCols " +
+        "(beyond 4, per-dimension locality dilutes past usefulness)")
     require(zorderCols.isEmpty || sortCols.isEmpty,
       "compactLake: zorderCols and sortCols are alternative clusterings — pass one")
     val base = Lake.adopt(spark, lakeDir)
@@ -916,11 +917,10 @@ object Pipeline {
           // codegen'd bit arithmetic) becomes the range-partition key,
           // and the range partitioner's own sampling balances FILE SIZES
           // — so value skew costs rectangle tightness, never balance.
-          // Every written file covers a small RECTANGLE of (x, y) space:
-          // min/max stats on BOTH columns come out tight, and a
-          // predicate on EITHER dimension prunes files a 1-D sort layout
-          // must read.
-          val Seq(zx, zy) = zorderCols
+          // Every written file covers a small HYPER-RECTANGLE of the
+          // 2-4 dimension space: min/max stats on EVERY z-column come
+          // out tight, and a predicate on ANY of them prunes files a
+          // 1-D sort layout must read.
           zorderCols.foreach { c =>
             require(affectedLake.schema.fieldNames.contains(c),
               s"compactLake: zorder column '$c' not in the lake schema")
@@ -930,19 +930,20 @@ object Pipeline {
                 affectedLake.schema(c).dataType.simpleString)
           }
           val nTasks = math.max(1, math.ceil(expected.toDouble / target).toInt)
-          val b = affectedLake.agg(
-            min(col(zx)).cast("double"), max(col(zx)).cast("double"),
-            min(col(zy)).cast("double"), max(col(zy)).cast("double")).collect()(0)
+          val zAggs = zorderCols.flatMap(c =>
+            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val b = affectedLake.agg(zAggs.head, zAggs.tail: _*).collect()(0)
           def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
             least(lit(255), greatest(lit(0),
               floor((c.cast("double") - lit(lo)) * lit(256.0) /
                 lit(math.max(hi - lo, java.lang.Double.MIN_NORMAL) * (1.0 + 1e-9)))
             )).cast("int")
           val zval =
-            if (b.isNullAt(0) || b.isNullAt(2)) lit(0L)
+            if (zorderCols.indices.exists(j => b.isNullAt(2 * j))) lit(0L)
             else graft.api.Ops.zorderValue(
-              bucket(col(zx), b.getDouble(0), b.getDouble(1)),
-              bucket(col(zy), b.getDouble(2), b.getDouble(3)), bits = 8)
+              zorderCols.zipWithIndex.map { case (c, j) =>
+                bucket(col(c), b.getDouble(2 * j), b.getDouble(2 * j + 1)) },
+              bits = 8)
           affectedLake.withColumn("_zv", zval)
             .repartitionByRange(nTasks, (levelNames :+ "_zv").map(col): _*)
             .sortWithinPartitions((levelNames :+ "_zv").map(col): _*)

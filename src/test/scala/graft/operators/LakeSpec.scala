@@ -2390,12 +2390,34 @@ class LakeSpec extends SparkTestBase {
       Pipeline.compactLake(spark, outZ, partitionCols = Seq("split"),
         zorderCols = Seq("x"))
     }
-    assert(eDim.getMessage.contains("exactly TWO"))
+    assert(eDim.getMessage.contains("2-4 dimensions"))
     val eBoth = intercept[IllegalArgumentException] {
       Pipeline.compactLake(spark, outZ, partitionCols = Seq("split"),
         sortCols = Seq("x"), zorderCols = Seq("x", "y"))
     }
     assert(eBoth.getMessage.contains("alternative"))
+
+    // N-DIMENSIONAL interleave (Delta ZORDER BY takes many columns): a
+    // 16^3 cube z-ordered on (x, y, z) prunes a band on the LAST
+    // dimension too — every file covers a small cube, not a slab
+    def cube() = spark.range(4096).select(
+      (col("id") % 16).as("x"), ((col("id") / 16) % 16).cast("long").as("y"),
+      (col("id") / 256).cast("long").as("z"), lit("train").as("split"))
+      .repartition(16)
+    val out3 = freshDir("lake-zorder3")
+    Lake.init(spark, cube(), out3, Seq("split"))
+    Pipeline.compactLake(spark, out3, maxFilesPerPartition = 1,
+      targetRowsPerFile = 256L, partitionCols = Seq("split"),
+      zorderCols = Seq("x", "y", "z"), retainHistory = true)
+    val st3 = Lake.latestManifest(spark, out3).get
+    assert(st3.files.size > 4)
+    val zBand3 = kept(st3, "z", 4L, 7L)
+    assert(zBand3.size < st3.files.size,
+      s"3-D z-order must prune a z-band, kept ${zBand3.size}/${st3.files.size}")
+    val band3Rows = spark.read.option("basePath", out3)
+      .parquet(zBand3.map(f => s"$out3/$f"): _*)
+      .filter(col("z").between(4, 7)).count()
+    assert(band3Rows == 1024L, s"no row loss in the z-band, got $band3Rows")
   }
 
   test("bloom file skipping: per-file parquet blooms prune merge keys min/max stats cannot") {
