@@ -807,6 +807,12 @@ object Pipeline {
     * leans on exactly that: the post-compaction manifest must equal the
     * relational manifest of the un-compacted data. The file-count and
     * parallel-write properties are pinned by the spec. */
+  /** Census scans compactions performed (a [[Lake.logReads]]-style
+    * counter): the manifest-counted fast path pins ZERO — group maps and
+    * audit expectations both come from recorded `#rows`, so the corpus
+    * is read exactly once (the rewrite). */
+  private[graft] val censusReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def compactLake(spark: SparkSession, lakeDir: String,
       maxFilesPerPartition: Int = 1,
       targetRowsPerFile: Long = 4000000L,
@@ -863,19 +869,60 @@ object Pipeline {
             .find(_.col == Lake.RowsStatName).flatMap(_.min.toLongOption))
           if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
         }
-      // the per-partition census feeds only the UNSORTED bin-packing's
-      // group map — the clustered paths skip it entirely on a
-      // manifest-counted lake
-      val needCensus = (sortCols.isEmpty && zorderCols.isEmpty) ||
-        manifestExpected.isEmpty
+      // the UNSORTED bin-packing's per-partition group map ALSO derives
+      // from the manifest when the affected files are counted, DV-free
+      // AND already spell the target layout (single-generation
+      // fragmentation, the common case): per-directory `#rows` sums
+      // with the level values parsed back typed — so EVERY compaction
+      // mode reads the corpus exactly once (the rewrite itself).
+      // Generation folds (dir levels != target levels) and null-valued
+      // levels fall back to the honest census.
+      val unsorted = sortCols.isEmpty && zorderCols.isEmpty
+      val manifestGroups: Option[Seq[(Seq[Any], Long)]] =
+        if (!unsorted || manifestExpected.isEmpty) None
+        else {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          val tzOpt = Some(spark.sessionState.conf.sessionLocalTimeZone)
+          val lvlTypes = affectedLake.select(levelNames.map(col): _*).schema
+            .fields.map(_.dataType)
+          val parsed = removed.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+            .toSeq.sortBy(_._1).map { case (dir, fs) =>
+              val segs = dir.split('/')
+              val names = segs.map { s =>
+                val eq = s.indexOf('=')
+                if (eq <= 0) "" else ExternalCatalogUtils.unescapePathName(s.take(eq))
+              }
+              if (!names.sameElements(levelNames)) None
+              else {
+                val vals = segs.zip(lvlTypes).map { case (seg, dt) =>
+                  val raw = ExternalCatalogUtils.unescapePathName(
+                    seg.drop(seg.indexOf('=') + 1))
+                  if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+                  else org.apache.spark.sql.catalyst.CatalystTypeConverters
+                    .convertToScala(org.apache.spark.sql.catalyst.expressions.Cast(
+                      org.apache.spark.sql.catalyst.expressions.Literal(
+                        org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+                        org.apache.spark.sql.types.StringType), dt, tzOpt).eval(null), dt)
+                }
+                if (vals.contains(null)) None // null keys need the census join's shape
+                else Some((vals.toSeq,
+                  fs.map(f => base.stats.getOrElse(f, Seq.empty)
+                    .find(_.col == Lake.RowsStatName)
+                    .flatMap(_.min.toLongOption).getOrElse(0L)).sum))
+              }
+            }
+          if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)
+        }
+      val needCensus = (unsorted && manifestGroups.isEmpty) || manifestExpected.isEmpty
+      if (needCensus) censusReads.incrementAndGet()
       val countRows =
         if (needCensus)
           affectedLake.groupBy(levelNames.map(col): _*)
             .agg(count(lit(1)).as("_n")).collect()
         else Array.empty[org.apache.spark.sql.Row]
       val expected =
-        if (needCensus) countRows.map(_.getAs[Long]("_n")).sum
-        else manifestExpected.get
+        if (manifestExpected.isDefined) manifestExpected.get
+        else countRows.map(_.getAs[Long]("_n")).sum
       // byte sizing: operators reason about lakes in bytes (HDFS block /
       // object-store part sizes), so a byte target converts to a row
       // target via the affected files' OBSERVED bytes/row — driver-side
@@ -891,10 +938,16 @@ object Pipeline {
         affectedLake.select(levelNames.map(col): _*).schema.fields :+
           org.apache.spark.sql.types.StructField("_ng",
             org.apache.spark.sql.types.IntegerType, nullable = false))
-      val groupRows = countRows.map { r =>
-        org.apache.spark.sql.Row.fromSeq(
-          levelNames.indices.map(r.get) :+
-            math.ceil(r.getAs[Long]("_n").toDouble / target).toInt)
+      val groupRows = manifestGroups match {
+        case Some(gs) => gs.map { case (vals, n) =>
+          org.apache.spark.sql.Row.fromSeq(vals :+
+            math.ceil(n.toDouble / target).toInt)
+        }.toArray
+        case None => countRows.map { r =>
+          org.apache.spark.sql.Row.fromSeq(
+            levelNames.indices.map(r.get) :+
+              math.ceil(r.getAs[Long]("_n").toDouble / target).toInt)
+        }
       }
       val groups = spark.createDataFrame(
         spark.sparkContext.parallelize(groupRows.toSeq, 1), groupSchema)

@@ -2420,6 +2420,38 @@ class LakeSpec extends SparkTestBase {
     assert(band3Rows == 1024L, s"no row loss in the z-band, got $band3Rows")
   }
 
+  test("manifest-counted unsorted compaction plans with zero census scans; DV scopes census honestly") {
+    val out = freshDir("lake-census-free")
+    Lake.init(spark, fixture(), out, Seq("split", "shard_id"))              // counted
+    Pipeline.appendToLake(spark, out, spark.range(40, 60).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), (col("id") % 2).cast("int").as("shard_id")))
+    val frag = Lake.currentState(spark, out)
+    assert(frag.files.size > 4, "the lake must be fragmented before compaction")
+    // every file counted, no DVs -> the group map AND the audit
+    // expectation both come from the manifest; the corpus is read
+    // exactly once (the rewrite) — zero census scans
+    val before = Pipeline.censusReads.get()
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 1000L, retainHistory = true)
+    assert(Pipeline.censusReads.get() == before,
+      "a counted DV-free lake must compact without a census scan")
+    val st = Lake.currentState(spark, out)
+    assert(ids(Lake.read(spark, out)) == (0L until 60L).toSet,
+      "the census-free compaction must preserve every row")
+    assert(st.files.groupBy(f => f.take(f.lastIndexOf('/'))).values
+      .forall(_.size == 1), "bin-packing must land one file per partition")
+    // a DV-bearing scope cannot trust per-file counts — the honest
+    // census runs (and the tombstoned row stays gone)
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(3L).toDF("doc_id"), "doc_id")
+    val before2 = Pipeline.censusReads.get()
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 1000L, retainHistory = true)
+    assert(Pipeline.censusReads.get() == before2 + 1,
+      "a DV-bearing scope must fall back to the census")
+    assert(ids(Lake.read(spark, out)) == (0L until 60L).toSet - 3L)
+  }
+
   test("bloom file skipping: per-file parquet blooms prune merge keys min/max stats cannot") {
     val out = freshDir("lake-bloom")
     // ids INTERLEAVED across files (residue classes): every file spans
