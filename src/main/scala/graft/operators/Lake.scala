@@ -2116,18 +2116,30 @@ object Lake {
     * use): every predicate bound that pins a bloomed column to ONE
     * value (`id = x` — lo == hi, the needle query a 100 TB lake serves
     * constantly) probes the candidates' blooms with that driver-known
-    * value. Range and open bounds pass through — a hash answers only
-    * equality. Applied by the sparse `WHERE` mutations and the DSv2
-    * scan's partition planning, after min/max stats. */
+    * value, and every IN-LIST on a bloomed column probes DISJUNCTIVELY
+    * (a file keeps iff ANY listed value might be present —
+    * [[pruneByBloom]]'s native semantics, so `id IN (a, b, c)` reads
+    * O(matching) files too). Range and open bounds pass through — a
+    * hash answers only equality. Applied by the sparse `WHERE`
+    * mutations and the DSv2 scan's partition planning, after min/max
+    * stats; pathological literal lists are capped at
+    * [[BloomProbeMaxKeys]]. */
   private[graft] def bloomPruneBounds(spark: SparkSession, lakeDir: String,
       st: LakeState, candidates: Seq[String],
-      bounds: Seq[ColBound]): Seq[String] =
-    bounds.filter(b => b.lo != null && b.hi != null && b.lo == b.hi &&
-        st.bloomCols.contains(b.col))
-      .foldLeft(candidates) { (c, b) =>
-        if (c.isEmpty) c
-        else pruneByBloom(spark, lakeDir, st, c, b.col, Array(b.lo))
+      bounds: Seq[ColBound],
+      inLists: Seq[(String, Seq[Any])] = Seq.empty): Seq[String] = {
+    val probes =
+      bounds.collect {
+        case b if b.lo != null && b.hi != null && b.lo == b.hi &&
+          st.bloomCols.contains(b.col) => (b.col, Seq(b.lo))
+      } ++ inLists.filter { case (c, vs) =>
+        st.bloomCols.contains(c) && vs.nonEmpty && vs.size <= BloomProbeMaxKeys
       }
+    probes.foldLeft(candidates) { (c, p) =>
+      if (c.isEmpty) c
+      else pruneByBloom(spark, lakeDir, st, c, p._1, p._2.toArray)
+    }
+  }
 
   /** Create a lake: write the initial partition layout and commit version
     * 1 over exactly the files that landed. Overwrite semantics — anything

@@ -1876,10 +1876,11 @@ object Pipeline {
     val conds = empty.filter(predicate).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
-    val bounds = org.apache.spark.sql.graft.LakeStatPruning.boundsFrom(schema, conds)
-    if (bounds.isEmpty) base.files
+    val (bounds, inLists) =
+      org.apache.spark.sql.graft.LakeStatPruning.boundsAndInsFrom(schema, conds)
+    if (bounds.isEmpty && inLists.isEmpty) base.files
     else Lake.bloomPruneBounds(spark, lakeDir, base,
-      Lake.pruneByStats(base, bounds), bounds)
+      Lake.pruneByStats(base, bounds), bounds, inLists)
   }
 
   /** SPARSE row-level MERGE: the correction pass of [[mergeIntoLake]]

@@ -108,13 +108,15 @@ private[lake] class LakeMorTable(tableName: String, lakeDir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new org.apache.spark.sql.graft.LakeMorScanBuilder(manifestSchema,
-      (bounds, required) =>
-        new LakeMorScan(lakeDir, st, partCols, required.getOrElse(manifestSchema), bounds))
+      (bounds, inLists, required) =>
+        new LakeMorScan(lakeDir, st, partCols, required.getOrElse(manifestSchema),
+          bounds, inLists))
 }
 
 private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     partCols: Seq[String], required: StructType,
-    bounds: Seq[Lake.ColBound] = Seq.empty)
+    bounds: Seq[Lake.ColBound] = Seq.empty,
+    inLists: Seq[(String, Seq[Any])] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
   private val spark = SparkSession.active
   private val partSchema = StructType(required.filter(f => partCols.contains(f.name)))
@@ -256,7 +258,7 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     // footer blooms (one metadata-sized job at plan time — the
     // point-lookup file skip min/max cannot give a scattered key)
     val candidates = Lake.bloomPruneBounds(spark, lakeDir, st,
-      Lake.pruneByStats(st, bounds), bounds)
+      Lake.pruneByStats(st, bounds), bounds, inLists)
     val (tombstoned, clean) = candidates.partition(st.dvs.contains)
     val cleanParts: Seq[InputPartition] = FilePartition.getFilePartitions(
       spark, clean.map(pf), spark.sessionState.conf.filesMaxPartitionBytes)

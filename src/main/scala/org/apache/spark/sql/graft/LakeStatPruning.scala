@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
@@ -76,7 +76,19 @@ object LakeStatPruning {
     * catalyst-internal (e.g. `UTF8String`), which stringify exactly as
     * [[Lake.pruneByStats]] compares them. */
   def boundsFrom(schema: StructType,
-      filters: Seq[Expression]): Seq[Lake.ColBound] = {
+      filters: Seq[Expression]): Seq[Lake.ColBound] =
+    boundsAndInsFrom(schema, filters)._1
+
+  /** Like [[boundsFrom]], plus the IN-LIST conjuncts (`col IN (…)` /
+    * optimizer-converted `InSet`) each as `(column, values)`: an IN
+    * contributes a [min, max] range bound to stats pruning (sound under
+    * conjunction — one bound per list, never one per value) AND its
+    * value list for DISJUNCTIVE bloom probing (a file keeps iff any
+    * value might be present — [[Lake.pruneByBloom]]'s native
+    * semantics). Null list members are dropped: they can never select a
+    * row. */
+  def boundsAndInsFrom(schema: StructType,
+      filters: Seq[Expression]): (Seq[Lake.ColBound], Seq[(String, Seq[Any])]) = {
     def attrName(e: Expression): Option[String] = e match {
       case a: Attribute => Some(a.name)
       case _ => None
@@ -92,22 +104,41 @@ object LakeStatPruning {
         value <- litValue(v)
         field <- schema.find(_.name == name)
       } yield mk(name, field.dataType, value)).toSeq
-    filters.flatMap {
-      case And(l, r) => boundsFrom(schema, Seq(l, r))
-      case EqualTo(a, v) => bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, x, x)) ++
-        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, x, x))
+    def inContrib(a: Expression,
+        values: Seq[Any]): (Seq[Lake.ColBound], Seq[(String, Seq[Any])]) = {
+      val vs = values.filter(_ != null)
+      (for {
+        name <- attrName(a)
+        field <- schema.find(_.name == name)
+        if vs.nonEmpty &&
+          org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(field.dataType)
+      } yield {
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(field.dataType)
+        (Seq(Lake.ColBound(name, field.dataType, vs.min(ord), vs.max(ord))),
+          Seq(name -> vs))
+      }).getOrElse((Seq.empty, Seq.empty))
+    }
+    val parts = filters.map {
+      case And(l, r) => boundsAndInsFrom(schema, Seq(l, r))
+      case EqualTo(a, v) => (bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, x, x)) ++
+        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, x, x)), Seq.empty)
       // strict comparisons prune with their inclusive envelope — a file
       // whose max equals the strict lower bound survives; conservative
-      case GreaterThan(a, v) => bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, x, null)) ++
-        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, null, x))
-      case GreaterThanOrEqual(a, v) => bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, x, null)) ++
-        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, null, x))
-      case LessThan(a, v) => bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, null, x)) ++
-        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, x, null))
-      case LessThanOrEqual(a, v) => bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, null, x)) ++
-        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, x, null))
-      case _ => Seq.empty
+      case GreaterThan(a, v) => (bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, x, null)) ++
+        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, null, x)), Seq.empty)
+      case GreaterThanOrEqual(a, v) => (bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, x, null)) ++
+        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, null, x)), Seq.empty)
+      case LessThan(a, v) => (bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, null, x)) ++
+        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, x, null)), Seq.empty)
+      case LessThanOrEqual(a, v) => (bound(a, v, (n, dt, x) => Lake.ColBound(n, dt, null, x)) ++
+        bound(v, a, (n, dt, x) => Lake.ColBound(n, dt, x, null)), Seq.empty)
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inContrib(a, list.map(_.asInstanceOf[Literal].value))
+      case is: InSet => inContrib(is.child, is.hset.toSeq)
+      case _ => (Seq.empty, Seq.empty)
     }
+    (parts.flatMap(_._1), parts.flatMap(_._2))
   }
 }
 
@@ -119,17 +150,21 @@ object LakeStatPruning {
   * post-scan and the position counting stays exact. */
 class LakeMorScanBuilder(
     manifestSchema: StructType,
-    scanFor: (Seq[graft.operators.Lake.ColBound], Option[StructType]) => Scan)
+    scanFor: (Seq[graft.operators.Lake.ColBound], Seq[(String, Seq[Any])],
+      Option[StructType]) => Scan)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
   private var required: Option[StructType] = None
   private var bounds: Seq[graft.operators.Lake.ColBound] = Seq.empty
+  private var inLists: Seq[(String, Seq[Any])] = Seq.empty
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    bounds = LakeStatPruning.boundsFrom(manifestSchema, filters)
+    val (bs, ins) = LakeStatPruning.boundsAndInsFrom(manifestSchema, filters)
+    bounds = bs
+    inLists = ins
     filters // everything stays a post-scan predicate
   }
   override def pushedFilters: Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
-  override def build(): Scan = scanFor(bounds, required)
+  override def build(): Scan = scanFor(bounds, inLists, required)
 }

@@ -2526,6 +2526,34 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.read(spark, out2).count() == 3999 &&
       !ids(Lake.read(spark, out2)).contains(21000L),
       "the equality delete must remove exactly its row through the bloom gate")
+    // IN-LISTS probe DISJUNCTIVELY (a file keeps iff ANY listed value
+    // might be present): the candidates for an IN on the bloomed key
+    // are exactly the files holding any listed id, and the delete lands
+    val stIn = Lake.latestManifest(spark, out).get
+    val inCands = Pipeline.sparseWhereCandidates(spark, out, stIn,
+      col("doc_id").isin(100L, 101L))
+    assert(inCands.nonEmpty && inCands.size < stIn.files.size,
+      s"an IN on the bloomed key must file-skip, kept ${inCands.size}/${stIn.files.size}")
+    Pipeline.deleteFromLakeSparseWhere(spark, out, col("doc_id").isin(100L, 101L))
+    val postIn = ids(Lake.read(spark, out))
+    assert(!postIn.contains(100L) && !postIn.contains(101L) && postIn.size == 4000,
+      "the IN delete must remove exactly its rows through the bloom gate")
+    // the bound-extraction unit contract: an optimizer-converted InSet
+    // contributes one [min, max] stats bound (conjunction-safe) plus
+    // its value list for the bloom probe; null members drop
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, InSet}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schemaU = StructType(Seq(StructField("doc_id", LongType)))
+      val attr = AttributeReference("doc_id", LongType)()
+      val (bs, ins) = org.apache.spark.sql.graft.LakeStatPruning
+        .boundsAndInsFrom(schemaU, Seq(InSet(attr, Set[Any](9L, 1L, null, 5L))))
+      assert(bs == Seq(Lake.ColBound("doc_id", LongType, 1L, 9L)),
+        s"an InSet must contribute its [min, max] envelope, got $bs")
+      assert(ins.map { case (c, vs) => (c, vs.toSet) } ==
+        Seq("doc_id" -> Set[Any](1L, 5L, 9L)),
+        s"an InSet must contribute its non-null values for bloom probing, got $ins")
+    }
     // guard rails: unknown and non-key-typed columns refuse
     val eCol = intercept[IllegalArgumentException] {
       Lake.setBloomCols(spark, out2, Seq("nope"))
