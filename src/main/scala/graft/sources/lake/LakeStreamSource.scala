@@ -26,6 +26,7 @@ import graft.operators.Lake
   *     .option("startingVersion", "earliest")   // or a version, or absent = tail new commits
   *     .option("maxVersionsPerTrigger", "10")   // bound catch-up micro-batches (backpressure)
   *     .option("maxBytesPerTrigger", "134217728") // byte-bounded catch-up batches
+  *     .option("maxFilesPerTrigger", "1000")    // file-count-bounded catch-up batches
   *     .option("columns", "doc_id,text")        // decode-level projection for wide rows
   *     .option("readChangeFeed", "true")        // ROW-LEVEL feed: + _change_type, _commit_version
   *     .load(lakeDir)
@@ -361,11 +362,12 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     LakeVersionOffset(retainedVersions().lastOption.getOrElse(-1L))
 
   /** Trigger sizing — the production backpressure knobs: with
-    * `maxVersionsPerTrigger` / `maxBytesPerTrigger` a restart against a
-    * long backlog catches up in bounded micro-batches instead of one
-    * giant batch reading the whole backlog's files. The byte bound stats
-    * each candidate version's planned files (O(delta) RPCs) and always
-    * admits at least one version so the stream progresses. */
+    * `maxVersionsPerTrigger` / `maxBytesPerTrigger` /
+    * `maxFilesPerTrigger` a restart against a long backlog catches up
+    * in bounded micro-batches instead of one giant batch reading the
+    * whole backlog's files. The byte/file bounds stat each candidate
+    * version's planned files (O(delta) RPCs) and always admit at least
+    * one version so the stream progresses. */
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
     val latest = retainedVersions().lastOption.getOrElse(-1L)
     val s = startOffset.asInstanceOf[LakeVersionOffset].version
@@ -374,26 +376,35 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       case Some(n) => math.min(latest, s + n)
       case None => latest
     }
-    val bounded = Option(options.get("maxBytesPerTrigger"))
-      .flatMap(_.toLongOption).filter(_ > 0) match {
-      case None => byVersions
-      case Some(maxBytes) =>
+    val maxBytes = Option(options.get("maxBytesPerTrigger"))
+      .flatMap(_.toLongOption).filter(_ > 0)
+    val maxFiles = Option(options.get("maxFilesPerTrigger"))
+      .flatMap(_.toLongOption).filter(_ > 0)
+    val bounded =
+      if (maxBytes.isEmpty && maxFiles.isEmpty) byVersions
+      else {
         val root = new Path(lakeDir)
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         val qroot = fs.makeQualified(root)
         var end = s
         var bytes = 0L
+        var files = 0L
         var stop = false
         while (!stop && end < byVersions) {
-          val vBytes = plannedFiles(end, end + 1).map { pf =>
-            val p = new Path(qroot, pf.relPath)
-            if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
-          }.sum
-          if (bytes + vBytes > maxBytes && end > s) stop = true // at least one version admits
-          else { bytes += vBytes; end += 1 }
+          val planned = plannedFiles(end, end + 1)
+          val vBytes =
+            if (maxBytes.isEmpty) 0L
+            else planned.map { pf =>
+              val p = new Path(qroot, pf.relPath)
+              if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+            }.sum
+          val over = maxBytes.exists(bytes + vBytes > _) ||
+            maxFiles.exists(files + planned.size > _)
+          if (over && end > s) stop = true // at least one version admits
+          else { bytes += vBytes; files += planned.size; end += 1 }
         }
         end
-    }
+      }
     LakeVersionOffset(bounded)
   }
 

@@ -128,6 +128,22 @@ class LakeStreamSpec extends SparkTestBase {
       assert(scanDesc.contains("columns=doc_id,split"),
         s"pruning must reach the stream's scan, not a post-scan project: $scanDesc")
     } finally q.stop()
+    // maxFilesPerTrigger bounds catch-up batches by PLANNED FILE COUNT
+    // (each version stages >1 file, so a 1-file bound still admits one
+    // version per batch — the at-least-one progress rule)
+    val qf = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("maxFilesPerTrigger", "1")
+      .load(out)
+      .writeStream.format("memory").queryName("lake_files_trigger")
+      .option("checkpointLocation", s"$base/ckf")
+      .start()
+    try {
+      qf.processAllAvailable()
+      assert(spark.table("lake_files_trigger").count() == 30)
+      assert(qf.recentProgress.count(_.numInputRows > 0) == 3,
+        "maxFilesPerTrigger must split the 3-version backlog into 3 batches")
+    } finally qf.stop()
   }
 
   test("row-level change feed stream: append → delete → append arrives as insert/delete/insert exactly-once across a restart") {
