@@ -820,11 +820,14 @@ object Pipeline {
       sortCols: Seq[String] = Seq.empty,
       retainHistory: Boolean = false,
       targetBytesPerFile: Option[Long] = None,
-      zorderCols: Seq[String] = Seq.empty): DataFrame = {
+      zorderCols: Seq[String] = Seq.empty,
+      onlyFilesSmallerThan: Option[Long] = None): DataFrame = {
     require(maxFilesPerPartition >= 1, s"maxFilesPerPartition must be >= 1")
     require(targetRowsPerFile >= 1, s"targetRowsPerFile must be >= 1")
     targetBytesPerFile.foreach(tb =>
       require(tb >= 1, s"targetBytesPerFile must be >= 1, got $tb"))
+    onlyFilesSmallerThan.foreach(th =>
+      require(th >= 1, s"onlyFilesSmallerThan must be >= 1, got $th"))
     require(zorderCols.isEmpty || (zorderCols.size >= 2 && zorderCols.size <= 4),
       s"compactLake: zorderCols interleaves 2-4 dimensions, got " +
         s"[${zorderCols.mkString(", ")}] — for one column use sortCols " +
@@ -836,10 +839,27 @@ object Pipeline {
     // Partitions holding deletion-vector'd files are ALWAYS in scope —
     // compaction is where merge-on-read tombstones get materialized back
     // into plain files, regardless of the partition's file count
-    val dvDirs = base.dvs.keys.map(f => f.take(f.lastIndexOf('/').max(0))).toSet
+    // `onlyFilesSmallerThan` (Delta OPTIMIZE's minFileSize shape): only
+    // sub-threshold files — plus DV'd files, whose tombstones must
+    // materialize — are rewritable; a partition's big clean files stay
+    // byte-identical, so compacting a huge partition's small-file tail
+    // writes O(tail), not O(partition). Sizes come from one driver-side
+    // listing of the live files (the same cost class as the byte-target
+    // sizing below).
+    val rewritable: String => Boolean = onlyFilesSmallerThan match {
+      case None => _ => true
+      case Some(th) =>
+        val root = new org.apache.hadoop.fs.Path(lakeDir)
+        val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val q = hfs.makeQualified(root)
+        val sizes = base.files.map(f =>
+          f -> hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen).toMap
+        f => base.dvs.contains(f) || sizes.getOrElse(f, Long.MaxValue) < th
+    }
     val affectedDirs = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
       .filter { case (d, fs) =>
-        d.nonEmpty && (fs.size > maxFilesPerPartition || dvDirs.contains(d)) }
+        val rw = fs.filter(rewritable)
+        d.nonEmpty && (rw.size > maxFilesPerPartition || rw.exists(base.dvs.contains)) }
       .keys.toSeq.sorted
     if (affectedDirs.nonEmpty) {
       // the rewrite layout passes the same shared gate as init/evolve —
@@ -848,7 +868,7 @@ object Pipeline {
       Lake.validateLayout(partitionCols, Lake.visible(
         org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]), "compactLake")
-      val removed = Lake.filesUnder(base.files, affectedDirs)
+      val removed = Lake.filesUnder(base.files, affectedDirs).filter(rewritable)
       // reading WITH the deletion vectors applied is what MATERIALIZES
       // them: the compacted replacement files carry only surviving rows,
       // and the commit's file removals drop the attachments from the state

@@ -111,16 +111,19 @@ private[lake] object LakeProcedures {
       "bin-pack fragmented partitions and materialize deletion vectors " +
         "back into plain files; sort_by range-clusters the rewrite " +
         "(tight disjoint per-file min/max -> stats pruning); zorder " +
-        "Morton-interleaves two dimensions (per-file bounding " +
-        "RECTANGLES -> either-column pruning)",
+        "Morton-interleaves 2-4 dimensions (per-file bounding " +
+        "hyper-rectangles -> any-column pruning); only_smaller_than " +
+        "rewrites just the sub-threshold file tail (OPTIMIZE shape)",
       Array(tableParam,
         p("max_files_per_partition", IntegerType).defaultValue("1").build(),
         p("target_rows_per_file", LongType).defaultValue("4000000").build(),
         p("sort_by", StringType).defaultValue("''")
           .comment("comma-separated clustering columns; empty = bin-pack only").build(),
         p("zorder", StringType).defaultValue("''")
-          .comment("exactly two comma-separated numeric columns; " +
-            "alternative to sort_by").build()),
+          .comment("2-4 comma-separated numeric columns; " +
+            "alternative to sort_by").build(),
+        p("only_smaller_than", LongType).defaultValue("0")
+          .comment("only rewrite files under this byte size (0 = all files)").build()),
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("n_live_files", IntegerType, nullable = false))),
@@ -131,9 +134,11 @@ private[lake] object LakeProcedures {
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val zorder = in.getUTF8String(4).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val smaller = Some(in.getLong(5)).filter(_ > 0L)
         Pipeline.compactLake(spark, dir, maxFilesPerPartition = in.getInt(1),
           targetRowsPerFile = in.getLong(2), partitionCols = cols,
-          sortCols = sortBy, retainHistory = true, zorderCols = zorder)
+          sortCols = sortBy, retainHistory = true, zorderCols = zorder,
+          onlyFilesSmallerThan = smaller)
         val st = Lake.currentState(spark, dir)
         Array(new GenericInternalRow(Array[Any](st.version, st.files.size)))
       })

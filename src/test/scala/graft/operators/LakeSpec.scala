@@ -2420,6 +2420,44 @@ class LakeSpec extends SparkTestBase {
     assert(band3Rows == 1024L, s"no row loss in the z-band, got $band3Rows")
   }
 
+  test("onlyFilesSmallerThan compaction rewrites just the small-file tail; big files stay byte-identical") {
+    val out = freshDir("lake-optimize")
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("train").as("split"),
+        lit(0).cast("int").as("shard_id"))
+    Lake.init(spark, docs(0 until 2000).coalesce(1), out, Seq("split", "shard_id")) // one BIG file
+    (0 until 3).foreach(k =>
+      Pipeline.appendToLake(spark, out, docs(2000 + 3 * k until 2003 + 3 * k)))     // small tail
+    val st0 = Lake.currentState(spark, out)
+    val root = new org.apache.hadoop.fs.Path(out)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val q = hfs.makeQualified(root)
+    def sizeOf(f: String) = hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen
+    val bigFile = st0.files.maxBy(sizeOf)
+    assert(st0.files.size >= 4 && sizeOf(bigFile) > 4096,
+      s"fixture needs one big file and a small tail, got ${st0.files.map(sizeOf)}")
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 100000L, retainHistory = true,
+      onlyFilesSmallerThan = Some(4096L))                                            // OPTIMIZE shape
+    val st1 = Lake.currentState(spark, out)
+    assert(st1.files.contains(bigFile),
+      "the over-threshold file must stay byte-identical — not rewritten")
+    assert(st1.files.size == 2,
+      s"the small tail must pack into one file beside the big one, got ${st1.files}")
+    assert(ids(Lake.read(spark, out)) == (0L until 2009L).toSet,
+      "the partial rewrite must preserve every row")
+    // a DV on the big file forces it into scope regardless of size —
+    // compaction is where tombstones materialize
+    Pipeline.deleteFromLakeSparse(spark, out, Seq(5L).toDF("doc_id"), "doc_id")
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 100000L, retainHistory = true,
+      onlyFilesSmallerThan = Some(4096L))
+    val st2 = Lake.currentState(spark, out)
+    assert(!st2.files.contains(bigFile) && st2.dvs.isEmpty,
+      "a DV'd file rewrites whatever its size, materializing the tombstone")
+    assert(ids(Lake.read(spark, out)) == (0L until 2009L).toSet - 5L)
+  }
+
   test("manifest-counted unsorted compaction plans with zero census scans; DV scopes census honestly") {
     val out = freshDir("lake-census-free")
     Lake.init(spark, fixture(), out, Seq("split", "shard_id"))              // counted
