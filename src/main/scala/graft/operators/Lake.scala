@@ -1366,6 +1366,24 @@ object Lake {
     files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
   }
 
+  /** The recorded [[BytesStatName]] size of one file — the
+    * zero-round-trip answer every manifest-resolved planner prefers;
+    * None for pre-capture files (callers fall back to a filesystem
+    * stat). */
+  private[graft] def statBytesOf(st: LakeState, f: String): Option[Long] =
+    st.stats.getOrElse(f, Seq.empty).find(_.col == BytesStatName)
+      .flatMap(_.min.toLongOption)
+
+  /** Total bytes of `files`, preferring recorded sizes — only files the
+    * manifest has not sized pay a filesystem round-trip. */
+  private[graft] def fileBytes(spark: SparkSession, lakeDir: String,
+      files: Seq[String], st: LakeState): Long = {
+    val (sized, unsized) = files.map(f => f -> statBytesOf(st, f))
+      .partition(_._2.isDefined)
+    sized.flatMap(_._2).sum +
+      (if (unsized.isEmpty) 0L else fileBytes(spark, lakeDir, unsized.map(_._1)))
+  }
+
   /** Does `ours` project into `theirs` — every field present with the
     * same type? The condition under which our staged files remain valid
     * when rebased onto a concurrently-evolved schema. */
@@ -1609,7 +1627,7 @@ object Lake {
     * own metadata in the SAME footer open, so the default audit pays
     * ONE pass (no separate count job per commit). */
   private def footerStats(spark: SparkSession, root: Path, files: Seq[String],
-      cols: Seq[(String, DataType)]): Map[String, (Long, Seq[ColStat])] = {
+      cols: Seq[(String, DataType)]): Map[String, (Long, Long, Seq[ColStat])] = {
     if (files.isEmpty) return Map.empty
     if (files.size <= FooterStatsDriverMax)
       return files.map(rel =>
@@ -1653,18 +1671,35 @@ object Lake {
     * excluded from stats capture so the two can never collide. */
   private[graft] val RowsStatName = "#rows"
 
+  /** Reserved per-file stat carrying the file's ON-DISK BYTE SIZE
+    * (min = max = bytes) — Delta `add.size` parity, captured for free
+    * by both audit paths (the footer pass already holds the open
+    * input file's length; the named-stats aggregate reads
+    * `_metadata.file_size`). Manifest-resolved consumers plan from it
+    * with ZERO filesystem round-trips: the DSv2 scan's `sizeInBytes`
+    * (every broadcast-pricing plan used to stat every candidate
+    * file), byte-target compaction sizing, and the OPTIMIZE-shape
+    * small-file scope. */
+  private[graft] val BytesStatName = "#bytes"
+
+  /** The reserved pseudo-stat names — excluded from capture when a
+    * USER column collides, and never usable as pruning bounds. */
+  private[graft] val ReservedStatNames: Set[String] = Set(RowsStatName, BytesStatName)
+
   /** Driver-side footer opens (a [[logReads]]-style counter): the
     * distribution spec pins that a many-file commit performs ZERO of
     * these — every footer is opened inside a task instead. */
   private[graft] val footerDriverReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def footerStatsOne(root: Path, rel: String, cols: Seq[(String, DataType)],
-      conf: org.apache.hadoop.conf.Configuration): (String, (Long, Seq[ColStat])) = {
+      conf: org.apache.hadoop.conf.Configuration): (String, (Long, Long, Seq[ColStat])) = {
     import scala.jdk.CollectionConverters._
     val want = cols.toMap
     if (org.apache.spark.TaskContext.get() == null) footerDriverReads.incrementAndGet()
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+    val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(root, rel), conf)
+    val fileBytes = inputFile.getLength // the open already knows it — free
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
     try {
         // fold (min, max) per column across row groups; None = unusable
         val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
@@ -1703,7 +1738,7 @@ object Lake {
             }
           }
         }
-        rel -> ((reader.getRecordCount, st))
+        rel -> ((reader.getRecordCount, fileBytes, st))
       } finally reader.close()
   }
 
@@ -1762,19 +1797,21 @@ object Lake {
       val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
       val cols = df.schema.fields.iterator
         .filter(f => statsComparable(f.dataType) && !pathLevels(f.name) &&
-          f.name != RowsStatName)
+          !ReservedStatNames(f.name))
         .take(DefaultStatsCols)
         .map(f => physOf(f.name) -> f.dataType).toSeq
       val perFile = footerStats(spark, root, stagedFiles, cols)
       return (perFile.values.map(_._1).sum,
-        perFile.map { case (f, (n, st)) =>
-          f -> (st :+ ColStat(RowsStatName, n.toString, n.toString)) })
+        perFile.map { case (f, (n, bytes, st)) =>
+          f -> (st :+ ColStat(RowsStatName, n.toString, n.toString)
+            :+ ColStat(BytesStatName, bytes.toString, bytes.toString)) })
     }
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
     val valid = statsCols.filter(df.schema.fieldNames.contains)
-      .filterNot(_ == RowsStatName).distinct
+      .filterNot(ReservedStatNames).distinct
     val aggs = count(lit(1)).as("_n") +:
+      max(col("_metadata.file_size")).as("_gf_sz") +:
       valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
     val rows = df.groupBy(col("_metadata.file_path").as("_fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -1793,10 +1830,13 @@ object Lake {
           case _ => Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
         }
       }
-      // the per-file row count rides along (the aggregate already
-      // counted it) — [[RowsStatName]], the manifest's numRecords
+      // the per-file row count and byte size ride along (the aggregate
+      // already computed both) — [[RowsStatName]]/[[BytesStatName]],
+      // the manifest's numRecords and add.size
       val n = r.getAs[Long]("_n")
-      stats += (rel -> (st :+ ColStat(RowsStatName, n.toString, n.toString)))
+      val sz = r.getAs[Long]("_gf_sz")
+      stats += (rel -> (st :+ ColStat(RowsStatName, n.toString, n.toString)
+        :+ ColStat(BytesStatName, sz.toString, sz.toString)))
     }
     (total, stats.result())
   }
@@ -1844,11 +1884,11 @@ object Lake {
       case _ => None
     }
     def overlaps(f: String, b: ColBound): Boolean =
-      // a USER column literally named like the [[RowsStatName]] pseudo-stat
+      // a USER column literally named like a reserved pseudo-stat
       // (possible on a mapping-less lake, where physical = logical) must
-      // never prune against the recorded row COUNT — capture excludes such
-      // a column's real min/max, so always-keep is the exact answer
-      if (b.col == RowsStatName) true
+      // never prune against the recorded count/size — capture excludes
+      // such a column's real min/max, so always-keep is the exact answer
+      if (ReservedStatNames(b.col)) true
       else st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
         case None => true
         case Some(cs) =>

@@ -849,11 +849,19 @@ object Pipeline {
     val rewritable: String => Boolean = onlyFilesSmallerThan match {
       case None => _ => true
       case Some(th) =>
-        val root = new org.apache.hadoop.fs.Path(lakeDir)
-        val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        val q = hfs.makeQualified(root)
-        val sizes = base.files.map(f =>
-          f -> hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen).toMap
+        // recorded #bytes first (zero round-trips on a counted lake);
+        // only pre-capture files pay a filesystem stat
+        lazy val hfsQ = {
+          val root = new org.apache.hadoop.fs.Path(lakeDir)
+          val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          (hfs, hfs.makeQualified(root))
+        }
+        val sizes = base.files.map { f =>
+          f -> Lake.statBytesOf(base, f).getOrElse {
+            val (hfs, q) = hfsQ
+            hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen
+          }
+        }.toMap
         f => base.dvs.contains(f) || sizes.getOrElse(f, Long.MaxValue) < th
     }
     val affectedDirs = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
@@ -949,7 +957,7 @@ object Pipeline {
       // stats on exactly the files being rewritten, no extra scan
       val target = targetBytesPerFile match {
         case Some(tb) =>
-          val totalBytes = Lake.fileBytes(spark, lakeDir, removed)
+          val totalBytes = Lake.fileBytes(spark, lakeDir, removed, base)
           val bytesPerRow = math.max(1.0, totalBytes.toDouble / math.max(expected, 1L))
           math.max(1L, (tb / bytesPerRow).toLong)
         case None => targetRowsPerFile

@@ -164,12 +164,20 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     * broadcast is withheld, never wrongly granted on size). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes: Long = {
-      val root = new Path(lakeDir)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val qroot = fs.makeQualified(root)
+      // recorded #bytes first (add.size parity — zero filesystem
+      // round-trips per plan on a counted lake); only pre-capture
+      // files pay a stat
+      lazy val fsQ = {
+        val root = new Path(lakeDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        (fs, fs.makeQualified(root))
+      }
       Lake.pruneByStats(st, bounds).map { rel =>
-        val p = new Path(qroot, rel)
-        if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+        Lake.statBytesOf(st, rel).getOrElse {
+          val (fs, qroot) = fsQ
+          val p = new Path(qroot, rel)
+          if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+        }
       }.sum
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
