@@ -2223,9 +2223,9 @@ class LakeSpec extends SparkTestBase {
     Lake.init(spark, wide, out2, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
     val stO = Lake.latestManifest(spark, out2).get
     assert(stO.stats.values.flatten.map(_.col).toSet ==
-      Set("doc_id", Lake.RowsStatName),
+      Set("doc_id") ++ Lake.ReservedStatNames,
       "naming statsCols must override the default entirely (plus the " +
-        "numRecords pseudo-stat every audit records)")
+        "reserved pseudo-stats every audit records)")
     // numRecords capture: every file's recorded #rows sums to the corpus
     assert(stO.stats.values.flatten.filter(_.col == Lake.RowsStatName)
       .map(_.min.toLong).sum == 40L,
