@@ -96,6 +96,34 @@ object Lake {
     * resolution replays at most this many deltas past a checkpoint. */
   val CheckpointInterval = 10
 
+  /** Entry count (live files + history + DV attachments + detached DVs +
+    * CDC sidecars) at or above which a checkpoint is written COLUMNAR —
+    * the file-scale sections land as a Spark-written parquet directory
+    * and the text checkpoint shrinks to an O(KB) stub (schema, txns,
+    * checks, layout, bloom columns, and a pointer). Below it the classic
+    * single-text-file checkpoint is cheaper than a Spark job. This is the
+    * Delta Lake checkpoint-parquet idea: at 10^6 files a text checkpoint
+    * is a multi-GB driver parse (URL-decoded, line by line) before ANY
+    * query can plan; a parquet read decodes in tasks, collects compact
+    * typed rows, and scales with cluster width. Override per session via
+    * [[CheckpointParquetMinEntriesKey]] (specs lower it to single
+    * digits). */
+  val CheckpointParquetMinEntriesDefault = 512
+
+  private[graft] val CheckpointParquetMinEntriesKey =
+    "spark.graft.lake.checkpoint.parquetMinEntries"
+
+  private[graft] def checkpointParquetMinEntries(spark: SparkSession): Int =
+    spark.conf.getOption(CheckpointParquetMinEntriesKey)
+      .map(_.toInt).getOrElse(CheckpointParquetMinEntriesDefault)
+
+  /** Columnar-checkpoint loads since JVM start — the observability hook
+    * the columnar-checkpoint spec uses to pin that a many-file lake
+    * resolves through the parquet path (driver parse bounded at the
+    * stub). Driver-side only; never consulted for control flow. */
+  private[graft] val checkpointParquetLoads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** How a commit changed the data, recorded in its delta and consumed by
     * [[changesBetween]]: `append`/`init`/`adopt` ADD rows; `delete` and
     * `compact` only rewrite/remove existing ones; `merge` does BOTH — its
@@ -407,6 +435,33 @@ object Lake {
       name.stripPrefix("v").stripSuffix(".checkpoint").toLongOption
     else None
 
+  /** A columnar checkpoint's parquet entries directory. UUID-suffixed so
+    * a replace ([[vacuumKeeping]]'s history rewrite) writes its new
+    * entries under a FRESH name and the text stub's atomic rename swap
+    * stays the single commit point — readers only ever learn of an
+    * entries directory through a fully-written stub. */
+  private def pqEntriesName(version: Long): String =
+    f"v$version%020d.checkpoint-${java.util.UUID.randomUUID().toString.take(8)}.pqentries"
+
+  private def pqEntriesVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".pqentries") && name.contains(".checkpoint-"))
+      name.stripPrefix("v").takeWhile(_ != '.').toLongOption
+    else None
+
+  /** Row shape of a columnar checkpoint's entries: one row per F (live
+    * file, with its per-column stats), H (history), V (DV attachment —
+    * `aux` is the sidecar), VH (detached DV sidecar), CF (change-feed
+    * sidecar) line of the equivalent text checkpoint. */
+  private[graft] val CpEntrySchema = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("aux", StringType, nullable = true),
+    StructField("stats", org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("min", StringType, nullable = false),
+      StructField("max", StringType, nullable = false))), containsNull = false),
+      nullable = true)))
+
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String = URLDecoder.decode(s, "UTF-8")
 
@@ -574,6 +629,118 @@ object Lake {
     }
     LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted,
       historyComplete = complete,
+      dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
+      dvHistory = dvHist.result().sorted,
+      cdc = cdc.result().sorted,
+      txns = txns.result(),
+      checks = checks.result(),
+      layout = layout,
+      bloomCols = bloomCols)
+  }
+
+  /** Text stub of a COLUMNAR checkpoint (`graft-checkpoint-v3`): only the
+    * sections whose size never tracks the file count (schema, txns,
+    * checks, layout, bloom cols) plus a `PQ` pointer naming the parquet
+    * entries directory and its exact row count (the torn-write tripwire —
+    * a partial entries read fails loudly instead of resolving a state
+    * that silently lost files). `v3` implies a complete history section,
+    * like `v2`. */
+  private def renderCheckpointStub(st: LakeState, dirName: String, entries: Long): String = {
+    val header = "graft-checkpoint-v3"
+    val schema = s"S\t${enc(st.schemaJson)}"
+    val pq = s"PQ\t${enc(dirName)}\t$entries"
+    val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
+    val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
+    val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
+    val blm = if (st.bloomCols.isEmpty) Seq.empty
+      else Seq((Seq("BY") ++ st.bloomCols.map(enc)).mkString("\t"))
+    (header +: schema +: pq +: (txns ++ checks ++ lay ++ blm)).mkString("\n")
+  }
+
+  /** The file-scale sections of `st` as columnar-checkpoint entry rows
+    * ([[CpEntrySchema]]). */
+  private def checkpointEntryRows(st: LakeState): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    val files = st.files.map { p =>
+      val cs = st.stats.getOrElse(p, Seq.empty)
+      Row("F", p, null, if (cs.isEmpty) null else cs.map(c => Row(c.col, c.min, c.max)))
+    }
+    val hist = st.history.map(p => Row("H", p, null, null))
+    val dvs = st.dvs.toSeq.flatMap { case (f, ss) => ss.map(s => Row("V", f, s, null)) }
+    val dvHist = st.dvHistory.map(s => Row("VH", s, null, null))
+    val cdc = st.cdc.map(p => Row("CF", p, null, null))
+    files ++ hist ++ dvs ++ dvHist ++ cdc
+  }
+
+  /** Number of file-scale entries a checkpoint of `st` would carry —
+    * the columnar-vs-text decision input. */
+  private def checkpointEntryCount(st: LakeState): Long =
+    st.files.size.toLong + st.history.size + st.dvs.valuesIterator.map(_.size).sum +
+      st.dvHistory.size + st.cdc.size
+
+  /** Load the checkpoint at `version`, dispatching on its header: a
+    * classic `v1`/`v2` text checkpoint parses on the driver; a `v3` stub
+    * reads its parquet entries directory through a Spark job — columnar
+    * decode in tasks, compact typed rows back, the driver's own parse
+    * bounded at the O(KB) stub no matter how many files the lake holds. */
+  private def loadCheckpoint(spark: SparkSession, fs: FileSystem, root: Path,
+      version: Long): LakeState = {
+    val text = readLogFile(fs, new Path(logDir(root), checkpointName(version)))
+    if (!text.startsWith("graft-checkpoint-v3")) return parseCheckpointFile(text, version)
+    checkpointParquetLoads.incrementAndGet()
+    var schemaJson = ""
+    var pq: Option[(String, Long)] = None
+    val txns = Map.newBuilder[String, Long]
+    val checks = Map.newBuilder[String, String]
+    var layout: Option[Seq[String]] = None
+    var bloomCols: Seq[String] = Seq.empty
+    text.split('\n').toSeq.filter(_.nonEmpty).tail.foreach { l =>
+      val f = l.split('\t').toSeq
+      f.head match {
+        case "S" => schemaJson = dec(f(1))
+        case "PQ" => pq = Some((dec(f(1)), f(2).toLong))
+        case "T" => txns += (dec(f(1)) -> f(2).toLong)
+        case "K" => checks += (dec(f(1)) -> dec(f(2)))
+        case "LY" => layout = Some(f.tail.map(dec))
+        case "BY" => bloomCols = f.tail.map(dec)
+        case other => throw new IllegalStateException(s"unknown checkpoint stub line tag: $other")
+      }
+    }
+    val (dirName, expected) = pq.getOrElse(throw new IllegalStateException(
+      s"columnar checkpoint v$version carries no PQ entries pointer"))
+    val dir = new Path(logDir(root), dirName)
+    val rows = spark.read.schema(CpEntrySchema)
+      .parquet(dir.toString).collect()
+    if (rows.length != expected)
+      throw new IllegalStateException(
+        s"columnar checkpoint v$version is torn: entries directory $dirName " +
+          s"holds ${rows.length} rows, stub promises $expected")
+    val files = Seq.newBuilder[String]
+    val hist = Seq.newBuilder[String]
+    val stats = Map.newBuilder[String, Seq[ColStat]]
+    val dvPairs = Seq.newBuilder[(String, String)]
+    val dvHist = Seq.newBuilder[String]
+    val cdc = Seq.newBuilder[String]
+    rows.foreach { r =>
+      r.getString(0) match {
+        case "F" =>
+          val p = r.getString(1)
+          files += p
+          if (!r.isNullAt(3)) {
+            val cs = r.getSeq[org.apache.spark.sql.Row](3)
+              .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
+            if (cs.nonEmpty) stats += (p -> cs)
+          }
+        case "H" => hist += r.getString(1)
+        case "V" => dvPairs += ((r.getString(1), r.getString(2)))
+        case "VH" => dvHist += r.getString(1)
+        case "CF" => cdc += r.getString(1)
+        case other => throw new IllegalStateException(s"unknown checkpoint entry tag: $other")
+      }
+    }
+    LakeState(version, schemaJson, files.result().sorted, stats.result(),
+      hist.result().sorted,
+      historyComplete = true,
       dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
       dvHistory = dvHist.result().sorted,
       cdc = cdc.result().sorted,
@@ -775,15 +942,15 @@ object Lake {
     if (!deltas.contains(version))
       throw new IllegalArgumentException(
         s"lake $lakeDir has no committed manifest version $version")
-    resolve(fs, root, lakeDir, version, deltas, checkpoints)
+    resolve(spark, fs, root, lakeDir, version, deltas, checkpoints)
   }
 
-  private def resolve(fs: FileSystem, root: Path, lakeDir: String, version: Long,
+  private def resolve(spark: SparkSession, fs: FileSystem, root: Path,
+      lakeDir: String, version: Long,
       deltas: Seq[Long], checkpoints: Seq[Long]): LakeState = {
     val cp = checkpoints.filter(_ <= version).maxOption
     val start = cp match {
-      case Some(c) =>
-        parseCheckpointFile(readLogFile(fs, new Path(logDir(root), checkpointName(c))), c)
+      case Some(c) => loadCheckpoint(spark, fs, root, c)
       case None => LakeState(-1L, StructType(Seq.empty).json, Seq.empty)
     }
     if (start.version == version) return start
@@ -806,7 +973,7 @@ object Lake {
   private[graft] def latestManifest(spark: SparkSession, lakeDir: String): Option[LakeState] = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val (deltas, checkpoints) = listLog(fs, root)
-    deltas.maxOption.map(v => resolve(fs, root, lakeDir, v, deltas, checkpoints))
+    deltas.maxOption.map(v => resolve(spark, fs, root, lakeDir, v, deltas, checkpoints))
   }
 
   /** Current state: the latest committed state, or a bootstrap version 0
@@ -1298,7 +1465,7 @@ object Lake {
     val payload = renderDelta(rec.copy(timestampMs = System.currentTimeMillis()))
     LogStore.forFileSystem(fs).putIfAbsent(fs, log, target, payload)
     if (rec.version > 0 && rec.version % CheckpointInterval == 0)
-      postState.foreach(st => writeCheckpoint(fs, root, st.copy(version = rec.version)))
+      postState.foreach(st => writeCheckpoint(spark, fs, root, st.copy(version = rec.version)))
   }
 
   /** Checkpoint write. On the interval grid (`overwrite = false`) it is
@@ -1313,16 +1480,39 @@ object Lake {
     * window), and any failed rename rolls the old one back and THROWS
     * instead of letting the caller proceed to retire history that only
     * the failed checkpoint could have covered. */
-  private def writeCheckpoint(fs: FileSystem, root: Path, st: LakeState,
-      overwrite: Boolean = false): Unit = {
+  private def writeCheckpoint(spark: SparkSession, fs: FileSystem, root: Path,
+      st: LakeState, overwrite: Boolean = false): Unit = {
     val target = new Path(logDir(root), checkpointName(st.version))
     if (fs.exists(target) && !overwrite) return
+    // columnar path: the file-scale sections land as parquet FIRST (a
+    // fresh UUID-named directory no reader can discover), then the stub's
+    // rename below stays the single atomic commit point — exactly the
+    // stage-then-publish discipline of the data commits themselves
+    val entries = checkpointEntryCount(st)
+    val pqDir: Option[Path] =
+      if (entries >= checkpointParquetMinEntries(spark)) {
+        val dir = new Path(logDir(root), pqEntriesName(st.version))
+        val rows = checkpointEntryRows(st)
+        // ~100k entries per task: wide enough to matter at 10^6 files,
+        // one task for the common case
+        val slices = math.max(1, math.min(32, rows.size / 100000))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, slices), CpEntrySchema)
+          .write.parquet(dir.toString)
+        Some(dir)
+      } else None
+    def dropPq(): Unit = pqDir.foreach(d => fs.delete(d, true))
+    val payload = pqDir match {
+      case Some(d) => renderCheckpointStub(st, d.getName, entries)
+      case None => renderCheckpoint(st)
+    }
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(renderCheckpoint(st).getBytes(StandardCharsets.UTF_8))
+    try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!overwrite) {
-      if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); dropPq() }
+      else dropStaleEntryDirs(fs, root, st.version, keep = pqDir)
     } else {
       // the aside name carries the version ([[asideName]]): a crash
       // between the two renames strands the old checkpoint there, and the
@@ -1331,6 +1521,7 @@ object Lake {
       val hadOld = fs.exists(target)
       if (hadOld && !fs.rename(target, aside)) {
         fs.delete(tmp, false)
+        dropPq()
         throw new IllegalStateException(
           s"checkpoint replace failed: could not move the existing checkpoint $target " +
             s"aside to $aside — aborting before any history is retired")
@@ -1339,18 +1530,40 @@ object Lake {
         // roll the old checkpoint back; if even that fails, recoverAsides
         // heals it on the next listing — but name the aside path here so
         // manual repair never has to guess
-        if (hadOld && !fs.rename(aside, target))
+        if (hadOld && !fs.rename(aside, target)) {
+          dropPq()
           throw new IllegalStateException(
             s"checkpoint replace failed AND rollback failed: the pre-existing " +
               s"checkpoint is stranded at $aside (recoverAsides restores it on the " +
               "next log listing) — aborting before any history is retired")
+        }
         fs.delete(tmp, false)
+        dropPq()
         throw new IllegalStateException(
           s"checkpoint replace failed: could not rename $tmp to $target — " +
             "aborting before any history is retired")
       }
       if (hadOld) fs.delete(aside, false)
+      // the replaced checkpoint's entries directory (and any crashed
+      // earlier attempt's) is now unreferenced — reclaim it here, where
+      // the writer KNOWS its own new directory and the race window is
+      // closed (vacuumKeeping is the only overwrite caller)
+      dropStaleEntryDirs(fs, root, st.version, keep = pqDir)
     }
+  }
+
+  /** Delete every parquet entries directory of `version` except `keep` —
+    * leftovers of a replaced columnar checkpoint or a crashed write (the
+    * stub rename is the commit point, so an unreferenced directory is
+    * provably dead). Best-effort. */
+  private def dropStaleEntryDirs(fs: FileSystem, root: Path, version: Long,
+      keep: Option[Path]): Unit = {
+    val log = logDir(root)
+    if (!fs.exists(log)) return
+    fs.listStatus(log).toSeq.map(_.getPath)
+      .filter(p => pqEntriesVersion(p.getName).contains(version))
+      .filterNot(p => keep.exists(_.getName == p.getName))
+      .foreach(p => fs.delete(p, true))
   }
 
   private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit = {
@@ -1701,8 +1914,13 @@ object Lake {
     val fileBytes = inputFile.getLength // the open already knows it — free
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
     try {
-        // fold (min, max) per column across row groups; None = unusable
+        // fold (min, max) per column across row groups; None = unusable.
+        // NULL COUNTS fold in the same pass ([[NullsStatSuffix]]): the
+        // footers carry per-chunk num_nulls, so IS NULL / IS NOT NULL
+        // pruning costs zero extra reads — any chunk without the field
+        // set poisons that column's count (exactness over coverage)
         val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
+        val nullAcc = scala.collection.mutable.Map[String, Option[Long]]()
         reader.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
@@ -1725,11 +1943,19 @@ object Lake {
                       foldBound(want(name), hi, mx, takeMin = false))))
                 }
               }
+              val chunkNulls: Option[Long] =
+                if (st == null || !st.isNumNullsSet || st.getNumNulls < 0) None
+                else Some(st.getNumNulls)
+              nullAcc.updateWith(name) {
+                case Some(None) => Some(None)
+                case None => Some(chunkNulls)
+                case Some(Some(sum)) => Some(chunkNulls.map(sum + _))
+              }
             }
           }
         }
         val st = cols.flatMap { case (name, dt) =>
-          acc.getOrElse(name, None).flatMap { case (lo, hi) =>
+          val bounds = acc.getOrElse(name, None).flatMap { case (lo, hi) =>
             dt match {
               case StringType =>
                 truncatedBounds(binString(lo), binString(hi))
@@ -1737,6 +1963,9 @@ object Lake {
               case _ => Some(ColStat(name, String.valueOf(lo), String.valueOf(hi)))
             }
           }
+          val nulls = nullAcc.getOrElse(name, None).map(n =>
+            ColStat(name + NullsStatSuffix, n.toString, n.toString))
+          bounds.toSeq ++ nulls
         }
         rel -> ((reader.getRecordCount, fileBytes, st))
       } finally reader.close()
@@ -1797,7 +2026,7 @@ object Lake {
       val pathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
       val cols = df.schema.fields.iterator
         .filter(f => statsComparable(f.dataType) && !pathLevels(f.name) &&
-          !ReservedStatNames(f.name))
+          !ReservedStatNames(f.name) && !f.name.endsWith(NullsStatSuffix))
         .take(DefaultStatsCols)
         .map(f => physOf(f.name) -> f.dataType).toSeq
       val perFile = footerStats(spark, root, stagedFiles, cols)
@@ -1809,10 +2038,11 @@ object Lake {
     // a first-ever ingest audits under an empty recorded schema — the
     // read-back's inferred schema then decides which stats cols exist
     val valid = statsCols.filter(df.schema.fieldNames.contains)
-      .filterNot(ReservedStatNames).distinct
+      .filterNot(ReservedStatNames).filterNot(_.endsWith(NullsStatSuffix)).distinct
     val aggs = count(lit(1)).as("_n") +:
       max(col("_metadata.file_size")).as("_gf_sz") +:
-      valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c")))
+      valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"),
+        count(col(c)).as(s"_nn_$c")))
     val rows = df.groupBy(col("_metadata.file_path").as("_fp"))
       .agg(aggs.head, aggs.tail: _*).collect()
     var total = 0L
@@ -1822,13 +2052,18 @@ object Lake {
       val rel = relativize(root, fs.makeQualified(new Path(new java.net.URI(r.getAs[String]("_fp")))))
       val st = valid.flatMap { c =>
         val (mn, mx) = (r.getAs[Any](s"_mn_$c"), r.getAs[Any](s"_mx_$c"))
-        if (mn == null || mx == null) None
-        else df.schema(c).dataType match {
-          case StringType =>
-            truncatedBounds(String.valueOf(mn), String.valueOf(mx))
-              .map { case (lo, hi) => ColStat(physOf(c), lo, hi) }
-          case _ => Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
-        }
+        val bounds =
+          if (mn == null || mx == null) None
+          else df.schema(c).dataType match {
+            case StringType =>
+              truncatedBounds(String.valueOf(mn), String.valueOf(mx))
+                .map { case (lo, hi) => ColStat(physOf(c), lo, hi) }
+            case _ => Some(ColStat(physOf(c), String.valueOf(mn), String.valueOf(mx)))
+          }
+        // null count = rows - non-null count, free from the same aggregate
+        val nulls = r.getAs[Long]("_n") - r.getAs[Long](s"_nn_$c")
+        bounds.toSeq :+
+          ColStat(physOf(c) + NullsStatSuffix, nulls.toString, nulls.toString)
       }
       // the per-file row count and byte size ride along (the aggregate
       // already computed both) — [[RowsStatName]]/[[BytesStatName]],
@@ -1843,8 +2078,26 @@ object Lake {
 
   /** One column's query-side bound for stats pruning: "only rows with
     * `col` in `[lo, hi]` can matter". A `null` endpoint means unbounded
-    * on that side (a one-sided predicate like `col >= x` still prunes). */
-  final case class ColBound(col: String, dt: DataType, lo: Any, hi: Any)
+    * on that side (a one-sided predicate like `col >= x` still prunes).
+    * `nullness` carries IS NULL (`Some(true)`) / IS NOT NULL
+    * (`Some(false)`) predicates instead of a value range — they prune
+    * against the per-file NULL COUNTS the audit records
+    * ([[NullsStatSuffix]]), not min/max. */
+  final case class ColBound(col: String, dt: DataType, lo: Any, hi: Any,
+      nullness: Option[Boolean] = None)
+
+  /** Per-file NULL-COUNT pseudo-stat suffix: column `c`'s null count is
+    * recorded as a stat named `c#nulls` (min = max = count) — Delta's
+    * per-file `nullCount` idea in this log's (col, min, max) encoding.
+    * Captured for free by both audit paths (parquet footers carry
+    * per-chunk `num_nulls`; the named aggregate derives it from
+    * `count(1) - count(c)`), and consumed by [[pruneByStats]] to answer
+    * `IS NULL` (prune files with zero nulls) and `IS NOT NULL` (prune
+    * all-null files) — predicates min/max and blooms are blind to. A
+    * USER column whose name ends with this suffix is excluded from
+    * capture entirely, like [[ReservedStatNames]], so the two
+    * namespaces can never collide. */
+  private[graft] val NullsStatSuffix = "#nulls"
 
   /** The subset of `st.files` whose recorded stats overlap EVERY bound in
     * the conjunction — plus, per bound, every file with no recorded stats
@@ -1883,12 +2136,22 @@ object Lake {
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
       case _ => None
     }
+    def statLong(f: String, name: String): Option[Long] =
+      st.stats.get(f).flatMap(_.find(_.col == name)).flatMap(_.min.toLongOption)
+    def nullnessOverlaps(f: String, col: String, wantNull: Boolean): Boolean =
+      statLong(f, col + NullsStatSuffix) match {
+        case None => true // unknown null count: keep (exactness-preserving)
+        case Some(n) =>
+          if (wantNull) n > 0 // IS NULL: a zero-null file cannot match
+          else statLong(f, RowsStatName).forall(n < _) // IS NOT NULL: all-null prunes
+      }
     def overlaps(f: String, b: ColBound): Boolean =
       // a USER column literally named like a reserved pseudo-stat
       // (possible on a mapping-less lake, where physical = logical) must
       // never prune against the recorded count/size — capture excludes
       // such a column's real min/max, so always-keep is the exact answer
-      if (ReservedStatNames(b.col)) true
+      if (ReservedStatNames(b.col) || b.col.endsWith(NullsStatSuffix)) true
+      else if (b.nullness.isDefined) nullnessOverlaps(f, b.col, b.nullness.get)
       else st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
         case None => true
         case Some(cs) =>
@@ -2051,11 +2314,24 @@ object Lake {
       lo: Any, hi: Any): Seq[String] =
     pruneByStats(st, Seq(ColBound(statCol, dt, lo, hi)))
 
-  /** Above this many probe keys a merge skips bloom pruning: the keys
-    * broadcast to the probing tasks (4M longs ≈ 32 MiB), and a source
-    * that large is a bulk rewrite, not a sparse upsert — min/max
-    * pruning and the join itself price it honestly. */
-  private[graft] val BloomProbeMaxKeys = 4000000L
+  /** Above this many probe keys a merge switches bloom pruning from the
+    * broadcast probe (the keys ride to the probing tasks whole — 4M
+    * longs ≈ 32 MiB of driver collect + broadcast) to the JOIN-SHAPED
+    * probe ([[pruneByBloomJoin]]): key hashes stay distributed, chunked
+    * at this size, and candidates × chunks probe in tasks. Override per
+    * session via `spark.graft.lake.bloom.probeMaxKeys` (specs lower it
+    * to force the join path on small fixtures). */
+  private[graft] val BloomProbeMaxKeysDefault = 4000000L
+
+  private[graft] def bloomProbeMaxKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lake.bloom.probeMaxKeys")
+      .map(_.toLong).getOrElse(BloomProbeMaxKeysDefault)
+
+  /** Join-shaped bloom probes since JVM start — the observability hook
+    * the above-cap spec uses to pin that a huge key set probes
+    * distributed, never collected. Driver-side only. */
+  private[graft] val bloomJoinProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** BLOOM file skipping for high-cardinality equality keys — the
     * prune min/max stats cannot perform (uniformly-distributed ids
@@ -2066,7 +2342,8 @@ object Lake {
     * bloom-index parity built on parquet-mr's own bloom machinery — no
     * sidecar format, any parquet reader sees the same filters. ONE
     * distributed job over the candidates (the keys ride as a
-    * broadcast; callers gate on [[BloomProbeMaxKeys]]); per file, every
+    * broadcast; callers gate on [[bloomProbeMaxKeys]] and take
+    * [[pruneByBloomJoin]] above it); per file, every
     * row group must miss every key to prune. Exactness-preserving like
     * every pruning rule here: a missing column, absent bloom, foreign
     * hash strategy, or un-hashable key keeps the file. Key hashes are
@@ -2140,17 +2417,112 @@ object Lake {
       }.collect().toSeq.sorted
   }
 
-  /** The merge/delete-side gate in front of [[pruneByBloom]]: applies
-    * only when the lake blooms `idCol` and the key set is
-    * broadcast-sized; otherwise the stat-pruned candidates pass
-    * through unchanged. `keyDf`'s FIRST column is the key. */
+  /** The merge/delete-side gate in front of the bloom probes: applies
+    * only when the lake blooms `idCol`. Broadcast-sized key sets take
+    * [[pruneByBloom]] (one collect + broadcast); LARGER sets take the
+    * JOIN-SHAPED [[pruneByBloomJoin]] — exactly the merges that need the
+    * index most no longer fall off a policy cliff back to reading every
+    * candidate. `keyDf`'s FIRST column is the key. */
   private[graft] def bloomPrune(spark: SparkSession, lakeDir: String,
       base: LakeState, candidates: Seq[String], idCol: String,
       keyDf: DataFrame, keyCount: Long): Seq[String] =
-    if (candidates.isEmpty || keyCount <= 0L || keyCount > BloomProbeMaxKeys ||
-        !base.bloomCols.contains(idCol)) candidates
-    else pruneByBloom(spark, lakeDir, base, candidates, idCol,
-      keyDf.distinct().collect().map(_.get(0)))
+    if (candidates.isEmpty || keyCount <= 0L || !base.bloomCols.contains(idCol))
+      candidates
+    else if (keyCount <= bloomProbeMaxKeys(spark))
+      pruneByBloom(spark, lakeDir, base, candidates, idCol,
+        keyDf.distinct().collect().map(_.get(0)))
+    else pruneByBloomJoin(spark, lakeDir, base, candidates, idCol, keyDf)
+
+  /** [[pruneByBloom]] above the broadcast cap — the Hudi bloom-index
+    * tag-location shape: the probe keys NEVER visit the driver. Their
+    * parquet hashes (XXH64 of the plain-encoded value — instance-free,
+    * so a throwaway [[org.apache.parquet.column.values.bloomfilter
+    * .BlockSplitBloomFilter]] computes them executor-side) are distinct'd
+    * and chunked into ≤[[bloomProbeMaxKeys]]-sized partitions, then every
+    * (candidate file × hash chunk) pair probes the file's footer bloom in
+    * a task and the per-file verdicts OR-reduce. Footer opens =
+    * candidates × chunks, all distributed; driver traffic = the kept file
+    * list, bounded by the candidates it was given. Exactness-preserving
+    * like the broadcast probe: a missing column, absent bloom, foreign
+    * hash strategy, or a physical type other than the schema's keeps the
+    * file; a key column whose frame type cannot hash keeps everything. */
+  private[graft] def pruneByBloomJoin(spark: SparkSession, lakeDir: String,
+      st: LakeState, candidates: Seq[String], colName: String,
+      keyDf: DataFrame): Seq[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    if (candidates.isEmpty) return candidates
+    val schema = scala.util.Try(DataType.fromJson(st.schemaJson))
+      .toOption.collect { case s: StructType => s }
+    val field = schema.flatMap(_.find(_.name == colName))
+    val phys = field.map(physicalName).getOrElse(colName)
+    // the CURRENT schema fixes the primitive type the hashes target; a
+    // file still carrying a narrower pre-widen physical type keeps below
+    val ptn = field.map(_.dataType).collect {
+      case LongType => PrimitiveTypeName.INT64
+      case IntegerType | ShortType | ByteType => PrimitiveTypeName.INT32
+      case StringType => PrimitiveTypeName.BINARY
+    }.getOrElse(return candidates)
+    val keyType = keyDf.schema.head.dataType
+    val hashable = (ptn, keyType) match {
+      case (PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32,
+        LongType | IntegerType | ShortType | ByteType) => true
+      case (PrimitiveTypeName.BINARY, StringType) => true
+      case _ => false
+    }
+    if (!hashable) return candidates
+    bloomJoinProbes.incrementAndGet()
+    val keyName = keyDf.columns.head
+    val hashRdd = keyDf.select(keyName).na.drop().distinct().rdd.mapPartitions { it =>
+      val hasher = new org.apache.parquet.column.values.bloomfilter
+        .BlockSplitBloomFilter(64)
+      it.map { r =>
+        (ptn, r.get(0)) match {
+          case (PrimitiveTypeName.INT64, n: java.lang.Number) => hasher.hash(n.longValue())
+          case (PrimitiveTypeName.INT32, n: java.lang.Number) => hasher.hash(n.intValue())
+          case (_, v) => hasher.hash(
+            org.apache.parquet.io.api.Binary.fromString(String.valueOf(v)))
+        }
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = hashRdd.count()
+      if (n == 0L) return candidates // null-only keys match nothing; stay conservative
+      val chunks = math.max(1L, math.min(256L,
+        (n + bloomProbeMaxKeys(spark) - 1) / bloomProbeMaxKeys(spark))).toInt
+      val hashChunks = hashRdd.repartition(chunks).glom()
+      val confProps = {
+        import scala.jdk.CollectionConverters._
+        spark.sessionState.newHadoopConf().iterator().asScala
+          .map(e => e.getKey -> e.getValue).toArray
+      }
+      val rootStr = fsRoot(spark, lakeDir)._2.toString
+      val candRdd = spark.sparkContext.parallelize(candidates,
+        math.min(candidates.size, spark.sparkContext.defaultParallelism))
+      candRdd.cartesian(hashChunks).map { case (rel, hashes) =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(new Path(rootStr), rel), conf))
+        val keep = try {
+          reader.getFooter.getBlocks.asScala.exists { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == phys) match {
+              case None => true // column absent (pre-evolution file): keep
+              case Some(c) =>
+                val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+                if (bf == null ||
+                    bf.getHashStrategy != org.apache.parquet.column.values
+                      .bloomfilter.BloomFilter.HashStrategy.XXH64 ||
+                    c.getPrimitiveType.getPrimitiveTypeName != ptn) true
+                else hashes.exists(bf.findHash)
+            }
+          }
+        } finally reader.close()
+        (rel, keep)
+      }.reduceByKey(_ || _).filter(_._2).map(_._1).collect().toSeq.sorted
+    } finally hashRdd.unpersist(blocking = false)
+  }
 
   /** READ-side bloom consultation (the Delta bloom-index point-lookup
     * use): every predicate bound that pins a bloomed column to ONE
@@ -2163,7 +2535,7 @@ object Lake {
     * hash answers only equality. Applied by the sparse `WHERE`
     * mutations and the DSv2 scan's partition planning, after min/max
     * stats; pathological literal lists are capped at
-    * [[BloomProbeMaxKeys]]. */
+    * [[bloomProbeMaxKeys]]. */
   private[graft] def bloomPruneBounds(spark: SparkSession, lakeDir: String,
       st: LakeState, candidates: Seq[String],
       bounds: Seq[ColBound],
@@ -2173,7 +2545,7 @@ object Lake {
         case b if b.lo != null && b.hi != null && b.lo == b.hi &&
           st.bloomCols.contains(b.col) => (b.col, Seq(b.lo))
       } ++ inLists.filter { case (c, vs) =>
-        st.bloomCols.contains(c) && vs.nonEmpty && vs.size <= BloomProbeMaxKeys
+        st.bloomCols.contains(c) && vs.nonEmpty && vs.size <= bloomProbeMaxKeys(spark)
       }
     probes.foldLeft(candidates) { (c, p) =>
       if (c.isEmpty) c
@@ -2195,7 +2567,7 @@ object Lake {
     if (fs.exists(root)) fs.delete(root, true)
     // no manifest exists yet, so the bloom write options ride explicitly
     // (every later write resolves them from the manifest inside stageWrite)
-    val files = stageWrite(spark, lakeDir, df, partitionCols, bloomOptions(bloomCols))
+    val files = stageWrite(spark, lakeDir, df, partitionCols, bloomOptions(spark, bloomCols))
     val schemaJson =
       if (files.isEmpty) df.schema.json
       else readFiles(spark, lakeDir, df.schema.json, files).schema.json
@@ -2254,7 +2626,7 @@ object Lake {
     * sizing: the writer keeps the smallest candidate bloom meeting the
     * target FPP for the observed NDV, so small files pay bytes
     * proportional to their keys, not the 1 MiB default bound. */
-  private def bloomOptions(cols: Seq[String]): Map[String, String] =
+  private def bloomOptions(spark: SparkSession, cols: Seq[String]): Map[String, String] =
     if (cols.isEmpty) Map.empty
     else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++ Map(
       "parquet.bloom.filter.adaptive.enabled" -> "true",
@@ -2265,9 +2637,14 @@ object Lake {
       // bloom-index lesson (its default fpp is 1e-9). 1e-7 costs ~34
       // bits ≈ 4 bytes of footer per key — noise against a corpus row,
       // decisive for skipping: 10k probe keys still FP only ~0.1% of
-      // innocent files. The byte cap rises so adaptive sizing, not
-      // truncation, decides large files' filters.
-      "parquet.bloom.filter.fpp" -> "1.0E-7",
+      // innocent files. Lakes that expect MILLION-key join-shaped
+      // probes ([[pruneByBloomJoin]]) should set the session conf
+      // below before writing — at 1e-9 even 4M probe keys FP only
+      // ~0.4% of innocent files, for ~1.4x the footer bytes. The byte
+      // cap rises so adaptive sizing, not truncation, decides large
+      // files' filters.
+      "parquet.bloom.filter.fpp" ->
+        spark.conf.getOption("spark.graft.lake.bloom.fpp").getOrElse("1.0E-7"),
       "parquet.bloom.filter.max.bytes" -> (32 * 1024 * 1024).toString)
 
   /** PLAIN protocol append — the DSv2 write path's `INSERT INTO`: stage
@@ -2349,7 +2726,7 @@ object Lake {
       case Some(st) =>
         val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
         val phys = st.bloomCols.flatMap(c => schema.find(_.name == c)).map(physicalName)
-        (Some(schema).filter(hasMapping), bloomOptions(phys))
+        (Some(schema).filter(hasMapping), bloomOptions(spark, phys))
     }
 
   private[graft] def stageWrite(spark: SparkSession, lakeDir: String, df: DataFrame,
@@ -2963,8 +3340,7 @@ object Lake {
               bd ++= d.cdcFiles.map(_._1)
             }
             checkpoints.foreach { c =>
-              val st = parseCheckpointFile(
-                readLogFile(fs, new Path(logDir(root), checkpointName(c))), c)
+              val st = loadCheckpoint(spark, fs, root, c)
               b ++= st.files
               b ++= st.history
               bd ++= st.dvs.values.flatten
@@ -3386,12 +3762,12 @@ object Lake {
     if (deltas.isEmpty) return Seq.empty
     val (expired, retained) = deltas.splitAt(math.max(deltas.size - keepVersions, 0))
     val oldest = retained.head
-    val oldestState = resolve(fs, root, lakeDir, oldest, deltas, checkpoints)
+    val oldestState = resolve(spark, fs, root, lakeDir, oldest, deltas, checkpoints)
     val live = Set.newBuilder[String]
     val liveDv = Set.newBuilder[String]
     val liveCdc = Set.newBuilder[String]
     retained.foreach { v =>
-      val st = resolve(fs, root, lakeDir, v, deltas, checkpoints)
+      val st = resolve(spark, fs, root, lakeDir, v, deltas, checkpoints)
       live ++= st.files
       liveDv ++= st.dvs.values.flatten
       // EVERY retained delta keeps its change-feed sidecars: the
@@ -3417,7 +3793,7 @@ object Lake {
     // the recomputed history IS complete for the retained log (older
     // deltas are about to be retired), so the rewritten checkpoint also
     // migrates a legacy-v1 lake onto the v2 fast path
-    writeCheckpoint(fs, root,
+    writeCheckpoint(spark, fs, root,
       oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted,
         historyComplete = true,
         dvHistory = (liveDvSet -- oldestState.dvs.values.flatten.toSet).toSeq.sorted,
@@ -3444,8 +3820,11 @@ object Lake {
       .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
     deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
-    checkpoints.filter(_ < oldest).foreach(c =>
-      fs.delete(new Path(logDir(root), checkpointName(c)), false))
+    checkpoints.filter(_ < oldest).foreach { c =>
+      fs.delete(new Path(logDir(root), checkpointName(c)), false)
+      // a columnar checkpoint's parquet entries ride with its stub
+      dropStaleEntryDirs(fs, root, c, keep = None)
+    }
     dead ++ deadSidecar
   }
 }

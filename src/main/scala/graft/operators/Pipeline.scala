@@ -992,12 +992,15 @@ object Pipeline {
       val packed =
         if (zorderCols.nonEmpty) {
           // Z-ORDER clustering (Delta/Iceberg `OPTIMIZE ZORDER BY`): each
-          // dimension normalizes into 2^8 equal-width buckets from ONE
-          // min/max aggregate (no sampling pass, no global sort), the
-          // Morton interleave ([[graft.api.Ops.zorderValue]], pure
-          // codegen'd bit arithmetic) becomes the range-partition key,
-          // and the range partitioner's own sampling balances FILE SIZES
-          // — so value skew costs rectangle tightness, never balance.
+          // dimension normalizes into 2^8 QUANTILE buckets from ONE
+          // sampled-quantile aggregate (Delta's range-partition-id
+          // normalization — equal-width buckets would collapse a
+          // zipf-skewed dimension onto a handful of z-values and the
+          // rectangles with it), the Morton interleave
+          // ([[graft.api.Ops.zorderValue]], pure codegen'd bit
+          // arithmetic over the codegen'd [[graft.plans.QuantileBucket]]
+          // binary search) becomes the range-partition key, and the
+          // range partitioner's own sampling balances FILE SIZES.
           // Every written file covers a small HYPER-RECTANGLE of the
           // 2-4 dimension space: min/max stats on EVERY z-column come
           // out tight, and a predicate on ANY of them prunes files a
@@ -1011,20 +1014,24 @@ object Pipeline {
                 affectedLake.schema(c).dataType.simpleString)
           }
           val nTasks = math.max(1, math.ceil(expected.toDouble / target).toInt)
-          val zAggs = zorderCols.flatMap(c =>
-            Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-          val b = affectedLake.agg(zAggs.head, zAggs.tail: _*).collect()(0)
-          def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
-            least(lit(255), greatest(lit(0),
-              floor((c.cast("double") - lit(lo)) * lit(256.0) /
-                lit(math.max(hi - lo, java.lang.Double.MIN_NORMAL) * (1.0 + 1e-9)))
-            )).cast("int")
-          val zval =
-            if (zorderCols.indices.exists(j => b.isNullAt(2 * j))) lit(0L)
-            else graft.api.Ops.zorderValue(
-              zorderCols.zipWithIndex.map { case (c, j) =>
-                bucket(col(c), b.getDouble(2 * j), b.getDouble(2 * j + 1)) },
-              bits = 8)
+          // 255 interior cut points per dimension, ONE distributed
+          // quantile-sketch job for all of them; boundary precision only
+          // shapes balance, never correctness, so a loose relative error
+          // keeps the sketch cheap
+          val doubled = affectedLake.select(
+            zorderCols.map(c => col(c).cast("double").as(c)): _*)
+          val qs = doubled.stat.approxQuantile(zorderCols.toArray,
+            (1 to 255).map(_ / 256.0).toArray, 0.005)
+          val bridge = org.apache.spark.sql.graft.ColumnBridge
+          val zval = graft.api.Ops.zorderValue(
+            zorderCols.zip(qs).map { case (c, bounds) =>
+              val bs = bounds.filter(b => !b.isNaN).distinct.sorted
+              // an all-null / constant dimension contributes bucket 0
+              if (bs.isEmpty) lit(0)
+              else bridge.column(graft.plans.QuantileBucket(
+                bridge.expression(col(c).cast("double")), bs))
+            },
+            bits = 8)
           affectedLake.withColumn("_zv", zval)
             .repartitionByRange(nTasks, (levelNames :+ "_zv").map(col): _*)
             .sortWithinPartitions((levelNames :+ "_zv").map(col): _*)
@@ -2928,6 +2935,91 @@ object Pipeline {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- px129
+  /** NULL-COUNT stats end-to-end: a lake whose audit recorded per-file
+    * null counts (`c#nulls` — Delta nullCount parity) serves an SQL
+    * `DELETE … WHERE col IS NULL` through the sparse-WHERE path (the
+    * nullness bound file-skips via [[Lake.pruneByStats]]) and an
+    * `IS NOT NULL` filtered read back. The hash-match certifies the
+    * null-stat capture never corrupts ordinary stats, the IS NULL
+    * delete lands exactly, and the IsNotNull read path loses nothing. */
+  private def px129(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px129_lake")
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("lang_tag",
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+      .withColumn("split", lit("train"))
+    Lake.init(spark,
+      docs.repartitionByRange(8, col("doc_id")).sortWithinPartitions("doc_id"),
+      out, Seq("split"))
+    spark.sql("DROP TABLE IF EXISTS px129_corpus")
+    spark.sql(s"CREATE TABLE px129_corpus USING `graft-lake` OPTIONS (path '$out')")
+    try spark.sql("DELETE FROM px129_corpus WHERE lang_tag IS NULL")
+    finally spark.sql("DROP TABLE IF EXISTS px129_corpus")
+    Lake.read(spark, out)
+      .filter(col("lang_tag").isNotNull)
+      .groupBy("lang_tag")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
+      .orderBy("lang_tag")
+  }
+
+  private val px129Oracle =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_tag
+      |  FROM documents)
+      |SELECT lang_tag, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM base WHERE lang_tag IS NOT NULL
+      |GROUP BY 1 ORDER BY lang_tag""".stripMargin
+
+  // ---------------------------------------------------------------- px130
+  /** COLUMNAR (parquet) manifest checkpoints end-to-end: with the
+    * entries threshold lowered, eleven commits cross the checkpoint
+    * grid so version 10's checkpoint lands as a `graft-checkpoint-v3`
+    * stub + Spark-written parquet entries (the Delta checkpoint-parquet
+    * design — at 10^6 files the text checkpoint is a multi-GB driver
+    * parse before ANY query plans), and the final read resolves THROUGH
+    * that columnar state plus one tail delta. The hash-match certifies
+    * the columnar round-trip carries every file, stat and schema
+    * exactly. */
+  private def px130(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px130_lake")
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("split", lit("train"))
+      Lake.init(spark, docs.repartition(8), out, Seq("split"))           // v1
+      (0 until 10).foreach { i =>                                        // v2..v11
+        appendToLake(spark, out,
+          docs.filter(pmod(col("doc_id"), lit(9973L)) === i)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L * (i + 1))))
+      }
+      Lake.read(spark, out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+  }
+
+  private val px130Oracle =
+    """WITH lake AS (
+      |  SELECT source, n_chars, doc_id FROM documents
+      |  UNION ALL
+      |  SELECT source, n_chars,
+      |    doc_id + 10000000 * ((doc_id % 9973) + 1) AS doc_id
+      |  FROM documents WHERE doc_id % 9973 < 10)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM lake GROUP BY 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -3181,5 +3273,7 @@ object Pipeline {
     GraftQuery("px125_lake_layout_evolution", px125, Some(px100Oracle)),
     GraftQuery("px126_lake_cdf_update_events", px126, Some(px126Oracle)),
     GraftQuery("px127_lake_layout_transforms", px127, Some(px127Oracle)),
-    GraftQuery("px128_lake_bloom_merge", px128, Some(px128Oracle)))
+    GraftQuery("px128_lake_bloom_merge", px128, Some(px128Oracle)),
+    GraftQuery("px129_lake_null_stats", px129, Some(px129Oracle)),
+    GraftQuery("px130_lake_columnar_checkpoint", px130, Some(px130Oracle)))
 }

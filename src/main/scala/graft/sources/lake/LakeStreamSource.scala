@@ -123,6 +123,14 @@ class LakeStreamSource extends TableProvider with DataSourceRegister {
 }
 
 object LakeStreamSource {
+  /** Filesystem stats performed by byte-bounded admission
+    * (`maxBytesPerTrigger`) because a planned file had NO recorded
+    * `#bytes` — the observability hook pinning that catch-up planning
+    * over a stats'd lake admits from the manifest alone. Driver-side
+    * only; never consulted for control flow. */
+  private[graft] val admissionFsStats =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The row-level feed's synthetic columns, attached per planned file as
     * partition-column constants. */
   private[lake] val ChangeTypeCol = "_change_type"
@@ -394,10 +402,26 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
           val planned = plannedFiles(end, end + 1)
           val vBytes =
             if (maxBytes.isEmpty) 0L
-            else planned.map { pf =>
-              val p = new Path(qroot, pf.relPath)
-              if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
-            }.sum
+            else {
+              // size from the version's own delta record — the manifest
+              // `#bytes` (Delta add.size) every audit captures — so a
+              // catch-up admission pass over a long backlog performs
+              // ZERO filesystem stats; only files the log predates
+              // (legacy lakes) or change-feed sidecars fall back to one
+              // stat each, counted for the spec
+              val recorded: Map[String, Long] =
+                Lake.deltaAt(spark, lakeDir, end + 1).added.flatMap {
+                  case (p, stats) => stats.find(_.col == Lake.BytesStatName)
+                    .flatMap(_.min.toLongOption).map(p -> _)
+                }.toMap
+              planned.map { pf =>
+                recorded.getOrElse(pf.relPath, {
+                  LakeStreamSource.admissionFsStats.incrementAndGet()
+                  val p = new Path(qroot, pf.relPath)
+                  if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+                })
+              }.sum
+            }
           val over = maxBytes.exists(bytes + vBytes > _) ||
             maxFiles.exists(files + planned.size > _)
           if (over && end > s) stop = true // at least one version admits

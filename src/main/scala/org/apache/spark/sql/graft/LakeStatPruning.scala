@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
@@ -136,6 +136,19 @@ object LakeStatPruning {
       case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
         inContrib(a, list.map(_.asInstanceOf[Literal].value))
       case is: InSet => inContrib(is.child, is.hset.toSeq)
+      // nullness conjuncts prune against the per-file NULL COUNTS the
+      // audit records (Lake.NullsStatSuffix): IS NULL drops zero-null
+      // files, IS NOT NULL drops all-null files — Spark injects
+      // IsNotNull under almost every comparison, so the latter rides
+      // along for free on every filtered scan
+      case IsNull(a) => ((for {
+        name <- attrName(a); field <- schema.find(_.name == name)
+      } yield Lake.ColBound(name, field.dataType, null, null,
+          nullness = Some(true))).toSeq, Seq.empty)
+      case IsNotNull(a) => ((for {
+        name <- attrName(a); field <- schema.find(_.name == name)
+      } yield Lake.ColBound(name, field.dataType, null, null,
+          nullness = Some(false))).toSeq, Seq.empty)
       case _ => (Seq.empty, Seq.empty)
     }
     (parts.flatMap(_._1), parts.flatMap(_._2))

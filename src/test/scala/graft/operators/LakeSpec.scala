@@ -2223,9 +2223,9 @@ class LakeSpec extends SparkTestBase {
     Lake.init(spark, wide, out2, Seq("split", "shard_id"), statsCols = Seq("doc_id"))
     val stO = Lake.latestManifest(spark, out2).get
     assert(stO.stats.values.flatten.map(_.col).toSet ==
-      Set("doc_id") ++ Lake.ReservedStatNames,
+      Set("doc_id", "doc_id" + Lake.NullsStatSuffix) ++ Lake.ReservedStatNames,
       "naming statsCols must override the default entirely (plus the " +
-        "reserved pseudo-stats every audit records)")
+        "per-column null count and the reserved pseudo-stats every audit records)")
     // numRecords capture: every file's recorded #rows sums to the corpus
     assert(stO.stats.values.flatten.filter(_.col == Lake.RowsStatName)
       .map(_.min.toLong).sum == 40L,
@@ -2250,6 +2250,66 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.pruneByStats(stD, "doc_id",
       org.apache.spark.sql.types.LongType, 115L, 119L).size == 1,
       "distributed footer stats must prune exactly like serial capture")
+  }
+
+  test("columnar checkpoint: a many-file lake checkpoints as parquet entries behind an O(KB) stub; state round-trips exactly") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-pq-cp")
+      writePlain(fixture(), out)
+      Lake.adopt(spark, out) // v0
+      (1 to 10).foreach { i =>
+        Pipeline.appendToLake(spark, out, spark.range(100L * i, 100L * i + 2).select(
+          col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+          lit("train").as("split"), lit(0).cast("int").as("shard_id")))
+      }
+      // v10 crossed the checkpoint grid above the columnar threshold: the
+      // driver-parsed stub stays O(KB) NO MATTER the file count; the
+      // file-scale sections live in a parquet entries directory read
+      // through a Spark job (the Delta checkpoint-parquet shape)
+      val log = new java.io.File(out, Lake.LogDirName)
+      val stubs = log.listFiles.filter(_.getName.endsWith(".checkpoint"))
+      assert(stubs.length == 1 && stubs.head.getName.contains("010.checkpoint"),
+        s"expected one v10 checkpoint, got ${stubs.map(_.getName).mkString(",")}")
+      val stubText = new String(
+        java.nio.file.Files.readAllBytes(stubs.head.toPath), "UTF-8")
+      assert(stubText.startsWith("graft-checkpoint-v3"),
+        s"a 14-file checkpoint must go columnar, got ${stubText.take(40)}")
+      assert(stubs.head.length < 4096,
+        s"the stub must stay O(KB), got ${stubs.head.length} bytes")
+      val pqDirs = log.listFiles.filter(_.getName.endsWith(".pqentries"))
+      assert(pqDirs.length == 1 && pqDirs.head.isDirectory,
+        s"expected one entries directory, got ${pqDirs.map(_.getName).mkString(",")}")
+      // resolution takes the columnar path...
+      val before = Lake.checkpointParquetLoads.get()
+      val viaCp = Lake.stateAt(spark, out, 10L)
+      assert(Lake.checkpointParquetLoads.get() > before,
+        "resolving v10 must load the checkpoint through the parquet entries")
+      // ...and reconstructs EXACTLY the state a pure delta replay builds:
+      // stash the checkpoint away, re-resolve from v0, compare every field
+      val stash = new java.io.File(log, "stash.checkpoint.bak")
+      assert(stubs.head.renameTo(stash), "could not stash the checkpoint")
+      val viaReplay =
+        try Lake.stateAt(spark, out, 10L)
+        finally assert(stash.renameTo(stubs.head), "could not restore the checkpoint")
+      assert(viaCp == viaReplay,
+        "columnar-checkpoint state must equal the delta-replayed state, field for field")
+      assert(Lake.read(spark, out).count() == 60)
+      // vacuumKeeping's history-rewriting REPLACE checkpoint goes columnar
+      // too, and reclaims the entries directories of retired checkpoints —
+      // after the cut, v8 resolves ONLY through the new columnar checkpoint
+      Lake.vacuumKeeping(spark, out, keepVersions = 3)
+      val stubsAfter = log.listFiles.filter(_.getName.endsWith(".checkpoint")).map(_.getName)
+      val dirsAfter = log.listFiles.filter(_.getName.endsWith(".pqentries")).map(_.getName)
+      assert(dirsAfter.nonEmpty && dirsAfter.forall(d =>
+        stubsAfter.exists(_.stripSuffix(".checkpoint") == d.takeWhile(_ != '.'))),
+        s"every entries directory must belong to a live stub, got " +
+          s"dirs=${dirsAfter.mkString(",")} stubs=${stubsAfter.mkString(",")}")
+      val v8 = Lake.stateAt(spark, out, 8L)
+      assert(v8.files.nonEmpty && v8.historyComplete,
+        "the overwrite checkpoint must resolve the retention-cut version")
+      assert(Lake.read(spark, out).count() == 60, "reads survive the retention cut")
+    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
   }
 
   test("partition transforms: days(ts) -> hours(ts) is a metadata commit; mixed reads, path pruning and sparse DML work") {
@@ -2418,6 +2478,48 @@ class LakeSpec extends SparkTestBase {
       .parquet(zBand3.map(f => s"$out3/$f"): _*)
       .filter(col("z").between(4, 7)).count()
     assert(band3Rows == 1024L, s"no row loss in the z-band, got $band3Rows")
+  }
+
+  test("z-order on a zipf-skewed dimension: quantile buckets keep a dense band prunable where equal width would collapse") {
+    // y is log-uniform over {1, 2, 4, ..., 32768}: half the corpus sits
+    // below 1/256 of the VALUE range, so 2^8 equal-width buckets would
+    // put it all in bucket 0 — every file would span the dense region
+    // and a dense-band predicate could prune nothing. Quantile
+    // boundaries spread the mass by RANK instead.
+    def skewed() = spark.range(4096).select(
+      (col("id") % 64).as("x"),
+      expr("CAST(shiftleft(1L, CAST(id / 256 AS INT)) AS LONG)").as("y"),
+      lit("train").as("split"))
+      .repartition(16)
+    val out = freshDir("lake-zorder-zipf")
+    Lake.init(spark, skewed(), out, Seq("split"))
+    // 64-row files: fine enough z-granularity that each file's Morton
+    // window resolves ~2 bits of each dimension's bucket space
+    Pipeline.compactLake(spark, out, maxFilesPerPartition = 1,
+      targetRowsPerFile = 64L, partitionCols = Seq("split"),
+      zorderCols = Seq("x", "y"), retainHistory = true)
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.size > 16, s"must bin-pack to many files, got ${st.files.size}")
+    // the DENSE low band (y in [1, 2]: 512 rows, 1/8 of the corpus but
+    // ~0.006% of the value range) prunes comparably to a uniform band
+    val dense = Lake.pruneByStats(st, "y",
+      org.apache.spark.sql.types.LongType, 1L, 2L)
+    assert(dense.size * 2 <= st.files.size,
+      s"quantile z-order must keep a dense band prunable, kept ${dense.size}/${st.files.size}")
+    // and the sparse high tail prunes too
+    val tail = Lake.pruneByStats(st, "y",
+      org.apache.spark.sql.types.LongType, 16384L, 32768L)
+    assert(tail.size * 2 <= st.files.size,
+      s"the tail band must prune, kept ${tail.size}/${st.files.size}")
+    // no row loss through either pruned set
+    val denseRows = spark.read.option("basePath", out)
+      .parquet(dense.map(f => s"$out/$f"): _*)
+      .filter(col("y").between(1L, 2L)).count()
+    assert(denseRows == 512L, s"the dense band must keep all its rows, got $denseRows")
+    val tailRows = spark.read.option("basePath", out)
+      .parquet(tail.map(f => s"$out/$f"): _*)
+      .filter(col("y").between(16384L, 32768L)).count()
+    assert(tailRows == 512L, s"the tail band must keep all its rows, got $tailRows")
   }
 
   test("onlyFilesSmallerThan compaction rewrites just the small-file tail; big files stay byte-identical") {
@@ -2603,6 +2705,103 @@ class LakeSpec extends SparkTestBase {
         freshDir("lake-bloom-badtype"), Seq("split"), bloomCols = Seq("score"))
     }
     assert(eTypeB.getMessage.contains("integral or string"))
+  }
+
+  test("join-shaped bloom probe: above the broadcast cap the keys never visit the driver and still prune") {
+    spark.conf.set("spark.graft.lake.bloom.probeMaxKeys", "8")
+    try {
+      val out = freshDir("lake-bloom-join")
+      // interleaved residues again: min/max keeps everything, blooms decide
+      def interleaved(ids: Range) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"))
+        .repartition(8, pmod(col("id"), lit(8)))
+      Lake.init(spark, interleaved(0 until 4000), out, Seq("split"),
+        bloomCols = Seq("doc_id"))                                             // v1
+      val st = Lake.latestManifest(spark, out).get
+      // 20 keys > the (lowered) cap, all residue-0/1: the gate must take
+      // the join path and keep only the two matching files
+      val keys = spark.range(20).select((col("id") * 8 + col("id") % 2).as("doc_id"))
+      val before = Lake.bloomJoinProbes.get()
+      val kept = Lake.bloomPrune(spark, out, st, st.files, "doc_id", keys, 20L)
+      assert(Lake.bloomJoinProbes.get() > before,
+        "a key set above the cap must probe join-shaped, never collect")
+      assert(kept.nonEmpty && kept.size <= 2 + 1, // fpp leaves ~0 false keeps
+        s"the join probe must keep only the residue-0/1 files, kept ${kept.size}/${st.files.size}")
+      // NO FALSE NEGATIVES: every probe key's row survives in the kept set
+      val keyVals = keys.collect().map(_.getLong(0)).filter(_ < 4000)
+      val back = spark.read.option("basePath", out)
+        .parquet(kept.map(f => s"$out/$f"): _*)
+      assert(back.filter(col("doc_id").isInCollection(keyVals)).count() == keyVals.length,
+        "the join probe must lose no matching rows")
+      // END-TO-END: a sparse merge above the cap routes through the join
+      // probe and produces the exact post-merge corpus
+      val updates = spark.range(16).select((col("id") * 16).as("doc_id"),
+        concat(lit("UPDATED "), col("id") * 16).as("text"), lit("train").as("split"))
+      Pipeline.mergeIntoLakeSparse(spark, out, updates, idCol = "doc_id")      // v2
+      val merged = Lake.read(spark, out)
+      assert(merged.count() == 4000)
+      assert(merged.filter(col("text").startsWith("UPDATED")).count() == 16,
+        "the above-cap merge must update exactly its rows")
+      // null-only key sets stay conservative (null matches nothing; the
+      // probe cannot prove absence, so candidates pass through)
+      val nulls = spark.range(20).select(lit(null).cast("long").as("doc_id"))
+      assert(Lake.bloomPrune(spark, out, st, st.files, "doc_id", nulls, 20L)
+        == st.files, "null-only keys must keep every candidate")
+    } finally spark.conf.unset("spark.graft.lake.bloom.probeMaxKeys")
+  }
+
+  test("null-count stats: IS NULL prunes zero-null files, IS NOT NULL prunes all-null files; DML and reads stay exact") {
+    import org.apache.spark.sql.types.StringType
+    val out = freshDir("lake-nullstats")
+    def docs(ids: Range, lang: Long => Option[String]) =
+      ids.map(i => (i.toLong, lang(i.toLong).orNull)).toDF("doc_id", "lang")
+        .select(col("doc_id"), col("lang"), lit("train").as("split"))
+    // one zero-null lake first: the directive case — IS NULL against a
+    // fully-non-null file set prunes EVERYTHING (min/max and blooms are
+    // blind to this predicate)
+    val out0 = freshDir("lake-nonulls")
+    Lake.init(spark, docs(0 until 10, _ => Some("en")).repartition(1),
+      out0, Seq("split"))
+    val st1 = Lake.latestManifest(spark, out0).get
+    def isNullBound(wantNull: Boolean) =
+      Seq(Lake.ColBound("lang", StringType, null, null, nullness = Some(wantNull)))
+    assert(Lake.pruneByStats(st1, isNullBound(true)).isEmpty,
+      "IS NULL on a zero-null lake must prune every file")
+    // three doc_id-clustered files: all non-null / mixed / all null
+    val corpus = docs(0 until 10, _ => Some("en"))
+      .unionByName(docs(10 until 20, i => if (i % 2 == 0) Some("fr") else None))
+      .unionByName(docs(20 until 30, _ => None))
+      .repartitionByRange(3, col("doc_id")).sortWithinPartitions("doc_id")
+    Lake.init(spark, corpus, out, Seq("split"))                                // v1
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.size == 3)
+    assert(st.files.forall(f => st.stats.get(f).exists(_.exists(
+      _.col == "lang" + Lake.NullsStatSuffix))),
+      "every audit path must record the per-file null count, got " +
+        st.files.map(f => f -> st.stats.getOrElse(f, Seq.empty)
+          .map(c => s"${c.col}=${c.min}")).mkString("; "))
+    val keptNull = Lake.pruneByStats(st, isNullBound(true))
+    assert(keptNull.size == 2, s"IS NULL must keep only null-holding files, got ${keptNull.size}")
+    val keptNotNull = Lake.pruneByStats(st, isNullBound(false))
+    assert(keptNotNull.size == 2,
+      s"IS NOT NULL must drop the all-null file, got ${keptNotNull.size}")
+    // no row loss through either pruned set
+    assert(spark.read.option("basePath", out)
+      .parquet(keptNull.map(f => s"$out/$f"): _*)
+      .filter(col("lang").isNull).count() == 15)
+    assert(spark.read.option("basePath", out)
+      .parquet(keptNotNull.map(f => s"$out/$f"): _*)
+      .filter(col("lang").isNotNull).count() == 15)
+    // the sparse-WHERE extraction routes IsNull into the same bounds...
+    val cands = Pipeline.sparseWhereCandidates(spark, out, st, col("lang").isNull)
+    assert(cands.size == 2, s"the WHERE path must file-skip on IS NULL, got ${cands.size}")
+    // ...and the delete lands exactly
+    Pipeline.deleteFromLakeSparseWhere(spark, out, col("lang").isNull)          // v4
+    val post = Lake.read(spark, out)
+    assert(post.count() == 15 && post.filter(col("lang").isNull).count() == 0,
+      "the IS NULL delete must remove exactly the null rows")
+    assert(post.filter(col("lang") === "fr").count() == 5)
   }
 
   test("partition transforms: years/months complete the grammar; month path pruning; shared layout validation") {

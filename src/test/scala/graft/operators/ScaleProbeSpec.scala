@@ -412,4 +412,78 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(after.count() == before)
     assert(after.filter(col("text") === "UPDATED").count() == 50)
   }
+
+  test("join-shaped bloom probe: a >4M-key probe into a bloomed scattered lake keeps O(matching) files, keys never collected") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val out = java.nio.file.Files.createTempDirectory("lake-bloom-join-scale").toString + "/lake"
+    // 64 files of interleaved ids: min/max keeps everything. A lake
+    // expecting million-key probes sizes its blooms for them — at the
+    // default 1e-7, 4.2M probe keys would falsely keep ~1-(1-fpp)^keys
+    // = 34% of innocent files (the compounding the write-side comment
+    // documents); at 1e-9 that is 0.4%.
+    spark.conf.set("spark.graft.lake.bloom.fpp", "1.0E-9")
+    val docs = spark.range(64L * 20000).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"))
+      .repartition(64, pmod(col("id"), lit(64)))
+    try Lake.init(spark, docs, out, Seq("split"), bloomCols = Seq("doc_id"))
+    finally spark.conf.unset("spark.graft.lake.bloom.fpp")
+    val st = Lake.latestManifest(spark, out).get
+    // 4.2M probe keys (> BloomProbeMaxKeysDefault), only 100 of which the
+    // lake holds — and those 100 all in the residue-0 and residue-1 files
+    val present = spark.range(50).select((col("id") * 128).as("doc_id"))
+      .unionByName(spark.range(50).select((col("id") * 128 + 65).as("doc_id")))
+    val absent = spark.range(4200000L).select((col("id") + 100000000L).as("doc_id"))
+    val keys = present.unionByName(absent)
+    val before = Lake.bloomJoinProbes.get()
+    val t0 = System.nanoTime()
+    val kept = Lake.bloomPrune(spark, out, st, st.files, "doc_id", keys, 4200100L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"files=${st.files.size} kept=${kept.size} probe=$sec%.1fs " +
+      f"joinProbes=${Lake.bloomJoinProbes.get() - before}")
+    assert(Lake.bloomJoinProbes.get() > before, "above the cap the probe must go join-shaped")
+    // 2 matching files + fpp-rare false keeps across 64 files × 4.2M keys:
+    // per-file keep probability compounds, so allow a small tail
+    assert(kept.size <= 8,
+      s"a >4M-key probe must still keep O(matching) files, kept ${kept.size}/64")
+    val keyVals = (0 until 50).map(_ * 128L) ++ (0 until 50).map(_ * 128L + 65L)
+    val back = spark.read.option("basePath", out)
+      .parquet(kept.map(f => s"$out/$f"): _*)
+    assert(back.filter(col("doc_id").isInCollection(keyVals)).count() == 100,
+      "the join probe must lose no matching rows")
+  }
+
+  test("columnar checkpoint: a multi-thousand-file lake resolves through an O(KB) driver stub") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val out = java.nio.file.Files.createTempDirectory("lake-pq-cp-scale").toString + "/lake"
+    // ~2k files of real stats mass: 34 columns' worth would be overkill
+    // here — doc_id + text bounds per file is the shape that matters
+    val docs = spark.range(2000L * 500).select(
+      col("id").as("doc_id"),
+      concat(lit("document number "), col("id")).as("text"),
+      lit("train").as("split"))
+      .repartitionByRange(2000, col("doc_id")).sortWithinPartitions("doc_id")
+    Lake.init(spark, docs, out, Seq("split")) // v1
+    (2 to 10).foreach { i =>
+      Pipeline.appendToLake(spark, out, spark.range(i * 10000000L, i * 10000000L + 10).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split")))
+    }
+    val log = new java.io.File(out, Lake.LogDirName)
+    val stub = log.listFiles.filter(_.getName.endsWith(".checkpoint")).head
+    val nFiles = Lake.currentState(spark, out).files.size
+    info(f"files=$nFiles stubBytes=${stub.length}")
+    assert(nFiles > 2000, s"probe needs a multi-thousand-file lake, got $nFiles")
+    assert(stub.length < 4096,
+      s"the driver-parsed stub must stay O(KB) at $nFiles files, got ${stub.length}")
+    val t0 = System.nanoTime()
+    val before = Lake.checkpointParquetLoads.get()
+    val st = Lake.latestManifest(spark, out).get
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"resolve=$sec%.2fs columnarLoads=${Lake.checkpointParquetLoads.get() - before}")
+    assert(Lake.checkpointParquetLoads.get() > before, "resolution must go columnar")
+    assert(st.files.size == nFiles && st.stats.size == nFiles,
+      "the columnar checkpoint must carry every file and its stats")
+    assert(Lake.read(spark, out).count() == 2000L * 500 + 9 * 10)
+  }
 }

@@ -391,6 +391,92 @@ class LakeStreamSpec extends SparkTestBase {
       "the tracked stream's full replay must equal the batch read")
   }
 
+  test("schema tracking through renames: a restart across a rename resumes the checkpoint and replays the pre-rename tail under the new name; rename+widen chains follow too") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("lakecdcrentrack").toString
+
+    // ── lake A: PURE RENAME lands while the stream is DOWN with a
+    // pre-rename append unprocessed. Physical names are time-invariant
+    // (the column-mapping identity), so the tracked restart resumes the
+    // checkpointed offset and decodes the pre-rename tail under the NEW
+    // logical declaration — no fresh stream, no replayed prefix.
+    val outA = s"$base/lakeA"
+    def docsA(ids: Range) = ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("train").as("split"))
+    Lake.init(spark, docsA(0 until 3), outA, Seq("split"))                       // v1
+    def startA() = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("schemaTrackingLocation", s"$base/trackA")
+      .load(outA)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sinkA").option("checkpointLocation", s"$base/ckA")
+      .start()
+    val qa = startA()
+    try qa.processAllAvailable() finally qa.stop()                               // v1 committed
+    Pipeline.appendToLake(spark, outA, docsA(10 until 12))                       // v2: pre-rename, unprocessed
+    Lake.renameColumn(spark, outA, "text", "body")                               // v3: metadata-only
+    Pipeline.appendToLake(spark, outA,
+      Seq((20L, "doc 20", "train")).toDF("doc_id", "body", "split"))             // v4: post-rename
+    val qa2 = startA()
+    try qa2.processAllAvailable() finally qa2.stop()
+    val sinkASchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("body", StringType),
+      StructField("split", StringType)))
+    val sunkA = spark.read.schema(sinkASchema).parquet(s"$base/sinkA")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse(r.getString(2))))
+    assert(sunkA.groupBy(_._1).view.mapValues(_.size).forall(_._2 == 1),
+      s"the rename restart must replay exactly once, got ${sunkA.sorted.toSeq}")
+    assert(sunkA.map(_._1).toSet == Set(0L, 1L, 2L, 10L, 11L, 20L) &&
+      sunkA.toMap.apply(10L) == "doc 10" && sunkA.toMap.apply(20L) == "doc 20",
+      s"pre-rename tail must decode under the restarted declaration, got ${sunkA.sorted.toSeq}")
+    // the restarted run wrote the NEW logical name (merge the sink's two
+    // schema generations — inference alone picks an arbitrary footer)
+    val restartFiles = spark.read.option("mergeSchema", "true").parquet(s"$base/sinkA")
+    assert(restartFiles.columns.contains("body"),
+      s"the restarted stream must declare the renamed column, got ${restartFiles.columns.toSeq}")
+
+    // ── lake B: RENAME + WIDEN land in the same down-window — the full
+    // additive chain (Delta schema-tracking parity): the tracked restart
+    // follows both, replaying the narrow pre-rename tail widened AND
+    // renamed, exactly once
+    val outB = s"$base/lakeB"
+    def docsB(ids: Range) = ids.map(i => (i.toLong, i)).toDF("doc_id", "score")
+      .select(col("doc_id"), col("score").cast("int"), lit("train").as("split"))
+    Lake.init(spark, docsB(0 until 3), outB, Seq("split"))                       // v1
+    def startB() = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("schemaTrackingLocation", s"$base/trackB")
+      .load(outB)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sinkB").option("checkpointLocation", s"$base/ckB")
+      .start()
+    val qb = startB()
+    try qb.processAllAvailable() finally qb.stop()                               // v1 committed
+    Pipeline.appendToLake(spark, outB, docsB(10 until 12))                       // v2: narrow, unprocessed
+    Lake.widenColumn(spark, outB, "score", LongType)                             // v3
+    Lake.renameColumn(spark, outB, "score", "points")                            // v4
+    Pipeline.appendToLake(spark, outB,
+      Seq((20L, 7000000000L, "train")).toDF("doc_id", "points", "split"))        // v5: wide+renamed
+    val qb2 = startB()
+    try qb2.processAllAvailable() finally qb2.stop()
+    val sinkBSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("score", LongType), StructField("points", LongType),
+      StructField("split", StringType)))
+    val sunkB = spark.read.schema(sinkBSchema).parquet(s"$base/sinkB")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) r.getLong(2) else r.getLong(1)))
+    val expectB = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 10L -> 10L, 11L -> 11L,
+      20L -> 7000000000L)
+    assert(sunkB.groupBy(_._1).view.mapValues(_.size).forall(_._2 == 1) &&
+      sunkB.toMap == expectB,
+      s"the rename+widen restart must follow the chain exactly once, got ${sunkB.sorted.toSeq}")
+    // net convergence with the batch read
+    val lakeB = Lake.read(spark, outB).select("doc_id", "points").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sunkB.toMap == lakeB, "the tracked stream's full replay must equal the batch read")
+  }
+
   test("startingTimestamp: the stream replays every commit at or after the asked-for wall-clock") {
     val base = java.nio.file.Files.createTempDirectory("lakecdcts").toString
     val out = s"$base/lake"

@@ -97,6 +97,20 @@ class LakeStreamPlanSpec extends SparkTestBase {
     val o2 = s2.latestOffset(LakeVersionOffset(0),
       s2.getDefaultReadLimit).asInstanceOf[LakeVersionOffset]
     assert(o2.version == 3L, s"a generous byte budget must admit the whole backlog, got $o2")
+    // a MID-SIZED budget composes: v1 admits, v1+v2 overflows — and the
+    // whole admission pass priced from the manifest's recorded #bytes,
+    // ZERO filesystem stats (every audit records add.size)
+    val st = Lake.latestManifest(spark, out).get
+    val v1Bytes = Lake.stateAt(spark, out, 1L).files
+      .map(f => Lake.statBytesOf(st, f).getOrElse(0L)).sum
+    assert(v1Bytes > 0L, "the audit must have recorded #bytes for every v1 file")
+    val before = LakeStreamSource.admissionFsStats.get()
+    val s3 = stream(out, Map("maxBytesPerTrigger" -> (v1Bytes + 1).toString))
+    val o3 = s3.latestOffset(LakeVersionOffset(0),
+      s3.getDefaultReadLimit).asInstanceOf[LakeVersionOffset]
+    assert(o3.version == 1L, s"a one-version budget must admit exactly v1, got $o3")
+    assert(LakeStreamSource.admissionFsStats.get() == before,
+      "byte admission over a stats'd lake must never stat the filesystem")
   }
 
   test("streaming sink: a relayout landing between write creation and epoch commit refuses loudly") {
