@@ -945,7 +945,55 @@ object Lake {
     resolve(spark, fs, root, lakeDir, version, deltas, checkpoints)
   }
 
+  /** Resolved-state cache: a version's state is immutable once committed
+    * (deltas are putIfAbsent-published and never rewritten), so planners
+    * that resolve the same (lake, version) repeatedly — every read, every
+    * adopt, every CDC range — reuse the parse instead of re-reading the
+    * checkpoint + delta tail per call (the Delta Snapshot-cache idea).
+    * The key carries everything the resolution READ: the replay-delta
+    * list and, when a checkpoint participates, its (version, length,
+    * mtime) — so [[vacuumKeeping]]'s history-rewriting checkpoint
+    * replace, retention cuts, and the crash-consistency specs' log
+    * surgery all miss the cache and re-resolve honestly. Bounded LRU;
+    * access synchronized (commits and planner threads race). */
+  private val stateCache =
+    new java.util.LinkedHashMap[Any, LakeState](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, LakeState]): Boolean = size() > 16
+    }
+
+  /** Test hook: forget every cached resolution (counter-based specs
+    * measure the UNCACHED read path). */
+  private[graft] def invalidateStateCache(): Unit =
+    stateCache.synchronized(stateCache.clear())
+
   private def resolve(spark: SparkSession, fs: FileSystem, root: Path,
+      lakeDir: String, version: Long,
+      deltas: Seq[Long], checkpoints: Seq[Long]): LakeState = {
+    val cp0 = checkpoints.filter(_ <= version).maxOption
+    val cpSig = cp0.map { c =>
+      val stt = fs.getFileStatus(new Path(logDir(root), checkpointName(c)))
+      (c, stt.getLen, stt.getModificationTime)
+    }
+    // the replay deltas sign by (len, mtime) too: the protocol never
+    // rewrites a delta, but log corruption (and the spec simulating it)
+    // does — a stale cache entry must never mask the loud parse failure
+    val deltaSig = deltas.filter(v => cp0.forall(_ < v) && v <= version).map { v =>
+      val stt = fs.getFileStatus(new Path(logDir(root), deltaName(v)))
+      (v, stt.getLen, stt.getModificationTime)
+    }
+    val key = (root.toString, version, cpSig, deltaSig)
+    val hit = stateCache.synchronized(Option(stateCache.get(key)))
+    hit match {
+      case Some(st) => st
+      case None =>
+        val st = resolveUncached(spark, fs, root, lakeDir, version, deltas, checkpoints)
+        stateCache.synchronized(stateCache.put(key, st))
+        st
+    }
+  }
+
+  private def resolveUncached(spark: SparkSession, fs: FileSystem, root: Path,
       lakeDir: String, version: Long,
       deltas: Seq[Long], checkpoints: Seq[Long]): LakeState = {
     val cp = checkpoints.filter(_ <= version).maxOption

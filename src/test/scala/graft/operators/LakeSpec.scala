@@ -2280,7 +2280,9 @@ class LakeSpec extends SparkTestBase {
       val pqDirs = log.listFiles.filter(_.getName.endsWith(".pqentries"))
       assert(pqDirs.length == 1 && pqDirs.head.isDirectory,
         s"expected one entries directory, got ${pqDirs.map(_.getName).mkString(",")}")
-      // resolution takes the columnar path...
+      // resolution takes the columnar path... (cache cleared — the
+      // counter measures the uncached read path)
+      Lake.invalidateStateCache()
       val before = Lake.checkpointParquetLoads.get()
       val viaCp = Lake.stateAt(spark, out, 10L)
       assert(Lake.checkpointParquetLoads.get() > before,
@@ -2749,6 +2751,40 @@ class LakeSpec extends SparkTestBase {
       assert(Lake.bloomPrune(spark, out, st, st.files, "doc_id", nulls, 20L)
         == st.files, "null-only keys must keep every candidate")
     } finally spark.conf.unset("spark.graft.lake.bloom.probeMaxKeys")
+  }
+
+  test("resolved-state cache: re-resolving a version reads zero log files; a checkpoint replace misses and re-resolves") {
+    val out = freshDir("lake-state-cache")
+    writePlain(fixture(), out)
+    Lake.adopt(spark, out)                                                     // v0
+    (1 to 11).foreach(i => Pipeline.appendToLake(spark, out,
+      spark.range(100L * i, 100L * i + 2).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), lit(0).cast("int").as("shard_id"))))         // v1..v11, checkpoint at v10
+    Lake.invalidateStateCache()
+    val st1 = Lake.latestManifest(spark, out).get // cold: checkpoint + tail parse
+    val before = Lake.logReads.get()
+    val st2 = Lake.latestManifest(spark, out).get // warm
+    assert(Lake.logReads.get() == before,
+      "a cached re-resolve must read ZERO log files (the planner-call fast path)")
+    assert(st2 == st1, "the cached state must be the resolved state, field for field")
+    // a new commit is a new key: the next resolve sees it immediately
+    Pipeline.appendToLake(spark, out, spark.range(5000, 5002).select(
+      col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+      lit("train").as("split"), lit(0).cast("int").as("shard_id")))            // v12
+    assert(Lake.latestManifest(spark, out).get.version == 12L)
+    // vacuumKeeping REPLACES the retention-cut checkpoint in place — the
+    // (len, mtime) signature must miss the stale entry and re-resolve the
+    // rewritten history (a stale hit would resurrect reclaimed files)
+    val preCut = Lake.stateAt(spark, out, 10L)
+    Lake.vacuumKeeping(spark, out, keepVersions = 3)
+    val beforeCutReads = Lake.logReads.get()
+    val postCut = Lake.stateAt(spark, out, 10L)
+    assert(Lake.logReads.get() > beforeCutReads,
+      "the replaced checkpoint's new (len, mtime) must miss the cache and re-resolve")
+    assert(postCut.files == preCut.files,
+      "the retention cut must never change a version's live files")
+    assert(Lake.read(spark, out).count() == 40 + 11 * 2 + 2)
   }
 
   test("null-count stats: IS NULL prunes zero-null files, IS NOT NULL prunes all-null files; DML and reads stay exact") {

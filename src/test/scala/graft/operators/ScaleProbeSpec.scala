@@ -476,6 +476,7 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(nFiles > 2000, s"probe needs a multi-thousand-file lake, got $nFiles")
     assert(stub.length < 4096,
       s"the driver-parsed stub must stay O(KB) at $nFiles files, got ${stub.length}")
+    Lake.invalidateStateCache() // measure the uncached resolve
     val t0 = System.nanoTime()
     val before = Lake.checkpointParquetLoads.get()
     val st = Lake.latestManifest(spark, out).get
