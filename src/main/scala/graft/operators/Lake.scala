@@ -2674,7 +2674,7 @@ object Lake {
     * sizing: the writer keeps the smallest candidate bloom meeting the
     * target FPP for the observed NDV, so small files pay bytes
     * proportional to their keys, not the 1 MiB default bound. */
-  private def bloomOptions(spark: SparkSession, cols: Seq[String]): Map[String, String] =
+  private[graft] def bloomOptions(spark: SparkSession, cols: Seq[String]): Map[String, String] =
     if (cols.isEmpty) Map.empty
     else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++ Map(
       "parquet.bloom.filter.adaptive.enabled" -> "true",
@@ -3868,11 +3868,17 @@ object Lake {
       .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
     deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
-    checkpoints.filter(_ < oldest).foreach { c =>
-      fs.delete(new Path(logDir(root), checkpointName(c)), false)
-      // a columnar checkpoint's parquet entries ride with its stub
-      dropStaleEntryDirs(fs, root, c, keep = None)
-    }
+    checkpoints.filter(_ < oldest).foreach(c =>
+      fs.delete(new Path(logDir(root), checkpointName(c)), false))
+    // entries directories whose version fell below the retention cut are
+    // unreferenced no matter how they got there — a retired columnar
+    // checkpoint's payload, or a CRASHED columnar write that never
+    // renamed its stub in. Resolutions below `oldest` are impossible
+    // (their deltas are gone), so this sweep can never race a reader;
+    // a repeat vacuum re-sweeps anything a crash strands later.
+    fs.listStatus(logDir(root)).toSeq.map(_.getPath)
+      .filter(p => pqEntriesVersion(p.getName).exists(_ < oldest))
+      .foreach(p => fs.delete(p, true))
     dead ++ deadSidecar
   }
 }

@@ -168,6 +168,14 @@ private[lake] object LakeStreamingWrites {
     val dataSchema = StructType(visible.filterNot(f => partCols.contains(f.name)))
     val physDataSchema = Lake.toPhysical(dataSchema)
     ParquetWriteSupport.setSchema(physDataSchema, conf)
+    // a bloomed lake blooms its STREAMED files too (the batch path's
+    // writeContext options, by physical name) — otherwise every epoch's
+    // files are invisible to the index and a point lookup re-reads the
+    // streamed tail forever
+    Lake.bloomOptions(spark,
+      st.bloomCols.flatMap(c => visible.find(_.name == c))
+        .map(Lake.physicalName))
+      .foreach { case (k, v) => conf.set(k, v) }
 
     val qualified = {
       val p = new Path(lakeDir)
@@ -326,6 +334,32 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
     override def self(): RowWriterBuilder = this
   }
 
+  // the lake's bloom columns ride in as the batch path's own conf keys
+  // (`parquet.bloom.filter.enabled#<phys>`); ParquetWriter.Builder does
+  // NOT read column-suffixed keys from a conf (only ParquetOutputFormat
+  // does), so they re-apply here as explicit builder settings — the
+  // streamed files' footers are indistinguishable from a batch append's
+  private val bloomCols: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala.map(_.getKey)
+      .filter(_.startsWith("parquet.bloom.filter.enabled#"))
+      .filter(k => conf.getBoolean(k, false))
+      .map(_.stripPrefix("parquet.bloom.filter.enabled#")).toList
+  }
+  private val bloomFpp = conf.getDouble("parquet.bloom.filter.fpp", 0.01)
+  private val bloomMaxBytes = conf.getInt("parquet.bloom.filter.max.bytes", 1024 * 1024)
+  private def withBlooms(b: RowWriterBuilder): RowWriterBuilder = {
+    if (bloomCols.nonEmpty) {
+      b.withAdaptiveBloomFilterEnabled(true)
+      b.withMaxBloomFilterBytes(bloomMaxBytes)
+      bloomCols.foreach { c =>
+        b.withBloomFilterEnabled(c, true)
+        b.withBloomFilterFPP(c, bloomFpp)
+      }
+    }
+    b
+  }
+
   private def dirOf(lakeRow: InternalRow): String = {
     if (levelNames.isEmpty) return ""
     val strs = partStr(lakeRow)
@@ -356,8 +390,8 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
       val (w, rel) = open.getOrElseUpdate(dir, {
         val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
         val rel = if (dir.isEmpty) name else s"$dir/$name"
-        val b = new RowWriterBuilder(new Path(root, rel))
-          .withConf(conf).withCompressionCodec(codec)
+        val b = withBlooms(new RowWriterBuilder(new Path(root, rel))
+          .withConf(conf).withCompressionCodec(codec))
         (b.build(), rel)
       })
       lastDir = dir; lastWriter = w; lastRel = rel

@@ -113,6 +113,38 @@ class LakeStreamPlanSpec extends SparkTestBase {
       "byte admission over a stats'd lake must never stat the filesystem")
   }
 
+  test("streaming sink blooms its files: epoch-written parquet carries the lake's footer blooms and prunes") {
+    val base = java.nio.file.Files.createTempDirectory("sinkbloom").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"),
+      bloomCols = Seq("doc_id"))                                               // v1
+    val v1Files = Lake.latestManifest(spark, out).get.files.toSet
+    implicit val ctx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = mem.toDF().toDF("doc_id")
+      .select(col("doc_id"), concat(lit("s "), col("doc_id")).as("text"),
+        lit("train").as("split"), lit(0).cast("int").as("shard_id"))
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$base/ck")
+      .start(out)
+    try { mem.addData(1000L, 1001L, 1002L); q.processAllAvailable() }          // v2
+    finally q.stop()
+    val st = Lake.latestManifest(spark, out).get
+    val streamed = st.files.filterNot(v1Files)
+    assert(streamed.nonEmpty, "the epoch must have committed files")
+    // a key provably absent from the corpus: the streamed files' own
+    // footer blooms must prune them (bloom-less files would all keep)
+    val kept = Lake.pruneByBloom(spark, out, st, streamed, "doc_id",
+      Array(999999L))
+    assert(kept.isEmpty,
+      s"streamed files must carry footer blooms and prune an absent key, kept $kept")
+    // and a streamed key keeps exactly its file(s)
+    val hit = Lake.pruneByBloom(spark, out, st, st.files, "doc_id",
+      Array(1001L))
+    assert(hit.nonEmpty && hit.toSet.subsetOf(streamed.toSet),
+      s"a streamed key must probe to the streamed files, got $hit")
+  }
+
   test("streaming sink: a relayout landing between write creation and epoch commit refuses loudly") {
     val out = java.nio.file.Files.createTempDirectory("sinkrace").toString + "/lake"
     Lake.init(spark, fixture(0 until 10), out, Seq("split", "shard_id"))
