@@ -72,6 +72,7 @@ private[lake] object LakeMetaTables {
     StructField("path", StringType, nullable = false),
     StructField("partition", StringType, nullable = false),
     StructField("n_rows", LongType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true),
     StructField("n_stat_cols", IntegerType, nullable = false),
     StructField("n_dv_sidecars", IntegerType, nullable = false)))
 
@@ -141,15 +142,19 @@ private[lake] object LakeMetaTables {
         st.files.map { f =>
           val cut = f.lastIndexOf('/')
           val stats = st.stats.getOrElse(f, Seq.empty)
-          // `#rows` is the recorded numRecords, not a pruning stat —
-          // surfaced as its own column (null for pre-capture files),
-          // excluded from the stat-column census
+          // `#rows`/`#bytes` are the recorded numRecords/add.size, not
+          // pruning stats — surfaced as their own columns (null for
+          // pre-capture files); the stat-column census counts only
+          // genuine BOUND columns (null-count pseudo-stats excluded too)
           val nRows: Any = stats.find(_.col == Lake.RowsStatName)
+            .flatMap(_.min.toLongOption).orNull
+          val nBytes: Any = stats.find(_.col == Lake.BytesStatName)
             .flatMap(_.min.toLongOption).orNull
           new GenericInternalRow(Array[Any](
             s(f), s(if (cut > 0) f.substring(0, cut) else ""),
-            nRows,
-            stats.count(_.col != Lake.RowsStatName),
+            nRows, nBytes,
+            stats.count(c => !Lake.ReservedStatNames(c.col) &&
+              !c.col.endsWith(Lake.NullsStatSuffix)),
             st.dvs.getOrElse(f, Seq.empty).size)): InternalRow
         }.toArray
       })

@@ -151,10 +151,22 @@ class LakeCatalogSpec extends SparkTestBase {
 
     // every audit records per-file numRecords — $files surfaces it and
     // the corpus total is exact (Delta numRecords / Iceberg record_count)
-    val fileRows = spark.sql("SELECT n_rows FROM graft_lake.`meta$files`").collect()
+    val fileRows = spark.sql(
+      "SELECT n_rows, n_bytes, path FROM graft_lake.`meta$files`").collect()
     assert(fileRows.forall(!_.isNullAt(0)), "every committed file is counted")
     assert(fileRows.map(_.getLong(0)).sum == 32L,
       "per-file numRecords must sum to the written corpus")
+    // $files surfaces the recorded add.size too — and it matches the
+    // on-disk truth, with zero filesystem stats on the serving path
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val q = hfs.makeQualified(new org.apache.hadoop.fs.Path(out))
+    fileRows.foreach { r =>
+      assert(!r.isNullAt(1), s"every committed file is sized: ${r.getString(2)}")
+      assert(r.getLong(1) == hfs.getFileStatus(
+        new org.apache.hadoop.fs.Path(q, r.getString(2))).getLen,
+        s"recorded n_bytes must equal the on-disk size for ${r.getString(2)}")
+    }
 
     // $partitions is the fragmentation dashboard: per-dir file counts
     // summing to the census, the sparse delete's vector on its partition
