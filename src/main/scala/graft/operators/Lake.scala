@@ -1614,6 +1614,26 @@ object Lake {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** Force a checkpoint at the LATEST committed version without waiting
+    * for the [[CheckpointInterval]] grid — the Iceberg
+    * `rewrite_manifests` / Delta checkpoint-now operational lever: after
+    * a bulk ingest lands as many small commits, every reader resolves
+    * one checkpoint load (columnar above the entries threshold) plus
+    * zero deltas instead of replaying the tail. Idempotent: a version
+    * that already has a checkpoint returns `(version, false)`. */
+  def checkpointNow(spark: SparkSession, lakeDir: String): (Long, Boolean) = {
+    val st = latestManifest(spark, lakeDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"checkpoint: $lakeDir has no committed manifest"))
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val target = new Path(logDir(root), checkpointName(st.version))
+    if (fs.exists(target)) (st.version, false)
+    else {
+      writeCheckpoint(spark, fs, root, st)
+      (st.version, true)
+    }
+  }
+
   private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit = {
     val (fs, root) = fsRoot(spark, lakeDir)
     files.foreach(f => fs.delete(new Path(root, f), false))

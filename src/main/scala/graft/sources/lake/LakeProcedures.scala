@@ -37,7 +37,7 @@ private[lake] object LakeProcedures {
   val All: Seq[String] =
     Seq("vacuum", "vacuum_keeping", "compact", "compact_dvs", "restore", "analyze",
       "repartition", "evolve_layout", "add_constraint", "drop_constraint",
-      "set_bloom_cols")
+      "set_bloom_cols", "checkpoint")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -153,6 +153,19 @@ private[lake] object LakeProcedures {
       (dir, _) => Lake.compactDeletionVectors(spark, dir).toSeq.sortBy(_._1)
         .map { case (f, n) => new GenericInternalRow(Array[Any](s(f), n)): InternalRow }
         .toArray)
+    case "checkpoint" => new LakeProc("checkpoint",
+      "force a checkpoint at the latest version without waiting for the " +
+        "interval grid (Iceberg rewrite_manifests parity) — after a bulk " +
+        "ingest, readers resolve one checkpoint load instead of a delta " +
+        "replay; idempotent",
+      Array(tableParam),
+      StructType(Seq(StructField("version", LongType, nullable = false),
+        StructField("written", BooleanType, nullable = false))),
+      resolve,
+      (dir, _) => {
+        val (v, wrote) = Lake.checkpointNow(spark, dir)
+        Array(new GenericInternalRow(Array[Any](v, wrote)))
+      })
     case "restore" => new LakeProc("restore",
       "roll the lake back to a retained version as a NEW commit (no bytes copied)",
       Array(tableParam, p("version", LongType).build()),

@@ -299,7 +299,13 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   // refuses naming the columns rather than silently changing semantics
   tracking.foreach { _ =>
     readTracked().foreach { case (trackedV, trackedSchema) =>
-      val cur = startSchema.map(f => Lake.physicalName(f) -> f.dataType).toMap
+      // followability is judged against what the restarted stream can
+      // SERVE: a DROPPED column's tombstone is still in the manifest
+      // (physically decodable), but the visible declaration excludes it
+      // — resuming would silently lose a column the previous run served,
+      // exactly the semantic change this validation exists to refuse
+      val cur = startSchema.filterNot(Lake.isDropped)
+        .map(f => Lake.physicalName(f) -> f.dataType).toMap
       val unfollowable = trackedSchema.filterNot { f =>
         cur.get(Lake.physicalName(f)).exists(t =>
           t == f.dataType || Lake.widens(f.dataType, t))
@@ -308,7 +314,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         throw new IllegalStateException(
           s"graft-lake-cdc: the schema tracked at version $trackedV cannot follow the " +
             s"current lake schema (${unfollowable.map(_.name).mkString(", ")} retyped " +
-            "beyond a widening promotion) — consume from a fresh startingVersion")
+            "beyond a widening promotion, or dropped) — consume from a fresh " +
+            "startingVersion")
     }
     writeTracked(startVersion, startSchema)
   }

@@ -477,6 +477,31 @@ class LakeCatalogSpec extends SparkTestBase {
     assert(Lake.read(spark, out).count() == 26)
   }
 
+  test("CALL checkpoint forces a checkpoint off the interval grid; readers then resolve without a delta replay") {
+    val out = s"$wh/cpnow"
+    Lake.init(spark, fixture(0 until 5).coalesce(1), out, Seq("split"))   // v1
+    Pipeline.appendToLake(spark, out, fixture(5 until 8).coalesce(1),
+      partitionCols = Seq("split"))                                       // v2
+    Pipeline.appendToLake(spark, out, fixture(8 until 10).coalesce(1),
+      partitionCols = Seq("split"))                                       // v3: below the grid
+    val row = spark.sql("CALL graft_lake.system.checkpoint(table => 'cpnow')")
+      .collect()(0)
+    assert(row.getLong(0) == 3L && row.getBoolean(1),
+      s"the first call must write a v3 checkpoint, got $row")
+    // resolution is now ONE checkpoint load, zero delta replays
+    Lake.invalidateStateCache()
+    val before = Lake.logReads.get()
+    val st = Lake.latestManifest(spark, out).get
+    assert(Lake.logReads.get() - before == 1,
+      "a freshly-checkpointed lake must resolve in exactly one log read")
+    assert(st.version == 3L && Lake.read(spark, out).count() == 10)
+    // idempotent: the second call writes nothing
+    val row2 = spark.sql("CALL graft_lake.system.checkpoint(table => 'cpnow')")
+      .collect()(0)
+    assert(row2.getLong(0) == 3L && !row2.getBoolean(1),
+      s"a checkpointed version must not re-checkpoint, got $row2")
+  }
+
   test("CALL vacuum_keeping with retention_ms applies an age retention policy") {
     val out = s"$wh/age"
     Lake.init(spark, fixture(0 until 5).coalesce(1), out, Seq("split"))   // v1

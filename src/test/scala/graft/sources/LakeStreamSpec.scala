@@ -477,6 +477,37 @@ class LakeStreamSpec extends SparkTestBase {
     assert(sunkB.toMap == lakeB, "the tracked stream's full replay must equal the batch read")
   }
 
+  test("schema tracking refuses a restart across a COLUMN DROP: a column the stream served cannot silently vanish") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcdrop").toString
+    val out = s"$base/lake"
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"doc $i", s"note $i"))
+      .toDF("doc_id", "text", "note")
+      .select(col("doc_id"), col("text"), col("note"), lit("train").as("split"))
+    Lake.init(spark, docs(0 until 3), out, Seq("split"))                         // v1
+    def start() = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("schemaTrackingLocation", s"$base/track")
+      .load(out)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink").option("checkpointLocation", s"$base/ck")
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()                                 // v1 committed
+    Pipeline.appendToLake(spark, out, docs(10 until 12))                         // v2: unprocessed
+    Lake.dropColumn(spark, out, "note")                                          // v3: tombstone
+    // the tracked schema served `note`; the restarted declaration would
+    // silently lose it — the chain validation must refuse BY NAME (a
+    // consumer decides: fresh stream without the column, or restore)
+    val e = intercept[Throwable] {
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+    assert(msg.contains("note") && msg.contains("cannot follow"),
+      s"the refusal must name the dropped column, got: $msg")
+  }
+
   test("startingTimestamp: the stream replays every commit at or after the asked-for wall-clock") {
     val base = java.nio.file.Files.createTempDirectory("lakecdcts").toString
     val out = s"$base/lake"
