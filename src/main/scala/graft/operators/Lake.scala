@@ -117,6 +117,22 @@ object Lake {
     spark.conf.getOption(CheckpointParquetMinEntriesKey)
       .map(_.toInt).getOrElse(CheckpointParquetMinEntriesDefault)
 
+  /** Opt-in LAZY-STATS resolution for columnar checkpoints: when true, a
+    * `graft-checkpoint-v3` load materializes file PATHS but leaves the
+    * per-file stats in the parquet entries — the read projects only
+    * (tag, path, aux), so the stats column is never even decoded — and
+    * [[pruneByStats]] judges those files inside a Spark job over the
+    * entries instead of on the driver. At 10^6 files the eager stats map
+    * is multi-GB of driver heap before ANY query plans; lazy mode bounds
+    * the driver at the file list and collects only pruning SURVIVORS
+    * (the Delta filesForScan shape). Off by default: maintenance
+    * planners (size pricing, census-free compaction) prefer the
+    * materialized stats and fall back conservatively without them. */
+  private[graft] val LazyStatsKey = "spark.graft.lake.checkpoint.lazyStats"
+
+  private[graft] def lazyStats(spark: SparkSession): Boolean =
+    spark.conf.getOption(LazyStatsKey).exists(_.toBoolean)
+
   /** Columnar-checkpoint loads since JVM start — the observability hook
     * the columnar-checkpoint spec uses to pin that a many-file lake
     * resolves through the parquet path (driver parse bounded at the
@@ -206,7 +222,23 @@ object Lake {
         * file; [[pruneByBloom]] probes these columns' per-file blooms
         * instead. Logical names; write/read translate through the
         * column mapping. */
-      bloomCols: Seq[String] = Seq.empty)
+      bloomCols: Seq[String] = Seq.empty,
+      /** LAZY-STATS marker (opt-in, [[LazyStatsKey]]): set when this
+        * state resolved through a COLUMNAR checkpoint WITHOUT
+        * materializing its per-file stats on the driver — `(entries
+        * directory name, files the tail deltas added after the
+        * checkpoint)`. [[pruneByStats]] then judges the checkpoint's
+        * files INSIDE the entries read (a Spark job; the driver never
+        * holds the multi-GB stats map a 10^6-file lake carries) and the
+        * tail-added / restated files on the driver as usual. Every
+        * OTHER stats consumer sees an absent stat and falls back
+        * conservatively (filesystem sizes, census counts) — lazy mode
+        * trades maintenance-planning metadata for plan-time driver
+        * memory, the read-heavy-huge-lake profile.
+        * [[writeCheckpoint]] refuses to render from a lazy state (it
+        * re-resolves eagerly) so a checkpoint can never silently shed
+        * its stats. */
+      cpLazy: Option[(String, Set[String])] = None)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -684,10 +716,11 @@ object Lake {
     * decode in tasks, compact typed rows back, the driver's own parse
     * bounded at the O(KB) stub no matter how many files the lake holds. */
   private def loadCheckpoint(spark: SparkSession, fs: FileSystem, root: Path,
-      version: Long): LakeState = {
+      version: Long, forceEager: Boolean = false): LakeState = {
     val text = readLogFile(fs, new Path(logDir(root), checkpointName(version)))
     if (!text.startsWith("graft-checkpoint-v3")) return parseCheckpointFile(text, version)
     checkpointParquetLoads.incrementAndGet()
+    val lazyMode = !forceEager && lazyStats(spark)
     var schemaJson = ""
     var pq: Option[(String, Long)] = None
     val txns = Map.newBuilder[String, Long]
@@ -709,7 +742,12 @@ object Lake {
     val (dirName, expected) = pq.getOrElse(throw new IllegalStateException(
       s"columnar checkpoint v$version carries no PQ entries pointer"))
     val dir = new Path(logDir(root), dirName)
-    val rows = spark.read.schema(CpEntrySchema)
+    // LAZY mode never decodes the stats column at all — the projection
+    // below prunes it at the parquet reader, and pruning later judges
+    // the checkpoint's files inside a job over this same directory
+    val readSchema =
+      if (lazyMode) StructType(CpEntrySchema.take(3)) else CpEntrySchema
+    val rows = spark.read.schema(readSchema)
       .parquet(dir.toString).collect()
     if (rows.length != expected)
       throw new IllegalStateException(
@@ -726,7 +764,7 @@ object Lake {
         case "F" =>
           val p = r.getString(1)
           files += p
-          if (!r.isNullAt(3)) {
+          if (!lazyMode && !r.isNullAt(3)) {
             val cs = r.getSeq[org.apache.spark.sql.Row](3)
               .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
             if (cs.nonEmpty) stats += (p -> cs)
@@ -747,7 +785,8 @@ object Lake {
       txns = txns.result(),
       checks = checks.result(),
       layout = layout,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols,
+      cpLazy = if (lazyMode) Some((dir.toString, Set.empty)) else None)
   }
 
   /** Full log-file reads since JVM start — the observability hook the
@@ -910,7 +949,12 @@ object Lake {
         st.txns.updated(a, math.max(v, st.txns.getOrElse(a, Long.MinValue))) },
       checks = (st.checks -- d.checkDrops) ++ d.checkAdds,
       layout = d.layout.orElse(st.layout),
-      bloomCols = d.bloomCols.getOrElse(st.bloomCols))
+      bloomCols = d.bloomCols.getOrElse(st.bloomCols),
+      // lazy marker folds forward: every tail-added file is judged on
+      // the driver (its stats came from the delta), the checkpoint's
+      // own files stay job-judged
+      cpLazy = st.cpLazy.map { case (dir, tail) =>
+        (dir, tail ++ d.added.map(_._1)) })
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -969,7 +1013,8 @@ object Lake {
 
   private def resolve(spark: SparkSession, fs: FileSystem, root: Path,
       lakeDir: String, version: Long,
-      deltas: Seq[Long], checkpoints: Seq[Long]): LakeState = {
+      deltas: Seq[Long], checkpoints: Seq[Long],
+      forceEager: Boolean = false): LakeState = {
     val cp0 = checkpoints.filter(_ <= version).maxOption
     val cpSig = cp0.map { c =>
       val stt = fs.getFileStatus(new Path(logDir(root), checkpointName(c)))
@@ -982,12 +1027,16 @@ object Lake {
       val stt = fs.getFileStatus(new Path(logDir(root), deltaName(v)))
       (v, stt.getLen, stt.getModificationTime)
     }
-    val key = (root.toString, version, cpSig, deltaSig)
+    // lazily- and eagerly-resolved states are different objects — a
+    // lazy hit must never serve a caller that needs materialized stats
+    val lazyMode = lazyStats(spark) && !forceEager
+    val key = (root.toString, version, cpSig, deltaSig, lazyMode)
     val hit = stateCache.synchronized(Option(stateCache.get(key)))
     hit match {
       case Some(st) => st
       case None =>
-        val st = resolveUncached(spark, fs, root, lakeDir, version, deltas, checkpoints)
+        val st = resolveUncached(spark, fs, root, lakeDir, version, deltas,
+          checkpoints, forceEager)
         stateCache.synchronized(stateCache.put(key, st))
         st
     }
@@ -995,10 +1044,11 @@ object Lake {
 
   private def resolveUncached(spark: SparkSession, fs: FileSystem, root: Path,
       lakeDir: String, version: Long,
-      deltas: Seq[Long], checkpoints: Seq[Long]): LakeState = {
+      deltas: Seq[Long], checkpoints: Seq[Long],
+      forceEager: Boolean = false): LakeState = {
     val cp = checkpoints.filter(_ <= version).maxOption
     val start = cp match {
-      case Some(c) => loadCheckpoint(spark, fs, root, c)
+      case Some(c) => loadCheckpoint(spark, fs, root, c, forceEager)
       case None => LakeState(-1L, StructType(Seq.empty).json, Seq.empty)
     }
     if (start.version == version) return start
@@ -1022,6 +1072,16 @@ object Lake {
     val (fs, root) = fsRoot(spark, lakeDir)
     val (deltas, checkpoints) = listLog(fs, root)
     deltas.maxOption.map(v => resolve(spark, fs, root, lakeDir, v, deltas, checkpoints))
+  }
+
+  /** Latest state with stats MATERIALIZED regardless of [[LazyStatsKey]]
+    * — for the rare mutation that must read every file's recorded stats
+    * exactly (the float→double widen's restate computation). */
+  private[graft] def latestEager(spark: SparkSession, lakeDir: String): Option[LakeState] = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val (deltas, checkpoints) = listLog(fs, root)
+    deltas.maxOption.map(v =>
+      resolve(spark, fs, root, lakeDir, v, deltas, checkpoints, forceEager = true))
   }
 
   /** Current state: the latest committed state, or a bootstrap version 0
@@ -1271,7 +1331,15 @@ object Lake {
     * version, exactly like every mid-stream schema evolution. */
   def widenColumn(spark: SparkSession, lakeDir: String, colName: String,
       to: DataType): Unit = {
-    val base = adopt(spark, lakeDir)
+    val base0 = adopt(spark, lakeDir)
+    // the float→double restate must read EVERY file's recorded float
+    // stats (a raw float string compared as double can wrongly prune) —
+    // a lazily-resolved base deliberately holds none, so re-resolve
+    // eagerly for this one mutation
+    val base =
+      if (base0.cpLazy.isDefined && to == DoubleType)
+        latestEager(spark, lakeDir).getOrElse(base0)
+      else base0
     val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
     val field = schema.find(_.name == colName).filter(!isDropped(_)).getOrElse(
       throw new IllegalArgumentException(
@@ -1529,9 +1597,29 @@ object Lake {
     * instead of letting the caller proceed to retire history that only
     * the failed checkpoint could have covered. */
   private def writeCheckpoint(spark: SparkSession, fs: FileSystem, root: Path,
-      st: LakeState, overwrite: Boolean = false): Unit = {
-    val target = new Path(logDir(root), checkpointName(st.version))
+      st0: LakeState, overwrite: Boolean = false): Unit = {
+    val target = new Path(logDir(root), checkpointName(st0.version))
     if (fs.exists(target) && !overwrite) return
+    // a LAZY-resolved state must never render into a checkpoint — its
+    // checkpoint files' stats were deliberately left in the OLD entries
+    // directory, and writing without them would shed the lake's
+    // data-skipping metadata permanently. Re-resolve the version's stats
+    // eagerly and graft them under the caller's state: only the stats
+    // merge in, because the caller may have REWRITTEN the other sections
+    // (vacuumKeeping's history-trimming retention cut).
+    val st =
+      if (st0.cpLazy.isEmpty) st0
+      else {
+        val (deltas, checkpoints) = listLog(fs, root)
+        val eager = resolve(spark, fs, root, root.toString, st0.version,
+          deltas, checkpoints, forceEager = true)
+        // the eager resolve at this version is AUTHORITATIVE for stats
+        // (it replayed every tail delta, restates included); the lazy
+        // state's own entries are partial views of the same log — a
+        // restate folded onto an unmaterialized base carries only the
+        // restated columns and must not shadow the complete row
+        st0.copy(stats = eager.stats, cpLazy = None)
+      }
     // columnar path: the file-scale sections land as parquet FIRST (a
     // fresh UUID-named directory no reader can discover), then the stub's
     // rename below stays the single atomic commit point — exactly the
@@ -1777,7 +1865,11 @@ object Lake {
           base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) },
         checks = base.checks,
         layout = sc.layout.orElse(base.layout),
-        bloomCols = sc.bloomCols.getOrElse(base.bloomCols))
+        bloomCols = sc.bloomCols.getOrElse(base.bloomCols),
+        // the lazy marker folds forward exactly as in [[applyDelta]]:
+        // staged files are driver-judged, and [[writeCheckpoint]]'s
+        // guard re-resolves eagerly before any checkpoint render
+        cpLazy = base.cpLazy.map { case (d, tail) => (d, tail ++ sc.stagedFiles) })
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -2193,66 +2285,72 @@ object Lake {
     pruneByStatsPhysical(st, mapped)
   }
 
-  private def pruneByStatsPhysical(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
-    def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
+  /** One file's stats verdict for one bound — PURE over the file's own
+    * recorded stats (no state lookups), so the LAZY path evaluates it
+    * inside the entries job with exactly the driver path's semantics. */
+  private[graft] def statsOverlap(stats: Seq[ColStat], b: ColBound): Boolean = {
+    def cmp(dt: DataType, a: String, b2: String): Option[Int] = dt match {
       case LongType | IntegerType | ShortType | ByteType =>
-        for (x <- a.toLongOption; y <- b.toLongOption) yield java.lang.Long.compare(x, y)
+        for (x <- a.toLongOption; y <- b2.toLongOption) yield java.lang.Long.compare(x, y)
       case DoubleType | FloatType =>
-        for (x <- a.toDoubleOption; y <- b.toDoubleOption) yield java.lang.Double.compare(x, y)
+        for (x <- a.toDoubleOption; y <- b2.toDoubleOption) yield java.lang.Double.compare(x, y)
       case StringType =>
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b2)))
       case _ => None
     }
-    def statLong(f: String, name: String): Option[Long] =
-      st.stats.get(f).flatMap(_.find(_.col == name)).flatMap(_.min.toLongOption)
-    def nullnessOverlaps(f: String, col: String, wantNull: Boolean): Boolean =
-      statLong(f, col + NullsStatSuffix) match {
+    def statLong(name: String): Option[Long] =
+      stats.find(_.col == name).flatMap(_.min.toLongOption)
+    def nullnessOverlaps(col: String, wantNull: Boolean): Boolean =
+      statLong(col + NullsStatSuffix) match {
         case None => true // unknown null count: keep (exactness-preserving)
         case Some(n) =>
           if (wantNull) n > 0 // IS NULL: a zero-null file cannot match
-          else statLong(f, RowsStatName).forall(n < _) // IS NOT NULL: all-null prunes
+          else statLong(RowsStatName).forall(n < _) // IS NOT NULL: all-null prunes
       }
-    def overlaps(f: String, b: ColBound): Boolean =
-      // a USER column literally named like a reserved pseudo-stat
-      // (possible on a mapping-less lake, where physical = logical) must
-      // never prune against the recorded count/size — capture excludes
-      // such a column's real min/max, so always-keep is the exact answer
-      if (ReservedStatNames(b.col) || b.col.endsWith(NullsStatSuffix)) true
-      else if (b.nullness.isDefined) nullnessOverlaps(f, b.col, b.nullness.get)
-      else st.stats.get(f).flatMap(_.find(_.col == b.col)) match {
-        case None => true
-        case Some(cs) =>
-          // each side independently: unbounded or unparseable keeps the
-          // file; both parseable sides must overlap the [lo, hi] range
-          val loOk = b.lo == null ||
-            cmp(b.dt, cs.max, String.valueOf(b.lo)).forall(_ >= 0)
-          val hiOk = b.hi == null ||
-            cmp(b.dt, cs.min, String.valueOf(b.hi)).forall(_ <= 0)
-          loOk && hiOk
-      }
-    // TRANSFORM-level path pruning (Iceberg-style partition pruning):
-    // a file whose path spells a transform level for a bounded column
-    // prunes by the level's own semantics — days/hours render
-    // FIXED-WIDTH sortable strings (string comparison is
-    // chronological), truncate is monotone (prefix / floor-to-multiple
-    // of the bound endpoints brackets the level value), and bucket
-    // prunes EQUALITY bounds by recomputing the value's bucket (the
-    // level name is self-describing: `<col>_bucket<n>` carries the
-    // count, so any generation's files answer exactly). Files without
-    // a level, and unrenderable bounds, keep the file
-    // (exactness-preserving like every pruning rule here).
-    // levels classify by SCHEMA MEMBERSHIP exactly like the readers: a
-    // directory level that IS a schema column is an identity level, even
-    // when its name is spelled like another column's transform
-    // (`ts_day` as a real column next to `ts`) — transform semantics
-    // must never prune an identity column's arbitrary user values.
-    // (validateLayout refuses such layouts at write time; adopted lakes
-    // never ran it, so the read side must classify correctly too.)
-    val schemaCols: Set[String] = scala.util.Try(DataType.fromJson(st.schemaJson))
-      .toOption.collect { case s: StructType => s.fieldNames.toSet }
-      .getOrElse(Set.empty)
-    def pathOverlaps(f: String, b: ColBound): Boolean = {
+    // a USER column literally named like a reserved pseudo-stat
+    // (possible on a mapping-less lake, where physical = logical) must
+    // never prune against the recorded count/size — capture excludes
+    // such a column's real min/max, so always-keep is the exact answer
+    if (ReservedStatNames(b.col) || b.col.endsWith(NullsStatSuffix)) true
+    else if (b.nullness.isDefined) nullnessOverlaps(b.col, b.nullness.get)
+    else stats.find(_.col == b.col) match {
+      case None => true
+      case Some(cs) =>
+        // each side independently: unbounded or unparseable keeps the
+        // file; both parseable sides must overlap the [lo, hi] range
+        val loOk = b.lo == null ||
+          cmp(b.dt, cs.max, String.valueOf(b.lo)).forall(_ >= 0)
+        val hiOk = b.hi == null ||
+          cmp(b.dt, cs.min, String.valueOf(b.hi)).forall(_ <= 0)
+        loOk && hiOk
+    }
+  }
+
+  /** One file's TRANSFORM-level path verdict for one bound — PURE over
+    * the path, the bound, the schema's column names and the session
+    * zone (threaded explicitly so the LAZY entries job renders time
+    * transforms under the DRIVER's zone, not an executor default).
+    *
+    * Iceberg-style partition pruning: a file whose path spells a
+    * transform level for a bounded column prunes by the level's own
+    * semantics — days/hours render FIXED-WIDTH sortable strings (string
+    * comparison is chronological), truncate is monotone
+    * (prefix / floor-to-multiple of the bound endpoints brackets the
+    * level value), and bucket prunes EQUALITY bounds by recomputing the
+    * value's bucket (the level name is self-describing:
+    * `<col>_bucket<n>` carries the count, so any generation's files
+    * answer exactly). Files without a level, and unrenderable bounds,
+    * keep the file (exactness-preserving like every pruning rule here).
+    * Levels classify by SCHEMA MEMBERSHIP exactly like the readers: a
+    * directory level that IS a schema column is an identity level, even
+    * when its name is spelled like another column's transform
+    * (`ts_day` as a real column next to `ts`) — transform semantics
+    * must never prune an identity column's arbitrary user values.
+    * (validateLayout refuses such layouts at write time; adopted lakes
+    * never ran it, so the read side must classify correctly too.) */
+  private[graft] def pathOverlap(f: String, b: ColBound, schemaCols: Set[String],
+      zone: java.time.ZoneId): Boolean = {
       val dirs = f.split('/').dropRight(1)
       if (dirs.isEmpty) true
       else {
@@ -2262,9 +2360,9 @@ object Lake {
         val truncRe = (java.util.regex.Pattern.quote(b.col) + "_trunc(\\d+)").r
         def timeOk(kind: String, v: String): Boolean = {
           val loOk = b.lo == null ||
-            renderTimeTransform(kind, b.dt, b.lo).forall(v >= _)
+            renderTimeTransform(kind, b.dt, b.lo, zone).forall(v >= _)
           val hiOk = b.hi == null ||
-            renderTimeTransform(kind, b.dt, b.hi).forall(v <= _)
+            renderTimeTransform(kind, b.dt, b.hi, zone).forall(v <= _)
           loOk && hiOk
         }
         def truncOk(w: Int, v: String): Boolean = {
@@ -2319,8 +2417,61 @@ object Lake {
           }
         }
       }
+  }
+
+  private def pruneByStatsPhysical(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
+    val schemaCols: Set[String] = scala.util.Try(DataType.fromJson(st.schemaJson))
+      .toOption.collect { case s: StructType => s.fieldNames.toSet }
+      .getOrElse(Set.empty)
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    st.cpLazy match {
+      case Some((entriesDir, tailAdded)) if bounds.nonEmpty =>
+        pruneLazy(st, bounds, entriesDir, tailAdded, schemaCols, zone)
+      case _ =>
+        st.files.filter(f => bounds.forall(b =>
+          statsOverlap(st.stats.getOrElse(f, Seq.empty), b) &&
+            pathOverlap(f, b, schemaCols, zone)))
     }
-    st.files.filter(f => bounds.forall(b => overlaps(f, b) && pathOverlaps(f, b)))
+  }
+
+  /** The LAZY pruning path ([[LazyStatsKey]]): the checkpoint's files
+    * are judged INSIDE a Spark job over the parquet entries — the exact
+    * [[statsOverlap]]/[[pathOverlap]] predicates, evaluated in tasks
+    * against each file's own stats row — and only the SURVIVORS return
+    * to the driver (the Delta filesForScan shape: driver traffic is
+    * O(matching), never O(files)). Files the TAIL deltas added, and
+    * files whose stats a tail delta RESTATED (their driver-side entries
+    * override the checkpoint's stale row), are judged on the driver
+    * exactly as in eager mode. */
+  private def pruneLazy(st: LakeState, bounds: Seq[ColBound], entriesDir: String,
+      tailAdded: Set[String], schemaCols: Set[String],
+      zone: java.time.ZoneId): Seq[String] = {
+    val spark = SparkSession.active
+    val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
+    val bs = bounds
+    val sc = schemaCols
+    val tz = zone
+    val keptJob: Set[String] = spark.read.schema(CpEntrySchema)
+      .parquet(entriesDir).rdd.flatMap { r =>
+        if (r.getString(0) != "F") None
+        else {
+          val p = r.getString(1)
+          val cs =
+            if (r.isNullAt(3)) Seq.empty[ColStat]
+            else r.getSeq[org.apache.spark.sql.Row](3)
+              .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
+          if (bs.forall(b => statsOverlap(cs, b) && pathOverlap(p, b, sc, tz)))
+            Some(p)
+          else None
+        }
+      }.collect().toSet
+    st.files.filter { f =>
+      if (driverJudged(f))
+        bounds.forall(b => statsOverlap(st.stats.getOrElse(f, Seq.empty), b) &&
+          pathOverlap(f, b, schemaCols, zone))
+      else keptJob(f)
+    }
   }
 
   /** The [[transformCol]] bucket of one bound endpoint, recomputed
@@ -2343,7 +2494,8 @@ object Lake {
     * (java.sql / java.time) endpoint representations — stat-derived and
     * predicate-derived bounds arrive in either. None = unrenderable
     * (keep the file). */
-  private def renderTimeTransform(kind: String, dt: DataType, v: Any): Option[String] = {
+  private def renderTimeTransform(kind: String, dt: DataType, v: Any,
+      zone: java.time.ZoneId): Option[String] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     val pattern = kind match {
       case "years" => "yyyy"
@@ -2352,8 +2504,6 @@ object Lake {
       case _ => "yyyy-MM-dd-HH"
     }
     val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
-    val zone = java.time.ZoneId.of(
-      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val ldt: Option[java.time.LocalDateTime] = (dt, v) match {
       case (_: org.apache.spark.sql.types.TimestampType, l: java.lang.Long) =>
         Some(DateTimeUtils.microsToInstant(l).atZone(zone).toLocalDateTime)
@@ -3712,7 +3862,17 @@ object Lake {
     * genuine overlap. Returns the post-restore read-back. */
   def restore(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    val target = stateAt(spark, lakeDir, version)
+    // the restore DELTA re-records the re-added files' stats — resolve
+    // the target eagerly or a lazily-resolved state would write them
+    // back statless, a permanent metadata loss (not mere conservatism)
+    val target0 = stateAt(spark, lakeDir, version)
+    val target =
+      if (target0.cpLazy.isEmpty) target0
+      else {
+        val (deltas, checkpoints) = listLog(fs, root)
+        resolve(spark, fs, root, lakeDir, version, deltas, checkpoints,
+          forceEager = true)
+      }
     val gone = (target.files ++ target.dvs.values.flatten)
       .filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)

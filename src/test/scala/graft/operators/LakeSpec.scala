@@ -2753,6 +2753,76 @@ class LakeSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.lake.bloom.probeMaxKeys")
   }
 
+  test("lazy-stats resolution: the driver never materializes checkpoint stats; the job-judged prune equals eager; checkpoints never shed stats") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-lazy")
+      def batch(ids: Range) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"))
+      Lake.init(spark, batch(0 until 400)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        out, Seq("split"))                                                   // v1: 4 clustered files
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10), partitionCols = Seq("split")))  // v2..v10: columnar checkpoint
+      Pipeline.appendToLake(spark, out, batch(20000 until 20010),
+        partitionCols = Seq("split"))                                        // v11: tail past the checkpoint
+      val bounds = Seq(Lake.ColBound("doc_id",
+        org.apache.spark.sql.types.LongType, 150L, 250L))
+      // EAGER baseline
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(eagerSt.cpLazy.isEmpty)
+      val eagerKept = Lake.pruneByStats(eagerSt, bounds)
+      assert(eagerKept.nonEmpty && eagerKept.size < eagerSt.files.size,
+        s"the clustered fixture must prune, kept ${eagerKept.size}/${eagerSt.files.size}")
+      // LAZY: checkpoint files' stats never visit the driver...
+      spark.conf.set(Lake.LazyStatsKey, "true")
+      Lake.invalidateStateCache()
+      val lazySt = Lake.latestManifest(spark, out).get
+      assert(lazySt.cpLazy.isDefined, "lazy resolution must mark the state")
+      assert(lazySt.stats.keySet.subsetOf(lazySt.cpLazy.get._2),
+        "the driver may hold stats only for tail-added files")
+      assert(lazySt.files == eagerSt.files && lazySt.dvs == eagerSt.dvs,
+        "everything except the stats map resolves identically")
+      // ...and the job-judged prune equals the eager prune, file for file
+      assert(Lake.pruneByStats(lazySt, bounds) == eagerKept,
+        "the entries-job prune must equal the eager driver prune")
+      val rows = spark.read.option("basePath", out)
+        .parquet(eagerKept.map(f => s"$out/$f"): _*)
+        .filter(col("doc_id").between(150L, 250L)).count()
+      assert(rows == 101L, "no row loss through the lazy-pruned set")
+      // a tail RESTATE moves those files to driver judgment; under lazy
+      // their checkpoint stats are not held, so pruning DEGRADES to
+      // keep (conservative, never wrong) until the next checkpoint
+      Lake.analyzeStats(spark, out, Seq("text"))                             // v12: restates all files
+      Lake.invalidateStateCache()
+      val lazyKept2 = Lake.pruneByStats(Lake.latestManifest(spark, out).get, bounds)
+      assert(eagerKept.toSet.subsetOf(lazyKept2.toSet),
+        "post-restate lazy pruning must stay exactness-preserving")
+      // the NEXT interval checkpoint folds from a LAZY state — the
+      // write-side guard re-resolves eagerly, so v20's checkpoint still
+      // carries the v1 files' stats (a silent shed would be permanent)
+      (1 to 8).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(30000 + 10 * i until 30000 + 10 * i + 5),
+        partitionCols = Seq("split")))                                       // v13..v20
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      val st20 = Lake.stateAt(spark, out, 20L)
+      val v1Files = Lake.stateAt(spark, out, 1L).files
+      val log20 = new java.io.File(out, Lake.LogDirName).listFiles
+        .filter(_.getName.endsWith(".checkpoint")).map(_.getName).toSeq
+      assert(v1Files.forall(f => st20.stats.get(f).exists(_.exists(_.col == "doc_id"))),
+        s"the v20 checkpoint must carry the v1 files' stats — the lazy-write guard; " +
+          s"checkpoints=$log20 sample=${v1Files.headOption.map(f =>
+            f -> st20.stats.getOrElse(f, Seq.empty).map(_.col))}")
+      assert(Lake.read(spark, out).count() == 400 + 90 + 10 + 40)
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("resolved-state cache: re-resolving a version reads zero log files; a checkpoint replace misses and re-resolves") {
     val out = freshDir("lake-state-cache")
     writePlain(fixture(), out)

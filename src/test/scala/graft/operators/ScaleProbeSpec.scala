@@ -486,5 +486,29 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(st.files.size == nFiles && st.stats.size == nFiles,
       "the columnar checkpoint must carry every file and its stats")
     assert(Lake.read(spark, out).count() == 2000L * 500 + 9 * 10)
+    // LAZY-STATS pass: the driver holds file names only; the prune runs
+    // as a job over the entries and equals the eager prune exactly
+    val bounds = Seq(Lake.ColBound("doc_id",
+      org.apache.spark.sql.types.LongType, 300000L, 300500L))
+    val eagerKept = Lake.pruneByStats(st, bounds)
+    spark.conf.set(Lake.LazyStatsKey, "true")
+    try {
+      Lake.invalidateStateCache()
+      val t1 = System.nanoTime()
+      val lazySt = Lake.latestManifest(spark, out).get
+      val lazyResolve = (System.nanoTime() - t1) / 1e9
+      assert(lazySt.cpLazy.isDefined && lazySt.stats.size <= 9,
+        s"lazy resolution must leave the ${nFiles}-file stats in the entries, " +
+          s"got ${lazySt.stats.size} driver entries")
+      val t2 = System.nanoTime()
+      val lazyKept = Lake.pruneByStats(lazySt, bounds)
+      val pruneSec = (System.nanoTime() - t2) / 1e9
+      info(f"lazyResolve=$lazyResolve%.2fs lazyPrune=$pruneSec%.2fs " +
+        f"kept=${lazyKept.size}/$nFiles driverStats=${lazySt.stats.size}")
+      assert(lazyKept == eagerKept,
+        s"the job-judged prune must equal eager: ${lazyKept.size} vs ${eagerKept.size}")
+      assert(eagerKept.size < nFiles / 100,
+        s"the clustered range must prune hard, kept ${eagerKept.size}/$nFiles")
+    } finally spark.conf.unset(Lake.LazyStatsKey)
   }
 }
