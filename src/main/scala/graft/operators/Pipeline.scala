@@ -3020,6 +3020,42 @@ object Pipeline {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM lake GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- px131
+  /** LAZY-STATS resolution end-to-end (px130's columnar-checkpoint lake
+    * under `spark.graft.lake.checkpoint.lazyStats`): the final read
+    * resolves through the v3 stub WITHOUT materializing the checkpoint
+    * files' stats on the driver — pruning, merge-on-read planning and
+    * the aggregate all run off the lazy state. The hash-match (same
+    * oracle construction as px130) certifies the stats-less resolution
+    * serves byte-identical results. */
+  private def px131(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px131_lake")
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.LazyStatsKey, "true")
+    try {
+      val docs = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("split", lit("train"))
+      Lake.init(spark, docs.repartition(8), out, Seq("split"))           // v1
+      (0 until 10).foreach { i =>                                        // v2..v11
+        appendToLake(spark, out,
+          docs.filter(pmod(col("doc_id"), lit(9973L)) === i)
+            .withColumn("doc_id", col("doc_id") + lit(10000000L * (i + 1))))
+      }
+      Lake.invalidateStateCache() // resolve fresh under the lazy conf
+      val st = Lake.latestManifest(spark, out).get
+      require(st.cpLazy.isDefined, "px131 must resolve lazily")
+      Lake.readResolved(spark, out, st)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -3275,5 +3311,6 @@ object Pipeline {
     GraftQuery("px127_lake_layout_transforms", px127, Some(px127Oracle)),
     GraftQuery("px128_lake_bloom_merge", px128, Some(px128Oracle)),
     GraftQuery("px129_lake_null_stats", px129, Some(px129Oracle)),
-    GraftQuery("px130_lake_columnar_checkpoint", px130, Some(px130Oracle)))
+    GraftQuery("px130_lake_columnar_checkpoint", px130, Some(px130Oracle)),
+    GraftQuery("px131_lake_lazy_stats", px131, Some(px130Oracle)))
 }

@@ -2792,6 +2792,11 @@ class LakeSpec extends SparkTestBase {
         .parquet(eagerKept.map(f => s"$out/$f"): _*)
         .filter(col("doc_id").between(150L, 250L)).count()
       assert(rows == 101L, "no row loss through the lazy-pruned set")
+      // END-TO-END: the DSv2 SQL read plans through the lazy state (its
+      // pushed filters route the same pruneByStats) and stays exact
+      assert(spark.read.format("graft-lake").load(out)
+        .filter(col("doc_id").between(150L, 250L)).count() == 101L,
+        "the DSv2 read under lazy resolution must lose nothing")
       // a tail RESTATE moves those files to driver judgment; under lazy
       // their checkpoint stats are not held, so pruning DEGRADES to
       // keep (conservative, never wrong) until the next checkpoint
