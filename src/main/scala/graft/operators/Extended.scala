@@ -870,8 +870,11 @@ object Extended {
     Tables(spark, dir, "orders").createOrReplaceTempView("graft_orders")
     Tables(spark, dir, "customer").createOrReplaceTempView("graft_customer")
     spark.sql(
+      // Spark-side dsum spelled inline: Spark's own decimal→double is
+      // correctly rounded, and `VARCHAR` without a length (the oracle
+      // macro's DuckDB-side conversion fix) does not parse here
       s"""SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) AS n_orders,
-         |  ${oDsum("o.o_totalprice")} AS sum_price
+         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
          |FROM graft_orders o JOIN graft_customer c ON o.o_custkey = c.c_custkey
          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
   }

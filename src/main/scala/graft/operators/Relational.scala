@@ -19,17 +19,23 @@ import graft.{GraftQuery, Tables}
 object Exact {
   def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast(DoubleType)
 
-  /** Oracle-side rendering of [[dsum]]. */
-  def oDsum(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+  /** Oracle-side rendering of [[dsum]]. The decimal→double step routes
+    * through VARCHAR: DuckDB's direct `CAST(DECIMAL AS DOUBLE)`
+    * double-rounds once `value × 10^scale` exceeds 2^53 (int → double,
+    * then ÷10^scale — measured 1-ulp drift on sf0.1 power sums), while
+    * its string→double is correctly rounded, matching Spark's
+    * `BigDecimal.doubleValue`. Below 2^53 the two paths are identical,
+    * so this is strictly more correct at every scale factor. */
+  def oDsum(e: String): String =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
 
-  /** Variant with explicit scale. Keep `value × 10^scale < 2^53` for every
-    * row AND for the group sum: beyond that, the decimal→double conversion
-    * double-rounds (int → double, then ÷10^scale) and engines can disagree
-    * by 1 ulp. Scale 6 is safe to ~9e9 per value / ~9e15 per sum; use
-    * scale 2 for squared terms (power sums). */
+  /** Variant with explicit scale — still keep per-row `value × 10^scale`
+    * representable in DECIMAL(30); the group sum may exceed 2^53 freely
+    * now that the conversion is correctly rounded on both engines. */
   def dsumS(c: Column, scale: Int): Column = sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
 
-  def oDsumS(e: String, scale: Int): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE)"
+  def oDsumS(e: String, scale: Int): String =
+    s"CAST(CAST(SUM(CAST(($e) AS DECIMAL(30,$scale))) AS VARCHAR) AS DOUBLE)"
 }
 
 /** Relational operator coverage (SURVEY.md §2.2): scans, filters, joins of
