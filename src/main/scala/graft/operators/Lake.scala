@@ -117,7 +117,7 @@ object Lake {
     spark.conf.getOption(CheckpointParquetMinEntriesKey)
       .map(_.toInt).getOrElse(CheckpointParquetMinEntriesDefault)
 
-  /** Opt-in LAZY-STATS resolution for columnar checkpoints: when true, a
+  /** LAZY-STATS resolution for columnar checkpoints: when on, a
     * `graft-checkpoint-v3` load materializes file PATHS but leaves the
     * per-file stats in the parquet entries — the read projects only
     * (tag, path, aux), so the stats column is never even decoded — and
@@ -125,13 +125,21 @@ object Lake {
     * entries instead of on the driver. At 10^6 files the eager stats map
     * is multi-GB of driver heap before ANY query plans; lazy mode bounds
     * the driver at the file list and collects only pruning SURVIVORS
-    * (the Delta filesForScan shape). Off by default: maintenance
-    * planners (size pricing, census-free compaction) prefer the
-    * materialized stats and fall back conservatively without them. */
+    * (the Delta filesForScan shape). DEFAULT ON — and because only
+    * states at [[CheckpointParquetMinEntriesKey]] scale ever have a v3
+    * checkpoint, the policy is exactly "lazy above the columnar
+    * threshold, eager below it". Every consumer keeps its numbers under
+    * the mode: size pricing and census-free compaction aggregate
+    * recorded `#rows`/`#bytes` in a job over the same entries
+    * ([[reservedTotals]]/[[reservedPerFile]]), the metadata census and
+    * the sites where a missing stat would be WRONG (checkpoint render,
+    * restore, float→double widen) force an eager resolve. Set the conf
+    * to `false` to pin eager resolution everywhere (driver-resident
+    * stats maps, zero planning jobs). */
   private[graft] val LazyStatsKey = "spark.graft.lake.checkpoint.lazyStats"
 
   private[graft] def lazyStats(spark: SparkSession): Boolean =
-    spark.conf.getOption(LazyStatsKey).exists(_.toBoolean)
+    spark.conf.getOption(LazyStatsKey).forall(_.toBoolean)
 
   /** Columnar-checkpoint loads since JVM start — the observability hook
     * the columnar-checkpoint spec uses to pin that a many-file lake
@@ -223,22 +231,34 @@ object Lake {
         * instead. Logical names; write/read translate through the
         * column mapping. */
       bloomCols: Seq[String] = Seq.empty,
-      /** LAZY-STATS marker (opt-in, [[LazyStatsKey]]): set when this
+      /** LAZY-STATS marker ([[LazyStatsKey]], default on): set when this
         * state resolved through a COLUMNAR checkpoint WITHOUT
-        * materializing its per-file stats on the driver — `(entries
-        * directory name, files the tail deltas added after the
-        * checkpoint)`. [[pruneByStats]] then judges the checkpoint's
-        * files INSIDE the entries read (a Spark job; the driver never
-        * holds the multi-GB stats map a 10^6-file lake carries) and the
-        * tail-added / restated files on the driver as usual. Every
-        * OTHER stats consumer sees an absent stat and falls back
-        * conservatively (filesystem sizes, census counts) — lazy mode
-        * trades maintenance-planning metadata for plan-time driver
-        * memory, the read-heavy-huge-lake profile.
-        * [[writeCheckpoint]] refuses to render from a lazy state (it
-        * re-resolves eagerly) so a checkpoint can never silently shed
-        * its stats. */
-      cpLazy: Option[(String, Set[String])] = None)
+        * materializing its per-file stats on the driver.
+        * [[pruneByStats]] then judges the checkpoint's files INSIDE the
+        * entries read (a Spark job; the driver never holds the multi-GB
+        * stats map a 10^6-file lake carries) — or, when every bound's
+        * column is outside [[CpLazy.statCols]], entirely from the file
+        * PATHS with zero jobs — and the tail-added / restated files on
+        * the driver as usual. Size/row pricing aggregates in the same
+        * entries ([[reservedTotals]]); [[writeCheckpoint]] folds the
+        * entries forward incrementally so a checkpoint can never
+        * silently shed its stats. */
+      cpLazy: Option[CpLazy] = None)
+
+  /** The lazy-resolution marker's payload: the checkpoint's parquet
+    * entries directory, the files tail deltas added after it (their
+    * stats are driver-resident, so they are judged on the driver), and
+    * the SET of stat-column names the entries may carry — from the
+    * stub's `SC` line, a SUPERSET by construction (checkpoint writers
+    * fold it forward union-wise; removals never shrink it). The set is
+    * the TWO-LEVEL pruning key: a bound on a column outside it provably
+    * matches no entries stat, so `statsOverlap` is vacuously true for
+    * every checkpoint resident and the PATH alone decides — a
+    * partition-banded predicate plans with ZERO entries jobs (the
+    * Iceberg manifest-list idea, carried in O(columns) stub bytes).
+    * `None` = a stub written before `SC` existed: unknown, always job. */
+  final case class CpLazy(entriesDir: String, tailAdded: Set[String],
+      statCols: Option[Set[String]])
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -677,7 +697,8 @@ object Lake {
     * a partial entries read fails loudly instead of resolving a state
     * that silently lost files). `v3` implies a complete history section,
     * like `v2`. */
-  private def renderCheckpointStub(st: LakeState, dirName: String, entries: Long): String = {
+  private def renderCheckpointStub(st: LakeState, dirName: String, entries: Long,
+      statCols: Option[Set[String]]): String = {
     val header = "graft-checkpoint-v3"
     val schema = s"S\t${enc(st.schemaJson)}"
     val pq = s"PQ\t${enc(dirName)}\t$entries"
@@ -686,7 +707,13 @@ object Lake {
     val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
     val blm = if (st.bloomCols.isEmpty) Seq.empty
       else Seq((Seq("BY") ++ st.bloomCols.map(enc)).mkString("\t"))
-    (header +: schema +: pq +: (txns ++ checks ++ lay ++ blm)).mkString("\n")
+    // `SC`: the stat-column census of the entries (a bounded superset —
+    // at most the 32-col capture width plus reserved/null names). Lazy
+    // readers use it as the TWO-LEVEL pruning key: a bound on a column
+    // not listed here needs no entries job at all.
+    val sc = statCols.toSeq.map(cols =>
+      (Seq("SC") ++ cols.toSeq.sorted.map(enc)).mkString("\t"))
+    (header +: schema +: pq +: (txns ++ checks ++ lay ++ blm ++ sc)).mkString("\n")
   }
 
   /** The file-scale sections of `st` as columnar-checkpoint entry rows
@@ -727,6 +754,7 @@ object Lake {
     val checks = Map.newBuilder[String, String]
     var layout: Option[Seq[String]] = None
     var bloomCols: Seq[String] = Seq.empty
+    var scCols: Option[Set[String]] = None
     text.split('\n').toSeq.filter(_.nonEmpty).tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -736,6 +764,7 @@ object Lake {
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case "LY" => layout = Some(f.tail.map(dec))
         case "BY" => bloomCols = f.tail.map(dec)
+        case "SC" => scCols = Some(f.tail.map(dec).toSet)
         case other => throw new IllegalStateException(s"unknown checkpoint stub line tag: $other")
       }
     }
@@ -786,7 +815,7 @@ object Lake {
       checks = checks.result(),
       layout = layout,
       bloomCols = bloomCols,
-      cpLazy = if (lazyMode) Some((dir.toString, Set.empty)) else None)
+      cpLazy = if (lazyMode) Some(CpLazy(dir.toString, Set.empty, scCols)) else None)
   }
 
   /** Full log-file reads since JVM start — the observability hook the
@@ -953,8 +982,8 @@ object Lake {
       // lazy marker folds forward: every tail-added file is judged on
       // the driver (its stats came from the delta), the checkpoint's
       // own files stay job-judged
-      cpLazy = st.cpLazy.map { case (dir, tail) =>
-        (dir, tail ++ d.added.map(_._1)) })
+      cpLazy = st.cpLazy.map(lz =>
+        lz.copy(tailAdded = lz.tailAdded ++ d.added.map(_._1))))
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -980,13 +1009,14 @@ object Lake {
     * it, plus a replay of the deltas after it. Throws
     * IllegalArgumentException when the version was never committed or its
     * history has been retired by [[vacuumKeeping]]. */
-  private[graft] def stateAt(spark: SparkSession, lakeDir: String, version: Long): LakeState = {
+  private[graft] def stateAt(spark: SparkSession, lakeDir: String, version: Long,
+      forceEager: Boolean = false): LakeState = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val (deltas, checkpoints) = listLog(fs, root)
     if (!deltas.contains(version))
       throw new IllegalArgumentException(
         s"lake $lakeDir has no committed manifest version $version")
-    resolve(spark, fs, root, lakeDir, version, deltas, checkpoints)
+    resolve(spark, fs, root, lakeDir, version, deltas, checkpoints, forceEager)
   }
 
   /** Resolved-state cache: a version's state is immutable once committed
@@ -1086,8 +1116,10 @@ object Lake {
 
   /** Current state: the latest committed state, or a bootstrap version 0
     * built from the directory listing when the lake predates the log. */
-  private[graft] def currentState(spark: SparkSession, lakeDir: String): LakeState =
-    latestManifest(spark, lakeDir).getOrElse {
+  private[graft] def currentState(spark: SparkSession, lakeDir: String,
+      forceEager: Boolean = false): LakeState =
+    (if (forceEager) latestEager(spark, lakeDir)
+     else latestManifest(spark, lakeDir)).getOrElse {
       val files = listDataFiles(spark, lakeDir)
       val schemaJson =
         if (files.isEmpty) StructType(Seq.empty).json
@@ -1407,7 +1439,7 @@ object Lake {
       // Filters arrive over the PHYSICAL scan schema, so bounds build
       // and match in physical names end to end.
       val prune: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]]] =
-        pruneState.filter(_.stats.nonEmpty).map { st =>
+        pruneState.filter(s => s.stats.nonEmpty || s.cpLazy.isDefined).map { st =>
           val inRead = files.toSet
           filters => {
             val bounds = org.apache.spark.sql.graft.LakeStatPruning
@@ -1600,15 +1632,21 @@ object Lake {
       st0: LakeState, overwrite: Boolean = false): Unit = {
     val target = new Path(logDir(root), checkpointName(st0.version))
     if (fs.exists(target) && !overwrite) return
-    // a LAZY-resolved state must never render into a checkpoint — its
-    // checkpoint files' stats were deliberately left in the OLD entries
-    // directory, and writing without them would shed the lake's
-    // data-skipping metadata permanently. Re-resolve the version's stats
-    // eagerly and graft them under the caller's state: only the stats
-    // merge in, because the caller may have REWRITTEN the other sections
-    // (vacuumKeeping's history-trimming retention cut).
+    // a LAZY-resolved state must never shed its checkpoint files' stats
+    // into a checkpoint. When the NEW checkpoint goes columnar, the
+    // stats never need the driver at all: [[writeEntriesIncremental]]
+    // folds the prior entries directory forward inside one Spark job
+    // (drop removed files, merge restates, append the driver-resident
+    // tail — the Iceberg manifest-reuse idea), so a 10^6-file lake
+    // checkpoints with O(tail) driver traffic. Only a lake that SHRANK
+    // below the columnar threshold re-resolves eagerly (its checkpoint
+    // renders as text, which needs every stat driver-side) — and only
+    // the stats graft in, because the caller may have REWRITTEN the
+    // other sections (vacuumKeeping's history-trimming retention cut).
+    val entries = checkpointEntryCount(st0)
+    val goColumnar = entries >= checkpointParquetMinEntries(spark)
     val st =
-      if (st0.cpLazy.isEmpty) st0
+      if (st0.cpLazy.isEmpty || goColumnar) st0
       else {
         val (deltas, checkpoints) = listLog(fs, root)
         val eager = resolve(spark, fs, root, root.toString, st0.version,
@@ -1624,22 +1662,34 @@ object Lake {
     // fresh UUID-named directory no reader can discover), then the stub's
     // rename below stays the single atomic commit point — exactly the
     // stage-then-publish discipline of the data commits themselves
-    val entries = checkpointEntryCount(st)
+    // the stub's stat-column census folds forward union-wise: the lazy
+    // state's driver stats (tail adds + restates) can only ADD names to
+    // the prior stub's set — a superset stays a sound two-level key
+    val scOut: Option[Set[String]] = st.cpLazy match {
+      case None => Some(st.stats.valuesIterator.flatten.map(_.col).toSet)
+      case Some(lz) =>
+        lz.statCols.map(_ ++ st.stats.valuesIterator.flatten.map(_.col))
+    }
     val pqDir: Option[Path] =
-      if (entries >= checkpointParquetMinEntries(spark)) {
+      if (goColumnar) {
         val dir = new Path(logDir(root), pqEntriesName(st.version))
-        val rows = checkpointEntryRows(st)
-        // ~100k entries per task: wide enough to matter at 10^6 files,
-        // one task for the common case
-        val slices = math.max(1, math.min(32, rows.size / 100000))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, slices), CpEntrySchema)
-          .write.parquet(dir.toString)
+        st.cpLazy match {
+          case Some(CpLazy(oldDir, tailAdded, _)) =>
+            writeEntriesIncremental(spark, st, oldDir, tailAdded, dir)
+          case None =>
+            val rows = checkpointEntryRows(st)
+            // ~100k entries per task: wide enough to matter at 10^6
+            // files, one task for the common case
+            val slices = math.max(1, math.min(32, rows.size / 100000))
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(rows, slices), CpEntrySchema)
+              .write.parquet(dir.toString)
+        }
         Some(dir)
       } else None
     def dropPq(): Unit = pqDir.foreach(d => fs.delete(d, true))
     val payload = pqDir match {
-      case Some(d) => renderCheckpointStub(st, d.getName, entries)
+      case Some(d) => renderCheckpointStub(st, d.getName, entries, scOut)
       case None => renderCheckpoint(st)
     }
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
@@ -1688,6 +1738,64 @@ object Lake {
     }
   }
 
+  /** Incremental columnar-checkpoint write from a LAZILY-resolved state:
+    * the new entries directory derives from the PRIOR checkpoint's
+    * entries in one Spark job — keep each old F row whose file is still
+    * live, merge any tail-delta stat RESTATE onto its row (per column,
+    * exactly [[mergeStatCols]] — the old row stays authoritative for
+    * columns the restate didn't touch), drop removed files, and union
+    * the driver-resident tail (tail-added F rows with their delta
+    * stats, plus the H/V/VH/CF sections, which are manifest-sized and
+    * always driver-resident). The checkpoint files' stats thus flow
+    * old-entries → new-entries entirely on executors: a 10^6-file lake
+    * checkpoints with O(tail) driver traffic and zero stats
+    * materialization (Iceberg snapshots reuse unchanged manifest files
+    * the same way). Consistency is transitive: `st` resolved THROUGH
+    * `oldDir` (its torn-count check passed), so every live
+    * checkpoint-resident file provably has its F row there. */
+  private def writeEntriesIncremental(spark: SparkSession, st: LakeState,
+      oldDir: String, tailAdded: Set[String], dir: Path): Unit = {
+    import org.apache.spark.sql.Row
+    checkpointIncrementalWrites.incrementAndGet()
+    val keepArr: Array[String] = (st.files.toSet -- tailAdded).toArray.sorted
+    // tail restates onto checkpoint residents: small by construction
+    // (a delta's statRestates section), rides to tasks as a plain map
+    val restates: Map[String, Seq[(String, String, String)]] =
+      st.stats.view.filterKeys(f => !tailAdded(f))
+        .mapValues(_.map(c => (c.col, c.min, c.max))).toMap
+    val oldKept = spark.read.schema(CpEntrySchema).parquet(oldDir).rdd
+      .flatMap { r =>
+        if (r.getString(0) != "F") None // non-F sections rebuild driver-side
+        else if (java.util.Arrays.binarySearch(
+            keepArr.asInstanceOf[Array[AnyRef]], r.getString(1)) < 0) None
+        else {
+          val p = r.getString(1)
+          val base: Seq[Row] = if (r.isNullAt(3)) Seq.empty else r.getSeq[Row](3)
+          val merged = restates.get(p) match {
+            case None => base
+            case Some(re) =>
+              base.filterNot(o => re.exists(_._1 == o.getString(0))) ++
+                re.map { case (c, mn, mx) => Row(c, mn, mx) }
+          }
+          Some(Row("F", p, null, if (merged.isEmpty) null else merged))
+        }
+      }
+    val tailRows = checkpointEntryRows(st.copy(
+      files = st.files.filter(tailAdded),
+      stats = st.stats.view.filterKeys(tailAdded).toMap))
+    val tailRdd = spark.sparkContext.parallelize(
+      tailRows, math.max(1, math.min(32, tailRows.size / 100000)))
+    spark.createDataFrame(oldKept.union(tailRdd), CpEntrySchema)
+      .write.parquet(dir.toString)
+  }
+
+  /** Incremental (lazy-state) columnar checkpoint writes since JVM
+    * start — the spec pins that an interval checkpoint folded from a
+    * lazy state takes this path instead of an eager re-resolve.
+    * Observability only. */
+  private[graft] val checkpointIncrementalWrites =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Delete every parquet entries directory of `version` except `keep` —
     * leftovers of a replaced columnar checkpoint or a crashed write (the
     * stub rename is the commit point, so an unreferenced directory is
@@ -1727,6 +1835,137 @@ object Lake {
     files.foreach(f => fs.delete(new Path(root, f), false))
   }
 
+  // ------------------------------------------------------------------
+  // Distributed maintenance primitives (the Delta VACUUM shape: the
+  // driver keeps the manifest diff; listing and deleting run as jobs)
+  // ------------------------------------------------------------------
+
+  /** Live-file count at or above which [[vacuum]]/[[vacuumKeeping]]
+    * distribute their tree listing and their deletes as Spark jobs —
+    * below it the serial driver loop is cheaper than two job launches.
+    * The gate reads the MANIFEST's live count (known before any
+    * listing), the honest proxy for corpus size: at 10^6-10^7 files a
+    * serial recursive listing plus per-file delete round-trips is hours
+    * of driver wall-clock; distributed, both are O(files/executors). */
+  val VacuumDistributeMinDefault = 512
+
+  private[graft] val VacuumDistributeMinKey =
+    "spark.graft.lake.vacuum.distributeMinFiles"
+
+  private[graft] def vacuumDistributeMin(spark: SparkSession): Int =
+    spark.conf.getOption(VacuumDistributeMinKey)
+      .map(_.toInt).getOrElse(VacuumDistributeMinDefault)
+
+  /** Driver-side filesystem calls made by the maintenance sweeps
+    * ([[vacuum]] / [[vacuumKeeping]]) since JVM start — the distribution
+    * spec pins that on a many-file lake this is bounded by DIRECTORIES
+    * (one top-level listing, one bulk status call per fixed sidecar
+    * root), never by files. Observability only. */
+  private[graft] val vacuumDriverFsOps =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def vOp[T](t: => T): T = { vacuumDriverFsOps.incrementAndGet(); t }
+
+  /** The driver's hadoop conf as plain entries, rebuildable inside tasks
+    * (credentials, fs impls) — `SerializableConfiguration` is
+    * private[spark], so the maintenance jobs ride the same device as
+    * [[footerStats]]. */
+  private def hadoopConfProps(spark: SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sessionState.newHadoopConf().iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+  }
+
+  /** `(relPath, mtime)` inventory of the lake's qualifying parquet data
+    * files. `distribute = true` runs each top-level directory's
+    * recursive walk INSIDE a task (the Delta VACUUM parallel-listing
+    * shape) — the driver lists only the lake root, and every file's
+    * mtime rides back WITH the listing so grace-period checks never
+    * re-stat. Serial mode walks on the driver exactly like
+    * [[listDataFiles]], still carrying mtimes from the same iterator. */
+  private def dataFileInventory(spark: SparkSession, lakeDir: String,
+      distribute: Boolean): Seq[(String, Long)] = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    if (!vOp(fs.exists(root))) return Seq.empty
+    val qroot = fs.makeQualified(root)
+    def keep(rel: String): Boolean =
+      rel.endsWith(".parquet") &&
+        !rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+    val top = vOp(fs.listStatus(root)).toSeq
+      .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+    val (dirs, rootFiles) = top.partition(_.isDirectory)
+    val out = Seq.newBuilder[(String, Long)]
+    rootFiles.foreach { s =>
+      val rel = relativize(qroot, fs.makeQualified(s.getPath))
+      if (keep(rel)) out += rel -> s.getModificationTime
+    }
+    if (dirs.nonEmpty && !distribute) {
+      dirs.foreach { d =>
+        val it = vOp(fs.listFiles(d.getPath, true))
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = relativize(qroot, fs.makeQualified(st.getPath))
+          if (keep(rel)) out += rel -> st.getModificationTime
+        }
+      }
+    } else if (dirs.nonEmpty) {
+      val confProps = hadoopConfProps(spark)
+      val rootPrefix = qroot.toUri.getPath.stripSuffix("/")
+      val dirStrs = dirs.map(_.getPath.toString)
+      out ++= spark.sparkContext
+        .parallelize(dirStrs, math.min(dirStrs.size, spark.sparkContext.defaultParallelism))
+        .flatMap { dir =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confProps.foreach { case (k, v) => conf.set(k, v) }
+          val p = new Path(dir)
+          val tfs = p.getFileSystem(conf)
+          val b = Seq.newBuilder[(String, Long)]
+          val it = tfs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val fp = tfs.makeQualified(st.getPath).toUri.getPath
+            if (fp.startsWith(rootPrefix + "/")) {
+              val rel = fp.substring(rootPrefix.length + 1)
+              if (keep(rel)) b += rel -> st.getModificationTime
+            }
+            // a file outside the root prefix can only appear through a
+            // symlink-style FS quirk; the serial path REFUSES there —
+            // match it rather than silently skipping
+            else throw new IllegalStateException(
+              s"$fp is not under lake root $rootPrefix")
+          }
+          b.result()
+        }.collect()
+    }
+    out.result().distinct.sortBy(_._1)
+  }
+
+  /** Delete lake-relative paths — `(rel, recursive)` pairs — in a Spark
+    * job when `distribute` and the batch is large, serially otherwise.
+    * Deletes are idempotent (a missing path is a no-op), so a retried
+    * task re-deleting its partition is harmless. */
+  private def reclaimPaths(spark: SparkSession, lakeDir: String,
+      entries: Seq[(String, Boolean)], distribute: Boolean): Unit = {
+    if (entries.isEmpty) return
+    val (fs, root) = fsRoot(spark, lakeDir)
+    if (!distribute) {
+      entries.foreach { case (rel, rec) => vOp(fs.delete(new Path(root, rel), rec)) }
+    } else {
+      val confProps = hadoopConfProps(spark)
+      val rootStr = fs.makeQualified(root).toString
+      spark.sparkContext
+        .parallelize(entries, math.min(
+          1 + entries.size / 1000, spark.sparkContext.defaultParallelism))
+        .foreachPartition { it =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confProps.foreach { case (k, v) => conf.set(k, v) }
+          val r = new Path(rootStr)
+          val tfs = r.getFileSystem(conf)
+          it.foreach { case (rel, rec) => tfs.delete(new Path(r, rel), rec) }
+        }
+    }
+  }
+
   /** Total on-disk bytes of the given lake files (driver-side statting,
     * bounded by the caller's affected set — used to translate a byte
     * sizing target into a row target from observed bytes/row). */
@@ -1744,13 +1983,137 @@ object Lake {
       .flatMap(_.min.toLongOption)
 
   /** Total bytes of `files`, preferring recorded sizes — only files the
-    * manifest has not sized pay a filesystem round-trip. */
+    * manifest has not sized pay a filesystem round-trip. LAZY-AWARE:
+    * a lazily-resolved state answers its checkpoint residents from one
+    * job over the parquet entries ([[reservedTotals]]), so size pricing
+    * keeps its exact numbers with zero driver stats under the mode. */
   private[graft] def fileBytes(spark: SparkSession, lakeDir: String,
       files: Seq[String], st: LakeState): Long = {
-    val (sized, unsized) = files.map(f => f -> statBytesOf(st, f))
-      .partition(_._2.isDefined)
-    sized.flatMap(_._2).sum +
-      (if (unsized.isEmpty) 0L else fileBytes(spark, lakeDir, unsized.map(_._1)))
+    val (_, bytes, unsized) = reservedTotals(spark, st, files)
+    bytes + (if (unsized.isEmpty) 0L else fileBytes(spark, lakeDir, unsized))
+  }
+
+  /** Aggregate RECORDED reserved stats (`#rows`, `#bytes`) over `files`,
+    * lazy-aware: files whose stats are driver-resident (tail-delta adds,
+    * restates, every file of an eager state) answer from `st.stats`; a
+    * lazily-resolved state's checkpoint residents aggregate inside ONE
+    * Spark job over the parquet entries — only three numbers and the
+    * (typically empty) uncaptured-file list return to the driver, never
+    * the stats rows. Returns `(rowsTotal, bytesTotal, unsized)`:
+    * `rowsTotal` is `Some(sum)` iff EVERY requested file records
+    * `#rows`; `bytesTotal` sums the files that record `#bytes`; `unsized`
+    * lists the files that don't (the caller's filesystem fallback).
+    * The same conservative degradation as [[pruneLazy]]: a checkpoint
+    * file RESTATED by a tail delta is driver-judged on its partial
+    * restated row, so its reserved stats read as uncaptured until the
+    * next checkpoint — pessimistic, never wrong. */
+  private[graft] def reservedTotals(spark: SparkSession, st: LakeState,
+      files: Seq[String]): (Option[Long], Long, Seq[String]) = {
+    def driverSide(fs: Seq[String]): (Option[Long], Long, Seq[String]) = {
+      var rows = 0L; var rowsOk = true; var bytes = 0L
+      val unsized = Seq.newBuilder[String]
+      fs.foreach { f =>
+        val cs = st.stats.getOrElse(f, Seq.empty)
+        cs.find(_.col == RowsStatName).flatMap(_.min.toLongOption) match {
+          case Some(n) => rows += n
+          case None => rowsOk = false
+        }
+        cs.find(_.col == BytesStatName).flatMap(_.min.toLongOption) match {
+          case Some(b) => bytes += b
+          case None => unsized += f
+        }
+      }
+      (if (rowsOk) Some(rows) else None, bytes, unsized.result())
+    }
+    st.cpLazy match {
+      case None => driverSide(files)
+      case Some(CpLazy(entriesDir, tailAdded, _)) =>
+        val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
+        val (local, cpResident) = files.partition(driverJudged)
+        val (lRows, lBytes, lUnsized) = driverSide(local)
+        if (cpResident.isEmpty) return (lRows, lBytes, lUnsized)
+        // sorted-array membership instead of a Set broadcast: at 10^6
+        // requested paths the array is the compact form and each task
+        // binary-searches it
+        val wanted = cpResident.toArray.sorted
+        val rn = RowsStatName; val bn = BytesStatName
+        val (matched, cRowsOpt, cBytes, cUnsized) =
+          spark.read.schema(CpEntrySchema).parquet(entriesDir).rdd
+            .mapPartitions { it =>
+              var m = 0L; var rows = 0L; var rowsOk = true; var bytes = 0L
+              val un = Seq.newBuilder[String]
+              it.foreach { r =>
+                if (r.getString(0) == "F" &&
+                    java.util.Arrays.binarySearch(
+                      wanted.asInstanceOf[Array[AnyRef]], r.getString(1)) >= 0) {
+                  m += 1
+                  val cs: Seq[org.apache.spark.sql.Row] =
+                    if (r.isNullAt(3)) Seq.empty else r.getSeq(3)
+                  cs.find(_.getString(0) == rn)
+                    .flatMap(_.getString(1).toLongOption) match {
+                    case Some(n) => rows += n
+                    case None => rowsOk = false
+                  }
+                  cs.find(_.getString(0) == bn)
+                    .flatMap(_.getString(1).toLongOption) match {
+                    case Some(b) => bytes += b
+                    case None => un += r.getString(1)
+                  }
+                }
+              }
+              Iterator.single((m, if (rowsOk) Some(rows) else None, bytes, un.result()))
+            }.fold((0L, Some(0L): Option[Long], 0L, Seq.empty[String])) {
+              case ((m1, r1, b1, u1), (m2, r2, b2, u2)) =>
+                (m1 + m2, for (a <- r1; b <- r2) yield a + b, b1 + b2, u1 ++ u2)
+            }
+        if (matched != wanted.length)
+          throw new IllegalStateException(
+            s"lazy reserved-stats aggregation is torn: entries $entriesDir matched " +
+              s"$matched of ${wanted.length} checkpoint-resident files")
+        (for (a <- lRows; b <- cRowsOpt) yield a + b,
+          lBytes + cBytes, lUnsized ++ cUnsized)
+    }
+  }
+
+  /** Per-file RECORDED reserved stats (`#rows`, `#bytes`) for `files`,
+    * lazy-aware like [[reservedTotals]] but returning the individual
+    * numbers — for planners that need them grouped (compaction's
+    * per-directory manifest pricing). Driver traffic is O(requested):
+    * the caller's file list is already driver-resident, so the collected
+    * (path, rows, bytes) triples add a constant factor, never a new
+    * asymptote. Absent map values mean "never captured". */
+  private[graft] def reservedPerFile(spark: SparkSession, st: LakeState,
+      files: Seq[String]): Map[String, (Option[Long], Option[Long])] = {
+    def local(f: String): (Option[Long], Option[Long]) = {
+      val cs = st.stats.getOrElse(f, Seq.empty)
+      (cs.find(_.col == RowsStatName).flatMap(_.min.toLongOption),
+        cs.find(_.col == BytesStatName).flatMap(_.min.toLongOption))
+    }
+    st.cpLazy match {
+      case None => files.iterator.map(f => f -> local(f)).toMap
+      case Some(CpLazy(entriesDir, tailAdded, _)) =>
+        val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
+        val (loc, cpResident) = files.partition(driverJudged)
+        val base = loc.iterator.map(f => f -> local(f)).toMap
+        if (cpResident.isEmpty) return base
+        val wanted = cpResident.toArray.sorted
+        val rn = RowsStatName; val bn = BytesStatName
+        val fromJob = spark.read.schema(CpEntrySchema).parquet(entriesDir).rdd
+          .flatMap { r =>
+            if (r.getString(0) == "F" &&
+                java.util.Arrays.binarySearch(
+                  wanted.asInstanceOf[Array[AnyRef]], r.getString(1)) >= 0) {
+              val cs: Seq[org.apache.spark.sql.Row] =
+                if (r.isNullAt(3)) Seq.empty else r.getSeq(3)
+              Some((r.getString(1),
+                (cs.find(_.getString(0) == rn).flatMap(_.getString(1).toLongOption),
+                  cs.find(_.getString(0) == bn).flatMap(_.getString(1).toLongOption))))
+            } else None
+          }.collect().toMap
+        // files the entries somehow missed read as uncaptured (never wrong)
+        base ++ cpResident.iterator.map(f =>
+          f -> fromJob.getOrElse(f, (None: Option[Long], None: Option[Long])))
+    }
   }
 
   /** Does `ours` project into `theirs` — every field present with the
@@ -1867,9 +2230,10 @@ object Lake {
         layout = sc.layout.orElse(base.layout),
         bloomCols = sc.bloomCols.getOrElse(base.bloomCols),
         // the lazy marker folds forward exactly as in [[applyDelta]]:
-        // staged files are driver-judged, and [[writeCheckpoint]]'s
-        // guard re-resolves eagerly before any checkpoint render
-        cpLazy = base.cpLazy.map { case (d, tail) => (d, tail ++ sc.stagedFiles) })
+        // staged files are driver-judged, and [[writeCheckpoint]] folds
+        // the entries forward incrementally before any checkpoint render
+        cpLazy = base.cpLazy.map(lz =>
+          lz.copy(tailAdded = lz.tailAdded ++ sc.stagedFiles)))
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -2064,6 +2428,13 @@ object Lake {
     * these — every footer is opened inside a task instead. */
   private[graft] val footerDriverReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Audits that fell back to the DATA-SCAN aggregate (path-level or
+    * non-comparable statsCols) since JVM start — the footer-audit spec
+    * pins that ordinary named-stats commits perform ZERO of these: their
+    * capture rides the same one-footer-open-per-file pass as the default
+    * audit. Observability only. */
+  private[graft] val auditScanJobs = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def footerStatsOne(root: Path, rel: String, cols: Seq[(String, DataType)],
       conf: org.apache.hadoop.conf.Configuration): (String, (Long, Long, Seq[ColStat])) = {
     import scala.jdk.CollectionConverters._
@@ -2199,6 +2570,25 @@ object Lake {
     // read-back's inferred schema then decides which stats cols exist
     val valid = statsCols.filter(df.schema.fieldNames.contains)
       .filterNot(ReservedStatNames).filterNot(_.endsWith(NullsStatSuffix)).distinct
+    // NAMED stats take the footer pass too whenever every requested
+    // column is a comparable DATA column: the writers' own footer
+    // metadata answers min/max/nulls/counts in one footer open per file,
+    // so the per-commit stats capture costs ZERO data decode — the
+    // aggregate read-back below survives only for PATH-LEVEL statsCols
+    // (partition values live in directory names, not footers) and
+    // non-comparable types. Same encodings as the default capture, so
+    // pruning reads both interchangeably.
+    val namedPathLevels = stagedFiles.headOption.toSeq.flatMap(layoutOfPath).toSet
+    if (valid.forall(c => statsComparable(df.schema(c).dataType) &&
+        !namedPathLevels(c))) {
+      val cols = valid.map(c => physOf(c) -> df.schema(c).dataType)
+      val perFile = footerStats(spark, root, stagedFiles, cols)
+      return (perFile.values.map(_._1).sum,
+        perFile.map { case (f, (n, bytes, st)) =>
+          f -> (st :+ ColStat(RowsStatName, n.toString, n.toString)
+            :+ ColStat(BytesStatName, bytes.toString, bytes.toString)) })
+    }
+    auditScanJobs.incrementAndGet()
     val aggs = count(lit(1)).as("_n") +:
       max(col("_metadata.file_size")).as("_gf_sz") +:
       valid.flatMap(c => Seq(min(col(c)).as(s"_mn_$c"), max(col(c)).as(s"_mx_$c"),
@@ -2399,13 +2789,48 @@ object Lake {
           // only an EQUALITY bound maps through a hash
           if (b.lo == null || b.hi == null || b.lo != b.hi) true
           else bucketOf(b.dt, b.lo, n).forall(x => v == x.toString)
+        def identityOk(v: String): Boolean = {
+          val isNullLevel = v == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          b.nullness match {
+            // an identity level makes the column CONSTANT per directory:
+            // IS NULL keeps only the default-partition dir, IS NOT NULL
+            // prunes exactly it
+            case Some(wantNull) => isNullLevel == wantNull
+            case None if isNullLevel =>
+              // a null value satisfies no value range (three-valued logic)
+              b.lo == null && b.hi == null
+            case None =>
+              def c(x: String, y: String): Option[Int] = b.dt match {
+                case LongType | IntegerType | ShortType | ByteType =>
+                  for (a <- x.toLongOption; d <- y.toLongOption)
+                    yield java.lang.Long.compare(a, d)
+                case DoubleType | FloatType =>
+                  for (a <- x.toDoubleOption; d <- y.toDoubleOption)
+                    yield java.lang.Double.compare(a, d)
+                case StringType => Some(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                    .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+                case _ => None // unrenderable type: keep the file
+              }
+              val loOk = b.lo == null || c(v, String.valueOf(b.lo)).forall(_ >= 0)
+              val hiOk = b.hi == null || c(v, String.valueOf(b.hi)).forall(_ <= 0)
+              loOk && hiOk
+          }
+        }
         dirs.forall { seg =>
           val eq = seg.indexOf('=')
           if (eq <= 0) true
           else {
             val (lvl, v) = (unesc(seg.take(eq)), unesc(seg.drop(eq + 1)))
             lvl match {
-              case _ if schemaCols.contains(lvl) => true // identity level
+              // an IDENTITY level spelling the bound column: the path
+              // value IS the column value — prune it here so manifest
+              // planners (sparse DML candidates, the lazy zero-job fast
+              // path) need neither stats nor Spark's downstream
+              // partition pruning to skip whole directories
+              case _ if lvl == b.col && schemaCols.contains(lvl) => identityOk(v)
+              case _ if schemaCols.contains(lvl) => true // other identity level
               case _ if lvl == b.col + "_year" => timeOk("years", v)
               case _ if lvl == b.col + "_month" => timeOk("months", v)
               case _ if lvl == b.col + "_day" => timeOk("days", v)
@@ -2426,8 +2851,8 @@ object Lake {
     val zone = java.time.ZoneId.of(
       org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     st.cpLazy match {
-      case Some((entriesDir, tailAdded)) if bounds.nonEmpty =>
-        pruneLazy(st, bounds, entriesDir, tailAdded, schemaCols, zone)
+      case Some(lz) if bounds.nonEmpty =>
+        pruneLazy(st, bounds, lz, schemaCols, zone)
       case _ =>
         st.files.filter(f => bounds.forall(b =>
           statsOverlap(st.stats.getOrElse(f, Seq.empty), b) &&
@@ -2444,16 +2869,38 @@ object Lake {
     * files whose stats a tail delta RESTATED (their driver-side entries
     * override the checkpoint's stale row), are judged on the driver
     * exactly as in eager mode. */
-  private def pruneLazy(st: LakeState, bounds: Seq[ColBound], entriesDir: String,
-      tailAdded: Set[String], schemaCols: Set[String],
+  private def pruneLazy(st: LakeState, bounds: Seq[ColBound], lz: CpLazy,
+      schemaCols: Set[String],
       zone: java.time.ZoneId): Seq[String] = {
     val spark = SparkSession.active
-    val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
+    val driverJudged: Set[String] = st.stats.keySet ++ lz.tailAdded
+    // TWO-LEVEL fast path: when no bound's column appears in the stub's
+    // stat-column census, no entries row can carry a stat for it —
+    // statsOverlap is vacuously true for every checkpoint resident
+    // (reserved names short-circuit inside statsOverlap regardless), so
+    // the PATH decides alone and the prune plans with ZERO jobs. This is
+    // exactly the partition-banded predicate: identity and transform
+    // levels live in directory names, never in footer stats.
+    val needsEntries = lz.statCols match {
+      case None => true // pre-SC stub: unknown census, judge in the job
+      case Some(cols) => bounds.exists(b => !ReservedStatNames(b.col) &&
+        !b.col.endsWith(NullsStatSuffix) &&
+        (if (b.nullness.isDefined) cols(b.col + NullsStatSuffix) else cols(b.col)))
+    }
+    if (!needsEntries) {
+      return st.files.filter { f =>
+        if (driverJudged(f))
+          bounds.forall(b => statsOverlap(st.stats.getOrElse(f, Seq.empty), b) &&
+            pathOverlap(f, b, schemaCols, zone))
+        else bounds.forall(b => pathOverlap(f, b, schemaCols, zone))
+      }
+    }
+    lazyPruneJobs.incrementAndGet()
     val bs = bounds
     val sc = schemaCols
     val tz = zone
     val keptJob: Set[String] = spark.read.schema(CpEntrySchema)
-      .parquet(entriesDir).rdd.flatMap { r =>
+      .parquet(lz.entriesDir).rdd.flatMap { r =>
         if (r.getString(0) != "F") None
         else {
           val p = r.getString(1)
@@ -2473,6 +2920,13 @@ object Lake {
       else keptJob(f)
     }
   }
+
+  /** Entries jobs launched by [[pruneLazy]] since JVM start — the
+    * two-level pruning spec pins that a partition-banded predicate
+    * plans with ZERO of these (the stub's `SC` census proves the
+    * entries carry nothing to consult). Observability only. */
+  private[graft] val lazyPruneJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The [[transformCol]] bucket of one bound endpoint, recomputed
     * driver-side: Spark's Murmur3 `hash` (seed 42) pmod n — EXACTLY the
@@ -2544,6 +2998,19 @@ object Lake {
   private[graft] def bloomProbeMaxKeys(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.lake.bloom.probeMaxKeys")
       .map(_.toLong).getOrElse(BloomProbeMaxKeysDefault)
+
+  /** Keys at or below this ride the COLLECT+broadcast probe
+    * ([[pruneByBloom]] — one stage, the cheap shape for ordinary
+    * merges); above it an already-distributed key frame takes the
+    * join-shaped probe unconditionally. Deliberately broadcast-sized
+    * (64k keys ≈ 512 KB), NOT [[bloomProbeMaxKeys]]: collecting 4M raw
+    * keys to the driver was a bounded-but-needless 32 MB round-trip
+    * when the join path handles them without any driver visit. */
+  private[graft] val BloomCollectMaxKeysDefault = 65536L
+
+  private[graft] def bloomCollectMaxKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lake.bloom.collectMaxKeys")
+      .map(_.toLong).getOrElse(BloomCollectMaxKeysDefault)
 
   /** Join-shaped bloom probes since JVM start — the observability hook
     * the above-cap spec uses to pin that a huge key set probes
@@ -2646,7 +3113,7 @@ object Lake {
       keyDf: DataFrame, keyCount: Long): Seq[String] =
     if (candidates.isEmpty || keyCount <= 0L || !base.bloomCols.contains(idCol))
       candidates
-    else if (keyCount <= bloomProbeMaxKeys(spark))
+    else if (keyCount <= math.min(bloomProbeMaxKeys(spark), bloomCollectMaxKeys(spark)))
       pruneByBloom(spark, lakeDir, base, candidates, idCol,
         keyDf.distinct().collect().map(_.get(0)))
     else pruneByBloomJoin(spark, lakeDir, base, candidates, idCol, keyDf)
@@ -2705,8 +3172,14 @@ object Lake {
     try {
       val n = hashRdd.count()
       if (n == 0L) return candidates // null-only keys match nothing; stay conservative
-      val chunks = math.max(1L, math.min(256L,
-        (n + bloomProbeMaxKeys(spark) - 1) / bloomProbeMaxKeys(spark))).toInt
+      // chunk count = ceil(distinct hashes / probeMaxKeys), UNCAPPED: a
+      // glom'd chunk is at most probeMaxKeys longs (~32 MB), and the
+      // probe grid is candidates × chunks TASKS — at 1G keys that is
+      // 250 chunks against an already stat/path-pruned candidate list,
+      // which distributes; a cap here would instead let chunks grow past
+      // executor memory
+      val chunks = math.max(1L,
+        (n + bloomProbeMaxKeys(spark) - 1) / bloomProbeMaxKeys(spark)).toInt
       val hashChunks = hashRdd.repartition(chunks).glom()
       val confProps = {
         import scala.jdk.CollectionConverters._
@@ -3568,20 +4041,27 @@ object Lake {
             (b.result(), bd.result())
           }
         val cutoff = System.currentTimeMillis() - minAgeMs
-        val dead = listDataFiles(spark, lakeDir).filterNot(live).filter { f =>
-          minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
-        }
-        deleteFiles(spark, lakeDir, dead)
+        // the Delta VACUUM shape: above [[VacuumDistributeMinKey]] the
+        // recursive listing and the deletes run as Spark jobs — the
+        // driver's own filesystem traffic is bounded by top-level
+        // directories, and grace-period mtimes ride back WITH the
+        // listing instead of one getFileStatus per candidate
+        val distribute = live.size >= vacuumDistributeMin(spark)
+        val dead = dataFileInventory(spark, lakeDir, distribute)
+          .filterNot { case (f, _) => live(f) }
+          .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
+          .map(_._1)
+        reclaimPaths(spark, lakeDir, dead.map(_ -> false), distribute)
         // sidecar sweep (DV + CDC): children of _graft_dv/_graft_cdc
         // referenced by no committed record are crash orphans (a sparse
         // mutation that died before publish); the same grace period
-        // protects a live writer's staged-but-unpublished sidecar
+        // protects a live writer's staged-but-unpublished sidecar.
+        // One bulk listStatus per fixed sidecar root carries the mtimes
         val liveTops = liveSidecar.map(sidecarTop)
-        val deadSidecar = listSidecarDirs(fs, root).filterNot(liveTops).filter { d =>
-          minAgeMs <= 0 ||
-            fs.getFileStatus(new Path(root, d)).getModificationTime <= cutoff
+        val deadSidecar = listSidecarDirsWithMtime(fs, root).collect {
+          case (d, mtime) if !liveTops(d) && (minAgeMs <= 0 || mtime <= cutoff) => d
         }
-        deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
+        reclaimPaths(spark, lakeDir, deadSidecar.map(_ -> true), distribute)
         // staging sweep: a _graft_staging/<uuid> subtree is NEVER
         // referenced by a commit (staged files MOVE out before publish),
         // so any child past the grace period is a crashed writer's
@@ -3591,15 +4071,17 @@ object Lake {
         // first child lands and deeper task-file writes don't refresh it,
         // so a live writer whose stage outlasts the grace period would
         // otherwise have freshly written staged files reclaimed mid-commit
+        // staging subtrees are bounded by CRASHED WRITERS, not corpus
+        // size — the per-child walk stays on the driver
         val stagingRoot = new Path(root, StagingDirName)
         val deadStaging =
-          if (!fs.exists(stagingRoot)) Seq.empty[String]
-          else fs.listStatus(stagingRoot).toSeq
+          if (!vOp(fs.exists(stagingRoot))) Seq.empty[String]
+          else vOp(fs.listStatus(stagingRoot)).toSeq
             .map(s => s"$StagingDirName/${s.getPath.getName}")
             .filter { d =>
               minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff
             }
-        deadStaging.foreach(d => fs.delete(new Path(root, d), true))
+        reclaimPaths(spark, lakeDir, deadStaging.map(_ -> true), distribute)
         dead ++ deadSidecar ++ deadStaging
     }
   }
@@ -3828,6 +4310,18 @@ object Lake {
       else fs.listStatus(r).toSeq.map(s => s"$dn/${s.getPath.getName}")
     }.sorted
 
+  /** [[listSidecarDirs]] with each top dir's mtime from the SAME bulk
+    * status call — the orphan sweeps' grace check then costs zero extra
+    * round-trips (two listStatus calls total, corpus-size-independent in
+    * driver call count). */
+  private def listSidecarDirsWithMtime(fs: FileSystem, root: Path): Seq[(String, Long)] =
+    Seq(DvDirName, CdcDirName).flatMap { dn =>
+      val r = new Path(root, dn)
+      if (!vOp(fs.exists(r))) Seq.empty
+      else vOp(fs.listStatus(r)).toSeq.map(s =>
+        s"$dn/${s.getPath.getName}" -> s.getModificationTime)
+    }.sortBy(_._1)
+
   /** The `_graft_dv/<x>` / `_graft_cdc/<x>` TOP-LEVEL dir of a sidecar
     * entry — committed entries may point one level DEEPER (the general
     * merge's type-partitioned sidecar registers
@@ -4038,15 +4532,20 @@ object Lake {
     // land referencing a deleted sidecar. Skipped survivors are retried
     // by any later maintenance pass.
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val dead = listDataFiles(spark, lakeDir).filterNot(liveSet).filter { f =>
-      minAgeMs <= 0 || fs.getFileStatus(new Path(root, f)).getModificationTime <= cutoff
-    }
-    deleteFiles(spark, lakeDir, dead)
+    // distributed exactly like [[vacuum]]'s sweep: listing with mtimes
+    // and deletes run as jobs above the threshold, the driver keeps the
+    // manifest diff only
+    val distribute = liveSet.size >= vacuumDistributeMin(spark)
+    val dead = dataFileInventory(spark, lakeDir, distribute)
+      .filterNot { case (f, _) => liveSet(f) }
+      .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
+      .map(_._1)
+    reclaimPaths(spark, lakeDir, dead.map(_ -> false), distribute)
     val liveTops = (liveDvSet ++ liveCdcSet).map(sidecarTop)
     val deadSidecar = listSidecarDirs(fs, root)
       .filterNot(liveTops)
       .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
-    deadSidecar.foreach(d => fs.delete(new Path(root, d), true))
+    reclaimPaths(spark, lakeDir, deadSidecar.map(_ -> true), distribute)
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>
       fs.delete(new Path(logDir(root), checkpointName(c)), false))

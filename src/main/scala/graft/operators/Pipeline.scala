@@ -849,15 +849,17 @@ object Pipeline {
     val rewritable: String => Boolean = onlyFilesSmallerThan match {
       case None => _ => true
       case Some(th) =>
-        // recorded #bytes first (zero round-trips on a counted lake);
-        // only pre-capture files pay a filesystem stat
+        // recorded #bytes first (zero round-trips on a counted lake,
+        // lazy-aware — a lazily-resolved state answers from one job over
+        // the checkpoint entries); only pre-capture files pay a stat
         lazy val hfsQ = {
           val root = new org.apache.hadoop.fs.Path(lakeDir)
           val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
           (hfs, hfs.makeQualified(root))
         }
+        val recorded = Lake.reservedPerFile(spark, base, base.files)
         val sizes = base.files.map { f =>
-          f -> Lake.statBytesOf(base, f).getOrElse {
+          f -> recorded.getOrElse(f, (None, None))._2.getOrElse {
             val (hfs, q) = hfsQ
             hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen
           }
@@ -890,11 +892,17 @@ object Pipeline {
       // clustered/z-order compaction then plans with ZERO census jobs,
       // reading the corpus exactly once (the rewrite itself). DV-bearing
       // scopes count live rows the honest way.
+      // lazy-aware ([[Lake.reservedPerFile]]): under lazy-stats
+      // resolution the affected files' recorded numRecords come back
+      // from one job over the checkpoint entries, so census-free
+      // compaction keeps its zero-extra-scan property under the mode
+      val reservedRows: Map[String, Option[Long]] =
+        if (removed.exists(base.dvs.contains)) Map.empty
+        else Lake.reservedPerFile(spark, base, removed).view.mapValues(_._1).toMap
       val manifestExpected: Option[Long] =
         if (removed.exists(base.dvs.contains)) None
         else {
-          val per = removed.map(f => base.stats.getOrElse(f, Seq.empty)
-            .find(_.col == Lake.RowsStatName).flatMap(_.min.toLongOption))
+          val per = removed.map(f => reservedRows.getOrElse(f, None))
           if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
         }
       // the UNSORTED bin-packing's per-partition group map ALSO derives
@@ -934,9 +942,7 @@ object Pipeline {
                 }
                 if (vals.contains(null)) None // null keys need the census join's shape
                 else Some((vals.toSeq,
-                  fs.map(f => base.stats.getOrElse(f, Seq.empty)
-                    .find(_.col == Lake.RowsStatName)
-                    .flatMap(_.min.toLongOption).getOrElse(0L)).sum))
+                  fs.map(f => reservedRows.getOrElse(f, None).getOrElse(0L)).sum))
               }
             }
           if (parsed.exists(_.isEmpty)) None else Some(parsed.flatten)

@@ -218,9 +218,18 @@ private[lake] object LakeMetaTables {
     case other => throw new IllegalArgumentException(s"unknown metadata table kind: $other")
   }
 
+  /** The metadata tables ARE the driver-computed census — their contract
+    * is "null means never captured", so they must see every RECORDED
+    * stat. A lazily-resolved state ([[Lake.LazyStatsKey]]) deliberately
+    * leaves checkpoint-resident stats in the parquet entries; rendering
+    * the census from it would flip a populated `n_rows`/`n_bytes`/
+    * `n_stat_cols` column to NULL on a session conf. Force the eager
+    * resolution here — these tables are manifest-sized by design and
+    * read rarely (dashboards, DESCRIBE), never in a query hot path. */
   private def stateFor(spark: SparkSession, dir: String,
       pinned: Option[Long]): Lake.LakeState =
-    pinned.fold(Lake.currentState(spark, dir))(v => Lake.stateAt(spark, dir, v))
+    pinned.fold(Lake.currentState(spark, dir, forceEager = true))(v =>
+      Lake.stateAt(spark, dir, v, forceEager = true))
 }
 
 /** One driver-computed, single-partition metadata table. The row set is

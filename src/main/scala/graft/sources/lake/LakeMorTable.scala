@@ -163,38 +163,37 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     * rows make the estimate slightly HIGH (conservative: at worst a
     * broadcast is withheld, never wrongly granted on size). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long = {
-      // recorded #bytes first (add.size parity — zero filesystem
-      // round-trips per plan on a counted lake); only pre-capture
-      // files pay a stat
-      lazy val fsQ = {
-        val root = new Path(lakeDir)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        (fs, fs.makeQualified(root))
-      }
-      Lake.pruneByStats(st, bounds).map { rel =>
-        Lake.statBytesOf(st, rel).getOrElse {
-          val (fs, qroot) = fsQ
-          val p = new Path(qroot, rel)
-          if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+    // one prune + one (lazy-aware) reserved-stats aggregation serve both
+    // numbers: under lazy resolution Lake.reservedTotals sums the
+    // checkpoint residents' recorded #rows/#bytes inside a job over the
+    // entries, so broadcast pricing keeps its exact signal with zero
+    // driver stats — only pre-capture files pay a filesystem stat
+    private lazy val candidates = Lake.pruneByStats(st, bounds)
+    private lazy val totals = Lake.reservedTotals(spark, st, candidates)
+    private lazy val bytes: Long = {
+      val (_, recorded, unsized) = totals
+      recorded + {
+        if (unsized.isEmpty) 0L
+        else {
+          val root = new Path(lakeDir)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          val qroot = fs.makeQualified(root)
+          unsized.map { rel =>
+            val p = new Path(qroot, rel)
+            if (fs.exists(p)) fs.getFileStatus(p).getLen else 0L
+          }.sum
         }
-      }.sum
+      }
     }
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     // row estimate from the manifest's recorded `#rows` numRecords:
     // exact when every candidate carries it and none is tombstoned
     // (a DV'd file's live count is lower — report nothing rather than
     // an overcount the planner would trust)
-    override def numRows(): java.util.OptionalLong = {
-      val candidates = Lake.pruneByStats(st, bounds)
+    override def numRows(): java.util.OptionalLong =
       if (candidates.exists(st.dvs.contains)) java.util.OptionalLong.empty()
-      else {
-        val per = candidates.map(f => st.stats.getOrElse(f, Seq.empty)
-          .find(_.col == Lake.RowsStatName).flatMap(_.min.toLongOption))
-        if (per.exists(_.isEmpty)) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(per.flatten.sum)
-      }
-    }
+      else totals._1.fold(java.util.OptionalLong.empty())(
+        n => java.util.OptionalLong.of(n))
   }
 
   private def partitionValues(relPath: String): InternalRow = {

@@ -236,7 +236,10 @@ private[lake] class LakeTable(inner: ParquetTable, path: String, pinned: Boolean
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (st.stats.isEmpty) inner.newScanBuilder(options)
+    // a lazily-resolved state holds NO driver stats but its checkpoint
+    // entries still prune — stat pruning stays on whenever either side
+    // has something to say
+    if (st.stats.isEmpty && st.cpLazy.isEmpty) inner.newScanBuilder(options)
     else new org.apache.spark.sql.graft.LakeStatPruningScanBuilder(
       st, manifestSchema, options, files => builderFor(files, options))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

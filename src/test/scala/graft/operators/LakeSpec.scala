@@ -108,6 +108,44 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.vacuum(spark, out).isEmpty, "a clean lake has nothing to vacuum")
   }
 
+  test("distributed vacuum: driver filesystem calls are bounded by directories, not files") {
+    val out = freshDir("lake-vacuum-dist")
+    // force the distributed path at spec scale (default threshold 512)
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      writePlain(fixture(), out)
+      Lake.adopt(spark, out)
+      val st = Lake.latestManifest(spark, out).get
+      val dirs = st.files.map(f => f.take(f.lastIndexOf('/'))).distinct.sorted
+      assert(dirs.size >= 4, s"fixture must span several partition dirs, got $dirs")
+      // strand MANY orphans across the partition dirs — more orphans than
+      // the driver-call budget, so a per-file loop would blow the assert
+      val orphans = dirs.flatMap(d => (0 until 6).map(i => s"$d/orphan-$i.parquet"))
+      orphans.foreach { rel =>
+        val p = java.nio.file.Paths.get(out, rel)
+        java.nio.file.Files.write(p, Array[Byte](80, 65, 82, 49)) // "PAR1"
+      }
+      // grace period: a fresh orphan is a LIVE writer's candidate — the
+      // inventory's OWN mtimes answer this with zero per-file stats
+      assert(Lake.vacuum(spark, out, minAgeMs = 3600000L).isEmpty,
+        "fresh orphans inside the grace window must survive")
+      val before = Lake.vacuumDriverFsOps.get()
+      val dead = Lake.vacuum(spark, out)
+      val ops = Lake.vacuumDriverFsOps.get() - before
+      assert(dead.toSet == orphans.toSet,
+        s"the distributed sweep must reclaim exactly the orphans, got ${dead.size}")
+      assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet,
+        "live data survives the distributed sweep")
+      // the bound: exists(root) + listStatus(root) + two sidecar-root
+      // exists + staging exists = 5 driver calls — the listing walks and
+      // every delete ran inside tasks (Delta VACUUM's shape)
+      assert(ops <= 6,
+        s"driver FS calls must be directory-bounded, got $ops for ${orphans.size} orphans")
+      assert(ops < orphans.size,
+        "the driver-call count must not scale with the file count")
+    } finally spark.conf.unset(Lake.VacuumDistributeMinKey)
+  }
+
   test("appendToLake bootstraps a first-ever ingest and dedups within the batch") {
     val out = freshDir("lake-first")
     // duplicate ids INSIDE the first batch (at-least-once upstream)
@@ -2252,8 +2290,56 @@ class LakeSpec extends SparkTestBase {
       "distributed footer stats must prune exactly like serial capture")
   }
 
+  test("named-stats audit rides the footer pass: zero data-scan jobs, values equal the data truth") {
+    val out = freshDir("lake-audit-footer")
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("doc "), lpad(col("id").cast("string"), 3, "0")).as("text"),
+      lit("train").as("split"),
+      when(col("id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("t"), col("id"))).as("tag"))
+    val before = Lake.auditScanJobs.get()
+    Lake.init(spark, df.repartition(4), out, Seq("split"),
+      statsCols = Seq("doc_id", "text", "tag"))
+    // comparable data columns: capture comes from the writers' own
+    // footer metadata — the per-commit data-scan aggregate is GONE
+    assert(Lake.auditScanJobs.get() == before,
+      "named stats over comparable data columns must ride the footer pass")
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.nonEmpty)
+    st.files.foreach { f =>
+      val data = spark.read.parquet(s"$out/$f")
+      val r = data.agg(min("doc_id"), max("doc_id"), min("text"), max("text"),
+        count(lit(1)), count(col("tag"))).head
+      val cs = st.stats(f)
+      def stat(c: String) = cs.find(_.col == c).get
+      assert(stat("doc_id").min == r.getLong(0).toString &&
+        stat("doc_id").max == r.getLong(1).toString,
+        s"footer doc_id bounds must equal the data truth for $f")
+      assert(stat("text").min == r.getString(2) && stat("text").max == r.getString(3),
+        s"footer text bounds must equal the data truth for $f (short strings untruncated)")
+      assert(stat(Lake.RowsStatName).min == r.getLong(4).toString,
+        "footer numRecords must equal the data count")
+      assert(stat("tag" + Lake.NullsStatSuffix).min == (r.getLong(4) - r.getLong(5)).toString,
+        "footer null counts must equal the data truth")
+    }
+    // a PATH-LEVEL statsCol still needs the aggregate read-back (its
+    // values live in directory names, not footers) — counted once
+    val before2 = Lake.auditScanJobs.get()
+    Lake.analyzeStats(spark, out, Seq("split"))
+    assert(Lake.auditScanJobs.get() == before2 + 1,
+      "path-level statsCols must fall back to the aggregate audit")
+    val st2 = Lake.latestManifest(spark, out).get
+    assert(st2.files.forall(f => st2.stats(f).exists(c =>
+      c.col == "split" && c.min == "train" && c.max == "train")),
+      "the aggregate fallback must record the partition value bounds")
+  }
+
   test("columnar checkpoint: a many-file lake checkpoints as parquet entries behind an O(KB) stub; state round-trips exactly") {
     spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    // this spec certifies the EAGER round-trip (checkpoint-resolved state
+    // == delta-replayed state, field for field) — pin resolution eager;
+    // the lazy-stats specs own the default-lazy behavior
+    spark.conf.set(Lake.LazyStatsKey, "false")
     try {
       val out = freshDir("lake-pq-cp")
       writePlain(fixture(), out)
@@ -2311,7 +2397,10 @@ class LakeSpec extends SparkTestBase {
       assert(v8.files.nonEmpty && v8.historyComplete,
         "the overwrite checkpoint must resolve the retention-cut version")
       assert(Lake.read(spark, out).count() == 60, "reads survive the retention cut")
-    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
   }
 
   test("partition transforms: days(ts) -> hours(ts) is a metadata commit; mixed reads, path pruning and sparse DML work") {
@@ -2750,7 +2839,21 @@ class LakeSpec extends SparkTestBase {
       val nulls = spark.range(20).select(lit(null).cast("long").as("doc_id"))
       assert(Lake.bloomPrune(spark, out, st, st.files, "doc_id", nulls, 20L)
         == st.files, "null-only keys must keep every candidate")
-    } finally spark.conf.unset("spark.graft.lake.bloom.probeMaxKeys")
+      // the COLLECT ceiling is broadcast-sized INDEPENDENTLY of the chunk
+      // size: with probeMaxKeys back at default, a key set above
+      // collectMaxKeys still never visits the driver raw — and the join
+      // probe renders the same verdicts as the broadcast probe
+      spark.conf.unset("spark.graft.lake.bloom.probeMaxKeys")
+      spark.conf.set("spark.graft.lake.bloom.collectMaxKeys", "4")
+      val before2 = Lake.bloomJoinProbes.get()
+      val kept2 = Lake.bloomPrune(spark, out, st, st.files, "doc_id", keys, 20L)
+      assert(Lake.bloomJoinProbes.get() > before2,
+        "a key set above the collect ceiling must take the join path")
+      assert(kept2 == kept, "both probe shapes must render identical verdicts")
+    } finally {
+      spark.conf.unset("spark.graft.lake.bloom.probeMaxKeys")
+      spark.conf.unset("spark.graft.lake.bloom.collectMaxKeys")
+    }
   }
 
   test("lazy-stats resolution: the driver never materializes checkpoint stats; the job-judged prune equals eager; checkpoints never shed stats") {
@@ -2769,7 +2872,9 @@ class LakeSpec extends SparkTestBase {
         partitionCols = Seq("split"))                                        // v11: tail past the checkpoint
       val bounds = Seq(Lake.ColBound("doc_id",
         org.apache.spark.sql.types.LongType, 150L, 250L))
-      // EAGER baseline
+      // EAGER baseline (explicit opt-out — lazy is the default above the
+      // columnar threshold)
+      spark.conf.set(Lake.LazyStatsKey, "false")
       Lake.invalidateStateCache()
       val eagerSt = Lake.latestManifest(spark, out).get
       assert(eagerSt.cpLazy.isEmpty)
@@ -2781,7 +2886,7 @@ class LakeSpec extends SparkTestBase {
       Lake.invalidateStateCache()
       val lazySt = Lake.latestManifest(spark, out).get
       assert(lazySt.cpLazy.isDefined, "lazy resolution must mark the state")
-      assert(lazySt.stats.keySet.subsetOf(lazySt.cpLazy.get._2),
+      assert(lazySt.stats.keySet.subsetOf(lazySt.cpLazy.get.tailAdded),
         "the driver may hold stats only for tail-added files")
       assert(lazySt.files == eagerSt.files && lazySt.dvs == eagerSt.dvs,
         "everything except the stats map resolves identically")
@@ -2806,12 +2911,17 @@ class LakeSpec extends SparkTestBase {
       assert(eagerKept.toSet.subsetOf(lazyKept2.toSet),
         "post-restate lazy pruning must stay exactness-preserving")
       // the NEXT interval checkpoint folds from a LAZY state — the
-      // write-side guard re-resolves eagerly, so v20's checkpoint still
-      // carries the v1 files' stats (a silent shed would be permanent)
+      // INCREMENTAL write derives the new entries from the old ones in a
+      // job (keep live, merge the v12 text restate per column, append
+      // the tail), so v20's checkpoint still carries the v1 files' stats
+      // (a silent shed would be permanent) with zero driver stats
+      val incBefore = Lake.checkpointIncrementalWrites.get()
       (1 to 8).foreach(i => Pipeline.appendToLake(spark, out,
         batch(30000 + 10 * i until 30000 + 10 * i + 5),
         partitionCols = Seq("split")))                                       // v13..v20
-      spark.conf.unset(Lake.LazyStatsKey)
+      assert(Lake.checkpointIncrementalWrites.get() == incBefore + 1,
+        "a checkpoint folded from a lazy state must write incrementally")
+      spark.conf.set(Lake.LazyStatsKey, "false")
       Lake.invalidateStateCache()
       val st20 = Lake.stateAt(spark, out, 20L)
       val v1Files = Lake.stateAt(spark, out, 1L).files
@@ -2821,7 +2931,120 @@ class LakeSpec extends SparkTestBase {
         s"the v20 checkpoint must carry the v1 files' stats — the lazy-write guard; " +
           s"checkpoints=$log20 sample=${v1Files.headOption.map(f =>
             f -> st20.stats.getOrElse(f, Seq.empty).map(_.col))}")
+      assert(v1Files.forall(f => st20.stats.get(f).exists(_.exists(_.col == "text"))),
+        "the v12 text restate must survive the incremental merge alongside doc_id")
       assert(Lake.read(spark, out).count() == 400 + 90 + 10 + 40)
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("lazy-stats pricing parity: default-lazy resolution keeps exact #rows/#bytes numbers and census-free compaction") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-lazy-price")
+      def batch(ids: Range) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"))
+      Lake.init(spark, batch(0 until 400)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+        out, Seq("split"))                                                   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10), partitionCols = Seq("split")))  // v2..v10: columnar cp
+      Pipeline.appendToLake(spark, out, batch(20000 until 20010),
+        partitionCols = Seq("split"))                                        // v11: tail delta
+      // EAGER truth
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      val totalsE = Lake.reservedTotals(spark, eagerSt, eagerSt.files)
+      val perFileE = Lake.reservedPerFile(spark, eagerSt, eagerSt.files)
+      assert(totalsE._1.contains(400L + 90L + 10L) && totalsE._3.isEmpty,
+        s"the fixture must be fully counted and sized, got $totalsE")
+      // DEFAULT resolution at this scale is LAZY — and every pricing
+      // number matches the eager truth exactly (aggregated in a job over
+      // the checkpoint entries, never materialized on the driver)
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      val lazySt = Lake.latestManifest(spark, out).get
+      assert(lazySt.cpLazy.isDefined, "default resolution above the threshold must be lazy")
+      assert(Lake.reservedTotals(spark, lazySt, lazySt.files) == totalsE,
+        "lazy totals must equal the eager sums")
+      assert(Lake.reservedPerFile(spark, lazySt, lazySt.files) == perFileE,
+        "lazy per-file reserved stats must equal eager")
+      // subset requests mix driver-judged (tail) and job-judged files
+      val subset = lazySt.files.take(3) ++ lazySt.cpLazy.get.tailAdded.take(1)
+      assert(Lake.reservedTotals(spark, lazySt, subset) ==
+        Lake.reservedTotals(spark, eagerSt, subset))
+      // byte-target sizing input (compaction's bytes/row conversion)
+      assert(Lake.fileBytes(spark, out, lazySt.files, lazySt) ==
+        Lake.fileBytes(spark, out, eagerSt.files, eagerSt))
+      // the DSv2 scan's broadcast pricing: sizeInBytes under lazy equals
+      // eager (recorded add.size, zero per-plan filesystem stats)
+      // census-free compaction stays census-free under the default: the
+      // manifest expectation and per-directory groups come from the same
+      // entries job, so the compaction reads the corpus exactly once
+      val before = Pipeline.censusReads.get()
+      Pipeline.compactLake(spark, out, partitionCols = Seq("split"),
+        maxFilesPerPartition = 2)                                            // v12
+      assert(Pipeline.censusReads.get() == before,
+        "a counted, DV-free lazy lake must compact with ZERO census jobs")
+      val after = Lake.read(spark, out)
+      assert(after.count() == 500 && after.select(sum("doc_id")).head.getLong(0) ==
+        (0L until 400L).sum + (1 to 9).map(i => (1000L * i until 1000L * i + 10).sum).sum +
+          (20000L until 20010L).sum,
+        "compaction under lazy pricing must lose nothing")
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("two-level pruning: a partition-banded predicate prunes a lazy lake with ZERO entries jobs") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-twolevel")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100 until 200, "test")), out, Seq("split"))       // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, if (i % 2 == 0) "train" else "test"),
+        partitionCols = Seq("split")))                                      // v2..v10: columnar cp
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.cpLazy.isDefined, "the fixture must resolve lazily by default")
+      val sc = st.cpLazy.get.statCols
+      assert(sc.exists(_.contains("doc_id")) && sc.exists(!_.contains("split")),
+        s"the stub's SC census must list data stat columns and exclude path levels, got $sc")
+      // PARTITION-banded predicate: the census proves the entries carry
+      // no 'split' stats, so the paths decide alone — zero jobs, and the
+      // kept set is exactly the matching directory's files
+      val jobsBefore = Lake.lazyPruneJobs.get()
+      val kept = Lake.pruneByStats(st, "split",
+        org.apache.spark.sql.types.StringType, "test", "test")
+      assert(Lake.lazyPruneJobs.get() == jobsBefore,
+        "a partition-banded predicate must plan ZERO entries jobs")
+      assert(kept.nonEmpty && kept.toSet ==
+        st.files.filter(_.startsWith("split=test/")).toSet,
+        s"the path-only prune must keep exactly the test partition, got ${kept.size}")
+      // a DATA-column bound still consults the entries — exactly one job,
+      // and the result equals the eager prune
+      val kept2 = Lake.pruneByStats(st, "doc_id",
+        org.apache.spark.sql.types.LongType, 1000L, 1009L)
+      assert(Lake.lazyPruneJobs.get() == jobsBefore + 1,
+        "a stats-backed bound must take the entries job")
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(kept2 == Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 1000L, 1009L),
+        "the job prune must equal the eager prune")
+      assert(kept == Lake.pruneByStats(eagerSt, "split",
+        org.apache.spark.sql.types.StringType, "test", "test"),
+        "the zero-job prune must equal the eager prune")
     } finally {
       spark.conf.unset(Lake.LazyStatsKey)
       spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)

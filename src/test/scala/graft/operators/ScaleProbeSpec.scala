@@ -477,29 +477,32 @@ class ScaleProbeSpec extends SparkTestBase {
     assert(stub.length < 4096,
       s"the driver-parsed stub must stay O(KB) at $nFiles files, got ${stub.length}")
     Lake.invalidateStateCache() // measure the uncached resolve
-    val t0 = System.nanoTime()
-    val before = Lake.checkpointParquetLoads.get()
-    val st = Lake.latestManifest(spark, out).get
-    val sec = (System.nanoTime() - t0) / 1e9
-    info(f"resolve=$sec%.2fs columnarLoads=${Lake.checkpointParquetLoads.get() - before}")
-    assert(Lake.checkpointParquetLoads.get() > before, "resolution must go columnar")
-    assert(st.files.size == nFiles && st.stats.size == nFiles,
-      "the columnar checkpoint must carry every file and its stats")
-    assert(Lake.read(spark, out).count() == 2000L * 500 + 9 * 10)
-    // LAZY-STATS pass: the driver holds file names only; the prune runs
-    // as a job over the entries and equals the eager prune exactly
-    val bounds = Seq(Lake.ColBound("doc_id",
-      org.apache.spark.sql.types.LongType, 300000L, 300500L))
-    val eagerKept = Lake.pruneByStats(st, bounds)
-    spark.conf.set(Lake.LazyStatsKey, "true")
+    // EAGER pass (opt-out conf): the full driver stats map still loads
+    spark.conf.set(Lake.LazyStatsKey, "false")
     try {
+      val t0 = System.nanoTime()
+      val before = Lake.checkpointParquetLoads.get()
+      val st = Lake.latestManifest(spark, out).get
+      val sec = (System.nanoTime() - t0) / 1e9
+      info(f"eagerResolve=$sec%.2fs columnarLoads=${Lake.checkpointParquetLoads.get() - before}")
+      assert(Lake.checkpointParquetLoads.get() > before, "resolution must go columnar")
+      assert(st.files.size == nFiles && st.stats.size == nFiles,
+        "the columnar checkpoint must carry every file and its stats")
+      assert(Lake.read(spark, out).count() == 2000L * 500 + 9 * 10)
+      // DEFAULT pass (conf unset): lazy above the columnar threshold —
+      // the driver holds file names only; the prune runs as a job over
+      // the entries and equals the eager prune exactly
+      val bounds = Seq(Lake.ColBound("doc_id",
+        org.apache.spark.sql.types.LongType, 300000L, 300500L))
+      val eagerKept = Lake.pruneByStats(st, bounds)
+      spark.conf.unset(Lake.LazyStatsKey)
       Lake.invalidateStateCache()
       val t1 = System.nanoTime()
       val lazySt = Lake.latestManifest(spark, out).get
       val lazyResolve = (System.nanoTime() - t1) / 1e9
       assert(lazySt.cpLazy.isDefined && lazySt.stats.size <= 9,
-        s"lazy resolution must leave the ${nFiles}-file stats in the entries, " +
-          s"got ${lazySt.stats.size} driver entries")
+        s"the DEFAULT resolution above the columnar threshold must be lazy " +
+          s"(zero driver stats), got ${lazySt.stats.size} driver entries")
       val t2 = System.nanoTime()
       val lazyKept = Lake.pruneByStats(lazySt, bounds)
       val pruneSec = (System.nanoTime() - t2) / 1e9
@@ -509,6 +512,17 @@ class ScaleProbeSpec extends SparkTestBase {
         s"the job-judged prune must equal eager: ${lazyKept.size} vs ${eagerKept.size}")
       assert(eagerKept.size < nFiles / 100,
         s"the clustered range must prune hard, kept ${eagerKept.size}/$nFiles")
+      // PRICING PARITY: size/row planning keeps its exact numbers under
+      // the default — recorded #rows/#bytes aggregate in a job over the
+      // same entries, byte-equal to the eager driver sums
+      val t3 = System.nanoTime()
+      val lazyTotals = Lake.reservedTotals(spark, lazySt, lazySt.files)
+      val priceSec = (System.nanoTime() - t3) / 1e9
+      val eagerTotals = Lake.reservedTotals(spark, st, st.files)
+      info(f"lazyPricing=$priceSec%.2fs totals=$lazyTotals")
+      assert(lazyTotals == eagerTotals && lazyTotals._1.isDefined &&
+        lazyTotals._3.isEmpty,
+        s"lazy pricing must equal eager: $lazyTotals vs $eagerTotals")
     } finally spark.conf.unset(Lake.LazyStatsKey)
   }
 }

@@ -201,6 +201,40 @@ class LakeCatalogSpec extends SparkTestBase {
       .head.getLong(0) == 4L)
   }
 
+  test("metadata census under lazy-stats: $files/$partitions/$detail rows identical with the conf on and off") {
+    val out = s"$wh/lazycensus"
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "4")
+    try {
+      Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))   // v1
+      Pipeline.appendToLake(spark, out, fixture(20 until 30))                // v2
+      Lake.checkpointNow(spark, out) // v2's checkpoint lands COLUMNAR
+      Pipeline.appendToLake(spark, out, fixture(30 until 34))                // v3: tail delta
+      def census(): Seq[Seq[String]] = Seq("files", "partitions", "detail").map { k =>
+        spark.sql(s"SELECT * FROM graft_lake.`meta$$$k`")
+          .collect().map(_.toString).sorted.toSeq
+      }
+      Lake.invalidateStateCache()
+      val eager = census()
+      // sanity: the eager census is POPULATED (the columnar checkpoint's
+      // recorded stats round-trip into n_rows/n_bytes/n_stat_cols)
+      val eagerFiles = spark.sql(
+        "SELECT n_rows, n_bytes, n_stat_cols FROM graft_lake.`meta$files`").collect()
+      assert(eagerFiles.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getInt(2) > 0),
+        "the fixture must record rows/bytes/stat-column census for every file")
+      // the census is the driver-computed truth: a session conf that
+      // changes RESOLUTION strategy must not flip recorded stats to NULL
+      spark.conf.set(Lake.LazyStatsKey, "true")
+      Lake.invalidateStateCache()
+      assert(Lake.latestManifest(spark, out).get.cpLazy.isDefined,
+        "the fixture must actually resolve lazily (columnar checkpoint present)")
+      assert(census() == eager,
+        "$files/$partitions/$detail must render identically under lazy-stats")
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("CALL procedures: compact_dvs, compact, restore and vacuum_keeping run lake maintenance from SQL") {
     val out = s"$wh/proc"
     Lake.init(spark, fixture(0 until 20).coalesce(1), out, Seq("split", "shard_id"))  // v1: 1 file/shard
