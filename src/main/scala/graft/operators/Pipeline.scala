@@ -3062,6 +3062,116 @@ object Pipeline {
     }
   }
 
+  // ---------------------------------------------------------------- px132
+  /** TWO-LEVEL pruning end-to-end: a PARTITION-banded predicate over a
+    * lazily-resolved columnar-checkpoint lake plans from the stub's `SC`
+    * stat-column census plus the file paths alone — the fixture REQUIRES
+    * zero entries jobs via the [[Lake.lazyPruneJobs]] counter — and the
+    * DSv2 read still serves the exact filtered aggregate. The census
+    * proves the entries carry no `split` stats (path levels are excluded
+    * from capture), so `statsOverlap` is vacuously true for every
+    * checkpoint resident and the identity level in the directory name
+    * decides (the Iceberg manifest-list idea in O(columns) stub bytes). */
+  private def px132(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px132_lake")
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val docs = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("split"))
+      Lake.init(spark, docs.repartition(8), out, Seq("split"))              // v1
+      appendToLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(9973L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        partitionCols = Seq("split"))                                       // v2
+      Lake.checkpointNow(spark, out) // v2's checkpoint lands COLUMNAR
+      appendToLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(9973L)) === 1L)
+          .withColumn("doc_id", col("doc_id") + lit(20000000L)),
+        partitionCols = Seq("split"))                                       // v3: tail delta
+      Lake.invalidateStateCache()
+      require(Lake.latestManifest(spark, out).get.cpLazy.isDefined,
+        "px132 must resolve lazily")
+      val res = spark.read.format("graft-lake").load(out)
+        .filter(col("split") === "val")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+      val jobs0 = Lake.lazyPruneJobs.get()
+      res.collect() // plan + execute NOW, so the counter judgment is honest
+      require(Lake.lazyPruneJobs.get() == jobs0,
+        "px132: a partition-banded predicate must plan with ZERO entries jobs")
+      res
+    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+  }
+
+  private val px132Oracle =
+    """WITH docs AS (
+      |  SELECT doc_id, source, n_chars, CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split
+      |  FROM documents),
+      |lake AS (
+      |  SELECT doc_id, source, n_chars, split FROM docs
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, n_chars, split FROM docs WHERE doc_id % 9973 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, source, n_chars, split FROM docs WHERE doc_id % 9973 = 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM lake WHERE split = 'val' GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- px133
+  /** DISTRIBUTED vacuum end-to-end: a crashed writer's staged delete
+    * (staged + audited, never published — data files AND a change-feed
+    * sidecar, all invisible to readers) is reclaimed by the
+    * Delta-VACUUM-shaped sweep with the listing and the deletes running
+    * as Spark jobs — the fixture REQUIRES the reclaim to be exactly the
+    * crashed stage and the driver's own filesystem calls to be bounded
+    * by DIRECTORIES (the [[Lake.vacuumDriverFsOps]] counter), then
+    * hash-matches the corpus reading back EXACTLY untouched. */
+  private def px133(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px133_lake")
+    val sharded = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+      .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
+    Lake.init(spark, sharded, out, Seq("split", "shard_id"))                 // v1
+    // the crash: stage a surgical delete, never publish it
+    val staged = stageLakeDelete(spark, out,
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 131 === 0).select("doc_id"),
+      "doc_id", "doc_id", Seq("split", "shard_id")).get
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val ops0 = Lake.vacuumDriverFsOps.get()
+      val dead = Lake.vacuum(spark, out)
+      val ops = Lake.vacuumDriverFsOps.get() - ops0
+      require(dead.toSet ==
+        (staged.stagedFiles ++ staged.cdcFiles.map(_._1)).toSet,
+        s"px133: vacuum must reclaim exactly the crashed stage, got ${dead.size}")
+      require(ops <= 8,
+        s"px133: driver filesystem calls must be directory-bounded, got $ops")
+    } finally spark.conf.unset(Lake.VacuumDistributeMinKey)
+    Lake.read(spark, out)
+      .groupBy("split", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(col("split"), col("shard_id").cast("int").as("shard_id"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy("split", "shard_id")
+  }
+
+  private val px133Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(doc_id % 4 AS INTEGER) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -3318,5 +3428,7 @@ object Pipeline {
     GraftQuery("px128_lake_bloom_merge", px128, Some(px128Oracle)),
     GraftQuery("px129_lake_null_stats", px129, Some(px129Oracle)),
     GraftQuery("px130_lake_columnar_checkpoint", px130, Some(px130Oracle)),
-    GraftQuery("px131_lake_lazy_stats", px131, Some(px130Oracle)))
+    GraftQuery("px131_lake_lazy_stats", px131, Some(px130Oracle)),
+    GraftQuery("px132_lake_twolevel_prune", px132, Some(px132Oracle)),
+    GraftQuery("px133_lake_distributed_vacuum", px133, Some(px133Oracle)))
 }

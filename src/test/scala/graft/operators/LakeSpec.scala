@@ -3051,6 +3051,40 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("identity-level path pruning: escaped values, the default partition and nullness bounds decide exactly") {
+    import org.apache.spark.sql.types.StringType
+    val out = freshDir("lake-ident-prune")
+    val df = Seq((1L, "a/b c"), (2L, "plain"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "cat")
+    Lake.init(spark, df.repartition(1), out, Seq("cat"))
+    val st = Lake.latestManifest(spark, out).get
+    val byDir = st.files.groupBy(_.takeWhile(_ != '/'))
+    assert(byDir.size == 3, s"three partition dirs expected, got ${byDir.keys}")
+    def prune(lo: Any, hi: Any) = Lake.pruneByStats(st, "cat", StringType, lo, hi)
+    // equality on an ESCAPED value: the bound compares against the
+    // UNESCAPED level value, so 'a/b c' keeps exactly its dir
+    val esc = prune("a/b c", "a/b c")
+    assert(esc.nonEmpty && esc.forall(f => !f.startsWith("cat=plain") &&
+      !f.contains("HIVE_DEFAULT")), s"escaped-value equality must keep its dir only, got $esc")
+    // a RANGE bound brackets by the level value; null-valued rows
+    // (three-valued logic) never satisfy a value range
+    val range = prune("o", "z")
+    assert(range.nonEmpty && range.forall(_.startsWith("cat=plain")),
+      s"range [o,z] must keep only cat=plain, got $range")
+    // IS NULL keeps exactly the default partition; IS NOT NULL prunes it
+    val isNull = Lake.pruneByStats(st,
+      Seq(Lake.ColBound("cat", StringType, null, null, nullness = Some(true))))
+    assert(isNull.nonEmpty && isNull.forall(_.contains("HIVE_DEFAULT")),
+      s"IS NULL must keep only the default partition, got $isNull")
+    val isNotNull = Lake.pruneByStats(st,
+      Seq(Lake.ColBound("cat", StringType, null, null, nullness = Some(false))))
+    assert(isNotNull.nonEmpty && isNotNull.forall(!_.contains("HIVE_DEFAULT")),
+      s"IS NOT NULL must prune exactly the default partition, got $isNotNull")
+    // NO ROW LOSS: each kept set still serves its predicate's rows
+    assert(Lake.read(spark, out).filter(col("cat") === "a/b c").count() == 1L)
+    assert(Lake.read(spark, out).filter(col("cat").isNull).count() == 1L)
+  }
+
   test("resolved-state cache: re-resolving a version reads zero log files; a checkpoint replace misses and re-resolves") {
     val out = freshDir("lake-state-cache")
     writePlain(fixture(), out)
