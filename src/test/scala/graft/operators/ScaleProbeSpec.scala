@@ -523,6 +523,36 @@ class ScaleProbeSpec extends SparkTestBase {
       assert(lazyTotals == eagerTotals && lazyTotals._1.isDefined &&
         lazyTotals._3.isEmpty,
         s"lazy pricing must equal eager: $lazyTotals vs $eagerTotals")
+      // INCREMENTAL checkpoint from the lazy state: the new entries
+      // derive from the old directory in one job — the driver renders
+      // only the tail, never the 2000-file stats map
+      Pipeline.appendToLake(spark, out, spark.range(990000000L, 990000010L).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split")))                                       // v11
+      val incBefore = Lake.checkpointIncrementalWrites.get()
+      val t4 = System.nanoTime()
+      val (cpV, wrote) = Lake.checkpointNow(spark, out)
+      val cpSec = (System.nanoTime() - t4) / 1e9
+      info(f"incrementalCheckpoint v$cpV%d wrote=$wrote time=$cpSec%.2fs")
+      assert(wrote && Lake.checkpointIncrementalWrites.get() == incBefore + 1,
+        "a checkpoint folded from a lazy many-file state must write incrementally")
+      // ...and the state resolved THROUGH it prunes exactly like before
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      assert(st2.cpLazy.isDefined && Lake.pruneByStats(st2, bounds) == eagerKept,
+        "the incremental checkpoint must carry every stat the eager one did")
+      // DISTRIBUTED vacuum at scale: the live count is far above the
+      // default threshold, so the sweep lists and deletes in jobs —
+      // driver filesystem calls stay directory-bounded on a clean lake
+      val ops0 = Lake.vacuumDriverFsOps.get()
+      val t5 = System.nanoTime()
+      val dead = Lake.vacuum(spark, out)
+      val vacSec = (System.nanoTime() - t5) / 1e9
+      val vacOps = Lake.vacuumDriverFsOps.get() - ops0
+      info(f"distributedVacuum dead=${dead.size}%d driverOps=$vacOps%d time=$vacSec%.2fs")
+      assert(dead.isEmpty, "a clean lake has nothing to vacuum")
+      assert(vacOps <= 8,
+        s"the distributed sweep's driver calls must be directory-bounded, got $vacOps")
     } finally spark.conf.unset(Lake.LazyStatsKey)
   }
 }
