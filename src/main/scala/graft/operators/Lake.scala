@@ -256,9 +256,22 @@ object Lake {
     * every checkpoint resident and the PATH alone decides — a
     * partition-banded predicate plans with ZERO entries jobs (the
     * Iceberg manifest-list idea, carried in O(columns) stub bytes).
-    * `None` = a stub written before `SC` existed: unknown, always job. */
+    * `None` = a stub written before `SC` existed: unknown, always job.
+    *
+    * `dirStats` is the second level: per-DIRECTORY min/max envelopes of
+    * the checkpoint residents' recorded stats (Iceberg's manifest-list
+    * idea), riding the entries as `DR` rows — O(dirs × cols), collected
+    * with the same (tag, path, aux) projection the lazy load already
+    * pays. A (dir, col) envelope exists only when EVERY checkpoint file
+    * in the dir records that column, so a non-overlapping envelope
+    * proves NO resident in the dir can match — [[pruneLazy]] drops whole
+    * directories driver-side and scopes (or skips) the entries job.
+    * Valid for the checkpoint residents for the state's whole lifetime:
+    * tail-added files are driver-judged individually, removals only
+    * leave the envelope conservatively wide. */
   final case class CpLazy(entriesDir: String, tailAdded: Set[String],
-      statCols: Option[Set[String]])
+      statCols: Option[Set[String]],
+      dirStats: Map[String, Seq[ColStat]] = Map.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -731,6 +744,110 @@ object Lake {
     files ++ hist ++ dvs ++ dvHist ++ cdc
   }
 
+  /** Directory-rollup ceiling: above this many data directories the
+    * checkpoint skips `DR` rows entirely — the rollup's value is
+    * whole-directory pruning, and a lake fragmented into more
+    * directories than this should fix its layout, not its metadata. */
+  private[graft] val DirRollupMaxDirs = 4096
+
+  private def dirOfFile(f: String): String = f.take(f.lastIndexOf('/').max(0))
+
+  /** Envelope fold shared by the rollup builders: intersect the pieces'
+    * column sets (a piece missing a column — or with an unparseable
+    * bound — poisons that column: coverage of EVERY resident is the
+    * soundness condition), then min/max-fold under the column's
+    * comparison order. Each piece is one resident file's stats, or a
+    * prior checkpoint's directory envelope. */
+  private def foldEnvelope(pieces: Seq[Map[String, ColStat]],
+      dts: Map[String, DataType]): Seq[ColStat] = {
+    if (pieces.isEmpty || pieces.exists(_.isEmpty)) return Seq.empty
+    def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        for (x <- a.toLongOption; y <- b.toLongOption)
+          yield java.lang.Long.compare(x, y)
+      case DoubleType | FloatType =>
+        for (x <- a.toDoubleOption; y <- b.toDoubleOption)
+          yield java.lang.Double.compare(x, y)
+      case StringType => Some(org.apache.spark.unsafe.types.UTF8String
+        .fromString(a).compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+      case _ => None
+    }
+    val common = pieces.map(_.keySet).reduce(_ intersect _)
+      .filter(dts.contains)
+    common.toSeq.sorted.flatMap { c =>
+      val dt = dts(c)
+      val vs = pieces.map(_(c))
+      var lo = vs.head.min
+      var hi = vs.head.max
+      var ok = true
+      vs.tail.foreach { v =>
+        cmp(dt, v.min, lo) match {
+          case Some(n) => if (n < 0) lo = v.min
+          case None => ok = false
+        }
+        cmp(dt, v.max, hi) match {
+          case Some(n) => if (n > 0) hi = v.max
+          case None => ok = false
+        }
+      }
+      if (ok) Some(ColStat(c, lo, hi)) else None
+    }
+  }
+
+  /** The comparable-schema-column map rollups fold under — PHYSICAL
+    * names (the stats' own coordinate system), value columns only. */
+  private def rollupTypes(schemaJson: String): Map[String, DataType] =
+    scala.util.Try(DataType.fromJson(schemaJson)).toOption
+      .collect { case s: StructType => s }.fold(Map.empty[String, DataType])(
+        _.fields.iterator.map(f => physicalName(f) -> f.dataType)
+          .filter(kv => statsComparable(kv._2))
+          .filterNot(kv => ReservedStatNames(kv._1) ||
+            kv._1.endsWith(NullsStatSuffix)).toMap)
+
+  /** Per-directory rollups of a fully-materialized stats map (the
+    * DIRECT columnar write). */
+  private def dirRollups(files: Seq[String], stats: Map[String, Seq[ColStat]],
+      schemaJson: String): Map[String, Seq[ColStat]] = {
+    val byDir = files.groupBy(dirOfFile).filter(_._1.nonEmpty)
+    if (byDir.isEmpty || byDir.size > DirRollupMaxDirs) return Map.empty
+    val dts = rollupTypes(schemaJson)
+    if (dts.isEmpty) return Map.empty
+    byDir.flatMap { case (dir, fs) =>
+      val env = foldEnvelope(fs.map(f => stats.getOrElse(f, Seq.empty)
+        .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap), dts)
+      if (env.isEmpty) None else Some(dir -> env)
+    }
+  }
+
+  /** Rollup fold for the INCREMENTAL write: a directory's new envelope
+    * = its prior envelope (which covers every old resident — absent
+    * prior envelope poisons the dir) widened by the tail-added files'
+    * driver-resident stats; a directory whose residents are ALL
+    * tail-added builds fresh. Restates are ignored — the prior envelope
+    * already covers their rows' data. */
+  private def foldDirRollups(st: LakeState, lz: CpLazy): Map[String, Seq[ColStat]] = {
+    val byDir = st.files.groupBy(dirOfFile).filter(_._1.nonEmpty)
+    if (byDir.isEmpty || byDir.size > DirRollupMaxDirs) return Map.empty
+    val dts = rollupTypes(st.schemaJson)
+    if (dts.isEmpty) return Map.empty
+    byDir.flatMap { case (dir, fs) =>
+      val (tfs, ofs) = fs.partition(lz.tailAdded)
+      val oldPiece: Option[Map[String, ColStat]] =
+        if (ofs.isEmpty) None
+        else lz.dirStats.get(dir).map(_.iterator.map(c => c.col -> c).toMap)
+      // old residents without a prior envelope: the dir cannot prove
+      // coverage — no rollup
+      if (ofs.nonEmpty && oldPiece.isEmpty) None
+      else {
+        val pieces = oldPiece.toSeq ++ tfs.map(f => st.stats.getOrElse(f, Seq.empty)
+          .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap)
+        val env = foldEnvelope(pieces, dts)
+        if (env.isEmpty) None else Some(dir -> env)
+      }
+    }
+  }
+
   /** Number of file-scale entries a checkpoint of `st` would carry —
     * the columnar-vs-text decision input. */
   private def checkpointEntryCount(st: LakeState): Long =
@@ -788,6 +905,7 @@ object Lake {
     val dvPairs = Seq.newBuilder[(String, String)]
     val dvHist = Seq.newBuilder[String]
     val cdc = Seq.newBuilder[String]
+    val dirStats = scala.collection.mutable.Map[String, Vector[ColStat]]()
     rows.foreach { r =>
       r.getString(0) match {
         case "F" =>
@@ -802,6 +920,15 @@ object Lake {
         case "V" => dvPairs += ((r.getString(1), r.getString(2)))
         case "VH" => dvHist += r.getString(1)
         case "CF" => cdc += r.getString(1)
+        case "DR" =>
+          // per-directory rollup: (dir, col, min, max) in the aux field —
+          // only the lazy state consults it (eager judges per-file stats)
+          if (lazyMode) {
+            val f = r.getString(2).split('\t')
+            dirStats.updateWith(r.getString(1)) { old =>
+              Some(old.getOrElse(Vector.empty) :+ ColStat(dec(f(0)), dec(f(1)), dec(f(2))))
+            }
+          }
         case other => throw new IllegalStateException(s"unknown checkpoint entry tag: $other")
       }
     }
@@ -815,7 +942,8 @@ object Lake {
       checks = checks.result(),
       layout = layout,
       bloomCols = bloomCols,
-      cpLazy = if (lazyMode) Some(CpLazy(dir.toString, Set.empty, scCols)) else None)
+      cpLazy = if (lazyMode) Some(CpLazy(dir.toString, Set.empty, scCols,
+        dirStats.view.mapValues(_.toSeq).toMap)) else None)
   }
 
   /** Full log-file reads since JVM start — the observability hook the
@@ -1670,14 +1798,29 @@ object Lake {
       case Some(lz) =>
         lz.statCols.map(_ ++ st.stats.valuesIterator.flatten.map(_.col))
     }
+    // per-directory rollups (`DR` rows, the two-level pruning's second
+    // level): envelopes of every resident's recorded stats, computed
+    // from the materialized map on the direct path and folded forward
+    // from the prior checkpoint's envelopes on the incremental path
+    val drMap: Map[String, Seq[ColStat]] =
+      if (!goColumnar) Map.empty
+      else st.cpLazy match {
+        case None => dirRollups(st.files, st.stats, st.schemaJson)
+        case Some(lz) => foldDirRollups(st, lz)
+      }
+    val drRows: Seq[org.apache.spark.sql.Row] = drMap.toSeq.sortBy(_._1).flatMap {
+      case (d, env) => env.map(c => org.apache.spark.sql.Row(
+        "DR", d, s"${enc(c.col)}\t${enc(c.min)}\t${enc(c.max)}", null))
+    }
     val pqDir: Option[Path] =
       if (goColumnar) {
         val dir = new Path(logDir(root), pqEntriesName(st.version))
         st.cpLazy match {
-          case Some(CpLazy(oldDir, tailAdded, _)) =>
-            writeEntriesIncremental(spark, st, oldDir, tailAdded, dir)
+          case Some(lz) =>
+            writeEntriesIncremental(spark, st, lz.entriesDir, lz.tailAdded,
+              drRows, dir)
           case None =>
-            val rows = checkpointEntryRows(st)
+            val rows = checkpointEntryRows(st) ++ drRows
             // ~100k entries per task: wide enough to matter at 10^6
             // files, one task for the common case
             val slices = math.max(1, math.min(32, rows.size / 100000))
@@ -1689,7 +1832,7 @@ object Lake {
       } else None
     def dropPq(): Unit = pqDir.foreach(d => fs.delete(d, true))
     val payload = pqDir match {
-      case Some(d) => renderCheckpointStub(st, d.getName, entries, scOut)
+      case Some(d) => renderCheckpointStub(st, d.getName, entries + drRows.size, scOut)
       case None => renderCheckpoint(st)
     }
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
@@ -1754,7 +1897,8 @@ object Lake {
     * `oldDir` (its torn-count check passed), so every live
     * checkpoint-resident file provably has its F row there. */
   private def writeEntriesIncremental(spark: SparkSession, st: LakeState,
-      oldDir: String, tailAdded: Set[String], dir: Path): Unit = {
+      oldDir: String, tailAdded: Set[String],
+      drRows: Seq[org.apache.spark.sql.Row], dir: Path): Unit = {
     import org.apache.spark.sql.Row
     checkpointIncrementalWrites.incrementAndGet()
     val keepArr: Array[String] = (st.files.toSet -- tailAdded).toArray.sorted
@@ -1782,7 +1926,7 @@ object Lake {
       }
     val tailRows = checkpointEntryRows(st.copy(
       files = st.files.filter(tailAdded),
-      stats = st.stats.view.filterKeys(tailAdded).toMap))
+      stats = st.stats.view.filterKeys(tailAdded).toMap)) ++ drRows
     val tailRdd = spark.sparkContext.parallelize(
       tailRows, math.max(1, math.min(32, tailRows.size / 100000)))
     spark.createDataFrame(oldKept.union(tailRdd), CpEntrySchema)
@@ -2027,7 +2171,7 @@ object Lake {
     }
     st.cpLazy match {
       case None => driverSide(files)
-      case Some(CpLazy(entriesDir, tailAdded, _)) =>
+      case Some(CpLazy(entriesDir, tailAdded, _, _)) =>
         val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
         val (local, cpResident) = files.partition(driverJudged)
         val (lRows, lBytes, lUnsized) = driverSide(local)
@@ -2091,7 +2235,7 @@ object Lake {
     }
     st.cpLazy match {
       case None => files.iterator.map(f => f -> local(f)).toMap
-      case Some(CpLazy(entriesDir, tailAdded, _)) =>
+      case Some(CpLazy(entriesDir, tailAdded, _, _)) =>
         val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
         val (loc, cpResident) = files.partition(driverJudged)
         val base = loc.iterator.map(f => f -> local(f)).toMap
@@ -2895,22 +3039,48 @@ object Lake {
         else bounds.forall(b => pathOverlap(f, b, schemaCols, zone))
       }
     }
+    // LEVEL 2: the checkpoint's per-directory envelopes (`DR` rows,
+    // already driver-resident from the lazy load) prove whole
+    // directories out — a non-overlapping envelope covers EVERY resident
+    // in the dir, so those files drop without consulting their rows.
+    // When every resident falls in a pruned directory the entries job is
+    // skipped entirely: a dir-banded predicate on a CLUSTERED data
+    // column plans driver-side, like the partition-banded fast path.
+    val prunedDirs: Set[String] =
+      if (lz.dirStats.isEmpty) Set.empty
+      else lz.dirStats.iterator.collect {
+        case (d, env) if bounds.exists(b => !statsOverlap(env, b)) => d
+      }.toSet
+    val residentNeedsJob = st.files.exists(f =>
+      !driverJudged(f) && !prunedDirs(dirOfFile(f)))
+    if (!residentNeedsJob) {
+      return st.files.filter { f =>
+        if (driverJudged(f))
+          bounds.forall(b => statsOverlap(st.stats.getOrElse(f, Seq.empty), b) &&
+            pathOverlap(f, b, schemaCols, zone))
+        else false // every resident's directory is proven out
+      }
+    }
     lazyPruneJobs.incrementAndGet()
     val bs = bounds
     val sc = schemaCols
     val tz = zone
+    val skipDirs = prunedDirs
     val keptJob: Set[String] = spark.read.schema(CpEntrySchema)
       .parquet(lz.entriesDir).rdd.flatMap { r =>
         if (r.getString(0) != "F") None
         else {
           val p = r.getString(1)
-          val cs =
-            if (r.isNullAt(3)) Seq.empty[ColStat]
-            else r.getSeq[org.apache.spark.sql.Row](3)
-              .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
-          if (bs.forall(b => statsOverlap(cs, b) && pathOverlap(p, b, sc, tz)))
-            Some(p)
-          else None
+          if (skipDirs.nonEmpty && skipDirs(p.take(p.lastIndexOf('/').max(0)))) None
+          else {
+            val cs =
+              if (r.isNullAt(3)) Seq.empty[ColStat]
+              else r.getSeq[org.apache.spark.sql.Row](3)
+                .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
+            if (bs.forall(b => statsOverlap(cs, b) && pathOverlap(p, b, sc, tz)))
+              Some(p)
+            else None
+          }
         }
       }.collect().toSet
     st.files.filter { f =>

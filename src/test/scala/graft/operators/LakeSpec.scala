@@ -3051,6 +3051,72 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("directory rollups: dir-banded DATA-column predicates prune a lazy lake driver-side; the incremental write folds envelopes forward") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-dirrollup")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      // two identity partitions with DISJOINT doc_id ranges
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                         // v2..v10: columnar cp
+      Pipeline.appendToLake(spark, out, batch(200000 until 200010, "test"),
+        partitionCols = Seq("split"))                                          // v11: tail
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.cpLazy.isDefined)
+      val dr = st.cpLazy.get.dirStats
+      assert(dr.keySet == Set("split=train", "split=test") &&
+        dr.values.forall(_.exists(_.col == "doc_id")),
+        s"both directories must carry doc_id envelopes, got $dr")
+      def band(lo: Long, hi: Long) = Lake.pruneByStats(st, "doc_id",
+        org.apache.spark.sql.types.LongType, lo, hi)
+      // a band BETWEEN the two ranges: every resident's directory is
+      // proven out by its envelope — ZERO entries jobs, nothing kept
+      // (the tail files are driver-judged and miss too)
+      val jobs0 = Lake.lazyPruneJobs.get()
+      assert(band(50000L, 60000L).isEmpty,
+        "a band between the dir ranges must keep nothing")
+      assert(Lake.lazyPruneJobs.get() == jobs0,
+        "a dir-banded data-column predicate must plan with ZERO entries jobs")
+      // a band inside ONE dir's range: that dir still needs its per-file
+      // judgment (one job), and the result equals the eager prune
+      val kept = band(100000L, 100010L)
+      assert(Lake.lazyPruneJobs.get() == jobs0 + 1)
+      assert(kept.nonEmpty && kept.forall(_.startsWith("split=test/")))
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(kept == Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 100000L, 100010L),
+        "the dir-scoped job prune must equal the eager prune")
+      assert(Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 50000L, 60000L).isEmpty)
+      // the INCREMENTAL write folds envelopes forward: the next
+      // checkpoint's test-dir envelope covers the v11 tail rows
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      Lake.checkpointNow(spark, out)                                           // v11 checkpoint, incremental
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      val testEnv = st2.cpLazy.get.dirStats("split=test")
+        .find(_.col == "doc_id").get
+      assert(testEnv.min == "100000" && testEnv.max == "200009",
+        s"the folded envelope must widen over the tail, got $testEnv")
+      // and the widened envelope still prunes exactly
+      assert(Lake.pruneByStats(st2, "doc_id",
+        org.apache.spark.sql.types.LongType, 50000L, 60000L).isEmpty)
+      assert(Lake.read(spark, out).count() == 100 + 100 + 90 + 10)
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("identity-level path pruning: escaped values, the default partition and nullness bounds decide exactly") {
     import org.apache.spark.sql.types.StringType
     val out = freshDir("lake-ident-prune")
