@@ -1974,10 +1974,14 @@ object Lake {
     }
   }
 
-  private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit = {
-    val (fs, root) = fsRoot(spark, lakeDir)
-    files.foreach(f => fs.delete(new Path(root, f), false))
-  }
+  /** Delete data files — the post-publish reclaim of superseded files
+    * and the abort path's staged-file cleanup. A batch at corpus scale
+    * (a whole-lake compact's pre-image set) distributes through
+    * [[reclaimPaths]]; small batches keep the serial loop (two job
+    * launches cost more than a dozen deletes). */
+  private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit =
+    reclaimPaths(spark, lakeDir, files.map(_ -> false),
+      distribute = files.size >= vacuumDistributeMin(spark))
 
   // ------------------------------------------------------------------
   // Distributed maintenance primitives (the Delta VACUUM shape: the
@@ -4537,8 +4541,22 @@ object Lake {
         resolve(spark, fs, root, lakeDir, version, deltas, checkpoints,
           forceEager = true)
       }
-    val gone = (target.files ++ target.dvs.values.flatten)
-      .filterNot(f => fs.exists(new Path(root, f)))
+    // existence sweep: a big version's restore would pay O(files) serial
+    // exists round-trips — above the distribution threshold the DATA
+    // files check against ONE distributed inventory instead (sidecars
+    // live in hidden trees the inventory skips; their count is bounded
+    // by the version's sparse mutations, so they stay per-file)
+    val neededData = target.files
+    val goneData =
+      if (neededData.size < vacuumDistributeMin(spark))
+        neededData.filterNot(f => fs.exists(new Path(root, f)))
+      else {
+        val present = dataFileInventory(spark, lakeDir, distribute = true)
+          .iterator.map(_._1).toSet
+        neededData.filterNot(present)
+      }
+    val gone = goneData ++
+      target.dvs.values.flatten.filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore to version $version — ${gone.size} of its file(s) were " +

@@ -146,6 +146,44 @@ class LakeSpec extends SparkTestBase {
     } finally spark.conf.unset(Lake.VacuumDistributeMinKey)
   }
 
+  test("commit-time superseded deletes and restore's existence sweep distribute above the threshold") {
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val out = freshDir("lake-del-dist")
+      writePlain(fixture(), out)
+      // the delete rewrites affected partitions; with the threshold
+      // lowered, the superseded pre-image files reclaim inside a job —
+      // zero serial driver deletes (the maintenance-op counter is flat
+      // through the whole publish)
+      val before = Lake.vacuumDriverFsOps.get()
+      Pipeline.deleteFromLake(spark, out, Seq(4L).toDF("doc_id"), "doc_id")
+      assert(Lake.vacuumDriverFsOps.get() == before,
+        "superseded deletes above the threshold must run inside a job")
+      assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 4L)
+      // below the threshold the serial loop survives (and is counted)
+      spark.conf.set(Lake.VacuumDistributeMinKey, "1000000")
+      val before2 = Lake.vacuumDriverFsOps.get()
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id")
+      assert(Lake.vacuumDriverFsOps.get() > before2,
+        "small batches keep the serial loop — two job launches cost more")
+      assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet - 4L - 5L)
+      // restore's existence sweep: above the threshold the DATA files
+      // check against one distributed inventory, not per-file exists
+      spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+      val out2 = freshDir("lake-restore-dist")
+      writePlain(fixture(), out2)
+      Pipeline.deleteFromLake(spark, out2, Seq(3L).toDF("doc_id"), "doc_id",
+        retainHistory = true)
+      val before3 = Lake.vacuumDriverFsOps.get()
+      Lake.restore(spark, out2, 0L)
+      val ops = Lake.vacuumDriverFsOps.get() - before3
+      assert(ops <= 4,
+        s"restore's existence sweep must be directory-bounded, got $ops")
+      assert(ids(Lake.read(spark, out2)) == (0L until 40L).toSet,
+        "the restore must resurrect the pre-delete corpus")
+    } finally spark.conf.unset(Lake.VacuumDistributeMinKey)
+  }
+
   test("appendToLake bootstraps a first-ever ingest and dedups within the batch") {
     val out = freshDir("lake-first")
     // duplicate ids INSIDE the first batch (at-least-once upstream)
