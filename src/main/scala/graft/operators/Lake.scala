@@ -271,7 +271,12 @@ object Lake {
     * leave the envelope conservatively wide. */
   final case class CpLazy(entriesDir: String, tailAdded: Set[String],
       statCols: Option[Set[String]],
-      dirStats: Map[String, Seq[ColStat]] = Map.empty)
+      dirStats: Map[String, Seq[ColStat]] = Map.empty,
+      /** Files REMOVED by tail deltas — min/max envelopes survive a
+        * removal (conservatively wide), but a directory's reserved SUMS
+        * don't: any removal in a dir invalidates its `#rows`/`#bytes`
+        * rollup for pricing (and for the next incremental fold). */
+      tailRemoved: Set[String] = Set.empty)
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -805,18 +810,32 @@ object Lake {
           .filterNot(kv => ReservedStatNames(kv._1) ||
             kv._1.endsWith(NullsStatSuffix)).toMap)
 
+  /** Per-directory reserved SUMS (`#rows`, `#bytes`): min = max = the
+    * dir's total, present only when EVERY member records the stat —
+    * whole-table pricing then answers from O(dirs) driver-resident
+    * numbers with zero jobs ([[reservedTotals]]' fast path). */
+  private def dirReservedSums(fs: Seq[String],
+      stats: Map[String, Seq[ColStat]]): Seq[ColStat] =
+    ReservedStatNames.toSeq.sorted.flatMap { n =>
+      val per = fs.map(f => stats.getOrElse(f, Seq.empty)
+        .find(_.col == n).flatMap(_.min.toLongOption))
+      if (per.exists(_.isEmpty)) None
+      else Some(ColStat(n, per.flatten.sum.toString, per.flatten.sum.toString))
+    }
+
   /** Per-directory rollups of a fully-materialized stats map (the
-    * DIRECT columnar write). */
+    * DIRECT columnar write): value-column min/max envelopes plus the
+    * reserved sums. */
   private def dirRollups(files: Seq[String], stats: Map[String, Seq[ColStat]],
       schemaJson: String): Map[String, Seq[ColStat]] = {
     val byDir = files.groupBy(dirOfFile).filter(_._1.nonEmpty)
     if (byDir.isEmpty || byDir.size > DirRollupMaxDirs) return Map.empty
     val dts = rollupTypes(schemaJson)
-    if (dts.isEmpty) return Map.empty
     byDir.flatMap { case (dir, fs) =>
       val env = foldEnvelope(fs.map(f => stats.getOrElse(f, Seq.empty)
         .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap), dts)
-      if (env.isEmpty) None else Some(dir -> env)
+      val all = env ++ dirReservedSums(fs, stats)
+      if (all.isEmpty) None else Some(dir -> all)
     }
   }
 
@@ -830,20 +849,39 @@ object Lake {
     val byDir = st.files.groupBy(dirOfFile).filter(_._1.nonEmpty)
     if (byDir.isEmpty || byDir.size > DirRollupMaxDirs) return Map.empty
     val dts = rollupTypes(st.schemaJson)
-    if (dts.isEmpty) return Map.empty
+    val removedDirs: Set[String] = lz.tailRemoved.map(dirOfFile)
     byDir.flatMap { case (dir, fs) =>
       val (tfs, ofs) = fs.partition(lz.tailAdded)
-      val oldPiece: Option[Map[String, ColStat]] =
+      val oldRaw: Option[Map[String, ColStat]] =
         if (ofs.isEmpty) None
         else lz.dirStats.get(dir).map(_.iterator.map(c => c.col -> c).toMap)
       // old residents without a prior envelope: the dir cannot prove
       // coverage — no rollup
-      if (ofs.nonEmpty && oldPiece.isEmpty) None
+      if (ofs.nonEmpty && oldRaw.isEmpty) None
       else {
-        val pieces = oldPiece.toSeq ++ tfs.map(f => st.stats.getOrElse(f, Seq.empty)
+        val oldEnvPiece = oldRaw.map(_.filter(kv => dts.contains(kv._1)))
+        val pieces = oldEnvPiece.toSeq ++ tfs.map(f => st.stats.getOrElse(f, Seq.empty)
           .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap)
         val env = foldEnvelope(pieces, dts)
-        if (env.isEmpty) None else Some(dir -> env)
+        // reserved SUMS fold: prior sum + tail members' values — a tail
+        // REMOVAL in the dir invalidates them (the old sum counts files
+        // that no longer exist), envelopes survive it conservatively
+        val sums: Seq[ColStat] =
+          if (removedDirs(dir)) Seq.empty
+          else ReservedStatNames.toSeq.sorted.flatMap { n =>
+            val oldSum: Option[Long] =
+              if (ofs.isEmpty) Some(0L)
+              else oldRaw.get.get(n).flatMap(_.min.toLongOption)
+            val tailVals = tfs.map(f => st.stats.getOrElse(f, Seq.empty)
+              .find(_.col == n).flatMap(_.min.toLongOption))
+            if (oldSum.isEmpty || tailVals.exists(_.isEmpty)) None
+            else {
+              val s = oldSum.get + tailVals.flatten.sum
+              Some(ColStat(n, s.toString, s.toString))
+            }
+          }
+        val all = env ++ sums
+        if (all.isEmpty) None else Some(dir -> all)
       }
     }
   }
@@ -1111,7 +1149,8 @@ object Lake {
       // the driver (its stats came from the delta), the checkpoint's
       // own files stay job-judged
       cpLazy = st.cpLazy.map(lz =>
-        lz.copy(tailAdded = lz.tailAdded ++ d.added.map(_._1))))
+        lz.copy(tailAdded = lz.tailAdded ++ d.added.map(_._1),
+          tailRemoved = lz.tailRemoved ++ d.removed)))
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -2175,11 +2214,37 @@ object Lake {
     }
     st.cpLazy match {
       case None => driverSide(files)
-      case Some(CpLazy(entriesDir, tailAdded, _, _)) =>
+      case Some(lz) =>
+        val entriesDir = lz.entriesDir
+        val tailAdded = lz.tailAdded
         val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
         val (local, cpResident) = files.partition(driverJudged)
         val (lRows, lBytes, lUnsized) = driverSide(local)
         if (cpResident.isEmpty) return (lRows, lBytes, lUnsized)
+        // ZERO-JOB fast path — the whole-table pricing shape (DSv2
+        // sizeInBytes with no pruning): the request covers every
+        // checkpoint resident, no restate muddies the membership, and
+        // every resident directory carries reserved SUMS untouched by
+        // tail removals — the totals are O(dirs) driver-resident adds
+        if (st.stats.keySet.forall(tailAdded)) {
+          val residents = st.files.filterNot(tailAdded)
+          if (cpResident.toSet == residents.toSet) {
+            val removedDirs = lz.tailRemoved.map(dirOfFile)
+            val dirs = residents.iterator.map(dirOfFile).toSet
+            def dirSum(d: String, n: String): Option[Long] =
+              if (d.isEmpty || removedDirs(d)) None
+              else lz.dirStats.get(d)
+                .flatMap(_.find(_.col == n)).flatMap(_.min.toLongOption)
+            val rowSums = dirs.toSeq.map(dirSum(_, RowsStatName))
+            val byteSums = dirs.toSeq.map(dirSum(_, BytesStatName))
+            if (dirs.nonEmpty && rowSums.forall(_.isDefined) &&
+                byteSums.forall(_.isDefined)) {
+              return (for (a <- lRows) yield a + rowSums.flatten.sum,
+                lBytes + byteSums.flatten.sum, lUnsized)
+            }
+          }
+        }
+        lazyPriceJobs.incrementAndGet()
         // sorted-array membership instead of a Set broadcast: at 10^6
         // requested paths the array is the compact form and each task
         // binary-searches it
@@ -2239,7 +2304,9 @@ object Lake {
     }
     st.cpLazy match {
       case None => files.iterator.map(f => f -> local(f)).toMap
-      case Some(CpLazy(entriesDir, tailAdded, _, _)) =>
+      case Some(lz) =>
+        val entriesDir = lz.entriesDir
+        val tailAdded = lz.tailAdded
         val driverJudged: Set[String] = st.stats.keySet ++ tailAdded
         val (loc, cpResident) = files.partition(driverJudged)
         val base = loc.iterator.map(f => f -> local(f)).toMap
@@ -2381,7 +2448,8 @@ object Lake {
         // staged files are driver-judged, and [[writeCheckpoint]] folds
         // the entries forward incrementally before any checkpoint render
         cpLazy = base.cpLazy.map(lz =>
-          lz.copy(tailAdded = lz.tailAdded ++ sc.stagedFiles)))
+          lz.copy(tailAdded = lz.tailAdded ++ sc.stagedFiles,
+            tailRemoved = lz.tailRemoved ++ sc.removedFiles)))
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,
@@ -3100,6 +3168,13 @@ object Lake {
     * plans with ZERO of these (the stub's `SC` census proves the
     * entries carry nothing to consult). Observability only. */
   private[graft] val lazyPruneJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Entries jobs launched by [[reservedTotals]] since JVM start — the
+    * pricing spec pins that WHOLE-TABLE pricing on a restate-free lazy
+    * lake answers from the directory sums with ZERO of these.
+    * Observability only. */
+  private[graft] val lazyPriceJobs =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The [[transformCol]] bucket of one bound endpoint, recomputed

@@ -3007,14 +3007,24 @@ class LakeSpec extends SparkTestBase {
       Lake.invalidateStateCache()
       val lazySt = Lake.latestManifest(spark, out).get
       assert(lazySt.cpLazy.isDefined, "default resolution above the threshold must be lazy")
+      // WHOLE-TABLE pricing (the DSv2 sizeInBytes shape) answers from
+      // the checkpoint's per-directory reserved SUMS — zero entries jobs
+      val priceJobs0 = Lake.lazyPriceJobs.get()
       assert(Lake.reservedTotals(spark, lazySt, lazySt.files) == totalsE,
         "lazy totals must equal the eager sums")
+      assert(Lake.lazyPriceJobs.get() == priceJobs0,
+        "whole-table pricing on a restate-free lazy lake must launch ZERO jobs")
       assert(Lake.reservedPerFile(spark, lazySt, lazySt.files) == perFileE,
         "lazy per-file reserved stats must equal eager")
-      // subset requests mix driver-judged (tail) and job-judged files
-      val subset = lazySt.files.take(3) ++ lazySt.cpLazy.get.tailAdded.take(1)
+      // subset requests mix driver-judged (tail) and job-judged files —
+      // partial coverage cannot use the dir sums, so the job runs
+      val subset = lazySt.files.filterNot(lazySt.cpLazy.get.tailAdded).take(3) ++
+        lazySt.cpLazy.get.tailAdded.take(1)
+      val priceJobs1 = Lake.lazyPriceJobs.get()
       assert(Lake.reservedTotals(spark, lazySt, subset) ==
         Lake.reservedTotals(spark, eagerSt, subset))
+      assert(Lake.lazyPriceJobs.get() == priceJobs1 + 1,
+        "a partial request must aggregate in the entries job")
       // byte-target sizing input (compaction's bytes/row conversion)
       assert(Lake.fileBytes(spark, out, lazySt.files, lazySt) ==
         Lake.fileBytes(spark, out, eagerSt.files, eagerSt))
