@@ -516,13 +516,17 @@ class ScaleProbeSpec extends SparkTestBase {
       // the default — recorded #rows/#bytes aggregate in a job over the
       // same entries, byte-equal to the eager driver sums
       val t3 = System.nanoTime()
+      val priceJobs0 = Lake.lazyPriceJobs.get()
       val lazyTotals = Lake.reservedTotals(spark, lazySt, lazySt.files)
       val priceSec = (System.nanoTime() - t3) / 1e9
       val eagerTotals = Lake.reservedTotals(spark, st, st.files)
-      info(f"lazyPricing=$priceSec%.2fs totals=$lazyTotals")
+      info(f"lazyPricing=$priceSec%.2fs totals=$lazyTotals " +
+        f"jobs=${Lake.lazyPriceJobs.get() - priceJobs0}%d")
       assert(lazyTotals == eagerTotals && lazyTotals._1.isDefined &&
         lazyTotals._3.isEmpty,
         s"lazy pricing must equal eager: $lazyTotals vs $eagerTotals")
+      assert(Lake.lazyPriceJobs.get() == priceJobs0,
+        "whole-table pricing must answer from the directory sums — zero jobs")
       // INCREMENTAL checkpoint from the lazy state: the new entries
       // derive from the old directory in one job — the driver renders
       // only the tail, never the 2000-file stats map
@@ -541,6 +545,13 @@ class ScaleProbeSpec extends SparkTestBase {
       val st2 = Lake.latestManifest(spark, out).get
       assert(st2.cpLazy.isDefined && Lake.pruneByStats(st2, bounds) == eagerKept,
         "the incremental checkpoint must carry every stat the eager one did")
+      // ...including the folded directory sums: the grown lake still
+      // prices driver-side with zero jobs
+      val priceJobs1 = Lake.lazyPriceJobs.get()
+      val totals2 = Lake.reservedTotals(spark, st2, st2.files)
+      assert(totals2._1.contains(1000090L + 10L) &&
+        Lake.lazyPriceJobs.get() == priceJobs1,
+        s"the folded sums must price the grown lake driver-side, got $totals2")
       // DISTRIBUTED vacuum at scale: the live count is far above the
       // default threshold, so the sweep lists and deletes in jobs —
       // driver filesystem calls stay directory-bounded on a clean lake
