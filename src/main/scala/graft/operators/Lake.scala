@@ -1147,10 +1147,15 @@ object Lake {
       bloomCols = d.bloomCols.getOrElse(st.bloomCols),
       // lazy marker folds forward: every tail-added file is judged on
       // the driver (its stats came from the delta), the checkpoint's
-      // own files stay job-judged
+      // own files stay job-judged. A removed file that was itself
+      // TAIL-ADDED never contributed to the checkpoint's entries or to
+      // its directory reserved sums — it leaves `tailAdded` and stays
+      // OUT of `tailRemoved`, so an add-then-remove churn in a
+      // directory cannot spuriously invalidate the dir's sums (only
+      // removals of genuine checkpoint residents do).
       cpLazy = st.cpLazy.map(lz =>
-        lz.copy(tailAdded = lz.tailAdded ++ d.added.map(_._1),
-          tailRemoved = lz.tailRemoved ++ d.removed)))
+        lz.copy(tailAdded = (lz.tailAdded -- removed) ++ d.added.map(_._1),
+          tailRemoved = lz.tailRemoved ++ (removed -- lz.tailAdded))))
   }
 
   /** Per-column stats merge: the restated columns replace their old
@@ -2247,8 +2252,10 @@ object Lake {
         lazyPriceJobs.incrementAndGet()
         // sorted-array membership instead of a Set broadcast: at 10^6
         // requested paths the array is the compact form and each task
-        // binary-searches it
-        val wanted = cpResident.toArray.sorted
+        // binary-searches it. Distinct FIRST: the torn-checkpoint check
+        // below counts unique entries rows, so a caller-duplicated path
+        // must not inflate the expected count (each file prices once)
+        val wanted = cpResident.distinct.toArray.sorted
         val rn = RowsStatName; val bn = BytesStatName
         val (matched, cRowsOpt, cBytes, cUnsized) =
           spark.read.schema(CpEntrySchema).parquet(entriesDir).rdd
@@ -2311,7 +2318,7 @@ object Lake {
         val (loc, cpResident) = files.partition(driverJudged)
         val base = loc.iterator.map(f => f -> local(f)).toMap
         if (cpResident.isEmpty) return base
-        val wanted = cpResident.toArray.sorted
+        val wanted = cpResident.distinct.toArray.sorted
         val rn = RowsStatName; val bn = BytesStatName
         val fromJob = spark.read.schema(CpEntrySchema).parquet(entriesDir).rdd
           .flatMap { r =>
@@ -2445,11 +2452,13 @@ object Lake {
         layout = sc.layout.orElse(base.layout),
         bloomCols = sc.bloomCols.getOrElse(base.bloomCols),
         // the lazy marker folds forward exactly as in [[applyDelta]]:
-        // staged files are driver-judged, and [[writeCheckpoint]] folds
-        // the entries forward incrementally before any checkpoint render
+        // staged files are driver-judged, removed tail-transients never
+        // reach `tailRemoved`, and [[writeCheckpoint]] folds the
+        // entries forward incrementally before any checkpoint render
         cpLazy = base.cpLazy.map(lz =>
-          lz.copy(tailAdded = lz.tailAdded ++ sc.stagedFiles,
-            tailRemoved = lz.tailRemoved ++ sc.removedFiles)))
+          lz.copy(tailAdded = (lz.tailAdded -- sc.removedFiles) ++ sc.stagedFiles,
+            tailRemoved = lz.tailRemoved ++
+              sc.removedFiles.filterNot(lz.tailAdded))))
       try {
         commitDelta(spark, sc.lakeDir,
           DeltaRecord(base.version + 1, sc.action, schemaJson,

@@ -846,6 +846,15 @@ object Pipeline {
     // writes O(tail), not O(partition). Sizes come from one driver-side
     // listing of the live files (the same cost class as the byte-target
     // sizing below).
+    // CANDIDATE dirs first, from counts alone: rewritable files are a
+    // subset of a dir's members, so a dir can only qualify if its raw
+    // file count (or DV presence) already does. The size/stat pricing
+    // below then scopes to the candidate subtrees' files — a scoped
+    // small-file pass over one hot partition keeps its driver traffic
+    // and its entries scan O(candidates), never O(corpus)
+    val byDir = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
+      .filter { case (d, fs) => d.nonEmpty &&
+        (fs.size > maxFilesPerPartition || fs.exists(base.dvs.contains)) }
     val rewritable: String => Boolean = onlyFilesSmallerThan match {
       case None => _ => true
       case Some(th) =>
@@ -857,8 +866,9 @@ object Pipeline {
           val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
           (hfs, hfs.makeQualified(root))
         }
-        val recorded = Lake.reservedPerFile(spark, base, base.files)
-        val sizes = base.files.map { f =>
+        val scoped = Lake.filesUnder(base.files, byDir.keys.toSeq)
+        val recorded = Lake.reservedPerFile(spark, base, scoped)
+        val sizes = scoped.map { f =>
           f -> recorded.getOrElse(f, (None, None))._2.getOrElse {
             val (hfs, q) = hfsQ
             hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen
@@ -866,10 +876,10 @@ object Pipeline {
         }.toMap
         f => base.dvs.contains(f) || sizes.getOrElse(f, Long.MaxValue) < th
     }
-    val affectedDirs = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
-      .filter { case (d, fs) =>
+    val affectedDirs = byDir
+      .filter { case (_, fs) =>
         val rw = fs.filter(rewritable)
-        d.nonEmpty && (rw.size > maxFilesPerPartition || rw.exists(base.dvs.contains)) }
+        rw.size > maxFilesPerPartition || rw.exists(base.dvs.contains) }
       .keys.toSeq.sorted
     if (affectedDirs.nonEmpty) {
       // the rewrite layout passes the same shared gate as init/evolve —

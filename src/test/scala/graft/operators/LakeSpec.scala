@@ -3049,6 +3049,113 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("tail add-then-remove churn keeps directory reserved sums: pricing stays zero-job through a small-file compaction and its checkpoint") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-churn-price")
+      def batch(ids: Range) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"))
+      Lake.init(spark, batch(0 until 2000)
+        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id"),
+        out, Seq("split"))                                                   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(10000 * i until 10000 * i + 500),
+        partitionCols = Seq("split")))                                       // v2..v10: columnar cp
+      (10 to 12).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(10000 * i until 10000 * i + 10),
+        partitionCols = Seq("split")))                                       // v11..v13: small tail
+      Lake.invalidateStateCache()
+      val st0 = Lake.latestManifest(spark, out).get
+      assert(st0.cpLazy.isDefined)
+      val tail0 = st0.cpLazy.get.tailAdded
+      val per = Lake.reservedPerFile(spark, st0, st0.files)
+      val residentMin = st0.files.filterNot(tail0).map(f => per(f)._2.get).min
+      val tailMax = st0.files.filter(tail0).map(f => per(f)._2.get).max
+      assert(tailMax < residentMin,
+        s"fixture needs the tail files strictly smaller, got tail<=$tailMax resident>=$residentMin")
+      // small-file compaction: ONLY the tail-added files rewrite (the
+      // residents sit above the byte threshold) — the commit removes
+      // files that never contributed to the checkpoint's dir sums
+      Pipeline.compactLake(spark, out, partitionCols = Seq("split"),
+        maxFilesPerPartition = 2, onlyFilesSmallerThan = Some(residentMin))  // v14
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.cpLazy.isDefined)
+      assert(st.cpLazy.get.tailRemoved.isEmpty,
+        "removals of TAIL-ADDED files must never enter tailRemoved — they were " +
+          "never checkpoint residents and cannot invalidate a directory's sums")
+      val total = 2000L + 9 * 500L + 3 * 10L
+      val jobs0 = Lake.lazyPriceJobs.get()
+      val totals = Lake.reservedTotals(spark, st, st.files)
+      assert(totals._1.contains(total) && totals._3.isEmpty,
+        s"whole-table pricing must stay exact through the churn, got $totals")
+      assert(Lake.lazyPriceJobs.get() == jobs0,
+        "tail churn in a resident directory must not demote pricing to the entries job")
+      // the INCREMENTAL checkpoint folds the same sums forward: prior
+      // dir sum + the replacement tail file, no invalidation
+      Lake.checkpointNow(spark, out)
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      val jobs1 = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st2, st2.files)._1.contains(total))
+      assert(Lake.lazyPriceJobs.get() == jobs1,
+        "the folded checkpoint must keep whole-table pricing zero-job")
+      assert(Lake.read(spark, out).count() == total)
+    } finally {
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("zero-job pricing survives analyzeStats: the next incremental checkpoint folds the restates in") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-analyze-price")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 200, "train")
+        .unionByName(batch(200 until 400, "test")), out, Seq("split"))       // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, if (i % 2 == 0) "train" else "test"),
+        partitionCols = Seq("split")))                                       // v2..v10: columnar cp
+      Lake.invalidateStateCache()
+      val st0 = Lake.latestManifest(spark, out).get
+      assert(st0.cpLazy.isDefined)
+      val total = 400L + 9 * 10L
+      val jobsA = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st0, st0.files)._1.contains(total))
+      assert(Lake.lazyPriceJobs.get() == jobsA, "baseline: restate-free pricing is zero-job")
+      // a SCOPED stats backfill restates some residents — pricing stays
+      // exact but must consult the entries (the restated rows shadow the
+      // checkpoint's) until a checkpoint folds them in
+      Lake.analyzeStats(spark, out, Seq("text"), scopeDirs = Seq("split=train")) // v11
+      Lake.invalidateStateCache()
+      val st1 = Lake.latestManifest(spark, out).get
+      assert(st1.stats.nonEmpty, "the restates must be driver-resident on the lazy state")
+      val jobsB = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st1, st1.files)._1.contains(total),
+        "pricing must stay exact across the restate")
+      assert(Lake.lazyPriceJobs.get() == jobsB + 1,
+        "a restated lazy lake prices through the entries job (membership is muddied)")
+      // the incremental checkpoint merges the restates into the entries
+      // AND keeps the directory sums — the zero-job path comes back
+      Lake.checkpointNow(spark, out)                                         // checkpoint at v11
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      assert(st2.cpLazy.isDefined && st2.stats.isEmpty)
+      val jobsC = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st2, st2.files)._1.contains(total))
+      assert(Lake.lazyPriceJobs.get() == jobsC,
+        "whole-table pricing must be zero-job again after the post-analyze checkpoint")
+      // and the backfilled column prunes: the fold union'd it into the
+      // SC census and merged the per-file rows executor-side
+      assert(st2.cpLazy.get.statCols.exists(_.contains("text")))
+    } finally {
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("two-level pruning: a partition-banded predicate prunes a lazy lake with ZERO entries jobs") {
     spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
     try {
