@@ -262,10 +262,15 @@ object Lake {
     * the checkpoint residents' recorded stats (Iceberg's manifest-list
     * idea), riding the entries as `DR` rows — O(dirs × cols), collected
     * with the same (tag, path, aux) projection the lazy load already
-    * pays. A (dir, col) envelope exists only when EVERY checkpoint file
-    * in the dir records that column, so a non-overlapping envelope
-    * proves NO resident in the dir can match — [[pruneLazy]] drops whole
-    * directories driver-side and scopes (or skips) the entries job.
+    * pays. Keys are directory paths OR parent PREFIXES: above
+    * [[DirRollupMaxDirsKey]] entries the writers fold the rollups one
+    * path level up until they fit ([[foldRollupsToCap]]), so consumers
+    * resolve a directory to its key through [[rollupKeyOf]] (longest
+    * covering prefix). A (key, col) envelope exists only when EVERY
+    * checkpoint file resolving to the key records that column, so a
+    * non-overlapping envelope proves NO resident under it can match —
+    * [[pruneLazy]] drops whole subtrees driver-side and scopes (or
+    * skips) the entries job.
     * Valid for the checkpoint residents for the state's whole lifetime:
     * tail-added files are driver-judged individually, removals only
     * leave the envelope conservatively wide. */
@@ -749,13 +754,94 @@ object Lake {
     files ++ hist ++ dvs ++ dvHist ++ cdc
   }
 
-  /** Directory-rollup ceiling: above this many data directories the
-    * checkpoint skips `DR` rows entirely — the rollup's value is
-    * whole-directory pruning, and a lake fragmented into more
-    * directories than this should fix its layout, not its metadata. */
-  private[graft] val DirRollupMaxDirs = 4096
+  /** Directory-rollup ceiling: above this many rollup entries the
+    * checkpoint writers FOLD the per-directory rollups into parent path
+    * prefixes — hierarchical envelopes, the Iceberg
+    * manifest-list-over-manifests idea applied to the rollups
+    * themselves — one level at a time until the count fits, so a
+    * 10^5-directory lake keeps driver-side level-two pruning at a
+    * coarser grain instead of losing it. Only a lake whose TOP-LEVEL
+    * grouping still exceeds the cap drops `DR` rows entirely — and that
+    * drop is counted ([[dirRollupGiveUps]]) and logged, never silent.
+    * Override per session via [[DirRollupMaxDirsKey]] (specs lower it
+    * to force folds). */
+  val DirRollupMaxDirsDefault = 4096
+
+  private[graft] val DirRollupMaxDirsKey =
+    "spark.graft.lake.checkpoint.rollupMaxDirs"
+
+  private[graft] def dirRollupMaxDirs(spark: SparkSession): Int =
+    spark.conf.getOption(DirRollupMaxDirsKey)
+      .map(_.toInt).getOrElse(DirRollupMaxDirsDefault)
+
+  /** Checkpoint writes that gave up on `DR` rollups because even the
+    * top-level prefix grouping exceeded the cap — the no-silent-caps
+    * tripwire (two-level pruning and zero-job pricing degrade to
+    * per-query entries jobs when this moves). Observability only. */
+  private[graft] val dirRollupGiveUps =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val rollupLog = org.slf4j.LoggerFactory.getLogger("graft.Lake")
 
   private def dirOfFile(f: String): String = f.take(f.lastIndexOf('/').max(0))
+
+  /** The rollup key covering `dir`: the LONGEST prefix of `dir` (itself
+    * included) present in `keys`. Hierarchically-folded rollups are
+    * keyed at whatever path grain kept their count under the cap — and
+    * grains can mix (fresh directories enter at full depth while old
+    * ones folded up) — so every consumer resolves a directory through
+    * this longest-first walk: a dir under a deeper key never consults a
+    * shallower ancestor's envelope, which by construction only covers
+    * the residents that RESOLVE to it. */
+  private[graft] def rollupKeyOf(keys: Set[String], dir: String): Option[String] = {
+    var d = dir
+    while (d.nonEmpty) {
+      if (keys(d)) return Some(d)
+      val i = d.lastIndexOf('/')
+      d = if (i <= 0) "" else d.take(i)
+    }
+    None
+  }
+
+  /** Fold dir-keyed rollups up one path level at a time until the count
+    * fits `cap`: group by parent prefix, intersect-and-widen the member
+    * envelopes ([[foldEnvelope]] — an EMPTY member poisons its parent,
+    * because it marks a subtree whose residents the rollup cannot prove
+    * coverage of), and add the member reserved sums (present only when
+    * every member carries one). Gives up — counted and logged — only
+    * when even the top-level grouping exceeds the cap. Empty-valued
+    * entries survive the folds as poison and drop from the final map. */
+  private def foldRollupsToCap(m0: Map[String, Seq[ColStat]],
+      dts: Map[String, DataType], cap: Int,
+      context: String): Map[String, Seq[ColStat]] = {
+    var cur = m0
+    while (cur.size > cap && cur.keysIterator.exists(_.contains('/'))) {
+      cur = cur.groupBy { case (d, _) =>
+        val i = d.lastIndexOf('/'); if (i <= 0) d else d.take(i)
+      }.map { case (p, members) =>
+        val vals = members.values.toSeq
+        val env = foldEnvelope(
+          vals.map(_.iterator.map(c => c.col -> c).toMap), dts)
+        val sums = ReservedStatNames.toSeq.sorted.flatMap { n =>
+          val per = vals.map(_.find(_.col == n).flatMap(_.min.toLongOption))
+          if (per.exists(_.isEmpty)) None
+          else {
+            val s = per.flatten.sum
+            Some(ColStat(n, s.toString, s.toString))
+          }
+        }
+        p -> (env ++ sums)
+      }
+    }
+    if (cur.size > cap) {
+      dirRollupGiveUps.incrementAndGet()
+      rollupLog.warn(s"$context: ${m0.size} data directories still fold to " +
+        s"${cur.size} top-level groups, above the rollup cap $cap — skipping DR " +
+        "rollups (two-level pruning and zero-job pricing degrade to per-query " +
+        s"entries jobs; raise $DirRollupMaxDirsKey or coarsen the layout)")
+      Map.empty
+    } else cur.filter(_._2.nonEmpty)
+  }
 
   /** Envelope fold shared by the rollup builders: intersect the pieces'
     * column sets (a piece missing a column — or with an unparseable
@@ -825,18 +911,22 @@ object Lake {
 
   /** Per-directory rollups of a fully-materialized stats map (the
     * DIRECT columnar write): value-column min/max envelopes plus the
-    * reserved sums. */
+    * reserved sums, folded to parent prefixes when the dir count
+    * exceeds the cap ([[foldRollupsToCap]]). Bare directories (no
+    * provable coverage) ride as empty entries INTO the fold — they
+    * poison any parent prefix that would otherwise claim their
+    * residents — and drop from the final map. */
   private def dirRollups(files: Seq[String], stats: Map[String, Seq[ColStat]],
-      schemaJson: String): Map[String, Seq[ColStat]] = {
+      schemaJson: String, cap: Int): Map[String, Seq[ColStat]] = {
     val byDir = files.groupBy(dirOfFile).filter(_._1.nonEmpty)
-    if (byDir.isEmpty || byDir.size > DirRollupMaxDirs) return Map.empty
+    if (byDir.isEmpty) return Map.empty
     val dts = rollupTypes(schemaJson)
-    byDir.flatMap { case (dir, fs) =>
+    val perDir = byDir.map { case (dir, fs) =>
       val env = foldEnvelope(fs.map(f => stats.getOrElse(f, Seq.empty)
         .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap), dts)
-      val all = env ++ dirReservedSums(fs, stats)
-      if (all.isEmpty) None else Some(dir -> all)
+      dir -> (env ++ dirReservedSums(fs, stats))
     }
+    foldRollupsToCap(perDir, dts, cap, "checkpoint dir rollups")
   }
 
   /** Rollup fold for the INCREMENTAL write: a directory's new envelope
@@ -845,29 +935,40 @@ object Lake {
     * driver-resident stats; a directory whose residents are ALL
     * tail-added builds fresh. Restates are ignored — the prior envelope
     * already covers their rows' data. */
-  private def foldDirRollups(st: LakeState, lz: CpLazy): Map[String, Seq[ColStat]] = {
-    val byDir = st.files.groupBy(dirOfFile).filter(_._1.nonEmpty)
-    if (byDir.isEmpty || byDir.size > DirRollupMaxDirs) return Map.empty
+  private def foldDirRollups(st: LakeState, lz: CpLazy,
+      cap: Int): Map[String, Seq[ColStat]] = {
     val dts = rollupTypes(st.schemaJson)
-    val removedDirs: Set[String] = lz.tailRemoved.map(dirOfFile)
-    byDir.flatMap { case (dir, fs) =>
+    val priorKeys = lz.dirStats.keySet
+    // live files group under the prior checkpoint's OWN rollup grain
+    // (longest covering key; fresh directories enter at full depth) —
+    // the prior envelope of a key covers exactly the old residents that
+    // resolve to it, so the fold below widens like-for-like
+    def keyFor(f: String): String = {
+      val d = dirOfFile(f)
+      rollupKeyOf(priorKeys, d).getOrElse(d)
+    }
+    val byKey = st.files.groupBy(keyFor).filter(_._1.nonEmpty)
+    if (byKey.isEmpty) return Map.empty
+    val removedKeys: Set[String] = lz.tailRemoved.map(keyFor)
+    val perKey = byKey.map { case (key, fs) =>
       val (tfs, ofs) = fs.partition(lz.tailAdded)
       val oldRaw: Option[Map[String, ColStat]] =
         if (ofs.isEmpty) None
-        else lz.dirStats.get(dir).map(_.iterator.map(c => c.col -> c).toMap)
-      // old residents without a prior envelope: the dir cannot prove
-      // coverage — no rollup
-      if (ofs.nonEmpty && oldRaw.isEmpty) None
+        else lz.dirStats.get(key).map(_.iterator.map(c => c.col -> c).toMap)
+      // old residents without a prior envelope: the key cannot prove
+      // coverage — an EMPTY entry, which poisons parents in the fold
+      if (ofs.nonEmpty && oldRaw.isEmpty) key -> Seq.empty[ColStat]
       else {
         val oldEnvPiece = oldRaw.map(_.filter(kv => dts.contains(kv._1)))
         val pieces = oldEnvPiece.toSeq ++ tfs.map(f => st.stats.getOrElse(f, Seq.empty)
           .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap)
         val env = foldEnvelope(pieces, dts)
-        // reserved SUMS fold: prior sum + tail members' values — a tail
-        // REMOVAL in the dir invalidates them (the old sum counts files
-        // that no longer exist), envelopes survive it conservatively
+        // reserved SUMS fold: prior sum + tail members' values — a
+        // RESIDENT removal under the key invalidates them (the old sum
+        // counts files that no longer exist; tail transients never
+        // reach `tailRemoved`), envelopes survive it conservatively
         val sums: Seq[ColStat] =
-          if (removedDirs(dir)) Seq.empty
+          if (removedKeys(key)) Seq.empty
           else ReservedStatNames.toSeq.sorted.flatMap { n =>
             val oldSum: Option[Long] =
               if (ofs.isEmpty) Some(0L)
@@ -880,10 +981,10 @@ object Lake {
               Some(ColStat(n, s.toString, s.toString))
             }
           }
-        val all = env ++ sums
-        if (all.isEmpty) None else Some(dir -> all)
+        key -> (env ++ sums)
       }
     }
+    foldRollupsToCap(perKey, dts, cap, "incremental dir rollups")
   }
 
   /** Number of file-scale entries a checkpoint of `st` would carry —
@@ -1849,8 +1950,9 @@ object Lake {
     val drMap: Map[String, Seq[ColStat]] =
       if (!goColumnar) Map.empty
       else st.cpLazy match {
-        case None => dirRollups(st.files, st.stats, st.schemaJson)
-        case Some(lz) => foldDirRollups(st, lz)
+        case None =>
+          dirRollups(st.files, st.stats, st.schemaJson, dirRollupMaxDirs(spark))
+        case Some(lz) => foldDirRollups(st, lz, dirRollupMaxDirs(spark))
       }
     val drRows: Seq[org.apache.spark.sql.Row] = drMap.toSeq.sortBy(_._1).flatMap {
       case (d, env) => env.map(c => org.apache.spark.sql.Row(
@@ -2234,18 +2336,29 @@ object Lake {
         if (st.stats.keySet.forall(tailAdded)) {
           val residents = st.files.filterNot(tailAdded)
           if (cpResident.toSet == residents.toSet) {
-            val removedDirs = lz.tailRemoved.map(dirOfFile)
+            // resolve each resident directory to its ROLLUP KEY (the
+            // rollups may be hierarchically folded to prefix grains) —
+            // each key's sum counts exactly the residents resolving to
+            // it, and the key set dedupes, so the totals add once
+            val rollupKeys = lz.dirStats.keySet
             val dirs = residents.iterator.map(dirOfFile).toSet
-            def dirSum(d: String, n: String): Option[Long] =
-              if (d.isEmpty || removedDirs(d)) None
-              else lz.dirStats.get(d)
-                .flatMap(_.find(_.col == n)).flatMap(_.min.toLongOption)
-            val rowSums = dirs.toSeq.map(dirSum(_, RowsStatName))
-            val byteSums = dirs.toSeq.map(dirSum(_, BytesStatName))
-            if (dirs.nonEmpty && rowSums.forall(_.isDefined) &&
-                byteSums.forall(_.isDefined)) {
-              return (for (a <- lRows) yield a + rowSums.flatten.sum,
-                lBytes + byteSums.flatten.sum, lUnsized)
+            val keyOf: Map[String, Option[String]] =
+              dirs.iterator.map(d => d -> (if (d.isEmpty) None
+                else rollupKeyOf(rollupKeys, d))).toMap
+            if (dirs.nonEmpty && keyOf.valuesIterator.forall(_.isDefined)) {
+              val removedKeys = lz.tailRemoved.flatMap(f =>
+                rollupKeyOf(rollupKeys, dirOfFile(f)))
+              val keys = keyOf.valuesIterator.flatten.toSet
+              def keySum(k: String, n: String): Option[Long] =
+                if (removedKeys(k)) None
+                else lz.dirStats.get(k)
+                  .flatMap(_.find(_.col == n)).flatMap(_.min.toLongOption)
+              val rowSums = keys.toSeq.map(keySum(_, RowsStatName))
+              val byteSums = keys.toSeq.map(keySum(_, BytesStatName))
+              if (rowSums.forall(_.isDefined) && byteSums.forall(_.isDefined)) {
+                return (for (a <- lRows) yield a + rowSums.flatten.sum,
+                  lBytes + byteSums.flatten.sum, lUnsized)
+              }
             }
           }
         }
@@ -3127,13 +3240,20 @@ object Lake {
     // When every resident falls in a pruned directory the entries job is
     // skipped entirely: a dir-banded predicate on a CLUSTERED data
     // column plans driver-side, like the partition-banded fast path.
+    val rollupKeys = lz.dirStats.keySet
     val prunedDirs: Set[String] =
       if (lz.dirStats.isEmpty) Set.empty
       else lz.dirStats.iterator.collect {
         case (d, env) if bounds.exists(b => !statsOverlap(env, b)) => d
       }.toSet
+    // a file is proven out when the rollup key its directory RESOLVES
+    // to (longest covering prefix — rollups may be hierarchically
+    // folded) is pruned; an ancestor key never judges a dir that
+    // resolves deeper
+    def dirProvenOut(dir: String): Boolean =
+      prunedDirs.nonEmpty && rollupKeyOf(rollupKeys, dir).exists(prunedDirs)
     val residentNeedsJob = st.files.exists(f =>
-      !driverJudged(f) && !prunedDirs(dirOfFile(f)))
+      !driverJudged(f) && !dirProvenOut(dirOfFile(f)))
     if (!residentNeedsJob) {
       return st.files.filter { f =>
         if (driverJudged(f))
@@ -3147,12 +3267,14 @@ object Lake {
     val sc = schemaCols
     val tz = zone
     val skipDirs = prunedDirs
+    val skipKeys = rollupKeys
     val keptJob: Set[String] = spark.read.schema(CpEntrySchema)
       .parquet(lz.entriesDir).rdd.flatMap { r =>
         if (r.getString(0) != "F") None
         else {
           val p = r.getString(1)
-          if (skipDirs.nonEmpty && skipDirs(p.take(p.lastIndexOf('/').max(0)))) None
+          if (skipDirs.nonEmpty && rollupKeyOf(skipKeys,
+              p.take(p.lastIndexOf('/').max(0))).exists(skipDirs)) None
           else {
             val cs =
               if (r.isNullAt(3)) Seq.empty[ColStat]

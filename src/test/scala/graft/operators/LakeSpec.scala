@@ -3272,6 +3272,99 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("hierarchical dir rollups: above the cap the envelopes fold to prefix grains, keep zero-job pruning/pricing, and the final give-up is counted") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.DirRollupMaxDirsKey, "4")
+    try {
+      val out = freshDir("lake-hier-rollup")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"), pmod(col("id"), lit(4)).cast("int").as("shard"))
+      // 2 splits x 4 shards = 8 leaf directories, DISJOINT doc_id ranges
+      Lake.init(spark, batch(0 until 400, "train")
+        .unionByName(batch(100000 until 100400, "test")),
+        out, Seq("split", "shard"))                                          // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(400 + 10 * (i - 1) until 400 + 10 * i, "train"),
+        partitionCols = Seq("split", "shard")))                              // v2..v10: columnar cp
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.cpLazy.isDefined)
+      val dr = st.cpLazy.get.dirStats
+      assert(dr.keySet == Set("split=train", "split=test"),
+        s"8 leaf dirs above cap 4 must fold to the 2 split prefixes, got ${dr.keySet}")
+      assert(dr.values.forall(env => env.exists(_.col == "doc_id") &&
+        env.exists(_.col == Lake.RowsStatName)),
+        s"folded prefixes must keep both envelopes and reserved sums, got $dr")
+      // a band BETWEEN the two subtrees' ranges: both prefix envelopes
+      // prove their whole subtrees out — ZERO entries jobs
+      val jobs0 = Lake.lazyPruneJobs.get()
+      assert(Lake.pruneByStats(st, "doc_id",
+        org.apache.spark.sql.types.LongType, 50000L, 60000L).isEmpty)
+      assert(Lake.lazyPruneJobs.get() == jobs0,
+        "a band between the prefix envelopes must plan with ZERO entries jobs")
+      // a band inside ONE subtree: one scoped job, equal to eager
+      val kept = Lake.pruneByStats(st, "doc_id",
+        org.apache.spark.sql.types.LongType, 100000L, 100010L)
+      assert(Lake.lazyPruneJobs.get() == jobs0 + 1)
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(kept == Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 100000L, 100010L),
+        "the prefix-rollup prune must equal the eager prune")
+      assert(Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 50000L, 60000L).isEmpty)
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      // whole-table pricing answers from the folded prefix sums
+      val total = 800L + 90L
+      val jobsP = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st, st.files)._1.contains(total))
+      assert(Lake.lazyPriceJobs.get() == jobsP,
+        "whole-table pricing must be zero-job off the folded prefix sums")
+      // the INCREMENTAL write folds forward AT the prefix grain: a tail
+      // append widens the train prefix envelope and its sums
+      Pipeline.appendToLake(spark, out, batch(200000 until 200010, "train"),
+        partitionCols = Seq("split", "shard"))                               // v11
+      Lake.invalidateStateCache()
+      Lake.checkpointNow(spark, out)
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      val trainEnv = st2.cpLazy.get.dirStats("split=train")
+      assert(trainEnv.find(_.col == "doc_id").exists(c =>
+        c.min == "0" && c.max == "200009"),
+        s"the incremental fold must widen the prefix envelope, got $trainEnv")
+      val jobsP2 = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st2, st2.files)._1.contains(total + 10L))
+      assert(Lake.lazyPriceJobs.get() == jobsP2,
+        "pricing must stay zero-job through the prefix-grain incremental fold")
+      // GIVE-UP is counted, never silent: with the cap below even the
+      // top-level grouping, the next checkpoint drops rollups and says so
+      spark.conf.set(Lake.DirRollupMaxDirsKey, "1")
+      Pipeline.appendToLake(spark, out, batch(200010 until 200020, "train"),
+        partitionCols = Seq("split", "shard"))                               // v12
+      val giveUps0 = Lake.dirRollupGiveUps.get()
+      Lake.invalidateStateCache()
+      Lake.checkpointNow(spark, out)
+      assert(Lake.dirRollupGiveUps.get() == giveUps0 + 1,
+        "a rollup drop must move the give-up counter")
+      Lake.invalidateStateCache()
+      val st3 = Lake.latestManifest(spark, out).get
+      assert(st3.cpLazy.exists(_.dirStats.isEmpty),
+        "above-cap-at-top-level must drop the rollups (conservatively)")
+      // pricing then degrades to the entries job — still exact
+      val jobsQ = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st3, st3.files)._1.contains(total + 20L))
+      assert(Lake.lazyPriceJobs.get() == jobsQ + 1)
+      assert(Lake.read(spark, out).count() == total + 20L)
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.DirRollupMaxDirsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("identity-level path pruning: escaped values, the default partition and nullness bounds decide exactly") {
     import org.apache.spark.sql.types.StringType
     val out = freshDir("lake-ident-prune")
