@@ -2205,34 +2205,82 @@ object Lake {
     } else if (dirs.nonEmpty) {
       val confProps = hadoopConfProps(spark)
       val rootPrefix = qroot.toUri.getPath.stripSuffix("/")
-      val dirStrs = dirs.map(_.getPath.toString)
-      out ++= spark.sparkContext
-        .parallelize(dirStrs, math.min(dirStrs.size, spark.sparkContext.defaultParallelism))
-        .flatMap { dir =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confProps.foreach { case (k, v) => conf.set(k, v) }
-          val p = new Path(dir)
-          val tfs = p.getFileSystem(conf)
-          val b = Seq.newBuilder[(String, Long)]
-          val it = tfs.listFiles(p, true)
-          while (it.hasNext) {
-            val st = it.next()
-            val fp = tfs.makeQualified(st.getPath).toUri.getPath
-            if (fp.startsWith(rootPrefix + "/")) {
-              val rel = fp.substring(rootPrefix.length + 1)
-              if (keep(rel)) b += rel -> st.getModificationTime
+      val par = spark.sparkContext.defaultParallelism
+      def recursiveJob(dirStrs: Seq[String]): Array[(String, Long)] = {
+        inventoryListTasks.addAndGet(math.min(dirStrs.size, par).toLong)
+        spark.sparkContext
+          .parallelize(dirStrs, math.min(dirStrs.size, par))
+          .flatMap { dir =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confProps.foreach { case (k, v) => conf.set(k, v) }
+            val p = new Path(dir)
+            val tfs = p.getFileSystem(conf)
+            val b = Seq.newBuilder[(String, Long)]
+            val it = tfs.listFiles(p, true)
+            while (it.hasNext) {
+              val st = it.next()
+              val fp = tfs.makeQualified(st.getPath).toUri.getPath
+              if (fp.startsWith(rootPrefix + "/")) {
+                val rel = fp.substring(rootPrefix.length + 1)
+                if (keep(rel)) b += rel -> st.getModificationTime
+              }
+              // a file outside the root prefix can only appear through a
+              // symlink-style FS quirk; the serial path REFUSES there —
+              // match it rather than silently skipping
+              else throw new IllegalStateException(
+                s"$fp is not under lake root $rootPrefix")
             }
-            // a file outside the root prefix can only appear through a
-            // symlink-style FS quirk; the serial path REFUSES there —
-            // match it rather than silently skipping
-            else throw new IllegalStateException(
-              s"$fp is not under lake root $rootPrefix")
-          }
-          b.result()
-        }.collect()
+            b.result()
+          }.collect()
+      }
+      if (dirs.size >= par) out ++= recursiveJob(dirs.map(_.getPath.toString))
+      else {
+        // SECOND-LEVEL fan-out: a lake partitioned split=.../... has a
+        // handful of top-level dirs — one hot split would ride a single
+        // straggler task. When the top-level count can't fill the
+        // cluster, a first SINGLE-LEVEL listing job expands the
+        // children (zero extra DRIVER filesystem calls — the
+        // directory-bounded driver-op budget holds), and the recursive
+        // walk distributes over them at cluster width.
+        val topStrs = dirs.map(_.getPath.toString)
+        inventoryListTasks.addAndGet(math.min(topStrs.size, par).toLong)
+        val level1: Array[(String, Boolean, Long)] = spark.sparkContext
+          .parallelize(topStrs, math.min(topStrs.size, par))
+          .flatMap { dir =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confProps.foreach { case (k, v) => conf.set(k, v) }
+            val p = new Path(dir)
+            val tfs = p.getFileSystem(conf)
+            tfs.listStatus(p).toSeq.map(s => (tfs.makeQualified(s.getPath)
+              .toUri.getPath, s.isDirectory, s.getModificationTime))
+          }.collect()
+        val (childDirs, level1Files) = level1.partition(_._2)
+        level1Files.foreach { case (fp, _, mtime) =>
+          if (fp.startsWith(rootPrefix + "/")) {
+            val rel = fp.substring(rootPrefix.length + 1)
+            if (keep(rel)) out += rel -> mtime
+          } else throw new IllegalStateException(
+            s"$fp is not under lake root $rootPrefix")
+        }
+        // hidden subtrees skip the walk outright — `keep` would reject
+        // every file under them anyway
+        val walkable = childDirs.iterator.map(_._1).filterNot { d =>
+          val n = d.substring(d.lastIndexOf('/') + 1)
+          n.startsWith("_") || n.startsWith(".")
+        }.toSeq
+        if (walkable.nonEmpty) out ++= recursiveJob(walkable)
+      }
     }
     out.result().distinct.sortBy(_._1)
   }
+
+  /** Listing-task count scheduled by [[dataFileInventory]]'s distributed
+    * walks since JVM start — the fan-out spec pins that a skewed tree
+    * (few top-level dirs, many children) schedules at least
+    * min(level-2 dirs, parallelism) walk tasks instead of one straggler
+    * per top-level dir. Observability only. */
+  private[graft] val inventoryListTasks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Delete lake-relative paths — `(rel, recursive)` pairs — in a Spark
     * job when `distribute` and the batch is large, serially otherwise.

@@ -184,6 +184,40 @@ class LakeSpec extends SparkTestBase {
     } finally spark.conf.unset(Lake.VacuumDistributeMinKey)
   }
 
+  test("vacuum inventory fans out to second-level directories: a hot split is not one straggler task") {
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val out = freshDir("lake-fanout")
+      def batch(ids: Range, split: String, shards: Int) =
+        spark.range(ids.start, ids.end).select(
+          col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+          lit(split).as("split"), pmod(col("id"), lit(shards)).cast("int").as("shard"))
+      // SKEWED tree: 6 level-2 dirs under split=train, 1 under split=test
+      Lake.init(spark, batch(0 until 60, "train", 6)
+        .unionByName(batch(60 until 70, "test", 1)), out, Seq("split", "shard"))
+      val level2 = new java.io.File(out).listFiles.filter(_.isDirectory)
+        .filterNot(_.getName.startsWith("_"))
+        .flatMap(d => d.listFiles.filter(_.isDirectory).map(s => s"${d.getName}/${s.getName}"))
+        .toSeq.sorted
+      assert(level2.size == 7, s"fixture must have 7 level-2 dirs, got $level2")
+      // strand an orphan deep in the hot split
+      val orphan = s"${level2.head}/orphan-0.parquet"
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, orphan),
+        Array[Byte](80, 65, 82, 49))
+      val t0 = Lake.inventoryListTasks.get()
+      val dead = Lake.vacuum(spark, out)
+      val tasks = Lake.inventoryListTasks.get() - t0
+      assert(dead == Seq(orphan), s"the sweep must reclaim exactly the orphan, got $dead")
+      // 2 top-level dirs < parallelism: the walk must fan out over the
+      // CHILDREN — at least min(level-2 dirs, parallelism) walk tasks
+      // (plus the single-level expansion pass), never 2 stragglers
+      val floor = math.min(level2.size, spark.sparkContext.defaultParallelism)
+      assert(tasks >= floor,
+        s"the inventory must schedule >= $floor walk tasks on the skewed tree, got $tasks")
+      assert(Lake.read(spark, out).count() == 70, "live data survives the fan-out sweep")
+    } finally spark.conf.unset(Lake.VacuumDistributeMinKey)
+  }
+
   test("appendToLake bootstraps a first-ever ingest and dedups within the batch") {
     val out = freshDir("lake-first")
     // duplicate ids INSIDE the first batch (at-least-once upstream)
