@@ -148,6 +148,17 @@ object Lake {
   private[graft] val checkpointParquetLoads =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Columnar (v3) checkpoint loads that materialized their stats
+    * EAGERLY — a forceEager caller (checkpoint render below the
+    * columnar threshold, restore, float→double widen, the metadata
+    * census) or the lazy conf pinned off. The CDC-under-lazy spec pins
+    * that serving the change stream and [[changesBetween]] off a
+    * lazily-resolved lake forces ZERO of these: the change feed plans
+    * O(delta) from the log's own lines and never needs the corpus
+    * stats map. Observability only. */
+  private[graft] val eagerV3Loads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** How a commit changed the data, recorded in its delta and consumed by
     * [[changesBetween]]: `append`/`init`/`adopt` ADD rows; `delete` and
     * `compact` only rewrite/remove existing ones; `merge` does BOTH — its
@@ -929,12 +940,13 @@ object Lake {
     foldRollupsToCap(perDir, dts, cap, "checkpoint dir rollups")
   }
 
-  /** Rollup fold for the INCREMENTAL write: a directory's new envelope
-    * = its prior envelope (which covers every old resident — absent
-    * prior envelope poisons the dir) widened by the tail-added files'
-    * driver-resident stats; a directory whose residents are ALL
-    * tail-added builds fresh. Restates are ignored — the prior envelope
-    * already covers their rows' data. */
+  /** Rollup fold for the INCREMENTAL write: a rollup key's new envelope
+    * = its prior envelope (which covers every old resident resolving to
+    * the key — absent prior envelope poisons it) widened by the
+    * tail-added files' driver-resident stats; a key whose residents are
+    * ALL tail-added builds fresh at full directory depth. Restates are
+    * ignored — the prior envelope already covers their rows' data. The
+    * output re-folds to the cap, so grains only ever coarsen. */
   private def foldDirRollups(st: LakeState, lz: CpLazy,
       cap: Int): Map[String, Seq[ColStat]] = {
     val dts = rollupTypes(st.schemaJson)
@@ -1004,6 +1016,7 @@ object Lake {
     if (!text.startsWith("graft-checkpoint-v3")) return parseCheckpointFile(text, version)
     checkpointParquetLoads.incrementAndGet()
     val lazyMode = !forceEager && lazyStats(spark)
+    if (!lazyMode) eagerV3Loads.incrementAndGet()
     var schemaJson = ""
     var pq: Option[(String, Long)] = None
     val txns = Map.newBuilder[String, Long]

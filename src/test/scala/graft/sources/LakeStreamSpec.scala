@@ -211,6 +211,55 @@ class LakeStreamSpec extends SparkTestBase {
     assert(mirror.count() == 10)
   }
 
+  test("the lazy default serves the change feed: CDC stream and batch changeFeed over a columnar-checkpoint lake force ZERO eager stats loads") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("lakecdclazy").toString
+      val out = s"$base/lake"
+      Lake.init(spark, fixture(0 until 20), out, Seq("split", "shard_id"))  // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        fixture(20 + 5 * (i - 1) until 20 + 5 * i)))                        // v2..v10: columnar cp
+      Pipeline.deleteFromLake(spark, out, Seq(3L).toDF("doc_id"), "doc_id",
+        retainHistory = true)                                               // v11: rewrite delete
+      Lake.restore(spark, out, 10L)                                         // v12: restore (eager-forcing, by design)
+      Lake.invalidateStateCache()
+      assert(Lake.latestManifest(spark, out).get.cpLazy.isDefined,
+        "the fixture must resolve lazily by default")
+      val eager0 = Lake.eagerV3Loads.get()
+      // batch change feed over the RESTORE-BEARING range: plans O(delta)
+      // from the log's own lines — the corpus stats map is never needed
+      val feed = Lake.changeFeed(spark, out, 0L, 12L)
+      val dataCols = Lake.read(spark, out).columns.map(col).toSeq
+      val mirror = feed.filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(dataCols: _*)
+        .exceptAll(feed.filter(col("_change_type").isin("delete", "update_preimage"))
+          .select(dataCols: _*))
+      assert(mirror.count() == 65 &&
+        Lake.read(spark, out).count() == 65,
+        "the feed must net to the restored lake under lazy resolution")
+      assert(Lake.eagerV3Loads.get() == eager0,
+        "batch changeFeed must not materialize checkpoint stats eagerly")
+      // the CDC STREAM tails the same lake — every micro-batch resolves
+      // states lazily too (incl. the restore-bearing version)
+      val q = spark.readStream.format("graft-lake-cdc")
+        .option("startingVersion", "earliest")
+        .load(out)
+        .writeStream.format("memory").queryName("lazy_cdc_tail")
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("lazy_cdc_tail").select("doc_id").collect()
+          .map(_.getLong(0))
+        // the seed + appends (0..64), plus the restore's re-added rows
+        assert(got.toSet.intersect((0L until 65L).toSet) == (0L until 65L).toSet,
+          s"the stream must deliver every added doc under lazy resolution, got ${got.length}")
+        assert(Lake.eagerV3Loads.get() == eager0,
+          "the CDC stream must not materialize checkpoint stats eagerly")
+      } finally q.stop()
+    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+  }
+
   test("batch changeFeed over sparse mutations: tombstoned pre-images surface as deletes with their partitions") {
     val base = java.nio.file.Files.createTempDirectory("lakefeedsparse").toString
     val out = s"$base/lake"
