@@ -192,7 +192,7 @@ object Lake {
     * computation instead of trusting `files ++ history` — otherwise it
     * would reclassify that retained history as orphans and delete it,
     * breaking time travel on lakes created by earlier builds. */
-  final case class LakeState(version: Long, schemaJson: String, files: Seq[String],
+  final case class LakeState(version: Long, schemaJson: String, files: LiveFiles,
       stats: Map[String, Seq[ColStat]] = Map.empty, history: Seq[String] = Seq.empty,
       historyComplete: Boolean = true,
       /** Live deletion-vector attachments: data file → the sidecar dirs
@@ -288,11 +288,143 @@ object Lake {
   final case class CpLazy(entriesDir: String, tailAdded: Set[String],
       statCols: Option[Set[String]],
       dirStats: Map[String, Seq[ColStat]] = Map.empty,
-      /** Files REMOVED by tail deltas — min/max envelopes survive a
-        * removal (conservatively wide), but a directory's reserved SUMS
-        * don't: any removal in a dir invalidates its `#rows`/`#bytes`
-        * rollup for pricing (and for the next incremental fold). */
-      tailRemoved: Set[String] = Set.empty)
+      /** Checkpoint-RESIDENT files removed by tail deltas — min/max
+        * envelopes survive a removal (conservatively wide), but a
+        * directory's reserved SUMS don't: a resident removal under a
+        * rollup key invalidates its `#rows`/`#bytes` for pricing. (Tail
+        * transients — added then removed after the checkpoint — never
+        * enter this set.) */
+      tailRemoved: Set[String] = Set.empty,
+      /** From the stub's `DC` line: every checkpoint resident resolves
+        * to a rollup key carrying both reserved sums — the condition
+        * under which whole-table pricing on a PATH-lazy state answers
+        * from the dir sums with zero jobs (no resident enumeration
+        * needed). */
+      sumsComplete: Boolean = false)
+
+  /** The live-file list of a resolved state, as a `Seq[String]` so every
+    * existing consumer keeps working. [[EagerFiles]] wraps a
+    * driver-materialized list. [[DeferredFiles]] — states resolved
+    * through a columnar checkpoint whose live count clears
+    * [[PathLazyMinFilesKey]] — PINS only the post-checkpoint tail on the
+    * driver and derives the checkpoint residents from the parquet
+    * entries on demand: one Spark job whose result is held through a
+    * SOFT reference (recomputable, GC-reclaimable under pressure), so a
+    * 10^8-file lake's resolved state pins O(tail) driver heap instead of
+    * the multi-GB path list (the Delta `Snapshot`/`filesForScan` shape —
+    * state stays in the log's own storage, planners collect what a scan
+    * needs, transiently). Scale-critical planners ([[pruneLazy]],
+    * [[reservedTotals]], the checkpoint writers) never force at all. */
+  sealed trait LiveFiles extends scala.collection.immutable.Seq[String]
+
+  object LiveFiles {
+    /** Every `copy(files = someSeq)`/constructor site keeps compiling —
+      * a plain list is an eager live-file list. */
+    import scala.language.implicitConversions
+    implicit def fromSeq(ps: Seq[String]): LiveFiles = ps match {
+      case lf: LiveFiles => lf
+      case _ => EagerFiles(ps)
+    }
+  }
+
+  final case class EagerFiles(paths: Seq[String]) extends LiveFiles {
+    def apply(i: Int): String = paths(i)
+    def length: Int = paths.length
+    def iterator: Iterator[String] = paths.iterator
+    override def isEmpty: Boolean = paths.isEmpty
+  }
+
+  /** See [[LiveFiles]]. `cpResidents` counts the checkpoint's F rows;
+    * `tailAdded` (sorted, live) and `tailRemoved` (⊆ residents) mirror
+    * the [[CpLazy]] fold; `sample` is the MINIMUM resident path when
+    * known (from the stub's `DC` line), which answers `headOption` —
+    * the layout-derivation probe — without a job. */
+  final class DeferredFiles private[graft] (
+      private[graft] val entriesDir: String,
+      private[graft] val cpResidents: Long,
+      private[graft] val tailAdded: Seq[String],
+      private[graft] val tailRemoved: Set[String],
+      private[graft] val sample: Option[String]) extends LiveFiles {
+    def length: Int = (cpResidents - tailRemoved.size + tailAdded.size).toInt
+    override def isEmpty: Boolean = length == 0
+    override def knownSize: Int = length
+    def apply(i: Int): String = forced(i)
+    def iterator: Iterator[String] = forced.iterator
+    override def headOption: Option[String] =
+      if (isEmpty) None
+      else sample match {
+        // the sample is the residents' min; a removal of OTHER residents
+        // cannot change that, so head = min(sample, tail min) — exact
+        case Some(s) if !tailRemoved(s) =>
+          Some(tailAdded.headOption.fold(s)(t => if (s <= t) s else t))
+        case None if cpResidents == tailRemoved.size => tailAdded.headOption
+        case _ => forced.headOption
+      }
+    override def head: String =
+      headOption.getOrElse(throw new NoSuchElementException("head of empty lake"))
+
+    @transient private var cache: java.lang.ref.SoftReference[IndexedSeq[String]] = null
+    private def forced: IndexedSeq[String] = synchronized {
+      val hit = if (cache == null) null else cache.get()
+      if (hit != null) hit
+      else {
+        val v = compute()
+        cache = new java.lang.ref.SoftReference(v)
+        v
+      }
+    }
+    private def compute(): IndexedSeq[String] = {
+      Lake.pathForceJobs.incrementAndGet()
+      val spark = SparkSession.active
+      val removedArr = tailRemoved.toArray.sorted
+      val residents = spark.read
+        .schema(StructType(Lake.CpEntrySchema.take(2)))
+        .parquet(entriesDir).rdd.flatMap { r =>
+          if (r.getString(0) != "F") None
+          else {
+            val p = r.getString(1)
+            if (removedArr.nonEmpty && java.util.Arrays.binarySearch(
+                removedArr.asInstanceOf[Array[AnyRef]], p) >= 0) None
+            else Some(p)
+          }
+        }.collect()
+      if (residents.length.toLong != cpResidents - tailRemoved.size)
+        throw new IllegalStateException(
+          s"deferred file list is torn: entries $entriesDir yields " +
+            s"${residents.length} live residents, the stub promised " +
+            s"${cpResidents - tailRemoved.size}")
+      (residents ++ tailAdded).sorted.toIndexedSeq
+    }
+  }
+
+  /** Live-file count at or above which a lazily-resolved columnar
+    * checkpoint defers even the PATH list ([[DeferredFiles]]) — below
+    * it, materializing a few MB of paths is cheaper than re-deriving
+    * them per read. Applies only when the stub carries a `DC` line
+    * (count + sample); older stubs always materialize. */
+  val PathLazyMinFilesDefault = 65536
+
+  private[graft] val PathLazyMinFilesKey =
+    "spark.graft.lake.checkpoint.pathLazyMinFiles"
+
+  private[graft] def pathLazyMinFiles(spark: SparkSession): Long =
+    spark.conf.getOption(PathLazyMinFilesKey)
+      .map(_.toLong).getOrElse(PathLazyMinFilesDefault.toLong)
+
+  /** Entries jobs launched to materialize a [[DeferredFiles]] list since
+    * JVM start — the path-lazy probe pins a read to at most one (soft-
+    * cached) and the scale-critical planners to zero. Observability
+    * only. */
+  private[graft] val pathForceJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The path entries a resolved state PINS on the driver (strong
+    * references — a [[DeferredFiles]]' soft-cached materialization is
+    * reclaimable and does not count): the probe's driver-memory bound. */
+  private[graft] def pinnedPathCount(st: LakeState): Long = st.files match {
+    case d: DeferredFiles => d.tailAdded.size.toLong + d.tailRemoved.size
+    case e => e.length.toLong
+  }
 
   /** One committed delta record. `rewrites` names the subset of `added`
     * paths that carry REWRITTEN pre-image rows rather than new data
@@ -732,10 +864,17 @@ object Lake {
     * that silently lost files). `v3` implies a complete history section,
     * like `v2`. */
   private def renderCheckpointStub(st: LakeState, dirName: String, entries: Long,
-      statCols: Option[Set[String]]): String = {
+      statCols: Option[Set[String]], sumsComplete: Boolean): String = {
     val header = "graft-checkpoint-v3"
     val schema = s"S\t${enc(st.schemaJson)}"
     val pq = s"PQ\t${enc(dirName)}\t$entries"
+    // `DC`: the F-row count, whether the DR sums cover every resident,
+    // and the MIN live path — everything a PATH-LAZY load needs to
+    // defer the file list itself ([[DeferredFiles]]): the count prices
+    // and torn-checks, the flag keeps zero-job pricing, the sample
+    // answers layout derivation without a job
+    val dc = s"DC\t${st.files.length}\t${if (sumsComplete) 1 else 0}\t" +
+      st.files.headOption.map(enc).getOrElse("-")
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
@@ -747,7 +886,8 @@ object Lake {
     // not listed here needs no entries job at all.
     val sc = statCols.toSeq.map(cols =>
       (Seq("SC") ++ cols.toSeq.sorted.map(enc)).mkString("\t"))
-    (header +: schema +: pq +: (txns ++ checks ++ lay ++ blm ++ sc)).mkString("\n")
+    (header +: schema +: pq +: dc +: (txns ++ checks ++ lay ++ blm ++ sc))
+      .mkString("\n")
   }
 
   /** The file-scale sections of `st` as columnar-checkpoint entry rows
@@ -854,6 +994,22 @@ object Lake {
     } else cur.filter(_._2.nonEmpty)
   }
 
+  /** Exact-round-trip comparison of two stat strings under the column's
+    * type — None = unparseable (callers poison the column). Pure;
+    * usable inside tasks. */
+  private[graft] def statCompare(dt: DataType, a: String, b: String): Option[Int] = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      for (x <- a.toLongOption; y <- b.toLongOption)
+        yield java.lang.Long.compare(x, y)
+    case DoubleType | FloatType =>
+      for (x <- a.toDoubleOption; y <- b.toDoubleOption)
+        yield java.lang.Double.compare(x, y)
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String
+      .fromString(a).compareTo(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)))
+    case _ => None
+  }
+
   /** Envelope fold shared by the rollup builders: intersect the pieces'
     * column sets (a piece missing a column — or with an unparseable
     * bound — poisons that column: coverage of EVERY resident is the
@@ -863,18 +1019,6 @@ object Lake {
   private def foldEnvelope(pieces: Seq[Map[String, ColStat]],
       dts: Map[String, DataType]): Seq[ColStat] = {
     if (pieces.isEmpty || pieces.exists(_.isEmpty)) return Seq.empty
-    def cmp(dt: DataType, a: String, b: String): Option[Int] = dt match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        for (x <- a.toLongOption; y <- b.toLongOption)
-          yield java.lang.Long.compare(x, y)
-      case DoubleType | FloatType =>
-        for (x <- a.toDoubleOption; y <- b.toDoubleOption)
-          yield java.lang.Double.compare(x, y)
-      case StringType => Some(org.apache.spark.unsafe.types.UTF8String
-        .fromString(a).compareTo(
-          org.apache.spark.unsafe.types.UTF8String.fromString(b)))
-      case _ => None
-    }
     val common = pieces.map(_.keySet).reduce(_ intersect _)
       .filter(dts.contains)
     common.toSeq.sorted.flatMap { c =>
@@ -884,11 +1028,11 @@ object Lake {
       var hi = vs.head.max
       var ok = true
       vs.tail.foreach { v =>
-        cmp(dt, v.min, lo) match {
+        statCompare(dt, v.min, lo) match {
           case Some(n) => if (n < 0) lo = v.min
           case None => ok = false
         }
-        cmp(dt, v.max, hi) match {
+        statCompare(dt, v.max, hi) match {
           case Some(n) => if (n > 0) hi = v.max
           case None => ok = false
         }
@@ -940,63 +1084,89 @@ object Lake {
     foldRollupsToCap(perDir, dts, cap, "checkpoint dir rollups")
   }
 
-  /** Rollup fold for the INCREMENTAL write: a rollup key's new envelope
-    * = its prior envelope (which covers every old resident resolving to
-    * the key — absent prior envelope poisons it) widened by the
-    * tail-added files' driver-resident stats; a key whose residents are
-    * ALL tail-added builds fresh at full directory depth. Restates are
-    * ignored — the prior envelope already covers their rows' data. The
-    * output re-folds to the cap, so grains only ever coarsen. */
-  private def foldDirRollups(st: LakeState, lz: CpLazy,
-      cap: Int): Map[String, Seq[ColStat]] = {
-    val dts = rollupTypes(st.schemaJson)
-    val priorKeys = lz.dirStats.keySet
-    // live files group under the prior checkpoint's OWN rollup grain
-    // (longest covering key; fresh directories enter at full depth) —
-    // the prior envelope of a key covers exactly the old residents that
-    // resolve to it, so the fold below widens like-for-like
-    def keyFor(f: String): String = {
+  /** [[dirRollups]] plus the sums-coverage flag the stub's `DC` line
+    * carries: true when every file resolves (longest-prefix) to a final
+    * rollup key carrying BOTH reserved sums — the condition for
+    * zero-job whole-table pricing without enumerating residents. */
+  private def dirRollupsWithFlag(files: Seq[String],
+      stats: Map[String, Seq[ColStat]], schemaJson: String,
+      cap: Int): (Map[String, Seq[ColStat]], Boolean) = {
+    val m = dirRollups(files, stats, schemaJson, cap)
+    val complete = files.nonEmpty && files.forall { f =>
       val d = dirOfFile(f)
-      rollupKeyOf(priorKeys, d).getOrElse(d)
+      d.nonEmpty && rollupKeyOf(m.keySet, d).exists(k =>
+        ReservedStatNames.forall(n => m(k).exists(_.col == n)))
     }
-    val byKey = st.files.groupBy(keyFor).filter(_._1.nonEmpty)
-    if (byKey.isEmpty) return Map.empty
-    val removedKeys: Set[String] = lz.tailRemoved.map(keyFor)
-    val perKey = byKey.map { case (key, fs) =>
-      val (tfs, ofs) = fs.partition(lz.tailAdded)
-      val oldRaw: Option[Map[String, ColStat]] =
-        if (ofs.isEmpty) None
-        else lz.dirStats.get(key).map(_.iterator.map(c => c.col -> c).toMap)
-      // old residents without a prior envelope: the key cannot prove
-      // coverage — an EMPTY entry, which poisons parents in the fold
-      if (ofs.nonEmpty && oldRaw.isEmpty) key -> Seq.empty[ColStat]
-      else {
-        val oldEnvPiece = oldRaw.map(_.filter(kv => dts.contains(kv._1)))
-        val pieces = oldEnvPiece.toSeq ++ tfs.map(f => st.stats.getOrElse(f, Seq.empty)
-          .iterator.filter(c => dts.contains(c.col)).map(c => c.col -> c).toMap)
-        val env = foldEnvelope(pieces, dts)
-        // reserved SUMS fold: prior sum + tail members' values — a
-        // RESIDENT removal under the key invalidates them (the old sum
-        // counts files that no longer exist; tail transients never
-        // reach `tailRemoved`), envelopes survive it conservatively
-        val sums: Seq[ColStat] =
-          if (removedKeys(key)) Seq.empty
-          else ReservedStatNames.toSeq.sorted.flatMap { n =>
-            val oldSum: Option[Long] =
-              if (ofs.isEmpty) Some(0L)
-              else oldRaw.get.get(n).flatMap(_.min.toLongOption)
-            val tailVals = tfs.map(f => st.stats.getOrElse(f, Seq.empty)
-              .find(_.col == n).flatMap(_.min.toLongOption))
-            if (oldSum.isEmpty || tailVals.exists(_.isEmpty)) None
-            else {
-              val s = oldSum.get + tailVals.flatten.sum
-              Some(ColStat(n, s.toString, s.toString))
-            }
+    (m, complete)
+  }
+
+  /** Per-directory rollup of one F row's stats / merge of two rollups —
+    * the executor-side fold [[aggregateDirRollups]] runs. Envelope
+    * columns intersect (a file missing one drops it; an unparseable
+    * bound drops it) and widen; reserved sums add with per-name
+    * validity. */
+  private final case class DirAgg(env: Map[String, (String, String)],
+      rows: Long, rowsOk: Boolean, bytes: Long, bytesOk: Boolean, n: Long)
+
+  /** Recompute the `DR` rollups from the freshly-written entries
+    * directory in ONE Spark job — the INCREMENTAL checkpoint's rollup
+    * source. Exact after removals and restates (the rows ARE the new
+    * state), needs no driver path list (path-lazy states), and moves
+    * the former O(files) driver grouping onto executors. Returns the
+    * capped rollup map plus the sums-coverage flag for the stub's `DC`
+    * line. */
+  private def aggregateDirRollups(spark: SparkSession, entriesDir: String,
+      schemaJson: String, cap: Int): (Map[String, Seq[ColStat]], Boolean) = {
+    val dts = rollupTypes(schemaJson)
+    val rn = RowsStatName
+    val bn = BytesStatName
+    def merge(a: DirAgg, b: DirAgg): DirAgg = {
+      val common = a.env.keySet intersect b.env.keySet
+      val env = common.iterator.flatMap { c =>
+        val dt = dts(c)
+        val (alo, ahi) = a.env(c)
+        val (blo, bhi) = b.env(c)
+        val lo = statCompare(dt, blo, alo).map(x => if (x < 0) blo else alo)
+        val hi = statCompare(dt, bhi, ahi).map(x => if (x > 0) bhi else ahi)
+        for (l <- lo; h <- hi) yield c -> (l, h)
+      }.toMap
+      DirAgg(env, a.rows + b.rows, a.rowsOk && b.rowsOk,
+        a.bytes + b.bytes, a.bytesOk && b.bytesOk, a.n + b.n)
+    }
+    val perDir: Map[String, DirAgg] = spark.read.schema(CpEntrySchema)
+      .parquet(entriesDir).rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, DirAgg]
+        it.foreach { r =>
+          if (r.getString(0) == "F") {
+            val d = dirOfFile(r.getString(1))
+            val cs: Seq[org.apache.spark.sql.Row] =
+              if (r.isNullAt(3)) Seq.empty else r.getSeq(3)
+            val env = cs.iterator.filter(s => dts.contains(s.getString(0)))
+              .map(s => s.getString(0) -> (s.getString(1), s.getString(2))).toMap
+            val rows = cs.find(_.getString(0) == rn).flatMap(_.getString(1).toLongOption)
+            val bytes = cs.find(_.getString(0) == bn).flatMap(_.getString(1).toLongOption)
+            val agg = DirAgg(env, rows.getOrElse(0L), rows.isDefined,
+              bytes.getOrElse(0L), bytes.isDefined, 1L)
+            m.update(d, m.get(d).fold(agg)(merge(_, agg)))
           }
-        key -> (env ++ sums)
+        }
+        Iterator.single(m.toMap)
+      }.fold(Map.empty) { (x, y) =>
+        x ++ y.map { case (k, v) => k -> x.get(k).fold(v)(merge(_, v)) }
       }
+    val dirAggs = perDir - "" // root-resident files belong to no key
+    val m0: Map[String, Seq[ColStat]] = dirAggs.map { case (d, a) =>
+      val env = a.env.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => ColStat(c, lo, hi) }
+      val sums =
+        (if (a.rowsOk) Seq(ColStat(rn, a.rows.toString, a.rows.toString)) else Seq.empty) ++
+          (if (a.bytesOk) Seq(ColStat(bn, a.bytes.toString, a.bytes.toString)) else Seq.empty)
+      d -> (env ++ sums)
     }
-    foldRollupsToCap(perKey, dts, cap, "incremental dir rollups")
+    val folded = foldRollupsToCap(m0, dts, cap, "aggregated dir rollups")
+    val complete = dirAggs.nonEmpty && !perDir.contains("") &&
+      dirAggs.keysIterator.forall(d => rollupKeyOf(folded.keySet, d).exists(k =>
+        ReservedStatNames.forall(n => folded(k).exists(_.col == n))))
+    (folded, complete)
   }
 
   /** Number of file-scale entries a checkpoint of `st` would carry —
@@ -1024,11 +1194,14 @@ object Lake {
     var layout: Option[Seq[String]] = None
     var bloomCols: Seq[String] = Seq.empty
     var scCols: Option[Set[String]] = None
+    var dc: Option[(Long, Boolean, Option[String])] = None
     text.split('\n').toSeq.filter(_.nonEmpty).tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
         case "S" => schemaJson = dec(f(1))
         case "PQ" => pq = Some((dec(f(1)), f(2).toLong))
+        case "DC" => dc = Some((f(1).toLong, f(2) == "1",
+          if (f(3) == "-") None else Some(dec(f(3)))))
         case "T" => txns += (dec(f(1)) -> f(2).toLong)
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case "LY" => layout = Some(f.tail.map(dec))
@@ -1040,17 +1213,40 @@ object Lake {
     val (dirName, expected) = pq.getOrElse(throw new IllegalStateException(
       s"columnar checkpoint v$version carries no PQ entries pointer"))
     val dir = new Path(logDir(root), dirName)
+    // PATH-LAZY: above the threshold even the file PATHS stay in the
+    // entries ([[DeferredFiles]]) — the stub's `DC` census carries the
+    // count, sums-coverage and sample the planners need driver-side.
+    // Pre-`DC` stubs always materialize (graceful on older lakes).
+    val pathLazy = lazyMode && dc.exists(_._1 >= pathLazyMinFiles(spark))
     // LAZY mode never decodes the stats column at all — the projection
     // below prunes it at the parquet reader, and pruning later judges
     // the checkpoint's files inside a job over this same directory
     val readSchema =
       if (lazyMode) StructType(CpEntrySchema.take(3)) else CpEntrySchema
-    val rows = spark.read.schema(readSchema)
-      .parquet(dir.toString).collect()
-    if (rows.length != expected)
+    val reader = spark.read.schema(readSchema).parquet(dir.toString)
+    val (fCount, rows): (Long, Array[org.apache.spark.sql.Row]) =
+      if (!pathLazy) (0L, reader.collect())
+      else {
+        // collect only the METADATA rows (H/V/VH/CF/DR, manifest-sized)
+        // and count the F rows for the torn check — the driver never
+        // holds the corpus path list
+        val parts = reader.rdd.mapPartitions { it =>
+          var n = 0L
+          val b = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          it.foreach(r => if (r.getString(0) == "F") n += 1 else b += r)
+          Iterator.single((n, b.toArray))
+        }.collect()
+        (parts.iterator.map(_._1).sum, parts.iterator.flatMap(_._2).toArray)
+      }
+    val totalRows = fCount + rows.length
+    if (totalRows != expected)
       throw new IllegalStateException(
         s"columnar checkpoint v$version is torn: entries directory $dirName " +
-          s"holds ${rows.length} rows, stub promises $expected")
+          s"holds $totalRows rows, stub promises $expected")
+    if (pathLazy && dc.exists(_._1 != fCount))
+      throw new IllegalStateException(
+        s"columnar checkpoint v$version is torn: entries directory $dirName " +
+          s"holds $fCount F rows, the DC census promises ${dc.get._1}")
     val files = Seq.newBuilder[String]
     val hist = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, Seq[ColStat]]
@@ -1084,7 +1280,12 @@ object Lake {
         case other => throw new IllegalStateException(s"unknown checkpoint entry tag: $other")
       }
     }
-    LakeState(version, schemaJson, files.result().sorted, stats.result(),
+    val liveFiles: LiveFiles =
+      if (pathLazy)
+        new DeferredFiles(dir.toString, fCount, Seq.empty, Set.empty,
+          dc.flatMap(_._3))
+      else EagerFiles(files.result().sorted)
+    LakeState(version, schemaJson, liveFiles, stats.result(),
       hist.result().sorted,
       historyComplete = true,
       dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
@@ -1095,7 +1296,8 @@ object Lake {
       layout = layout,
       bloomCols = bloomCols,
       cpLazy = if (lazyMode) Some(CpLazy(dir.toString, Set.empty, scCols,
-        dirStats.view.mapValues(_.toSeq).toMap)) else None)
+        dirStats.view.mapValues(_.toSeq).toMap,
+        sumsComplete = dc.exists(_._2))) else None)
   }
 
   /** Full log-file reads since JVM start — the observability hook the
@@ -1219,6 +1421,23 @@ object Lake {
     parseDeltaFile(readLogFile(fs, p), version)
   }
 
+  /** Fold one commit's adds/removes into the live-file list WITHOUT
+    * forcing a deferred one: a materialized list rebuilds sorted; a
+    * [[DeferredFiles]] adjusts its tail (removals of tail transients
+    * leave it, residents enter `tailRemoved`) and drops its sample path
+    * if the removal took it — O(tail) driver work per commit at any
+    * corpus size. */
+  private def foldLiveFiles(files: LiveFiles, added: Seq[String],
+      removed: Set[String]): LiveFiles = files match {
+    case dfl: DeferredFiles =>
+      val tailSet = dfl.tailAdded.toSet
+      new DeferredFiles(dfl.entriesDir, dfl.cpResidents,
+        ((tailSet -- removed) ++ added).toSeq.sorted,
+        dfl.tailRemoved ++ (removed -- tailSet),
+        dfl.sample.filterNot(removed))
+    case pf => EagerFiles((pf.filterNot(removed) ++ added).sorted)
+  }
+
   private def applyDelta(st: LakeState, d: DeltaRecord): LakeState = {
     val removed = d.removed.toSet
     // a removed file's DV attachments detach into dvHistory (time travel
@@ -1231,8 +1450,18 @@ object Lake {
     val newDvs = d.dvAdds.foldLeft(keptDvs) { case (m, (f, s)) =>
       m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
     }
-    val postFiles = (st.files.filterNot(removed) ++ d.added.map(_._1)).sorted
-    val postFileSet = postFiles.toSet
+    val postFiles: LiveFiles =
+      foldLiveFiles(st.files, d.added.map(_._1), removed)
+    // liveness check for restates: exact on materialized lists; on a
+    // PATH-LAZY state "not removed" suffices (a restate can only name a
+    // file some commit added — a stale entry for a truly-unknown path
+    // would sit in the stats map judging nothing)
+    val postFileSet: String => Boolean = postFiles match {
+      case dfl: DeferredFiles =>
+        val tailSet = dfl.tailAdded.toSet
+        f => !dfl.tailRemoved(f) && (tailSet(f) || !removed(f))
+      case pf => pf.toSet
+    }
     val baseStats = (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap
     // stat restates ([[analyzeStats]]) merge per column onto LIVE files;
     // a restate whose file an interposed commit removed is skipped
@@ -1344,9 +1573,11 @@ object Lake {
       (v, stt.getLen, stt.getModificationTime)
     }
     // lazily- and eagerly-resolved states are different objects — a
-    // lazy hit must never serve a caller that needs materialized stats
+    // lazy hit must never serve a caller that needs materialized stats;
+    // the PATH-lazy threshold keys too (specs move it mid-session)
     val lazyMode = lazyStats(spark) && !forceEager
-    val key = (root.toString, version, cpSig, deltaSig, lazyMode)
+    val key = (root.toString, version, cpSig, deltaSig, lazyMode,
+      if (lazyMode) pathLazyMinFiles(spark) else 0L)
     val hit = stateCache.synchronized(Option(stateCache.get(key)))
     hit match {
       case Some(st) => st
@@ -1957,28 +2188,40 @@ object Lake {
         lz.statCols.map(_ ++ st.stats.valuesIterator.flatten.map(_.col))
     }
     // per-directory rollups (`DR` rows, the two-level pruning's second
-    // level): envelopes of every resident's recorded stats, computed
-    // from the materialized map on the direct path and folded forward
-    // from the prior checkpoint's envelopes on the incremental path
-    val drMap: Map[String, Seq[ColStat]] =
-      if (!goColumnar) Map.empty
-      else st.cpLazy match {
-        case None =>
-          dirRollups(st.files, st.stats, st.schemaJson, dirRollupMaxDirs(spark))
-        case Some(lz) => foldDirRollups(st, lz, dirRollupMaxDirs(spark))
+    // level): the DIRECT path computes them from the materialized stats
+    // map; the INCREMENTAL path RECOMPUTES them in a Spark job over the
+    // NEW entries — exact after removals (no conservative sum
+    // invalidation), works without a driver path list (path-lazy
+    // states), and retires the last O(files) driver CPU loop on the
+    // commit path
+    def toDrRows(m: Map[String, Seq[ColStat]]): Seq[org.apache.spark.sql.Row] =
+      m.toSeq.sortBy(_._1).flatMap { case (d, env) =>
+        env.map(c => org.apache.spark.sql.Row(
+          "DR", d, s"${enc(c.col)}\t${enc(c.min)}\t${enc(c.max)}", null))
       }
-    val drRows: Seq[org.apache.spark.sql.Row] = drMap.toSeq.sortBy(_._1).flatMap {
-      case (d, env) => env.map(c => org.apache.spark.sql.Row(
-        "DR", d, s"${enc(c.col)}\t${enc(c.min)}\t${enc(c.max)}", null))
-    }
+    var sumsComplete = false
+    var drCount = 0L
     val pqDir: Option[Path] =
       if (goColumnar) {
         val dir = new Path(logDir(root), pqEntriesName(st.version))
         st.cpLazy match {
           case Some(lz) =>
-            writeEntriesIncremental(spark, st, lz.entriesDir, lz.tailAdded,
-              drRows, dir)
+            writeEntriesIncremental(spark, st, lz, dir)
+            val (drMap, complete) = aggregateDirRollups(spark, dir.toString,
+              st.schemaJson, dirRollupMaxDirs(spark))
+            val drRows = toDrRows(drMap)
+            if (drRows.nonEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.parallelize(drRows, 1), CpEntrySchema)
+                .write.mode("append").parquet(dir.toString)
+            sumsComplete = complete
+            drCount = drRows.size.toLong
           case None =>
+            val (drMap, complete) = dirRollupsWithFlag(st.files, st.stats,
+              st.schemaJson, dirRollupMaxDirs(spark))
+            val drRows = toDrRows(drMap)
+            sumsComplete = complete
+            drCount = drRows.size.toLong
             val rows = checkpointEntryRows(st) ++ drRows
             // ~100k entries per task: wide enough to matter at 10^6
             // files, one task for the common case
@@ -1991,7 +2234,8 @@ object Lake {
       } else None
     def dropPq(): Unit = pqDir.foreach(d => fs.delete(d, true))
     val payload = pqDir match {
-      case Some(d) => renderCheckpointStub(st, d.getName, entries + drRows.size, scOut)
+      case Some(d) =>
+        renderCheckpointStub(st, d.getName, entries + drCount, scOut, sumsComplete)
       case None => renderCheckpoint(st)
     }
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
@@ -2056,21 +2300,27 @@ object Lake {
     * `oldDir` (its torn-count check passed), so every live
     * checkpoint-resident file provably has its F row there. */
   private def writeEntriesIncremental(spark: SparkSession, st: LakeState,
-      oldDir: String, tailAdded: Set[String],
-      drRows: Seq[org.apache.spark.sql.Row], dir: Path): Unit = {
+      lz: CpLazy, dir: Path): Unit = {
     import org.apache.spark.sql.Row
     checkpointIncrementalWrites.incrementAndGet()
-    val keepArr: Array[String] = (st.files.toSet -- tailAdded).toArray.sorted
+    // BLACKLIST of dead residents instead of a keep-whitelist:
+    // `tailRemoved` names exactly the checkpoint residents tail deltas
+    // removed (tail transients never enter it), so O(removed) ships to
+    // tasks instead of O(corpus) — and it exists without a driver path
+    // list, which is what lets a PATH-LAZY state checkpoint without
+    // ever materializing its files
+    val removedArr: Array[String] = lz.tailRemoved.toArray.sorted
+    val tailAdded = lz.tailAdded
     // tail restates onto checkpoint residents: small by construction
     // (a delta's statRestates section), rides to tasks as a plain map
     val restates: Map[String, Seq[(String, String, String)]] =
       st.stats.view.filterKeys(f => !tailAdded(f))
         .mapValues(_.map(c => (c.col, c.min, c.max))).toMap
-    val oldKept = spark.read.schema(CpEntrySchema).parquet(oldDir).rdd
+    val oldKept = spark.read.schema(CpEntrySchema).parquet(lz.entriesDir).rdd
       .flatMap { r =>
         if (r.getString(0) != "F") None // non-F sections rebuild driver-side
-        else if (java.util.Arrays.binarySearch(
-            keepArr.asInstanceOf[Array[AnyRef]], r.getString(1)) < 0) None
+        else if (removedArr.nonEmpty && java.util.Arrays.binarySearch(
+            removedArr.asInstanceOf[Array[AnyRef]], r.getString(1)) >= 0) None
         else {
           val p = r.getString(1)
           val base: Seq[Row] = if (r.isNullAt(3)) Seq.empty else r.getSeq[Row](3)
@@ -2083,9 +2333,13 @@ object Lake {
           Some(Row("F", p, null, if (merged.isEmpty) null else merged))
         }
       }
+    val tailLive: Seq[String] = st.files match {
+      case dfl: DeferredFiles => dfl.tailAdded
+      case pf => pf.filter(tailAdded)
+    }
     val tailRows = checkpointEntryRows(st.copy(
-      files = st.files.filter(tailAdded),
-      stats = st.stats.view.filterKeys(tailAdded).toMap)) ++ drRows
+      files = EagerFiles(tailLive),
+      stats = st.stats.view.filterKeys(tailAdded).toMap))
     val tailRdd = spark.sparkContext.parallelize(
       tailRows, math.max(1, math.min(32, tailRows.size / 100000)))
     spark.createDataFrame(oldKept.union(tailRdd), CpEntrySchema)
@@ -2382,6 +2636,73 @@ object Lake {
     }
     st.cpLazy match {
       case None => driverSide(files)
+      case Some(lz) if st.files.isInstanceOf[DeferredFiles] &&
+          (files eq st.files) =>
+        // WHOLE-TABLE pricing on a PATH-LAZY state — recognized by
+        // REFERENCE (the request is the live list itself), so coverage
+        // is structural and no resident ever needs enumerating
+        val dfl = st.files.asInstanceOf[DeferredFiles]
+        val tailSet = dfl.tailAdded.toSet
+        val restated = st.stats.keySet -- tailSet // ⊆ residents
+        val (lRows, lBytes, lUnsized) =
+          driverSide(dfl.tailAdded ++ restated.toSeq.sorted)
+        // ZERO-JOB: the stub's DC flag proves every resident resolves
+        // to a rollup key carrying both sums; nothing removed, nothing
+        // restated — the totals are O(keys) driver-resident adds
+        if (lz.sumsComplete && dfl.tailRemoved.isEmpty && restated.isEmpty) {
+          val rowSums = lz.dirStats.valuesIterator.map(
+            _.find(_.col == RowsStatName).flatMap(_.min.toLongOption)).toSeq
+          val byteSums = lz.dirStats.valuesIterator.map(
+            _.find(_.col == BytesStatName).flatMap(_.min.toLongOption)).toSeq
+          if (lz.dirStats.nonEmpty && rowSums.forall(_.isDefined) &&
+              byteSums.forall(_.isDefined)) {
+            return (for (a <- lRows) yield a + rowSums.flatten.sum,
+              lBytes + byteSums.flatten.sum, lUnsized)
+          }
+        }
+        // fallback: ONE aggregation job over all live residents —
+        // blacklist membership (dead residents + restated rows judged
+        // on the driver above), O(removed + restated) task state
+        lazyPriceJobs.incrementAndGet()
+        val excludeArr = (dfl.tailRemoved ++ restated).toArray.sorted
+        val rn = RowsStatName; val bn = BytesStatName
+        val (matched, cRowsOpt, cBytes, cUnsized) =
+          spark.read.schema(CpEntrySchema).parquet(dfl.entriesDir).rdd
+            .mapPartitions { it =>
+              var m = 0L; var rows = 0L; var rowsOk = true; var bytes = 0L
+              val un = Seq.newBuilder[String]
+              it.foreach { r =>
+                if (r.getString(0) == "F" &&
+                    !(excludeArr.nonEmpty && java.util.Arrays.binarySearch(
+                      excludeArr.asInstanceOf[Array[AnyRef]], r.getString(1)) >= 0)) {
+                  m += 1
+                  val cs: Seq[org.apache.spark.sql.Row] =
+                    if (r.isNullAt(3)) Seq.empty else r.getSeq(3)
+                  cs.find(_.getString(0) == rn)
+                    .flatMap(_.getString(1).toLongOption) match {
+                    case Some(n) => rows += n
+                    case None => rowsOk = false
+                  }
+                  cs.find(_.getString(0) == bn)
+                    .flatMap(_.getString(1).toLongOption) match {
+                    case Some(b) => bytes += b
+                    case None => un += r.getString(1)
+                  }
+                }
+              }
+              Iterator.single((m, if (rowsOk) Some(rows) else None, bytes, un.result()))
+            }.fold((0L, Some(0L): Option[Long], 0L, Seq.empty[String])) {
+              case ((m1, r1, b1, u1), (m2, r2, b2, u2)) =>
+                (m1 + m2, for (a <- r1; b <- r2) yield a + b, b1 + b2, u1 ++ u2)
+            }
+        val expectedResidents =
+          dfl.cpResidents - dfl.tailRemoved.size - restated.size
+        if (matched != expectedResidents)
+          throw new IllegalStateException(
+            s"lazy reserved-stats aggregation is torn: entries ${dfl.entriesDir} " +
+              s"matched $matched of $expectedResidents checkpoint-resident files")
+        (for (a <- lRows; b <- cRowsOpt) yield a + b,
+          lBytes + cBytes, lUnsized ++ cUnsized)
       case Some(lz) =>
         val entriesDir = lz.entriesDir
         val tailAdded = lz.tailAdded
@@ -2394,7 +2715,8 @@ object Lake {
         // checkpoint resident, no restate muddies the membership, and
         // every resident directory carries reserved SUMS untouched by
         // tail removals — the totals are O(dirs) driver-resident adds
-        if (st.stats.keySet.forall(tailAdded)) {
+        if (st.stats.keySet.forall(tailAdded) &&
+            !st.files.isInstanceOf[DeferredFiles]) {
           val residents = st.files.filterNot(tailAdded)
           if (cpResident.toSet == residents.toSet) {
             // resolve each resident directory to its ROLLUP KEY (the
@@ -2605,8 +2927,14 @@ object Lake {
       val postDvs = dvAddSeq.foldLeft(keptDvs) { case (m, (f, s)) =>
         m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
       }
-      val postFiles = (base.files.filterNot(ourRemoved) ++ sc.stagedFiles).sorted
-      val postFileSet = postFiles.toSet
+      val postFiles: LiveFiles =
+        foldLiveFiles(base.files, sc.stagedFiles, ourRemoved)
+      val postFileSet: String => Boolean = postFiles match {
+        case dfl: DeferredFiles =>
+          val tailSet = dfl.tailAdded.toSet
+          f => !dfl.tailRemoved(f) && (tailSet(f) || !ourRemoved(f))
+        case pf => pf.toSet
+      }
       val baseStats = (base.stats -- sc.removedFiles) ++ sc.stagedStats
       val restatedStats = sc.statRestates.filter(r => postFileSet(r._1))
         .foldLeft(baseStats) { case (m, (f, st2)) =>
@@ -3059,6 +3387,10 @@ object Lake {
     * compare in UTF8 binary order (Spark's min/max order); any other type
     * keeps the file. */
   def pruneByStats(st: LakeState, bounds: Seq[ColBound]): Seq[String] = {
+    // no bounds = no pruning: return the live list ITSELF (identity
+    // matters — [[reservedTotals]] recognizes a whole-table request by
+    // reference, the path-lazy zero-job pricing hook)
+    if (bounds.isEmpty) return st.files
     // stats are recorded under PHYSICAL column names (they come from
     // audit read-backs of on-disk files); translate logically-named
     // bounds through the manifest's column mapping before matching.
@@ -3286,6 +3618,20 @@ object Lake {
         !b.col.endsWith(NullsStatSuffix) &&
         (if (b.nullness.isDefined) cols(b.col + NullsStatSuffix) else cols(b.col)))
     }
+    st.files match {
+      case dfl: DeferredFiles =>
+        // PATH-LAZY: the residents exist only in the entries, so every
+        // prune is one job there — with the SAME fast-path knowledge
+        // applied INSIDE it: a census miss skips the stats decode
+        // entirely (paths-only projection), pruned rollup keys skip
+        // whole subtrees, dead residents and driver-judged (restated)
+        // rows are excluded by sorted-array membership. The driver
+        // judges the tail and restated files as in eager mode, and only
+        // SURVIVORS ever return (the Delta filesForScan shape).
+        return pruneDeferred(spark, st, dfl, bounds, lz, needsEntries,
+          driverJudged, schemaCols, zone)
+      case _ => ()
+    }
     if (!needsEntries) {
       return st.files.filter { f =>
         if (driverJudged(f))
@@ -3353,6 +3699,56 @@ object Lake {
           pathOverlap(f, b, schemaCols, zone))
       else keptJob(f)
     }
+  }
+
+  /** The PATH-LAZY prune: see the dispatch comment in [[pruneLazy]]. */
+  private def pruneDeferred(spark: SparkSession, st: LakeState,
+      dfl: DeferredFiles, bounds: Seq[ColBound], lz: CpLazy,
+      needsEntries: Boolean, driverJudged: Set[String],
+      schemaCols: Set[String], zone: java.time.ZoneId): Seq[String] = {
+    lazyPruneJobs.incrementAndGet()
+    val rollupKeys = lz.dirStats.keySet
+    val prunedDirs: Set[String] =
+      if (lz.dirStats.isEmpty) Set.empty
+      else lz.dirStats.iterator.collect {
+        case (d, env) if bounds.exists(b => !statsOverlap(env, b)) => d
+      }.toSet
+    val bs = bounds
+    val sc = schemaCols
+    val tz = zone
+    val skipDirs = prunedDirs
+    val skipKeys = rollupKeys
+    val removedArr = dfl.tailRemoved.toArray.sorted
+    // restated residents: their driver row shadows the stale entries row
+    val restatedArr = (st.stats.keySet -- lz.tailAdded).toArray.sorted
+    val statsNeeded = needsEntries
+    val readSchema =
+      if (statsNeeded) CpEntrySchema else StructType(CpEntrySchema.take(2))
+    val keptJob: Array[String] = spark.read.schema(readSchema)
+      .parquet(dfl.entriesDir).rdd.flatMap { r =>
+        if (r.getString(0) != "F") None
+        else {
+          val p = r.getString(1)
+          def hit(a: Array[String]): Boolean = a.nonEmpty &&
+            java.util.Arrays.binarySearch(a.asInstanceOf[Array[AnyRef]], p) >= 0
+          if (hit(removedArr) || hit(restatedArr)) None
+          else if (skipDirs.nonEmpty && rollupKeyOf(skipKeys,
+              p.take(p.lastIndexOf('/').max(0))).exists(skipDirs)) None
+          else {
+            val cs =
+              if (!statsNeeded || r.isNullAt(3)) Seq.empty[ColStat]
+              else r.getSeq[org.apache.spark.sql.Row](3)
+                .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
+            if (bs.forall(b => statsOverlap(cs, b) && pathOverlap(p, b, sc, tz)))
+              Some(p)
+            else None
+          }
+        }
+      }.collect()
+    val driverKept = driverJudged.iterator.filter(f =>
+      bounds.forall(b => statsOverlap(st.stats.getOrElse(f, Seq.empty), b) &&
+        pathOverlap(f, b, schemaCols, zone))).toSeq
+    (keptJob ++ driverKept).sorted
   }
 
   /** Entries jobs launched by [[pruneLazy]] since JVM start — the

@@ -190,10 +190,17 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     // exact when every candidate carries it and none is tombstoned
     // (a DV'd file's live count is lower — report nothing rather than
     // an overcount the planner would trust)
-    override def numRows(): java.util.OptionalLong =
-      if (candidates.exists(st.dvs.contains)) java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = {
+      // whole-table candidates (identity: no pruning happened) answer
+      // the DV check from the attachment map alone — iterating a
+      // path-lazy candidate list would force its materialization
+      val anyDv =
+        if (candidates eq st.files) st.dvs.nonEmpty
+        else candidates.exists(st.dvs.contains)
+      if (anyDv) java.util.OptionalLong.empty()
       else totals._1.fold(java.util.OptionalLong.empty())(
         n => java.util.OptionalLong.of(n))
+    }
   }
 
   private def partitionValues(relPath: String): InternalRow = {

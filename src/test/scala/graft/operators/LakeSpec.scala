@@ -3399,6 +3399,104 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("path-lazy states: the driver pins O(tail) path entries; pruning, pricing and checkpoints never materialize the corpus list") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-pathlazy")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))  // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                        // v2..v10: columnar cp
+      Pipeline.appendToLake(spark, out, batch(200000 until 200010, "test"),
+        partitionCols = Seq("split"))                                         // v11: tail
+      val total = 100L + 100L + 9 * 10L + 10L
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.files.isInstanceOf[Lake.DeferredFiles],
+        "above the path-lazy threshold the file list must be deferred")
+      val tailN = st.cpLazy.get.tailAdded.size
+      assert(tailN >= 1 && Lake.pinnedPathCount(st) == tailN,
+        s"the state must pin only the tail, got ${Lake.pinnedPathCount(st)} vs tail $tailN")
+      // count, emptiness and head (layout derivation) answer from the
+      // stub's DC census — zero jobs
+      val forces0 = Lake.pathForceJobs.get()
+      assert(st.files.nonEmpty && st.files.size > tailN)
+      assert(st.files.headOption.exists(_.startsWith("split=")))
+      assert(Lake.pathForceJobs.get() == forces0,
+        "size/isEmpty/headOption must not materialize the list")
+      // PRUNED read plans inside the entries job — zero forces, equal
+      // to the eager prune (data bound AND partition band)
+      val jobs0 = Lake.lazyPruneJobs.get()
+      val kept = Lake.pruneByStats(st, "doc_id",
+        org.apache.spark.sql.types.LongType, 100000L, 100010L)
+      val kept2 = Lake.pruneByStats(st, "split",
+        org.apache.spark.sql.types.StringType, "test", "test")
+      assert(Lake.lazyPruneJobs.get() == jobs0 + 2)
+      assert(Lake.pathForceJobs.get() == forces0,
+        "pruning must consume paths from the entries, not the driver list")
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(kept == Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 100000L, 100010L).sorted)
+      assert(kept2 == Lake.pruneByStats(eagerSt, "split",
+        org.apache.spark.sql.types.StringType, "test", "test").sorted)
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      // WHOLE-TABLE pricing: zero jobs, zero forces (DC sums flag)
+      val p0 = Lake.lazyPriceJobs.get()
+      val f1 = Lake.pathForceJobs.get()
+      val totals = Lake.reservedTotals(spark, st, st.files)
+      assert(totals._1.contains(total) && totals._3.isEmpty, s"got $totals")
+      assert(Lake.lazyPriceJobs.get() == p0 && Lake.pathForceJobs.get() == f1,
+        "whole-table pricing must stay zero-job and zero-force under path-lazy")
+      // UNPRUNED read: exact rows, at most ONE (soft-cached) force job,
+      // and the STATE still pins only the tail afterwards
+      val f2 = Lake.pathForceJobs.get()
+      assert(Lake.read(spark, out).count() == total)
+      assert(Lake.pathForceJobs.get() <= f2 + 1,
+        "an unpruned read costs at most one transient materialization")
+      assert(Lake.pinnedPathCount(st) == tailN,
+        "the read must not pin the corpus list on the state")
+      // INCREMENTAL checkpoint folds from the path-lazy state with zero
+      // forces (blacklist keep + aggregated rollups), and the next
+      // resolve defers again with an empty tail
+      val f3 = Lake.pathForceJobs.get()
+      val inc0 = Lake.checkpointIncrementalWrites.get()
+      Lake.checkpointNow(spark, out)
+      assert(Lake.checkpointIncrementalWrites.get() == inc0 + 1)
+      assert(Lake.pathForceJobs.get() == f3,
+        "the checkpoint fold must never materialize the corpus list")
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      assert(st2.files.isInstanceOf[Lake.DeferredFiles] &&
+        Lake.pinnedPathCount(st2) == 0L)
+      val p1 = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st2, st2.files)._1.contains(total))
+      assert(Lake.lazyPriceJobs.get() == p1,
+        "pricing must be zero-job again after the folded checkpoint")
+      // a DELETE folds through the deferred list (removals of residents
+      // enter tailRemoved; the rewrite's staged files enter the tail)
+      // and the lake still answers exactly
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"))
+      Lake.invalidateStateCache()
+      val st3 = Lake.latestManifest(spark, out).get
+      assert(st3.files.isInstanceOf[Lake.DeferredFiles])
+      assert(Lake.read(spark, out).count() == total - 1)
+      assert(Lake.reservedTotals(spark, st3, st3.files)._1.contains(total - 1))
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("identity-level path pruning: escaped values, the default partition and nullness bounds decide exactly") {
     import org.apache.spark.sql.types.StringType
     val out = freshDir("lake-ident-prune")

@@ -564,6 +564,47 @@ class ScaleProbeSpec extends SparkTestBase {
       assert(dead.isEmpty, "a clean lake has nothing to vacuum")
       assert(vacOps <= 8,
         s"the distributed sweep's driver calls must be directory-bounded, got $vacOps")
-    } finally spark.conf.unset(Lake.LazyStatsKey)
+      // PATH-LAZY resolution: with the threshold lowered the state
+      // defers even the file list — the driver pins O(tail) path
+      // entries while pruned reads, whole-table pricing and the
+      // unpruned read all keep their answers (the unpruned read costs
+      // one transient, soft-cached materialization job)
+      spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+      Lake.invalidateStateCache()
+      val t6 = System.nanoTime()
+      val st3 = Lake.latestManifest(spark, out).get
+      val deferResolve = (System.nanoTime() - t6) / 1e9
+      assert(st3.files.isInstanceOf[Lake.DeferredFiles],
+        "the lowered threshold must defer the path list")
+      val pinned = Lake.pinnedPathCount(st3)
+      info(f"pathLazyResolve=$deferResolve%.2fs pinnedPaths=$pinned%d of ${st3.files.size}%d")
+      assert(pinned == 0L,
+        s"a freshly-checkpointed state must pin ZERO paths, got $pinned")
+      val forces0 = Lake.pathForceJobs.get()
+      val t7 = System.nanoTime()
+      val deferKept = Lake.pruneByStats(st3, bounds)
+      val deferPrune = (System.nanoTime() - t7) / 1e9
+      assert(deferKept == eagerKept.sorted,
+        s"the path-lazy prune must equal eager: ${deferKept.size} vs ${eagerKept.size}")
+      assert(Lake.pathForceJobs.get() == forces0,
+        "a pruned read must never materialize the corpus path list")
+      val priceJobs2 = Lake.lazyPriceJobs.get()
+      val totals3 = Lake.reservedTotals(spark, st3, st3.files)
+      assert(totals3 == totals2 && Lake.lazyPriceJobs.get() == priceJobs2,
+        s"path-lazy whole-table pricing must stay zero-job and exact, got $totals3")
+      val t8 = System.nanoTime()
+      val n3 = Lake.read(spark, out).count()
+      val fullRead = (System.nanoTime() - t8) / 1e9
+      info(f"pathLazyPrune=$deferPrune%.2fs fullRead=$fullRead%.2fs " +
+        f"forces=${Lake.pathForceJobs.get() - forces0}%d")
+      assert(n3 == 1000090L + 10L)
+      assert(Lake.pathForceJobs.get() <= forces0 + 1,
+        "the unpruned read costs at most one transient materialization")
+      assert(Lake.pinnedPathCount(st3) == 0L,
+        "the read must not pin the corpus list on the state")
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+    }
   }
 }
