@@ -3182,6 +3182,79 @@ object Pipeline {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY split, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- px134
+  /** PATH-LAZY planning end-to-end: with the threshold lowered, the
+    * resolved state defers even the FILE LIST to the checkpoint entries
+    * — the fixture REQUIRES the driver to pin only the post-checkpoint
+    * tail ([[Lake.pinnedPathCount]]), whole-table pricing to stay
+    * zero-job AND zero-force off the stub's `DC` sums flag, and the
+    * full unpruned DSv2 read to cost at most one transient (soft-cached)
+    * materialization job ([[Lake.pathForceJobs]]) — then hash-matches
+    * the whole-table aggregate. The Delta Snapshot/filesForScan shape:
+    * a 10^8-file lake's resolved state is O(tail) driver heap. */
+  private def px134(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px134_lake")
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val docs = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("split"))
+      Lake.init(spark, docs.repartition(8), out, Seq("split"))              // v1
+      appendToLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(9973L)) === 0L)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)),
+        partitionCols = Seq("split"))                                       // v2
+      Lake.checkpointNow(spark, out) // v2's checkpoint lands COLUMNAR
+      appendToLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(9973L)) === 1L)
+          .withColumn("doc_id", col("doc_id") + lit(20000000L)),
+        partitionCols = Seq("split"))                                       // v3: tail delta
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      require(st.files.isInstanceOf[Lake.DeferredFiles],
+        "px134 must defer the path list")
+      val tailN = st.cpLazy.get.tailAdded.size
+      require(tailN >= 1 && Lake.pinnedPathCount(st) == tailN,
+        s"px134: the state must pin only the tail, got ${Lake.pinnedPathCount(st)}")
+      val priceJobs0 = Lake.lazyPriceJobs.get()
+      val forces0 = Lake.pathForceJobs.get()
+      require(Lake.reservedTotals(spark, st, st.files)._1.isDefined,
+        "px134: the lake must be fully counted")
+      require(Lake.lazyPriceJobs.get() == priceJobs0 &&
+        Lake.pathForceJobs.get() == forces0,
+        "px134: whole-table pricing must be zero-job and zero-force")
+      val res = spark.read.format("graft-lake").load(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+      res.collect() // plan + execute NOW, so the force judgment is honest
+      require(Lake.pathForceJobs.get() <= forces0 + 2,
+        s"px134: the unpruned read must cost at most one soft-cached " +
+          s"materialization per plan, got ${Lake.pathForceJobs.get() - forces0}")
+      require(Lake.pinnedPathCount(st) == tailN,
+        "px134: the read must not pin the corpus list on the state")
+      res
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  private val px134Oracle =
+    """WITH docs AS (
+      |  SELECT doc_id, source, n_chars FROM documents),
+      |lake AS (
+      |  SELECT doc_id, source, n_chars FROM docs
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, n_chars FROM docs WHERE doc_id % 9973 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, source, n_chars FROM docs WHERE doc_id % 9973 = 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM lake GROUP BY 1 ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -3440,5 +3513,6 @@ object Pipeline {
     GraftQuery("px130_lake_columnar_checkpoint", px130, Some(px130Oracle)),
     GraftQuery("px131_lake_lazy_stats", px131, Some(px130Oracle)),
     GraftQuery("px132_lake_twolevel_prune", px132, Some(px132Oracle)),
-    GraftQuery("px133_lake_distributed_vacuum", px133, Some(px133Oracle)))
+    GraftQuery("px133_lake_distributed_vacuum", px133, Some(px133Oracle)),
+    GraftQuery("px134_lake_path_lazy", px134, Some(px134Oracle)))
 }
