@@ -2445,9 +2445,26 @@ object Lake {
     * re-stat. Serial mode walks on the driver exactly like
     * [[listDataFiles]], still carrying mtimes from the same iterator. */
   private def dataFileInventory(spark: SparkSession, lakeDir: String,
-      distribute: Boolean): Seq[(String, Long)] = {
+      distribute: Boolean): Seq[(String, Long)] =
+    inventoryParts(spark, lakeDir, distribute) match {
+      case None => Seq.empty
+      case Some((driverSide, jobSide)) =>
+        (driverSide ++ jobSide.fold(Seq.empty[(String, Long)])(_.collect().toSeq))
+          .distinct.sortBy(_._1)
+    }
+
+  /** The inventory split at the driver/job boundary: root-resident and
+    * second-level-expansion files stay driver-side (they rode back with
+    * the driver's own bounded listings), the recursive subtree walk
+    * stays an RDD so callers can DIFF against the checkpoint entries
+    * inside the job and collect orphans only ([[orphanDataFiles]]) —
+    * or collect everything ([[dataFileInventory]]). None = no lake
+    * root. */
+  private def inventoryParts(spark: SparkSession, lakeDir: String,
+      distribute: Boolean): Option[(Seq[(String, Long)],
+        Option[org.apache.spark.rdd.RDD[(String, Long)]])] = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    if (!vOp(fs.exists(root))) return Seq.empty
+    if (!vOp(fs.exists(root))) return None
     val qroot = fs.makeQualified(root)
     def keep(rel: String): Boolean =
       rel.endsWith(".parquet") &&
@@ -2469,11 +2486,12 @@ object Lake {
           if (keep(rel)) out += rel -> st.getModificationTime
         }
       }
+      Some((out.result().distinct.sortBy(_._1), None))
     } else if (dirs.nonEmpty) {
       val confProps = hadoopConfProps(spark)
       val rootPrefix = qroot.toUri.getPath.stripSuffix("/")
       val par = spark.sparkContext.defaultParallelism
-      def recursiveJob(dirStrs: Seq[String]): Array[(String, Long)] = {
+      def recursiveRdd(dirStrs: Seq[String]): org.apache.spark.rdd.RDD[(String, Long)] = {
         inventoryListTasks.addAndGet(math.min(dirStrs.size, par).toLong)
         spark.sparkContext
           .parallelize(dirStrs, math.min(dirStrs.size, par))
@@ -2498,9 +2516,10 @@ object Lake {
                 s"$fp is not under lake root $rootPrefix")
             }
             b.result()
-          }.collect()
+          }
       }
-      if (dirs.size >= par) out ++= recursiveJob(dirs.map(_.getPath.toString))
+      if (dirs.size >= par)
+        Some((out.result(), Some(recursiveRdd(dirs.map(_.getPath.toString)))))
       else {
         // SECOND-LEVEL fan-out: a lake partitioned split=.../... has a
         // handful of top-level dirs — one hot split would ride a single
@@ -2535,11 +2554,45 @@ object Lake {
           val n = d.substring(d.lastIndexOf('/') + 1)
           n.startsWith("_") || n.startsWith(".")
         }.toSeq
-        if (walkable.nonEmpty) out ++= recursiveJob(walkable)
+        Some((out.result(),
+          if (walkable.isEmpty) None else Some(recursiveRdd(walkable))))
       }
-    }
-    out.result().distinct.sortBy(_._1)
+    } else Some((out.result().distinct.sortBy(_._1), None))
   }
+
+  /** The crash-orphan data files of a PATH-LAZY lake, with the diff run
+    * INSIDE the job: the distributed inventory subtracts the checkpoint
+    * entries' F rows (the referenced residents — post-checkpoint
+    * removals included, since those ride the state's history anyway)
+    * and H rows (checkpoint-time history) by key, plus a driver-shipped
+    * set of the remaining references (the post-checkpoint tail adds and
+    * history — O(tail), never the corpus), so the driver collects
+    * ORPHANS only: never the corpus inventory and never a materialized
+    * live list. The Delta VACUUM diff as a join, not a driver set. */
+  private def orphanDataFiles(spark: SparkSession, lakeDir: String,
+      entriesDir: String, extraLive: Set[String],
+      cutoff: Long, minAgeMs: Long): Seq[String] =
+    inventoryParts(spark, lakeDir, distribute = true) match {
+      case None => Seq.empty
+      case Some((driverSide, jobSide)) =>
+        val inv = jobSide match {
+          case None => spark.sparkContext.parallelize(driverSide, 1)
+          case Some(rdd) =>
+            if (driverSide.isEmpty) rdd
+            else rdd.union(spark.sparkContext.parallelize(driverSide, 1))
+        }
+        val referenced = spark.read.schema(StructType(CpEntrySchema.take(2)))
+          .parquet(entriesDir).rdd.flatMap { r =>
+            val k = r.getString(0)
+            if (k == "F" || k == "H") Some((r.getString(1), ())) else None
+          }
+        val extra = extraLive
+        inv.distinct()
+          .subtractByKey(referenced)
+          .filter { case (f, mtime) =>
+            !extra(f) && (minAgeMs <= 0 || mtime <= cutoff) }
+          .keys.collect().toSeq.sorted
+    }
 
   /** Listing-task count scheduled by [[dataFileInventory]]'s distributed
     * walks since JVM start — the fan-out spec pins that a skewed tree
@@ -4846,11 +4899,9 @@ object Lake {
       case None => Seq.empty
       case Some(latest) =>
         val (fs, root) = fsRoot(spark, lakeDir)
-        val (live, liveSidecar): (Set[String], Set[String]) =
-          if (latest.historyComplete)
-            ((latest.files ++ latest.history).toSet,
-              (latest.dvs.values.flatten ++ latest.dvHistory ++ latest.cdc).toSet)
-          else {
+        // the legacy (v1-checkpoint) log replay, built lazily: only the
+        // !historyComplete fall-back pays for it
+        lazy val legacyLive: (Set[String], Set[String]) = {
             // the latest state resolved through a LEGACY (v1) checkpoint,
             // whose history section is unknowable — fall back to the full
             // retained log: every retained delta's adds plus every
@@ -4877,17 +4928,37 @@ object Lake {
             }
             (b.result(), bd.result())
           }
+        val liveSidecar: Set[String] =
+          if (latest.historyComplete)
+            (latest.dvs.values.flatten ++ latest.dvHistory ++ latest.cdc).toSet
+          else legacyLive._2
         val cutoff = System.currentTimeMillis() - minAgeMs
         // the Delta VACUUM shape: above [[VacuumDistributeMinKey]] the
         // recursive listing and the deletes run as Spark jobs — the
         // driver's own filesystem traffic is bounded by top-level
         // directories, and grace-period mtimes ride back WITH the
-        // listing instead of one getFileStatus per candidate
-        val distribute = live.size >= vacuumDistributeMin(spark)
-        val dead = dataFileInventory(spark, lakeDir, distribute)
-          .filterNot { case (f, _) => live(f) }
-          .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
-          .map(_._1)
+        // listing instead of one getFileStatus per candidate. The gate
+        // counts references WITHOUT forcing a deferred path list
+        // (files.length answers from the DC census).
+        val distribute =
+          latest.files.length + latest.history.size >= vacuumDistributeMin(spark)
+        val dead = latest.files match {
+          case dfl: DeferredFiles if latest.historyComplete && distribute =>
+            // PATH-LAZY fast path: the live-set diff runs inside the
+            // listing job against the checkpoint entries' F+H rows; the
+            // driver ships only the post-checkpoint tail + history and
+            // collects orphans — the corpus path list never materializes
+            orphanDataFiles(spark, lakeDir, dfl.entriesDir,
+              (dfl.tailAdded ++ latest.history).toSet, cutoff, minAgeMs)
+          case _ =>
+            val live: Set[String] =
+              if (latest.historyComplete) (latest.files ++ latest.history).toSet
+              else legacyLive._1
+            dataFileInventory(spark, lakeDir, distribute)
+              .filterNot { case (f, _) => live(f) }
+              .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
+              .map(_._1)
+        }
         reclaimPaths(spark, lakeDir, dead.map(_ -> false), distribute)
         // sidecar sweep (DV + CDC): children of _graft_dv/_graft_cdc
         // referenced by no committed record are crash orphans (a sparse
@@ -5336,26 +5407,42 @@ object Lake {
     val (expired, retained) = deltas.splitAt(math.max(deltas.size - keepVersions, 0))
     val oldest = retained.head
     val oldestState = resolve(spark, fs, root, lakeDir, oldest, deltas, checkpoints)
-    val live = Set.newBuilder[String]
-    val liveDv = Set.newBuilder[String]
+    // the retained live set derives from the OLDEST retained state plus
+    // the retained deltas' own add records: a file live at any LATER
+    // retained version is either live at `oldest` or added by a retained
+    // delta ([[applyDelta]] only ever adds via `added`), and the same
+    // holds for DV attachments via `dvAdds` — so no later version need
+    // resolve at all, let alone force a deferred path list (the former
+    // per-version resolve loop forced O(retained × corpus) under
+    // path-lazy). EVERY retained delta keeps its change-feed sidecars:
+    // the earliest-sentinel changeFeed replays the oldest retained delta
+    // too, so its sidecars stay reachable even though no version below
+    // it survives.
+    val adds = Set.newBuilder[String]
+    val dvAdds = Set.newBuilder[String]
     val liveCdc = Set.newBuilder[String]
+    var restoreInRange = false
     retained.foreach { v =>
-      val st = resolve(spark, fs, root, lakeDir, v, deltas, checkpoints)
-      live ++= st.files
-      liveDv ++= st.dvs.values.flatten
-      // EVERY retained delta keeps its change-feed sidecars: the
-      // earliest-sentinel changeFeed replays the oldest retained delta
-      // too, so its sidecars are reachable even though no version below
-      // it survives
       val d = deltaAt(spark, lakeDir, v)
       liveCdc ++= d.cdcFiles.map(_._1)
       if (v > oldest) {
-        live ++= d.added.map(_._1)
-        liveDv ++= d.dvAdds.map(_._2)
+        adds ++= d.added.map(_._1)
+        dvAdds ++= d.dvAdds.map(_._2)
+        restoreInRange ||= d.action == "restore"
       }
     }
-    val liveSet = live.result()
-    val liveDvSet = liveDv.result()
+    // history ABOVE the cut = retained adds not live at `oldest`. Staged
+    // paths are fresh UUIDs, so the subtraction is a provable no-op —
+    // except across a RESTORE, the one commit kind that re-adds
+    // pre-existing paths; only then does the diff touch the oldest file
+    // set (the one remaining force under path-lazy, restore-bounded)
+    val histAbove: Set[String] = {
+      val a = adds.result()
+      if (!restoreInRange) a
+      else { val f = oldestState.files.toSet; a.filterNot(f) }
+    }
+    val oldestDvSet = oldestState.dvs.values.flatten.toSet
+    val liveDvSet = oldestDvSet ++ dvAdds.result()
     val liveCdcSet = liveCdc.result()
     // the retention cut IS the new history horizon: versions below
     // `oldest` are gone, so the checkpoint's history section shrinks to
@@ -5367,9 +5454,9 @@ object Lake {
     // deltas are about to be retired), so the rewritten checkpoint also
     // migrates a legacy-v1 lake onto the v2 fast path
     writeCheckpoint(spark, fs, root,
-      oldestState.copy(history = (liveSet -- oldestState.files).toSeq.sorted,
+      oldestState.copy(history = histAbove.toSeq.sorted,
         historyComplete = true,
-        dvHistory = (liveDvSet -- oldestState.dvs.values.flatten.toSet).toSeq.sorted,
+        dvHistory = (liveDvSet -- oldestDvSet).toSeq.sorted,
         // the retention cut restarts the change feed's horizon: only the
         // sidecars of retained versions ABOVE the new oldest stay
         // readable (changeFeed refuses ranges below it anyway)
@@ -5385,12 +5472,26 @@ object Lake {
     val cutoff = System.currentTimeMillis() - minAgeMs
     // distributed exactly like [[vacuum]]'s sweep: listing with mtimes
     // and deletes run as jobs above the threshold, the driver keeps the
-    // manifest diff only
-    val distribute = liveSet.size >= vacuumDistributeMin(spark)
-    val dead = dataFileInventory(spark, lakeDir, distribute)
-      .filterNot { case (f, _) => liveSet(f) }
-      .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
-      .map(_._1)
+    // manifest diff only. The sweep re-resolves `oldest` THROUGH the
+    // freshly-written checkpoint (the replace changed its signature, so
+    // the state cache misses honestly): its F+H sections ARE the
+    // retained live set, so under path-lazy the diff runs inside the
+    // listing job against those entries and the corpus path list never
+    // materializes — the same shape as [[vacuum]]'s fast path
+    val reSt = stateAt(spark, lakeDir, oldest)
+    val distribute =
+      reSt.files.length + reSt.history.size >= vacuumDistributeMin(spark)
+    val dead = reSt.files match {
+      case dfl: DeferredFiles if distribute =>
+        orphanDataFiles(spark, lakeDir, dfl.entriesDir,
+          (dfl.tailAdded ++ reSt.history).toSet, cutoff, minAgeMs)
+      case _ =>
+        val liveSet = (reSt.files ++ reSt.history).toSet
+        dataFileInventory(spark, lakeDir, distribute)
+          .filterNot { case (f, _) => liveSet(f) }
+          .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
+          .map(_._1)
+    }
     reclaimPaths(spark, lakeDir, dead.map(_ -> false), distribute)
     val liveTops = (liveDvSet ++ liveCdcSet).map(sidecarTop)
     val deadSidecar = listSidecarDirs(fs, root)

@@ -3497,6 +3497,120 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum on a path-lazy lake: the orphan diff runs inside the job and never materializes the path list") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val out = freshDir("lake-pathlazy-vacuum")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"), (col("id") % 2).cast("string").as("shard"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out,
+        Seq("split", "shard"))                                                 // v1
+      (1 to 8).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split", "shard")))                                // v2..v9
+      // a PRE-checkpoint delete: the removed pre-image files become the
+      // checkpoint's H rows — exactly the section the job-side diff must
+      // treat as referenced, or vacuum would eat retained history
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split", "shard"), retainHistory = true)           // v10: columnar cp
+      Pipeline.appendToLake(spark, out, batch(200000 until 200010, "test"),
+        partitionCols = Seq("split", "shard"))                                 // v11: tail
+      val total = 100L + 100L + 8 * 10L + 10L - 1L
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.files.isInstanceOf[Lake.DeferredFiles],
+        "fixture must resolve path-lazy")
+      assert(st.history.nonEmpty, "the delete must have populated history")
+      // strand orphans across the two-level partition tree (both the
+      // second-level dirs the fan-out walks and more files than a
+      // per-file driver loop's budget)
+      val dirs = Seq("split=train/shard=0", "split=train/shard=1",
+        "split=test/shard=0", "split=test/shard=1")
+      val orphans = dirs.flatMap(d => (0 until 3).map(i => s"$d/orphan-$i.parquet"))
+      orphans.foreach { rel =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(out, rel),
+          Array[Byte](80, 65, 82, 49))
+      }
+      val forces0 = Lake.pathForceJobs.get()
+      val opsBefore = Lake.vacuumDriverFsOps.get()
+      val dead = Lake.vacuum(spark, out)
+      assert(dead.toSet == orphans.toSet,
+        s"the job-side diff must reclaim exactly the orphans, got $dead")
+      assert(Lake.pathForceJobs.get() == forces0,
+        "vacuum must never materialize the deferred path list — the live diff runs inside the job")
+      assert(Lake.vacuumDriverFsOps.get() - opsBefore <= 8,
+        "driver FS calls stay directory-bounded on the path-lazy sweep")
+      // live corpus AND retained history both survive the sweep
+      assert(Lake.read(spark, out).count() == total)
+      assert(Lake.readVersion(spark, out, 9L).count() == total - 10L + 1L,
+        "the pre-delete version must still time-travel after vacuum")
+    } finally {
+      spark.conf.unset(Lake.VacuumDistributeMinKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("retention vacuum on a path-lazy lake: the retained live set derives from the deltas — no per-version resolve, no force") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val out = freshDir("lake-pathlazy-retention")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train"), out, Seq("split"))          // v1
+      Pipeline.appendToLake(spark, out, batch(1000 until 1010, "train"),
+        partitionCols = Seq("split"))                                           // v2
+      // churn BELOW the future cut: the rewrite's pre-image files are the
+      // reclaimable history the retention pass must find
+      Pipeline.deleteFromLake(spark, out, Seq(7L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v3
+      (2 to 10).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v4..v12 (cp at v10)
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.files.isInstanceOf[Lake.DeferredFiles])
+      val preCut = Lake.read(spark, out).count() // 100 + 100 - 1
+      assert(preCut == 199L)
+      val forces0 = Lake.pathForceJobs.get()
+      val dead = Lake.vacuumKeeping(spark, out, keepVersions = 3)
+      assert(Lake.pathForceJobs.get() == forces0,
+        "a restore-free retention cut must never materialize a deferred path list")
+      assert(dead.nonEmpty, "the cut must reclaim the v3 delete's pre-image history")
+      Lake.invalidateStateCache()
+      // the three retained versions stay exactly readable; older refuses
+      assert(Lake.read(spark, out).count() == preCut)
+      assert(Lake.readVersion(spark, out, 11L).count() == preCut - 10L)
+      intercept[Exception](Lake.readVersion(spark, out, 5L).count())
+      // a RESTORE in the retained range — the one commit kind that
+      // re-adds PRE-EXISTING paths: the next cut must keep those re-added
+      // files referenced (correctness over force-count on this leg)
+      Pipeline.deleteFromLake(spark, out, Seq(8L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v13
+      Lake.restore(spark, out, 12L)                                             // v14: re-adds v13's pre-image
+      val dead2 = Lake.vacuumKeeping(spark, out, keepVersions = 2)
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == preCut,
+        "the restored corpus must read back exactly after the restore-crossing cut")
+      assert(Lake.readVersion(spark, out, 13L).count() == preCut - 1L,
+        "the retained pre-restore version must stay readable")
+      // nothing live was misclassified: a follow-up orphan sweep is a no-op
+      assert(Lake.vacuum(spark, out).isEmpty)
+      assert(Lake.read(spark, out).count() == preCut)
+    } finally {
+      spark.conf.unset(Lake.VacuumDistributeMinKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("identity-level path pruning: escaped values, the default partition and nullness bounds decide exactly") {
     import org.apache.spark.sql.types.StringType
     val out = freshDir("lake-ident-prune")
