@@ -397,6 +397,60 @@ object Lake {
     }
   }
 
+  /** The HISTORY of a path-lazy state defers the same way as its file
+    * list: the checkpoint's H rows stay in the parquet entries; the
+    * state pins only the post-checkpoint removals (`tail`). History is
+    * append-only between retention cuts (a retention rewrite builds a
+    * fresh EAGER seq), so there is no removed-set to track — a
+    * high-churn lake's referenced-but-removed list can approach corpus
+    * size, and this keeps it off the driver exactly like the live
+    * paths. Materializing (rare: legacy fallbacks, text renders) costs
+    * one soft-cached entries job, counted by [[pathForceJobs]]. */
+  final class DeferredHistory private[graft] (
+      private[graft] val entriesDir: String,
+      private[graft] val cpHistory: Long,
+      private[graft] val histTail: Seq[String]) extends LiveFiles {
+    def length: Int = (cpHistory + histTail.size).toInt
+    override def isEmpty: Boolean = length == 0
+    override def knownSize: Int = length
+    def apply(i: Int): String = forced(i)
+    def iterator: Iterator[String] = forced.iterator
+    @transient private var cache: java.lang.ref.SoftReference[IndexedSeq[String]] = null
+    private def forced: IndexedSeq[String] = synchronized {
+      val hit = if (cache == null) null else cache.get()
+      if (hit != null) hit
+      else {
+        val v = compute()
+        cache = new java.lang.ref.SoftReference(v)
+        v
+      }
+    }
+    private def compute(): IndexedSeq[String] = {
+      Lake.pathForceJobs.incrementAndGet()
+      val spark = SparkSession.active
+      val rows = spark.read
+        .schema(StructType(Lake.CpEntrySchema.take(2)))
+        .parquet(entriesDir).rdd.flatMap(r =>
+          if (r.getString(0) == "H") Some(r.getString(1)) else None)
+        .collect()
+      if (rows.length.toLong != cpHistory)
+        throw new IllegalStateException(
+          s"deferred history is torn: entries $entriesDir yields " +
+            s"${rows.length} H rows, the checkpoint promised $cpHistory")
+      (rows ++ histTail).toIndexedSeq
+    }
+  }
+
+  /** History fold: append this commit's removals without materializing a
+    * deferred list (history is append-only between retention cuts). */
+  private def foldHistory(h: Seq[String], removed: Seq[String]): Seq[String] =
+    h match {
+      case dh: DeferredHistory =>
+        if (removed.isEmpty) dh
+        else new DeferredHistory(dh.entriesDir, dh.cpHistory, dh.histTail ++ removed)
+      case pf => pf ++ removed
+    }
+
   /** Live-file count at or above which a lazily-resolved columnar
     * checkpoint defers even the PATH list ([[DeferredFiles]]) — below
     * it, materializing a few MB of paths is cheaper than re-deriving
@@ -419,11 +473,20 @@ object Lake {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The path entries a resolved state PINS on the driver (strong
-    * references — a [[DeferredFiles]]' soft-cached materialization is
-    * reclaimable and does not count): the probe's driver-memory bound. */
-  private[graft] def pinnedPathCount(st: LakeState): Long = st.files match {
-    case d: DeferredFiles => d.tailAdded.size.toLong + d.tailRemoved.size
-    case e => e.length.toLong
+    * references — a [[DeferredFiles]]/[[DeferredHistory]] soft-cached
+    * materialization is reclaimable and does not count): the probe's
+    * driver-memory bound. Counts the HISTORY list too — it is the other
+    * corpus-scale path structure a high-churn lake carries. */
+  private[graft] def pinnedPathCount(st: LakeState): Long = {
+    val f = st.files match {
+      case d: DeferredFiles => d.tailAdded.size.toLong + d.tailRemoved.size
+      case e => e.length.toLong
+    }
+    val h = st.history match {
+      case d: DeferredHistory => d.histTail.size.toLong
+      case e => e.length.toLong
+    }
+    f + h
   }
 
   /** One committed delta record. `rewrites` names the subset of `added`
@@ -1224,21 +1287,30 @@ object Lake {
     val readSchema =
       if (lazyMode) StructType(CpEntrySchema.take(3)) else CpEntrySchema
     val reader = spark.read.schema(readSchema).parquet(dir.toString)
-    val (fCount, rows): (Long, Array[org.apache.spark.sql.Row]) =
-      if (!pathLazy) (0L, reader.collect())
+    val (fCount, hCount, rows): (Long, Long, Array[org.apache.spark.sql.Row]) =
+      if (!pathLazy) (0L, 0L, reader.collect())
       else {
-        // collect only the METADATA rows (H/V/VH/CF/DR, manifest-sized)
-        // and count the F rows for the torn check — the driver never
-        // holds the corpus path list
+        // collect only the MANIFEST-SIZED rows (V/VH/CF/DR) and COUNT
+        // the corpus-scale ones — F (live paths) and H (history, which
+        // a high-churn lake grows toward corpus size) — for the torn
+        // check; the driver never holds either path list
         val parts = reader.rdd.mapPartitions { it =>
-          var n = 0L
+          var nF = 0L
+          var nH = 0L
           val b = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-          it.foreach(r => if (r.getString(0) == "F") n += 1 else b += r)
-          Iterator.single((n, b.toArray))
+          it.foreach { r =>
+            r.getString(0) match {
+              case "F" => nF += 1
+              case "H" => nH += 1
+              case _ => b += r
+            }
+          }
+          Iterator.single((nF, nH, b.toArray))
         }.collect()
-        (parts.iterator.map(_._1).sum, parts.iterator.flatMap(_._2).toArray)
+        (parts.iterator.map(_._1).sum, parts.iterator.map(_._2).sum,
+          parts.iterator.flatMap(_._3).toArray)
       }
-    val totalRows = fCount + rows.length
+    val totalRows = fCount + hCount + rows.length
     if (totalRows != expected)
       throw new IllegalStateException(
         s"columnar checkpoint v$version is torn: entries directory $dirName " +
@@ -1285,8 +1357,11 @@ object Lake {
         new DeferredFiles(dir.toString, fCount, Seq.empty, Set.empty,
           dc.flatMap(_._3))
       else EagerFiles(files.result().sorted)
+    val history: Seq[String] =
+      if (pathLazy) new DeferredHistory(dir.toString, hCount, Seq.empty)
+      else hist.result().sorted
     LakeState(version, schemaJson, liveFiles, stats.result(),
-      hist.result().sorted,
+      history,
       historyComplete = true,
       dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
       dvHistory = dvHist.result().sorted,
@@ -1474,7 +1549,7 @@ object Lake {
       restated,
       // removed files stay referenced (time travel / in-range CDC reads
       // them until a retention vacuum spends that history)
-      st.history ++ d.removed,
+      foldHistory(st.history, d.removed),
       // a replay from a legacy (v1) checkpoint stays incomplete no matter
       // how many deltas stack on top — the missing history is BELOW it
       historyComplete = st.historyComplete,
@@ -2172,8 +2247,21 @@ object Lake {
         // (it replayed every tail delta, restates included); the lazy
         // state's own entries are partial views of the same log — a
         // restate folded onto an unmaterialized base carries only the
-        // restated columns and must not shadow the complete row
-        st0.copy(stats = eager.stats, cpLazy = None)
+        // restated columns and must not shadow the complete row. A
+        // still-DEFERRED history grafts the eager replay's list too
+        // (equal content, saves the text render a force) — but an EAGER
+        // history on a lazy state means the CALLER rewrote it
+        // (vacuumKeeping's retention cut) and is authoritative: the
+        // replay's pre-cut history must not resurrect reclaimed files.
+        val histFix = st0.history match {
+          case _: DeferredHistory => eager.history
+          case h => h
+        }
+        // the FILE list grafts unconditionally (no caller rewrites it):
+        // the eager replay already materialized the identical list, so
+        // the text render below never forces a deferred one
+        st0.copy(files = eager.files, stats = eager.stats, history = histFix,
+          cpLazy = None)
       }
     // columnar path: the file-scale sections land as parquet FIRST (a
     // fresh UUID-named directory no reader can discover), then the stub's
@@ -2311,6 +2399,17 @@ object Lake {
     // ever materializing its files
     val removedArr: Array[String] = lz.tailRemoved.toArray.sorted
     val tailAdded = lz.tailAdded
+    // deferred HISTORY folds forward the same way as the F rows: the
+    // prior checkpoint's H rows ride through inside the job and only
+    // the post-checkpoint tail renders driver-side. An EAGER history on
+    // a lazy state means a caller REWROTE it (vacuumKeeping's retention
+    // cut) — then the old H rows drop and the driver's seq is
+    // authoritative.
+    val (keepOldHist, histTail): (Boolean, Seq[String]) = st.history match {
+      case dh: DeferredHistory if dh.entriesDir == lz.entriesDir =>
+        (true, dh.histTail)
+      case h => (false, h)
+    }
     // tail restates onto checkpoint residents: small by construction
     // (a delta's statRestates section), rides to tasks as a plain map
     val restates: Map[String, Seq[(String, String, String)]] =
@@ -2318,7 +2417,8 @@ object Lake {
         .mapValues(_.map(c => (c.col, c.min, c.max))).toMap
     val oldKept = spark.read.schema(CpEntrySchema).parquet(lz.entriesDir).rdd
       .flatMap { r =>
-        if (r.getString(0) != "F") None // non-F sections rebuild driver-side
+        if (r.getString(0) == "H") { if (keepOldHist) Some(r) else None }
+        else if (r.getString(0) != "F") None // other sections rebuild driver-side
         else if (removedArr.nonEmpty && java.util.Arrays.binarySearch(
             removedArr.asInstanceOf[Array[AnyRef]], r.getString(1)) >= 0) None
         else {
@@ -2339,6 +2439,7 @@ object Lake {
     }
     val tailRows = checkpointEntryRows(st.copy(
       files = EagerFiles(tailLive),
+      history = histTail,
       stats = st.stats.view.filterKeys(tailAdded).toMap))
     val tailRdd = spark.sparkContext.parallelize(
       tailRows, math.max(1, math.min(32, tailRows.size / 100000)))
@@ -2996,7 +3097,7 @@ object Lake {
       val post = LakeState(base.version + 1, schemaJson,
         postFiles,
         restatedStats,
-        base.history ++ sc.removedFiles,
+        foldHistory(base.history, sc.removedFiles),
         historyComplete = base.historyComplete,
         dvs = postDvs,
         dvHistory = base.dvHistory ++ detached,
@@ -4946,10 +5047,15 @@ object Lake {
           case dfl: DeferredFiles if latest.historyComplete && distribute =>
             // PATH-LAZY fast path: the live-set diff runs inside the
             // listing job against the checkpoint entries' F+H rows; the
-            // driver ships only the post-checkpoint tail + history and
-            // collects orphans — the corpus path list never materializes
+            // driver ships only the post-checkpoint TAILS (adds +
+            // history removals) and collects orphans — neither corpus
+            // path list materializes
+            val histExtra: Seq[String] = latest.history match {
+              case dh: DeferredHistory => dh.histTail
+              case h => h
+            }
             orphanDataFiles(spark, lakeDir, dfl.entriesDir,
-              (dfl.tailAdded ++ latest.history).toSet, cutoff, minAgeMs)
+              (dfl.tailAdded ++ histExtra).toSet, cutoff, minAgeMs)
           case _ =>
             val live: Set[String] =
               if (latest.historyComplete) (latest.files ++ latest.history).toSet
@@ -4959,7 +5065,11 @@ object Lake {
               .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
               .map(_._1)
         }
-        reclaimPaths(spark, lakeDir, dead.map(_ -> false), distribute)
+        // a small-live lake can still strand a MASS of orphans (a crashed
+        // whole-corpus rewrite): the reclaim distributes on its own count
+        val distributeReclaim =
+          distribute || dead.size >= vacuumDistributeMin(spark)
+        reclaimPaths(spark, lakeDir, dead.map(_ -> false), distributeReclaim)
         // sidecar sweep (DV + CDC): children of _graft_dv/_graft_cdc
         // referenced by no committed record are crash orphans (a sparse
         // mutation that died before publish); the same grace period
@@ -5436,11 +5546,10 @@ object Lake {
     // except across a RESTORE, the one commit kind that re-adds
     // pre-existing paths; only then does the diff touch the oldest file
     // set (the one remaining force under path-lazy, restore-bounded)
-    val histAbove: Set[String] = {
-      val a = adds.result()
-      if (!restoreInRange) a
-      else { val f = oldestState.files.toSet; a.filterNot(f) }
-    }
+    val addsSet = adds.result()
+    val histAbove: Set[String] =
+      if (!restoreInRange) addsSet
+      else { val f = oldestState.files.toSet; addsSet.filterNot(f) }
     val oldestDvSet = oldestState.dvs.values.flatten.toSet
     val liveDvSet = oldestDvSet ++ dvAdds.result()
     val liveCdcSet = liveCdc.result()
@@ -5479,12 +5588,21 @@ object Lake {
     // listing job against those entries and the corpus path list never
     // materializes — the same shape as [[vacuum]]'s fast path
     val reSt = stateAt(spark, lakeDir, oldest)
+    // the gate counts the PRE-CUT state: a mass-supersede cut (one
+    // rewrite orphaning the whole prior corpus) leaves a tiny live set
+    // but a corpus-sized reclaim — the pre-cut history is the honest
+    // size of the tree the listing walks and the deletes sweep
     val distribute =
-      reSt.files.length + reSt.history.size >= vacuumDistributeMin(spark)
+      oldestState.files.length + oldestState.history.size + addsSet.size >=
+        vacuumDistributeMin(spark)
     val dead = reSt.files match {
       case dfl: DeferredFiles if distribute =>
+        val histExtra: Seq[String] = reSt.history match {
+          case dh: DeferredHistory => dh.histTail
+          case h => h
+        }
         orphanDataFiles(spark, lakeDir, dfl.entriesDir,
-          (dfl.tailAdded ++ reSt.history).toSet, cutoff, minAgeMs)
+          (dfl.tailAdded ++ histExtra).toSet, cutoff, minAgeMs)
       case _ =>
         val liveSet = (reSt.files ++ reSt.history).toSet
         dataFileInventory(spark, lakeDir, distribute)
@@ -5492,12 +5610,17 @@ object Lake {
           .filter { case (_, mtime) => minAgeMs <= 0 || mtime <= cutoff }
           .map(_._1)
     }
-    reclaimPaths(spark, lakeDir, dead.map(_ -> false), distribute)
+    // the reclaim distributes on ITS OWN mass too: the dead count is in
+    // hand by now, and a corpus-sized delete loop is exactly what the
+    // job-shaped path exists for
+    val distributeReclaim =
+      distribute || dead.size >= vacuumDistributeMin(spark)
+    reclaimPaths(spark, lakeDir, dead.map(_ -> false), distributeReclaim)
     val liveTops = (liveDvSet ++ liveCdcSet).map(sidecarTop)
     val deadSidecar = listSidecarDirs(fs, root)
       .filterNot(liveTops)
       .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
-    reclaimPaths(spark, lakeDir, deadSidecar.map(_ -> true), distribute)
+    reclaimPaths(spark, lakeDir, deadSidecar.map(_ -> true), distributeReclaim)
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>
       fs.delete(new Path(logDir(root), checkpointName(c)), false))

@@ -3255,6 +3255,82 @@ object Pipeline {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
       |FROM lake GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- px135
+  /** RETENTION under path-lazy, end-to-end: a lake with delete churn on
+    * both sides of a columnar checkpoint takes a retention cut
+    * ([[Lake.vacuumKeeping]]) whose live set derives from the retained
+    * DELTAS (no per-version resolve) and whose sweep diffs inside the
+    * listing job — the fixture REQUIRES the cut to reclaim the expired
+    * pre-images with [[Lake.pathForceJobs]] FLAT (neither the corpus
+    * path list nor the history list ever materializes), then
+    * hash-matches BOTH the post-cut lake and the oldest retained
+    * version's time travel against DuckDB recomputing the lifecycle. */
+  private def px135(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px135_lake")
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1") // distribute at spec scale
+    try {
+      val docs = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("split"))
+      Lake.init(spark, docs.repartition(8), out, Seq("split"))              // v1
+      deleteFromLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(8191L)) === 0L).select("doc_id"),
+        "doc_id", partitionCols = Seq("split"), retainHistory = true)       // v2
+      Lake.checkpointNow(spark, out) // columnar cp at v2: H rows carry v2's pre-images
+      appendToLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(9973L)) === 2L)
+          .withColumn("doc_id", col("doc_id") + lit(30000000L)),
+        partitionCols = Seq("split"))                                       // v3
+      deleteFromLake(spark, out,
+        docs.filter(pmod(col("doc_id"), lit(8191L)) === 1L).select("doc_id"),
+        "doc_id", partitionCols = Seq("split"), retainHistory = true)       // v4
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      require(st.files.isInstanceOf[Lake.DeferredFiles] &&
+        st.history.isInstanceOf[Lake.DeferredHistory],
+        "px135 must defer both the path list and the history")
+      val forces0 = Lake.pathForceJobs.get()
+      val dead = Lake.vacuumKeeping(spark, out, keepVersions = 2)
+      require(dead.nonEmpty,
+        "px135: the cut must reclaim the expired pre-image history")
+      require(Lake.pathForceJobs.get() == forces0,
+        "px135: a restore-free retention cut must never materialize a " +
+          "deferred path or history list")
+      Lake.invalidateStateCache()
+      def agg(df: DataFrame, snap: String) = df
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .select(lit(snap).as("snap"), col("n_docs"), col("sum_chars"),
+          col("sum_ids"))
+      agg(spark.read.format("graft-lake").load(out), "latest")
+        .unionByName(agg(Lake.readVersion(spark, out, 3L), "retained"))
+        .orderBy("snap")
+    } finally {
+      spark.conf.unset(Lake.VacuumDistributeMinKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  private val px135Oracle =
+    """WITH base AS (SELECT doc_id, n_chars FROM documents),
+      |v3rows AS (
+      |  SELECT doc_id, n_chars FROM base WHERE doc_id % 8191 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000000 AS doc_id, n_chars FROM base WHERE doc_id % 9973 = 2),
+      |v4rows AS (
+      |  SELECT doc_id, n_chars FROM v3rows
+      |  WHERE doc_id >= 30000000 OR doc_id % 8191 <> 1)
+      |SELECT 'latest' AS snap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM v4rows
+      |UNION ALL
+      |SELECT 'retained' AS snap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM v3rows
+      |ORDER BY snap""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -3514,5 +3590,6 @@ object Pipeline {
     GraftQuery("px131_lake_lazy_stats", px131, Some(px130Oracle)),
     GraftQuery("px132_lake_twolevel_prune", px132, Some(px132Oracle)),
     GraftQuery("px133_lake_distributed_vacuum", px133, Some(px133Oracle)),
-    GraftQuery("px134_lake_path_lazy", px134, Some(px134Oracle)))
+    GraftQuery("px134_lake_path_lazy", px134, Some(px134Oracle)),
+    GraftQuery("px135_lake_retention_lifecycle", px135, Some(px135Oracle)))
 }

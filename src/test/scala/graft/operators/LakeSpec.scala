@@ -3555,6 +3555,121 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("deferred history: a path-lazy state pins only the removal tail; checkpoints fold H rows forward executor-side") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-pathlazy-history")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train"), out, Seq("split"))          // v1
+      Pipeline.appendToLake(spark, out, batch(1000 until 1010, "train"),
+        partitionCols = Seq("split"))                                           // v2
+      Pipeline.deleteFromLake(spark, out, Seq(3L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v3: pre-cp removals
+      (2 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v4..v11 (cp at v10)
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.history.isInstanceOf[Lake.DeferredHistory],
+        "above the path-lazy threshold the history must defer with the paths")
+      val dh = st.history.asInstanceOf[Lake.DeferredHistory]
+      assert(dh.histTail.isEmpty && st.history.nonEmpty,
+        "pre-checkpoint removals live in the entries' H rows, not on the driver")
+      // size/emptiness answer from the count — zero jobs
+      val forces0 = Lake.pathForceJobs.get()
+      assert(st.history.size >= 1)
+      assert(Lake.pathForceJobs.get() == forces0)
+      // a post-checkpoint delete enters the driver-side history TAIL and
+      // the pinned count reflects files tail + history tail exactly
+      Pipeline.deleteFromLake(spark, out, Seq(8L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v12
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      val dh2 = st2.history.asInstanceOf[Lake.DeferredHistory]
+      assert(dh2.histTail.nonEmpty, "a tail removal must ride the history tail")
+      val dfl2 = st2.files.asInstanceOf[Lake.DeferredFiles]
+      assert(Lake.pinnedPathCount(st2) ==
+        dfl2.tailAdded.size + dfl2.tailRemoved.size + dh2.histTail.size)
+      // MATERIALIZED content equals the eager resolve's history exactly
+      // (one soft-cached force)
+      val f1 = Lake.pathForceJobs.get()
+      val lazyHist = st2.history.sorted
+      assert(Lake.pathForceJobs.get() <= f1 + 1)
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerHist = Lake.latestManifest(spark, out).get.history.sorted
+      spark.conf.unset(Lake.LazyStatsKey)
+      assert(lazyHist == eagerHist, "deferred history must materialize exactly")
+      Lake.invalidateStateCache()
+      // the NEXT incremental checkpoint folds the old H rows forward
+      // inside the job and lands the tail — zero forces — and the next
+      // resolve defers again with an empty tail
+      val st3 = Lake.latestManifest(spark, out).get
+      val f2 = Lake.pathForceJobs.get()
+      Lake.checkpointNow(spark, out)
+      assert(Lake.pathForceJobs.get() == f2,
+        "the checkpoint fold must never materialize the history list")
+      Lake.invalidateStateCache()
+      val st4 = Lake.latestManifest(spark, out).get
+      val dh4 = st4.history.asInstanceOf[Lake.DeferredHistory]
+      assert(dh4.histTail.isEmpty && st4.history.size == st3.history.size,
+        "the folded checkpoint must carry the full history as H rows")
+      assert(st4.history.sorted == eagerHist,
+        "history content survives the incremental fold exactly")
+      // reads and time travel stay exact through all of it
+      assert(Lake.read(spark, out).count() == 100L + 90L - 2L)
+      assert(Lake.readVersion(spark, out, 11L).count() == 100L + 90L - 1L)
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("retention cut that shrinks below the columnar threshold: the eager re-render keeps the REWRITTEN history") {
+    // the regression shape: keepVersions=1 leaves so few live entries the
+    // replacement checkpoint renders as TEXT — the forceEager re-resolve
+    // inside writeCheckpoint must not clobber the cut's emptied history
+    // with the pre-cut replay's (that would resurrect every pre-image and
+    // the sweep would reclaim nothing)
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-ret-shrink")
+      def batch(ids: Range) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"))
+      Lake.init(spark, batch(0 until 100).repartition(10), out, Seq("split")) // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10), partitionCols = Seq("split")))   // v2..v10 cp
+      Pipeline.appendToLake(spark, out, batch(50000 until 50010),
+        partitionCols = Seq("split"))                                          // v11
+      Lake.checkpointNow(spark, out)
+      // the single-partition rewrite supersedes EVERY live file: the
+      // post-cut live set (a handful of rewrite outputs) falls below the
+      // columnar threshold while the reclaimable history is corpus-sized
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                    // v12
+      Lake.checkpointNow(spark, out)
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.history.isInstanceOf[Lake.DeferredHistory] && st.history.size >= 10)
+      val dead = Lake.vacuumKeeping(spark, out, keepVersions = 1)
+      assert(dead.nonEmpty,
+        "the cut must reclaim the superseded pre-images (empty = the text " +
+          "render resurrected the pre-cut history)")
+      Lake.invalidateStateCache()
+      assert(Lake.latestManifest(spark, out).get.history.isEmpty,
+        "the rewritten (empty) history must survive the text render")
+      assert(Lake.read(spark, out).count() == 100L + 90L + 10L - 1L)
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("retention vacuum on a path-lazy lake: the retained live set derives from the deltas — no per-version resolve, no force") {
     spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
     spark.conf.set(Lake.PathLazyMinFilesKey, "1")
@@ -3669,8 +3784,12 @@ class LakeSpec extends SparkTestBase {
     // (len, mtime) signature must miss the stale entry and re-resolve the
     // rewritten history (a stale hit would resurrect reclaimed files)
     val preCut = Lake.stateAt(spark, out, 10L)
-    Lake.vacuumKeeping(spark, out, keepVersions = 3)
+    // the miss happens INSIDE vacuumKeeping (its sweep re-resolves
+    // `oldest` through the freshly-replaced checkpoint), so capture the
+    // counter before the cut: a stale (len, mtime) hit anywhere in the
+    // chain would keep the counter flat and resurrect reclaimed files
     val beforeCutReads = Lake.logReads.get()
+    Lake.vacuumKeeping(spark, out, keepVersions = 3)
     val postCut = Lake.stateAt(spark, out, 10L)
     assert(Lake.logReads.get() > beforeCutReads,
       "the replaced checkpoint's new (len, mtime) must miss the cache and re-resolve")

@@ -602,6 +602,45 @@ class ScaleProbeSpec extends SparkTestBase {
         "the unpruned read costs at most one transient materialization")
       assert(Lake.pinnedPathCount(st3) == 0L,
         "the read must not pin the corpus list on the state")
+      // HISTORY CHURN at scale: a retained delete's pre-images enter the
+      // DRIVER-SIDE history tail only; the next incremental checkpoint
+      // folds them into H rows with zero forces and the state re-defers
+      // with a zero pin; a retention cut above the delete then reclaims
+      // them with the live diff running INSIDE the listing job
+      val t9 = System.nanoTime()
+      Pipeline.deleteFromLake(spark, out,
+        spark.range(100001L, 100003L).select(col("id").as("doc_id")),
+        "doc_id", partitionCols = Seq("split"), retainHistory = true)  // v12
+      val delSec = (System.nanoTime() - t9) / 1e9
+      Lake.invalidateStateCache()
+      val st4 = Lake.latestManifest(spark, out).get
+      assert(st4.history.isInstanceOf[Lake.DeferredHistory],
+        "the churned state must keep its history deferred")
+      val histTailN = st4.history.asInstanceOf[Lake.DeferredHistory].histTail.size
+      info(f"retainedDelete=$delSec%.2fs historyTail=$histTailN%d " +
+        f"pinned=${Lake.pinnedPathCount(st4)}%d")
+      assert(histTailN >= 1, "the pre-images must ride the history tail")
+      val f4 = Lake.pathForceJobs.get()
+      Lake.checkpointNow(spark, out)
+      assert(Lake.pathForceJobs.get() == f4,
+        "the history fold must never materialize either deferred list")
+      Lake.invalidateStateCache()
+      val st5 = Lake.latestManifest(spark, out).get
+      assert(Lake.pinnedPathCount(st5) == 0L &&
+        st5.history.size.toLong == st4.history.size.toLong,
+        "the folded checkpoint must carry the history as H rows, pin zero")
+      val f5 = Lake.pathForceJobs.get()
+      val t10 = System.nanoTime()
+      val dead2 = Lake.vacuumKeeping(spark, out, keepVersions = 1)
+      val cutSec = (System.nanoTime() - t10) / 1e9
+      info(f"retentionCut=$cutSec%.2fs reclaimed=${dead2.size}%d " +
+        f"forces=${Lake.pathForceJobs.get() - f5}%d")
+      assert(dead2.nonEmpty, "the cut must reclaim the delete's pre-images")
+      assert(Lake.pathForceJobs.get() == f5,
+        "a restore-free retention cut must never materialize a deferred list")
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == 1000090L + 10L - 2L,
+        "the corpus reads back exactly after the retention cut")
     } finally {
       spark.conf.unset(Lake.LazyStatsKey)
       spark.conf.unset(Lake.PathLazyMinFilesKey)
