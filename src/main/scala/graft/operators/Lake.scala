@@ -2695,6 +2695,66 @@ object Lake {
           .keys.collect().toSeq.sorted
     }
 
+  /** A state's LIVE PATHS as an RDD without materializing them on the
+    * driver: deferred lists read their checkpoint's F rows (tail
+    * removals excluded by sorted-array membership, tail adds unioned
+    * in); eager lists — small by the path-lazy policy — parallelize.
+    * The device that lets two-state diffs ([[restore]]) run as
+    * subtract-jobs collecting O(diff), the Delta `filesForScan` shape. */
+  private def statePathsRdd(spark: SparkSession,
+      files: LiveFiles): org.apache.spark.rdd.RDD[String] = files match {
+    case dfl: DeferredFiles =>
+      val removedArr: Array[String] = dfl.tailRemoved.toArray.sorted
+      val fromEntries = spark.read
+        .schema(StructType(CpEntrySchema.take(2)))
+        .parquet(dfl.entriesDir).rdd.flatMap { r =>
+          if (r.getString(0) != "F") None
+          else {
+            val p = r.getString(1)
+            if (removedArr.nonEmpty && java.util.Arrays.binarySearch(
+                removedArr.asInstanceOf[Array[AnyRef]], p) >= 0) None
+            else Some(p)
+          }
+        }
+      if (dfl.tailAdded.isEmpty) fromEntries
+      else fromEntries.union(
+        spark.sparkContext.parallelize(dfl.tailAdded, 1))
+    case pf => spark.sparkContext.parallelize(pf.toSeq,
+      math.max(1, math.min(8, pf.length / 100000)))
+  }
+
+  /** Per-file stats for `paths` of a possibly PATH-LAZY state: driver
+    * entries (tail adds + restate overlays) win per column over the
+    * checkpoint entries' recorded rows (exactly [[mergeStatCols]]),
+    * fetched in ONE job filtered to the requested paths — O(paths)
+    * driver traffic at any corpus size. The restore path uses it to
+    * re-record the re-added files' stats without an eager resolve. */
+  private def statsForPaths(spark: SparkSession, st: LakeState,
+      paths: Seq[String]): Map[String, Seq[ColStat]] = st.files match {
+    case dfl: DeferredFiles if paths.nonEmpty =>
+      val wanted: Array[String] = paths.toArray.sorted
+      val fromEntries: Map[String, Seq[ColStat]] = spark.read
+        .schema(StructType(CpEntrySchema))
+        .parquet(dfl.entriesDir).rdd.flatMap { r =>
+          if (r.getString(0) != "F" || r.isNullAt(3)) None
+          else {
+            val p = r.getString(1)
+            if (java.util.Arrays.binarySearch(
+                wanted.asInstanceOf[Array[AnyRef]], p) < 0) None
+            else Some(p -> r.getSeq[org.apache.spark.sql.Row](3)
+              .map(s => ColStat(s.getString(0), s.getString(1), s.getString(2)))
+              .toSeq)
+          }
+        }.collect().toMap
+      val pathSet = paths.toSet
+      val overlay = st.stats.view.filterKeys(pathSet).toMap
+      (fromEntries.keySet ++ overlay.keySet).iterator.map { p =>
+        p -> mergeStatCols(fromEntries.getOrElse(p, Seq.empty),
+          overlay.getOrElse(p, Seq.empty))
+      }.filter(_._2.nonEmpty).toMap
+    case _ => st.stats.view.filterKeys(paths.toSet).toMap
+  }
+
   /** Listing-task count scheduled by [[dataFileInventory]]'s distributed
     * walks since JVM start — the fan-out spec pins that a skewed tree
     * (few top-level dirs, many children) schedules at least
@@ -5374,30 +5434,45 @@ object Lake {
     * genuine overlap. Returns the post-restore read-back. */
   def restore(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
-    // the restore DELTA re-records the re-added files' stats — resolve
-    // the target eagerly or a lazily-resolved state would write them
-    // back statless, a permanent metadata loss (not mere conservatism)
-    val target0 = stateAt(spark, lakeDir, version)
-    val target =
-      if (target0.cpLazy.isEmpty) target0
-      else {
-        val (deltas, checkpoints) = listLog(fs, root)
-        resolve(spark, fs, root, lakeDir, version, deltas, checkpoints,
-          forceEager = true)
-      }
+    // PATH-LAZY restore never resolves the target eagerly: the diff runs
+    // as subtract-jobs over the two states' entries (O(diff) driver
+    // traffic, the Delta filesForScan shape), and the re-added files'
+    // stats — which the restore delta re-records permanently — fetch
+    // from the target's entries in one path-filtered job
+    // ([[statsForPaths]], restate overlays merged), so nothing is ever
+    // written back statless.
+    val target = stateAt(spark, lakeDir, version)
+    val base = currentState(spark, lakeDir)
+    if (base.version == version) return readState(spark, lakeDir, base)
+    val pathLazy = target.files.isInstanceOf[DeferredFiles] ||
+      base.files.isInstanceOf[DeferredFiles]
     // existence sweep: a big version's restore would pay O(files) serial
-    // exists round-trips — above the distribution threshold the DATA
-    // files check against ONE distributed inventory instead (sidecars
-    // live in hidden trees the inventory skips; their count is bounded
-    // by the version's sparse mutations, so they stay per-file)
-    val neededData = target.files
-    val goneData =
-      if (neededData.size < vacuumDistributeMin(spark))
-        neededData.filterNot(f => fs.exists(new Path(root, f)))
+    // exists round-trips — above the distribution threshold (and always
+    // under path-lazy) the DATA files check against ONE distributed
+    // inventory instead, with the diff INVERTED under path-lazy so the
+    // needed list never materializes (sidecars live in hidden trees the
+    // inventory skips; their count is bounded by the version's sparse
+    // mutations, so they stay per-file)
+    val goneData: Seq[String] =
+      if (pathLazy)
+        inventoryParts(spark, lakeDir, distribute = true) match {
+          case None => Seq.empty // no root: init races aside, nothing to check
+          case Some((driverSide, jobSide)) =>
+            val inv = (jobSide match {
+              case None => spark.sparkContext.parallelize(driverSide, 1)
+              case Some(rdd) =>
+                if (driverSide.isEmpty) rdd
+                else rdd.union(spark.sparkContext.parallelize(driverSide, 1))
+            }).map { case (f, _) => (f, ()) }
+            statePathsRdd(spark, target.files).map((_, ()))
+              .subtractByKey(inv).keys.collect().toSeq.sorted
+        }
+      else if (target.files.size < vacuumDistributeMin(spark))
+        target.files.filterNot(f => fs.exists(new Path(root, f)))
       else {
         val present = dataFileInventory(spark, lakeDir, distribute = true)
           .iterator.map(_._1).toSet
-        neededData.filterNot(present)
+        target.files.filterNot(present)
       }
     val gone = goneData ++
       target.dvs.values.flatten.filterNot(f => fs.exists(new Path(root, f)))
@@ -5405,20 +5480,42 @@ object Lake {
       throw new IllegalStateException(
         s"cannot restore to version $version — ${gone.size} of its file(s) were " +
           s"vacuumed, e.g. ${gone.take(3).mkString(", ")}; restore needs retained history")
-    val base = currentState(spark, lakeDir)
-    if (base.version == version) return readState(spark, lakeDir, base)
-    val current = base.files.toSet
-    val targetSet = target.files.toSet
     // a file live in BOTH states whose DV attachments differ (a sparse
     // delete landed after the target version, or the target itself
     // carried DVs the current state lost) must be removed-and-re-added in
     // the SAME delta: the remove drops its current attachments, the
     // re-add's D lines restore exactly the target's
-    val dvDiff = base.files.filter(targetSet).filter { f =>
-      base.dvs.getOrElse(f, Seq.empty).toSet != target.dvs.getOrElse(f, Seq.empty).toSet
-    }
-    val reAdded = target.files.filterNot(current) ++ dvDiff
-    val removed = base.files.filterNot(targetSet) ++ dvDiff
+    val (removed, reAdded): (Seq[String], Seq[String]) =
+      if (!pathLazy) {
+        val current = base.files.toSet
+        val targetSet = target.files.toSet
+        val dvDiff = base.files.filter(targetSet).filter { f =>
+          base.dvs.getOrElse(f, Seq.empty).toSet !=
+            target.dvs.getOrElse(f, Seq.empty).toSet
+        }
+        (base.files.filterNot(targetSet) ++ dvDiff,
+          target.files.filterNot(current) ++ dvDiff)
+      } else {
+        val basePaths = statePathsRdd(spark, base.files).map((_, ()))
+        val targetPaths = statePathsRdd(spark, target.files).map((_, ()))
+        val removed0 = basePaths.subtractByKey(targetPaths).keys.collect().toSeq.sorted
+        val reAdded0 = targetPaths.subtractByKey(basePaths).keys.collect().toSeq.sorted
+        // DV-diff candidates need no further jobs: only files carrying
+        // DVs in either state can differ, the dv maps are driver-resident
+        // (bounded by sparse mutations), a dvs key is live in ITS state
+        // by invariant, and liveness in the OTHER state falls out of the
+        // just-collected diff (live in base ∧ not removed ⇒ live in
+        // target; live in target ∧ not re-added ⇒ live in base)
+        val removedSet = removed0.toSet
+        val reAddedSet = reAdded0.toSet
+        val dvDiff = (base.dvs.keySet ++ target.dvs.keySet).iterator.filter { f =>
+          val inBoth = (base.dvs.contains(f) && !removedSet(f)) ||
+            (target.dvs.contains(f) && !reAddedSet(f))
+          inBoth && base.dvs.getOrElse(f, Seq.empty).toSet !=
+            target.dvs.getOrElse(f, Seq.empty).toSet
+        }.toSeq.sorted
+        (removed0 ++ dvDiff, reAdded0 ++ dvDiff)
+      }
     if (removed.isEmpty && reAdded.isEmpty) return readState(spark, lakeDir, base)
     // CHECK constraints SURVIVE a restore (they live in LakeState.checks,
     // not in the restored version), so rows re-added from a version
@@ -5436,7 +5533,7 @@ object Lake {
     // re-count. Do not treat the 0/0 as load-bearing.
     publish(spark, StagedCommit(lakeDir, base, "restore", target.schemaJson,
       removed, reAdded, 0L, 0L,
-      stagedStats = target.stats.view.filterKeys(reAdded.contains).toMap,
+      stagedStats = statsForPaths(spark, target, reAdded),
       rewriteFiles = reAdded.toSet,
       dvAdds = target.dvs.view.filterKeys(reAdded.contains).toMap,
       // the restored state's WRITE layout is the target's (a restore

@@ -3628,6 +3628,61 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("restore on a path-lazy lake: the two-state diff runs as subtract-jobs, stats re-record from the entries") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-pathlazy-restore")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v2..v10 (cp)
+      val preVersion = 10L
+      val preCount = 200L + 90L
+      // mutations to undo: a rewrite delete, an append, and a SPARSE
+      // delete (deletion vectors — the dvDiff leg of the restore)
+      Pipeline.deleteFromLake(spark, out, Seq(7L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v11
+      Pipeline.appendToLake(spark, out, batch(500000 until 500010, "train"),
+        partitionCols = Seq("split"))                                           // v12
+      Pipeline.deleteFromLakeSparse(spark, out, Seq(9L).toDF("doc_id"),
+        "doc_id")                                                               // v13: DV
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.files.isInstanceOf[Lake.DeferredFiles] && st.dvs.nonEmpty)
+      assert(Lake.read(spark, out).count() == preCount - 2L + 10L)
+      // the restore: diff inside jobs, zero list materializations (the
+      // returned read-back may cost its usual ≤1 soft-cached force)
+      val forces0 = Lake.pathForceJobs.get()
+      Lake.restore(spark, out, preVersion)
+      assert(Lake.pathForceJobs.get() <= forces0 + 1,
+        "a path-lazy restore must diff inside jobs, never materialize " +
+          s"either state's list (got ${Lake.pathForceJobs.get() - forces0} forces)")
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == preCount,
+        "the pre-mutation corpus must return exactly")
+      assert(Lake.read(spark, out).filter(col("doc_id").isin(7L, 9L)).count() == 2L,
+        "both deleted rows (rewrite AND deletion-vector) must resurrect")
+      // the re-added files' stats re-recorded from the ENTRIES: a
+      // doc_id-banded prune on the restored lake still skips files
+      val st2 = Lake.latestManifest(spark, out).get
+      val kept = Lake.pruneByStats(st2, "doc_id",
+        org.apache.spark.sql.types.LongType, 100000L, 100010L)
+      assert(kept.nonEmpty && kept.size < st2.files.size,
+        s"restored stats must still prune, kept ${kept.size}/${st2.files.size}")
+      // CDC stays silent across the restore (re-adds are rewrites)
+      assert(Lake.changesBetween(spark, out, 13L, 14L).count() == 0L,
+        "a restore must surface no new rows to the change feed")
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("retention cut that shrinks below the columnar threshold: the eager re-render keeps the REWRITTEN history") {
     // the regression shape: keepVersions=1 leaves so few live entries the
     // replacement checkpoint renders as TEXT — the forceEager re-resolve
