@@ -327,11 +327,18 @@ object Lake {
     }
   }
 
-  final case class EagerFiles(paths: Seq[String]) extends LiveFiles {
+  /** Plain class, NOT a case class: the generated case equality would
+    * break `Seq` equality's symmetry (`List(a) == EagerFiles(List(a))`
+    * true element-wise, the reverse false via `canEqual`) — inheriting
+    * the collection's own equals keeps both directions content-based. */
+  final class EagerFiles(val paths: Seq[String]) extends LiveFiles {
     def apply(i: Int): String = paths(i)
     def length: Int = paths.length
     def iterator: Iterator[String] = paths.iterator
     override def isEmpty: Boolean = paths.isEmpty
+  }
+  object EagerFiles {
+    def apply(paths: Seq[String]): EagerFiles = new EagerFiles(paths)
   }
 
   /** See [[LiveFiles]]. `cpResidents` counts the checkpoint's F rows;
@@ -936,8 +943,23 @@ object Lake {
     // defer the file list itself ([[DeferredFiles]]): the count prices
     // and torn-checks, the flag keeps zero-job pricing, the sample
     // answers layout derivation without a job
+    // the sample derives WITHOUT forcing: a deferred list whose recorded
+    // min path a removal dropped writes `-` (the next resolve answers
+    // headOption with one on-demand job — only pre-LY lakes ever ask),
+    // rather than materializing the corpus inside the checkpoint writer
+    val sample: Option[String] = st.files match {
+      case dfl: DeferredFiles =>
+        dfl.sample match {
+          case Some(s) if !dfl.tailRemoved(s) =>
+            Some(dfl.tailAdded.headOption.fold(s)(t => if (s <= t) s else t))
+          case None if dfl.cpResidents == dfl.tailRemoved.size =>
+            dfl.tailAdded.headOption
+          case _ => None
+        }
+      case pf => pf.headOption
+    }
     val dc = s"DC\t${st.files.length}\t${if (sumsComplete) 1 else 0}\t" +
-      st.files.headOption.map(enc).getOrElse("-")
+      sample.map(enc).getOrElse("-")
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
@@ -1025,7 +1047,7 @@ object Lake {
     * every member carries one). Gives up — counted and logged — only
     * when even the top-level grouping exceeds the cap. Empty-valued
     * entries survive the folds as poison and drop from the final map. */
-  private def foldRollupsToCap(m0: Map[String, Seq[ColStat]],
+  private[graft] def foldRollupsToCap(m0: Map[String, Seq[ColStat]],
       dts: Map[String, DataType], cap: Int,
       context: String): Map[String, Seq[ColStat]] = {
     var cur = m0
@@ -1054,7 +1076,21 @@ object Lake {
         "rollups (two-level pruning and zero-job pricing degrade to per-query " +
         s"entries jobs; raise $DirRollupMaxDirsKey or coarsen the layout)")
       Map.empty
-    } else cur.filter(_._2.nonEmpty)
+    } else {
+      // dropping a POISONED (empty) entry must not leave a surviving
+      // PREFIX key standing in for its subtree: mixed-depth layout
+      // generations put data files both at `split=x/…` and under
+      // `split=x/shard=y/…`, and longest-prefix resolution
+      // ([[rollupKeyOf]]) would hand the dropped dir's files an envelope
+      // that never saw them — wrong pruning and a falsely-exact sums
+      // flag. Covering keys drop WITH their poisoned descendants
+      // (conservative: those subtrees degrade to the entries job).
+      val (poisoned, ok) = cur.partition(_._2.isEmpty)
+      if (poisoned.isEmpty) ok
+      else ok.filter { case (k, _) =>
+        !poisoned.keysIterator.exists(_.startsWith(k + "/"))
+      }
+    }
   }
 
   /** Exact-round-trip comparison of two stat strings under the column's
@@ -1169,7 +1205,7 @@ object Lake {
     * bound drops it) and widen; reserved sums add with per-name
     * validity. */
   private final case class DirAgg(env: Map[String, (String, String)],
-      rows: Long, rowsOk: Boolean, bytes: Long, bytesOk: Boolean, n: Long)
+      rows: Long, rowsOk: Boolean, bytes: Long, bytesOk: Boolean)
 
   /** Recompute the `DR` rollups from the freshly-written entries
     * directory in ONE Spark job — the INCREMENTAL checkpoint's rollup
@@ -1194,7 +1230,7 @@ object Lake {
         for (l <- lo; h <- hi) yield c -> (l, h)
       }.toMap
       DirAgg(env, a.rows + b.rows, a.rowsOk && b.rowsOk,
-        a.bytes + b.bytes, a.bytesOk && b.bytesOk, a.n + b.n)
+        a.bytes + b.bytes, a.bytesOk && b.bytesOk)
     }
     val perDir: Map[String, DirAgg] = spark.read.schema(CpEntrySchema)
       .parquet(entriesDir).rdd.mapPartitions { it =>
@@ -1209,7 +1245,7 @@ object Lake {
             val rows = cs.find(_.getString(0) == rn).flatMap(_.getString(1).toLongOption)
             val bytes = cs.find(_.getString(0) == bn).flatMap(_.getString(1).toLongOption)
             val agg = DirAgg(env, rows.getOrElse(0L), rows.isDefined,
-              bytes.getOrElse(0L), bytes.isDefined, 1L)
+              bytes.getOrElse(0L), bytes.isDefined)
             m.update(d, m.get(d).fold(agg)(merge(_, agg)))
           }
         }
@@ -1534,7 +1570,12 @@ object Lake {
     val postFileSet: String => Boolean = postFiles match {
       case dfl: DeferredFiles =>
         val tailSet = dfl.tailAdded.toSet
-        f => !dfl.tailRemoved(f) && (tailSet(f) || !removed(f))
+        // a tail-ADDED file is live even when it also sits in
+        // tailRemoved — a restore re-adding a removed resident leaves it
+        // in BOTH sets (the removal record must keep invalidating the
+        // dir sums); a non-tail file is live iff neither the fold's
+        // removed-set nor this delta dropped it
+        f => tailSet(f) || (!dfl.tailRemoved(f) && !removed(f))
       case pf => pf.toSet
     }
     val baseStats = (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap
@@ -2723,19 +2764,23 @@ object Lake {
       math.max(1, math.min(8, pf.length / 100000)))
   }
 
-  /** Per-file stats for `paths` of a possibly PATH-LAZY state: driver
+  /** Per-file stats for `paths` of a possibly STATS-LAZY state: driver
     * entries (tail adds + restate overlays) win per column over the
     * checkpoint entries' recorded rows (exactly [[mergeStatCols]]),
     * fetched in ONE job filtered to the requested paths — O(paths)
-    * driver traffic at any corpus size. The restore path uses it to
-    * re-record the re-added files' stats without an eager resolve. */
+    * driver traffic at any corpus size. Keyed on `cpLazy`, NOT on the
+    * file-list representation: a lazily-resolved state below the
+    * path-lazy threshold materializes its PATHS eagerly while its
+    * checkpoint residents' STATS still live only in the entries — the
+    * restore path uses this to re-record the re-added files' stats
+    * without an eager resolve, at either laziness grade. */
   private def statsForPaths(spark: SparkSession, st: LakeState,
-      paths: Seq[String]): Map[String, Seq[ColStat]] = st.files match {
-    case dfl: DeferredFiles if paths.nonEmpty =>
+      paths: Seq[String]): Map[String, Seq[ColStat]] = st.cpLazy match {
+    case Some(lz) if paths.nonEmpty =>
       val wanted: Array[String] = paths.toArray.sorted
       val fromEntries: Map[String, Seq[ColStat]] = spark.read
         .schema(StructType(CpEntrySchema))
-        .parquet(dfl.entriesDir).rdd.flatMap { r =>
+        .parquet(lz.entriesDir).rdd.flatMap { r =>
           if (r.getString(0) != "F" || r.isNullAt(3)) None
           else {
             val p = r.getString(1)
@@ -3146,7 +3191,9 @@ object Lake {
       val postFileSet: String => Boolean = postFiles match {
         case dfl: DeferredFiles =>
           val tailSet = dfl.tailAdded.toSet
-          f => !dfl.tailRemoved(f) && (tailSet(f) || !ourRemoved(f))
+          // same liveness rule as [[applyDelta]]'s: tail-added wins over
+          // a stale tailRemoved record (restore re-adds)
+          f => tailSet(f) || (!dfl.tailRemoved(f) && !ourRemoved(f))
         case pf => pf.toSet
       }
       val baseStats = (base.stats -- sc.removedFiles) ++ sc.stagedStats

@@ -3683,6 +3683,118 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("rollup fold: dropping a poisoned subtree drops any surviving PREFIX key that would cover it") {
+    import org.apache.spark.sql.types.LongType
+    val dts = Map("doc_id" -> LongType)
+    def env(lo: Long, hi: Long) = Seq(Lake.ColStat("doc_id", lo.toString, hi.toString),
+      Lake.ColStat("#rows", "10", "10"), Lake.ColStat("#bytes", "100", "100"))
+    // mixed-depth generations: data files BOTH at split=x/… and under
+    // split=x/shard=y/… — the deeper dir has no provable coverage
+    // (poisoned). Longest-prefix resolution must NOT hand its files
+    // split=x's envelope: the covering key drops with it.
+    val m0 = Map("split=x" -> env(0, 9), "split=x/shard=y" -> Seq.empty[Lake.ColStat])
+    val folded = Lake.foldRollupsToCap(m0, dts, cap = 10, context = "spec")
+    assert(!folded.contains("split=x"),
+      s"a prefix key covering a dropped poisoned subtree must drop too, got $folded")
+    // a DISJOINT sibling is untouched
+    val m1 = m0 + ("split=z" -> env(100, 199))
+    assert(Lake.foldRollupsToCap(m1, dts, 10, "spec").keySet == Set("split=z"))
+    // and ABOVE the cap the fold still poisons the parent (no drop-then-cover)
+    val m2 = Map(
+      "split=x/shard=a" -> env(0, 9),
+      "split=x/shard=b" -> Seq.empty[Lake.ColStat],
+      "split=z/shard=a" -> env(100, 149),
+      "split=z/shard=b" -> env(150, 199))
+    val folded2 = Lake.foldRollupsToCap(m2, dts, cap = 2, context = "spec")
+    assert(!folded2.contains("split=x") && folded2.contains("split=z"),
+      s"a poisoned member must poison its folded parent, got $folded2")
+  }
+
+  test("restore re-records checkpoint-resident stats on a stats-lazy, path-EAGER state") {
+    // the middle laziness grade: a columnar checkpoint above the entries
+    // threshold but below the path-lazy one materializes its PATHS while
+    // the residents' STATS still live only in the entries — a restore's
+    // re-adds must fetch them from there, not from the (restates-only)
+    // driver map, or the re-added files commit statless forever
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    try {
+      val out = freshDir("lake-lazy-restore-stats")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v2..v10 (cp)
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.cpLazy.isDefined && st.files.isInstanceOf[Lake.EagerFiles],
+        "fixture must resolve stats-lazy with an EAGER path list")
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerPre = Lake.latestManifest(spark, out).get
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v11
+      Lake.restore(spark, out, 10L)                                             // v12: re-adds residents
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerPost = Lake.latestManifest(spark, out).get
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      assert(eagerPost.files.toSet == eagerPre.files.toSet,
+        "the restore must reinstate exactly the v10 file set")
+      eagerPre.files.foreach { f =>
+        assert(eagerPost.stats.get(f).map(_.toSet) == eagerPre.stats.get(f).map(_.toSet),
+          s"restore dropped recorded stats for re-added resident $f")
+      }
+      assert(Lake.read(spark, out).count() == 290L)
+    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+  }
+
+  test("a stat restate lands on a restore-re-added resident: tailAdded wins over its stale tailRemoved record") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-restate-readd")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v2..v10 (cp)
+      Lake.invalidateStateCache()
+      val trainFiles = Lake.latestManifest(spark, out).get.files
+        .filter(_.startsWith("split=train")).toSet
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v11: residents removed
+      Lake.restore(spark, out, 10L)                                             // v12: re-added (in BOTH tails)
+      // the backfill restates a column never statted before — on the
+      // path-lazy fold the re-added residents must be judged LIVE or the
+      // restate silently drops (and the next incremental checkpoint
+      // would freeze the loss into the entries)
+      Lake.analyzeStats(spark, out, Seq("text"))                                // v13
+      Lake.checkpointNow(spark, out)
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eager = Lake.latestManifest(spark, out).get
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      val missing = trainFiles.filter(f =>
+        !eager.stats.getOrElse(f, Seq.empty).exists(_.col == "text"))
+      assert(missing.isEmpty,
+        s"the restate must land on restore-re-added residents, missing on $missing")
+      assert(Lake.read(spark, out).count() == 290L)
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("retention cut that shrinks below the columnar threshold: the eager re-render keeps the REWRITTEN history") {
     // the regression shape: keepVersions=1 leaves so few live entries the
     // replacement checkpoint renders as TEXT — the forceEager re-resolve
