@@ -384,7 +384,7 @@ object Lake {
       Lake.pathForceJobs.incrementAndGet()
       val spark = SparkSession.active
       val removedArr = tailRemoved.toArray.sorted
-      val residents = spark.read
+      val residents = try spark.read
         .schema(StructType(Lake.CpEntrySchema.take(2)))
         .parquet(entriesDir).rdd.flatMap { r =>
           if (r.getString(0) != "F") None
@@ -395,6 +395,19 @@ object Lake {
             else Some(p)
           }
         }.collect()
+      catch {
+        // a concurrent retention cut ([[vacuumKeeping]]) may have
+        // replaced the checkpoint and reclaimed this entries directory —
+        // the same reader-vs-VACUUM race Delta documents. The state this
+        // list belongs to is stale either way: name the fix.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.toLowerCase.contains("path does not exist") =>
+          throw new IllegalStateException(
+            s"deferred file list's entries directory $entriesDir is gone — " +
+              "a concurrent retention vacuum likely replaced the checkpoint; " +
+              "re-resolve the lake state and retry the read", e)
+      }
       if (residents.length.toLong != cpResidents - tailRemoved.size)
         throw new IllegalStateException(
           s"deferred file list is torn: entries $entriesDir yields " +
