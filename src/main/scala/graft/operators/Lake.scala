@@ -357,16 +357,21 @@ object Lake {
     override def knownSize: Int = length
     def apply(i: Int): String = forced(i)
     def iterator: Iterator[String] = forced.iterator
+    /** The min live path WITHOUT a job, when derivable: the recorded
+      * sample is the residents' min and a removal of OTHER residents
+      * cannot change that, so head = min(sample, tail min) — exact.
+      * None = only a materialization can answer (the sample itself was
+      * removed). Shared by [[headOption]] and the checkpoint stub's DC
+      * sample render, which must never force. */
+    private[graft] def cheapHead: Option[String] = sample match {
+      case Some(s) if !tailRemoved(s) =>
+        Some(tailAdded.headOption.fold(s)(t => if (s <= t) s else t))
+      case None if cpResidents == tailRemoved.size => tailAdded.headOption
+      case _ => None
+    }
     override def headOption: Option[String] =
       if (isEmpty) None
-      else sample match {
-        // the sample is the residents' min; a removal of OTHER residents
-        // cannot change that, so head = min(sample, tail min) — exact
-        case Some(s) if !tailRemoved(s) =>
-          Some(tailAdded.headOption.fold(s)(t => if (s <= t) s else t))
-        case None if cpResidents == tailRemoved.size => tailAdded.headOption
-        case _ => forced.headOption
-      }
+      else cheapHead.orElse(forced.headOption)
     override def head: String =
       headOption.getOrElse(throw new NoSuchElementException("head of empty lake"))
 
@@ -961,14 +966,7 @@ object Lake {
     // headOption with one on-demand job — only pre-LY lakes ever ask),
     // rather than materializing the corpus inside the checkpoint writer
     val sample: Option[String] = st.files match {
-      case dfl: DeferredFiles =>
-        dfl.sample match {
-          case Some(s) if !dfl.tailRemoved(s) =>
-            Some(dfl.tailAdded.headOption.fold(s)(t => if (s <= t) s else t))
-          case None if dfl.cpResidents == dfl.tailRemoved.size =>
-            dfl.tailAdded.headOption
-          case _ => None
-        }
+      case dfl: DeferredFiles => dfl.cheapHead
       case pf => pf.headOption
     }
     val dc = s"DC\t${st.files.length}\t${if (sumsComplete) 1 else 0}\t" +
@@ -1587,7 +1585,13 @@ object Lake {
         // tailRemoved — a restore re-adding a removed resident leaves it
         // in BOTH sets (the removal record must keep invalidating the
         // dir sums); a non-tail file is live iff neither the fold's
-        // removed-set nor this delta dropped it
+        // removed-set nor this delta dropped it. This REPLAY predicate
+        // is a superset filter (it cannot see removals below the
+        // checkpoint) — sound because every restate producer filters
+        // EXACTLY at commit time ([[analyzeStats]] against the forced
+        // live set, [[publish]] against the entries' F rows), so a
+        // replayed delta never carries a restate that was dead when it
+        // committed
         f => tailSet(f) || (!dfl.tailRemoved(f) && !removed(f))
       case pf => pf.toSet
     }
@@ -2685,32 +2689,41 @@ object Lake {
         // walk distributes over them at cluster width.
         val topStrs = dirs.map(_.getPath.toString)
         inventoryListTasks.addAndGet(math.min(topStrs.size, par).toLong)
-        val level1: Array[(String, Boolean, Long)] = spark.sparkContext
-          .parallelize(topStrs, math.min(topStrs.size, par))
-          .flatMap { dir =>
-            val conf = new org.apache.hadoop.conf.Configuration(false)
-            confProps.foreach { case (k, v) => conf.set(k, v) }
-            val p = new Path(dir)
-            val tfs = p.getFileSystem(conf)
-            tfs.listStatus(p).toSeq.map(s => (tfs.makeQualified(s.getPath)
-              .toUri.getPath, s.isDirectory, s.getModificationTime))
-          }.collect()
-        val (childDirs, level1Files) = level1.partition(_._2)
-        level1Files.foreach { case (fp, _, mtime) =>
-          if (fp.startsWith(rootPrefix + "/")) {
-            val rel = fp.substring(rootPrefix.length + 1)
-            if (keep(rel)) out += rel -> mtime
-          } else throw new IllegalStateException(
-            s"$fp is not under lake root $rootPrefix")
-        }
-        // hidden subtrees skip the walk outright — `keep` would reject
-        // every file under them anyway
-        val walkable = childDirs.iterator.map(_._1).filterNot { d =>
-          val n = d.substring(d.lastIndexOf('/') + 1)
-          n.startsWith("_") || n.startsWith(".")
-        }.toSeq
-        Some((out.result(),
-          if (walkable.isEmpty) None else Some(recursiveRdd(walkable))))
+        def levelOneRdd: org.apache.spark.rdd.RDD[(String, Boolean, Long)] =
+          spark.sparkContext
+            .parallelize(topStrs, math.min(topStrs.size, par))
+            .flatMap { dir =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confProps.foreach { case (k, v) => conf.set(k, v) }
+              val p = new Path(dir)
+              val tfs = p.getFileSystem(conf)
+              tfs.listStatus(p).toSeq.map(s => (tfs.makeQualified(s.getPath)
+                .toUri.getPath, s.isDirectory, s.getModificationTime))
+            }
+        // only the CHILD DIRECTORIES come back to the driver (bounded by
+        // the partition tree's fan-out); level-1 FILES stay in the job —
+        // a lake whose data files sit directly under a few top-level
+        // dirs (split=train/part-*.parquet) must not materialize its
+        // corpus on the driver HERE of all places. Hidden subtrees skip
+        // the walk outright — `keep` would reject every file under them.
+        val walkable = levelOneRdd.filter(_._2).map(_._1).collect()
+          .iterator.filterNot { d =>
+            val n = d.substring(d.lastIndexOf('/') + 1)
+            n.startsWith("_") || n.startsWith(".")
+          }.toSeq
+        val level1Files: org.apache.spark.rdd.RDD[(String, Long)] =
+          levelOneRdd.flatMap { case (fp, isDir, mtime) =>
+            if (isDir) None
+            else if (fp.startsWith(rootPrefix + "/")) {
+              val rel = fp.substring(rootPrefix.length + 1)
+              if (keep(rel)) Some(rel -> mtime) else None
+            } else throw new IllegalStateException(
+              s"$fp is not under lake root $rootPrefix")
+          }
+        val jobRdd =
+          if (walkable.isEmpty) level1Files
+          else level1Files.union(recursiveRdd(walkable))
+        Some((out.result(), Some(jobRdd)))
       }
     } else Some((out.result().distinct.sortBy(_._1), None))
   }
@@ -2776,6 +2789,27 @@ object Lake {
     case pf => spark.sparkContext.parallelize(pf.toSeq,
       math.max(1, math.min(8, pf.length / 100000)))
   }
+
+  /** The subset of `names` that are F-row residents of `entriesDir` —
+    * one bounded membership job. The exact-liveness device for restate
+    * filters on a PATH-LAZY rebase: a name that is neither tail-resolved
+    * nor a resident died BELOW the checkpoint, which the driver-side
+    * tails alone cannot prove. */
+  private def residentsAmong(spark: SparkSession, entriesDir: String,
+      names: Seq[String]): Set[String] =
+    if (names.isEmpty) Set.empty
+    else {
+      val wanted: Array[String] = names.toArray.sorted
+      spark.read.schema(StructType(CpEntrySchema.take(2)))
+        .parquet(entriesDir).rdd.flatMap { r =>
+          if (r.getString(0) != "F") None
+          else {
+            val p = r.getString(1)
+            if (java.util.Arrays.binarySearch(
+                wanted.asInstanceOf[Array[AnyRef]], p) >= 0) Some(p) else None
+          }
+        }.collect().toSet
+    }
 
   /** Per-file stats for `paths` of a possibly STATS-LAZY state: driver
     * entries (tail adds + restate overlays) win per column over the
@@ -3201,16 +3235,37 @@ object Lake {
       }
       val postFiles: LiveFiles =
         foldLiveFiles(base.files, sc.stagedFiles, ourRemoved)
+      // PUBLISH is the commit-time filter for its restates, and commit-
+      // time exactness is the invariant [[applyDelta]]'s approximate
+      // replay predicate rests on — so on a PATH-LAZY base the ambiguous
+      // names (neither tail-resolved nor removed: a resident OR a file
+      // that died BELOW the checkpoint, indistinguishable driver-side)
+      // resolve EXACTLY against the entries' F rows. Without this, a
+      // widen/analyze racing a delete that lands on the checkpoint grid
+      // would re-admit the dead file's restate, and the deferred prune
+      // would surface the removed file's rows. One bounded membership
+      // job, only on a restate-carrying commit against a lazy base.
       val postFileSet: String => Boolean = postFiles match {
         case dfl: DeferredFiles =>
           val tailSet = dfl.tailAdded.toSet
-          // same liveness rule as [[applyDelta]]'s: tail-added wins over
-          // a stale tailRemoved record (restore re-adds)
-          f => tailSet(f) || (!dfl.tailRemoved(f) && !ourRemoved(f))
+          val resident: Set[String] =
+            if (sc.statRestates.isEmpty) Set.empty
+            else residentsAmong(spark, dfl.entriesDir,
+              sc.statRestates.map(_._1).filter(f => !tailSet(f)))
+          // tail-added wins over a stale tailRemoved record (restore
+          // re-adds); a non-tail name is live iff it IS a resident that
+          // neither the fold nor this commit removed
+          f => tailSet(f) ||
+            (resident(f) && !dfl.tailRemoved(f) && !ourRemoved(f))
         case pf => pf.toSet
       }
       val baseStats = (base.stats -- sc.removedFiles) ++ sc.stagedStats
-      val restatedStats = sc.statRestates.filter(r => postFileSet(r._1))
+      // the COMMITTED delta must carry the filtered list too — a raw
+      // restate for a dead file would outlive this filter in the log and
+      // re-admit itself through [[applyDelta]]'s approximate replay
+      // predicate on every path-lazy resolve
+      val liveRestates = sc.statRestates.filter(r => postFileSet(r._1))
+      val restatedStats = liveRestates
         .foldLeft(baseStats) { case (m, (f, st2)) =>
           m.updated(f, mergeStatCols(m.getOrElse(f, Seq.empty), st2))
         }
@@ -3241,7 +3296,7 @@ object Lake {
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
             cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn,
-            statRestates = sc.statRestates.sortBy(_._1), layout = sc.layout,
+            statRestates = liveRestates.sortBy(_._1), layout = sc.layout,
             postImages = sc.postImageFiles, bloomCols = sc.bloomCols),
           Some(post))
         committed = true
@@ -3684,16 +3739,11 @@ object Lake {
     * recorded stats (no state lookups), so the LAZY path evaluates it
     * inside the entries job with exactly the driver path's semantics. */
   private[graft] def statsOverlap(stats: Seq[ColStat], b: ColBound): Boolean = {
-    def cmp(dt: DataType, a: String, b2: String): Option[Int] = dt match {
-      case LongType | IntegerType | ShortType | ByteType =>
-        for (x <- a.toLongOption; y <- b2.toLongOption) yield java.lang.Long.compare(x, y)
-      case DoubleType | FloatType =>
-        for (x <- a.toDoubleOption; y <- b2.toDoubleOption) yield java.lang.Double.compare(x, y)
-      case StringType =>
-        Some(org.apache.spark.unsafe.types.UTF8String.fromString(a)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b2)))
-      case _ => None
-    }
+    // ONE comparator for prune-vs-rollup consistency: the same
+    // [[statCompare]] the envelope folds use — a type handled by one
+    // but not the other would make rollup pruning disagree with the
+    // per-file judgment
+    def cmp(dt: DataType, a: String, b2: String): Option[Int] = statCompare(dt, a, b2)
     def statLong(name: String): Option[Long] =
       stats.find(_.col == name).flatMap(_.min.toLongOption)
     def nullnessOverlaps(col: String, wantNull: Boolean): Boolean =

@@ -3683,6 +3683,55 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("a raced restate naming a file dead BELOW the rebased checkpoint filters exactly — no resurrection") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-restate-race")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v2..v10 (cp)
+      Lake.invalidateStateCache()
+      val stale = Lake.latestManifest(spark, out).get // the racer's v10 base
+      // the INTERPOSED delete rewrites a train file; the checkpoint that
+      // follows buries the removal BELOW the next rebase's resolution
+      // point — the dead file sits in NO driver-side tail
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v11
+      Lake.checkpointNow(spark, out)
+      Lake.invalidateStateCache()
+      val live11 = Lake.latestManifest(spark, out).get.files.toSet
+      val r = stale.files.find(f => !live11(f)).get // dead below the new cp
+      // the raced commit (the widen shape): a restate naming r staged
+      // against the STALE v10 base — publish rebases onto the path-lazy
+      // v11 state and must resolve r against the entries' F rows
+      Lake.publish(spark, Lake.StagedCommit(out, stale, "analyze",
+        stale.schemaJson, Seq.empty, Seq.empty, 0L, 0L,
+        statRestates = Seq(r -> Seq(Lake.ColStat("text", "a", "b")))))          // v12
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.files.isInstanceOf[Lake.DeferredFiles])
+      assert(!st.stats.contains(r),
+        "a restate for a file dead below the checkpoint must drop at commit")
+      assert(Lake.read(spark, out).count() == 289L,
+        "the deleted row must stay deleted")
+      val kept = Lake.pruneByStats(st, "text",
+        org.apache.spark.sql.types.StringType, "a", "b")
+      assert(!kept.contains(r),
+        "the dead file must never come back as a prune survivor")
+      assert(Lake.reservedTotals(spark, st, st.files)._1.isDefined,
+        "whole-table pricing must not trip its torn check on the raced restate")
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("rollup fold: dropping a poisoned subtree drops any surviving PREFIX key that would cover it") {
     import org.apache.spark.sql.types.LongType
     val dts = Map("doc_id" -> LongType)
