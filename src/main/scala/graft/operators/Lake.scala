@@ -2689,7 +2689,10 @@ object Lake {
         // walk distributes over them at cluster width.
         val topStrs = dirs.map(_.getPath.toString)
         inventoryListTasks.addAndGet(math.min(topStrs.size, par).toLong)
-        def levelOneRdd: org.apache.spark.rdd.RDD[(String, Boolean, Long)] =
+        // cached across its two consumers (the dir collect and the file
+        // union) so the top dirs list once, not twice; the ContextCleaner
+        // unpersists it with the RDD once the sweep's job is done
+        val levelOneRdd: org.apache.spark.rdd.RDD[(String, Boolean, Long)] =
           spark.sparkContext
             .parallelize(topStrs, math.min(topStrs.size, par))
             .flatMap { dir =>
@@ -2699,7 +2702,7 @@ object Lake {
               val tfs = p.getFileSystem(conf)
               tfs.listStatus(p).toSeq.map(s => (tfs.makeQualified(s.getPath)
                 .toUri.getPath, s.isDirectory, s.getModificationTime))
-            }
+            }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // only the CHILD DIRECTORIES come back to the driver (bounded by
         // the partition tree's fan-out); level-1 FILES stay in the job —
         // a lake whose data files sit directly under a few top-level
