@@ -1062,23 +1062,43 @@ object Lake {
       dts: Map[String, DataType], cap: Int,
       context: String): Map[String, Seq[ColStat]] = {
     var cur = m0
+    var foldedAny = false
     while (cur.size > cap && cur.keysIterator.exists(_.contains('/'))) {
+      foldedAny = true
       cur = cur.groupBy { case (d, _) =>
         val i = d.lastIndexOf('/'); if (i <= 0) d else d.take(i)
       }.map { case (p, members) =>
-        val vals = members.values.toSeq
-        val env = foldEnvelope(
-          vals.map(_.iterator.map(c => c.col -> c).toMap), dts)
-        val sums = ReservedStatNames.toSeq.sorted.flatMap { n =>
-          val per = vals.map(_.find(_.col == n).flatMap(_.min.toLongOption))
-          if (per.exists(_.isEmpty)) None
-          else {
-            val s = per.flatten.sum
-            Some(ColStat(n, s.toString, s.toString))
-          }
-        }
-        p -> (env ++ sums)
+        p -> mergeRollupGroup(members.values.toSeq, dts)
       }
+    }
+    // After any fold iteration a surviving key no longer means "exactly
+    // this directory's residents" — it covers whatever dirs FOLDED to it.
+    // Longest-prefix resolution ([[rollupKeyOf]]) is then sound only if
+    // the key set is PREFIX-FREE: with mixed-depth data dirs (files at
+    // both `a/b/c` and `a/b/c/d`) one iteration can stop with both `a/b`
+    // (dir a/b/c's fold target) and `a/b/c` (dir a/b/c/d's) surviving,
+    // and dir a/b/c's own files would resolve to an envelope that never
+    // saw them — wrongly-pruned live rows and undercounted exact sums.
+    // Merge every key into its SHALLOWEST surviving ancestor (widen
+    // envelopes, add sums, propagate poison). An unfolded map keeps its
+    // exact dir keys: ancestor-related EXACT keys resolve each dir to its
+    // own envelope and stay precise.
+    if (foldedAny && cur.size <= cap && cur.keysIterator.exists(_.contains('/'))) {
+      def rootOf(k: String): String = {
+        var r = k
+        var i = k.lastIndexOf('/')
+        while (i > 0) {
+          val p = k.take(i)
+          if (cur.contains(p)) r = p
+          i = k.lastIndexOf('/', i - 1)
+        }
+        r
+      }
+      val grouped = cur.groupBy { case (k, _) => rootOf(k) }
+      if (grouped.size != cur.size)
+        cur = grouped.map { case (r, members) =>
+          r -> mergeRollupGroup(members.values.toSeq, dts)
+        }
     }
     if (cur.size > cap) {
       dirRollupGiveUps.incrementAndGet()
@@ -1102,6 +1122,26 @@ object Lake {
         !poisoned.keysIterator.exists(_.startsWith(k + "/"))
       }
     }
+  }
+
+  /** Merge one fold group's member rollups: intersect-and-widen the
+    * envelopes ([[foldEnvelope]] — an EMPTY member poisons the group) and
+    * add the reserved sums (present only when every member carries one).
+    * Shared by [[foldRollupsToCap]]'s per-level fold and its prefix-free
+    * consistency merge. */
+  private def mergeRollupGroup(vals: Seq[Seq[ColStat]],
+      dts: Map[String, DataType]): Seq[ColStat] = {
+    val env = foldEnvelope(
+      vals.map(_.iterator.map(c => c.col -> c).toMap), dts)
+    val sums = ReservedStatNames.toSeq.sorted.flatMap { n =>
+      val per = vals.map(_.find(_.col == n).flatMap(_.min.toLongOption))
+      if (per.exists(_.isEmpty)) None
+      else {
+        val s = per.flatten.sum
+        Some(ColStat(n, s.toString, s.toString))
+      }
+    }
+    env ++ sums
   }
 
   /** Exact-round-trip comparison of two stat strings under the column's

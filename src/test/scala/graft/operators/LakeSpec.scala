@@ -3759,6 +3759,99 @@ class LakeSpec extends SparkTestBase {
       s"a poisoned member must poison its folded parent, got $folded2")
   }
 
+  test("rollup fold: a mixed-depth NON-poison fold leaves a PREFIX-FREE key set — every dir resolves to an envelope that covered it") {
+    import org.apache.spark.sql.types.LongType
+    val dts = Map("doc_id" -> LongType)
+    def ent(lo: Long, hi: Long, rows: Long) = Seq(
+      Lake.ColStat("doc_id", lo.toString, hi.toString),
+      Lake.ColStat("#bytes", (rows * 10).toString, (rows * 10).toString),
+      Lake.ColStat("#rows", rows.toString, rows.toString))
+    // mixed-depth generations: files at split=t/shard=N AND under
+    // split=t/shard=N/bucket=M. Cap 4 folds ONE level and stops at
+    // {split=t, split=t/shard=0, split=t/shard=1} — ancestor-related:
+    // dir split=t/shard=0's own files would resolve (longest prefix) to
+    // a key holding only its buckets' stats. The consistency merge must
+    // collapse to a prefix-free set.
+    val m0 = Map(
+      "split=t/shard=0" -> ent(0, 99, 100),
+      "split=t/shard=1" -> ent(100, 199, 100),
+      "split=t/shard=0/bucket=0" -> ent(1000, 1099, 50),
+      "split=t/shard=0/bucket=1" -> ent(1100, 1199, 50),
+      "split=t/shard=1/bucket=0" -> ent(1200, 1299, 50),
+      "split=t/shard=1/bucket=1" -> ent(1300, 1399, 50))
+    val folded = Lake.foldRollupsToCap(m0, dts, cap = 4, context = "spec")
+    val keys = folded.keySet
+    assert(keys.nonEmpty, "a below-cap fold must not give up")
+    assert(keys.forall(k => !keys.exists(o => o != k && k.startsWith(o + "/"))),
+      s"folded keys must be prefix-free, got $keys")
+    m0.foreach { case (d, st) =>
+      val k = Lake.rollupKeyOf(keys, d)
+      assert(k.isDefined, s"dir $d lost its rollup cover, keys $keys")
+      val env = folded(k.get).find(_.col == "doc_id").get
+      val lo = st.find(_.col == "doc_id").get.min.toLong
+      val hi = st.find(_.col == "doc_id").get.max.toLong
+      assert(env.min.toLong <= lo && env.max.toLong >= hi,
+        s"dir $d resolves to ${k.get} whose envelope $env never covered [$lo,$hi]")
+    }
+    // the reserved sums conserve the total through the merge
+    val totalRows = folded.valuesIterator
+      .flatMap(_.find(_.col == "#rows")).map(_.min.toLong).sum
+    assert(totalRows == 400L, s"merged sums must conserve the total, got $totalRows")
+    // an UNFOLDED ancestor-related map keeps its exact (precise) dir keys
+    val under = Lake.foldRollupsToCap(m0, dts, cap = 10, context = "spec")
+    assert(under.keySet == m0.keySet,
+      "below-cap maps must keep exact dir keys (no precision loss)")
+  }
+
+  test("rollup fold: mixed-depth GENERATIONS fold prefix-free end-to-end — lazy prune and zero-job pricing match eager") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "1")
+    spark.conf.set(Lake.DirRollupMaxDirsKey, "4")
+    try {
+      val out = freshDir("lake-mixed-depth-rollup")
+      def batch(ids: Range) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit("train").as("split"), pmod(col("id"), lit(2)).cast("int").as("shard"),
+        pmod(floor(col("id") / lit(2)), lit(2)).cast("int").as("bucket"))
+      Lake.init(spark, batch(0 until 200), out, Seq("split", "shard"))       // v1: depth-2 dirs
+      Lake.evolveLayout(spark, out, Seq("split", "shard", "bucket"))         // v2: metadata
+      Pipeline.appendToLake(spark, out, batch(1000 until 1400),
+        partitionCols = Seq("split", "shard", "bucket"))                     // v3: depth-3 dirs
+      Lake.invalidateStateCache()
+      Lake.checkpointNow(spark, out)
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.cpLazy.isDefined, "fixture must resolve stats-lazy")
+      val keys = st.cpLazy.get.dirStats.keySet
+      assert(keys.nonEmpty, "the mixed-depth fold must not give up below the cap")
+      assert(keys.forall(k => !keys.exists(o => o != k && k.startsWith(o + "/"))),
+        s"checkpoint rollup keys must be prefix-free, got $keys")
+      // a band covering ONLY gen-1 rows: the pre-merge collision resolved
+      // gen-1 shard dirs to a buckets-only envelope and pruned LIVE rows
+      val kept = Lake.pruneByStats(st, "doc_id",
+        org.apache.spark.sql.types.LongType, 0L, 50L)
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      val eagerKept = Lake.pruneByStats(eagerSt, "doc_id",
+        org.apache.spark.sql.types.LongType, 0L, 50L)
+      spark.conf.unset(Lake.LazyStatsKey)
+      Lake.invalidateStateCache()
+      assert(kept.nonEmpty && kept.toSet == eagerKept.toSet,
+        "the mixed-depth lazy prune must equal the eager prune")
+      // whole-table pricing stays zero-job AND exact off the merged sums
+      val jobs0 = Lake.lazyPriceJobs.get()
+      assert(Lake.reservedTotals(spark, st, st.files)._1.contains(600L),
+        "pricing must count BOTH generations' rows exactly")
+      assert(Lake.lazyPriceJobs.get() == jobs0,
+        "whole-table pricing must stay zero-job through the consistency merge")
+      assert(Lake.read(spark, out).count() == 600L)
+    } finally {
+      spark.conf.unset(Lake.LazyStatsKey)
+      spark.conf.unset(Lake.DirRollupMaxDirsKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("restore re-records checkpoint-resident stats on a stats-lazy, path-EAGER state") {
     // the middle laziness grade: a columnar checkpoint above the entries
     // threshold but below the path-lazy one materializes its PATHS while
