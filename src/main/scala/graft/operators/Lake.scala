@@ -197,8 +197,10 @@ object Lake {
       historyComplete: Boolean = true,
       /** Live deletion-vector attachments: data file → the sidecar dirs
         * whose positions are deleted from it. Reads of the file apply
-        * the union. */
-      dvs: Map[String, Seq[String]] = Map.empty,
+        * the union. [[DeferredDvs]] on states resolved through a
+        * columnar checkpoint above [[DvLazyMinPairsKey]] — the map stays
+        * in the entries, the driver pins O(tail). */
+      dvs: LiveDvs = EagerDvs.empty,
       /** Sidecars whose data file was since removed (compaction
         * materialized it, or a rewrite superseded it) — still referenced
         * by this version's ancestry for time travel, reclaimed by
@@ -476,6 +478,300 @@ object Lake {
       case pf => pf ++ removed
     }
 
+  /** The live deletion-vector attachment map of a resolved state, as a
+    * `Map[String, Seq[String]]` (data file → attached sidecar dirs) so
+    * every existing consumer keeps working. [[EagerDvs]] wraps a
+    * driver-materialized map. [[DeferredDvs]] — states resolved through
+    * a columnar checkpoint whose `VC` pair census clears
+    * [[DvLazyMinPairsKey]] — pins only the post-checkpoint dv TAIL on
+    * the driver (attachments tail deltas added, resident files they
+    * detached, pairs they X-removed) and derives the checkpoint-resident
+    * pairs from the parquet entries' `V` rows on demand: one Spark job
+    * soft-cached like [[DeferredFiles]], so a fully-sparse-deleted
+    * 10^8-file lake's resolved state pins O(tail) dv entries instead of
+    * 10^8 (the same state-stays-in-the-log shape as the path list —
+    * Delta keeps DV descriptors in its checkpoint adds the same way).
+    * Scale-critical consumers (MoR planning, restore's dv diff, vacuum
+    * liveness, CDC planning) go through the scoped accessors
+    * ([[dvsFor]], [[dvPairsRdd]], [[distinctLiveSidecars]]) and never
+    * force the whole map. */
+  sealed trait LiveDvs extends scala.collection.immutable.Map[String, Seq[String]]
+    with Serializable
+
+  object LiveDvs {
+    /** Every `copy(dvs = someMap)`/constructor site keeps compiling — a
+      * plain map is an eager attachment map. */
+    import scala.language.implicitConversions
+    implicit def fromMap(m: Map[String, Seq[String]]): LiveDvs = m match {
+      case d: LiveDvs => d
+      case _ => new EagerDvs(m)
+    }
+  }
+
+  /** Plain class (not case): inherits the collection's content-based
+    * equality so `EagerDvs(m) == m` both ways (see [[EagerFiles]]). */
+  final class EagerDvs(private[graft] val m: Map[String, Seq[String]]) extends LiveDvs {
+    def get(key: String): Option[Seq[String]] = m.get(key)
+    def iterator: Iterator[(String, Seq[String])] = m.iterator
+    def removed(key: String): Map[String, Seq[String]] = m.removed(key)
+    def updated[V1 >: Seq[String]](key: String, value: V1): Map[String, V1] =
+      m.updated(key, value)
+    override def contains(key: String): Boolean = m.contains(key)
+    override def size: Int = m.size
+    override def isEmpty: Boolean = m.isEmpty
+  }
+  object EagerDvs {
+    def apply(m: Map[String, Seq[String]]): EagerDvs = new EagerDvs(m)
+    val empty: EagerDvs = new EagerDvs(Map.empty)
+  }
+
+  /** See [[LiveDvs]]. `cpDvPairs` counts the checkpoint's raw `V` rows
+    * (the torn check); the live pairs are those rows minus the masks —
+    * `detachedFiles` (checkpoint residents tail deltas removed: their
+    * attachments detached into dvHistory) and `removedPairs` (explicit
+    * X-line detaches, [[compactDeletionVectors]]) — unioned with
+    * `tailAdds`. Whole-map access (get/iterator/size) forces one
+    * soft-cached entries job ([[dvForceJobs]]); emptiness answers
+    * cheaply whenever derivable. */
+  final class DeferredDvs private[graft] (
+      private[graft] val entriesDir: String,
+      private[graft] val cpDvPairs: Long,
+      private[graft] val tailAdds: Map[String, Seq[String]],
+      private[graft] val detachedFiles: Set[String],
+      private[graft] val removedPairs: Map[String, Set[String]]) extends LiveDvs {
+    private[graft] def tailPairCount: Long =
+      tailAdds.valuesIterator.map(_.size.toLong).sum
+    private[graft] def removedPairCount: Long =
+      removedPairs.valuesIterator.map(_.size.toLong).sum
+    /** Exact emptiness when derivable without a job; None = ambiguous
+      * (some checkpoint residents were detached — only the entries know
+      * how many pairs that masked). */
+    private[graft] def cheapIsEmpty: Option[Boolean] =
+      if (tailAdds.nonEmpty) Some(false)
+      else if (cpDvPairs == 0L) Some(true)
+      else if (detachedFiles.isEmpty && removedPairCount < cpDvPairs) Some(false)
+      else None
+    override def isEmpty: Boolean = cheapIsEmpty.getOrElse(forced.isEmpty)
+    def get(key: String): Option[Seq[String]] = forced.get(key)
+    def iterator: Iterator[(String, Seq[String])] = forced.iterator
+    def removed(key: String): Map[String, Seq[String]] = forced.removed(key)
+    def updated[V1 >: Seq[String]](key: String, value: V1): Map[String, V1] =
+      forced.updated(key, value)
+    override def contains(key: String): Boolean =
+      tailAdds.contains(key) || (cheapIsEmpty != Some(true) && forced.contains(key))
+
+    @transient private var cache:
+      java.lang.ref.SoftReference[Map[String, Seq[String]]] = null
+    private[graft] def cachedOrNull: Map[String, Seq[String]] = synchronized {
+      if (cache == null) null else cache.get()
+    }
+    private def forced: Map[String, Seq[String]] = synchronized {
+      val hit = if (cache == null) null else cache.get()
+      if (hit != null) hit
+      else {
+        val v = compute()
+        cache = new java.lang.ref.SoftReference(v)
+        v
+      }
+    }
+    private def compute(): Map[String, Seq[String]] = {
+      Lake.dvForceJobs.incrementAndGet()
+      val spark = SparkSession.active
+      val detArr = detachedFiles.toArray.sorted
+      val remPairs = removedPairs
+      val parts = spark.read
+        .schema(StructType(Lake.CpEntrySchema.take(3)))
+        .parquet(entriesDir).rdd.mapPartitions { it =>
+          var raw = 0L
+          val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          it.foreach { r =>
+            if (r.getString(0) == "V") {
+              raw += 1
+              val f = r.getString(1)
+              val masked = (detArr.nonEmpty && java.util.Arrays.binarySearch(
+                detArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
+                remPairs.get(f).exists(_(r.getString(2)))
+              if (!masked) b += ((f, r.getString(2)))
+            }
+          }
+          Iterator.single((raw, b.toArray))
+        }.collect()
+      val raw = parts.iterator.map(_._1).sum
+      if (raw != cpDvPairs)
+        throw new IllegalStateException(
+          s"deferred dv map is torn: entries $entriesDir holds $raw V rows, " +
+            s"the stub's VC census promised $cpDvPairs")
+      val cp = parts.iterator.flatMap(_._2).toArray.sorted
+      Lake.mergeDvPairs(cp, tailAdds)
+    }
+  }
+
+  /** Merge checkpoint-resident live pairs with the driver tail — per
+    * file, resident sidecars first (their render order), tail adds
+    * appended, duplicates (a restore re-attaching a resident sidecar)
+    * folded. */
+  private[graft] def mergeDvPairs(cpPairs: Seq[(String, String)],
+      tailAdds: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    val base = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    cpPairs.foreach { case (f, s) =>
+      base.update(f, base.getOrElse(f, Vector.empty) :+ s)
+    }
+    tailAdds.foreach { case (f, ss) =>
+      base.update(f, (base.getOrElse(f, Vector.empty) ++ ss).distinct)
+    }
+    base.iterator.map { case (f, ss) => f -> (ss.distinct: Seq[String]) }.toMap
+  }
+
+  /** Live dv-pair count at or above which a PATH-LAZY columnar
+    * checkpoint load defers the attachment map too ([[DeferredDvs]]) —
+    * below it, a driver map of a few thousand pairs is cheaper than
+    * re-deriving it per consumer. Applies only when the stub carries a
+    * `VC` census line; older stubs always materialize. */
+  val DvLazyMinPairsDefault = 65536
+
+  private[graft] val DvLazyMinPairsKey =
+    "spark.graft.lake.checkpoint.dvLazyMinPairs"
+
+  private[graft] def dvLazyMinPairs(spark: SparkSession): Long =
+    spark.conf.getOption(DvLazyMinPairsKey)
+      .map(_.toLong).getOrElse(DvLazyMinPairsDefault.toLong)
+
+  /** Entries jobs launched to materialize a whole [[DeferredDvs]] map —
+    * the dv-lazy probe pins the scale paths to ZERO of these (scoped
+    * jobs, [[dvScopedJobs]], are the allowed shape). Observability
+    * only. */
+  private[graft] val dvForceJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bounded SCOPED dv jobs ([[dvsFor]] / [[distinctLiveSidecars]] /
+    * stacked-attachment queries) — O(asked paths) driver traffic each,
+    * the legal way to consult a deferred attachment map. Observability
+    * only. */
+  private[graft] val dvScopedJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The dv entries a resolved state PINS on the driver (the deferred
+    * tail; a soft-cached materialization does not count) — the dv-lazy
+    * probe's driver-memory bound, the [[pinnedPathCount]] analog. */
+  private[graft] def pinnedDvCount(st: LakeState): Long = st.dvs match {
+    case dd: DeferredDvs =>
+      dd.tailPairCount + dd.detachedFiles.size + dd.removedPairCount
+    case m => m.valuesIterator.map(_.size.toLong).sum
+  }
+
+  /** Attachments for exactly `files` — O(files) driver traffic: the
+    * driver tail overlays one membership job over the entries' V rows
+    * (skipped when the checkpoint provably carries none, or a forced
+    * materialization is already soft-cached). The scoped accessor MoR
+    * planning, CDC planning and restore use instead of forcing. */
+  private[graft] def dvsFor(spark: SparkSession, dvs: Map[String, Seq[String]],
+      files: Seq[String]): Map[String, Seq[String]] = dvs match {
+    case dd: DeferredDvs =>
+      if (files.isEmpty || dd.cheapIsEmpty.contains(true)) Map.empty
+      else {
+        val cached = dd.cachedOrNull
+        if (cached != null) cached.view.filterKeys(files.toSet).toMap
+        else {
+          val tailPart = dd.tailAdds.view.filterKeys(files.toSet).toMap
+          if (dd.cpDvPairs == 0L) tailPart
+          else {
+            dvScopedJobs.incrementAndGet()
+            val wanted: Array[String] = files.distinct.toArray.sorted
+            val detArr = dd.detachedFiles.toArray.sorted
+            val remPairs = dd.removedPairs
+            val cp = spark.read
+              .schema(StructType(CpEntrySchema.take(3)))
+              .parquet(dd.entriesDir).rdd.flatMap { r =>
+                if (r.getString(0) != "V") None
+                else {
+                  val f = r.getString(1)
+                  def hit(a: Array[String]): Boolean = a.nonEmpty &&
+                    java.util.Arrays.binarySearch(a.asInstanceOf[Array[AnyRef]], f) >= 0
+                  if (!hit(wanted) || hit(detArr) ||
+                      remPairs.get(f).exists(_(r.getString(2)))) None
+                  else Some((f, r.getString(2)))
+                }
+              }.collect().sorted
+            mergeDvPairs(cp, tailPart)
+          }
+        }
+      }
+    case m => m.view.filterKeys(files.toSet).toMap
+  }
+
+  /** The live (file, sidecar) attachment pairs as an RDD without
+    * materializing them on the driver — the [[statePathsRdd]] analog
+    * restore's dv diff and the corpus-scale MoR read build on. */
+  private[graft] def dvPairsRdd(spark: SparkSession,
+      dvs: Map[String, Seq[String]]): org.apache.spark.rdd.RDD[(String, String)] =
+    dvs match {
+      case dd: DeferredDvs =>
+        val detArr = dd.detachedFiles.toArray.sorted
+        val remPairs = dd.removedPairs
+        val fromEntries = spark.read
+          .schema(StructType(CpEntrySchema.take(3)))
+          .parquet(dd.entriesDir).rdd.flatMap { r =>
+            if (r.getString(0) != "V") None
+            else {
+              val f = r.getString(1)
+              val masked = (detArr.nonEmpty && java.util.Arrays.binarySearch(
+                detArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
+                remPairs.get(f).exists(_(r.getString(2)))
+              if (masked) None else Some((f, r.getString(2)))
+            }
+          }
+        val tailPairs = dd.tailAdds.toSeq.flatMap { case (f, ss) => ss.map(f -> _) }
+        if (tailPairs.isEmpty) fromEntries
+        else fromEntries.union(spark.sparkContext.parallelize(tailPairs, 1))
+      case m =>
+        val pairs = m.toSeq.flatMap { case (f, ss) => ss.map(f -> _) }
+        spark.sparkContext.parallelize(pairs,
+          math.max(1, math.min(8, pairs.size / 100000)))
+    }
+
+  /** The DISTINCT live sidecar directories — O(sparse commits), never
+    * corpus-scale (one sidecar dir per sparse mutation, attached to many
+    * files), so the result is always driver-safe; only DERIVING it from
+    * a deferred map needs one distinct job. Vacuum liveness and
+    * whole-table MoR reads consume this instead of `values.flatten`. */
+  private[graft] def distinctLiveSidecars(spark: SparkSession,
+      dvs: Map[String, Seq[String]]): Set[String] = dvs match {
+    case dd: DeferredDvs =>
+      if (dd.cheapIsEmpty.contains(true)) Set.empty
+      else {
+        val cached = dd.cachedOrNull
+        if (cached != null) cached.valuesIterator.flatten.toSet
+        else {
+          dvScopedJobs.incrementAndGet()
+          dvPairsRdd(spark, dd).values.distinct().collect().toSet
+        }
+      }
+    case m => m.valuesIterator.flatten.toSet
+  }
+
+  /** Conservative "does any of `candidates` carry attachments" — exact
+    * on eager maps, may answer true on a deferred map without a job
+    * (callers use it where a false positive only withholds an
+    * optimization, never correctness). */
+  private[graft] def dvMaybeAny(dvs: Map[String, Seq[String]],
+      candidates: Seq[String]): Boolean = dvs match {
+    case dd: DeferredDvs =>
+      val cached = dd.cachedOrNull
+      if (cached != null) candidates.exists(cached.contains)
+      else !dd.cheapIsEmpty.contains(true)
+    case m => candidates.exists(m.contains)
+  }
+
+  /** Cheap display hint for the dv'd-file count (the MoR scan
+    * description) — never forces. */
+  private[graft] def dvCountHint(dvs: Map[String, Seq[String]]): String = dvs match {
+    case dd: DeferredDvs =>
+      val cached = dd.cachedOrNull
+      if (cached != null) cached.size.toString
+      else s"<=${dd.cpDvPairs + dd.tailPairCount} attachment(s), deferred"
+    case m => m.size.toString
+  }
+
   /** Live-file count at or above which a lazily-resolved columnar
     * checkpoint defers even the PATH list ([[DeferredFiles]]) — below
     * it, materializing a few MB of paths is cheaper than re-deriving
@@ -525,6 +821,15 @@ object Lake {
       /** Deletion-vector attachments this commit adds: (data file,
         * sidecar dir) pairs, rendered as `D` lines. */
       dvAdds: Seq[(String, String)] = Seq.empty,
+      /** Sidecars this commit DETACHED by removing their data files
+        * (they move to dv history), rendered as `VD` lines — computed
+        * EXACTLY at commit time by [[publish]] (on a deferred base, one
+        * scoped entries job), because a path-lazy REPLAY cannot see the
+        * checkpoint residents' attachments driver-side. Deltas written
+        * before this line existed replay against eager maps (their
+        * builds never produced deferred states), where [[applyDelta]]
+        * recomputes it exactly. */
+      dvDetached: Seq[String] = Seq.empty,
       /** Change-feed sidecars this commit wrote: (sidecar dir, change
         * type) pairs, rendered as `C` lines. The sidecar's rows ARE the
         * feed rows of that type for this version. */
@@ -803,6 +1108,7 @@ object Lake {
       (Seq(tag, enc(p)) ++ statsFields(st)).mkString("\t") }
     val removes = rec.removed.sorted.map(p => s"R\t${enc(p)}")
     val dvs = rec.dvAdds.sorted.map { case (f, s) => s"D\t${enc(f)}\t${enc(s)}" }
+    val dvd = rec.dvDetached.distinct.sorted.map(s => s"VD\t${enc(s)}")
     val dvx = rec.dvRemoves.sorted.map { case (f, s) => s"X\t${enc(f)}\t${enc(s)}" }
     val cdc = rec.cdcFiles.sorted.map { case (p, t) => s"C\t${enc(p)}\t${enc(t)}" }
     val txn = rec.txn.toSeq.map { case (a, v) => s"T\t${enc(a)}\t$v" }
@@ -812,7 +1118,7 @@ object Lake {
     val kDrops = rec.checkDrops.sorted.map(n => s"KD\t${enc(n)}")
     val lay = rec.layout.toSeq.map(cols => (Seq("L") ++ cols.map(enc)).mkString("\t"))
     val blm = rec.bloomCols.toSeq.map(cols => (Seq("B") ++ cols.map(enc)).mkString("\t"))
-    (header +: schema +: (adds ++ removes ++ dvs ++ dvx ++ cdc ++ txn ++ restates ++
+    (header +: schema +: (adds ++ removes ++ dvs ++ dvd ++ dvx ++ cdc ++ txn ++ restates ++
       kAdds ++ kDrops ++ lay ++ blm)).mkString("\n")
   }
 
@@ -827,6 +1133,7 @@ object Lake {
     val removed = Seq.newBuilder[String]
     val rewrites = Set.newBuilder[String]
     val dvAdds = Seq.newBuilder[(String, String)]
+    val dvDetached = Seq.newBuilder[String]
     val dvRemoves = Seq.newBuilder[(String, String)]
     val cdcFiles = Seq.newBuilder[(String, String)]
     val postImages = Set.newBuilder[String]
@@ -852,6 +1159,7 @@ object Lake {
         case "AS" => restates += ((dec(f(1)), parseStats(f.drop(2))))
         case "R" => removed += dec(f(1))
         case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
+        case "VD" => dvDetached += dec(f(1))
         case "X" => dvRemoves += ((dec(f(1)), dec(f(2))))
         case "C" => cdcFiles += ((dec(f(1)), dec(f(2))))
         case "T" => txn = Some((dec(f(1)), f(2).toLong))
@@ -863,8 +1171,10 @@ object Lake {
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
-      rewrites.result(), ts, dvAdds.result(), cdcFiles.result(), dvRemoves.result(), txn,
-      restates.result(), kAdds.result(), kDrops.result(), layout = layout,
+      rewrites.result(), ts, dvAdds.result(), dvDetached = dvDetached.result(),
+      cdcFiles = cdcFiles.result(), dvRemoves = dvRemoves.result(), txn = txn,
+      statRestates = restates.result(), checkAdds = kAdds.result(),
+      checkDrops = kDrops.result(), layout = layout,
       postImages = postImages.result(), bloomCols = bloomCols)
   }
 
@@ -952,7 +1262,8 @@ object Lake {
     * that silently lost files). `v3` implies a complete history section,
     * like `v2`. */
   private def renderCheckpointStub(st: LakeState, dirName: String, entries: Long,
-      statCols: Option[Set[String]], sumsComplete: Boolean): String = {
+      statCols: Option[Set[String]], sumsComplete: Boolean,
+      vPairs: Long): String = {
     val header = "graft-checkpoint-v3"
     val schema = s"S\t${enc(st.schemaJson)}"
     val pq = s"PQ\t${enc(dirName)}\t$entries"
@@ -971,6 +1282,10 @@ object Lake {
     }
     val dc = s"DC\t${st.files.length}\t${if (sumsComplete) 1 else 0}\t" +
       sample.map(enc).getOrElse("-")
+    // `VC`: the entries' V-row (dv attachment pair) census — what lets a
+    // PATH-LAZY load defer the attachment map itself ([[DeferredDvs]]):
+    // the count prices, gates the deferral threshold, and torn-checks
+    val vc = s"VC\t$vPairs"
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
@@ -982,7 +1297,7 @@ object Lake {
     // not listed here needs no entries job at all.
     val sc = statCols.toSeq.map(cols =>
       (Seq("SC") ++ cols.toSeq.sorted.map(enc)).mkString("\t"))
-    (header +: schema +: pq +: dc +: (txns ++ checks ++ lay ++ blm ++ sc))
+    (header +: schema +: pq +: dc +: vc +: (txns ++ checks ++ lay ++ blm ++ sc))
       .mkString("\n")
   }
 
@@ -1320,10 +1635,19 @@ object Lake {
   }
 
   /** Number of file-scale entries a checkpoint of `st` would carry —
-    * the columnar-vs-text decision input. */
+    * the columnar-vs-text decision input. An UPPER bound on a deferred
+    * dv map (live ≤ raw checkpoint pairs + tail; the exact count needs
+    * the entries) — fine for the threshold decision, and the columnar
+    * stub's torn-check count comes from the written entries themselves
+    * on that path, never from this. */
   private def checkpointEntryCount(st: LakeState): Long =
-    st.files.size.toLong + st.history.size + st.dvs.valuesIterator.map(_.size).sum +
+    st.files.size.toLong + st.history.size + dvPairCountUpper(st.dvs) +
       st.dvHistory.size + st.cdc.size
+
+  private def dvPairCountUpper(dvs: Map[String, Seq[String]]): Long = dvs match {
+    case dd: DeferredDvs => dd.cpDvPairs + dd.tailPairCount
+    case m => m.valuesIterator.map(_.size.toLong).sum
+  }
 
   /** Load the checkpoint at `version`, dispatching on its header: a
     * classic `v1`/`v2` text checkpoint parses on the driver; a `v3` stub
@@ -1345,6 +1669,7 @@ object Lake {
     var bloomCols: Seq[String] = Seq.empty
     var scCols: Option[Set[String]] = None
     var dc: Option[(Long, Boolean, Option[String])] = None
+    var vc: Option[Long] = None
     text.split('\n').toSeq.filter(_.nonEmpty).tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -1352,6 +1677,7 @@ object Lake {
         case "PQ" => pq = Some((dec(f(1)), f(2).toLong))
         case "DC" => dc = Some((f(1).toLong, f(2) == "1",
           if (f(3) == "-") None else Some(dec(f(3)))))
+        case "VC" => vc = Some(f(1).toLong)
         case "T" => txns += (dec(f(1)) -> f(2).toLong)
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case "LY" => layout = Some(f.tail.map(dec))
@@ -1368,36 +1694,45 @@ object Lake {
     // count, sums-coverage and sample the planners need driver-side.
     // Pre-`DC` stubs always materialize (graceful on older lakes).
     val pathLazy = lazyMode && dc.exists(_._1 >= pathLazyMinFiles(spark))
+    // DV-LAZY: above the pair threshold the attachment map stays in the
+    // entries too ([[DeferredDvs]]) — its V rows are COUNTED, not
+    // collected, below. Pre-`VC` stubs always materialize (graceful on
+    // older lakes).
+    val dvLazy = pathLazy && vc.exists(_ >= dvLazyMinPairs(spark))
     // LAZY mode never decodes the stats column at all — the projection
     // below prunes it at the parquet reader, and pruning later judges
     // the checkpoint's files inside a job over this same directory
     val readSchema =
       if (lazyMode) StructType(CpEntrySchema.take(3)) else CpEntrySchema
     val reader = spark.read.schema(readSchema).parquet(dir.toString)
-    val (fCount, hCount, rows): (Long, Long, Array[org.apache.spark.sql.Row]) =
-      if (!pathLazy) (0L, 0L, reader.collect())
+    val (fCount, hCount, vCount, rows): (Long, Long, Long, Array[org.apache.spark.sql.Row]) =
+      if (!pathLazy) (0L, 0L, 0L, reader.collect())
       else {
-        // collect only the MANIFEST-SIZED rows (V/VH/CF/DR) and COUNT
-        // the corpus-scale ones — F (live paths) and H (history, which
-        // a high-churn lake grows toward corpus size) — for the torn
-        // check; the driver never holds either path list
+        // collect only the MANIFEST-SIZED rows (VH/CF/DR, plus V when
+        // the dv map is not deferred) and COUNT the corpus-scale ones —
+        // F (live paths), H (history) and, under dv-lazy, V (attachment
+        // pairs, which a sparse-deleted lake grows toward corpus size)
+        // — for the torn check; the driver never holds any of the three
+        val dvL = dvLazy
         val parts = reader.rdd.mapPartitions { it =>
           var nF = 0L
           var nH = 0L
+          var nV = 0L
           val b = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
           it.foreach { r =>
             r.getString(0) match {
               case "F" => nF += 1
               case "H" => nH += 1
+              case "V" if dvL => nV += 1
               case _ => b += r
             }
           }
-          Iterator.single((nF, nH, b.toArray))
+          Iterator.single((nF, nH, nV, b.toArray))
         }.collect()
         (parts.iterator.map(_._1).sum, parts.iterator.map(_._2).sum,
-          parts.iterator.flatMap(_._3).toArray)
+          parts.iterator.map(_._3).sum, parts.iterator.flatMap(_._4).toArray)
       }
-    val totalRows = fCount + hCount + rows.length
+    val totalRows = fCount + hCount + vCount + rows.length
     if (totalRows != expected)
       throw new IllegalStateException(
         s"columnar checkpoint v$version is torn: entries directory $dirName " +
@@ -1406,6 +1741,10 @@ object Lake {
       throw new IllegalStateException(
         s"columnar checkpoint v$version is torn: entries directory $dirName " +
           s"holds $fCount F rows, the DC census promises ${dc.get._1}")
+    if (dvLazy && vc.exists(_ != vCount))
+      throw new IllegalStateException(
+        s"columnar checkpoint v$version is torn: entries directory $dirName " +
+          s"holds $vCount V rows, the VC census promises ${vc.get}")
     val files = Seq.newBuilder[String]
     val hist = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, Seq[ColStat]]
@@ -1447,10 +1786,13 @@ object Lake {
     val history: Seq[String] =
       if (pathLazy) new DeferredHistory(dir.toString, hCount, Seq.empty)
       else hist.result().sorted
+    val liveDvs: LiveDvs =
+      if (dvLazy) new DeferredDvs(dir.toString, vCount, Map.empty, Set.empty, Map.empty)
+      else dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     LakeState(version, schemaJson, liveFiles, stats.result(),
       history,
       historyComplete = true,
-      dvs = dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap,
+      dvs = liveDvs,
       dvHistory = dvHist.result().sorted,
       cdc = cdc.result().sorted,
       txns = txns.result(),
@@ -1605,13 +1947,21 @@ object Lake {
     // a removed file's DV attachments detach into dvHistory (time travel
     // below this version still needs the sidecars); explicit `X` detaches
     // ([[compactDeletionVectors]]) drop the named (file, sidecar) pairs
-    // BEFORE adds apply; new attachments union onto what remains
-    val detached = st.dvs.view.filterKeys(removed).values.flatten.toSeq ++
-      d.dvRemoves.map(_._2)
-    val keptDvs = applyDvRemoves(st.dvs -- removed, d.dvRemoves)
-    val newDvs = d.dvAdds.foldLeft(keptDvs) { case (m, (f, s)) =>
-      m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
-    }
+    // BEFORE adds apply; new attachments union onto what remains. The
+    // detached list comes from the delta's own `VD` lines when present
+    // (the commit-time-exact record a DEFERRED replay needs — the
+    // checkpoint residents' attachments are not driver-visible); a
+    // VD-less delta recomputes it from an eager map (exact: deltas that
+    // predate VD were written by builds that never produced deferred
+    // states, so a deferred state never replays one).
+    val detachedFromRemoved: Seq[String] =
+      if (d.dvDetached.nonEmpty) d.dvDetached
+      else st.dvs match {
+        case _: DeferredDvs => Seq.empty
+        case m => m.view.filterKeys(removed).values.flatten.toSeq
+      }
+    val detached = detachedFromRemoved ++ d.dvRemoves.map(_._2)
+    val newDvs = foldLiveDvs(st.dvs, removed, d.dvRemoves, d.dvAdds)
     val postFiles: LiveFiles =
       foldLiveFiles(st.files, d.added.map(_._1), removed)
     // liveness check for restates: exact on materialized lists; on a
@@ -1652,7 +2002,13 @@ object Lake {
       // how many deltas stack on top — the missing history is BELOW it
       historyComplete = st.historyComplete,
       dvs = newDvs,
-      dvHistory = st.dvHistory ++ detached,
+      // deduped: dvHistory's consumers treat it as a referenced-SET, and
+      // dedup keeps it O(distinct sidecars) = O(sparse commits) — a
+      // compaction removing 10^6 dv'd files that share a handful of
+      // sidecars must not append 10^6 duplicate entries
+      dvHistory =
+        if (detached.isEmpty) st.dvHistory
+        else (st.dvHistory ++ detached).distinct,
       cdc = st.cdc ++ d.cdcFiles.map(_._1),
       // the watermark folds MONOTONICALLY: an out-of-order replayed tag
       // (possible only through manual log surgery) can never move it back
@@ -1678,6 +2034,36 @@ object Lake {
     * entries, every other recorded column survives. */
   private def mergeStatCols(old: Seq[ColStat], nw: Seq[ColStat]): Seq[ColStat] =
     old.filterNot(o => nw.exists(_.col == o.col)) ++ nw
+
+  /** Fold one commit's dv changes through the live map — removals of
+    * whole files first, then explicit `X` pair-detaches, then `D` adds —
+    * WITHOUT materializing a deferred map: a [[DeferredDvs]] folds
+    * O(commit) entries into its driver tail (removed files join
+    * `detachedFiles` so their checkpoint-resident rows mask out at
+    * materialization; X-pairs join `removedPairs`; adds overlay
+    * `tailAdds`), the exact [[foldLiveFiles]] discipline. The live set
+    * is `(cpRows \ detachedFiles \ removedPairs) ∪ tailAdds` — a
+    * restore re-adding a detached file carries its attachments as `D`
+    * lines, so the tail overlay restores exactly the target's set. */
+  private def foldLiveDvs(dvs: LiveDvs, removed: Set[String],
+      dvRemoves: Seq[(String, String)],
+      dvAdds: Seq[(String, String)]): LiveDvs = dvs match {
+    case dd: DeferredDvs =>
+      val tailKept = applyDvRemoves(dd.tailAdds -- removed, dvRemoves)
+      val newTail = dvAdds.foldLeft(tailKept) { case (m, (f, s)) =>
+        m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
+      }
+      new DeferredDvs(dd.entriesDir, dd.cpDvPairs, newTail,
+        dd.detachedFiles ++ removed,
+        dvRemoves.foldLeft(dd.removedPairs) { case (m, (f, s)) =>
+          m.updated(f, m.getOrElse(f, Set.empty) + s)
+        })
+    case m =>
+      val kept = applyDvRemoves((m: Map[String, Seq[String]]) -- removed, dvRemoves)
+      dvAdds.foldLeft(kept) { case (mm, (f, s)) =>
+        mm.updated(f, (mm.getOrElse(f, Seq.empty) :+ s).distinct)
+      }
+  }
 
   /** Drop the named (file, sidecar) attachment pairs — idempotent (an
     * already-detached pair is a no-op, so raced consolidations commute);
@@ -2357,9 +2743,10 @@ object Lake {
         }
         // the FILE list grafts unconditionally (no caller rewrites it):
         // the eager replay already materialized the identical list, so
-        // the text render below never forces a deferred one
+        // the text render below never forces a deferred one — and the DV
+        // map grafts the same way (content-equal; no caller rewrites it)
         st0.copy(files = eager.files, stats = eager.stats, history = histFix,
-          cpLazy = None)
+          dvs = eager.dvs, cpLazy = None)
       }
     // columnar path: the file-scale sections land as parquet FIRST (a
     // fresh UUID-named directory no reader can discover), then the stub's
@@ -2386,7 +2773,12 @@ object Lake {
           "DR", d, s"${enc(c.col)}\t${enc(c.min)}\t${enc(c.max)}", null))
       }
     var sumsComplete = false
-    var drCount = 0L
+    // the stub's torn-check count and VC census come from what was
+    // ACTUALLY written: exact driver counts on the direct (eager) path,
+    // one count-by-tag job over the written entries on the incremental
+    // path (a deferred dv map's LIVE pair count is not driver-knowable)
+    var entriesActual = 0L
+    var vPairs = 0L
     val pqDir: Option[Path] =
       if (goColumnar) {
         val dir = new Path(logDir(root), pqEntriesName(st.version))
@@ -2401,14 +2793,29 @@ object Lake {
                 spark.sparkContext.parallelize(drRows, 1), CpEntrySchema)
                 .write.mode("append").parquet(dir.toString)
             sumsComplete = complete
-            drCount = drRows.size.toLong
+            st.dvs match {
+              case _: DeferredDvs =>
+                val tagCounts: Map[String, Long] = spark.read
+                  .schema(StructType(CpEntrySchema.take(1)))
+                  .parquet(dir.toString)
+                  .groupBy("tag").count().collect()
+                  .map(r => r.getString(0) -> r.getLong(1)).toMap
+                entriesActual = tagCounts.valuesIterator.sum
+                vPairs = tagCounts.getOrElse("V", 0L)
+              case _ =>
+                // every non-F/H section is driver-resident: exact counts
+                // without a job
+                entriesActual = checkpointEntryCount(st) + drRows.size
+                vPairs = dvPairCountUpper(st.dvs)
+            }
           case None =>
             val (drMap, complete) = dirRollupsWithFlag(st.files, st.stats,
               st.schemaJson, dirRollupMaxDirs(spark))
             val drRows = toDrRows(drMap)
             sumsComplete = complete
-            drCount = drRows.size.toLong
             val rows = checkpointEntryRows(st) ++ drRows
+            entriesActual = rows.size.toLong
+            vPairs = dvPairCountUpper(st.dvs) // exact: direct path is eager
             // ~100k entries per task: wide enough to matter at 10^6
             // files, one task for the common case
             val slices = math.max(1, math.min(32, rows.size / 100000))
@@ -2421,7 +2828,8 @@ object Lake {
     def dropPq(): Unit = pqDir.foreach(d => fs.delete(d, true))
     val payload = pqDir match {
       case Some(d) =>
-        renderCheckpointStub(st, d.getName, entries + drCount, scOut, sumsComplete)
+        renderCheckpointStub(st, d.getName, entriesActual, scOut, sumsComplete,
+          vPairs)
       case None => renderCheckpoint(st)
     }
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
@@ -2508,6 +2916,19 @@ object Lake {
         (true, dh.histTail)
       case h => (false, h)
     }
+    // a DEFERRED dv map folds its V rows forward INSIDE the job exactly
+    // like the F/H rows: keep each old pair unless a tail delta detached
+    // its file or X-removed it, and render only the driver tail below.
+    // An EAGER map (below the dv-lazy threshold) re-renders driver-side
+    // as before — old V rows drop here.
+    val (keepOldDvs, dvDetArr, dvRemPairs, dvTail):
+        (Boolean, Array[String], Map[String, Set[String]], Map[String, Seq[String]]) =
+      st.dvs match {
+        case dd: DeferredDvs if dd.entriesDir == lz.entriesDir =>
+          (true, dd.detachedFiles.toArray.sorted, dd.removedPairs, dd.tailAdds)
+        case m => (false, Array.empty[String], Map.empty[String, Set[String]],
+          m: Map[String, Seq[String]])
+      }
     // tail restates onto checkpoint residents: small by construction
     // (a delta's statRestates section), rides to tasks as a plain map
     val restates: Map[String, Seq[(String, String, String)]] =
@@ -2516,6 +2937,18 @@ object Lake {
     val oldKept = spark.read.schema(CpEntrySchema).parquet(lz.entriesDir).rdd
       .flatMap { r =>
         if (r.getString(0) == "H") { if (keepOldHist) Some(r) else None }
+        else if (r.getString(0) == "V") {
+          if (!keepOldDvs) None
+          else {
+            val f = r.getString(1)
+            val s = r.getString(2)
+            val masked = (dvDetArr.nonEmpty && java.util.Arrays.binarySearch(
+              dvDetArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
+              dvRemPairs.get(f).exists(_(s)) ||
+              dvTail.get(f).exists(_.contains(s)) // tail re-add: render once
+            if (masked) None else Some(r)
+          }
+        }
         else if (r.getString(0) != "F") None // other sections rebuild driver-side
         else if (removedArr.nonEmpty && java.util.Arrays.binarySearch(
             removedArr.asInstanceOf[Array[AnyRef]], r.getString(1)) >= 0) None
@@ -2538,7 +2971,8 @@ object Lake {
     val tailRows = checkpointEntryRows(st.copy(
       files = EagerFiles(tailLive),
       history = histTail,
-      stats = st.stats.view.filterKeys(tailAdded).toMap))
+      stats = st.stats.view.filterKeys(tailAdded).toMap,
+      dvs = EagerDvs(dvTail))) // deferred: tail only (old V rows ride the job)
     val tailRdd = spark.sparkContext.parallelize(
       tailRows, math.max(1, math.min(32, tailRows.size / 100000)))
     spark.createDataFrame(oldKept.union(tailRdd), CpEntrySchema)
@@ -3270,12 +3704,17 @@ object Lake {
         abort(spark, sc)
         return
       }
-      val detached = base.dvs.view.filterKeys(ourRemoved).values.flatten.toSeq ++
-        sc.dvRemoves.map(_._2)
-      val keptDvs = applyDvRemoves(base.dvs -- ourRemoved, sc.dvRemoves)
-      val postDvs = dvAddSeq.foldLeft(keptDvs) { case (m, (f, s)) =>
-        m.updated(f, (m.getOrElse(f, Seq.empty) :+ s).distinct)
-      }
+      // commit-time-exact detach record: on a deferred base the removed
+      // files' checkpoint-resident attachments fetch in ONE scoped
+      // entries job ([[dvsFor]], skipped when nothing was removed or the
+      // map is provably empty); the delta carries them as `VD` lines so
+      // a path-lazy replay never has to recompute what the driver
+      // cannot see
+      val detachedFromRemoved: Seq[String] =
+        if (ourRemoved.isEmpty) Seq.empty
+        else dvsFor(spark, base.dvs, sc.removedFiles).values.flatten.toSeq
+      val detached = detachedFromRemoved ++ sc.dvRemoves.map(_._2)
+      val postDvs = foldLiveDvs(base.dvs, ourRemoved, sc.dvRemoves, dvAddSeq)
       val postFiles: LiveFiles =
         foldLiveFiles(base.files, sc.stagedFiles, ourRemoved)
       // PUBLISH is the commit-time filter for its restates, and commit-
@@ -3318,7 +3757,9 @@ object Lake {
         foldHistory(base.history, sc.removedFiles),
         historyComplete = base.historyComplete,
         dvs = postDvs,
-        dvHistory = base.dvHistory ++ detached,
+        dvHistory =
+          if (detached.isEmpty) base.dvHistory
+          else (base.dvHistory ++ detached).distinct,
         cdc = base.cdc ++ sc.cdcFiles.map(_._1),
         txns = sc.txn.fold(base.txns) { case (a, v) =>
           base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) },
@@ -3338,6 +3779,7 @@ object Lake {
           DeltaRecord(base.version + 1, sc.action, schemaJson,
             sc.stagedFiles.map(f => f -> sc.stagedStats.getOrElse(f, Seq.empty)),
             sc.removedFiles, sc.rewriteFiles, dvAdds = dvAddSeq,
+            dvDetached = detachedFromRemoved.distinct.sorted,
             cdcFiles = sc.cdcFiles, dvRemoves = sc.dvRemoves.sorted, txn = sc.txn,
             statRestates = liveRestates.sortBy(_._1), layout = sc.layout,
             postImages = sc.postImageFiles, bloomCols = sc.bloomCols),
