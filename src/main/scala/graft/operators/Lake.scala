@@ -378,6 +378,9 @@ object Lake {
       headOption.getOrElse(throw new NoSuchElementException("head of empty lake"))
 
     @transient private var cache: java.lang.ref.SoftReference[IndexedSeq[String]] = null
+    private[graft] def cachedOrNull: IndexedSeq[String] = synchronized {
+      if (cache == null) null else cache.get()
+    }
     private def forced: IndexedSeq[String] = synchronized {
       val hit = if (cache == null) null else cache.get()
       if (hit != null) hit
@@ -749,6 +752,20 @@ object Lake {
     case m => m.valuesIterator.flatten.toSet
   }
 
+  /** Conservative "this state may carry live attachments" — exact on
+    * eager maps, never forces a deferred one (ambiguity answers true).
+    * Callers use it for ROUTING decisions where a false positive only
+    * picks the MoR-capable plan for a clean lake — correct either
+    * way. */
+  private[graft] def dvMaybeNonEmpty(dvs: Map[String, Seq[String]]): Boolean =
+    dvs match {
+      case dd: DeferredDvs =>
+        val cached = dd.cachedOrNull
+        if (cached != null) cached.nonEmpty
+        else !dd.cheapIsEmpty.contains(true)
+      case m => m.nonEmpty
+    }
+
   /** Conservative "does any of `candidates` carry attachments" — exact
     * on eager maps, may answer true on a deferred map without a job
     * (callers use it where a false positive only withholds an
@@ -760,6 +777,23 @@ object Lake {
       if (cached != null) candidates.exists(cached.contains)
       else !dd.cheapIsEmpty.contains(true)
     case m => candidates.exists(m.contains)
+  }
+
+  /** EXACT count of files carrying live attachments — a distinct-count
+    * job on a deferred map (driver traffic: one long), direct on eager
+    * ones. Diagnostics (DESCRIBE DETAIL) use this where a display
+    * number must be exact but the map must stay off the driver. */
+  private[graft] def dvdFileCount(spark: SparkSession,
+      dvs: Map[String, Seq[String]]): Int = dvs match {
+    case dd: DeferredDvs =>
+      val cached = dd.cachedOrNull
+      if (cached != null) cached.size
+      else if (dd.cheapIsEmpty.contains(true)) 0
+      else {
+        dvScopedJobs.incrementAndGet()
+        dvPairsRdd(spark, dd).keys.distinct().count().toInt
+      }
+    case m => m.size
   }
 
   /** Cheap display hint for the dv'd-file count (the MoR scan
@@ -847,12 +881,20 @@ object Lake {
         * [[LakeState.txns]]. */
       txn: Option[(String, Long)] = None,
       /** Per-file stats RESTATED for already-live files (rendered as
-        * `AS` lines) — [[analyzeStats]]' backfill commit: the named
+        * `ASF` lines) — [[analyzeStats]]' backfill commit: the named
         * files' recorded min/max merge these columns in, no data or
         * file-list change. A restate for a file an interposed commit
         * removed is skipped at replay (the file is gone; its stats
         * died with it). */
       statRestates: Seq[(String, Seq[ColStat])] = Seq.empty,
+      /** TRUE when the producer filtered the restates against the
+        * commit-time live set (the `ASF` tag — every current build;
+        * [[publish]] validates via the entries' F rows). FALSE for
+        * legacy `AS` lines, whose producers wrote the raw list: a
+        * PATH-LAZY replay cannot trust its approximate liveness
+        * predicate on those and validates the non-tail targets itself
+        * ([[applyDelta]], one bounded membership job). */
+      restatesFiltered: Boolean = true,
       /** CHECK constraints this commit ADDS (name → SQL predicate, `K`
         * lines) — see [[LakeState.checks]]. */
       checkAdds: Seq[(String, String)] = Seq.empty,
@@ -1112,8 +1154,10 @@ object Lake {
     val dvx = rec.dvRemoves.sorted.map { case (f, s) => s"X\t${enc(f)}\t${enc(s)}" }
     val cdc = rec.cdcFiles.sorted.map { case (p, t) => s"C\t${enc(p)}\t${enc(t)}" }
     val txn = rec.txn.toSeq.map { case (a, v) => s"T\t${enc(a)}\t$v" }
+    // `ASF` = filtered-at-commit restates (see DeltaRecord.restatesFiltered);
+    // the legacy `AS` tag parses but is never written by current builds
     val restates = rec.statRestates.sortBy(_._1).map { case (p, st) =>
-      (Seq("AS", enc(p)) ++ statsFields(st)).mkString("\t") }
+      (Seq("ASF", enc(p)) ++ statsFields(st)).mkString("\t") }
     val kAdds = rec.checkAdds.sortBy(_._1).map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val kDrops = rec.checkDrops.sorted.map(n => s"KD\t${enc(n)}")
     val lay = rec.layout.toSeq.map(cols => (Seq("L") ++ cols.map(enc)).mkString("\t"))
@@ -1143,6 +1187,7 @@ object Lake {
     val kDrops = Seq.newBuilder[String]
     var layout: Option[Seq[String]] = None
     var bloomCols: Option[Seq[String]] = None
+    var legacyRestates = false
     lines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
@@ -1156,7 +1201,10 @@ object Lake {
           val p = dec(f(1))
           added += ((p, parseStats(f.drop(2))))
           postImages += p
-        case "AS" => restates += ((dec(f(1)), parseStats(f.drop(2))))
+        case "ASF" => restates += ((dec(f(1)), parseStats(f.drop(2))))
+        case "AS" => // legacy: producer did not filter against the live set
+          restates += ((dec(f(1)), parseStats(f.drop(2))))
+          legacyRestates = true
         case "R" => removed += dec(f(1))
         case "D" => dvAdds += ((dec(f(1)), dec(f(2))))
         case "VD" => dvDetached += dec(f(1))
@@ -1173,7 +1221,8 @@ object Lake {
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
       rewrites.result(), ts, dvAdds.result(), dvDetached = dvDetached.result(),
       cdcFiles = cdcFiles.result(), dvRemoves = dvRemoves.result(), txn = txn,
-      statRestates = restates.result(), checkAdds = kAdds.result(),
+      statRestates = restates.result(), restatesFiltered = !legacyRestates,
+      checkAdds = kAdds.result(),
       checkDrops = kDrops.result(), layout = layout,
       postImages = postImages.result(), bloomCols = bloomCols)
   }
@@ -1987,8 +2036,28 @@ object Lake {
     }
     val baseStats = (st.stats -- removed) ++ d.added.filter(_._2.nonEmpty).toMap
     // stat restates ([[analyzeStats]]) merge per column onto LIVE files;
-    // a restate whose file an interposed commit removed is skipped
-    val restated = d.statRestates.filter(r => postFileSet(r._1))
+    // a restate whose file an interposed commit removed is skipped.
+    // The approximate path-lazy predicate above is sound only for
+    // producer-FILTERED restates (`ASF`): a LEGACY delta's raw list may
+    // name files dead BELOW the checkpoint, which no driver tail can
+    // see — validate those against the entries' F rows (one bounded
+    // membership job, only on the rare legacy-restate × path-lazy
+    // replay).
+    val restateSrc: Seq[(String, Seq[ColStat])] =
+      if (d.restatesFiltered || d.statRestates.isEmpty) d.statRestates
+      else postFiles match {
+        case dfl: DeferredFiles =>
+          val tailSet = dfl.tailAdded.toSet
+          val suspects = d.statRestates.map(_._1).filter(f => !tailSet(f))
+          if (suspects.isEmpty) d.statRestates
+          else {
+            val residents = residentsAmong(SparkSession.active,
+              dfl.entriesDir, suspects)
+            d.statRestates.filter(r => tailSet(r._1) || residents(r._1))
+          }
+        case _ => d.statRestates
+      }
+    val restated = restateSrc.filter(r => postFileSet(r._1))
       .foldLeft(baseStats) { case (m, (f, st2)) =>
         m.updated(f, mergeStatCols(m.getOrElse(f, Seq.empty), st2))
       }
@@ -2516,7 +2585,14 @@ object Lake {
       // and match in physical names end to end.
       val prune: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Option[Set[String]]] =
         pruneState.filter(s => s.stats.nonEmpty || s.cpLazy.isDefined).map { st =>
-          val inRead = files.toSet
+          // whole-table reads (`files` IS the state's path-lazy list)
+          // skip the membership set: every survivor of the state's own
+          // prune is in the read by construction, and building the set
+          // would force the deferred list at plan time
+          val inRead: String => Boolean = files match {
+            case _: DeferredFiles => _ => true
+            case fl => fl.toSet
+          }
           filters => {
             val bounds = org.apache.spark.sql.graft.LakeStatPruning
               .boundsFrom(physical, filters)
@@ -2525,28 +2601,84 @@ object Lake {
               .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet)
           }
         }
-      val relevant = dvs.view.filterKeys(files.toSet).toMap
-      val unioned = readGrouped(spark, root, physical, files, prune,
-        withLineage = relevant.nonEmpty)
-      val applied =
-        if (relevant.isEmpty) unioned
-        else {
-          import spark.implicits._
-          val sidecars = relevant.values.flatten.toSeq.distinct.sorted
-          val dvDf = spark.read.schema(DvSchema)
-            .parquet(sidecars.map(sc => new Path(root, sc).toString): _*)
-          // driver-built (relative → as-the-scan-renders-it absolute)
-          // map for exactly the DV'd files: bounded by the attachment
-          // count; the inner join drops sidecar rows for files outside
-          // this read. The anti-join is left unhinted: a sparse
-          // delete's DV set is small and AQE broadcasts it.
-          val absMap = relevant.keysIterator
-            .map(f => (f, new Path(root, f).toString)).toSeq.toDF("file", "_gf_path")
-          val del = dvDf.join(absMap, "file")
-            .select(col("_gf_path"), col("pos").as("_gf_pos"))
-          unioned.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
-            .drop("_gf_path", "_gf_pos")
+      // scope the attachment map to this read. A whole-table read of a
+      // resolved state skips the set-build entirely: a state's live dv
+      // pairs name live files by invariant, and `files.toSet` on a
+      // path-lazy list would force its materialization just to prove it
+      def scopeToRead(m: Map[String, Seq[String]]): Map[String, Seq[String]] =
+        files match {
+          case _: DeferredFiles => m
+          case fl => val inRead = fl.toSet; m.view.filterKeys(inRead).toMap
         }
+      // DV application strategy, chosen WITHOUT forcing a deferred
+      // attachment map: eager (or already-soft-cached) maps keep the
+      // driver-built absMap below — bounded by the dv-lazy threshold.
+      // `None` = the map is deferred and uncached: relevance resolves
+      // INSIDE a job over the checkpoint entries instead (further down).
+      val eagerRelevant: Option[Map[String, Seq[String]]] = dvs match {
+        case dd: DeferredDvs =>
+          if (dd.cheapIsEmpty.contains(true)) Some(Map.empty)
+          else Option(dd.cachedOrNull).map(scopeToRead)
+        case m => Some(if (m.isEmpty) Map.empty else scopeToRead(m))
+      }
+      val applied = eagerRelevant match {
+        case Some(relevant) =>
+          val unioned = readGrouped(spark, root, physical, files, prune,
+            withLineage = relevant.nonEmpty)
+          if (relevant.isEmpty) unioned
+          else {
+            import spark.implicits._
+            val sidecars = relevant.values.flatten.toSeq.distinct.sorted
+            val dvDf = spark.read.schema(DvSchema)
+              .parquet(sidecars.map(sc => new Path(root, sc).toString): _*)
+            // driver-built (relative → as-the-scan-renders-it absolute)
+            // map for exactly the DV'd files: bounded by the attachment
+            // count; the inner join drops sidecar rows for files outside
+            // this read. The anti-join is left unhinted: a sparse
+            // delete's DV set is small and AQE broadcasts it.
+            val absMap = relevant.keysIterator
+              .map(f => (f, new Path(root, f).toString)).toSeq.toDF("file", "_gf_path")
+            val del = dvDf.join(absMap, "file")
+              .select(col("_gf_path"), col("pos").as("_gf_pos"))
+            unioned.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
+              .drop("_gf_path", "_gf_pos")
+          }
+        case None =>
+          // DEFERRED attachment map: driver traffic is O(distinct
+          // sidecars) — one bounded collect for the sidecar read paths —
+          // while the file-relevance set (which files' rows the sidecar
+          // positions apply to) is built inside a job over the entries'
+          // V rows and joined to the sidecar rows job-side. The
+          // filesForScan shape, extended to MoR planning: a fully
+          // sparse-deleted 10^8-file lake plans its read without the
+          // attachment map ever landing on the driver.
+          val dd = dvs.asInstanceOf[DeferredDvs]
+          val sidecars = distinctLiveSidecars(spark, dd).toSeq.sorted
+          if (sidecars.isEmpty)
+            readGrouped(spark, root, physical, files, prune, withLineage = false)
+          else {
+            import spark.implicits._
+            val unioned = readGrouped(spark, root, physical, files, prune,
+              withLineage = true)
+            val dvDf = spark.read.schema(DvSchema)
+              .parquet(sidecars.map(sc => new Path(root, sc).toString): _*)
+            val rootStr = root.toString
+            val livePairFiles = dvPairsRdd(spark, dd).keys.distinct()
+            val scoped = files match {
+              case _: DeferredFiles => livePairFiles // whole-table read
+              case fl =>
+                val b = spark.sparkContext.broadcast(fl.toSet)
+                livePairFiles.filter(f => b.value(f))
+            }
+            val relevantDf = scoped
+              .map(f => (f, new Path(rootStr, f).toString))
+              .toDF("file", "_gf_path")
+            val del = dvDf.join(relevantDf, "file")
+              .select(col("_gf_path"), col("pos").as("_gf_pos"))
+            unioned.join(del, Seq("_gf_path", "_gf_pos"), "left_anti")
+              .drop("_gf_path", "_gf_pos")
+          }
+      }
       if (hasMapping(schema)) toLogical(applied, schema) else applied
     }
   }
@@ -2611,7 +2743,9 @@ object Lake {
       prune = None, withLineage = true)
     val relMap = files.map(f => (new Path(root, f).toString, f)).toDF("_gf_path", "_gf_file")
     val withRel = base.join(broadcast(relMap), "_gf_path").drop("_gf_path")
-    val relevant = dvs.view.filterKeys(files.toSet).toMap
+    // callers pass bounded candidate lists (sparse DML's affected
+    // files), so the scoped accessor keeps a deferred map off the driver
+    val relevant = dvsFor(spark, dvs, files)
     val antiJoined =
       if (relevant.isEmpty) withRel
       else {
@@ -2654,8 +2788,19 @@ object Lake {
   def readVersion(spark: SparkSession, lakeDir: String, version: Long): DataFrame = {
     val (fs, root) = fsRoot(spark, lakeDir)
     val st = stateAt(spark, lakeDir, version)
-    val gone = (st.files ++ st.dvs.values.flatten)
-      .filterNot(f => fs.exists(new Path(root, f)))
+    // existence pre-check: exact on eager states. A PATH-LAZY state
+    // checks only its driver-resident tail and the distinct sidecars —
+    // per-resident fs.exists would be O(corpus) driver RPCs and force
+    // the deferred list; a genuinely missing resident (manual deletion —
+    // retention rewrites retire the whole version first) still fails
+    // loudly at scan time with the path named.
+    val checkables: Iterator[String] = st.files match {
+      case dfl: DeferredFiles =>
+        dfl.tailAdded.iterator ++ distinctLiveSidecars(spark, st.dvs).iterator
+      case pf => pf.iterator ++ distinctLiveSidecars(spark, st.dvs).iterator
+    }
+    val gone = checkables
+      .filterNot(f => fs.exists(new Path(root, f))).toSeq
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"lake version $version is no longer reconstructible — " +
@@ -3265,6 +3410,68 @@ object Lake {
         spark.sparkContext.parallelize(dfl.tailAdded, 1))
     case pf => spark.sparkContext.parallelize(pf.toSeq,
       math.max(1, math.min(8, pf.length / 100000)))
+  }
+
+  /** Compaction's candidate census WITHOUT materializing a path-lazy
+    * state: a dir can only need compacting if its RAW file count clears
+    * the cap or it holds a dv'd file, so qualified dirs are found inside
+    * a job over the live paths and only their SUBTREE files return to
+    * the driver — O(candidate files), never O(corpus). Returns (the
+    * qualified dirs' exact-dir file groups, their subtree files — the
+    * [[filesUnder]] equivalent — and dv'd-file membership among them).
+    * Eager states keep the pure-driver census: below the lazy thresholds
+    * a groupBy of a few MB of paths beats two jobs. */
+  private[graft] def compactionCensus(spark: SparkSession, st: LakeState,
+      maxFilesPerPartition: Int)
+      : (Map[String, Seq[String]], Seq[String], String => Boolean) = {
+    st.files match {
+      case dfl: DeferredFiles if dfl.cachedOrNull == null =>
+        dvScopedJobs.incrementAndGet()
+        val paths = statePathsRdd(spark, st.files)
+        val dvFilesRdd: org.apache.spark.rdd.RDD[String] = st.dvs match {
+          case dd: DeferredDvs if dd.cachedOrNull == null =>
+            if (dd.cheapIsEmpty.contains(true))
+              spark.sparkContext.emptyRDD[String]
+            else dvPairsRdd(spark, dd).keys.distinct()
+          case m => spark.sparkContext.parallelize(m.keys.toSeq,
+            math.max(1, math.min(8, m.size / 100000)))
+        }
+        val cap = maxFilesPerPartition.toLong
+        val overCap = paths.map(f => (dirOfFile(f), 1L)).reduceByKey(_ + _)
+          .flatMap { case (d, n) => if (d.nonEmpty && n > cap) Some(d) else None }
+        val dvDirs = dvFilesRdd.map(dirOfFile).filter(_.nonEmpty).distinct()
+        val qualified = overCap.union(dvDirs).distinct().collect().sorted
+        if (qualified.isEmpty) (Map.empty, Seq.empty, _ => false)
+        else {
+          val bq = spark.sparkContext.broadcast(qualified.toSet)
+          // subtree membership: any ANCESTOR dir qualified (the
+          // filesUnder prefix shape), walked per file in O(depth)
+          def underQualified(f: String): Boolean = {
+            var d = dirOfFile(f)
+            var hit = false
+            while (!hit && d.nonEmpty) { hit = bq.value(d); if (!hit) d = dirOfFile(d) }
+            hit
+          }
+          val subtree = paths.filter(underQualified).collect().toSeq.sorted
+          val dvd = dvFilesRdd.filter(underQualified).collect().toSet
+          val qSet = qualified.toSet
+          val byDir = subtree.groupBy(dirOfFile).filter { case (d, _) => qSet(d) }
+          (byDir, subtree, dvd)
+        }
+      case _ =>
+        // dv membership resolved once up front when the ATTACHMENT map
+        // is deferred under an eager path list (possible: pairs clear
+        // the dv threshold while files sit under the path one)
+        val dvd: String => Boolean = st.dvs match {
+          case dd: DeferredDvs if dd.cachedOrNull == null =>
+            dvsFor(spark, dd, st.files).keySet
+          case m => m.contains _
+        }
+        val byDir = st.files.groupBy(dirOfFile)
+          .filter { case (d, fs) => d.nonEmpty &&
+            (fs.size > maxFilesPerPartition || fs.exists(dvd)) }
+        (byDir, filesUnder(st.files, byDir.keys.toSeq), dvd)
+    }
   }
 
   /** The subset of `names` that are F-row residents of `entriesDir` —
@@ -5591,16 +5798,19 @@ object Lake {
         // deletes are undetectable by construction; emit as-is there.
         // update_preimage sidecars get the same rule: a raced sparse
         // update whose row was already tombstoned re-carries it.
-        val priorDvs =
+        // only the prior state's distinct SIDECAR list is needed here
+        // (the anti-join reads their rows job-side) — O(sparse commits)
+        // driver traffic even when the prior attachment map is deferred
+        val priorSidecars: Seq[String] =
           if (t == "delete" || t == "update_preimage")
-            prior.map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
-          else Map.empty[String, Seq[String]]
-        if (priorDvs.isEmpty)
+            prior.map(p => distinctLiveSidecars(spark, p.dvs).toSeq.sorted)
+              .getOrElse(Seq.empty)
+          else Seq.empty
+        if (priorSidecars.isEmpty)
           frames += tag(readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1)), t, v)
         else {
           val raw = readCdcSidecars(spark, root, to.schemaJson, ps.map(_._1),
             withLineage = true)
-          val priorSidecars = priorDvs.values.flatten.toSeq.distinct.sorted
           val prior = spark.read.schema(DvSchema)
             .parquet(priorSidecars.map(sc => new Path(root, sc).toString): _*)
             .select(col("file").as("_gf_file"), col("pos").as("_gf_pos"))
@@ -5613,7 +5823,7 @@ object Lake {
         mustExist(d.removed, "removed file(s)", v)
         val pre = prior.getOrElse(stateAt(spark, lakeDir, v - 1))
         frames += tag(readFiles(spark, lakeDir, to.schemaJson, d.removed,
-          pre.dvs.view.filterKeys(d.removed.toSet).toMap), "delete", v)
+          dvsFor(spark, pre.dvs, d.removed)), "delete", v)
       }
       // advance the fold: state v = state (v-1) + delta v. A range whose
       // start predates retention resolves the first retained version
@@ -5678,7 +5888,7 @@ object Lake {
               val st = loadCheckpoint(spark, fs, root, c)
               b ++= st.files
               b ++= st.history
-              bd ++= st.dvs.values.flatten
+              bd ++= distinctLiveSidecars(spark, st.dvs)
               bd ++= st.dvHistory
               bd ++= st.cdc
             }
@@ -5686,7 +5896,11 @@ object Lake {
           }
         val liveSidecar: Set[String] =
           if (latest.historyComplete)
-            (latest.dvs.values.flatten ++ latest.dvHistory ++ latest.cdc).toSet
+            // distinct sidecars are O(sparse commits) — driver-safe at
+            // any corpus size; only DERIVING them from a deferred map
+            // costs one scoped job (never a whole-map force)
+            distinctLiveSidecars(spark, latest.dvs) ++
+              latest.dvHistory ++ latest.cdc
           else legacyLive._2
         val cutoff = System.currentTimeMillis() - minAgeMs
         // the Delta VACUUM shape: above [[VacuumDistributeMinKey]] the
@@ -5797,7 +6011,23 @@ object Lake {
   def compactDeletionVectors(spark: SparkSession, lakeDir: String): Map[String, Int] = {
     import spark.implicits._
     val base = currentState(spark, lakeDir)
-    val stacked = base.dvs.filter(_._2.size >= 2)
+    // STACKED attachments (≥2 sidecars on one file) are this operation's
+    // working set — it builds the fold list and the X-detach lines from
+    // them, so collecting them is irreducible. A deferred map derives
+    // them in one scoped job over the live pairs instead of forcing the
+    // whole attachment map: driver traffic O(stacked), never O(dv'd).
+    val stacked: Map[String, Seq[String]] = base.dvs match {
+      case dd: DeferredDvs if dd.cachedOrNull == null =>
+        if (dd.cheapIsEmpty.contains(true)) Map.empty
+        else {
+          dvScopedJobs.incrementAndGet()
+          dvPairsRdd(spark, dd).groupByKey().flatMap { case (f, ss) =>
+            val v = ss.toSeq
+            if (v.size >= 2) Some(f -> v) else None
+          }.collect().toMap
+        }
+      case m => m.filter(_._2.size >= 2)
+    }
     if (stacked.isEmpty) return Map.empty
     val (_, root) = fsRoot(spark, lakeDir)
     val sidecars = stacked.values.flatten.toSeq.distinct.sorted
@@ -6070,7 +6300,8 @@ object Lake {
         target.files.filterNot(present)
       }
     val gone = goneData ++
-      target.dvs.values.flatten.filterNot(f => fs.exists(new Path(root, f)))
+      distinctLiveSidecars(spark, target.dvs).toSeq.sorted
+        .filterNot(f => fs.exists(new Path(root, f)))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"cannot restore to version $version — ${gone.size} of its file(s) were " +
@@ -6095,20 +6326,36 @@ object Lake {
         val targetPaths = statePathsRdd(spark, target.files).map((_, ()))
         val removed0 = basePaths.subtractByKey(targetPaths).keys.collect().toSeq.sorted
         val reAdded0 = targetPaths.subtractByKey(basePaths).keys.collect().toSeq.sorted
-        // DV-diff candidates need no further jobs: only files carrying
-        // DVs in either state can differ, the dv maps are driver-resident
-        // (bounded by sparse mutations), a dvs key is live in ITS state
-        // by invariant, and liveness in the OTHER state falls out of the
-        // just-collected diff (live in base ∧ not removed ⇒ live in
-        // target; live in target ∧ not re-added ⇒ live in base)
         val removedSet = removed0.toSet
         val reAddedSet = reAdded0.toSet
-        val dvDiff = (base.dvs.keySet ++ target.dvs.keySet).iterator.filter { f =>
-          val inBoth = (base.dvs.contains(f) && !removedSet(f)) ||
-            (target.dvs.contains(f) && !reAddedSet(f))
-          inBoth && base.dvs.getOrElse(f, Seq.empty).toSet !=
-            target.dvs.getOrElse(f, Seq.empty).toSet
-        }.toSeq.sorted
+        // DV-diff candidates: only files whose attachment SETS differ
+        // between the states. A dvs key is live in ITS state by
+        // invariant, and liveness in the OTHER state falls out of the
+        // just-collected path diff (live in base ∧ not removed ⇒ live in
+        // target; live in target ∧ not re-added ⇒ live in base) — so a
+        // differing file is live-in-both iff it sits in NEITHER diff
+        // side. Driver-resident maps answer directly; a DEFERRED map's
+        // pairs diff as subtract-jobs like the paths themselves,
+        // collecting only the differing files (O(diff), never O(dv'd)).
+        def dvUncached(m: Map[String, Seq[String]]): Boolean = m match {
+          case dd: DeferredDvs => dd.cachedOrNull == null
+          case _ => false
+        }
+        val dvDiff: Seq[String] =
+          if (dvUncached(base.dvs) || dvUncached(target.dvs)) {
+            dvScopedJobs.incrementAndGet()
+            val bp = dvPairsRdd(spark, base.dvs)
+            val tp = dvPairsRdd(spark, target.dvs)
+            bp.subtract(tp).keys.union(tp.subtract(bp).keys).distinct()
+              .collect().iterator
+              .filterNot(f => removedSet(f) || reAddedSet(f))
+              .toSeq.sorted
+          } else (base.dvs.keySet ++ target.dvs.keySet).iterator.filter { f =>
+            val inBoth = (base.dvs.contains(f) && !removedSet(f)) ||
+              (target.dvs.contains(f) && !reAddedSet(f))
+            inBoth && base.dvs.getOrElse(f, Seq.empty).toSet !=
+              target.dvs.getOrElse(f, Seq.empty).toSet
+          }.toSeq.sorted
         (removed0 ++ dvDiff, reAdded0 ++ dvDiff)
       }
     if (removed.isEmpty && reAdded.isEmpty) return readState(spark, lakeDir, base)
@@ -6121,7 +6368,7 @@ object Lake {
     // addCheckConstraint's validation of the existing corpus.
     if (base.checks.nonEmpty && reAdded.nonEmpty)
       enforceChecks(base, readFiles(spark, lakeDir, target.schemaJson,
-        reAdded, target.dvs.view.filterKeys(reAdded.toSet).toMap))
+        reAdded, dvsFor(spark, target.dvs, reAdded)))
     // stagedRows = expectedRows = 0 makes the publish audit DELIBERATELY
     // vacuous: the re-added files were audited when they first committed
     // and their existence is checked above — there is no staged write to
@@ -6130,7 +6377,7 @@ object Lake {
       removed, reAdded, 0L, 0L,
       stagedStats = statsForPaths(spark, target, reAdded),
       rewriteFiles = reAdded.toSet,
-      dvAdds = target.dvs.view.filterKeys(reAdded.contains).toMap,
+      dvAdds = dvsFor(spark, target.dvs, reAdded),
       // the restored state's WRITE layout is the target's (a restore
       // across an evolveLayout re-instates the old layout for new writes)
       layout =
@@ -6242,7 +6489,10 @@ object Lake {
     val histAbove: Set[String] =
       if (!restoreInRange) addsSet
       else { val f = oldestState.files.toSet; addsSet.filterNot(f) }
-    val oldestDvSet = oldestState.dvs.values.flatten.toSet
+    // distinct sidecars, never the per-file attachment map: O(sparse
+    // commits) driver traffic even when the oldest state's map is
+    // deferred (one scoped job derives it from the entries' V rows)
+    val oldestDvSet = distinctLiveSidecars(spark, oldestState.dvs)
     val liveDvSet = oldestDvSet ++ dvAdds.result()
     val liveCdcSet = liveCdc.result()
     // the retention cut IS the new history horizon: versions below

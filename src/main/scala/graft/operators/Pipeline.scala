@@ -851,10 +851,12 @@ object Pipeline {
     // file count (or DV presence) already does. The size/stat pricing
     // below then scopes to the candidate subtrees' files — a scoped
     // small-file pass over one hot partition keeps its driver traffic
-    // and its entries scan O(candidates), never O(corpus)
-    val byDir = base.files.groupBy(f => f.take(f.lastIndexOf('/').max(0)))
-      .filter { case (d, fs) => d.nonEmpty &&
-        (fs.size > maxFilesPerPartition || fs.exists(base.dvs.contains)) }
+    // and its entries scan O(candidates), never O(corpus). On a
+    // path-lazy state the dir census itself runs INSIDE a job
+    // ([[Lake.compactionCensus]]): the driver sees qualified dirs and
+    // their subtree files only, never the corpus path list.
+    val (byDir, candidateSubtree, dvdCandidate) =
+      Lake.compactionCensus(spark, base, maxFilesPerPartition)
     val rewritable: String => Boolean = onlyFilesSmallerThan match {
       case None => _ => true
       case Some(th) =>
@@ -866,7 +868,7 @@ object Pipeline {
           val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
           (hfs, hfs.makeQualified(root))
         }
-        val scoped = Lake.filesUnder(base.files, byDir.keys.toSeq)
+        val scoped = candidateSubtree
         val recorded = Lake.reservedPerFile(spark, base, scoped)
         val sizes = scoped.map { f =>
           f -> recorded.getOrElse(f, (None, None))._2.getOrElse {
@@ -874,12 +876,12 @@ object Pipeline {
             hfs.getFileStatus(new org.apache.hadoop.fs.Path(q, f)).getLen
           }
         }.toMap
-        f => base.dvs.contains(f) || sizes.getOrElse(f, Long.MaxValue) < th
+        f => dvdCandidate(f) || sizes.getOrElse(f, Long.MaxValue) < th
     }
     val affectedDirs = byDir
       .filter { case (_, fs) =>
         val rw = fs.filter(rewritable)
-        rw.size > maxFilesPerPartition || rw.exists(base.dvs.contains) }
+        rw.size > maxFilesPerPartition || rw.exists(dvdCandidate) }
       .keys.toSeq.sorted
     if (affectedDirs.nonEmpty) {
       // the rewrite layout passes the same shared gate as init/evolve —
@@ -888,7 +890,7 @@ object Pipeline {
       Lake.validateLayout(partitionCols, Lake.visible(
         org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]), "compactLake")
-      val removed = Lake.filesUnder(base.files, affectedDirs).filter(rewritable)
+      val removed = Lake.filesUnder(candidateSubtree, affectedDirs).filter(rewritable)
       // reading WITH the deletion vectors applied is what MATERIALIZES
       // them: the compacted replacement files carry only surviving rows,
       // and the commit's file removals drop the attachments from the state
@@ -907,10 +909,10 @@ object Pipeline {
       // from one job over the checkpoint entries, so census-free
       // compaction keeps its zero-extra-scan property under the mode
       val reservedRows: Map[String, Option[Long]] =
-        if (removed.exists(base.dvs.contains)) Map.empty
+        if (removed.exists(dvdCandidate)) Map.empty
         else Lake.reservedPerFile(spark, base, removed).view.mapValues(_._1).toMap
       val manifestExpected: Option[Long] =
-        if (removed.exists(base.dvs.contains)) None
+        if (removed.exists(dvdCandidate)) None
         else {
           val per = removed.map(f => reservedRows.getOrElse(f, None))
           if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
@@ -3331,6 +3333,72 @@ object Pipeline {
       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM v3rows
       |ORDER BY snap""".stripMargin
 
+  // ---------------------------------------------------------------- px136
+  /** DV-LAZY planning end-to-end: with the pair threshold lowered, the
+    * resolved state defers even the deletion-vector ATTACHMENT MAP to
+    * the checkpoint entries' `V` rows — the fixture REQUIRES the driver
+    * to pin only the post-checkpoint dv tail ([[Lake.pinnedDvCount]])
+    * and the full merge-on-read DSv2 read to run with ZERO whole-map
+    * forces ([[Lake.dvForceJobs]]): file relevance for the sidecar
+    * anti-join resolves INSIDE a job over the entries, the Delta
+    * DV-descriptors-in-the-checkpoint shape — then hash-matches the
+    * surviving corpus. A fully sparse-deleted 10^8-file lake plans its
+    * reads with O(tail) driver heap for attachments, like px134's
+    * paths. */
+  private def px136(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "px136_lake")
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.DvLazyMinPairsKey, "1")
+    try {
+      val docs = hashSplit(Tables(spark, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("split"))
+      Lake.init(spark, docs.repartition(8), out, Seq("split"),
+        statsCols = Seq("doc_id"))                                          // v1
+      deleteFromLakeSparse(spark, out,
+        docs.filter(col("doc_id") % 23 === 0).select("doc_id"), "doc_id")   // v2: DVs
+      Lake.checkpointNow(spark, out) // columnar: V rows + the VC census
+      deleteFromLakeSparse(spark, out,
+        docs.filter(col("doc_id") % 29 === 0).select("doc_id"), "doc_id")   // v3: the dv tail
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      require(st.dvs.isInstanceOf[Lake.DeferredDvs],
+        "px136 must defer the attachment map")
+      require(st.files.isInstanceOf[Lake.DeferredFiles],
+        "px136 must defer the path list")
+      val tailPairs = Lake.pinnedDvCount(st)
+      require(tailPairs >= 1,
+        "px136: the post-checkpoint sparse delete must pin a dv tail")
+      val dvForces0 = Lake.dvForceJobs.get()
+      val res = spark.read.format("graft-lake").load(out)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("split")
+      res.collect() // plan + execute NOW, so the force judgment is honest
+      require(Lake.dvForceJobs.get() == dvForces0,
+        "px136: the MoR read must never materialize the deferred attachment map")
+      require(Lake.pinnedDvCount(st) == tailPairs,
+        "px136: the read must not pin the attachment map on the state")
+      res
+    } finally {
+      spark.conf.unset(Lake.DvLazyMinPairsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  private val px136Oracle =
+    """SELECT CASE
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+      |    WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents WHERE doc_id % 23 <> 0 AND doc_id % 29 <> 0
+      |GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---------------------------------------------------------------- px116
   /** SQL row-level DELETE — the lake's best write-amplification
     * property (sparse deletion-vector commits) behind pure SQL:
@@ -3591,5 +3659,6 @@ object Pipeline {
     GraftQuery("px132_lake_twolevel_prune", px132, Some(px132Oracle)),
     GraftQuery("px133_lake_distributed_vacuum", px133, Some(px133Oracle)),
     GraftQuery("px134_lake_path_lazy", px134, Some(px134Oracle)),
-    GraftQuery("px135_lake_retention_lifecycle", px135, Some(px135Oracle)))
+    GraftQuery("px135_lake_retention_lifecycle", px135, Some(px135Oracle)),
+    GraftQuery("px136_lake_dv_lazy", px136, Some(px136Oracle)))
 }

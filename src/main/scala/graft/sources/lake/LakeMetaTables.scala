@@ -208,7 +208,10 @@ private[lake] object LakeMetaTables {
           s(st.bloomCols.mkString(",")),
           Lake.layoutGenerationsOf(st).size,
           st.files.size,
-          st.dvs.size,
+          // exact dv'd-file count via one scoped job on a deferred map —
+          // a DESCRIBE DETAIL card must not force a corpus-scale map
+          // onto the driver just to print a count
+          Lake.dvdFileCount(spark, st.dvs),
           st.history.size,
           st.checks.size,
           st.txns.size,

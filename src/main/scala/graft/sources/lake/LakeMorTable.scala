@@ -64,7 +64,8 @@ object LakeMorTable {
     * its single task streaming the cap-bounded sidecar rows. */
   def loadPositions(spark: SparkSession, root: Path,
       st: Lake.LakeState): Map[String, Array[Long]] = {
-    val sidecars = st.dvs.values.flatten.toSeq.distinct.sorted
+    val sidecars = Lake.distinctLiveSidecars(spark, st.dvs).toSeq.sorted
+    if (sidecars.isEmpty) return Map.empty
     val dv = spark.read.schema(Lake.DvSchema)
       .parquet(sidecars.map(s => new Path(root, s).toString): _*)
     val cap = spark.conf.getOption(MaxPositionsConf).flatMap(_.toLongOption)
@@ -149,7 +150,7 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
   // with post-scan predicates — compaction restores the vectorized path
   override def description(): String =
     s"graft-lake MoR $lakeDir@v${st.version} columns=${required.fieldNames.mkString(",")} " +
-      s"[row-mode, ${st.dvs.size} of ${st.files.size} file(s) tombstoned" +
+      s"[row-mode, ${Lake.dvCountHint(st.dvs)} of ${st.files.size} file(s) tombstoned" +
       (if (physByLogical.exists { case (l, p) => l != p }) ", column-mapped" else "") +
       ", no data-filter pushdown — consider compactLake to restore the " +
       "vectorized clean-path scan]"
@@ -194,9 +195,11 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
       // whole-table candidates (identity: no pruning happened) answer
       // the DV check from the attachment map alone — iterating a
       // path-lazy candidate list would force its materialization
+      // neither branch forces a deferred attachment map: ambiguity
+      // answers "maybe tombstoned", which only withholds the estimate
       val anyDv =
-        if (candidates eq st.files) st.dvs.nonEmpty
-        else candidates.exists(st.dvs.contains)
+        if (candidates eq st.files) Lake.dvMaybeNonEmpty(st.dvs)
+        else Lake.dvMaybeAny(st.dvs, candidates)
       if (anyDv) java.util.OptionalLong.empty()
       else totals._1.fold(java.util.OptionalLong.empty())(
         n => java.util.OptionalLong.of(n))
@@ -273,7 +276,11 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     // point-lookup file skip min/max cannot give a scattered key)
     val candidates = Lake.bloomPruneBounds(spark, lakeDir, st,
       Lake.pruneByStats(st, bounds), bounds, inLists)
-    val (tombstoned, clean) = candidates.partition(st.dvs.contains)
+    // the EXACT tombstoned set among the candidates — the scoped
+    // accessor answers it with one bounded entries job on a deferred
+    // map (O(candidates) traffic), never a whole-map force
+    val dvdAmongCandidates = Lake.dvsFor(spark, st.dvs, candidates).keySet
+    val (tombstoned, clean) = candidates.partition(dvdAmongCandidates)
     val cleanParts: Seq[InputPartition] = FilePartition.getFilePartitions(
       spark, clean.map(pf), spark.sessionState.conf.filesMaxPartitionBytes)
     // one UNSPLIT partition per tombstoned file: position counting needs
@@ -288,7 +295,7 @@ private[lake] class LakeMorScan(lakeDir: String, st: Lake.LakeState,
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val positions =
-      if (st.dvs.isEmpty) Map.empty[String, Array[Long]]
+      if (!Lake.dvMaybeNonEmpty(st.dvs)) Map.empty[String, Array[Long]]
       else LakeMorTable.loadPositions(spark, fs.makeQualified(root), st)
     val emitted = emittedSchema
     val reorder: Option[Array[Int]] =

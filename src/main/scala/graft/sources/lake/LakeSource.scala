@@ -159,7 +159,12 @@ class LakeSource extends TableProvider with DataSourceRegister
     // also routes here: the delegated ParquetTable needs one uniform
     // directory layout for partition discovery, while Lake.read's
     // generation-grouped union (which the injected rule plans) does not
-    if (st.dvs.nonEmpty || graft.operators.Lake.hasMapping(resolvedSchema) ||
+    // `dvMaybeNonEmpty` never forces a DEFERRED attachment map: an
+    // ambiguous answer routes to the MoR table, whose reads the injected
+    // rule re-plans onto the vectorized anti-join either way — a false
+    // positive costs nothing on a clean lake beyond taking that route
+    if (graft.operators.Lake.dvMaybeNonEmpty(st.dvs) ||
+        graft.operators.Lake.hasMapping(resolvedSchema) ||
         resolvedSchema.exists(f => f.metadata.contains("graft.dropped")) ||
         graft.operators.Lake.layoutGenerationsOf(st).size > 1)
       return new LakeMorTable(s"graft-lake $path@v${st.version} (row-mode)",

@@ -619,15 +619,19 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         val spuriousSkips: Map[String, Seq[Long]] =
           if (deleteDirs.isEmpty) Map.empty
           else {
-            // v-1 may predate retention — fall back to emit-as-is
-            val priorDvs = scala.util.Try(Lake.stateAt(spark, lakeDir, v - 1))
-              .toOption.map(_.dvs).getOrElse(Map.empty[String, Seq[String]])
-            if (priorDvs.isEmpty) Map.empty
+            // v-1 may predate retention — fall back to emit-as-is.
+            // Only the prior state's DISTINCT sidecar list is consulted
+            // (O(sparse commits)); a deferred attachment map never
+            // forces here
+            val priorSidecars = scala.util.Try(Lake.stateAt(spark, lakeDir, v - 1))
+              .toOption.map(p => Lake.distinctLiveSidecars(spark, p.dvs).toSeq.sorted)
+              .getOrElse(Seq.empty)
+            if (priorSidecars.isEmpty) Map.empty
             else {
               import org.apache.spark.sql.functions.col
               import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
               val prior = spark.read.schema(Lake.DvSchema)
-                .parquet(priorDvs.values.flatten.toSeq.distinct.sorted
+                .parquet(priorSidecars
                   .map(sc => new Path(qroot, sc).toString): _*)
                 .select(col("file").as("_gf_file"), col("pos").as("_gf_pos"))
               val lineageOnly = StructType(Seq(
@@ -672,8 +676,9 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
           // [[Lake.changeFeed]], the pre-restore attachments load once
           // driver-side and the per-file decode SKIPS those positions.
           val pre = Lake.stateAt(spark, lakeDir, v - 1)
-          val preAttach = d.removed.filter(pre.dvs.contains)
-            .map(f => f -> pre.dvs(f)).toMap
+          // scoped to the restore's removed files — one bounded entries
+          // job on a deferred map, never a whole-map force
+          val preAttach = Lake.dvsFor(spark, pre.dvs, d.removed)
           val removedSkips = loadSkips(spark, qroot, preAttach, v)
           d.removed.foreach(f =>
             out += PlannedFile(f, 0, "delete", v, genOf(f, 0),

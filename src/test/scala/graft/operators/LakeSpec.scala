@@ -3732,6 +3732,56 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("a LEGACY unfiltered restate (raw AS line) replayed onto a path-lazy base validates against the entries — no resurrection") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-legacy-restate")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                          // v2..v10 (cp)
+      Lake.invalidateStateCache()
+      val stale = Lake.latestManifest(spark, out).get
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                     // v11
+      Lake.checkpointNow(spark, out) // the removal buries BELOW this cp
+      Lake.invalidateStateCache()
+      val st11 = Lake.latestManifest(spark, out).get
+      val live11 = st11.files.toSet
+      val r = stale.files.find(f => !live11(f)).get // dead below the new cp
+      // hand-write the v12 delta a PRE-FILTER build would have committed:
+      // a raw `AS` restate naming the dead file (no `ASF` producer filter)
+      def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      val text = Seq(
+        s"graft-delta-v1\tanalyze\t${System.currentTimeMillis()}",
+        s"S\t${e(st11.schemaJson)}",
+        s"AS\t${e(r)}\t${e("text")}\t${e("a")}\t${e("b")}").mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out,
+        Lake.LogDirName, f"v${12L}%020d.manifest"), text.getBytes("UTF-8"))
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.files.isInstanceOf[Lake.DeferredFiles])
+      assert(!st.stats.contains(r),
+        "a legacy restate for a file dead below the checkpoint must drop at replay")
+      assert(Lake.read(spark, out).count() == 289L,
+        "the deleted row must stay deleted")
+      val kept = Lake.pruneByStats(st, "text",
+        org.apache.spark.sql.types.StringType, "a", "b")
+      assert(!kept.contains(r),
+        "the dead file must never come back as a prune survivor")
+      assert(Lake.reservedTotals(spark, st, st.files)._1.isDefined,
+        "whole-table pricing must not trip its torn check on the legacy restate")
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("rollup fold: dropping a poisoned subtree drops any surviving PREFIX key that would cover it") {
     import org.apache.spark.sql.types.LongType
     val dts = Map("doc_id" -> LongType)
@@ -4302,5 +4352,107 @@ class LakeSpec extends SparkTestBase {
     assert(all.count() == 41 && ids(all) == ((0L until 40L).toSet + 100L))
     assert(all.filter(col("doc_id") === 100L).select("split").head.getString(0) == "train",
       "the identity level still decodes from the path")
+  }
+
+  test("dv-lazy states: the driver pins O(tail) attachment entries; reads, time travel, restore, consolidation and checkpoints never force the map") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.DvLazyMinPairsKey, "1")
+    try {
+      val out = freshDir("lake-dvlazy")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split")).coalesce(1)
+      Lake.init(spark, batch(0 until 200, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))  // v1
+      Pipeline.deleteFromLakeSparse(spark, out,
+        ((0L until 200L by 13L) :+ 100001L).toDF("doc_id"), "doc_id")         // v2: 17 pairs
+      (1 to 8).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                        // v3..v10: columnar cp
+      Lake.invalidateStateCache()
+      val st0 = Lake.latestManifest(spark, out).get
+      assert(st0.dvs.isInstanceOf[Lake.DeferredDvs],
+        "above the dv-lazy threshold the attachment map must be deferred")
+      assert(Lake.pinnedDvCount(st0) == 0L,
+        "a just-checkpointed state pins zero attachment entries")
+      Pipeline.deleteFromLakeSparse(spark, out,
+        Seq(5L, 1001L, 100003L).toDF("doc_id"), "doc_id")                     // v11: the tail
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.dvs.isInstanceOf[Lake.DeferredDvs])
+      assert(Lake.pinnedDvCount(st) == 3L,
+        s"the state must pin only the tail pairs, got ${Lake.pinnedDvCount(st)}")
+      val total = 200L + 100L + 80L - 17L - 3L
+      // full reads (manifest path AND DSv2), a pruned MoR read, and time
+      // travel are exact with ZERO whole-map forces — file relevance
+      // resolves inside a job over the entries' V rows
+      val dvF0 = Lake.dvForceJobs.get()
+      assert(Lake.read(spark, out).count() == total)
+      assert(spark.read.format("graft-lake").load(out).count() == total)
+      assert(spark.read.format("graft-lake").load(out)
+        .filter(col("split") === "test").count() == 98L)
+      assert(Lake.readVersion(spark, out, 10L).count() == total + 3L)
+      assert(Lake.dvForceJobs.get() == dvF0,
+        "MoR reads must never materialize the deferred attachment map")
+      assert(Lake.pinnedDvCount(st) == 3L,
+        "a read must not pin the attachment map on the state")
+      // the scoped accessors agree with an EAGER resolution of the log
+      spark.conf.set(Lake.DvLazyMinPairsKey, "1000000000")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(!eagerSt.dvs.isInstanceOf[Lake.DeferredDvs])
+      assert(Lake.distinctLiveSidecars(spark, st.dvs) ==
+        Lake.distinctLiveSidecars(spark, eagerSt.dvs))
+      val dvdFiles = eagerSt.dvs.keys.toSeq.sorted
+      assert(Lake.dvsFor(spark, st.dvs, dvdFiles)
+        .view.mapValues(_.toSet).toMap ==
+        eagerSt.dvs.view.mapValues(_.toSet).toMap,
+        "scoped attachment fetch must equal the eager map")
+      assert(Lake.dvdFileCount(spark, st.dvs) == eagerSt.dvs.size)
+      spark.conf.set(Lake.DvLazyMinPairsKey, "1")
+      Lake.invalidateStateCache()
+      // RESTORE across the tail delete: the dv diff runs as subtract
+      // jobs (O(diff) driver traffic), the re-add re-attaches exactly
+      // the target's vectors, and the map never forces
+      val dvF1 = Lake.dvForceJobs.get()
+      Lake.restore(spark, out, 10L)                                           // v12
+      assert(Lake.dvForceJobs.get() == dvF1,
+        "restore's dv diff must run as jobs, never a whole-map force")
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == total + 3L)
+      // STACKED attachments fold lazily too: two tail deletes hit the
+      // same (coalesced) train file, consolidation derives the stack in
+      // a scoped job and the fold preserves the corpus
+      Pipeline.deleteFromLakeSparse(spark, out, Seq(7L).toDF("doc_id"), "doc_id")
+      Pipeline.deleteFromLakeSparse(spark, out, Seq(9L).toDF("doc_id"), "doc_id")
+      Lake.invalidateStateCache()
+      val folded = Lake.compactDeletionVectors(spark, out)
+      assert(folded.nonEmpty && folded.values.forall(_ == 3),
+        s"the stacked train file must fold its three sidecars (v2 + the " +
+          s"two tail deletes), got $folded")
+      assert(Lake.dvForceJobs.get() == dvF1,
+        "consolidation must never force the deferred map")
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == total + 1L)
+      // the INCREMENTAL checkpoint folds V rows forward inside the
+      // entries job; the next resolve defers again with an empty tail
+      val dvF2 = Lake.dvForceJobs.get()
+      Lake.checkpointNow(spark, out)
+      assert(Lake.dvForceJobs.get() == dvF2,
+        "the checkpoint fold must never materialize the attachment map")
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      assert(st2.dvs.isInstanceOf[Lake.DeferredDvs] &&
+        Lake.pinnedDvCount(st2) == 0L,
+        s"the folded checkpoint re-defers with an empty tail, " +
+          s"pinned ${Lake.pinnedDvCount(st2)}")
+      assert(Lake.read(spark, out).count() == total + 1L)
+      assert(Lake.dvForceJobs.get() == dvF2)
+    } finally {
+      spark.conf.unset(Lake.DvLazyMinPairsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
   }
 }

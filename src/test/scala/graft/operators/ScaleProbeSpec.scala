@@ -646,4 +646,93 @@ class ScaleProbeSpec extends SparkTestBase {
       spark.conf.unset(Lake.PathLazyMinFilesKey)
     }
   }
+
+  /** The DV retirement probe (VERDICT r17 directive #1): a lake whose
+    * EVERY file carries a deletion-vector attachment — the fully
+    * sparse-deleted shape that would pin O(corpus) driver entries under
+    * an eager map — resolves with the attachment map DEFERRED to the
+    * checkpoint's V rows. The probe pins the driver-resident dv entries
+    * to the post-checkpoint TAIL ([[Lake.pinnedDvCount]]) and the full
+    * merge-on-read read to ZERO whole-map forces ([[Lake.dvForceJobs]]):
+    * sidecar relevance resolves inside a job over the entries, the same
+    * filesForScan shape as the path list. */
+  test("dv-lazy at scale: a fully sparse-deleted 2000-file lake pins O(tail) dv entries; the MoR read never forces the map") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val out = java.nio.file.Files.createTempDirectory("lake-dv-scale").toString + "/lake"
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.DvLazyMinPairsKey, "1")
+    try {
+      val docs = spark.range(2000L * 500).select(
+        col("id").as("doc_id"),
+        concat(lit("document number "), col("id")).as("text"),
+        lit("train").as("split"))
+        .repartitionByRange(2000, col("doc_id")).sortWithinPartitions("doc_id")
+      Lake.init(spark, docs, out, Seq("split"))                          // v1: 2000 files
+      // one sparse delete hitting EVERY file: 2000 (file, sidecar) pairs
+      val t0 = System.nanoTime()
+      Pipeline.deleteFromLakeSparse(spark, out,
+        spark.range(2000).select((col("id") * 500L + 250L).as("doc_id")),
+        "doc_id")                                                        // v2
+      val delSec = (System.nanoTime() - t0) / 1e9
+      Lake.checkpointNow(spark, out) // columnar: 2000 V rows + VC census
+      // the post-checkpoint TAIL: 3 more rows in 3 files
+      Pipeline.deleteFromLakeSparse(spark, out,
+        spark.range(3).select((col("id") * 500L + 251L).as("doc_id")),
+        "doc_id")                                                        // v3
+      Lake.invalidateStateCache()
+      val t1 = System.nanoTime()
+      val st = Lake.latestManifest(spark, out).get
+      val resolveSec = (System.nanoTime() - t1) / 1e9
+      assert(st.dvs.isInstanceOf[Lake.DeferredDvs],
+        "the sparse-deleted state must defer its attachment map")
+      val pinned = Lake.pinnedDvCount(st)
+      info(f"sparseDelete=$delSec%.2fs resolve=$resolveSec%.2fs " +
+        f"pinnedDvEntries=$pinned%d of ~2003 pairs")
+      assert(pinned == 3L,
+        s"the state must pin only the 3-pair tail, got $pinned")
+      // the full MoR read: exact rows, ZERO whole-map forces, the
+      // sidecar list O(sparse commits)
+      val f0 = Lake.dvForceJobs.get()
+      val scoped0 = Lake.dvScopedJobs.get()
+      val t2 = System.nanoTime()
+      val n = Lake.read(spark, out).count()
+      val readSec = (System.nanoTime() - t2) / 1e9
+      info(f"morRead=$readSec%.2fs rows=$n%d " +
+        f"forces=${Lake.dvForceJobs.get() - f0}%d " +
+        f"scopedJobs=${Lake.dvScopedJobs.get() - scoped0}%d")
+      assert(n == 2000L * 500 - 2000 - 3)
+      assert(Lake.dvForceJobs.get() == f0,
+        "the MoR read must never materialize the deferred attachment map")
+      assert(Lake.pinnedDvCount(st) == 3L,
+        "the read must not pin the attachment map on the state")
+      assert(Lake.distinctLiveSidecars(spark, st.dvs).size == 2,
+        "two sparse commits = two distinct sidecars")
+      // scoped fetch stays one bounded job, O(asked) driver traffic
+      val askFiles = st.files.take(5)
+      val t3 = System.nanoTime()
+      val asked = Lake.dvsFor(spark, st.dvs, askFiles)
+      val fetchSec = (System.nanoTime() - t3) / 1e9
+      info(f"scopedFetch=$fetchSec%.2fs attachments=${asked.size}%d of 5 asked")
+      assert(asked.size == 5, "every file carries an attachment here")
+      // the INCREMENTAL checkpoint folds the V rows forward inside the
+      // entries job; the state resolved through it re-defers, pins zero
+      val f1 = Lake.dvForceJobs.get()
+      val t4 = System.nanoTime()
+      Lake.checkpointNow(spark, out)
+      val cpSec = (System.nanoTime() - t4) / 1e9
+      assert(Lake.dvForceJobs.get() == f1,
+        "the checkpoint fold must never materialize the attachment map")
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      info(f"incrementalCp=$cpSec%.2fs pinnedAfter=${Lake.pinnedDvCount(st2)}%d")
+      assert(st2.dvs.isInstanceOf[Lake.DeferredDvs] &&
+        Lake.pinnedDvCount(st2) == 0L,
+        "the folded checkpoint re-defers the map with an empty tail")
+      assert(Lake.read(spark, out).count() == 2000L * 500 - 2000 - 3)
+      assert(Lake.dvForceJobs.get() == f1)
+    } finally {
+      spark.conf.unset(Lake.DvLazyMinPairsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+    }
+  }
 }
