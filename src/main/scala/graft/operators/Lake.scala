@@ -304,6 +304,22 @@ object Lake {
         * needed). */
       sumsComplete: Boolean = false)
 
+  /** FNV-1a 64 over the string's chars — the per-entry term of the
+    * checkpoint stub's CONTENT checksums (`DC`/`HX`/`VC` xor fields).
+    * XOR-combined so the check is order-free: the writers fold it over
+    * whatever order their job partitions see, the readers over theirs. */
+  private[graft] def pathHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** One dv pair's checksum term — file and sidecar joined on a NUL so
+    * `(ab, c)` and `(a, bc)` never collide. */
+  private[graft] def dvPairHash64(f: String, s: String): Long =
+    pathHash64(f + "\u0000" + s)
+
   /** The live-file list of a resolved state, as a `Seq[String]` so every
     * existing consumer keeps working. [[EagerFiles]] wraps a
     * driver-materialized list. [[DeferredFiles]] — states resolved
@@ -353,7 +369,12 @@ object Lake {
       private[graft] val cpResidents: Long,
       private[graft] val tailAdded: Seq[String],
       private[graft] val tailRemoved: Set[String],
-      private[graft] val sample: Option[String]) extends LiveFiles {
+      private[graft] val sample: Option[String],
+      /** XOR of [[pathHash64]] over the entries' RAW F paths (the
+        * stub's `DC` checksum field) — makes the torn check
+        * content-sensitive: a same-count corruption of a path trips it.
+        * None on stubs written before the field existed. */
+      private[graft] val cpXor: Option[Long] = None) extends LiveFiles {
     def length: Int = (cpResidents - tailRemoved.size + tailAdded.size).toInt
     override def isEmpty: Boolean = length == 0
     override def knownSize: Int = length
@@ -394,18 +415,24 @@ object Lake {
       Lake.pathForceJobs.incrementAndGet()
       val spark = SparkSession.active
       val removedArr = tailRemoved.toArray.sorted
-      val residents = try spark.read
-        .schema(StructType(Lake.CpEntrySchema.take(2)))
-        .parquet(entriesDir).rdd.flatMap { r =>
-          if (r.getString(0) != "F") None
-          else {
-            val p = r.getString(1)
-            if (removedArr.nonEmpty && java.util.Arrays.binarySearch(
-                removedArr.asInstanceOf[Array[AnyRef]], p) >= 0) None
-            else Some(p)
-          }
-        }.collect()
-      catch {
+      val (residents, rawXor) = try {
+        val parts = spark.read
+          .schema(StructType(Lake.CpEntrySchema.take(2)))
+          .parquet(entriesDir).rdd.mapPartitions { it =>
+            var x = 0L
+            val b = scala.collection.mutable.ArrayBuffer.empty[String]
+            it.foreach { r =>
+              if (r.getString(0) == "F") {
+                val p = r.getString(1)
+                x ^= Lake.pathHash64(p)
+                if (!(removedArr.nonEmpty && java.util.Arrays.binarySearch(
+                    removedArr.asInstanceOf[Array[AnyRef]], p) >= 0)) b += p
+              }
+            }
+            Iterator.single((b.toArray, x))
+          }.collect()
+        (parts.flatMap(_._1), parts.iterator.map(_._2).foldLeft(0L)(_ ^ _))
+      } catch {
         // a concurrent retention cut ([[vacuumKeeping]]) may have
         // replaced the checkpoint and reclaimed this entries directory —
         // the same reader-vs-VACUUM race Delta documents. The state this
@@ -423,6 +450,14 @@ object Lake {
           s"deferred file list is torn: entries $entriesDir yields " +
             s"${residents.length} live residents, the stub promised " +
             s"${cpResidents - tailRemoved.size}")
+      // content check: the raw F-path xor must match the stub's DC
+      // checksum — a same-count path corruption fails here, not in a
+      // query result
+      cpXor.filter(_ != rawXor).foreach { x =>
+        throw new IllegalStateException(
+          s"deferred file list is torn: entries $entriesDir F-path checksum " +
+            f"$rawXor%016x != stub's $x%016x (same-count content corruption)")
+      }
       (residents ++ tailAdded).sorted.toIndexedSeq
     }
   }
@@ -439,7 +474,20 @@ object Lake {
   final class DeferredHistory private[graft] (
       private[graft] val entriesDir: String,
       private[graft] val cpHistory: Long,
-      private[graft] val histTail: Seq[String]) extends LiveFiles {
+      private[graft] val histTail: Seq[String],
+      /** XOR of [[pathHash64]] over the entries' rows of this tag —
+        * content-sensitive torn check; None on older stubs. */
+      private[graft] val cpXor: Option[Long] = None,
+      /** Which entries section this list defers: `H` (history), `VH`
+        * (detached dv sidecars) or `CF` (change-feed sidecars) — all
+        * three are O(feed-bearing commits since the last retention cut)
+        * and stay off the driver the same way. */
+      private[graft] val tag: String = "H",
+      /** VH tails can name a sidecar the checkpoint already holds (a
+        * re-detach after a restore re-attached it) — consumers treat
+        * the list as a referenced-SET, so such a list dedupes at
+        * materialization and `length` is an upper bound. */
+      private[graft] val dedupe: Boolean = false) extends LiveFiles {
     def length: Int = (cpHistory + histTail.size).toInt
     override def isEmpty: Boolean = length == 0
     override def knownSize: Int = length
@@ -458,16 +506,25 @@ object Lake {
     private def compute(): IndexedSeq[String] = {
       Lake.pathForceJobs.incrementAndGet()
       val spark = SparkSession.active
+      val t = tag
       val rows = spark.read
         .schema(StructType(Lake.CpEntrySchema.take(2)))
         .parquet(entriesDir).rdd.flatMap(r =>
-          if (r.getString(0) == "H") Some(r.getString(1)) else None)
+          if (r.getString(0) == t) Some(r.getString(1)) else None)
         .collect()
       if (rows.length.toLong != cpHistory)
         throw new IllegalStateException(
-          s"deferred history is torn: entries $entriesDir yields " +
-            s"${rows.length} H rows, the checkpoint promised $cpHistory")
-      (rows ++ histTail).toIndexedSeq
+          s"deferred $tag list is torn: entries $entriesDir yields " +
+            s"${rows.length} $tag rows, the checkpoint promised $cpHistory")
+      cpXor.foreach { x =>
+        val raw = rows.foldLeft(0L)((a, p) => a ^ Lake.pathHash64(p))
+        if (raw != x)
+          throw new IllegalStateException(
+            s"deferred $tag list is torn: entries $entriesDir $tag checksum " +
+              f"$raw%016x != stub's $x%016x (same-count content corruption)")
+      }
+      val all = rows ++ histTail
+      (if (dedupe) all.distinct else all).toIndexedSeq
     }
   }
 
@@ -477,8 +534,26 @@ object Lake {
     h match {
       case dh: DeferredHistory =>
         if (removed.isEmpty) dh
-        else new DeferredHistory(dh.entriesDir, dh.cpHistory, dh.histTail ++ removed)
+        else new DeferredHistory(dh.entriesDir, dh.cpHistory,
+          dh.histTail ++ removed, dh.cpXor, dh.tag, dh.dedupe)
       case pf => pf ++ removed
+    }
+
+  /** Fold one commit's additions into a sidecar list (`VH` detached dv
+    * sidecars / `CF` change-feed sidecars) without materializing a
+    * deferred one: the tail grows O(commit); a `dedupe` list (VH — a
+    * re-detach may name a checkpoint-resident sidecar again) dedupes
+    * its tail here and the full set at materialization. */
+  private def foldSidecarList(cur: Seq[String], add: Seq[String],
+      dedupe: Boolean): Seq[String] =
+    if (add.isEmpty) cur
+    else cur match {
+      case dh: DeferredHistory =>
+        val tail =
+          if (dedupe) (dh.histTail ++ add).distinct else dh.histTail ++ add
+        new DeferredHistory(dh.entriesDir, dh.cpHistory, tail,
+          dh.cpXor, dh.tag, dh.dedupe)
+      case c => if (dedupe) (c ++ add).distinct else c ++ add
     }
 
   /** The live deletion-vector attachment map of a resolved state, as a
@@ -541,7 +616,11 @@ object Lake {
       private[graft] val cpDvPairs: Long,
       private[graft] val tailAdds: Map[String, Seq[String]],
       private[graft] val detachedFiles: Set[String],
-      private[graft] val removedPairs: Map[String, Set[String]]) extends LiveDvs {
+      private[graft] val removedPairs: Map[String, Set[String]],
+      /** XOR of [[dvPairHash64]] over the entries' RAW V pairs (the
+        * stub's `VC` checksum field) — content-sensitive torn check;
+        * None on older stubs. */
+      private[graft] val cpXor: Option[Long] = None) extends LiveDvs {
     private[graft] def tailPairCount: Long =
       tailAdds.valuesIterator.map(_.size.toLong).sum
     private[graft] def removedPairCount: Long =
@@ -586,25 +665,34 @@ object Lake {
         .schema(StructType(Lake.CpEntrySchema.take(3)))
         .parquet(entriesDir).rdd.mapPartitions { it =>
           var raw = 0L
+          var x = 0L
           val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           it.foreach { r =>
             if (r.getString(0) == "V") {
               raw += 1
               val f = r.getString(1)
+              val s = r.getString(2)
+              x ^= Lake.dvPairHash64(f, s)
               val masked = (detArr.nonEmpty && java.util.Arrays.binarySearch(
                 detArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
-                remPairs.get(f).exists(_(r.getString(2)))
-              if (!masked) b += ((f, r.getString(2)))
+                remPairs.get(f).exists(_(s))
+              if (!masked) b += ((f, s))
             }
           }
-          Iterator.single((raw, b.toArray))
+          Iterator.single((raw, x, b.toArray))
         }.collect()
       val raw = parts.iterator.map(_._1).sum
       if (raw != cpDvPairs)
         throw new IllegalStateException(
           s"deferred dv map is torn: entries $entriesDir holds $raw V rows, " +
             s"the stub's VC census promised $cpDvPairs")
-      val cp = parts.iterator.flatMap(_._2).toArray.sorted
+      val rawXor = parts.iterator.map(_._2).foldLeft(0L)(_ ^ _)
+      cpXor.filter(_ != rawXor).foreach { x =>
+        throw new IllegalStateException(
+          s"deferred dv map is torn: entries $entriesDir V-pair checksum " +
+            f"$rawXor%016x != stub's $x%016x (same-count content corruption)")
+      }
+      val cp = parts.iterator.flatMap(_._3).toArray.sorted
       Lake.mergeDvPairs(cp, tailAdds)
     }
   }
@@ -1312,7 +1400,9 @@ object Lake {
     * like `v2`. */
   private def renderCheckpointStub(st: LakeState, dirName: String, entries: Long,
       statCols: Option[Set[String]], sumsComplete: Boolean,
-      vPairs: Long): String = {
+      vPairs: Long,
+      fXor: Option[Long] = None, hXor: Option[Long] = None,
+      vXor: Option[Long] = None): String = {
     val header = "graft-checkpoint-v3"
     val schema = s"S\t${enc(st.schemaJson)}"
     val pq = s"PQ\t${enc(dirName)}\t$entries"
@@ -1329,12 +1419,19 @@ object Lake {
       case dfl: DeferredFiles => dfl.cheapHead
       case pf => pf.headOption
     }
+    // optional 4th DC field / 2nd VC field / HX line: CONTENT checksums
+    // (xor of per-entry [[pathHash64]]/[[dvPairHash64]] terms) — they
+    // upgrade the count-only torn checks to content-sensitive ones.
+    // Older readers never see them (they predate this writer); newer
+    // readers treat their absence as "no content check" (older stubs).
+    def hx(x: Option[Long]): String = x.fold("")(v => f"\t$v%016x")
     val dc = s"DC\t${st.files.length}\t${if (sumsComplete) 1 else 0}\t" +
-      sample.map(enc).getOrElse("-")
+      sample.map(enc).getOrElse("-") + hx(fXor)
     // `VC`: the entries' V-row (dv attachment pair) census — what lets a
     // PATH-LAZY load defer the attachment map itself ([[DeferredDvs]]):
     // the count prices, gates the deferral threshold, and torn-checks
-    val vc = s"VC\t$vPairs"
+    val vc = s"VC\t$vPairs" + hx(vXor)
+    val hxLine = hXor.toSeq.map(v => f"HX\t$v%016x")
     val txns = st.txns.toSeq.sorted.map { case (a, v) => s"T\t${enc(a)}\t$v" }
     val checks = st.checks.toSeq.sorted.map { case (n, e) => s"K\t${enc(n)}\t${enc(e)}" }
     val lay = st.layout.toSeq.map(cols => (Seq("LY") ++ cols.map(enc)).mkString("\t"))
@@ -1346,7 +1443,7 @@ object Lake {
     // not listed here needs no entries job at all.
     val sc = statCols.toSeq.map(cols =>
       (Seq("SC") ++ cols.toSeq.sorted.map(enc)).mkString("\t"))
-    (header +: schema +: pq +: dc +: vc +: (txns ++ checks ++ lay ++ blm ++ sc))
+    (header +: schema +: pq +: dc +: vc +: (hxLine ++ txns ++ checks ++ lay ++ blm ++ sc))
       .mkString("\n")
   }
 
@@ -1719,14 +1816,23 @@ object Lake {
     var scCols: Option[Set[String]] = None
     var dc: Option[(Long, Boolean, Option[String])] = None
     var vc: Option[Long] = None
+    var fXorS: Option[Long] = None
+    var hXorS: Option[Long] = None
+    var vXorS: Option[Long] = None
+    def parseXor(v: String): Long = java.lang.Long.parseUnsignedLong(v, 16)
     text.split('\n').toSeq.filter(_.nonEmpty).tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
         case "S" => schemaJson = dec(f(1))
         case "PQ" => pq = Some((dec(f(1)), f(2).toLong))
-        case "DC" => dc = Some((f(1).toLong, f(2) == "1",
-          if (f(3) == "-") None else Some(dec(f(3)))))
-        case "VC" => vc = Some(f(1).toLong)
+        case "DC" =>
+          dc = Some((f(1).toLong, f(2) == "1",
+            if (f(3) == "-") None else Some(dec(f(3)))))
+          fXorS = f.lift(4).map(parseXor)
+        case "VC" =>
+          vc = Some(f(1).toLong)
+          vXorS = f.lift(2).map(parseXor)
+        case "HX" => hXorS = Some(parseXor(f(1)))
         case "T" => txns += (dec(f(1)) -> f(2).toLong)
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case "LY" => layout = Some(f.tail.map(dec))
@@ -1754,34 +1860,61 @@ object Lake {
     val readSchema =
       if (lazyMode) StructType(CpEntrySchema.take(3)) else CpEntrySchema
     val reader = spark.read.schema(readSchema).parquet(dir.toString)
+    // (F-xor, H-xor, V-xor) as seen by the census — checked against the
+    // stub's checksums at load, threaded into the deferred structures
+    // so every later materialization re-verifies content
+    var censusXors: Option[(Long, Long, Long)] = None
+    // (count, xor) of the VH and CF sections when they defer (path-lazy)
+    var vhCensus: Option[(Long, Long)] = None
+    var cfCensus: Option[(Long, Long)] = None
     val (fCount, hCount, vCount, rows): (Long, Long, Long, Array[org.apache.spark.sql.Row]) =
       if (!pathLazy) (0L, 0L, 0L, reader.collect())
       else {
-        // collect only the MANIFEST-SIZED rows (VH/CF/DR, plus V when
-        // the dv map is not deferred) and COUNT the corpus-scale ones —
-        // F (live paths), H (history) and, under dv-lazy, V (attachment
-        // pairs, which a sparse-deleted lake grows toward corpus size)
-        // — for the torn check; the driver never holds any of the three
+        // collect only the MANIFEST-SIZED rows (DR, plus V when the dv
+        // map is not deferred) and COUNT the feed/corpus-scale ones — F
+        // (live paths), H (history), VH/CF (sidecar lists, one entry per
+        // feed-bearing commit since the last cut) and, under dv-lazy, V
+        // (attachment pairs) — for the torn checks; the driver never
+        // holds any of them
         val dvL = dvLazy
         val parts = reader.rdd.mapPartitions { it =>
           var nF = 0L
           var nH = 0L
           var nV = 0L
+          var nVH = 0L
+          var nCF = 0L
+          var xF = 0L
+          var xH = 0L
+          var xV = 0L
+          var xVH = 0L
+          var xCF = 0L
           val b = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
           it.foreach { r =>
             r.getString(0) match {
-              case "F" => nF += 1
-              case "H" => nH += 1
-              case "V" if dvL => nV += 1
+              case "F" => nF += 1; xF ^= pathHash64(r.getString(1))
+              case "H" => nH += 1; xH ^= pathHash64(r.getString(1))
+              case "VH" => nVH += 1; xVH ^= pathHash64(r.getString(1))
+              case "CF" => nCF += 1; xCF ^= pathHash64(r.getString(1))
+              case "V" if dvL =>
+                nV += 1; xV ^= dvPairHash64(r.getString(1), r.getString(2))
               case _ => b += r
             }
           }
-          Iterator.single((nF, nH, nV, b.toArray))
+          Iterator.single((nF, nH, nV, b.toArray, (xF, xH, xV), (nVH, xVH, nCF, xCF)))
         }.collect()
+        censusXors = Some((
+          parts.iterator.map(_._5._1).foldLeft(0L)(_ ^ _),
+          parts.iterator.map(_._5._2).foldLeft(0L)(_ ^ _),
+          parts.iterator.map(_._5._3).foldLeft(0L)(_ ^ _)))
+        vhCensus = Some((parts.iterator.map(_._6._1).sum,
+          parts.iterator.map(_._6._2).foldLeft(0L)(_ ^ _)))
+        cfCensus = Some((parts.iterator.map(_._6._3).sum,
+          parts.iterator.map(_._6._4).foldLeft(0L)(_ ^ _)))
         (parts.iterator.map(_._1).sum, parts.iterator.map(_._2).sum,
           parts.iterator.map(_._3).sum, parts.iterator.flatMap(_._4).toArray)
       }
-    val totalRows = fCount + hCount + vCount + rows.length
+    val totalRows = fCount + hCount + vCount + rows.length +
+      vhCensus.fold(0L)(_._1) + cfCensus.fold(0L)(_._1)
     if (totalRows != expected)
       throw new IllegalStateException(
         s"columnar checkpoint v$version is torn: entries directory $dirName " +
@@ -1794,6 +1927,18 @@ object Lake {
       throw new IllegalStateException(
         s"columnar checkpoint v$version is torn: entries directory $dirName " +
           s"holds $vCount V rows, the VC census promises ${vc.get}")
+    // CONTENT torn checks (same-count corruption): each deferred
+    // section's census xor must match the stub's checksum when carried
+    censusXors.foreach { case (xF, xH, xV) =>
+      def trip(kind: String, got: Long, want: Long): Unit =
+        throw new IllegalStateException(
+          s"columnar checkpoint v$version is torn: entries directory $dirName " +
+            f"$kind checksum $got%016x != stub's $want%016x " +
+            "(same-count content corruption)")
+      fXorS.filter(_ != xF).foreach(trip("F-path", xF, _))
+      hXorS.filter(_ != xH).foreach(trip("H-path", xH, _))
+      if (dvLazy) vXorS.filter(_ != xV).foreach(trip("V-pair", xV, _))
+    }
     val files = Seq.newBuilder[String]
     val hist = Seq.newBuilder[String]
     val stats = Map.newBuilder[String, Seq[ColStat]]
@@ -1830,20 +1975,38 @@ object Lake {
     val liveFiles: LiveFiles =
       if (pathLazy)
         new DeferredFiles(dir.toString, fCount, Seq.empty, Set.empty,
-          dc.flatMap(_._3))
+          dc.flatMap(_._3), fXorS.orElse(censusXors.map(_._1)))
       else EagerFiles(files.result().sorted)
     val history: Seq[String] =
-      if (pathLazy) new DeferredHistory(dir.toString, hCount, Seq.empty)
+      if (pathLazy) new DeferredHistory(dir.toString, hCount, Seq.empty,
+        hXorS.orElse(censusXors.map(_._2)))
       else hist.result().sorted
     val liveDvs: LiveDvs =
-      if (dvLazy) new DeferredDvs(dir.toString, vCount, Map.empty, Set.empty, Map.empty)
+      if (dvLazy) new DeferredDvs(dir.toString, vCount, Map.empty, Set.empty,
+        Map.empty, vXorS.orElse(censusXors.map(_._3)))
       else dvPairs.result().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // the VH/CF sidecar lists defer WITH the path list: they are
+    // O(feed-bearing commits since the last retention cut) — on a
+    // high-churn lake that approaches corpus order — and their only
+    // whole-list consumers (vacuum liveness, the checkpoint fold) run
+    // as jobs anyway
+    val dvHistoryOut: Seq[String] = vhCensus match {
+      case Some((n, x)) if pathLazy =>
+        new DeferredHistory(dir.toString, n, Seq.empty, Some(x),
+          tag = "VH", dedupe = true)
+      case _ => dvHist.result().sorted
+    }
+    val cdcOut: Seq[String] = cfCensus match {
+      case Some((n, x)) if pathLazy =>
+        new DeferredHistory(dir.toString, n, Seq.empty, Some(x), tag = "CF")
+      case _ => cdc.result().sorted
+    }
     LakeState(version, schemaJson, liveFiles, stats.result(),
       history,
       historyComplete = true,
       dvs = liveDvs,
-      dvHistory = dvHist.result().sorted,
-      cdc = cdc.result().sorted,
+      dvHistory = dvHistoryOut,
+      cdc = cdcOut,
       txns = txns.result(),
       checks = checks.result(),
       layout = layout,
@@ -1987,7 +2150,7 @@ object Lake {
       new DeferredFiles(dfl.entriesDir, dfl.cpResidents,
         ((tailSet -- removed) ++ added).toSeq.sorted,
         dfl.tailRemoved ++ (removed -- tailSet),
-        dfl.sample.filterNot(removed))
+        dfl.sample.filterNot(removed), dfl.cpXor)
     case pf => EagerFiles((pf.filterNot(removed) ++ added).sorted)
   }
 
@@ -2075,10 +2238,8 @@ object Lake {
       // dedup keeps it O(distinct sidecars) = O(sparse commits) — a
       // compaction removing 10^6 dv'd files that share a handful of
       // sidecars must not append 10^6 duplicate entries
-      dvHistory =
-        if (detached.isEmpty) st.dvHistory
-        else (st.dvHistory ++ detached).distinct,
-      cdc = st.cdc ++ d.cdcFiles.map(_._1),
+      dvHistory = foldSidecarList(st.dvHistory, detached, dedupe = true),
+      cdc = foldSidecarList(st.cdc, d.cdcFiles.map(_._1), dedupe = false),
       // the watermark folds MONOTONICALLY: an out-of-order replayed tag
       // (possible only through manual log surgery) can never move it back
       txns = d.txn.fold(st.txns) { case (a, v) =>
@@ -2126,7 +2287,7 @@ object Lake {
         dd.detachedFiles ++ removed,
         dvRemoves.foldLeft(dd.removedPairs) { case (m, (f, s)) =>
           m.updated(f, m.getOrElse(f, Set.empty) + s)
-        })
+        }, dd.cpXor)
     case m =>
       val kept = applyDvRemoves((m: Map[String, Seq[String]]) -- removed, dvRemoves)
       dvAdds.foldLeft(kept) { case (mm, (f, s)) =>
@@ -2886,12 +3047,22 @@ object Lake {
           case _: DeferredHistory => eager.history
           case h => h
         }
+        // deferred VH/CF lists graft the same way (content-equal from
+        // the same log; an eager one means the caller rewrote it)
+        val vhFix = st0.dvHistory match {
+          case _: DeferredHistory => eager.dvHistory
+          case h => h
+        }
+        val cdcFix = st0.cdc match {
+          case _: DeferredHistory => eager.cdc
+          case c => c
+        }
         // the FILE list grafts unconditionally (no caller rewrites it):
         // the eager replay already materialized the identical list, so
         // the text render below never forces a deferred one — and the DV
         // map grafts the same way (content-equal; no caller rewrites it)
         st0.copy(files = eager.files, stats = eager.stats, history = histFix,
-          dvs = eager.dvs, cpLazy = None)
+          dvs = eager.dvs, dvHistory = vhFix, cdc = cdcFix, cpLazy = None)
       }
     // columnar path: the file-scale sections land as parquet FIRST (a
     // fresh UUID-named directory no reader can discover), then the stub's
@@ -2924,6 +3095,12 @@ object Lake {
     // path (a deferred dv map's LIVE pair count is not driver-knowable)
     var entriesActual = 0L
     var vPairs = 0L
+    // (F, H, V) content checksums of what was written — same provenance
+    // rule as the counts: driver-side on the direct path, the post-write
+    // census job on the incremental one
+    var secXors: Option[(Long, Long, Long)] = None
+    def xorOver(it: Iterator[String]): Long =
+      it.foldLeft(0L)((a, p) => a ^ pathHash64(p))
     val pqDir: Option[Path] =
       if (goColumnar) {
         val dir = new Path(logDir(root), pqEntriesName(st.version))
@@ -2938,21 +3115,36 @@ object Lake {
                 spark.sparkContext.parallelize(drRows, 1), CpEntrySchema)
                 .write.mode("append").parquet(dir.toString)
             sumsComplete = complete
-            st.dvs match {
-              case _: DeferredDvs =>
-                val tagCounts: Map[String, Long] = spark.read
-                  .schema(StructType(CpEntrySchema.take(1)))
-                  .parquet(dir.toString)
-                  .groupBy("tag").count().collect()
-                  .map(r => r.getString(0) -> r.getLong(1)).toMap
-                entriesActual = tagCounts.valuesIterator.sum
-                vPairs = tagCounts.getOrElse("V", 0L)
-              case _ =>
-                // every non-F/H section is driver-resident: exact counts
-                // without a job
-                entriesActual = checkpointEntryCount(st) + drRows.size
-                vPairs = dvPairCountUpper(st.dvs)
-            }
+            // ONE post-write census job over the new entries: exact
+            // total and V counts (a deferred map's live pair count is
+            // not driver-knowable) plus the content checksums the stub
+            // records for the next load's torn checks
+            val census = spark.read
+              .schema(StructType(CpEntrySchema.take(3)))
+              .parquet(dir.toString).rdd.mapPartitions { it =>
+                var n = 0L
+                var nV = 0L
+                var xF = 0L
+                var xH = 0L
+                var xV = 0L
+                it.foreach { r =>
+                  n += 1
+                  r.getString(0) match {
+                    case "F" => xF ^= pathHash64(r.getString(1))
+                    case "H" => xH ^= pathHash64(r.getString(1))
+                    case "V" =>
+                      nV += 1; xV ^= dvPairHash64(r.getString(1), r.getString(2))
+                    case _ => ()
+                  }
+                }
+                Iterator.single((n, nV, xF, xH, xV))
+              }.collect()
+            entriesActual = census.iterator.map(_._1).sum
+            vPairs = census.iterator.map(_._2).sum
+            secXors = Some((
+              census.iterator.map(_._3).foldLeft(0L)(_ ^ _),
+              census.iterator.map(_._4).foldLeft(0L)(_ ^ _),
+              census.iterator.map(_._5).foldLeft(0L)(_ ^ _)))
           case None =>
             val (drMap, complete) = dirRollupsWithFlag(st.files, st.stats,
               st.schemaJson, dirRollupMaxDirs(spark))
@@ -2961,6 +3153,10 @@ object Lake {
             val rows = checkpointEntryRows(st) ++ drRows
             entriesActual = rows.size.toLong
             vPairs = dvPairCountUpper(st.dvs) // exact: direct path is eager
+            secXors = Some((xorOver(st.files.iterator),
+              xorOver(st.history.iterator),
+              st.dvs.iterator.foldLeft(0L) { case (a, (f, ss)) =>
+                ss.foldLeft(a)((a2, sc2) => a2 ^ dvPairHash64(f, sc2)) }))
             // ~100k entries per task: wide enough to matter at 10^6
             // files, one task for the common case
             val slices = math.max(1, math.min(32, rows.size / 100000))
@@ -2974,7 +3170,8 @@ object Lake {
     val payload = pqDir match {
       case Some(d) =>
         renderCheckpointStub(st, d.getName, entriesActual, scOut, sumsComplete,
-          vPairs)
+          vPairs, fXor = secXors.map(_._1), hXor = secXors.map(_._2),
+          vXor = secXors.map(_._3))
       case None => renderCheckpoint(st)
     }
     val tmp = new Path(logDir(root), s".tmp-${java.util.UUID.randomUUID()}")
@@ -3016,10 +3213,12 @@ object Lake {
       }
       if (hadOld) fs.delete(aside, false)
       // the replaced checkpoint's entries directory (and any crashed
-      // earlier attempt's) is now unreferenced — reclaim it here, where
-      // the writer KNOWS its own new directory and the race window is
-      // closed (vacuumKeeping is the only overwrite caller)
-      dropStaleEntryDirs(fs, root, st.version, keep = pqDir)
+      // earlier attempt's) is now unreferenced — but a LIVE reader may
+      // still hold a deferred list over it, so it is RETIRED (marker,
+      // not delete) and the next maintenance pass reclaims it once the
+      // reader grace window elapses ([[sweepStaleEntryDirs]];
+      // vacuumKeeping is the only overwrite caller)
+      retireStaleEntryDirs(fs, root, st.version, keep = pqDir)
     }
   }
 
@@ -3061,6 +3260,22 @@ object Lake {
         (true, dh.histTail)
       case h => (false, h)
     }
+    // the VH/CF sidecar lists fold forward the same way: deferred lists
+    // keep their old rows inside the job (VH masked by the tail — a
+    // re-detach renders once) and render only the driver tail; an EAGER
+    // list on a lazy state means the CALLER rewrote it (the retention
+    // cut) and is authoritative — old rows drop.
+    val (keepOldVh, vhTail): (Boolean, Seq[String]) = st.dvHistory match {
+      case dh: DeferredHistory if dh.entriesDir == lz.entriesDir =>
+        (true, dh.histTail)
+      case h => (false, h)
+    }
+    val (keepOldCf, cfTail): (Boolean, Seq[String]) = st.cdc match {
+      case dh: DeferredHistory if dh.entriesDir == lz.entriesDir =>
+        (true, dh.histTail)
+      case c => (false, c)
+    }
+    val vhTailSet = vhTail.toSet
     // a DEFERRED dv map folds its V rows forward INSIDE the job exactly
     // like the F/H rows: keep each old pair unless a tail delta detached
     // its file or X-removed it, and render only the driver tail below.
@@ -3082,6 +3297,10 @@ object Lake {
     val oldKept = spark.read.schema(CpEntrySchema).parquet(lz.entriesDir).rdd
       .flatMap { r =>
         if (r.getString(0) == "H") { if (keepOldHist) Some(r) else None }
+        else if (r.getString(0) == "VH") {
+          if (keepOldVh && !vhTailSet(r.getString(1))) Some(r) else None
+        }
+        else if (r.getString(0) == "CF") { if (keepOldCf) Some(r) else None }
         else if (r.getString(0) == "V") {
           if (!keepOldDvs) None
           else {
@@ -3117,7 +3336,9 @@ object Lake {
       files = EagerFiles(tailLive),
       history = histTail,
       stats = st.stats.view.filterKeys(tailAdded).toMap,
-      dvs = EagerDvs(dvTail))) // deferred: tail only (old V rows ride the job)
+      dvs = EagerDvs(dvTail), // deferred: tail only (old V rows ride the job)
+      dvHistory = vhTail,     // same: old VH/CF rows ride the job
+      cdc = cfTail))
     val tailRdd = spark.sparkContext.parallelize(
       tailRows, math.max(1, math.min(32, tailRows.size / 100000)))
     spark.createDataFrame(oldKept.union(tailRdd), CpEntrySchema)
@@ -3132,9 +3353,12 @@ object Lake {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Delete every parquet entries directory of `version` except `keep` —
-    * leftovers of a replaced columnar checkpoint or a crashed write (the
-    * stub rename is the commit point, so an unreferenced directory is
-    * provably dead). Best-effort. */
+    * leftovers of CRASHED writes at this version (the stub rename is the
+    * commit point, so an unreferenced directory no reader could have
+    * learned of is provably dead). Best-effort. The RETENTION overwrite
+    * does NOT take this path — it retires with a grace marker
+    * ([[retireStaleEntryDirs]]) because a live reader may hold a
+    * deferred list over the replaced directory. */
   private def dropStaleEntryDirs(fs: FileSystem, root: Path, version: Long,
       keep: Option[Path]): Unit = {
     val log = logDir(root)
@@ -3143,6 +3367,82 @@ object Lake {
       .filter(p => pqEntriesVersion(p.getName).contains(version))
       .filterNot(p => keep.exists(_.getName == p.getName))
       .foreach(p => fs.delete(p, true))
+  }
+
+  /** Reader grace for REPLACED checkpoint entries directories: a
+    * retention cut that overwrites a checkpoint leaves the old entries
+    * dir on disk for this window — marked, not deleted — so a live
+    * reader's deferred path/dv list still materializes (Delta retains
+    * replaced checkpoints briefly for exactly this reader-vs-VACUUM
+    * race); the NEXT maintenance pass reclaims expired ones
+    * ([[sweepStaleEntryDirs]]). 0 = reclaim on the very next pass. */
+  val ReplacedEntriesGraceMsDefault: Long = 15L * 60 * 1000
+
+  private[graft] val ReplacedEntriesGraceMsKey =
+    "spark.graft.lake.checkpoint.replacedEntriesGraceMs"
+
+  private[graft] def replacedEntriesGraceMs(spark: SparkSession): Long =
+    spark.conf.getOption(ReplacedEntriesGraceMsKey)
+      .map(_.toLong).getOrElse(ReplacedEntriesGraceMsDefault)
+
+  private def retiredMarker(log: Path, dirName: String): Path =
+    new Path(log, dirName + ".retired")
+
+  /** Mark every non-`keep` entries directory of `version` RETIRED
+    * instead of deleting it: the zero-byte marker's mtime records the
+    * REPLACEMENT time (the dir's own mtime records its creation, which
+    * may be arbitrarily old), and [[sweepStaleEntryDirs]] reclaims the
+    * pair once the reader grace window has elapsed from that point. */
+  private def retireStaleEntryDirs(fs: FileSystem, root: Path, version: Long,
+      keep: Option[Path]): Unit = {
+    val log = logDir(root)
+    if (!fs.exists(log)) return
+    fs.listStatus(log).toSeq.map(_.getPath)
+      .filter(p => pqEntriesVersion(p.getName).contains(version))
+      .filterNot(p => keep.exists(_.getName == p.getName))
+      .foreach { p =>
+        val m = retiredMarker(log, p.getName)
+        if (!fs.exists(m)) fs.create(m, false).close()
+      }
+  }
+
+  /** The maintenance-pass half of the reader grace: delete every
+    * RETIRED entries directory whose marker is older than `graceMs`
+    * (the marker mtime IS the replacement time), plus any UNREFERENCED
+    * unmarked directory older than the window by its own mtime (a
+    * crashed write's leftover — a mid-write concurrent checkpointer's
+    * dir is younger than any sane grace). Referenced = named by the
+    * version's live checkpoint stub (one O(KB) header read per
+    * version that still has stale dirs). */
+  private def sweepStaleEntryDirs(spark: SparkSession, fs: FileSystem,
+      root: Path, graceMs: Long): Seq[String] = {
+    val log = logDir(root)
+    if (!fs.exists(log)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    val all = fs.listStatus(log).toSeq
+    val markerMtime: Map[String, Long] = all.iterator
+      .filter(_.getPath.getName.endsWith(".retired"))
+      .map(st => st.getPath.getName.stripSuffix(".retired") ->
+        st.getModificationTime).toMap
+    val candidates = all.filter { st =>
+      val n = st.getPath.getName
+      pqEntriesVersion(n).isDefined &&
+        markerMtime.get(n).getOrElse(st.getModificationTime) < cutoff
+    }
+    if (candidates.isEmpty) return Seq.empty
+    val referenced: Set[String] = candidates
+      .flatMap(st => pqEntriesVersion(st.getPath.getName)).distinct
+      .flatMap { v =>
+        val cp = new Path(log, checkpointName(v))
+        if (!fs.exists(cp)) None
+        else readLogFile(fs, cp).split('\n')
+          .find(_.startsWith("PQ\t")).map(l => dec(l.split('\t')(1)))
+      }.toSet
+    candidates.map(_.getPath).filterNot(p => referenced(p.getName)).map { p =>
+      fs.delete(p, true)
+      fs.delete(retiredMarker(log, p.getName), false)
+      p.getName
+    }
   }
 
   /** Force a checkpoint at the LATEST committed version without waiting
@@ -3964,10 +4264,8 @@ object Lake {
         foldHistory(base.history, sc.removedFiles),
         historyComplete = base.historyComplete,
         dvs = postDvs,
-        dvHistory =
-          if (detached.isEmpty) base.dvHistory
-          else (base.dvHistory ++ detached).distinct,
-        cdc = base.cdc ++ sc.cdcFiles.map(_._1),
+        dvHistory = foldSidecarList(base.dvHistory, detached, dedupe = true),
+        cdc = foldSidecarList(base.cdc, sc.cdcFiles.map(_._1), dedupe = false),
         txns = sc.txn.fold(base.txns) { case (a, v) =>
           base.txns.updated(a, math.max(v, base.txns.getOrElse(a, Long.MinValue))) },
         checks = base.checks,
@@ -5894,14 +6192,6 @@ object Lake {
             }
             (b.result(), bd.result())
           }
-        val liveSidecar: Set[String] =
-          if (latest.historyComplete)
-            // distinct sidecars are O(sparse commits) — driver-safe at
-            // any corpus size; only DERIVING them from a deferred map
-            // costs one scoped job (never a whole-map force)
-            distinctLiveSidecars(spark, latest.dvs) ++
-              latest.dvHistory ++ latest.cdc
-          else legacyLive._2
         val cutoff = System.currentTimeMillis() - minAgeMs
         // the Delta VACUUM shape: above [[VacuumDistributeMinKey]] the
         // recursive listing and the deletes run as Spark jobs — the
@@ -5943,11 +6233,53 @@ object Lake {
         // referenced by no committed record are crash orphans (a sparse
         // mutation that died before publish); the same grace period
         // protects a live writer's staged-but-unpublished sidecar.
-        // One bulk listStatus per fixed sidecar root carries the mtimes
-        val liveTops = liveSidecar.map(sidecarTop)
-        val deadSidecar = listSidecarDirsWithMtime(fs, root).collect {
-          case (d, mtime) if !liveTops(d) && (minAgeMs <= 0 || mtime <= cutoff) => d
+        // Sections DEFERRED to the entries (path-lazy states) keep
+        // their live tops inside the sweep JOB — which also runs the
+        // root listings — so the driver's own filesystem traffic is
+        // zero there and the collect is O(dead); eager states keep the
+        // one-bulk-listStatus-per-root driver path.
+        def deferredSec(sec: Seq[String]): Option[(String, String)] = sec match {
+          case dh: DeferredHistory => Some((dh.entriesDir, dh.tag))
+          case _ => None
         }
+        val dvDeferredDir: Option[String] = latest.dvs match {
+          case dd: DeferredDvs if dd.cachedOrNull == null => Some(dd.entriesDir)
+          case _ => None
+        }
+        val deferredSecs: Seq[(String, String)] =
+          deferredSec(latest.dvHistory).toSeq ++ deferredSec(latest.cdc).toSeq ++
+            dvDeferredDir.map((_, "V")).toSeq
+        val deadSidecar: Seq[String] =
+          if (!latest.historyComplete || deferredSecs.isEmpty) {
+            val liveSidecar: Set[String] =
+              if (latest.historyComplete)
+                distinctLiveSidecars(spark, latest.dvs) ++
+                  latest.dvHistory ++ latest.cdc
+              else legacyLive._2
+            val liveTops = liveSidecar.map(sidecarTop)
+            listSidecarDirsWithMtime(fs, root).collect {
+              case (d, mtime) if !liveTops(d) && (minAgeMs <= 0 || mtime <= cutoff) => d
+            }
+          } else {
+            val entriesDir = deferredSecs.head._1
+            val tags = deferredSecs.filter(_._1 == entriesDir).map(_._2).toSet
+            val driverLive: Set[String] =
+              (latest.dvs match {
+                case dd: DeferredDvs if dd.cachedOrNull == null =>
+                  dd.tailAdds.valuesIterator.flatten.toSet
+                case m => distinctLiveSidecars(spark, m)
+              }) ++
+                (latest.dvHistory match {
+                  case dh: DeferredHistory => dh.histTail.toSet
+                  case h => h.toSet
+                }) ++
+                (latest.cdc match {
+                  case dh: DeferredHistory => dh.histTail.toSet
+                  case c => c.toSet
+                })
+            orphanSidecarDirs(spark, lakeDir, Some((entriesDir, tags)),
+              driverLive, cutoff, minAgeMs, deepMtime = false)
+          }
         reclaimPaths(spark, lakeDir, deadSidecar.map(_ -> true), distribute)
         // staging sweep: a _graft_staging/<uuid> subtree is NEVER
         // referenced by a commit (staged files MOVE out before publish),
@@ -5969,7 +6301,13 @@ object Lake {
               minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff
             }
         reclaimPaths(spark, lakeDir, deadStaging.map(_ -> true), distribute)
-        dead ++ deadSidecar ++ deadStaging
+        // replaced/crashed checkpoint entries directories whose reader
+        // grace window expired (the other half of the retention cut's
+        // deferred-reader grace; bounded by stale checkpoint attempts)
+        val deadEntries = sweepStaleEntryDirs(spark, fs, root,
+          math.max(minAgeMs, replacedEntriesGraceMs(spark)))
+          .map(n => s"$LogDirName/$n")
+        dead ++ deadSidecar ++ deadStaging ++ deadEntries
     }
   }
 
@@ -6203,6 +6541,67 @@ object Lake {
       }
     }
     stats
+  }
+
+  /** The sidecar orphan sweep AS A JOB: the `_graft_dv`/`_graft_cdc`
+    * root listings (and, under `deepMtime`, the per-dir newest-mtime
+    * grace walk) run in tasks, and the live-top set is built from the
+    * checkpoint ENTRIES' V/VH/CF rows (for the sections `entriesTags`
+    * names — the ones deferred off the driver) unioned with the
+    * driver-resident `driverLive` tails — so a feed-heavy lake's
+    * sidecar census costs the driver ZERO filesystem calls and O(dead)
+    * collect, never O(feed-bearing commits). */
+  private def orphanSidecarDirs(spark: SparkSession, lakeDir: String,
+      entriesTags: Option[(String, Set[String])], driverLive: Set[String],
+      cutoff: Long, minAgeMs: Long, deepMtime: Boolean): Seq[String] = {
+    val (fs, root) = fsRoot(spark, lakeDir)
+    val qroot = fs.makeQualified(root)
+    val confProps = hadoopConfProps(spark)
+    val rootStr = qroot.toString
+    val sc = spark.sparkContext
+    val liveFromEntries: org.apache.spark.rdd.RDD[String] = entriesTags match {
+      case None => sc.emptyRDD[String]
+      case Some((entriesDir, tags)) =>
+        val tagB = sc.broadcast(tags)
+        spark.read.schema(StructType(CpEntrySchema.take(3)))
+          .parquet(entriesDir).rdd.flatMap { r =>
+            val t = r.getString(0)
+            if (!tagB.value(t)) None
+            else if (t == "V") Some(sidecarTop(r.getString(2)))
+            else Some(sidecarTop(r.getString(1)))
+          }
+    }
+    val liveAll = liveFromEntries
+      .union(sc.parallelize(driverLive.toSeq.map(sidecarTop), 1))
+      .distinct().map((_, ()))
+    inventoryListTasks.addAndGet(2L)
+    val deep = deepMtime
+    val listed: org.apache.spark.rdd.RDD[(String, Long)] =
+      sc.parallelize(Seq(DvDirName, CdcDirName), 2).flatMap { dn =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        val p = new Path(rootStr, dn)
+        val tfs = p.getFileSystem(conf)
+        if (!tfs.exists(p)) Seq.empty
+        else tfs.listStatus(p).toSeq.map { s =>
+          val mtime =
+            if (!deep) s.getModificationTime
+            else {
+              // grace by the NEWEST mtime anywhere under the dir — a
+              // directory's own mtime freezes at its first child
+              var newest = s.getModificationTime
+              val it = tfs.listFiles(s.getPath, true)
+              while (it.hasNext) {
+                val m = it.next().getModificationTime
+                if (m > newest) newest = m
+              }
+              newest
+            }
+          (s"$dn/${s.getPath.getName}", mtime)
+        }
+      }
+    listed.filter { case (_, m) => minAgeMs <= 0 || m <= cutoff }
+      .subtractByKey(liveAll).keys.collect().toSeq.sorted
   }
 
   /** The lakeDir-relative DV and CDC sidecar dirs on disk (two listings). */
@@ -6558,10 +6957,18 @@ object Lake {
     val distributeReclaim =
       distribute || dead.size >= vacuumDistributeMin(spark)
     reclaimPaths(spark, lakeDir, dead.map(_ -> false), distributeReclaim)
+    // the live-top set is driver-bounded here (the cut just rebuilt it
+    // from the retained deltas), but the LISTING and per-dir deep-mtime
+    // grace walk are O(feed-bearing commits) filesystem traffic — they
+    // run as a job on a distributing cut, serial below the threshold
     val liveTops = (liveDvSet ++ liveCdcSet).map(sidecarTop)
-    val deadSidecar = listSidecarDirs(fs, root)
-      .filterNot(liveTops)
-      .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
+    val deadSidecar: Seq[String] =
+      if (distributeReclaim)
+        orphanSidecarDirs(spark, lakeDir, None, liveTops, cutoff, minAgeMs,
+          deepMtime = true)
+      else listSidecarDirs(fs, root)
+        .filterNot(liveTops)
+        .filter(d => minAgeMs <= 0 || newestMtime(fs, new Path(root, d)) <= cutoff)
     reclaimPaths(spark, lakeDir, deadSidecar.map(_ -> true), distributeReclaim)
     expired.foreach(v => fs.delete(new Path(logDir(root), deltaName(v)), false))
     checkpoints.filter(_ < oldest).foreach(c =>
@@ -6575,6 +6982,9 @@ object Lake {
     fs.listStatus(logDir(root)).toSeq.map(_.getPath)
       .filter(p => pqEntriesVersion(p.getName).exists(_ < oldest))
       .foreach(p => fs.delete(p, true))
+    // retired-at-the-cut entries dirs from EARLIER cuts whose reader
+    // grace has elapsed (this cut's own retiree keeps its full window)
+    sweepStaleEntryDirs(spark, fs, root, replacedEntriesGraceMs(spark))
     dead ++ deadSidecar
   }
 }

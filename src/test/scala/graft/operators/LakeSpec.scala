@@ -4354,6 +4354,185 @@ class LakeSpec extends SparkTestBase {
       "the identity level still decodes from the path")
   }
 
+  test("deferred sidecar lists: VH/CF stay in the entries; vacuum's sidecar census runs as a job with zero whole-list forces and directory-bounded driver fs ops") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "2")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.DvLazyMinPairsKey, "1")
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val out = freshDir("lake-sidecar-lazy")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split")).coalesce(1)
+      Lake.init(spark, batch(0 until 200, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))   // v1
+      Pipeline.deleteFromLakeSparse(spark, out,
+        Seq(3L, 100001L).toDF("doc_id"), "doc_id")                             // v2: V + CDC
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                    // v3: rewrite DETACHES v2's train attachment → VH
+      Lake.checkpointNow(spark, out) // columnar: F/H/V/VH/CF all in entries
+      Pipeline.deleteFromLakeSparse(spark, out,
+        Seq(7L).toDF("doc_id"), "doc_id")                                      // v4: tails
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.dvHistory.isInstanceOf[Lake.DeferredHistory] &&
+        st.cdc.isInstanceOf[Lake.DeferredHistory],
+        "a path-lazy state must defer its VH/CF sidecar lists too")
+      assert(st.dvHistory.asInstanceOf[Lake.DeferredHistory].cpHistory >= 1,
+        "the rewrite must have detached v2's train attachment into VH")
+      assert(st.cdc.asInstanceOf[Lake.DeferredHistory].cpHistory >= 1,
+        "the feed sidecars must ride the entries as CF rows")
+      val total = 300L - 2L - 1L - 1L
+      // the vacuum's sidecar census runs as a job: live tops from the
+      // entries' V/VH/CF rows + the driver tails, the root listings in
+      // tasks — no deferred list ever materializes and the driver's own
+      // filesystem traffic stays directory-bounded
+      val forces0 = Lake.pathForceJobs.get()
+      val dvF0 = Lake.dvForceJobs.get()
+      val ops0 = Lake.vacuumDriverFsOps.get()
+      val dead = Lake.vacuum(spark, out)
+      assert(dead.isEmpty, s"a clean lake has nothing to vacuum, got $dead")
+      assert(Lake.pathForceJobs.get() == forces0 &&
+        Lake.dvForceJobs.get() == dvF0,
+        "the sidecar census must never materialize a deferred list")
+      val ops = Lake.vacuumDriverFsOps.get() - ops0
+      assert(ops <= 10,
+        s"driver filesystem calls must be directory-bounded, got $ops")
+      // the lake still answers exactly (the unpruned read's one
+      // soft-cached path materialization is the px134-allowed cost),
+      // and an incremental checkpoint folds the VH/CF rows forward
+      // inside the entries job
+      assert(Lake.read(spark, out).count() == total)
+      val forces1 = Lake.pathForceJobs.get()
+      Lake.checkpointNow(spark, out)
+      assert(Lake.pathForceJobs.get() == forces1 &&
+        Lake.dvForceJobs.get() == dvF0,
+        "the checkpoint fold must carry VH/CF without materializing them")
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get
+      assert(st2.dvHistory.isInstanceOf[Lake.DeferredHistory] &&
+        st2.cdc.isInstanceOf[Lake.DeferredHistory])
+      assert(Lake.read(spark, out).count() == total)
+      // materializing (rare: legacy fallbacks) still yields the exact
+      // sets the eager resolution computes
+      spark.conf.set(Lake.LazyStatsKey, "false")
+      Lake.invalidateStateCache()
+      val eagerSt = Lake.latestManifest(spark, out).get
+      assert(st2.dvHistory.toSet == eagerSt.dvHistory.toSet,
+        "the deferred VH list must materialize to the eager set")
+      assert(st2.cdc.toSet == eagerSt.cdc.toSet,
+        "the deferred CF list must materialize to the eager set")
+      spark.conf.unset(Lake.LazyStatsKey)
+    } finally {
+      spark.conf.unset(Lake.VacuumDistributeMinKey)
+      spark.conf.unset(Lake.DvLazyMinPairsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("reader grace: a deferred list forced AFTER a retention cut still materializes; the retired dir reclaims on the next vacuum") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-reader-grace")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))  // v1
+      Pipeline.deleteFromLake(spark, out, Seq(5L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                    // v2
+      Lake.checkpointNow(spark, out) // columnar cp AT v2
+      Pipeline.appendToLake(spark, out, batch(200000 until 200010, "test"),
+        partitionCols = Seq("split"))                                          // v3
+      Pipeline.deleteFromLake(spark, out, Seq(7L).toDF("doc_id"), "doc_id",
+        partitionCols = Seq("split"), retainHistory = true)                    // v4
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get // the LIVE reader's state
+      val dfl = st.files.asInstanceOf[Lake.DeferredFiles]
+      val entriesPath = new java.io.File(new java.net.URI(
+        if (dfl.entriesDir.startsWith("file:")) dfl.entriesDir
+        else "file://" + dfl.entriesDir))
+      // the CONCURRENT retention cut replaces v2's checkpoint (oldest
+      // retained = v2): under the default grace the old entries dir is
+      // RETIRED with a marker, never deleted out from under the reader
+      Lake.vacuumKeeping(spark, out, keepVersions = 3)
+      assert(entriesPath.exists, "the replaced entries dir must survive the grace window")
+      val marker = new java.io.File(entriesPath.getParentFile,
+        entriesPath.getName + ".retired")
+      assert(marker.exists, "the cut must mark the replaced dir retired")
+      // forcing the reader's deferred list AFTER the cut still works
+      assert(st.files.iterator.size == st.files.size,
+        "a deferred list forced within the window must materialize")
+      assert(Lake.readState(spark, out, st).count() == 208L)
+      // the FOLLOWING maintenance pass reclaims it once the window is
+      // spent (grace lowered to zero here)
+      spark.conf.set(Lake.ReplacedEntriesGraceMsKey, "0")
+      Lake.invalidateStateCache()
+      Lake.vacuum(spark, out)
+      assert(!entriesPath.exists && !marker.exists,
+        "the expired retiree must reclaim on the next vacuum")
+      // the lake itself reads exactly through the NEW checkpoint
+      assert(Lake.read(spark, out).count() == 208L)
+    } finally {
+      spark.conf.unset(Lake.ReplacedEntriesGraceMsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
+  test("content-sensitive torn check: a same-count corruption of one entries path trips the checksum, not a silent wrong answer") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    try {
+      val out = freshDir("lake-torn-content")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split"))
+      Lake.init(spark, batch(0 until 100, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))  // v1
+      (1 to 9).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                        // v2..v10 (cp)
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      val entriesDir = st.files.asInstanceOf[Lake.DeferredFiles].entriesDir
+      // corrupt ONE F row's path, COUNT PRESERVED: the count-only torn
+      // check of earlier rounds would sail through this
+      val rows = spark.read.schema(Lake.CpEntrySchema).parquet(entriesDir).collect()
+      assert(rows.count(_.getString(0) == "F") > 0)
+      var flipped = false
+      val doctored = rows.map { r =>
+        if (!flipped && r.getString(0) == "F") {
+          flipped = true
+          org.apache.spark.sql.Row(r.getString(0), r.getString(1) + ".evil",
+            if (r.isNullAt(2)) null else r.getString(2),
+            if (r.isNullAt(3)) null else r.getSeq[org.apache.spark.sql.Row](3))
+        } else r
+      }
+      val tmp = entriesDir + ".tmp"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(doctored.toSeq, 1), Lake.CpEntrySchema)
+        .write.parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(entriesDir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(entriesDir))
+      Lake.invalidateStateCache()
+      val e = intercept[IllegalStateException] {
+        Lake.latestManifest(spark, out).get
+        Lake.read(spark, out).count()
+      }
+      assert(e.getMessage.contains("checksum"),
+        s"the content check must name the checksum mismatch, got: ${e.getMessage}")
+    } finally {
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("dv-lazy states: the driver pins O(tail) attachment entries; reads, time travel, restore, consolidation and checkpoints never force the map") {
     spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
     spark.conf.set(Lake.PathLazyMinFilesKey, "1")
