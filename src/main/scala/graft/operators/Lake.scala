@@ -531,13 +531,7 @@ object Lake {
   /** History fold: append this commit's removals without materializing a
     * deferred list (history is append-only between retention cuts). */
   private def foldHistory(h: Seq[String], removed: Seq[String]): Seq[String] =
-    h match {
-      case dh: DeferredHistory =>
-        if (removed.isEmpty) dh
-        else new DeferredHistory(dh.entriesDir, dh.cpHistory,
-          dh.histTail ++ removed, dh.cpXor, dh.tag, dh.dedupe)
-      case pf => pf ++ removed
-    }
+    foldSidecarList(h, removed, dedupe = false)
 
   /** Fold one commit's additions into a sidecar list (`VH` detached dv
     * sidecars / `CF` change-feed sidecars) without materializing a
@@ -673,10 +667,7 @@ object Lake {
               val f = r.getString(1)
               val s = r.getString(2)
               x ^= Lake.dvPairHash64(f, s)
-              val masked = (detArr.nonEmpty && java.util.Arrays.binarySearch(
-                detArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
-                remPairs.get(f).exists(_(s))
-              if (!masked) b += ((f, s))
+              if (!Lake.dvPairMasked(detArr, remPairs, f, s)) b += ((f, s))
             }
           }
           Iterator.single((raw, x, b.toArray))
@@ -696,6 +687,19 @@ object Lake {
       Lake.mergeDvPairs(cp, tailAdds)
     }
   }
+
+  /** The deferred-dv liveness predicate — ONE definition so
+    * materialization ([[DeferredDvs.compute]]), scoped fetch
+    * ([[dvsFor]]), the RDD view ([[dvPairsRdd]]) and the checkpoint
+    * fold ([[writeEntriesIncremental]]) can never drift: a
+    * checkpoint-resident (file, sidecar) pair is DEAD iff its file was
+    * detached (removed/compacted away) or the pair was explicitly
+    * X-removed. `detArr` must be sorted. */
+  private[graft] def dvPairMasked(detArr: Array[String],
+      remPairs: Map[String, Set[String]], f: String, s: String): Boolean =
+    (detArr.nonEmpty && java.util.Arrays.binarySearch(
+      detArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
+      remPairs.get(f).exists(_(s))
 
   /** Merge checkpoint-resident live pairs with the driver tail — per
     * file, resident sidecars first (their render order), tail adds
@@ -761,13 +765,29 @@ object Lake {
       if (files.isEmpty || dd.cheapIsEmpty.contains(true)) Map.empty
       else {
         val cached = dd.cachedOrNull
-        if (cached != null) cached.view.filterKeys(files.toSet).toMap
-        else {
-          val tailPart = dd.tailAdds.view.filterKeys(files.toSet).toMap
+        if (cached != null) {
+          files match {
+            case _: DeferredFiles => cached // whole table: every key is in the read
+            case fl => cached.view.filterKeys(fl.toSet).toMap
+          }
+        } else {
+          // a WHOLE-TABLE ask (the row-mode fallback planner) skips the
+          // membership array entirely — building it would force the
+          // path-lazy list and ship a corpus-sized closure; every live
+          // pair's file is in the read by invariant, so this is simply
+          // the full live map (the caller asked for exactly that)
+          val wholeTable = files.isInstanceOf[DeferredFiles]
+          val tailPart =
+            if (wholeTable) dd.tailAdds
+            else dd.tailAdds.view.filterKeys(files.toSet).toMap
           if (dd.cpDvPairs == 0L) tailPart
           else {
             dvScopedJobs.incrementAndGet()
-            val wanted: Array[String] = files.distinct.toArray.sorted
+            // membership rides as a BROADCAST: a bounded-but-large
+            // candidate list must not serialize into every task binary
+            val wantedB = spark.sparkContext.broadcast(
+              if (wholeTable) Array.empty[String]
+              else files.distinct.toArray.sorted: Array[String])
             val detArr = dd.detachedFiles.toArray.sorted
             val remPairs = dd.removedPairs
             val cp = spark.read
@@ -778,11 +798,13 @@ object Lake {
                   val f = r.getString(1)
                   def hit(a: Array[String]): Boolean = a.nonEmpty &&
                     java.util.Arrays.binarySearch(a.asInstanceOf[Array[AnyRef]], f) >= 0
-                  if (!hit(wanted) || hit(detArr) ||
-                      remPairs.get(f).exists(_(r.getString(2)))) None
+                  val wanted = wantedB.value
+                  if ((wanted.nonEmpty && !hit(wanted)) ||
+                      dvPairMasked(detArr, remPairs, f, r.getString(2))) None
                   else Some((f, r.getString(2)))
                 }
               }.collect().sorted
+            wantedB.destroy()
             mergeDvPairs(cp, tailPart)
           }
         }
@@ -805,10 +827,8 @@ object Lake {
             if (r.getString(0) != "V") None
             else {
               val f = r.getString(1)
-              val masked = (detArr.nonEmpty && java.util.Arrays.binarySearch(
-                detArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
-                remPairs.get(f).exists(_(r.getString(2)))
-              if (masked) None else Some((f, r.getString(2)))
+              if (dvPairMasked(detArr, remPairs, f, r.getString(2))) None
+              else Some((f, r.getString(2)))
             }
           }
         val tailPairs = dd.tailAdds.toSeq.flatMap { case (f, ss) => ss.map(f -> _) }
@@ -2774,12 +2794,19 @@ object Lake {
       // DV application strategy, chosen WITHOUT forcing a deferred
       // attachment map: eager (or already-soft-cached) maps keep the
       // driver-built absMap below — bounded by the dv-lazy threshold.
-      // `None` = the map is deferred and uncached: relevance resolves
-      // INSIDE a job over the checkpoint entries instead (further down).
+      // A deferred map under a BOUNDED read (sparse DML's candidates)
+      // resolves through the scoped accessor — one membership job, and
+      // only the relevant files' sidecars are read. `None` = deferred
+      // map under a WHOLE-TABLE read: relevance resolves INSIDE a job
+      // over the checkpoint entries instead (further down) — the one
+      // shape whose relevant set is itself corpus-scale.
       val eagerRelevant: Option[Map[String, Seq[String]]] = dvs match {
         case dd: DeferredDvs =>
           if (dd.cheapIsEmpty.contains(true)) Some(Map.empty)
-          else Option(dd.cachedOrNull).map(scopeToRead)
+          else Option(dd.cachedOrNull).map(scopeToRead).orElse(files match {
+            case _: DeferredFiles => None
+            case bounded => Some(dvsFor(spark, dd, bounded))
+          })
         case m => Some(if (m.isEmpty) Map.empty else scopeToRead(m))
       }
       val applied = eagerRelevant match {
@@ -2824,14 +2851,9 @@ object Lake {
             val dvDf = spark.read.schema(DvSchema)
               .parquet(sidecars.map(sc => new Path(root, sc).toString): _*)
             val rootStr = root.toString
-            val livePairFiles = dvPairsRdd(spark, dd).keys.distinct()
-            val scoped = files match {
-              case _: DeferredFiles => livePairFiles // whole-table read
-              case fl =>
-                val b = spark.sparkContext.broadcast(fl.toSet)
-                livePairFiles.filter(f => b.value(f))
-            }
-            val relevantDf = scoped
+            // whole-table read (the only shape that reaches here): every
+            // live pair's file is live in the read by invariant
+            val relevantDf = dvPairsRdd(spark, dd).keys.distinct()
               .map(f => (f, new Path(rootStr, f).toString))
               .toDF("file", "_gf_path")
             val del = dvDf.join(relevantDf, "file")
@@ -3306,9 +3328,7 @@ object Lake {
           else {
             val f = r.getString(1)
             val s = r.getString(2)
-            val masked = (dvDetArr.nonEmpty && java.util.Arrays.binarySearch(
-              dvDetArr.asInstanceOf[Array[AnyRef]], f) >= 0) ||
-              dvRemPairs.get(f).exists(_(s)) ||
+            val masked = dvPairMasked(dvDetArr, dvRemPairs, f, s) ||
               dvTail.get(f).exists(_.contains(s)) // tail re-add: render once
             if (masked) None else Some(r)
           }
@@ -3424,10 +3444,25 @@ object Lake {
       .filter(_.getPath.getName.endsWith(".retired"))
       .map(st => st.getPath.getName.stripSuffix(".retired") ->
         st.getModificationTime).toMap
+    // DANGLING markers (dir already reclaimed — e.g. a crash between
+    // the dir and marker deletes) expire by their own mtime
+    val dirNames = all.iterator.map(_.getPath.getName)
+      .filter(n => pqEntriesVersion(n).isDefined).toSet
+    markerMtime.foreach { case (n, m) =>
+      if (!dirNames(n) && m < cutoff) fs.delete(retiredMarker(log, n), false)
+    }
     val candidates = all.filter { st =>
       val n = st.getPath.getName
       pqEntriesVersion(n).isDefined &&
         markerMtime.get(n).getOrElse(st.getModificationTime) < cutoff
+    }.filter { st =>
+      // an UNMARKED candidate may be a CONCURRENT writer's in-flight
+      // entries job (the top dir's mtime freezes at its first child;
+      // the stub lands only at commit): judge it by the NEWEST mtime
+      // anywhere in the subtree — a task actively writing keeps it
+      // alive. The walk is bounded by crashed attempts, never corpus.
+      markerMtime.contains(st.getPath.getName) ||
+        newestMtime(fs, st.getPath) < cutoff
     }
     if (candidates.isEmpty) return Seq.empty
     val referenced: Set[String] = candidates
@@ -6976,14 +7011,19 @@ object Lake {
     // entries directories whose version fell below the retention cut are
     // unreferenced no matter how they got there — a retired columnar
     // checkpoint's payload, or a CRASHED columnar write that never
-    // renamed its stub in. Resolutions below `oldest` are impossible
-    // (their deltas are gone), so this sweep can never race a reader;
-    // a repeat vacuum re-sweeps anything a crash strands later.
+    // renamed its stub in. NEW resolutions below `oldest` are impossible
+    // (their deltas are gone), but a reader who resolved BEFORE the cut
+    // may still hold a deferred list over one — so they RETIRE like the
+    // same-version replace (marker = this cut's wall clock) and reclaim
+    // once the reader grace elapses, on this pass or a later one.
     fs.listStatus(logDir(root)).toSeq.map(_.getPath)
       .filter(p => pqEntriesVersion(p.getName).exists(_ < oldest))
-      .foreach(p => fs.delete(p, true))
-    // retired-at-the-cut entries dirs from EARLIER cuts whose reader
-    // grace has elapsed (this cut's own retiree keeps its full window)
+      .foreach { p =>
+        val m = retiredMarker(logDir(root), p.getName)
+        if (!fs.exists(m)) fs.create(m, false).close()
+      }
+    // retirees (this cut's below-oldest ones, EARLIER cuts' replaced
+    // ones) whose reader grace has elapsed, plus dangling markers
     sweepStaleEntryDirs(spark, fs, root, replacedEntriesGraceMs(spark))
     dead ++ deadSidecar
   }

@@ -4475,6 +4475,30 @@ class LakeSpec extends SparkTestBase {
         "the expired retiree must reclaim on the next vacuum")
       // the lake itself reads exactly through the NEW checkpoint
       assert(Lake.read(spark, out).count() == 208L)
+      // BELOW-CUT shape (the common retention geometry): a reader holds
+      // the CURRENT checkpoint's entries, then a cut moves oldest ABOVE
+      // that checkpoint's version — the dir must retire with the same
+      // grace, not delete out from under the reader
+      spark.conf.unset(Lake.ReplacedEntriesGraceMsKey) // back to 15 min
+      Pipeline.appendToLake(spark, out, batch(300000 until 300010, "test"),
+        partitionCols = Seq("split"))                                        // v5
+      Lake.checkpointNow(spark, out) // columnar cp at v5
+      Pipeline.appendToLake(spark, out, batch(400000 until 400010, "test"),
+        partitionCols = Seq("split"))                                        // v6
+      Lake.invalidateStateCache()
+      val st2 = Lake.latestManifest(spark, out).get // reader over v5's entries
+      val dfl2 = st2.files.asInstanceOf[Lake.DeferredFiles]
+      val entries2 = new java.io.File(new java.net.URI(
+        if (dfl2.entriesDir.startsWith("file:")) dfl2.entriesDir
+        else "file://" + dfl2.entriesDir))
+      Lake.vacuumKeeping(spark, out, keepVersions = 1) // oldest = v6 > v5
+      assert(entries2.exists,
+        "a below-cut entries dir must retire, not delete, within the grace")
+      assert(new java.io.File(entries2.getParentFile,
+        entries2.getName + ".retired").exists,
+        "the below-cut sweep must mark the dir retired")
+      assert(st2.files.iterator.size == st2.files.size,
+        "the pre-cut reader's deferred list must still materialize")
     } finally {
       spark.conf.unset(Lake.ReplacedEntriesGraceMsKey)
       spark.conf.unset(Lake.PathLazyMinFilesKey)
