@@ -320,6 +320,28 @@ object Lake {
   private[graft] def dvPairHash64(f: String, s: String): Long =
     pathHash64(f + "\u0000" + s)
 
+  /** The shared soft-cache scaffold of the deferred structures
+    * ([[DeferredFiles]]/[[DeferredHistory]]/[[DeferredDvs]]): ONE
+    * synchronized SoftReference holding the last materialization —
+    * recomputable, GC-reclaimable under memory pressure — so the
+    * caching/synchronization idiom cannot drift between the three. */
+  private[graft] trait SoftCachedMaterialization[T >: Null <: AnyRef] {
+    protected def compute(): T
+    @transient private var cache: java.lang.ref.SoftReference[T] = null
+    private[graft] def cachedOrNull: T = synchronized {
+      if (cache == null) null else cache.get()
+    }
+    protected final def forced: T = synchronized {
+      val hit = if (cache == null) null else cache.get()
+      if (hit != null) hit
+      else {
+        val v = compute()
+        cache = new java.lang.ref.SoftReference(v)
+        v
+      }
+    }
+  }
+
   /** The live-file list of a resolved state, as a `Seq[String]` so every
     * existing consumer keeps working. [[EagerFiles]] wraps a
     * driver-materialized list. [[DeferredFiles]] — states resolved
@@ -374,7 +396,8 @@ object Lake {
         * stub's `DC` checksum field) — makes the torn check
         * content-sensitive: a same-count corruption of a path trips it.
         * None on stubs written before the field existed. */
-      private[graft] val cpXor: Option[Long] = None) extends LiveFiles {
+      private[graft] val cpXor: Option[Long] = None) extends LiveFiles
+      with SoftCachedMaterialization[IndexedSeq[String]] {
     def length: Int = (cpResidents - tailRemoved.size + tailAdded.size).toInt
     override def isEmpty: Boolean = length == 0
     override def knownSize: Int = length
@@ -398,20 +421,7 @@ object Lake {
     override def head: String =
       headOption.getOrElse(throw new NoSuchElementException("head of empty lake"))
 
-    @transient private var cache: java.lang.ref.SoftReference[IndexedSeq[String]] = null
-    private[graft] def cachedOrNull: IndexedSeq[String] = synchronized {
-      if (cache == null) null else cache.get()
-    }
-    private def forced: IndexedSeq[String] = synchronized {
-      val hit = if (cache == null) null else cache.get()
-      if (hit != null) hit
-      else {
-        val v = compute()
-        cache = new java.lang.ref.SoftReference(v)
-        v
-      }
-    }
-    private def compute(): IndexedSeq[String] = {
+    protected def compute(): IndexedSeq[String] = {
       Lake.pathForceJobs.incrementAndGet()
       val spark = SparkSession.active
       val removedArr = tailRemoved.toArray.sorted
@@ -487,23 +497,14 @@ object Lake {
         * re-detach after a restore re-attached it) — consumers treat
         * the list as a referenced-SET, so such a list dedupes at
         * materialization and `length` is an upper bound. */
-      private[graft] val dedupe: Boolean = false) extends LiveFiles {
+      private[graft] val dedupe: Boolean = false) extends LiveFiles
+      with SoftCachedMaterialization[IndexedSeq[String]] {
     def length: Int = (cpHistory + histTail.size).toInt
     override def isEmpty: Boolean = length == 0
     override def knownSize: Int = length
     def apply(i: Int): String = forced(i)
     def iterator: Iterator[String] = forced.iterator
-    @transient private var cache: java.lang.ref.SoftReference[IndexedSeq[String]] = null
-    private def forced: IndexedSeq[String] = synchronized {
-      val hit = if (cache == null) null else cache.get()
-      if (hit != null) hit
-      else {
-        val v = compute()
-        cache = new java.lang.ref.SoftReference(v)
-        v
-      }
-    }
-    private def compute(): IndexedSeq[String] = {
+    protected def compute(): IndexedSeq[String] = {
       Lake.pathForceJobs.incrementAndGet()
       val spark = SparkSession.active
       val t = tag
@@ -614,7 +615,8 @@ object Lake {
       /** XOR of [[dvPairHash64]] over the entries' RAW V pairs (the
         * stub's `VC` checksum field) — content-sensitive torn check;
         * None on older stubs. */
-      private[graft] val cpXor: Option[Long] = None) extends LiveDvs {
+      private[graft] val cpXor: Option[Long] = None) extends LiveDvs
+      with SoftCachedMaterialization[Map[String, Seq[String]]] {
     private[graft] def tailPairCount: Long =
       tailAdds.valuesIterator.map(_.size.toLong).sum
     private[graft] def removedPairCount: Long =
@@ -636,21 +638,7 @@ object Lake {
     override def contains(key: String): Boolean =
       tailAdds.contains(key) || (cheapIsEmpty != Some(true) && forced.contains(key))
 
-    @transient private var cache:
-      java.lang.ref.SoftReference[Map[String, Seq[String]]] = null
-    private[graft] def cachedOrNull: Map[String, Seq[String]] = synchronized {
-      if (cache == null) null else cache.get()
-    }
-    private def forced: Map[String, Seq[String]] = synchronized {
-      val hit = if (cache == null) null else cache.get()
-      if (hit != null) hit
-      else {
-        val v = compute()
-        cache = new java.lang.ref.SoftReference(v)
-        v
-      }
-    }
-    private def compute(): Map[String, Seq[String]] = {
+    protected def compute(): Map[String, Seq[String]] = {
       Lake.dvForceJobs.incrementAndGet()
       val spark = SparkSession.active
       val detArr = detachedFiles.toArray.sorted
@@ -910,7 +898,9 @@ object Lake {
     case dd: DeferredDvs =>
       val cached = dd.cachedOrNull
       if (cached != null) cached.size.toString
-      else s"<=${dd.cpDvPairs + dd.tailPairCount} attachment(s), deferred"
+      // pair count >= dv'd-file count, so this is a sound upper bound
+      // that still reads inside "<hint> of N file(s) tombstoned"
+      else s"<=${dd.cpDvPairs + dd.tailPairCount} (deferred)"
     case m => m.size.toString
   }
 
@@ -1442,8 +1432,11 @@ object Lake {
     // optional 4th DC field / 2nd VC field / HX line: CONTENT checksums
     // (xor of per-entry [[pathHash64]]/[[dvPairHash64]] terms) — they
     // upgrade the count-only torn checks to content-sensitive ones.
-    // Older readers never see them (they predate this writer); newer
-    // readers treat their absence as "no content check" (older stubs).
+    // Newer readers treat a missing checksum as "no content check"
+    // (older stubs parse fine); the reverse direction — an OLDER build
+    // reading this stub — throws on the VC/HX tags themselves, the
+    // deliberate strict-parse stance SURVEY §8 records (single library
+    // version per lake; loud refusal beats silent section drops).
     def hx(x: Option[Long]): String = x.fold("")(v => f"\t$v%016x")
     val dc = s"DC\t${st.files.length}\t${if (sumsComplete) 1 else 0}\t" +
       sample.map(enc).getOrElse("-") + hx(fXor)
@@ -3789,6 +3782,7 @@ object Lake {
           }
           val subtree = paths.filter(underQualified).collect().toSeq.sorted
           val dvd = dvFilesRdd.filter(underQualified).collect().toSet
+          bq.destroy() // both consumers have collected
           val qSet = qualified.toSet
           val byDir = subtree.groupBy(dirOfFile).filter { case (d, _) => qSet(d) }
           (byDir, subtree, dvd)
@@ -7023,8 +7017,11 @@ object Lake {
         if (!fs.exists(m)) fs.create(m, false).close()
       }
     // retirees (this cut's below-oldest ones, EARLIER cuts' replaced
-    // ones) whose reader grace has elapsed, plus dangling markers
-    sweepStaleEntryDirs(spark, fs, root, replacedEntriesGraceMs(spark))
-    dead ++ deadSidecar
+    // ones) whose reader grace has elapsed, plus dangling markers — the
+    // caller's minAgeMs widens the window like every other sweep here
+    val deadEntries = sweepStaleEntryDirs(spark, fs, root,
+      math.max(minAgeMs, replacedEntriesGraceMs(spark)))
+      .map(n => s"$LogDirName/$n")
+    dead ++ deadSidecar ++ deadEntries
   }
 }
