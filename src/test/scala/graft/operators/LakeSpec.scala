@@ -4354,6 +4354,53 @@ class LakeSpec extends SparkTestBase {
       "the identity level still decodes from the path")
   }
 
+  test("retention cut on a dv-lazy lake: liveness derives via scoped jobs, retained time travel keeps its vectors, zero whole-map forces") {
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "8")
+    spark.conf.set(Lake.PathLazyMinFilesKey, "1")
+    spark.conf.set(Lake.DvLazyMinPairsKey, "1")
+    spark.conf.set(Lake.VacuumDistributeMinKey, "1")
+    try {
+      val out = freshDir("lake-dvlazy-retention")
+      def batch(ids: Range, split: String) = spark.range(ids.start, ids.end).select(
+        col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"),
+        lit(split).as("split")).coalesce(1)
+      Lake.init(spark, batch(0 until 200, "train")
+        .unionByName(batch(100000 until 100100, "test")), out, Seq("split"))  // v1
+      Pipeline.deleteFromLakeSparse(spark, out,
+        ((0L until 200L by 13L) :+ 100001L).toDF("doc_id"), "doc_id")         // v2: 17 pairs
+      (1 to 8).foreach(i => Pipeline.appendToLake(spark, out,
+        batch(1000 * i until 1000 * i + 10, "train"),
+        partitionCols = Seq("split")))                                        // v3..v10: columnar cp
+      Pipeline.deleteFromLakeSparse(spark, out,
+        Seq(5L, 100003L).toDF("doc_id"), "doc_id")                            // v11: tail pairs
+      Lake.invalidateStateCache()
+      val st = Lake.latestManifest(spark, out).get
+      assert(st.dvs.isInstanceOf[Lake.DeferredDvs])
+      val total = 200L + 100L + 80L - 17L - 2L
+      // the CUT: keep v10..v11 — its live set derives from the oldest
+      // retained state's deltas, sidecar liveness from scoped jobs, and
+      // the rewritten checkpoint folds the V rows forward in-job
+      val dvF0 = Lake.dvForceJobs.get()
+      Lake.vacuumKeeping(spark, out, keepVersions = 2)
+      assert(Lake.dvForceJobs.get() == dvF0,
+        "a retention cut must never materialize the deferred attachment map")
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == total)
+      // time travel at the cut (v10) still applies v2's vectors exactly
+      assert(Lake.readVersion(spark, out, 10L).count() == total + 2L)
+      assert(Lake.dvForceJobs.get() == dvF0)
+      // and the post-cut state still resolves dv-lazy with the tail
+      val st2 = Lake.latestManifest(spark, out).get
+      assert(st2.dvs.isInstanceOf[Lake.DeferredDvs],
+        "the rewritten checkpoint must keep the attachment map deferred")
+    } finally {
+      spark.conf.unset(Lake.VacuumDistributeMinKey)
+      spark.conf.unset(Lake.DvLazyMinPairsKey)
+      spark.conf.unset(Lake.PathLazyMinFilesKey)
+      spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+    }
+  }
+
   test("deferred sidecar lists: VH/CF stay in the entries; vacuum's sidecar census runs as a job with zero whole-list forces and directory-bounded driver fs ops") {
     spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "2")
     spark.conf.set(Lake.PathLazyMinFilesKey, "1")
