@@ -3428,9 +3428,12 @@ object Lake {
     * version's live checkpoint stub (one O(KB) header read per
     * version that still has stale dirs). */
   private def sweepStaleEntryDirs(spark: SparkSession, fs: FileSystem,
-      root: Path, graceMs: Long): Seq[String] = {
+      root: Path, minAgeMs: Long): Seq[String] = {
     val log = logDir(root)
     if (!fs.exists(log)) return Seq.empty
+    // the caller's in-flight-writer grace can only WIDEN the reader
+    // window (one rule, both maintenance passes)
+    val graceMs = math.max(minAgeMs, replacedEntriesGraceMs(spark))
     val cutoff = System.currentTimeMillis() - graceMs
     val all = fs.listStatus(log).toSeq
     val markerMtime: Map[String, Long] = all.iterator
@@ -3469,7 +3472,7 @@ object Lake {
     candidates.map(_.getPath).filterNot(p => referenced(p.getName)).map { p =>
       fs.delete(p, true)
       fs.delete(retiredMarker(log, p.getName), false)
-      p.getName
+      s"$LogDirName/${p.getName}" // lakeDir-relative, like every dead list
     }
   }
 
@@ -3780,9 +3783,11 @@ object Lake {
             while (!hit && d.nonEmpty) { hit = bq.value(d); if (!hit) d = dirOfFile(d) }
             hit
           }
-          val subtree = paths.filter(underQualified).collect().toSeq.sorted
-          val dvd = dvFilesRdd.filter(underQualified).collect().toSet
-          bq.destroy() // both consumers have collected
+          val (subtree, dvd) =
+            try {
+              (paths.filter(underQualified).collect().toSeq.sorted,
+                dvFilesRdd.filter(underQualified).collect().toSet)
+            } finally bq.destroy() // even when a consumer job fails
           val qSet = qualified.toSet
           val byDir = subtree.groupBy(dirOfFile).filter { case (d, _) => qSet(d) }
           (byDir, subtree, dvd)
@@ -6333,9 +6338,7 @@ object Lake {
         // replaced/crashed checkpoint entries directories whose reader
         // grace window expired (the other half of the retention cut's
         // deferred-reader grace; bounded by stale checkpoint attempts)
-        val deadEntries = sweepStaleEntryDirs(spark, fs, root,
-          math.max(minAgeMs, replacedEntriesGraceMs(spark)))
-          .map(n => s"$LogDirName/$n")
+        val deadEntries = sweepStaleEntryDirs(spark, fs, root, minAgeMs)
         dead ++ deadSidecar ++ deadStaging ++ deadEntries
     }
   }
@@ -7019,9 +7022,7 @@ object Lake {
     // retirees (this cut's below-oldest ones, EARLIER cuts' replaced
     // ones) whose reader grace has elapsed, plus dangling markers — the
     // caller's minAgeMs widens the window like every other sweep here
-    val deadEntries = sweepStaleEntryDirs(spark, fs, root,
-      math.max(minAgeMs, replacedEntriesGraceMs(spark)))
-      .map(n => s"$LogDirName/$n")
+    val deadEntries = sweepStaleEntryDirs(spark, fs, root, minAgeMs)
     dead ++ deadSidecar ++ deadEntries
   }
 }
