@@ -499,9 +499,22 @@ object Lake {
         * materialization and `length` is an upper bound. */
       private[graft] val dedupe: Boolean = false) extends LiveFiles
       with SoftCachedMaterialization[IndexedSeq[String]] {
-    def length: Int = (cpHistory + histTail.size).toInt
-    override def isEmpty: Boolean = length == 0
-    override def knownSize: Int = length
+    /** Cheap UPPER bound on the element count (exact when `dedupe` is
+      * false): pricing/threshold consumers use this instead of `length`
+      * so they never force a job. */
+    private[graft] def lengthUpper: Long = cpHistory + histTail.size
+    /** The Seq contract requires `length` == the iterator's element
+      * count. A `dedupe` list can collapse tail re-detaches of
+      * checkpoint-resident sidecars at materialization, and how many
+      * collapse is only knowable from the entries — so `length` forces
+      * there (generic Seq ops that preallocate from `length`, e.g.
+      * `.sorted`/`.toArray`, would otherwise see trailing nulls). */
+    def length: Int =
+      if (dedupe) forced.length else lengthUpper.toInt
+    // exact without forcing either way: dedupe only collapses
+    // duplicates, it cannot empty a non-empty list
+    override def isEmpty: Boolean = lengthUpper == 0
+    override def knownSize: Int = if (dedupe) -1 else lengthUpper.toInt
     def apply(i: Int): String = forced(i)
     def iterator: Iterator[String] = forced.iterator
     protected def compute(): IndexedSeq[String] = {
@@ -617,6 +630,13 @@ object Lake {
         * None on older stubs. */
       private[graft] val cpXor: Option[Long] = None) extends LiveDvs
       with SoftCachedMaterialization[Map[String, Seq[String]]] {
+    /** Memo of the DISTINCT live sidecar set — bounded (one sidecar dir
+      * per sparse mutation, never corpus), filled by whichever scoped
+      * entries pass derives it first ([[dvsFor]] piggybacks it on its
+      * membership job) so a plan's later [[distinctLiveSidecars]] ask
+      * costs zero additional jobs. Strong reference is fine: O(sparse
+      * commits) strings. */
+    @volatile private[graft] var sidecarMemo: Set[String] = _
     private[graft] def tailPairCount: Long =
       tailAdds.valuesIterator.map(_.size.toLong).sum
     private[graft] def removedPairCount: Long =
@@ -778,21 +798,38 @@ object Lake {
               else files.distinct.toArray.sorted: Array[String])
             val detArr = dd.detachedFiles.toArray.sorted
             val remPairs = dd.removedPairs
-            val cp = spark.read
-              .schema(StructType(CpEntrySchema.take(3)))
-              .parquet(dd.entriesDir).rdd.flatMap { r =>
-                if (r.getString(0) != "V") None
-                else {
-                  val f = r.getString(1)
-                  def hit(a: Array[String]): Boolean = a.nonEmpty &&
-                    java.util.Arrays.binarySearch(a.asInstanceOf[Array[AnyRef]], f) >= 0
-                  val wanted = wantedB.value
-                  if ((wanted.nonEmpty && !hit(wanted)) ||
-                      dvPairMasked(detArr, remPairs, f, r.getString(2))) None
-                  else Some((f, r.getString(2)))
-                }
-              }.collect().sorted
-            wantedB.destroy()
+            // destroyed in a finally: a torn-check/FS failure inside the
+            // scan must not leak the membership broadcast
+            // ([[compactionCensus]] sets the idiom)
+            val parts =
+              try {
+                spark.read
+                  .schema(StructType(CpEntrySchema.take(3)))
+                  .parquet(dd.entriesDir).rdd.mapPartitions { it =>
+                    val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+                    // the same pass ALSO derives every live pair's
+                    // sidecar (bounded set) so the plan's later
+                    // distinct-sidecar ask costs no second job
+                    val sides = scala.collection.mutable.HashSet.empty[String]
+                    it.foreach { r =>
+                      if (r.getString(0) == "V") {
+                        val f = r.getString(1)
+                        val s = r.getString(2)
+                        if (!dvPairMasked(detArr, remPairs, f, s)) {
+                          sides += s
+                          def hit(a: Array[String]): Boolean = a.nonEmpty &&
+                            java.util.Arrays.binarySearch(a.asInstanceOf[Array[AnyRef]], f) >= 0
+                          val wanted = wantedB.value
+                          if (wanted.isEmpty || hit(wanted)) pairs += ((f, s))
+                        }
+                      }
+                    }
+                    Iterator.single((pairs.toArray, sides.toSet))
+                  }.collect()
+              } finally wantedB.destroy()
+            val cp = parts.flatMap(_._1).sorted
+            dd.sidecarMemo = parts.iterator.map(_._2)
+              .foldLeft(dd.tailAdds.valuesIterator.flatten.toSet)(_ ++ _)
             mergeDvPairs(cp, tailPart)
           }
         }
@@ -837,12 +874,20 @@ object Lake {
       dvs: Map[String, Seq[String]]): Set[String] = dvs match {
     case dd: DeferredDvs =>
       if (dd.cheapIsEmpty.contains(true)) Set.empty
+      else if (dd.sidecarMemo != null) dd.sidecarMemo // an earlier scoped pass derived it
       else {
         val cached = dd.cachedOrNull
         if (cached != null) cached.valuesIterator.flatten.toSet
         else {
           dvScopedJobs.incrementAndGet()
-          dvPairsRdd(spark, dd).values.distinct().collect().toSet
+          // per-partition set fold, NOT a distinct(): the result is
+          // bounded (one sidecar dir per sparse mutation) so a shuffle
+          // stage buys nothing over a single-stage union of small sets
+          val s = dvPairsRdd(spark, dd)
+            .mapPartitions(it => Iterator.single(it.map(_._2).toSet))
+            .collect().foldLeft(Set.empty[String])(_ ++ _)
+          dd.sidecarMemo = s
+          s
         }
       }
     case m => m.valuesIterator.flatten.toSet
@@ -1232,15 +1277,52 @@ object Lake {
     fields.grouped(3).map { case Seq(c, mn, mx) => ColStat(dec(c), dec(mn), dec(mx)) }.toSeq
   }
 
+  /** The log feature table (Delta's `minReaderVersion` idiom): the
+    * highest feature LEVEL this build's parsers understand. A log record
+    * that uses tags above the base set stamps `mr=<level>` into its
+    * header — written ONLY then, so old logs replay byte-identically —
+    * and parsers check the stamp FIRST, turning "unknown tag X" into the
+    * self-describing "requires reader ≥ N, this build reads ≤ M".
+    *
+    * Levels:
+    *   - 1: the base `graft-delta-v1` / `graft-checkpoint-v1/v2/v3` tag
+    *     sets (implicit — never stamped);
+    *   - 2: the `HX` history-checksum stub line, filtered restates
+    *     (`ASF`) and detached-sidecar lines (`VD`) in deltas. (The DC/VC
+    *     checksum FIELDS need no gate: level-1 parsers ignore extra
+    *     fields on known tags.)
+    */
+  private[graft] val ReaderFeatureVersion = 2
+
+  private def mrStamp(level: Int): String = s"mr=$level"
+
+  /** Parse the `mr=` stamp out of a record's header fields and refuse
+    * FIRST — before any tag is interpreted — when the log demands a
+    * newer reader. `what` names the record kind for the error. */
+  private def checkMinReader(headerFields: Seq[String], what: String): Unit =
+    headerFields.iterator
+      .filter(_.startsWith("mr="))
+      .flatMap(_.stripPrefix("mr=").toIntOption)
+      .find(_ > ReaderFeatureVersion)
+      .foreach { n =>
+        throw new IllegalStateException(
+          s"this $what requires reader feature version >= $n; this build reads " +
+            s"<= $ReaderFeatureVersion — upgrade the graft library to read this log")
+      }
+
   private def renderDelta(rec: DeltaRecord): String = {
     // the header carries the audit-surface facts (action, commit
     // wall-clock, add/data-add/remove counts) so [[versionAtTimestamp]]
     // and [[describeHistory]] resolve from ONE bounded first-line read,
     // never a full-file parse; extra fields are ignored by older parsers
     val nData = rec.added.count { case (p, _) => !rec.rewrites(p) }
+    // stamp the required reader level only when a level-2 tag is
+    // actually present (ASF / VD) — see [[ReaderFeatureVersion]]
+    val mr = if (rec.statRestates.nonEmpty || rec.dvDetached.nonEmpty)
+      "\t" + mrStamp(2) else ""
     val header = s"graft-delta-v1\t${rec.action}\t${rec.timestampMs}" +
       s"\t${rec.added.size}\t$nData\t${rec.removed.size}" +
-      s"\t${rec.dvAdds.size}\t${rec.cdcFiles.size}"
+      s"\t${rec.dvAdds.size}\t${rec.cdcFiles.size}" + mr
     val schema = s"S\t${enc(rec.schemaJson)}"
     val adds = rec.added.sortBy(_._1).map { case (p, st) =>
       val tag = if (rec.rewrites(p)) "AR"
@@ -1268,6 +1350,7 @@ object Lake {
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
     val header = lines.head.split('\t')
     require(header(0) == "graft-delta-v1", s"not a graft delta record: ${lines.head.take(60)}")
+    checkMinReader(header.toSeq, "delta record") // FIRST, before any tag parse
     val action = header(1)
     val ts = header.lift(2).flatMap(_.toLongOption).getOrElse(0L)
     var schemaJson = ""
@@ -1313,7 +1396,10 @@ object Lake {
         case "KD" => kDrops += dec(f(1))
         case "L" => layout = Some(f.tail.map(dec))
         case "B" => bloomCols = Some(f.tail.map(dec))
-        case other => throw new IllegalStateException(s"unknown delta line tag: $other")
+        case other => throw new IllegalStateException(
+          s"unknown delta line tag '$other' — this record was written by a newer " +
+            "graft build than this reader (and carries no minReader gate for the " +
+            "tag); upgrade the reader library")
       }
     }
     DeltaRecord(version, action, schemaJson, added.result(), removed.result(),
@@ -1353,7 +1439,9 @@ object Lake {
 
   private def parseCheckpointFile(text: String, version: Long): LakeState = {
     val lines = text.split('\n').toSeq.filter(_.nonEmpty)
-    val complete = lines.head match {
+    val headerFields = lines.head.split('\t').toSeq
+    checkMinReader(headerFields, "checkpoint") // FIRST, before any tag parse
+    val complete = headerFields.head match {
       case "graft-checkpoint-v2" => true
       case "graft-checkpoint-v1" => false // legacy: history section unknown
       case other =>
@@ -1387,7 +1475,9 @@ object Lake {
         case "K" => checks += (dec(f(1)) -> dec(f(2)))
         case "LY" => layout = Some(f.tail.map(dec))
         case "BY" => bloomCols = f.tail.map(dec)
-        case other => throw new IllegalStateException(s"unknown checkpoint line tag: $other")
+        case other => throw new IllegalStateException(
+          s"unknown checkpoint line tag '$other' — written by a newer graft build " +
+            "(no minReader gate for the tag); upgrade the reader library")
       }
     }
     LakeState(version, schemaJson, files.result().sorted, stats.result(), hist.result().sorted,
@@ -1413,7 +1503,12 @@ object Lake {
       vPairs: Long,
       fXor: Option[Long] = None, hXor: Option[Long] = None,
       vXor: Option[Long] = None): String = {
-    val header = "graft-checkpoint-v3"
+    // the HX line below is a level-2 tag a v3-base reader cannot parse:
+    // stamp the required reader level so that reader refuses with the
+    // version message instead of "unknown tag" ([[ReaderFeatureVersion]];
+    // `startsWith("graft-checkpoint-v3")` routing still matches)
+    val header = "graft-checkpoint-v3" +
+      (if (hXor.isDefined) "\t" + mrStamp(2) else "")
     val schema = s"S\t${enc(st.schemaJson)}"
     val pq = s"PQ\t${enc(dirName)}\t$entries"
     // `DC`: the F-row count, whether the DR sums cover every resident,
@@ -1739,8 +1834,16 @@ object Lake {
     * the former O(files) driver grouping onto executors. Returns the
     * capped rollup map plus the sums-coverage flag for the stub's `DC`
     * line. */
+  /** Row census of a written entries directory — total row count, V-pair
+    * count, and the per-section content checksums the stub records for
+    * the next load's torn checks. Rides [[aggregateDirRollups]]' single
+    * pass (an exact RDD fold, NOT accumulators — task retries must never
+    * perturb a checksum). */
+  private final case class EntriesCensus(rows: Long, vPairs: Long,
+      xF: Long, xH: Long, xV: Long)
+
   private def aggregateDirRollups(spark: SparkSession, entriesDir: String,
-      schemaJson: String, cap: Int): (Map[String, Seq[ColStat]], Boolean) = {
+      schemaJson: String, cap: Int): (Map[String, Seq[ColStat]], Boolean, EntriesCensus) = {
     val dts = rollupTypes(schemaJson)
     val rn = RowsStatName
     val bn = BytesStatName
@@ -1757,26 +1860,40 @@ object Lake {
       DirAgg(env, a.rows + b.rows, a.rowsOk && b.rowsOk,
         a.bytes + b.bytes, a.bytesOk && b.bytesOk)
     }
-    val perDir: Map[String, DirAgg] = spark.read.schema(CpEntrySchema)
+    val (perDir, census) = spark.read.schema(CpEntrySchema)
       .parquet(entriesDir).rdd.mapPartitions { it =>
         val m = scala.collection.mutable.HashMap.empty[String, DirAgg]
+        var n = 0L
+        var nV = 0L
+        var xF = 0L
+        var xH = 0L
+        var xV = 0L
         it.foreach { r =>
-          if (r.getString(0) == "F") {
-            val d = dirOfFile(r.getString(1))
-            val cs: Seq[org.apache.spark.sql.Row] =
-              if (r.isNullAt(3)) Seq.empty else r.getSeq(3)
-            val env = cs.iterator.filter(s => dts.contains(s.getString(0)))
-              .map(s => s.getString(0) -> (s.getString(1), s.getString(2))).toMap
-            val rows = cs.find(_.getString(0) == rn).flatMap(_.getString(1).toLongOption)
-            val bytes = cs.find(_.getString(0) == bn).flatMap(_.getString(1).toLongOption)
-            val agg = DirAgg(env, rows.getOrElse(0L), rows.isDefined,
-              bytes.getOrElse(0L), bytes.isDefined)
-            m.update(d, m.get(d).fold(agg)(merge(_, agg)))
+          n += 1
+          r.getString(0) match {
+            case "F" =>
+              xF ^= pathHash64(r.getString(1))
+              val d = dirOfFile(r.getString(1))
+              val cs: Seq[org.apache.spark.sql.Row] =
+                if (r.isNullAt(3)) Seq.empty else r.getSeq(3)
+              val env = cs.iterator.filter(s => dts.contains(s.getString(0)))
+                .map(s => s.getString(0) -> (s.getString(1), s.getString(2))).toMap
+              val rows = cs.find(_.getString(0) == rn).flatMap(_.getString(1).toLongOption)
+              val bytes = cs.find(_.getString(0) == bn).flatMap(_.getString(1).toLongOption)
+              val agg = DirAgg(env, rows.getOrElse(0L), rows.isDefined,
+                bytes.getOrElse(0L), bytes.isDefined)
+              m.update(d, m.get(d).fold(agg)(merge(_, agg)))
+            case "H" => xH ^= pathHash64(r.getString(1))
+            case "V" =>
+              nV += 1; xV ^= dvPairHash64(r.getString(1), r.getString(2))
+            case _ => ()
           }
         }
-        Iterator.single(m.toMap)
-      }.fold(Map.empty) { (x, y) =>
-        x ++ y.map { case (k, v) => k -> x.get(k).fold(v)(merge(_, v)) }
+        Iterator.single((m.toMap, EntriesCensus(n, nV, xF, xH, xV)))
+      }.fold((Map.empty[String, DirAgg], EntriesCensus(0L, 0L, 0L, 0L, 0L))) { (x, y) =>
+        (x._1 ++ y._1.map { case (k, v) => k -> x._1.get(k).fold(v)(merge(_, v)) },
+          EntriesCensus(x._2.rows + y._2.rows, x._2.vPairs + y._2.vPairs,
+            x._2.xF ^ y._2.xF, x._2.xH ^ y._2.xH, x._2.xV ^ y._2.xV))
       }
     val dirAggs = perDir - "" // root-resident files belong to no key
     val m0: Map[String, Seq[ColStat]] = dirAggs.map { case (d, a) =>
@@ -1790,7 +1907,7 @@ object Lake {
     val complete = dirAggs.nonEmpty && !perDir.contains("") &&
       dirAggs.keysIterator.forall(d => rollupKeyOf(folded.keySet, d).exists(k =>
         ReservedStatNames.forall(n => folded(k).exists(_.col == n))))
-    (folded, complete)
+    (folded, complete, census)
   }
 
   /** Number of file-scale entries a checkpoint of `st` would carry —
@@ -1801,7 +1918,14 @@ object Lake {
     * on that path, never from this. */
   private def checkpointEntryCount(st: LakeState): Long =
     st.files.size.toLong + st.history.size + dvPairCountUpper(st.dvs) +
-      st.dvHistory.size + st.cdc.size
+      sidecarCountUpper(st.dvHistory) + sidecarCountUpper(st.cdc)
+
+  /** Upper-bound count of a sidecar list without forcing a deferred one
+    * (a `dedupe` [[DeferredHistory]]'s exact `length` costs a job). */
+  private def sidecarCountUpper(s: Seq[String]): Long = s match {
+    case dh: DeferredHistory => dh.lengthUpper
+    case c => c.size.toLong
+  }
 
   private def dvPairCountUpper(dvs: Map[String, Seq[String]]): Long = dvs match {
     case dd: DeferredDvs => dd.cpDvPairs + dd.tailPairCount
@@ -1833,7 +1957,11 @@ object Lake {
     var hXorS: Option[Long] = None
     var vXorS: Option[Long] = None
     def parseXor(v: String): Long = java.lang.Long.parseUnsignedLong(v, 16)
-    text.split('\n').toSeq.filter(_.nonEmpty).tail.foreach { l =>
+    val stubLines = text.split('\n').toSeq.filter(_.nonEmpty)
+    // the mr= stamp gates FIRST: a stub carrying tags above this build's
+    // feature table refuses with the version message, never "unknown tag"
+    checkMinReader(stubLines.head.split('\t').toSeq, "checkpoint stub")
+    stubLines.tail.foreach { l =>
       val f = l.split('\t').toSeq
       f.head match {
         case "S" => schemaJson = dec(f(1))
@@ -1851,7 +1979,9 @@ object Lake {
         case "LY" => layout = Some(f.tail.map(dec))
         case "BY" => bloomCols = f.tail.map(dec)
         case "SC" => scCols = Some(f.tail.map(dec).toSet)
-        case other => throw new IllegalStateException(s"unknown checkpoint stub line tag: $other")
+        case other => throw new IllegalStateException(
+          s"unknown checkpoint stub line tag '$other' — written by a newer graft " +
+            "build (no minReader gate for the tag); upgrade the reader library")
       }
     }
     val (dirName, expected) = pq.getOrElse(throw new IllegalStateException(
@@ -1982,7 +2112,10 @@ object Lake {
               Some(old.getOrElse(Vector.empty) :+ ColStat(dec(f(0)), dec(f(1)), dec(f(2))))
             }
           }
-        case other => throw new IllegalStateException(s"unknown checkpoint entry tag: $other")
+        case other => throw new IllegalStateException(
+          s"unknown checkpoint entry tag '$other' — the entries were written by a " +
+            "newer graft build (the stub's mr= stamp gates new STUB tags; a new " +
+            "ENTRIES section implies one); upgrade the reader library")
       }
     }
     val liveFiles: LiveFiles =
@@ -3119,10 +3252,22 @@ object Lake {
     val pqDir: Option[Path] =
       if (goColumnar) {
         val dir = new Path(logDir(root), pqEntriesName(st.version))
+        // claim the dir BEFORE any entries task writes: the maintenance
+        // sweep ([[sweepStaleEntryDirs]]) treats a live in-progress
+        // marker as a writer's claim, so a writer that stalls between
+        // its last task write and the stub rename cannot have its
+        // directory judged a crashed leftover mid-flight. Dropped at
+        // every exit; a true crash leaves marker + dir to age out and
+        // be reclaimed together.
+        fs.create(inProgressMarker(logDir(root), dir.getName), false).close()
         st.cpLazy match {
           case Some(lz) =>
             writeEntriesIncremental(spark, st, lz, dir)
-            val (drMap, complete) = aggregateDirRollups(spark, dir.toString,
+            // the row census (counts + content checksums) rides the
+            // rollup aggregation's single pass over the new entries —
+            // no separate census job; the DR rows appended below are
+            // driver-counted (their tag carries no checksum term)
+            val (drMap, complete, census) = aggregateDirRollups(spark, dir.toString,
               st.schemaJson, dirRollupMaxDirs(spark))
             val drRows = toDrRows(drMap)
             if (drRows.nonEmpty)
@@ -3130,36 +3275,9 @@ object Lake {
                 spark.sparkContext.parallelize(drRows, 1), CpEntrySchema)
                 .write.mode("append").parquet(dir.toString)
             sumsComplete = complete
-            // ONE post-write census job over the new entries: exact
-            // total and V counts (a deferred map's live pair count is
-            // not driver-knowable) plus the content checksums the stub
-            // records for the next load's torn checks
-            val census = spark.read
-              .schema(StructType(CpEntrySchema.take(3)))
-              .parquet(dir.toString).rdd.mapPartitions { it =>
-                var n = 0L
-                var nV = 0L
-                var xF = 0L
-                var xH = 0L
-                var xV = 0L
-                it.foreach { r =>
-                  n += 1
-                  r.getString(0) match {
-                    case "F" => xF ^= pathHash64(r.getString(1))
-                    case "H" => xH ^= pathHash64(r.getString(1))
-                    case "V" =>
-                      nV += 1; xV ^= dvPairHash64(r.getString(1), r.getString(2))
-                    case _ => ()
-                  }
-                }
-                Iterator.single((n, nV, xF, xH, xV))
-              }.collect()
-            entriesActual = census.iterator.map(_._1).sum
-            vPairs = census.iterator.map(_._2).sum
-            secXors = Some((
-              census.iterator.map(_._3).foldLeft(0L)(_ ^ _),
-              census.iterator.map(_._4).foldLeft(0L)(_ ^ _),
-              census.iterator.map(_._5).foldLeft(0L)(_ ^ _)))
+            entriesActual = census.rows + drRows.size
+            vPairs = census.vPairs
+            secXors = Some((census.xF, census.xH, census.xV))
           case None =>
             val (drMap, complete) = dirRollupsWithFlag(st.files, st.stats,
               st.schemaJson, dirRollupMaxDirs(spark))
@@ -3181,7 +3299,10 @@ object Lake {
         }
         Some(dir)
       } else None
-    def dropPq(): Unit = pqDir.foreach(d => fs.delete(d, true))
+    def dropPq(): Unit = pqDir.foreach { d =>
+      fs.delete(d, true)
+      fs.delete(inProgressMarker(logDir(root), d.getName), false)
+    }
     val payload = pqDir match {
       case Some(d) =>
         renderCheckpointStub(st, d.getName, entriesActual, scOut, sumsComplete,
@@ -3193,6 +3314,24 @@ object Lake {
     val out = fs.create(tmp, false)
     try out.write(payload.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // re-assert the claim at the commit point: if a maintenance sweep
+    // reclaimed the entries dir during a stall LONGER than the reader
+    // grace, abort loudly here rather than commit a stub naming a
+    // missing directory; the fresh marker mtime also re-opens the full
+    // grace window for the renames below
+    pqDir.foreach { d =>
+      val m = inProgressMarker(logDir(root), d.getName)
+      val claimed =
+        try { fs.setTimes(m, System.currentTimeMillis(), -1); fs.exists(d) }
+        catch { case _: java.io.IOException => false }
+      if (!claimed) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"checkpoint write stalled past the reclaim grace: entries directory $d " +
+            "or its in-progress marker was swept by maintenance — aborting; " +
+            "re-run the checkpoint")
+      }
+    }
     if (!overwrite) {
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); dropPq() }
       else dropStaleEntryDirs(fs, root, st.version, keep = pqDir)
@@ -3235,6 +3374,10 @@ object Lake {
       // vacuumKeeping is the only overwrite caller)
       retireStaleEntryDirs(fs, root, st.version, keep = pqDir)
     }
+    // the stub is committed (or this write lost the rename race and
+    // dropPq already cleaned up): release the in-progress claim
+    pqDir.foreach(d =>
+      fs.delete(inProgressMarker(logDir(root), d.getName), false))
   }
 
   /** Incremental columnar-checkpoint write from a LAZILY-resolved state:
@@ -3379,6 +3522,10 @@ object Lake {
     fs.listStatus(log).toSeq.map(_.getPath)
       .filter(p => pqEntriesVersion(p.getName).contains(version))
       .filterNot(p => keep.exists(_.getName == p.getName))
+      // a CONCURRENT same-version checkpointer's in-flight dir carries
+      // its in-progress claim — leave it; if that writer loses the stub
+      // race its own cleanup (or the aged-out sweep) reclaims the pair
+      .filterNot(p => fs.exists(inProgressMarker(log, p.getName)))
       .foreach(p => fs.delete(p, true))
   }
 
@@ -3400,6 +3547,17 @@ object Lake {
 
   private def retiredMarker(log: Path, dirName: String): Path =
     new Path(log, dirName + ".retired")
+
+  /** A COLUMNAR WRITER'S claim on its entries directory: created before
+    * the first entries task writes, re-touched at the stub-rename commit
+    * point, deleted once the stub lands (or the attempt is cleaned up).
+    * A live marker excludes the directory from every reclaim pass — the
+    * top dir's mtime freezes at its first child, so without the claim a
+    * writer stalling longer than the grace between its last task write
+    * and the stub rename could have the directory swept mid-flight. A
+    * crashed writer's marker ages out with its directory. */
+  private def inProgressMarker(log: Path, dirName: String): Path =
+    new Path(log, dirName + ".inprogress")
 
   /** Mark every non-`keep` entries directory of `version` RETIRED
     * instead of deleting it: the zero-byte marker's mtime records the
@@ -3440,6 +3598,14 @@ object Lake {
       .filter(_.getPath.getName.endsWith(".retired"))
       .map(st => st.getPath.getName.stripSuffix(".retired") ->
         st.getModificationTime).toMap
+    // a LIVE in-progress marker ([[inProgressMarker]]) is a writer's
+    // claim: its directory is excluded from this pass outright (the
+    // writer re-touches the marker at its commit point; a crashed
+    // writer's marker expires by mtime and the pair reclaims together)
+    val inProgress: Map[String, Long] = all.iterator
+      .filter(_.getPath.getName.endsWith(".inprogress"))
+      .map(st => st.getPath.getName.stripSuffix(".inprogress") ->
+        st.getModificationTime).toMap
     // DANGLING markers (dir already reclaimed — e.g. a crash between
     // the dir and marker deletes) expire by their own mtime
     val dirNames = all.iterator.map(_.getPath.getName)
@@ -3447,9 +3613,13 @@ object Lake {
     markerMtime.foreach { case (n, m) =>
       if (!dirNames(n) && m < cutoff) fs.delete(retiredMarker(log, n), false)
     }
+    inProgress.foreach { case (n, m) =>
+      if (!dirNames(n) && m < cutoff) fs.delete(inProgressMarker(log, n), false)
+    }
     val candidates = all.filter { st =>
       val n = st.getPath.getName
       pqEntriesVersion(n).isDefined &&
+        inProgress.get(n).forall(_ < cutoff) &&
         markerMtime.get(n).getOrElse(st.getModificationTime) < cutoff
     }.filter { st =>
       // an UNMARKED candidate may be a CONCURRENT writer's in-flight
@@ -3472,6 +3642,7 @@ object Lake {
     candidates.map(_.getPath).filterNot(p => referenced(p.getName)).map { p =>
       fs.delete(p, true)
       fs.delete(retiredMarker(log, p.getName), false)
+      fs.delete(inProgressMarker(log, p.getName), false) // crashed writer's claim
       s"$LogDirName/${p.getName}" // lakeDir-relative, like every dead list
     }
   }
@@ -6283,8 +6454,15 @@ object Lake {
         val deferredSecs: Seq[(String, String)] =
           deferredSec(latest.dvHistory).toSeq ++ deferredSec(latest.cdc).toSeq ++
             dvDeferredDir.map((_, "V")).toSeq
+        // the job-side census reads ONE entries dir; by construction all
+        // of a state's deferred sections resolve through the same
+        // checkpoint, but if that invariant ever breaks, silently
+        // filtering to the head's dir would judge the other section's
+        // checkpoint-resident sidecars dead — fall back to the eager
+        // live-set path instead (correct, just forces the lists)
+        val oneEntriesDir = deferredSecs.map(_._1).distinct.sizeIs <= 1
         val deadSidecar: Seq[String] =
-          if (!latest.historyComplete || deferredSecs.isEmpty) {
+          if (!latest.historyComplete || deferredSecs.isEmpty || !oneEntriesDir) {
             val liveSidecar: Set[String] =
               if (latest.historyComplete)
                 distinctLiveSidecars(spark, latest.dvs) ++

@@ -31,7 +31,7 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
   *     No such backend ships in this build (no cloud connectors in the
   *     container), but the seam is the one-class extension point.
   */
-private[graft] sealed trait LogStore {
+private[graft] trait LogStore { // open: the object-store impl extends here
   /** Write `payload` at `target` if and only if nothing is there; throws
     * `IllegalStateException("concurrent commit: ...")` when the version
     * was raced by another writer. `log` is the directory holding the
