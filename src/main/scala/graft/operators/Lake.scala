@@ -1827,13 +1827,6 @@ object Lake {
   private final case class DirAgg(env: Map[String, (String, String)],
       rows: Long, rowsOk: Boolean, bytes: Long, bytesOk: Boolean)
 
-  /** Recompute the `DR` rollups from the freshly-written entries
-    * directory in ONE Spark job — the INCREMENTAL checkpoint's rollup
-    * source. Exact after removals and restates (the rows ARE the new
-    * state), needs no driver path list (path-lazy states), and moves
-    * the former O(files) driver grouping onto executors. Returns the
-    * capped rollup map plus the sums-coverage flag for the stub's `DC`
-    * line. */
   /** Row census of a written entries directory — total row count, V-pair
     * count, and the per-section content checksums the stub records for
     * the next load's torn checks. Rides [[aggregateDirRollups]]' single
@@ -1842,6 +1835,13 @@ object Lake {
   private final case class EntriesCensus(rows: Long, vPairs: Long,
       xF: Long, xH: Long, xV: Long)
 
+  /** Recompute the `DR` rollups from the freshly-written entries
+    * directory in ONE Spark job — the INCREMENTAL checkpoint's rollup
+    * source. Exact after removals and restates (the rows ARE the new
+    * state), needs no driver path list (path-lazy states), and moves
+    * the former O(files) driver grouping onto executors. Returns the
+    * capped rollup map, the sums-coverage flag for the stub's `DC`
+    * line, and the [[EntriesCensus]] the same pass derived. */
   private def aggregateDirRollups(spark: SparkSession, entriesDir: String,
       schemaJson: String, cap: Int): (Map[String, Seq[ColStat]], Boolean, EntriesCensus) = {
     val dts = rollupTypes(schemaJson)
@@ -3260,7 +3260,12 @@ object Lake {
         // every exit; a true crash leaves marker + dir to age out and
         // be reclaimed together.
         fs.create(inProgressMarker(logDir(root), dir.getName), false).close()
-        st.cpLazy match {
+        // an in-process write failure (a thrown entries/rollup job) must
+        // not leak the claim: the partial dir stays (the pre-existing
+        // crashed-attempt shape, reclaimed by retry-time cleanup or the
+        // sweep) but the marker goes, so the retry's same-version
+        // dropStaleEntryDirs is not blocked by a dead claim
+        try st.cpLazy match {
           case Some(lz) =>
             writeEntriesIncremental(spark, st, lz, dir)
             // the row census (counts + content checksums) rides the
@@ -3296,6 +3301,10 @@ object Lake {
             spark.createDataFrame(
               spark.sparkContext.parallelize(rows, slices), CpEntrySchema)
               .write.parquet(dir.toString)
+        } catch {
+          case t: Throwable =>
+            fs.delete(inProgressMarker(logDir(root), dir.getName), false)
+            throw t
         }
         Some(dir)
       } else None
@@ -3332,9 +3341,30 @@ object Lake {
             "re-run the checkpoint")
       }
     }
+    // POST-rename verify for the other side of the sweep race: a sweep
+    // whose final per-dir check ran just before our rename can still
+    // delete the dir just after it — detect that here, UNDO the stub
+    // (a missing checkpoint is always safe: the deltas still resolve;
+    // a stub naming a missing dir is not) and fail loudly. `undo`
+    // restores the pre-commit checkpoint state for the path taken.
+    def verifyClaimedDirSurvived(undo: () => Unit): Unit =
+      pqDir.foreach { d =>
+        if (!fs.exists(d)) {
+          undo()
+          fs.delete(inProgressMarker(logDir(root), d.getName), false)
+          throw new IllegalStateException(
+            s"checkpoint entries directory $d was reclaimed by a concurrent " +
+              "maintenance sweep (write stalled past the reader grace) — the " +
+              "just-committed stub was rolled back; re-run the checkpoint")
+        }
+      }
     if (!overwrite) {
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); dropPq() }
-      else dropStaleEntryDirs(fs, root, st.version, keep = pqDir)
+      else {
+        verifyClaimedDirSurvived(() => fs.delete(target, false))
+        dropStaleEntryDirs(fs, root, st.version, keep = pqDir,
+          replacedEntriesGraceMs(spark))
+      }
     } else {
       // the aside name carries the version ([[asideName]]): a crash
       // between the two renames strands the old checkpoint there, and the
@@ -3364,6 +3394,12 @@ object Lake {
         throw new IllegalStateException(
           s"checkpoint replace failed: could not rename $tmp to $target — " +
             "aborting before any history is retired")
+      }
+      // verify BEFORE dropping the aside: rolling the old checkpoint
+      // back is only possible while it still exists
+      verifyClaimedDirSurvived { () =>
+        if (hadOld) fs.rename(aside, target) // restore the pre-cut stub
+        else fs.delete(target, false)
       }
       if (hadOld) fs.delete(aside, false)
       // the replaced checkpoint's entries directory (and any crashed
@@ -3516,17 +3552,27 @@ object Lake {
     * ([[retireStaleEntryDirs]]) because a live reader may hold a
     * deferred list over the replaced directory. */
   private def dropStaleEntryDirs(fs: FileSystem, root: Path, version: Long,
-      keep: Option[Path]): Unit = {
+      keep: Option[Path], claimGraceMs: Long): Unit = {
     val log = logDir(root)
     if (!fs.exists(log)) return
     fs.listStatus(log).toSeq.map(_.getPath)
       .filter(p => pqEntriesVersion(p.getName).contains(version))
       .filterNot(p => keep.exists(_.getName == p.getName))
       // a CONCURRENT same-version checkpointer's in-flight dir carries
-      // its in-progress claim — leave it; if that writer loses the stub
-      // race its own cleanup (or the aged-out sweep) reclaims the pair
-      .filterNot(p => fs.exists(inProgressMarker(log, p.getName)))
-      .foreach(p => fs.delete(p, true))
+      // its LIVE in-progress claim — leave it; if that writer loses the
+      // stub race its own cleanup reclaims the pair. An EXPIRED claim
+      // (a hard-crashed writer: in-process failures delete theirs) is
+      // no claim — the dir reclaims here like any crashed attempt.
+      .filterNot { p =>
+        val cutoff = System.currentTimeMillis() - claimGraceMs
+        try fs.getFileStatus(inProgressMarker(log, p.getName))
+          .getModificationTime >= cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      .foreach { p =>
+        fs.delete(p, true)
+        fs.delete(inProgressMarker(log, p.getName), false) // expired claim
+      }
   }
 
   /** Reader grace for REPLACED checkpoint entries directories: a
@@ -3639,11 +3685,30 @@ object Lake {
         else readLogFile(fs, cp).split('\n')
           .find(_.startsWith("PQ\t")).map(l => dec(l.split('\t')(1)))
       }.toSet
-    candidates.map(_.getPath).filterNot(p => referenced(p.getName)).map { p =>
-      fs.delete(p, true)
-      fs.delete(retiredMarker(log, p.getName), false)
-      fs.delete(inProgressMarker(log, p.getName), false) // crashed writer's claim
-      s"$LogDirName/${p.getName}" // lakeDir-relative, like every dead list
+    candidates.map(_.getPath).filterNot(p => referenced(p.getName)).flatMap { p =>
+      // FINAL per-dir re-check at the delete point: the listing and the
+      // batch referenced-check above are a stale snapshot by now — a
+      // writer that was stalled past the grace may have RESUMED, and
+      // either its re-touched claim or its just-renamed stub must win
+      // over this sweep. Shrinks the race window from sweep-duration to
+      // the µs between this check and the delete (the writer's own
+      // post-rename verify covers that residue from the other side).
+      val claimLive =
+        try fs.getFileStatus(inProgressMarker(log, p.getName))
+          .getModificationTime >= cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      val nowReferenced = pqEntriesVersion(p.getName).exists { v =>
+        val cp = new Path(log, checkpointName(v))
+        fs.exists(cp) && readLogFile(fs, cp).split('\n')
+          .find(_.startsWith("PQ\t")).exists(l => dec(l.split('\t')(1)) == p.getName)
+      }
+      if (claimLive || nowReferenced) None
+      else {
+        fs.delete(p, true)
+        fs.delete(retiredMarker(log, p.getName), false)
+        fs.delete(inProgressMarker(log, p.getName), false) // crashed writer's claim
+        Some(s"$LogDirName/${p.getName}") // lakeDir-relative, like every dead list
+      }
     }
   }
 

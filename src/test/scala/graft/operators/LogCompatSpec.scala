@@ -230,6 +230,41 @@ class LogCompatSpec extends SparkTestBase {
     } finally spark.conf.unset(Lake.ReplacedEntriesGraceMsKey)
   }
 
+  test("retry-time cleanup drops a crashed same-version attempt with an EXPIRED claim, spares a LIVE one") {
+    val out = freshDir("compat-claim-retry")
+    val docs = spark.range(20).select(col("id").as("doc_id"),
+      (col("id") % 2).cast("int").as("shard_id"))
+    Lake.init(spark, docs, out, Seq("shard_id"))
+    spark.conf.set(Lake.CheckpointParquetMinEntriesKey, "1")
+    try {
+      val v = Lake.latestManifest(spark, out).get.version
+      val logP = java.nio.file.Paths.get(out, Lake.LogDirName)
+      def mkAttempt(tag: String, markerAgeMs: Long): (java.nio.file.Path, java.nio.file.Path) = {
+        val d = logP.resolve(f"v$v%020d.checkpoint-$tag.pqentries")
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.write(d.resolve("part-0.parquet"), "x".getBytes)
+        val m = logP.resolve(d.getFileName.toString + ".inprogress")
+        java.nio.file.Files.write(m, Array.empty[Byte])
+        java.nio.file.Files.setLastModifiedTime(m,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - markerAgeMs))
+        (d, m)
+      }
+      // a hard-crashed writer: claim far past the grace — no claim
+      val (deadDir, deadMarker) = mkAttempt("0ld0ld0l", 3L * 60 * 60 * 1000)
+      // a CONCURRENT writer mid-flight: claim touched seconds ago
+      val (liveDir, _) = mkAttempt("l1vel1ve", 0L)
+      Lake.checkpointNow(spark, out)
+      assert(!java.nio.file.Files.exists(deadDir) &&
+        !java.nio.file.Files.exists(deadMarker),
+        "an expired claim is no claim: the crashed attempt reclaims on retry")
+      assert(java.nio.file.Files.exists(liveDir),
+        "a live claim protects a concurrent writer's in-flight directory")
+      Lake.invalidateStateCache()
+      assert(Lake.read(spark, out).count() == 20L)
+    } finally spark.conf.unset(Lake.CheckpointParquetMinEntriesKey)
+  }
+
   // ---------------------------------------------------------------
   // DeferredHistory's Seq contract under dedupe
   // ---------------------------------------------------------------
