@@ -163,6 +163,42 @@ class LogCompatSpec extends SparkTestBase {
           s"concurrent commit: precondition failed, $target already exists")
   }
 
+  test("rename+read-back store: a REAL same-JVM thread race yields exactly one winner per version") {
+    val (fs, log) = freshLog()
+    val races = 30
+    val writersPerVersion = 4
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (0 until races).flatMap { v =>
+        (0 until writersPerVersion).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try {
+                RenameReadBackLogStore.putIfAbsent(fs, log,
+                  new Path(log, s"v$v.manifest"), s"writer-$w-of-v$v")
+                wins.incrementAndGet()
+              } catch {
+                case e: IllegalStateException
+                    if e.getMessage.startsWith("concurrent commit") =>
+                  losses.incrementAndGet()
+              }
+          })
+        }
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() == races,
+      s"same-JVM put-if-absent must be exact (striped lock): ${wins.get()} wins/$races")
+    assert(losses.get() == races * (writersPerVersion - 1))
+    // and what landed is intact (no torn interleaved content)
+    for (v <- 0 until races) {
+      val in = fs.open(new Path(log, s"v$v.manifest"))
+      val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      assert(back.matches(s"writer-\\d-of-v$v"), s"torn record at v$v: $back")
+    }
+  }
+
   test("conditional-put contract: N racing publishers per version, exactly one wins each") {
     val (fs, log) = freshLog()
     val races = 50
