@@ -3312,6 +3312,14 @@ object Lake {
       fs.delete(d, true)
       fs.delete(inProgressMarker(logDir(root), d.getName), false)
     }
+    def releaseClaim(): Unit = pqDir.foreach(d =>
+      fs.delete(inProgressMarker(logDir(root), d.getName), false))
+    // no EXIT of this function may leave a live claim behind (only a
+    // hard crash does): any throw between here and the final release —
+    // a failed tmp write, a lost rename, a sweep-race abort — releases
+    // it on the way out, so a same-version retry's cleanup is never
+    // blocked by this attempt's dead claim
+    try {
     val payload = pqDir match {
       case Some(d) =>
         renderCheckpointStub(st, d.getName, entriesActual, scOut, sumsComplete,
@@ -3330,9 +3338,14 @@ object Lake {
     // grace window for the renames below
     pqDir.foreach { d =>
       val m = inProgressMarker(logDir(root), d.getName)
+      // only a MISSING marker/dir is evidence the claim was lost — a
+      // transient FS error propagates as itself (retryable), never as a
+      // spurious "swept by maintenance"
       val claimed =
-        try { fs.setTimes(m, System.currentTimeMillis(), -1); fs.exists(d) }
-        catch { case _: java.io.IOException => false }
+        try {
+          if (!fs.exists(m)) false
+          else { fs.setTimes(m, System.currentTimeMillis(), -1); fs.exists(d) }
+        } catch { case _: java.io.FileNotFoundException => false }
       if (!claimed) {
         fs.delete(tmp, false)
         throw new IllegalStateException(
@@ -3351,11 +3364,19 @@ object Lake {
       pqDir.foreach { d =>
         if (!fs.exists(d)) {
           undo()
-          fs.delete(inProgressMarker(logDir(root), d.getName), false)
+          // REPORT the rollback honestly: if the undo itself failed (the
+          // bad stub still stands and still names the swept dir), the
+          // error must demand manual repair, not claim success
+          val rolledBack = !fs.exists(target) ||
+            !readLogFile(fs, target).contains(d.getName)
           throw new IllegalStateException(
             s"checkpoint entries directory $d was reclaimed by a concurrent " +
-              "maintenance sweep (write stalled past the reader grace) — the " +
-              "just-committed stub was rolled back; re-run the checkpoint")
+              "maintenance sweep (write stalled past the reader grace) — " +
+              (if (rolledBack)
+                "the just-committed stub was rolled back; re-run the checkpoint"
+              else
+                s"and the stub at $target could NOT be rolled back: delete it " +
+                  "manually before reading this version (the deltas still resolve)"))
         }
       }
     if (!overwrite) {
@@ -3396,10 +3417,15 @@ object Lake {
             "aborting before any history is retired")
       }
       // verify BEFORE dropping the aside: rolling the old checkpoint
-      // back is only possible while it still exists
+      // back is only possible while it still exists. The bad stub is
+      // DELETED before the aside renames back — HDFS-contract renames
+      // refuse an existing target, and with target absent a failed
+      // restore leaves exactly the shape [[recoverAsides]] heals
+      // (aside present, target missing) instead of the shape it
+      // destroys (target present → aside deleted)
       verifyClaimedDirSurvived { () =>
+        fs.delete(target, false)
         if (hadOld) fs.rename(aside, target) // restore the pre-cut stub
-        else fs.delete(target, false)
       }
       if (hadOld) fs.delete(aside, false)
       // the replaced checkpoint's entries directory (and any crashed
@@ -3410,10 +3436,10 @@ object Lake {
       // vacuumKeeping is the only overwrite caller)
       retireStaleEntryDirs(fs, root, st.version, keep = pqDir)
     }
+    } catch { case t: Throwable => releaseClaim(); throw t }
     // the stub is committed (or this write lost the rename race and
     // dropPq already cleaned up): release the in-progress claim
-    pqDir.foreach(d =>
-      fs.delete(inProgressMarker(logDir(root), d.getName), false))
+    releaseClaim()
   }
 
   /** Incremental columnar-checkpoint write from a LAZILY-resolved state:
