@@ -1221,7 +1221,7 @@ object Lake {
   private def deltaName(version: Long): String = f"v$version%020d.manifest"
   private def checkpointName(version: Long): String = f"v$version%020d.checkpoint"
 
-  private def parseDelta(name: String): Option[Long] =
+  private[graft] def parseDelta(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".manifest"))
       name.stripPrefix("v").stripSuffix(".manifest").toLongOption
     else None
@@ -2300,7 +2300,7 @@ object Lake {
     case pf => EagerFiles((pf.filterNot(removed) ++ added).sorted)
   }
 
-  private def applyDelta(st: LakeState, d: DeltaRecord): LakeState = {
+  private[graft] def applyDelta(st: LakeState, d: DeltaRecord): LakeState = {
     val removed = d.removed.toSet
     // a removed file's DV attachments detach into dvHistory (time travel
     // below this version still needs the sidecars); explicit `X` detaches

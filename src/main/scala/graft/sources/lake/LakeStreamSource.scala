@@ -272,7 +272,13 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
   private def writeTracked(v: Long, schema: StructType): Unit = tracking.foreach { f =>
     val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(f, true)
-    try out.write(s"$v\n${schema.json}".getBytes("UTF-8")) finally out.close()
+    // track what the stream SERVES — the VISIBLE schema. A dropped
+    // column's tombstone is manifest bookkeeping, not a served column:
+    // tracking it raw would make the restart's chain validation (which
+    // rightly compares visible-to-visible) refuse forever on any lake
+    // that ever dropped a column
+    val served = StructType(schema.filterNot(Lake.isDropped))
+    try out.write(s"$v\n${served.json}".getBytes("UTF-8")) finally out.close()
   }
   private def readTracked(): Option[(Long, StructType)] = tracking.flatMap { f =>
     val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
@@ -289,7 +295,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         v <- text.take(math.max(nl, 0)).toLongOption
         s <- scala.util.Try(DataType.fromJson(text.drop(nl + 1))
           .asInstanceOf[StructType]).toOption
-      } yield (v, s)
+        // self-heal logs written before writeTracked filtered tombstones
+      } yield (v, StructType(s.filterNot(Lake.isDropped)))
     }
   }
   // validate the tracked→current chain before advancing the log: every
@@ -333,8 +340,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     val log = new Path(fs.makeQualified(root), Lake.LogDirName)
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-      .flatMap(n => n.stripPrefix("v").stripSuffix(".manifest").toLongOption)
+      .flatMap(Lake.parseDelta) // ONE parser for the log naming device
       .sorted
   }
 
@@ -356,8 +362,16 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         // streams (header-resolved, O(line) per retained version); a time
         // newer than every retained commit tails from now
         val tsMs = t.toLongOption.getOrElse {
-          try java.sql.Timestamp.valueOf(t).getTime
-          catch { case _: IllegalArgumentException =>
+          // the literal form reads in the SESSION time zone — the same
+          // zone every other timestamp surface here uses (partition
+          // value casts, Delta's own timestampAsOf) — never the JVM
+          // default, which silently skews the start point across hosts
+          try {
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .atZone(zone).toInstant.toEpochMilli
+          } catch { case _: java.time.format.DateTimeParseException =>
             throw new IllegalArgumentException(
               "graft-lake-cdc: startingTimestamp must be epoch millis or " +
                 s"'yyyy-MM-dd HH:mm:ss', got '$t'")
@@ -567,16 +581,64 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     }
   }
 
+  /** Per-version plan memo: byte/file-bounded ADMISSION walks the
+    * candidate versions one at a time and `planInputPartitions` then
+    * plans the admitted range — without the memo every sidecar join,
+    * skip load and delta read would run TWICE per micro-batch. A
+    * version's plan is immutable once committed, so the memo is safe;
+    * entries at or below a committed offset evict in [[commit]]. */
+  private val plannedMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[PlannedFile]]()
+
+  /** Rolling prior-state fold for the spurious-delete and restore
+    * checks: the FIRST version that needs state v-1 pays one
+    * [[Lake.stateAt]] resolution, and every later version in the same
+    * ascending walk folds forward with one in-memory
+    * [[Lake.applyDelta]] per step — the batch [[Lake.changeFeed]]'s
+    * own shape, instead of O(range × replay) log reads on a delete-
+    * heavy catch-up. */
+  @volatile private var priorFold: Option[(Long, Lake.LakeState)] = None
+
+  private def stateBefore(v: Long): Option[Lake.LakeState] =
+    priorFold match {
+      case Some((pv, st)) if pv == v - 1 => Some(st)
+      case _ =>
+        // v-1 may predate retention — the caller decides the fallback
+        val r = scala.util.Try(Lake.stateAt(spark, lakeDir, v - 1)).toOption
+        r.foreach(st => priorFold = Some((v - 1, st)))
+        r
+    }
+
   /** The files versions `(s, e]` contribute, with their feed tags. */
-  private def plannedFiles(s: Long, e: Long): Seq[PlannedFile] = {
+  private def plannedFiles(s: Long, e: Long): Seq[PlannedFile] =
+    ((s + 1) to e).flatMap(filesOfVersion)
+
+  private def filesOfVersion(v: Long): Seq[PlannedFile] = {
+    val hit = plannedMemo.get(v)
+    if (hit != null) return hit
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)
     val out = Seq.newBuilder[PlannedFile]
-    ((s + 1) to e).foreach { v =>
+    locally {
       val d = Lake.deltaAt(spark, lakeDir, v)
       assertNoEvolution(v, d.schemaJson)
       val restore = d.action == "restore"
+      // the batch feed's rule, verbatim: a removing commit from a
+      // pre-change-feed build has no sidecar to reconstruct its delete
+      // pre-images from — REFUSE loudly; silently emitting nothing
+      // would leave a mirroring consumer keeping deleted rows forever
+      // (compact/dvcompact/repartition remove no rows and are exempt;
+      // a restore's removals stream wholesale below)
+      if (cdcMode && !restore && d.cdcFiles.isEmpty &&
+          (d.removed.nonEmpty || d.dvAdds.nonEmpty) &&
+          d.action != "compact" && d.action != "dvcompact" &&
+          d.action != "repartition")
+        throw new IllegalStateException(
+          s"graft-lake-cdc: version $v (${d.action}) removed rows but carries no " +
+            "change-feed sidecar (committed by a pre-change-feed build) — its " +
+            "delete pre-image is not reconstructible; stream from a later " +
+            "startingVersion")
       // a restore's re-added files may carry RE-ATTACHED vectors (its
       // `D` lines): those rows are deleted in the restored state, so the
       // re-insert decode skips their positions
@@ -623,8 +685,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
             // Only the prior state's DISTINCT sidecar list is consulted
             // (O(sparse commits)); a deferred attachment map never
             // forces here
-            val priorSidecars = scala.util.Try(Lake.stateAt(spark, lakeDir, v - 1))
-              .toOption.map(p => Lake.distinctLiveSidecars(spark, p.dvs).toSeq.sorted)
+            val priorSidecars = stateBefore(v)
+              .map(p => Lake.distinctLiveSidecars(spark, p.dvs).toSeq.sorted)
               .getOrElse(Seq.empty)
             if (priorSidecars.isEmpty) Map.empty
             else {
@@ -675,7 +737,9 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
           // or strictly-keyed mirrors. Exactly like the batch
           // [[Lake.changeFeed]], the pre-restore attachments load once
           // driver-side and the per-file decode SKIPS those positions.
-          val pre = Lake.stateAt(spark, lakeDir, v - 1)
+          // a restore REQUIRES v-1 resolvable (unlike the spurious-skip
+          // fallback): surface the resolution error if the fold missed
+          val pre = stateBefore(v).getOrElse(Lake.stateAt(spark, lakeDir, v - 1))
           // scoped to the restore's removed files — one bounded entries
           // job on a deferred map, never a whole-map force
           val preAttach = Lake.dvsFor(spark, pre.dvs, d.removed)
@@ -685,8 +749,16 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
               removedSkips.getOrElse(f, Seq.empty)))
         }
       }
+      // keep the fold current so the NEXT version's stateBefore is one
+      // in-memory applyDelta instead of a fresh log resolution
+      priorFold = priorFold match {
+        case Some((pv, st)) if pv == v - 1 => Some((v, Lake.applyDelta(st, d)))
+        case other => other
+      }
     }
-    out.result()
+    val res = out.result()
+    plannedMemo.put(v, res)
+    res
   }
 
   /** Driver-side load of the positions `attach` names (file → sidecar
@@ -820,7 +892,11 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
       }
     }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // the committed range will never re-plan — drop its memo entries
+    val e = end.asInstanceOf[LakeVersionOffset].version
+    plannedMemo.keySet.removeIf(_ <= e)
+  }
   override def stop(): Unit = ()
 
   /** Shown as the source description in streaming progress — names the

@@ -92,6 +92,18 @@ private[lake] object LakeStreamingWrites {
           s"(lake-only: ${missing.mkString(", ")}; stream-only: ${extra.mkString(", ")}) — " +
           "schema evolution does not happen mid-stream; evolve the lake first " +
           "(appendToLake(mergeSchema = true)), then restart")
+    // the documented contract is "castable types refused loudly at
+    // stream start" — enforce it HERE, not as an unresolved-Cast codegen
+    // failure on an executor at the first micro-batch
+    val uncastable = visible.flatMap { f =>
+      querySchema.find(q => resolver(q.name, f.name))
+        .filterNot(q => Cast.canCast(q.dataType, f.dataType))
+        .map(q => s"${f.name}: ${q.dataType.simpleString} -> ${f.dataType.simpleString}")
+    }
+    if (uncastable.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-lake sink: stream column type(s) cannot cast to the lake's " +
+          s"(${uncastable.mkString("; ")}) — fix the stream's projection")
     // writer-side partitionBy arrives (when it arrives at all) as the
     // serialized option Spark's v2 writers use; the lake's committed
     // layout is authoritative, so silently accepting a different one
@@ -190,7 +202,9 @@ private[lake] object LakeStreamingWrites {
       new HadoopConfBox(conf), sql.sessionLocalTimeZone, codec.name(),
       compactEvery = intOpt("compactEvery", 0),
       compactMaxFilesPerPartition = intOpt("compactMaxFilesPerPartition", 8),
-      compactTargetRowsPerFile = longOpt("compactTargetRowsPerFile", 4000000L))
+      compactTargetRowsPerFile = longOpt("compactTargetRowsPerFile", 4000000L),
+      maxOpenWriters = intOpt("maxOpenWriters",
+        sql.getConfString("spark.graft.lake.sink.maxOpenWriters", "16").toInt))
   }
 }
 
@@ -215,13 +229,14 @@ private[lake] class LakeStreamingWrite(qualifiedLakeDir: String, queryId: String
     boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     confBox: HadoopConfBox, tz: String, codecName: String,
     compactEvery: Int, compactMaxFilesPerPartition: Int,
-    compactTargetRowsPerFile: Long) extends StreamingWrite {
+    compactTargetRowsPerFile: Long, maxOpenWriters: Int) extends StreamingWrite {
 
   private val appId = s"streaming-sink-$queryId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LakeStreamingWriterFactory(qualifiedLakeDir, querySchema, queryIdx,
-      lakeVisible, partCols, levelNames, boundLevelExprs, confBox, tz, codecName)
+      lakeVisible, partCols, levelNames, boundLevelExprs, confBox, tz, codecName,
+      maxOpenWriters)
 
   private def stagedOf(messages: Array[WriterCommitMessage]): Seq[(String, Long)] =
     messages.toSeq.collect { case LakeFilesMessage(fs) => fs }.flatten
@@ -285,12 +300,14 @@ private[lake] class LakeStreamingWriterFactory(qualifiedLakeDir: String,
     querySchema: StructType, queryIdx: Seq[Int],
     lakeVisible: StructType, partCols: Seq[String], levelNames: Seq[String],
     boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    confBox: HadoopConfBox, tz: String, codecName: String)
+    confBox: HadoopConfBox, tz: String, codecName: String,
+    maxOpenWriters: Int)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeDataWriter(qualifiedLakeDir, querySchema, queryIdx, lakeVisible, partCols,
-      levelNames, boundLevelExprs, confBox.conf, tz, codecName, partitionId, taskId, epochId)
+      levelNames, boundLevelExprs, confBox.conf, tz, codecName, partitionId, taskId, epochId,
+      maxOpenWriters)
 }
 
 /** One task's writer: casts query rows into the lake schema, routes
@@ -302,7 +319,8 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
     lakeVisible: StructType, partCols: Seq[String], levelNames: Seq[String],
     boundLevelExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     conf: Configuration, tz: String, codecName: String,
-    partitionId: Int, taskId: Long, epochId: Long)
+    partitionId: Int, taskId: Long, epochId: Long,
+    maxOpenWriters: Int = 16)
     extends DataWriter[InternalRow] {
 
   // query row -> lake row: reorder + cast in one codegen'd projection;
@@ -325,7 +343,17 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
 
   private val root = new Path(qualifiedLakeDir)
   private val codec = CompressionCodecName.valueOf(codecName)
+  // open writers are CAPPED per task: each buffers up to a parquet row
+  // group, so an unclustered stream into a high-cardinality layout
+  // (bucket(64, id)) would otherwise hold cardinality x row-group
+  // memory per task. At the cap the least-recently-WRITTEN file closes
+  // and ROLLS — a later row for that directory opens a fresh file.
+  // More, smaller files is the recoverable cost (compactLake /
+  // option("compactEvery") is the small-file path; memory has none).
+  // Insertion order in `open` is maintained as recency order by
+  // re-inserting on access, so `open.head` is the eviction victim.
   private val open = mutable.LinkedHashMap[String, (ParquetWriter[InternalRow], String)]()
+  private val rolledRels = mutable.ArrayBuffer[String]() // closed-early files, for abort
   private val counts = mutable.LinkedHashMap[String, Long]()
 
   private class RowWriterBuilder(p: Path)
@@ -387,13 +415,25 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
     val dir = dirOf(lakeRow)
     if (dir != lastDir) {
       flushLast()
-      val (w, rel) = open.getOrElseUpdate(dir, {
-        val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
-        val rel = if (dir.isEmpty) name else s"$dir/$name"
-        val b = withBlooms(new RowWriterBuilder(new Path(root, rel))
-          .withConf(conf).withCompressionCodec(codec))
-        (b.build(), rel)
-      })
+      val (w, rel) = open.remove(dir) match {
+        case Some(e) =>
+          open.update(dir, e) // re-insert: most recently used
+          e
+        case None =>
+          if (open.size >= math.max(1, maxOpenWriters)) {
+            val (oldDir, (ow, orel)) = open.head // least recently used
+            ow.close()
+            open.remove(oldDir)
+            rolledRels += orel
+          }
+          val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
+          val rel = if (dir.isEmpty) name else s"$dir/$name"
+          val b = withBlooms(new RowWriterBuilder(new Path(root, rel))
+            .withConf(conf).withCompressionCodec(codec))
+          val e = (b.build(), rel)
+          open.update(dir, e)
+          e
+      }
       lastDir = dir; lastWriter = w; lastRel = rel
     }
     lastWriter.write(dataProj(lakeRow))
@@ -409,9 +449,11 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
   override def abort(): Unit = {
     open.values.foreach { case (w, _) => scala.util.Try(w.close()) }
     val fs = root.getFileSystem(conf)
-    // `open` names every file this task created (a file may have no
-    // counts entry yet while its tally sits in the fast-path buffer)
-    open.values.foreach { case (_, rel) => fs.delete(new Path(root, rel), false) }
+    // `open` plus the cap-rolled files names every file this task
+    // created (a file may have no counts entry yet while its tally
+    // sits in the fast-path buffer)
+    (open.values.map(_._2) ++ rolledRels)
+      .foreach(rel => fs.delete(new Path(root, rel), false))
   }
 
   override def close(): Unit = ()

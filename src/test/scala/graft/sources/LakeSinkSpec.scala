@@ -374,4 +374,53 @@ class LakeSinkSpec extends SparkTestBase {
         s"every file must sit under the new layout, got ${st.files}")
     } finally q.stop()
   }
+
+  test("streaming sink refuses uncastable column types at stream START, not as an executor codegen failure") {
+    val base = java.nio.file.Files.createTempDirectory("lakesinkcast").toString
+    val out = s"$base/lake"; val src = s"$base/src"
+    Lake.init(spark, fixture(0 until 4), out, Seq("split", "shard_id"))
+    // same names, but doc_id arrives as an ARRAY — no cast to long
+    // exists (text as an array would NOT do: Spark casts anything to
+    // string, so that pair is legal)
+    val bad = Seq((Seq(100L), "x", "train", 0))
+      .toDF("doc_id", "text", "split", "shard_id")
+    bad.write.parquet(src)
+    val e = intercept[Throwable] {
+      val q = spark.readStream.schema(bad.schema).parquet(src)
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+    assert(msg.contains("cannot cast") && msg.contains("doc_id"),
+      s"expected the loud stream-start type refusal, got: $msg")
+    assert(lakeIds(out) == (0L until 4L), "the lake must be untouched")
+  }
+
+  test("streaming sink caps open writers per task: an unclustered stream into a many-partition layout lands complete under a tiny cap") {
+    val base = java.nio.file.Files.createTempDirectory("lakesinkcap").toString
+    val out = s"$base/lake"; val src = s"$base/src"
+    // 8 shards, rows deliberately unclustered (shard_id = id % 8 over an
+    // ascending id stream interleaves all shards within every task)
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("train").as("split"),
+        (col("doc_id") % 8).cast("int").as("shard_id"))
+    Lake.init(spark, docs(0 until 8), out, Seq("split", "shard_id"))
+    docs(8 until 200).coalesce(1).write.parquet(src)
+    val q = spark.readStream.schema(docs(0 until 1).schema).parquet(src)
+      .writeStream.format("graft-lake")
+      .option("checkpointLocation", s"$base/ck")
+      .option("maxOpenWriters", "2") // force rolling across 8 directories
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    assert(lakeIds(out) == (0L until 200L),
+      "every row must land exactly once through the rolled writers")
+    // rolling produced multiple files for some shard dirs — all committed
+    val st = Lake.latestManifest(spark, out).get
+    assert(st.files.size > 8, s"expected rolled files, got ${st.files.size}")
+  }
 }

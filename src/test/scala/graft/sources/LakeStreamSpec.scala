@@ -796,4 +796,92 @@ class LakeStreamSpec extends SparkTestBase {
       .filter(_._2 > 0).keySet
     assert(net == (0L until 20L).toSet -- Set(3L, 6L))
   }
+
+  test("schema tracking on a lake with a PRE-EXISTING dropped column: a zero-change restart resumes instead of refusing forever") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcpredrop").toString
+    val out = s"$base/lake"
+    def docs(ids: Range) = ids.map(i => (i.toLong, s"doc $i", s"note $i"))
+      .toDF("doc_id", "text", "note")
+      .select(col("doc_id"), col("text"), col("note"), lit("train").as("split"))
+    Lake.init(spark, docs(0 until 3), out, Seq("split"))    // v1
+    Lake.dropColumn(spark, out, "note")                     // v2: tombstone in the manifest
+    def start() = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("schemaTrackingLocation", s"$base/track")
+      .load(out)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink").option("checkpointLocation", s"$base/ck")
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    // the tombstone is manifest bookkeeping, not a served column: a
+    // restart with ZERO lake changes must follow its own tracked schema
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    Pipeline.appendToLake(spark, out,
+      Seq((10L, "doc 10")).toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("train").as("split")))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val sunk = spark.read.parquet(s"$base/sink").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sunk == Seq(0L, 1L, 2L, 10L),
+      s"tracked restarts across a pre-existing drop must stream on, got $sunk")
+  }
+
+  test("readChangeFeed refuses a removing commit with no sidecar (pre-change-feed build) instead of silently dropping its deletes") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdcprecdf").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 6), out, Seq("split", "shard_id"))  // v1
+    val st = Lake.latestManifest(spark, out).get
+    // the delta a pre-change-feed build would have committed: removes a
+    // live file, carries no C lines
+    val victim = st.files.head
+    val enc = (x: String) => java.net.URLEncoder.encode(x, "UTF-8")
+    val legacy = s"graft-delta-v1\tdelete\t${System.currentTimeMillis()}\t0\t0\t1\t0\t0\n" +
+      s"S\t${enc(st.schemaJson)}\n" +
+      s"R\t${enc(victim)}"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, Lake.LogDirName, f"v${2L}%020d.manifest"),
+      legacy.getBytes("UTF-8"))
+    Lake.invalidateStateCache()
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
+      .load(out)
+      .writeStream.format("memory").queryName("precdf_tail")
+      .start()
+    val e = intercept[Throwable] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" ")
+    assert(msg.contains("pre-change-feed") && msg.contains("not reconstructible"),
+      s"the batch feed's refusal must hold for the stream too, got: $msg")
+  }
+
+  test("startingTimestamp literal reads in the SESSION time zone, not the JVM default") {
+    val base = java.nio.file.Files.createTempDirectory("lakecdctz").toString
+    val out = s"$base/lake"
+    Lake.init(spark, fixture(0 until 4), out, Seq("split", "shard_id"))
+    // a literal spelling an-hour-ago in a zone 10h ahead of UTC:
+    // session-tz parsing puts the boundary 1h BEFORE the commit
+    // (streams it); a JVM-default (UTC) parse would put it ~9h AFTER
+    // (tails, silently dropping the commit)
+    val zone = java.time.ZoneId.of("Australia/Brisbane") // +10, no DST
+    val nowThere = java.time.LocalDateTime.now(zone).minusHours(1)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Brisbane")
+    try {
+      val q = spark.readStream.format("graft-lake-cdc")
+        .option("startingTimestamp", nowThere)
+        .load(out)
+        .writeStream.format("memory").queryName("tz_tail")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val n = spark.table("tz_tail").count()
+      assert(n == 4L,
+        s"a session-tz 'now' literal must include the just-committed version, got $n rows")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
