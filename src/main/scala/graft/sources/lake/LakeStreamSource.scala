@@ -277,7 +277,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     // tracking it raw would make the restart's chain validation (which
     // rightly compares visible-to-visible) refuse forever on any lake
     // that ever dropped a column
-    val served = StructType(schema.filterNot(Lake.isDropped))
+    val served = Lake.visible(schema) // ONE definition of "minus tombstones"
     try out.write(s"$v\n${served.json}".getBytes("UTF-8")) finally out.close()
   }
   private def readTracked(): Option[(Long, StructType)] = tracking.flatMap { f =>
@@ -296,7 +296,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         s <- scala.util.Try(DataType.fromJson(text.drop(nl + 1))
           .asInstanceOf[StructType]).toOption
         // self-heal logs written before writeTracked filtered tombstones
-      } yield (v, StructType(s.filterNot(Lake.isDropped)))
+      } yield (v, Lake.visible(s))
     }
   }
   // validate the tracked→current chain before advancing the log: every
@@ -420,21 +420,17 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         var files = 0L
         var stop = false
         while (!stop && end < byVersions) {
-          val planned = plannedFiles(end, end + 1)
+          val (planned, recorded) = versionPlan(end + 1)
           val vBytes =
             if (maxBytes.isEmpty) 0L
             else {
               // size from the version's own delta record — the manifest
-              // `#bytes` (Delta add.size) every audit captures — so a
-              // catch-up admission pass over a long backlog performs
-              // ZERO filesystem stats; only files the log predates
-              // (legacy lakes) or change-feed sidecars fall back to one
-              // stat each, counted for the spec
-              val recorded: Map[String, Long] =
-                Lake.deltaAt(spark, lakeDir, end + 1).added.flatMap {
-                  case (p, stats) => stats.find(_.col == Lake.BytesStatName)
-                    .flatMap(_.min.toLongOption).map(p -> _)
-                }.toMap
+              // `#bytes` (Delta add.size) every audit captures, memoized
+              // WITH the plan off one delta read — so a catch-up
+              // admission pass over a long backlog performs ZERO
+              // filesystem stats and re-parses nothing; only files the
+              // log predates (legacy lakes) or change-feed sidecars
+              // fall back to one stat each, counted for the spec
               planned.map { pf =>
                 recorded.getOrElse(pf.relPath, {
                   LakeStreamSource.admissionFsStats.incrementAndGet()
@@ -587,8 +583,8 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     * skip load and delta read would run TWICE per micro-batch. A
     * version's plan is immutable once committed, so the memo is safe;
     * entries at or below a committed offset evict in [[commit]]. */
-  private val plannedMemo =
-    new java.util.concurrent.ConcurrentHashMap[Long, Seq[PlannedFile]]()
+  private val plannedMemo = new java.util.concurrent.ConcurrentHashMap[
+    Long, (Seq[PlannedFile], Map[String, Long])]()
 
   /** Rolling prior-state fold for the spurious-delete and restore
     * checks: the FIRST version that needs state v-1 pays one
@@ -611,17 +607,26 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
 
   /** The files versions `(s, e]` contribute, with their feed tags. */
   private def plannedFiles(s: Long, e: Long): Seq[PlannedFile] =
-    ((s + 1) to e).flatMap(filesOfVersion)
+    ((s + 1) to e).flatMap(v => versionPlan(v)._1)
 
-  private def filesOfVersion(v: Long): Seq[PlannedFile] = {
+  /** One version's planned files plus its adds' recorded `#bytes` map
+    * (what byte-bounded admission prices with) — derived from the SAME
+    * delta read and memoized together, so admission never re-parses the
+    * log file the plan already read. */
+  private def versionPlan(v: Long): (Seq[PlannedFile], Map[String, Long]) = {
     val hit = plannedMemo.get(v)
     if (hit != null) return hit
     val root = new Path(lakeDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qroot = fs.makeQualified(root)
     val out = Seq.newBuilder[PlannedFile]
+    var recordedBytes = Map.empty[String, Long]
     locally {
       val d = Lake.deltaAt(spark, lakeDir, v)
+      recordedBytes = d.added.flatMap { case (p, stats) =>
+        stats.find(_.col == Lake.BytesStatName)
+          .flatMap(_.min.toLongOption).map(p -> _)
+      }.toMap
       assertNoEvolution(v, d.schemaJson)
       val restore = d.action == "restore"
       // the batch feed's rule, verbatim: a removing commit from a
@@ -756,7 +761,7 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
         case other => other
       }
     }
-    val res = out.result()
+    val res = (out.result(), recordedBytes)
     plannedMemo.put(v, res)
     res
   }

@@ -94,10 +94,18 @@ private[lake] object LakeStreamingWrites {
           "(appendToLake(mergeSchema = true)), then restart")
     // the documented contract is "castable types refused loudly at
     // stream start" — enforce it HERE, not as an unresolved-Cast codegen
-    // failure on an executor at the first micro-batch
+    // failure on an executor at the first micro-batch. The table must
+    // match the EVAL MODE the writer projection will resolve under:
+    // ANSI (the Spark 4 default) forbids pairs the legacy table allows
+    // (date->long, timestamp->boolean), so checking canCast alone would
+    // re-open exactly the mid-stream failure this closes
+    val ansi = spark.sessionState.conf.ansiEnabled
+    def castable(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean =
+      if (ansi) Cast.canAnsiCast(from, to) else Cast.canCast(from, to)
     val uncastable = visible.flatMap { f =>
       querySchema.find(q => resolver(q.name, f.name))
-        .filterNot(q => Cast.canCast(q.dataType, f.dataType))
+        .filterNot(q => castable(q.dataType, f.dataType))
         .map(q => s"${f.name}: ${q.dataType.simpleString} -> ${f.dataType.simpleString}")
     }
     if (uncastable.nonEmpty)
@@ -203,8 +211,16 @@ private[lake] object LakeStreamingWrites {
       compactEvery = intOpt("compactEvery", 0),
       compactMaxFilesPerPartition = intOpt("compactMaxFilesPerPartition", 8),
       compactTargetRowsPerFile = longOpt("compactTargetRowsPerFile", 4000000L),
-      maxOpenWriters = intOpt("maxOpenWriters",
-        sql.getConfString("spark.graft.lake.sink.maxOpenWriters", "16").toInt))
+      maxOpenWriters = {
+        val n = intOpt("maxOpenWriters", {
+          val raw = sql.getConfString("spark.graft.lake.sink.maxOpenWriters", "16")
+          raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+            s"graft-lake sink: spark.graft.lake.sink.maxOpenWriters must be an int, got '$raw'"))
+        })
+        if (n <= 0) throw new IllegalArgumentException(
+          s"graft-lake sink: maxOpenWriters must be positive, got $n")
+        n
+      })
   }
 }
 

@@ -419,8 +419,12 @@ class LakeSinkSpec extends SparkTestBase {
     q.awaitTermination()
     assert(lakeIds(out) == (0L until 200L),
       "every row must land exactly once through the rolled writers")
-    // rolling produced multiple files for some shard dirs — all committed
+    // rolling MUST have engaged: the single writer task (coalesce(1))
+    // touches 8 directories, so a capless writer commits exactly 8
+    // epoch files (16 with init's) — anything beyond 16 is a roll
     val st = Lake.latestManifest(spark, out).get
-    assert(st.files.size > 8, s"expected rolled files, got ${st.files.size}")
+    assert(st.files.size > 16,
+      s"expected the cap to roll files (one task x 8 dirs = 8 without it, " +
+        s"16 with init's), got ${st.files.size}")
   }
 }
