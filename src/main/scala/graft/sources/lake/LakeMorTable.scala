@@ -326,8 +326,15 @@ private[lake] class MorReaderFactory(inner: PartitionReaderFactory,
     reorder: Option[Array[Int]] = None, emitted: StructType = new StructType())
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = false
+  // declared unsupported above, so Spark never calls this — but a
+  // delegating fallthrough here would RESURFACE tombstoned rows (no
+  // position skipping, wrong column order) silently if any future code
+  // path consulted it directly; refuse loudly instead
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    inner.createColumnarReader(partition)
+    throw new UnsupportedOperationException(
+      "graft-lake MoR reader is row-mode only (position skipping + column " +
+        "reorder do not apply to delegated columnar batches); " +
+        "supportColumnarReads answers false")
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val base = partition match {
       case MorPartition(files, relPath) =>

@@ -106,8 +106,15 @@ class LakeSource extends TableProvider with DataSourceRegister
           throw new IllegalArgumentException(s"graft-lake: version must be a long, got '$v'")))
       case (None, Some(t)) =>
         val tsMs = t.toLongOption.getOrElse {
-          try java.sql.Timestamp.valueOf(t).getTime
-          catch { case _: IllegalArgumentException =>
+          // SESSION time zone, like every other timestamp surface here
+          // (the streaming source's startingTimestamp, partition casts)
+          // — never the JVM default, which silently skews across hosts
+          try {
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .atZone(zone).toInstant.toEpochMilli
+          } catch { case _: java.time.format.DateTimeParseException =>
             throw new IllegalArgumentException(
               s"graft-lake: timestampAsOf must be epoch millis or 'yyyy-MM-dd HH:mm:ss', got '$t'")
           }
@@ -123,7 +130,22 @@ class LakeSource extends TableProvider with DataSourceRegister
           val f = p.getFileSystem(spark.sessionState.newHadoopConf())
           (f, f.makeQualified(p))
         }
-        val gone = resolved.files.filterNot(f => fs.exists(new Path(root, f)))
+        // existence pre-check, [[Lake.readVersion]]'s own rule: a
+        // PATH-LAZY state checks only its driver-resident tail plus the
+        // DISTINCT DV sidecars — per-resident fs.exists would be
+        // O(corpus) sequential driver RPCs and force the deferred list
+        // (a genuinely missing resident still fails loudly at scan time
+        // with the path named); eager states stay exact, and the
+        // sidecar check catches a hand-deleted DV before loadPositions
+        // dies with a raw path-not-found
+        val checkables: Iterator[String] = resolved.files match {
+          case dfl: Lake.DeferredFiles =>
+            dfl.tailAdded.iterator ++
+              Lake.distinctLiveSidecars(spark, resolved.dvs).iterator
+          case pf => pf.iterator ++
+            Lake.distinctLiveSidecars(spark, resolved.dvs).iterator
+        }
+        val gone = checkables.filterNot(f => fs.exists(new Path(root, f))).toSeq
         if (gone.nonEmpty)
           throw new IllegalStateException(
             s"lake version $version is no longer reconstructible — " +
@@ -165,7 +187,7 @@ class LakeSource extends TableProvider with DataSourceRegister
     // positive costs nothing on a clean lake beyond taking that route
     if (graft.operators.Lake.dvMaybeNonEmpty(st.dvs) ||
         graft.operators.Lake.hasMapping(resolvedSchema) ||
-        resolvedSchema.exists(f => f.metadata.contains("graft.dropped")) ||
+        resolvedSchema.exists(graft.operators.Lake.isDropped) ||
         graft.operators.Lake.layoutGenerationsOf(st).size > 1)
       return new LakeMorTable(s"graft-lake $path@v${st.version} (row-mode)",
         path, st, pinned0)
