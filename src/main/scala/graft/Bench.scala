@@ -40,16 +40,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(ns => SparkEntry.queries.filter(kv => ns(kv._1)))
 
-    import graft.operators.Lake
-    def counters(): Map[String, Long] = Map(
-      "sparkJobs" -> sparkJobs.get(),
-      "logReads" -> Lake.logReads.get(),
-      "dvScopedJobs" -> Lake.dvScopedJobs.get(),
-      "dvForceJobs" -> Lake.dvForceJobs.get(),
-      "pathForceJobs" -> Lake.pathForceJobs.get(),
-      "eagerV3Loads" -> Lake.eagerV3Loads.get(),
-      "inventoryListTasks" -> Lake.inventoryListTasks.get(),
-      "footerDriverReads" -> Lake.footerDriverReads.get())
+    def counters(): Map[String, Long] =
+      EngineCounters.snapshot() + ("sparkJobs" -> sparkJobs.get())
 
     // One pass over the whole map per run (not N back-to-back draws per
     // query): consecutive same-query draws share page cache and JIT state
@@ -79,12 +71,14 @@ object Bench {
       }
     }
     // Per query: min over the successful draws (-1 only when every draw
-    // failed); the counters travel with the draw that won.
+    // failed); the counters travel with the draw that won. An all-failed
+    // query reports EMPTY counters — the partial work of a throwing draw
+    // must not read like a real measurement in the counters map.
     val results: Map[String, (Double, Map[String, Long])] =
       selected.keys.map { name =>
         val draws = perRun.map(_(name))
         val ok = draws.filter(_._1 >= 0)
-        name -> (if (ok.isEmpty) draws.head else ok.minBy(_._1))
+        name -> (if (ok.isEmpty) (-1.0, Map.empty[String, Long]) else ok.minBy(_._1))
       }.toMap
     val order = selected.keys.toSeq
     val qs = order.map(k => s"\"" + k + "\":" + results(k)._1)
@@ -97,7 +91,35 @@ object Bench {
     }.mkString("{", ",", "}")
     val runTotals = perRun.map(r => r.values.map(_._1).filter(_ >= 0).sum)
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":${runTotals.mkString("[", ",", "]")},"queries":$qs,"counters":$cs,"sf":"$sfDir"}"""
+    // Mechanical regression adjudication: diff this run's counters
+    // against the checked-in sf0.1 golden (benchmaps/) so "more work vs
+    // slower host" is a field in the record, not a prose argument. The
+    // per-draw min keeps warm-up jitter out; any listed growth means the
+    // TREE seeded extra driver work since the golden was recorded.
+    val goldenPath = java.nio.file.Paths.get("benchmaps/golden_counters_sf01.json")
+    val regressions: Seq[String] =
+      if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(goldenPath) || only.isDefined)
+        Seq.empty
+      else {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val golden = JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(goldenPath), "UTF-8")) match {
+          case JObject(qs0) => qs0.toMap.map {
+            case (q, JObject(ks)) =>
+              q -> ks.toMap.collect { case (k, JInt(v)) => k -> v.toLong }
+            case (q, _) => q -> Map.empty[String, Long]
+          }
+          case _ => Map.empty[String, Map[String, Long]]
+        }
+        EngineCounters.regressions(golden,
+          results.map { case (q, (_, c)) => q -> c })
+      }
+    if (regressions.nonEmpty)
+      System.err.println(s"[bench] COUNTER REGRESSIONS vs golden: ${regressions.mkString("; ")}")
+    val regJson = regressions.map(r => "\"" + r.replace("\"", "'") + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":${runTotals.mkString("[", ",", "]")},"queries":$qs,"counters":$cs,"counterRegressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     // The harness's BENCH_r*.json keeps only a truncated tail of stdout,
     // which loses the first ~100 queries of the per-query map every round.

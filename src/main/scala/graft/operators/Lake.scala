@@ -4,7 +4,7 @@ import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, count, date_format, hash, lit, max, min, pmod, substring}
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 
@@ -2517,12 +2517,19 @@ object Lake {
     hit match {
       case Some(st) => st
       case None =>
+        stateResolutions.incrementAndGet()
         val st = resolveUncached(spark, fs, root, lakeDir, version, deltas,
           checkpoints, forceEager)
         stateCache.synchronized(stateCache.put(key, st))
         st
     }
   }
+
+  /** UNCACHED full state resolutions (checkpoint + delta-tail replays)
+    * since JVM start — the streaming catch-up scale probe pins that a
+    * 200-commit delete-heavy walk resolves state ONCE and folds forward
+    * in memory, instead of O(range) replays. Observability only. */
+  private[graft] val stateResolutions = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def resolveUncached(spark: SparkSession, fs: FileSystem, root: Path,
       lakeDir: String, version: Long,
@@ -5815,11 +5822,41 @@ object Lake {
           "lake first (Lake.init / ingestToLake)")
     val lakeSchema = visible(DataType.fromJson(base.schemaJson).asInstanceOf[StructType])
     val aligned = df.select(lakeSchema.map(f => col(f.name).cast(f.dataType)): _*)
-      .localCheckpoint(true) // one materialization feeds count + stage
-    val expected = aligned.count()
-    if (expected == 0) return
-    enforceChecks(base, aligned)
-    val staged = stageWrite(spark, lakeDir, aligned, layoutSpecsOf(base))
+    // the audit count AND the CHECK-constraint sums ride the write job
+    // itself as OBSERVED metrics (CollectMetrics — exactly-once on the
+    // write's result-stage tasks), so one INSERT pays ONE data job: the
+    // old shape's localCheckpoint + count (+ a checks aggregate) were
+    // three more jobs per micro-batch, which at 100× makes a streaming
+    // sink driver-job-bound before it is data bound. The input is now
+    // evaluated exactly once (in the write), so the checkpoint's
+    // determinism guarantee is subsumed, and the audit stays a real
+    // two-channel check: task-side observed count vs the staged files'
+    // own footer row counts.
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-append-audit-${java.util.UUID.randomUUID()}")
+    val checkEntries = base.checks.toSeq.sortBy(_._1)
+    val metrics = count(lit(1)).as("_gf_rows") +: checkEntries.zipWithIndex.map {
+      case ((_, e), i) =>
+        functions.sum(functions.when(functions.expr(e) === false, 1L)
+          .otherwise(0L)).as(s"_gf_chk_$i") }
+    val staged = stageWrite(spark, lakeDir,
+      aligned.observe(obs, metrics.head, metrics.tail: _*), layoutSpecsOf(base))
+    val observed = obs.get
+    val expected = observed("_gf_rows").asInstanceOf[Long]
+    // sum() over an EMPTY batch observes null, not 0 — treat as no violation
+    def chk(i: Int): Long =
+      Option(observed(s"_gf_chk_$i")).fold(0L)(_.asInstanceOf[Long])
+    val violated = checkEntries.zipWithIndex.collect {
+      case ((n, e), i) if chk(i) > 0 => s"$n: CHECK ($e) — ${chk(i)} row(s)"
+    }
+    if (violated.nonEmpty || expected == 0) {
+      // roll back the invisible staged files before refusing/skipping
+      deleteFiles(spark, lakeDir, staged)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
+      return
+    }
     val (rows, stats) = auditStaged(spark, lakeDir, base.schemaJson, staged, Seq.empty)
     publish(spark, StagedCommit(lakeDir, base, "append", base.schemaJson,
       Seq.empty, staged, rows, expected, stats, txn = txn))

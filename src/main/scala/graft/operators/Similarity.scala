@@ -560,6 +560,94 @@ object Similarity {
       |  CAST(p.pred_label = e.label AS INTEGER) AS correct
       |FROM p JOIN embeddings e ON e.vec_id = p.q_id ORDER BY q_id""".stripMargin
 
+  // ------------------------------------------------- ss37/ss38/ss39
+  /** The PARTIAL ORACLE for the index-dependent ANN queries: their
+    * returned id SETS are not SQL-reproducible (bucket/centroid/codebook
+    * dependent), but two invariants are, and this query oracles exactly
+    * those — per query vector it emits
+    * `(q_id, score_mismatches, recall_floor_met)` where
+    *
+    *   - `score_mismatches` counts returned rows whose engine-reported
+    *     `sim` disagrees (>1e-6) with the cosine RECOMPUTED through
+    *     Spark's built-in `zip_with`/`aggregate` arithmetic — an
+    *     independent code path from the custom [[VectorOps]] expressions
+    *     the ANN ran, so it cross-checks the codegen'd kernels too;
+    *     a returned id that doesn't exist in the corpus counts here;
+    *   - `recall_floor_met` pins mean recall@5 against the EXACT top-5
+    *     (the ss30 brute-force path) at the same floor the quality spec
+    *     enforces, averaged over every query-batch vector so silently
+    *     dropped queries score 0.
+    *
+    * The DuckDB oracle recomputes the query batch relationally and
+    * expects `(q_id, 0, TRUE)` per query vector — any score drift,
+    * phantom id, dropped query, or recall regression breaks the
+    * hash-match. All joins are bounded: the batch is [[QueryBatchMax]]
+    * rows, returned sets are k per query. */
+  private def annVerify(spark: SparkSession, dir: String, ann: DataFrame,
+      floor: Double): DataFrame = {
+    val eRaw = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val e = eRaw.withColumn("nrm", VectorOps.norm(col("embedding")))
+      .filter(col("nrm") > 0)
+    val qb = queryBatch(e).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // independent arithmetic: built-in higher-order functions, not VectorOps
+    def dotIndep(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val returned = ann.select("q_id", "vec_id", "sim")
+    val matched = returned
+      .join(broadcast(qb), Seq("q_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .withColumn("sim_indep",
+        dotIndep(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .groupBy("q_id")
+      .agg(sum(when(abs(col("sim") - col("sim_indep")) > 1e-6, 1L).otherwise(0L))
+          .as("bad_scores"),
+        count(lit(1)).as("n_matched"))
+    val nReturned = returned.groupBy("q_id").agg(count(lit(1)).as("n_returned"))
+    val exact5 = graft.api.Ops.cosineTopK(corpus = eRaw,
+        queries = queryBatch(normFiltered(eRaw)),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact5.join(returned.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    val recallPerQ = exact5.groupBy("q_id").agg(count(lit(1)).as("want"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), (coalesce(col("hits"), lit(0L)).cast("double") /
+        least(col("want"), lit(5L)).cast("double")).as("recall"))
+    // a bounded driver scalar: the batch is <= QueryBatchMax rows
+    val meanRecall = recallPerQ.agg(avg(col("recall"))).collect()(0).getDouble(0)
+    qb.select("q_id")
+      .join(matched, Seq("q_id"), "left")
+      .join(nReturned, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("bad_scores"), lit(0L)) +
+          (coalesce(col("n_returned"), lit(0L)) - coalesce(col("n_matched"), lit(0L))))
+          .as("score_mismatches"),
+        lit(meanRecall >= floor).as("recall_floor_met"))
+      .orderBy("q_id")
+  }
+
+  /** One oracle serves all three verify queries: the query batch is the
+    * only relationally-derived part, and the expected verdict per vector
+    * is the constant `(0, TRUE)`. */
+  private val annVerifyOracle =
+    """WITH n0 AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id FROM n0 WHERE nrm > 0 AND vec_id % 100 = 0
+      |      ORDER BY vec_id LIMIT 64)
+      |SELECT q_id, CAST(0 AS BIGINT) AS score_mismatches, TRUE AS recall_floor_met
+      |FROM q ORDER BY q_id""".stripMargin
+
+  private def ss37(spark: SparkSession, dir: String): DataFrame =
+    annVerify(spark, dir, ss31(spark, dir), floor = 0.4)
+  private def ss38(spark: SparkSession, dir: String): DataFrame =
+    annVerify(spark, dir, ss32(spark, dir), floor = 0.5)
+  private def ss39(spark: SparkSession, dir: String): DataFrame =
+    annVerify(spark, dir, ss34(spark, dir), floor = 0.5)
+
   val all: Seq[GraftQuery] = Seq(
     GraftQuery("ss30_cosine_topk", ss30, Some(ss30Oracle)),
     GraftQuery("ss31_ann_lsh_topk", ss31, None),
@@ -567,5 +655,8 @@ object Similarity {
     GraftQuery("ss33_quantize_int8", ss33, Some(ss33Oracle)),
     GraftQuery("ss34_ann_pq_topk", ss34, None),
     GraftQuery("ss35_rrf_fusion", ss35, Some(ss35Oracle)),
-    GraftQuery("ss36_knn_label_eval", ss36, Some(ss36Oracle)))
+    GraftQuery("ss36_knn_label_eval", ss36, Some(ss36Oracle)),
+    GraftQuery("ss37_ann_lsh_verify", ss37, Some(annVerifyOracle)),
+    GraftQuery("ss38_ann_ivf_verify", ss38, Some(annVerifyOracle)),
+    GraftQuery("ss39_ann_pq_verify", ss39, Some(annVerifyOracle)))
 }

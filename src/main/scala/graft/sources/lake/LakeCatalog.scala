@@ -145,6 +145,20 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
           "partitioned lakes with their first data write (Lake.init / ingestToLake), " +
           "then query them by name")
     val dir = dirFor(ident)
+    // the catalog's identity IS the filesystem layout (no metastore to
+    // record a divergent location in), so a LOCATION that disagrees with
+    // the name-derived path would be silently lost on the next
+    // loadTable — refuse it loudly instead of creating the lake
+    // somewhere the name will never find again
+    Option(properties.get("location"))
+      .map(_.stripSuffix("/")).filter(_ != dir.stripSuffix("/"))
+      .foreach { loc =>
+        throw new UnsupportedOperationException(
+          s"graft-lake catalog: CREATE TABLE ... LOCATION '$loc' disagrees with the " +
+            s"name-derived path '$dir' — this catalog has no metastore, the table " +
+            "name IS the path; either create the lake at the derived path or " +
+            s"address it by path: $catalogName.`$loc`")
+      }
     // an empty UNPARTITIONED lake: version 1 commits the schema over no
     // files, so INSERT INTO bootstraps the layout
     Lake.commitDelta(spark, dir,
@@ -158,7 +172,11 @@ class LakeCatalog extends TableCatalog with ProcedureCatalog {
     * METADATA-COMMIT evolutions ([[Lake.renameColumn]] /
     * [[Lake.dropColumn]] / [[Lake.widenColumn]] / [[Lake.addColumn]]:
     * zero data bytes move). Non-widening retypes, NOT NULL adds and
-    * positioned adds refuse naming the alternative. */
+    * positioned adds refuse naming the alternative.
+    *
+    * Changes apply as SEPARATE metadata commits in order: a multi-change
+    * ALTER that fails midway leaves the earlier changes committed (each
+    * is independently valid and versioned — re-issue the remainder). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isLake(dir)) throw new NoSuchTableException(ident)

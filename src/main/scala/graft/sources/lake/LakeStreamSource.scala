@@ -599,8 +599,18 @@ private[lake] class LakeMicroBatchStream(lakeDir: String, fullSchema: StructType
     priorFold match {
       case Some((pv, st)) if pv == v - 1 => Some(st)
       case _ =>
-        // v-1 may predate retention — the caller decides the fallback
-        val r = scala.util.Try(Lake.stateAt(spark, lakeDir, v - 1)).toOption
+        // v-1 may predate retention — the caller decides the fallback.
+        // ONLY that failure (stateAt's "no committed manifest version")
+        // degrades to None; minReader refusals, torn checkpoints, and
+        // transient FS faults rethrow — swallowing them here would
+        // silently mis-tag a re-attach-affected file as plain-emit
+        val r =
+          try Some(Lake.stateAt(spark, lakeDir, v - 1))
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage != null &&
+                  e.getMessage.contains("no committed manifest version") => None
+          }
         r.foreach(st => priorFold = Some((v - 1, st)))
         r
     }

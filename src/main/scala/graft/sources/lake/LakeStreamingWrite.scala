@@ -441,6 +441,7 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
             ow.close()
             open.remove(oldDir)
             rolledRels += orel
+            LakeDataWriter.rolledFiles.incrementAndGet()
           }
           val name = s"part-$epochId-$taskId-${UUID.randomUUID()}.parquet"
           val rel = if (dir.isEmpty) name else s"$dir/$name"
@@ -448,6 +449,7 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
             .withConf(conf).withCompressionCodec(codec))
           val e = (b.build(), rel)
           open.update(dir, e)
+          LakeDataWriter.notePeak(open.size)
           e
       }
       lastDir = dir; lastWriter = w; lastRel = rel
@@ -473,4 +475,19 @@ private[lake] class LakeDataWriter(qualifiedLakeDir: String,
   }
 
   override def close(): Unit = ()
+}
+
+private[graft] object LakeDataWriter {
+  /** Observability for the open-writer cap (local-mode counters, like
+    * the engine's other cost channels): the PEAK simultaneous open
+    * writers any task held, and how many files the cap rolled early —
+    * the scale probe asserts peak <= maxOpenWriters while the rolled
+    * count makes the memory/file-count trade visible. */
+  val peakOpenWriters = new java.util.concurrent.atomic.AtomicLong(0L)
+  val rolledFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+  def notePeak(n: Int): Unit = {
+    var cur = peakOpenWriters.get()
+    while (n > cur && !peakOpenWriters.compareAndSet(cur, n)) cur = peakOpenWriters.get()
+  }
+  def reset(): Unit = { peakOpenWriters.set(0L); rolledFiles.set(0L) }
 }

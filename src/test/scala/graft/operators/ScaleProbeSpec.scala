@@ -735,4 +735,83 @@ class ScaleProbeSpec extends SparkTestBase {
       spark.conf.unset(Lake.PathLazyMinFilesKey)
     }
   }
+
+  /** The round-19 streaming catch-up claim, pinned at range: a stream
+    * attaching to a 200-commit delete-heavy backlog resolves the prior
+    * state ONCE and folds forward in memory (one applyDelta per
+    * version), instead of O(range) checkpoint+tail replays — the shape
+    * that makes re-attaching to a month-old high-churn lake O(commits),
+    * not O(commits x log length). */
+  test("cdc catch-up over 200 delete commits resolves state once and folds forward") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val base = java.nio.file.Files.createTempDirectory("catchupscale").toString
+    val out = s"$base/lake"
+    import spark.implicits._
+    val nDeletes = 200
+    val rows = spark.range(2000).select(col("id").as("doc_id"),
+      (col("id") % 4).cast("int").as("shard_id"))
+    Lake.init(spark, rows, out, Seq("shard_id"), statsCols = Seq("doc_id")) // v1
+    (1 to nDeletes).foreach { i =>
+      graft.operators.Pipeline.deleteFromLakeSparse(spark, out,
+        Seq(i.toLong).toDF("doc_id"), "doc_id") // v(1+i): one-row DV delete
+    }
+    Lake.invalidateStateCache()
+    val resolves0 = Lake.stateResolutions.get()
+    val reads0 = Lake.logReads.get()
+    val q = spark.readStream.format("graft-lake-cdc")
+      .option("startingVersion", "earliest")
+      .option("readChangeFeed", "true")
+      .load(out)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink").option("checkpointLocation", s"$base/ck")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val resolves = Lake.stateResolutions.get() - resolves0
+    val reads = Lake.logReads.get() - reads0
+    info(s"catch-up over $nDeletes delete commits: $resolves state resolutions, $reads log reads")
+    val deletes = spark.read.parquet(s"$base/sink")
+      .filter(col("_change_type") === "delete").count()
+    assert(deletes == nDeletes, s"every delete streams exactly once, got $deletes")
+    assert(resolves <= 6,
+      s"the walk must resolve state ONCE and fold forward, paid $resolves full replays")
+    assert(reads <= 4L * nDeletes + 50,
+      s"log reads must be O(range), not O(range x replay): $reads for $nDeletes commits")
+  }
+
+  /** The open-writer cap at its motivating shape: an UNCLUSTERED stream
+    * into a bucket(64) layout — without the cap each task holds up to
+    * 64 buffering parquet writers (~row-group each); with it the peak
+    * stays at `maxOpenWriters` and the cost surfaces as cap-rolled
+    * (smaller, more numerous) files that compaction later folds. */
+  test("unclustered stream into bucket(64): peak open writers stays at the cap; the roll trade is visible") {
+    assume(sys.env.get("GRAFT_SCALE").contains("1"), "set GRAFT_SCALE=1 to run")
+    val base = java.nio.file.Files.createTempDirectory("writercap").toString
+    val out = s"$base/lake"
+    val cap = 8
+    val rows = spark.range(200000).select(col("id").as("doc_id"),
+      col("id").cast("string").as("text"))
+    Lake.init(spark, rows.limit(1), out, Seq("bucket(64, doc_id)"))
+    // deliberately UNCLUSTERED: round-robin partitions scatter every
+    // bucket across every task, the sink's worst case
+    rows.repartition(4).write.parquet(s"$base/src")
+    graft.sources.lake.LakeDataWriter.reset()
+    spark.conf.set("spark.graft.lake.sink.maxOpenWriters", cap.toString)
+    try {
+      val q = spark.readStream.schema(rows.schema).parquet(s"$base/src")
+        .writeStream.format("graft-lake")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    } finally spark.conf.unset("spark.graft.lake.sink.maxOpenWriters")
+    val peak = graft.sources.lake.LakeDataWriter.peakOpenWriters.get()
+    val rolled = graft.sources.lake.LakeDataWriter.rolledFiles.get()
+    val nFiles = Lake.currentState(spark, out).files.size
+    info(s"peak open writers=$peak (cap $cap), cap-rolled files=$rolled, final file count=$nFiles")
+    assert(Lake.read(spark, out).count() == 200001L, "every row lands exactly once")
+    assert(peak <= cap, s"a task held $peak simultaneous writers past the cap $cap")
+    assert(rolled > 0,
+      "an unclustered bucket(64) stream through an 8-writer cap must roll files — " +
+        "if it didn't, the cap was never exercised and the memory bound is untested")
+  }
 }
