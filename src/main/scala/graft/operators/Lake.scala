@@ -3770,7 +3770,7 @@ object Lake {
     * (a whole-lake compact's pre-image set) distributes through
     * [[reclaimPaths]]; small batches keep the serial loop (two job
     * launches cost more than a dozen deletes). */
-  private def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit =
+  private[graft] def deleteFiles(spark: SparkSession, lakeDir: String, files: Seq[String]): Unit =
     reclaimPaths(spark, lakeDir, files.map(_ -> false),
       distribute = files.size >= vacuumDistributeMin(spark))
 

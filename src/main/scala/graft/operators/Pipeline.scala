@@ -1282,9 +1282,11 @@ object Pipeline {
           (aligned, org.apache.spark.sql.types.StructType(fullSchema.fields ++ newFields).json)
         }
       }
-    // materialized once: three consumers follow (count, partition-dir
-    // collect, stage write) and recomputing the anti-join would re-scan
-    // the lake's id column each time; the block is batch-sized
+    // evaluated ONCE, in the stage write itself: the audit count and the
+    // CHECK sums ride the write job as observed metrics (the Lake.append
+    // device), so the dedup anti-join runs exactly one time with no
+    // checkpoint materialization and no separate count/checks jobs —
+    // per-commit driver jobs are what bound a micro-batch ingest at 100x
     val fresh = (
       if (base.files.isEmpty) b
       else {
@@ -1318,14 +1320,31 @@ object Pipeline {
         val lakeIds = Lake.readFiles(spark, lakeDir, base.schemaJson, candidateFiles, base.dvs)
           .select(idCol)
         b.join(bloomProbedIds(spark, b, lakeIds, idCol, Some(bs)), Seq(idCol), "left_anti")
-      }).localCheckpoint(true)
-    val expected = fresh.count()
-    if (expected > 0) Lake.enforceChecks(base, fresh)
-    if (expected > 0) {
-      // staging is claim-by-staging-dir (no listing diff), so no
-      // partition-scope collect is needed here — one fewer Spark job
-      // per append
-      val staged = Lake.stageWrite(spark, lakeDir, fresh, effectiveCols)
+      })
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-ingest-audit-${java.util.UUID.randomUUID()}")
+    val checkEntries = base.checks.toSeq.sortBy(_._1)
+    val metrics = count(lit(1)).as("_gf_rows") +: checkEntries.zipWithIndex.map {
+      case ((_, e), i) =>
+        sum(when(expr(e) === false, 1L).otherwise(0L)).as(s"_gf_chk_$i") }
+    // staging is claim-by-staging-dir (no listing diff), so no
+    // partition-scope collect is needed here — one fewer Spark job
+    // per append
+    val staged = Lake.stageWrite(spark, lakeDir,
+      fresh.observe(obs, metrics.head, metrics.tail: _*), effectiveCols)
+    val observed = obs.get
+    val expected = observed("_gf_rows").asInstanceOf[Long]
+    def chk(i: Int): Long = // sum() over an empty batch observes null
+      Option(observed(s"_gf_chk_$i")).fold(0L)(_.asInstanceOf[Long])
+    val violated = checkEntries.zipWithIndex.collect {
+      case ((n, e), i) if chk(i) > 0 => s"$n: CHECK ($e) — ${chk(i)} row(s)"
+    }
+    if (violated.nonEmpty || expected == 0) {
+      Lake.deleteFiles(spark, lakeDir, staged)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
+    } else {
       // audit read-back captures per-file id (+ clustering) stats for
       // future compound pruning
       val (stagedRows, stagedStats) = Lake.auditStaged(spark, lakeDir,
@@ -2385,7 +2404,11 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .select(col("split"), col("shard_id").cast("int").as("shard_id"),
         col("n_docs"), col("sum_chars"))
-      .orderBy("split", "shard_id")
+      // total order without a global sort: the report is |splits × shards|
+      // rows, so a range exchange would pay a sampling job just to order
+      // single-digit rows — one partition + local sort is the right plan
+      // at any corpus scale (the report stays the same size)
+      .coalesce(1).sortWithinPartitions("split", "shard_id")
   }
 
   // ---------------------------------------------------------------- px114

@@ -8,64 +8,67 @@ import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
 import graft.operators.Lake
 
-/** Scratch diagnostic: prints each Spark job's callsite while running a
-  * minimal init + append + read scenario, so the per-commit driver-job
-  * budget can be decomposed line by line. Not part of any protocol. */
+/** Scratch diagnostic: prints each Spark job's index per tagged phase
+  * while running a minimal lake scenario, so a per-commit driver-job
+  * budget can be decomposed line by line (the px115 job table in
+  * SURVEY §8 came from this). Not part of any protocol. */
 object JobTrace {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.builder(8).config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = new AtomicLong(0)
-    @volatile var tag = "init"
+    @volatile var tag = "warmup"
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val cs = Option(js.properties).map(_.getProperty("callSite.short")).getOrElse("?")
-        println(s"[job ${n.incrementAndGet()}] phase=$tag callsite=$cs")
-      }
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        println(s"[job ${n.incrementAndGet()}] phase=$tag")
     })
-    val out = java.nio.file.Files.createTempDirectory("jobtrace").toString
+    def drain(): Unit = org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
+    // warm up (mirror Bench)
+    graft.SparkEntry.entry(spark).count(); drain()
+    n.set(0)
+
+    // ---- px115 decomposed
+    val out = java.nio.file.Files.createTempDirectory("jt115").toString + "/lake"
     val sharded = Tables(spark, sfDir, "documents")
       .withColumn("split", when(col("doc_id") % 10 < 8, "train").otherwise("val"))
       .withColumn("shard_id", (col("doc_id") % 4).cast("int"))
-    tag = "init"
-    Lake.init(spark, sharded.filter(col("doc_id") % 3 =!= 0), out, Seq("split", "shard_id"))
-    org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-    println(s"== init done at job ${n.get()}")
-    tag = "append"
-    Lake.append(spark, out, sharded.filter(col("doc_id") % 3 === 0))
-    org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-    println(s"== append done at job ${n.get()}")
-    // decomposed append (same steps, tagged)
-    locally {
-      import org.apache.spark.sql.types.{DataType, StructType}
-      val df2 = sharded.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(90000000L))
-      val base = Lake.adopt(spark, out)
-      val lakeSchema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-      tag = "a_checkpoint"
-      val aligned = df2.select(lakeSchema.map(f => col(f.name).cast(f.dataType)): _*)
-        .localCheckpoint(true)
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-      tag = "a_count"
-      val expected = aligned.count()
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-      tag = "a_stage"
-      val staged = Lake.stageWrite(spark, out, aligned, Seq("split", "shard_id"))
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-      tag = "a_audit"
-      val (rows, stats) = Lake.auditStaged(spark, out, base.schemaJson, staged, Seq.empty)
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-      tag = "a_publish"
-      Lake.publish(spark, Lake.StagedCommit(out, base, "append", base.schemaJson,
-        Seq.empty, staged, rows, expected, stats))
-      org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-      println(s"== decomposed append done at job ${n.get()}")
+    locally { // init decomposed (mirror of Lake.init's body)
+      val df = sharded.filter(col("doc_id") % 3 =!= 0)
+      tag = "init_stage"
+      val files = Lake.stageWrite(spark, out, df, Seq("split", "shard_id"))
+      drain(); println(s"== init_stage: ${n.get()} files=${files.size}")
+      tag = "init_schema"
+      val schemaJson = Lake.readFiles(spark, out, df.schema.json, files).schema.json
+      drain(); println(s"== init_schema: ${n.get()}")
+      tag = "init_audit"
+      val stats = Lake.auditStaged(spark, out, schemaJson, files, Seq.empty)._2
+      drain(); println(s"== init_audit: ${n.get()}")
+      tag = "init_commit"
+      Lake.commitDelta(spark, out,
+        Lake.DeltaRecord(1L, "init", schemaJson,
+          files.map(f => f -> stats.getOrElse(f, Seq.empty)), Seq.empty,
+          layout = Some(Seq("split", "shard_id"))),
+        Some(Lake.LakeState(1L, schemaJson, files.sorted, stats,
+          layout = Some(Seq("split", "shard_id")))))
+      drain(); println(s"== init_commit: ${n.get()}")
+      tag = "init_read"
+      Lake.read(spark, out)
+      drain(); println(s"== init_read: ${n.get()}")
     }
+    tag = "create"
+    spark.sql("DROP TABLE IF EXISTS jt115_corpus")
+    spark.sql(s"CREATE TABLE jt115_corpus USING `graft-lake` OPTIONS (path '$out')")
+    drain(); println(s"== create: ${n.get()}")
+    tag = "insert"
+    sharded.filter(col("doc_id") % 3 === 0).createOrReplaceTempView("jt115_batch")
+    spark.sql("INSERT INTO jt115_corpus BY NAME SELECT * FROM jt115_batch")
+    drain(); println(s"== insert: ${n.get()}")
+    spark.sql("DROP TABLE IF EXISTS jt115_corpus")
     tag = "read"
-    println(Lake.read(spark, out).count())
-    org.apache.spark.sql.graft.ListenerBridge.drain(spark.sparkContext)
-    println(s"== read done at job ${n.get()}")
+    println(Lake.read(spark, out)
+      .groupBy("split", "shard_id").agg(count(lit(1)).as("n")).count())
+    drain(); println(s"== read: ${n.get()}")
     spark.stop()
   }
 }

@@ -788,7 +788,13 @@ class ScaleProbeSpec extends SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("writercap").toString
     val out = s"$base/lake"
     val cap = 8
-    val rows = spark.range(200000).select(col("id").as("doc_id"),
+    // fully-random bucket order is the cap's worst case: with 64 live
+    // directories per task and 8 writers, nearly every row rolls — the
+    // probe sizes the corpus so that regime is EXERCISED (thousands of
+    // rolls) without manufacturing six-figure file counts the audit
+    // would then have to footer-read (that shape is what option
+    // compactEvery + a clustered upstream repartition exist for)
+    val rows = spark.range(8000).select(col("id").as("doc_id"),
       col("id").cast("string").as("text"))
     Lake.init(spark, rows.limit(1), out, Seq("bucket(64, doc_id)"))
     // deliberately UNCLUSTERED: round-robin partitions scatter every
@@ -808,7 +814,7 @@ class ScaleProbeSpec extends SparkTestBase {
     val rolled = graft.sources.lake.LakeDataWriter.rolledFiles.get()
     val nFiles = Lake.currentState(spark, out).files.size
     info(s"peak open writers=$peak (cap $cap), cap-rolled files=$rolled, final file count=$nFiles")
-    assert(Lake.read(spark, out).count() == 200001L, "every row lands exactly once")
+    assert(Lake.read(spark, out).count() == 8001L, "every row lands exactly once")
     assert(peak <= cap, s"a task held $peak simultaneous writers past the cap $cap")
     assert(rolled > 0,
       "an unclustered bucket(64) stream through an 8-writer cap must roll files — " +
