@@ -100,7 +100,7 @@ object Bench {
     val regressions: Seq[String] =
       if (!sfDir.contains("sf0.1") || !java.nio.file.Files.exists(goldenPath) || only.isDefined)
         Seq.empty
-      else {
+      else try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         val golden = JsonMethods.parse(new String(
@@ -114,6 +114,12 @@ object Bench {
         }
         EngineCounters.regressions(golden,
           results.map { case (q, (_, c)) => q -> c })
+      } catch {
+        // a malformed golden must never take the official record down
+        // with it — the measurements matter more than their adjudication
+        case e: Throwable =>
+          System.err.println(s"[bench] golden counter map unreadable: ${e.getMessage}")
+          Seq(s"golden unreadable: ${e.getMessage}")
       }
     if (regressions.nonEmpty)
       System.err.println(s"[bench] COUNTER REGRESSIONS vs golden: ${regressions.mkString("; ")}")

@@ -73,12 +73,13 @@ class LakeCatalogSpec extends SparkTestBase {
   }
 
   test("CREATE TABLE commits an empty unpartitioned lake that INSERT bootstraps; DROP deletes; partitioned create refuses") {
+    val w = wh // register the catalog first (order-independent under -z)
     spark.sql("CREATE TABLE graft_lake.scratch (doc_id BIGINT, text STRING)")
     assert(spark.sql("SELECT count(*) FROM graft_lake.scratch").head.getLong(0) == 0L)
     spark.sql("INSERT INTO graft_lake.scratch VALUES (1, 'a'), (2, 'b')")
     assert(spark.sql("SELECT count(*) FROM graft_lake.scratch").head.getLong(0) == 2L)
     // the insert went through the protocol: an audited append commit
-    val hist = Lake.describeHistory(spark, s"$wh/scratch").collect()
+    val hist = Lake.describeHistory(spark, s"$w/scratch").collect()
     assert(hist.exists(r => r.getString(2) == "append"))
     spark.sql("DROP TABLE graft_lake.scratch")
     intercept[Exception] { spark.sql("SELECT * FROM graft_lake.scratch").collect() }
@@ -87,6 +88,17 @@ class LakeCatalogSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("partition"),
       s"partitioned create must refuse naming the reason, got: ${e.getMessage}")
+    // a LOCATION that disagrees with the name-derived path would be
+    // silently lost on the next loadTable (the catalog has no metastore
+    // to record it) — it must refuse loudly, not create the lake where
+    // the name will never find it
+    val el = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_lake.p3 (a BIGINT) USING `graft-lake` " +
+        "LOCATION '/tmp/somewhere-else'")
+    }
+    assert(el.getMessage.contains("LOCATION") && el.getMessage.contains("name-derived"),
+      s"divergent LOCATION must refuse naming the reason, got: ${el.getMessage}")
+    assert(!spark.catalog.tableExists("graft_lake.p3"))
   }
 
   test("ALTER TABLE routes rename/drop as metadata commits; other changes refuse") {
