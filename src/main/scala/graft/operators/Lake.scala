@@ -5832,29 +5832,14 @@ object Lake {
     // determinism guarantee is subsumed, and the audit stays a real
     // two-channel check: task-side observed count vs the staged files'
     // own footer row counts.
-    val obs = new org.apache.spark.sql.Observation(
-      s"graft-append-audit-${java.util.UUID.randomUUID()}")
-    val checkEntries = base.checks.toSeq.sortBy(_._1)
-    val metrics = count(lit(1)).as("_gf_rows") +: checkEntries.zipWithIndex.map {
-      case ((_, e), i) =>
-        functions.sum(functions.when(functions.expr(e) === false, 1L)
-          .otherwise(0L)).as(s"_gf_chk_$i") }
-    val staged = stageWrite(spark, lakeDir,
-      aligned.observe(obs, metrics.head, metrics.tail: _*), layoutSpecsOf(base))
-    val observed = obs.get
-    val expected = observed("_gf_rows").asInstanceOf[Long]
-    // sum() over an EMPTY batch observes null, not 0 — treat as no violation
-    def chk(i: Int): Long =
-      Option(observed(s"_gf_chk_$i")).fold(0L)(_.asInstanceOf[Long])
-    val violated = checkEntries.zipWithIndex.collect {
-      case ((n, e), i) if chk(i) > 0 => s"$n: CHECK ($e) — ${chk(i)} row(s)"
-    }
-    if (violated.nonEmpty || expected == 0) {
-      // roll back the invisible staged files before refusing/skipping
+    val (instrumented, audit) = observedAudit(base.checks, aligned)
+    val staged = stageWrite(spark, lakeDir, instrumented, layoutSpecsOf(base))
+    // roll the invisible staged files back on a violating/empty batch
+    val expected =
+      try audit()
+      catch { case e: Throwable => deleteFiles(spark, lakeDir, staged); throw e }
+    if (expected == 0) {
       deleteFiles(spark, lakeDir, staged)
-      if (violated.nonEmpty)
-        throw new IllegalArgumentException(
-          s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
       return
     }
     val (rows, stats) = auditStaged(spark, lakeDir, base.schemaJson, staged, Seq.empty)
@@ -6793,6 +6778,43 @@ object Lake {
     if (violated.nonEmpty)
       throw new IllegalArgumentException(
         s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
+  }
+
+  /** The observed-audit device every mutation's row accounting rides on:
+    * attach a row COUNT — and, for row-ADDING inputs, the CHECK-
+    * constraint violation sums — to `df` as observed metrics
+    * (CollectMetrics: exactly-once on the consuming action's result-
+    * stage tasks), so the audit costs ZERO extra jobs — it rides the
+    * stage write / eager checkpoint that evaluates `df` anyway, instead
+    * of a separate count (+ checks) pass. Returns the instrumented frame
+    * and a thunk to call AFTER the action: it throws the standard CHECK
+    * refusal if any constraint was violated, then returns the observed
+    * row count (checks over an EMPTY batch observe null sums = no
+    * violation). Callers that stage before learning the count roll the
+    * staged files back on a zero/violating batch — they were invisible
+    * throughout. */
+  private[graft] def observedAudit(checks: Map[String, String],
+      df: DataFrame): (DataFrame, () => Long) = {
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft-audit-${java.util.UUID.randomUUID()}")
+    val checkEntries = checks.toSeq.sortBy(_._1)
+    val metrics = count(lit(1)).as("_gf_rows") +: checkEntries.zipWithIndex.map {
+      case ((_, e), i) =>
+        functions.sum(functions.when(functions.expr(e) === false, 1L)
+          .otherwise(0L)).as(s"_gf_chk_$i") }
+    val instrumented = df.observe(obs, metrics.head, metrics.tail: _*)
+    (instrumented, () => {
+      val observed = obs.get
+      def chk(i: Int): Long =
+        Option(observed(s"_gf_chk_$i")).fold(0L)(_.asInstanceOf[Long])
+      val violated = checkEntries.zipWithIndex.collect {
+        case ((n, e), i) if chk(i) > 0 => s"$n: CHECK ($e) — ${chk(i)} row(s)"
+      }
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
+      observed("_gf_rows").asInstanceOf[Long]
+    })
   }
 
   /** [[vacuumKeeping]] with a TIME-based retention policy — "keep the

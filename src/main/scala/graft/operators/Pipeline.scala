@@ -1321,29 +1321,16 @@ object Pipeline {
           .select(idCol)
         b.join(bloomProbedIds(spark, b, lakeIds, idCol, Some(bs)), Seq(idCol), "left_anti")
       })
-    val obs = new org.apache.spark.sql.Observation(
-      s"graft-ingest-audit-${java.util.UUID.randomUUID()}")
-    val checkEntries = base.checks.toSeq.sortBy(_._1)
-    val metrics = count(lit(1)).as("_gf_rows") +: checkEntries.zipWithIndex.map {
-      case ((_, e), i) =>
-        sum(when(expr(e) === false, 1L).otherwise(0L)).as(s"_gf_chk_$i") }
+    val (instrumented, audit) = Lake.observedAudit(base.checks, fresh)
     // staging is claim-by-staging-dir (no listing diff), so no
     // partition-scope collect is needed here — one fewer Spark job
     // per append
-    val staged = Lake.stageWrite(spark, lakeDir,
-      fresh.observe(obs, metrics.head, metrics.tail: _*), effectiveCols)
-    val observed = obs.get
-    val expected = observed("_gf_rows").asInstanceOf[Long]
-    def chk(i: Int): Long = // sum() over an empty batch observes null
-      Option(observed(s"_gf_chk_$i")).fold(0L)(_.asInstanceOf[Long])
-    val violated = checkEntries.zipWithIndex.collect {
-      case ((n, e), i) if chk(i) > 0 => s"$n: CHECK ($e) — ${chk(i)} row(s)"
-    }
-    if (violated.nonEmpty || expected == 0) {
+    val staged = Lake.stageWrite(spark, lakeDir, instrumented, effectiveCols)
+    val expected =
+      try audit()
+      catch { case e: Throwable => Lake.deleteFiles(spark, lakeDir, staged); throw e }
+    if (expected == 0) {
       Lake.deleteFiles(spark, lakeDir, staged)
-      if (violated.nonEmpty)
-        throw new IllegalArgumentException(
-          s"lake CHECK constraint violation, batch refused: ${violated.mkString("; ")}")
     } else {
       // audit read-back captures per-file id (+ clustering) stats for
       // future compound pruning
@@ -1665,11 +1652,13 @@ object Pipeline {
     if (base.files.isEmpty) // first-ever ingest: merge degenerates to append
       return appendToLake(spark, lakeDir, updates, idCol, partitionCols)
     // materialized once: the id broadcast, the audit expectation, and the
-    // stage write all consume it; the block is update-batch-sized
-    val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
-    val updCount = upd.count()
+    // stage write all consume it; the block is update-batch-sized. The
+    // count + CHECK sums ride the eager checkpoint's materialization.
+    val (instUpd, updAudit) =
+      Lake.observedAudit(base.checks, updates.dropDuplicates(idCol))
+    val upd = instUpd.localCheckpoint(true)
+    val updCount = updAudit()
     if (updCount == 0) return Lake.read(spark, lakeDir)
-    Lake.enforceChecks(base, upd)
     val lakeSchema = Lake.visible(
       org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -1808,16 +1797,23 @@ object Pipeline {
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
       candidates, base.dvs)
     val matched = lineage.join(t, col(lakeIdCol) === col("_del"), "left_semi")
-    val expected = matched.count()
-    if (expected == 0L) return Lake.read(spark, lakeDir)
     // ONE pass over the matched rows writes the change-feed sidecar (the
-    // deleted pre-image, row lineage riding along as extra columns); the
-    // deletion vector then derives from the SIDECAR's read-back — the
-    // lake is never scanned a second time
-    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.layoutSpecsOf(base))
+    // deleted pre-image, row lineage riding along as extra columns) WITH
+    // the audit count riding it as an observed metric — the old separate
+    // count() was a second full scan of the candidates. The deletion
+    // vector then derives from the SIDECAR's read-back — the lake is
+    // never scanned a second time. No checks: deletes REMOVE rows.
+    val (instrumented, audit) = Lake.observedAudit(Map.empty, matched)
+    val cdcPath = Lake.stageCdc(spark, lakeDir, instrumented, Lake.layoutSpecsOf(base))
+    val expected = audit()
     val root = {
       val pp = new org.apache.hadoop.fs.Path(lakeDir)
       pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+    }
+    if (expected == 0L) { // roll the empty (invisible) sidecar dir back
+      root.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(root, cdcPath), true)
+      return Lake.read(spark, lakeDir)
     }
     val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
     val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
@@ -1852,12 +1848,18 @@ object Pipeline {
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
       candidates, base.dvs)
     val matched = lineage.filter(predicate)
-    val expected = matched.count()
-    if (expected == 0L) return Lake.read(spark, lakeDir)
-    val cdcPath = Lake.stageCdc(spark, lakeDir, matched, Lake.layoutSpecsOf(base))
+    // audit count rides the sidecar write (was a second candidate scan)
+    val (instrumented, audit) = Lake.observedAudit(Map.empty, matched)
+    val cdcPath = Lake.stageCdc(spark, lakeDir, instrumented, Lake.layoutSpecsOf(base))
+    val expected = audit()
     val root = {
       val pp = new org.apache.hadoop.fs.Path(lakeDir)
       pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+    }
+    if (expected == 0L) { // roll the empty (invisible) sidecar dir back
+      root.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(root, cdcPath), true)
+      return Lake.read(spark, lakeDir)
     }
     val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
     val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
@@ -1897,8 +1899,13 @@ object Pipeline {
     val partitionCols = Lake.layoutSpecsOf(base)
     val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
       candidates, base.dvs)
-    val matched = lineage.filter(predicate).localCheckpoint(true)
-    val expected = matched.count()
+    // the checkpoint STAYS (two consumers: the CDC pre-image write and
+    // the post-image stage); the audit count rides its EAGER
+    // materialization as an observed metric instead of a separate count
+    val (instMatched, matchedAudit) =
+      Lake.observedAudit(Map.empty, lineage.filter(predicate))
+    val matched = instMatched.localCheckpoint(true)
+    val expected = matchedAudit()
     if (expected == 0L) return Lake.read(spark, lakeDir)
     // pre-image first (one pass): CDC delete sidecar, DV from its read-back
     val cdcPath = Lake.stageCdc(spark, lakeDir, matched, partitionCols)
@@ -1915,8 +1922,18 @@ object Pipeline {
     val updated = matched.select(lakeSchema.map { f =>
       assignments.get(f.name).fold(col(f.name))(_.cast(f.dataType)).as(f.name)
     }: _*)
-    Lake.enforceChecks(base, updated)
-    val upStaged = Lake.stageWrite(spark, lakeDir, updated, partitionCols)
+    // the post-image is the row-ADDING half: its CHECK audit rides the
+    // stage write (the old enforceChecks was a separate aggregate job)
+    val (instUpdated, updatedAudit) = Lake.observedAudit(base.checks, updated)
+    val upStaged = Lake.stageWrite(spark, lakeDir, instUpdated, partitionCols)
+    try updatedAudit()
+    catch { case e: Throwable =>
+      Lake.deleteFiles(spark, lakeDir, upStaged)
+      val fs2 = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs2.delete(new org.apache.hadoop.fs.Path(root, cdcPath), true)
+      fs2.delete(new org.apache.hadoop.fs.Path(root, sidecar), true)
+      throw e
+    }
     val (upRows, upStats) = Lake.auditStaged(spark, lakeDir, base.schemaJson,
       upStaged, Seq.empty)
     Lake.publish(spark, Lake.StagedCommit(lakeDir, base, "update", base.schemaJson,
@@ -1974,10 +1991,13 @@ object Pipeline {
     // the committed layout is authoritative for an existing lake —
     // exactly as in [[appendToLake]]
     val effectiveCols = Lake.layoutSpecsOf(base)
-    val upd = updates.dropDuplicates(idCol).localCheckpoint(true)
-    val updCount = upd.count()
+    // count + CHECK sums ride the eager checkpoint's own materialization
+    // (the batch is row-ADDING: upserts must satisfy the constraints)
+    val (instUpd, updAudit) =
+      Lake.observedAudit(base.checks, updates.dropDuplicates(idCol))
+    val upd = instUpd.localCheckpoint(true)
+    val updCount = updAudit()
     if (updCount == 0) return Lake.read(spark, lakeDir)
-    Lake.enforceChecks(base, upd)
     val lakeSchema = Lake.visible(
       org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -2011,19 +2031,24 @@ object Pipeline {
         val lineage = Lake.readFilesWithLineage(spark, lakeDir, base.schemaJson,
           candidates, base.dvs)
         val matched = lineage.join(u, col(idCol) === col("_mid"), "left_semi")
-        val expected = matched.count()
-        if (expected == 0L)
+        // change-feed sidecar first (one lake pass) with the audit count
+        // riding it — the old separate count() was a second candidate
+        // scan; the deletion vector derives from the sidecar's own
+        // read-back. Matched pre-images ARE updates in upsert semantics
+        // (CDF parity). No checks here: pre-images are rows REMOVED.
+        val (instMatched, matchedAudit) = Lake.observedAudit(Map.empty, matched)
+        val cdcPath = Lake.stageCdc(spark, lakeDir, instMatched, effectiveCols)
+        val expected = matchedAudit()
+        val root = {
+          val pp = new org.apache.hadoop.fs.Path(lakeDir)
+          pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
+        }
+        if (expected == 0L) { // roll the empty (invisible) sidecar back
+          root.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(new org.apache.hadoop.fs.Path(root, cdcPath), true)
           (Map.empty[String, Seq[String]], 0L, 0L, Seq.empty[(String, String)],
             None: Option[DataFrame])
-        else {
-          // change-feed sidecar first (one lake pass); the deletion
-          // vector derives from the sidecar's own read-back. Matched
-          // pre-images ARE updates in upsert semantics (CDF parity).
-          val cdcPath = Lake.stageCdc(spark, lakeDir, matched, effectiveCols)
-          val root = {
-            val pp = new org.apache.hadoop.fs.Path(lakeDir)
-            pp.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(pp)
-          }
+        } else {
           val cdcAbs = new org.apache.hadoop.fs.Path(root, cdcPath).toString
           val back = spark.read.option("basePath", cdcAbs).parquet(cdcAbs)
           val (sidecar, n, files) = Lake.stageDv(spark, lakeDir,

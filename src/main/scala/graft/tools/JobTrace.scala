@@ -69,6 +69,22 @@ object JobTrace {
     println(Lake.read(spark, out)
       .groupBy("split", "shard_id").agg(count(lit(1)).as("n")).count())
     drain(); println(s"== read: ${n.get()}")
+    // does Dataset.observe fire on an EAGER localCheckpoint action?
+    tag = "obsckpt"
+    val obs2 = new org.apache.spark.sql.Observation("jt-obs")
+    val ckpt = spark.range(100).toDF("id")
+      .observe(obs2, count(lit(1)).as("n")).localCheckpoint(true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      val m = Await.result(Future(obs2.get), 15.seconds)
+      println(s"== observe-on-localCheckpoint fired: $m")
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        println("== observe-on-localCheckpoint DID NOT fire (timeout)")
+    }
+    drain(); println(s"== obsckpt: ${n.get()} (ckpt rows=${ckpt.count()})")
     spark.stop()
   }
 }
