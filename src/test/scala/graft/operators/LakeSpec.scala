@@ -848,9 +848,24 @@ class LakeSpec extends SparkTestBase {
     // adds-CDC surfaces nothing for a delete
     assert(Lake.changesBetween(spark, out, 0L, 1L).count() == 0)
     // idempotent: re-deleting already-tombstoned ids matches nothing
+    val cdcDirsBefore = {
+      val p = new org.apache.hadoop.fs.Path(out, Lake.CdcDirName)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.listStatus(p).length else 0
+    }
     Pipeline.deleteFromLakeSparse(spark, out, Seq(0L, 7L).toDF("doc_id"), "doc_id")
     assert(Lake.latestManifest(spark, out).get.version == 1L,
       "re-deleting already-deleted rows must not commit a new version")
+    // the zero-match pass staged its sidecar WITH the observed count and
+    // must roll the empty dir back — no residue accumulating per no-op
+    locally {
+      val p = new org.apache.hadoop.fs.Path(out, Lake.CdcDirName)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val after = if (fs.exists(p)) fs.listStatus(p).length else 0
+      assert(after == cdcDirsBefore,
+        s"a zero-match sparse delete must leave no sidecar dir behind " +
+          s"($cdcDirsBefore dirs before, $after after)")
+    }
     // an orphan vacuum never reclaims a referenced sidecar
     assert(Lake.vacuum(spark, out).isEmpty)
     assert(ids(Lake.read(spark, out)) == (0L until 40L).toSet -- Set(0L, 7L, 13L))

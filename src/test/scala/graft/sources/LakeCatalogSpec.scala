@@ -478,6 +478,9 @@ class LakeCatalogSpec extends SparkTestBase {
     }
     assert(e1.getMessage.contains("doc_id_range") && e1.getMessage.contains("CHECK"))
     assert(Lake.read(spark, out).count() == 25, "the violating batch must land NOTHING")
+    assert(Lake.vacuum(spark, out).isEmpty,
+      "the violating batch's staged files must be ROLLED BACK at refusal, " +
+        "not leaked as orphans for vacuum")
 
     // SQL INSERT and sparse UPDATE post-images are gated too
     val e2 = intercept[Exception] {
@@ -489,6 +492,9 @@ class LakeCatalogSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("CHECK"))
     assert(Lake.read(spark, out).filter(col("doc_id") === 3L).count() == 1)
+    assert(Lake.vacuum(spark, out).isEmpty,
+      "a violating UPDATE must roll back its staged post-image AND its " +
+        "CDC/DV sidecars at refusal")
 
     // the streaming write fails a violating epoch before the manifest moves
     implicit val ctx = spark.sqlContext
